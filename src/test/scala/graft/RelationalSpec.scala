@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class RelationalSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("every declared query has an oracle or is rows-only by intent") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+  }
+
+  test("all relational queries execute and return rows at sf0.001") {
+    val expectEmpty = Set("q08_anti_join") // every customer has orders at this sf
+    operators.Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (expectEmpty(name)) assert(n >= 0, s"$name failed")
+      else assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("fixed cardinalities at sf0.001 (regression guard)") {
+    def n(q: String) = operators.Relational.queries(q)(spark, sf).count()
+    assert(n("q01_pricing_summary") == 6L)
+    assert(n("q03_top_revenue") == 10L)
+    assert(n("q13_topn") == 20L)
+    assert(n("q05_window_topk") == 449L)
+    assert(n("q19_events_daily") == 150L)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q02 filter is pushed down to the parquet scan") {
+    val df = operators.Relational.queries("q02_filter_project")(spark, sf)
+    val scans = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan found")
+    val pushed = scans.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_quantity,45.0)") &&
+      pushed.contains("l_shipdate"), s"filters not pushed: $pushed")
+    // column pruning: only the 5 needed columns reach the scan
+    assert(scans.head.requiredSchema.fieldNames.length == 5,
+      s"scan reads too many columns: ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q03/q04 broadcast their dimension sides") {
+    val p3 = operators.Relational.queries("q03_top_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), "q03 should broadcast dims")
+    val p4 = operators.Relational.queries("q04_nation_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("BroadcastHashJoin"), "q04 should broadcast dims")
+  }
+}
