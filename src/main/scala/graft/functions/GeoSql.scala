@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + DataFrame-side API for the ST_* function catalog
+  * (reference exposes `system.hilbert` etc. through a DSv2 FunctionCatalog,
+  * `spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/functions/` in
+  * /root/reference; here the Spark-native registration point is the session
+  * FunctionRegistry so both SQL and `call_function` resolve them).
+  */
+object GeoSql {
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_geomfromtext" -> (e => StGeomFromText(e.head)),
+    "st_geomfromwkb" -> (e => StGeomFromWkb(e.head)),
+    "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),
+    "st_astext" -> (e => StAsText(e.head)),
+    "st_asgeojson" -> (e => StAsGeoJson(e.head)),
+    "st_asewkb" -> (e => StAsEwkb(e.head)),
+    "st_point" -> (e => StPoint(e(0), e(1))),
+    "st_makeenvelope" -> (e => StMakeEnvelope(e(0), e(1), e(2), e(3))),
+    "st_intersects" -> (e => StIntersects(e(0), e(1))),
+    "st_covers" -> (e => StCovers(e(0), e(1))),
+    "st_contains" -> (e => StContains(e(0), e(1))),
+    "st_within" -> (e => StWithin(e(0), e(1))),
+    "st_distance" -> (e => StDistance(e(0), e(1))),
+    "st_dwithin" -> (e => StDWithin(e(0), e(1), e(2))),
+    "st_envelope" -> (e => StEnvelope(e.head)),
+    "st_centroid" -> (e => StCentroid(e.head)),
+    "st_buffer" -> (e => StBuffer(e(0), e(1))),
+    "st_x" -> (e => StX(e.head)),
+    "st_y" -> (e => StY(e.head)),
+    "st_xmin" -> (e => StXMin(e.head)),
+    "st_xmax" -> (e => StXMax(e.head)),
+    "st_ymin" -> (e => StYMin(e.head)),
+    "st_ymax" -> (e => StYMax(e.head)),
+    "st_area" -> (e => StArea(e.head)),
+    "st_length" -> (e => StLength(e.head)),
+    "st_isempty" -> (e => StIsEmpty(e.head)),
+    "st_isvalid" -> (e => StIsValid(e.head)),
+    "st_bbox" -> (e => StBboxStruct(e.head)),
+    "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5)))
+  )
+
+  /** Idempotent: registers every ST_ function on the session. */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  // DataFrame-side helpers (resolve through the registry installed above).
+  def st_geomfromtext(wkt: Column): Column = call_function("st_geomfromtext", wkt)
+  def st_astext(g: Column): Column = call_function("st_astext", g)
+  def st_point(x: Column, y: Column): Column = call_function("st_point", x, y)
+  def st_makeenvelope(minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
+    call_function("st_makeenvelope", minX, minY, maxX, maxY)
+  def st_intersects(a: Column, b: Column): Column = call_function("st_intersects", a, b)
+  def st_covers(a: Column, b: Column): Column = call_function("st_covers", a, b)
+  def st_contains(a: Column, b: Column): Column = call_function("st_contains", a, b)
+  def st_within(a: Column, b: Column): Column = call_function("st_within", a, b)
+  def st_distance(a: Column, b: Column): Column = call_function("st_distance", a, b)
+  def st_dwithin(a: Column, b: Column, d: Column): Column = call_function("st_dwithin", a, b, d)
+  def st_buffer(g: Column, d: Column): Column = call_function("st_buffer", g, d)
+  def st_envelope(g: Column): Column = call_function("st_envelope", g)
+  def st_centroid(g: Column): Column = call_function("st_centroid", g)
+  def st_x(g: Column): Column = call_function("st_x", g)
+  def st_y(g: Column): Column = call_function("st_y", g)
+  def st_bbox(g: Column): Column = call_function("st_bbox", g)
+  def hilbert(g: Column, res: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
+    call_function("hilbert", g, res, minX, minY, maxX, maxY)
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GeoSql._
+import graft.spatial.Geo
+
+/** Driver-checkable geo queries. Geometry is synthesized deterministically
+  * from `customer` keys (integer modulo math → identical doubles in Spark
+  * and DuckDB), so spatial semantics get a plain-SQL oracle: point-in-
+  * envelope ≡ coordinate ranges, point distance ≡ sqrt, bbox of a 0.5
+  * buffer ≡ ±0.5 — while the Spark side exercises the real ST_ expression
+  * path (row-level JTS evaluation per the reference's `Evaluator.java:162-170`).
+  */
+object GeoQueries {
+
+  /** customer → deterministic lon/lat with 0.01° granularity. */
+  private def pts(s: SparkSession, dir: String): DataFrame = {
+    Geo.install(s)
+    Tables.load(s, dir, "customer")
+      .withColumn("x", (col("c_custkey") * 7919 % 36000) / 100.0 - 180.0)
+      .withColumn("y", (col("c_custkey") * 104729 % 18000) / 100.0 - 90.0)
+      .withColumn("geom", st_point(col("x"), col("y")))
+  }
+
+  private val ptsSql =
+    """SELECT c_custkey, c_nationkey,
+      | (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS x,
+      | (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS y
+      |FROM customer""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ST_Intersects(point, envelope) — the reference's flagship predicate.
+    "geo_envelope_filter" -> ((s, dir) => {
+      pts(s, dir)
+        .filter(st_intersects(col("geom"), st_makeenvelope(lit(-50.0), lit(-30.0), lit(50.0), lit(30.0))))
+        .select(col("c_custkey"), col("x"), col("y"))
+    }),
+
+    // spatial join: points × quadrant polygons (inset to dodge boundaries)
+    "geo_quadrant_join" -> ((s, dir) => {
+      val quads = s.createDataFrame(Seq(
+        (0, 0.001, 0.001, 180.0, 90.0),
+        (1, -180.0, 0.001, -0.001, 90.0),
+        (2, -180.0, -90.0, -0.001, -0.001),
+        (3, 0.001, -90.0, 180.0, -0.001)))
+        .toDF("quadrant", "qxmin", "qymin", "qxmax", "qymax")
+        .withColumn("qgeom", st_makeenvelope(col("qxmin"), col("qymin"), col("qxmax"), col("qymax")))
+      pts(s, dir)
+        .join(broadcast(quads), st_intersects(col("geom"), col("qgeom")))
+        .groupBy(col("quadrant"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
+
+    // ST_Distance + top-k: nearest customers to the origin.
+    "geo_distance_topk" -> ((s, dir) => {
+      pts(s, dir)
+        .withColumn("dist", round(st_distance(col("geom"), st_point(lit(0.0), lit(0.0))), 6))
+        .orderBy(col("dist"), col("c_custkey"))
+        .select(col("c_custkey"), col("x"), col("y"), col("dist"))
+        .limit(25)
+    }),
+
+    // per-group bbox aggregate over buffered geometries (envelope accessors)
+    "geo_bbox_agg" -> ((s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+      pts(s, dir)
+        .withColumn("buf", st_buffer(col("geom"), lit(0.5)))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(min(call_function("st_xmin", col("buf"))), 6).as("bb_xmin"),
+          round(min(call_function("st_ymin", col("buf"))), 6).as("bb_ymin"),
+          round(max(call_function("st_xmax", col("buf"))), 6).as("bb_xmax"),
+          round(max(call_function("st_ymax", col("buf"))), 6).as("bb_ymax"),
+          count(lit(1)).as("n_points"))
+    }),
+
+    // hilbert clustering key (no SQL oracle — locality is property-tested;
+    // driver rows-only check keeps it deterministic)
+    "geo_hilbert_index" -> ((s, dir) => {
+      pts(s, dir)
+        .select(col("c_custkey"),
+          hilbert(col("geom"), lit(12), lit(-180.0), lit(-90.0), lit(180.0), lit(90.0)).as("h"))
+        .orderBy(col("h"), col("c_custkey"))
+        .limit(100)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "geo_envelope_filter" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE x >= -50 AND x <= 50 AND y >= -30 AND y <= 30""".stripMargin,
+
+    "geo_quadrant_join" ->
+      s"""SELECT CASE WHEN x > 0 AND y > 0 THEN 0 WHEN x < 0 AND y > 0 THEN 1
+         |  WHEN x < 0 AND y < 0 THEN 2 ELSE 3 END AS quadrant,
+         | count(*) AS n_points
+         |FROM ($ptsSql)
+         |WHERE abs(x) >= 0.001 AND abs(y) >= 0.001
+         |GROUP BY 1""".stripMargin,
+
+    "geo_distance_topk" ->
+      s"""SELECT c_custkey, x, y, round(sqrt(x*x + y*y), 6) AS dist
+         |FROM ($ptsSql)
+         |ORDER BY dist, c_custkey LIMIT 25""".stripMargin,
+
+    "geo_bbox_agg" ->
+      s"""SELECT n_name,
+         | round(min(x) - 0.5, 6) AS bb_xmin,
+         | round(min(y) - 0.5, 6) AS bb_ymin,
+         | round(max(x) + 0.5, 6) AS bb_xmax,
+         | round(max(y) + 0.5, 6) AS bb_ymax,
+         | count(*) AS n_points
+         |FROM ($ptsSql) p JOIN nation ON p.c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin
+  )
+}

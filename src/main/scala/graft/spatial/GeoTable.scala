@@ -1,0 +1,189 @@
+package graft.spatial
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.GeoSql
+
+/** Geometry-aware table write/read — the engine's stand-in for the
+  * reference's havasu table format:
+  *
+  *  - geometry column stays physical BINARY (WKB), exactly the fork's
+  *    schema-compat trick (`core/.../SchemaParser.java:61,134-144` stores the
+  *    physical type + an encoding annotation);
+  *  - a shadow struct `<geom>_bbox(xmin,ymin,xmax,ymax)` is written per row,
+  *    so parquet row-group stats + our file manifest carry the same
+  *    information as the fork's manifest fields `geom_lower_bounds`/
+  *    `geom_upper_bounds` (`api/.../DataFile.java:87-98`);
+  *  - rows are Hilbert-clustered before write (`repartitionByRange` + sort on
+  *    the hilbert index), the write-clustering the fork gets from a
+  *    `hilbert[...]` sort order (`SparkWriteUtil.java:68-120`,
+  *    `SortOrderToSpark.java:87-104`);
+  *  - a JSON manifest `_graft_manifest.json` records per-file min/max for
+  *    every primitive leaf (struct leaves flattened), the analogue of
+  *    Iceberg's per-file `lower_bounds`/`upper_bounds`.
+  *
+  * Scale posture: the clustering is a range shuffle on a long (no skew —
+  * Hilbert indexes are near-uniform for near-uniform data; salting hook left
+  * to callers otherwise); stats collection is one distributed aggregation
+  * over the written files (at production scale this would read parquet
+  * footers instead — same information, no second data pass).
+  */
+object GeoTable {
+
+  val ManifestName = "_graft_manifest.json"
+  val DefaultResolution = 12
+  val WorldBounds: (Double, Double, Double, Double) = (-180d, -90d, 180d, 90d)
+
+  /** Add the shadow bbox column for a WKB geometry column. */
+  def withBbox(df: DataFrame, geomCol: String): DataFrame =
+    df.withColumn(s"${geomCol}_bbox", GeoSql.st_bbox(col(geomCol)))
+
+  def hilbertCol(geomCol: String, res: Int, b: (Double, Double, Double, Double)): Column =
+    GeoSql.hilbert(col(geomCol), lit(res), lit(b._1), lit(b._2), lit(b._3), lit(b._4))
+
+  /** Write a Hilbert-clustered geo table: bbox shadow column + spatial
+    * clustering + per-file stats manifest. `numFiles <= 0` keeps the input
+    * partitioning (still sorted within partitions).
+    */
+  def write(
+      df: DataFrame,
+      path: String,
+      geomCol: String,
+      res: Int = DefaultResolution,
+      bounds: (Double, Double, Double, Double) = WorldBounds,
+      numFiles: Int = 0): Unit = {
+    GeoSql.install(df.sparkSession)
+    val h = hilbertCol(geomCol, res, bounds)
+    val withShadow = withBbox(df, geomCol).withColumn("__hilbert", h)
+    val clustered =
+      if (numFiles > 0) withShadow.repartitionByRange(numFiles, col("__hilbert"))
+      else withShadow
+    clustered
+      .sortWithinPartitions(col("__hilbert"))
+      .drop("__hilbert")
+      .write.mode("overwrite").parquet(path)
+    writeManifest(df.sparkSession, path)
+  }
+
+  /** Leaves we collect stats for: top-level primitives + one struct level. */
+  private def statLeaves(schema: StructType): Seq[(String, DataType)] =
+    schema.fields.flatMap {
+      case StructField(n, s: StructType, _, _) =>
+        s.fields.collect { case StructField(f, d, _, _) if isStatType(d) => (s"$n.$f", d) }.toSeq
+      case StructField(n, d, _, _) if isStatType(d) => Seq((n, d))
+      case _ => Nil
+    }.toSeq
+
+  private def isStatType(d: DataType): Boolean = d match {
+    case _: NumericType | StringType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** One distributed pass computing per-file min/max for every stat leaf.
+    * Temporal leaves are normalized to the same physical numbers Catalyst
+    * literals carry (µs for timestamps, days for dates) so [[FileStats.cmp]]
+    * compares like with like.
+    */
+  def writeManifest(spark: SparkSession, path: String): Unit = {
+    val df = spark.read.parquet(path)
+    val leaves = statLeaves(df.schema)
+    def norm(n: String, d: DataType): Column = d match {
+      case TimestampType => unix_micros(col(n))
+      case DateType => datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01")))
+      case _ => col(n)
+    }
+    val aggs = leaves.flatMap { case (n, d) =>
+      Seq(min(norm(n, d)).as(s"min:$n"), max(norm(n, d)).as(s"max:$n"))
+    } ++ Seq(count(lit(1)).as("rows"))
+    val perFile = df
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = perFile.map { r =>
+      val full = new Path(r.getAs[String]("file"))
+      val rel = full.getName
+      val size = fs.getFileStatus(new Path(new Path(path), rel)).getLen
+      val mins = leaves.map { case (n, _) => n -> r.getAs[Any](s"min:$n") }.toMap
+      val maxs = leaves.map { case (n, _) => n -> r.getAs[Any](s"max:$n") }.toMap
+      FileStats(rel, r.getAs[Long]("rows"), size, mins, maxs)
+    }
+    Files.write(Paths.get(path, ManifestName),
+      manifestJson(entries.toSeq).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Read a geo table through the stats-pruning [[GraftFileIndex]]. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    GeoSql.install(spark)
+    Geo.installRule(spark)
+    val schema = spark.read.parquet(path).schema
+    val stats = readManifest(path)
+    val index = new GraftFileIndex(spark, new Path(path), stats, schema)
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation)
+  }
+
+  // ---- manifest (de)serialization ---------------------------------------
+
+  private def jsonVal(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case b: Boolean => b.toString
+    case n: Number => n.toString
+    case other => "\"" + other.toString + "\""
+  }
+
+  private def manifestJson(entries: Seq[FileStats]): String = {
+    val files = entries.map { e =>
+      val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
+      val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
+      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"mins":$mins,"maxs":$maxs}"""
+    }
+    s"""{"version":1,"files":[${files.mkString(",")}]}"""
+  }
+
+  def readManifest(path: String): Seq[FileStats] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val txt = new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8)
+    val j = JsonMethods.parse(txt)
+    def toScala(v: JValue): Any = v match {
+      case JString(s) => s
+      case JDouble(d) => d
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDecimal(d) => d.toDouble
+      case JBool(b) => b
+      case JNull => null
+      case other => other.toString
+    }
+    (j \ "files") match {
+      case JArray(fs) => fs.map { f =>
+        val JString(p) = f \ "path"
+        val rows = toScala(f \ "rows").asInstanceOf[Number].longValue()
+        val size = toScala(f \ "size").asInstanceOf[Number].longValue()
+        def m(field: String): Map[String, Any] = (f \ field) match {
+          case JObject(kv) => kv.map { case (k, v) => k -> toScala(v) }.toMap
+          case _ => Map.empty
+        }
+        FileStats(p, rows, size, m("mins"), m("maxs"))
+      }
+      case _ => Nil
+    }
+  }
+}

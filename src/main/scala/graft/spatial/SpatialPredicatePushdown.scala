@@ -1,0 +1,124 @@
+package graft.spatial
+
+import org.locationtech.jts.geom.Envelope
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{GeoCodec, StCovers, StIntersects}
+
+/** Catalyst rewrite of spatial predicates into pushable bbox range
+  * predicates — the rebuild of the reference's single most important piece
+  * of optimizer code, `SpatialPredicatePushDown`
+  * (`spark/v3.5/spark-extensions/src/main/scala/org/apache/spark/sql/execution/datasources/v2/optimizer/havasu/SpatialPredicatePushDown.scala:49-134`
+  * in /root/reference).
+  *
+  * Where the fork translates `ST_Intersects(geom, Q)` into an Iceberg
+  * expression and injects it into the scan, here the translation target is
+  * ordinary comparisons on the `<geom>_bbox` shadow struct:
+  *
+  *   ST_Intersects(g, Q) ⇒ g_bbox.xmin <= Q.maxX ∧ g_bbox.xmax >= Q.minX
+  *                        ∧ g_bbox.ymin <= Q.maxY ∧ g_bbox.ymax >= Q.minY
+  *   ST_Covers(g, Q)     ⇒ g_bbox.xmin <= Q.minX ∧ g_bbox.xmax >= Q.maxX
+  *                        ∧ g_bbox.ymin <= Q.minY ∧ g_bbox.ymax >= Q.maxY
+  *
+  * which Spark's own machinery pushes to the parquet scan (row-group
+  * pruning) and [[GraftFileIndex]] uses for file pruning. The original
+  * spatial conjunct is retained for exact row-level JTS evaluation, same as
+  * the fork keeps its `Filter` node (`SpatialPredicatePushDown.scala:62-66`)
+  * — bbox pruning is inclusive-only.
+  *
+  * AND/OR recursion mirrors the fork (`:91-123`); NOT is deliberately not
+  * translated — spatial predicates are non-negatable
+  * (`api/.../expressions/Expression.java:65-98` throws on `negate()`), and a
+  * bbox test is only a *necessary* condition, so `NOT ST_Intersects` must
+  * never produce pruning.
+  */
+object SpatialPredicatePushdown extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      derive(cond, child.output) match {
+        case Some(extra) =>
+          val existing = splitAnd(cond)
+          val fresh = splitAnd(extra).filterNot(e => existing.exists(_.semanticEquals(e)))
+          if (fresh.isEmpty) f
+          else Filter(And(fresh.reduce(And), cond), child)
+        case None => f
+      }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Derive a bbox predicate implied by `cond`, if any. AND: any conjunct
+    * may contribute. OR: both sides must contribute (else unsound).
+    */
+  private def derive(cond: Expression, out: Seq[Attribute]): Option[Expression] = cond match {
+    case And(l, r) =>
+      (derive(l, out), derive(r, out)) match {
+        case (Some(a), Some(b)) => Some(And(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    case Or(l, r) =>
+      for (a <- derive(l, out); b <- derive(r, out)) yield Or(a, b)
+    case StIntersects(g, q) => translate(g, q, out, covers = false)
+    case StCovers(g, q) => translate(g, q, out, covers = true)
+    case _ => None
+  }
+
+  private def translate(
+      g: Expression, q: Expression, out: Seq[Attribute], covers: Boolean): Option[Expression] = {
+    val geomAttr = g match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+    val env: Option[Envelope] = q match {
+      case lit if lit.foldable && lit.dataType == org.apache.spark.sql.types.BinaryType =>
+        Option(lit.eval(null)).map(b =>
+          GeoCodec.readWkb(b.asInstanceOf[Array[Byte]]).getEnvelopeInternal)
+      case _ => None
+    }
+    for {
+      a <- geomAttr
+      e <- env
+      bbox <- out.collectFirst {
+        case b: AttributeReference if b.name == s"${a.name}_bbox" &&
+          b.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => b
+      }
+    } yield {
+      def leaf(i: Int, n: String) = GetStructField(bbox, i, Some(n))
+      val (xmin, ymin, xmax, ymax) = (leaf(0, "xmin"), leaf(1, "ymin"), leaf(2, "xmax"), leaf(3, "ymax"))
+      def le(l: Expression, v: Double) = LessThanOrEqual(l, Literal(v, DoubleType))
+      def ge(l: Expression, v: Double) = GreaterThanOrEqual(l, Literal(v, DoubleType))
+      val cs =
+        if (covers) Seq(le(xmin, e.getMinX), ge(xmax, e.getMaxX), le(ymin, e.getMinY), ge(ymax, e.getMaxY))
+        else Seq(le(xmin, e.getMaxX), ge(xmax, e.getMinX), le(ymin, e.getMaxY), ge(ymax, e.getMinY))
+      cs.reduce[Expression](And)
+    }
+  }
+}
+
+/** Session installation for the geo layer (the fork injects its rule via
+  * `IcebergSparkSessionExtensions.scala:48-54`; Spark-native equivalent is
+  * `spark.experimental.extraOptimizations`, which runs after the main
+  * optimizer batches — constant folding has already collapsed
+  * `st_makeenvelope(lits…)` into a binary literal by then).
+  */
+object Geo {
+  def installRule(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(SpatialPredicatePushdown)) {
+      spark.experimental.extraOptimizations = cur :+ SpatialPredicatePushdown
+    }
+  }
+  def install(spark: SparkSession): Unit = {
+    graft.functions.GeoSql.install(spark)
+    installRule(spark)
+  }
+}

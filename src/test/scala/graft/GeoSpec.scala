@@ -1,0 +1,217 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GeoCodec, GeoSql}
+import graft.spatial.{Geo, GeoTable, HilbertCurve2D}
+
+/** Replicates the reference's canonical spatial fixture and assertion matrix
+  * (`data/src/test/java/org/apache/iceberg/havasu/TestGeometryReadersAndWriters.java:90-263`
+  * in /root/reference, summarized in FIXTURES.md F1): 4 data files, one per
+  * quadrant, 20 rows each (point + 0.5-buffer per id); every query asserts
+  * BOTH scanned-file count (file pruning) and exact row count.
+  */
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import GeoSql._
+
+  private lazy val tableDir: String = {
+    Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_quadrant").toString
+    val rows = for {
+      quadrant <- 0 until 4
+      k <- 1 to 10
+      (cx, cy) = quadrant match {
+        case 0 => (k.toDouble, k.toDouble)
+        case 1 => (-k.toDouble, k.toDouble)
+        case 2 => (-k.toDouble, -k.toDouble)
+        case 3 => (k.toDouble, -k.toDouble)
+      }
+      geom <- Seq(
+        GeoCodec.writeWkb(GeoCodec.point(cx, cy)),
+        GeoCodec.writeWkb(GeoCodec.point(cx, cy).buffer(0.5)))
+    } yield Row((quadrant * 10 + k - 1).toLong, quadrant, geom)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("part", IntegerType, nullable = false),
+      StructField("geom", BinaryType)))
+    // one data file per quadrant, exactly like the reference fixture
+    (0 until 4).foreach { q =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.filter(_.getInt(1) == q), 1), schema)
+      GeoTable.withBbox(df, "geom").coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    GeoTable.writeManifest(spark, dir)
+    dir
+  }
+
+  private def table: DataFrame = GeoTable.read(spark, tableDir)
+
+  /** (scannedFiles, rows) after executing the filtered scan. */
+  private def validateScan(df: DataFrame): (Long, Long) = {
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val files = plan.collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    (files, n)
+  }
+
+  private def env(minX: Double, minY: Double, maxX: Double, maxY: Double) =
+    st_makeenvelope(lit(minX), lit(minY), lit(maxX), lit(maxY))
+  private def pt(x: Double, y: Double) = st_point(lit(x), lit(y))
+
+  test("manifest records one bbox per file (writer metrics)") {
+    val stats = GeoTable.readManifest(tableDir)
+    assert(stats.length == 4)
+    stats.foreach { f =>
+      assert(f.rows == 20)
+      assert(f.mins.contains("geom_bbox.xmin") && f.maxs.contains("geom_bbox.xmax"))
+    }
+  }
+
+  // assertion matrix from TestGeometryReadersAndWriters.java:229-263
+  private val intersectsMatrix = Seq(
+    (pt(1, 1), 1L, 2L),
+    (pt(0, 0), 0L, 0L),
+    (pt(1.5, 1.5), 1L, 0L),
+    (env(0.5, -1.1, 1.1, 1.1), 2L, 4L),
+    (env(0, 0, 0.75, 0.75), 1L, 1L),
+    (env(0.75, 0.75, 1.25, 1.25), 1L, 2L))
+
+  test("stIntersects pruning + results match the reference matrix") {
+    intersectsMatrix.zipWithIndex.foreach { case ((q, files, rows), i) =>
+      val (f, r) = validateScan(table.filter(st_intersects(col("geom"), q)))
+      assert((f, r) == ((files, rows)), s"intersects case $i: got ($f,$r) want ($files,$rows)")
+    }
+  }
+
+  test("stCovers pruning + results match the reference matrix") {
+    val coversMatrix = Seq(
+      (pt(1, 1), 1L, 2L),
+      (pt(0, 0), 0L, 0L),
+      (pt(1.5, 1.5), 1L, 0L),
+      (env(0, 0, 0.75, 0.75), 0L, 0L),
+      (env(0.75, 0.75, 1.25, 1.25), 1L, 1L))
+    coversMatrix.zipWithIndex.foreach { case ((q, files, rows), i) =>
+      val (f, r) = validateScan(table.filter(st_covers(col("geom"), q)))
+      assert((f, r) == ((files, rows)), s"covers case $i: got ($f,$r) want ($files,$rows)")
+    }
+  }
+
+  test("mixed attribute + spatial predicate prunes on both stats") {
+    val (f, r) = validateScan(table.filter(
+      col("id") <= 10 && st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
+    assert((f, r) == ((1L, 2L)))
+  }
+
+  test("partition-style attribute + spatial predicate") {
+    val (f, r) = validateScan(table.filter(
+      col("part") === 3 && st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
+    assert((f, r) == ((1L, 2L)))
+  }
+
+  test("NOT st_intersects produces no bbox pruning (non-negatable)") {
+    val (f, r) = validateScan(table.filter(
+      !st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
+    assert(f == 4L, "NOT must scan all files")
+    assert(r == 76L)
+  }
+
+  test("OR of spatial predicates prunes to the union of windows") {
+    val (f, r) = validateScan(table.filter(
+      st_intersects(col("geom"), pt(1, 1)) || st_intersects(col("geom"), pt(-1, 1))))
+    assert((f, r) == ((2L, 4L)))
+  }
+
+  test("bbox predicates are pushed to the parquet scan") {
+    val df = table.filter(st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case s: FileSourceScanExec => s }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("geom_bbox.xmin") || pushed.contains("xmin"),
+      s"bbox filters not pushed: $pushed")
+  }
+
+  test("hilbert clustering write round-trips and clusters quadrants") {
+    val dir = Files.createTempDirectory("graft_hilbert_write").toString
+    val df = table.select("id", "part", "geom")
+    GeoTable.write(df, dir, "geom", res = 8, numFiles = 4)
+    val back = GeoTable.read(spark, dir)
+    assert(back.count() == 80)
+    // spatial locality: a point query must not touch every file
+    val (f, _) = validateScan(back.filter(st_intersects(col("geom"), pt(1, 1))))
+    assert(f < 4, s"hilbert clustering should allow pruning, scanned $f files")
+  }
+
+  // ---- Hilbert transform semantics (TestHilbert.java:33-114 / F3) --------
+
+  test("hilbert locality ordering property") {
+    def h(x: Double, y: Double): Long =
+      HilbertCurve2D.index(10, -180, -90, 180, 90)(x, y).get
+    val h0 = h(10, 10); val h1 = h(15, 15); val h2 = h(30, 30)
+    val h3 = h(-60, -30); val h4 = h(-61, -31)
+    assert(math.abs(h3 - h4) < math.abs(h0 - h1))
+    assert(math.abs(h0 - h1) < math.abs(h1 - h2))
+    assert(math.abs(h1 - h2) < math.abs(h0 - h3))
+  }
+
+  test("hilbert null semantics: out-of-bounds, empty, null") {
+    assert(HilbertCurve2D.index(10, -180, -90, 180, 90)(200, 10).isEmpty)
+    assert(HilbertCurve2D.index(10, 0, 0, 1000, 1000)(-10, -10).isEmpty)
+    Geo.install(spark)
+    val df = spark.sql(
+      """SELECT hilbert(st_geomfromtext('POINT EMPTY'), 10,
+        | -180D, -90D, 180D, 90D) AS h""".stripMargin)
+    assert(df.collect().head.isNullAt(0))
+    val df2 = spark.sql(
+      "SELECT hilbert(CAST(NULL AS BINARY), 10, -180D, -90D, 180D, 90D) AS h")
+    assert(df2.collect().head.isNullAt(0))
+  }
+
+  test("hilbert indexes polygons by envelope center") {
+    Geo.install(spark)
+    val r = spark.sql(
+      """SELECT hilbert(st_buffer(st_point(10D, 10D), 0.5D), 10, -180D, -90D, 180D, 90D) AS hp,
+        |       hilbert(st_point(10D, 10D), 10, -180D, -90D, 180D, 90D) AS hc""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  // ---- encodings (GeometryEncoding.java:26-32 / F2) ----------------------
+
+  test("wkt / geojson / ewkb round-trips") {
+    Geo.install(spark)
+    val wkts = Seq(
+      "POINT (1 2)",
+      "LINESTRING (0 0, 1 1, 2 0)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    wkts.foreach { w =>
+      val g = GeoCodec.readWkt(w)
+      assert(GeoCodec.readWkb(GeoCodec.writeWkb(g)).equalsExact(g), s"wkb: $w")
+      assert(GeoCodec.readWkb(GeoCodec.writeEwkb(g)).equalsExact(g), s"ewkb: $w")
+      assert(GeoCodec.readGeoJson(GeoCodec.writeGeoJson(g)).equalsExact(g), s"geojson: $w")
+      assert(GeoCodec.readWkt(GeoCodec.writeWkt(g)).equalsExact(g), s"wkt: $w")
+    }
+    val viaSql = spark.sql(
+      "SELECT st_astext(st_geomfromgeojson(st_asgeojson(st_geomfromtext('POINT (3 4)')))) AS w")
+      .collect().head.getString(0)
+    assert(viaSql == "POINT (3 4)")
+  }
+}
