@@ -7,9 +7,13 @@ object SparkEntry {
     operators.Relational.queries("q04_nation_revenue")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.GeoQueries.queries
+    operators.Relational.queries ++ operators.GeoQueries.queries ++
+      operators.TextPipeline.queries ++ operators.Similarity.queries ++
+      operators.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql ++ operators.GeoQueries.oracleSql
+    operators.Relational.oracleSql ++ operators.GeoQueries.oracleSql ++
+      operators.TextPipeline.oracleSql ++ operators.Similarity.oracleSql ++
+      operators.Multimodal.oracleSql
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Two paths, mirroring what a 100 TB corpus needs:
+  *  - brute-force cosine top-k: the exact baseline — a broadcast of the
+  *    (small) query set against a full scan of the corpus; one shuffle for
+  *    the per-query top-k. Dot products are `zip_with`/`aggregate` column
+  *    expressions, fully codegen'd, no UDFs.
+  *  - random-hyperplane LSH: the approximate scale path — each vector maps
+  *    to a 16-bit signature bucket (map-only), candidates meet via an
+  *    equi-join on the bucket, exact cosine re-ranks within the bucket.
+  *    At scale the bucket join replaces the O(N·Q) cross product with
+  *    O(N + collisions).
+  */
+object Similarity {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1]). */
+  private def planes(n: Int, d: Int): Seq[Seq[Double]] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until n).map(j => (0 until d).map { i =>
+      val h = splitmix(j.toLong * 1009 + i)
+      (h.toDouble / Long.MaxValue)
+    })
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact brute-force top-5 cosine neighbors for each query vector
+    "sim_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // LSH-bucketed approximate top-3 (map-side signatures + bucket join)
+    "sim_ann_lsh" -> ((s, dir) => {
+      val nPlanes = 6
+      val ps = planes(nPlanes, 64)
+      def bucket(v: Column): Column =
+        (0 until nPlanes).map { j =>
+          val pl = typedlit(ps(j))
+          when(dot(v, pl) > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = emb(s, dir).withColumn("bucket", bucket(col("v")))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm").as("qnorm"), col("bucket").as("qbucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // embedding near-duplicate pairs (cosine >= threshold) via LSH buckets
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val nPlanes = 3
+      val ps = planes(nPlanes, 64)
+      def bucket(v: Column): Column =
+        (0 until nPlanes).map { j =>
+          val pl = typedlit(ps(j))
+          when(dot(v, pl) > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _)
+      val e = emb(s, dir).withColumn("bucket", bucket(col("v")))
+      e.as("a").join(e.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+          round(col("cos"), 6).as("cos"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM n WHERE vec_id % 100 = 0)
+        |SELECT qid, vec_id,
+        | round(list_dot_product(qv, v) / (qnorm * norm), 6) AS cos
+        |FROM q CROSS JOIN n
+        |WHERE vec_id != qid
+        |QUALIFY row_number() OVER (PARTITION BY qid
+        |  ORDER BY round(list_dot_product(qv, v) / (qnorm * norm), 6) DESC, vec_id) <= 5""".stripMargin
+  )
+}

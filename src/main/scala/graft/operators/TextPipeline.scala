@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis + deduplication operators for a training-data pipeline over
+  * the `documents` table. All single-pass shapes are pure codegen'd column
+  * expressions (no UDFs); the pairwise dedups are expressed as shingle
+  * self-joins so they scale as shuffles, never driver-side loops.
+  *
+  * Scale posture (100 TB): tokenize/fingerprint/quality are map-only —
+  * they pipeline inside WholeStageCodegen with zero shuffles. The dedup
+  * family shuffles on shingle/band/chunk keys whose cardinality grows with
+  * corpus size (no global broadcast); hot shingles (stopword runs) are the
+  * known skew risk — production would add a frequency cap on shingle
+  * buckets, which is a single filter on a count.
+  */
+object TextPipeline {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  private def toks: Column = split(lower(trim(col("text"))), "\\s+")
+
+  /** distinct word-3-gram shingles per doc (0-based; needs >= 3 tokens). */
+  private def shingles(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
+      .distinct()
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace tokenizer)
+    "text_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), size(toks).as("n_tokens"))
+    }),
+
+    // quality scoring: punctuation / stopword / token-length signals
+    "text_quality" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks))
+        .withColumn("punct_n", length(regexp_replace(col("text"), "[^.,!?;:]", "")))
+        .withColumn("stop_ratio", round(
+          size(filter(toks, w => w.isInCollection(stopwords))) / col("n_tokens"), 4))
+        .withColumn("avg_tok_len", round(
+          length(regexp_replace(col("text"), "\\s+", "")) / col("n_tokens"), 4))
+        .select(col("doc_id"), col("n_tokens"), col("punct_n"),
+          col("stop_ratio"), col("avg_tok_len"))
+    }),
+
+    // language-ID: stopword-profile n-gram heuristic (argmax of profile hits)
+    "text_langid" -> ((s, dir) => {
+      def hits(ws: Seq[String]): Column = size(filter(toks, w => w.isInCollection(ws)))
+      docs(s, dir)
+        .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
+        .withColumn("es_hits", hits(Seq("el", "la", "de", "y")))
+        .withColumn("fr_hits", hits(Seq("le", "les", "et", "une")))
+        .withColumn("de_hits", hits(Seq("der", "die", "und", "das")))
+        .withColumn("pred_lang",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
+            col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") >= col("fr_hits") && col("es_hits") >= col("de_hits") &&
+              col("es_hits") > 0, "es")
+            .when(col("fr_hits") >= col("de_hits") && col("fr_hits") > 0, "fr")
+            .when(col("de_hits") > 0, "de")
+            .otherwise("und"))
+        .select(col("doc_id"), col("pred_lang"), col("en_hits"), col("es_hits"),
+          col("fr_hits"), col("de_hits"))
+    }),
+
+    // document fingerprinting: md5 of whitespace-normalized text
+    "text_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
+    }),
+
+    // exact dedup: hash-groupBy on the fingerprint, keep lowest doc_id
+    "dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))).cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // n-gram Jaccard near-dedup: shingle self-join → common counts → ratio
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir))
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sz.as("x"), col("d1") === col("x.doc_id"))
+        .join(sz.as("y"), col("d2") === col("y.doc_id"))
+        .withColumn("jac", col("common") / (col("x.n") + col("y.n") - col("common")))
+        .filter(col("jac") >= 0.4)
+        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+    }),
+
+    // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows
+    "dedup_minhash" -> ((s, dir) => {
+      val nHash = 16
+      val sh = shingles(docs(s, dir))
+      val sig = sh.groupBy(col("doc_id"))
+        .agg(array((0 until nHash).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        explode(expr("transform(sequence(0, 3), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+        .distinct()
+      cand
+        .withColumn("est_jac", round(
+          aggregate(zip_with(col("sig1"), col("sig2"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / nHash, 4))
+        .filter(col("est_jac") >= 0.5)
+        .select(col("d1"), col("d2"), col("est_jac"))
+    }),
+
+    // SimHash: 64-bit token-hash bit votes, candidate pairs via 16-bit chunks
+    "dedup_simhash" -> ((s, dir) => {
+      val tokens = docs(s, dir)
+        .select(col("doc_id"), explode(toks).as("w"))
+        .withColumn("h", xxhash64(col("w")))
+      val voteCols = (0 until 64).map(j =>
+        expr(s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)").as(s"v$j"))
+      val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+      val chunkCols = (0 until 4).map { k =>
+        val bits = (0 until 16).map(j => s"IF(v${16 * k + j} > 0, ${1 << j}, 0)").mkString(" + ")
+        expr(s"CAST($bits AS INT)").as(s"c$k")
+      }
+      val chunks = votes.select(col("doc_id") +: chunkCols: _*)
+      val exploded = chunks.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+        explode(expr("array(struct(0 AS k, c0 AS cv), struct(1 AS k, c1 AS cv), struct(2 AS k, c2 AS cv), struct(3 AS k, c3 AS cv))")).as("ch"))
+        .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
+          col("ch.k").as("k"), col("ch.cv").as("cv"))
+      exploded.as("a").join(exploded.as("b"),
+          col("a.k") === col("b.k") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          (expr("bit_count(CAST(a.c0 AS BIGINT) ^ CAST(b.c0 AS BIGINT))") +
+            expr("bit_count(CAST(a.c1 AS BIGINT) ^ CAST(b.c1 AS BIGINT))") +
+            expr("bit_count(CAST(a.c2 AS BIGINT) ^ CAST(b.c2 AS BIGINT))") +
+            expr("bit_count(CAST(a.c3 AS BIGINT) ^ CAST(b.c3 AS BIGINT))")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents)
+        |SELECT doc_id,
+        | CAST(len(tk) AS INTEGER) AS n_tokens,
+        | CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS punct_n,
+        | round(len(list_filter(tk, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(tk), 4) AS stop_ratio,
+        | round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 4) AS avg_tok_len
+        |FROM t""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |h AS (SELECT doc_id,
+        |  CAST(len(list_filter(tk, w -> w IN ('the','a','of','and'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(tk, w -> w IN ('el','la','de','y'))) AS INTEGER) AS es_hits,
+        |  CAST(len(list_filter(tk, w -> w IN ('le','les','et','une'))) AS INTEGER) AS fr_hits,
+        |  CAST(len(list_filter(tk, w -> w IN ('der','die','und','das'))) AS INTEGER) AS de_hits
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |      WHEN es_hits >= fr_hits AND es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |      WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+        |      WHEN de_hits > 0 THEN 'de'
+        |      ELSE 'und' END AS pred_lang,
+        | en_hits, es_hits, fr_hits, de_hits
+        |FROM h""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, round(common * 1.0 / (x.n + y.n - common), 4) AS jac
+        |FROM pair JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-operator properties of the dedup / similarity / multimodal family:
+  * the approximate operators (minhash, simhash) must recover most of the
+  * exact n-gram Jaccard near-duplicates, and everything must be
+  * deterministic run-to-run (driver re-executes queries for hashing).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def pairs(q: String): Set[(Long, Long)] =
+    SparkEntry.queries(q)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs("dedup_ngram_jaccard")
+
+  test("planted near-duplicates exist in the corpus") {
+    assert(exact.size >= 10, s"expected planted near-dups, got ${exact.size}")
+  }
+
+  test("minhash LSH recovers most exact-jaccard near-dups") {
+    val mh = pairs("dedup_minhash")
+    val recall = (exact & mh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("simhash recovers a majority of near-dups with high precision") {
+    val sh = pairs("dedup_simhash")
+    val recall = (exact & sh).size.toDouble / exact.size
+    val precision = (exact & sh).size.toDouble / sh.size
+    assert(recall >= 0.5, s"simhash recall $recall")
+    assert(precision >= 0.5, s"simhash precision $precision")
+  }
+
+  test("brute-force cosine top-k returns k rows per query") {
+    val df = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+    val perQ = df.groupBy("qid").count().collect()
+    assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 5L))
+  }
+
+  test("ANN-LSH results are a subset of true neighbors' ranking universe") {
+    val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    // every reported cos must equal the exact cosine for that pair (re-rank is exact)
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ann.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+  }
+
+  test("mm_features is deterministic and correctly shaped") {
+    val a = SparkEntry.queries("mm_features")(spark, sf).collect()
+    val b = SparkEntry.queries("mm_features")(spark, sf).collect()
+    assert(a.length == 500)
+    val fa = a.map(r => (r.getLong(0), r.getSeq[Double](2))).toMap
+    b.foreach { r => assert(fa(r.getLong(0)) == r.getSeq[Double](2)) }
+    a.foreach(r => assert(r.getSeq[Double](2).length == 8))
+  }
+
+  test("pipeline single-pass ops contain no shuffle (map-only plans)") {
+    Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint", "mm_meta")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"), s"$q should be map-only:\n$plan")
+      }
+  }
+}
