@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming semantics over the `events` table: micro-batch source,
+  * watermarked event-time windows, custom keyed state, and a parquet sink
+  * (checkpointed, the exactly-once pattern of the reference's streaming
+  * write — `SparkWrite.java:181-186`).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def batchEvents = Tables.load(spark, sf, "events")
+
+  test("windowed aggregation over the micro-batch source matches batch") {
+    val q = EventStreams.windowedCounts(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+      val batch = batchEvents
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ets"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      assert(got.agg(sum("n_events")).collect().head.getLong(0) == batchEvents.count())
+      assert(got.count() == batch.count())
+    } finally q.stop()
+  }
+
+  test("stateful per-user totals match batch aggregation") {
+    val q = EventStreams.userTotals(spark, EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("user_totals").start()
+    try {
+      q.processAllAvailable()
+      // one micro-batch → final state per user; compare to batch groupBy
+      val got = spark.table("user_totals")
+        .groupBy("user_id").agg(max("n_events").as("n"))
+      val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("n"))
+      val mismatch = got.as("g").join(batch.as("b"), Seq("user_id"))
+        .filter(col("g.n") =!= col("b.n")).count()
+      assert(mismatch == 0)
+      assert(got.count() == batch.count())
+    } finally q.stop()
+  }
+
+  test("streaming parquet sink round-trips every row (checkpointed)") {
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = EventStreams.readEvents(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").start(out)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).count() == batchEvents.count())
+  }
+}
