@@ -78,6 +78,22 @@ object GeoQueries {
           count(lit(1)).as("n_points"))
     }),
 
+    // distributed grid-bucketed spatial join (no cross product):
+    // customer points × nation-derived envelope regions
+    "geo_spatial_join" -> ((s, dir) => {
+      val regions = Tables.load(s, dir, "nation")
+        .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
+        .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)
+        .withColumn("rgeom", st_makeenvelope(col("rxmin"), col("rymin"),
+          col("rxmin") + 30.0, col("rymin") + 30.0))
+        .select(col("n_nationkey").as("region_id"), col("rgeom"))
+      graft.spatial.SpatialJoin.intersects(
+          pts(s, dir).select(col("c_custkey"), col("geom")), "geom",
+          regions, "rgeom", cellDeg = 15.0)
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -101,6 +117,17 @@ object GeoQueries {
          |FROM ($ptsSql)
          |WHERE abs(x) >= 0.001 AND abs(y) >= 0.001
          |GROUP BY 1""".stripMargin,
+
+    "geo_spatial_join" ->
+      s"""WITH r AS (SELECT n_nationkey AS region_id,
+         |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 180.0 AS rxmin,
+         |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 90.0 AS rymin
+         | FROM nation)
+         |SELECT region_id, count(*) AS n_points
+         |FROM ($ptsSql) p JOIN r
+         |  ON p.x >= r.rxmin AND p.x <= r.rxmin + 30.0
+         | AND p.y >= r.rymin AND p.y <= r.rymin + 30.0
+         |GROUP BY region_id""".stripMargin,
 
     "geo_distance_topk" ->
       s"""SELECT c_custkey, x, y, round(sqrt(x*x + y*y), 6) AS dist

@@ -138,6 +138,32 @@ object GeoTable {
       .baseRelationToDataFrame(relation)
   }
 
+  /** Metadata table over the manifest — the analogue of Iceberg's `files`
+    * metadata table with geometry bounds visible
+    * (`spark/.../SparkContentFile.java:206-220` in /root/reference).
+    */
+  def filesTable(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val stats = readManifest(path)
+    val geomLeaves = stats.headOption.map(_.mins.keys.filter(_.contains("_bbox.")).toSeq.sorted)
+      .getOrElse(Nil)
+    val rows = stats.map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        Seq(f.path, f.rows, f.sizeBytes) ++
+          geomLeaves.flatMap(k => Seq(
+            Option(f.mins(k)).map(_.asInstanceOf[Number].doubleValue()).orNull,
+            Option(f.maxs(k)).map(_.asInstanceOf[Number].doubleValue()).orNull)))
+    }
+    val schema = StructType(
+      Seq(StructField("file_path", org.apache.spark.sql.types.StringType),
+        StructField("record_count", org.apache.spark.sql.types.LongType),
+        StructField("file_size_in_bytes", org.apache.spark.sql.types.LongType)) ++
+        geomLeaves.flatMap(k => Seq(
+          StructField(s"min_$k".replace('.', '_'), org.apache.spark.sql.types.DoubleType),
+          StructField(s"max_$k".replace('.', '_'), org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   // ---- manifest (de)serialization ---------------------------------------
 
   private def jsonVal(v: Any): String = v match {

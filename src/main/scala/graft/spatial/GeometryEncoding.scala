@@ -1,0 +1,96 @@
+package graft.spatial
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+
+import graft.functions.GeoSql
+
+/** The four geometry encodings and the promote/demote surface.
+  *
+  * Mirrors `api/src/main/java/org/apache/iceberg/types/havasu/GeometryEncoding.java:26-60`
+  * in /root/reference: ewkb/wkb are physically BINARY, wkt/geojson
+  * physically STRING, and a column may be promoted to geometry (or demoted
+  * back) only when the physical type matches (`TypeUtil.java:386-399`).
+  * The fork's `ALTER TABLE … SET GEOMETRY FIELDS c AS 'enc'` DDL
+  * (`SetGeometryFieldsExec.scala:43-73`) becomes a metadata-only API here:
+  * the table property file records column → encoding, data files are
+  * untouched.
+  */
+object GeometryEncoding {
+  val All: Seq[String] = Seq("ewkb", "wkb", "wkt", "geojson")
+
+  def physicalType(enc: String): DataType = enc match {
+    case "ewkb" | "wkb" => BinaryType
+    case "wkt" | "geojson" => StringType
+    case other => throw new IllegalArgumentException(s"unknown geometry encoding: $other")
+  }
+
+  /** Decode a stored column of the given encoding to the runtime WKB repr. */
+  def decode(c: Column, enc: String): Column = enc match {
+    case "ewkb" | "wkb" => call_function("st_geomfromwkb", c)
+    case "wkt" => call_function("st_geomfromtext", c)
+    case "geojson" => call_function("st_geomfromgeojson", c)
+    case other => throw new IllegalArgumentException(s"unknown geometry encoding: $other")
+  }
+
+  /** Encode the runtime WKB repr for storage under the given encoding. */
+  def encode(c: Column, enc: String): Column = enc match {
+    case "ewkb" => call_function("st_asewkb", c)
+    case "wkb" => c
+    case "wkt" => call_function("st_astext", c)
+    case "geojson" => call_function("st_asgeojson", c)
+    case other => throw new IllegalArgumentException(s"unknown geometry encoding: $other")
+  }
+}
+
+/** Table-property store: which columns are geometry, in which encoding. */
+object GeometryFields {
+  val PropsName = "_graft_table.json"
+
+  def get(path: String): Map[String, String] = {
+    val f = Paths.get(path, PropsName)
+    if (!Files.exists(f)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)) match {
+        case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
+  }
+
+  private def put(path: String, m: Map[String, String]): Unit = {
+    val body = m.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    Files.write(Paths.get(path, PropsName), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Promote a column to geometry(enc), or demote with enc = "none".
+    * Physical-type compatibility enforced like `TypeUtil.java:386-399`.
+    */
+  def setGeometryField(spark: SparkSession, path: String, column: String, enc: String): Unit = {
+    val cur = get(path)
+    if (enc == "none") { put(path, cur - column); return }
+    val physical = GeometryEncoding.physicalType(enc)
+    val schema = spark.read.parquet(path).schema
+    val field = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $column"))
+    require(field.dataType == physical,
+      s"cannot promote ${field.dataType.simpleString} column '$column' to geometry($enc): " +
+        s"physical type must be ${physical.simpleString}")
+    put(path, cur + (column -> enc))
+  }
+
+  /** Read a table with every declared geometry column decoded to WKB. */
+  def readGeo(spark: SparkSession, path: String): DataFrame = {
+    GeoSql.install(spark)
+    val encs = get(path)
+    encs.foldLeft(spark.read.parquet(path)) { case (df, (c, e)) =>
+      df.withColumn(c, GeometryEncoding.decode(col(c), e))
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GeoCodec, GeoSql}
+import graft.spatial.{GeometryEncoding, GeometryFields, GeoTable, SpatialJoin}
+
+class SpatialJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import GeoSql._
+
+  private def pointDf(n: Int, prefix: String) = {
+    val rows = (0 until n).map { i =>
+      val x = (i * 37 % 200) - 100 + 0.25
+      val y = (i * 61 % 160) - 80 + 0.25
+      Row(i.toLong, GeoCodec.writeWkb(GeoCodec.point(x, y)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField(s"${prefix}_id", LongType),
+        StructField(s"${prefix}_geom", BinaryType))))
+  }
+
+  private def polyDf(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val x = (i * 53 % 180) - 90.0
+      val y = (i * 29 % 140) - 70.0
+      Row(i.toLong + 1000, GeoCodec.writeWkb(GeoCodec.envelope(x, y, x + 12, y + 9)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("poly_id", LongType), StructField("poly_geom", BinaryType))))
+  }
+
+  test("grid-bucketed spatial join equals brute-force cross join") {
+    graft.spatial.Geo.install(spark)
+    val pts = pointDf(300, "p")
+    val polys = polyDf(40)
+    val grid = SpatialJoin.intersects(pts, "p_geom", polys, "poly_geom", cellDeg = 10.0)
+      .select("p_id", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(polys)
+      .filter(st_intersects(col("p_geom"), col("poly_geom")))
+      .select("p_id", "poly_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid == brute, s"missing=${(brute -- grid).take(5)} extra=${(grid -- brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("no cross product in the grid join plan") {
+    val plan = SpatialJoin.intersects(pointDf(50, "p"), "p_geom", polyDf(10), "poly_geom")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join fell back to cross product:\n$plan")
+  }
+
+  // ---- encoding promote/demote (F2, TestGeospatialTable.java:46-110) -----
+
+  test("geometry field promote/demote across all four encodings") {
+    val dir = Files.createTempDirectory("graft_enc").toString
+    graft.spatial.Geo.install(spark)
+    val g = GeoCodec.readWkt("POINT (3 4)")
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(Row(
+      1L, GeoCodec.writeWkt(g), GeoCodec.writeGeoJson(g),
+      GeoCodec.writeWkb(g), GeoCodec.writeEwkb(g))), 1),
+      StructType(Seq(StructField("id", LongType),
+        StructField("g_wkt", StringType), StructField("g_geojson", StringType),
+        StructField("g_wkb", BinaryType), StructField("g_ewkb", BinaryType))))
+    df.write.mode("overwrite").parquet(dir)
+
+    Seq("g_wkt" -> "wkt", "g_geojson" -> "geojson", "g_wkb" -> "wkb", "g_ewkb" -> "ewkb")
+      .foreach { case (c, e) => GeometryFields.setGeometryField(spark, dir, c, e) }
+    assert(GeometryFields.get(dir) == Map(
+      "g_wkt" -> "wkt", "g_geojson" -> "geojson", "g_wkb" -> "wkb", "g_ewkb" -> "ewkb"))
+
+    // every declared geometry column decodes to the same WKB geometry
+    val got = GeometryFields.readGeo(spark, dir)
+      .select(st_astext(col("g_wkt")), st_astext(col("g_geojson")),
+        st_astext(col("g_wkb")), st_astext(col("g_ewkb")))
+      .collect().head
+    (0 until 4).foreach(i => assert(got.getString(i) == "POINT (3 4)"))
+
+    // demote
+    GeometryFields.setGeometryField(spark, dir, "g_wkt", "none")
+    assert(!GeometryFields.get(dir).contains("g_wkt"))
+
+    // physical-type mismatch is rejected (string col can't be wkb)
+    intercept[IllegalArgumentException] {
+      GeometryFields.setGeometryField(spark, dir, "g_geojson", "wkb")
+    }
+    intercept[IllegalArgumentException] {
+      GeometryEncoding.physicalType("nope")
+    }
+  }
+
+  test("files metadata table exposes per-file bbox bounds") {
+    val dir = Files.createTempDirectory("graft_meta").toString
+    val pts = pointDf(100, "p").withColumnRenamed("p_geom", "geom")
+    GeoTable.write(pts, dir, "geom", res = 8, numFiles = 4)
+    val files = GeoTable.filesTable(spark, dir)
+    assert(files.count() == 4)
+    val cols = files.columns.toSet
+    assert(cols.contains("record_count") && cols.contains("min_geom_bbox_xmin") &&
+      cols.contains("max_geom_bbox_xmax"))
+    assert(files.agg(sum("record_count")).collect().head.getLong(0) == 100L)
+  }
+}
