@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorSql
 
 /** Similarity search over the `embeddings` table (64-d float vectors).
   *
@@ -21,13 +22,15 @@ import graft.Tables
   */
 object Similarity {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // native one-pass kernels (VecDot/VecCosine) — see VectorExpressions
+  private def dot(a: Column, b: Column): Column = VectorSql.vec_dot(a, b)
+  private def cosine(a: Column, b: Column): Column = VectorSql.vec_cosine(a, b)
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    VectorSql.install(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+  }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1]). */
   private def planes(n: Int, d: Int): Seq[Seq[Double]] = {
@@ -48,12 +51,12 @@ object Similarity {
     "sim_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm").as("qnorm"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+        .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -70,12 +73,11 @@ object Similarity {
         }.reduce(_ + _)
       val e = emb(s, dir).withColumn("bucket", bucket(col("v")))
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("norm").as("qnorm"), col("bucket").as("qbucket"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
       e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-        .withColumn("cos", dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+        .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
@@ -93,8 +95,7 @@ object Similarity {
       val e = emb(s, dir).withColumn("bucket", bucket(col("v")))
       e.as("a").join(e.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos",
-          dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+        .withColumn("cos", cosine(col("a.v"), col("b.v")))
         .filter(col("cos") >= 0.3)
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
           round(col("cos"), 6).as("cos"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorSql
 
 /** Text-analysis + deduplication operators for a training-data pipeline over
   * the `documents` table. All single-pass shapes are pure codegen'd column
@@ -21,8 +22,10 @@ object TextPipeline {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    VectorSql.install(s)
     Tables.load(s, dir, "documents")
+  }
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
@@ -46,7 +49,7 @@ object TextPipeline {
         .withColumn("n_tokens", size(toks))
         .withColumn("punct_n", length(regexp_replace(col("text"), "[^.,!?;:]", "")))
         .withColumn("stop_ratio", round(
-          size(filter(toks, w => w.isInCollection(stopwords))) / col("n_tokens"), 4))
+          VectorSql.count_in_set(toks, typedlit(stopwords)) / col("n_tokens"), 4))
         .withColumn("avg_tok_len", round(
           length(regexp_replace(col("text"), "\\s+", "")) / col("n_tokens"), 4))
         .select(col("doc_id"), col("n_tokens"), col("punct_n"),
@@ -55,7 +58,7 @@ object TextPipeline {
 
     // language-ID: stopword-profile n-gram heuristic (argmax of profile hits)
     "text_langid" -> ((s, dir) => {
-      def hits(ws: Seq[String]): Column = size(filter(toks, w => w.isInCollection(ws)))
+      def hits(ws: Seq[String]): Column = VectorSql.count_in_set(toks, typedlit(ws))
       docs(s, dir)
         .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
         .withColumn("es_hits", hits(Seq("el", "la", "de", "y")))
