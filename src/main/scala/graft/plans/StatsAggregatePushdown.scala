@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.spatial.{FileStats, GraftFileIndex}
+
+/** Answer global COUNT(*) / MIN / MAX from the table manifest without
+  * scanning a single data file — the Spark-native seat of the reference's
+  * aggregate pushdown (`spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkScanBuilder.java:202-274`
+  * in /root/reference, which evaluates Count/Max/Min against manifest stats
+  * via `AggregateEvaluator` and returns a pre-computed local scan).
+  *
+  * Fires only for an ungrouped, unfiltered Aggregate over a
+  * [[GraftFileIndex]]-backed relation (possibly through the column-pruning
+  * Project the optimizer inserts) whose manifest has stats for every
+  * referenced column; anything else keeps the normal plan. At 100 TB this
+  * turns `SELECT count(*), max(id) FROM t` into a driver-side O(#files)
+  * manifest fold.
+  */
+object StatsAggregatePushdown extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+      unwrap(child).map { case (index, keys) =>
+        val stats = index.allStats
+        if (stats.isEmpty) agg
+        else {
+          val values = aggExprs.map(e => evalFromStats(e, stats, keys))
+          if (values.exists(_.isEmpty)) agg
+          else LocalRelation(
+            aggExprs.map(_.toAttribute),
+            Seq(InternalRow.fromSeq(values.map(_.get))))
+        }
+      }.getOrElse(agg)
+  }
+
+  private type Keys = Map[ExprId, (String, DataType)]
+
+  private def fieldName(a: AttributeReference, ordinal: Int): String =
+    a.dataType.asInstanceOf[StructType].fields(ordinal).name
+
+  /** The stats index under `p` plus attr-exprId → stats-key resolution,
+    * seeing through the optimizer's pruning/extraction Project.
+    */
+  private def unwrap(p: LogicalPlan): Option[(GraftFileIndex, Keys)] = p match {
+    case LogicalRelation(HadoopFsRelation(i: GraftFileIndex, _, _, _, _, _), out, _, _, _) =>
+      Some((i, out.map(a => a.exprId -> ((a.name, a.dataType))).toMap))
+    case Project(list, LogicalRelation(HadoopFsRelation(i: GraftFileIndex, _, _, _, _, _), _, _, _, _)) =>
+      val keys: Keys = list.flatMap {
+        case a: AttributeReference => Seq(a.exprId -> ((a.name, a.dataType)))
+        case al @ Alias(g @ GetStructField(ar: AttributeReference, ord, _), _) =>
+          Seq(al.exprId -> ((s"${ar.name}.${fieldName(ar, ord)}", g.dataType)))
+        case _ => Nil
+      }.toMap
+      Some((i, keys))
+    case _ => None
+  }
+
+  /** Catalyst value for one result column, or None if not answerable. */
+  private def evalFromStats(e: NamedExpression, stats: Seq[FileStats], keys: Keys): Option[Any] = {
+    def strip(x: Expression): Expression = x match {
+      case Alias(c, _) => strip(c)
+      case other => other
+    }
+    def statKey(x: Expression): Option[(String, DataType)] = x match {
+      case a: AttributeReference => keys.get(a.exprId)
+      case g @ GetStructField(a: AttributeReference, ord, _) =>
+        keys.get(a.exprId).map { case (n, _) => (s"$n.${fieldName(a, ord)}", g.dataType) }
+      case _ => None
+    }
+    strip(e) match {
+      case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
+        Some(stats.map(_.rows).sum)
+      case AggregateExpression(Min(c), Complete, false, None, _) =>
+        statKey(c).flatMap { case (k, dt) =>
+          fold(stats.map(_.mins.get(k)), dt, math.Ordering.Double.TotalOrdering.lt) }
+      case AggregateExpression(Max(c), Complete, false, None, _) =>
+        statKey(c).flatMap { case (k, dt) =>
+          fold(stats.map(_.maxs.get(k)), dt, math.Ordering.Double.TotalOrdering.gt) }
+      case _ => None
+    }
+  }
+
+  private def fold(vs: Seq[Option[Any]], dt: DataType,
+      better: (Double, Double) => Boolean): Option[Any] = {
+    // every file must have a stat; null stats (all-null column) stay None
+    if (vs.isEmpty || vs.exists(v => v.isEmpty || v.get == null)) return None
+    val raw = vs.map(_.get)
+    dt match {
+      case StringType =>
+        val ss = raw.map(_.toString)
+        val isMin = better(0, 1)
+        Some(UTF8String.fromString(ss.reduce((a, b) =>
+          if ((a.compareTo(b) < 0) == isMin) a else b)))
+      case _ =>
+        val ds = raw.map(_.asInstanceOf[Number].doubleValue())
+        val bestIdx = ds.zipWithIndex.reduce((p, q) => if (better(p._1, q._1)) p else q)._2
+        val best = raw(bestIdx).asInstanceOf[Number]
+        dt match {
+          case LongType | TimestampType => Some(best.longValue())
+          case IntegerType | DateType => Some(best.intValue())
+          case DoubleType => Some(best.doubleValue())
+          case FloatType => Some(best.floatValue())
+          case ShortType => Some(best.shortValue())
+          case ByteType => Some(best.byteValue())
+          case _ => None
+        }
+    }
+  }
+}

@@ -34,6 +34,9 @@ class GraftFileIndex(
   private val statuses: Map[String, FileStatus] =
     stats.map(f => f.path -> fs.getFileStatus(new Path(basePath, f.path))).toMap
 
+  /** Full manifest, for planning-time consumers (aggregate pushdown). */
+  def allStats: Seq[FileStats] = stats
+
   override def rootPaths: Seq[Path] = Seq(basePath)
 
   override def listFiles(

@@ -112,9 +112,11 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
   */
 object Geo {
   def installRule(spark: SparkSession): Unit = {
+    val rules = Seq(SpatialPredicatePushdown, graft.plans.StatsAggregatePushdown)
     val cur = spark.experimental.extraOptimizations
-    if (!cur.contains(SpatialPredicatePushdown)) {
-      spark.experimental.extraOptimizations = cur :+ SpatialPredicatePushdown
+    val missing = rules.filterNot(cur.contains)
+    if (missing.nonEmpty) {
+      spark.experimental.extraOptimizations = cur ++ missing
     }
   }
   def install(spark: SparkSession): Unit = {

@@ -158,6 +158,27 @@ class GeoSpec extends AnyFunSuite {
     assert(f < 4, s"hilbert clustering should allow pruning, scanned $f files")
   }
 
+  test("count/min/max answered from the manifest without scanning files") {
+    val agg = table.agg(
+      count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+      min(col("geom_bbox.xmin")).as("w"), max(col("geom_bbox.xmax")).as("e"))
+    val row = agg.collect().head
+    assert(row.getLong(0) == 80L && row.getLong(1) == 0L && row.getLong(2) == 39L)
+    assert(row.getDouble(3) == -10.5 && row.getDouble(4) == 10.5)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("HashAggregate"),
+      s"aggregate should come from manifest stats:\n$plan")
+  }
+
+  test("stats aggregate pushdown leaves grouped/filtered aggregates alone") {
+    val grouped = table.groupBy(col("part")).agg(count(lit(1)))
+    assert(grouped.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(grouped.count() == 4)
+    val filtered = table.filter(col("id") > 5).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("FileScan"))
+    assert(filtered.collect().head.getLong(0) == 68L)
+  }
+
   // ---- Hilbert transform semantics (TestHilbert.java:33-114 / F3) --------
 
   test("hilbert locality ordering property") {
