@@ -87,13 +87,13 @@ object GeoTable {
     case _ => false
   }
 
-  /** One distributed pass computing per-file min/max for every stat leaf.
-    * Temporal leaves are normalized to the same physical numbers Catalyst
-    * literals carry (µs for timestamps, days for dates) so [[FileStats.cmp]]
-    * compares like with like.
+  /** One distributed pass computing per-file min/max for every stat leaf of
+    * the named data files. Temporal leaves are normalized to the same
+    * physical numbers Catalyst literals carry (µs for timestamps, days for
+    * dates) so [[FileStats.cmp]] compares like with like.
     */
-  def writeManifest(spark: SparkSession, path: String): Unit = {
-    val df = spark.read.parquet(path)
+  def collectStats(spark: SparkSession, path: String, names: Seq[String]): Seq[FileStats] = {
+    val df = spark.read.parquet(names.map(n => s"$path/$n"): _*)
     val leaves = statLeaves(df.schema)
     def norm(n: String, d: DataType): Column = d match {
       case TimestampType => unix_micros(col(n))
@@ -108,24 +108,41 @@ object GeoTable {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = perFile.map { r =>
+    perFile.toSeq.map { r =>
       val full = new Path(r.getAs[String]("file"))
       val rel = full.getName
       val size = fs.getFileStatus(new Path(new Path(path), rel)).getLen
       val mins = leaves.map { case (n, _) => n -> r.getAs[Any](s"min:$n") }.toMap
       val maxs = leaves.map { case (n, _) => n -> r.getAs[Any](s"max:$n") }.toMap
       FileStats(rel, r.getAs[Long]("rows"), size, mins, maxs)
-    }
-    Files.write(Paths.get(path, ManifestName),
-      manifestJson(entries.toSeq).getBytes(StandardCharsets.UTF_8))
+    }.sortBy(_.path)
+  }
+
+  /** Compute and publish the manifest for every data file in the directory
+    * (also recorded as snapshot v1+ via [[Snapshots]] naming).
+    */
+  def writeManifest(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+    val entries = collectStats(spark, path, names)
+    val body = manifestJson(entries)
+    Files.write(Paths.get(path, ManifestName), body.getBytes(StandardCharsets.UTF_8))
+    val v = Snapshots.currentVersion(path) + 1
+    Files.write(Paths.get(path, s"_graft_manifest_v$v.json"),
+      body.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Read a geo table through the stats-pruning [[GraftFileIndex]]. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    readWithStats(spark, path, readManifest(path))
+
+  /** Read a specific file set (snapshot) through the pruning index. */
+  def readWithStats(spark: SparkSession, path: String, stats: Seq[FileStats]): DataFrame = {
     GeoSql.install(spark)
     Geo.installRule(spark)
     val schema = spark.read.parquet(path).schema
-    val stats = readManifest(path)
     val index = new GraftFileIndex(spark, new Path(path), stats, schema)
     val relation = HadoopFsRelation(
       location = index,
@@ -174,7 +191,7 @@ object GeoTable {
     case other => "\"" + other.toString + "\""
   }
 
-  private def manifestJson(entries: Seq[FileStats]): String = {
+  private[spatial] def manifestJson(entries: Seq[FileStats]): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
@@ -183,10 +200,12 @@ object GeoTable {
     s"""{"version":1,"files":[${files.mkString(",")}]}"""
   }
 
-  def readManifest(path: String): Seq[FileStats] = {
+  def readManifest(path: String): Seq[FileStats] =
+    parseManifest(new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8))
+
+  private[spatial] def parseManifest(txt: String): Seq[FileStats] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val txt = new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8)
     val j = JsonMethods.parse(txt)
     def toScala(v: JValue): Any = v match {
       case JString(s) => s

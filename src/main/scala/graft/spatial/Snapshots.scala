@@ -1,0 +1,144 @@
+package graft.spatial
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+
+/** Snapshot layer over the manifest: versioned manifests give append /
+  * logical-overwrite / copy-on-write DELETE plus time travel and a history
+  * metadata table — the Spark-native analogue of Iceberg snapshots
+  * (`core/.../DataTableScan.java`, `SparkCopyOnWriteOperation.java`,
+  * `VERSION AS OF` in /root/reference's surface, SURVEY.md §2.7).
+  *
+  * Every snapshot is a JSON manifest `_graft_manifest_v{N}.json` listing
+  * its data files + stats; `_graft_manifest.json` mirrors the current one.
+  * Data files are immutable — append writes new files, overwrite publishes
+  * a manifest that simply stops referencing old ones, and DELETE rewrites
+  * only the files whose stats say they *might* contain matching rows (the
+  * same inclusive evaluation that drives scan pruning). Old versions stay
+  * readable until a retention sweep (`expireSnapshots`).
+  */
+object Snapshots {
+
+  private def manifestPath(path: String, v: Int) = Paths.get(path, s"_graft_manifest_v$v.json")
+
+  def currentVersion(path: String): Int = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) return 0
+    val vs = Files.list(dir).iterator()
+    var max = 0
+    while (vs.hasNext) {
+      val n = vs.next().getFileName.toString
+      if (n.startsWith("_graft_manifest_v") && n.endsWith(".json")) {
+        max = math.max(max, n.stripPrefix("_graft_manifest_v").stripSuffix(".json").toInt)
+      }
+    }
+    max
+  }
+
+  def readManifest(path: String, version: Option[Int] = None): Seq[FileStats] = {
+    val v = version.getOrElse(currentVersion(path))
+    require(v > 0, s"no snapshots at $path")
+    val p = manifestPath(path, v)
+    require(Files.exists(p), s"no snapshot version $v at $path")
+    GeoTable.parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private def publish(path: String, entries: Seq[FileStats]): Int = {
+    val v = currentVersion(path) + 1
+    val body = GeoTable.manifestJson(entries)
+    Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
+  private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new Path(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  /** Stats for specific files of a table (one distributed agg over them). */
+  private def statsFor(spark: SparkSession, path: String, names: Seq[String]): Seq[FileStats] =
+    if (names.isEmpty) Nil
+    else GeoTable.collectStats(spark, path, names)
+
+  /** Append `df` as a new snapshot (new data files; old ones untouched). */
+  def append(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val before = listDataFiles(spark, path)
+    df.write.mode("append").parquet(path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val base = if (currentVersion(path) > 0) readManifest(path) else Nil
+    publish(path, base ++ statsFor(spark, path, added))
+  }
+
+  /** Logical overwrite: new snapshot references only the new files. */
+  def overwrite(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val before = listDataFiles(spark, path)
+    df.write.mode("append").parquet(path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, statsFor(spark, path, added))
+  }
+
+  /** Copy-on-write DELETE: rewrite only files whose stats might match. */
+  def delete(spark: SparkSession, path: String, cond: Column): Int = {
+    val current = readManifest(path)
+    val table = read(spark, path)
+    // resolve the condition against the table schema for manifest
+    // evaluation; the OPTIMIZED plan so literal casts are folded away
+    // (`id < 10` analyzes as `id < cast(10)` which stats can't evaluate)
+    val resolved = table.filter(cond).queryExecution.optimizedPlan
+      .collectFirst { case Filter(c, _) => c }
+    val (affected, untouched) = resolved match {
+      case Some(c) => current.partition(_.mightMatch(c))
+      case None => (Nil, current) // filter optimized away (provably empty)
+    }
+    if (affected.isEmpty) return currentVersion(path) // nothing can match
+    val before = listDataFiles(spark, path)
+    spark.read.parquet(affected.map(f => s"$path/${f.path}"): _*)
+      .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
+      .write.mode("append").parquet(path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, untouched ++ statsFor(spark, path, added))
+  }
+
+  /** Read a snapshot (default: current) through the pruning file index. */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
+    GeoTable.readWithStats(spark, path, readManifest(path, version))
+
+  /** History metadata table: one row per snapshot. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = (1 to currentVersion(path)).map { v =>
+      val m = readManifest(path, Some(v))
+      org.apache.spark.sql.Row(v, m.size, m.map(_.rows).sum, m.map(_.sizeBytes).sum)
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("version", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("record_count", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_bytes", org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Drop all but the newest `keep` snapshots and remove data files no
+    * surviving snapshot references (the reference's expire_snapshots +
+    * remove_orphan_files procedures).
+    */
+  def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1): Unit = {
+    val cur = currentVersion(path)
+    val keepVersions = ((cur - keep + 1) max 1) to cur
+    val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 until keepVersions.head).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    listDataFiles(spark, path).filterNot(referenced).foreach { orphan =>
+      fs.delete(new Path(new Path(path), orphan), false)
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoCodec
+import graft.spatial.{GeoTable, Snapshots}
+
+/** Snapshot semantics: append / time travel / copy-on-write DELETE /
+  * history / expiration (the reference's Iceberg snapshot surface).
+  */
+class SnapshotsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkDf(ids: Range, quadrant: Int) = {
+    val (sx, sy) = quadrant match {
+      case 0 => (1, 1); case 1 => (-1, 1); case 2 => (-1, -1); case _ => (1, -1)
+    }
+    val rows = ids.map { i =>
+      Row(i.toLong, GeoCodec.writeWkb(GeoCodec.point(sx * (i % 50 + 1.0), sy * (i % 40 + 1.0))))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("geom", BinaryType))))
+    GeoTable.withBbox(df, "geom")
+  }
+
+  test("append / time travel / delete / history / expire") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_snap").toString
+
+    // v1: initial write
+    GeoTable.write(mkDf(0 until 100, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    assert(Snapshots.currentVersion(dir) == 1)
+    assert(Snapshots.read(spark, dir).count() == 100)
+
+    // v2: append a second quadrant
+    val v2 = Snapshots.append(mkDf(100 until 160, 2), dir)
+    assert(v2 == 2)
+    assert(Snapshots.read(spark, dir).count() == 160)
+    // time travel: v1 still intact
+    assert(Snapshots.read(spark, dir, Some(1)).count() == 100)
+
+    // v3: copy-on-write delete of part of quadrant 0
+    val v3 = Snapshots.delete(spark, dir, col("id") < 10)
+    assert(v3 == 3)
+    assert(Snapshots.read(spark, dir).count() == 150)
+    assert(Snapshots.read(spark, dir).filter(col("id") < 10).count() == 0)
+    // CoW: quadrant-2 files (ids 100+, all >= 10? no — stats by id: files with
+    // min id >= 10 are untouched) — verify files from v2's append survive
+    val v2files = Snapshots.readManifest(dir, Some(2)).map(_.path).toSet
+    val v3files = Snapshots.readManifest(dir, Some(3)).map(_.path).toSet
+    assert((v2files & v3files).nonEmpty, "CoW delete must keep unaffected files")
+    // time travel across all versions
+    assert(Snapshots.read(spark, dir, Some(2)).count() == 160)
+
+    // delete with no possible match is a no-op snapshot-wise
+    val v3b = Snapshots.delete(spark, dir, col("id") > 1000000)
+    assert(v3b == 3)
+
+    // history metadata table
+    val hist = Snapshots.history(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(hist == Map(1 -> 100L, 2 -> 160L, 3 -> 150L))
+
+    // overwrite publishes a snapshot referencing only new files
+    val v4 = Snapshots.overwrite(mkDf(0 until 7, 1), dir)
+    assert(v4 == 4)
+    assert(Snapshots.read(spark, dir).count() == 7)
+    assert(Snapshots.read(spark, dir, Some(3)).count() == 150)
+
+    // expiration drops old manifests + orphan data files; current unaffected
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    assert(Snapshots.read(spark, dir).count() == 7)
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, Some(2))
+    }
+  }
+
+  test("spatial pruning still applies to snapshot reads") {
+    import graft.functions.GeoSql._
+    val dir = Files.createTempDirectory("graft_snap2").toString
+    GeoTable.write(mkDf(0 until 50, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(50 until 100, 2), dir)
+    val t = Snapshots.read(spark, dir)
+    val q = t.filter(st_intersects(col("geom"), st_makeenvelope(lit(0.5), lit(0.5), lit(60.0), lit(45.0))))
+    assert(q.count() == 50) // only quadrant-0 rows
+    val plan = q.queryExecution.executedPlan
+    val scan = plan.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scan.nonEmpty)
+  }
+}
