@@ -109,6 +109,32 @@ object Snapshots {
     publish(path, untouched ++ statsFor(spark, path, added))
   }
 
+  /** Copy-on-write UPDATE: rewrite only files whose stats might match,
+    * applying `assignments` to rows where `cond` holds (the reference's
+    * `SparkCopyOnWriteOperation` shape).
+    */
+  def update(spark: SparkSession, path: String, cond: Column,
+      assignments: Map[String, Column]): Int = {
+    val current = readManifest(path)
+    val table = read(spark, path)
+    val resolved = table.filter(cond).queryExecution.optimizedPlan
+      .collectFirst { case Filter(c, _) => c }
+    val (affected, untouched) = resolved match {
+      case Some(c) => current.partition(_.mightMatch(c))
+      case None => (Nil, current)
+    }
+    if (affected.isEmpty) return currentVersion(path)
+    val before = listDataFiles(spark, path)
+    val hit = coalesce(cond, lit(false))
+    val rewritten = assignments.foldLeft(
+      spark.read.parquet(affected.map(f => s"$path/${f.path}"): _*)) {
+      case (df, (c, v)) => df.withColumn(c, when(hit, v).otherwise(col(c)))
+    }
+    rewritten.write.mode("append").parquet(path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, untouched ++ statsFor(spark, path, added))
+  }
+
   /** Read a snapshot (default: current) through the pruning file index. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
     GeoTable.readWithStats(spark, path, readManifest(path, version))

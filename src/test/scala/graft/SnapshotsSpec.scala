@@ -80,6 +80,24 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("copy-on-write update rewrites only stats-matching files") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_upd").toString
+    GeoTable.write(mkDf(0 until 50, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(100 until 150, 2), dir)
+    val vBefore = Snapshots.readManifest(dir).map(_.path).toSet
+    val v = Snapshots.update(spark, dir, col("id") < 5, Map("id" -> (col("id") + 1000)))
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 100)
+    assert(t.filter(col("id") < 5).count() == 0)
+    assert(t.filter(col("id") >= 1000 && col("id") < 1005).count() == 5)
+    // files that couldn't match (ids 100+) survive byte-identical
+    val vAfter = Snapshots.readManifest(dir).map(_.path).toSet
+    assert((vBefore & vAfter).nonEmpty, "update must keep unaffected files")
+    // update with impossible predicate is a no-op
+    assert(Snapshots.update(spark, dir, col("id") > 1e9, Map("id" -> lit(0L))) == v)
+  }
+
   test("spatial pruning still applies to snapshot reads") {
     import graft.functions.GeoSql._
     val dir = Files.createTempDirectory("graft_snap2").toString
