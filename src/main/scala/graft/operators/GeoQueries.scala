@@ -78,6 +78,21 @@ object GeoQueries {
           count(lit(1)).as("n_points"))
     }),
 
+    // flagship end-to-end: Hilbert-clustered geo-table write → manifest →
+    // pruned read with spatial predicate pushdown (the reference's §3.1/§3.3
+    // lifecycle in one query)
+    "geo_table_roundtrip" -> ((s, dir) => {
+      import graft.spatial.GeoTable
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_geotable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
+        path, "geom", res = 10, numFiles = 8)
+      GeoTable.read(s, path)
+        .filter(st_intersects(col("geom"),
+          st_makeenvelope(lit(-60.0), lit(-45.0), lit(60.0), lit(45.0))))
+        .select(col("c_custkey"), col("x"), col("y"))
+    }),
+
     // distributed grid-bucketed spatial join (no cross product):
     // customer points × nation-derived envelope regions
     "geo_spatial_join" -> ((s, dir) => {
@@ -117,6 +132,10 @@ object GeoQueries {
          |FROM ($ptsSql)
          |WHERE abs(x) >= 0.001 AND abs(y) >= 0.001
          |GROUP BY 1""".stripMargin,
+
+    "geo_table_roundtrip" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
 
     "geo_spatial_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,
