@@ -29,7 +29,12 @@ object TextPipeline {
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
-  /** distinct word-3-gram shingles per doc (0-based; needs >= 3 tokens). */
+  /** distinct word-3-gram shingles per doc (0-based; needs >= 3 tokens).
+    * Deliberately not cached: at this scale recomputing the tokenize+
+    * explode+distinct per reference is cheaper than cache registration +
+    * materialization; at 100 TB the shingle frame would be checkpointed
+    * once and the self-join bucketed on `s`.
+    */
   private def shingles(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toks.as("t"))
       .filter(size(col("t")) >= 3)

@@ -135,6 +135,40 @@ object Snapshots {
     publish(path, untouched ++ statsFor(spark, path, added))
   }
 
+  /** Copy-on-write MERGE (upsert): target rows whose key appears in
+    * `source` are replaced by the source row; unmatched source rows are
+    * inserted. Only target files whose key-range stats overlap the source's
+    * key range are rewritten (`SparkCopyOnWriteOperation` + the reference's
+    * MoR/CoW MERGE surface, SURVEY.md §2.7). Source keys must be unique.
+    */
+  def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
+      keyCol: String): Int = {
+    val current = readManifest(path)
+    val table = read(spark, path)
+    val src = source.select(table.columns.map(col): _*) // align schema/order
+    val Array(kMin, kMax) = src.agg(min(col(keyCol)), max(col(keyCol))).collect()
+      .flatMap(r => Array(r.get(0), r.get(1)))
+    if (kMin == null) return currentVersion(path) // empty source
+    // a file is affected iff its key range overlaps [kMin, kMax]
+    val resolved = table.filter(col(keyCol).between(kMin, kMax))
+      .queryExecution.optimizedPlan
+      .collectFirst { case Filter(c, _) => c }
+    val (affected, untouched) = resolved match {
+      case Some(c) => current.partition(_.mightMatch(c))
+      case None => (current, Nil) // couldn't derive → rewrite everything (safe)
+    }
+    val before = listDataFiles(spark, path)
+    val survivors =
+      if (affected.isEmpty) spark.emptyDataFrame.limit(0)
+      else spark.read.parquet(affected.map(f => s"$path/${f.path}"): _*)
+        .join(src.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(table.columns.map(col): _*)
+    val out = if (affected.isEmpty) src else survivors.unionByName(src)
+    out.write.mode("append").parquet(path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, untouched ++ statsFor(spark, path, added))
+  }
+
   /** Read a snapshot (default: current) through the pruning file index. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
     GeoTable.readWithStats(spark, path, readManifest(path, version))

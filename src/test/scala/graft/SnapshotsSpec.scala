@@ -98,6 +98,27 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.update(spark, dir, col("id") > 1e9, Map("id" -> lit(0L))) == v)
   }
 
+  test("copy-on-write merge upserts and keeps non-overlapping files") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_merge").toString
+    GeoTable.write(mkDf(0 until 50, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(1000 until 1050, 2), dir)
+    val before = Snapshots.readManifest(dir).map(_.path).toSet
+    // source: update ids 10..14 (move to quadrant 1) + insert ids 500..504
+    val src = mkDf(10 until 15, 1).union(mkDf(500 until 505, 1))
+    val v = Snapshots.mergeUpsert(spark, dir, src, "id")
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 105)
+    // updated rows now sit in quadrant 1 (x < 0, y > 0)
+    val upd = t.filter(col("id").between(10, 14))
+      .select(col("geom_bbox.xmin")).collect().map(_.getDouble(0))
+    assert(upd.length == 5 && upd.forall(_ < 0))
+    assert(t.filter(col("id").between(500, 504)).count() == 5)
+    // the 1000+ file range doesn't overlap source keys [10, 504] → untouched
+    val after = Snapshots.readManifest(dir).map(_.path).toSet
+    assert((before & after).nonEmpty, "merge must keep non-overlapping files")
+  }
+
   test("spatial pruning still applies to snapshot reads") {
     import graft.functions.GeoSql._
     val dir = Files.createTempDirectory("graft_snap2").toString
