@@ -237,6 +237,62 @@ object Relational {
         .select(col("event_id"),
           regexp_extract(col("props"), "[0-9]+", 0).cast("int").as("k_val"))
         .filter(col("k_val") >= 50)
+    }),
+
+    // TPC-H Q4-style: EXISTS-driven aggregation.
+    "q21_priority_count" -> ((s, dir) => {
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // TPC-H Q2-style: per-group minimum via self-join on the aggregate.
+    "q22_min_cost_supplier" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val minBal = sup.groupBy(col("s_nationkey").as("nk"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      sup.join(broadcast(minBal),
+          col("s_nationkey") === col("nk") && col("s_acctbal") === col("min_bal"))
+        .select(col("s_nationkey"), col("s_suppkey"), col("s_name"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+    }),
+
+    // TPC-H Q13-style: order counts per customer including zeros → histogram.
+    "q23_order_histogram" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // lag/lead window: day-over-day revenue delta.
+    "q24_daily_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .select(col("day"), round(col("rev"), 2).as("rev"),
+          round(col("rev") - col("prev_rev"), 2).as("delta"))
+    }),
+
+    // exact interpolated percentiles per group.
+    "q25_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
     })
   )
 
@@ -389,6 +445,42 @@ object Relational {
       """SELECT event_id,
         | CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k_val
         |FROM events
-        |WHERE CAST(regexp_extract(props, '[0-9]+') AS INTEGER) >= 50""".stripMargin
+        |WHERE CAST(regexp_extract(props, '[0-9]+') AS INTEGER) >= 50""".stripMargin,
+
+    "q21_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q22_min_cost_supplier" ->
+      """SELECT s_nationkey, s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier s
+        |JOIN (SELECT s_nationkey AS nk, min(s_acctbal) AS min_bal
+        |      FROM supplier GROUP BY 1) m
+        |  ON s.s_nationkey = m.nk AND s.s_acctbal = m.min_bal""".stripMargin,
+
+    "q23_order_histogram" ->
+      """SELECT c_count, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q24_daily_delta" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+        |SELECT day, round(rev, 2) AS rev,
+        | round(rev - lag(rev) OVER (ORDER BY day), 2) AS delta
+        |FROM daily""".stripMargin,
+
+    "q25_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

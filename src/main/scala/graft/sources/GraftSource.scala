@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+
+import graft.spatial.{Geo, GeoTable, Snapshots}
+
+/** `spark.read.format("graft").load(path)` — the connector face of the
+  * engine (the reference registers `havasu.iceberg` the same way:
+  * `spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/havasu/HavasuIcebergSource.java`
+  * in /root/reference, a DataSourceRegister short name resolving to the
+  * table implementation). Options:
+  *
+  *  - `version` — time travel to a snapshot (default: current), the
+  *    `VERSION AS OF` equivalent.
+  *
+  * Reading through the format installs the ST_ function catalog and the
+  * spatial/aggregate pushdown rules on the session, so
+  * `spark.read.format("graft").load(p).filter(st_intersects(...))` prunes
+  * files exactly like [[GeoTable.read]].
+  */
+class GraftSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    Geo.install(spark)
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException("format(\"graft\") requires a path"))
+    val version = parameters.get("version").map(_.toInt)
+    val stats = Snapshots.readManifest(path, version)
+    GeoTable.buildRelation(spark, path, stats)
+  }
+}

@@ -142,17 +142,21 @@ object GeoTable {
   def readWithStats(spark: SparkSession, path: String, stats: Seq[FileStats]): DataFrame = {
     GeoSql.install(spark)
     Geo.installRule(spark)
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(buildRelation(spark, path, stats))
+  }
+
+  /** The pruning-FileIndex-backed relation (shared with format("graft")). */
+  def buildRelation(spark: SparkSession, path: String, stats: Seq[FileStats]): HadoopFsRelation = {
     val schema = spark.read.parquet(path).schema
     val index = new GraftFileIndex(spark, new Path(path), stats, schema)
-    val relation = HadoopFsRelation(
+    HadoopFsRelation(
       location = index,
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .baseRelationToDataFrame(relation)
   }
 
   /** Metadata table over the manifest — the analogue of Iceberg's `files`

@@ -119,6 +119,25 @@ class SnapshotsSpec extends AnyFunSuite {
     assert((before & after).nonEmpty, "merge must keep non-overlapping files")
   }
 
+  test("format(\"graft\") reads tables with pruning and time travel") {
+    import graft.functions.GeoSql._
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_fmt").toString
+    GeoTable.write(mkDf(0 until 60, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(60 until 100, 2), dir)
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 100)
+    assert(spark.read.format("graft").option("version", "1").load(dir).count() == 60)
+    // spatial pushdown works through the format
+    val q = t.filter(st_intersects(col("geom"),
+      st_makeenvelope(lit(0.5), lit(0.5), lit(60.0), lit(45.0))))
+    assert(q.count() == 60)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.nonEmpty && scan.head.metadata("Location").contains("GraftFileIndex"))
+  }
+
   test("spatial pruning still applies to snapshot reads") {
     import graft.functions.GeoSql._
     val dir = Files.createTempDirectory("graft_snap2").toString
