@@ -59,17 +59,25 @@ object GeoTable {
       geomCol: String,
       res: Int = DefaultResolution,
       bounds: (Double, Double, Double, Double) = WorldBounds,
-      numFiles: Int = 0): Unit = {
+      numFiles: Int = 0,
+      storageEncoding: Option[String] = None): Unit = {
     GeoSql.install(df.sparkSession)
     val h = hilbertCol(geomCol, res, bounds)
     val withShadow = withBbox(df, geomCol).withColumn("__hilbert", h)
     val clustered =
       if (numFiles > 0) withShadow.repartitionByRange(numFiles, col("__hilbert"))
       else withShadow
-    clustered
+    val sorted = clustered
       .sortWithinPartitions(col("__hilbert"))
       .drop("__hilbert")
-      .write.mode("overwrite").parquet(path)
+    val stored = storageEncoding match {
+      case Some(e) => sorted.withColumn(geomCol, GeometryEncoding.encode(col(geomCol), e))
+      case None => sorted
+    }
+    stored.write.mode("overwrite").parquet(path)
+    // record the encoding BEFORE stats collection so declared geometry
+    // columns are excluded from value stats (bbox carries the pruning info)
+    storageEncoding.foreach(e => GeometryFields.putUnchecked(path, Map(geomCol -> e)))
     writeManifest(df.sparkSession, path)
   }
 
@@ -94,7 +102,12 @@ object GeoTable {
     */
   def collectStats(spark: SparkSession, path: String, names: Seq[String]): Seq[FileStats] = {
     val df = spark.read.parquet(names.map(n => s"$path/$n"): _*)
-    val leaves = statLeaves(df.schema)
+    // declared geometry columns (e.g. multi-MB WKT polygons) carry no
+    // pruning value — their bbox shadow struct does; keep them out of the
+    // manifest's value stats
+    val geomCols = GeometryFields.get(path).keySet
+    val leaves = statLeaves(df.schema).filterNot { case (n, _) =>
+      geomCols.contains(n.split('.').head) }
     def norm(n: String, d: DataType): Column = d match {
       case TimestampType => unix_micros(col(n))
       case DateType => datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01")))
@@ -138,12 +151,18 @@ object GeoTable {
   def read(spark: SparkSession, path: String): DataFrame =
     readWithStats(spark, path, readManifest(path))
 
-  /** Read a specific file set (snapshot) through the pruning index. */
+  /** Read a specific file set (snapshot) through the pruning index; any
+    * declared geometry encodings decode back to the WKB runtime repr (the
+    * bbox shadow column drives pruning either way).
+    */
   def readWithStats(spark: SparkSession, path: String, stats: Seq[FileStats]): DataFrame = {
     GeoSql.install(spark)
     Geo.installRule(spark)
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val raw = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(buildRelation(spark, path, stats))
+    GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
+      df.withColumn(c, GeometryEncoding.decode(col(c), e))
+    }
   }
 
   /** The pruning-FileIndex-backed relation (shared with format("graft")). */

@@ -64,6 +64,12 @@ object GeometryFields {
     }
   }
 
+  /** Write properties without physical-type validation (for writers that
+    * just produced the column and know its type by construction).
+    */
+  private[spatial] def putUnchecked(path: String, add: Map[String, String]): Unit =
+    put(path, get(path) ++ add)
+
   private def put(path: String, m: Map[String, String]): Unit = {
     val body = m.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
     Files.write(Paths.get(path, PropsName), body.getBytes(StandardCharsets.UTF_8))
@@ -92,5 +98,21 @@ object GeometryFields {
     encs.foldLeft(spark.read.parquet(path)) { case (df, (c, e)) =>
       df.withColumn(c, GeometryEncoding.decode(col(c), e))
     }
+  }
+
+  /** Write a geo table storing the geometry column in the given encoding
+    * (runtime repr is WKB; storage may be any of the four — the write-side
+    * analogue of `ParquetGeometryValueWriters` routing in /root/reference's
+    * `SparkParquetWriters.java:270-273`). Delegates to [[GeoTable.write]]
+    * with a storage encoding; [[GeoTable.read]] and [[Snapshots.read]]
+    * decode back to WKB and keep bbox pruning (format("graft") returns the
+    * stored physical form).
+    */
+  def writeGeo(df: DataFrame, path: String, geomCol: String, enc: String,
+      res: Int = GeoTable.DefaultResolution,
+      bounds: (Double, Double, Double, Double) = GeoTable.WorldBounds,
+      numFiles: Int = 0): Unit = {
+    require(GeometryEncoding.All.contains(enc), s"unknown encoding: $enc")
+    GeoTable.write(df, path, geomCol, res, bounds, numFiles, Some(enc))
   }
 }

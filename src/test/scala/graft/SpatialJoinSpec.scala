@@ -94,6 +94,38 @@ class SpatialJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("writeGeo round-trips every encoding with intact pruning stats") {
+    graft.spatial.Geo.install(spark)
+    GeometryEncoding.All.foreach { enc =>
+      val dir = Files.createTempDirectory(s"graft_we_$enc").toString
+      val pts = pointDf(40, "p").withColumnRenamed("p_geom", "geom")
+      GeometryFields.writeGeo(pts, dir, "geom", enc, res = 8, numFiles = 2)
+      assert(GeometryFields.get(dir) == Map("geom" -> enc))
+      val back = GeoTable.read(spark, dir) // pruning read decodes declared encodings
+      assert(back.count() == 40)
+      // decoded column is WKB again: exact geometry round-trip
+      val one = back.filter(col("p_id") === 0)
+        .select(st_astext(col("geom"))).collect().head.getString(0)
+      assert(one == "POINT (-99.75 -79.75)", s"got $one for $enc")
+      // spatial predicate + pruning compose with the encoded storage
+      val hits = back.filter(st_intersects(col("geom"),
+        st_makeenvelope(lit(-100.0), lit(-80.0), lit(-99.0), lit(-79.0)))).count()
+      assert(hits >= 1, s"pruned spatial query on $enc table")
+      // bbox manifest unaffected by the storage encoding; geometry column
+      // itself excluded from value stats (no WKT blobs in the manifest)
+      val stats = GeoTable.readManifest(dir)
+      assert(stats.size == 2 && stats.forall(_.mins.contains("geom_bbox.xmin")))
+      assert(stats.forall(f => !f.mins.contains("geom")))
+      // vectorized scan stays on: geometry is a plain physical column (the
+      // reference must fall back to row reads, SparkBatch.java:154-161 —
+      // plain-binary storage keeps columnar batches)
+      val scan = spark.read.parquet(dir).queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scan.head.toString.contains("Batched: true"))
+    }
+  }
+
   test("files metadata table exposes per-file bbox bounds") {
     val dir = Files.createTempDirectory("graft_meta").toString
     val pts = pointDf(100, "p").withColumnRenamed("p_geom", "geom")
