@@ -58,7 +58,8 @@ object Snapshots {
 
   private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new Path(path)).toSeq
+    if (!fs.exists(new Path(path))) Set.empty
+    else fs.listStatus(new Path(path)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.getName).toSet
   }
@@ -185,6 +186,27 @@ object Snapshots {
       org.apache.spark.sql.types.StructField("n_files", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("record_count", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("total_bytes", org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Hilbert sort compaction — the reference's `rewrite_data_files` with a
+    * sort order containing the hilbert term (`IcebergSortCompactionBenchmark`
+    * / SURVEY.md §2.7 maintenance actions): rewrites the current snapshot
+    * into `numFiles` spatially-clustered files and publishes it as a new
+    * snapshot (old files stay for time travel until expiry).
+    */
+  def rewriteCompact(spark: SparkSession, path: String, geomCol: String,
+      numFiles: Int, res: Int = GeoTable.DefaultResolution,
+      bounds: (Double, Double, Double, Double) = GeoTable.WorldBounds): Int = {
+    val before = listDataFiles(spark, path)
+    val current = read(spark, path)
+    val h = GeoTable.hilbertCol(geomCol, res, bounds)
+    current.withColumn("__hilbert", h)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__hilbert"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__hilbert"))
+      .drop("__hilbert")
+      .write.mode("append").parquet(path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, statsFor(spark, path, added))
   }
 
   /** Drop all but the newest `keep` snapshots and remove data files no

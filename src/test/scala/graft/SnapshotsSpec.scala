@@ -138,6 +138,21 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(scan.nonEmpty && scan.head.metadata("Location").contains("GraftFileIndex"))
   }
 
+  test("hilbert sort compaction rewrites into fewer clustered files") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_compact").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 4)
+    Snapshots.append(mkDf(40 until 80, 2), dir)
+    val filesBefore = Snapshots.readManifest(dir).size
+    assert(filesBefore >= 5)
+    val v = Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
+    assert(Snapshots.readManifest(dir).size == 2)
+    assert(Snapshots.read(spark, dir).count() == 80)
+    // previous snapshot untouched
+    assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 80)
+    assert(Snapshots.readManifest(dir, Some(v - 1)).size == filesBefore)
+  }
+
   test("spatial pruning still applies to snapshot reads") {
     import graft.functions.GeoSql._
     val dir = Files.createTempDirectory("graft_snap2").toString

@@ -51,6 +51,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming geo sink commits one snapshot per micro-batch") {
+    import graft.functions.GeoSql
+    import graft.spatial.{GeoTable, Snapshots}
+    graft.spatial.Geo.install(spark)
+    val out = Files.createTempDirectory("graft_geo_stream").toString + "/tbl"
+    val ckpt = Files.createTempDirectory("graft_geo_stream_ckpt").toString
+    val pts = EventStreams.readEvents(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        GeoSql.st_point((col("value") % 180) - 90, (col("value") % 90) - 45).as("geom"))
+    val withBbox = GeoTable.withBbox(pts, "geom")
+    val q = graft.streaming.GeoStreams.appendStream(withBbox, out, ckpt)
+    try q.awaitTermination() finally q.stop()
+    assert(Snapshots.currentVersion(out) >= 1)
+    assert(Snapshots.read(spark, out).count() == batchEvents.count())
+    // restart with the same checkpoint: no new data → no new snapshot
+    val v = Snapshots.currentVersion(out)
+    val q2 = graft.streaming.GeoStreams.appendStream(withBbox, out, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    assert(Snapshots.currentVersion(out) == v)
+    // spatial predicate works over the streamed table
+    val n = Snapshots.read(spark, out).filter(
+      GeoSql.st_intersects(col("geom"),
+        GeoSql.st_makeenvelope(lit(-90.0), lit(-45.0), lit(0.0), lit(0.0)))).count()
+    assert(n > 0)
+  }
+
   test("streaming parquet sink round-trips every row (checkpointed)") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
