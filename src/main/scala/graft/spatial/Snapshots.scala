@@ -174,6 +174,20 @@ object Snapshots {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
     GeoTable.readWithStats(spark, path, readManifest(path, version))
 
+  /** Changelog between two snapshots: row-level inserts/deletes with a
+    * `_change_type` column (the reference's `create_changelog_view`
+    * procedure / `SparkChangelogTable`). Files are immutable, so only rows
+    * from files that entered or left the snapshot can differ; copy-on-write
+    * rewrites re-materialize surviving rows, which `exceptAll` cancels out.
+    */
+  def changes(spark: SparkSession, path: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    val from = read(spark, path, Some(fromVersion))
+    val to = read(spark, path, Some(toVersion))
+    val inserted = to.exceptAll(from).withColumn("_change_type", lit("insert"))
+    val deleted = from.exceptAll(to).withColumn("_change_type", lit("delete"))
+    inserted.unionAll(deleted)
+  }
+
   /** History metadata table: one row per snapshot. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._

@@ -138,6 +138,22 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(scan.nonEmpty && scan.head.metadata("Location").contains("GraftFileIndex"))
   }
 
+  test("changelog between snapshots yields row-level inserts and deletes") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_cdc").toString
+    GeoTable.write(mkDf(0 until 30, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(30 until 50, 2), dir) // v2: +20 inserts
+    Snapshots.delete(spark, dir, col("id") < 5) // v3: 5 deletes (CoW rewrite)
+    val v12 = Snapshots.changes(spark, dir, 1, 2)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v12 == Map("insert" -> 20L))
+    val v23 = Snapshots.changes(spark, dir, 2, 3)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v23 == Map("delete" -> 5L), s"got $v23")
+  }
+
   test("hilbert sort compaction rewrites into fewer clustered files") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_compact").toString
