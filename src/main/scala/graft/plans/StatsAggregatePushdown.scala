@@ -100,8 +100,11 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
         Some(UTF8String.fromString(ss.reduce((a, b) =>
           if ((a.compareTo(b) < 0) == isMin) a else b)))
       case _ =>
-        val ds = raw.map(_.asInstanceOf[Number].doubleValue())
-        val bestIdx = ds.zipWithIndex.reduce((p, q) => if (better(p._1, q._1)) p else q)._2
+        // exact comparison (doubles would collapse longs above 2^53)
+        val isMin = better(0, 1)
+        val ds = raw.map(v => BigDecimal(v.asInstanceOf[Number].toString))
+        val bestIdx = ds.zipWithIndex.reduce((p, q) =>
+          if (p._1 == q._1 || (p._1 < q._1) == isMin) p else q)._2
         val best = raw(bestIdx).asInstanceOf[Number]
         dt match {
           case LongType | TimestampType => Some(best.longValue())

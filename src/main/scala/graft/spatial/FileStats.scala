@@ -10,8 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * in /root/reference, incl. the geometry-bbox branch at :484-542): each data
   * file carries min/max per primitive leaf (struct leaves flattened as
   * "col.field"); a filter expression is evaluated inclusively — ROWS_MIGHT_MATCH
-  * unless the stats *prove* no row can match. Unknown expressions are
-  * conservatively true, mirroring `StrictMetricsEvaluator.java:469-477`'s
+  * unless the stats *prove* no row can match. Anything unknown — an
+  * unrecognized expression, a Cast-wrapped column (stat and literal would be
+  * in different units), or an incomparable stat/literal pair — is
+  * conservatively "might match", mirroring `StrictMetricsEvaluator.java:469-477`'s
   * stance that pruning must never drop a matching file.
   */
 case class FileStats(
@@ -26,43 +28,68 @@ case class FileStats(
   private def canMatch(e: Expression): Boolean = e match {
     case And(l, r) => canMatch(l) && canMatch(r)
     case Or(l, r) => canMatch(l) || canMatch(r)
-    case LessThan(a, Literal(v, _)) => statName(a).forall(n => cmpMin(n, v) < 0)
-    case LessThanOrEqual(a, Literal(v, _)) => statName(a).forall(n => cmpMin(n, v) <= 0)
-    case GreaterThan(a, Literal(v, _)) => statName(a).forall(n => cmpMax(n, v) > 0)
-    case GreaterThanOrEqual(a, Literal(v, _)) => statName(a).forall(n => cmpMax(n, v) >= 0)
+    case LessThan(a, Literal(v, _)) => test(a, n => cmpMin(n, v).forall(_ < 0))
+    case LessThanOrEqual(a, Literal(v, _)) => test(a, n => cmpMin(n, v).forall(_ <= 0))
+    case GreaterThan(a, Literal(v, _)) => test(a, n => cmpMax(n, v).forall(_ > 0))
+    case GreaterThanOrEqual(a, Literal(v, _)) => test(a, n => cmpMax(n, v).forall(_ >= 0))
     case EqualTo(a, Literal(v, _)) =>
-      statName(a).forall(n => cmpMin(n, v) <= 0 && cmpMax(n, v) >= 0)
+      test(a, n => cmpMin(n, v).forall(_ <= 0) && cmpMax(n, v).forall(_ >= 0))
     case LessThan(Literal(v, _), a) => canMatch(GreaterThan(a, Literal(v)))
     case LessThanOrEqual(Literal(v, _), a) => canMatch(GreaterThanOrEqual(a, Literal(v)))
     case GreaterThan(Literal(v, _), a) => canMatch(LessThan(a, Literal(v)))
     case GreaterThanOrEqual(Literal(v, _), a) => canMatch(LessThanOrEqual(a, Literal(v)))
     case EqualTo(l @ Literal(_, _), a) => canMatch(EqualTo(a, l))
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      statName(a).forall(n => vs.exists { case Literal(v, _) =>
-        cmpMin(n, v) <= 0 && cmpMax(n, v) >= 0 })
+      test(a, n => vs.exists { case Literal(v, _) =>
+        cmpMin(n, v).forall(_ <= 0) && cmpMax(n, v).forall(_ >= 0) })
     case InSet(a, vs) =>
-      statName(a).forall(n => vs.exists(v => cmpMin(n, v) <= 0 && cmpMax(n, v) >= 0))
+      test(a, n => vs.exists(v =>
+        cmpMin(n, v).forall(_ <= 0) && cmpMax(n, v).forall(_ >= 0)))
     case _ => true // IsNull / NOT / unknown exprs: conservative, file might match
   }
 
-  /** Stats key for a supported reference: top-level attr or struct leaf. */
+  private def test(a: Expression, p: String => Boolean): Boolean =
+    statName(a).forall(p)
+
+  /** Stats key for a supported reference: top-level attr or struct leaf.
+    * Only *numeric-widening* casts are stripped (stat and literal are then
+    * compared exactly via BigDecimal); unit-changing casts like
+    * timestamp→date would compare micros against days and must stay opaque.
+    */
   private def statName(e: Expression): Option[String] = e match {
     case a: AttributeReference if mins.contains(a.name) => Some(a.name)
     case GetStructField(a: AttributeReference, _, Some(f)) if mins.contains(s"${a.name}.$f") =>
       Some(s"${a.name}.$f")
-    case Cast(c, _, _, _) => statName(c)
+    case Cast(c, dt, _, _) if isPlainNumeric(dt) && isPlainNumeric(c.dataType) => statName(c)
     case _ => None
   }
 
-  /** compare file-min(stat) with literal v; sign of (min - v). */
-  private def cmpMin(n: String, v: Any): Int = cmp(mins(n), v)
-  private def cmpMax(n: String, v: Any): Int = cmp(maxs(n), v)
+  private def isPlainNumeric(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DoubleType | FloatType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
 
-  private def cmp(stat: Any, lit: Any): Int = (stat, lit) match {
-    case (null, _) => 0 // no stat → undetermined → treat as overlapping
-    case (s: Number, l: Number) => java.lang.Double.compare(s.doubleValue(), l.doubleValue())
-    case (s: String, l: UTF8String) => s.compareTo(l.toString)
-    case (s: String, l: String) => s.compareTo(l)
-    case _ => 0
+  /** sign of (file-min(stat) - literal), or None if incomparable. */
+  private def cmpMin(n: String, v: Any): Option[Int] = cmp(mins(n), v)
+  private def cmpMax(n: String, v: Any): Option[Int] = cmp(maxs(n), v)
+
+  private def big(v: Any): Option[BigDecimal] = v match {
+    case d: java.lang.Double if d.isNaN => None
+    case f: java.lang.Float if f.isNaN => None
+    case n: Number => Some(BigDecimal(n.toString))
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case _ => None
+  }
+
+  private def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
+    case (null, _) => None // no stat → undetermined → treat as overlapping
+    case (s: String, l: UTF8String) => Some(s.compareTo(l.toString))
+    case (s: String, l: String) => Some(s.compareTo(l))
+    // exact numeric comparison — immune to double rounding above 2^53
+    case _ => for (a <- big(stat); b <- big(lit)) yield a.compare(b)
   }
 }

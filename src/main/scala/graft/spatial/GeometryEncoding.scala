@@ -70,8 +70,18 @@ object GeometryFields {
   private[spatial] def putUnchecked(path: String, add: Map[String, String]): Unit =
     put(path, get(path) ++ add)
 
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def put(path: String, m: Map[String, String]): Unit = {
-    val body = m.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val body = m.toSeq.sorted
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
     Files.write(Paths.get(path, PropsName), body.getBytes(StandardCharsets.UTF_8))
   }
 

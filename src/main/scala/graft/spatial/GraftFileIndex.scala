@@ -30,9 +30,14 @@ class GraftFileIndex(
     stats: Seq[FileStats],
     val dataSchema: StructType) extends FileIndex {
 
-  private val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // FileStatus built straight from the manifest (path + size are all split
+  // planning needs) — no per-file RPC; a 100k-file table opens with zero
+  // object-store round-trips.
   private val statuses: Map[String, FileStatus] =
-    stats.map(f => f.path -> fs.getFileStatus(new Path(basePath, f.path))).toMap
+    stats.map { f =>
+      f.path -> new FileStatus(f.sizeBytes, false, 1, 128L * 1024 * 1024, 0L,
+        new Path(basePath, f.path))
+    }.toMap
 
   /** Full manifest, for planning-time consumers (aggregate pushdown). */
   def allStats: Seq[FileStats] = stats

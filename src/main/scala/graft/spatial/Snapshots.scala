@@ -69,6 +69,23 @@ object Snapshots {
     if (names.isEmpty) Nil
     else GeoTable.collectStats(spark, path, names)
 
+  /** Raw read of specific data files with declared encodings decoded to the
+    * WKB runtime repr (so user conditions/assignments see the same columns
+    * as [[read]]).
+    */
+  private def readFilesDecoded(spark: SparkSession, path: String, names: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(names.map(n => s"$path/${n}"): _*)
+    GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
+      if (raw.columns.contains(c)) df.withColumn(c, GeometryEncoding.decode(org.apache.spark.sql.functions.col(c), e)) else df
+    }
+  }
+
+  /** Re-apply declared storage encodings before writing rows back. */
+  private def encodeForStorage(df: DataFrame, path: String): DataFrame =
+    GeometryFields.get(path).foldLeft(df) { case (d, (c, e)) =>
+      if (df.columns.contains(c)) d.withColumn(c, GeometryEncoding.encode(org.apache.spark.sql.functions.col(c), e)) else d
+    }
+
   /** Append `df` as a new snapshot (new data files; old ones untouched). */
   def append(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
@@ -103,9 +120,9 @@ object Snapshots {
     }
     if (affected.isEmpty) return currentVersion(path) // nothing can match
     val before = listDataFiles(spark, path)
-    spark.read.parquet(affected.map(f => s"$path/${f.path}"): _*)
+    val survivors = readFilesDecoded(spark, path, affected.map(_.path))
       .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
-      .write.mode("append").parquet(path)
+    encodeForStorage(survivors, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, untouched ++ statsFor(spark, path, added))
   }
@@ -127,11 +144,18 @@ object Snapshots {
     if (affected.isEmpty) return currentVersion(path)
     val before = listDataFiles(spark, path)
     val hit = coalesce(cond, lit(false))
-    val rewritten = assignments.foldLeft(
-      spark.read.parquet(affected.map(f => s"$path/${f.path}"): _*)) {
+    val base = readFilesDecoded(spark, path, affected.map(_.path))
+    val rewritten = assignments.foldLeft(base) {
       case (df, (c, v)) => df.withColumn(c, when(hit, v).otherwise(col(c)))
     }
-    rewritten.write.mode("append").parquet(path)
+    // assigned geometry columns must refresh their bbox shadow, or later
+    // spatial pruning would evaluate against stale bounds
+    val bboxed = assignments.keys.foldLeft(rewritten) { case (df, c) =>
+      if (df.columns.contains(s"${c}_bbox"))
+        df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
+      else df
+    }
+    encodeForStorage(bboxed, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, untouched ++ statsFor(spark, path, added))
   }
@@ -161,11 +185,11 @@ object Snapshots {
     val before = listDataFiles(spark, path)
     val survivors =
       if (affected.isEmpty) spark.emptyDataFrame.limit(0)
-      else spark.read.parquet(affected.map(f => s"$path/${f.path}"): _*)
+      else readFilesDecoded(spark, path, affected.map(_.path))
         .join(src.select(col(keyCol)), Seq(keyCol), "left_anti")
         .select(table.columns.map(col): _*)
     val out = if (affected.isEmpty) src else survivors.unionByName(src)
-    out.write.mode("append").parquet(path)
+    encodeForStorage(out, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, untouched ++ statsFor(spark, path, added))
   }
@@ -214,11 +238,11 @@ object Snapshots {
     val before = listDataFiles(spark, path)
     val current = read(spark, path)
     val h = GeoTable.hilbertCol(geomCol, res, bounds)
-    current.withColumn("__hilbert", h)
+    val clustered = current.withColumn("__hilbert", h)
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__hilbert"))
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__hilbert"))
       .drop("__hilbert")
-      .write.mode("append").parquet(path)
+    encodeForStorage(clustered, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, statsFor(spark, path, added))
   }

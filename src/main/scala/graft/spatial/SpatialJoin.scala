@@ -23,18 +23,22 @@ import graft.functions.GeoSql
   */
 object SpatialJoin {
 
-  /** Cell ids covered by a bbox, as an array column. */
+  /** Cells covered by a bbox, as an array of (cx, cy) structs — structs
+    * rather than a packed long so arbitrary coordinate ranges can't collide.
+    */
   private def cells(xmin: Column, ymin: Column, xmax: Column, ymax: Column,
       cellDeg: Double): Column = {
     val cxs = sequence(floor(xmin / cellDeg).cast("long"), floor(xmax / cellDeg).cast("long"))
     val cys = sequence(floor(ymin / cellDeg).cast("long"), floor(ymax / cellDeg).cast("long"))
-    flatten(transform(cxs, cx => transform(cys, cy => cx * 4194304L + cy)))
+    flatten(transform(cxs, cx => transform(cys, cy =>
+      struct(cx.as("cx"), cy.as("cy")))))
   }
 
   private def refCell(axmin: Column, aymin: Column, bxmin: Column, bymin: Column,
       cellDeg: Double): Column =
-    floor(greatest(axmin, bxmin) / cellDeg).cast("long") * 4194304L +
-      floor(greatest(aymin, bymin) / cellDeg).cast("long")
+    struct(
+      floor(greatest(axmin, bxmin) / cellDeg).cast("long").as("cx"),
+      floor(greatest(aymin, bymin) / cellDeg).cast("long").as("cy"))
 
   /** Inner join of `left` and `right` on `ST_Intersects(lCol, rCol)`.
     * Output columns: all of left's then all of right's (caller ensures

@@ -67,13 +67,23 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
       }
     case Or(l, r) =>
       for (a <- derive(l, out); b <- derive(r, out)) yield Or(a, b)
-    case StIntersects(g, q) => translate(g, q, out, covers = false)
-    case StCovers(g, q) => translate(g, q, out, covers = true)
+    // both argument orders: intersects is symmetric; covers(lit, geom)
+    // means the literal covers the geometry → the geometry's bbox must lie
+    // within the query envelope (the ST_Within-style containment test)
+    case StIntersects(a, b) =>
+      translate(a, b, out, Intersects).orElse(translate(b, a, out, Intersects))
+    case StCovers(a, b) =>
+      translate(a, b, out, Covers).orElse(translate(b, a, out, CoveredBy))
     case _ => None
   }
 
+  private sealed trait Mode
+  private case object Intersects extends Mode
+  private case object Covers extends Mode
+  private case object CoveredBy extends Mode
+
   private def translate(
-      g: Expression, q: Expression, out: Seq[Attribute], covers: Boolean): Option[Expression] = {
+      g: Expression, q: Expression, out: Seq[Attribute], mode: Mode): Option[Expression] = {
     val geomAttr = g match {
       case a: AttributeReference => Some(a)
       case _ => None
@@ -96,9 +106,14 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
       val (xmin, ymin, xmax, ymax) = (leaf(0, "xmin"), leaf(1, "ymin"), leaf(2, "xmax"), leaf(3, "ymax"))
       def le(l: Expression, v: Double) = LessThanOrEqual(l, Literal(v, DoubleType))
       def ge(l: Expression, v: Double) = GreaterThanOrEqual(l, Literal(v, DoubleType))
-      val cs =
-        if (covers) Seq(le(xmin, e.getMinX), ge(xmax, e.getMaxX), le(ymin, e.getMinY), ge(ymax, e.getMaxY))
-        else Seq(le(xmin, e.getMaxX), ge(xmax, e.getMinX), le(ymin, e.getMaxY), ge(ymax, e.getMinY))
+      val cs = mode match {
+        case Intersects =>
+          Seq(le(xmin, e.getMaxX), ge(xmax, e.getMinX), le(ymin, e.getMaxY), ge(ymax, e.getMinY))
+        case Covers => // geom covers Q: geom bbox encloses Q
+          Seq(le(xmin, e.getMinX), ge(xmax, e.getMaxX), le(ymin, e.getMinY), ge(ymax, e.getMaxY))
+        case CoveredBy => // Q covers geom: geom bbox inside Q
+          Seq(ge(xmin, e.getMinX), le(xmax, e.getMaxX), ge(ymin, e.getMinY), le(ymax, e.getMaxY))
+      }
       cs.reduce[Expression](And)
     }
   }

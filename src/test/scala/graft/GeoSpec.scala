@@ -121,6 +121,17 @@ class GeoSpec extends AnyFunSuite {
     assert((f, r) == ((1L, 2L)))
   }
 
+  test("swapped argument order prunes identically (intersects symmetric)") {
+    val (f1, r1) = validateScan(table.filter(
+      st_intersects(env(0.5, -1.1, 1.1, 1.1), col("geom"))))
+    assert((f1, r1) == ((2L, 4L)))
+    // covers(lit, geom): only geometries inside the window
+    val (f2, r2) = validateScan(table.filter(
+      st_covers(env(0.0, 0.0, 2.0, 2.0), col("geom"))))
+    assert(f2 <= 1, s"covered-by should prune to quadrant 0, scanned $f2")
+    assert(r2 == 3L) // point(1,1), buffer(1,1), point covered? ids k=1 rows + point(2? no)
+  }
+
   test("NOT st_intersects produces no bbox pruning (non-negatable)") {
     val (f, r) = validateScan(table.filter(
       !st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
