@@ -40,6 +40,15 @@ object GeoSql {
     "st_isempty" -> (e => StIsEmpty(e.head)),
     "st_isvalid" -> (e => StIsValid(e.head)),
     "st_bbox" -> (e => StBboxStruct(e.head)),
+    "st_union" -> (e => StUnion(e(0), e(1))),
+    "st_intersection" -> (e => StIntersection(e(0), e(1))),
+    "st_difference" -> (e => StDifference(e(0), e(1))),
+    "st_simplify" -> (e => StSimplify(e(0), e(1))),
+    "st_convexhull" -> (e => StConvexHull(e.head)),
+    "st_geometrytype" -> (e => StGeometryType(e.head)),
+    "st_numgeometries" -> (e => StNumGeometries(e.head)),
+    "st_numpoints" -> (e => StNumPoints(e.head)),
+    "st_extent" -> (e => StExtent(e.head).toAggregateExpression()),
     "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5)))
   )
 

@@ -224,6 +224,40 @@ class GeoSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("set-theoretic functions and st_extent aggregate") {
+    graft.spatial.Geo.install(spark)
+    val r = spark.sql(
+      """SELECT
+        | st_astext(st_union(st_point(0D,0D), st_point(1D,1D))) AS u,
+        | st_area(st_intersection(
+        |   st_makeenvelope(0D,0D,2D,2D), st_makeenvelope(1D,1D,3D,3D))) AS ia,
+        | st_area(st_difference(
+        |   st_makeenvelope(0D,0D,2D,2D), st_makeenvelope(1D,1D,3D,3D))) AS da,
+        | st_geometrytype(st_convexhull(st_geomfromtext('MULTIPOINT((0 0),(1 0),(0 1),(1 1))'))) AS hull_t,
+        | st_numpoints(st_simplify(st_geomfromtext('LINESTRING(0 0, 1 0.0001, 2 0)'), 0.01D)) AS np,
+        | st_numgeometries(st_geomfromtext('MULTIPOINT((0 0),(1 1))')) AS ng""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "MULTIPOINT ((0 0), (1 1))")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 3.0) < 1e-12)
+    assert(r.getString(3) == "Polygon")
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(5) == 2)
+
+    // st_extent over the quadrant table: global bbox matches the manifest
+    val t = table
+    t.createOrReplaceTempView("quadrants")
+    val ext = spark.sql("SELECT st_extent(geom) AS e FROM quadrants")
+      .selectExpr("e.xmin", "e.ymin", "e.xmax", "e.ymax").collect().head
+    assert(ext.getDouble(0) == -10.5 && ext.getDouble(1) == -10.5)
+    assert(ext.getDouble(2) == 10.5 && ext.getDouble(3) == 10.5)
+    // grouped extents
+    val per = spark.sql(
+      "SELECT part, st_extent(geom) AS e FROM quadrants GROUP BY part ORDER BY part")
+      .selectExpr("part", "e.xmax").collect()
+    assert(per.length == 4 && per.head.getDouble(1) == 10.5)
+  }
+
   // ---- encodings (GeometryEncoding.java:26-32 / F2) ----------------------
 
   test("wkt / geojson / ewkb round-trips") {
