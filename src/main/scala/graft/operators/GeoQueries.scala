@@ -63,6 +63,18 @@ object GeoQueries {
         .limit(25)
     }),
 
+    // st_extent aggregate: per-nation envelope union of customer points
+    "geo_extent_agg" -> ((s, dir) => {
+      pts(s, dir)
+        .groupBy(col("c_nationkey"))
+        .agg(call_function("st_extent", col("geom")).as("e"),
+          count(lit(1)).as("n_points"))
+        .select(col("c_nationkey"),
+          round(col("e.xmin"), 6).as("xmin"), round(col("e.ymin"), 6).as("ymin"),
+          round(col("e.xmax"), 6).as("xmax"), round(col("e.ymax"), 6).as("ymax"),
+          col("n_points"))
+    }),
+
     // per-group bbox aggregate over buffered geometries (envelope accessors)
     "geo_bbox_agg" -> ((s, dir) => {
       val nation = Tables.load(s, dir, "nation")
@@ -152,6 +164,13 @@ object GeoQueries {
       s"""SELECT c_custkey, x, y, round(sqrt(x*x + y*y), 6) AS dist
          |FROM ($ptsSql)
          |ORDER BY dist, c_custkey LIMIT 25""".stripMargin,
+
+    "geo_extent_agg" ->
+      s"""SELECT c_nationkey,
+         | round(min(x), 6) AS xmin, round(min(y), 6) AS ymin,
+         | round(max(x), 6) AS xmax, round(max(y), 6) AS ymax,
+         | count(*) AS n_points
+         |FROM ($ptsSql) GROUP BY c_nationkey""".stripMargin,
 
     "geo_bbox_agg" ->
       s"""SELECT n_name,
