@@ -147,9 +147,15 @@ object GeoTable {
       body.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Read a geo table through the stats-pruning [[GraftFileIndex]]. */
+  /** Read a geo table through the stats-pruning [[GraftFileIndex]],
+    * applying any merge-on-read delete predicates of the current snapshot.
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    readWithStats(spark, path, readManifest(path))
+    applyDeletes(readWithStats(spark, path, readManifest(path)), readDeletes(path))
+
+  /** Apply MoR predicate deletes: keep rows where no predicate holds. */
+  private[spatial] def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
+    deletes.foldLeft(df)((d, sql) => d.filter(!coalesce(expr(sql), lit(false))))
 
   /** Read a specific file set (snapshot) through the pruning index; any
     * declared geometry encodings decode back to the WKB runtime repr (the
@@ -214,17 +220,31 @@ object GeoTable {
     case other => "\"" + other.toString + "\""
   }
 
-  private[spatial] def manifestJson(entries: Seq[FileStats]): String = {
+  private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"mins":$mins,"maxs":$maxs}"""
     }
-    s"""{"version":1,"files":[${files.mkString(",")}]}"""
+    val del = deletes.map(jsonVal).mkString("[", ",", "]")
+    s"""{"version":1,"deletes":$del,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
     parseManifest(new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8))
+
+  /** Merge-on-read delete predicates of the current manifest. */
+  def readDeletes(path: String): Seq[String] =
+    parseDeletes(new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8))
+
+  private[spatial] def parseDeletes(txt: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "deletes") match {
+      case JArray(ds) => ds.collect { case JString(d) => d }
+      case _ => Nil
+    }
+  }
 
   private[spatial] def parseManifest(txt: String): Seq[FileStats] = {
     import org.json4s._

@@ -40,21 +40,33 @@ object Snapshots {
     max
   }
 
-  def readManifest(path: String, version: Option[Int] = None): Seq[FileStats] = {
+  def readManifest(path: String, version: Option[Int] = None): Seq[FileStats] =
+    GeoTable.parseManifest(manifestText(path, version))
+
+  /** Merge-on-read delete predicates of a snapshot. */
+  def readDeletes(path: String, version: Option[Int] = None): Seq[String] =
+    GeoTable.parseDeletes(manifestText(path, version))
+
+  private def manifestText(path: String, version: Option[Int]): String = {
     val v = version.getOrElse(currentVersion(path))
     require(v > 0, s"no snapshots at $path")
     val p = manifestPath(path, v)
     require(Files.exists(p), s"no snapshot version $v at $path")
-    GeoTable.parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
   }
 
-  private def publish(path: String, entries: Seq[FileStats]): Int = {
+  private def publish(path: String, entries: Seq[FileStats],
+      deletes: Seq[String] = Nil): Int = {
     val v = currentVersion(path) + 1
-    val body = GeoTable.manifestJson(entries)
+    val body = GeoTable.manifestJson(entries, deletes)
     Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
     v
   }
+
+  /** Pending MoR deletes of the current snapshot (carried forward by ops). */
+  private def carried(path: String): Seq[String] =
+    if (currentVersion(path) > 0) readDeletes(path) else Nil
 
   private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -93,7 +105,7 @@ object Snapshots {
     df.write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     val base = if (currentVersion(path) > 0) readManifest(path) else Nil
-    publish(path, base ++ statsFor(spark, path, added))
+    publish(path, base ++ statsFor(spark, path, added), carried(path))
   }
 
   /** Logical overwrite: new snapshot references only the new files. */
@@ -102,7 +114,20 @@ object Snapshots {
     val before = listDataFiles(spark, path)
     df.write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, statsFor(spark, path, added))
+    publish(path, statsFor(spark, path, added)) // logical overwrite clears deletes
+  }
+
+  /** Merge-on-read DELETE: publish the predicate instead of rewriting any
+    * file — O(manifest) commit latency regardless of table size; readers
+    * apply `NOT cond` until a compaction materializes it (the reference's
+    * MoR path, `SparkPositionDeltaOperation` in /root/reference, expressed
+    * as a predicate delete). Semantics: the predicate is evaluated against
+    * current column values at read time.
+    */
+  def deleteMoR(spark: SparkSession, path: String, condSql: String): Int = {
+    // fail fast on unparseable/unresolvable predicates
+    read(spark, path).filter(!coalesce(expr(condSql), lit(false))).queryExecution.analyzed
+    publish(path, readManifest(path), carried(path) :+ condSql)
   }
 
   /** Copy-on-write DELETE: rewrite only files whose stats might match. */
@@ -124,7 +149,7 @@ object Snapshots {
       .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
     encodeForStorage(survivors, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path))
   }
 
   /** Copy-on-write UPDATE: rewrite only files whose stats might match,
@@ -157,7 +182,7 @@ object Snapshots {
     }
     encodeForStorage(bboxed, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path))
   }
 
   /** Copy-on-write MERGE (upsert): target rows whose key appears in
@@ -191,12 +216,16 @@ object Snapshots {
     val out = if (affected.isEmpty) src else survivors.unionByName(src)
     encodeForStorage(out, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path))
   }
 
-  /** Read a snapshot (default: current) through the pruning file index. */
+  /** Read a snapshot (default: current) through the pruning file index,
+    * applying that snapshot's merge-on-read delete predicates.
+    */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
-    GeoTable.readWithStats(spark, path, readManifest(path, version))
+    GeoTable.applyDeletes(
+      GeoTable.readWithStats(spark, path, readManifest(path, version)),
+      readDeletes(path, version))
 
   /** Changelog between two snapshots: row-level inserts/deletes with a
     * `_change_type` column (the reference's `create_changelog_view`
@@ -244,6 +273,7 @@ object Snapshots {
       .drop("__hilbert")
     encodeForStorage(clustered, path).write.mode("append").parquet(path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    // read() applied pending MoR deletes → the rewrite materializes them
     publish(path, statsFor(spark, path, added))
   }
 

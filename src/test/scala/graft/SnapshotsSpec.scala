@@ -138,6 +138,33 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(scan.nonEmpty && scan.head.metadata("Location").contains("GraftFileIndex"))
   }
 
+  test("merge-on-read delete: no rewrite, applied at read, compaction materializes") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_mor").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    val filesBefore = Snapshots.readManifest(dir).map(_.path).toSet
+    val v = Snapshots.deleteMoR(spark, dir, "id < 10")
+    // no data file rewritten — pure metadata commit
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == filesBefore)
+    assert(Snapshots.read(spark, dir).count() == 30)
+    assert(Snapshots.read(spark, dir).filter(col("id") < 10).count() == 0)
+    // time travel to before the delete
+    assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 40)
+    // appends carry the predicate forward (ids 100+ unaffected)
+    Snapshots.append(mkDf(100 until 120, 2), dir)
+    assert(Snapshots.read(spark, dir).count() == 50)
+    // a second MoR delete stacks
+    Snapshots.deleteMoR(spark, dir, "id >= 110")
+    assert(Snapshots.read(spark, dir).count() == 40)
+    // bad predicate is rejected up front
+    intercept[Exception] { Snapshots.deleteMoR(spark, dir, "no_such_col = 1") }
+    // compaction materializes the deletes and clears them
+    Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
+    assert(Snapshots.readDeletes(dir).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 40)
+    assert(Snapshots.readManifest(dir).map(_.rows).sum == 40)
+  }
+
   test("changelog between snapshots yields row-level inserts and deletes") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_cdc").toString
