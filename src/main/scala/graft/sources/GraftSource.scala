@@ -18,6 +18,12 @@ import graft.spatial.{Geo, GeoTable, Snapshots}
   * spatial/aggregate pushdown rules on the session, so
   * `spark.read.format("graft").load(p).filter(st_intersects(...))` prunes
   * files exactly like [[GeoTable.read]].
+  *
+  * Caveat: a V1 RelationProvider returns the snapshot's raw file set —
+  * declared geometry encodings are NOT decoded and pending merge-on-read
+  * delete predicates are NOT applied here (a relation can't wrap row
+  * filters); use [[GeoTable.read]] / [[Snapshots.read]] for full-fidelity
+  * reads of such tables.
   */
 class GraftSource extends RelationProvider with DataSourceRegister {
 

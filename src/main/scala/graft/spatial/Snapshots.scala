@@ -277,6 +277,14 @@ object Snapshots {
     publish(path, statsFor(spark, path, added))
   }
 
+  /** Roll the table back to an earlier snapshot by republishing its
+    * manifest as the new current version (the reference's
+    * `rollback_to_snapshot` procedure) — data files are untouched.
+    */
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Int =
+    publish(path, readManifest(path, Some(toVersion)),
+      readDeletes(path, Some(toVersion)))
+
   /** Drop all but the newest `keep` snapshots and remove data files no
     * surviving snapshot references (the reference's expire_snapshots +
     * remove_orphan_files procedures).

@@ -165,6 +165,20 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readManifest(dir).map(_.rows).sum == 40)
   }
 
+  test("rollback republishes an earlier snapshot without touching files") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_rb").toString
+    GeoTable.write(mkDf(0 until 30, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(30 until 60, 2), dir)
+    Snapshots.delete(spark, dir, col("id") < 3)
+    assert(Snapshots.read(spark, dir).count() == 57)
+    val v = Snapshots.rollback(spark, dir, toVersion = 1)
+    assert(v == 4)
+    assert(Snapshots.read(spark, dir).count() == 30)
+    // the rolled-back-over snapshots remain time-travelable
+    assert(Snapshots.read(spark, dir, Some(3)).count() == 57)
+  }
+
   test("changelog between snapshots yields row-level inserts and deletes") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_cdc").toString
