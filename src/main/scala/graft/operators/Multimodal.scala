@@ -29,6 +29,19 @@ object Multimodal {
           (col("doc_id") % 3).cast("int").as("media_kind"))
     }),
 
+    // frame sampling: every k-th fixed-size block of the payload becomes a
+    // "frame" fingerprint (video-style access pattern; decode is the same
+    // stub boundary as mm_features — the block arithmetic is the real part)
+    "mm_frames" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(col("doc_id"),
+          expr("transform(sequence(0, int(octet_length(payload) / 64)), " +
+            "f -> xxhash64(substring(payload, f * 64 + 1, 16)))").as("frame_fps"))
+        .withColumn("n_frames", size(col("frame_fps")))
+        .select(col("doc_id"), col("n_frames"), col("frame_fps"))
+    }),
+
     // per-partition batched "decode + featurize" over binary payloads
     "mm_features" -> ((s, dir) => {
       import s.implicits._

@@ -285,6 +285,19 @@ object Relational {
           round(col("rev") - col("prev_rev"), 2).as("delta"))
     }),
 
+    // RANGE-frame window: revenue within a sliding 7-day value window.
+    "q26_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+        .withColumn("d", datediff(col("day"), lit("1995-01-01").cast("date")))
+      val w = Window.orderBy(col("d")).rangeBetween(-6, 0)
+      daily
+        .withColumn("rev7", round(sum(col("rev")).over(w), 2))
+        .select(col("day"), round(col("rev"), 2).as("rev"), col("rev7"))
+    }),
+
     // exact interpolated percentiles per group.
     "q25_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -475,6 +488,14 @@ object Relational {
         |SELECT day, round(rev, 2) AS rev,
         | round(rev - lag(rev) OVER (ORDER BY day), 2) AS delta
         |FROM daily""".stripMargin,
+
+    "q26_range_frame" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |  sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+        |dd AS (SELECT day, rev, datediff('day', DATE '1995-01-01', day) AS d FROM daily)
+        |SELECT day, round(rev, 2) AS rev,
+        | round(sum(rev) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev7
+        |FROM dd""".stripMargin,
 
     "q25_percentiles" ->
       """SELECT l_returnflag,
