@@ -14,10 +14,15 @@ import graft.Tables
   * pipeline. At 100 TB the same mapPartitions shape amortizes model/codec
   * init per partition (the Scala analogue of `mapInPandas` batching) and
   * never materializes payloads on the driver.
+  *
+  * All query outputs are scalar columns (no raw arrays): downstream
+  * comparison harnesses sort rows, and array cells aren't sortable. The
+  * feature vector is carried as a fixed-format digest string; frames are
+  * exploded to one row per frame.
   */
 object Multimodal {
 
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Double])
+  case class MediaFeatures(doc_id: Long, n_bytes: Int, features_digest: String)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // metadata extraction over the binary payload (codegen'd, no decode)
@@ -29,17 +34,16 @@ object Multimodal {
           (col("doc_id") % 3).cast("int").as("media_kind"))
     }),
 
-    // frame sampling: every k-th fixed-size block of the payload becomes a
-    // "frame" fingerprint (video-style access pattern; decode is the same
-    // stub boundary as mm_features — the block arithmetic is the real part)
+    // frame sampling: every 64-char block of the payload becomes a "frame"
+    // fingerprint row (video-style access pattern; decode is the same stub
+    // boundary as mm_features — the block arithmetic is the real part).
+    // One scalar row per frame so results sort/compare cleanly.
     "mm_frames" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
-        .withColumn("payload", col("text").cast("binary"))
-        .select(col("doc_id"),
-          expr("transform(sequence(0, int(octet_length(payload) / 64)), " +
-            "f -> xxhash64(substring(payload, f * 64 + 1, 16)))").as("frame_fps"))
-        .withColumn("n_frames", size(col("frame_fps")))
-        .select(col("doc_id"), col("n_frames"), col("frame_fps"))
+        .selectExpr("doc_id", "text",
+          "explode(sequence(0, cast(floor(length(text) / 64) as int))) as frame_idx")
+        .selectExpr("doc_id", "frame_idx",
+          "md5(cast(substring(text, frame_idx * 64 + 1, 16) as binary)) as frame_fp")
     }),
 
     // per-partition batched "decode + featurize" over binary payloads
@@ -57,7 +61,8 @@ object Multimodal {
             if (bytes.isEmpty) 0.0
             else (bytes(((i * 7919) % bytes.length + bytes.length) % bytes.length) & 0xff) / 255.0
           }
-          MediaFeatures(id, bytes.length, f.map(v => math.rint(v * 10000) / 10000))
+          val digest = f.map(v => "%.4f".format(math.rint(v * 10000) / 10000)).mkString(",")
+          MediaFeatures(id, bytes.length, digest)
         }
       }.toDF()
     })
@@ -68,6 +73,12 @@ object Multimodal {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | CAST(doc_id % 3 AS INTEGER) AS media_kind
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "mm_frames" ->
+      """SELECT d.doc_id,
+        | CAST(f AS INTEGER) AS frame_idx,
+        | md5(substring(d.text, CAST(f AS INTEGER) * 64 + 1, 16)) AS frame_fp
+        |FROM documents d,
+        | unnest(generate_series(0, CAST(floor(length(d.text) / 64) AS INTEGER))) AS t(f)""".stripMargin
   )
 }

@@ -58,9 +58,10 @@ class PipelineSpec extends AnyFunSuite {
     val a = SparkEntry.queries("mm_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_features")(spark, sf).collect()
     assert(a.length == 500)
-    val fa = a.map(r => (r.getLong(0), r.getSeq[Double](2))).toMap
-    b.foreach { r => assert(fa(r.getLong(0)) == r.getSeq[Double](2)) }
-    a.foreach(r => assert(r.getSeq[Double](2).length == 8))
+    val fa = a.map(r => (r.getLong(0), r.getString(2))).toMap
+    b.foreach { r => assert(fa(r.getLong(0)) == r.getString(2)) }
+    // digest carries 8 fixed-format feature values
+    a.foreach(r => assert(r.getString(2).split(",").length == 8))
   }
 
   test("pipeline single-pass ops contain no shuffle (map-only plans)") {
