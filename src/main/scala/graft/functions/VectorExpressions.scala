@@ -1,9 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -16,40 +15,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * at 100 TB the dot product is the innermost loop of similarity search, so
   * it gets a tight primitive loop over `ArrayData` instead (the "custom
   * Catalyst Expression beats a UDF" rung of the extension ladder).
+  *
+  * All kernels implement `doGenCode`, so projections using them stay inside
+  * WholeStageCodegen (a single CodegenFallback expression would knock the
+  * whole stage out of codegen and disable subexpression elimination).
   */
-abstract class VectorBinary extends Expression with CodegenFallback with ExpectsInputTypes {
-  def left: Expression
-  def right: Expression
-  override def children: Seq[Expression] = Seq(left, right)
+abstract class VectorBinary extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq[DataType](ArrayType(DoubleType), ArrayType(DoubleType))
-  override def nullable: Boolean = true
-  override def foldable: Boolean = children.forall(_.foldable)
   override def dataType: DataType = DoubleType
-  protected def compute(a: ArrayData, b: ArrayData): Any
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    if (a == null) return null
-    val b = right.eval(input)
-    if (b == null) return null
-    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  }
 }
 
 /** Σ aᵢ·bᵢ — sequential accumulation (parity with DuckDB list_dot_product). */
 case class VecDot(left: Expression, right: Expression) extends VectorBinary {
-  override protected def compute(a: ArrayData, b: ArrayData): Any = {
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) in one pass. */
 case class VecCosine(left: Expression, right: Expression) extends VectorBinary {
-  override protected def compute(a: ArrayData, b: ArrayData): Any = {
+  override def nullable: Boolean = true // zero-norm input → null
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]; val b = bv.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -61,15 +64,29 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinary {
     val d = math.sqrt(na) * math.sqrt(nb)
     if (d == 0.0) null else dot / d
   }
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = $a.getDouble($i); final double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |final double $d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($d == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $d; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** Count of array elements contained in a literal string set. */
 case class CountInSet(left: Expression, right: Expression)
-    extends Expression with CodegenFallback with ExpectsInputTypes {
-  override def children: Seq[Expression] = Seq(left, right)
+    extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq[DataType](ArrayType(StringType), ArrayType(StringType))
-  override def nullable: Boolean = true
   override def dataType: DataType = IntegerType
   require(right.foldable, "count_in_set: the set argument must be foldable")
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
@@ -79,21 +96,31 @@ case class CountInSet(left: Expression, right: Expression)
     while (i < arr.numElements()) { s.add(arr.getUTF8String(i)); i += 1 }
     s
   }
-  override def eval(input: InternalRow): Any = {
-    val v = left.eval(input)
-    if (v == null) null
-    else {
-      val arr = v.asInstanceOf[ArrayData]
-      var c = 0; var i = 0
-      while (i < arr.numElements()) {
-        val e = arr.getUTF8String(i)
-        if (e != null && set.contains(e)) c += 1
-        i += 1
-      }
-      c
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val arr = av.asInstanceOf[ArrayData]
+    var c = 0; var i = 0
+    while (i < arr.numElements()) {
+      val e = arr.getUTF8String(i)
+      if (e != null && set.contains(e)) c += 1
+      i += 1
     }
+    c
   }
-  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("inSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val e = ctx.freshName("e")
+      s"""
+         |int $c = 0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  final org.apache.spark.unsafe.types.UTF8String $e = $a.getUTF8String($i);
+         |  if ($e != null && $setRef.contains($e)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 object VectorSql {
@@ -102,8 +129,12 @@ object VectorSql {
     reg.createOrReplaceTempFunction("vec_dot", e => VecDot(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine", e => VecCosine(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("count_in_set", e => CountInSet(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("text_stats", e => TextStats(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("lang_hits", e => TextHits(e(0), e(1)), "built-in")
   }
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def count_in_set(a: Column, s: Column): Column = call_function("count_in_set", a, s)
+  def text_stats(t: Column, stops: Column): Column = call_function("text_stats", t, stops)
+  def lang_hits(t: Column, sets: Column): Column = call_function("lang_hits", t, sets)
 }

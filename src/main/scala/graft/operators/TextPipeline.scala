@@ -43,32 +43,37 @@ object TextPipeline {
       .distinct()
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // token counting (whitespace tokenizer)
+    // token counting (whitespace tokenizer; one-pass kernel, no token array)
     "text_tokens" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), size(toks).as("n_tokens"))
+      docs(s, dir).select(col("doc_id"),
+        VectorSql.text_stats(col("text"), typedlit(Seq.empty[String]))
+          .getField("n_tokens").as("n_tokens"))
     }),
 
-    // quality scoring: punctuation / stopword / token-length signals
+    // quality scoring: punctuation / stopword / token-length signals — all
+    // four outputs derive from ONE text_stats pass (codegen CSE dedups the
+    // struct call after Project collapse)
     "text_quality" -> ((s, dir) => {
       docs(s, dir)
-        .withColumn("n_tokens", size(toks))
-        .withColumn("punct_n", length(regexp_replace(col("text"), "[^.,!?;:]", "")))
-        .withColumn("stop_ratio", round(
-          VectorSql.count_in_set(toks, typedlit(stopwords)) / col("n_tokens"), 4))
-        .withColumn("avg_tok_len", round(
-          length(regexp_replace(col("text"), "\\s+", "")) / col("n_tokens"), 4))
-        .select(col("doc_id"), col("n_tokens"), col("punct_n"),
-          col("stop_ratio"), col("avg_tok_len"))
+        .withColumn("st", VectorSql.text_stats(col("text"), typedlit(stopwords)))
+        .select(col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.punct_n").as("punct_n"),
+          round(col("st.stop_hits") / col("st.n_tokens"), 4).as("stop_ratio"),
+          round(col("st.nonws_len") / col("st.n_tokens"), 4).as("avg_tok_len"))
     }),
 
-    // language-ID: stopword-profile n-gram heuristic (argmax of profile hits)
+    // language-ID: stopword-profile heuristic (argmax of profile hits);
+    // all four profiles counted in a single tokenizer pass
     "text_langid" -> ((s, dir) => {
-      def hits(ws: Seq[String]): Column = VectorSql.count_in_set(toks, typedlit(ws))
       docs(s, dir)
-        .withColumn("en_hits", hits(Seq("the", "a", "of", "and")))
-        .withColumn("es_hits", hits(Seq("el", "la", "de", "y")))
-        .withColumn("fr_hits", hits(Seq("le", "les", "et", "une")))
-        .withColumn("de_hits", hits(Seq("der", "die", "und", "das")))
+        .withColumn("h", VectorSql.lang_hits(col("text"), typedlit(Seq(
+          Seq("the", "a", "of", "and"), Seq("el", "la", "de", "y"),
+          Seq("le", "les", "et", "une"), Seq("der", "die", "und", "das")))))
+        .withColumn("en_hits", col("h").getItem(0))
+        .withColumn("es_hits", col("h").getItem(1))
+        .withColumn("fr_hits", col("h").getItem(2))
+        .withColumn("de_hits", col("h").getItem(3))
         .withColumn("pred_lang",
           when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") &&
             col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")

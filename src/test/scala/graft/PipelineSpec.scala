@@ -64,6 +64,22 @@ class PipelineSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getString(2).split(",").length == 8))
   }
 
+  test("text kernels run inside WholeStageCodegen (no interpreted fallback)") {
+    // fallback=false makes janino compile errors throw instead of silently
+    // reverting to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("text_tokens", "text_quality", "text_langid").foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("*("), s"$q should be whole-stage-codegen'd:\n$plan")
+        assert(df.collect().length == 500)
+      }
+      // vector kernels: same check through the cosine top-k path
+      assert(SparkEntry.queries("sim_cosine_topk")(spark, sf).collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("pipeline single-pass ops contain no shuffle (map-only plans)") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint", "mm_meta")
       .foreach { q =>
