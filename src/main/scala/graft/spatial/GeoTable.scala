@@ -95,40 +95,29 @@ object GeoTable {
     case _ => false
   }
 
-  /** One distributed pass computing per-file min/max for every stat leaf of
-    * the named data files. Temporal leaves are normalized to the same
-    * physical numbers Catalyst literals carry (µs for timestamps, days for
-    * dates) so [[FileStats.cmp]] compares like with like.
+  /** Per-file min/max for every stat leaf of the named data files, from
+    * parquet FOOTERS — no second data pass after a write (see
+    * [[FooterStats]]). Footer reads are distributed over executors when the
+    * file count warrants it; each returns one small stats record.
     */
   def collectStats(spark: SparkSession, path: String, names: Seq[String]): Seq[FileStats] = {
-    val df = spark.read.parquet(names.map(n => s"$path/$n"): _*)
     // declared geometry columns (e.g. multi-MB WKT polygons) carry no
     // pruning value — their bbox shadow struct does; keep them out of the
     // manifest's value stats
     val geomCols = GeometryFields.get(path).keySet
-    val leaves = statLeaves(df.schema).filterNot { case (n, _) =>
-      geomCols.contains(n.split('.').head) }
-    def norm(n: String, d: DataType): Column = d match {
-      case TimestampType => unix_micros(col(n))
-      case DateType => datediff(col(n), lit(java.sql.Date.valueOf("1970-01-01")))
-      case _ => col(n)
-    }
-    val aggs = leaves.flatMap { case (n, d) =>
-      Seq(min(norm(n, d)).as(s"min:$n"), max(norm(n, d)).as(s"max:$n"))
-    } ++ Seq(count(lit(1)).as("rows"))
-    val perFile = df
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    perFile.toSeq.map { r =>
-      val full = new Path(r.getAs[String]("file"))
-      val rel = full.getName
-      val size = fs.getFileStatus(new Path(new Path(path), rel)).getLen
-      val mins = leaves.map { case (n, _) => n -> r.getAs[Any](s"min:$n") }.toMap
-      val maxs = leaves.map { case (n, _) => n -> r.getAs[Any](s"max:$n") }.toMap
-      FileStats(rel, r.getAs[Long]("rows"), size, mins, maxs)
-    }.sortBy(_.path)
+    val stats =
+      if (names.size <= 8) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        names.map(n => FooterStats.read(path, n, conf, geomCols))
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(names, math.min(names.size, spark.sparkContext.defaultParallelism))
+          .map(n => FooterStats.read(path, n, conf.value, geomCols))
+          .collect().toSeq
+      }
+    stats.sortBy(_.path)
   }
 
   /** Compute and publish the manifest for every data file in the directory

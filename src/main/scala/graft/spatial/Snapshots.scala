@@ -229,16 +229,63 @@ object Snapshots {
 
   /** Changelog between two snapshots: row-level inserts/deletes with a
     * `_change_type` column (the reference's `create_changelog_view`
-    * procedure / `SparkChangelogTable`). Files are immutable, so only rows
-    * from files that entered or left the snapshot can differ; copy-on-write
-    * rewrites re-materialize surviving rows, which `exceptAll` cancels out.
+    * procedure / `SparkChangelogTable`, which also diffs at the manifest
+    * level). Data files are immutable, so the diff is computed from the two
+    * manifests' file lists: only files that ENTERED or LEFT the snapshot are
+    * read (copy-on-write rewrites re-materialize surviving rows, which the
+    * small `exceptAll` across just those files cancels out). Rows in
+    * unchanged files can only flip visibility when the MoR delete-predicate
+    * set changed — those files are included only if their stats might match
+    * a changed predicate. At 100 TB an append/CoW commit diff therefore
+    * scans O(changed files), not 2× the table.
     */
   def changes(spark: SparkSession, path: String, fromVersion: Int, toVersion: Int): DataFrame = {
-    val from = read(spark, path, Some(fromVersion))
-    val to = read(spark, path, Some(toVersion))
-    val inserted = to.exceptAll(from).withColumn("_change_type", lit("insert"))
-    val deleted = from.exceptAll(to).withColumn("_change_type", lit("delete"))
-    inserted.unionAll(deleted)
+    val fromM = readManifest(path, Some(fromVersion))
+    val toM = readManifest(path, Some(toVersion))
+    val fromNames = fromM.map(_.path).toSet
+    val toNames = toM.map(_.path).toSet
+    val entered = toM.filterNot(f => fromNames(f.path))
+    val left = fromM.filterNot(f => toNames(f.path))
+    val delsFrom = readDeletes(path, Some(fromVersion))
+    val delsTo = readDeletes(path, Some(toVersion))
+
+    // common files whose rows may have flipped visibility via MoR predicates
+    val changedPreds = delsTo.diff(delsFrom) ++ delsFrom.diff(delsTo)
+    val common = toM.filter(f => fromNames(f.path))
+    val touched =
+      if (changedPreds.isEmpty) Nil
+      else {
+        val conds = changedPreds.flatMap { p =>
+          GeoTable.readWithStats(spark, path, toM).filter(expr(p))
+            .queryExecution.optimizedPlan
+            .collectFirst { case Filter(c, _) => c }
+        }
+        if (conds.size < changedPreds.size) common // unresolvable → read all common (safe)
+        else common.filter(f => conds.exists(f.mightMatch))
+      }
+
+    def visible(files: Seq[FileStats], dels: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(GeoTable.applyDeletes(
+        readFilesDecoded(spark, path, files.map(_.path)), dels))
+
+    // an empty side must be a LocalRelation, not a limit(0) over the
+    // snapshot — the latter would still register every file as a scan input
+    def emptyLike(d: DataFrame): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), d.schema)
+
+    (visible(left ++ touched, delsFrom), visible(entered ++ touched, delsTo)) match {
+      case (None, None) =>
+        val schema = read(spark, path, Some(toVersion)).schema
+          .add("_change_type", org.apache.spark.sql.types.StringType)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case (f, t) =>
+        val fromSide = f.getOrElse(emptyLike(t.get))
+        val toSide = t.getOrElse(emptyLike(f.get))
+        val inserted = toSide.exceptAll(fromSide).withColumn("_change_type", lit("insert"))
+        val deleted = fromSide.exceptAll(toSide).withColumn("_change_type", lit("delete"))
+        inserted.unionAll(deleted)
+    }
   }
 
   /** History metadata table: one row per snapshot. */

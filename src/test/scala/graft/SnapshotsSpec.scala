@@ -193,6 +193,21 @@ class SnapshotsSpec extends AnyFunSuite {
       .groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(v23 == Map("delete" -> 5L), s"got $v23")
+
+    // manifest-diff: a pure append reads ONLY the entered files — v1's
+    // unchanged files never appear as scan inputs
+    val v1files = Snapshots.readManifest(dir, Some(1)).map(_.path).toSet
+    val scanned = Snapshots.changes(spark, dir, 1, 2)
+      .inputFiles.map(f => f.split('/').last).toSet
+    assert((scanned & v1files).isEmpty,
+      s"changelog scanned unchanged files: ${scanned & v1files}")
+
+    // MoR predicate change: only stats-matching common files are diffed
+    val v4 = Snapshots.deleteMoR(spark, dir, "id >= 40 and id < 43")
+    val v34 = Snapshots.changes(spark, dir, 3, 4)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v34 == Map("delete" -> 3L), s"got $v34")
   }
 
   test("hilbert sort compaction rewrites into fewer clustered files") {
