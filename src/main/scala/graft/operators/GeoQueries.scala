@@ -121,6 +121,28 @@ object GeoQueries {
         .agg(count(lit(1)).as("n_points"))
     }),
 
+    // partitioned geo table: identity partition (quadrant) + hilbert
+    // clustering; read back with a combined partition + spatial predicate —
+    // the reference's partitioned pruning matrix as an end-to-end query
+    "geo_partitioned_prune" -> ((s, dir) => {
+      import graft.spatial.GeoTable
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_parttable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val src = pts(s, dir)
+        .withColumn("pq",
+          when(col("x") > 0 && col("y") > 0, 0)
+            .when(col("x") <= 0 && col("y") > 0, 1)
+            .when(col("x") <= 0 && col("y") <= 0, 2)
+            .otherwise(3))
+        .select(col("c_custkey"), col("x"), col("y"), col("pq"), col("geom"))
+      GeoTable.write(src, path, "geom", res = 10, numFiles = 4,
+        partitionBy = Seq("pq"))
+      GeoTable.read(s, path)
+        .filter(col("pq") === 0 && st_intersects(col("geom"),
+          st_makeenvelope(lit(-60.0), lit(-45.0), lit(60.0), lit(45.0))))
+        .select(col("c_custkey"), col("x"), col("y"))
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -148,6 +170,11 @@ object GeoQueries {
     "geo_table_roundtrip" ->
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
          |WHERE x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
+
+    "geo_partitioned_prune" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE x > 0 AND y > 0
+         |  AND x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
 
     "geo_spatial_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,

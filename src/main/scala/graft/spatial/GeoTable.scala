@@ -60,7 +60,8 @@ object GeoTable {
       res: Int = DefaultResolution,
       bounds: (Double, Double, Double, Double) = WorldBounds,
       numFiles: Int = 0,
-      storageEncoding: Option[String] = None): Unit = {
+      storageEncoding: Option[String] = None,
+      partitionBy: Seq[String] = Nil): Unit = {
     GeoSql.install(df.sparkSession)
     val h = hilbertCol(geomCol, res, bounds)
     val withShadow = withBbox(df, geomCol).withColumn("__hilbert", h)
@@ -74,25 +75,30 @@ object GeoTable {
       case Some(e) => sorted.withColumn(geomCol, GeometryEncoding.encode(col(geomCol), e))
       case None => sorted
     }
-    stored.write.mode("overwrite").parquet(path)
+    val writer = stored.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
     // record the encoding BEFORE stats collection so declared geometry
     // columns are excluded from value stats (bbox carries the pruning info)
     storageEncoding.foreach(e => GeometryFields.putUnchecked(path, Map(geomCol -> e)))
-    writeManifest(df.sparkSession, path)
+    writeManifest(df.sparkSession, path, partitionBy)
   }
 
-  /** Leaves we collect stats for: top-level primitives + one struct level. */
-  private def statLeaves(schema: StructType): Seq[(String, DataType)] =
-    schema.fields.flatMap {
-      case StructField(n, s: StructType, _, _) =>
-        s.fields.collect { case StructField(f, d, _, _) if isStatType(d) => (s"$n.$f", d) }.toSeq
-      case StructField(n, d, _, _) if isStatType(d) => Seq((n, d))
-      case _ => Nil
-    }.toSeq
-
-  private def isStatType(d: DataType): Boolean = d match {
-    case _: NumericType | StringType | DateType | TimestampType => true
-    case _ => false
+  /** All data files of the table, as base-relative paths (partition
+    * directories included — `p=3/part-...parquet`).
+    */
+  private[spatial] def dataFileNames(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(new Path(path))
+    if (!fs.exists(base)) return Nil
+    val it = fs.listFiles(base, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        buf += base.toUri.relativize(st.getPath.toUri).toString
+      }
+    }
+    buf.toSeq
   }
 
   /** Per-file min/max for every stat leaf of the named data files, from
@@ -123,13 +129,11 @@ object GeoTable {
   /** Compute and publish the manifest for every data file in the directory
     * (also recorded as snapshot v1+ via [[Snapshots]] naming).
     */
-  def writeManifest(spark: SparkSession, path: String): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val names = fs.listStatus(new Path(path)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).sorted
+  def writeManifest(spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val names = dataFileNames(spark, path).sorted
     val entries = collectStats(spark, path, names)
-    val body = manifestJson(entries)
+    val body = manifestJson(entries, Nil, partitionCols)
     Files.write(Paths.get(path, ManifestName), body.getBytes(StandardCharsets.UTF_8))
     val v = Snapshots.currentVersion(path) + 1
     Files.write(Paths.get(path, s"_graft_manifest_v$v.json"),
@@ -160,14 +164,21 @@ object GeoTable {
     }
   }
 
-  /** The pruning-FileIndex-backed relation (shared with format("graft")). */
+  /** The pruning-FileIndex-backed relation (shared with format("graft")).
+    * For partitioned tables the inferred schema's partition columns move to
+    * the relation's `partitionSchema` and their values are served from the
+    * file paths by [[GraftFileIndex]].
+    */
   def buildRelation(spark: SparkSession, path: String, stats: Seq[FileStats]): HadoopFsRelation = {
-    val schema = spark.read.parquet(path).schema
-    val index = new GraftFileIndex(spark, new Path(path), stats, schema)
+    val full = spark.read.parquet(path).schema
+    val partCols = readPartitionCols(path)
+    val partitionSchema = StructType(partCols.flatMap(c => full.fields.find(_.name == c)))
+    val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
+    val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema)
     HadoopFsRelation(
       location = index,
-      partitionSchema = new StructType(),
-      dataSchema = schema,
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
@@ -209,14 +220,16 @@ object GeoTable {
     case other => "\"" + other.toString + "\""
   }
 
-  private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil): String = {
+  private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"mins":$mins,"maxs":$maxs}"""
     }
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
-    s"""{"version":1,"deletes":$del,"files":[${files.mkString(",")}]}"""
+    val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
+    s"""{"version":1,"deletes":$del,"partitions":$parts,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
@@ -225,6 +238,22 @@ object GeoTable {
   /** Merge-on-read delete predicates of the current manifest. */
   def readDeletes(path: String): Seq[String] =
     parseDeletes(new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8))
+
+  /** Identity partition columns of the table (empty = unpartitioned). */
+  def readPartitionCols(path: String): Seq[String] = {
+    val p = Paths.get(path, ManifestName)
+    if (!Files.exists(p)) Nil
+    else parsePartitionCols(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private[spatial] def parsePartitionCols(txt: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "partitions") match {
+      case JArray(ps) => ps.collect { case JString(c) => c }
+      case _ => Nil
+    }
+  }
 
   private[spatial] def parseDeletes(txt: String): Seq[String] = {
     import org.json4s._

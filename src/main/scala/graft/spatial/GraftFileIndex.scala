@@ -3,12 +3,15 @@ package graft.spatial
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Manifest-driven [[FileIndex]]: file-level skipping from per-file min/max
-  * stats, evaluated inclusively by [[FileStats.mightMatch]].
+  * stats, evaluated inclusively by [[FileStats.mightMatch]], combined with
+  * identity partition pruning for hive-layout partition directories.
   *
   * This is the Spark-native seat of the reference's scan planning
   * (`core/src/main/java/org/apache/iceberg/ManifestGroup.java:182-268` +
@@ -16,9 +19,10 @@ import org.apache.spark.sql.types.StructType
   * manifest entries and asks `InclusiveMetricsEvaluator.eval(file)`, Spark's
   * `FileSourceScanExec` hands the pushed data filters to
   * `FileIndex.listFiles`, and we drop every file whose stats prove it can't
-  * match. The scan's `numFiles` metric then reflects true file pruning —
-  * the property the reference's `validateScan` asserts
-  * (`data/src/test/java/org/apache/iceberg/havasu/TestGeometryReadersAndWriters.java:318-337`).
+  * match. Partition predicates arrive separately as `partitionFilters` and
+  * are evaluated exactly against each file's partition values — the
+  * combination the reference's partitioned spatial matrix exercises
+  * (`data/src/test/java/org/apache/iceberg/havasu/TestGeometryReadersAndWriters.java:266-315`).
   *
   * At 100 TB this is the difference between touching every object on S3 and
   * opening only the Hilbert-clustered files whose bbox overlaps the query
@@ -28,7 +32,8 @@ class GraftFileIndex(
     spark: SparkSession,
     basePath: Path,
     stats: Seq[FileStats],
-    val dataSchema: StructType) extends FileIndex {
+    val dataSchema: StructType,
+    override val partitionSchema: StructType = new StructType()) extends FileIndex {
 
   // FileStatus built straight from the manifest (path + size are all split
   // planning needs) — no per-file RPC; a 100k-file table opens with zero
@@ -39,6 +44,11 @@ class GraftFileIndex(
         new Path(basePath, f.path))
     }.toMap
 
+  // partition values parsed once from each file's directory segments
+  private val partValues: Map[String, InternalRow] =
+    if (partitionSchema.isEmpty) Map.empty
+    else stats.map(f => f.path -> parsePartRow(f.path)).toMap
+
   /** Full manifest, for planning-time consumers (aggregate pushdown). */
   def allStats: Seq[FileStats] = stats
 
@@ -48,8 +58,50 @@ class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = stats.filter(f => dataFilters.forall(f.mightMatch))
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.map(f => FileStatusWithMetadata(statuses(f.path)))))
+    if (partitionSchema.isEmpty) {
+      Seq(PartitionDirectory(InternalRow.empty,
+        kept.map(f => FileStatusWithMetadata(statuses(f.path)))))
+    } else {
+      val bound = partitionFilters.map(bindPart)
+      kept.groupBy(f => partValues(f.path))
+        .filter { case (row, _) => bound.forall(p => p.eval(row) == true) }
+        .map { case (row, fs) =>
+          PartitionDirectory(row, fs.map(f => FileStatusWithMetadata(statuses(f.path))))
+        }.toSeq
+    }
+  }
+
+  private def bindPart(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      BoundReference(partitionSchema.fieldIndex(a.name), a.dataType, a.nullable)
+  }
+
+  private def parsePartRow(rel: String): InternalRow = {
+    val kv = rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0)
+        Some(seg.substring(0, i) ->
+          ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
+      else None
+    }.toMap
+    InternalRow.fromSeq(partitionSchema.map { f =>
+      kv.get(f.name) match {
+        case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
+        case Some(v) => castPart(v, f.dataType)
+      }
+    })
+  }
+
+  private def castPart(v: String, dt: DataType): Any = dt match {
+    case ByteType => v.toByte
+    case ShortType => v.toShort
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case FloatType => v.toFloat
+    case DoubleType => v.toDouble
+    case BooleanType => v.toBoolean
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case _ => UTF8String.fromString(v)
   }
 
   override def inputFiles: Array[String] =
@@ -58,6 +110,4 @@ class GraftFileIndex(
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long = stats.map(_.sizeBytes).sum
-
-  override def partitionSchema: StructType = new StructType()
 }

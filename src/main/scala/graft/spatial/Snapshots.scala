@@ -58,7 +58,9 @@ object Snapshots {
   private def publish(path: String, entries: Seq[FileStats],
       deletes: Seq[String] = Nil): Int = {
     val v = currentVersion(path) + 1
-    val body = GeoTable.manifestJson(entries, deletes)
+    // partitioning is table-level: carry the column list forward
+    val parts = GeoTable.readPartitionCols(path)
+    val body = GeoTable.manifestJson(entries, deletes, parts)
     Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
     v
@@ -68,13 +70,8 @@ object Snapshots {
   private def carried(path: String): Seq[String] =
     if (currentVersion(path) > 0) readDeletes(path) else Nil
 
-  private def listDataFiles(spark: SparkSession, path: String): Set[String] = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(path))) Set.empty
-    else fs.listStatus(new Path(path)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).toSet
-  }
+  private def listDataFiles(spark: SparkSession, path: String): Set[String] =
+    GeoTable.dataFileNames(spark, path).toSet
 
   /** Stats for specific files of a table (one distributed agg over them). */
   private def statsFor(spark: SparkSession, path: String, names: Seq[String]): Seq[FileStats] =
@@ -86,7 +83,8 @@ object Snapshots {
     * as [[read]]).
     */
   private def readFilesDecoded(spark: SparkSession, path: String, names: Seq[String]): DataFrame = {
-    val raw = spark.read.parquet(names.map(n => s"$path/${n}"): _*)
+    // basePath keeps hive-layout partition columns visible on subset reads
+    val raw = spark.read.option("basePath", path).parquet(names.map(n => s"$path/${n}"): _*)
     GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
       if (raw.columns.contains(c)) df.withColumn(c, GeometryEncoding.decode(org.apache.spark.sql.functions.col(c), e)) else df
     }
@@ -98,11 +96,20 @@ object Snapshots {
       if (df.columns.contains(c)) d.withColumn(c, GeometryEncoding.encode(org.apache.spark.sql.functions.col(c), e)) else d
     }
 
+  /** Append rewritten rows, preserving declared encodings and the table's
+    * partition layout (CoW rewrites land back in their partition dirs).
+    */
+  private def writeBack(df: DataFrame, path: String): Unit = {
+    val parts = GeoTable.readPartitionCols(path)
+    val w = encodeForStorage(df, path).write.mode("append")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+  }
+
   /** Append `df` as a new snapshot (new data files; old ones untouched). */
   def append(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     val before = listDataFiles(spark, path)
-    df.write.mode("append").parquet(path)
+    writeBack(df, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     val base = if (currentVersion(path) > 0) readManifest(path) else Nil
     publish(path, base ++ statsFor(spark, path, added), carried(path))
@@ -112,7 +119,7 @@ object Snapshots {
   def overwrite(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     val before = listDataFiles(spark, path)
-    df.write.mode("append").parquet(path)
+    writeBack(df, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, statsFor(spark, path, added)) // logical overwrite clears deletes
   }
@@ -147,7 +154,7 @@ object Snapshots {
     val before = listDataFiles(spark, path)
     val survivors = readFilesDecoded(spark, path, affected.map(_.path))
       .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
-    encodeForStorage(survivors, path).write.mode("append").parquet(path)
+    writeBack(survivors, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, untouched ++ statsFor(spark, path, added), carried(path))
   }
@@ -180,7 +187,7 @@ object Snapshots {
         df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
       else df
     }
-    encodeForStorage(bboxed, path).write.mode("append").parquet(path)
+    writeBack(bboxed, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, untouched ++ statsFor(spark, path, added), carried(path))
   }
@@ -214,7 +221,7 @@ object Snapshots {
         .join(src.select(col(keyCol)), Seq(keyCol), "left_anti")
         .select(table.columns.map(col): _*)
     val out = if (affected.isEmpty) src else survivors.unionByName(src)
-    encodeForStorage(out, path).write.mode("append").parquet(path)
+    writeBack(out, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, untouched ++ statsFor(spark, path, added), carried(path))
   }
@@ -318,7 +325,7 @@ object Snapshots {
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__hilbert"))
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__hilbert"))
       .drop("__hilbert")
-    encodeForStorage(clustered, path).write.mode("append").parquet(path)
+    writeBack(clustered, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     // read() applied pending MoR deletes → the rewrite materializes them
     publish(path, statsFor(spark, path, added))

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GeoCodec, GeoSql}
+import graft.spatial.{Geo, GeoTable, Snapshots}
+
+/** Partitioned graft tables: identity partition pruning combined with
+  * per-file bbox pruning — the reference's partitioned spatial matrix
+  * (`data/src/test/java/org/apache/iceberg/havasu/TestGeometryReadersAndWriters.java:266-315`
+  * in /root/reference: partition predicate + spatial predicate → 1-of-4
+  * files). Same quadrant fixture as GeoSpec, but laid out as hive
+  * partition directories `part=<q>/`.
+  */
+class PartitionedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import GeoSql._
+
+  private lazy val tableDir: String = {
+    Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_part_tbl").toString
+    val rows = for {
+      quadrant <- 0 until 4
+      k <- 1 to 10
+      (cx, cy) = quadrant match {
+        case 0 => (k.toDouble, k.toDouble)
+        case 1 => (-k.toDouble, k.toDouble)
+        case 2 => (-k.toDouble, -k.toDouble)
+        case 3 => (k.toDouble, -k.toDouble)
+      }
+      geom <- Seq(
+        GeoCodec.writeWkb(GeoCodec.point(cx, cy)),
+        GeoCodec.writeWkb(GeoCodec.point(cx, cy).buffer(0.5)))
+    } yield Row((quadrant * 10 + k - 1).toLong, quadrant, geom)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("part", IntegerType, nullable = false),
+      StructField("geom", BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // coalesce(1) → exactly one data file per partition directory
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8, partitionBy = Seq("part"))
+    dir
+  }
+
+  private def table: DataFrame = GeoTable.read(spark, tableDir)
+
+  private def validateScan(df: DataFrame): (Long, Long) = {
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val files = plan.collect { case f: FileSourceScanExec => f }
+      .map(_.metrics("numFiles").value).sum
+    (files, n)
+  }
+
+  private def env(minX: Double, minY: Double, maxX: Double, maxY: Double) =
+    st_makeenvelope(lit(minX), lit(minY), lit(maxX), lit(maxY))
+
+  test("partitioned write produces hive layout + manifest with partition col") {
+    val names = Snapshots.readManifest(tableDir).map(_.path)
+    assert(names.length == 4)
+    assert(names.forall(_.matches("part=\\d/.*\\.parquet")), names.toString)
+    assert(GeoTable.readPartitionCols(tableDir) == Seq("part"))
+  }
+
+  test("full read returns all rows with partition values restored") {
+    assert(table.count() == 80)
+    val perPart = table.groupBy("part").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perPart == Map(0 -> 20L, 1 -> 20L, 2 -> 20L, 3 -> 20L))
+  }
+
+  // the reference's partitioned matrix: partition + spatial predicates
+  test("partition predicate alone prunes to that partition's files") {
+    assert(validateScan(table.filter(col("part") === 0)) == ((1L, 20L)))
+    assert(validateScan(table.filter(col("part").isin(0, 2))) == ((2L, 40L)))
+  }
+
+  test("spatial predicate alone prunes on bbox stats across partitions") {
+    val (f, r) = validateScan(table.filter(
+      st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
+    assert((f, r) == ((2L, 4L))) // quadrants 0 and 3 overlap the window
+  }
+
+  test("partition + spatial predicate combine to 1-of-4 files") {
+    val (f, r) = validateScan(table.filter(
+      col("part") === 0 && st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
+    assert((f, r) == ((1L, 2L)))
+  }
+
+  test("contradicting partition and bbox predicates scan nothing") {
+    val (f, r) = validateScan(table.filter(
+      col("part") === 1 && st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))
+    assert((f, r) == ((0L, 0L)))
+  }
+
+  test("append and CoW delete preserve the partition layout") {
+    val dir = Files.createTempDirectory("graft_part_cow").toString
+    val mk = (ids: Range, q: Int) => {
+      val rows = ids.map { i =>
+        Row(i.toLong, q, GeoCodec.writeWkb(GeoCodec.point(
+          (if (q == 1 || q == 2) -1 else 1) * (i % 50 + 1.0),
+          (if (q >= 2) -1 else 1) * (i % 40 + 1.0))))
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("id", LongType), StructField("part", IntegerType),
+          StructField("geom", BinaryType))))
+      GeoTable.withBbox(df, "geom")
+    }
+    GeoTable.write(mk(0 until 40, 0).coalesce(1), dir, "geom", res = 8,
+      partitionBy = Seq("part"))
+    Snapshots.append(mk(100 until 140, 2), dir)
+    assert(Snapshots.read(spark, dir).count() == 80)
+    assert(Snapshots.readManifest(dir).map(_.path).forall(_.startsWith("part=")))
+    // CoW delete rewrites only stats-matching files, back into partition dirs
+    Snapshots.delete(spark, dir, col("id") < 5)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 75)
+    assert(t.filter(col("id") < 5).count() == 0)
+    assert(Snapshots.readManifest(dir).map(_.path).forall(_.startsWith("part=")))
+    // partition pruning still works after the rewrite
+    val (f, _) = validateScan(t.filter(col("part") === 2))
+    val p2files = Snapshots.readManifest(dir).count(_.path.startsWith("part=2"))
+    assert(f == p2files.toLong)
+  }
+}
