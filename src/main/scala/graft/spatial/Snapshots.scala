@@ -339,18 +339,84 @@ object Snapshots {
     publish(path, readManifest(path, Some(toVersion)),
       readDeletes(path, Some(toVersion)))
 
-  /** Drop all but the newest `keep` snapshots and remove data files no
-    * surviving snapshot references (the reference's expire_snapshots +
-    * remove_orphan_files procedures).
+  /** `set_current_snapshot`: same mechanics as rollback but allowed to move
+    * forward as well (any still-retained version).
     */
-  def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1): Unit = {
+  def setCurrentSnapshot(spark: SparkSession, path: String, toVersion: Int): Int =
+    rollback(spark, path, toVersion)
+
+  /** Newest version whose manifest was committed at or before `tsMillis`
+    * (commit time = manifest file mtime).
+    */
+  def versionAsOfTimestamp(path: String, tsMillis: Long): Int = {
+    val vs = (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
+    val ok = vs.filter(v =>
+      Files.getLastModifiedTime(manifestPath(path, v)).toMillis <= tsMillis)
+    require(ok.nonEmpty, s"no snapshot committed at or before $tsMillis")
+    ok.max
+  }
+
+  /** The reference's `rollback_to_timestamp` procedure. */
+  def rollbackToTimestamp(spark: SparkSession, path: String, tsMillis: Long): Int =
+    rollback(spark, path, versionAsOfTimestamp(path, tsMillis))
+
+  /** Cherry-pick an APPEND snapshot onto the current one: the files `v`
+    * added relative to its parent join the current manifest (the
+    * reference's `cherrypick_snapshot`, restricted like Iceberg to
+    * append-shaped snapshots — a snapshot that removed files is rejected).
+    */
+  def cherrypick(spark: SparkSession, path: String, v: Int): Int = {
+    require(v > 1, "cannot cherry-pick the initial snapshot")
+    val parent = readManifest(path, Some(v - 1)).map(_.path).toSet
+    val snap = readManifest(path, Some(v))
+    val removed = parent -- snap.map(_.path).toSet
+    require(removed.isEmpty,
+      s"cherrypick supports append snapshots only; v$v removed ${removed.size} file(s)")
+    val added = snap.filterNot(f => parent(f.path))
+    val current = readManifest(path)
+    val currentNames = current.map(_.path).toSet
+    publish(path, current ++ added.filterNot(f => currentNames(f.path)), carried(path))
+  }
+
+  /** Register data files present in the table directory but referenced by
+    * no snapshot (the reference's `add_files` import procedure for
+    * path-based tables). Returns (newVersion, filesAdded).
+    */
+  def addFiles(spark: SparkSession, path: String): (Int, Int) = {
+    val known = readManifest(path).map(_.path).toSet
+    val unregistered = (listDataFiles(spark, path) -- known).toSeq.sorted
+    if (unregistered.isEmpty) (currentVersion(path), 0)
+    else (publish(path, readManifest(path) ++ statsFor(spark, path, unregistered),
+      carried(path)), unregistered.size)
+  }
+
+  /** Drop all but the newest `keep` snapshots and remove data files no
+    * surviving snapshot references (the reference's expire_snapshots
+    * procedure). Returns the number of data files deleted.
+    */
+  def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1): Int = {
     val cur = currentVersion(path)
     val keepVersions = ((cur - keep + 1) max 1) to cur
     val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     (1 until keepVersions.head).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
-    listDataFiles(spark, path).filterNot(referenced).foreach { orphan =>
+    val orphans = listDataFiles(spark, path).filterNot(referenced)
+    orphans.foreach { orphan =>
       fs.delete(new Path(new Path(path), orphan), false)
     }
+    orphans.size
+  }
+
+  /** Delete data files referenced by NO retained snapshot (the reference's
+    * `remove_orphan_files`): files left behind by failed writes. Returns
+    * the number deleted.
+    */
+  def removeOrphanFiles(spark: SparkSession, path: String): Int = {
+    val versions = (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
+    val referenced = versions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = listDataFiles(spark, path).filterNot(referenced)
+    orphans.foreach(o => fs.delete(new Path(new Path(path), o), false))
+    orphans.size
   }
 }

@@ -1,0 +1,189 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.spatial.{GeometryFields, Snapshots}
+
+/** SQL surface for the geo layer — the Spark-native rebuild of the
+  * reference's parser extension (`IcebergSqlExtensions.g4:69-82` +
+  * `IcebergSqlExtensionsAstBuilder.scala:218-227` and
+  * `SetGeometryFieldsExec.scala:43-73` in /root/reference):
+  *
+  *   ALTER TABLE '<path>' SET GEOMETRY FIELDS col AS 'wkb' [, col2 AS 'wkt']
+  *   CALL graft.system.<procedure>(arg [, name => arg ...])
+  *
+  * Tables are path-addressed (quoted string or backquoted identifier).
+  * Everything that isn't one of these two statements delegates to Spark's
+  * parser, so the extension is a pure superset of Spark SQL.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftStatements.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String) = delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+}
+
+object GraftStatements {
+
+  private val AlterRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+SET\s+GEOMETRY\s+FIELDS\s+(.+?)\s*$""".r
+  private val FieldRe = """(?is)^\s*([\w.`]+)\s+AS\s+'([^']*)'\s*$""".r
+  private val CallRe = """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*$""".r
+
+  def tryParse(sql: String): Option[LogicalPlan] = sql match {
+    case AlterRe(tbl, fieldList) =>
+      val fields = splitTopLevel(fieldList).map {
+        case FieldRe(c, enc) => stripQuotes(c) -> enc.toLowerCase
+        case bad => throw new IllegalArgumentException(
+          s"SET GEOMETRY FIELDS expects `col AS 'encoding'`, got: $bad")
+      }
+      Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
+    case CallRe(proc, argList) =>
+      val (pos, named) = parseArgs(splitTopLevel(argList))
+      Some(CallProcedureCommand(proc.toLowerCase, pos, named))
+    case _ => None
+  }
+
+  private def stripQuotes(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) || (t.startsWith("`") && t.endsWith("`")))
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split on top-level commas (quotes respected). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    s.foreach {
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case ',' if !inQuote => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty || s.trim.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `value` or `name => value`; values are 'strings', longs, doubles,
+    * or booleans (the reference's constant callArgument rule).
+    */
+  private def parseArgs(args: Seq[String]): (Seq[Any], Map[String, Any]) = {
+    val pos = Seq.newBuilder[Any]
+    val named = Map.newBuilder[String, Any]
+    args.foreach { a =>
+      val i = a.indexOf("=>")
+      if (i >= 0 && !a.take(i).contains('\'')) {
+        named += a.take(i).trim.toLowerCase -> parseValue(a.drop(i + 2).trim)
+      } else pos += parseValue(a)
+    }
+    (pos.result(), named.result())
+  }
+
+  private def parseValue(v: String): Any = {
+    val t = v.trim
+    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    else if (t.equalsIgnoreCase("true")) true
+    else if (t.equalsIgnoreCase("false")) false
+    else if (t.matches("[-+]?\\d+")) t.toLong
+    else if (t.matches("[-+]?\\d*\\.\\d+([eE][-+]?\\d+)?")) t.toDouble
+    else throw new IllegalArgumentException(s"unsupported CALL argument: $t")
+  }
+}
+
+/** `ALTER TABLE '<path>' SET GEOMETRY FIELDS c AS 'enc' [, ...]` — promote
+  * (or demote, enc = 'none') columns with physical-type validation.
+  */
+case class SetGeometryFieldsCommand(path: String, fields: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    fields.foreach { case (c, enc) =>
+      GeometryFields.setGeometryField(spark, path, c, enc)
+    }
+    Seq.empty
+  }
+}
+
+/** `CALL graft.system.<proc>(...)` — maintenance procedures over the
+  * snapshot layer (the reference ships these under
+  * `spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/procedures/`).
+  */
+case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, Any])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("result", LongType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = false)())
+
+  private def arg(i: Int, name: String): Any =
+    named.getOrElse(name, if (pos.length > i) pos(i)
+    else throw new IllegalArgumentException(s"$proc: missing argument '$name'"))
+  private def argOpt(i: Int, name: String): Option[Any] =
+    named.get(name).orElse(pos.lift(i))
+  private def str(v: Any): String = v.toString
+  private def int(v: Any): Int = v match {
+    case l: Long => l.toInt
+    case i: Int => i
+    case s: String => s.toInt
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = str(arg(0, "table"))
+    proc match {
+      case "expire_snapshots" =>
+        val deleted = Snapshots.expireSnapshots(spark, table,
+          argOpt(1, "keep").map(int).getOrElse(1))
+        Seq(Row(deleted.toLong, "deleted_data_files"))
+      case "remove_orphan_files" =>
+        Seq(Row(Snapshots.removeOrphanFiles(spark, table).toLong, "deleted_orphan_files"))
+      case "rewrite_data_files" =>
+        val v = Snapshots.rewriteCompact(spark, table,
+          str(arg(1, "geometry_col")), int(arg(2, "num_files")),
+          argOpt(3, "resolution").map(int).getOrElse(graft.spatial.GeoTable.DefaultResolution))
+        Seq(Row(v.toLong, "new_version"))
+      case "rollback_to_snapshot" =>
+        Seq(Row(Snapshots.rollback(spark, table, int(arg(1, "version"))).toLong, "new_version"))
+      case "rollback_to_timestamp" =>
+        val ts = arg(1, "timestamp") match {
+          case l: Long => l
+          case s: String => java.sql.Timestamp.valueOf(s).getTime
+          case other => throw new IllegalArgumentException(s"bad timestamp: $other")
+        }
+        Seq(Row(Snapshots.rollbackToTimestamp(spark, table, ts).toLong, "new_version"))
+      case "set_current_snapshot" =>
+        Seq(Row(Snapshots.setCurrentSnapshot(spark, table, int(arg(1, "version"))).toLong,
+          "new_version"))
+      case "cherrypick_snapshot" =>
+        Seq(Row(Snapshots.cherrypick(spark, table, int(arg(1, "version"))).toLong, "new_version"))
+      case "add_files" =>
+        val (v, n) = Snapshots.addFiles(spark, table)
+        Seq(Row(n.toLong, s"files_added;new_version=$v"))
+      case "create_changelog_view" =>
+        val view = str(arg(3, "view"))
+        Snapshots.changes(spark, table, int(arg(1, "from_version")), int(arg(2, "to_version")))
+          .createOrReplaceTempView(view)
+        Seq(Row(1L, s"view=$view"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown procedure: graft.system.$other")
+    }
+  }
+}

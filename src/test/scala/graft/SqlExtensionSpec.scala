@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoCodec
+import graft.spatial.{GeometryFields, GeoTable, Snapshots}
+
+/** SQL-only exercise of the parser extension: `ALTER TABLE … SET GEOMETRY
+  * FIELDS` and `CALL graft.system.*` (the reference's
+  * `IcebergSqlExtensions.g4` surface), end-to-end through spark.sql().
+  */
+class SqlExtensionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkTable(n: Int): String = {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_sql").toString
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, i % 40 + 1.0)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("geom", BinaryType))))
+    GeoTable.write(df, dir, "geom", res = 8, numFiles = 2)
+    dir
+  }
+
+  test("ALTER TABLE ... SET GEOMETRY FIELDS promotes and demotes via SQL") {
+    val dir = mkTable(20)
+    spark.sql(s"ALTER TABLE '$dir' SET GEOMETRY FIELDS geom AS 'wkb'")
+    assert(GeometryFields.get(dir) == Map("geom" -> "wkb"))
+    // demote
+    spark.sql(s"ALTER TABLE '$dir' SET GEOMETRY FIELDS geom AS 'none'")
+    assert(GeometryFields.get(dir).isEmpty)
+    // physical-type mismatch rejected (binary column can't be wkt)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$dir' SET GEOMETRY FIELDS geom AS 'wkt'")
+    }
+    // unknown statements still parse through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").collect().head.getInt(0) == 2)
+  }
+
+  test("CALL rollback_to_snapshot / set_current_snapshot round-trip") {
+    val dir = mkTable(30)
+    Snapshots.append(Snapshots.read(spark, dir).limit(5), dir)
+    assert(Snapshots.read(spark, dir).count() == 35)
+    val out = spark.sql(s"CALL graft.system.rollback_to_snapshot('$dir', 1)").collect()
+    assert(out.head.getLong(0) == 3L) // new version
+    assert(Snapshots.read(spark, dir).count() == 30)
+    spark.sql(s"CALL graft.system.set_current_snapshot(table => '$dir', version => 2)")
+    assert(Snapshots.read(spark, dir).count() == 35)
+  }
+
+  test("CALL rewrite_data_files + expire_snapshots maintain the table") {
+    val dir = mkTable(40)
+    Snapshots.append(Snapshots.read(spark, dir), dir) // double it
+    val before = Snapshots.readManifest(dir).size
+    val v = spark.sql(
+      s"CALL graft.system.rewrite_data_files('$dir', 'geom', 2, resolution => 8)")
+      .collect().head.getLong(0)
+    assert(Snapshots.readManifest(dir).size == 2 && before > 2)
+    assert(Snapshots.read(spark, dir).count() == 80)
+    val deleted = spark.sql(s"CALL graft.system.expire_snapshots('$dir', 1)")
+      .collect().head.getLong(0)
+    assert(deleted > 0, "expire must drop the pre-compaction files")
+    assert(Snapshots.read(spark, dir).count() == 80)
+    assert(Snapshots.currentVersion(dir) == v)
+  }
+
+  test("CALL cherrypick_snapshot re-applies an append; add_files registers strays") {
+    val dir = mkTable(20)
+    Snapshots.append(Snapshots.read(spark, dir).limit(3), dir) // v2: +3
+    spark.sql(s"CALL graft.system.rollback_to_snapshot('$dir', 1)") // v3 = v1
+    assert(Snapshots.read(spark, dir).count() == 20)
+    spark.sql(s"CALL graft.system.cherrypick_snapshot('$dir', 2)")
+    assert(Snapshots.read(spark, dir).count() == 23)
+    // cherry-picking a non-append (the rollback removed files vs its parent) fails
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.cherrypick_snapshot('$dir', 3)")
+    }
+    // add_files: drop a stray parquet into the dir, register it
+    val stray = Snapshots.read(spark, dir).limit(2).drop("geom_bbox")
+    GeoTable.withBbox(stray, "geom").coalesce(1).write.mode("append").parquet(dir)
+    val added = spark.sql(s"CALL graft.system.add_files('$dir')").collect().head.getLong(0)
+    assert(added >= 1)
+    assert(Snapshots.read(spark, dir).count() == 25)
+  }
+
+  test("CALL create_changelog_view exposes row-level diffs to SQL") {
+    val dir = mkTable(25)
+    Snapshots.append(Snapshots.read(spark, dir).limit(4), dir)
+    spark.sql(
+      s"CALL graft.system.create_changelog_view('$dir', 1, 2, 'cdc_v12')")
+    val counts = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM cdc_v12 GROUP BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("insert" -> 4L))
+  }
+
+  test("CALL rollback_to_timestamp picks the right snapshot by commit time") {
+    val dir = mkTable(10)
+    Thread.sleep(1100) // manifest mtime granularity
+    val t1 = System.currentTimeMillis()
+    Snapshots.append(Snapshots.read(spark, dir).limit(2), dir)
+    assert(Snapshots.read(spark, dir).count() == 12)
+    val v = spark.sql(s"CALL graft.system.rollback_to_timestamp('$dir', $t1)")
+      .collect().head.getLong(0)
+    assert(v == 3L)
+    assert(Snapshots.read(spark, dir).count() == 10)
+  }
+
+  test("CALL remove_orphan_files deletes unreferenced data files") {
+    val dir = mkTable(20)
+    // stray file never registered in any snapshot
+    Snapshots.read(spark, dir).limit(1).write.mode("append").parquet(dir)
+    val removed = spark.sql(s"CALL graft.system.remove_orphan_files('$dir')")
+      .collect().head.getLong(0)
+    assert(removed == 1L)
+    assert(Snapshots.read(spark, dir).count() == 20)
+  }
+}
