@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -123,6 +124,86 @@ case class CountInSet(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
+/** Banded random-hyperplane signatures: one pass over the vector computes
+  * `bands` signatures of `bitsPerBand` sign bits each (array<int>). The
+  * LSH analogue of MinHash banding — bucket count per band is
+  * 2^bitsPerBand, chosen from corpus size by the caller so collision
+  * groups stay O(1) as N grows (a fixed bucket count would degenerate to
+  * all-pairs at 100 TB). `vec_band_sig(v, planes, bands, bitsPerBand)`;
+  * planes/bands/bits must be foldable.
+  */
+case class VecBandSig(vec: Expression, planesE: Expression, bandsE: Expression, bitsE: Expression)
+    extends Expression with ExpectsInputTypes {
+  override def children: Seq[Expression] = Seq(vec, planesE, bandsE, bitsE)
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), IntegerType, IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = vec.nullable
+  require(planesE.foldable && bandsE.foldable && bitsE.foldable,
+    "vec_band_sig: planes/bands/bits must be foldable")
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val outer = planesE.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val bands: Int = bandsE.eval(null).asInstanceOf[Int]
+  @transient private lazy val bits: Int = bitsE.eval(null).asInstanceOf[Int]
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null
+    else VectorKernels.bandSignatures(v.asInstanceOf[ArrayData], planes, bands, bits)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val v = vec.genCode(ctx)
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    val resultCode =
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.bandSignatures(
+         |  ${v.value}, $ref, $bands, $bits);
+       """.stripMargin
+    if (nullable) {
+      ev.copy(code = code"""
+        ${v.code}
+        boolean ${ev.isNull} = ${v.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) { $resultCode }""")
+    } else {
+      ev.copy(code = code"""
+        ${v.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        $resultCode""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3))
+}
+
+object VectorKernels {
+  /** All band signatures in one pass; plane p = band*bitsPerBand + bit. */
+  def bandSignatures(v: ArrayData, planes: Array[Array[Double]],
+      bands: Int, bitsPerBand: Int): ArrayData = {
+    val out = new Array[Int](bands)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      var j = 0
+      while (j < bitsPerBand) {
+        val plane = planes(p)
+        val n = math.min(v.numElements(), plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+        if (s > 0) out(b) |= (1 << j)
+        p += 1
+        j += 1
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(Int.box))
+  }
+}
+
 object VectorSql {
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -131,10 +212,15 @@ object VectorSql {
     reg.createOrReplaceTempFunction("count_in_set", e => CountInSet(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("text_stats", e => TextStats(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction("lang_hits", e => TextHits(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_band_sig",
+      e => VecBandSig(e(0), e(1), e(2), e(3)), "built-in")
   }
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_cosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
   def count_in_set(a: Column, s: Column): Column = call_function("count_in_set", a, s)
   def text_stats(t: Column, stops: Column): Column = call_function("text_stats", t, stops)
   def lang_hits(t: Column, sets: Column): Column = call_function("lang_hits", t, sets)
+  def vec_band_sig(v: Column, planes: Column, bands: Int, bits: Int): Column =
+    call_function("vec_band_sig", v, planes,
+      org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(bits))
 }

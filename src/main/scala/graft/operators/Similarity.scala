@@ -32,6 +32,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
   }
 
+  /** Sign bits per LSH band, scaled so collision groups stay ~32 vectors
+    * regardless of corpus size (count() is metadata-only on parquet; at
+    * 100 TB it comes from the manifest). 4..16 bits → 16..65536 buckets
+    * per band.
+    */
+  private def sizedBits(n: Long): Int =
+    math.min(16, math.max(4,
+      math.ceil(math.log(n / 32.0 + 1) / math.log(2)).toInt))
+
   /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1]). */
   private def planes(n: Int, d: Int): Seq[Seq[Double]] = {
     def splitmix(seed: Long): Long = {
@@ -62,43 +71,49 @@ object Similarity {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
-    // LSH-bucketed approximate top-3 (map-side signatures + bucket join)
+    // banded LSH approximate top-3: signatures sized to the corpus
+    // (collision groups stay O(1) as N grows), 4 bands for recall,
+    // candidates meet on any (band, sig) — exact cosine re-ranks
     "sim_ann_lsh" -> ((s, dir) => {
-      val nPlanes = 6
-      val ps = planes(nPlanes, 64)
-      def bucket(v: Column): Column =
-        (0 until nPlanes).map { j =>
-          val pl = typedlit(ps(j))
-          when(dot(v, pl) > 0, lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val e = emb(s, dir).withColumn("bucket", bucket(col("v")))
-      val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qbucket"))
+      val e0 = emb(s, dir)
+      val (bands, bits) = (4, sizedBits(e0.count()))
+      val ps = planes(bands * bits, 64)
+      val exploded = e0
+        .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
+        .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      val q = exploded.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("band").as("qband"), col("sig").as("qsig"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-      e.join(broadcast(q), col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      exploded.join(broadcast(q),
+          col("band") === col("qband") && col("sig") === col("qsig") &&
+            col("vec_id") =!= col("qid"))
+        .dropDuplicates("qid", "vec_id") // a pair may collide in several bands
         .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
-    // embedding near-duplicate pairs (cosine >= threshold) via LSH buckets
+    // embedding near-duplicate pairs (cosine >= threshold) via banded LSH;
+    // same size-scaled buckets — the within-bucket self-join stays linear
     "dedup_embed_cosine" -> ((s, dir) => {
-      val nPlanes = 3
-      val ps = planes(nPlanes, 64)
-      def bucket(v: Column): Column =
-        (0 until nPlanes).map { j =>
-          val pl = typedlit(ps(j))
-          when(dot(v, pl) > 0, lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _)
-      val e = emb(s, dir).withColumn("bucket", bucket(col("v")))
-      e.as("a").join(e.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosine(col("a.v"), col("b.v")))
-        .filter(col("cos") >= 0.3)
+      val e0 = emb(s, dir)
+      val (bands, bits) = (4, sizedBits(e0.count()))
+      val ps = planes(bands * bits, 64)
+      val exploded = e0
+        .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
+        .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      exploded.as("a").join(exploded.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          round(col("cos"), 6).as("cos"))
+          col("a.v").as("v1"), col("b.v").as("v2"))
+        .dropDuplicates("d1", "d2")
+        .withColumn("cos", cosine(col("v1"), col("v2")))
+        .filter(col("cos") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
     })
   )
 

@@ -15,8 +15,9 @@ import graft.functions.VectorSql
   * they pipeline inside WholeStageCodegen with zero shuffles. The dedup
   * family shuffles on shingle/band/chunk keys whose cardinality grows with
   * corpus size (no global broadcast); hot shingles (stopword runs) are the
-  * known skew risk — production would add a frequency cap on shingle
-  * buckets, which is a single filter on a count.
+  * known skew risk and are capped by document frequency in
+  * `dedup_ngram_jaccard` (excluded from candidate generation, re-counted
+  * exactly for surviving pairs).
   */
 object TextPipeline {
 
@@ -41,6 +42,39 @@ object TextPipeline {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
       .distinct()
+
+  /** Jaccard near-dup pairs (jac >= 0.4) with the hot-shingle candidate
+    * cap: shingles in more than `maxDf` documents are excluded from the
+    * candidate self-join (the skew key), then re-counted exactly for the
+    * surviving pairs — reported values are identical to the uncapped
+    * computation for every pair that shares at least one sub-cap shingle.
+    * Exposed for the cap spec.
+    */
+  private[graft] def jaccardPairs(d: DataFrame, maxDf: Long): DataFrame = {
+    val sh = shingles(d)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common_rare"))
+    // exact common counts: add hot-shingle matches for candidates only
+    val shHot = sh.join(broadcast(hot), Seq("s"))
+    val hotCommon = pairs.select(col("d1"), col("d2"))
+      .join(shHot.as("x"), col("d1") === col("x.doc_id"))
+      .join(shHot.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common_hot"))
+    pairs
+      .join(hotCommon, Seq("d1", "d2"), "left")
+      .withColumn("common", col("common_rare") + coalesce(col("common_hot"), lit(0L)))
+      .join(sz.as("x"), col("d1") === col("x.doc_id"))
+      .join(sz.as("y"), col("d2") === col("y.doc_id"))
+      .withColumn("jac", col("common") / (col("x.n") + col("y.n") - col("common")))
+      .filter(col("jac") >= 0.4)
+      .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace tokenizer; one-pass kernel, no token array)
@@ -101,20 +135,14 @@ object TextPipeline {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
     }),
 
-    // n-gram Jaccard near-dedup: shingle self-join → common counts → ratio
+    // n-gram Jaccard near-dedup: shingle self-join → common counts → ratio.
+    // Hot-shingle cap: shingles present in more than maxDf documents
+    // (stopword runs — the unbounded skew key of the self-join at scale)
+    // are EXCLUDED from candidate generation, then counted exactly for the
+    // surviving candidate pairs, so reported Jaccard values stay exact.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = shingles(docs(s, dir))
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sz.as("x"), col("d1") === col("x.doc_id"))
-        .join(sz.as("y"), col("d2") === col("y.doc_id"))
-        .withColumn("jac", col("common") / (col("x.n") + col("y.n") - col("common")))
-        .filter(col("jac") >= 0.4)
-        .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
+      val d = docs(s, dir)
+      jaccardPairs(d, math.max(64L, d.count() / 8))
     }),
 
     // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows

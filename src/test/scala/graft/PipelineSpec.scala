@@ -64,6 +64,24 @@ class PipelineSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getString(2).split(",").length == 8))
   }
 
+  test("hot-shingle cap excludes hot keys from candidates but keeps exact jaccard") {
+    import spark.implicits._
+    // "alpha beta gamma" appears in EVERY doc (the hot run); each near-dup
+    // pair additionally shares rare shingles
+    val boiler = "alpha beta gamma"
+    val docs = (0 until 12).map { i =>
+      val pairId = i / 2 // docs 2k and 2k+1 are near-dups
+      (i.toLong, s"$boiler unique$pairId word$pairId tail$pairId extra$i")
+    }.toDF("doc_id", "text")
+    val capped = graft.operators.TextPipeline.jaccardPairs(docs, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = graft.operators.TextPipeline.jaccardPairs(docs, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.nonEmpty)
+    // identical pair set AND identical exact jaccard values
+    assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
+  }
+
   test("text kernels run inside WholeStageCodegen (no interpreted fallback)") {
     // fallback=false makes janino compile errors throw instead of silently
     // reverting to the interpreted path
