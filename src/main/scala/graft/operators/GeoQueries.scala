@@ -143,6 +143,20 @@ object GeoQueries {
         .select(col("c_custkey"), col("x"), col("y"))
     }),
 
+    // snapshots metadata table over a freshly built 2-snapshot table —
+    // deterministic columns only (version + record_count)
+    "geo_snapshots_meta" -> ((s, dir) => {
+      import graft.spatial.{GeoTable, Snapshots}
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_snapmeta_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+      val base = pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom"))
+      GeoTable.write(base, path, "geom", res = 10, numFiles = 4)
+      Snapshots.append(
+        GeoTable.withBbox(base.filter(col("c_custkey") % 10 === 0), "geom"), path)
+      Snapshots.snapshotsTable(s, path)
+        .select(col("version"), col("record_count"))
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -175,6 +189,14 @@ object GeoQueries {
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
          |WHERE x > 0 AND y > 0
          |  AND x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
+
+    "geo_snapshots_meta" ->
+      """SELECT CAST(1 AS INTEGER) AS version,
+        | CAST(count(*) AS BIGINT) AS record_count FROM customer
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER),
+        | CAST(count(*) + (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0) AS BIGINT)
+        |FROM customer""".stripMargin,
 
     "geo_spatial_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,

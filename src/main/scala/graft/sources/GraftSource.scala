@@ -36,8 +36,23 @@ class GraftSource extends RelationProvider with DataSourceRegister {
     Geo.install(spark)
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
-    val version = parameters.get("version").map(_.toInt)
-    val stats = Snapshots.readManifest(path, version)
-    GeoTable.buildRelation(spark, path, stats)
+    parameters.get("metadata") match {
+      case Some(name) =>
+        // metadata tables are O(#files) driver-side rows — a TableScan
+        // relation over the computed frame (Iceberg's `tbl.files` surface)
+        new MetadataRelation(sqlContext, Snapshots.metadataTable(spark, path, name))
+      case None =>
+        val version = parameters.get("version").map(_.toInt)
+        val stats = Snapshots.readManifest(path, version)
+        GeoTable.buildRelation(spark, path, stats)
+    }
   }
+}
+
+private[sources] class MetadataRelation(
+    override val sqlContext: SQLContext,
+    df: org.apache.spark.sql.DataFrame)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+  override def schema: org.apache.spark.sql.types.StructType = df.schema
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = df.rdd
 }

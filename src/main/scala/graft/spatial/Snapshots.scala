@@ -309,6 +309,109 @@ object Snapshots {
       org.apache.spark.sql.types.StructField("total_bytes", org.apache.spark.sql.types.LongType))))
   }
 
+  // ---- metadata tables (the reference's MetadataTableType surface,
+  // `core/src/main/java/org/apache/iceberg/MetadataTableType.java:23-38`) --
+
+  private def mkDf(spark: SparkSession, rows: Seq[org.apache.spark.sql.Row],
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+      fields.map { case (n, t) => org.apache.spark.sql.types.StructField(n, t) }))
+  }
+
+  private def retainedVersions(path: String): Seq[Int] =
+    (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
+
+  /** `snapshots`: one row per retained snapshot with commit time and
+    * file/row deltas vs its parent.
+    */
+  def snapshotsTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = retainedVersions(path).map { v =>
+      val m = readManifest(path, Some(v))
+      val names = m.map(_.path).toSet
+      val parent = if (v > 1 && Files.exists(manifestPath(path, v - 1)))
+        readManifest(path, Some(v - 1)).map(_.path).toSet else Set.empty[String]
+      val op =
+        if (parent.isEmpty) "append"
+        else if ((parent -- names).isEmpty && (names -- parent).nonEmpty) "append"
+        else if ((parent -- names).nonEmpty && (names -- parent).nonEmpty) "overwrite"
+        else if ((parent -- names).nonEmpty) "delete"
+        else "metadata" // same file set (MoR delete / rollback no-op)
+      org.apache.spark.sql.Row(v,
+        new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(path, v)).toMillis),
+        op, m.size, (names -- parent).size, (parent -- names).size,
+        m.map(_.rows).sum, m.map(_.sizeBytes).sum)
+    }
+    mkDf(spark, rows,
+      "version" -> IntegerType, "committed_at" -> TimestampType,
+      "operation" -> StringType, "n_files" -> IntegerType,
+      "added_files" -> IntegerType, "removed_files" -> IntegerType,
+      "record_count" -> LongType, "total_bytes" -> LongType)
+  }
+
+  /** `manifests`: one row per retained manifest file. */
+  def manifestsTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = retainedVersions(path).map { v =>
+      val p = manifestPath(path, v)
+      val m = readManifest(path, Some(v))
+      org.apache.spark.sql.Row(p.getFileName.toString, v, Files.size(p),
+        m.size, m.map(_.rows).sum, readDeletes(path, Some(v)).size)
+    }
+    mkDf(spark, rows,
+      "manifest_path" -> StringType, "version" -> IntegerType,
+      "manifest_length" -> LongType, "n_data_files" -> IntegerType,
+      "total_rows" -> LongType, "n_delete_predicates" -> IntegerType)
+  }
+
+  /** `partitions`: current snapshot grouped by partition directory (one
+    * `partition=""` row for unpartitioned tables).
+    */
+  def partitionsTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = readManifest(path)
+      .groupBy(f => f.path.split('/').dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1)
+      .map { case (part, fs) =>
+        org.apache.spark.sql.Row(part, fs.size, fs.map(_.rows).sum, fs.map(_.sizeBytes).sum)
+      }
+    mkDf(spark, rows,
+      "partition" -> StringType, "n_files" -> IntegerType,
+      "record_count" -> LongType, "total_bytes" -> LongType)
+  }
+
+  /** `entries`: per-file membership of the current snapshot with status
+    * relative to the parent (added/existing).
+    */
+  def entriesTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val v = currentVersion(path)
+    val parent = if (v > 1 && Files.exists(manifestPath(path, v - 1)))
+      readManifest(path, Some(v - 1)).map(_.path).toSet else Set.empty[String]
+    val rows = readManifest(path).map { f =>
+      org.apache.spark.sql.Row(
+        if (parent(f.path)) "existing" else "added", f.path, f.rows, f.sizeBytes)
+    }
+    mkDf(spark, rows,
+      "status" -> StringType, "file_path" -> StringType,
+      "record_count" -> LongType, "file_size_in_bytes" -> LongType)
+  }
+
+  /** Unified metadata-table accessor (`files`, `history`, `snapshots`,
+    * `manifests`, `partitions`, `entries`).
+    */
+  def metadataTable(spark: SparkSession, path: String, name: String): DataFrame = name match {
+    case "files" => GeoTable.filesTable(spark, path)
+    case "history" => history(spark, path)
+    case "snapshots" => snapshotsTable(spark, path)
+    case "manifests" => manifestsTable(spark, path)
+    case "partitions" => partitionsTable(spark, path)
+    case "entries" => entriesTable(spark, path)
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table: $other (files|history|snapshots|manifests|partitions|entries)")
+  }
+
   /** Hilbert sort compaction — the reference's `rewrite_data_files` with a
     * sort order containing the hilbert term (`IcebergSortCompactionBenchmark`
     * / SURVEY.md §2.7 maintenance actions): rewrites the current snapshot

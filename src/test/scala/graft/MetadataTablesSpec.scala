@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoCodec
+import graft.spatial.{GeoTable, Snapshots}
+
+/** Metadata tables over the snapshot layer: snapshots / manifests /
+  * partitions / entries (+ pre-existing files / history), matching the
+  * reference's `MetadataTableType` surface
+  * (`core/src/main/java/org/apache/iceberg/MetadataTableType.java:23-38`).
+  */
+class MetadataTablesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mk(ids: Range, q: Int) = {
+    val rows = ids.map { i =>
+      Row(i.toLong, q, GeoCodec.writeWkb(GeoCodec.point(
+        (if (q == 1 || q == 2) -1 else 1) * (i % 50 + 1.0),
+        (if (q >= 2) -1 else 1) * (i % 40 + 1.0))))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("part", IntegerType),
+        StructField("geom", BinaryType))))
+    GeoTable.withBbox(df, "geom")
+  }
+
+  private lazy val dir: String = {
+    graft.spatial.Geo.install(spark)
+    val d = Files.createTempDirectory("graft_meta").toString
+    GeoTable.write(mk(0 until 40, 0).coalesce(1), d, "geom", res = 8,
+      partitionBy = Seq("part"))               // v1: 1 file in part=0
+    Snapshots.append(mk(100 until 140, 2), d)  // v2: +1 file in part=2
+    Snapshots.delete(spark, d, col("id") < 5)  // v3: CoW rewrite of part=0 file
+    d
+  }
+
+  test("snapshots table reports commit lineage with operations and deltas") {
+    val snaps = Snapshots.snapshotsTable(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(snaps.keySet == Set(1, 2, 3))
+    assert(snaps(1).getString(2) == "append" && snaps(1).getLong(6) == 40L)
+    assert(snaps(2).getString(2) == "append" && snaps(2).getLong(6) == 80L)
+    assert(snaps(2).getInt(4) == 1 && snaps(2).getInt(5) == 0) // +1 file, -0
+    assert(snaps(3).getString(2) == "overwrite" && snaps(3).getLong(6) == 75L)
+    assert(snaps(3).getInt(5) == 1) // CoW removed the rewritten file
+    // commit times are monotonic
+    val ts = (1 to 3).map(v => snaps(v).getTimestamp(1).getTime)
+    assert(ts == ts.sorted)
+  }
+
+  test("manifests table lists every retained manifest") {
+    val ms = Snapshots.manifestsTable(spark, dir).collect()
+    assert(ms.length == 3)
+    assert(ms.forall(_.getString(0).startsWith("_graft_manifest_v")))
+    assert(ms.forall(_.getLong(2) > 0))
+  }
+
+  test("partitions table groups the current snapshot by partition dir") {
+    val ps = Snapshots.partitionsTable(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ps == Map("part=0" -> 35L, "part=2" -> 40L))
+  }
+
+  test("entries table marks files added vs existing in the current snapshot") {
+    val es = Snapshots.entriesTable(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(es.size == 2)
+    // v3 rewrote the part=0 file (added); the part=2 file carried over
+    val byStatus = es.groupBy(_._2).view.mapValues(_.keys.toSet).toMap
+    assert(byStatus("added").forall(_.startsWith("part=0")))
+    assert(byStatus("existing").forall(_.startsWith("part=2")))
+  }
+
+  test("metadata tables are reachable through format(graft)") {
+    val snaps = spark.read.format("graft")
+      .option("metadata", "snapshots").load(dir)
+    assert(snaps.count() == 3)
+    val parts = spark.read.format("graft")
+      .option("metadata", "partitions").load(dir)
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("part=0", "part=2"))
+    intercept[Exception] {
+      spark.read.format("graft").option("metadata", "nope").load(dir).collect()
+    }
+  }
+}
