@@ -94,8 +94,11 @@ object GeoTable {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        buf += base.toUri.relativize(st.getPath.toUri).toString
+      val rel = base.toUri.relativize(st.getPath.toUri).toString
+      // hidden segments (_graft_deletes/, _SUCCESS, ...) are never data files
+      val hidden = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && rel.endsWith(".parquet") && !hidden) {
+        buf += rel
       }
     }
     buf.toSeq
@@ -221,7 +224,7 @@ object GeoTable {
   }
 
   private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
-      partitionCols: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
@@ -229,7 +232,8 @@ object GeoTable {
     }
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
     val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
-    s"""{"version":1,"deletes":$del,"partitions":$parts,"files":[${files.mkString(",")}]}"""
+    val pdel = posDeletes.map(jsonVal).mkString("[", ",", "]")
+    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
@@ -244,6 +248,16 @@ object GeoTable {
     val p = Paths.get(path, ManifestName)
     if (!Files.exists(p)) Nil
     else parsePartitionCols(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Positional delete files (`(file_path, pos)` parquet) of a manifest. */
+  private[spatial] def parsePosDeletes(txt: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "posDeletes") match {
+      case JArray(ds) => ds.collect { case JString(d) => d }
+      case _ => Nil
+    }
   }
 
   private[spatial] def parsePartitionCols(txt: String): Seq[String] = {

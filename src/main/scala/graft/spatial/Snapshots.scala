@@ -47,6 +47,10 @@ object Snapshots {
   def readDeletes(path: String, version: Option[Int] = None): Seq[String] =
     GeoTable.parseDeletes(manifestText(path, version))
 
+  /** Positional delete files of a snapshot. */
+  def readPosDeletes(path: String, version: Option[Int] = None): Seq[String] =
+    GeoTable.parsePosDeletes(manifestText(path, version))
+
   private def manifestText(path: String, version: Option[Int]): String = {
     val v = version.getOrElse(currentVersion(path))
     require(v > 0, s"no snapshots at $path")
@@ -56,11 +60,11 @@ object Snapshots {
   }
 
   private def publish(path: String, entries: Seq[FileStats],
-      deletes: Seq[String] = Nil): Int = {
+      deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil): Int = {
     val v = currentVersion(path) + 1
     // partitioning is table-level: carry the column list forward
     val parts = GeoTable.readPartitionCols(path)
-    val body = GeoTable.manifestJson(entries, deletes, parts)
+    val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes)
     Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
     v
@@ -69,6 +73,13 @@ object Snapshots {
   /** Pending MoR deletes of the current snapshot (carried forward by ops). */
   private def carried(path: String): Seq[String] =
     if (currentVersion(path) > 0) readDeletes(path) else Nil
+
+  /** Pending positional delete files of the current snapshot. Stale
+    * entries naming files no longer in the manifest are harmless (those
+    * files are never read), so CoW ops carry the list as-is.
+    */
+  private def carriedPos(path: String): Seq[String] =
+    if (currentVersion(path) > 0) readPosDeletes(path) else Nil
 
   private def listDataFiles(spark: SparkSession, path: String): Set[String] =
     GeoTable.dataFileNames(spark, path).toSet
@@ -112,7 +123,7 @@ object Snapshots {
     writeBack(df, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     val base = if (currentVersion(path) > 0) readManifest(path) else Nil
-    publish(path, base ++ statsFor(spark, path, added), carried(path))
+    publish(path, base ++ statsFor(spark, path, added), carried(path), carriedPos(path))
   }
 
   /** Logical overwrite: new snapshot references only the new files. */
@@ -134,8 +145,60 @@ object Snapshots {
   def deleteMoR(spark: SparkSession, path: String, condSql: String): Int = {
     // fail fast on unparseable/unresolvable predicates
     read(spark, path).filter(!coalesce(expr(condSql), lit(false))).queryExecution.analyzed
-    publish(path, readManifest(path), carried(path) :+ condSql)
+    publish(path, readManifest(path), carried(path) :+ condSql, carriedPos(path))
   }
+
+  /** Merge-on-read POSITIONAL delete: record `(file_path, pos)` rows in a
+    * delete file and publish — no data file rewritten (the reference's
+    * positional delete files, applied at read by `DeleteFilter` via
+    * `RowDataReader.java:95` in /root/reference). `positions` must carry
+    * `file_path` (as produced by `_metadata.file_path`) and `pos`
+    * (`_metadata.row_index`); a compaction materializes and clears them.
+    */
+  def deleteByPosition(spark: SparkSession, path: String, positions: DataFrame): Int = {
+    require(positions.columns.toSet == Set("file_path", "pos"),
+      s"positions must have columns (file_path, pos), got ${positions.columns.mkString(",")}")
+    // delete files live under _graft_deletes/ (hidden from data listings;
+    // the file name itself must NOT be underscore-prefixed or Spark's
+    // hidden-file filter would refuse to read it back)
+    val name = s"_graft_deletes/posdel-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val tmp = Files.createTempDirectory("graft_posdel").toString
+    positions.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: java.nio.file.Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet")) src = p
+    }
+    require(src != null, "no delete rows written")
+    Files.createDirectories(Paths.get(path, "_graft_deletes"))
+    Files.move(src, Paths.get(path, name))
+    publish(path, readManifest(path), carried(path), carriedPos(path) :+ name)
+  }
+
+  /** Apply positional delete files: anti-join on the scan's
+    * `(_metadata.file_path, _metadata.row_index)`. The join is the
+    * general scale path (Spark broadcasts when the delete set is small).
+    */
+  /** `_metadata.file_path` comes back scheme-qualified (`file:///…`) from
+    * plain parquet reads but unqualified (`/…`) through the manifest file
+    * index — normalize before comparing.
+    */
+  private def normFile(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+
+  private[spatial] def applyPosDeletes(spark: SparkSession, path: String,
+      df: DataFrame, posFiles: Seq[String]): DataFrame =
+    if (posFiles.isEmpty) df
+    else {
+      val dels = spark.read.parquet(posFiles.map(f => s"$path/$f"): _*)
+        .select(normFile(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
+      df.withColumn("__file", normFile(expr("_metadata.file_path")))
+        .withColumn("__pos", expr("_metadata.row_index"))
+        .join(dels, col("__file") === col("__del_file") && col("__pos") === col("__del_pos"),
+          "left_anti")
+        .drop("__file", "__pos")
+    }
 
   /** Copy-on-write DELETE: rewrite only files whose stats might match. */
   def delete(spark: SparkSession, path: String, cond: Column): Int = {
@@ -156,7 +219,7 @@ object Snapshots {
       .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
     writeBack(survivors, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path))
   }
 
   /** Copy-on-write UPDATE: rewrite only files whose stats might match,
@@ -189,7 +252,7 @@ object Snapshots {
     }
     writeBack(bboxed, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path))
   }
 
   /** Copy-on-write MERGE (upsert): target rows whose key appears in
@@ -223,15 +286,18 @@ object Snapshots {
     val out = if (affected.isEmpty) src else survivors.unionByName(src)
     writeBack(out, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path))
   }
 
   /** Read a snapshot (default: current) through the pruning file index,
-    * applying that snapshot's merge-on-read delete predicates.
+    * applying that snapshot's positional deletes and merge-on-read delete
+    * predicates.
     */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
     GeoTable.applyDeletes(
-      GeoTable.readWithStats(spark, path, readManifest(path, version)),
+      applyPosDeletes(spark, path,
+        GeoTable.readWithStats(spark, path, readManifest(path, version)),
+        readPosDeletes(path, version)),
       readDeletes(path, version))
 
   /** Changelog between two snapshots: row-level inserts/deletes with a
@@ -259,7 +325,7 @@ object Snapshots {
     // common files whose rows may have flipped visibility via MoR predicates
     val changedPreds = delsTo.diff(delsFrom) ++ delsFrom.diff(delsTo)
     val common = toM.filter(f => fromNames(f.path))
-    val touched =
+    val touchedByPred =
       if (changedPreds.isEmpty) Nil
       else {
         val conds = changedPreds.flatMap { p =>
@@ -271,17 +337,32 @@ object Snapshots {
         else common.filter(f => conds.exists(f.mightMatch))
       }
 
-    def visible(files: Seq[FileStats], dels: Seq[String]): Option[DataFrame] =
+    // ... or via positional delete files (they name their target files)
+    val posFrom = readPosDeletes(path, Some(fromVersion))
+    val posTo = readPosDeletes(path, Some(toVersion))
+    val changedPos = posTo.diff(posFrom) ++ posFrom.diff(posTo)
+    val touchedByPos =
+      if (changedPos.isEmpty) Nil
+      else {
+        val targets = spark.read.parquet(changedPos.map(f => s"$path/$f"): _*)
+          .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+        common.filter(f => targets.exists(t => t.endsWith("/" + f.path)))
+      }
+    val touched = (touchedByPred ++ touchedByPos).distinct
+
+    def visible(files: Seq[FileStats], dels: Seq[String], posDels: Seq[String]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(GeoTable.applyDeletes(
-        readFilesDecoded(spark, path, files.map(_.path)), dels))
+        applyPosDeletes(spark, path,
+          readFilesDecoded(spark, path, files.map(_.path)), posDels), dels))
 
     // an empty side must be a LocalRelation, not a limit(0) over the
     // snapshot — the latter would still register every file as a scan input
     def emptyLike(d: DataFrame): DataFrame =
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), d.schema)
 
-    (visible(left ++ touched, delsFrom), visible(entered ++ touched, delsTo)) match {
+    (visible(left ++ touched, delsFrom, posFrom),
+      visible(entered ++ touched, delsTo, posTo)) match {
       case (None, None) =>
         val schema = read(spark, path, Some(toVersion)).schema
           .add("_change_type", org.apache.spark.sql.types.StringType)
@@ -440,7 +521,7 @@ object Snapshots {
     */
   def rollback(spark: SparkSession, path: String, toVersion: Int): Int =
     publish(path, readManifest(path, Some(toVersion)),
-      readDeletes(path, Some(toVersion)))
+      readDeletes(path, Some(toVersion)), readPosDeletes(path, Some(toVersion)))
 
   /** `set_current_snapshot`: same mechanics as rollback but allowed to move
     * forward as well (any still-retained version).
@@ -478,7 +559,7 @@ object Snapshots {
     val added = snap.filterNot(f => parent(f.path))
     val current = readManifest(path)
     val currentNames = current.map(_.path).toSet
-    publish(path, current ++ added.filterNot(f => currentNames(f.path)), carried(path))
+    publish(path, current ++ added.filterNot(f => currentNames(f.path)), carried(path), carriedPos(path))
   }
 
   /** Register data files present in the table directory but referenced by
@@ -490,7 +571,7 @@ object Snapshots {
     val unregistered = (listDataFiles(spark, path) -- known).toSeq.sorted
     if (unregistered.isEmpty) (currentVersion(path), 0)
     else (publish(path, readManifest(path) ++ statsFor(spark, path, unregistered),
-      carried(path)), unregistered.size)
+      carried(path), carriedPos(path)), unregistered.size)
   }
 
   /** Drop all but the newest `keep` snapshots and remove data files no
@@ -506,6 +587,17 @@ object Snapshots {
     val orphans = listDataFiles(spark, path).filterNot(referenced)
     orphans.foreach { orphan =>
       fs.delete(new Path(new Path(path), orphan), false)
+    }
+    // positional delete files referenced by no retained snapshot
+    val keptPos = keepVersions.flatMap(v => readPosDeletes(path, Some(v))).toSet
+    val delDir = Paths.get(path, "_graft_deletes")
+    if (Files.exists(delDir)) {
+      val posIt = Files.list(delDir).iterator()
+      while (posIt.hasNext) {
+        val p = posIt.next()
+        val rel = s"_graft_deletes/${p.getFileName}"
+        if (!keptPos.contains(rel)) Files.delete(p)
+      }
     }
     orphans.size
   }

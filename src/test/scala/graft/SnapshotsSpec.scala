@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -163,6 +165,45 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readDeletes(dir).isEmpty)
     assert(Snapshots.read(spark, dir).count() == 40)
     assert(Snapshots.readManifest(dir).map(_.rows).sum == 40)
+  }
+
+  test("positional MoR delete: rows deleted by (file,pos), no rewrite, compaction clears") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_posdel").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    val filesBefore = Snapshots.readManifest(dir).map(_.path).toSet
+    // pick 3 specific rows by position — the case predicate deletes can't
+    // express on a table without a row id
+    val victims = Snapshots.read(spark, dir)
+      .filter(col("id").isin(3L, 7L, 11L))
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+    val v = Snapshots.deleteByPosition(spark, dir, victims)
+    // pure metadata commit: same data files
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == filesBefore)
+    assert(Snapshots.readPosDeletes(dir).size == 1)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 37)
+    assert(t.filter(col("id").isin(3L, 7L, 11L)).count() == 0)
+    // time travel to before the positional delete
+    assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 40)
+    // appended rows are unaffected (their positions differ per file)
+    Snapshots.append(mkDf(100 until 110, 2), dir)
+    assert(Snapshots.read(spark, dir).count() == 47)
+    // changelog sees exactly the 3 position-deleted rows
+    val cdc = Snapshots.changes(spark, dir, v - 1, v)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdc == Map("delete" -> 3L), s"got $cdc")
+    // compaction materializes and clears the positional deletes
+    Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
+    assert(Snapshots.readPosDeletes(dir).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 47)
+    // expire drops the now-unreferenced delete file
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    val delDir = java.nio.file.Paths.get(dir, "_graft_deletes")
+    assert(!Files.exists(delDir) || !Files.list(delDir).iterator().asScala.hasNext)
+    assert(Snapshots.read(spark, dir).count() == 47)
   }
 
   test("rollback republishes an earlier snapshot without touching files") {
