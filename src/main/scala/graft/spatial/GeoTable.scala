@@ -224,7 +224,8 @@ object GeoTable {
   }
 
   private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
-      partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil): String = {
+      partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
@@ -233,7 +234,9 @@ object GeoTable {
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
     val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
     val pdel = posDeletes.map(jsonVal).mkString("[", ",", "]")
-    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"files":[${files.mkString(",")}]}"""
+    val pr = props.toSeq.sorted.map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }
+      .mkString("{", ",", "}")
+    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"props":$pr,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
@@ -248,6 +251,16 @@ object GeoTable {
     val p = Paths.get(path, ManifestName)
     if (!Files.exists(p)) Nil
     else parsePartitionCols(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Free-form table/snapshot properties (e.g. committed stream batch). */
+  private[spatial] def parseProps(txt: String): Map[String, String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "props") match {
+      case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** Positional delete files (`(file_path, pos)` parquet) of a manifest. */

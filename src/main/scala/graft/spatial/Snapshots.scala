@@ -51,6 +51,10 @@ object Snapshots {
   def readPosDeletes(path: String, version: Option[Int] = None): Seq[String] =
     GeoTable.parsePosDeletes(manifestText(path, version))
 
+  /** Snapshot properties (committed stream batch ids, etc.). */
+  def readProps(path: String, version: Option[Int] = None): Map[String, String] =
+    GeoTable.parseProps(manifestText(path, version))
+
   private def manifestText(path: String, version: Option[Int]): String = {
     val v = version.getOrElse(currentVersion(path))
     require(v > 0, s"no snapshots at $path")
@@ -60,11 +64,17 @@ object Snapshots {
   }
 
   private def publish(path: String, entries: Seq[FileStats],
-      deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil): Int = {
+      deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
+      props: Map[String, String] = null): Int = {
     val v = currentVersion(path) + 1
-    // partitioning is table-level: carry the column list forward
+    // partitioning is table-level: carry the column list forward; props
+    // carry forward unless explicitly replaced
     val parts = GeoTable.readPartitionCols(path)
-    val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes)
+    val carriedProps =
+      if (props != null) props
+      else if (currentVersion(path) > 0) readProps(path)
+      else Map.empty[String, String]
+    val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes, carriedProps)
     Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
     v
@@ -116,14 +126,20 @@ object Snapshots {
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
   }
 
-  /** Append `df` as a new snapshot (new data files; old ones untouched). */
-  def append(df: DataFrame, path: String): Int = {
+  /** Append `df` as a new snapshot (new data files; old ones untouched).
+    * `props` merge into the snapshot's property map (e.g. the streaming
+    * sink's committed batch id — committed atomically WITH the data).
+    */
+  def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession
     val before = listDataFiles(spark, path)
     writeBack(df, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     val base = if (currentVersion(path) > 0) readManifest(path) else Nil
-    publish(path, base ++ statsFor(spark, path, added), carried(path), carriedPos(path))
+    val mergedProps =
+      (if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]) ++ props
+    publish(path, base ++ statsFor(spark, path, added), carried(path), carriedPos(path),
+      mergedProps)
   }
 
   /** Logical overwrite: new snapshot references only the new files. */

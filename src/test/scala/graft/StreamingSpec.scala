@@ -77,6 +77,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("exactly-once is durable: replayed batch ids are skipped without a checkpoint") {
+    import graft.spatial.{GeoTable, Snapshots}
+    import graft.streaming.GeoStreams
+    graft.spatial.Geo.install(spark)
+    val out = Files.createTempDirectory("graft_eo").toString + "/tbl"
+    val df = GeoTable.withBbox(
+      batchEvents.limit(100).select(col("event_id"),
+        graft.functions.GeoSql.st_point(lit(1.0), lit(2.0)).as("geom")), "geom")
+    // batch 0 commits; the same batch id replayed later (e.g. after losing
+    // the checkpoint) must NOT double-append — the guard is the batch id
+    // persisted in the manifest, not driver memory
+    assert(GeoStreams.commitBatch(df, out, 0L))
+    assert(Snapshots.read(spark, out).count() == 100)
+    assert(GeoStreams.lastCommittedBatch(out) == 0L)
+    assert(!GeoStreams.commitBatch(df, out, 0L)) // replay skipped
+    assert(Snapshots.read(spark, out).count() == 100)
+    assert(GeoStreams.commitBatch(df, out, 1L)) // next batch commits
+    assert(Snapshots.read(spark, out).count() == 200)
+    assert(GeoStreams.lastCommittedBatch(out) == 1L)
+    // end-to-end: run the stream, wipe the checkpoint, run again — batch
+    // ids restart at 0, the durable guard rejects every one
+    val out2 = Files.createTempDirectory("graft_eo2").toString + "/tbl"
+    val src = GeoTable.withBbox(
+      EventStreams.readEvents(spark, sf).select(col("event_id"),
+        graft.functions.GeoSql.st_point(lit(1.0), lit(2.0)).as("geom")), "geom")
+    val ck1 = Files.createTempDirectory("graft_eo_ck1").toString
+    val q1 = GeoStreams.appendStream(src, out2, ck1)
+    try q1.awaitTermination() finally q1.stop()
+    val rows = Snapshots.read(spark, out2).count()
+    val ck2 = Files.createTempDirectory("graft_eo_ck2").toString // "lost" checkpoint
+    val q2 = GeoStreams.appendStream(src, out2, ck2)
+    try q2.awaitTermination() finally q2.stop()
+    assert(Snapshots.read(spark, out2).count() == rows, "replay must not double-append")
+  }
+
+  test("table stream honors maxFilesPerTrigger admission control") {
+    import graft.spatial.GeoTable
+    import graft.streaming.GeoStreams
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_adm").toString
+    val src = GeoTable.withBbox(
+      batchEvents.limit(400).select(col("event_id"),
+        graft.functions.GeoSql.st_point(
+          (col("event_id") % 170 - 85).cast("double"),
+          (col("event_id") % 80 - 40).cast("double")).as("geom")), "geom")
+    GeoTable.write(src, dir, "geom", res = 8, numFiles = 4)
+    assert(graft.spatial.Snapshots.readManifest(dir).size == 4)
+    var batches = 0
+    val q = GeoStreams.readTableStream(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) batches += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 4, s"1 file per trigger over 4 files should give >= 4 batches, got $batches")
+  }
+
   test("streaming parquet sink round-trips every row (checkpointed)") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
