@@ -299,13 +299,36 @@ object Relational {
     }),
 
     // exact interpolated percentiles per group.
+    // exact type-7 quantiles via a sort-based two-phase plan: built-in
+    // `percentile` buffers EVERY group value in the agg buffer (OOM on a
+    // skewed group at scale); a window rank + conditional aggregation
+    // spills through the sorter instead, and the groupBy reuses the
+    // window's hash partitioning (no second exchange)
     "q25_percentiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+      val wAll = Window.partitionBy("l_returnflag")
+      val ranked = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+        .withColumn("rn", row_number().over(wOrd).cast("long") - 1)
+        .withColumn("n", count(lit(1)).over(wAll))
+      def lo(p: Double) = floor((col("n") - 1) * lit(p))
+      def hi(p: Double) = ceil((col("n") - 1) * lit(p))
+      def pick(p: Double, tag: String) = Seq(
+        max(when(col("rn") === lo(p), col("v"))).as(s"lo$tag"),
+        max(when(col("rn") === hi(p), col("v"))).as(s"hi$tag"))
+      val agg = ranked.groupBy(col("l_returnflag")).agg(
+        first(col("n")).as("n"),
+        (pick(0.5, "50") ++ pick(0.9, "90") ++ pick(0.99, "99")): _*)
+      // lower + frac * (upper - lower): same arithmetic as quantile_cont
+      def interp(p: Double, tag: String) = {
+        val r = (col("n") - 1) * lit(p)
+        round(col(s"lo$tag") + (r - floor(r)) * (col(s"hi$tag") - col(s"lo$tag")), 4)
+      }
+      agg.select(col("l_returnflag"),
+        interp(0.5, "50").as("p50"),
+        interp(0.9, "90").as("p90"),
+        interp(0.99, "99").as("p99"))
     })
   )
 

@@ -42,7 +42,11 @@ class GraftSource extends RelationProvider with DataSourceRegister {
         // relation over the computed frame (Iceberg's `tbl.files` surface)
         new MetadataRelation(sqlContext, Snapshots.metadataTable(spark, path, name))
       case None =>
+        // `version` time travel, or `ref`/`branch`/`tag` by name
         val version = parameters.get("version").map(_.toInt)
+          .orElse(parameters.get("ref").map(Snapshots.resolveRef(path, _)))
+          .orElse(parameters.get("branch").map(Snapshots.resolveRef(path, _)))
+          .orElse(parameters.get("tag").map(Snapshots.resolveRef(path, _)))
         val stats = Snapshots.readManifest(path, version)
         GeoTable.buildRelation(spark, path, stats)
     }

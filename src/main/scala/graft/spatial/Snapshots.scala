@@ -56,16 +56,112 @@ object Snapshots {
     GeoTable.parseProps(manifestText(path, version))
 
   private def manifestText(path: String, version: Option[Int]): String = {
-    val v = version.getOrElse(currentVersion(path))
+    val v = version.getOrElse(mainVersion(path))
     require(v > 0, s"no snapshots at $path")
     val p = manifestPath(path, v)
     require(Files.exists(p), s"no snapshot version $v at $path")
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
   }
 
+  // ---- named refs: branches (movable) and tags (fixed) -------------------
+  // the reference's branch/tag surface (`SnapshotRef` + branch DDL in
+  // /root/reference). Stored in `_graft_refs.json`; `main` is an implicit
+  // branch that every main-line commit moves. Version numbers stay global —
+  // a branch commit allocates the next number but only moves its own ref.
+
+  private def refsPath(path: String) = Paths.get(path, "_graft_refs.json")
+
+  /** (branches, tags) → version. */
+  def readRefs(path: String): (Map[String, Int], Map[String, Int]) = {
+    val p = refsPath(path)
+    if (!Files.exists(p)) (Map.empty, Map.empty)
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val j = JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      def m(field: String): Map[String, Int] = (j \ field) match {
+        case JObject(kv) => kv.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+        case _ => Map.empty
+      }
+      (m("branches"), m("tags"))
+    }
+  }
+
+  private def writeRefs(path: String, branches: Map[String, Int],
+      tags: Map[String, Int]): Unit = {
+    def obj(m: Map[String, Int]) = m.toSeq.sorted
+      .map { case (k, v) => "\"" + k.replace("\"", "\\\"") + "\":" + v }
+      .mkString("{", ",", "}")
+    Files.write(refsPath(path),
+      s"""{"branches":${obj(branches)},"tags":${obj(tags)}}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Head of `main` (falls back to the newest version pre-refs). */
+  def mainVersion(path: String): Int =
+    readRefs(path)._1.getOrElse("main", currentVersion(path))
+
+  /** Resolve any ref name (branch or tag) to its version. */
+  def resolveRef(path: String, name: String): Int = {
+    val (bs, ts) = readRefs(path)
+    bs.get(name).orElse(ts.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no such branch or tag: $name"))
+  }
+
+  def createBranch(path: String, name: String, version: Option[Int] = None): Unit = {
+    val (bs, ts) = readRefs(path)
+    require(!bs.contains(name) && !ts.contains(name), s"ref exists: $name")
+    writeRefs(path, bs + (name -> version.getOrElse(mainVersion(path))), ts)
+  }
+
+  def createTag(path: String, name: String, version: Option[Int] = None): Unit = {
+    val (bs, ts) = readRefs(path)
+    require(!bs.contains(name) && !ts.contains(name), s"ref exists: $name")
+    writeRefs(path, bs, ts + (name -> version.getOrElse(mainVersion(path))))
+  }
+
+  def dropBranch(path: String, name: String): Unit = {
+    require(name != "main", "cannot drop main")
+    val (bs, ts) = readRefs(path)
+    require(bs.contains(name), s"no such branch: $name")
+    writeRefs(path, bs - name, ts)
+  }
+
+  def dropTag(path: String, name: String): Unit = {
+    val (bs, ts) = readRefs(path)
+    require(ts.contains(name), s"no such tag: $name")
+    writeRefs(path, bs, ts - name)
+  }
+
+  /** Move a branch pointer forward (the reference's `fast_forward`). */
+  def fastForward(path: String, branch: String, toVersion: Int): Unit = {
+    val (bs, ts) = readRefs(path)
+    require(bs.contains(branch) || branch == "main", s"no such branch: $branch")
+    require(Files.exists(manifestPath(path, toVersion)), s"no snapshot v$toVersion")
+    writeRefs(path, bs + (branch -> toVersion), ts)
+  }
+
+  /** Read a branch or tag head. */
+  def readRef(spark: SparkSession, path: String, name: String): DataFrame =
+    read(spark, path, Some(resolveRef(path, name)))
+
+  /** Append onto a BRANCH head: allocates the next global version but
+    * moves only the branch pointer — main-line readers are isolated.
+    */
+  def appendToBranch(df: DataFrame, path: String, branch: String): Int = {
+    val spark = df.sparkSession
+    val headV = resolveRef(path, branch)
+    val before = listDataFiles(spark, path)
+    writeBack(df, path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, readManifest(path, Some(headV)) ++ statsFor(spark, path, added),
+      readDeletes(path, Some(headV)), readPosDeletes(path, Some(headV)),
+      readProps(path, Some(headV)), ref = branch)
+  }
+
   private def publish(path: String, entries: Seq[FileStats],
       deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
-      props: Map[String, String] = null): Int = {
+      props: Map[String, String] = null, ref: String = "main"): Int = {
     val v = currentVersion(path) + 1
     // partitioning is table-level: carry the column list forward; props
     // carry forward unless explicitly replaced
@@ -74,9 +170,20 @@ object Snapshots {
       if (props != null) props
       else if (currentVersion(path) > 0) readProps(path)
       else Map.empty[String, String]
+    // main's head BEFORE this commit — must be pinned when a side branch
+    // allocates a higher version number, or main would float to the max
+    val prevMain = mainVersion(path)
     val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes, carriedProps)
     Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
+    // move the target ref; _graft_manifest.json mirrors MAIN's head for
+    // raw-parquet compatibility
+    val (bs, ts) = readRefs(path)
+    val pinned = if (bs.contains("main")) bs
+      else bs + ("main" -> (if (ref == "main") v else prevMain))
+    writeRefs(path, pinned + (ref -> v), ts)
+    if (ref == "main") {
+      Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
+    }
     v
   }
 
@@ -596,10 +703,14 @@ object Snapshots {
     */
   def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1): Int = {
     val cur = currentVersion(path)
-    val keepVersions = ((cur - keep + 1) max 1) to cur
+    // keep the newest `keep` versions plus anything a branch or tag targets
+    val (bs, ts) = readRefs(path)
+    val keepVersions = ((((cur - keep + 1) max 1) to cur).toSet ++ bs.values ++ ts.values)
+      .toSeq.sorted.filter(v => Files.exists(manifestPath(path, v)))
     val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (1 until keepVersions.head).foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    (1 to cur).filterNot(keepVersions.contains)
+      .foreach(v => Files.deleteIfExists(manifestPath(path, v)))
     val orphans = listDataFiles(spark, path).filterNot(referenced)
     orphans.foreach { orphan =>
       fs.delete(new Path(new Path(path), orphan), false)

@@ -47,6 +47,10 @@ object GraftStatements {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+SET\s+GEOMETRY\s+FIELDS\s+(.+?)\s*$""".r
   private val FieldRe = """(?is)^\s*([\w.`]+)\s+AS\s+'([^']*)'\s*$""".r
   private val CallRe = """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*$""".r
+  private val CreateRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
+  private val DropRefRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
 
   def tryParse(sql: String): Option[LogicalPlan] = sql match {
     case AlterRe(tbl, fieldList) =>
@@ -56,6 +60,11 @@ object GraftStatements {
           s"SET GEOMETRY FIELDS expects `col AS 'encoding'`, got: $bad")
       }
       Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
+    case CreateRefRe(tbl, kind, name, version) =>
+      Some(RefCommand(stripQuotes(tbl), s"create_${kind.toLowerCase}", name,
+        Option(version).map(_.toInt)))
+    case DropRefRe(tbl, kind, name) =>
+      Some(RefCommand(stripQuotes(tbl), s"drop_${kind.toLowerCase}", name, None))
     case CallRe(proc, argList) =>
       val (pos, named) = parseArgs(splitTopLevel(argList))
       Some(CallProcedureCommand(proc.toLowerCase, pos, named))
@@ -122,6 +131,23 @@ case class SetGeometryFieldsCommand(path: String, fields: Seq[(String, String)])
   }
 }
 
+/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n]` — the
+  * reference's ref DDL (`IcebergSqlExtensions.g4` createReplaceBranchClause
+  * / createReplaceTagClause).
+  */
+case class RefCommand(path: String, op: String, name: String, version: Option[Int])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    op match {
+      case "create_branch" => Snapshots.createBranch(path, name, version)
+      case "create_tag" => Snapshots.createTag(path, name, version)
+      case "drop_branch" => Snapshots.dropBranch(path, name)
+      case "drop_tag" => Snapshots.dropTag(path, name)
+    }
+    Seq.empty
+  }
+}
+
 /** `CALL graft.system.<proc>(...)` — maintenance procedures over the
   * snapshot layer (the reference ships these under
   * `spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/procedures/`).
@@ -177,6 +203,9 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
       case "add_files" =>
         val (v, n) = Snapshots.addFiles(spark, table)
         Seq(Row(n.toLong, s"files_added;new_version=$v"))
+      case "fast_forward" =>
+        Snapshots.fastForward(table, str(arg(1, "branch")), int(arg(2, "version")))
+        Seq(Row(int(arg(2, "version")).toLong, "branch_moved"))
       case "create_changelog_view" =>
         val view = str(arg(3, "view"))
         Snapshots.changes(spark, table, int(arg(1, "from_version")), int(arg(2, "to_version")))

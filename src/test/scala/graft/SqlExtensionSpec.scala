@@ -113,6 +113,40 @@ class SqlExtensionSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 10)
   }
 
+  test("branches and tags: isolated branch appends, fixed tags, SQL DDL") {
+    val dir = mkTable(30) // v1, main -> 1
+    spark.sql(s"ALTER TABLE '$dir' CREATE TAG v1_release")
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH dev")
+    // branch append: main is isolated
+    Snapshots.appendToBranch(
+      GeoTable.withBbox(Snapshots.read(spark, dir).limit(5).drop("geom_bbox"), "geom"),
+      dir, "dev")
+    assert(Snapshots.read(spark, dir).count() == 30) // main untouched
+    assert(Snapshots.readRef(spark, dir, "dev").count() == 35)
+    assert(Snapshots.readRef(spark, dir, "v1_release").count() == 30)
+    // main append: dev is isolated
+    Snapshots.append(
+      GeoTable.withBbox(Snapshots.read(spark, dir).limit(2).drop("geom_bbox"), "geom"), dir)
+    assert(Snapshots.read(spark, dir).count() == 32)
+    assert(Snapshots.readRef(spark, dir, "dev").count() == 35)
+    // read refs through the format
+    assert(spark.read.format("graft").option("branch", "dev").load(dir).count() == 35)
+    assert(spark.read.format("graft").option("tag", "v1_release").load(dir).count() == 30)
+    // fast-forward main onto dev's head
+    val devV = Snapshots.resolveRef(dir, "dev")
+    spark.sql(s"CALL graft.system.fast_forward('$dir', 'main', $devV)")
+    assert(Snapshots.read(spark, dir).count() == 35)
+    // expire keeps every ref target alive
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    assert(Snapshots.readRef(spark, dir, "v1_release").count() == 30)
+    // duplicate / drop
+    intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH dev") }
+    spark.sql(s"ALTER TABLE '$dir' DROP BRANCH dev")
+    intercept[Exception] { Snapshots.readRef(spark, dir, "dev") }
+    spark.sql(s"ALTER TABLE '$dir' DROP TAG v1_release")
+    intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' DROP BRANCH main") }
+  }
+
   test("CALL remove_orphan_files deletes unreferenced data files") {
     val dir = mkTable(20)
     // stray file never registered in any snapshot
