@@ -162,9 +162,11 @@ object GeoTable {
     Geo.installRule(spark)
     val raw = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .baseRelationToDataFrame(buildRelation(spark, path, stats))
-    GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
+    val decoded = GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
       df.withColumn(c, GeometryEncoding.decode(col(c), e))
     }
+    // physical file names → current logical schema (renames/drops applied)
+    TableSchema.toLogical(decoded, path)
   }
 
   /** The pruning-FileIndex-backed relation (shared with format("graft")).
@@ -176,7 +178,10 @@ object GeoTable {
     val full = spark.read.parquet(path).schema
     val partCols = readPartitionCols(path)
     val partitionSchema = StructType(partCols.flatMap(c => full.fields.find(_.name == c)))
-    val dataSchema = StructType(full.fields.filterNot(f => partCols.contains(f.name)))
+    // evolved tables read under the authoritative stored physical schema
+    // (a sampled file may predate an added column)
+    val dataSchema = TableSchema.physicalSchema(path).getOrElse(
+      StructType(full.fields.filterNot(f => partCols.contains(f.name))))
     val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema)
     HadoopFsRelation(
       location = index,

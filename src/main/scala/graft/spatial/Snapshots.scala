@@ -213,9 +213,10 @@ object Snapshots {
   private def readFilesDecoded(spark: SparkSession, path: String, names: Seq[String]): DataFrame = {
     // basePath keeps hive-layout partition columns visible on subset reads
     val raw = spark.read.option("basePath", path).parquet(names.map(n => s"$path/${n}"): _*)
-    GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
+    val decoded = GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
       if (raw.columns.contains(c)) df.withColumn(c, GeometryEncoding.decode(org.apache.spark.sql.functions.col(c), e)) else df
     }
+    TableSchema.toLogical(decoded, path)
   }
 
   /** Re-apply declared storage encodings before writing rows back. */
@@ -229,7 +230,8 @@ object Snapshots {
     */
   private def writeBack(df: DataFrame, path: String): Unit = {
     val parts = GeoTable.readPartitionCols(path)
-    val w = encodeForStorage(df, path).write.mode("append")
+    val physical = TableSchema.toPhysical(encodeForStorage(df, path), path)
+    val w = physical.write.mode("append")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
   }
 

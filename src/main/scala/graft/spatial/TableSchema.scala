@@ -1,0 +1,137 @@
+package graft.spatial
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Schema evolution for graft tables: add / rename / drop columns without
+  * rewriting any data file.
+  *
+  * The reference gets id-based evolution from Iceberg (fields are matched
+  * by field id, so renames are metadata-only — `Schema`/`TypeUtil` in
+  * /root/reference). Parquet-by-name matching can't do that directly, so
+  * the PHYSICAL column name written in the files plays the role of the
+  * field id: `_graft_schema.json` maps each logical column to its physical
+  * name, a rename changes only the logical side, and a drop marks the
+  * entry hidden. Readers project physical → logical; writers map logical →
+  * physical before appending, so every data file ever written stays
+  * readable under the current logical schema. A column added later simply
+  * doesn't exist in older files — the parquet reader yields nulls there.
+  */
+object TableSchema {
+
+  val SchemaName = "_graft_schema.json"
+
+  /** (logical, physical, typeJson, dropped) per column, in schema order. */
+  case class Entry(logical: String, physical: String, dataType: DataType, dropped: Boolean)
+
+  def exists(path: String): Boolean = Files.exists(Paths.get(path, SchemaName))
+
+  def read(path: String): Seq[Entry] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val p = Paths.get(path, SchemaName)
+    if (!Files.exists(p)) return Nil
+    JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
+      case JArray(es) => es.collect {
+        case JObject(kv) =>
+          val m = kv.toMap
+          def str(k: String) = m(k).asInstanceOf[JString].s
+          // `type` is stored as DataType.json — re-render the JValue so
+          // primitives keep their quotes ("long") and structs stay objects
+          val typeJson = JsonMethods.compact(JsonMethods.render(m("type")))
+          Entry(str("logical"), str("physical"), DataType.fromJson(typeJson),
+            m.get("dropped").contains(JBool(true)))
+      }
+      case _ => Nil
+    }
+  }
+
+  private def write(path: String, entries: Seq[Entry]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = entries.map { e =>
+      s"""{"logical":"${esc(e.logical)}","physical":"${esc(e.physical)}",""" +
+        s""""type":${e.dataType.json},"dropped":${e.dropped}}"""
+    }.mkString("[", ",", "]")
+    Files.write(Paths.get(path, SchemaName), body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Capture the table's current physical schema as the evolution baseline
+    * (logical == physical for every column). Partition columns are
+    * excluded — they live in directory names, not files.
+    */
+  private def ensure(spark: SparkSession, path: String): Seq[Entry] = {
+    val cur = read(path)
+    if (cur.nonEmpty) cur
+    else {
+      val parts = GeoTable.readPartitionCols(path).toSet
+      val entries = spark.read.parquet(path).schema.fields.toSeq
+        .filterNot(f => parts.contains(f.name))
+        .map(f => Entry(f.name, f.name, f.dataType, dropped = false))
+      write(path, entries)
+      entries
+    }
+  }
+
+  def addColumn(spark: SparkSession, path: String, name: String, dt: DataType): Unit = {
+    val entries = ensure(spark, path)
+    require(!entries.exists(e => !e.dropped && e.logical == name), s"column exists: $name")
+    // physical name must be globally fresh (a dropped column keeps its data)
+    val physical = if (entries.exists(_.physical == name)) s"${name}_${entries.size}" else name
+    write(path, entries :+ Entry(name, physical, dt, dropped = false))
+  }
+
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Unit = {
+    val entries = ensure(spark, path)
+    require(entries.exists(e => !e.dropped && e.logical == from), s"no such column: $from")
+    require(!entries.exists(e => !e.dropped && e.logical == to), s"column exists: $to")
+    write(path, entries.map(e =>
+      if (!e.dropped && e.logical == from) e.copy(logical = to) else e))
+  }
+
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val entries = ensure(spark, path)
+    require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
+    write(path, entries.map(e =>
+      if (!e.dropped && e.logical == name) e.copy(dropped = true) else e))
+  }
+
+  /** Physical file schema (all non-dropped + dropped columns still present
+    * in files) for relation building; None when no evolution happened.
+    */
+  def physicalSchema(path: String): Option[StructType] = {
+    val entries = read(path)
+    if (entries.isEmpty) None
+    else Some(StructType(entries.map(e => StructField(e.physical, e.dataType))))
+  }
+
+  /** Project a physically-named frame to the logical view (hides dropped
+    * columns, applies renames). Pass-through columns (partition cols,
+    * bbox shadows added after the fact) keep their names.
+    */
+  def toLogical(df: DataFrame, path: String): DataFrame = {
+    val entries = read(path)
+    if (entries.isEmpty) df
+    else {
+      val mapped = entries.filterNot(_.dropped)
+        .filter(e => df.columns.contains(e.physical))
+        .map(e => col(e.physical).as(e.logical))
+      val known = entries.map(_.physical).toSet
+      val passthrough = df.columns.filterNot(known).map(col(_))
+      df.select(mapped ++ passthrough: _*)
+    }
+  }
+
+  /** Map a logically-named frame back to physical names for writing. */
+  def toPhysical(df: DataFrame, path: String): DataFrame = {
+    val entries = read(path)
+    if (entries.isEmpty) df
+    else {
+      val byLogical = entries.filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
+      df.select(df.columns.map(c => col(c).as(byLogical.getOrElse(c, c))): _*)
+    }
+  }
+}

@@ -203,6 +203,17 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
       case "add_files" =>
         val (v, n) = Snapshots.addFiles(spark, table)
         Seq(Row(n.toLong, s"files_added;new_version=$v"))
+      case "add_column" =>
+        graft.spatial.TableSchema.addColumn(spark, table, str(arg(1, "name")),
+          org.apache.spark.sql.types.DataType.fromDDL(str(arg(2, "type"))))
+        Seq(Row(1L, s"added=${str(arg(1, "name"))}"))
+      case "rename_column" =>
+        graft.spatial.TableSchema.renameColumn(spark, table,
+          str(arg(1, "from")), str(arg(2, "to")))
+        Seq(Row(1L, s"renamed=${str(arg(1, "from"))}->${str(arg(2, "to"))}"))
+      case "drop_column" =>
+        graft.spatial.TableSchema.dropColumn(spark, table, str(arg(1, "name")))
+        Seq(Row(1L, s"dropped=${str(arg(1, "name"))}"))
       case "fast_forward" =>
         Snapshots.fastForward(table, str(arg(1, "branch")), int(arg(2, "version")))
         Seq(Row(int(arg(2, "version")).toLong, "branch_moved"))

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoCodec
+import graft.spatial.{GeoTable, Snapshots, TableSchema}
+
+/** Schema evolution without file rewrites: add / rename / drop columns.
+  * The physical column name in the files plays the role of Iceberg's
+  * field id (the reference's id-based evolution), so renames are
+  * metadata-only and every historical file stays readable.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkTable(n: Int): String = {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_evo").toString
+    val rows = (0 until n).map { i =>
+      Row(i.toLong, s"cat${i % 3}", GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, i % 40 + 1.0)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("id", LongType), StructField("category", StringType),
+        StructField("geom", BinaryType))))
+    GeoTable.write(df, dir, "geom", res = 8, numFiles = 2)
+    dir
+  }
+
+  test("add column: old files read as null, new appends carry values") {
+    val dir = mkTable(20)
+    TableSchema.addColumn(spark, dir, "score", DoubleType)
+    val t1 = Snapshots.read(spark, dir)
+    assert(t1.columns.contains("score"))
+    assert(t1.filter(col("score").isNull).count() == 20)
+    // append rows WITH the new column
+    val add = GeoTable.withBbox(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (100 until 110).map(i => Row(i.toLong, "new", GeoCodec.writeWkb(GeoCodec.point(1.0, 2.0)), i * 0.5)), 1),
+        StructType(Seq(StructField("id", LongType), StructField("category", StringType),
+          StructField("geom", BinaryType), StructField("score", DoubleType)))), "geom")
+    Snapshots.append(add, dir)
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.count() == 30)
+    assert(t2.filter(col("score").isNotNull).count() == 10)
+    assert(t2.filter(col("score") > 52.0).count() == 5) // 52.5 .. 54.5
+  }
+
+  test("rename column is metadata-only; old data stays readable; writes round-trip") {
+    val dir = mkTable(20)
+    TableSchema.renameColumn(spark, dir, "category", "doc_class")
+    val t = Snapshots.read(spark, dir)
+    assert(t.columns.contains("doc_class") && !t.columns.contains("category"))
+    assert(t.filter(col("doc_class") === "cat1").count() > 0)
+    // append using the NEW logical name; lands in the old physical column
+    val add = GeoTable.withBbox(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Row(500L, "cat9", GeoCodec.writeWkb(GeoCodec.point(3.0, 3.0)))), 1),
+        StructType(Seq(StructField("id", LongType), StructField("doc_class", StringType),
+          StructField("geom", BinaryType)))), "geom")
+    Snapshots.append(add, dir)
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.count() == 21)
+    assert(t2.filter(col("doc_class") === "cat9").count() == 1)
+    // CoW delete through the renamed column
+    Snapshots.delete(spark, dir, col("doc_class") === "cat9")
+    assert(Snapshots.read(spark, dir).count() == 20)
+  }
+
+  test("drop column hides it without touching files; re-add gets fresh storage") {
+    val dir = mkTable(20)
+    val before = Snapshots.readManifest(dir).map(_.path).toSet
+    TableSchema.dropColumn(spark, dir, "category")
+    assert(!Snapshots.read(spark, dir).columns.contains("category"))
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == before) // no rewrite
+    // re-adding the same logical name maps to a fresh physical column —
+    // the dropped data does NOT resurrect
+    TableSchema.addColumn(spark, dir, "category", StringType)
+    val t = Snapshots.read(spark, dir)
+    assert(t.columns.contains("category"))
+    assert(t.filter(col("category").isNotNull).count() == 0)
+  }
+
+  test("evolution procedures work through SQL") {
+    val dir = mkTable(10)
+    spark.sql(s"CALL graft.system.add_column('$dir', 'rank', 'int')")
+    spark.sql(s"CALL graft.system.rename_column('$dir', 'rank', 'priority')")
+    assert(Snapshots.read(spark, dir).columns.contains("priority"))
+    spark.sql(s"CALL graft.system.drop_column('$dir', 'priority')")
+    assert(!Snapshots.read(spark, dir).columns.contains("priority"))
+  }
+}
