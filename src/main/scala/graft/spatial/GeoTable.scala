@@ -75,12 +75,19 @@ object GeoTable {
       case Some(e) => sorted.withColumn(geomCol, GeometryEncoding.encode(col(geomCol), e))
       case None => sorted
     }
-    val writer = stored.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(path)
+    // partitionBy entries may be transform specs: bucket(n,c), truncate(w,c),
+    // year/month/day(c), or plain identity columns
+    val transforms = partitionBy.map(Transforms.parse)
+    val withDerived = transforms
+      .filterNot(_.isInstanceOf[Transforms.Identity])
+      .foldLeft(stored)((d, t) => d.withColumn(t.derivedName, Transforms.writeExpr(t, d)))
+    val writer = withDerived.write.mode("overwrite")
+    (if (transforms.nonEmpty) writer.partitionBy(transforms.map(_.derivedName): _*)
+     else writer).parquet(path)
     // record the encoding BEFORE stats collection so declared geometry
     // columns are excluded from value stats (bbox carries the pruning info)
     storageEncoding.foreach(e => GeometryFields.putUnchecked(path, Map(geomCol -> e)))
-    writeManifest(df.sparkSession, path, partitionBy)
+    writeManifest(df.sparkSession, path, transforms.map(_.spec))
   }
 
   /** All data files of the table, as base-relative paths (partition
@@ -182,7 +189,8 @@ object GeoTable {
     // (a sampled file may predate an added column)
     val dataSchema = TableSchema.physicalSchema(path).getOrElse(
       StructType(full.fields.filterNot(f => partCols.contains(f.name))))
-    val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema)
+    val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema,
+      readPartitionSpecs(path))
     HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema,
@@ -251,12 +259,17 @@ object GeoTable {
   def readDeletes(path: String): Seq[String] =
     parseDeletes(new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8))
 
-  /** Identity partition columns of the table (empty = unpartitioned). */
-  def readPartitionCols(path: String): Seq[String] = {
+  /** Partition transform specs of the table (empty = unpartitioned). */
+  def readPartitionSpecs(path: String): Seq[Transforms.Transform] = {
     val p = Paths.get(path, ManifestName)
     if (!Files.exists(p)) Nil
     else parsePartitionCols(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .map(Transforms.parse)
   }
+
+  /** Partition DIRECTORY column names (derived names for transforms). */
+  def readPartitionCols(path: String): Seq[String] =
+    readPartitionSpecs(path).map(_.derivedName)
 
   /** Free-form table/snapshot properties (e.g. committed stream batch). */
   private[spatial] def parseProps(txt: String): Map[String, String] = {

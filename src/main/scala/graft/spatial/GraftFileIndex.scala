@@ -33,7 +33,8 @@ class GraftFileIndex(
     basePath: Path,
     stats: Seq[FileStats],
     val dataSchema: StructType,
-    override val partitionSchema: StructType = new StructType()) extends FileIndex {
+    override val partitionSchema: StructType = new StructType(),
+    partitionSpecs: Seq[Transforms.Transform] = Nil) extends FileIndex {
 
   // FileStatus built straight from the manifest (path + size are all split
   // planning needs) — no per-file RPC; a 100k-file table opens with zero
@@ -64,7 +65,9 @@ class GraftFileIndex(
     } else {
       val bound = partitionFilters.map(bindPart)
       kept.groupBy(f => partValues(f.path))
-        .filter { case (row, _) => bound.forall(p => p.eval(row) == true) }
+        .filter { case (row, _) =>
+          bound.forall(p => p.eval(row) == true) && projectionOk(dataFilters, row)
+        }
         .map { case (row, fs) =>
           PartitionDirectory(row, fs.map(f => FileStatusWithMetadata(statuses(f.path))))
         }.toSeq
@@ -74,6 +77,52 @@ class GraftFileIndex(
   private def bindPart(e: Expression): Expression = e.transform {
     case a: AttributeReference =>
       BoundReference(partitionSchema.fieldIndex(a.name), a.dataType, a.nullable)
+  }
+
+  // ---- partition projection (Iceberg's transform projection): an
+  // equality/IN predicate on a transform's SOURCE column projects to the
+  // derived directory value at planning time, pruning hash-scattered
+  // buckets that file stats can't.
+  private val transformIdx: Seq[(Transforms.Transform, Int)] =
+    partitionSpecs.zipWithIndex.filterNot(_._1.isInstanceOf[Transforms.Identity])
+
+  private def projectionOk(dataFilters: Seq[Expression], row: InternalRow): Boolean = {
+    if (transformIdx.isEmpty) return true
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+    dataFilters.flatMap(conjuncts).forall {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => sourceOk(a.name, Seq(v), row)
+      case EqualTo(Literal(v, _), a: AttributeReference) => sourceOk(a.name, Seq(v), row)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        sourceOk(a.name, vs.map(_.asInstanceOf[Literal].value), row)
+      case _ => true // other shapes: no projection, stay conservative
+    }
+  }
+
+  /** This partition can satisfy `src IN values` unless every projected
+    * value disagrees with the partition's derived value.
+    */
+  private def sourceOk(src: String, values: Seq[Any], row: InternalRow): Boolean =
+    transformIdx.filter(_._1.source == src).forall { case (t, i) =>
+      val cur = if (row.isNullAt(i)) null else row.get(i, partitionSchema(i).dataType)
+      values.exists { v =>
+        t.project(v) match {
+          case Some(p) => valuesEqual(p, cur)
+          case None => true // unprojectable literal: cannot prune
+        }
+      }
+    }
+
+  private def valuesEqual(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: UTF8String, y) => x.toString == String.valueOf(y)
+    case (x, y: UTF8String) => String.valueOf(x) == y.toString
+    case (x: Number, y: Number) => BigDecimal(x.toString) == BigDecimal(y.toString)
+    case _ => a == b
   }
 
   private def parsePartRow(rel: String): InternalRow = {

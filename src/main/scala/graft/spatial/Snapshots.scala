@@ -229,10 +229,15 @@ object Snapshots {
     * partition layout (CoW rewrites land back in their partition dirs).
     */
   private def writeBack(df: DataFrame, path: String): Unit = {
-    val parts = GeoTable.readPartitionCols(path)
+    val specs = GeoTable.readPartitionSpecs(path)
     val physical = TableSchema.toPhysical(encodeForStorage(df, path), path)
-    val w = physical.write.mode("append")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+    // derive missing transform partition columns (appends carry source
+    // cols; CoW rewrites already carry the derived ones)
+    val withDerived = specs
+      .filterNot(t => physical.columns.contains(t.derivedName))
+      .foldLeft(physical)((d, t) => d.withColumn(t.derivedName, Transforms.writeExpr(t, d)))
+    val w = withDerived.write.mode("append")
+    (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w).parquet(path)
   }
 
   /** Append `df` as a new snapshot (new data files; old ones untouched).

@@ -1,0 +1,101 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style partition transforms as a table-level DSL
+  * (`api/src/main/java/org/apache/iceberg/transforms/` in /root/reference):
+  * `bucket(n, col)`, `truncate(w, col)`, `year(col)`, `month(col)`,
+  * `day(col)`, or plain `col` (identity). A transform spec materializes a
+  * derived directory column on write, and — the part that matters at scale
+  * — supports PARTITION PROJECTION on read: an equality/IN predicate on
+  * the SOURCE column is projected to the derived value at planning time,
+  * so `id = 7` opens only the `id_bucket=<bucket(7)>` directory even
+  * though file stats can't prune hash-scattered buckets.
+  */
+object Transforms {
+
+  sealed trait Transform {
+    def source: String
+
+    /** Derived partition directory column name. */
+    def derivedName: String
+
+    /** Project a source literal to the derived value (planning time);
+      * None = not projectable for this transform/literal (no pruning).
+      */
+    def project(v: Any): Option[Any]
+
+    /** Canonical spec string for the manifest. */
+    def spec: String
+  }
+
+  case class Identity(source: String) extends Transform {
+    def derivedName: String = source
+    def project(v: Any): Option[Any] = Some(v)
+    def spec: String = source
+  }
+
+  /** Murmur3(value) mod n — same hash as Spark's `hash()` (seed 42). */
+  case class Bucket(n: Int, source: String) extends Transform {
+    def derivedName: String = s"${source}_bucket"
+    def project(v: Any): Option[Any] = v match {
+      case null => None
+      case _ =>
+        val h = Murmur3Hash(Seq(Literal(v)), 42).eval(null).asInstanceOf[Int]
+        Some(((h % n) + n) % n)
+    }
+    def spec: String = s"bucket($n,$source)"
+  }
+
+  /** Numbers floor to a width-multiple; strings take a prefix. */
+  case class Truncate(w: Int, source: String) extends Transform {
+    def derivedName: String = s"${source}_trunc"
+    def project(v: Any): Option[Any] = v match {
+      case s: UTF8String => Some(UTF8String.fromString(s.toString.take(w)))
+      case s: String => Some(s.take(w))
+      case l: Long => Some(l - (((l % w) + w) % w))
+      case i: Int => Some(i - (((i % w) + w) % w))
+      case _ => None
+    }
+    def spec: String = s"truncate($w,$source)"
+  }
+
+  case class DatePart(part: String, source: String) extends Transform {
+    def derivedName: String = s"${source}_$part"
+    def project(v: Any): Option[Any] = None // temporal predicates: stats prune instead
+    def spec: String = s"$part($source)"
+  }
+
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
+  private val TruncRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
+  private val DateRe = """(?i)(year|month|day)\s*\(\s*([\w.]+)\s*\)""".r
+
+  def parse(spec: String): Transform = spec.trim match {
+    case BucketRe(n, c) => Bucket(n.toInt, c)
+    case TruncRe(w, c) => Truncate(w.toInt, c)
+    case DateRe(p, c) => DatePart(p.toLowerCase, c)
+    case ident if ident.matches("[\\w.]+") => Identity(ident)
+    case other => throw new IllegalArgumentException(s"bad partition transform: $other")
+  }
+
+  /** Column expression computing the derived value on write (needs the
+    * frame for the resolved source type).
+    */
+  def writeExpr(t: Transform, df: DataFrame): Column = t match {
+    case Identity(src) => col(src)
+    case Bucket(n, src) => pmod(hash(col(src)), lit(n))
+    case Truncate(w, src) =>
+      df.schema(src).dataType match {
+        case org.apache.spark.sql.types.StringType => substring(col(src), 1, w)
+        case _ => col(src) - pmod(col(src), lit(w))
+      }
+    case DatePart(part, src) => part match {
+      case "year" => year(col(src))
+      case "month" => month(col(src))
+      case "day" => dayofmonth(col(src))
+    }
+  }
+}

@@ -104,6 +104,59 @@ class PartitionedSpec extends AnyFunSuite {
     assert((f, r) == ((0L, 0L)))
   }
 
+  test("bucket transform: hash-scattered dirs, equality projects to one bucket") {
+    val dir = Files.createTempDirectory("graft_bucket").toString
+    val rows = (0 until 80).map { i =>
+      Row(i.toLong, GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, i % 40 + 1.0)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("geom", BinaryType))))
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8, partitionBy = Seq("bucket(4, id)"))
+    val names = Snapshots.readManifest(dir).map(_.path)
+    assert(names.forall(_.startsWith("id_bucket=")), names.toString)
+    val dirs = names.map(_.split('/').head).distinct
+    assert(dirs.size == 4, s"expected 4 bucket dirs, got $dirs")
+    val t = GeoTable.read(spark, dir)
+    assert(t.count() == 80)
+    // partition projection: id = 7 reads only bucket(7)'s files — file
+    // stats can't prune hash-scattered buckets, projection can
+    val bucketFiles = names.groupBy(_.split('/').head).view.mapValues(_.size).toMap
+    val (f, r) = validateScan(t.filter(col("id") === 7L))
+    assert(r == 1L)
+    assert(f < names.size, s"projection should prune buckets, scanned $f of ${names.size}")
+    // IN over two ids prunes to at most two buckets' files
+    val (f2, r2) = validateScan(t.filter(col("id").isin(7L, 13L)))
+    assert(r2 == 2L && f2 <= bucketFiles.values.max.toLong * 2)
+    // appends through the snapshot layer land in bucket dirs
+    Snapshots.append(spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1000L, GeoCodec.writeWkb(GeoCodec.point(2.0, 2.0)))), 1),
+      StructType(Seq(StructField("id", LongType), StructField("geom", BinaryType))))
+      .transform(d => GeoTable.withBbox(d, "geom")), dir)
+    assert(Snapshots.read(spark, dir).count() == 81)
+    assert(Snapshots.readManifest(dir).map(_.path).forall(_.startsWith("id_bucket=")))
+  }
+
+  test("truncate transform groups string prefixes and projects equality") {
+    val dir = Files.createTempDirectory("graft_trunc").toString
+    val rows = (0 until 60).map { i =>
+      Row(i.toLong, s"cat${i % 3}_x$i", GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, 1.0)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("category", StringType),
+        StructField("geom", BinaryType))))
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8,
+      partitionBy = Seq("truncate(4, category)"))
+    val names = Snapshots.readManifest(dir).map(_.path)
+    assert(names.map(_.split('/').head).distinct.sorted ==
+      Seq("category_trunc=cat0", "category_trunc=cat1", "category_trunc=cat2"))
+    val t = GeoTable.read(spark, dir)
+    // equality on the SOURCE column projects to its prefix directory
+    val (f, r) = validateScan(t.filter(col("category") === "cat1_x4"))
+    assert(r == 1L)
+    val cat1Files = names.count(_.startsWith("category_trunc=cat1"))
+    assert(f <= cat1Files.toLong, s"expected <= $cat1Files files, scanned $f")
+  }
+
   test("append and CoW delete preserve the partition layout") {
     val dir = Files.createTempDirectory("graft_part_cow").toString
     val mk = (ids: Range, q: Int) => {
