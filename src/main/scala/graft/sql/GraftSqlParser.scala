@@ -217,6 +217,16 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
       case "fast_forward" =>
         Snapshots.fastForward(table, str(arg(1, "branch")), int(arg(2, "version")))
         Seq(Row(int(arg(2, "version")).toLong, "branch_moved"))
+      case "create_view" =>
+        graft.spatial.Views.createOrReplace(spark, table,
+          str(arg(1, "name")), str(arg(2, "sql")))
+        Seq(Row(1L, s"view=${str(arg(1, "name"))}"))
+      case "drop_view" =>
+        graft.spatial.Views.drop(table, str(arg(1, "name")))
+        Seq(Row(1L, s"dropped_view=${str(arg(1, "name"))}"))
+      case "resolve_views" =>
+        val names = graft.spatial.Views.installAll(spark, table)
+        Seq(Row(names.size.toLong, names.mkString(",")))
       case "create_changelog_view" =>
         val view = str(arg(3, "view"))
         Snapshots.changes(spark, table, int(arg(1, "from_version")), int(arg(2, "to_version")))

@@ -147,6 +147,25 @@ class SqlExtensionSpec extends AnyFunSuite {
     intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' DROP BRANCH main") }
   }
 
+  test("stored views resolve against the current snapshot") {
+    val dir = mkTable(30)
+    spark.sql(s"CALL graft.system.create_view('$dir', 'big_ids', " +
+      "'SELECT id FROM graft_table WHERE id >= 20')")
+    assert(graft.spatial.Views.read(spark, dir, "big_ids").count() == 10)
+    // views track the table head: a CoW delete shrinks the view
+    Snapshots.delete(spark, dir, col("id") >= 25)
+    assert(graft.spatial.Views.read(spark, dir, "big_ids").count() == 5)
+    // resolve_views registers temp views for plain SQL
+    spark.sql(s"CALL graft.system.resolve_views('$dir')")
+    assert(spark.sql("SELECT count(*) FROM big_ids").collect().head.getLong(0) == 5L)
+    // invalid SQL is rejected at creation
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.create_view('$dir', 'bad', 'SELECT no_col FROM graft_table')")
+    }
+    spark.sql(s"CALL graft.system.drop_view('$dir', 'big_ids')")
+    intercept[Exception] { graft.spatial.Views.read(spark, dir, "big_ids") }
+  }
+
   test("CALL remove_orphan_files deletes unreferenced data files") {
     val dir = mkTable(20)
     // stray file never registered in any snapshot
