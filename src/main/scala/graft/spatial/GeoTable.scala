@@ -84,10 +84,37 @@ object GeoTable {
     val writer = withDerived.write.mode("overwrite")
     (if (transforms.nonEmpty) writer.partitionBy(transforms.map(_.derivedName): _*)
      else writer).parquet(path)
+    // bucket transform: our bucket id IS Spark's bucketing hash
+    // (pmod(murmur3(col), n)), so stamping each file with the bucketed-file
+    // name pattern lets the scan report HashPartitioning — bucketed joins
+    // then need no exchange (the reference's storage-partitioned join)
+    transforms.collectFirst { case b: Transforms.Bucket => b }
+      .foreach(b => stampBucketIds(df.sparkSession, path, b))
     // record the encoding BEFORE stats collection so declared geometry
     // columns are excluded from value stats (bbox carries the pruning info)
     storageEncoding.foreach(e => GeometryFields.putUnchecked(path, Map(geomCol -> e)))
     writeManifest(df.sparkSession, path, transforms.map(_.spec))
+  }
+
+  /** Rename data files under `<col>_bucket=K/` dirs to carry Spark's
+    * `_0000K` bucket-file suffix (parsed by `BucketingUtils.getBucketId`).
+    */
+  private[spatial] def stampBucketIds(spark: SparkSession, path: String,
+      b: Transforms.Bucket): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dataFileNames(spark, path).foreach { rel =>
+      val dir = rel.split('/').dropRight(1).mkString("/")
+      val name = rel.split('/').last
+      val bucketPrefix = s"${b.derivedName}="
+      rel.split('/').find(_.startsWith(bucketPrefix)).foreach { seg =>
+        val k = seg.stripPrefix(bucketPrefix).toInt
+        if (!name.matches(""".*_\d{5}\..*""")) {
+          val stamped = name.replaceFirst("""\.""", f"_$k%05d.")
+          fs.rename(new Path(new Path(path), rel),
+            new Path(new Path(path), if (dir.isEmpty) stamped else s"$dir/$stamped"))
+        }
+      }
+    }
   }
 
   /** All data files of the table, as base-relative paths (partition
@@ -191,11 +218,19 @@ object GeoTable {
       StructType(full.fields.filterNot(f => partCols.contains(f.name))))
     val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema,
       readPartitionSpecs(path))
+    // a bucket transform doubles as a Spark bucket spec: file names carry
+    // `_0000K` ids (stamped on write) and the bucket hash is Spark's own,
+    // so the scan reports HashPartitioning and bucketed joins skip the
+    // exchange entirely
+    val bucketSpec = readPartitionSpecs(path).collectFirst {
+      case b: Transforms.Bucket if dataSchema.fieldNames.contains(b.source) =>
+        org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(b.source), Nil)
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
   }

@@ -238,6 +238,9 @@ object Snapshots {
       .foldLeft(physical)((d, t) => d.withColumn(t.derivedName, Transforms.writeExpr(t, d)))
     val w = withDerived.write.mode("append")
     (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w).parquet(path)
+    // bucketed tables: new files need the `_0000K` bucket-id stamp too
+    specs.collectFirst { case b: Transforms.Bucket => b }
+      .foreach(b => GeoTable.stampBucketIds(df.sparkSession, path, b))
   }
 
   /** Append `df` as a new snapshot (new data files; old ones untouched).

@@ -157,6 +157,33 @@ class PartitionedSpec extends AnyFunSuite {
     assert(f <= cat1Files.toLong, s"expected <= $cat1Files files, scanned $f")
   }
 
+  test("bucketed graft tables join with ZERO exchanges (storage-partitioned join)") {
+    def mkBucketed(n: Int): String = {
+      val dir = Files.createTempDirectory("graft_spj").toString
+      val rows = (0 until n).map { i =>
+        Row(i.toLong, GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, i % 40 + 1.0)))
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+        StructType(Seq(StructField("id", LongType), StructField("geom", BinaryType))))
+      GeoTable.write(df, dir, "geom", res = 8, partitionBy = Seq("bucket(4, id)"))
+      dir
+    }
+    val d1 = mkBucketed(100)
+    val d2 = mkBucketed(60)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = GeoTable.read(spark, d1).select(col("id"))
+      val b = GeoTable.read(spark, d2).select(col("id").as("id2"))
+      val j = a.join(b, col("id") === col("id2"))
+      assert(j.count() == 60)
+      val plan = j.queryExecution.executedPlan.toString
+      // the scans report HashPartitioning(id, 4) from the bucket layout —
+      // the join needs no shuffle on either side
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("append and CoW delete preserve the partition layout") {
     val dir = Files.createTempDirectory("graft_part_cow").toString
     val mk = (ids: Range, q: Int) => {
