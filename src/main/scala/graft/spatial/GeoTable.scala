@@ -32,9 +32,9 @@ import graft.functions.GeoSql
   *
   * Scale posture: the clustering is a range shuffle on a long (no skew —
   * Hilbert indexes are near-uniform for near-uniform data; salting hook left
-  * to callers otherwise); stats collection is one distributed aggregation
-  * over the written files (at production scale this would read parquet
-  * footers instead — same information, no second data pass).
+  * to callers otherwise); per-file stats come straight from parquet FOOTERS
+  * ([[FooterStats]], distributed over executors) — no second data pass
+  * after a write.
   */
 object GeoTable {
 
