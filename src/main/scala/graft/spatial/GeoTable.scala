@@ -273,7 +273,8 @@ object GeoTable {
 
   private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty): String = {
+      props: Map[String, String] = Map.empty,
+      eqDeletes: Seq[(String, Seq[String])] = Nil): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
@@ -284,7 +285,10 @@ object GeoTable {
     val pdel = posDeletes.map(jsonVal).mkString("[", ",", "]")
     val pr = props.toSeq.sorted.map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }
       .mkString("{", ",", "}")
-    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"props":$pr,"files":[${files.mkString(",")}]}"""
+    val edel = eqDeletes.map { case (f, cols) =>
+      s"""{"path":${jsonVal(f)},"cols":${cols.map(jsonVal).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"eqDeletes":$edel,"props":$pr,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
@@ -313,6 +317,25 @@ object GeoTable {
     (JsonMethods.parse(txt) \ "props") match {
       case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
       case _ => Map.empty
+    }
+  }
+
+  /** Equality delete files: (parquet path, equality columns). */
+  private[spatial] def parseEqDeletes(txt: String): Seq[(String, Seq[String])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "eqDeletes") match {
+      case JArray(ds) => ds.collect {
+        case JObject(kv) =>
+          val m = kv.toMap
+          val JString(f) = m("path")
+          val cols = m("cols") match {
+            case JArray(cs) => cs.collect { case JString(c) => c }
+            case _ => Nil
+          }
+          (f, cols)
+      }
+      case _ => Nil
     }
   }
 

@@ -51,6 +51,10 @@ object Snapshots {
   def readPosDeletes(path: String, version: Option[Int] = None): Seq[String] =
     GeoTable.parsePosDeletes(manifestText(path, version))
 
+  /** Equality delete files of a snapshot: (parquet path, equality cols). */
+  def readEqDeletes(path: String, version: Option[Int] = None): Seq[(String, Seq[String])] =
+    GeoTable.parseEqDeletes(manifestText(path, version))
+
   /** Snapshot properties (committed stream batch ids, etc.). */
   def readProps(path: String, version: Option[Int] = None): Map[String, String] =
     GeoTable.parseProps(manifestText(path, version))
@@ -156,12 +160,14 @@ object Snapshots {
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
     publish(path, readManifest(path, Some(headV)) ++ statsFor(spark, path, added),
       readDeletes(path, Some(headV)), readPosDeletes(path, Some(headV)),
-      readProps(path, Some(headV)), ref = branch)
+      readProps(path, Some(headV)), ref = branch,
+      eqDeletes = readEqDeletes(path, Some(headV)))
   }
 
   private def publish(path: String, entries: Seq[FileStats],
       deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
-      props: Map[String, String] = null, ref: String = "main"): Int = {
+      props: Map[String, String] = null, ref: String = "main",
+      eqDeletes: Seq[(String, Seq[String])] = Nil): Int = {
     val v = currentVersion(path) + 1
     // partitioning is table-level: carry the column list forward; props
     // carry forward unless explicitly replaced
@@ -173,7 +179,8 @@ object Snapshots {
     // main's head BEFORE this commit — must be pinned when a side branch
     // allocates a higher version number, or main would float to the max
     val prevMain = mainVersion(path)
-    val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes, carriedProps)
+    val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes, carriedProps,
+      eqDeletes)
     Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
     // move the target ref; _graft_manifest.json mirrors MAIN's head for
     // raw-parquet compatibility
@@ -197,6 +204,9 @@ object Snapshots {
     */
   private def carriedPos(path: String): Seq[String] =
     if (currentVersion(path) > 0) readPosDeletes(path) else Nil
+
+  private def carriedEq(path: String): Seq[(String, Seq[String])] =
+    if (currentVersion(path) > 0) readEqDeletes(path) else Nil
 
   private def listDataFiles(spark: SparkSession, path: String): Set[String] =
     GeoTable.dataFileNames(spark, path).toSet
@@ -256,7 +266,7 @@ object Snapshots {
     val mergedProps =
       (if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]) ++ props
     publish(path, base ++ statsFor(spark, path, added), carried(path), carriedPos(path),
-      mergedProps)
+      mergedProps, eqDeletes = carriedEq(path))
   }
 
   /** Logical overwrite: new snapshot references only the new files. */
@@ -291,12 +301,35 @@ object Snapshots {
   def deleteByPosition(spark: SparkSession, path: String, positions: DataFrame): Int = {
     require(positions.columns.toSet == Set("file_path", "pos"),
       s"positions must have columns (file_path, pos), got ${positions.columns.mkString(",")}")
-    // delete files live under _graft_deletes/ (hidden from data listings;
-    // the file name itself must NOT be underscore-prefixed or Spark's
-    // hidden-file filter would refuse to read it back)
-    val name = s"_graft_deletes/posdel-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
-    val tmp = Files.createTempDirectory("graft_posdel").toString
-    positions.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val name = writeDeleteFile(positions, path, "posdel")
+    publish(path, readManifest(path), carried(path), carriedPos(path) :+ name,
+      eqDeletes = carriedEq(path))
+  }
+
+  /** Merge-on-read EQUALITY delete: `rows` carries a subset of table
+    * columns; any table row matching a delete row on ALL those columns is
+    * deleted (the reference's equality delete files, `DeleteFilter` /
+    * `EqualityDeleteWriter` in /root/reference). Metadata-only commit; a
+    * compaction materializes and clears.
+    */
+  def deleteByEquality(spark: SparkSession, path: String, rows: DataFrame): Int = {
+    val tableCols = read(spark, path).columns.toSet
+    require(rows.columns.nonEmpty && rows.columns.forall(tableCols),
+      s"equality columns ${rows.columns.mkString(",")} must exist in the table")
+    val name = writeDeleteFile(rows, path, "eqdel")
+    publish(path, readManifest(path), carried(path), carriedPos(path),
+      eqDeletes = carriedEq(path) :+ (name -> rows.columns.toSeq))
+  }
+
+  /** Write delete rows as a single parquet file under `_graft_deletes/`
+    * (hidden from data listings; the file NAME must not be
+    * underscore-prefixed or Spark's hidden-file filter would refuse to
+    * read it back). Returns the table-relative path.
+    */
+  private def writeDeleteFile(df: DataFrame, path: String, kind: String): String = {
+    val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val tmp = Files.createTempDirectory("graft_del").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val part = Files.list(Paths.get(tmp)).iterator()
     var src: java.nio.file.Path = null
     while (part.hasNext) {
@@ -306,8 +339,19 @@ object Snapshots {
     require(src != null, "no delete rows written")
     Files.createDirectories(Paths.get(path, "_graft_deletes"))
     Files.move(src, Paths.get(path, name))
-    publish(path, readManifest(path), carried(path), carriedPos(path) :+ name)
+    name
   }
+
+  /** Apply equality delete files: anti-join on each file's equality
+    * columns (null keys never match, standard SQL anti-join semantics).
+    */
+  private[spatial] def applyEqDeletes(spark: SparkSession, path: String,
+      df: DataFrame, eqs: Seq[(String, Seq[String])]): DataFrame =
+    eqs.foldLeft(df) { case (d, (f, cols)) =>
+      val dels = spark.read.parquet(s"$path/$f")
+        .select(cols.map(col): _*).dropDuplicates()
+      d.join(dels, cols, "left_anti")
+    }
 
   /** Apply positional delete files: anti-join on the scan's
     * `(_metadata.file_path, _metadata.row_index)`. The join is the
@@ -352,7 +396,7 @@ object Snapshots {
       .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
     writeBack(survivors, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
   }
 
   /** Copy-on-write UPDATE: rewrite only files whose stats might match,
@@ -385,7 +429,7 @@ object Snapshots {
     }
     writeBack(bboxed, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
   }
 
   /** Copy-on-write MERGE (upsert): target rows whose key appears in
@@ -419,7 +463,7 @@ object Snapshots {
     val out = if (affected.isEmpty) src else survivors.unionByName(src)
     writeBack(out, path)
     val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path))
+    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
   }
 
   /** Read a snapshot (default: current) through the pruning file index,
@@ -428,9 +472,11 @@ object Snapshots {
     */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
     GeoTable.applyDeletes(
-      applyPosDeletes(spark, path,
-        GeoTable.readWithStats(spark, path, readManifest(path, version)),
-        readPosDeletes(path, version)),
+      applyEqDeletes(spark, path,
+        applyPosDeletes(spark, path,
+          GeoTable.readWithStats(spark, path, readManifest(path, version)),
+          readPosDeletes(path, version)),
+        readEqDeletes(path, version)),
       readDeletes(path, version))
 
   /** Changelog between two snapshots: row-level inserts/deletes with a
@@ -481,21 +527,28 @@ object Snapshots {
           .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
         common.filter(f => targets.exists(t => t.endsWith("/" + f.path)))
       }
-    val touched = (touchedByPred ++ touchedByPos).distinct
+    // ... or via equality delete files (their rows may hit any file —
+    // conservative: all common files when the eq-delete set changed)
+    val eqFrom = readEqDeletes(path, Some(fromVersion))
+    val eqTo = readEqDeletes(path, Some(toVersion))
+    val touchedByEq = if (eqTo.diff(eqFrom).isEmpty && eqFrom.diff(eqTo).isEmpty) Nil else common
+    val touched = (touchedByPred ++ touchedByPos ++ touchedByEq).distinct
 
-    def visible(files: Seq[FileStats], dels: Seq[String], posDels: Seq[String]): Option[DataFrame] =
+    def visible(files: Seq[FileStats], dels: Seq[String], posDels: Seq[String],
+        eqDels: Seq[(String, Seq[String])]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(GeoTable.applyDeletes(
-        applyPosDeletes(spark, path,
-          readFilesDecoded(spark, path, files.map(_.path)), posDels), dels))
+        applyEqDeletes(spark, path,
+          applyPosDeletes(spark, path,
+            readFilesDecoded(spark, path, files.map(_.path)), posDels), eqDels), dels))
 
     // an empty side must be a LocalRelation, not a limit(0) over the
     // snapshot — the latter would still register every file as a scan input
     def emptyLike(d: DataFrame): DataFrame =
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), d.schema)
 
-    (visible(left ++ touched, delsFrom, posFrom),
-      visible(entered ++ touched, delsTo, posTo)) match {
+    (visible(left ++ touched, delsFrom, posFrom, eqFrom),
+      visible(entered ++ touched, delsTo, posTo, eqTo)) match {
       case (None, None) =>
         val schema = read(spark, path, Some(toVersion)).schema
           .add("_change_type", org.apache.spark.sql.types.StringType)
@@ -654,7 +707,8 @@ object Snapshots {
     */
   def rollback(spark: SparkSession, path: String, toVersion: Int): Int =
     publish(path, readManifest(path, Some(toVersion)),
-      readDeletes(path, Some(toVersion)), readPosDeletes(path, Some(toVersion)))
+      readDeletes(path, Some(toVersion)), readPosDeletes(path, Some(toVersion)),
+      eqDeletes = readEqDeletes(path, Some(toVersion)))
 
   /** `set_current_snapshot`: same mechanics as rollback but allowed to move
     * forward as well (any still-retained version).
@@ -692,7 +746,7 @@ object Snapshots {
     val added = snap.filterNot(f => parent(f.path))
     val current = readManifest(path)
     val currentNames = current.map(_.path).toSet
-    publish(path, current ++ added.filterNot(f => currentNames(f.path)), carried(path), carriedPos(path))
+    publish(path, current ++ added.filterNot(f => currentNames(f.path)), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
   }
 
   /** Register data files present in the table directory but referenced by
@@ -704,7 +758,7 @@ object Snapshots {
     val unregistered = (listDataFiles(spark, path) -- known).toSeq.sorted
     if (unregistered.isEmpty) (currentVersion(path), 0)
     else (publish(path, readManifest(path) ++ statsFor(spark, path, unregistered),
-      carried(path), carriedPos(path)), unregistered.size)
+      carried(path), carriedPos(path), eqDeletes = carriedEq(path)), unregistered.size)
   }
 
   /** Drop all but the newest `keep` snapshots and remove data files no
@@ -725,8 +779,9 @@ object Snapshots {
     orphans.foreach { orphan =>
       fs.delete(new Path(new Path(path), orphan), false)
     }
-    // positional delete files referenced by no retained snapshot
-    val keptPos = keepVersions.flatMap(v => readPosDeletes(path, Some(v))).toSet
+    // delete files (positional + equality) referenced by no retained snapshot
+    val keptPos = keepVersions.flatMap(v => readPosDeletes(path, Some(v))).toSet ++
+      keepVersions.flatMap(v => readEqDeletes(path, Some(v)).map(_._1))
     val delDir = Paths.get(path, "_graft_deletes")
     if (Files.exists(delDir)) {
       val posIt = Files.list(delDir).iterator()

@@ -206,6 +206,38 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 47)
   }
 
+  test("equality MoR delete: rows deleted by column values, no rewrite") {
+    import spark.implicits._
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_eqdel").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    val filesBefore = Snapshots.readManifest(dir).map(_.path).toSet
+    // delete specific ids by VALUE (works across every file, unlike pos deletes)
+    val v = Snapshots.deleteByEquality(spark, dir, Seq(4L, 9L, 15L).toDF("id"))
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == filesBefore) // metadata-only
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 37)
+    assert(t.filter(col("id").isin(4L, 9L, 15L)).count() == 0)
+    assert(Snapshots.read(spark, dir, Some(v - 1)).count() == 40) // time travel
+    // equality deletes also suppress matching rows appended LATER (Iceberg
+    // equality-delete semantics apply to the whole visible snapshot)
+    Snapshots.append(mkDf(100 until 110, 2), dir)
+    assert(Snapshots.read(spark, dir).count() == 47)
+    // changelog across the eq-delete commit sees 3 deletes
+    val cdc = Snapshots.changes(spark, dir, v - 1, v)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cdc == Map("delete" -> 3L), s"got $cdc")
+    // non-table equality column rejected
+    intercept[Exception] {
+      Snapshots.deleteByEquality(spark, dir, Seq(1L).toDF("nope"))
+    }
+    // compaction materializes and clears
+    Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
+    assert(Snapshots.readEqDeletes(dir).isEmpty)
+    assert(Snapshots.read(spark, dir).count() == 47)
+  }
+
   test("rollback republishes an earlier snapshot without touching files") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_rb").toString
