@@ -52,7 +52,30 @@ object GraftStatements {
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
 
+  // row-level DML on quoted PATH tables only — a quoted string is never a
+  // valid table name for Spark's parser, so catalog-table DML always falls
+  // through to the delegate untouched
+  private val DeleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*$""".r
+  private val UpdateRe =
+    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+  private val MergeRe =
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*$""".r
+
   def tryParse(sql: String): Option[LogicalPlan] = sql match {
+    case DeleteRe(tbl, cond) => Some(DmlCommand(tbl, "delete", cond, Nil, ""))
+    case UpdateRe(tbl, sets, cond) =>
+      val assignments = splitTopLevel(sets).map { a =>
+        val i = a.indexOf('=')
+        require(i > 0, s"bad SET clause: $a")
+        a.take(i).trim -> a.drop(i + 1).trim
+      }
+      Some(DmlCommand(tbl, "update", cond, assignments, ""))
+    case MergeRe(tbl, src, key) => Some(DmlCommand(tbl, "merge", src, Nil, key))
+    case _ => tryParseDdl(sql)
+  }
+
+  private def tryParseDdl(sql: String): Option[LogicalPlan] = sql match {
     case AlterRe(tbl, fieldList) =>
       val fields = splitTopLevel(fieldList).map {
         case FieldRe(c, enc) => stripQuotes(c) -> enc.toLowerCase
@@ -128,6 +151,30 @@ case class SetGeometryFieldsCommand(path: String, fields: Seq[(String, String)])
       GeometryFields.setGeometryField(spark, path, c, enc)
     }
     Seq.empty
+  }
+}
+
+/** Row-level DML on path tables: `DELETE FROM '<path>' WHERE cond`,
+  * `UPDATE '<path>' SET c = e [, ...] WHERE cond`, and
+  * `MERGE INTO '<path>' USING (query) ON key` — mapped onto the
+  * copy-on-write snapshot operations (the reference's
+  * `SparkCopyOnWriteOperation` surface, reached there through Spark's
+  * native DML on catalog tables).
+  */
+case class DmlCommand(path: String, op: String, condOrSrc: String,
+    assignments: Seq[(String, String)], key: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.expr
+    graft.spatial.Geo.install(spark)
+    val v = op match {
+      case "delete" => Snapshots.delete(spark, path, expr(condOrSrc))
+      case "update" => Snapshots.update(spark, path, expr(condOrSrc),
+        assignments.map { case (c, e) => c -> expr(e) }.toMap)
+      case "merge" => Snapshots.mergeUpsert(spark, path, spark.sql(condOrSrc), key)
+    }
+    Seq(Row(v.toLong))
   }
 }
 

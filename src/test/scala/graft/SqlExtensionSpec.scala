@@ -166,6 +166,33 @@ class SqlExtensionSpec extends AnyFunSuite {
     intercept[Exception] { graft.spatial.Views.read(spark, dir, "big_ids") }
   }
 
+  test("row-level DML statements on path tables: DELETE / UPDATE / MERGE") {
+    val dir = mkTable(30)
+    // DELETE FROM (copy-on-write)
+    spark.sql(s"DELETE FROM '$dir' WHERE id < 5")
+    assert(Snapshots.read(spark, dir).count() == 25)
+    // UPDATE ... SET ... WHERE
+    spark.sql(s"UPDATE '$dir' SET id = id + 1000 WHERE id >= 25 AND id < 28")
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 25)
+    assert(t.filter(col("id").between(1025, 1027)).count() == 3)
+    // MERGE INTO ... USING (query) ON key: update 2 rows + insert 1
+    Snapshots.read(spark, dir).filter(col("id").isin(5L, 6L))
+      .withColumn("id", col("id") + 500)
+      .unionByName(Snapshots.read(spark, dir).filter(col("id") === 7L)
+        .withColumn("id", lit(9999L)))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(s"MERGE INTO '$dir' USING (SELECT * FROM merge_src) ON id")
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.count() == 28) // 25 + 3 inserts (505, 506, 9999 are new keys)
+    assert(t2.filter(col("id").isin(505L, 506L, 9999L)).count() == 3)
+    // catalog-table DML still parses through the delegate (plan analysis
+    // fails on the unknown table, not in the parser)
+    val e = intercept[Exception] { spark.sql("DELETE FROM no_such_table WHERE x = 1") }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"))
+  }
+
   test("CALL remove_orphan_files deletes unreferenced data files") {
     val dir = mkTable(20)
     // stray file never registered in any snapshot
