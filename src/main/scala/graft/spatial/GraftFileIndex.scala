@@ -92,14 +92,50 @@ class GraftFileIndex(
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
     dataFilters.flatMap(conjuncts).forall {
       case EqualTo(a: AttributeReference, Literal(v, _)) => sourceOk(a.name, Seq(v), row)
       case EqualTo(Literal(v, _), a: AttributeReference) => sourceOk(a.name, Seq(v), row)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         sourceOk(a.name, vs.map(_.asInstanceOf[Literal].value), row)
+      // range projection for MONOTONIC transforms: src >= L ⇒ derived >= t(L)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = true)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = true)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = false)
+      case LessThan(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = false)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = false)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = false)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = true)
+      case LessThan(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = true)
       case _ => true // other shapes: no projection, stay conservative
     }
+  }
+
+  /** Range bound against a monotonic transform's derived value: with
+    * `lower = true`, keep iff derived >= project(bound) (the derived value
+    * of any row satisfying the predicate can't be below the projected
+    * bound; > collapses to >= because the transform is many-to-one).
+    */
+  private def boundOk(src: String, v: Any, row: InternalRow, lower: Boolean): Boolean =
+    transformIdx.filter { case (t, _) => t.source == src && t.monotonic }
+      .forall { case (t, i) =>
+        val cur = if (row.isNullAt(i)) null else row.get(i, partitionSchema(i).dataType)
+        t.project(v) match {
+          case Some(p) => compareValues(cur, p) match {
+            case Some(c) => if (lower) c >= 0 else c <= 0
+            case None => true
+          }
+          case None => true
+        }
+      }
+
+  private def compareValues(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: UTF8String, y) => Some(x.toString.compareTo(String.valueOf(y)))
+    case (x, y: UTF8String) => Some(String.valueOf(x).compareTo(y.toString))
+    case (x: String, y) => Some(x.compareTo(String.valueOf(y)))
+    case (x: Number, y: Number) => Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
+    case _ => None
   }
 
   /** This partition can satisfy `src IN values` unless every projected

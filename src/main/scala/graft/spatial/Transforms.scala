@@ -28,6 +28,11 @@ object Transforms {
       */
     def project(v: Any): Option[Any]
 
+    /** Order-preserving in the source (enables RANGE projection:
+      * `src >= L` ⇒ `derived >= project(L)`). Bucket is not.
+      */
+    def monotonic: Boolean
+
     /** Canonical spec string for the manifest. */
     def spec: String
   }
@@ -35,6 +40,7 @@ object Transforms {
   case class Identity(source: String) extends Transform {
     def derivedName: String = source
     def project(v: Any): Option[Any] = Some(v)
+    def monotonic: Boolean = true
     def spec: String = source
   }
 
@@ -47,10 +53,13 @@ object Transforms {
         val h = Murmur3Hash(Seq(Literal(v)), 42).eval(null).asInstanceOf[Int]
         Some(((h % n) + n) % n)
     }
+    def monotonic: Boolean = false
     def spec: String = s"bucket($n,$source)"
   }
 
-  /** Numbers floor to a width-multiple; strings take a prefix. */
+  /** Numbers floor to a width-multiple; strings take a prefix — both
+    * order-preserving.
+    */
   case class Truncate(w: Int, source: String) extends Transform {
     def derivedName: String = s"${source}_trunc"
     def project(v: Any): Option[Any] = v match {
@@ -60,12 +69,29 @@ object Transforms {
       case i: Int => Some(i - (((i % w) + w) % w))
       case _ => None
     }
+    def monotonic: Boolean = true
     def spec: String = s"truncate($w,$source)"
   }
 
+  /** Iceberg ordinal semantics so every part is MONOTONIC in the source:
+    * year = calendar year, month = months since 1970-01, day = days since
+    * epoch. Projection handles DateType literals (epoch days — timezone
+    * free); timestamp literals stay unprojected (session-timezone
+    * dependent) and rely on file stats instead.
+    */
   case class DatePart(part: String, source: String) extends Transform {
     def derivedName: String = s"${source}_$part"
-    def project(v: Any): Option[Any] = None // temporal predicates: stats prune instead
+    def project(v: Any): Option[Any] = v match {
+      case days: Int => // DateType literal
+        val d = java.time.LocalDate.ofEpochDay(days.toLong)
+        part match {
+          case "year" => Some(d.getYear)
+          case "month" => Some((d.getYear - 1970) * 12 + (d.getMonthValue - 1))
+          case "day" => Some(days)
+        }
+      case _ => None
+    }
+    def monotonic: Boolean = true
     def spec: String = s"$part($source)"
   }
 
@@ -94,8 +120,8 @@ object Transforms {
       }
     case DatePart(part, src) => part match {
       case "year" => year(col(src))
-      case "month" => month(col(src))
-      case "day" => dayofmonth(col(src))
+      case "month" => (year(col(src)) - 1970) * 12 + month(col(src)) - 1
+      case "day" => datediff(col(src), lit(java.sql.Date.valueOf("1970-01-01")))
     }
   }
 }

@@ -184,6 +184,36 @@ class PartitionedSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("year transform prunes date-range predicates via monotonic projection") {
+    val dir = Files.createTempDirectory("graft_year").toString
+    val rows = (0 until 80).map { i =>
+      Row(i.toLong, java.sql.Date.valueOf(f"${2020 + i % 4}%d-${i % 9 + 1}%02d-15"),
+        GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, i % 40 + 1.0)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("d", DateType),
+        StructField("geom", BinaryType))))
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8, partitionBy = Seq("year(d)"))
+    val names = Snapshots.readManifest(dir).map(_.path)
+    assert(names.map(_.split('/').head).distinct.sorted ==
+      Seq("d_year=2020", "d_year=2021", "d_year=2022", "d_year=2023"))
+    val t = GeoTable.read(spark, dir)
+    val perYear = names.groupBy(_.split('/').head).view.mapValues(_.size).toMap
+    // range predicate: only 2022 + 2023 directories are opened
+    val (f, r) = validateScan(t.filter(col("d") >= lit(java.sql.Date.valueOf("2022-01-01"))))
+    assert(r == 40L)
+    assert(f == (perYear("d_year=2022") + perYear("d_year=2023")).toLong,
+      s"expected 2 years' files, scanned $f")
+    // equality on the source date projects to a single year
+    val (f2, r2) = validateScan(t.filter(col("d") === lit(java.sql.Date.valueOf("2021-02-15"))))
+    assert(r2 > 0)
+    assert(f2 == perYear("d_year=2021").toLong)
+    // BETWEEN inside one year
+    val (f3, _) = validateScan(t.filter(
+      col("d").between(java.sql.Date.valueOf("2023-01-01"), java.sql.Date.valueOf("2023-12-31"))))
+    assert(f3 == perYear("d_year=2023").toLong)
+  }
+
   test("append and CoW delete preserve the partition layout") {
     val dir = Files.createTempDirectory("graft_part_cow").toString
     val mk = (ids: Range, q: Int) => {
