@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Snapshots {
 
+  /** A concurrent writer committed the version this writer computed —
+    * re-read the table state and retry the operation.
+    */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   private def manifestPath(path: String, v: Int) = Paths.get(path, s"_graft_manifest_v$v.json")
 
   def currentVersion(path: String): Int = {
@@ -164,6 +169,23 @@ object Snapshots {
       eqDeletes = readEqDeletes(path, Some(headV)))
   }
 
+  /** Optimistic concurrency: CREATE_NEW makes the version file the commit
+    * lock — a concurrent writer that already took version v (in the window
+    * between this writer's version computation and its write) surfaces as
+    * a CommitConflictException instead of a silent lost update. The caller
+    * re-reads the new base and retries — Iceberg's commit semantics.
+    */
+  private[graft] def atomicWriteManifest(path: String, v: Int, body: Array[Byte]): Unit = {
+    try {
+      Files.write(manifestPath(path, v), body,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new Snapshots.CommitConflictException(
+          s"snapshot v$v at $path was committed concurrently; re-read and retry")
+    }
+  }
+
   private def publish(path: String, entries: Seq[FileStats],
       deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = null, ref: String = "main",
@@ -181,7 +203,7 @@ object Snapshots {
     val prevMain = mainVersion(path)
     val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes, carriedProps,
       eqDeletes)
-    Files.write(manifestPath(path, v), body.getBytes(StandardCharsets.UTF_8))
+    atomicWriteManifest(path, v, body.getBytes(StandardCharsets.UTF_8))
     // move the target ref; _graft_manifest.json mirrors MAIN's head for
     // raw-parquet compatibility
     val (bs, ts) = readRefs(path)

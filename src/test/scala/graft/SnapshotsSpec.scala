@@ -238,6 +238,30 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 47)
   }
 
+  test("concurrent commit of the same version is detected, not lost") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_conflict").toString
+    GeoTable.write(mkDf(0 until 20, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    // a writer that computed version v loses the race: the version file
+    // already exists when it commits → conflict, no silent overwrite
+    val next = Snapshots.currentVersion(dir) + 1
+    // the winner committed a (content-identical) snapshot first
+    val winner = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest_v1.json")))
+    Files.write(java.nio.file.Paths.get(dir, s"_graft_manifest_v$next.json"),
+      winner.getBytes)
+    intercept[Snapshots.CommitConflictException] {
+      graft.spatial.Snapshots.atomicWriteManifest(dir, next, "{}".getBytes)
+    }
+    // the winning writer's manifest is untouched
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, s"_graft_manifest_v$next.json"))) == winner)
+    // a retry recomputes the version against the new state and succeeds
+    Snapshots.deleteMoR(spark, dir, "id < 5")
+    assert(Snapshots.read(spark, dir).count() == 15)
+    assert(Snapshots.currentVersion(dir) == next + 1)
+  }
+
   test("rollback republishes an earlier snapshot without touching files") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_rb").toString
