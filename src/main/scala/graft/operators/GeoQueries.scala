@@ -157,6 +157,33 @@ object GeoQueries {
         .select(col("version"), col("record_count"))
     }),
 
+    // bucket-transform table: equality predicates on the source column
+    // project to one bucket directory at planning time
+    "geo_bucket_prune" -> ((s, dir) => {
+      import graft.spatial.GeoTable
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_buckettable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
+        path, "geom", res = 10, numFiles = 2, partitionBy = Seq("bucket(8, c_custkey)"))
+      GeoTable.read(s, path)
+        .filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey"), col("x"), col("y"))
+    }),
+
+    // schema evolution end-to-end: rename columns, read under new names
+    "geo_evolved_read" -> ((s, dir) => {
+      import graft.spatial.{GeoTable, Snapshots, TableSchema}
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_evotable_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+      GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
+        path, "geom", res = 10, numFiles = 2)
+      TableSchema.renameColumn(s, path, "x", "lon")
+      TableSchema.renameColumn(s, path, "y", "lat")
+      Snapshots.read(s, path)
+        .filter(col("lon") > 0)
+        .select(col("c_custkey"), col("lon"), col("lat"))
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -189,6 +216,14 @@ object GeoQueries {
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
          |WHERE x > 0 AND y > 0
          |  AND x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
+
+    "geo_bucket_prune" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE c_custkey % 100 = 7""".stripMargin,
+
+    "geo_evolved_read" ->
+      s"""SELECT c_custkey, x AS lon, y AS lat FROM ($ptsSql)
+         |WHERE x > 0""".stripMargin,
 
     "geo_snapshots_meta" ->
       """SELECT CAST(1 AS INTEGER) AS version,
