@@ -145,6 +145,34 @@ object TextPipeline {
       jaccardPairs(d, math.max(64L, d.count() / 8))
     }),
 
+    // near-dup cluster canonicalization: connected components over the
+    // Jaccard pair graph by iterative min-label propagation (each round is
+    // one join + agg; lineage truncated per round; converges in O(cluster
+    // diameter) rounds — tiny for dup clusters). Every doc gets a cluster
+    // id = the smallest doc_id reachable through near-dup edges; keeping
+    // rows where doc_id == cluster is the dedup KEEP policy.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = jaccardPairs(d, math.max(64L, d.count() / 8)).select(col("d1"), col("d2"))
+      val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+        .localCheckpoint(true)
+      var labels = d.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+      var changed = true
+      var iter = 0
+      while (changed && iter < 20) {
+        val viaNeighbor = edges.join(labels, edges("d2") === labels("doc_id"))
+          .select(edges("d1").as("doc_id"), col("cluster"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+          .localCheckpoint(true)
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+        labels = next
+        iter += 1
+      }
+      labels
+    }),
+
     // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows
     "dedup_minhash" -> ((s, dir) => {
       val nHash = 16
@@ -252,6 +280,27 @@ object TextPipeline {
         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT d1, d2, round(common * 1.0 / (x.n + y.n - common), 4) AS jac
         |FROM pair JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
-        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin,
+
+    // transitive closure of the near-dup graph: cluster = min reachable id
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT d1, d2
+        |       FROM pair JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |       WHERE common * 1.0 / (x.n + y.n - common) >= 0.4),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b
+        |)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id""".stripMargin
   )
 }

@@ -64,6 +64,20 @@ class PipelineSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getString(2).split(",").length == 8))
   }
 
+  test("dedup clusters: near-dup pairs share a cluster; canonical = min id") {
+    val labels = SparkEntry.queries("dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 500)
+    exact.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster's canonical id is a member of the cluster
+    assert(labels.values.toSet.forall(c => labels(c) == c))
+    // keep-policy: docs where doc_id == cluster form the deduped corpus
+    val kept = labels.count { case (id, c) => id == c }
+    assert(kept == labels.values.toSet.size && kept < 500)
+  }
+
   test("hot-shingle cap excludes hot keys from candidates but keeps exact jaccard") {
     import spark.implicits._
     // "alpha beta gamma" appears in EVERY doc (the hot run); each near-dup
