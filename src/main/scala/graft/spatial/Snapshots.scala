@@ -701,6 +701,53 @@ object Snapshots {
       s"unknown metadata table: $other (files|history|snapshots|manifests|partitions|entries)")
   }
 
+  /** Rows appended between two snapshots — the manifest-diff's ENTERED
+    * files read directly, with the target snapshot's deletes applied. The
+    * cheap append-only incremental-consumption path (no `exceptAll`);
+    * copy-on-write rewrites surface through [[changes]] instead (the
+    * reference's incremental append scan, `BaseIncrementalAppendScan`).
+    */
+  def incrementalRead(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val fromNames = readManifest(path, Some(fromVersion)).map(_.path).toSet
+    val entered = readManifest(path, Some(toVersion)).filterNot(f => fromNames(f.path))
+    if (entered.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        read(spark, path, Some(toVersion)).schema)
+    else GeoTable.applyDeletes(
+      applyEqDeletes(spark, path,
+        applyPosDeletes(spark, path,
+          readFilesDecoded(spark, path, entered.map(_.path)),
+          readPosDeletes(path, Some(toVersion))),
+        readEqDeletes(path, Some(toVersion))),
+      readDeletes(path, Some(toVersion)))
+  }
+
+  /** Binpack compaction — the reference's default `rewrite_data_files`
+    * strategy: merge only files smaller than `smallBytes` into `numFiles`
+    * outputs, leaving well-sized files byte-identical. Pending MoR deletes
+    * are materialized into the rewritten rows (re-applying the carried
+    * predicates to them later is idempotent; stale positional entries
+    * reference files that left the manifest).
+    */
+  def binPack(spark: SparkSession, path: String, smallBytes: Long,
+      numFiles: Int = 1): Int = {
+    val current = readManifest(path)
+    val (small, big) = current.partition(_.sizeBytes < smallBytes)
+    if (small.size <= 1) return currentVersion(path)
+    val before = listDataFiles(spark, path)
+    val rows = GeoTable.applyDeletes(
+      applyEqDeletes(spark, path,
+        applyPosDeletes(spark, path,
+          readFilesDecoded(spark, path, small.map(_.path)), carriedPos(path)),
+        carriedEq(path)),
+      carried(path))
+    writeBack(rows.repartition(numFiles), path)
+    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    publish(path, big ++ statsFor(spark, path, added), carried(path), carriedPos(path),
+      eqDeletes = carriedEq(path))
+  }
+
   /** Hilbert sort compaction — the reference's `rewrite_data_files` with a
     * sort order containing the hilbert term (`IcebergSortCompactionBenchmark`
     * / SURVEY.md §2.7 maintenance actions): rewrites the current snapshot

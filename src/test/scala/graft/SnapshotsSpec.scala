@@ -307,6 +307,48 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(v34 == Map("delete" -> 3L), s"got $v34")
   }
 
+  test("incremental read returns only appended rows, without exceptAll") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_incr").toString
+    GeoTable.write(mkDf(0 until 30, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(100 until 120, 2), dir) // v2
+    Snapshots.append(mkDf(200 until 210, 1), dir) // v3
+    val incr = Snapshots.incrementalRead(spark, dir, 1, 3)
+    assert(incr.count() == 30)
+    assert(incr.filter(col("id") < 100).count() == 0)
+    // v2 -> v3 slice
+    assert(Snapshots.incrementalRead(spark, dir, 2, 3).count() == 10)
+    // same-version slice is empty
+    assert(Snapshots.incrementalRead(spark, dir, 3, 3).count() == 0)
+    // only the entered files are scan inputs; no exceptAll in the plan
+    val df = Snapshots.incrementalRead(spark, dir, 1, 3)
+    val v1files = Snapshots.readManifest(dir, Some(1)).map(_.path).toSet
+    assert((df.inputFiles.map(_.split('/').last).toSet &
+      v1files.map(_.split('/').last)).isEmpty)
+    assert(!df.queryExecution.optimizedPlan.toString.toLowerCase.contains("except"))
+  }
+
+  test("binpack compaction merges only small files, leaves big ones untouched") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_binpack").toString
+    GeoTable.write(mkDf(0 until 2000, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    // three tiny appends → small-file problem
+    (0 until 3).foreach(k => Snapshots.append(mkDf(3000 + k * 10 until 3010 + k * 10, 2), dir))
+    val before = Snapshots.readManifest(dir)
+    assert(before.size == 7) // 1 big + 3 appends x 2 partitions
+    val bigFile = before.maxBy(_.sizeBytes)
+    val threshold = bigFile.sizeBytes // everything smaller gets packed
+    Snapshots.binPack(spark, dir, smallBytes = threshold, numFiles = 1)
+    val after = Snapshots.readManifest(dir)
+    assert(after.size == 2, s"expected big + 1 packed, got ${after.map(_.path)}")
+    assert(after.map(_.path).contains(bigFile.path), "big file must be untouched")
+    assert(Snapshots.read(spark, dir).count() == 2030)
+    // pending MoR deletes are honored across the compaction
+    Snapshots.deleteMoR(spark, dir, "id >= 3025")
+    Snapshots.binPack(spark, dir, smallBytes = Long.MaxValue, numFiles = 1)
+    assert(Snapshots.read(spark, dir).count() == 2025)
+  }
+
   test("hilbert sort compaction rewrites into fewer clustered files") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_compact").toString
