@@ -76,6 +76,33 @@ object TextPipeline {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Connected components over the near-dup pair graph by iterative
+    * min-label propagation (one join + agg per round, lineage truncated
+    * per round, converges in O(cluster diameter) rounds — tiny for dup
+    * clusters). Every doc gets cluster = smallest reachable doc_id;
+    * keeping rows where doc_id == cluster is the dedup KEEP policy.
+    */
+  private[graft] def clusterLabels(d: DataFrame, maxDf: Long): DataFrame = {
+    val pairs = jaccardPairs(d, maxDf).select(col("d1"), col("d2"))
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    var labels = d.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < 20) {
+      val viaNeighbor = edges.join(labels, edges("d2") === labels("doc_id"))
+        .select(edges("d1").as("doc_id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace tokenizer; one-pass kernel, no token array)
     "text_tokens" -> ((s, dir) => {
@@ -153,24 +180,29 @@ object TextPipeline {
     // rows where doc_id == cluster is the dedup KEEP policy.
     "dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      val pairs = jaccardPairs(d, math.max(64L, d.count() / 8)).select(col("d1"), col("d2"))
-      val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-        .localCheckpoint(true)
-      var labels = d.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
-      var changed = true
-      var iter = 0
-      while (changed && iter < 20) {
-        val viaNeighbor = edges.join(labels, edges("d2") === labels("doc_id"))
-          .select(edges("d1").as("doc_id"), col("cluster"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-          .localCheckpoint(true)
-        changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
-        labels = next
-        iter += 1
-      }
-      labels
+      clusterLabels(d, math.max(64L, d.count() / 8))
+    }),
+
+    // end-to-end training-data curation: language gate + quality gate +
+    // dedup keep-policy in ONE declarative pipeline — the corpus a 100 TB
+    // pretraining run would actually ingest. Each stage is the operator
+    // tested elsewhere (lang_hits / text_stats kernels, cluster labels);
+    // Catalyst fuses the map-only gates into the scan.
+    "pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val labels = clusterLabels(d, math.max(64L, d.count() / 8))
+      d.withColumn("st", VectorSql.text_stats(col("text"), typedlit(stopwords)))
+        .withColumn("h", VectorSql.lang_hits(col("text"), typedlit(Seq(
+          Seq("the", "a", "of", "and"), Seq("el", "la", "de", "y"),
+          Seq("le", "les", "et", "une"), Seq("der", "die", "und", "das")))))
+        .withColumn("n_tokens", col("st.n_tokens"))
+        .withColumn("is_en",
+          col("h").getItem(0) >= col("h").getItem(1) &&
+            col("h").getItem(0) >= col("h").getItem(2) &&
+            col("h").getItem(0) >= col("h").getItem(3) && col("h").getItem(0) > 0)
+        .join(labels, "doc_id")
+        .filter(col("is_en") && col("n_tokens") >= 20 && col("doc_id") === col("cluster"))
+        .select(col("doc_id"), col("n_tokens"))
     }),
 
     // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows
@@ -281,6 +313,38 @@ object TextPipeline {
         |SELECT d1, d2, round(common * 1.0 / (x.n + y.n - common), 4) AS jac
         |FROM pair JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH RECURSIVE tokc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |idxc AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tokc),
+        |shc AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idxc),
+        |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
+        |pairc AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |          FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jpc AS (SELECT d1, d2
+        |        FROM pairc JOIN szc x ON d1 = x.doc_id JOIN szc y ON d2 = y.doc_id
+        |        WHERE common * 1.0 / (x.n + y.n - common) >= 0.4),
+        |edgesc AS (SELECT d1 AS a, d2 AS b FROM jpc UNION ALL SELECT d2, d1 FROM jpc),
+        |reachc AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a AS id, r.r FROM edgesc e JOIN reachc r ON r.id = e.b
+        |),
+        |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reachc GROUP BY id),
+        |sig AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |gates AS (SELECT doc_id,
+        |  CAST(len(tk) AS INTEGER) AS n_tokens,
+        |  len(list_filter(tk, w -> w IN ('the','a','of','and'))) AS en,
+        |  len(list_filter(tk, w -> w IN ('el','la','de','y'))) AS es,
+        |  len(list_filter(tk, w -> w IN ('le','les','et','une'))) AS fr,
+        |  len(list_filter(tk, w -> w IN ('der','die','und','das'))) AS de
+        | FROM sig)
+        |SELECT g.doc_id, g.n_tokens
+        |FROM gates g JOIN cl ON g.doc_id = cl.doc_id
+        |WHERE g.en >= g.es AND g.en >= g.fr AND g.en >= g.de AND g.en > 0
+        |  AND g.n_tokens >= 20 AND cl.cluster = g.doc_id""".stripMargin,
 
     // transitive closure of the near-dup graph: cluster = min reachable id
     "dedup_clusters" ->
