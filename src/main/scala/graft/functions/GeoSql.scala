@@ -52,11 +52,17 @@ object GeoSql {
     "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5)))
   )
 
-  /** Idempotent: registers every ST_ function on the session. */
+  /** Idempotent: registers every ST_ function on the session. Skips names
+    * already present — every query path calls install(), and re-replacing
+    * 37 functions per query floods the log with SimpleFunctionRegistry
+    * WARNs (synchronized console I/O on the hot path).
+    */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
-      reg.createOrReplaceTempFunction(name, b, "built-in")
+      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+        reg.createOrReplaceTempFunction(name, b, "built-in")
+      }
     }
   }
 

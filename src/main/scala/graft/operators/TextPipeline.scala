@@ -49,6 +49,16 @@ object TextPipeline {
     * surviving pairs — reported values are identical to the uncapped
     * computation for every pair that shares at least one sub-cap shingle.
     * Exposed for the cap spec.
+    *
+    * Contract: what the cap trades away is RECALL on hot-only pairs — a
+    * pair whose common shingles are ALL above `maxDf` (e.g. documents made
+    * entirely of shared boilerplate) never becomes a candidate. Reported
+    * Jaccard values for emitted pairs are always exact. With the default
+    * `maxDf = max(64, N/8)` a shingle must appear in >12.5% of the corpus
+    * to be capped, so any pair at jac >= 0.4 that is NOT pure boilerplate
+    * still shares rarer shingles and is found; corpora where that
+    * assumption fails should route through `dedup_minhash`, whose banding
+    * is df-insensitive.
     */
   private[graft] def jaccardPairs(d: DataFrame, maxDf: Long): DataFrame = {
     val sh = shingles(d)
@@ -87,6 +97,15 @@ object TextPipeline {
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
     var labels = d.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+    // (row count, label checksum): labels only ever DECREASE under min-
+    // propagation, so an unchanged (count, xor-of-hash) pair across rounds
+    // means a fixed point — no second join+count job per round. bit_xor
+    // (not sum) so the agg can't overflow under ANSI mode.
+    def checksum(l: DataFrame): (Long, Long) = {
+      val r = l.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, cluster))")).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(labels)
     var changed = true
     var iter = 0
     while (changed && iter < 20) {
@@ -94,9 +113,13 @@ object TextPipeline {
         .select(edges("d1").as("doc_id"), col("cluster"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+        .localCheckpoint(eager = false)
+      // ONE action per round: the checksum agg materializes the lazy
+      // checkpoint (truncating lineage for the next round) AND detects
+      // convergence in the same job.
+      val cur = checksum(next)
+      changed = cur != prev
+      prev = cur
       labels = next
       iter += 1
     }
