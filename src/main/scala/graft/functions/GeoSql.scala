@@ -52,17 +52,26 @@ object GeoSql {
     "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5)))
   )
 
-  /** Idempotent: registers every ST_ function on the session. Skips names
-    * already present — every query path calls install(), and re-replacing
-    * 37 functions per query floods the log with SimpleFunctionRegistry
-    * WARNs (synchronized console I/O on the hot path).
+  // registries already installed into (weak identity set: a dropped session
+  // must not leak). `functionExists` can NOT be the guard — Spark 4 ships
+  // its own (feature-flagged-off) builtin st_* names, which must be
+  // SHADOWED by ours, not deferred to.
+  private val installedRegistries =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
+  /** Idempotent per session: registers every ST_ function exactly once —
+    * re-replacing 37 functions per query floods the log with
+    * SimpleFunctionRegistry WARNs (synchronized console I/O on the hot
+    * path).
     */
-  def install(spark: SparkSession): Unit = {
+  def install(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, b) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
+    if (!installedRegistries.contains(reg)) {
+      builders.foreach { case (name, b) =>
         reg.createOrReplaceTempFunction(name, b, "built-in")
       }
+      installedRegistries.add(reg)
     }
   }
 

@@ -205,22 +205,25 @@ object VectorKernels {
 }
 
 object VectorSql {
-  /** Idempotent: skips already-registered names — re-replacing per query
+  // see GeoSql.install: once per registry, weakly held
+  private val installedRegistries =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[AnyRef, java.lang.Boolean]())
+
+  /** Idempotent per session: registers once — re-replacing per query
     * floods the log with SimpleFunctionRegistry WARNs (synchronized I/O).
     */
-  def install(spark: SparkSession): Unit = {
+  def install(spark: SparkSession): Unit = synchronized {
     val reg = spark.sessionState.functionRegistry
-    val builders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] => org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
-      "vec_dot" -> (e => VecDot(e(0), e(1))),
-      "vec_cosine" -> (e => VecCosine(e(0), e(1))),
-      "count_in_set" -> (e => CountInSet(e(0), e(1))),
-      "text_stats" -> (e => TextStats(e(0), e(1))),
-      "lang_hits" -> (e => TextHits(e(0), e(1))),
-      "vec_band_sig" -> (e => VecBandSig(e(0), e(1), e(2), e(3))))
-    builders.foreach { case (name, b) =>
-      if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))) {
-        reg.createOrReplaceTempFunction(name, b, "built-in")
-      }
+    if (!installedRegistries.contains(reg)) {
+      reg.createOrReplaceTempFunction("vec_dot", e => VecDot(e(0), e(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_cosine", e => VecCosine(e(0), e(1)), "built-in")
+      reg.createOrReplaceTempFunction("count_in_set", e => CountInSet(e(0), e(1)), "built-in")
+      reg.createOrReplaceTempFunction("text_stats", e => TextStats(e(0), e(1)), "built-in")
+      reg.createOrReplaceTempFunction("lang_hits", e => TextHits(e(0), e(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_band_sig",
+        e => VecBandSig(e(0), e(1), e(2), e(3)), "built-in")
+      installedRegistries.add(reg)
     }
   }
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -184,6 +184,24 @@ object GeoQueries {
         .select(col("c_custkey"), col("lon"), col("lat"))
     }),
 
+    // connector full-fidelity: a table with a WKT storage encoding AND a
+    // pending merge-on-read delete, read through format("graft") — the
+    // read must decode the geometry and apply the delete (the reference's
+    // DeleteFilter-always-on contract, RowDataReader.java:95)
+    "geo_format_read" -> ((s, dir) => {
+      import graft.spatial.{GeometryFields, Snapshots}
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_formattable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      GeometryFields.writeGeo(
+        pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
+        path, "geom", "wkt", res = 10, numFiles = 4)
+      Snapshots.deleteMoR(s, path, "x < 0")
+      s.read.format("graft").load(path)
+        .filter(st_intersects(col("geom"),
+          st_makeenvelope(lit(-60.0), lit(-45.0), lit(60.0), lit(45.0))))
+        .select(col("c_custkey"), col("x"), col("y"))
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -224,6 +242,11 @@ object GeoQueries {
     "geo_evolved_read" ->
       s"""SELECT c_custkey, x AS lon, y AS lat FROM ($ptsSql)
          |WHERE x > 0""".stripMargin,
+
+    "geo_format_read" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE NOT (x < 0)
+         |  AND x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
 
     "geo_snapshots_meta" ->
       """SELECT CAST(1 AS INTEGER) AS version,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
 
-import graft.spatial.{Geo, GeoTable, Snapshots}
+import graft.spatial.{Geo, GeometryFields, GeoTable, Snapshots, TableSchema}
 
 /** `spark.read.format("graft").load(path)` — the connector face of the
   * engine (the reference registers `havasu.iceberg` the same way:
@@ -12,18 +12,25 @@ import graft.spatial.{Geo, GeoTable, Snapshots}
   * table implementation). Options:
   *
   *  - `version` — time travel to a snapshot (default: current), the
-  *    `VERSION AS OF` equivalent.
+  *    `VERSION AS OF` equivalent; `ref`/`branch`/`tag` resolve by name.
+  *  - `metadata` — a metadata table (`files`, `snapshots`, ...).
   *
   * Reading through the format installs the ST_ function catalog and the
   * spatial/aggregate pushdown rules on the session, so
   * `spark.read.format("graft").load(p).filter(st_intersects(...))` prunes
   * files exactly like [[GeoTable.read]].
   *
-  * Caveat: a V1 RelationProvider returns the snapshot's raw file set —
-  * declared geometry encodings are NOT decoded and pending merge-on-read
-  * delete predicates are NOT applied here (a relation can't wrap row
-  * filters); use [[GeoTable.read]] / [[Snapshots.read]] for full-fidelity
-  * reads of such tables.
+  * Fidelity: the format read ALWAYS equals [[Snapshots.read]] — the
+  * reference's connector applies delete files unconditionally at read
+  * (`RowDataReader.java:95` + `DeleteFilter` in /root/reference), and so
+  * does this one. Tables with no pending merge-on-read state, no declared
+  * geometry encodings, and no schema evolution (the common case at scale:
+  * compaction clears MoR state) go through the native vectorized
+  * HadoopFsRelation path with zero overhead; tables with pending state go
+  * through a [[SnapshotRelation]] that applies MoR predicate / positional /
+  * equality deletes, decodes declared encodings, and projects the evolved
+  * logical schema — paying the same read-amplification the reference's
+  * DeleteFilter pays, and still file-pruning through the manifest index.
   */
 class GraftSource extends RelationProvider with DataSourceRegister {
 
@@ -47,9 +54,67 @@ class GraftSource extends RelationProvider with DataSourceRegister {
           .orElse(parameters.get("ref").map(Snapshots.resolveRef(path, _)))
           .orElse(parameters.get("branch").map(Snapshots.resolveRef(path, _)))
           .orElse(parameters.get("tag").map(Snapshots.resolveRef(path, _)))
-        val stats = Snapshots.readManifest(path, version)
-        GeoTable.buildRelation(spark, path, stats)
+        val clean =
+          Snapshots.readDeletes(path, version).isEmpty &&
+            Snapshots.readPosDeletes(path, version).isEmpty &&
+            Snapshots.readEqDeletes(path, version).isEmpty &&
+            GeometryFields.get(path).isEmpty &&
+            !TableSchema.exists(path)
+        if (clean) GeoTable.buildRelation(spark, path, Snapshots.readManifest(path, version))
+        else new SnapshotRelation(sqlContext, path, version)
     }
+  }
+}
+
+/** Full-fidelity relation for tables with pending MoR state, declared
+  * geometry encodings, or evolved schemas: delegates to [[Snapshots.read]]
+  * (which applies all of those) and hands Spark's pushed column pruning +
+  * filters down into that plan — so manifest file pruning and parquet
+  * row-group pruning still happen; Spark re-applies every filter above
+  * (V1 sources may return supersets), so partial translation is safe.
+  */
+private[sources] class SnapshotRelation(
+    override val sqlContext: SQLContext,
+    path: String,
+    version: Option[Int])
+    extends BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import org.apache.spark.sql.{functions => F, Column, DataFrame}
+  import org.apache.spark.sql.sources._
+
+  private def snapshot: DataFrame = Snapshots.read(sqlContext.sparkSession, path, version)
+
+  override val schema: org.apache.spark.sql.types.StructType = snapshot.schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val base = filters.flatMap(translate).foldLeft(snapshot)((d, c) => d.filter(c))
+    val projected =
+      if (requiredColumns.isEmpty) base.select() // count(*) shape: 0-col rows
+      else base.select(requiredColumns.map(F.col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  /** Best-effort V1 Filter → Column. None = not pushed (outer re-filter
+    * keeps correctness); a translated conjunct reaches the manifest index
+    * and the parquet scan through the inner plan.
+    */
+  private def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case StringContains(a, v) => Some(F.col(a).contains(v))
+    case And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case Not(c) => translate(c).map(!_)
+    case _ => None
   }
 }
 

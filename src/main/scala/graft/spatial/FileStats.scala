@@ -21,9 +21,17 @@ case class FileStats(
     rows: Long,
     sizeBytes: Long,
     mins: Map[String, Any],
-    maxs: Map[String, Any]) {
+    maxs: Map[String, Any],
+    /** Snapshot version that ADDED this file — the engine's sequence
+      * number (Iceberg's `data_sequence_number`): equality deletes apply
+      * only to files with a lower sequence. 0 = unknown (legacy manifest),
+      * treated as "older than everything" so old tables keep old behavior.
+      */
+    addedV: Int = 0) {
 
   def mightMatch(filter: Expression): Boolean = canMatch(filter)
+
+  def withAddedV(v: Int): FileStats = if (addedV == 0) copy(addedV = v) else this
 
   private def canMatch(e: Expression): Boolean = e match {
     case And(l, r) => canMatch(l) && canMatch(r)
@@ -92,4 +100,16 @@ case class FileStats(
     // exact numeric comparison — immune to double rounding above 2^53
     case _ => for (a <- big(stat); b <- big(lit)) yield a.compare(b)
   }
+}
+
+/** An equality-delete file reference: rows of `path` (a parquet under
+  * `_graft_deletes/`) delete any table row matching on all of `cols`.
+  * `seq` = the snapshot version the delete was committed at — it applies
+  * ONLY to data files with `addedV < seq` (Iceberg's sequence-number
+  * scoping: delete-then-reinsert must not hide the reinserted rows).
+  * seq = 0 (legacy manifests) applies to every file.
+  */
+case class EqDelete(path: String, cols: Seq[String], seq: Int = 0) {
+  def appliesTo(f: FileStats): Boolean = seq == 0 || f.addedV < seq
+  def withSeq(v: Int): EqDelete = if (seq == 0) copy(seq = v) else this
 }

@@ -89,30 +89,34 @@ object GeoTable {
     // name pattern lets the scan report HashPartitioning — bucketed joins
     // then need no exchange (the reference's storage-partitioned join)
     transforms.collectFirst { case b: Transforms.Bucket => b }
-      .foreach(b => stampBucketIds(df.sparkSession, path, b))
+      .foreach(b => stampBucketIds(df.sparkSession, path, b, dataFileNames(df.sparkSession, path)))
     // record the encoding BEFORE stats collection so declared geometry
     // columns are excluded from value stats (bbox carries the pruning info)
     storageEncoding.foreach(e => GeometryFields.putUnchecked(path, Map(geomCol -> e)))
-    writeManifest(df.sparkSession, path, transforms.map(_.spec))
+    writeManifest(df.sparkSession, path, transforms.map(_.spec),
+      schema = Some(withDerived.schema))
   }
 
   /** Rename data files under `<col>_bucket=K/` dirs to carry Spark's
     * `_0000K` bucket-file suffix (parsed by `BucketingUtils.getBucketId`).
+    * Stamps only `rels` (a writer's own files — attribution-exact) and
+    * returns their post-stamp relative paths.
     */
   private[spatial] def stampBucketIds(spark: SparkSession, path: String,
-      b: Transforms.Bucket): Unit = {
+      b: Transforms.Bucket, rels: Seq[String]): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dataFileNames(spark, path).foreach { rel =>
+    rels.map { rel =>
       val dir = rel.split('/').dropRight(1).mkString("/")
       val name = rel.split('/').last
       val bucketPrefix = s"${b.derivedName}="
-      rel.split('/').find(_.startsWith(bucketPrefix)).foreach { seg =>
-        val k = seg.stripPrefix(bucketPrefix).toInt
-        if (!name.matches(""".*_\d{5}\..*""")) {
+      rel.split('/').find(_.startsWith(bucketPrefix)) match {
+        case Some(seg) if !name.matches(""".*_\d{5}\..*""") =>
+          val k = seg.stripPrefix(bucketPrefix).toInt
           val stamped = name.replaceFirst("""\.""", f"_$k%05d.")
-          fs.rename(new Path(new Path(path), rel),
-            new Path(new Path(path), if (dir.isEmpty) stamped else s"$dir/$stamped"))
-        }
+          val newRel = if (dir.isEmpty) stamped else s"$dir/$stamped"
+          fs.rename(new Path(new Path(path), rel), new Path(new Path(path), newRel))
+          newRel
+        case _ => rel
       }
     }
   }
@@ -167,12 +171,17 @@ object GeoTable {
     * (also recorded as snapshot v1+ via [[Snapshots]] naming).
     */
   def writeManifest(spark: SparkSession, path: String,
-      partitionCols: Seq[String] = Nil): Unit = {
+      partitionCols: Seq[String] = Nil,
+      schema: Option[StructType] = None): Unit = {
     val names = dataFileNames(spark, path).sorted
-    val entries = collectStats(spark, path, names)
-    val body = manifestJson(entries, Nil, partitionCols)
-    Files.write(Paths.get(path, ManifestName), body.getBytes(StandardCharsets.UTF_8))
     val v = Snapshots.currentVersion(path) + 1
+    val entries = collectStats(spark, path, names).map(_.withAddedV(v))
+    // persist the full table schema; writers pass the frame they just
+    // wrote, other callers fall back to one write-time inference
+    val sch = schema.orElse(
+      try Some(spark.read.parquet(path).schema) catch { case _: Exception => None })
+    val body = manifestJson(entries, Nil, partitionCols, schema = sch)
+    Files.write(Paths.get(path, ManifestName), body.getBytes(StandardCharsets.UTF_8))
     Files.write(Paths.get(path, s"_graft_manifest_v$v.json"),
       body.getBytes(StandardCharsets.UTF_8))
   }
@@ -209,7 +218,10 @@ object GeoTable {
     * file paths by [[GraftFileIndex]].
     */
   def buildRelation(spark: SparkSession, path: String, stats: Seq[FileStats]): HadoopFsRelation = {
-    val full = spark.read.parquet(path).schema
+    // authoritative schema from the manifest — relation construction makes
+    // ZERO object-store round-trips (no listing, no footer sampling); the
+    // inference fallback exists only for legacy manifests without a schema
+    val full = readSchema(path).getOrElse(spark.read.parquet(path).schema)
     val partCols = readPartitionCols(path)
     val partitionSchema = StructType(partCols.flatMap(c => full.fields.find(_.name == c)))
     // evolved tables read under the authoritative stored physical schema
@@ -274,21 +286,26 @@ object GeoTable {
   private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
-      eqDeletes: Seq[(String, Seq[String])] = Nil): String = {
+      eqDeletes: Seq[EqDelete] = Nil,
+      schema: Option[StructType] = None): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
-      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"mins":$mins,"maxs":$maxs}"""
+      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs}"""
     }
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
     val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
     val pdel = posDeletes.map(jsonVal).mkString("[", ",", "]")
     val pr = props.toSeq.sorted.map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }
       .mkString("{", ",", "}")
-    val edel = eqDeletes.map { case (f, cols) =>
-      s"""{"path":${jsonVal(f)},"cols":${cols.map(jsonVal).mkString("[", ",", "]")}}"""
+    val edel = eqDeletes.map { e =>
+      s"""{"path":${jsonVal(e.path)},"cols":${e.cols.map(jsonVal).mkString("[", ",", "]")},"seq":${e.seq}}"""
     }.mkString("[", ",", "]")
-    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"eqDeletes":$edel,"props":$pr,"files":[${files.mkString(",")}]}"""
+    // StructType.json is itself valid JSON — embedded verbatim. Persisting
+    // the schema here is what makes every later read zero-inference: no
+    // directory listing, no footer sampling (round-2 finding #2).
+    val sch = schema.map(s => s""","schema":${s.json}""").getOrElse("")
+    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"eqDeletes":$edel,"props":$pr$sch,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
@@ -320,8 +337,8 @@ object GeoTable {
     }
   }
 
-  /** Equality delete files: (parquet path, equality columns). */
-  private[spatial] def parseEqDeletes(txt: String): Seq[(String, Seq[String])] = {
+  /** Equality delete files with their sequence (commit version) scoping. */
+  private[spatial] def parseEqDeletes(txt: String): Seq[EqDelete] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     (JsonMethods.parse(txt) \ "eqDeletes") match {
@@ -333,10 +350,36 @@ object GeoTable {
             case JArray(cs) => cs.collect { case JString(c) => c }
             case _ => Nil
           }
-          (f, cols)
+          val seq = m.get("seq") match {
+            case Some(JInt(v)) => v.toInt
+            case _ => 0 // legacy manifest: applies to all files
+          }
+          EqDelete(f, cols, seq)
       }
       case _ => Nil
     }
+  }
+
+  /** Authoritative full table schema (data + partition columns) persisted
+    * in the manifest at write time — None only for legacy manifests.
+    */
+  private[graft] def parseSchema(txt: String): Option[StructType] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "schema") match {
+      case JNothing | JNull => None
+      case j => DataType.fromJson(JsonMethods.compact(JsonMethods.render(j))) match {
+        case s: StructType => Some(s)
+        case _ => None
+      }
+    }
+  }
+
+  /** Schema of the CURRENT manifest (main head). */
+  def readSchema(path: String): Option[StructType] = {
+    val p = Paths.get(path, ManifestName)
+    if (!Files.exists(p)) None
+    else parseSchema(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
   /** Positional delete files (`(file_path, pos)` parquet) of a manifest. */
@@ -386,11 +429,15 @@ object GeoTable {
         val JString(p) = f \ "path"
         val rows = toScala(f \ "rows").asInstanceOf[Number].longValue()
         val size = toScala(f \ "size").asInstanceOf[Number].longValue()
+        val addedV = (f \ "v") match {
+          case JInt(v) => v.toInt
+          case _ => 0 // legacy manifest entry
+        }
         def m(field: String): Map[String, Any] = (f \ field) match {
           case JObject(kv) => kv.map { case (k, v) => k -> toScala(v) }.toMap
           case _ => Map.empty
         }
-        FileStats(p, rows, size, m("mins"), m("maxs"))
+        FileStats(p, rows, size, m("mins"), m("maxs"), addedV)
       }
       case _ => Nil
     }

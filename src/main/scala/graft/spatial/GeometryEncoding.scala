@@ -92,7 +92,9 @@ object GeometryFields {
     val cur = get(path)
     if (enc == "none") { put(path, cur - column); return }
     val physical = GeometryEncoding.physicalType(enc)
-    val schema = spark.read.parquet(path).schema
+    // manifest schema when available (zero listing); inference only for
+    // plain parquet directories that never wrote a graft manifest
+    val schema = GeoTable.readSchema(path).getOrElse(spark.read.parquet(path).schema)
     val field = schema.fields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"no such column: $column"))
     require(field.dataType == physical,

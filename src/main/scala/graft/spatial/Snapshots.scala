@@ -56,9 +56,13 @@ object Snapshots {
   def readPosDeletes(path: String, version: Option[Int] = None): Seq[String] =
     GeoTable.parsePosDeletes(manifestText(path, version))
 
-  /** Equality delete files of a snapshot: (parquet path, equality cols). */
-  def readEqDeletes(path: String, version: Option[Int] = None): Seq[(String, Seq[String])] =
+  /** Equality delete files of a snapshot (with sequence-number scoping). */
+  def readEqDeletes(path: String, version: Option[Int] = None): Seq[EqDelete] =
     GeoTable.parseEqDeletes(manifestText(path, version))
+
+  /** Persisted schema of a snapshot (None for legacy manifests). */
+  def readSchema(path: String, version: Option[Int] = None): Option[org.apache.spark.sql.types.StructType] =
+    GeoTable.parseSchema(manifestText(path, version))
 
   /** Snapshot properties (committed stream batch ids, etc.). */
   def readProps(path: String, version: Option[Int] = None): Map[String, String] =
@@ -101,9 +105,17 @@ object Snapshots {
     def obj(m: Map[String, Int]) = m.toSeq.sorted
       .map { case (k, v) => "\"" + k.replace("\"", "\\\"") + "\":" + v }
       .mkString("{", ",", "}")
-    Files.write(refsPath(path),
+    // write-temp + ATOMIC_MOVE: a concurrent reader never sees a torn file
+    atomicReplace(refsPath(path),
       s"""{"branches":${obj(branches)},"tags":${obj(tags)}}"""
         .getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def atomicReplace(target: java.nio.file.Path, body: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile(target.getParent, ".tmp_", target.getFileName.toString)
+    Files.write(tmp, body)
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Head of `main` (falls back to the newest version pre-refs). */
@@ -159,14 +171,17 @@ object Snapshots {
     */
   def appendToBranch(df: DataFrame, path: String, branch: String): Int = {
     val spark = df.sparkSession
-    val headV = resolveRef(path, branch)
-    val before = listDataFiles(spark, path)
-    writeBack(df, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, readManifest(path, Some(headV)) ++ statsFor(spark, path, added),
-      readDeletes(path, Some(headV)), readPosDeletes(path, Some(headV)),
-      readProps(path, Some(headV)), ref = branch,
-      eqDeletes = readEqDeletes(path, Some(headV)))
+    val (added, written) = writeBack(df, path)
+    val stats = statsFor(spark, path, added)
+    withCommitRetry() {
+      val base = currentVersion(path)
+      val headV = resolveRef(path, branch)
+      publish(path, base, readManifest(path, Some(headV)) ++ stats,
+        readDeletes(path, Some(headV)), readPosDeletes(path, Some(headV)),
+        readProps(path, Some(headV)), ref = branch,
+        eqDeletes = readEqDeletes(path, Some(headV)),
+        schema = mergeSchema(readSchema(path, Some(headV)), written))
+    }
   }
 
   /** Optimistic concurrency: CREATE_NEW makes the version file the commit
@@ -186,32 +201,65 @@ object Snapshots {
     }
   }
 
-  private def publish(path: String, entries: Seq[FileStats],
+  /** Retry a commit body on CommitConflictException. The body MUST re-read
+    * table state each attempt (base version, manifest, delete lists) so a
+    * retry commits on top of the concurrent winner.
+    */
+  private def withCommitRetry[T](attempts: Int = 5)(op: => T): T = {
+    var i = 0
+    var last: CommitConflictException = null
+    while (i < attempts) {
+      try return op
+      catch { case e: CommitConflictException => last = e; i += 1 }
+    }
+    throw last
+  }
+
+  /** Commit a new snapshot on top of base version `base` (the version the
+    * caller's state was READ at). The manifest lands at exactly base+1, so
+    * ANY concurrent commit that interleaved after the caller's state read —
+    * not just inside this method — raises CommitConflictException instead
+    * of silently resurrecting rewritten rows or dropping delete predicates.
+    * New file entries (addedV == 0) are stamped with the committed version
+    * (their sequence number); new eq-delete entries likewise.
+    */
+  private def publish(path: String, base: Int, entries: Seq[FileStats],
       deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = null, ref: String = "main",
-      eqDeletes: Seq[(String, Seq[String])] = Nil): Int = {
-    val v = currentVersion(path) + 1
+      eqDeletes: Seq[EqDelete] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+    val v = base + 1
     // partitioning is table-level: carry the column list forward; props
-    // carry forward unless explicitly replaced
+    // and schema carry forward unless explicitly replaced
     val parts = GeoTable.readPartitionCols(path)
     val carriedProps =
       if (props != null) props
-      else if (currentVersion(path) > 0) readProps(path)
+      else if (base > 0) readProps(path)
       else Map.empty[String, String]
-    // main's head BEFORE this commit — must be pinned when a side branch
-    // allocates a higher version number, or main would float to the max
+    val sch = schema.orElse(GeoTable.readSchema(path))
+    val body = GeoTable.manifestJson(entries.map(_.withAddedV(v)), deletes, parts,
+      posDeletes, carriedProps, eqDeletes.map(_.withSeq(v)), sch)
+    // main's head BEFORE this commit lands — must be pinned when a side
+    // branch allocates a higher version number, or main would float to the
+    // max (read before the manifest write, which bumps currentVersion)
     val prevMain = mainVersion(path)
-    val body = GeoTable.manifestJson(entries, deletes, parts, posDeletes, carriedProps,
-      eqDeletes)
     atomicWriteManifest(path, v, body.getBytes(StandardCharsets.UTF_8))
-    // move the target ref; _graft_manifest.json mirrors MAIN's head for
-    // raw-parquet compatibility
-    val (bs, ts) = readRefs(path)
-    val pinned = if (bs.contains("main")) bs
-      else bs + ("main" -> (if (ref == "main") v else prevMain))
-    writeRefs(path, pinned + (ref -> v), ts)
-    if (ref == "main") {
-      Files.write(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
+    // Move the target ref; _graft_manifest.json mirrors MAIN's head for
+    // raw-parquet compatibility. The ref move is MONOTONIC (max of old and
+    // new) under a JVM-wide lock: when two commits race, whichever writes
+    // the pointer file last still leaves the ref on the NEWEST version —
+    // without this, the v-winner could overwrite the (v+1)-winner's
+    // pointer and regress the head. Commits land at base+1, so rollbacks
+    // (which republish old content as a new version) stay monotonic too.
+    Snapshots.synchronized {
+      val (bs, ts) = readRefs(path)
+      val pinned = if (bs.contains("main")) bs
+        else bs + ("main" -> (if (ref == "main") v else prevMain))
+      val target = math.max(v, pinned.getOrElse(ref, 0))
+      writeRefs(path, pinned + (ref -> target), ts)
+      if (ref == "main" && target == v) {
+        atomicReplace(Paths.get(path, GeoTable.ManifestName), body.getBytes(StandardCharsets.UTF_8))
+      }
     }
     v
   }
@@ -227,7 +275,7 @@ object Snapshots {
   private def carriedPos(path: String): Seq[String] =
     if (currentVersion(path) > 0) readPosDeletes(path) else Nil
 
-  private def carriedEq(path: String): Seq[(String, Seq[String])] =
+  private def carriedEq(path: String): Seq[EqDelete] =
     if (currentVersion(path) > 0) readEqDeletes(path) else Nil
 
   private def listDataFiles(spark: SparkSession, path: String): Set[String] =
@@ -237,6 +285,19 @@ object Snapshots {
   private def statsFor(spark: SparkSession, path: String, names: Seq[String]): Seq[FileStats] =
     if (names.isEmpty) Nil
     else GeoTable.collectStats(spark, path, names)
+
+  /** Read specific files applying pending positional + equality deletes —
+    * what a copy-on-write rewrite must read, or it would resurrect rows
+    * whose delete entries still name the ORIGINAL file paths (positional)
+    * or stop applying to the re-stamped files (equality seq scoping).
+    * Pending MoR predicate deletes stay carried — they are path-independent.
+    */
+  private def readFilesForRewrite(spark: SparkSession, path: String,
+      affected: Seq[FileStats]): DataFrame =
+    applyEqDeletes(spark, path,
+      applyPosDeletes(spark, path,
+        readFilesDecoded(spark, path, affected.map(_.path)), carriedPos(path)),
+      carriedEq(path), affected)
 
   /** Raw read of specific data files with declared encodings decoded to the
     * WKB runtime repr (so user conditions/assignments see the same columns
@@ -259,8 +320,16 @@ object Snapshots {
 
   /** Append rewritten rows, preserving declared encodings and the table's
     * partition layout (CoW rewrites land back in their partition dirs).
+    *
+    * Files are written to a per-writer STAGING directory
+    * (`_graft_staging/<uuid>/`, underscore-hidden) and then moved into the
+    * table, so the writer knows EXACTLY which files it added — the
+    * round-2 before/after directory diff mis-attributed a concurrent
+    * writer's files as this writer's own. Returns (added relative paths,
+    * physical schema written) for manifest merge.
     */
-  private def writeBack(df: DataFrame, path: String): Unit = {
+  private def writeBack(df: DataFrame, path: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
+    val spark = df.sparkSession
     val specs = GeoTable.readPartitionSpecs(path)
     val physical = TableSchema.toPhysical(encodeForStorage(df, path), path)
     // derive missing transform partition columns (appends carry source
@@ -268,12 +337,48 @@ object Snapshots {
     val withDerived = specs
       .filterNot(t => physical.columns.contains(t.derivedName))
       .foldLeft(physical)((d, t) => d.withColumn(t.derivedName, Transforms.writeExpr(t, d)))
-    val w = withDerived.write.mode("append")
-    (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w).parquet(path)
+    val stagingRel = s"_graft_staging/${java.util.UUID.randomUUID().toString.take(16)}"
+    val staging = new Path(new Path(path), stagingRel)
+    val w = withDerived.write.mode("overwrite")
+    (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w)
+      .parquet(staging.toString)
+    // move staged data files into the table dir, preserving partition
+    // subpaths; Spark part-file names embed a task UUID → no collisions
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = fs.makeQualified(staging)
+    val it = fs.listFiles(base, true)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = base.toUri.relativize(st.getPath.toUri).toString
+      if (st.isFile && rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))) {
+        val dest = new Path(new Path(path), rel)
+        fs.mkdirs(dest.getParent)
+        fs.rename(st.getPath, dest)
+        moved += rel
+      }
+    }
+    fs.delete(base, true)
     // bucketed tables: new files need the `_0000K` bucket-id stamp too
-    specs.collectFirst { case b: Transforms.Bucket => b }
-      .foreach(b => GeoTable.stampBucketIds(df.sparkSession, path, b))
+    val stamped = specs.collectFirst { case b: Transforms.Bucket => b } match {
+      case Some(b) => GeoTable.stampBucketIds(spark, path, b, moved.toSeq)
+      case None => moved.toSeq
+    }
+    (stamped.sorted, withDerived.schema)
   }
+
+  /** Union of the carried schema and a newly-written frame's schema (new
+    * columns append; existing columns keep their carried definition).
+    */
+  private def mergeSchema(carried: Option[org.apache.spark.sql.types.StructType],
+      written: org.apache.spark.sql.types.StructType): Option[org.apache.spark.sql.types.StructType] =
+    carried match {
+      case None => Some(written)
+      case Some(c) =>
+        val have = c.fieldNames.toSet
+        Some(org.apache.spark.sql.types.StructType(
+          c.fields ++ written.fields.filterNot(f => have(f.name))))
+    }
 
   /** Append `df` as a new snapshot (new data files; old ones untouched).
     * `props` merge into the snapshot's property map (e.g. the streaming
@@ -281,23 +386,35 @@ object Snapshots {
     */
   def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession
-    val before = listDataFiles(spark, path)
-    writeBack(df, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    val base = if (currentVersion(path) > 0) readManifest(path) else Nil
-    val mergedProps =
-      (if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]) ++ props
-    publish(path, base ++ statsFor(spark, path, added), carried(path), carriedPos(path),
-      mergedProps, eqDeletes = carriedEq(path))
+    val (added, written) = writeBack(df, path) // exact attribution, outside retry
+    val stats = statsFor(spark, path, added)
+    // commit retry is METADATA-ONLY: the data files are already in place,
+    // a conflicting concurrent commit just means re-reading the new head
+    // and re-merging the manifest
+    withCommitRetry() {
+      val base = currentVersion(path)
+      val head = if (base > 0) Some(mainVersion(path)) else None
+      val prior = head.map(v => readManifest(path, Some(v))).getOrElse(Nil)
+      val mergedProps =
+        head.map(v => readProps(path, Some(v))).getOrElse(Map.empty[String, String]) ++ props
+      publish(path, base, prior ++ stats,
+        head.map(v => readDeletes(path, Some(v))).getOrElse(Nil),
+        head.map(v => readPosDeletes(path, Some(v))).getOrElse(Nil),
+        mergedProps,
+        eqDeletes = head.map(v => readEqDeletes(path, Some(v))).getOrElse(Nil),
+        schema = mergeSchema(head.flatMap(v => readSchema(path, Some(v))), written))
+    }
   }
 
   /** Logical overwrite: new snapshot references only the new files. */
   def overwrite(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
-    val before = listDataFiles(spark, path)
-    writeBack(df, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, statsFor(spark, path, added)) // logical overwrite clears deletes
+    val (added, written) = writeBack(df, path)
+    val stats = statsFor(spark, path, added)
+    withCommitRetry() {
+      // logical overwrite clears deletes and resets the schema
+      publish(path, currentVersion(path), stats, schema = Some(written))
+    }
   }
 
   /** Merge-on-read DELETE: publish the predicate instead of rewriting any
@@ -310,7 +427,10 @@ object Snapshots {
   def deleteMoR(spark: SparkSession, path: String, condSql: String): Int = {
     // fail fast on unparseable/unresolvable predicates
     read(spark, path).filter(!coalesce(expr(condSql), lit(false))).queryExecution.analyzed
-    publish(path, readManifest(path), carried(path) :+ condSql, carriedPos(path))
+    withCommitRetry() {
+      publish(path, currentVersion(path), readManifest(path), carried(path) :+ condSql,
+        carriedPos(path), eqDeletes = carriedEq(path))
+    }
   }
 
   /** Merge-on-read POSITIONAL delete: record `(file_path, pos)` rows in a
@@ -324,8 +444,10 @@ object Snapshots {
     require(positions.columns.toSet == Set("file_path", "pos"),
       s"positions must have columns (file_path, pos), got ${positions.columns.mkString(",")}")
     val name = writeDeleteFile(positions, path, "posdel")
-    publish(path, readManifest(path), carried(path), carriedPos(path) :+ name,
-      eqDeletes = carriedEq(path))
+    withCommitRetry() {
+      publish(path, currentVersion(path), readManifest(path), carried(path),
+        carriedPos(path) :+ name, eqDeletes = carriedEq(path))
+    }
   }
 
   /** Merge-on-read EQUALITY delete: `rows` carries a subset of table
@@ -339,8 +461,13 @@ object Snapshots {
     require(rows.columns.nonEmpty && rows.columns.forall(tableCols),
       s"equality columns ${rows.columns.mkString(",")} must exist in the table")
     val name = writeDeleteFile(rows, path, "eqdel")
-    publish(path, readManifest(path), carried(path), carriedPos(path),
-      eqDeletes = carriedEq(path) :+ (name -> rows.columns.toSeq))
+    withCommitRetry() {
+      // seq = 0 here; publish stamps it with the committed version, scoping
+      // the delete to data files that already existed (sequence-number
+      // semantics: later appends with matching keys stay visible)
+      publish(path, currentVersion(path), readManifest(path), carried(path), carriedPos(path),
+        eqDeletes = carriedEq(path) :+ EqDelete(name, rows.columns.toSeq))
+    }
   }
 
   /** Write delete rows as a single parquet file under `_graft_deletes/`
@@ -366,13 +493,34 @@ object Snapshots {
 
   /** Apply equality delete files: anti-join on each file's equality
     * columns (null keys never match, standard SQL anti-join semantics).
+    *
+    * Sequence-number scoping: a delete committed at version `seq` applies
+    * only to rows from data files with `addedV < seq` — rows appended
+    * AFTER the delete (delete-then-reinsert, the canonical CDC upsert) stay
+    * visible, matching the reference's sequence-scoped `DeleteFilter`.
+    * When every file in `files` predates the delete (the common case), the
+    * plain anti-join fast path is used; otherwise the row's source file
+    * (via `_metadata.file_path`) gates the delete.
     */
   private[spatial] def applyEqDeletes(spark: SparkSession, path: String,
-      df: DataFrame, eqs: Seq[(String, Seq[String])]): DataFrame =
-    eqs.foldLeft(df) { case (d, (f, cols)) =>
-      val dels = spark.read.parquet(s"$path/$f")
-        .select(cols.map(col): _*).dropDuplicates()
-      d.join(dels, cols, "left_anti")
+      df: DataFrame, eqs: Seq[EqDelete], files: Seq[FileStats]): DataFrame =
+    eqs.foldLeft(df) { case (d, e) =>
+      val dels = spark.read.parquet(s"$path/${e.path}")
+        .select(e.cols.map(col): _*).dropDuplicates()
+      val applicable = files.filter(e.appliesTo)
+      if (applicable.isEmpty) d
+      else if (applicable.size == files.size) d.join(dels, e.cols, "left_anti")
+      else {
+        // exempt paths (files newer than the delete) — typically few,
+        // and transient: compaction re-stamps everything
+        val exempt = files.filterNot(e.appliesTo)
+          .map(f => s"$path/${f.path}".replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
+        val hit = dels.withColumn("__eq_hit", lit(1))
+        d.withColumn("__eq_file", normFile(expr("_metadata.file_path")))
+          .join(hit, e.cols, "left")
+          .filter(col("__eq_hit").isNull || col("__eq_file").isin(exempt: _*))
+          .drop("__eq_hit", "__eq_file")
+      }
     }
 
   /** Apply positional delete files: anti-join on the scan's
@@ -399,8 +547,13 @@ object Snapshots {
         .drop("__file", "__pos")
     }
 
-  /** Copy-on-write DELETE: rewrite only files whose stats might match. */
-  def delete(spark: SparkSession, path: String, cond: Column): Int = {
+  /** Copy-on-write DELETE: rewrite only files whose stats might match.
+    * On a commit conflict the whole rewrite is retried against the new
+    * head (the failed attempt's files become orphans, cleaned by
+    * `removeOrphanFiles` — Iceberg's failed-commit debris semantics).
+    */
+  def delete(spark: SparkSession, path: String, cond: Column): Int = withCommitRetry() {
+    val base = currentVersion(path)
     val current = readManifest(path)
     val table = read(spark, path)
     // resolve the condition against the table schema for manifest
@@ -412,13 +565,14 @@ object Snapshots {
       case Some(c) => current.partition(_.mightMatch(c))
       case None => (Nil, current) // filter optimized away (provably empty)
     }
-    if (affected.isEmpty) return currentVersion(path) // nothing can match
-    val before = listDataFiles(spark, path)
-    val survivors = readFilesDecoded(spark, path, affected.map(_.path))
-      .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
-    writeBack(survivors, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
+    if (affected.isEmpty) base // nothing can match
+    else {
+      val survivors = readFilesForRewrite(spark, path, affected)
+        .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
+      val (added, _) = writeBack(survivors, path)
+      publish(path, base, untouched ++ statsFor(spark, path, added), carried(path),
+        carriedPos(path), eqDeletes = carriedEq(path))
+    }
   }
 
   /** Copy-on-write UPDATE: rewrite only files whose stats might match,
@@ -426,7 +580,8 @@ object Snapshots {
     * `SparkCopyOnWriteOperation` shape).
     */
   def update(spark: SparkSession, path: String, cond: Column,
-      assignments: Map[String, Column]): Int = {
+      assignments: Map[String, Column]): Int = withCommitRetry() {
+    val baseV = currentVersion(path)
     val current = readManifest(path)
     val table = read(spark, path)
     val resolved = table.filter(cond).queryExecution.optimizedPlan
@@ -435,23 +590,24 @@ object Snapshots {
       case Some(c) => current.partition(_.mightMatch(c))
       case None => (Nil, current)
     }
-    if (affected.isEmpty) return currentVersion(path)
-    val before = listDataFiles(spark, path)
-    val hit = coalesce(cond, lit(false))
-    val base = readFilesDecoded(spark, path, affected.map(_.path))
-    val rewritten = assignments.foldLeft(base) {
-      case (df, (c, v)) => df.withColumn(c, when(hit, v).otherwise(col(c)))
+    if (affected.isEmpty) baseV
+    else {
+      val hit = coalesce(cond, lit(false))
+      val base = readFilesForRewrite(spark, path, affected)
+      val rewritten = assignments.foldLeft(base) {
+        case (df, (c, v)) => df.withColumn(c, when(hit, v).otherwise(col(c)))
+      }
+      // assigned geometry columns must refresh their bbox shadow, or later
+      // spatial pruning would evaluate against stale bounds
+      val bboxed = assignments.keys.foldLeft(rewritten) { case (df, c) =>
+        if (df.columns.contains(s"${c}_bbox"))
+          df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
+        else df
+      }
+      val (added, _) = writeBack(bboxed, path)
+      publish(path, baseV, untouched ++ statsFor(spark, path, added), carried(path),
+        carriedPos(path), eqDeletes = carriedEq(path))
     }
-    // assigned geometry columns must refresh their bbox shadow, or later
-    // spatial pruning would evaluate against stale bounds
-    val bboxed = assignments.keys.foldLeft(rewritten) { case (df, c) =>
-      if (df.columns.contains(s"${c}_bbox"))
-        df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
-      else df
-    }
-    writeBack(bboxed, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
   }
 
   /** Copy-on-write MERGE (upsert): target rows whose key appears in
@@ -461,45 +617,49 @@ object Snapshots {
     * MoR/CoW MERGE surface, SURVEY.md §2.7). Source keys must be unique.
     */
   def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
-      keyCol: String): Int = {
+      keyCol: String): Int = withCommitRetry() {
+    val baseV = currentVersion(path)
     val current = readManifest(path)
     val table = read(spark, path)
     val src = source.select(table.columns.map(col): _*) // align schema/order
     val Array(kMin, kMax) = src.agg(min(col(keyCol)), max(col(keyCol))).collect()
       .flatMap(r => Array(r.get(0), r.get(1)))
-    if (kMin == null) return currentVersion(path) // empty source
-    // a file is affected iff its key range overlaps [kMin, kMax]
-    val resolved = table.filter(col(keyCol).between(kMin, kMax))
-      .queryExecution.optimizedPlan
-      .collectFirst { case Filter(c, _) => c }
-    val (affected, untouched) = resolved match {
-      case Some(c) => current.partition(_.mightMatch(c))
-      case None => (current, Nil) // couldn't derive → rewrite everything (safe)
+    if (kMin == null) baseV // empty source
+    else {
+      // a file is affected iff its key range overlaps [kMin, kMax]
+      val resolved = table.filter(col(keyCol).between(kMin, kMax))
+        .queryExecution.optimizedPlan
+        .collectFirst { case Filter(c, _) => c }
+      val (affected, untouched) = resolved match {
+        case Some(c) => current.partition(_.mightMatch(c))
+        case None => (current, Nil) // couldn't derive → rewrite everything (safe)
+      }
+      val survivors =
+        if (affected.isEmpty) spark.emptyDataFrame.limit(0)
+        else readFilesForRewrite(spark, path, affected)
+          .join(src.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(table.columns.map(col): _*)
+      val out = if (affected.isEmpty) src else survivors.unionByName(src)
+      val (added, _) = writeBack(out, path)
+      publish(path, baseV, untouched ++ statsFor(spark, path, added), carried(path),
+        carriedPos(path), eqDeletes = carriedEq(path))
     }
-    val before = listDataFiles(spark, path)
-    val survivors =
-      if (affected.isEmpty) spark.emptyDataFrame.limit(0)
-      else readFilesDecoded(spark, path, affected.map(_.path))
-        .join(src.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .select(table.columns.map(col): _*)
-    val out = if (affected.isEmpty) src else survivors.unionByName(src)
-    writeBack(out, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, untouched ++ statsFor(spark, path, added), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
   }
 
   /** Read a snapshot (default: current) through the pruning file index,
     * applying that snapshot's positional deletes and merge-on-read delete
     * predicates.
     */
-  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val m = readManifest(path, version)
     GeoTable.applyDeletes(
       applyEqDeletes(spark, path,
         applyPosDeletes(spark, path,
-          GeoTable.readWithStats(spark, path, readManifest(path, version)),
+          GeoTable.readWithStats(spark, path, m),
           readPosDeletes(path, version)),
-        readEqDeletes(path, version)),
+        readEqDeletes(path, version), m),
       readDeletes(path, version))
+  }
 
   /** Changelog between two snapshots: row-level inserts/deletes with a
     * `_change_type` column (the reference's `create_changelog_view`
@@ -557,12 +717,12 @@ object Snapshots {
     val touched = (touchedByPred ++ touchedByPos ++ touchedByEq).distinct
 
     def visible(files: Seq[FileStats], dels: Seq[String], posDels: Seq[String],
-        eqDels: Seq[(String, Seq[String])]): Option[DataFrame] =
+        eqDels: Seq[EqDelete]): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(GeoTable.applyDeletes(
         applyEqDeletes(spark, path,
           applyPosDeletes(spark, path,
-            readFilesDecoded(spark, path, files.map(_.path)), posDels), eqDels), dels))
+            readFilesDecoded(spark, path, files.map(_.path)), posDels), eqDels, files), dels))
 
     // an empty side must be a LocalRelation, not a limit(0) over the
     // snapshot — the latter would still register every file as a scan input
@@ -719,7 +879,7 @@ object Snapshots {
         applyPosDeletes(spark, path,
           readFilesDecoded(spark, path, entered.map(_.path)),
           readPosDeletes(path, Some(toVersion))),
-        readEqDeletes(path, Some(toVersion))),
+        readEqDeletes(path, Some(toVersion)), entered),
       readDeletes(path, Some(toVersion)))
   }
 
@@ -731,21 +891,22 @@ object Snapshots {
     * reference files that left the manifest).
     */
   def binPack(spark: SparkSession, path: String, smallBytes: Long,
-      numFiles: Int = 1): Int = {
+      numFiles: Int = 1): Int = withCommitRetry() {
+    val baseV = currentVersion(path)
     val current = readManifest(path)
     val (small, big) = current.partition(_.sizeBytes < smallBytes)
-    if (small.size <= 1) return currentVersion(path)
-    val before = listDataFiles(spark, path)
-    val rows = GeoTable.applyDeletes(
-      applyEqDeletes(spark, path,
-        applyPosDeletes(spark, path,
-          readFilesDecoded(spark, path, small.map(_.path)), carriedPos(path)),
-        carriedEq(path)),
-      carried(path))
-    writeBack(rows.repartition(numFiles), path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
-    publish(path, big ++ statsFor(spark, path, added), carried(path), carriedPos(path),
-      eqDeletes = carriedEq(path))
+    if (small.size <= 1) baseV
+    else {
+      val rows = GeoTable.applyDeletes(
+        applyEqDeletes(spark, path,
+          applyPosDeletes(spark, path,
+            readFilesDecoded(spark, path, small.map(_.path)), carriedPos(path)),
+          carriedEq(path), small),
+        carried(path))
+      val (added, _) = writeBack(rows.repartition(numFiles), path)
+      publish(path, baseV, big ++ statsFor(spark, path, added), carried(path),
+        carriedPos(path), eqDeletes = carriedEq(path))
+    }
   }
 
   /** Hilbert sort compaction — the reference's `rewrite_data_files` with a
@@ -756,28 +917,29 @@ object Snapshots {
     */
   def rewriteCompact(spark: SparkSession, path: String, geomCol: String,
       numFiles: Int, res: Int = GeoTable.DefaultResolution,
-      bounds: (Double, Double, Double, Double) = GeoTable.WorldBounds): Int = {
-    val before = listDataFiles(spark, path)
+      bounds: (Double, Double, Double, Double) = GeoTable.WorldBounds): Int = withCommitRetry() {
+    val baseV = currentVersion(path)
     val current = read(spark, path)
     val h = GeoTable.hilbertCol(geomCol, res, bounds)
     val clustered = current.withColumn("__hilbert", h)
       .repartitionByRange(numFiles, org.apache.spark.sql.functions.col("__hilbert"))
       .sortWithinPartitions(org.apache.spark.sql.functions.col("__hilbert"))
       .drop("__hilbert")
-    writeBack(clustered, path)
-    val added = (listDataFiles(spark, path) -- before).toSeq.sorted
+    val (added, _) = writeBack(clustered, path)
     // read() applied pending MoR deletes → the rewrite materializes them
-    publish(path, statsFor(spark, path, added))
+    publish(path, baseV, statsFor(spark, path, added))
   }
 
   /** Roll the table back to an earlier snapshot by republishing its
     * manifest as the new current version (the reference's
     * `rollback_to_snapshot` procedure) — data files are untouched.
     */
-  def rollback(spark: SparkSession, path: String, toVersion: Int): Int =
-    publish(path, readManifest(path, Some(toVersion)),
+  def rollback(spark: SparkSession, path: String, toVersion: Int): Int = withCommitRetry() {
+    publish(path, currentVersion(path), readManifest(path, Some(toVersion)),
       readDeletes(path, Some(toVersion)), readPosDeletes(path, Some(toVersion)),
-      eqDeletes = readEqDeletes(path, Some(toVersion)))
+      eqDeletes = readEqDeletes(path, Some(toVersion)),
+      schema = readSchema(path, Some(toVersion)))
+  }
 
   /** `set_current_snapshot`: same mechanics as rollback but allowed to move
     * forward as well (any still-retained version).
@@ -813,9 +975,12 @@ object Snapshots {
     require(removed.isEmpty,
       s"cherrypick supports append snapshots only; v$v removed ${removed.size} file(s)")
     val added = snap.filterNot(f => parent(f.path))
-    val current = readManifest(path)
-    val currentNames = current.map(_.path).toSet
-    publish(path, current ++ added.filterNot(f => currentNames(f.path)), carried(path), carriedPos(path), eqDeletes = carriedEq(path))
+    withCommitRetry() {
+      val current = readManifest(path)
+      val currentNames = current.map(_.path).toSet
+      publish(path, currentVersion(path), current ++ added.filterNot(f => currentNames(f.path)),
+        carried(path), carriedPos(path), eqDeletes = carriedEq(path))
+    }
   }
 
   /** Register data files present in the table directory but referenced by
@@ -826,8 +991,10 @@ object Snapshots {
     val known = readManifest(path).map(_.path).toSet
     val unregistered = (listDataFiles(spark, path) -- known).toSeq.sorted
     if (unregistered.isEmpty) (currentVersion(path), 0)
-    else (publish(path, readManifest(path) ++ statsFor(spark, path, unregistered),
-      carried(path), carriedPos(path), eqDeletes = carriedEq(path)), unregistered.size)
+    else withCommitRetry() {
+      (publish(path, currentVersion(path), readManifest(path) ++ statsFor(spark, path, unregistered),
+        carried(path), carriedPos(path), eqDeletes = carriedEq(path)), unregistered.size)
+    }
   }
 
   /** Drop all but the newest `keep` snapshots and remove data files no
@@ -850,7 +1017,7 @@ object Snapshots {
     }
     // delete files (positional + equality) referenced by no retained snapshot
     val keptPos = keepVersions.flatMap(v => readPosDeletes(path, Some(v))).toSet ++
-      keepVersions.flatMap(v => readEqDeletes(path, Some(v)).map(_._1))
+      keepVersions.flatMap(v => readEqDeletes(path, Some(v)).map(_.path))
     val delDir = Paths.get(path, "_graft_deletes")
     if (Files.exists(delDir)) {
       val posIt = Files.list(delDir).iterator()

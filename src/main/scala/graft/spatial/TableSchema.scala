@@ -68,7 +68,8 @@ object TableSchema {
     if (cur.nonEmpty) cur
     else {
       val parts = GeoTable.readPartitionCols(path).toSet
-      val entries = spark.read.parquet(path).schema.fields.toSeq
+      val baseline = GeoTable.readSchema(path).getOrElse(spark.read.parquet(path).schema)
+      val entries = baseline.fields.toSeq
         .filterNot(f => parts.contains(f.name))
         .map(f => Entry(f.name, f.name, f.dataType, dropped = false))
       write(path, entries)
