@@ -174,16 +174,14 @@ object GeoTable {
       partitionCols: Seq[String] = Nil,
       schema: Option[StructType] = None): Unit = {
     val names = dataFileNames(spark, path).sorted
-    val v = Snapshots.currentVersion(path) + 1
-    val entries = collectStats(spark, path, names).map(_.withAddedV(v))
+    val stats = collectStats(spark, path, names)
     // persist the full table schema; writers pass the frame they just
     // wrote, other callers fall back to one write-time inference
     val sch = schema.orElse(
       try Some(spark.read.parquet(path).schema) catch { case _: Exception => None })
-    val body = manifestJson(entries, Nil, partitionCols, schema = sch)
-    Files.write(Paths.get(path, ManifestName), body.getBytes(StandardCharsets.UTF_8))
-    Files.write(Paths.get(path, s"_graft_manifest_v$v.json"),
-      body.getBytes(StandardCharsets.UTF_8))
+    // creation commits through the same refs-CAS point as every other op
+    Snapshots.commitCreate(path,
+      v => manifestJson(stats.map(_.withAddedV(v)), Nil, partitionCols, schema = sch))
   }
 
   /** Read a geo table through the stats-pruning [[GraftFileIndex]],

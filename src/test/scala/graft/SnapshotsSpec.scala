@@ -282,9 +282,36 @@ class SnapshotsSpec extends AnyFunSuite {
     }
     assert(addedSets.forall(_.nonEmpty))
     assert((addedSets.flatten.toSet & v1Files).isEmpty)
-    // every file entry carries the version that added it (sequence number)
+    // every file entry carries the version that added it (sequence
+    // number): creation is v1, each append's files its own committed
+    // version. Committed versions need not be dense — a CAS loser abandons
+    // its allocated number — but stamps must match the commit versions.
     val byV = Snapshots.readManifest(dir).groupBy(_.addedV)
-    assert(byV.keySet == (1 to 5).toSet, s"addedV stamps: ${byV.keySet}")
+    assert(byV.keySet == versions.toSet + 1, s"addedV stamps: ${byV.keySet} vs $versions")
+  }
+
+  test("interleaved publishes from the same base state conflict (cross-process shape)") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_cas").toString
+    GeoTable.write(mkDf(0 until 20, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    // two "processes" read the SAME refs state, then publish one after the
+    // other — the exact interleaving a JVM lock cannot serialize. The CAS
+    // is the commit point, so the second publish MUST conflict (the
+    // round-3 race committed it silently, dropping the first's files).
+    val stale = Snapshots.refsState(dir)
+    val m = Snapshots.readManifest(dir)
+    val winner = Snapshots.publish(dir, stale, m) // writer A commits first
+    assert(Snapshots.mainVersion(dir) == winner)
+    intercept[Snapshots.CommitConflictException] {
+      Snapshots.publish(dir, stale, m.take(1)) // writer B, stale base
+    }
+    // B's abandoned version file is cleaned up and the head is A's commit
+    assert(Snapshots.mainVersion(dir) == winner)
+    assert(Snapshots.currentVersion(dir) == winner)
+    // a proper retry (fresh state) succeeds on top of A
+    val v3 = graft.spatial.Snapshots.append(mkDf(100 until 110, 1), dir)
+    assert(v3 > winner)
+    assert(Snapshots.read(spark, dir).count() == 30)
   }
 
   test("relation construction is manifest-only: no listing, no inference") {
