@@ -638,15 +638,21 @@ object Snapshots {
       if (applicable.isEmpty) d
       else if (applicable.size == files.size) d.join(dels, e.cols, "left_anti")
       else {
-        // exempt paths (files newer than the delete) — typically few,
-        // and transient: compaction re-stamps everything
+        // exempt paths (files newer than the delete, by addedV sequence):
+        // gate via a BROADCAST join on the file path — a long-lived table
+        // with many post-delete appends would otherwise inline thousands
+        // of path literals into the plan as an `isin`
+        import spark.implicits._
         val exempt = files.filterNot(e.appliesTo)
           .map(f => s"$path/${f.path}".replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
+        val exemptDf = broadcast(
+          exempt.toDF("__eq_file").withColumn("__eq_exempt", lit(1)))
         val hit = dels.withColumn("__eq_hit", lit(1))
         d.withColumn("__eq_file", normFile(expr("_metadata.file_path")))
           .join(hit, e.cols, "left")
-          .filter(col("__eq_hit").isNull || col("__eq_file").isin(exempt: _*))
-          .drop("__eq_hit", "__eq_file")
+          .join(exemptDf, Seq("__eq_file"), "left")
+          .filter(col("__eq_hit").isNull || col("__eq_exempt").isNotNull)
+          .drop("__eq_hit", "__eq_file", "__eq_exempt")
       }
     }
 

@@ -23,20 +23,38 @@ import graft.spatial.Snapshots
   */
 object GeoStreams {
 
-  private[streaming] val BatchKey = "stream.lastCommittedBatchId"
+  /** Batch-id high-water marks are PER QUERY, keyed by a stable token of
+    * the query's checkpoint location — the unit Spark scopes batch ids to.
+    * A replay of the same query (same checkpoint, e.g. a driver restart
+    * that re-runs a batch already committed to the table) is skipped; a
+    * DIFFERENT query writing to the same table starts its own counter and
+    * loses nothing (the round-3 table-global key silently dropped the
+    * first N+1 batches of any second writer). This matches the reference,
+    * which dedups per checkpoint-scoped epoch, not per table.
+    */
+  private[streaming] def batchKey(streamToken: String) =
+    s"stream.$streamToken.lastCommittedBatchId"
 
-  /** Last durably committed stream batch id (-1 if none). */
-  def lastCommittedBatch(path: String): Long =
+  /** Stable token for a checkpoint location (property-key safe). */
+  private[graft] def streamToken(checkpoint: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(checkpoint.stripSuffix("/").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Last durably committed batch id of a query (-1 if none). */
+  def lastCommittedBatch(path: String, streamToken: String = "default"): Long =
     if (Snapshots.currentVersion(path) == 0) -1L
-    else Snapshots.readProps(path).get(BatchKey).map(_.toLong).getOrElse(-1L)
+    else Snapshots.readProps(path).get(batchKey(streamToken)).map(_.toLong).getOrElse(-1L)
 
   /** Commit one micro-batch exactly once: skips batch ids at or below the
-    * manifest's durable high-water mark. Returns true if appended.
+    * query's durable high-water mark. Returns true if appended.
     */
-  private[graft] def commitBatch(batch: DataFrame, path: String, batchId: Long): Boolean = {
-    if (batchId <= lastCommittedBatch(path)) false
+  private[graft] def commitBatch(batch: DataFrame, path: String, batchId: Long,
+      streamToken: String = "default"): Boolean = {
+    if (batchId <= lastCommittedBatch(path, streamToken)) false
     else {
-      Snapshots.append(batch, path, Map(BatchKey -> batchId.toString))
+      Snapshots.append(batch, path, Map(batchKey(streamToken) -> batchId.toString))
       true
     }
   }
@@ -46,10 +64,11 @@ object GeoStreams {
     */
   def appendStream(stream: DataFrame, path: String,
       checkpoint: String): StreamingQuery = {
+    val token = streamToken(checkpoint)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        commitBatch(batch, path, batchId)
+        commitBatch(batch, path, batchId, token)
         ()
       }
       .trigger(Trigger.AvailableNow())

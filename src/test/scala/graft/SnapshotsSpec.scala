@@ -230,6 +230,13 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(afterReinsert.count() == 48)
     assert(afterReinsert.filter(col("id") === 4L).count() == 1,
       "reinserted key must be visible: eq delete is scoped to older files")
+    // the exempt-file gate is a broadcast join, not an inlined path list —
+    // a table with thousands of post-delete files must not put thousands
+    // of string literals into the plan
+    val gatePlan = afterReinsert.queryExecution.executedPlan.toString
+    assert(!gatePlan.contains(" IN ("), "exempt files must not inline as IN literals")
+    assert(gatePlan.contains("BroadcastHashJoin") || gatePlan.contains("BroadcastNestedLoop"),
+      "exempt-file gate should broadcast")
     // ... while the ORIGINAL id=4 row (pre-delete file) stays deleted:
     // only one id=4 row, not two
     // changelog across the eq-delete commit sees 3 deletes

@@ -77,7 +77,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
-  test("exactly-once is durable: replayed batch ids are skipped without a checkpoint") {
+  test("exactly-once is durable AND per-query: replays skipped, new queries not") {
     import graft.spatial.{GeoTable, Snapshots}
     import graft.streaming.GeoStreams
     graft.spatial.Geo.install(spark)
@@ -85,19 +85,30 @@ class StreamingSpec extends AnyFunSuite {
     val df = GeoTable.withBbox(
       batchEvents.limit(100).select(col("event_id"),
         graft.functions.GeoSql.st_point(lit(1.0), lit(2.0)).as("geom")), "geom")
-    // batch 0 commits; the same batch id replayed later (e.g. after losing
-    // the checkpoint) must NOT double-append — the guard is the batch id
-    // persisted in the manifest, not driver memory
-    assert(GeoStreams.commitBatch(df, out, 0L))
+    // batch 0 of query A commits; the same (query, batch id) replayed
+    // later (driver restart re-running a batch already in the table) must
+    // NOT double-append — the guard is the batch id persisted in the
+    // manifest under the QUERY's key, not driver memory
+    val qa = GeoStreams.streamToken("/ckpt/query-a")
+    assert(GeoStreams.commitBatch(df, out, 0L, qa))
     assert(Snapshots.read(spark, out).count() == 100)
-    assert(GeoStreams.lastCommittedBatch(out) == 0L)
-    assert(!GeoStreams.commitBatch(df, out, 0L)) // replay skipped
+    assert(GeoStreams.lastCommittedBatch(out, qa) == 0L)
+    assert(!GeoStreams.commitBatch(df, out, 0L, qa)) // replay skipped
     assert(Snapshots.read(spark, out).count() == 100)
-    assert(GeoStreams.commitBatch(df, out, 1L)) // next batch commits
+    assert(GeoStreams.commitBatch(df, out, 1L, qa)) // next batch commits
     assert(Snapshots.read(spark, out).count() == 200)
-    assert(GeoStreams.lastCommittedBatch(out) == 1L)
-    // end-to-end: run the stream, wipe the checkpoint, run again — batch
-    // ids restart at 0, the durable guard rejects every one
+    assert(GeoStreams.lastCommittedBatch(out, qa) == 1L)
+    // a DIFFERENT query (own checkpoint) appending to the same table also
+    // starts at batch 0 — its batches must NOT be swallowed by query A's
+    // high-water mark (the round-3 table-global key dropped them)
+    val qb = GeoStreams.streamToken("/ckpt/query-b")
+    assert(GeoStreams.commitBatch(df, out, 0L, qb))
+    assert(Snapshots.read(spark, out).count() == 300)
+    // ...and query A's replay guard is unaffected by B's commits
+    assert(!GeoStreams.commitBatch(df, out, 1L, qa))
+    assert(Snapshots.read(spark, out).count() == 300)
+    // end-to-end: two streaming queries with their own checkpoints write
+    // the same source to the same table — both land in full
     val out2 = Files.createTempDirectory("graft_eo2").toString + "/tbl"
     val src = GeoTable.withBbox(
       EventStreams.readEvents(spark, sf).select(col("event_id"),
@@ -106,10 +117,16 @@ class StreamingSpec extends AnyFunSuite {
     val q1 = GeoStreams.appendStream(src, out2, ck1)
     try q1.awaitTermination() finally q1.stop()
     val rows = Snapshots.read(spark, out2).count()
-    val ck2 = Files.createTempDirectory("graft_eo_ck2").toString // "lost" checkpoint
+    val ck2 = Files.createTempDirectory("graft_eo_ck2").toString
     val q2 = GeoStreams.appendStream(src, out2, ck2)
     try q2.awaitTermination() finally q2.stop()
-    assert(Snapshots.read(spark, out2).count() == rows, "replay must not double-append")
+    assert(Snapshots.read(spark, out2).count() == 2 * rows,
+      "a second query with its own checkpoint is new data, not a replay")
+    // a RE-RUN of the second query (same checkpoint, no new source data)
+    // commits nothing
+    val q3 = GeoStreams.appendStream(src, out2, ck2)
+    try q3.awaitTermination() finally q3.stop()
+    assert(Snapshots.read(spark, out2).count() == 2 * rows)
   }
 
   test("table stream honors maxFilesPerTrigger admission control") {
