@@ -2,12 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import org.locationtech.jts.geom.Geometry
-
-import graft.spatial.HilbertCurve2D
 
 /** Native Catalyst expressions for the ST_* surface the reference delegates
   * to a pluggable geo library (SPI `GeospatialLibrary`,
@@ -20,22 +18,56 @@ import graft.spatial.HilbertCurve2D
   * ([[graft.spatial.SpatialPredicatePushdown]] pattern-matches these nodes)
   * and constant-fold: `foldable` is true when all children are, so
   * `st_makeenvelope(lits…)` collapses to a binary Literal before pushdown.
+  *
+  * Every expression implements `doGenCode` as a call to a STATIC kernel in
+  * [[GeoKernels]] — one `CodegenFallback` in a filter would knock the whole
+  * stage out of WholeStageCodegen, and the geo filter is the hot loop of
+  * the flagship scan path. The kernel is shared with interpreted eval, so
+  * the two paths cannot diverge.
   */
-abstract class GeoExpression extends Expression with CodegenFallback {
+abstract class GeoExpression extends Expression {
   override def nullable: Boolean = true
   override def foldable: Boolean = children.forall(_.foldable)
+
+  /** Name of the [[GeoKernels]] static method this expression compiles to.
+    * Its JVM signature must be (childCodegenTypes...) → boxed result, with
+    * `null` meaning SQL NULL.
+    */
+  protected def kernel: String
+
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null else notNull(vs)
   }
   protected def notNull(vs: Seq[Any]): Any
-  protected final def geom(v: Any): Geometry = GeoCodec.readWkb(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gens = children.map(_.genCode(ctx))
+    val javaType = CodeGenerator.javaType(dataType)
+    val boxedType = CodeGenerator.boxedType(dataType)
+    val r = ctx.freshName("kernelRes")
+    val nullCheck = gens.map(_.isNull).filterNot(_.toString == "false") match {
+      case Seq() => "false"
+      case xs => xs.mkString(" || ")
+    }
+    val call = s"graft.functions.GeoKernels.$kernel(${gens.map(_.value).mkString(", ")})"
+    ev.copy(code = code"""
+      ${gens.map(_.code).mkString("\n")}
+      boolean ${ev.isNull} = true;
+      $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!($nullCheck)) {
+        $boxedType $r = $call;
+        if ($r != null) { ${ev.isNull} = false; ${ev.value} = ($javaType) $r; }
+      }""")
+  }
+
+  protected final def bytes(v: Any): Array[Byte] = v.asInstanceOf[Array[Byte]]
   protected final def dbl(v: Any): Double = v match {
     case n: Number => n.doubleValue()
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case other => other.asInstanceOf[Double]
   }
-  protected final def str(v: Any): String = v.asInstanceOf[UTF8String].toString
+  protected final def str(v: Any): UTF8String = v.asInstanceOf[UTF8String]
   protected final def utf8(s: String): UTF8String = UTF8String.fromString(s)
 }
 
@@ -45,7 +77,8 @@ case class StGeomFromText(child: Expression) extends GeoExpression with ExpectsI
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](StringType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any = GeoCodec.writeWkb(GeoCodec.readWkt(str(vs.head)))
+  override protected def kernel: String = "geomFromText"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.geomFromText(str(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -53,8 +86,8 @@ case class StGeomFromWkb(child: Expression) extends GeoExpression with ExpectsIn
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any =
-    GeoCodec.writeWkb(geom(vs.head)) // validates + normalizes (EWKB accepted)
+  override protected def kernel: String = "geomFromWkb"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.geomFromWkb(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -62,7 +95,8 @@ case class StGeomFromGeoJson(child: Expression) extends GeoExpression with Expec
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](StringType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any = GeoCodec.writeWkb(GeoCodec.readGeoJson(str(vs.head)))
+  override protected def kernel: String = "geomFromGeoJson"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.geomFromGeoJson(str(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -70,7 +104,8 @@ case class StAsText(child: Expression) extends GeoExpression with ExpectsInputTy
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType)
   override def dataType: DataType = StringType
-  override protected def notNull(vs: Seq[Any]): Any = utf8(GeoCodec.writeWkt(geom(vs.head)))
+  override protected def kernel: String = "asText"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.asText(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -78,7 +113,8 @@ case class StAsGeoJson(child: Expression) extends GeoExpression with ExpectsInpu
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType)
   override def dataType: DataType = StringType
-  override protected def notNull(vs: Seq[Any]): Any = utf8(GeoCodec.writeGeoJson(geom(vs.head)))
+  override protected def kernel: String = "asGeoJson"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.asGeoJson(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -86,9 +122,8 @@ case class StAsEwkb(child: Expression) extends GeoExpression with ExpectsInputTy
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any = {
-    val g = geom(vs.head); g.setSRID(GeoCodec.Srid); GeoCodec.writeEwkb(g)
-  }
+  override protected def kernel: String = "asEwkb"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.asEwkb(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -96,8 +131,8 @@ case class StPoint(x: Expression, y: Expression) extends GeoExpression with Expe
   override def children: Seq[Expression] = Seq(x, y)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any =
-    GeoCodec.writeWkb(GeoCodec.point(dbl(vs(0)), dbl(vs(1))))
+  override protected def kernel: String = "point"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.point(dbl(vs(0)), dbl(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
@@ -106,8 +141,9 @@ case class StMakeEnvelope(minX: Expression, minY: Expression, maxX: Expression, 
   override def children: Seq[Expression] = Seq(minX, minY, maxX, maxY)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
+  override protected def kernel: String = "makeEnvelope"
   override protected def notNull(vs: Seq[Any]): Any =
-    GeoCodec.writeWkb(GeoCodec.envelope(dbl(vs(0)), dbl(vs(1)), dbl(vs(2)), dbl(vs(3))))
+    GeoKernels.makeEnvelope(dbl(vs(0)), dbl(vs(1)), dbl(vs(2)), dbl(vs(3)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1), c(2), c(3))
 }
@@ -121,28 +157,29 @@ abstract class GeoPredicate extends GeoExpression with ExpectsInputTypes {
   override def children: Seq[Expression] = Seq(left, right)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType, BinaryType)
   override def dataType: DataType = BooleanType
-  protected def test(a: Geometry, b: Geometry): Boolean
-  override protected def notNull(vs: Seq[Any]): Any =
-    java.lang.Boolean.valueOf(test(geom(vs(0)), geom(vs(1))))
 }
 
 case class StIntersects(left: Expression, right: Expression) extends GeoPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.intersects(b)
+  override protected def kernel: String = "intersects"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.intersects(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
 case class StCovers(left: Expression, right: Expression) extends GeoPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.covers(b)
+  override protected def kernel: String = "covers"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.covers(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
 case class StContains(left: Expression, right: Expression) extends GeoPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.contains(b)
+  override protected def kernel: String = "contains"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.contains(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
 case class StWithin(left: Expression, right: Expression) extends GeoPredicate {
-  override protected def test(a: Geometry, b: Geometry): Boolean = a.within(b)
+  override protected def kernel: String = "within"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.within(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
@@ -150,7 +187,8 @@ case class StDistance(left: Expression, right: Expression) extends GeoExpression
   override def children: Seq[Expression] = Seq(left, right)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs(0)).distance(geom(vs(1)))
+  override protected def kernel: String = "distance"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.distance(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
@@ -159,8 +197,9 @@ case class StDWithin(left: Expression, right: Expression, dist: Expression)
   override def children: Seq[Expression] = Seq(left, right, dist)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType, BinaryType, DoubleType)
   override def dataType: DataType = BooleanType
+  override protected def kernel: String = "dwithin"
   override protected def notNull(vs: Seq[Any]): Any =
-    java.lang.Boolean.valueOf(geom(vs(0)).isWithinDistance(geom(vs(1)), dbl(vs(2))))
+    GeoKernels.dwithin(bytes(vs(0)), bytes(vs(1)), dbl(vs(2)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1), c(2))
 }
 
@@ -174,13 +213,15 @@ abstract class GeoUnary extends GeoExpression with ExpectsInputTypes {
 
 case class StEnvelope(child: Expression) extends GeoUnary {
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any = GeoCodec.writeWkb(geom(vs.head).getEnvelope)
+  override protected def kernel: String = "envelope"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.envelope(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StCentroid(child: Expression) extends GeoUnary {
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any = GeoCodec.writeWkb(geom(vs.head).getCentroid)
+  override protected def kernel: String = "centroid"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.centroid(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -188,75 +229,75 @@ case class StBuffer(child: Expression, dist: Expression) extends GeoExpression w
   override def children: Seq[Expression] = Seq(child, dist)
   override def inputTypes = Seq[org.apache.spark.sql.types.DataType](BinaryType, DoubleType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any =
-    GeoCodec.writeWkb(geom(vs(0)).buffer(dbl(vs(1))))
+  override protected def kernel: String = "buffer"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.buffer(bytes(vs(0)), dbl(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
 case class StX(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs.head) match {
-    case p: org.locationtech.jts.geom.Point => p.getX
-    case _ => null
-  }
+  override protected def kernel: String = "x"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.x(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StY(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs.head) match {
-    case p: org.locationtech.jts.geom.Point => p.getY
-    case _ => null
-  }
+  override protected def kernel: String = "y"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.y(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-abstract class EnvSide extends GeoUnary {
+case class StXMin(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
-  protected def pick(e: org.locationtech.jts.geom.Envelope): Double
-  override protected def notNull(vs: Seq[Any]): Any = {
-    val g = geom(vs.head)
-    if (g.isEmpty) null else pick(g.getEnvelopeInternal)
-  }
-}
-case class StXMin(child: Expression) extends EnvSide {
-  override protected def pick(e: org.locationtech.jts.geom.Envelope): Double = e.getMinX
+  override protected def kernel: String = "xMin"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.xMin(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
-case class StXMax(child: Expression) extends EnvSide {
-  override protected def pick(e: org.locationtech.jts.geom.Envelope): Double = e.getMaxX
+case class StXMax(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "xMax"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.xMax(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
-case class StYMin(child: Expression) extends EnvSide {
-  override protected def pick(e: org.locationtech.jts.geom.Envelope): Double = e.getMinY
+case class StYMin(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "yMin"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.yMin(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
-case class StYMax(child: Expression) extends EnvSide {
-  override protected def pick(e: org.locationtech.jts.geom.Envelope): Double = e.getMaxY
+case class StYMax(child: Expression) extends GeoUnary {
+  override def dataType: DataType = DoubleType
+  override protected def kernel: String = "yMax"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.yMax(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StArea(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs.head).getArea
+  override protected def kernel: String = "area"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.area(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StLength(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs.head).getLength
+  override protected def kernel: String = "length"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.length(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StIsEmpty(child: Expression) extends GeoUnary {
   override def dataType: DataType = BooleanType
-  override protected def notNull(vs: Seq[Any]): Any = java.lang.Boolean.valueOf(geom(vs.head).isEmpty)
+  override protected def kernel: String = "isEmpty"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.isEmpty(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StIsValid(child: Expression) extends GeoUnary {
   override def dataType: DataType = BooleanType
-  override protected def notNull(vs: Seq[Any]): Any = java.lang.Boolean.valueOf(geom(vs.head).isValid)
+  override protected def kernel: String = "isValid"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.isValid(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -267,14 +308,8 @@ case class StIsValid(child: Expression) extends GeoUnary {
   */
 case class StBboxStruct(child: Expression) extends GeoUnary {
   override def dataType: DataType = StBboxStruct.schema
-  override protected def notNull(vs: Seq[Any]): Any = {
-    val g = geom(vs.head)
-    if (g.isEmpty) null
-    else {
-      val e = g.getEnvelopeInternal
-      new GenericInternalRow(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
-    }
-  }
+  override protected def kernel: String = "bboxStruct"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.bboxStruct(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 object StBboxStruct {
@@ -295,24 +330,10 @@ case class HilbertIndex(g: Expression, res: Expression,
   override def inputTypes =
     Seq(BinaryType, IntegerType, DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = LongType
-  override def eval(input: InternalRow): Any = {
-    val gv = g.eval(input)
-    if (gv == null) null
-    else {
-      val geo = geom(gv)
-      if (geo.isEmpty) null
-      else {
-        val c = geo.getEnvelopeInternal.centre()
-        HilbertCurve2D.index(
-          res.eval(input).asInstanceOf[Int],
-          dbl(minX.eval(input)), dbl(minY.eval(input)),
-          dbl(maxX.eval(input)), dbl(maxY.eval(input)))(c.x, c.y)
-          .map(java.lang.Long.valueOf).orNull
-      }
-    }
-  }
+  override protected def kernel: String = "hilbert"
   override protected def notNull(vs: Seq[Any]): Any =
-    throw new IllegalStateException("unused") // eval overridden
+    GeoKernels.hilbert(bytes(vs(0)), vs(1).asInstanceOf[Int],
+      dbl(vs(2)), dbl(vs(3)), dbl(vs(4)), dbl(vs(5)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1), c(2), c(3), c(4), c(5))
 }

@@ -16,21 +16,21 @@ abstract class GeoBinaryGeom extends GeoExpression with ExpectsInputTypes {
   override def children: Seq[Expression] = Seq(left, right)
   override def inputTypes = Seq[DataType](BinaryType, BinaryType)
   override def dataType: DataType = BinaryType
-  protected def op(a: Geometry, b: Geometry): Geometry
-  override protected def notNull(vs: Seq[Any]): Any =
-    GeoCodec.writeWkb(op(geom(vs(0)), geom(vs(1))))
 }
 
 case class StUnion(left: Expression, right: Expression) extends GeoBinaryGeom {
-  override protected def op(a: Geometry, b: Geometry): Geometry = a.union(b)
+  override protected def kernel: String = "union"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.union(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 case class StIntersection(left: Expression, right: Expression) extends GeoBinaryGeom {
-  override protected def op(a: Geometry, b: Geometry): Geometry = a.intersection(b)
+  override protected def kernel: String = "intersection"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.intersection(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 case class StDifference(left: Expression, right: Expression) extends GeoBinaryGeom {
-  override protected def op(a: Geometry, b: Geometry): Geometry = a.difference(b)
+  override protected def kernel: String = "difference"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.difference(bytes(vs(0)), bytes(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
@@ -39,33 +39,36 @@ case class StSimplify(child: Expression, tol: Expression)
   override def children: Seq[Expression] = Seq(child, tol)
   override def inputTypes = Seq[DataType](BinaryType, DoubleType)
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any =
-    GeoCodec.writeWkb(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
-      .simplify(geom(vs(0)), dbl(vs(1))))
+  override protected def kernel: String = "simplify"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.simplify(bytes(vs(0)), dbl(vs(1)))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
 case class StConvexHull(child: Expression) extends GeoUnary {
   override def dataType: DataType = BinaryType
-  override protected def notNull(vs: Seq[Any]): Any = GeoCodec.writeWkb(geom(vs.head).convexHull())
+  override protected def kernel: String = "convexHull"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.convexHull(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StGeometryType(child: Expression) extends GeoUnary {
   override def dataType: DataType = StringType
-  override protected def notNull(vs: Seq[Any]): Any = utf8(geom(vs.head).getGeometryType)
+  override protected def kernel: String = "geometryType"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.geometryType(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StNumGeometries(child: Expression) extends GeoUnary {
   override def dataType: DataType = IntegerType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs.head).getNumGeometries
+  override protected def kernel: String = "numGeometries"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.numGeometries(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
 case class StNumPoints(child: Expression) extends GeoUnary {
   override def dataType: DataType = IntegerType
-  override protected def notNull(vs: Seq[Any]): Any = geom(vs.head).getNumPoints
+  override protected def kernel: String = "numPoints"
+  override protected def notNull(vs: Seq[Any]): Any = GeoKernels.numPoints(bytes(vs.head))
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 

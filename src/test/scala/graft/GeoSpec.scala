@@ -71,6 +71,39 @@ class GeoSpec extends AnyFunSuite {
     st_makeenvelope(lit(minX), lit(minY), lit(maxX), lit(maxY))
   private def pt(x: Double, y: Double) = st_point(lit(x), lit(y))
 
+  test("ST_ expressions run inside WholeStageCodegen (no interpreted fallback)") {
+    // fallback=false makes Spark THROW if any doGenCode is broken instead
+    // of silently reverting to interpreted eval
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val filtered = table.filter(st_intersects(col("geom"), env(0.0, 0.0, 12.0, 12.0)))
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"geo filter should be whole-stage-codegen'd:\n$plan")
+      val filterLines = plan.linesIterator
+        .filter(l => l.contains("Filter (") && !l.contains("FileScan")).toSeq
+      assert(filterLines.nonEmpty && filterLines.forall(_.trim.startsWith("*")),
+        s"every Filter must be inside a codegen stage:\n$plan")
+      assert(filtered.count() == 20) // quadrant 0: 10 points + 10 buffers
+      // a projection spanning the whole kernel surface compiles and agrees
+      // with interpreted eval (foldable constants exercise eval; the column
+      // path exercises doGenCode)
+      val proj = table.select(
+        st_astext(col("geom")).as("wkt"),
+        st_x(st_centroid(col("geom"))).as("cx"),
+        call_function("st_area", st_buffer(col("geom"), lit(0.1))).as("a"),
+        st_distance(col("geom"), pt(0.0, 0.0)).as("d"),
+        st_dwithin(col("geom"), pt(1.0, 1.0), lit(2.0)).as("near"),
+        st_covers(st_envelope(col("geom")), col("geom")).as("cov"),
+        call_function("st_geometrytype", col("geom")).as("t"),
+        call_function("st_isvalid", col("geom")).as("ok"),
+        call_function("hilbert", col("geom"), lit(8),
+          lit(-20.0), lit(-20.0), lit(20.0), lit(20.0)).as("h"))
+      assert(proj.queryExecution.executedPlan.toString.contains("*("))
+      val r = proj.collect()
+      assert(r.length == 80 && r.forall(_.getBoolean(5))) // envelope covers its geometry
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("manifest records one bbox per file (writer metrics)") {
     val stats = GeoTable.readManifest(tableDir)
     assert(stats.length == 4)
