@@ -191,7 +191,7 @@ object GeoTable {
     applyDeletes(readWithStats(spark, path, readManifest(path)), readDeletes(path))
 
   /** Apply MoR predicate deletes: keep rows where no predicate holds. */
-  private[spatial] def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
+  private[graft] def applyDeletes(df: DataFrame, deletes: Seq[String]): DataFrame =
     deletes.foldLeft(df)((d, sql) => d.filter(!coalesce(expr(sql), lit(false))))
 
   /** Read a specific file set (snapshot) through the pruning index; any

@@ -907,6 +907,12 @@ object Snapshots {
   private def retainedVersions(path: String): Seq[Int] =
     (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
 
+  /** Retained versions up to `upto`, in order — the committed snapshot
+    * chain the streaming source walks.
+    */
+  private[graft] def chainVersions(path: String, upto: Int): Seq[Int] =
+    (1 to upto).filter(v => Files.exists(manifestPath(path, v)))
+
   /** `snapshots`: one row per retained snapshot with commit time and
     * file/row deltas vs its parent.
     */

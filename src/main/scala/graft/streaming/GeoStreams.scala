@@ -75,17 +75,33 @@ object GeoStreams {
       .start()
   }
 
-  /** Stream a snapshot table's data files as micro-batches, at most
-    * `maxFilesPerTrigger` files per batch (admission control / rate
-    * limiting). Manifest and delete files are underscore-hidden, so only
-    * data files enter the stream.
+  /** Stream a snapshot table as micro-batches of COMMITTED appends via the
+    * manifest-driven [[GraftStreamProvider]] — orphan files never enter
+    * the stream, the snapshot's positional/equality deletes are applied in
+    * the readers, and the schema comes from the manifest (no per-read
+    * inference). At most `maxFilesPerTrigger` files per batch. Declared
+    * geometry encodings decode and the evolved logical schema projects on
+    * top, exactly like the batch read; pending MoR predicate deletes that
+    * only resolve against the logical schema are applied here post-decode.
     */
   def readTableStream(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int): DataFrame = {
-    val schema = spark.read.parquet(path).schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(path)
+    graft.spatial.Geo.install(spark)
+    val raw = spark.readStream
+      .format("graft-stream")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load(path)
+    val decoded = graft.spatial.GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
+      if (raw.columns.contains(c))
+        df.withColumn(c, graft.spatial.GeometryEncoding.decode(
+          org.apache.spark.sql.functions.col(c), e))
+      else df
+    }
+    val logical = graft.spatial.TableSchema.toLogical(decoded, path)
+    // belt for predicate deletes that reference logical (renamed/decoded)
+    // columns — the in-source physical evaluation skips those; re-applying
+    // a delete predicate is idempotent
+    graft.spatial.GeoTable.applyDeletes(logical,
+      if (Snapshots.currentVersion(path) == 0) Nil else Snapshots.readDeletes(path))
   }
 }

@@ -1,0 +1,343 @@
+package graft.streaming
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, Coalesce, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.spatial.{EqDelete, FileStats, GeoTable, GraftFileIndex, Snapshots, TableSchema}
+
+/** Manifest-driven streaming source (`format("graft-stream")`): streams
+  * COMMITTED append snapshots, never the raw directory — the shape of the
+  * reference's `SparkMicroBatchStream.java:117-184` in /root/reference.
+  *
+  *  - Orphan files (failed writes, expired rewrites still on disk) never
+  *    enter the stream: batches are planned from manifest diffs.
+  *  - The snapshot's positional and equality delete files are applied
+  *    per row inside the readers; merge-on-read predicate deletes are
+  *    evaluated against the physical rows when they resolve there.
+  *  - Schema comes from the manifest — zero per-read inference, the same
+  *    zero-round-trip contract as the batch relation.
+  *  - Admission control: at most `maxFilesPerTrigger` files per batch
+  *    (`SupportsAdmissionControl`, the reference's rate limiting).
+  *
+  * Offsets count files consumed along the committed snapshot chain (the
+  * chain of entered-file sets is immutable once committed, so offsets
+  * replay deterministically). Overwrite/rewrite-shaped snapshots are
+  * SKIPPED — their added files rematerialize rows already streamed
+  * (the reference refuses or skips such snapshots the same way); pure
+  * appends stream exactly once. Snapshot retention must cover the
+  * stream's backlog, as in the reference.
+  */
+class GraftStreamProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-stream"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftStreamTable.tableSchema(tablePath(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftStreamTable(tablePath(opts),
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
+  }
+
+  private def tablePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("format(\"graft-stream\") requires a path"))
+}
+
+object GraftStreamTable {
+  /** Physical data schema + partition columns, straight from the manifest
+    * (inference only for legacy manifests without a persisted schema).
+    */
+  def tableSchema(path: String): StructType = {
+    val full = GeoTable.readSchema(path)
+      .getOrElse(SparkSession.active.read.parquet(path).schema)
+    val partCols = GeoTable.readPartitionCols(path)
+    val data = TableSchema.physicalSchema(path).getOrElse(
+      StructType(full.fields.filterNot(f => partCols.contains(f.name))))
+    StructType(data.fields ++ partCols.flatMap(c => full.fields.find(_.name == c)))
+  }
+}
+
+class GraftStreamTable(path: String, maxFiles: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft-stream:$path"
+  override def schema(): StructType = GraftStreamTable.tableSchema(path)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftMicroBatchStream(path, maxFiles)
+      }
+    }
+}
+
+/** Offset = number of files consumed along the committed snapshot chain. */
+case class GraftStreamOffset(filesSeen: Long) extends Offset {
+  override def json(): String = s"""{"filesSeen":$filesSeen}"""
+}
+object GraftStreamOffset {
+  def apply(o: Offset): GraftStreamOffset = o match {
+    case g: GraftStreamOffset => g
+    case other => GraftStreamOffset(
+      """"filesSeen"\s*:\s*(\d+)""".r.findFirstMatchIn(other.json())
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalArgumentException(s"bad offset: ${other.json()}")))
+  }
+}
+
+class GraftMicroBatchStream(path: String, maxFiles: Int)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def spark = SparkSession.active
+
+  /** Append-shaped file deltas of the committed chain up to `main`'s head,
+    * in version order. Entered-file sets of committed snapshots are
+    * immutable, so this sequence only ever GROWS at the tail — offsets
+    * into it are stable. Snapshots that also removed files (overwrite /
+    * CoW rewrite / compaction) are skipped: their additions rematerialize
+    * already-streamed rows.
+    */
+  private def fileChain(): Seq[FileStats] = {
+    val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
+    if (head == 0) return Nil
+    val out = Seq.newBuilder[FileStats]
+    var prev = Set.empty[String]
+    Snapshots.chainVersions(path, head).foreach { v =>
+      val m = Snapshots.readManifest(path, Some(v))
+      val names = m.map(_.path).toSet
+      val entered = m.filterNot(f => prev(f.path)).sortBy(_.path)
+      if ((prev -- names).isEmpty || prev.isEmpty) out ++= entered
+      prev = names
+    }
+    out.result()
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+  override def deserializeOffset(json: String): Offset = {
+    val n = """"filesSeen"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset json: $json"))
+    GraftStreamOffset(n)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxFiles == Int.MaxValue) ReadLimit.allAvailable() else ReadLimit.maxFiles(maxFiles)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = GraftStreamOffset(start).filesSeen
+    val total = fileChain().size.toLong
+    val cap = limit match {
+      case m: ReadMaxFiles => m.maxFiles().toLong
+      case _ => Long.MaxValue
+    }
+    GraftStreamOffset(math.min(total, s + cap))
+  }
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(fileChain().size.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = GraftStreamOffset(start).filesSeen.toInt
+    val e = GraftStreamOffset(end).filesSeen.toInt
+    val slice = fileChain().slice(s, e)
+    if (slice.isEmpty) return Array.empty
+    val schema = GraftStreamTable.tableSchema(path)
+    val partCols = GeoTable.readPartitionCols(path)
+    val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // GraftFileIndex parses hive-layout partition values from the paths —
+    // the same code path the batch relation uses
+    val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
+      GeoTable.readPartitionSpecs(path))
+    index.listFiles(Nil, Nil).flatMap { dir =>
+      dir.files.map(st =>
+        PartitionedFile(dir.values,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen))
+    }.zipWithIndex
+      .map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sess = spark
+    val conf = sess.sessionState.newHadoopConf()
+    val sqlConf = sess.sessionState.conf
+    val schema = GraftStreamTable.tableSchema(path)
+    val partCols = GeoTable.readPartitionCols(path)
+    val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // the reader-side conf ParquetScan.createReaderFactory wires up —
+    // without READ_SUPPORT_CLASS + requested schema the parquet-mr path
+    // NPEs on executors
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, dataSchema.json)
+    conf.set("spark.sql.session.timeZone", sqlConf.sessionLocalTimeZone)
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    // every boolean the parquet schema converter reads from the TASK-side
+    // Configuration (ParquetToSparkSchemaConverter's Configuration ctor)
+    val sc = org.apache.spark.sql.internal.SQLConf
+    Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
+      sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      sc.LEGACY_PARQUET_NANOS_AS_LONG, sc.PARQUET_FIELD_ID_READ_ENABLED,
+      sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
+      .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
+    val broadcastConf: Broadcast[SerializableConfiguration] =
+      sess.sparkContext.broadcast(new SerializableConfiguration(conf))
+    val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, dataSchema, dataSchema,
+      partitionSchema, Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf))
+    // delete state of the current committed snapshot, resolved at batch
+    // plan time (the read-time semantics of Snapshots.read)
+    val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
+    val filters = if (head == 0) GraftStreamFilters.empty
+      else GraftStreamFilters.build(sess, path, head, StructType(dataSchema ++ partitionSchema))
+    new GraftStreamReaderFactory(parquet, filters)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Per-batch delete state, resolved on the driver and shipped to readers.
+  *
+  *  - `posDeletes`: table-relative file path → deleted row positions.
+  *  - `eqDeletes`: key ordinals/types + driver-loaded key set, applied
+  *    only to files whose `addedV` predates the delete's sequence number
+  *    (Iceberg sequence scoping).
+  *  - `morPredicate`: the OR of pending predicate deletes, bound to the
+  *    physical row when every referenced column resolves there (tables
+  *    with renamed/encoded columns fall back to the post-decode filter in
+  *    [[GeoStreams.readTableStream]]).
+  */
+case class EqStreamFilter(ordinals: Array[Int],
+    types: Array[org.apache.spark.sql.types.DataType],
+    seq: Int, keys: Set[Seq[Any]]) extends Serializable
+
+case class GraftStreamFilters(
+    posDeletes: Map[String, Set[Long]],
+    eqDeletes: Seq[EqStreamFilter],
+    morPredicate: Option[Expression],
+    fileAddedV: Map[String, Int]) extends Serializable {
+  def isEmpty: Boolean = posDeletes.isEmpty && eqDeletes.isEmpty && morPredicate.isEmpty
+}
+
+object GraftStreamFilters {
+  val empty: GraftStreamFilters = GraftStreamFilters(Map.empty, Nil, None, Map.empty)
+
+  def build(spark: SparkSession, path: String, version: Int,
+      rowSchema: StructType): GraftStreamFilters = {
+    val manifest = Snapshots.readManifest(path, Some(version))
+    val addedV = manifest.map(f => f.path -> f.addedV).toMap
+
+    val pos = Snapshots.readPosDeletes(path, Some(version))
+    val posMap: Map[String, Set[Long]] =
+      if (pos.isEmpty) Map.empty
+      else spark.read.parquet(pos.map(f => s"$path/$f"): _*)
+        .collect()
+        .groupBy(r => r.getString(0).replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
+        .flatMap { case (abs, rows) =>
+          // delete entries carry absolute scan paths; key by table-relative
+          manifest.find(f => abs.endsWith("/" + f.path))
+            .map(f => f.path -> rows.map(_.getLong(1)).toSet)
+        }
+
+    // eq-delete keys loaded as CATALYST values (UTF8String etc.) so they
+    // compare equal to reader-row extractions; atomic key types only
+    // (binary keys would compare by reference — rejected at delete time)
+    val eqs = Snapshots.readEqDeletes(path, Some(version)).map { e =>
+      val ordinals = e.cols.map(rowSchema.fieldIndex).toArray
+      val keyRows = spark.read.parquet(s"$path/${e.path}")
+        .selectExpr(e.cols: _*).queryExecution.executedPlan.executeCollect()
+      val types = ordinals.map(rowSchema(_).dataType)
+      val keys = keyRows.map(r =>
+        types.indices.map(i => r.get(i, types(i)): Any).toList: Seq[Any]).toSet
+      EqStreamFilter(ordinals, types, e.seq, keys)
+    }
+
+    val conds = Snapshots.readDeletes(path, Some(version))
+    val mor = if (conds.isEmpty) None else try {
+      graft.functions.GeoSql.install(spark)
+      val attrs = rowSchema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+      val parsed = spark.sessionState.sqlParser.parseExpression(
+        conds.map(c => s"($c)").mkString(" OR "))
+      val analyzed = spark.sessionState.analyzer.execute(
+        Filter(parsed, LocalRelation(attrs)))
+      analyzed.collectFirst { case Filter(c, _) =>
+        BindReferences.bindReference(
+          Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
+      }
+    } catch { case _: Exception => None } // physical-schema mismatch: post-decode filter applies
+    GraftStreamFilters(posMap, eqs, mor, addedV)
+  }
+}
+
+/** Wraps the parquet readers with the delete filters. One file per
+  * partition, so the emitted-row counter IS the file row position (no
+  * filters are pushed into parquet — full file scan order).
+  */
+class GraftStreamReaderFactory(
+    parquet: ParquetPartitionReaderFactory,
+    filters: GraftStreamFilters) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[FilePartition]
+    val file = fp.files.head
+    val inner = parquet.createReader(partition)
+    if (filters.isEmpty) inner
+    else {
+      val abs = file.toPath.toUri.getPath
+      val rel = filters.fileAddedV.keys.find(r => abs.endsWith("/" + r))
+      val posDel = rel.flatMap(filters.posDeletes.get).getOrElse(Set.empty[Long])
+      val fileV = rel.flatMap(filters.fileAddedV.get).getOrElse(Int.MaxValue)
+      val eqs = filters.eqDeletes.filter(e => fileV < e.seq)
+      val pred = filters.morPredicate.map { e =>
+        val p = Predicate.createInterpreted(e); p.initialize(fp.index); p
+      }
+      new PartitionReader[InternalRow] {
+        private var pos = -1L
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            pos += 1
+            val row = inner.get()
+            val deleted =
+              posDel.contains(pos) ||
+                eqs.exists(e =>
+                  e.keys.contains(e.ordinals.indices.map(i =>
+                    row.get(e.ordinals(i), e.types(i)): Any).toList)) ||
+                pred.exists(_.eval(row))
+            if (!deleted) { current = row; return true }
+          }
+          false
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = inner.close()
+      }
+    }
+  }
+}

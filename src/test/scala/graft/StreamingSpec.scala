@@ -129,6 +129,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, out2).count() == 2 * rows)
   }
 
+  test("manifest-driven stream: orphans and deleted rows are NOT streamed") {
+    import graft.spatial.{GeoTable, Snapshots}
+    import graft.streaming.GeoStreams
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_manifest_stream").toString
+    val src = GeoTable.withBbox(
+      batchEvents.limit(200).select(col("event_id"),
+        graft.functions.GeoSql.st_point(lit(1.0), lit(2.0)).as("geom")), "geom")
+    GeoTable.write(src, dir, "geom", res = 8, numFiles = 2)
+    // an ORPHAN data file on disk (failed write debris): a byte-copy of a
+    // real data file under a fresh name, never committed to any manifest
+    val real = Snapshots.readManifest(dir).head.path
+    java.nio.file.Files.copy(java.nio.file.Paths.get(dir, real),
+      java.nio.file.Paths.get(dir, "part-orphan-deadbeef.c000.snappy.parquet"))
+    // MoR deletes pending at stream time: a predicate delete and a
+    // positional delete — both metadata-only, both must gate the stream
+    Snapshots.deleteMoR(spark, dir, "event_id % 10 = 3")
+    val posTarget = Snapshots.read(spark, dir)
+      .select(expr("_metadata.file_path").as("file_path"), expr("_metadata.row_index").as("pos"),
+        col("event_id"))
+      .filter(col("event_id") % 10 === 4).drop("event_id")
+    Snapshots.deleteByPosition(spark, dir, posTarget)
+    val expected = Snapshots.read(spark, dir)
+    val expectedIds = expected.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(expectedIds.forall(id => id % 10 != 3 && id % 10 != 4))
+    val q = GeoStreams.readTableStream(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append").format("memory").queryName("mstream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("mstream").select("event_id").collect().map(_.getLong(0))
+    assert(got.length == got.distinct.length, "orphan file must not duplicate rows")
+    assert(got.toSet == expectedIds,
+      "stream must equal the committed snapshot read (deletes applied, orphans excluded)")
+    // incremental: a new append streams exactly its rows, still gated by
+    // the pending predicate delete
+    val more = GeoTable.withBbox(
+      batchEvents.limit(250).select((col("event_id") + 1000000).as("event_id"),
+        graft.functions.GeoSql.st_point(lit(3.0), lit(4.0)).as("geom")), "geom")
+    Snapshots.append(more, dir)
+    val q2 = GeoStreams.readTableStream(spark, dir, maxFilesPerTrigger = 8)
+      .writeStream.outputMode("append").format("memory").queryName("mstream2").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table("mstream2").select("event_id").collect().map(_.getLong(0)).toSet
+    val expected2 = Snapshots.read(spark, dir).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == expected2)
+  }
+
   test("table stream honors maxFilesPerTrigger admission control") {
     import graft.spatial.GeoTable
     import graft.streaming.GeoStreams
