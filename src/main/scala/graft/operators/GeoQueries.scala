@@ -202,6 +202,23 @@ object GeoQueries {
         .select(col("c_custkey"), col("x"), col("y"))
     }),
 
+    // catalog SQL: the table addressed as <catalog>.<db>.<table> through
+    // the DSv2 TableCatalog (the reference's SparkCatalog surface), with
+    // filter pushdown reaching the manifest index
+    "geo_catalog_sql" -> ((s, dir) => {
+      import graft.spatial.GeoTable
+      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_warehouse_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val tbl = new java.io.File(wh, "db/pts").getAbsolutePath
+      GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
+        tbl, "geom", res = 10, numFiles = 4)
+      val cat = s"graft_${Integer.toHexString(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"""SELECT c_custkey, x, y FROM $cat.db.pts
+               |WHERE x >= -50 AND x <= 50 AND y >= -30 AND y <= 30""".stripMargin)
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -247,6 +264,10 @@ object GeoQueries {
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
          |WHERE NOT (x < 0)
          |  AND x >= -60 AND x <= 60 AND y >= -45 AND y <= 45""".stripMargin,
+
+    "geo_catalog_sql" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE x >= -50 AND x <= 50 AND y >= -30 AND y <= 30""".stripMargin,
 
     "geo_snapshots_meta" ->
       """SELECT CAST(1 AS INTEGER) AS version,

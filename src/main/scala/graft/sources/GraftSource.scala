@@ -32,9 +32,50 @@ import graft.spatial.{Geo, GeometryFields, GeoTable, Snapshots, TableSchema}
   * logical schema — paying the same read-amplification the reference's
   * DeleteFilter pays, and still file-pruning through the manifest index.
   */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft"
+
+  // ---- DSv2 (default): format("graft") resolves to GraftTable — clean
+  // files take the columnar vectorized path, files with pending MoR state
+  // or declared encodings take the wrapped row path (no V1 .rdd escape
+  // hatch, no InternalRow→Row→InternalRow double conversion). Setting
+  // spark.sql.sources.useV1SourceList=graft falls back to the V1 relation.
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.types.StructType =
+    makeTable(options).schema()
+
+  override def getTable(
+      schema: org.apache.spark.sql.types.StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    makeTable(new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties))
+
+  private def makeTable(opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    Geo.install(spark)
+    val path = Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("format(\"graft\") requires a path"))
+    Option(opts.get("metadata")) match {
+      case Some(name) =>
+        new GraftMetadataTable(Snapshots.metadataTable(spark, path, name), s"graft:$path#$name")
+      case None =>
+        new GraftTable(path, resolveVersion(path, k => Option(opts.get(k))))
+    }
+  }
+
+  private def resolveVersion(path: String, opt: String => Option[String]): Option[Int] =
+    opt("version").map(_.toInt)
+      .orElse(opt("ref").map(Snapshots.resolveRef(path, _)))
+      .orElse(opt("branch").map(Snapshots.resolveRef(path, _)))
+      .orElse(opt("tag").map(Snapshots.resolveRef(path, _)))
+
+  // ---- V1 fallback (spark.sql.sources.useV1SourceList=graft) -------------
 
   override def createRelation(
       sqlContext: SQLContext,
@@ -50,10 +91,7 @@ class GraftSource extends RelationProvider with DataSourceRegister {
         new MetadataRelation(sqlContext, Snapshots.metadataTable(spark, path, name))
       case None =>
         // `version` time travel, or `ref`/`branch`/`tag` by name
-        val version = parameters.get("version").map(_.toInt)
-          .orElse(parameters.get("ref").map(Snapshots.resolveRef(path, _)))
-          .orElse(parameters.get("branch").map(Snapshots.resolveRef(path, _)))
-          .orElse(parameters.get("tag").map(Snapshots.resolveRef(path, _)))
+        val version = resolveVersion(path, parameters.get)
         val clean =
           Snapshots.readDeletes(path, version).isEmpty &&
             Snapshots.readPosDeletes(path, version).isEmpty &&
@@ -64,6 +102,30 @@ class GraftSource extends RelationProvider with DataSourceRegister {
         else new SnapshotRelation(sqlContext, path, version)
     }
   }
+}
+
+/** Driver-computed metadata frame served as a DSv2 LocalScan (becomes a
+  * LocalTableScanExec — no distributed job for O(#files) metadata).
+  */
+private[sources] class GraftMetadataTable(df: org.apache.spark.sql.DataFrame, tname: String)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  override def name(): String = tname
+  override def schema(): org.apache.spark.sql.types.StructType = df.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): org.apache.spark.sql.types.StructType = df.schema
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            df.queryExecution.executedPlan.executeCollect()
+        }
+    }
 }
 
 /** Full-fidelity relation for tables with pending MoR state, declared

@@ -1,0 +1,507 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, BoundReference, Coalesce, Expression, GetStructField, Literal, Predicate, SafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{BinaryType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.spatial.{GeometryEncoding, GeometryFields, GeoTable, GraftFileIndex, Snapshots, TableSchema}
+
+/** DSv2 `Table` over a graft snapshot table — the connector face the
+  * catalog serves (`SELECT * FROM graft.db.t`), mirroring the reference's
+  * `SparkTable` (`spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkTable.java`).
+  *
+  * The scan plans input partitions straight from the manifest (pruned by
+  * pushed filters through the same [[GraftFileIndex]] evaluation the V1
+  * path uses, including partition-transform projection), and reads through
+  * Spark's own parquet reader factory:
+  *
+  *  - files with NO pending delete state and NO decode/projection needs
+  *    take the COLUMNAR path — full vectorized parquet + ColumnarToRow +
+  *    whole-stage codegen, zero overhead (the reference's batch reads);
+  *  - files with applicable positional/equality deletes, pending MoR
+  *    predicate deletes, or declared geometry encodings fall to a row
+  *    reader wrapped with exactly that state — the reference's
+  *    `DeleteFilter` row path (`RowDataReader.java:95`).
+  *
+  * Pushed filters also reach the parquet readers for row-group pruning.
+  */
+class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+
+  override def name(): String = s"graft.`$path`"
+
+  // the LOGICAL read schema — exactly what Snapshots.read serves (decoded
+  // geometries, renames applied); plan construction is manifest-only
+  override lazy val schema: StructType = Snapshots.read(spark, path, snapshotVersion).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, path, snapshotVersion, schema)
+
+  /** INSERT INTO/OVERWRITE lowered onto the snapshot commit protocol. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            if (overwrite) Snapshots.overwrite(data, path)
+            else Snapshots.append(data, path)
+            ()
+          }
+      }
+    }
+}
+
+class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
+    logicalSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = logicalSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters
+    filters // all filters re-evaluated above the scan (pruning is inclusive)
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep the table's field order for a stable physical row layout
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(logicalSchema.fields.filter(f => names(f.name)))
+  }
+
+  override def build(): Scan = new GraftScan(spark, path, version, required, pushed)
+}
+
+/** `pruneFilters` carries conjuncts recovered AFTER scan construction by
+  * [[graft.spatial.Geo]]'s late optimizer rule — the spatial bbox rewrite
+  * runs in the user-rule batch, which is after V2ScanRelationPushDown, so
+  * its derived conjuncts would otherwise never reach the manifest index.
+  */
+class GraftScan(spark: SparkSession, path: String, version: Option[Int],
+    required: StructType, pushed: Array[sources.Filter],
+    val pruneFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch {
+
+  /** Same scan with extra pruning conjuncts; `this` when nothing new (the
+    * fixed-point convergence guarantee for the rewrite rule).
+    */
+  def withMorePruning(extra: Seq[sources.Filter]): GraftScan = {
+    val known = (pushed ++ pruneFilters).toSet
+    val fresh = extra.filterNot(known)
+    if (fresh.isEmpty) this
+    else new GraftScan(spark, path, version, required, pushed, pruneFilters ++ fresh)
+  }
+
+  private val partCols = GeoTable.readPartitionCols(path)
+  private val logicalToPhysical: Map[String, String] =
+    TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
+  private val encodings = GeometryFields.get(path)
+
+  // full physical file schema (for parquet footer matching)
+  private val physicalDataSchema: StructType = {
+    val full = GeoTable.readSchema(path).getOrElse(spark.read.parquet(path).schema)
+    TableSchema.physicalSchema(path).getOrElse(
+      StructType(full.fields.filterNot(f => partCols.contains(f.name))))
+  }
+  private val fullSchemaFields =
+    GeoTable.readSchema(path).map(_.fields.toSeq).getOrElse(physicalDataSchema.fields.toSeq)
+
+  // MoR predicate deletes must be evaluable even when their columns are
+  // pruned away — extend the read with those logical columns and drop
+  // them after filtering
+  private val morConds: Seq[String] =
+    if (Snapshots.currentVersion(path) == 0) Nil else Snapshots.readDeletes(path, version)
+  private val eqDeletes = if (Snapshots.currentVersion(path) == 0) Nil
+    else Snapshots.readEqDeletes(path, version)
+  private val logicalFull: StructType = Snapshots.read(spark, path, version).schema
+
+  private val extraCols: Seq[String] = {
+    val needed = scala.collection.mutable.LinkedHashSet.empty[String]
+    val have = required.fieldNames.toSet
+    def refs(sql: String): Seq[String] = try {
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
+      }
+    } catch { case _: Exception => Nil }
+    (morConds.flatMap(refs) ++ eqDeletes.flatMap(_.cols))
+      .filter(c => logicalFull.fieldNames.contains(c) && !have(c))
+      .foreach(needed += _)
+    needed.toSeq
+  }
+
+  /** Logical fields actually read: required ++ delete-referenced extras,
+    * data fields first, partition fields last (the DSv2 file-scan layout).
+    */
+  private val readLogical: Seq[org.apache.spark.sql.types.StructField] = {
+    val all = required.fields.toSeq ++ extraCols.map(c => logicalFull(c))
+    all.filterNot(f => partCols.contains(f.name)) ++ all.filter(f => partCols.contains(f.name))
+  }
+  private val readLogicalData = readLogical.filterNot(f => partCols.contains(f.name))
+  private val readLogicalPart = readLogical.filter(f => partCols.contains(f.name))
+
+  // physical twin of each logical data field (the column name and type as
+  // stored in the files)
+  private val readPhysicalData: StructType = StructType(readLogicalData.map { f =>
+    val phys = logicalToPhysical.getOrElse(f.name, f.name)
+    val dt = encodings.get(f.name).map(GeometryEncoding.physicalType)
+      .getOrElse(physicalDataSchema.fields.find(_.name == phys).map(_.dataType)
+        .getOrElse(f.dataType))
+    org.apache.spark.sql.types.StructField(phys, dt, nullable = true)
+  })
+  private val readPartSchema: StructType = StructType(readLogicalPart)
+
+  override def readSchema(): StructType =
+    StructType(readLogicalData.filterNot(f => extraCols.contains(f.name)) ++
+      readLogicalPart.filterNot(f => extraCols.contains(f.name)))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftScan $path${version.map(v => s"@v$v").getOrElse("")} " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  // ---- planning: manifest pruning through GraftFileIndex ------------------
+
+  private def catalystFilters: Seq[Expression] = {
+    def attr(name: String): Option[Expression] = {
+      val phys = logicalToPhysical.getOrElse(name, name)
+      if (physicalDataSchema.fieldNames.contains(phys) || partCols.contains(phys))
+        Some(AttributeReference(phys,
+          fullSchemaFields.find(_.name == phys).map(_.dataType)
+            .getOrElse(org.apache.spark.sql.types.StringType))())
+      else name.split('.') match {
+        case Array(root, leaf) =>
+          val physRoot = logicalToPhysical.getOrElse(root, root)
+          fullSchemaFields.find(_.name == physRoot).map(_.dataType) match {
+            case Some(st: StructType) if st.fieldNames.contains(leaf) =>
+              Some(GetStructField(AttributeReference(physRoot, st)(),
+                st.fieldIndex(leaf), Some(leaf)))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    def conv(f: sources.Filter): Option[Expression] = f match {
+      case sources.EqualTo(a, v) => attr(a).map(ce.EqualTo(_, Literal(v)))
+      case sources.GreaterThan(a, v) => attr(a).map(ce.GreaterThan(_, Literal(v)))
+      case sources.GreaterThanOrEqual(a, v) => attr(a).map(ce.GreaterThanOrEqual(_, Literal(v)))
+      case sources.LessThan(a, v) => attr(a).map(ce.LessThan(_, Literal(v)))
+      case sources.LessThanOrEqual(a, v) => attr(a).map(ce.LessThanOrEqual(_, Literal(v)))
+      case sources.In(a, vs) => attr(a).map(x => ce.In(x, vs.toIndexedSeq.map(Literal(_))))
+      case sources.And(l, r) => for (a <- conv(l); b <- conv(r)) yield ce.And(a, b)
+      case sources.Or(l, r) => for (a <- conv(l); b <- conv(r)) yield ce.Or(a, b)
+      case _ => None
+    }
+    (pushed ++ pruneFilters).flatMap(conv).toSeq
+  }
+
+  private def plannedFiles: Seq[graft.spatial.FileStats] = {
+    val manifest = Snapshots.readManifest(path, version)
+    val index = new GraftFileIndex(spark, new Path(path), manifest,
+      readPhysicalData, readPartSchema, GeoTable.readPartitionSpecs(path))
+    val keep = index.listFiles(Nil, catalystFilters)
+      .flatMap(_.files.map(_.getPath.toUri.getPath)).toSet
+    manifest.filter(f => keep.contains(new Path(new Path(path), f.path).toUri.getPath))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = plannedFiles
+    val index = new GraftFileIndex(spark, new Path(path), files,
+      readPhysicalData, readPartSchema, GeoTable.readPartitionSpecs(path))
+    index.listFiles(Nil, Nil).flatMap { dir =>
+      dir.files.map(st => PartitionedFile(dir.values,
+        org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen))
+    }.zipWithIndex.map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }.toArray
+  }
+
+  // ---- execution ----------------------------------------------------------
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val sqlConf = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readPhysicalData.json)
+    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readPhysicalData.json)
+    conf.set("spark.sql.session.timeZone", sqlConf.sessionLocalTimeZone)
+    ParquetWriteSupport.setSchema(readPhysicalData, conf)
+    val sc = org.apache.spark.sql.internal.SQLConf
+    Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
+      sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      sc.LEGACY_PARQUET_NANOS_AS_LONG, sc.PARQUET_FIELD_ID_READ_ENABLED,
+      sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
+      .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
+    val broadcastConf = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
+    // physical-name pushed filters reach parquet for row-group pruning
+    val physFilters = (pushed ++ pruneFilters).flatMap(translatePhysical)
+    val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, readPhysicalData,
+      readPhysicalData, readPartSchema, physFilters, None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+    // indices of the OUTPUT fields within the combined (data ++ partition)
+    // row — extras read only for delete evaluation are trimmed away
+    val outNames = readSchema().fieldNames.toSet
+    val keepIdx = (readLogicalData ++ readLogicalPart).zipWithIndex
+      .filter { case (f, _) => outNames(f.name) }.map(_._2).toArray
+    GraftBatchReaderFactory(parquet, batchFilters(), combinedPhysical,
+      projectionExprs, keepIdx)
+  }
+
+  private def combinedPhysical: StructType =
+    StructType(readPhysicalData.fields ++ readPartSchema.fields)
+
+  /** Rename a pushed filter's columns to physical names (best effort). */
+  private def translatePhysical(f: sources.Filter): Option[sources.Filter] = {
+    def phys(a: String): String = {
+      val parts = a.split('.')
+      (logicalToPhysical.getOrElse(parts.head, parts.head) +: parts.tail).mkString(".")
+    }
+    f match {
+      case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
+      case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))
+      case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(phys(a), v))
+      case sources.LessThan(a, v) => Some(sources.LessThan(phys(a), v))
+      case sources.LessThanOrEqual(a, v) => Some(sources.LessThanOrEqual(phys(a), v))
+      case sources.In(a, vs) => Some(sources.In(phys(a), vs))
+      case sources.IsNull(a) => Some(sources.IsNull(phys(a)))
+      case sources.IsNotNull(a) => Some(sources.IsNotNull(phys(a)))
+      case sources.And(l, r) =>
+        for (a <- translatePhysical(l); b <- translatePhysical(r)) yield sources.And(a, b)
+      case sources.Or(l, r) =>
+        for (a <- translatePhysical(l); b <- translatePhysical(r)) yield sources.Or(a, b)
+      case _ => None
+    }
+  }
+
+  /** physical combined row → logical combined row: decode declared
+    * encodings in place; `null` when the rows are structurally identical.
+    */
+  private def projectionExprs: Option[Seq[Expression]] = {
+    val combined = combinedPhysical
+    val logicalFields = readLogicalData ++ readLogicalPart
+    val needsDecode = logicalFields.exists(f => encodings.contains(f.name))
+    if (!needsDecode) None
+    else Some(logicalFields.zipWithIndex.map { case (f, i) =>
+      val base = BoundReference(i, combined(i).dataType, nullable = true)
+      encodings.get(f.name) match {
+        case Some("wkt") => graft.functions.StGeomFromText(base)
+        case Some("geojson") => graft.functions.StGeomFromGeoJson(base)
+        case Some("ewkb") | Some("wkb") => graft.functions.StGeomFromWkb(base)
+        case _ => base
+      }
+    })
+  }
+
+  /** Delete state over the LOGICAL combined row (decode runs first). */
+  private def batchFilters(): GraftBatchFilters = {
+    if (Snapshots.currentVersion(path) == 0)
+      return GraftBatchFilters(Map.empty, Nil, None, Map.empty)
+    val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
+    val manifest = Snapshots.readManifest(path, version)
+    val addedV = manifest.map(f => f.path -> f.addedV).toMap
+
+    val pos = Snapshots.readPosDeletes(path, version)
+    val posMap: Map[String, Set[Long]] =
+      if (pos.isEmpty) Map.empty
+      else spark.read.parquet(pos.map(f => s"$path/$f"): _*)
+        .collect()
+        .groupBy(r => r.getString(0).replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
+        .flatMap { case (abs, rows) =>
+          manifest.find(f => abs.endsWith("/" + f.path))
+            .map(f => f.path -> rows.map(_.getLong(1)).toSet)
+        }
+
+    val eqs = eqDeletes.flatMap { e =>
+      if (!e.cols.forall(logicalCombined.fieldNames.contains)) None
+      else {
+        val ordinals = e.cols.map(logicalCombined.fieldIndex).toArray
+        val types = ordinals.map(logicalCombined(_).dataType)
+        val keyRows = spark.read.parquet(s"$path/${e.path}")
+          .selectExpr(e.cols: _*).queryExecution.executedPlan.executeCollect()
+        val keys = keyRows.map(r =>
+          types.indices.map(i => r.get(i, types(i)): Any).toList: Seq[Any]).toSet
+        Some(graft.streaming.EqStreamFilter(ordinals, types, e.seq, keys))
+      }
+    }
+
+    val mor = if (morConds.isEmpty) None else {
+      graft.functions.GeoSql.install(spark)
+      val attrs = logicalCombined.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+      val parsed = spark.sessionState.sqlParser.parseExpression(
+        morConds.map(c => s"($c)").mkString(" OR "))
+      val analyzed = spark.sessionState.analyzer.execute(
+        LFilter(parsed, LocalRelation(attrs)))
+      analyzed.collectFirst { case LFilter(c, _) =>
+        BindReferences.bindReference(
+          Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
+      }
+    }
+    GraftBatchFilters(posMap, eqs, mor, addedV)
+  }
+}
+
+/** Late filter recovery for [[GraftScan]]: user-batch optimizer rules run
+  * AFTER V2ScanRelationPushDown, so conjuncts derived there — notably the
+  * spatial bbox rewrite — sit in a Filter above an already-built scan and
+  * would never prune files. This rule rebuilds the scan with them.
+  * `withMorePruning` returns `this` when nothing is new, so the fixed-point
+  * user batch converges.
+  */
+object GraftScanFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ LFilter(cond, rel @ DataSourceV2ScanRelation(_, scan: GraftScan, _, _, _)) =>
+      val merged = scan.withMorePruning(split(cond).flatMap(toV1))
+      if (merged eq scan) f else LFilter(cond, rel.copy(scan = merged))
+  }
+
+  private def split(e: Expression): Seq[Expression] = e match {
+    case ce.And(l, r) => split(l) ++ split(r)
+    case x => Seq(x)
+  }
+
+  /** Catalyst → V1 filter for the conjunct shapes the manifest index can
+    * evaluate (comparisons on columns / struct leaves vs literals).
+    */
+  private def toV1(e: Expression): Option[sources.Filter] = {
+    def name(x: Expression): Option[String] = x match {
+      case a: ce.AttributeReference => Some(a.name)
+      case ce.GetStructField(child, _, Some(fld)) => name(child).map(n => s"$n.$fld")
+      case _ => None
+    }
+    def ext(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }
+    e match {
+      case ce.EqualTo(a, ce.Literal(v, _)) => name(a).map(sources.EqualTo(_, ext(v)))
+      case ce.EqualTo(ce.Literal(v, _), a) => name(a).map(sources.EqualTo(_, ext(v)))
+      case ce.GreaterThan(a, ce.Literal(v, _)) => name(a).map(sources.GreaterThan(_, ext(v)))
+      case ce.GreaterThan(ce.Literal(v, _), a) => name(a).map(sources.LessThan(_, ext(v)))
+      case ce.GreaterThanOrEqual(a, ce.Literal(v, _)) =>
+        name(a).map(sources.GreaterThanOrEqual(_, ext(v)))
+      case ce.GreaterThanOrEqual(ce.Literal(v, _), a) =>
+        name(a).map(sources.LessThanOrEqual(_, ext(v)))
+      case ce.LessThan(a, ce.Literal(v, _)) => name(a).map(sources.LessThan(_, ext(v)))
+      case ce.LessThan(ce.Literal(v, _), a) => name(a).map(sources.GreaterThan(_, ext(v)))
+      case ce.LessThanOrEqual(a, ce.Literal(v, _)) =>
+        name(a).map(sources.LessThanOrEqual(_, ext(v)))
+      case ce.LessThanOrEqual(ce.Literal(v, _), a) =>
+        name(a).map(sources.GreaterThanOrEqual(_, ext(v)))
+      case ce.In(a, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        name(a).map(sources.In(_,
+          vs.map { case ce.Literal(v, _) => ext(v) }.toArray))
+      case ce.IsNull(a) => name(a).map(sources.IsNull)
+      case ce.IsNotNull(a) => name(a).map(sources.IsNotNull)
+      case ce.Or(l, r) => for (a <- toV1(l); b <- toV1(r)) yield sources.Or(a, b)
+      case _ => None
+    }
+  }
+}
+
+case class GraftBatchFilters(
+    posDeletes: Map[String, Set[Long]],
+    eqDeletes: Seq[graft.streaming.EqStreamFilter],
+    morPredicate: Option[Expression],
+    fileAddedV: Map[String, Int]) extends Serializable
+
+/** Columnar for clean files; row path (decode → deletes → trim) otherwise. */
+case class GraftBatchReaderFactory(
+    parquet: ParquetPartitionReaderFactory,
+    filters: GraftBatchFilters,
+    physicalCombined: StructType,
+    projection: Option[Seq[Expression]],
+    keepIdx: Array[Int]) extends PartitionReaderFactory {
+
+  private def relOf(partition: InputPartition): Option[String] = {
+    val abs = partition.asInstanceOf[FilePartition].files.head.toPath.toUri.getPath
+    filters.fileAddedV.keys.find(r => abs.endsWith("/" + r))
+  }
+
+  private def needsRowMode(partition: InputPartition): Boolean = {
+    val rel = relOf(partition)
+    projection.isDefined ||
+      filters.morPredicate.isDefined ||
+      rel.exists(filters.posDeletes.contains) ||
+      filters.eqDeletes.exists(e =>
+        rel.flatMap(filters.fileAddedV.get).getOrElse(Int.MaxValue) < e.seq) ||
+      physicalCombined.size != keepIdx.length
+  }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    !needsRowMode(partition) && parquet.supportColumnarReads(partition)
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    parquet.createColumnarReader(partition)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = parquet.createReader(partition)
+    if (!needsRowMode(partition)) return inner
+    val fp = partition.asInstanceOf[FilePartition]
+    val rel = relOf(partition)
+    val posDel = rel.flatMap(filters.posDeletes.get).getOrElse(Set.empty[Long])
+    val fileV = rel.flatMap(filters.fileAddedV.get).getOrElse(Int.MaxValue)
+    val eqs = filters.eqDeletes.filter(e => fileV < e.seq)
+    val proj = projection.map(SafeProjection.create)
+    val pred = filters.morPredicate.map { e =>
+      val p = Predicate.createInterpreted(e); p.initialize(fp.index); p
+    }
+    // emit only the output fields (delete-only extra columns trimmed)
+    val trim =
+      if (physicalCombined.size == keepIdx.length) None
+      else Some(SafeProjection.create(keepIdx.toIndexedSeq.map { i =>
+        val dt = projection match {
+          case Some(exprs) => exprs(i).dataType
+          case None => physicalCombined(i).dataType
+        }
+        BoundReference(i, dt, nullable = true): Expression
+      }))
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          pos += 1
+          if (!posDel.contains(pos)) {
+            val logical = proj.map(_(inner.get())).getOrElse(inner.get())
+            val deleted =
+              eqs.exists(e => e.keys.contains(e.ordinals.indices.map(i =>
+                logical.get(e.ordinals(i), e.types(i)): Any).toList)) ||
+                pred.exists(_.eval(logical))
+            if (!deleted) {
+              current = trim.map(_(logical)).getOrElse(logical)
+              return true
+            }
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -281,7 +281,7 @@ object GeoTable {
     case other => "\"" + other.toString + "\""
   }
 
-  private[spatial] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
+  private[graft] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
       partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
       eqDeletes: Seq[EqDelete] = Nil,

@@ -378,7 +378,7 @@ object Snapshots {
   /** Creation-path commit: retry loop around [[commitManifest]] with fresh
     * refs state each attempt.
     */
-  private[spatial] def commitCreate(path: String, mkBody: Int => String): Int =
+  private[graft] def commitCreate(path: String, mkBody: Int => String): Int =
     withCommitRetry() { commitManifest(path, refsState(path), "main", mkBody) }
 
   /** Pending MoR deletes of snapshot `head` (carried forward by ops; 0 =

@@ -127,7 +127,8 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
   */
 object Geo {
   def installRule(spark: SparkSession): Unit = {
-    val rules = Seq(SpatialPredicatePushdown, graft.plans.StatsAggregatePushdown)
+    val rules = Seq(SpatialPredicatePushdown, graft.plans.StatsAggregatePushdown,
+      graft.sources.GraftScanFilterPushdown)
     val cur = spark.experimental.extraOptimizations
     val missing = rules.filterNot(cur.contains)
     if (missing.nonEmpty) {

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GeoSql._
+import graft.spatial.{GeometryFields, GeoTable, Snapshots}
+
+/** The DSv2 catalog surface: `SELECT * FROM <catalog>.<db>.<table>` with
+  * manifest pruning, MoR-delete fidelity, time travel, and INSERT — the
+  * reference's `SparkCatalog`/`SparkTable` shape.
+  */
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    wh
+  }
+
+  /** The GeoSpec quadrant fixture: 4 files, one per quadrant, 20 rows each. */
+  private def writeQuadrants(tbl: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = for {
+      quadrant <- 0 until 4
+      k <- 1 to 10
+      (cx, cy) = quadrant match {
+        case 0 => (k.toDouble, k.toDouble)
+        case 1 => (-k.toDouble, k.toDouble)
+        case 2 => (-k.toDouble, -k.toDouble)
+        case 3 => (k.toDouble, -k.toDouble)
+      }
+      geom <- Seq(
+        graft.functions.GeoCodec.writeWkb(graft.functions.GeoCodec.point(cx, cy)),
+        graft.functions.GeoCodec.writeWkb(graft.functions.GeoCodec.point(cx, cy).buffer(0.5)))
+    } yield Row((quadrant * 10 + k - 1).toLong, quadrant, geom)
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("part", IntegerType, nullable = false), StructField("geom", BinaryType)))
+    (0 until 4).foreach { q =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.filter(_.getInt(1) == q), 1), schema)
+      GeoTable.withBbox(df, "geom").coalesce(1).write.mode("append").parquet(tbl)
+    }
+    GeoTable.writeManifest(spark, tbl)
+  }
+
+  test("catalog SQL reads a table with manifest file pruning") {
+    val tbl = s"$warehouse/db/quad"
+    writeQuadrants(tbl)
+    val all = spark.sql("SELECT * FROM gcat.db.quad")
+    assert(all.count() == 80)
+    assert(all.columns.toSeq == Seq("id", "part", "geom", "geom_bbox"))
+    // an attribute filter prunes to the files whose stats might match
+    val q = spark.sql("SELECT id FROM gcat.db.quad WHERE geom_bbox.xmin > 0 AND geom_bbox.ymin > 0")
+    val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, "catalog read should plan a DSv2 BatchScan")
+    assert(scans.head.inputPartitions.length == 1,
+      s"quadrant-0 filter must prune to 1 of 4 files, got ${scans.head.inputPartitions.length}")
+    assert(q.count() == 20)
+    // clean table → columnar path → vectorized scan feeding codegen
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "clean tables must take the columnar fast path")
+  }
+
+  test("catalog read applies MoR deletes and decodes declared encodings") {
+    val tbl = s"$warehouse/db/enc"
+    val src = spark.range(100).toDF("id")
+      .withColumn("x", (col("id") % 90 - 45).cast("double"))
+      .withColumn("geom", st_point(col("x"), lit(5.0)))
+    GeometryFields.writeGeo(src, tbl, "geom", "wkt", res = 8, numFiles = 2)
+    Snapshots.deleteMoR(spark, tbl, "id % 7 = 0")
+    val expected = Snapshots.read(spark, tbl).select("id", "x").collect().map(_.getLong(0)).toSet
+    val got = spark.sql("SELECT id, x FROM gcat.db.enc").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(!got.exists(_ % 7 == 0))
+    // the geometry column decodes from WKT storage to runtime WKB
+    val g = spark.sql("SELECT id, st_x(geom) AS gx, x FROM gcat.db.enc")
+      .filter(col("gx") =!= col("x")).count()
+    assert(g == 0)
+    // positional delete: kill one specific row, visible through catalog SQL
+    val pos = Snapshots.read(spark, tbl)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 11).drop("id")
+    Snapshots.deleteByPosition(spark, tbl, pos)
+    assert(spark.sql("SELECT id FROM gcat.db.enc WHERE id = 11").count() == 0)
+  }
+
+  test("time travel and INSERT through the catalog") {
+    val tbl = s"$warehouse/db/tt"
+    val base = spark.range(10).toDF("id")
+      .withColumn("geom", st_point(lit(1.0), lit(2.0)))
+    GeoTable.write(GeoTable.withBbox(base, "geom").drop("geom_bbox"), tbl, "geom",
+      res = 8, numFiles = 1)
+    Snapshots.append(GeoTable.withBbox(
+      spark.range(10, 25).toDF("id").withColumn("geom", st_point(lit(1.0), lit(2.0))),
+      "geom"), tbl)
+    assert(spark.sql("SELECT * FROM gcat.db.tt").count() == 25)
+    assert(spark.sql("SELECT * FROM gcat.db.tt VERSION AS OF 1").count() == 10)
+    // INSERT INTO commits a snapshot through the same CAS protocol
+    spark.sql("INSERT INTO gcat.db.tt SELECT id, geom, geom_bbox FROM gcat.db.tt WHERE id < 3")
+    assert(spark.sql("SELECT * FROM gcat.db.tt").count() == 28)
+    assert(Snapshots.mainVersion(tbl) == 3)
+  }
+
+  test("catalog DDL basics: create, list, rename, drop") {
+    import org.apache.spark.sql.types._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    spark.sql("CREATE TABLE gcat.ddl.fresh (id BIGINT, name STRING)")
+    assert(spark.sql("SELECT * FROM gcat.ddl.fresh").count() == 0)
+    spark.sql("INSERT INTO gcat.ddl.fresh VALUES (1, 'a'), (2, 'b')")
+    assert(spark.sql("SELECT * FROM gcat.ddl.fresh").count() == 2)
+    assert(spark.sql("SHOW TABLES IN gcat.ddl").collect().map(_.getString(1)).contains("fresh"))
+    spark.sql("ALTER TABLE gcat.ddl.fresh RENAME TO ddl.fresh2")
+    assert(spark.sql("SELECT * FROM gcat.ddl.fresh2").count() == 2)
+    spark.sql("DROP TABLE gcat.ddl.fresh2")
+    intercept[Exception](spark.sql("SELECT * FROM gcat.ddl.fresh2").collect())
+  }
+}

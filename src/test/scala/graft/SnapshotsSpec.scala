@@ -130,14 +130,20 @@ class SnapshotsSpec extends AnyFunSuite {
     val t = spark.read.format("graft").load(dir)
     assert(t.count() == 100)
     assert(spark.read.format("graft").option("version", "1").load(dir).count() == 60)
-    // spatial pushdown works through the format
+    // spatial pushdown works through the format: the envelope covers only
+    // quadrant 0, so the late bbox-rewrite rule must prune the two
+    // quadrant-2 files out of the DSv2 scan
     val q = t.filter(st_intersects(col("geom"),
       st_makeenvelope(lit(0.5), lit(0.5), lit(60.0), lit(45.0))))
     assert(q.count() == 60)
     val scan = q.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
-    assert(scan.nonEmpty && scan.head.metadata("Location").contains("GraftFileIndex"))
+    assert(scan.nonEmpty, "format(\"graft\") should plan a DSv2 BatchScan")
+    assert(scan.head.inputPartitions.length == 2,
+      s"spatial filter must prune to quadrant-0's 2 files, got ${scan.head.inputPartitions.length}")
+    // clean table → columnar vectorized path
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
 
   test("merge-on-read delete: no rewrite, applied at read, compaction materializes") {
