@@ -782,6 +782,134 @@ object Snapshots {
     }
   }
 
+  /** One WHEN clause of a full MERGE, in source order. `action` is
+    * "update" (with `sets`), "delete", or "insert" (with optional column
+    * list + value expressions; both None = INSERT *).
+    */
+  case class MergeClause(matched: Boolean, cond: Option[String], action: String,
+      sets: Seq[(String, String)] = Nil,
+      insertCols: Option[Seq[String]] = None, insertVals: Option[Seq[String]] = None)
+
+  /** Full copy-on-write MERGE (the reference's `SparkCopyOnWriteOperation`
+    * MERGE surface): arbitrary multi-column ON condition, ordered WHEN
+    * MATCHED [AND cond] THEN UPDATE/DELETE clauses, WHEN NOT MATCHED
+    * [AND cond] THEN INSERT. Target rows pair with source rows on the ON
+    * condition (a target row is assumed to match at most one source row,
+    * as in Iceberg); only target files whose stats overlap the source's
+    * equality-key bounds are rewritten — a non-equality ON falls back to
+    * rewriting every file (correct, not pruned).
+    *
+    * `targetAlias`/`sourceAlias` are the names clause expressions may
+    * qualify columns with (default `t`/`s`).
+    */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame, onSql: String,
+      clauses: Seq[MergeClause], targetAlias: String = "t",
+      sourceAlias: String = "s"): Int = withCommitRetry() {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val current = readManifest(path, Some(head))
+    val table = read(spark, path, Some(head))
+    val tableCols = table.columns.toSeq
+
+    // file pruning from equality conjuncts `t.c = s.c` in the ON condition:
+    // the affected files are those whose stats overlap the source's bounds
+    // on every such key (the mergeUpsert strategy, generalized)
+    val probe = table.alias(targetAlias)
+      .join(source.alias(sourceAlias), expr(onSql)).queryExecution.analyzed
+    val tgtOut = probe.children.headOption.map(_.output.map(_.exprId).toSet).getOrElse(Set.empty)
+    val eqPairs: Seq[(String, String)] = probe.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition
+    }.flatten.toSeq.flatMap { cond =>
+      def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      conjuncts(cond).collect {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            b: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+          if (tgtOut(a.exprId)) Some(a.name -> b.name)
+          else if (tgtOut(b.exprId)) Some(b.name -> a.name)
+          else None
+      }.flatten
+    }
+    val (affected, untouched) =
+      if (eqPairs.isEmpty) (current, Seq.empty[FileStats])
+      else {
+        val aggs = eqPairs.flatMap(p => Seq(min(col(p._2)), max(col(p._2))))
+        val bounds = source.agg(aggs.head, aggs.tail: _*).collect().head
+        if (bounds.isNullAt(0)) (Nil, current) // empty source: nothing matches
+        else {
+          val rangeCond = eqPairs.zipWithIndex.map { case ((tc, _), i) =>
+            col(tc).between(bounds.get(2 * i), bounds.get(2 * i + 1))
+          }.reduce(_ && _)
+          val resolved = table.filter(rangeCond).queryExecution.optimizedPlan
+            .collectFirst { case Filter(c, _) => c }
+          resolved match {
+            case Some(c) => current.partition(_.mightMatch(c))
+            case None => (current, Seq.empty[FileStats])
+          }
+        }
+      }
+
+    val hasInsert = clauses.exists(!_.matched)
+    if (affected.isEmpty && !hasInsert) head
+    else {
+      val tgt = (if (affected.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
+      } else readFilesForRewrite(spark, path, affected, head))
+        .withColumn("__t", lit(1)).alias(targetAlias)
+      val src = source.withColumn("__s", lit(1)).alias(sourceAlias)
+      val joined = tgt.join(src, expr(onSql), "full_outer")
+      val isMatched = col("__t").isNotNull && col("__s").isNotNull
+      val sOnly = col("__t").isNull
+
+      // first matching clause wins, in source order (SQL MERGE semantics)
+      def clauseCond(c: MergeClause): Column = {
+        val base = if (c.matched) isMatched else sOnly
+        c.cond.map(x => base && coalesce(expr(x), lit(false))).getOrElse(base)
+      }
+      val action = clauses.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+        case (acc, (c, i)) => acc.when(clauseCond(c), lit(s"${c.action}$i"))
+      }.otherwise(when(sOnly, lit("dropSrc")).otherwise(lit("keep")))
+      val withAction = joined.withColumn("__action", action)
+        .filter(!col("__action").startsWith("delete") && col("__action") =!= "dropSrc")
+
+      def insertExpr(c: MergeClause, colName: String): Column = c match {
+        case MergeClause(_, _, _, _, None, None) => // INSERT *
+          if (source.columns.contains(colName)) col(s"$sourceAlias.$colName")
+          else lit(null).cast(table.schema(colName).dataType)
+        case MergeClause(_, _, _, _, Some(cols), Some(vals)) =>
+          cols.indexOf(colName) match {
+            case -1 => lit(null).cast(table.schema(colName).dataType)
+            case i => expr(vals(i)).cast(table.schema(colName).dataType)
+          }
+        case _ => throw new IllegalArgumentException("INSERT needs (cols) VALUES (...) or *")
+      }
+      val out = withAction.select(tableCols.map { colName =>
+        clauses.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+          case (acc, (c, i)) =>
+            val tag = s"${c.action}$i"
+            c.action match {
+              case "update" =>
+                val set = c.sets.toMap.get(colName)
+                  .map(expr(_).cast(table.schema(colName).dataType))
+                  .getOrElse(col(s"$targetAlias.$colName"))
+                acc.when(col("__action") === tag, set)
+              case "insert" => acc.when(col("__action") === tag, insertExpr(c, colName))
+              case _ => acc
+            }
+        }.otherwise(col(s"$targetAlias.$colName")).as(colName)
+      }: _*)
+      val (added, _) = writeBack(out, path)
+      publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
+        carriedPos(path, head), eqDeletes = carriedEq(path, head))
+    }
+  }
+
   /** Read a snapshot (default: current) through the pruning file index,
     * applying that snapshot's positional deletes and merge-on-read delete
     * predicates.
@@ -989,18 +1117,136 @@ object Snapshots {
       "record_count" -> LongType, "file_size_in_bytes" -> LongType)
   }
 
-  /** Unified metadata-table accessor (`files`, `history`, `snapshots`,
-    * `manifests`, `partitions`, `entries`).
+  /** `refs`: one row per branch/tag with its target version (the
+    * reference's REFS metadata table).
+    */
+  def refsTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (bs, ts) = readRefs(path)
+    val branches = if (bs.contains("main")) bs else bs + ("main" -> mainVersion(path))
+    val rows = branches.toSeq.sortBy(_._1).map { case (n, v) =>
+      org.apache.spark.sql.Row(n, "BRANCH", v)
+    } ++ ts.toSeq.sortBy(_._1).map { case (n, v) => org.apache.spark.sql.Row(n, "TAG", v) }
+    mkDf(spark, rows, "name" -> StringType, "type" -> StringType, "version" -> IntegerType)
+  }
+
+  /** `delete_files`: positional + equality delete files of a snapshot
+    * (content kind, path, equality columns, sequence number).
+    */
+  def deleteFilesTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows =
+      readPosDeletes(path, version).map { f =>
+        org.apache.spark.sql.Row("POSITION_DELETES", f, null, null,
+          sizeOf(path, f), null)
+      } ++ readEqDeletes(path, version).map { e =>
+        org.apache.spark.sql.Row("EQUALITY_DELETES", e.path, e.cols.mkString(","), e.seq,
+          sizeOf(path, e.path), null)
+      } ++ readDeletes(path, version).map { p =>
+        org.apache.spark.sql.Row("PREDICATE_DELETES", null, null, null, null, p)
+      }
+    mkDf(spark, rows, "content" -> StringType, "file_path" -> StringType,
+      "equality_columns" -> StringType, "sequence_number" -> IntegerType,
+      "file_size_in_bytes" -> LongType, "predicate" -> StringType)
+  }
+
+  private def sizeOf(path: String, rel: String): Any = {
+    val p = Paths.get(path, rel)
+    if (Files.exists(p)) Files.size(p) else null
+  }
+
+  /** `position_deletes`: the delete ROWS themselves (file_path, pos). */
+  def positionDeletesTable(spark: SparkSession, path: String): DataFrame = {
+    val pos = readPosDeletes(path)
+    if (pos.isEmpty)
+      mkDf(spark, Nil, "file_path" -> org.apache.spark.sql.types.StringType,
+        "pos" -> org.apache.spark.sql.types.LongType)
+    else spark.read.parquet(pos.map(f => s"$path/$f"): _*)
+  }
+
+  /** `metadata_log_entries`: every retained metadata file (manifest
+    * versions + refs generations) with its commit time.
+    */
+  def metadataLogTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val manifests = retainedVersions(path).map { v =>
+      val p = manifestPath(path, v)
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(Files.getLastModifiedTime(p).toMillis),
+        p.getFileName.toString, "manifest", v)
+    }
+    val gen = refsState(path).gen
+    val refs = (1 to gen).filter(k => Files.exists(refsVPath(path, k))).map { k =>
+      org.apache.spark.sql.Row(
+        new java.sql.Timestamp(Files.getLastModifiedTime(refsVPath(path, k)).toMillis),
+        refsVPath(path, k).getFileName.toString, "refs", k)
+    }
+    mkDf(spark, manifests ++ refs, "timestamp" -> TimestampType, "file" -> StringType,
+      "kind" -> StringType, "version" -> IntegerType)
+  }
+
+  /** `all_entries` / `all_files`: per (retained version, file) rows — the
+    * reference's ALL_* tables scan every snapshot, not just the head.
+    */
+  def allEntriesTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = retainedVersions(path).flatMap { v =>
+      val parent = retainedVersions(path).filter(_ < v).lastOption
+        .map(pv => readManifest(path, Some(pv)).map(_.path).toSet)
+        .getOrElse(Set.empty[String])
+      readManifest(path, Some(v)).map { f =>
+        org.apache.spark.sql.Row(v, if (parent(f.path)) "existing" else "added",
+          f.path, f.rows, f.sizeBytes)
+      }
+    }
+    mkDf(spark, rows, "version" -> IntegerType, "status" -> StringType,
+      "file_path" -> StringType, "record_count" -> LongType,
+      "file_size_in_bytes" -> LongType)
+  }
+
+  def allFilesTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = retainedVersions(path).flatMap { v =>
+      readManifest(path, Some(v)).map(f =>
+        org.apache.spark.sql.Row(v, f.path, f.rows, f.sizeBytes, f.addedV))
+    }
+    mkDf(spark, rows, "version" -> IntegerType, "file_path" -> StringType,
+      "record_count" -> LongType, "file_size_in_bytes" -> LongType,
+      "added_version" -> IntegerType)
+  }
+
+  def allDeleteFilesTable(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val frames = retainedVersions(path).map(v =>
+      deleteFilesTable(spark, path, Some(v))
+        .withColumn("version", org.apache.spark.sql.functions.lit(v)))
+    frames.reduceOption(_ unionAll _).getOrElse(
+      deleteFilesTable(spark, path)
+        .withColumn("version", org.apache.spark.sql.functions.lit(0)).limit(0))
+  }
+
+  /** Unified metadata-table accessor — the reference's MetadataTableType
+    * surface (`core/src/main/java/org/apache/iceberg/MetadataTableType.java:24-38`).
     */
   def metadataTable(spark: SparkSession, path: String, name: String): DataFrame = name match {
-    case "files" => GeoTable.filesTable(spark, path)
+    case "files" | "data_files" => GeoTable.filesTable(spark, path)
     case "history" => history(spark, path)
     case "snapshots" => snapshotsTable(spark, path)
-    case "manifests" => manifestsTable(spark, path)
+    case "manifests" | "all_manifests" => manifestsTable(spark, path)
     case "partitions" => partitionsTable(spark, path)
     case "entries" => entriesTable(spark, path)
+    case "refs" => refsTable(spark, path)
+    case "delete_files" => deleteFilesTable(spark, path)
+    case "position_deletes" => positionDeletesTable(spark, path)
+    case "metadata_log_entries" => metadataLogTable(spark, path)
+    case "all_entries" => allEntriesTable(spark, path)
+    case "all_files" | "all_data_files" => allFilesTable(spark, path)
+    case "all_delete_files" => allDeleteFilesTable(spark, path)
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table: $other (files|history|snapshots|manifests|partitions|entries)")
+      s"unknown metadata table: $other (files|data_files|history|snapshots|manifests|" +
+        "all_manifests|partitions|entries|refs|delete_files|position_deletes|" +
+        "metadata_log_entries|all_entries|all_files|all_data_files|all_delete_files)")
   }
 
   /** Rows appended between two snapshots — the manifest-diff's ENTERED
@@ -1179,6 +1425,90 @@ object Snapshots {
     val gen = refsState(path).gen
     (1 until gen).foreach(k => Files.deleteIfExists(refsVPath(path, k)))
     orphans.size
+  }
+
+  /** Rewrite the manifest of the current snapshot: re-collect footer
+    * stats for every live file and republish (the reference's
+    * `rewrite_manifests` — metadata maintenance, zero data movement).
+    * `addedV` stamps are preserved so equality-delete sequence scoping is
+    * unaffected.
+    */
+  def rewriteManifests(spark: SparkSession, path: String): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val current = readManifest(path, Some(head))
+    val byPath = current.map(f => f.path -> f).toMap
+    val fresh = statsFor(spark, path, current.map(_.path))
+      .map(s => s.copy(addedV = byPath(s.path).addedV))
+    publish(path, rs, fresh, carried(path, head), carriedPos(path, head),
+      eqDeletes = carriedEq(path, head))
+  }
+
+  /** Version chain at or below `v` (the reference's `ancestors_of`). */
+  def ancestorsOf(path: String, v: Int): Seq[Int] = chainVersions(path, v).reverse
+
+  /** Adopt a plain parquet directory as a graft table (the reference's
+    * `migrate` / `register_table` import path): collect footer stats for
+    * every data file and commit snapshot v1. Returns the version.
+    */
+  def registerTable(spark: SparkSession, path: String): Int = {
+    require(currentVersion(path) == 0, s"already a graft table: $path")
+    GeoTable.writeManifest(spark, path)
+    mainVersion(path)
+  }
+
+  /** Zero-copy clone (the reference's `snapshot` procedure): hard-link the
+    * source's current data + delete files into `target` and republish its
+    * metadata there. The clone evolves independently; data files are
+    * shared until either side rewrites them (files are immutable, so
+    * sharing is safe).
+    */
+  def snapshotClone(spark: SparkSession, source: String, target: String): Int = {
+    require(currentVersion(target) == 0, s"target exists: $target")
+    Files.createDirectories(Paths.get(target))
+    val head = mainVersion(source)
+    val m = readManifest(source, Some(head))
+    val toLink = m.map(_.path) ++ readPosDeletes(source, Some(head)) ++
+      readEqDeletes(source, Some(head)).map(_.path)
+    toLink.foreach { rel =>
+      val dst = Paths.get(target, rel)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst)) Files.createLink(dst, Paths.get(source, rel))
+    }
+    // table-level metadata carries over (schema mapping, geometry props)
+    Seq(TableSchema.SchemaName, GeometryFields.PropsName).foreach { n =>
+      val src = Paths.get(source, n)
+      if (Files.exists(src)) Files.copy(src, Paths.get(target, n))
+    }
+    withCommitRetry() {
+      publish(target, refsState(target), m, readDeletes(source, Some(head)),
+        readPosDeletes(source, Some(head)), readProps(source, Some(head)),
+        eqDeletes = readEqDeletes(source, Some(head)),
+        schema = readSchema(source, Some(head)))
+    }
+  }
+
+  /** Compact positional delete files: merge all pending entries, drop
+    * those naming files no longer in the manifest, and republish as one
+    * file (the reference's `rewrite_position_delete_files`). Returns the
+    * new version (or the head if there was nothing to compact).
+    */
+  def rewritePositionDeleteFiles(spark: SparkSession, path: String): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val pos = carriedPos(path, head)
+    if (pos.size <= 1) head
+    else {
+      val live = readManifest(path, Some(head)).map(_.path)
+      val keep =
+        if (live.isEmpty) lit(false)
+        else live.map(l => col("file_path").endsWith("/" + l)).reduce(_ || _)
+      val rows = spark.read.parquet(pos.map(f => s"$path/$f"): _*)
+        .filter(keep).dropDuplicates()
+      val name = writeDeleteFile(rows, path, "posdel")
+      publish(path, rs, readManifest(path, Some(head)), carried(path, head),
+        Seq(name), eqDeletes = carriedEq(path, head))
+    }
   }
 
   /** Delete data files referenced by NO retained snapshot (the reference's

@@ -61,6 +61,10 @@ object GraftStatements {
     """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*$""".r
+  private val MergeFullRe =
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+AS\s+(\w+))?\s+USING\s+\((.+?)\)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
+  private val WhenRe =
+    """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))\s*(?=WHEN\s|$)""".r
 
   def tryParse(sql: String): Option[LogicalPlan] = sql match {
     case DeleteRe(tbl, cond) => Some(DmlCommand(tbl, "delete", cond, Nil, ""))
@@ -71,8 +75,48 @@ object GraftStatements {
         a.take(i).trim -> a.drop(i + 1).trim
       }
       Some(DmlCommand(tbl, "update", cond, assignments, ""))
+    case MergeFullRe(tbl, tAlias, src, sAlias, on, whens) =>
+      Some(MergeIntoCommand(tbl, src, on, parseWhens(whens),
+        Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
     case MergeRe(tbl, src, key) => Some(DmlCommand(tbl, "merge", src, Nil, key))
     case _ => tryParseDdl(sql)
+  }
+
+  /** Ordered WHEN clauses of a full MERGE. */
+  private def parseWhens(text: String): Seq[Snapshots.MergeClause] = {
+    val clauses = WhenRe.findAllMatchIn(text).map { m =>
+      val matched = m.group(1) == null
+      val cond = Option(m.group(2)).map(_.trim)
+      val act = m.group(3).trim
+      val lower = act.toLowerCase
+      if (lower.startsWith("update")) {
+        val sets = splitTopLevel(act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"bad SET clause: $a")
+          a.take(i).trim -> a.drop(i + 1).trim
+        }
+        Snapshots.MergeClause(matched, cond, "update", sets = sets)
+      } else if (lower == "delete") {
+        Snapshots.MergeClause(matched, cond, "delete")
+      } else if (lower.replaceAll("\\s", "") == "insert*") {
+        Snapshots.MergeClause(matched, cond, "insert")
+      } else {
+        val InsertRe = """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
+        act match {
+          case InsertRe(cols, vals) =>
+            Snapshots.MergeClause(matched, cond, "insert",
+              insertCols = Some(splitTopLevel(cols).map(stripQuotes)),
+              insertVals = Some(splitTopLevel(vals)))
+          case bad => throw new IllegalArgumentException(s"bad MERGE action: $bad")
+        }
+      }
+    }.toSeq
+    require(clauses.nonEmpty, "MERGE needs WHEN clauses")
+    clauses.foreach { c =>
+      require(c.matched || c.action == "insert", "WHEN NOT MATCHED supports only INSERT")
+      require(!c.matched || c.action != "insert", "WHEN MATCHED supports UPDATE or DELETE")
+    }
+    clauses
   }
 
   private def tryParseDdl(sql: String): Option[LogicalPlan] = sql match {
@@ -195,6 +239,22 @@ case class RefCommand(path: String, op: String, name: String, version: Option[In
   }
 }
 
+/** Full `MERGE INTO '<path>' USING (query) ON cond WHEN ...` — ordered
+  * clauses lowered onto [[Snapshots.mergeInto]]'s copy-on-write rewrite.
+  */
+case class MergeIntoCommand(path: String, sourceSql: String, onSql: String,
+    clauses: Seq[Snapshots.MergeClause], targetAlias: String, sourceAlias: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.spatial.Geo.install(spark)
+    val v = Snapshots.mergeInto(spark, path, spark.sql(sourceSql), onSql, clauses,
+      targetAlias, sourceAlias)
+    Seq(Row(v.toLong))
+  }
+}
+
 /** `CALL graft.system.<proc>(...)` — maintenance procedures over the
   * snapshot layer (the reference ships these under
   * `spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/procedures/`).
@@ -279,6 +339,19 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         Snapshots.changes(spark, table, int(arg(1, "from_version")), int(arg(2, "to_version")))
           .createOrReplaceTempView(view)
         Seq(Row(1L, s"view=$view"))
+      case "rewrite_manifests" =>
+        Seq(Row(Snapshots.rewriteManifests(spark, table).toLong, "new_version"))
+      case "ancestors_of" =>
+        val vs = Snapshots.ancestorsOf(table,
+          argOpt(1, "version").map(int).getOrElse(Snapshots.mainVersion(table)))
+        Seq(Row(vs.size.toLong, vs.mkString(",")))
+      case "register_table" | "migrate" =>
+        Seq(Row(Snapshots.registerTable(spark, table).toLong, "new_version"))
+      case "snapshot" =>
+        Seq(Row(Snapshots.snapshotClone(spark, table, str(arg(1, "target"))).toLong,
+          "target_version"))
+      case "rewrite_position_delete_files" =>
+        Seq(Row(Snapshots.rewritePositionDeleteFiles(spark, table).toLong, "new_version"))
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: graft.system.$other")
     }

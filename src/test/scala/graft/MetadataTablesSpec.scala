@@ -77,6 +77,51 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(byStatus("existing").forall(_.startsWith("part=2")))
   }
 
+  test("refs / delete_files / metadata_log / all_* tables") {
+    // refs: implicit main + an explicit branch and tag
+    val d2 = Files.createTempDirectory("graft_meta2").toString
+    GeoTable.write(mk(0 until 30, 0), d2, "geom", res = 8, numFiles = 1)
+    Snapshots.append(mk(30 until 60, 1), d2)
+    Snapshots.createBranch(d2, "dev")
+    Snapshots.createTag(d2, "v1", Some(1))
+    val refs = Snapshots.metadataTable(spark, d2, "refs").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(refs("main") == ("BRANCH", 2))
+    assert(refs("dev") == ("BRANCH", 2))
+    assert(refs("v1") == ("TAG", 1))
+    // delete_files: one of each delete kind, all metadata-only
+    import spark.implicits._
+    Snapshots.deleteMoR(spark, d2, "id = 7")
+    val posTarget = Snapshots.read(spark, d2)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 9).drop("id")
+    Snapshots.deleteByPosition(spark, d2, posTarget)
+    Snapshots.deleteByEquality(spark, d2, Seq(8L).toDF("id"))
+    val dels = Snapshots.metadataTable(spark, d2, "delete_files").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    assert(dels == Map("POSITION_DELETES" -> 1, "EQUALITY_DELETES" -> 1,
+      "PREDICATE_DELETES" -> 1))
+    assert(Snapshots.metadataTable(spark, d2, "position_deletes").count() == 1)
+    // metadata_log_entries: manifests + refs generations, times monotonic
+    val log = Snapshots.metadataTable(spark, d2, "metadata_log_entries")
+    assert(log.filter(col("kind") === "manifest").count() == 5)
+    assert(log.filter(col("kind") === "refs").count() > 0)
+    // all_*: every retained snapshot's view, not just the head
+    val allFiles = Snapshots.metadataTable(spark, d2, "all_files")
+    assert(allFiles.filter(col("version") === 1).count() == 1)
+    assert(allFiles.filter(col("version") === 2).count() == 2)
+    val allEntries = Snapshots.metadataTable(spark, d2, "all_entries").collect()
+    assert(allEntries.count(r => r.getString(1) == "added") == 2)
+    val allDels = Snapshots.metadataTable(spark, d2, "all_delete_files")
+    assert(allDels.filter(col("version") === 5).count() == 3)
+    assert(allDels.filter(col("version") === 2).count() == 0)
+    // data_files / all_data_files aliases resolve
+    assert(Snapshots.metadataTable(spark, d2, "data_files").count() == 2)
+    assert(Snapshots.metadataTable(spark, d2, "all_data_files").count() ==
+      allFiles.count())
+  }
+
   test("metadata tables are reachable through format(graft)") {
     val snaps = spark.read.format("graft")
       .option("metadata", "snapshots").load(dir)

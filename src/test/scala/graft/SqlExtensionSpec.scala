@@ -193,6 +193,89 @@ class SqlExtensionSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("not found"))
   }
 
+  test("full MERGE: multi-key ON, matched UPDATE/DELETE, not-matched INSERT") {
+    val dir = mkTable(30)
+    // source: keys 10..14 (match) + 100,101 (new); key = (id)
+    spark.range(10, 15).toDF("sid").withColumn("bump", lit(1L))
+      .unionByName(spark.range(100, 102).toDF("sid").withColumn("bump", lit(0L)))
+      .createOrReplaceTempView("m_src")
+    // matched & sid < 12 → DELETE; other matched → UPDATE id; unmatched → INSERT
+    val v = spark.sql(
+      s"""MERGE INTO '$dir' USING (SELECT * FROM m_src) ON t.id = s.sid
+         |WHEN MATCHED AND s.sid < 12 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET id = t.id + 2000
+         |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.sid)""".stripMargin)
+      .collect().head.getLong(0)
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 30 - 2 /*deleted 10,11*/ + 2 /*inserted*/)
+    assert(t.filter(col("id").isin(10L, 11L)).count() == 0, "delete-on-match")
+    assert(t.filter(col("id").isin(2012L, 2013L, 2014L)).count() == 3, "update-on-match")
+    assert(t.filter(col("id").isin(100L, 101L)).count() == 2, "insert-on-miss")
+    // inserted rows carry null for unsupplied columns
+    assert(t.filter(col("id") === 100L && col("geom").isNull).count() == 1)
+    assert(v == Snapshots.mainVersion(dir).toLong)
+    // clause order matters: first matching clause wins
+    spark.range(2012, 2013).toDF("sid").createOrReplaceTempView("m_src2")
+    spark.sql(
+      s"""MERGE INTO '$dir' USING (SELECT * FROM m_src2) ON t.id = s.sid
+         |WHEN MATCHED AND s.sid = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET id = 4444""".stripMargin)
+    assert(Snapshots.read(spark, dir).filter(col("id") === 4444L).count() == 1)
+    // INSERT * maps source columns by name
+    val dir2 = mkTable(5)
+    spark.sql(s"SELECT CAST(77 AS BIGINT) AS id, CAST(NULL AS BINARY) AS geom")
+      .createOrReplaceTempView("m_src3")
+    spark.sql(
+      s"""MERGE INTO '$dir2' USING (SELECT * FROM m_src3) ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(Snapshots.read(spark, dir2).filter(col("id") === 77L).count() == 1)
+  }
+
+  test("CALL rewrite_manifests / ancestors_of / snapshot / register_table") {
+    val dir = mkTable(20)
+    Snapshots.append(Snapshots.read(spark, dir).limit(3), dir)
+    // rewrite_manifests: stats refresh, content unchanged, addedV preserved
+    val before = Snapshots.readManifest(dir).map(f => f.path -> f.addedV).toMap
+    val v = spark.sql(s"CALL graft.system.rewrite_manifests('$dir')")
+      .collect().head.getLong(0)
+    assert(v == 3L)
+    assert(Snapshots.readManifest(dir).map(f => f.path -> f.addedV).toMap == before)
+    assert(Snapshots.read(spark, dir).count() == 23)
+    // ancestors_of: newest-first chain
+    val anc = spark.sql(s"CALL graft.system.ancestors_of('$dir')").collect().head
+    assert(anc.getLong(0) == 3L && anc.getString(1) == "3,2,1")
+    // snapshot: zero-copy clone reads identically, evolves independently
+    val clone = Files.createTempDirectory("graft_clone").toString + "/t"
+    spark.sql(s"CALL graft.system.snapshot('$dir', target => '$clone')")
+    assert(Snapshots.read(spark, clone).count() == 23)
+    Snapshots.delete(spark, clone, col("id") < 3)
+    assert(Snapshots.read(spark, clone).count() < 23)
+    assert(Snapshots.read(spark, dir).count() == 23, "source unaffected by clone DML")
+    // register_table: adopt a bare parquet directory
+    val bare = Files.createTempDirectory("graft_bare").toString
+    spark.range(12).toDF("id").write.mode("overwrite").parquet(bare)
+    val rv = spark.sql(s"CALL graft.system.register_table('$bare')").collect().head.getLong(0)
+    assert(rv == 1L)
+    assert(Snapshots.read(spark, bare).count() == 12)
+  }
+
+  test("CALL rewrite_position_delete_files compacts pending pos deletes") {
+    import spark.implicits._
+    val dir = mkTable(30)
+    def posFor(id: Long) = Snapshots.read(spark, dir)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === id).drop("id")
+    Snapshots.deleteByPosition(spark, dir, posFor(1))
+    Snapshots.deleteByPosition(spark, dir, posFor(2))
+    Snapshots.deleteByPosition(spark, dir, posFor(3))
+    assert(Snapshots.readPosDeletes(dir).size == 3)
+    assert(Snapshots.read(spark, dir).count() == 27)
+    spark.sql(s"CALL graft.system.rewrite_position_delete_files('$dir')")
+    assert(Snapshots.readPosDeletes(dir).size == 1)
+    assert(Snapshots.read(spark, dir).count() == 27)
+  }
+
   test("CALL remove_orphan_files deletes unreferenced data files") {
     val dir = mkTable(20)
     // stray file never registered in any snapshot
