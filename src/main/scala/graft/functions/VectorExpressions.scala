@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -204,6 +204,24 @@ object VectorKernels {
   }
 }
 
+/** `h * a + b` on longs with WRAPAROUND (two's-complement) semantics —
+  * the linear permutation family behind MinHash signatures. Spark's ANSI
+  * mode (the 4.x default) makes built-in `*`/`+` throw on overflow, but a
+  * multiply-add mod 2^64 by an odd constant is exactly the bijection the
+  * permutation needs.
+  */
+case class HashMix(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq[DataType](LongType, LongType, LongType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(h: Any, a: Any, b: Any): Any =
+    h.asInstanceOf[Long] * a.asInstanceOf[Long] + b.asInstanceOf[Long]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, a, b) => s"${ev.value} = $h * $a + $b;")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression) =
+    copy(f, s, t)
+}
+
 object VectorSql {
   // see GeoSql.install: once per registry, weakly held
   private val installedRegistries =
@@ -223,6 +241,7 @@ object VectorSql {
       reg.createOrReplaceTempFunction("lang_hits", e => TextHits(e(0), e(1)), "built-in")
       reg.createOrReplaceTempFunction("vec_band_sig",
         e => VecBandSig(e(0), e(1), e(2), e(3)), "built-in")
+      reg.createOrReplaceTempFunction("hash_mix", e => HashMix(e(0), e(1), e(2)), "built-in")
       installedRegistries.add(reg)
     }
   }
@@ -234,4 +253,7 @@ object VectorSql {
   def vec_band_sig(v: Column, planes: Column, bands: Int, bits: Int): Column =
     call_function("vec_band_sig", v, planes,
       org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(bits))
+  def hash_mix(h: Column, a: Long, b: Long): Column =
+    call_function("hash_mix", h,
+      org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))
 }

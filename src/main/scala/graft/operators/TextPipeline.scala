@@ -228,20 +228,43 @@ object TextPipeline {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
-    // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows
+    // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows. The
+    // permutation family is ONE base xxhash64 per shingle + 16 linear
+    // multiply-adds by odd constants (bijections mod 2^64) — the round-3
+    // version hashed the full shingle STRING 16 times per row, and that
+    // map-side cost was the whole regression margin on this query.
     "dedup_minhash" -> ((s, dir) => {
       val nHash = 16
       val sh = shingles(docs(s, dir))
-      val sig = sh.groupBy(col("doc_id"))
-        .agg(array((0 until nHash).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
+      def permA(i: Int): Long = 0x9E3779B97F4A7C15L * (2L * i + 1)
+      def permB(i: Int): Long = 0xC2B2AE3D27D4EB4FL * (i + 1L)
+      val sig = sh.withColumn("h", xxhash64(col("s")))
+        .groupBy(col("doc_id"))
+        .agg(array((0 until nHash).map(i =>
+          min(VectorSql.hash_mix(col("h"), permA(i), permB(i)))): _*).as("sig"))
+      // candidate pairs come from GROUPING each (band, bucket-hash), not a
+      // self-join: a self-join's two sides cannot share the signature
+      // pipeline (round-3's +27% was the tokenize→shingle→16-min aggregate
+      // running twice, once under a broadcast exchange), while the grouped
+      // shape computes signatures ONCE and shuffles them once. LSH buckets
+      // are O(1)-sized by construction, so per-bucket pair expansion is
+      // bounded; a doc appears once per band, so in-bucket pairs are unique
       val bands = sig.select(col("doc_id"), col("sig"),
         explode(expr("transform(sequence(0, 3), b -> struct(b AS band, xxhash64(slice(sig, b*4+1, 4)) AS bh))")).as("bb"))
         .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      val buckets = bands.groupBy(col("band"), col("bh"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val cand = buckets.select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y ->
+            |    struct(x.doc_id AS da, y.doc_id AS db, x.sig AS sa, y.sig AS sb))))""".stripMargin))
+          .as("p"))
+        .select(
+          least(col("p.da"), col("p.db")).as("d1"),
+          greatest(col("p.da"), col("p.db")).as("d2"),
+          when(col("p.da") < col("p.db"), col("p.sa")).otherwise(col("p.sb")).as("sig1"),
+          when(col("p.da") < col("p.db"), col("p.sb")).otherwise(col("p.sa")).as("sig2"))
         .distinct()
       cand
         .withColumn("est_jac", round(
@@ -264,18 +287,26 @@ object TextPipeline {
         expr(s"CAST($bits AS INT)").as(s"c$k")
       }
       val chunks = votes.select(col("doc_id") +: chunkCols: _*)
+      // same grouped-bucket shape as dedup_minhash: a self-join would run
+      // the 64-vote aggregation twice; grouping each 16-bit chunk bucket
+      // computes it once and expands in-bucket pairs
       val exploded = chunks.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
         explode(expr("array(struct(0 AS k, c0 AS cv), struct(1 AS k, c1 AS cv), struct(2 AS k, c2 AS cv), struct(3 AS k, c3 AS cv))")).as("ch"))
         .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
           col("ch.k").as("k"), col("ch.cv").as("cv"))
-      exploded.as("a").join(exploded.as("b"),
-          col("a.k") === col("b.k") && col("a.cv") === col("b.cv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-          (expr("bit_count(CAST(a.c0 AS BIGINT) ^ CAST(b.c0 AS BIGINT))") +
-            expr("bit_count(CAST(a.c1 AS BIGINT) ^ CAST(b.c1 AS BIGINT))") +
-            expr("bit_count(CAST(a.c2 AS BIGINT) ^ CAST(b.c2 AS BIGINT))") +
-            expr("bit_count(CAST(a.c3 AS BIGINT) ^ CAST(b.c3 AS BIGINT))")).as("hamming"))
+      val buckets = exploded.groupBy(col("k"), col("cv"))
+        .agg(collect_list(struct(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      buckets.select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)), y -> struct(
+            |    least(x.doc_id, y.doc_id) AS d1, greatest(x.doc_id, y.doc_id) AS d2,
+            |    bit_count(CAST(x.c0 AS BIGINT) ^ CAST(y.c0 AS BIGINT)) +
+            |    bit_count(CAST(x.c1 AS BIGINT) ^ CAST(y.c1 AS BIGINT)) +
+            |    bit_count(CAST(x.c2 AS BIGINT) ^ CAST(y.c2 AS BIGINT)) +
+            |    bit_count(CAST(x.c3 AS BIGINT) ^ CAST(y.c3 AS BIGINT)) AS hamming))))""".stripMargin))
+          .as("p"))
+        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
     })
