@@ -100,7 +100,10 @@ object TextPipeline {
     // (row count, label checksum): labels only ever DECREASE under min-
     // propagation, so an unchanged (count, xor-of-hash) pair across rounds
     // means a fixed point — no second join+count job per round. bit_xor
-    // (not sum) so the agg can't overflow under ANSI mode.
+    // (not sum) so the agg can't overflow under ANSI mode. A 64-bit
+    // checksum collision between rounds would exit one round early
+    // (astronomically unlikely: 2^-64 per round, and the NEXT round's
+    // identical checksum would still terminate at the true fixed point).
     def checksum(l: DataFrame): (Long, Long) = {
       val r = l.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, cluster))")).first()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
