@@ -28,8 +28,12 @@ object Bench {
     // their GC pause — the round-2 q01 "regression" was exactly this
     // cross-query interference (q01 runs right after pipeline_curate in
     // sorted order), not a plan change.
+    // optional comma-separated query filter for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         System.gc()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

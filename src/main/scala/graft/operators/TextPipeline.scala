@@ -61,14 +61,29 @@ object TextPipeline {
     * is df-insensitive.
     */
   private[graft] def jaccardPairs(d: DataFrame, maxDf: Long): DataFrame = {
-    val sh = shingles(d)
+    // the shingle frame feeds FOUR branches (per-doc sizes, df counts,
+    // candidate generation, hot re-count); un-materialized, every branch
+    // re-ran tokenize+explode+distinct — 14 corpus scans in the final
+    // plan, zero exchange reuse (one side always sat under a broadcast).
+    // One eager localCheckpoint = one scan; blocks feed every branch (at
+    // 100 TB the same shape persists the shingle frame to cluster storage
+    // once — the checkpoint the docstring always promised).
+    val sh = shingles(d).localCheckpoint(true)
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
     val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val pairs = rare.as("a").join(rare.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    // candidate pairs by GROUPING each shingle bucket — group sizes are
+    // bounded by the df cap, and a self-join would shuffle the shingle
+    // frame twice
+    val pairs = rare.groupBy(col("s"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(least(x, y) AS d1, greatest(x, y) AS d2))))""".stripMargin)).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("common_rare"))
     // exact common counts: add hot-shingle matches for candidates only
     val shHot = sh.join(broadcast(hot), Seq("s"))
