@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.spatial.{GeoTable, Snapshots}
+import graft.spatial.{GeoTable, Snapshots, TableSchema, Transforms}
 
 /** Path-backed `TableCatalog`: `SET spark.sql.catalog.graft = …GraftCatalog`
   * (+ `…graft.warehouse = /data`) makes every graft table addressable as
@@ -78,22 +78,94 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     out.result()
   }
 
+  /** DSv2 partition `Transform` → graft transform spec (the manifest's
+    * `partitions` strings, [[graft.spatial.Transforms.parse]] grammar).
+    * The write path derives the partition columns from these specs on
+    * every INSERT, so `PARTITIONED BY (bucket(8, id), years(ts))` in
+    * CREATE TABLE SQL lays files out exactly like `GeoTable.write`.
+    */
+  private def toSpec(t: Transform, schema: StructType): String = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    def ref(e: Expression): Option[String] = e match {
+      case n: NamedReference => Some(n.fieldNames.mkString("."))
+      case _ => None
+    }
+    def intLit(e: Expression): Option[Int] = e match {
+      case l: Literal[_] => Some(l.value.asInstanceOf[Number].intValue)
+      case _ => None
+    }
+    val args = t.arguments.toSeq
+    def col: String = {
+      val c = args.flatMap(ref(_)).headOption.getOrElse(
+        throw new UnsupportedOperationException(s"unsupported partition transform: $t"))
+      require(schema.fieldNames.contains(c), s"partition source column not in schema: $c")
+      c
+    }
+    t.name.toLowerCase match {
+      case "identity" => col
+      case "bucket" => s"bucket(${args.flatMap(intLit).head},$col)"
+      case "truncate" => s"truncate(${args.flatMap(intLit).head},$col)"
+      case "years" | "year" => s"year($col)"
+      case "months" | "month" => s"month($col)"
+      case "days" | "day" => s"day($col)"
+      case _ => throw new UnsupportedOperationException(s"unsupported partition transform: $t")
+    }
+  }
+
+  /** Spark-reserved CREATE TABLE properties that are not table props. */
+  private val ReservedProps = Set("provider", "location", "owner", "comment", "external")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "partition transforms on CREATE TABLE are not supported yet — write with GeoTable.write")
     val p = tablePath(ident)
+    val specs = partitions.map(t => Transforms.parse(toSpec(t, schema))).toSeq
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filterNot { case (k, _) => ReservedProps(k) }
+    }
     java.nio.file.Files.createDirectories(p)
-    // an empty v1 snapshot carrying the declared schema
+    // an empty v1 snapshot carrying the declared schema + partition specs.
+    // Hidden partitioning, like the reference: derived transform columns
+    // (`id_bucket`, `ts_year`) never enter the logical schema — they live
+    // in directory names, written by the append path and used for
+    // planning-time projection pruning by GraftFileIndex's pruneSchema.
     Snapshots.commitCreate(p.toString,
-      _ => GeoTable.manifestJson(Nil, Nil, Nil, schema = Some(schema)))
+      _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
+        schema = Some(schema)))
     new GraftTable(p.toString, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via catalog is not supported — use the graft DDL extensions")
+  /** ADD/RENAME/DROP COLUMN lower onto the table's schema-evolution log
+    * (the same machinery behind the graft DDL extensions); SET/UNSET
+    * TBLPROPERTIES commit a new snapshot with the merged property map.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    def single(names: Array[String]): String = {
+      require(names.length == 1, s"nested column changes are not supported: ${names.mkString(".")}")
+      names.head
+    }
+    val setProps = Map.newBuilder[String, String]
+    val unsetProps = Seq.newBuilder[String]
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        TableSchema.addColumn(spark, p.toString, single(a.fieldNames()), a.dataType())
+      case r: TableChange.RenameColumn =>
+        TableSchema.renameColumn(spark, p.toString, single(r.fieldNames()), r.newName())
+      case d: TableChange.DeleteColumn =>
+        TableSchema.dropColumn(spark, p.toString, single(d.fieldNames()))
+      case s: TableChange.SetProperty => setProps += s.property() -> s.value()
+      case u: TableChange.RemoveProperty => unsetProps += u.property()
+      case other => throw new UnsupportedOperationException(s"unsupported table change: $other")
+    }
+    val (set, unset) = (setProps.result(), unsetProps.result())
+    if (set.nonEmpty || unset.nonEmpty)
+      Snapshots.updateProperties(p.toString, set, unset)
+    new GraftTable(p.toString, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

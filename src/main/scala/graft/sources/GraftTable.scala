@@ -56,6 +56,26 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  /** Snapshot property map (SHOW TBLPROPERTIES / DESCRIBE EXTENDED). */
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Snapshots.readProps(path, snapshotVersion).asJava
+  }
+
+  /** Declared partition transforms (DESCRIBE TABLE's partitioning block). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    graft.spatial.GeoTable.readPartitionSpecs(path).map {
+      case graft.spatial.Transforms.Identity(c) => Expressions.identity(c)
+      case graft.spatial.Transforms.Bucket(n, c) => Expressions.bucket(n, c)
+      case graft.spatial.Transforms.Truncate(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
+      case graft.spatial.Transforms.DatePart("year", c) => Expressions.years(c)
+      case graft.spatial.Transforms.DatePart("month", c) => Expressions.months(c)
+      case graft.spatial.Transforms.DatePart(_, c) => Expressions.days(c)
+    }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path, snapshotVersion, schema)
 

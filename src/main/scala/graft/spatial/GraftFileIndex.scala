@@ -45,9 +45,32 @@ class GraftFileIndex(
         new Path(basePath, f.path))
     }.toMap
 
+  // Pruning schema: the served partition columns plus HIDDEN derived
+  // columns — transforms whose derived value lives only in directory names
+  // (catalog tables use Iceberg-style hidden partitioning: `bucket(4,id)`
+  // never appears in the logical schema, yet `WHERE id = 42` must still
+  // prune to one bucket). Served columns come first so expressions bound
+  // against `partitionSchema` index correctly into prune rows.
+  private val pruneSchema: StructType = {
+    val extra = partitionSpecs
+      .filterNot(t => t.isInstanceOf[Transforms.Identity] ||
+        partitionSchema.fieldNames.contains(t.derivedName))
+      .flatMap { t =>
+        val dt = t match {
+          case tr: Transforms.Truncate =>
+            // without the source type a string-parsed dir value could
+            // mis-compare in range projection — skip pruning instead
+            dataSchema.fields.find(_.name == tr.source).map(_.dataType)
+          case _ => Some(IntegerType)
+        }
+        dt.map(StructField(t.derivedName, _))
+      }
+    StructType(partitionSchema.fields ++ extra)
+  }
+
   // partition values parsed once from each file's directory segments
   private val partValues: Map[String, InternalRow] =
-    if (partitionSchema.isEmpty) Map.empty
+    if (pruneSchema.isEmpty) Map.empty
     else stats.map(f => f.path -> parsePartRow(f.path)).toMap
 
   /** Full manifest, for planning-time consumers (aggregate pushdown). */
@@ -59,7 +82,7 @@ class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val kept = stats.filter(f => dataFilters.forall(f.mightMatch))
-    if (partitionSchema.isEmpty) {
+    if (pruneSchema.isEmpty) {
       Seq(PartitionDirectory(InternalRow.empty,
         kept.map(f => FileStatusWithMetadata(statuses(f.path)))))
     } else {
@@ -69,10 +92,18 @@ class GraftFileIndex(
           bound.forall(p => p.eval(row) == true) && projectionOk(dataFilters, row)
         }
         .map { case (row, fs) =>
-          PartitionDirectory(row, fs.map(f => FileStatusWithMetadata(statuses(f.path))))
+          PartitionDirectory(served(row), fs.map(f => FileStatusWithMetadata(statuses(f.path))))
         }.toSeq
     }
   }
+
+  /** Prune row → the row of SERVED partition columns only (hidden derived
+    * columns trimmed; they exist solely for planning-time projection).
+    */
+  private def served(row: InternalRow): InternalRow =
+    if (pruneSchema.length == partitionSchema.length) row
+    else InternalRow.fromSeq(partitionSchema.fields.indices.map(i =>
+      if (row.isNullAt(i)) null else row.get(i, partitionSchema(i).dataType)))
 
   private def bindPart(e: Expression): Expression = e.transform {
     case a: AttributeReference =>
@@ -84,7 +115,11 @@ class GraftFileIndex(
   // derived directory value at planning time, pruning hash-scattered
   // buckets that file stats can't.
   private val transformIdx: Seq[(Transforms.Transform, Int)] =
-    partitionSpecs.zipWithIndex.filterNot(_._1.isInstanceOf[Transforms.Identity])
+    partitionSpecs.filterNot(_.isInstanceOf[Transforms.Identity])
+      .flatMap(t => pruneSchema.fieldNames.indexOf(t.derivedName) match {
+        case -1 => None // unprunable (e.g. truncate with unknown source type)
+        case i => Some(t -> i)
+      })
 
   private def projectionOk(dataFilters: Seq[Expression], row: InternalRow): Boolean = {
     if (transformIdx.isEmpty) return true
@@ -119,7 +154,7 @@ class GraftFileIndex(
   private def boundOk(src: String, v: Any, row: InternalRow, lower: Boolean): Boolean =
     transformIdx.filter { case (t, _) => t.source == src && t.monotonic }
       .forall { case (t, i) =>
-        val cur = if (row.isNullAt(i)) null else row.get(i, partitionSchema(i).dataType)
+        val cur = if (row.isNullAt(i)) null else row.get(i, pruneSchema(i).dataType)
         t.project(v) match {
           case Some(p) => compareValues(cur, p) match {
             case Some(c) => if (lower) c >= 0 else c <= 0
@@ -143,7 +178,7 @@ class GraftFileIndex(
     */
   private def sourceOk(src: String, values: Seq[Any], row: InternalRow): Boolean =
     transformIdx.filter(_._1.source == src).forall { case (t, i) =>
-      val cur = if (row.isNullAt(i)) null else row.get(i, partitionSchema(i).dataType)
+      val cur = if (row.isNullAt(i)) null else row.get(i, pruneSchema(i).dataType)
       values.exists { v =>
         t.project(v) match {
           case Some(p) => valuesEqual(p, cur)
@@ -169,7 +204,7 @@ class GraftFileIndex(
           ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
       else None
     }.toMap
-    InternalRow.fromSeq(partitionSchema.map { f =>
+    InternalRow.fromSeq(pruneSchema.map { f =>
       kv.get(f.name) match {
         case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
         case Some(v) => castPart(v, f.dataType)

@@ -319,7 +319,9 @@ object Snapshots {
     val refHead = rs.branches.getOrElse(ref, if (ref == "main") rs.mainHead(path) else 0)
     // partitioning is table-level: carry the column list forward; props
     // and schema carry forward (from the ref's OWN head) unless replaced
-    val parts = GeoTable.readPartitionCols(path)
+    // carry SPEC strings, not derived names: `bucket(4,id)` must survive
+    // the first publish or projection pruning degrades to identity
+    val parts = GeoTable.readPartitionSpecs(path).map(_.spec)
     val carriedProps =
       if (props != null) props
       else if (refHead > 0) readProps(path, Some(refHead))
@@ -397,6 +399,20 @@ object Snapshots {
 
   private def carriedEq(path: String, head: Int): Seq[EqDelete] =
     if (head > 0) readEqDeletes(path, Some(head)) else Nil
+
+  /** Commit a metadata-only snapshot replacing the table property map with
+    * `(current ++ set) -- unset` — ALTER TABLE SET/UNSET TBLPROPERTIES.
+    * Files, deletes, and schema carry forward untouched.
+    */
+  def updateProperties(path: String, set: Map[String, String],
+      unset: Seq[String] = Nil): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val merged = (readProps(path, Some(head)) ++ set) -- unset
+    publish(path, rs, if (head > 0) readManifest(path, Some(head)) else Nil,
+      carried(path, head), carriedPos(path, head), props = merged,
+      eqDeletes = carriedEq(path, head))
+  }
 
   private def listDataFiles(spark: SparkSession, path: String): Set[String] =
     GeoTable.dataFileNames(spark, path).toSet
@@ -484,7 +500,10 @@ object Snapshots {
       case Some(b) => GeoTable.stampBucketIds(spark, path, b, moved.toSeq)
       case None => moved.toSeq
     }
-    (stamped.sorted, withDerived.schema)
+    // the written schema reports the INPUT's columns: derived transform
+    // columns stay out (hidden partitioning) unless the caller carried
+    // them explicitly (CoW rewrites of tables that declare them)
+    (stamped.sorted, physical.schema)
   }
 
   /** Union of the carried schema and a newly-written frame's schema (new

@@ -110,6 +110,63 @@ class CatalogSpec extends AnyFunSuite {
     assert(Snapshots.mainVersion(tbl) == 3)
   }
 
+  test("CREATE TABLE PARTITIONED BY transforms: layout + pruning + DESCRIBE") {
+    val tbl = s"$warehouse/pt/orders"
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pt")
+    spark.sql(
+      """CREATE TABLE gcat.pt.orders (id BIGINT, cat STRING, ts DATE)
+        |PARTITIONED BY (bucket(4, id), years(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO gcat.pt.orders
+        |SELECT id, concat('c', id % 3) AS cat,
+        |       date_add(date'2020-01-01', cast(id % 730 AS int)) AS ts
+        |FROM range(200)""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcat.pt.orders").count() == 200)
+    // data files landed under transform-derived partition directories
+    val dirs = Files.list(java.nio.file.Paths.get(tbl)).iterator()
+    val seen = Iterator.continually(dirs).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).filterNot(_.startsWith("_")).toSet
+    assert(seen.exists(_.startsWith("id_bucket=")), s"expected bucket dirs, got $seen")
+    // a bucket-key equality prunes to the files of one bucket
+    val q = spark.sql("SELECT * FROM gcat.pt.orders WHERE id = 42")
+    val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    val total = spark.sql("SELECT * FROM gcat.pt.orders").queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+    assert(scans.head.inputPartitions.length < total,
+      s"bucket filter should prune (${scans.head.inputPartitions.length} vs $total files)")
+    assert(q.count() == 1)
+    // partitioning is visible through the DSv2 Table
+    val parts = spark.sql("DESCRIBE TABLE gcat.pt.orders").collect().map(_.getString(0))
+    assert(parts.contains("Part 0"), parts.mkString(","))
+  }
+
+  test("ALTER TABLE: add/rename/drop column + set/unset properties") {
+    assert(warehouse.nonEmpty) // force catalog registration
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.alt")
+    spark.sql("CREATE TABLE gcat.alt.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO gcat.alt.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE gcat.alt.t ADD COLUMN score DOUBLE")
+    assert(spark.sql("SELECT * FROM gcat.alt.t").columns.toSeq == Seq("id", "name", "score"))
+    assert(spark.sql("SELECT score FROM gcat.alt.t").collect().forall(_.isNullAt(0)))
+    spark.sql("INSERT INTO gcat.alt.t VALUES (3, 'c', 9.5)")
+    spark.sql("ALTER TABLE gcat.alt.t RENAME COLUMN name TO label")
+    val got = spark.sql("SELECT label, score FROM gcat.alt.t WHERE id = 3").collect().head
+    assert(got.getString(0) == "c" && got.getDouble(1) == 9.5)
+    spark.sql("ALTER TABLE gcat.alt.t DROP COLUMN score")
+    assert(spark.sql("SELECT * FROM gcat.alt.t").columns.toSeq == Seq("id", "label"))
+    // properties commit as metadata-only snapshots and carry forward
+    spark.sql("ALTER TABLE gcat.alt.t SET TBLPROPERTIES ('write.target-size' = '512m')")
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.alt.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.target-size").contains("512m"))
+    spark.sql("ALTER TABLE gcat.alt.t UNSET TBLPROPERTIES ('write.target-size')")
+    val after = spark.sql("SHOW TBLPROPERTIES gcat.alt.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(!after.contains("write.target-size"))
+    // data unaffected by the metadata-only commits
+    assert(spark.sql("SELECT * FROM gcat.alt.t").count() == 3)
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
