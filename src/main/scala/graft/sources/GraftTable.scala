@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, BoundReference, Coalesce, Expression, GetStructField, Literal, Predicate, SafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
@@ -42,7 +42,7 @@ import graft.spatial.{GeometryEncoding, GeometryFields, GeoTable, GraftFileIndex
   * Pushed filters also reach the parquet readers for row-group pruning.
   */
 class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
 
@@ -76,6 +76,23 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
     }.toArray
   }
 
+  /** Filter-based `DELETE FROM` / `TRUNCATE TABLE` lowered onto the
+    * copy-on-write delete (the reference's metadata-delete surface on
+    * `SparkTable`). Only filters expressible as Column predicates are
+    * accepted; Spark falls back to an analysis error otherwise — complex
+    * conditions route through the graft DML parser instead.
+    */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    graft.spatial.Geo.install(spark)
+    Snapshots.delete(spark, path, cond)
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path, snapshotVersion, schema)
 
@@ -91,6 +108,39 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
           }
       }
     }
+}
+
+object GraftTable {
+  /** V1 source filter → Column predicate (top-level columns only); None =
+    * not expressible, declining the native DELETE path for this filter.
+    */
+  private[sources] def filterToColumn(f: sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def c(a: String): Option[org.apache.spark.sql.Column] =
+      if (a.contains('.')) None else Some(col(a))
+    f match {
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case sources.EqualTo(a, v) => c(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => c(a).map(_ <=> lit(v))
+      case sources.GreaterThan(a, v) => c(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => c(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => c(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => c(a).map(_ <= lit(v))
+      case sources.In(a, vs) => c(a).map(_.isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) => c(a).map(_.isNull)
+      case sources.IsNotNull(a) => c(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, v) => c(a).map(_.startsWith(v))
+      case sources.StringEndsWith(a, v) => c(a).map(_.endsWith(v))
+      case sources.StringContains(a, v) => c(a).map(_.contains(v))
+      case sources.Not(x) => filterToColumn(x).map(!_)
+      case sources.And(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case sources.Or(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case _ => None
+    }
+  }
 }
 
 class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],

@@ -699,6 +699,27 @@ object Snapshots {
         .drop("__file", "__pos")
     }
 
+  /** Affected/untouched file split for a row-level condition, resolved by
+    * optimizing `Filter(cond)` over the table — the OPTIMIZED plan so
+    * literal casts are folded away (`id < 10` analyzes as `id < cast(10)`
+    * which stats can't evaluate). A surviving Filter partitions by file
+    * stats; a filter folded to an empty LocalRelation (always-FALSE cond)
+    * matches nothing; a filter folded AWAY (always-TRUE cond — `WHERE
+    * 1=1`, TRUNCATE via deleteWhere) matches every file.
+    */
+  private def splitByCond(table: DataFrame, cond: Column,
+      current: Seq[FileStats]): (Seq[FileStats], Seq[FileStats]) = {
+    val plan = table.filter(cond).queryExecution.optimizedPlan
+    plan.collectFirst { case Filter(c, _) => c } match {
+      case Some(c) => current.partition(_.mightMatch(c))
+      case None =>
+        val provablyEmpty = plan.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        }.exists(_.data.isEmpty)
+        if (provablyEmpty) (Nil, current) else (current, Nil)
+    }
+  }
+
   /** Copy-on-write DELETE: rewrite only files whose stats might match.
     * On a commit conflict the whole rewrite is retried against the new
     * head (the failed attempt's files become orphans, cleaned by
@@ -709,15 +730,7 @@ object Snapshots {
     val head = rs.mainHead(path)
     val current = readManifest(path, Some(head))
     val table = read(spark, path, Some(head))
-    // resolve the condition against the table schema for manifest
-    // evaluation; the OPTIMIZED plan so literal casts are folded away
-    // (`id < 10` analyzes as `id < cast(10)` which stats can't evaluate)
-    val resolved = table.filter(cond).queryExecution.optimizedPlan
-      .collectFirst { case Filter(c, _) => c }
-    val (affected, untouched) = resolved match {
-      case Some(c) => current.partition(_.mightMatch(c))
-      case None => (Nil, current) // filter optimized away (provably empty)
-    }
+    val (affected, untouched) = splitByCond(table, cond, current)
     if (affected.isEmpty) head // nothing can match
     else {
       val survivors = readFilesForRewrite(spark, path, affected, head)
@@ -738,12 +751,7 @@ object Snapshots {
     val head = rs.mainHead(path)
     val current = readManifest(path, Some(head))
     val table = read(spark, path, Some(head))
-    val resolved = table.filter(cond).queryExecution.optimizedPlan
-      .collectFirst { case Filter(c, _) => c }
-    val (affected, untouched) = resolved match {
-      case Some(c) => current.partition(_.mightMatch(c))
-      case None => (Nil, current)
-    }
+    val (affected, untouched) = splitByCond(table, cond, current)
     if (affected.isEmpty) head
     else {
       val hit = coalesce(cond, lit(false))

@@ -52,9 +52,10 @@ object GraftStatements {
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
 
-  // row-level DML on quoted PATH tables only — a quoted string is never a
-  // valid table name for Spark's parser, so catalog-table DML always falls
-  // through to the delegate untouched
+  // row-level DML on quoted PATH tables (a quoted string is never a valid
+  // table name for Spark's parser) — or on MULTIPART IDENTIFIERS that
+  // resolve to a registered GraftCatalog (anything else falls through to
+  // the delegate untouched, so other catalogs keep Spark's native DML)
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*$""".r
   private val UpdateRe =
@@ -63,23 +64,59 @@ object GraftStatements {
     """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*$""".r
   private val MergeFullRe =
     """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+AS\s+(\w+))?\s+USING\s+\((.+?)\)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
+  private val DeleteIdentRe =
+    """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*$""".r
+  private val UpdateIdentRe =
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+  private val MergeFullIdentRe =
+    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+\((.+?)\)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
   private val WhenRe =
     """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))\s*(?=WHEN\s|$)""".r
 
-  def tryParse(sql: String): Option[LogicalPlan] = sql match {
-    case DeleteRe(tbl, cond) => Some(DmlCommand(tbl, "delete", cond, Nil, ""))
-    case UpdateRe(tbl, sets, cond) =>
-      val assignments = splitTopLevel(sets).map { a =>
-        val i = a.indexOf('=')
-        require(i > 0, s"bad SET clause: $a")
-        a.take(i).trim -> a.drop(i + 1).trim
+  /** Warehouse path of `cat.ns….table` iff `cat` is a registered
+    * [[graft.sources.GraftCatalog]] — resolved from the session conf
+    * (`spark.sql.catalog.<cat>` + `.warehouse`), so no catalog
+    * instantiation and no touching other catalogs' identifiers.
+    */
+  private def graftPath(ident: String): Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { spark =>
+      val parts = ident.split('.').toSeq
+      if (parts.length < 2) None
+      else {
+        val impl = spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
+        val wh = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
+        if (impl.contains(classOf[graft.sources.GraftCatalog].getName) && wh.isDefined)
+          Some(java.nio.file.Paths.get(wh.get, parts.tail: _*).toString)
+        else None
       }
-      Some(DmlCommand(tbl, "update", cond, assignments, ""))
-    case MergeFullRe(tbl, tAlias, src, sAlias, on, whens) =>
-      Some(MergeIntoCommand(tbl, src, on, parseWhens(whens),
-        Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
-    case MergeRe(tbl, src, key) => Some(DmlCommand(tbl, "merge", src, Nil, key))
-    case _ => tryParseDdl(sql)
+    }
+
+  private def parseSets(sets: String): Seq[(String, String)] =
+    splitTopLevel(sets).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad SET clause: $a")
+      a.take(i).trim -> a.drop(i + 1).trim
+    }
+
+  def tryParse(sql: String): Option[LogicalPlan] = {
+    val dml = sql match {
+      case DeleteRe(tbl, cond) => Some(DmlCommand(tbl, "delete", cond, Nil, ""))
+      case UpdateRe(tbl, sets, cond) =>
+        Some(DmlCommand(tbl, "update", cond, parseSets(sets), ""))
+      case MergeFullRe(tbl, tAlias, src, sAlias, on, whens) =>
+        Some(MergeIntoCommand(tbl, src, on, parseWhens(whens),
+          Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
+      case MergeRe(tbl, src, key) => Some(DmlCommand(tbl, "merge", src, Nil, key))
+      case DeleteIdentRe(ident, cond) =>
+        graftPath(ident).map(p => DmlCommand(p, "delete", cond, Nil, ""))
+      case UpdateIdentRe(ident, sets, cond) =>
+        graftPath(ident).map(p => DmlCommand(p, "update", cond, parseSets(sets), ""))
+      case MergeFullIdentRe(ident, tAlias, src, sAlias, on, whens) =>
+        graftPath(ident).map(p => MergeIntoCommand(p, src, on, parseWhens(whens),
+          Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
+      case _ => None
+    }
+    dml.orElse(tryParseDdl(sql))
   }
 
   /** Ordered WHEN clauses of a full MERGE. */

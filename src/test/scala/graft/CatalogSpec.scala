@@ -167,6 +167,45 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.alt.t").count() == 3)
   }
 
+  test("CTAS, row-level DML on catalog identifiers, TRUNCATE") {
+    assert(warehouse.nonEmpty) // force catalog registration
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    // CTAS: createTable + append through V1_BATCH_WRITE
+    spark.sql(
+      """CREATE TABLE gcat.dml.t AS
+        |SELECT id, concat('n', id) AS name, cast(id % 5 AS double) AS score
+        |FROM range(100)""".stripMargin)
+    assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 100)
+    // DELETE with an arbitrary expression (graft parser, CoW rewrite)
+    spark.sql("DELETE FROM gcat.dml.t WHERE id % 2 = 1")
+    assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 50)
+    assert(spark.sql("SELECT max(id % 2) FROM gcat.dml.t").first().getLong(0) == 0)
+    // UPDATE
+    spark.sql("UPDATE gcat.dml.t SET score = score + 100 WHERE id < 10")
+    assert(spark.sql("SELECT count(*) FROM gcat.dml.t WHERE score >= 100").first().getLong(0) == 5)
+    // full MERGE on the catalog identifier
+    spark.sql(
+      """MERGE INTO gcat.dml.t AS t
+        |USING (SELECT cast(2 AS bigint) AS id, 'merged' AS name, 7.0 AS score
+        |       UNION ALL SELECT 999, 'new', 1.0) AS s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET name = s.name
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val merged = spark.sql("SELECT name FROM gcat.dml.t WHERE id IN (2, 999)")
+      .collect().map(_.getString(0)).sorted
+    assert(merged.toSeq == Seq("merged", "new"))
+    assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 51)
+    // DML on a non-graft identifier still reaches Spark's own analysis
+    val err = intercept[Exception](spark.sql("DELETE FROM nosuch.db.t WHERE id = 1"))
+    assert(!err.getMessage.contains("graft"), err.getMessage)
+    // TRUNCATE TABLE goes through SupportsDelete.deleteWhere(AlwaysTrue)
+    spark.sql("TRUNCATE TABLE gcat.dml.t")
+    assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 0)
+    // schema survives truncation; the table accepts new inserts
+    spark.sql("INSERT INTO gcat.dml.t VALUES (1, 'a', 0.5)")
+    assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 1)
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
