@@ -54,7 +54,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** Snapshot property map (SHOW TBLPROPERTIES / DESCRIBE EXTENDED). */
   override def properties(): util.Map[String, String] = {
@@ -96,7 +96,10 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, path, snapshotVersion, schema)
 
-  /** INSERT INTO/OVERWRITE lowered onto the snapshot commit protocol. */
+  /** INSERT INTO/OVERWRITE lowered onto the snapshot commit protocol;
+    * `toStreaming` serves `writeStream.format("graft")` / `.toTable`
+    * (append mode) with per-epoch exactly-once snapshots.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): V1Write = new V1Write {
@@ -106,6 +109,8 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
             else Snapshots.append(data, path)
             ()
           }
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new graft.streaming.GraftStreamingWrite(path, info.schema(), info.queryId())
       }
     }
 }

@@ -414,6 +414,30 @@ object Snapshots {
       eqDeletes = carriedEq(path, head))
   }
 
+  /** Commit one streaming epoch's staged files exactly once (the DSv2
+    * `StreamingWrite.commit`): files of a replayed epoch — id at or below
+    * the query's durable high-water mark — are deleted, not registered.
+    * The property key matches [[graft.streaming.GeoStreams.batchKey]] so
+    * the foreachBatch sink and the DSv2 sink share dedup state.
+    */
+  def commitStreamEpoch(spark: SparkSession, path: String, token: String,
+      epochId: Long, files: Seq[String]): Int = withCommitRetry() {
+    val key = s"stream.$token.lastCommittedBatchId"
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val props = if (head > 0) readProps(path, Some(head)) else Map.empty[String, String]
+    if (epochId <= props.get(key).map(_.toLong).getOrElse(-1L)) {
+      files.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+      head
+    } else {
+      val prior = if (head > 0) readManifest(path, Some(head)) else Nil
+      publish(path, rs, prior ++ statsFor(spark, path, files),
+        carried(path, head), carriedPos(path, head),
+        props = props + (key -> epochId.toString),
+        eqDeletes = carriedEq(path, head))
+    }
+  }
+
   private def listDataFiles(spark: SparkSession, path: String): Set[String] =
     GeoTable.dataFileNames(spark, path).toSet
 

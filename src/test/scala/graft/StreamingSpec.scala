@@ -199,6 +199,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 4, s"1 file per trigger over 4 files should give >= 4 batches, got $batches")
   }
 
+  test("DSv2 streaming write: writeStream into a catalog table, exactly-once epochs") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_sw_wh").toString
+    spark.conf.set("spark.sql.catalog.swcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.swcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS swcat.st")
+    val ckpt = Files.createTempDirectory("graft_sw_ckpt").toString
+    val events = EventStreams.readEvents(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    // toTable creates the table through the catalog, then streams into it
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("swcat.st.ev")
+    try q.awaitTermination() finally q.stop()
+    val tbl = s"$wh/st/ev"
+    val n = batchEvents.count()
+    assert(spark.sql("SELECT * FROM swcat.st.ev").count() == n)
+    assert(Snapshots.currentVersion(tbl) >= 1)
+    // restart with the same checkpoint: nothing new → no rows duplicated
+    val q2 = events.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("swcat.st.ev")
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.sql("SELECT * FROM swcat.st.ev").count() == n)
+    // a replayed epoch id is dropped and its staged files cleaned up
+    val v = Snapshots.currentVersion(tbl)
+    val files = Snapshots.readManifest(tbl).size
+    Snapshots.commitStreamEpoch(spark, tbl,
+      graft.streaming.GeoStreams.streamToken(q.id.toString), 0L, Nil)
+    assert(Snapshots.currentVersion(tbl) == v, "replayed epoch must not commit")
+    assert(Snapshots.readManifest(tbl).size == files)
+    // the path-addressed DSv2 write reaches the same sink
+    val ckpt2 = Files.createTempDirectory("graft_sw_ckpt2").toString
+    val out2 = Files.createTempDirectory("graft_sw_path").toString + "/tbl"
+    spark.sql(s"CREATE TABLE swcat.st.ev2 (event_id BIGINT, user_id BIGINT, event_type STRING)")
+    val q3 = events.writeStream
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("graft")
+      .start(s"$wh/st/ev2")
+    try q3.awaitTermination() finally q3.stop()
+    assert(spark.sql("SELECT * FROM swcat.st.ev2").count() == n)
+    assert(out2.nonEmpty)
+  }
+
   test("streaming parquet sink round-trips every row (checkpointed)") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
