@@ -47,8 +47,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(p.toString, None)
+    if (isTable(p)) new GraftTable(p.toString, None)
+    else {
+      // Iceberg-style metadata identifiers — `SELECT * FROM cat.db.t.files`
+      // resolves here with namespace [db, t] and name "files"
+      // (ref SparkCatalog.java's MetadataTableType lookup)
+      val parent = java.nio.file.Paths.get(warehouse, ident.namespace(): _*)
+      if (ident.namespace().isEmpty || !isTable(parent))
+        throw new NoSuchTableException(ident)
+      try new GraftMetadataTable(
+        Snapshots.metadataTable(SparkSession.active, parent.toString,
+          ident.name().toLowerCase),
+        s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+      catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+    }
   }
 
   /** `VERSION AS OF` — versions are snapshot numbers. */

@@ -206,6 +206,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 1)
   }
 
+  test("metadata tables resolve as catalog identifiers: cat.db.t.files") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")
+    spark.sql("CREATE TABLE gcat.meta.m AS SELECT id, id * 2 AS v FROM range(10)")
+    spark.sql("INSERT INTO gcat.meta.m VALUES (100, 200)")
+    val files = spark.sql("SELECT * FROM gcat.meta.m.files")
+    assert(files.count() >= 2)
+    assert(files.columns.contains("file_path"))
+    // CTAS commits CREATE (empty v1) + its insert; our INSERT is v3
+    assert(spark.sql("SELECT * FROM gcat.meta.m.snapshots").count() == 3)
+    assert(spark.sql("SELECT * FROM gcat.meta.m.history").count() == 3)
+    assert(spark.sql("SELECT * FROM gcat.meta.m.refs").count() >= 1)
+    // unknown metadata name is a missing table, not an internal error
+    val e = intercept[Exception](spark.sql("SELECT * FROM gcat.meta.m.nosuch").collect())
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
