@@ -88,6 +88,49 @@ object TextKernels {
     while (i < arr.numElements()) { s.add(arr.getUTF8String(i).toString); i += 1 }
     s
   }
+
+  /** DISTINCT word-3-gram shingle hashes in one pass: tokenize like
+    * `split(lower(trim(text)), "\\s+")`, hash each token, combine each
+    * consecutive three order-sensitively, avalanche, dedup per document
+    * (insertion order kept, so output is deterministic). Replaces the
+    * string-shingle pipeline: no regex split, no concat allocation, and —
+    * the shuffle that matters — no per-doc DISTINCT exchange downstream;
+    * every later join/groupBy key is a LONG. 64-bit hash identity stands
+    * in for shingle-string equality (collision odds ~n²/2⁶⁵, the contract
+    * xxhash64 already carries elsewhere in this pipeline).
+    */
+  def shingleHashes(textU: UTF8String): ArrayData = {
+    val s = textU.toString.toLowerCase(java.util.Locale.ROOT)
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    var t0 = 0L; var t1 = 0L // token hashes at window positions -2, -1
+    var nTok = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any]()
+    var j = b
+    while (j < e) {
+      if (isWs(s.charAt(j))) {
+        while (j < e && isWs(s.charAt(j))) j += 1
+      } else {
+        var th = 0x9E3779B97F4A7C15L
+        while (j < e && !isWs(s.charAt(j))) {
+          th = (th ^ s.charAt(j)) * 0x100000001B3L
+          j += 1
+        }
+        nTok += 1
+        if (nTok >= 3) {
+          var sh = t0 * 0xFF51AFD7ED558CCDL
+          sh = (sh ^ t1) * 0xC4CEB9FE1A85EC53L
+          sh = (sh ^ th) * 0x9E3779B97F4A7C15L
+          sh ^= sh >>> 33
+          if (seen.add(sh)) out.add(sh)
+        }
+        t0 = t1; t1 = th
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** text_stats(text, stopwords) → struct<n_tokens, stop_hits, punct_n, nonws_len> */
@@ -114,6 +157,20 @@ object TextStats {
     StructField("stop_hits", IntegerType, nullable = false),
     StructField("punct_n", IntegerType, nullable = false),
     StructField("nonws_len", IntegerType, nullable = false)))
+}
+
+/** shingle_hashes(text) → array<bigint>: distinct word-3-gram hashes. */
+case class ShingleHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq[DataType](StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.shingleHashes(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashes($t);")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** lang_hits(text, array(array<string>...)) → array<int> of per-set hits */

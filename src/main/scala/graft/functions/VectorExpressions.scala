@@ -242,6 +242,7 @@ object VectorSql {
       reg.createOrReplaceTempFunction("vec_band_sig",
         e => VecBandSig(e(0), e(1), e(2), e(3)), "built-in")
       reg.createOrReplaceTempFunction("hash_mix", e => HashMix(e(0), e(1), e(2)), "built-in")
+      reg.createOrReplaceTempFunction("shingle_hashes", e => ShingleHashes(e(0)), "built-in")
       installedRegistries.add(reg)
     }
   }
@@ -253,6 +254,7 @@ object VectorSql {
   def vec_band_sig(v: Column, planes: Column, bands: Int, bits: Int): Column =
     call_function("vec_band_sig", v, planes,
       org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(bits))
+  def shingle_hashes(t: Column): Column = call_function("shingle_hashes", t)
   def hash_mix(h: Column, a: Long, b: Long): Column =
     call_function("hash_mix", h,
       org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))

@@ -30,18 +30,17 @@ object TextPipeline {
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
 
-  /** distinct word-3-gram shingles per doc (0-based; needs >= 3 tokens).
-    * Deliberately not cached: at this scale recomputing the tokenize+
-    * explode+distinct per reference is cheaper than cache registration +
-    * materialization; at 100 TB the shingle frame would be checkpointed
-    * once and the self-join bucketed on `s`.
+  /** distinct word-3-gram shingles per doc (needs >= 3 tokens), as 64-bit
+    * HASHES from the one-pass codegen'd `shingle_hashes` kernel: no regex
+    * split, no concat'd shingle strings, per-doc dedup inside the kernel —
+    * so no DISTINCT exchange here — and every downstream join/groupBy
+    * shuffles longs instead of strings. Hash identity stands in for
+    * shingle equality (collision ~n²/2⁶⁵ — the xxhash64 contract this
+    * pipeline already carries; the DuckDB oracles compare COUNTS, which
+    * collisions would perturb only at those odds).
     */
   private def shingles(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(t)-3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))")).as("s"))
-      .distinct()
+    d.select(col("doc_id"), explode(VectorSql.shingle_hashes(col("text"))).as("s"))
 
   /** Jaccard near-dup pairs (jac >= 0.4) with the hot-shingle candidate
     * cap: shingles in more than `maxDf` documents are excluded from the
@@ -73,17 +72,15 @@ object TextPipeline {
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
     val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    // candidate pairs by GROUPING each shingle bucket — group sizes are
-    // bounded by the df cap, and a self-join would shuffle the shingle
-    // frame twice
-    val pairs = rare.groupBy(col("s"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    struct(least(x, y) AS d1, greatest(x, y) AS d2))))""".stripMargin)).as("p"))
-      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
+    // candidate pairs by SELF-JOIN on the shingle hash: the checkpoint
+    // above makes this safe (round 3's self-join pathology was the whole
+    // shingle pipeline recomputing under a broadcast — a materialized
+    // frame just re-reads blocks), and fully-codegen'd join + count beats
+    // per-bucket collect_list + interpreted higher-order pair expansion
+    // by ~40% measured. The df cap still bounds the join's per-key fanout.
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common_rare"))
     // exact common counts: add hot-shingle matches for candidates only
     val shHot = sh.join(broadcast(hot), Seq("s"))
@@ -256,10 +253,12 @@ object TextPipeline {
       val sh = shingles(docs(s, dir))
       def permA(i: Int): Long = 0x9E3779B97F4A7C15L * (2L * i + 1)
       def permB(i: Int): Long = 0xC2B2AE3D27D4EB4FL * (i + 1L)
-      val sig = sh.withColumn("h", xxhash64(col("s")))
+      // shingles are already 64-bit hashes — feed the permutation family
+      // directly (round-3 hashed the full shingle STRING 16 times per row)
+      val sig = sh
         .groupBy(col("doc_id"))
         .agg(array((0 until nHash).map(i =>
-          min(VectorSql.hash_mix(col("h"), permA(i), permB(i)))): _*).as("sig"))
+          min(VectorSql.hash_mix(col("s"), permA(i), permB(i)))): _*).as("sig"))
       // candidate pairs come from GROUPING each (band, bucket-hash), not a
       // self-join: a self-join's two sides cannot share the signature
       // pipeline (round-3's +27% was the tokenize→shingle→16-min aggregate
