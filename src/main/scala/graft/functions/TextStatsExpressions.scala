@@ -89,6 +89,45 @@ object TextKernels {
     s
   }
 
+  /** 64-bit SimHash of a document in one pass: per token OCCURRENCE
+    * (term frequency votes, the classic Charikar weighting), each bit of
+    * the token hash votes ±1; output bit j is set iff votes[j] > 0. The
+    * naive formulation explodes the token frame and runs a 64-column
+    * conditional-sum aggregation — a full shuffle of every token; this is
+    * map-only.
+    */
+  def simHash64(textU: UTF8String): Long = {
+    val s = textU.toString.toLowerCase(java.util.Locale.ROOT)
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val votes = new Array[Int](64)
+    var j = b
+    while (j < e) {
+      if (isWs(s.charAt(j))) {
+        while (j < e && isWs(s.charAt(j))) j += 1
+      } else {
+        var th = 0x9E3779B97F4A7C15L
+        while (j < e && !isWs(s.charAt(j))) {
+          th = (th ^ s.charAt(j)) * 0x100000001B3L
+          j += 1
+        }
+        th ^= th >>> 29 // avalanche: FNV low bits are weakly mixed
+        th *= 0xBF58476D1CE4E5B9L
+        th ^= th >>> 32
+        var k = 0
+        while (k < 64) {
+          if (((th >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+    }
+    var out = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) out |= 1L << k; k += 1 }
+    out
+  }
+
   /** DISTINCT word-3-gram shingle hashes in one pass: tokenize like
     * `split(lower(trim(text)), "\\s+")`, hash each token, combine each
     * consecutive three order-sensitively, avalanche, dedup per document
@@ -157,6 +196,20 @@ object TextStats {
     StructField("stop_hits", IntegerType, nullable = false),
     StructField("punct_n", IntegerType, nullable = false),
     StructField("nonws_len", IntegerType, nullable = false)))
+}
+
+/** simhash64(text) → bigint: one-pass 64-bit document SimHash. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq[DataType](StringType)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.simHash64(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.simHash64($t);")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
 /** shingle_hashes(text) → array<bigint>: distinct word-3-gram hashes. */

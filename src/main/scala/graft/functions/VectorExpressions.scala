@@ -243,6 +243,7 @@ object VectorSql {
         e => VecBandSig(e(0), e(1), e(2), e(3)), "built-in")
       reg.createOrReplaceTempFunction("hash_mix", e => HashMix(e(0), e(1), e(2)), "built-in")
       reg.createOrReplaceTempFunction("shingle_hashes", e => ShingleHashes(e(0)), "built-in")
+      reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e(0)), "built-in")
       installedRegistries.add(reg)
     }
   }
@@ -255,6 +256,7 @@ object VectorSql {
     call_function("vec_band_sig", v, planes,
       org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(bits))
   def shingle_hashes(t: Column): Column = call_function("shingle_hashes", t)
+  def simhash64(t: Column): Column = call_function("simhash64", t)
   def hash_mix(h: Column, a: Long, b: Long): Column =
     call_function("hash_mix", h,
       org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))

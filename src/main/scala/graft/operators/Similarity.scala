@@ -78,9 +78,13 @@ object Similarity {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(e0.count()))
       val ps = planes(bands * bits, 64)
+      // signatures are the expensive map work (bands*bits plane dots per
+      // vector) and feed BOTH join sides — materialize once (at 100 TB:
+      // persist to cluster storage), or each side recomputes the kernel
       val exploded = e0
         .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
         .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .localCheckpoint(true)
       val q = exploded.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
           col("band").as("qband"), col("sig").as("qsig"))
@@ -102,9 +106,12 @@ object Similarity {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(e0.count()))
       val ps = planes(bands * bits, 64)
+      // same materialize-once rationale as sim_ann_lsh: the self-join
+      // would run the signature kernel twice
       val exploded = e0
         .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
         .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .localCheckpoint(true)
       exploded.as("a").join(exploded.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.vec_id") < col("b.vec_id"))

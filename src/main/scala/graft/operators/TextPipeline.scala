@@ -291,39 +291,24 @@ object TextPipeline {
         .select(col("d1"), col("d2"), col("est_jac"))
     }),
 
-    // SimHash: 64-bit token-hash bit votes, candidate pairs via 16-bit chunks
+    // SimHash: the one-pass codegen'd `simhash64` kernel makes signature
+    // computation MAP-ONLY (the naive shape explodes the token frame and
+    // shuffles every token into a 64-column vote aggregation). Candidate
+    // pairs: 16-bit chunk equality (any hamming<=3 pair agrees on at least
+    // one of 4 chunks) over the tiny checkpointed signature frame — one
+    // signature row per doc, so the self-join re-reads blocks, not text.
     "dedup_simhash" -> ((s, dir) => {
-      val tokens = docs(s, dir)
-        .select(col("doc_id"), explode(toks).as("w"))
-        .withColumn("h", xxhash64(col("w")))
-      val voteCols = (0 until 64).map(j =>
-        expr(s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)").as(s"v$j"))
-      val votes = tokens.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
-      val chunkCols = (0 until 4).map { k =>
-        val bits = (0 until 16).map(j => s"IF(v${16 * k + j} > 0, ${1 << j}, 0)").mkString(" + ")
-        expr(s"CAST($bits AS INT)").as(s"c$k")
-      }
-      val chunks = votes.select(col("doc_id") +: chunkCols: _*)
-      // same grouped-bucket shape as dedup_minhash: a self-join would run
-      // the 64-vote aggregation twice; grouping each 16-bit chunk bucket
-      // computes it once and expands in-bucket pairs
-      val exploded = chunks.select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-        explode(expr("array(struct(0 AS k, c0 AS cv), struct(1 AS k, c1 AS cv), struct(2 AS k, c2 AS cv), struct(3 AS k, c3 AS cv))")).as("ch"))
-        .select(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"),
-          col("ch.k").as("k"), col("ch.cv").as("cv"))
-      val buckets = exploded.groupBy(col("k"), col("cv"))
-        .agg(collect_list(struct(col("doc_id"), col("c0"), col("c1"), col("c2"), col("c3"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-      buckets.select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)), y -> struct(
-            |    least(x.doc_id, y.doc_id) AS d1, greatest(x.doc_id, y.doc_id) AS d2,
-            |    bit_count(CAST(x.c0 AS BIGINT) ^ CAST(y.c0 AS BIGINT)) +
-            |    bit_count(CAST(x.c1 AS BIGINT) ^ CAST(y.c1 AS BIGINT)) +
-            |    bit_count(CAST(x.c2 AS BIGINT) ^ CAST(y.c2 AS BIGINT)) +
-            |    bit_count(CAST(x.c3 AS BIGINT) ^ CAST(y.c3 AS BIGINT)) AS hamming))))""".stripMargin))
-          .as("p"))
-        .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.hamming").as("hamming"))
+      val sig = docs(s, dir)
+        .select(col("doc_id"), VectorSql.simhash64(col("text")).as("sh"))
+        .localCheckpoint(true)
+      val ex = sig.select(col("doc_id"), col("sh"), explode(expr(
+        "transform(sequence(0, 3), k -> struct(k AS k, shiftright(sh, k * 16) & 65535 AS cv))")).as("ch"))
+        .select(col("doc_id"), col("sh"), col("ch.k").as("k"), col("ch.cv").as("cv"))
+      ex.as("a").join(ex.as("b"),
+          col("a.k") === col("b.k") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          expr("bit_count(a.sh ^ b.sh)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
     })
