@@ -179,6 +179,56 @@ case class VecBandSig(vec: Expression, planesE: Expression, bandsE: Expression, 
     copy(c(0), c(1), c(2), c(3))
 }
 
+/** vec_nearest(v, centroids, nProbe) → array<int> of the nProbe nearest
+  * centroid indices by dot product (cosine when centroids are normalized)
+  * — the IVF coarse-quantizer routing step, one pass over the k×d matrix.
+  */
+case class VecNearest(vec: Expression, centsE: Expression, nProbeE: Expression)
+    extends Expression with ExpectsInputTypes {
+  override def children: Seq[Expression] = Seq(vec, centsE, nProbeE)
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = vec.nullable
+  require(centsE.foldable && nProbeE.foldable,
+    "vec_nearest: centroids/nProbe must be foldable")
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val outer = centsE.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val nProbe: Int = nProbeE.eval(null).asInstanceOf[Int]
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null
+    else VectorKernels.nearestCells(v.asInstanceOf[ArrayData], cents, nProbe)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val v = vec.genCode(ctx)
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    val resultCode =
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.nearestCells(
+         |  ${v.value}, $ref, $nProbe);
+       """.stripMargin
+    if (nullable) {
+      ev.copy(code = code"""
+        ${v.code}
+        boolean ${ev.isNull} = ${v.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) { $resultCode }""")
+    } else {
+      ev.copy(code = code"""
+        ${v.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        $resultCode""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
 object VectorKernels {
   /** All band signatures in one pass; plane p = band*bitsPerBand + bit. */
   def bandSignatures(v: ArrayData, planes: Array[Array[Double]],
@@ -201,6 +251,33 @@ object VectorKernels {
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(Int.box))
+  }
+
+  /** Indices of the `nProbe` highest-dot centroids (pass NORMALIZED
+    * centroids and the ranking is cosine — |v| is constant across cells).
+    */
+  def nearestCells(v: ArrayData, cents: Array[Array[Double]], nProbe: Int): ArrayData = {
+    val k = cents.length
+    val m = math.min(nProbe, k)
+    val best = new Array[Int](m)
+    val bestS = Array.fill(m)(Double.NegativeInfinity)
+    var c = 0
+    while (c < k) {
+      val cent = cents(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getDouble(i) * cent(i); i += 1 }
+      var j = m - 1
+      if (s > bestS(j)) {
+        while (j > 0 && s > bestS(j - 1)) {
+          bestS(j) = bestS(j - 1); best(j) = best(j - 1); j -= 1
+        }
+        bestS(j) = s; best(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(best.map(Int.box))
   }
 }
 
@@ -244,6 +321,7 @@ object VectorSql {
       reg.createOrReplaceTempFunction("hash_mix", e => HashMix(e(0), e(1), e(2)), "built-in")
       reg.createOrReplaceTempFunction("shingle_hashes", e => ShingleHashes(e(0)), "built-in")
       reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e(0)), "built-in")
+      reg.createOrReplaceTempFunction("vec_nearest", e => VecNearest(e(0), e(1), e(2)), "built-in")
       installedRegistries.add(reg)
     }
   }
@@ -257,6 +335,8 @@ object VectorSql {
       org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(bits))
   def shingle_hashes(t: Column): Column = call_function("shingle_hashes", t)
   def simhash64(t: Column): Column = call_function("simhash64", t)
+  def vec_nearest(v: Column, cents: Column, nProbe: Int): Column =
+    call_function("vec_nearest", v, cents, org.apache.spark.sql.functions.lit(nProbe))
   def hash_mix(h: Column, a: Long, b: Long): Column =
     call_function("hash_mix", h,
       org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))

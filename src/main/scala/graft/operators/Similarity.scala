@@ -100,6 +100,68 @@ object Similarity {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // IVF (inverted-file) approximate top-3: a coarse k-means quantizer
+    // routes every vector to its nearest-centroid CELL (map-only, native
+    // vec_nearest kernel); queries probe their 2 nearest cells and exact
+    // cosine re-ranks the candidates. The quantizer trains driver-side
+    // with 3 Lloyd rounds over a BOUNDED deterministic sample (<= 4096
+    // vectors) — at 100 TB the training sample stays fixed-size while
+    // assignment and probing remain distributed scans; centroids are
+    // broadcast state by construction (k × d doubles).
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val n = e0.count()
+      val k = math.max(4, math.min(256, (n / 64).toInt))
+      val stride = math.max(1L, n / 4096)
+      val sample = e0.filter(col("vec_id") % stride === 0)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      def normalize(c: Array[Double]): Seq[Double] = {
+        val nn = math.sqrt(c.map(x => x * x).sum)
+        (if (nn == 0) c else c.map(_ / nn)).toSeq
+      }
+      var cents: Array[Array[Double]] =
+        Array.tabulate(math.min(k, sample.length))(i => sample(i * sample.length / k))
+      for (_ <- 1 to 3) {
+        val normed = cents.map(normalize)
+        def cell(v: Array[Double]): Int = {
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < normed.length) {
+            var dot = 0.0; var i = 0
+            while (i < v.length && i < normed(c).length) { dot += v(i) * normed(c)(i); i += 1 }
+            if (dot > bestS) { bestS = dot; best = c }
+            c += 1
+          }
+          best
+        }
+        val byCell = sample.groupBy(cell)
+        cents = cents.indices.map { c =>
+          byCell.get(c) match {
+            case Some(vs) =>
+              val m = new Array[Double](vs.head.length)
+              vs.foreach(v => (0 until m.length).foreach(i => m(i) += v(i)))
+              m.map(_ / vs.length)
+            case None => cents(c) // empty cell keeps its centroid
+          }
+        }.toArray
+      }
+      val cn = typedlit(cents.map(normalize).toSeq)
+      val assigned = e0.withColumn("cell",
+        VectorSql.vec_nearest(col("v"), cn, 1).getItem(0))
+      val q = e0.filter(col("vec_id") % 100 === 0)
+        .withColumn("probe", explode(VectorSql.vec_nearest(col("v"), cn, 2)))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      assigned.join(broadcast(q),
+          col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+        .dropDuplicates("qid", "vec_id")
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     // embedding near-duplicate pairs (cosine >= threshold) via banded LSH;
     // same size-scaled buckets — the within-bucket self-join stays linear
     "dedup_embed_cosine" -> ((s, dir) => {

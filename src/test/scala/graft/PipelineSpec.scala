@@ -54,6 +54,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: exact re-rank, bounded fanout, usable recall vs brute force") {
+    val ivf = SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    val perQ = ivf.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length <= 3))
+    // re-rank is EXACT: every reported cos equals the brute-force cosine
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { r =>
+      bruteMap.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+    // probing 2 of the k cells recovers a usable share of true top-3
+    val top3 = brute.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(-_.getDouble(2)).take(3).map(_.getLong(1)).toSet).toMap
+    val hits = ivf.count(r => top3.get(r.getLong(0)).exists(_.contains(r.getLong(1))))
+    val total = top3.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.3, s"IVF recall ${hits.toDouble / total}")
+  }
+
   test("mm_features is deterministic and correctly shaped") {
     val a = SparkEntry.queries("mm_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_features")(spark, sf).collect()
