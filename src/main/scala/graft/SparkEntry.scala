@@ -11,11 +11,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.GeoQueries.queries ++
       operators.TextPipeline.queries ++ operators.Similarity.queries ++
-      operators.Multimodal.queries ++ operators.Events.queries
+      operators.Multimodal.queries ++ operators.Events.queries ++
+      operators.Curation.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++ operators.GeoQueries.oracleSql ++
       operators.TextPipeline.oracleSql ++ operators.Similarity.oracleSql ++
-      operators.Multimodal.oracleSql ++ operators.Events.oracleSql
+      operators.Multimodal.oracleSql ++ operators.Events.oracleSql ++
+      operators.Curation.oracleSql
 }

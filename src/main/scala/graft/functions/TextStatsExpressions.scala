@@ -170,6 +170,51 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Generalized [[shingleHashes]]: DISTINCT word-n-gram hashes in one
+    * pass, for decontamination-style overlap checks that want longer
+    * shingles (n-gram hits against a benchmark set get rarer — and so
+    * more meaningful — as n grows). Same tokenizer, same 64-bit
+    * hash-identity contract; a ring buffer of the last n token hashes
+    * replaces the fixed 3-token window.
+    */
+  def shingleHashesN(textU: UTF8String, n: Int): ArrayData = {
+    val s = textU.toString.toLowerCase(java.util.Locale.ROOT)
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val ring = new Array[Long](n)
+    var nTok = 0
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new java.util.ArrayList[Any]()
+    var j = b
+    while (j < e) {
+      if (isWs(s.charAt(j))) {
+        while (j < e && isWs(s.charAt(j))) j += 1
+      } else {
+        var th = 0x9E3779B97F4A7C15L
+        while (j < e && !isWs(s.charAt(j))) {
+          th = (th ^ s.charAt(j)) * 0x100000001B3L
+          j += 1
+        }
+        ring(nTok % n) = th
+        nTok += 1
+        if (nTok >= n) {
+          // order-sensitive fold over the window, oldest token first
+          var sh = 0x9E3779B97F4A7C15L
+          var k = 0
+          while (k < n) {
+            sh = (sh ^ ring((nTok + k) % n)) * 0xC4CEB9FE1A85EC53L
+            sh ^= sh >>> 29
+            k += 1
+          }
+          sh ^= sh >>> 33
+          if (seen.add(sh)) out.add(sh)
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** text_stats(text, stopwords) → struct<n_tokens, stop_hits, punct_n, nonws_len> */
@@ -224,6 +269,23 @@ case class ShingleHashes(child: Expression)
     nullSafeCodeGen(ctx, ev, t =>
       s"${ev.value} = graft.functions.TextKernels.shingleHashes($t);")
   override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+/** shingle_hashes_n(text, n) → array<bigint>: distinct word-n-gram hashes. */
+case class ShingleHashesN(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq[DataType](StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  require(right.foldable, "shingle_hashes_n: the window width must be foldable")
+  @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
+  override protected def nullSafeEval(t: Any, ignored: Any): Any =
+    TextKernels.shingleHashesN(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val width = ctx.addReferenceObj("n", Integer.valueOf(n), "Integer")
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TextKernels.shingleHashesN($t, $width.intValue());")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
 }
 
 /** lang_hits(text, array(array<string>...)) → array<int> of per-set hits */

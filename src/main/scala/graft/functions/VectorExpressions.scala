@@ -320,6 +320,8 @@ object VectorSql {
         e => VecBandSig(e(0), e(1), e(2), e(3)), "built-in")
       reg.createOrReplaceTempFunction("hash_mix", e => HashMix(e(0), e(1), e(2)), "built-in")
       reg.createOrReplaceTempFunction("shingle_hashes", e => ShingleHashes(e(0)), "built-in")
+      reg.createOrReplaceTempFunction("shingle_hashes_n",
+        e => ShingleHashesN(e(0), e(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e(0)), "built-in")
       reg.createOrReplaceTempFunction("vec_nearest", e => VecNearest(e(0), e(1), e(2)), "built-in")
       installedRegistries.add(reg)
@@ -334,6 +336,8 @@ object VectorSql {
     call_function("vec_band_sig", v, planes,
       org.apache.spark.sql.functions.lit(bands), org.apache.spark.sql.functions.lit(bits))
   def shingle_hashes(t: Column): Column = call_function("shingle_hashes", t)
+  def shingle_hashes_n(t: Column, n: Int): Column =
+    call_function("shingle_hashes_n", t, org.apache.spark.sql.functions.lit(n))
   def simhash64(t: Column): Column = call_function("simhash64", t)
   def vec_nearest(v: Column, cents: Column, nProbe: Int): Column =
     call_function("vec_nearest", v, cents, org.apache.spark.sql.functions.lit(nProbe))

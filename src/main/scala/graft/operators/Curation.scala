@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorSql
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * AFTER dedup/quality filtering (see [[TextPipeline]]): benchmark
+  * decontamination, stratified/quota sampling, sequence packing for a
+  * fixed context window, and deterministic global shuffle-sharding for
+  * data loaders. Mirrors the curation stages published for large LLM
+  * corpora (n-gram decontamination as in the GPT-3/PaLM reports; pack-
+  * and-chunk batching as in T5/LLM pretraining).
+  *
+  * Scale posture (100 TB):
+  *  - decontamination broadcasts the BENCHMARK shingle set (eval suites
+  *    are tiny next to the corpus) — the corpus side stays map-only;
+  *  - sampling/packing windows partition by lang / shard key — no global
+  *    single-partition window anywhere;
+  *  - the global shuffle index is two-phase: per-shard local ranks plus a
+  *    tiny per-shard offset table (16 rows collected to the driver), the
+  *    standard scalable global-permutation construction.
+  */
+object Curation {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    VectorSql.install(s)
+    Tables.load(s, dir, "documents")
+  }
+
+  /** Tokens per doc, from the one-pass codegen'd kernel. */
+  private def nTokens = VectorSql.text_stats(col("text"), typedlit(Seq.empty[String]))
+    .getField("n_tokens")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: drop every corpus document sharing ANY
+    // distinct word-5-gram with the benchmark subset (doc_id % 97 == 0
+    // stands in for an eval suite). The benchmark's shingle set is
+    // broadcast — at 100 TB the corpus side is one map-side semi-join
+    // probe per shingle, no shuffle of the corpus.
+    "curate_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBench = col("doc_id") % 97 === 0
+      val benchShingles = d.filter(isBench)
+        .select(explode(VectorSql.shingle_hashes_n(col("text"), 5)).as("s"))
+        .distinct()
+      val hits = d.filter(!isBench)
+        .select(col("doc_id"), explode(VectorSql.shingle_hashes_n(col("text"), 5)).as("s"))
+        .join(broadcast(benchShingles), Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      d.filter(!isBench)
+        .join(hits, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    // Stratified sampling: at most 50 documents per language, chosen by a
+    // deterministic pseudo-random order (md5 of the doc id) so reruns and
+    // the oracle agree. Window partitions by lang — parallel across
+    // strata, never a global sort.
+    "curate_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
+    // Sequence packing: concat-and-chunk into a 512-token context window,
+    // per shard (doc_id % 32) — the pack-and-chunk batching LLM loaders
+    // use. A doc's bin is the number of whole windows before its start
+    // offset in the shard's running concatenation. Output: per-(shard,
+    // bin) doc/token totals — the loader's unit of work.
+    "curate_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 32).as("shard"), nTokens.as("n"))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n")) / lit(512.0)))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    }),
+
+    // Deterministic global shuffle index: position of every doc in the
+    // md5-of-id permutation, built scalably — shard by the FIRST hex char
+    // of the hash (shard order == global order prefix), local rank within
+    // each shard, plus a 16-row offset table. Equivalent to a global
+    // ORDER BY md5 row_number, without a single-partition window.
+    "curate_shuffle_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("shard", substring(col("h"), 1, 1))
+      val counts = d.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+        .orderBy(col("shard")).collect()
+      var acc = 0L
+      val offsets = counts.map { r =>
+        val o = (r.getString(0), acc); acc += r.getLong(1); o
+      }.toSeq
+      val offDf = d.sparkSession.createDataFrame(offsets).toDF("shard", "off")
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .join(broadcast(offDf), Seq("shard"))
+        .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "curate_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |            FROM tok WHERE len(t) >= 5)),
+        |bs AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM g
+        |        WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bs))
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "curate_sample_stratified" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents) WHERE rk <= 50""".stripMargin,
+
+    "curate_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n,
+        |  CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum FROM t)
+        |SELECT shard, CAST(floor((cum - n) / 512.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "curate_shuffle_index" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin
+  )
+}
