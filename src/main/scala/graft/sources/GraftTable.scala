@@ -301,14 +301,54 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     manifest.filter(f => keep.contains(new Path(new Path(path), f.path).toUri.getPath))
   }
 
+  // ---- delete-file METADATA (never rows) resolved once at planning ------
+
+  private lazy val posRefs: Seq[DeleteFileRef] =
+    if (Snapshots.currentVersion(path) == 0) Nil
+    else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, version))
+  private lazy val posCov: Map[String, Seq[DeleteFileRef]] =
+    DeleteFiles.posCoverage(spark, path, posRefs)
+  private lazy val eqSpecs: Seq[EqDeleteSpec] = {
+    val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
+    eqDeletes.flatMap { e =>
+      if (!e.cols.forall(logicalCombined.fieldNames.contains)) None
+      else {
+        val ordinals = e.cols.map(logicalCombined.fieldIndex).toArray
+        val types = ordinals.map(logicalCombined(_).dataType)
+        val keySchema = StructType(e.cols.zip(types).map { case (c, t) =>
+          org.apache.spark.sql.types.StructField(c, t) })
+        val ref = DeleteFiles.refs(spark, path, Seq(e.path)).head
+        Some(EqDeleteSpec(ref, ordinals, types, e.seq,
+          DeleteFiles.readerFactory(spark, keySchema)))
+      }
+    }
+  }
+
+  /** Each partition carries the table-relative path and exactly the
+    * delete files scoped to it — the reference's per-task `DeleteFilter`
+    * attachment; readers resolve delete contents executor-side.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = plannedFiles
     val index = new GraftFileIndex(spark, new Path(path), files,
       readPhysicalData, readPartSchema, GeoTable.readPartitionSpecs(path))
+    val byAbs = files.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
     index.listFiles(Nil, Nil).flatMap { dir =>
-      dir.files.map(st => PartitionedFile(dir.values,
-        org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen))
-    }.zipWithIndex.map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }.toArray
+      dir.files.map { st =>
+        val abs = st.getPath.toUri.getPath
+        val fstat = byAbs.get(abs)
+        val rel = fstat.map(_.path).getOrElse(abs)
+        val addedV = fstat.map(_.addedV).getOrElse(Int.MaxValue)
+        val pos = posCov.getOrElse(DeleteFiles.norm(abs),
+          posCov.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }.getOrElse(Nil))
+        val eqs = eqSpecs.filter(s => addedV < s.seq)
+        (PartitionedFile(dir.values,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
+          rel, pos.toArray, eqs)
+      }
+    }.zipWithIndex.map { case ((pf, rel, pos, eqs), i) =>
+      GraftInputPartition(FilePartition(i, Array(pf)), rel, pos, eqs): InputPartition
+    }.toArray
   }
 
   // ---- execution ----------------------------------------------------------
@@ -339,8 +379,11 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val outNames = readSchema().fieldNames.toSet
     val keepIdx = (readLogicalData ++ readLogicalPart).zipWithIndex
       .filter { case (f, _) => outNames(f.name) }.map(_._2).toArray
-    GraftBatchReaderFactory(parquet, batchFilters(), combinedPhysical,
-      projectionExprs, keepIdx)
+    val posFactory =
+      if (posRefs.isEmpty) None
+      else Some(DeleteFiles.readerFactory(spark, DeleteFiles.PosDeleteSchema))
+    GraftBatchReaderFactory(parquet, posFactory, morPredicate(),
+      posRefs.nonEmpty || eqSpecs.nonEmpty, combinedPhysical, projectionExprs, keepIdx)
   }
 
   private def combinedPhysical: StructType =
@@ -388,51 +431,23 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     })
   }
 
-  /** Delete state over the LOGICAL combined row (decode runs first). */
-  private def batchFilters(): GraftBatchFilters = {
-    if (Snapshots.currentVersion(path) == 0)
-      return GraftBatchFilters(Map.empty, Nil, None, Map.empty)
+  /** MoR predicate-delete filter bound to the LOGICAL combined row
+    * (decode runs first). Predicate strings are manifest metadata — tiny,
+    * resolved on the driver by design.
+    */
+  private def morPredicate(): Option[Expression] = {
+    if (morConds.isEmpty) return None
     val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
-    val manifest = Snapshots.readManifest(path, version)
-    val addedV = manifest.map(f => f.path -> f.addedV).toMap
-
-    val pos = Snapshots.readPosDeletes(path, version)
-    val posMap: Map[String, Set[Long]] =
-      if (pos.isEmpty) Map.empty
-      else spark.read.parquet(pos.map(f => s"$path/$f"): _*)
-        .collect()
-        .groupBy(r => r.getString(0).replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
-        .flatMap { case (abs, rows) =>
-          manifest.find(f => abs.endsWith("/" + f.path))
-            .map(f => f.path -> rows.map(_.getLong(1)).toSet)
-        }
-
-    val eqs = eqDeletes.flatMap { e =>
-      if (!e.cols.forall(logicalCombined.fieldNames.contains)) None
-      else {
-        val ordinals = e.cols.map(logicalCombined.fieldIndex).toArray
-        val types = ordinals.map(logicalCombined(_).dataType)
-        val keyRows = spark.read.parquet(s"$path/${e.path}")
-          .selectExpr(e.cols: _*).queryExecution.executedPlan.executeCollect()
-        val keys = keyRows.map(r =>
-          types.indices.map(i => r.get(i, types(i)): Any).toList: Seq[Any]).toSet
-        Some(graft.streaming.EqStreamFilter(ordinals, types, e.seq, keys))
-      }
+    graft.functions.GeoSql.install(spark)
+    val attrs = logicalCombined.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+    val parsed = spark.sessionState.sqlParser.parseExpression(
+      morConds.map(c => s"($c)").mkString(" OR "))
+    val analyzed = spark.sessionState.analyzer.execute(
+      LFilter(parsed, LocalRelation(attrs)))
+    analyzed.collectFirst { case LFilter(c, _) =>
+      BindReferences.bindReference(
+        Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
     }
-
-    val mor = if (morConds.isEmpty) None else {
-      graft.functions.GeoSql.install(spark)
-      val attrs = logicalCombined.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
-      val parsed = spark.sessionState.sqlParser.parseExpression(
-        morConds.map(c => s"($c)").mkString(" OR "))
-      val analyzed = spark.sessionState.analyzer.execute(
-        LFilter(parsed, LocalRelation(attrs)))
-      analyzed.collectFirst { case LFilter(c, _) =>
-        BindReferences.bindReference(
-          Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
-      }
-    }
-    GraftBatchFilters(posMap, eqs, mor, addedV)
   }
 }
 
@@ -498,52 +513,53 @@ object GraftScanFilterPushdown
   }
 }
 
-case class GraftBatchFilters(
-    posDeletes: Map[String, Set[Long]],
-    eqDeletes: Seq[graft.streaming.EqStreamFilter],
-    morPredicate: Option[Expression],
-    fileAddedV: Map[String, Int]) extends Serializable
-
-/** Columnar for clean files; row path (decode → deletes → trim) otherwise. */
+/** Columnar for clean scans; row path (decode → deletes → trim) otherwise.
+  *
+  * Delete contents are resolved EXECUTOR-side from the delete files each
+  * [[GraftInputPartition]] carries ([[DeleteFileCache]]) — the driver
+  * ships file metadata only. When any delete state exists the whole scan
+  * reads row-oriented (Spark rejects mixed row/columnar partitions in one
+  * scan; per-file columnar restoration would need delete coverage stats
+  * in the manifest — the reference reads deleted files row-oriented too).
+  */
 case class GraftBatchReaderFactory(
     parquet: ParquetPartitionReaderFactory,
-    filters: GraftBatchFilters,
+    posFactory: Option[ParquetPartitionReaderFactory],
+    morPredicate: Option[Expression],
+    anyDeletes: Boolean,
     physicalCombined: StructType,
     projection: Option[Seq[Expression]],
     keepIdx: Array[Int]) extends PartitionReaderFactory {
 
-  private def relOf(partition: InputPartition): Option[String] = {
-    val abs = partition.asInstanceOf[FilePartition].files.head.toPath.toUri.getPath
-    filters.fileAddedV.keys.find(r => abs.endsWith("/" + r))
-  }
-
-  private def needsRowMode(partition: InputPartition): Boolean = {
-    val rel = relOf(partition)
-    projection.isDefined ||
-      filters.morPredicate.isDefined ||
-      rel.exists(filters.posDeletes.contains) ||
-      filters.eqDeletes.exists(e =>
-        rel.flatMap(filters.fileAddedV.get).getOrElse(Int.MaxValue) < e.seq) ||
+  private def uniformRowMode: Boolean =
+    projection.isDefined || morPredicate.isDefined || anyDeletes ||
       physicalCombined.size != keepIdx.length
-  }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !needsRowMode(partition) && parquet.supportColumnarReads(partition)
+    !uniformRowMode &&
+      parquet.supportColumnarReads(partition.asInstanceOf[GraftInputPartition].fp)
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    parquet.createColumnarReader(partition)
+    parquet.createColumnarReader(partition.asInstanceOf[GraftInputPartition].fp)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = parquet.createReader(partition)
-    if (!needsRowMode(partition)) return inner
-    val fp = partition.asInstanceOf[FilePartition]
-    val rel = relOf(partition)
-    val posDel = rel.flatMap(filters.posDeletes.get).getOrElse(Set.empty[Long])
-    val fileV = rel.flatMap(filters.fileAddedV.get).getOrElse(Int.MaxValue)
-    val eqs = filters.eqDeletes.filter(e => fileV < e.seq)
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val inner = parquet.createReader(p.fp)
+    if (!uniformRowMode) return inner
+    val abs = DeleteFiles.norm(p.fp.files.head.toPath.toUri.getPath)
+    // this task's deleted positions: parsed per-executor, scoped per-file
+    val posDel: Array[Long] =
+      if (p.posDeletes.isEmpty) Array.emptyLongArray
+      else {
+        val all = p.posDeletes.flatMap(f =>
+          DeleteFileCache.positionsFor(posFactory.get, f, abs, p.rel))
+        java.util.Arrays.sort(all)
+        all
+      }
+    val eqs = p.eqDeletes.map(s => (s, DeleteFileCache.keysFor(s)))
     val proj = projection.map(SafeProjection.create)
-    val pred = filters.morPredicate.map { e =>
-      val p = Predicate.createInterpreted(e); p.initialize(fp.index); p
+    val pred = morPredicate.map { e =>
+      val pr = Predicate.createInterpreted(e); pr.initialize(p.fp.index); pr
     }
     // emit only the output fields (delete-only extra columns trimmed)
     val trim =
@@ -561,11 +577,11 @@ case class GraftBatchReaderFactory(
       override def next(): Boolean = {
         while (inner.next()) {
           pos += 1
-          if (!posDel.contains(pos)) {
+          if (posDel.isEmpty || java.util.Arrays.binarySearch(posDel, pos) < 0) {
             val logical = proj.map(_(inner.get())).getOrElse(inner.get())
             val deleted =
-              eqs.exists(e => e.keys.contains(e.ordinals.indices.map(i =>
-                logical.get(e.ordinals(i), e.types(i)): Any).toList)) ||
+              eqs.exists { case (e, keys) => keys.contains(e.ordinals.indices.map(i =>
+                logical.get(e.ordinals(i), e.types(i)): Any).toList) } ||
                 pred.exists(_.eval(logical))
             if (!deleted) {
               current = trim.map(_(logical)).getOrElse(logical)

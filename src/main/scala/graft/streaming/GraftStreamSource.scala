@@ -21,6 +21,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.spatial.{EqDelete, FileStats, GeoTable, GraftFileIndex, Snapshots, TableSchema}
+import graft.sources.{DeleteFileCache, DeleteFiles, EqDeleteSpec, GraftInputPartition}
 
 /** Manifest-driven streaming source (`format("graft-stream")`): streams
   * COMMITTED append snapshots, never the raw directory — the shape of the
@@ -160,6 +161,11 @@ class GraftMicroBatchStream(path: String, maxFiles: Int)
 
   override def reportLatestOffset(): Offset = GraftStreamOffset(fileChain().size.toLong)
 
+  /** Each partition carries the delete files scoped to its data file —
+    * the same executor-side `DeleteFilter` attachment as the batch scan
+    * ([[graft.sources.GraftInputPartition]]); the driver resolves only
+    * delete-file metadata, never delete rows.
+    */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = GraftStreamOffset(start).filesSeen.toInt
     val e = GraftStreamOffset(end).filesSeen.toInt
@@ -169,16 +175,47 @@ class GraftMicroBatchStream(path: String, maxFiles: Int)
     val partCols = GeoTable.readPartitionCols(path)
     val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // delete state of the current committed snapshot, resolved at batch
+    // plan time (the read-time semantics of Snapshots.read)
+    val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
+    val posRefs = if (head == 0) Nil
+      else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, Some(head)))
+    val posCov = DeleteFiles.posCoverage(spark, path, posRefs)
+    val rowSchema = StructType(dataSchema ++ partitionSchema)
+    val eqSpecs = if (head == 0) Nil
+      else Snapshots.readEqDeletes(path, Some(head)).flatMap { eq =>
+        if (!eq.cols.forall(rowSchema.fieldNames.contains)) None
+        else {
+          val ordinals = eq.cols.map(rowSchema.fieldIndex).toArray
+          val types = ordinals.map(rowSchema(_).dataType)
+          val keySchema = StructType(eq.cols.zip(types).map { case (c, t) =>
+            org.apache.spark.sql.types.StructField(c, t) })
+          val ref = DeleteFiles.refs(spark, path, Seq(eq.path)).head
+          Some(EqDeleteSpec(ref, ordinals, types, eq.seq,
+            DeleteFiles.readerFactory(spark, keySchema)))
+        }
+      }
     // GraftFileIndex parses hive-layout partition values from the paths —
     // the same code path the batch relation uses
     val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
       GeoTable.readPartitionSpecs(path))
+    val byAbs = slice.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
     index.listFiles(Nil, Nil).flatMap { dir =>
-      dir.files.map(st =>
-        PartitionedFile(dir.values,
-          org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen))
-    }.zipWithIndex
-      .map { case (pf, i) => FilePartition(i, Array(pf)): InputPartition }.toArray
+      dir.files.map { st =>
+        val abs = st.getPath.toUri.getPath
+        val fstat = byAbs.get(abs)
+        val rel = fstat.map(_.path).getOrElse(abs)
+        val addedV = fstat.map(_.addedV).getOrElse(Int.MaxValue)
+        val pos = posCov.getOrElse(DeleteFiles.norm(abs),
+          posCov.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }.getOrElse(Nil))
+        val eqs = eqSpecs.filter(sp => addedV < sp.seq)
+        (PartitionedFile(dir.values,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
+          rel, pos.toArray, eqs)
+      }
+    }.zipWithIndex.map { case ((pf, rel, pos, eqs), i) =>
+      GraftInputPartition(FilePartition(i, Array(pf)), rel, pos, eqs): InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -211,76 +248,33 @@ class GraftMicroBatchStream(path: String, maxFiles: Int)
       sess.sparkContext.broadcast(new SerializableConfiguration(conf))
     val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, dataSchema, dataSchema,
       partitionSchema, Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf))
-    // delete state of the current committed snapshot, resolved at batch
-    // plan time (the read-time semantics of Snapshots.read)
+    // pos/eq delete CONTENTS resolve executor-side from the per-partition
+    // attachments; only the MoR predicate (tiny manifest metadata) binds here
     val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
-    val filters = if (head == 0) GraftStreamFilters.empty
-      else GraftStreamFilters.build(sess, path, head, StructType(dataSchema ++ partitionSchema))
-    new GraftStreamReaderFactory(parquet, filters)
+    val mor = if (head == 0) None
+      else GraftStreamFilters.morPredicate(sess, path, head,
+        StructType(dataSchema ++ partitionSchema))
+    val posFactory = if (head == 0 || Snapshots.readPosDeletes(path, Some(head)).isEmpty) None
+      else Some(DeleteFiles.readerFactory(sess, DeleteFiles.PosDeleteSchema))
+    new GraftStreamReaderFactory(parquet, posFactory, mor)
   }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Per-batch delete state, resolved on the driver and shipped to readers.
-  *
-  *  - `posDeletes`: table-relative file path → deleted row positions.
-  *  - `eqDeletes`: key ordinals/types + driver-loaded key set, applied
-  *    only to files whose `addedV` predates the delete's sequence number
-  *    (Iceberg sequence scoping).
-  *  - `morPredicate`: the OR of pending predicate deletes, bound to the
-  *    physical row when every referenced column resolves there (tables
-  *    with renamed/encoded columns fall back to the post-decode filter in
-  *    [[GeoStreams.readTableStream]]).
+/** MoR predicate-delete binding: the OR of pending predicate deletes,
+  * bound to the physical row when every referenced column resolves there
+  * (tables with renamed/encoded columns fall back to the post-decode
+  * filter in [[GeoStreams.readTableStream]]). Pos/eq delete CONTENTS are
+  * never resolved here — they ride the partitions and are parsed
+  * executor-side ([[graft.sources.DeleteFileCache]]).
   */
-case class EqStreamFilter(ordinals: Array[Int],
-    types: Array[org.apache.spark.sql.types.DataType],
-    seq: Int, keys: Set[Seq[Any]]) extends Serializable
-
-case class GraftStreamFilters(
-    posDeletes: Map[String, Set[Long]],
-    eqDeletes: Seq[EqStreamFilter],
-    morPredicate: Option[Expression],
-    fileAddedV: Map[String, Int]) extends Serializable {
-  def isEmpty: Boolean = posDeletes.isEmpty && eqDeletes.isEmpty && morPredicate.isEmpty
-}
-
 object GraftStreamFilters {
-  val empty: GraftStreamFilters = GraftStreamFilters(Map.empty, Nil, None, Map.empty)
-
-  def build(spark: SparkSession, path: String, version: Int,
-      rowSchema: StructType): GraftStreamFilters = {
-    val manifest = Snapshots.readManifest(path, Some(version))
-    val addedV = manifest.map(f => f.path -> f.addedV).toMap
-
-    val pos = Snapshots.readPosDeletes(path, Some(version))
-    val posMap: Map[String, Set[Long]] =
-      if (pos.isEmpty) Map.empty
-      else spark.read.parquet(pos.map(f => s"$path/$f"): _*)
-        .collect()
-        .groupBy(r => r.getString(0).replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
-        .flatMap { case (abs, rows) =>
-          // delete entries carry absolute scan paths; key by table-relative
-          manifest.find(f => abs.endsWith("/" + f.path))
-            .map(f => f.path -> rows.map(_.getLong(1)).toSet)
-        }
-
-    // eq-delete keys loaded as CATALYST values (UTF8String etc.) so they
-    // compare equal to reader-row extractions; atomic key types only
-    // (binary keys would compare by reference — rejected at delete time)
-    val eqs = Snapshots.readEqDeletes(path, Some(version)).map { e =>
-      val ordinals = e.cols.map(rowSchema.fieldIndex).toArray
-      val keyRows = spark.read.parquet(s"$path/${e.path}")
-        .selectExpr(e.cols: _*).queryExecution.executedPlan.executeCollect()
-      val types = ordinals.map(rowSchema(_).dataType)
-      val keys = keyRows.map(r =>
-        types.indices.map(i => r.get(i, types(i)): Any).toList: Seq[Any]).toSet
-      EqStreamFilter(ordinals, types, e.seq, keys)
-    }
-
+  def morPredicate(spark: SparkSession, path: String, version: Int,
+      rowSchema: StructType): Option[Expression] = {
     val conds = Snapshots.readDeletes(path, Some(version))
-    val mor = if (conds.isEmpty) None else try {
+    if (conds.isEmpty) None else try {
       graft.functions.GeoSql.install(spark)
       val attrs = rowSchema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
       val parsed = spark.sessionState.sqlParser.parseExpression(
@@ -292,31 +286,36 @@ object GraftStreamFilters {
           Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
       }
     } catch { case _: Exception => None } // physical-schema mismatch: post-decode filter applies
-    GraftStreamFilters(posMap, eqs, mor, addedV)
   }
 }
 
 /** Wraps the parquet readers with the delete filters. One file per
   * partition, so the emitted-row counter IS the file row position (no
-  * filters are pushed into parquet — full file scan order).
+  * filters are pushed into parquet — full file scan order). Delete-file
+  * contents resolve from the per-executor cache, scoped to this file.
   */
 class GraftStreamReaderFactory(
     parquet: ParquetPartitionReaderFactory,
-    filters: GraftStreamFilters) extends PartitionReaderFactory {
+    posFactory: Option[ParquetPartitionReaderFactory],
+    morPredicate: Option[Expression]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val fp = partition.asInstanceOf[FilePartition]
-    val file = fp.files.head
-    val inner = parquet.createReader(partition)
-    if (filters.isEmpty) inner
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val inner = parquet.createReader(p.fp)
+    if (!p.hasDeletes && morPredicate.isEmpty) inner
     else {
-      val abs = file.toPath.toUri.getPath
-      val rel = filters.fileAddedV.keys.find(r => abs.endsWith("/" + r))
-      val posDel = rel.flatMap(filters.posDeletes.get).getOrElse(Set.empty[Long])
-      val fileV = rel.flatMap(filters.fileAddedV.get).getOrElse(Int.MaxValue)
-      val eqs = filters.eqDeletes.filter(e => fileV < e.seq)
-      val pred = filters.morPredicate.map { e =>
-        val p = Predicate.createInterpreted(e); p.initialize(fp.index); p
+      val abs = DeleteFiles.norm(p.fp.files.head.toPath.toUri.getPath)
+      val posDel: Array[Long] =
+        if (p.posDeletes.isEmpty) Array.emptyLongArray
+        else {
+          val all = p.posDeletes.flatMap(f =>
+            DeleteFileCache.positionsFor(posFactory.get, f, abs, p.rel))
+          java.util.Arrays.sort(all)
+          all
+        }
+      val eqs = p.eqDeletes.map(s => (s, DeleteFileCache.keysFor(s)))
+      val pred = morPredicate.map { e =>
+        val pr = Predicate.createInterpreted(e); pr.initialize(p.fp.index); pr
       }
       new PartitionReader[InternalRow] {
         private var pos = -1L
@@ -326,10 +325,10 @@ class GraftStreamReaderFactory(
             pos += 1
             val row = inner.get()
             val deleted =
-              posDel.contains(pos) ||
-                eqs.exists(e =>
-                  e.keys.contains(e.ordinals.indices.map(i =>
-                    row.get(e.ordinals(i), e.types(i)): Any).toList)) ||
+              (posDel.nonEmpty && java.util.Arrays.binarySearch(posDel, pos) >= 0) ||
+                eqs.exists { case (e, keys) =>
+                  keys.contains(e.ordinals.indices.map(i =>
+                    row.get(e.ordinals(i), e.types(i)): Any).toList) } ||
                 pred.exists(_.eval(row))
             if (!deleted) { current = row; return true }
           }

@@ -223,6 +223,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
+  test("pos-delete state rides the partitions as file metadata, applied executor-side") {
+    val tbl = s"$warehouse/db/bigdel"
+    // 200k rows in 2 files; delete every even row → a 100k-row delete file
+    val src = spark.range(200000).toDF("id")
+      .withColumn("geom", st_point(lit(1.0), lit(2.0)))
+    GeoTable.write(GeoTable.withBbox(src, "geom").drop("geom_bbox"), tbl, "geom",
+      res = 8, numFiles = 2)
+    val pos = Snapshots.read(spark, tbl).filter(col("id") % 2 === 0)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+    Snapshots.deleteByPosition(spark, tbl, pos)
+    val q = spark.sql("SELECT id FROM gcat.db.bigdel")
+    val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    val parts = scans.head.inputPartitions
+    // the DRIVER plan ships delete-file REFERENCES (path + length), never
+    // delete rows — each task resolves its own positions executor-side
+    assert(parts.nonEmpty)
+    val gps = parts.map(_.asInstanceOf[graft.sources.GraftInputPartition])
+    assert(gps.forall(_.posDeletes.length == 1),
+      "each partition must carry exactly its covering delete file ref")
+    assert(gps.forall(_.posDeletes.forall(_.len > 0)))
+    // 100k survivors, all odd: sum of first 100k odd numbers = 100000^2
+    assert(q.count() == 100000)
+    assert(spark.sql("SELECT sum(id) FROM gcat.db.bigdel").collect().head.getLong(0) ==
+      10000000000L)
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
