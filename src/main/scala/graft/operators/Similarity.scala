@@ -168,18 +168,23 @@ object Similarity {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(e0.count()))
       val ps = planes(bands * bits, 64)
-      // same materialize-once rationale as sim_ann_lsh: the self-join
-      // would run the signature kernel twice
-      val exploded = e0
+      // materialize ONLY the slim (vec_id, band, sig) frame for the
+      // self-join: checkpointing the vector-carrying exploded frame costs
+      // bands× vector copies in executor storage (measured 2.2× slower in
+      // the full-bench JVM); the exact re-rank re-joins vectors from the
+      // base scan instead
+      val sigs = e0
         .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
-        .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
         .localCheckpoint(true)
-      exploded.as("a").join(exploded.as("b"),
+      val cand = sigs.as("a").join(sigs.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
-          col("a.v").as("v1"), col("b.v").as("v2"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
         .dropDuplicates("d1", "d2")
+      cand
+        .join(e0.select(col("vec_id").as("d1"), col("v").as("v1")), Seq("d1"))
+        .join(e0.select(col("vec_id").as("d2"), col("v").as("v2")), Seq("d2"))
         .withColumn("cos", cosine(col("v1"), col("v2")))
         .filter(col("cos") >= 0.3)
         .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
