@@ -744,24 +744,102 @@ object Snapshots {
     }
   }
 
+  /** True when the table property `key` (e.g. `write.delete.mode`)
+    * declares merge-on-read — the reference honors the same properties to
+    * pick `SparkPositionDeltaOperation` over `SparkCopyOnWriteOperation`.
+    */
+  private def morMode(path: String, key: String): Boolean =
+    currentVersion(path) > 0 &&
+      readProps(path).get(key).exists(_.equalsIgnoreCase("merge-on-read"))
+
+  /** Row-level DELETE, honoring `write.delete.mode`: copy-on-write
+    * rewrites the affected files; merge-on-read records a positional
+    * delete file and rewrites NOTHING — a 100 TB table with frequent
+    * small deletes pays O(matched rows) delete-file writes instead of
+    * full file rewrites, until a compaction materializes them.
+    */
+  def delete(spark: SparkSession, path: String, cond: Column): Int =
+    if (morMode(path, "write.delete.mode")) deleteMoRPositions(spark, path, cond)
+    else deleteCoW(spark, path, cond)
+
+  /** MoR DELETE: one scan finds matching `(file, pos)` rows (existing
+    * delete state applies, so already-deleted rows never re-enter);
+    * publish attaches the delete file in a single commit.
+    */
+  private def deleteMoRPositions(spark: SparkSession, path: String,
+      cond: Column): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val positions = read(spark, path, Some(head))
+      .filter(coalesce(cond, lit(false)))
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+    if (positions.take(1).isEmpty) head // nothing matches: no-op snapshotless
+    else {
+      val name = writeDeleteFile(positions, path, "posdel")
+      publish(path, rs, readManifest(path, Some(head)), carried(path, head),
+        carriedPos(path, head) :+ name, eqDeletes = carriedEq(path, head))
+    }
+  }
+
   /** Copy-on-write DELETE: rewrite only files whose stats might match.
     * On a commit conflict the whole rewrite is retried against the new
     * head (the failed attempt's files become orphans, cleaned by
     * `removeOrphanFiles` — Iceberg's failed-commit debris semantics).
     */
-  def delete(spark: SparkSession, path: String, cond: Column): Int = withCommitRetry() {
+  private def deleteCoW(spark: SparkSession, path: String, cond: Column): Int =
+    withCommitRetry() {
+      val rs = refsState(path)
+      val head = rs.mainHead(path)
+      val current = readManifest(path, Some(head))
+      val table = read(spark, path, Some(head))
+      val (affected, untouched) = splitByCond(table, cond, current)
+      if (affected.isEmpty) head // nothing can match
+      else {
+        val survivors = readFilesForRewrite(spark, path, affected, head)
+          .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
+        val (added, _) = writeBack(survivors, path)
+        publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
+          carriedPos(path, head), eqDeletes = carriedEq(path, head))
+      }
+    }
+
+  /** Row-level UPDATE, honoring `write.update.mode`: copy-on-write
+    * rewrites affected files in place; merge-on-read deletes the matched
+    * rows by position and appends their updated copies — one commit, no
+    * data file rewritten (the reference's position-delta UPDATE).
+    */
+  def update(spark: SparkSession, path: String, cond: Column,
+      assignments: Map[String, Column]): Int =
+    if (morMode(path, "write.update.mode")) updateMoR(spark, path, cond, assignments)
+    else updateCoW(spark, path, cond, assignments)
+
+  private def updateMoR(spark: SparkSession, path: String, cond: Column,
+      assignments: Map[String, Column]): Int = withCommitRetry() {
     val rs = refsState(path)
     val head = rs.mainHead(path)
-    val current = readManifest(path, Some(head))
+    val hit = coalesce(cond, lit(false))
     val table = read(spark, path, Some(head))
-    val (affected, untouched) = splitByCond(table, cond, current)
-    if (affected.isEmpty) head // nothing can match
+    val positions = table.filter(hit)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+    if (positions.take(1).isEmpty) head
     else {
-      val survivors = readFilesForRewrite(spark, path, affected, head)
-        .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
-      val (added, _) = writeBack(survivors, path)
-      publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
-        carriedPos(path, head), eqDeletes = carriedEq(path, head))
+      val name = writeDeleteFile(positions, path, "posdel")
+      val updated = assignments.foldLeft(table.filter(hit)) {
+        case (df, (c, v)) => df.withColumn(c, v)
+      }
+      // assigned geometry columns must refresh their bbox shadow (same
+      // invariant as the CoW path)
+      val bboxed = assignments.keys.foldLeft(updated) { case (df, c) =>
+        if (df.columns.contains(s"${c}_bbox"))
+          df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
+        else df
+      }
+      val (added, _) = writeBack(bboxed, path)
+      publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
+        carried(path, head), carriedPos(path, head) :+ name,
+        eqDeletes = carriedEq(path, head))
     }
   }
 
@@ -769,7 +847,7 @@ object Snapshots {
     * applying `assignments` to rows where `cond` holds (the reference's
     * `SparkCopyOnWriteOperation` shape).
     */
-  def update(spark: SparkSession, path: String, cond: Column,
+  private def updateCoW(spark: SparkSession, path: String, cond: Column,
       assignments: Map[String, Column]): Int = withCommitRetry() {
     val rs = refsState(path)
     val head = rs.mainHead(path)

@@ -212,6 +212,49 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 47)
   }
 
+  test("write.delete.mode=merge-on-read: SQL-path DELETE/UPDATE rewrite zero data files") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_mordml").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    // the CoW twin establishes the expected read result
+    val cowDir = Files.createTempDirectory("graft_cowdml").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), cowDir, "geom", res = 8, numFiles = 2)
+    Snapshots.updateProperties(dir, Map(
+      "write.delete.mode" -> "merge-on-read", "write.update.mode" -> "merge-on-read"))
+    val filesBefore = Snapshots.readManifest(dir).map(_.path).toSet
+
+    // DELETE: the same entry point the SQL path and deleteWhere lower onto
+    Snapshots.delete(spark, dir, col("id") % 5 === 0)
+    Snapshots.delete(spark, cowDir, col("id") % 5 === 0)
+    // MoR: identical data files, one new positional delete file
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == filesBefore,
+      "MoR delete must not rewrite any data file")
+    assert(Snapshots.readPosDeletes(dir).size == 1)
+    // CoW twin DID rewrite (sanity that the modes diverge)
+    assert(Snapshots.readManifest(cowDir).map(_.path).toSet != filesBefore)
+    // read parity
+    def rows(d: String) = Snapshots.read(spark, d).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows(dir) == rows(cowDir))
+
+    // UPDATE: matched rows deleted by position + updated copies appended
+    Snapshots.update(spark, dir, col("id") === 7, Map("id" -> lit(700L)))
+    Snapshots.update(spark, cowDir, col("id") === 7, Map("id" -> lit(700L)))
+    val after = Snapshots.readManifest(dir).map(_.path).toSet
+    assert(filesBefore.subsetOf(after), "MoR update must keep every original data file")
+    assert(Snapshots.readPosDeletes(dir).size == 2)
+    assert(rows(dir) == rows(cowDir))
+    assert(rows(dir).contains(700L) && !rows(dir).contains(7L))
+    // no-match DML is snapshotless in MoR mode
+    val v = Snapshots.currentVersion(dir)
+    Snapshots.delete(spark, dir, col("id") === 99999)
+    assert(Snapshots.currentVersion(dir) == v)
+    // compaction materializes and clears the position deletes
+    Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
+    assert(Snapshots.readPosDeletes(dir).isEmpty)
+    assert(rows(dir) == rows(cowDir))
+  }
+
   test("equality MoR delete: rows deleted by column values, no rewrite") {
     import spark.implicits._
     graft.spatial.Geo.install(spark)
