@@ -295,7 +295,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   private def plannedFiles: Seq[graft.spatial.FileStats] = {
     val manifest = Snapshots.readManifest(path, version)
     val index = new GraftFileIndex(spark, new Path(path), manifest,
-      readPhysicalData, readPartSchema, GeoTable.readPartitionSpecs(path))
+      readPhysicalData, readPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)
       .flatMap(_.files.map(_.getPath.toUri.getPath)).toSet
     manifest.filter(f => keep.contains(new Path(new Path(path), f.path).toUri.getPath))
@@ -331,7 +331,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   override def planInputPartitions(): Array[InputPartition] = {
     val files = plannedFiles
     val index = new GraftFileIndex(spark, new Path(path), files,
-      readPhysicalData, readPartSchema, GeoTable.readPartitionSpecs(path))
+      readPhysicalData, readPartSchema, GeoTable.readPruningSpecs(path))
     val byAbs = files.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
     index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>

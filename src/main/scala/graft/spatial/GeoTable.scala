@@ -227,13 +227,16 @@ object GeoTable {
     val dataSchema = TableSchema.physicalSchema(path).getOrElse(
       StructType(full.fields.filterNot(f => partCols.contains(f.name))))
     val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema,
-      readPartitionSpecs(path))
+      readPruningSpecs(path))
     // a bucket transform doubles as a Spark bucket spec: file names carry
     // `_0000K` ids (stamped on write) and the bucket hash is Spark's own,
     // so the scan reports HashPartitioning and bucketed joins skip the
-    // exchange entirely
+    // exchange entirely. After spec evolution the claim only holds if
+    // every live file was laid out under the bucket spec — files from an
+    // older generation (no bucket dir in their path) void it.
     val bucketSpec = readPartitionSpecs(path).collectFirst {
-      case b: Transforms.Bucket if dataSchema.fieldNames.contains(b.source) =>
+      case b: Transforms.Bucket if dataSchema.fieldNames.contains(b.source) &&
+          stats.forall(_.path.contains(s"${b.derivedName}=")) =>
         org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, Seq(b.source), Nil)
     }
     HadoopFsRelation(
@@ -285,7 +288,8 @@ object GeoTable {
       partitionCols: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = Map.empty,
       eqDeletes: Seq[EqDelete] = Nil,
-      schema: Option[StructType] = None): String = {
+      schema: Option[StructType] = None,
+      partitionHistory: Seq[String] = Nil): String = {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
@@ -303,7 +307,11 @@ object GeoTable {
     // the schema here is what makes every later read zero-inference: no
     // directory listing, no footer sampling (round-2 finding #2).
     val sch = schema.map(s => s""","schema":${s.json}""").getOrElse("")
-    s"""{"version":1,"deletes":$del,"partitions":$parts,"posDeletes":$pdel,"eqDeletes":$edel,"props":$pr$sch,"files":[${files.mkString(",")}]}"""
+    // retired partition specs (spec evolution): used ONLY for planning-time
+    // projection pruning of files written under an older layout
+    val ph = if (partitionHistory.isEmpty) ""
+      else s""","partitionHistory":${partitionHistory.map(jsonVal).mkString("[", ",", "]")}"""
+    s"""{"version":1,"deletes":$del,"partitions":$parts$ph,"posDeletes":$pdel,"eqDeletes":$edel,"props":$pr$sch,"files":[${files.mkString(",")}]}"""
   }
 
   def readManifest(path: String): Seq[FileStats] =
@@ -324,6 +332,36 @@ object GeoTable {
   /** Partition DIRECTORY column names (derived names for transforms). */
   def readPartitionCols(path: String): Seq[String] =
     readPartitionSpecs(path).map(_.derivedName)
+
+  /** Retired partition spec strings (partition-spec evolution history). */
+  def readPartitionHistory(path: String): Seq[String] = {
+    val p = Paths.get(path, ManifestName)
+    if (!Files.exists(p)) Nil
+    else parsePartitionHistory(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private[graft] def parsePartitionHistory(txt: String): Seq[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    (JsonMethods.parse(txt) \ "partitionHistory") match {
+      case JArray(ps) => ps.collect { case JString(c) => c }
+      case _ => Nil
+    }
+  }
+
+  /** Transforms for PLANNING-time pruning: the current spec plus every
+    * retired generation. Projection pruning is per-file self-describing —
+    * a file is pruned only by transforms whose derived directory it
+    * actually carries ([[GraftFileIndex]] keeps files with no matching
+    * dir) — so the union is safe across spec generations, the same
+    * old-files-keep-their-spec semantics as Iceberg spec evolution.
+    */
+  def readPruningSpecs(path: String): Seq[Transforms.Transform] = {
+    val current = readPartitionSpecs(path)
+    val names = current.map(_.derivedName).toSet
+    current ++ readPartitionHistory(path).map(Transforms.parse)
+      .filterNot(t => names(t.derivedName))
+  }
 
   /** Free-form table/snapshot properties (e.g. committed stream batch). */
   private[spatial] def parseProps(txt: String): Map[String, String] = {

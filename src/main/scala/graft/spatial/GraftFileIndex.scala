@@ -179,12 +179,16 @@ class GraftFileIndex(
   private def sourceOk(src: String, values: Seq[Any], row: InternalRow): Boolean =
     transformIdx.filter(_._1.source == src).forall { case (t, i) =>
       val cur = if (row.isNullAt(i)) null else row.get(i, pruneSchema(i).dataType)
-      values.exists { v =>
-        t.project(v) match {
-          case Some(p) => valuesEqual(p, cur)
-          case None => true // unprojectable literal: cannot prune
+      // no derived directory in this file's path: written under another
+      // spec generation (partition evolution) or a genuinely-null source —
+      // either way the transform proves nothing, keep the file
+      cur == null ||
+        values.exists { v =>
+          t.project(v) match {
+            case Some(p) => valuesEqual(p, cur)
+            case None => true // unprojectable literal: cannot prune
+          }
         }
-      }
     }
 
   private def valuesEqual(a: Any, b: Any): Boolean = (a, b) match {

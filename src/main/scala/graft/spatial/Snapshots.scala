@@ -315,13 +315,18 @@ object Snapshots {
       deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = null, ref: String = "main",
       eqDeletes: Seq[EqDelete] = Nil,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      partsOverride: Seq[String] = null,
+      partHistoryOverride: Seq[String] = null): Int = {
     val refHead = rs.branches.getOrElse(ref, if (ref == "main") rs.mainHead(path) else 0)
     // partitioning is table-level: carry the column list forward; props
     // and schema carry forward (from the ref's OWN head) unless replaced
     // carry SPEC strings, not derived names: `bucket(4,id)` must survive
     // the first publish or projection pruning degrades to identity
-    val parts = GeoTable.readPartitionSpecs(path).map(_.spec)
+    val parts = Option(partsOverride)
+      .getOrElse(GeoTable.readPartitionSpecs(path).map(_.spec))
+    val partHist = Option(partHistoryOverride)
+      .getOrElse(GeoTable.readPartitionHistory(path))
     val carriedProps =
       if (props != null) props
       else if (refHead > 0) readProps(path, Some(refHead))
@@ -329,7 +334,7 @@ object Snapshots {
     val sch = schema.orElse(if (refHead > 0) readSchema(path, Some(refHead)) else None)
     commitManifest(path, rs, ref, v =>
       GeoTable.manifestJson(entries.map(_.withAddedV(v)), deletes, parts,
-        posDeletes, carriedProps, eqDeletes.map(_.withSeq(v)), sch))
+        posDeletes, carriedProps, eqDeletes.map(_.withSeq(v)), sch, partHist))
   }
 
   /** Allocate the next free version, write `mkBody(v)` as its manifest,
@@ -412,6 +417,61 @@ object Snapshots {
     publish(path, rs, if (head > 0) readManifest(path, Some(head)) else Nil,
       carried(path, head), carriedPos(path, head), props = merged,
       eqDeletes = carriedEq(path, head))
+  }
+
+  /** Partition-spec evolution: `ALTER TABLE … ADD/DROP PARTITION FIELD`
+    * (the reference's `IcebergSqlExtensions.g4:69-83` DDL). Iceberg
+    * semantics: existing files keep the layout they were written under —
+    * dropped specs move to the manifest's `partitionHistory`, which
+    * planning keeps using for projection pruning of old files; only files
+    * written AFTER the change use the new spec. Metadata-only commit.
+    *
+    * Identity transforms are rejected: identity partition columns are
+    * physically split out of data files, so adding/dropping one would
+    * change what old files must contain. Hidden transforms (bucket /
+    * truncate / year / month / day) keep the source column in the data,
+    * so generations mix freely. A transform whose derived directory name
+    * collides with a live or retired one (e.g. `bucket(8,id)` after
+    * `bucket(4,id)`) is rejected — same-named dirs with different
+    * semantics would poison projection pruning.
+    */
+  def evolvePartitionSpec(path: String, add: Seq[String] = Nil,
+      drop: Seq[String] = Nil): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    require(head > 0, s"no table at $path")
+    val current = GeoTable.readPartitionSpecs(path)
+    val history = GeoTable.readPartitionHistory(path)
+    val schema = readSchema(path, Some(head))
+    val adds = add.map(Transforms.parse)
+    adds.foreach { t =>
+      require(!t.isInstanceOf[Transforms.Identity],
+        s"ADD PARTITION FIELD ${t.spec}: identity partitioning cannot be evolved " +
+          "(existing data files physically contain the column); use a hidden transform")
+      schema.foreach(s => require(s.fieldNames.contains(t.source),
+        s"partition source column not in schema: ${t.source}"))
+      val taken = (current.map(_.derivedName) ++
+        history.map(Transforms.parse(_).derivedName)).toSet
+      require(!taken(t.derivedName),
+        s"ADD PARTITION FIELD ${t.spec}: derived name ${t.derivedName} collides with a " +
+          "live or retired partition field; evolve to a differently named transform")
+    }
+    // canonicalize via the transform grammar so `bucket(4, id)` matches
+    // the stored `bucket(4,id)`; unparseable strings match raw/by-name
+    val dropSet = drop.map(_.trim).flatMap { d =>
+      Seq(d) ++ (try Seq(Transforms.parse(d).spec) catch { case _: Exception => Nil })
+    }.toSet
+    val (dropped, kept) = current.partition(t =>
+      dropSet(t.spec) || dropSet(t.derivedName) || dropSet(t.source))
+    require(drop.isEmpty || dropped.nonEmpty,
+      s"DROP PARTITION FIELD: no current partition field matches ${drop.mkString(", ")}")
+    dropped.foreach(t => require(!t.isInstanceOf[Transforms.Identity],
+      s"DROP PARTITION FIELD ${t.spec}: identity partitioning cannot be evolved"))
+    val newParts = kept ++ adds
+    val newHistory = (history ++ dropped.map(_.spec)).distinct
+    publish(path, rs, readManifest(path, Some(head)), carried(path, head),
+      carriedPos(path, head), eqDeletes = carriedEq(path, head),
+      partsOverride = newParts.map(_.spec), partHistoryOverride = newHistory)
   }
 
   /** Commit one streaming epoch's staged files exactly once (the DSv2

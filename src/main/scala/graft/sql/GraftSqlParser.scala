@@ -51,6 +51,13 @@ object GraftStatements {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
+  // partition-spec evolution (ref IcebergSqlExtensions.g4:69-83)
+  private val AddPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+  private val DropPartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+  private val ReplacePartFieldRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*$""".r
 
   // row-level DML on quoted PATH tables (a quoted string is never a valid
   // table name for Spark's parser) — or on MULTIPART IDENTIFIERS that
@@ -164,6 +171,13 @@ object GraftStatements {
           s"SET GEOMETRY FIELDS expects `col AS 'encoding'`, got: $bad")
       }
       Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
+    case ReplacePartFieldRe(tbl, oldSpec, newSpec) =>
+      Some(PartitionFieldCommand(resolveTable(tbl),
+        add = Seq(normSpec(newSpec)), drop = Seq(normSpec(oldSpec))))
+    case AddPartFieldRe(tbl, spec) =>
+      Some(PartitionFieldCommand(resolveTable(tbl), add = Seq(normSpec(spec))))
+    case DropPartFieldRe(tbl, spec) =>
+      Some(PartitionFieldCommand(resolveTable(tbl), drop = Seq(normSpec(spec))))
     case CreateRefRe(tbl, kind, name, version) =>
       Some(RefCommand(stripQuotes(tbl), s"create_${kind.toLowerCase}", name,
         Option(version).map(_.toInt)))
@@ -174,6 +188,19 @@ object GraftStatements {
       Some(CallProcedureCommand(proc.toLowerCase, pos, named))
     case _ => None
   }
+
+  /** A quoted string is a literal path; a bare identifier resolves through
+    * a registered GraftCatalog when one matches, else it IS the path.
+    */
+  private def resolveTable(tbl: String): String = {
+    val stripped = stripQuotes(tbl)
+    if (tbl.trim.startsWith("'")) stripped
+    else graftPath(stripped).getOrElse(stripped)
+  }
+
+  /** Iceberg grammar accepts plural transform names (`years(ts)`). */
+  private def normSpec(spec: String): String =
+    spec.trim.replaceAll("(?i)^(year|month|day)s\\s*\\(", "$1(")
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -257,6 +284,18 @@ case class DmlCommand(path: String, op: String, condOrSrc: String,
     }
     Seq(Row(v.toLong))
   }
+}
+
+/** `ALTER TABLE t ADD|DROP PARTITION FIELD spec` / `REPLACE … WITH …` —
+  * partition-spec evolution (ref `IcebergSqlExtensions.g4:69-83`):
+  * metadata-only commit; existing files keep their layout generation.
+  */
+case class PartitionFieldCommand(path: String, add: Seq[String] = Nil,
+    drop: Seq[String] = Nil) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.evolvePartitionSpec(path, add, drop).toLong))
 }
 
 /** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n]` — the

@@ -198,7 +198,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int)
     // GraftFileIndex parses hive-layout partition values from the paths —
     // the same code path the batch relation uses
     val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
-      GeoTable.readPartitionSpecs(path))
+      GeoTable.readPruningSpecs(path))
     val byAbs = slice.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
     index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>

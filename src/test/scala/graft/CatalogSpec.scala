@@ -250,6 +250,57 @@ class CatalogSpec extends AnyFunSuite {
       10000000000L)
   }
 
+  test("partition-spec evolution: old files keep their layout, pruning spans generations") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
+    spark.sql("CREATE TABLE gcat.evo.t (id BIGINT, cat STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO gcat.evo.t SELECT id, concat('c', id % 3) FROM range(100)")
+    def parts(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+    val genAFiles = parts("SELECT * FROM gcat.evo.t")
+    val genAPruned = parts("SELECT * FROM gcat.evo.t WHERE id = 42")
+    assert(genAPruned < genAFiles, "bucket pruning must work pre-evolution")
+
+    // evolve: retire the id bucket, partition new files by a cat prefix
+    spark.sql("ALTER TABLE gcat.evo.t REPLACE PARTITION FIELD bucket(4, id) WITH truncate(2, cat)")
+    spark.sql("INSERT INTO gcat.evo.t SELECT id, concat('c', id % 3) FROM range(100)")
+    val total = parts("SELECT * FROM gcat.evo.t")
+    assert(spark.sql("SELECT * FROM gcat.evo.t").count() == 200)
+    val genBFiles = total - genAFiles
+
+    // predicate on the RETIRED spec's source: old files still prune by
+    // their bucket dirs (partitionHistory keeps projecting bucket(4,id)),
+    // so at most 1-of-4 gen-A bucket dirs survives; gen-B files (no bucket
+    // dir) are only prunable by their id min/max stats — never wrongly
+    // dropped (correctness assert below)
+    val byId = parts("SELECT * FROM gcat.evo.t WHERE id = 42")
+    assert(byId <= genAFiles / 4 + genBFiles,
+      s"expected old-generation bucket pruning: $byId of $total (genA=$genAFiles, genB=$genBFiles)")
+    assert(spark.sql("SELECT * FROM gcat.evo.t WHERE id = 42").count() == 2)
+
+    // predicate on the NEW spec's source: gen-B files prune to one
+    // truncate dir; gen-A files (no truncate dir) conservatively kept
+    val byCat = parts("SELECT * FROM gcat.evo.t WHERE cat = 'c1'")
+    assert(byCat < total,
+      s"expected new-generation truncate pruning: $byCat of $total")
+    assert(spark.sql("SELECT * FROM gcat.evo.t WHERE cat = 'c1'").count() == 66)
+
+    // combined predicate prunes BOTH generations at once
+    val combined = parts("SELECT * FROM gcat.evo.t WHERE id = 42 AND cat = 'c0'")
+    assert(combined <= byId && combined < byCat,
+      s"combined predicate must prune both generations: $combined vs $byId / $byCat")
+    assert(spark.sql("SELECT * FROM gcat.evo.t WHERE id = 42 AND cat = 'c0'").count() == 2)
+
+    // guardrails: identity evolution and derived-name collisions are rejected
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.evo.t ADD PARTITION FIELD cat"))
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.evo.t ADD PARTITION FIELD bucket(8, id)"))
+    assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
