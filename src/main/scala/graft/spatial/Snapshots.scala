@@ -548,10 +548,53 @@ object Snapshots {
     * writer's files as this writer's own. Returns (added relative paths,
     * physical schema written) for manifest merge.
     */
+  /** Declared write order (`write.order` table property, set by `ALTER
+    * TABLE … WRITE ORDERED BY …`): every write path that funnels through
+    * [[writeBack]] — INSERT INTO, `Snapshots.append`, CoW rewrites, the
+    * DSv2 writer — range-distributes and locally sorts rows by the
+    * declared keys before files land, the reference's
+    * `RequiresDistributionAndOrdering` surface (`SparkWriteUtil.java:68-92`,
+    * `SortOrderToSpark.java:87-104` in /root/reference).
+    * `hilbert(col,res,minX,minY,maxX,maxY)` spatially clusters; a comma
+    * list of column names sorts lexicographically. Applied BEFORE storage
+    * encoding (the hilbert kernel reads runtime WKB).
+    */
+  private val HilbertOrderRe =
+    """(?i)^hilbert\s*\(\s*([\w.]+)\s*,\s*(\d+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\)$""".r
+
+  private def applyWriteOrder(df: DataFrame, path: String): DataFrame = {
+    val order = if (currentVersion(path) == 0) None else readProps(path).get("write.order")
+    order match {
+      case None => df
+      case Some(spec) =>
+        graft.functions.GeoSql.install(df.sparkSession)
+        val (tmp, keys) = spec.trim match {
+          case HilbertOrderRe(c, res, x1, y1, x2, y2) if df.columns.contains(c) =>
+            (Seq("__graft_order"), Seq(graft.functions.GeoSql.hilbert(col(c),
+              lit(res.toInt), lit(x1.toDouble), lit(y1.toDouble),
+              lit(x2.toDouble), lit(y2.toDouble))))
+          case cols =>
+            (Nil, cols.split(',').map(_.trim).filter(df.columns.contains).map(col).toSeq)
+        }
+        if (keys.isEmpty) df
+        else {
+          // keep the incoming parallelism; the range exchange only
+          // re-clusters, it does not decide file count policy
+          val n = math.max(1, df.rdd.getNumPartitions)
+          val withKey = tmp.zip(keys).foldLeft(df) { case (d, (name, k)) =>
+            d.withColumn(name, k) }
+          val sortCols = if (tmp.nonEmpty) tmp.map(col) else keys
+          withKey.repartitionByRange(n, sortCols: _*)
+            .sortWithinPartitions(sortCols: _*)
+            .drop(tmp: _*)
+        }
+    }
+  }
+
   private def writeBack(df: DataFrame, path: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
     val spark = df.sparkSession
     val specs = GeoTable.readPartitionSpecs(path)
-    val physical = TableSchema.toPhysical(encodeForStorage(df, path), path)
+    val physical = TableSchema.toPhysical(encodeForStorage(applyWriteOrder(df, path), path), path)
     // derive missing transform partition columns (appends carry source
     // cols; CoW rewrites already carry the derived ones)
     val withDerived = specs

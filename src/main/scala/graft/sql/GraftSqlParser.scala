@@ -51,6 +51,12 @@ object GraftStatements {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
+  // declared write order (ref writeSpec / WRITE ORDERED BY in
+  // IcebergSqlExtensions.g4; stored as the write.order table property)
+  private val WriteOrderRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*$""".r
+  private val WriteUnorderedRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+UNORDERED\s*$""".r
   // partition-spec evolution (ref IcebergSqlExtensions.g4:69-83)
   private val AddPartFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
@@ -171,6 +177,10 @@ object GraftStatements {
           s"SET GEOMETRY FIELDS expects `col AS 'encoding'`, got: $bad")
       }
       Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
+    case WriteOrderRe(tbl, order) =>
+      Some(WriteOrderCommand(resolveTable(tbl), Some(order.trim)))
+    case WriteUnorderedRe(tbl) =>
+      Some(WriteOrderCommand(resolveTable(tbl), None))
     case ReplacePartFieldRe(tbl, oldSpec, newSpec) =>
       Some(PartitionFieldCommand(resolveTable(tbl),
         add = Seq(normSpec(newSpec)), drop = Seq(normSpec(oldSpec))))
@@ -281,6 +291,25 @@ case class DmlCommand(path: String, op: String, condOrSrc: String,
       case "update" => Snapshots.update(spark, path, expr(condOrSrc),
         assignments.map { case (c, e) => c -> expr(e) }.toMap)
       case "merge" => Snapshots.mergeUpsert(spark, path, spark.sql(condOrSrc), key)
+    }
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `ALTER TABLE t WRITE ORDERED BY hilbert(geom,res,minX,minY,maxX,maxY)`
+  * (or a column list) / `WRITE UNORDERED` — declares the write order as
+  * table metadata so EVERY later write (plain `INSERT INTO`, appends,
+  * rewrites) applies it; the reference stores sort orders the same way
+  * (`SortOrderToSpark.java:87-104`).
+  */
+case class WriteOrderCommand(path: String, order: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = order match {
+      case Some(o) => Snapshots.updateProperties(path, Map("write.order" -> o))
+      case None => Snapshots.updateProperties(path, Map.empty, unset = Seq("write.order"))
     }
     Seq(Row(v.toLong))
   }

@@ -301,6 +301,55 @@ class CatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("collides"), e2.getMessage)
   }
 
+  test("WRITE ORDERED BY hilbert: plain INSERT INTO yields spatially clustered files") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.wo")
+    spark.sql(
+      """CREATE TABLE gcat.wo.t (id BIGINT, part INT, geom BINARY,
+        |geom_bbox STRUCT<xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>)""".stripMargin)
+    spark.sql("ALTER TABLE gcat.wo.t WRITE ORDERED BY hilbert(geom, 8, -12, -12, 12, 12)")
+    // quadrant fixture as a SOURCE view: the insert path must do the clustering
+    val rows = for {
+      quadrant <- 0 until 4
+      k <- 1 to 10
+      (cx, cy) = quadrant match {
+        case 0 => (k.toDouble, k.toDouble)
+        case 1 => (-k.toDouble, k.toDouble)
+        case 2 => (-k.toDouble, -k.toDouble)
+        case 3 => (k.toDouble, -k.toDouble)
+      }
+      geom <- Seq(
+        graft.functions.GeoCodec.writeWkb(graft.functions.GeoCodec.point(cx, cy)),
+        graft.functions.GeoCodec.writeWkb(graft.functions.GeoCodec.point(cx, cy).buffer(0.5)))
+    } yield Row((quadrant * 10 + k - 1).toLong, quadrant, geom)
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("part", IntegerType, nullable = false), StructField("geom", BinaryType)))
+    // quadrants deliberately INTERLEAVED across the 4 input partitions
+    GeoTable.withBbox(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema), "geom")
+      .createOrReplaceTempView("wo_src")
+    spark.sql("INSERT INTO gcat.wo.t SELECT * FROM wo_src")
+    def parts(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+    val total = parts("SELECT * FROM gcat.wo.t")
+    assert(total >= 2, s"expected multiple files, got $total")
+    assert(spark.sql("SELECT * FROM gcat.wo.t").count() == 80)
+    // spatial locality: the quadrant-0 window must not touch every file
+    val pruned =
+      parts("SELECT * FROM gcat.wo.t WHERE geom_bbox.xmin > 0 AND geom_bbox.ymin > 0")
+    assert(pruned < total,
+      s"declared hilbert order should cluster quadrants: scanned $pruned of $total")
+    assert(spark.sql(
+      "SELECT * FROM gcat.wo.t WHERE geom_bbox.xmin > 0 AND geom_bbox.ymin > 0").count() == 20)
+    // WRITE UNORDERED clears the declared order
+    spark.sql("ALTER TABLE gcat.wo.t WRITE UNORDERED")
+    assert(!spark.sql("SHOW TBLPROPERTIES gcat.wo.t").collect()
+      .exists(_.getString(0) == "write.order"))
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
