@@ -102,7 +102,7 @@ object GeoTable {
     * Stamps only `rels` (a writer's own files — attribution-exact) and
     * returns their post-stamp relative paths.
     */
-  private[spatial] def stampBucketIds(spark: SparkSession, path: String,
+  private[graft] def stampBucketIds(spark: SparkSession, path: String,
       b: Transforms.Bucket, rels: Seq[String]): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     rels.map { rel =>

@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.UUID
 
+import scala.collection.mutable
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetWriter
@@ -9,6 +11,9 @@ import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
@@ -16,17 +21,19 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.spatial.Snapshots
+import graft.spatial.{GeoTable, Snapshots, Transforms}
 
 /** DSv2 streaming sink: `df.writeStream.format("graft").start(path)` or
   * `.toTable("cat.db.t")` — the reference's `SparkWrite` streaming face
   * (`spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkWrite.java:181-186`).
   *
-  * Executors stage one parquet file per non-empty task, named by
-  * (query, epoch, task); `commit(epoch)` registers all of an epoch's
-  * files in ONE snapshot that also advances the query's durable batch
-  * high-water mark. A replayed epoch after a driver restart (id at or
-  * below the mark) deletes its staged files instead of re-appending —
+  * Executors stage one parquet file per non-empty task AND partition
+  * directory; partition-transformed tables get their hive-layout dirs by
+  * evaluating the bound transform expressions per row (the same derived
+  * values the batch write computes). `commit(epoch)` registers all of an
+  * epoch's files in ONE snapshot that also advances the query's durable
+  * batch high-water mark. A replayed epoch after a driver restart (id at
+  * or below the mark) deletes its staged files instead of re-appending —
   * the same checkpoint-scoped exactly-once dedup as the foreachBatch
   * sink, keyed by the STABLE streaming query id (persisted in the
   * checkpoint, unchanged across restarts).
@@ -34,15 +41,38 @@ import graft.spatial.Snapshots
 class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
     extends StreamingWrite {
 
-  require(graft.spatial.GeoTable.readPartitionSpecs(path).isEmpty,
-    "streaming write to partition-transformed tables is not supported — " +
-      "use GeoStreams.appendStream (foreachBatch) which lays out partitions")
+  private def spark = SparkSession.active
+
+  /** Partition transforms bound to the write schema: evaluated row-by-row
+    * in the writers to route each row to its partition directory. Binding
+    * happens driver-side through the analyzer (same expressions as
+    * [[Transforms.writeExpr]] on the batch path).
+    */
+  private def boundTransforms(): Seq[(String, Expression)] = {
+    val specs = GeoTable.readPartitionSpecs(path)
+    if (specs.isEmpty) return Nil
+    specs.foreach(t => require(schema.fieldNames.contains(t.source),
+      s"streaming write: partition source column ${t.source} missing from stream schema"))
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val proj = dummy.select(
+      specs.map(t => Transforms.writeExpr(t, dummy).as(t.derivedName)): _*)
+    proj.queryExecution.analyzed match {
+      case p: Project =>
+        val out = p.children.head.output
+        specs.zip(p.projectList).map { case (t, e) =>
+          val inner = e match { case a: Alias => a.child; case x => x }
+          t.derivedName -> BindReferences.bindReference(inner, out)
+        }
+      case other => throw new IllegalStateException(s"unexpected plan: $other")
+    }
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val spark = SparkSession.active
-    val sqlConf = spark.sessionState.conf
-    val conf = spark.sessionState.newHadoopConf()
+    val sess = spark
+    val sqlConf = sess.sessionState.conf
+    val conf = sess.sessionState.newHadoopConf()
     // write-side ParquetWriteSupport conf dance (mirror of the read-side
     // keys in GraftScan.createReaderFactory) — the executors' WriteSupport
     // reads these during init
@@ -62,43 +92,51 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
       sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
     conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
       sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
-    GraftStreamWriterFactory(path, new SerializableConfiguration(conf), queryId)
+    GraftStreamWriterFactory(path, new SerializableConfiguration(conf), queryId,
+      boundTransforms())
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect { case GraftStagedFile(Some(name)) => name }.toSeq
-    Snapshots.commitStreamEpoch(SparkSession.active, path,
-      GeoStreams.streamToken(queryId), epochId, files)
+    val files = messages.collect { case GraftStagedFiles(names) => names }.flatten.toSeq
+    // bucketed tables: staged files need the `_0000K` bucket-id stamp so
+    // the scan keeps reporting HashPartitioning (same as the batch path)
+    val stamped = GeoTable.readPartitionSpecs(path)
+      .collectFirst { case b: Transforms.Bucket => b } match {
+      case Some(b) => GeoTable.stampBucketIds(spark, path, b, files)
+      case None => files
+    }
+    Snapshots.commitStreamEpoch(spark, path,
+      GeoStreams.streamToken(queryId), epochId, stamped)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftStagedFile(Some(name)) =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, name))
+      case GraftStagedFiles(names) => names.foreach(n =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
       case _ =>
     }
 }
 
-/** Staged file name relative to the table dir; None = empty task. */
-case class GraftStagedFile(name: Option[String]) extends WriterCommitMessage
+/** Staged file names relative to the table dir (empty = empty task). */
+case class GraftStagedFiles(names: Seq[String]) extends WriterCommitMessage
 
 case class GraftStreamWriterFactory(dir: String, conf: SerializableConfiguration,
-    queryId: String) extends StreamingDataWriterFactory {
+    queryId: String, transforms: Seq[(String, Expression)])
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftStreamDataWriter(dir,
       s"part-stream-${queryId.take(8)}-$epochId-$partitionId-" +
         s"${UUID.randomUUID().toString.take(8)}.parquet",
-      conf.value)
+      conf.value, transforms)
 }
 
-/** One staged parquet file per task; empty tasks stage nothing (no file
-  * is even created until the first row arrives).
+/** One staged parquet file per (task, partition dir); rows route to their
+  * dir by evaluating the bound transform expressions. Empty tasks stage
+  * nothing (no file is created until the first row arrives).
   */
-class GraftStreamDataWriter(dir: String, name: String, conf: Configuration)
-    extends DataWriter[InternalRow] {
-
-  private var rows = 0L
+class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
+    transforms: Seq[(String, Expression)]) extends DataWriter[InternalRow] {
 
   private class Builder(p: Path)
       extends ParquetWriter.Builder[InternalRow, Builder](p) {
@@ -107,21 +145,45 @@ class GraftStreamDataWriter(dir: String, name: String, conf: Configuration)
       new ParquetWriteSupport
   }
 
-  private lazy val writer: ParquetWriter[InternalRow] =
-    new Builder(new Path(new Path(dir), name))
-      .withConf(conf)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
+  // partition dir ("" for unpartitioned) → (writer, staged relative name)
+  private val writers = mutable.LinkedHashMap.empty[String, (ParquetWriter[InternalRow], String)]
 
-  override def write(row: InternalRow): Unit = { writer.write(row); rows += 1 }
+  private def dirFor(row: InternalRow): String =
+    transforms.map { case (name, e) =>
+      val v = e.eval(row)
+      // hive dir formatting must match the batch writer's (read back by
+      // GraftFileIndex.castPart): dates print as ISO strings, not day ints
+      val str = v match {
+        case null => null
+        case i: java.lang.Integer if e.dataType == org.apache.spark.sql.types.DateType =>
+          java.time.LocalDate.ofEpochDay(i.longValue).toString
+        case x => x.toString
+      }
+      val s = if (str == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+        else ExternalCatalogUtils.escapePathName(str)
+      s"$name=$s"
+    }.mkString("/")
 
-  override def commit(): WriterCommitMessage =
-    if (rows == 0) GraftStagedFile(None)
-    else { writer.close(); GraftStagedFile(Some(name)) }
+  override def write(row: InternalRow): Unit = {
+    val d = if (transforms.isEmpty) "" else dirFor(row)
+    val (w, _) = writers.getOrElseUpdate(d, {
+      val rel = if (d.isEmpty) baseName else s"$d/$baseName"
+      (new Builder(new Path(new Path(dir), rel))
+        .withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build(), rel)
+    })
+    w.write(row)
+  }
 
-  override def abort(): Unit = if (rows > 0) {
-    try writer.close() catch { case _: Exception => () }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, name))
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_._1.close())
+    GraftStagedFiles(writers.values.map(_._2).toSeq)
+  }
+
+  override def abort(): Unit = writers.values.foreach { case (w, rel) =>
+    try w.close() catch { case _: Exception => () }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
   }
 
   override def close(): Unit = ()

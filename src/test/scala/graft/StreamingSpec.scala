@@ -247,6 +247,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.nonEmpty)
   }
 
+  test("DSv2 streaming write to a partition-transformed table: layout + replay safety") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_pw_wh").toString
+    spark.conf.set("spark.sql.catalog.pwcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pwcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS pwcat.st")
+    spark.sql(
+      """CREATE TABLE pwcat.st.pev (event_id BIGINT, user_id BIGINT, event_type STRING)
+        |PARTITIONED BY (bucket(4, user_id))""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft_pw_ckpt").toString
+    val events = EventStreams.readEvents(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = events.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("pwcat.st.pev")
+    try q.awaitTermination() finally q.stop()
+    val tbl = s"$wh/st/pev"
+    val n = batchEvents.count()
+    assert(spark.sql("SELECT * FROM pwcat.st.pev").count() == n)
+    // staged files landed under transform-derived partition directories
+    val manifest = Snapshots.readManifest(tbl)
+    assert(manifest.nonEmpty && manifest.forall(_.path.contains("user_id_bucket=")),
+      s"expected bucket dirs in every staged path: ${manifest.map(_.path).take(3)}")
+    // bucket projection prunes through the catalog read
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def parts(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+    val total = parts("SELECT * FROM pwcat.st.pev")
+    val pruned = parts("SELECT * FROM pwcat.st.pev WHERE user_id = 7")
+    assert(pruned < total, s"bucket filter should prune staged stream files ($pruned/$total)")
+    // restart with the same checkpoint: nothing new → no rows duplicated
+    val q2 = events.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("pwcat.st.pev")
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.sql("SELECT * FROM pwcat.st.pev").count() == n)
+    // a replayed epoch id is dropped without committing
+    val v = Snapshots.currentVersion(tbl)
+    Snapshots.commitStreamEpoch(spark, tbl,
+      graft.streaming.GeoStreams.streamToken(q.id.toString), 0L, Nil)
+    assert(Snapshots.currentVersion(tbl) == v)
+  }
+
   test("streaming parquet sink round-trips every row (checkpointed)") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
