@@ -4,8 +4,9 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -22,7 +23,7 @@ import graft.spatial.{GeoTable, Snapshots, TableSchema, Transforms}
   * `SELECT … FROM graft.db.t VERSION AS OF 3` resolves through
   * `loadTable(ident, version)`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -85,7 +86,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val out = Array.newBuilder[Identifier]
     while (it.hasNext) {
       val p = it.next()
-      if (isTable(p)) out += Identifier.of(namespace, p.getFileName.toString)
+      // dot-dirs are in-flight staged CTAS/REPLACE work, not tables
+      if (isTable(p) && !p.getFileName.toString.startsWith("."))
+        out += Identifier.of(namespace, p.getFileName.toString)
     }
     out.result()
   }
@@ -179,6 +182,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(p.toString, None)
   }
 
+  // ---- atomic CTAS / REPLACE TABLE (the reference's StagingTableCatalog,
+  // SparkCatalog.java stageCreate/stageReplace): writes land in a hidden
+  // sibling dir through the NORMAL table machinery (partition layout,
+  // encodings, stats); commitStagedChanges moves the UUID-named data files
+  // into the real dir and publishes ONE snapshot through the refs CAS.
+  // A failed query aborts the staged dir — the target is never touched.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    mkStaged(ident, schema, partitions, properties, replace = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    mkStaged(ident, schema, partitions, properties, replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    mkStaged(ident, schema, partitions, properties, replace = true, orCreate = true)
+
+  private def mkStaged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean, orCreate: Boolean): StagedTable = {
+    val specs = partitions.map(t => Transforms.parse(toSpec(t, schema))).toSeq
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filterNot { case (k, _) => ReservedProps(k) }
+    }
+    val finalPath = tablePath(ident)
+    val tmp = finalPath.getParent.resolve(
+      s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(12)}")
+    java.nio.file.Files.createDirectories(tmp)
+    // the staged dir IS a graft table: the insert uses the standard append
+    // path (transform layout, write order, encodings, footer stats)
+    Snapshots.commitCreate(tmp.toString,
+      _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
+        schema = Some(schema)))
+    new StagedGraftTable(ident, finalPath.toString, tmp.toString, schema,
+      specs.map(_.spec), props, replace, orCreate)
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
     if (!isTable(p)) false
@@ -232,6 +279,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("namespace properties are not supported")
 
+  // (StagedGraftTable lives below, outside the catalog class)
+
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = java.nio.file.Paths.get(warehouse, namespace: _*)
     if (!java.nio.file.Files.isDirectory(p)) false
@@ -244,5 +293,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }
+  }
+}
+
+/** An in-flight atomic CTAS / REPLACE: a real graft table in a hidden
+  * sibling dir. `commitStagedChanges` moves the staged data files (names
+  * are UUID-unique — no collisions) into the target dir and publishes one
+  * snapshot: `commitCreate` for a new table, [[Snapshots.commitReplace]]
+  * (full-replacement CAS, history retained) for REPLACE. Until that
+  * commit the target table is untouched; abort deletes the staged dir.
+  */
+class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
+    declaredSchema: StructType, parts: Seq[String], props: Map[String, String],
+    replace: Boolean, orCreate: Boolean) extends StagedTable with SupportsWrite {
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = declaredSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // REPLACE plans an overwrite-by-true write; the staged dir starts
+      // empty, so truncation is inherently satisfied
+      override def truncate(): WriteBuilder = this
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            graft.spatial.Geo.install(data.sparkSession)
+            Snapshots.append(data, tmpPath)
+            ()
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val entries = Snapshots.readManifest(tmpPath)
+    val schema = GeoTable.readSchema(tmpPath).getOrElse(declaredSchema)
+    val finalProps = Snapshots.readProps(tmpPath)
+    val exists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(finalPath, GeoTable.ManifestName))
+    if (exists && !replace) throw new TableAlreadyExistsException(ident)
+    if (!exists && replace && !orCreate) throw new NoSuchTableException(ident)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(finalPath))
+    entries.foreach { e =>
+      val src = java.nio.file.Paths.get(tmpPath, e.path)
+      val dst = java.nio.file.Paths.get(finalPath, e.path)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(src, dst)
+    }
+    if (exists)
+      Snapshots.commitReplace(spark, finalPath, entries, schema, parts, finalProps)
+    else
+      Snapshots.commitCreate(finalPath,
+        v => GeoTable.manifestJson(entries.map(_.withAddedV(v)), Nil, parts,
+          props = finalProps, schema = Some(schema)))
+    abortStagedChanges() // staged dir is spent either way
+  }
+
+  override def abortStagedChanges(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(tmpPath)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

@@ -419,6 +419,21 @@ object Snapshots {
       eqDeletes = carriedEq(path, head))
   }
 
+  /** Commit a staged full replacement (atomic `REPLACE TABLE … AS SELECT`,
+    * the reference's `StagingTableCatalog` path): one CAS snapshot makes
+    * the staged entries the ENTIRE table — schema, partitioning, and
+    * properties replaced, delete state and partition history cleared,
+    * prior snapshots retained for time travel. Nothing is visible until
+    * this commit lands.
+    */
+  def commitReplace(spark: SparkSession, path: String, entries: Seq[FileStats],
+      schema: org.apache.spark.sql.types.StructType, parts: Seq[String],
+      props: Map[String, String]): Int = withCommitRetry() {
+    val rs = refsState(path)
+    publish(path, rs, entries, props = props, schema = Some(schema),
+      partsOverride = parts, partHistoryOverride = Nil)
+  }
+
   /** Partition-spec evolution: `ALTER TABLE … ADD/DROP PARTITION FIELD`
     * (the reference's `IcebergSqlExtensions.g4:69-83` DDL). Iceberg
     * semantics: existing files keep the layout they were written under —

@@ -214,9 +214,9 @@ class CatalogSpec extends AnyFunSuite {
     val files = spark.sql("SELECT * FROM gcat.meta.m.files")
     assert(files.count() >= 2)
     assert(files.columns.contains("file_path"))
-    // CTAS commits CREATE (empty v1) + its insert; our INSERT is v3
-    assert(spark.sql("SELECT * FROM gcat.meta.m.snapshots").count() == 3)
-    assert(spark.sql("SELECT * FROM gcat.meta.m.history").count() == 3)
+    // atomic CTAS is ONE staged commit (v1 with files); our INSERT is v2
+    assert(spark.sql("SELECT * FROM gcat.meta.m.snapshots").count() == 2)
+    assert(spark.sql("SELECT * FROM gcat.meta.m.history").count() == 2)
     assert(spark.sql("SELECT * FROM gcat.meta.m.refs").count() >= 1)
     // unknown metadata name is a missing table, not an internal error
     val e = intercept[Exception](spark.sql("SELECT * FROM gcat.meta.m.nosuch").collect())
@@ -348,6 +348,45 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE gcat.wo.t WRITE UNORDERED")
     assert(!spark.sql("SHOW TBLPROPERTIES gcat.wo.t").collect()
       .exists(_.getString(0) == "write.order"))
+  }
+
+  test("atomic CTAS and REPLACE TABLE: failure leaves nothing, replace all-or-nothing") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.stg")
+    spark.sql("CREATE TABLE gcat.stg.ok AS SELECT id, id * 2 AS v FROM range(10)")
+    assert(spark.sql("SELECT * FROM gcat.stg.ok").count() == 10)
+
+    // failing CTAS: no table, no dir, no staged debris
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gcat.stg.bad AS
+        |SELECT IF(id < 5, CAST(id AS STRING), raise_error('boom')) AS s FROM range(10)"""
+        .stripMargin).collect())
+    assert(!spark.sql("SHOW TABLES IN gcat.stg").collect()
+      .map(_.getString(1)).contains("bad"), "failed CTAS must leave no table")
+    assert(java.nio.file.Files.notExists(java.nio.file.Paths.get(warehouse, "stg", "bad")))
+    val leftovers = Files.list(java.nio.file.Paths.get(warehouse, "stg")).iterator()
+    val names = Iterator.continually(leftovers).takeWhile(_.hasNext)
+      .map(_.next().getFileName.toString).toSet
+    assert(!names.exists(_.startsWith(".staging")), s"staged debris left: $names")
+
+    // REPLACE swaps schema + contents in one snapshot, history retained
+    spark.sql("REPLACE TABLE gcat.stg.ok AS SELECT id AS k FROM range(5)")
+    assert(spark.sql("SELECT * FROM gcat.stg.ok").columns.toSeq == Seq("k"))
+    assert(spark.sql("SELECT * FROM gcat.stg.ok").count() == 5)
+    assert(spark.sql("SELECT * FROM gcat.stg.ok VERSION AS OF 1").count() == 10,
+      "REPLACE must retain prior snapshots for time travel")
+
+    // failed REPLACE leaves the current table fully intact
+    intercept[Exception](spark.sql(
+      """REPLACE TABLE gcat.stg.ok AS
+        |SELECT IF(id < 2, CAST(id AS STRING), raise_error('boom')) AS s FROM range(5)"""
+        .stripMargin).collect())
+    assert(spark.sql("SELECT * FROM gcat.stg.ok").count() == 5)
+    assert(spark.sql("SELECT * FROM gcat.stg.ok").columns.toSeq == Seq("k"))
+
+    // CREATE OR REPLACE on a fresh name creates
+    spark.sql("CREATE OR REPLACE TABLE gcat.stg.fresh AS SELECT 1 AS one")
+    assert(spark.sql("SELECT * FROM gcat.stg.fresh").count() == 1)
   }
 
   test("catalog DDL basics: create, list, rename, drop") {
