@@ -277,6 +277,19 @@ case class ShingleHashesN(left: Expression, right: Expression)
   override def inputTypes = Seq[DataType](StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   require(right.foldable, "shingle_hashes_n: the window width must be foldable")
+  // misuse (NULL width, n <= 0) must fail at ANALYSIS time, not as an
+  // ArithmeticException inside the kernel mid-job
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else right.eval(null) match {
+      case i: Integer if i >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case bad =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"shingle_hashes_n: the window width must be a positive integer literal, got $bad")
+    }
+  }
   @transient private lazy val n: Int = right.eval(null).asInstanceOf[Int]
   override protected def nullSafeEval(t: Any, ignored: Any): Any =
     TextKernels.shingleHashesN(t.asInstanceOf[UTF8String], n)

@@ -40,7 +40,11 @@ object Curation {
     // distinct word-5-gram with the benchmark subset (doc_id % 97 == 0
     // stands in for an eval suite). The benchmark's shingle set is
     // broadcast — at 100 TB the corpus side is one map-side semi-join
-    // probe per shingle, no shuffle of the corpus.
+    // probe per shingle, no shuffle of the corpus. The broadcast assumes
+    // a genuinely SMALL eval suite (the real-world shape: benchmarks are
+    // MBs against a corpus of TBs); for an oversized benchmark set drop
+    // the broadcast() hint below and the planner falls back to a shuffled
+    // left_semi join — same semantics, corpus-side shuffle cost.
     "curate_decontaminate" -> ((s, dir) => {
       val d = docs(s, dir)
       val isBench = col("doc_id") % 97 === 0
@@ -85,21 +89,22 @@ object Curation {
     }),
 
     // Deterministic global shuffle index: position of every doc in the
-    // md5-of-id permutation, built scalably — shard by the FIRST hex char
-    // of the hash (shard order == global order prefix), local rank within
-    // each shard, plus a 16-row offset table. Equivalent to a global
-    // ORDER BY md5 row_number, without a single-partition window.
+    // md5-of-id permutation, built scalably — shard by the first TWO hex
+    // chars of the hash (256 shards; shard order == global order prefix),
+    // local rank within each shard, plus a 256-row offset table derived
+    // LAZILY by a running sum over the aggregated counts (a
+    // single-partition window over 256 rows — trivial — keeping query
+    // construction side-effect-free). Equivalent to a global ORDER BY md5
+    // row_number, without a single-partition window over the data.
     "curate_shuffle_index" -> ((s, dir) => {
       val d = docs(s, dir)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("shard", substring(col("h"), 1, 1))
-      val counts = d.groupBy(col("shard")).agg(count(lit(1)).as("c"))
-        .orderBy(col("shard")).collect()
-      var acc = 0L
-      val offsets = counts.map { r =>
-        val o = (r.getString(0), acc); acc += r.getLong(1); o
-      }.toSeq
-      val offDf = d.sparkSession.createDataFrame(offsets).toDF("shard", "off")
+        .withColumn("shard", substring(col("h"), 1, 2))
+      val wOff = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offDf = d.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select(col("shard"), col("off"))
       val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
       d.withColumn("rk", row_number().over(w))
         .join(broadcast(offDf), Seq("shard"))

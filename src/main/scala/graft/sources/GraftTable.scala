@@ -196,7 +196,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 
   // full physical file schema (for parquet footer matching)
   private val physicalDataSchema: StructType = {
-    val full = GeoTable.readSchema(path).getOrElse(spark.read.parquet(path).schema)
+    val full = GeoTable.ensureSchema(spark, path)
     TableSchema.physicalSchema(path).getOrElse(
       StructType(full.fields.filterNot(f => partCols.contains(f.name))))
   }

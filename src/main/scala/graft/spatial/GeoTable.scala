@@ -219,7 +219,7 @@ object GeoTable {
     // authoritative schema from the manifest — relation construction makes
     // ZERO object-store round-trips (no listing, no footer sampling); the
     // inference fallback exists only for legacy manifests without a schema
-    val full = readSchema(path).getOrElse(spark.read.parquet(path).schema)
+    val full = ensureSchema(spark, path)
     val partCols = readPartitionCols(path)
     val partitionSchema = StructType(partCols.flatMap(c => full.fields.find(_.name == c)))
     // evolved tables read under the authoritative stored physical schema
@@ -417,6 +417,20 @@ object GeoTable {
     if (!Files.exists(p)) None
     else parseSchema(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
+
+  /** Authoritative full schema with legacy backfill: manifests written
+    * before schemas were persisted get ONE inference, whose result is
+    * written back as a metadata-only snapshot — so the fallback fires at
+    * most once in a table's lifetime and every later read is
+    * zero-round-trip, the same contract new tables get at write time.
+    */
+  def ensureSchema(spark: SparkSession, path: String): StructType =
+    readSchema(path).getOrElse {
+      val inferred = spark.read.format("parquet").load(path).schema
+      try Snapshots.backfillSchema(path, inferred)
+      catch { case _: Exception => () } // read-only filesystems keep inferring
+      inferred
+    }
 
   /** Positional delete files (`(file_path, pos)` parquet) of a manifest. */
   private[spatial] def parsePosDeletes(txt: String): Seq[String] = {

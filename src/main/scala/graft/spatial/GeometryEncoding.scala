@@ -94,7 +94,7 @@ object GeometryFields {
     val physical = GeometryEncoding.physicalType(enc)
     // manifest schema when available (zero listing); inference only for
     // plain parquet directories that never wrote a graft manifest
-    val schema = GeoTable.readSchema(path).getOrElse(spark.read.parquet(path).schema)
+    val schema = GeoTable.ensureSchema(spark, path)
     val field = schema.fields.find(_.name == column).getOrElse(
       throw new IllegalArgumentException(s"no such column: $column"))
     require(field.dataType == physical,

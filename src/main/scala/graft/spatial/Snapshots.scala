@@ -419,6 +419,18 @@ object Snapshots {
       eqDeletes = carriedEq(path, head))
   }
 
+  /** Persist an inferred schema onto a legacy manifest (one metadata-only
+    * commit); no-op if a schema is already present or the table is empty.
+    */
+  private[spatial] def backfillSchema(path: String,
+      schema: org.apache.spark.sql.types.StructType): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    if (head == 0 || readSchema(path, Some(head)).isDefined) head
+    else publish(path, rs, readManifest(path, Some(head)), carried(path, head),
+      carriedPos(path, head), eqDeletes = carriedEq(path, head), schema = Some(schema))
+  }
+
   /** Commit a staged full replacement (atomic `REPLACE TABLE … AS SELECT`,
     * the reference's `StagingTableCatalog` path): one CAS snapshot makes
     * the staged entries the ENTIRE table — schema, partitioning, and

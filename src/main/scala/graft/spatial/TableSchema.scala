@@ -68,7 +68,7 @@ object TableSchema {
     if (cur.nonEmpty) cur
     else {
       val parts = GeoTable.readPartitionCols(path).toSet
-      val baseline = GeoTable.readSchema(path).getOrElse(spark.read.parquet(path).schema)
+      val baseline = GeoTable.ensureSchema(spark, path)
       val entries = baseline.fields.toSeq
         .filterNot(f => parts.contains(f.name))
         .map(f => Entry(f.name, f.name, f.dataType, dropped = false))

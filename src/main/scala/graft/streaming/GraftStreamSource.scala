@@ -68,8 +68,7 @@ object GraftStreamTable {
     * (inference only for legacy manifests without a persisted schema).
     */
   def tableSchema(path: String): StructType = {
-    val full = GeoTable.readSchema(path)
-      .getOrElse(SparkSession.active.read.parquet(path).schema)
+    val full = GeoTable.ensureSchema(SparkSession.active, path)
     val partCols = GeoTable.readPartitionCols(path)
     val data = TableSchema.physicalSchema(path).getOrElse(
       StructType(full.fields.filterNot(f => partCols.contains(f.name))))
