@@ -3,8 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.types.StructType
@@ -23,7 +23,8 @@ import graft.spatial.{GeoTable, Snapshots, TableSchema, Transforms}
   * `SELECT … FROM graft.db.t VERSION AS OF 3` resolves through
   * `loadTable(ident, version)`.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
+    with ViewCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -244,6 +245,86 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     java.nio.file.Files.move(tablePath(oldIdent), tablePath(newIdent))
   }
 
+  // ---- catalog-level views (the reference's ResolveViews path in
+  // IcebergSparkSessionExtensions.scala:41-43): a view is a dir holding
+  // `_graft_view.json` with the SQL text + context + declared schema.
+  // Spark's analyzer resolves `SELECT … FROM cat.db.v` through loadView
+  // and parses the stored query in the stored catalog/namespace context.
+
+  private val ViewFileName = "_graft_view.json"
+
+  private def viewPath(ident: Identifier): java.nio.file.Path =
+    tablePath(ident).resolve(ViewFileName)
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.exists(viewPath(ident))
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = java.nio.file.Paths.get(warehouse, namespace: _*)
+    if (!java.nio.file.Files.isDirectory(ns)) return Array.empty
+    val it = java.nio.file.Files.list(ns).iterator()
+    val out = Array.newBuilder[Identifier]
+    while (it.hasNext) {
+      val p = it.next()
+      if (java.nio.file.Files.exists(p.resolve(ViewFileName)))
+        out += Identifier.of(namespace.toArray, p.getFileName.toString)
+    }
+    out.result()
+  }
+
+  override def loadView(ident: Identifier): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    GraftView.read(ident, viewPath(ident))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    java.nio.file.Files.createDirectories(tablePath(ident))
+    GraftView.write(viewPath(ident), info.sql, info.currentCatalog,
+      info.currentNamespace, info.schema, info.queryColumnNames,
+      info.columnAliases, info.columnComments, {
+        import scala.jdk.CollectionConverters._
+        info.properties.asScala.toMap
+      })
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    var props = {
+      import scala.jdk.CollectionConverters._
+      v.properties.asScala.toMap
+    }
+    changes.foreach {
+      case s: ViewChange.SetProperty => props += s.property() -> s.value()
+      case r: ViewChange.RemoveProperty => props -= r.property()
+      case other => throw new UnsupportedOperationException(s"unsupported view change: $other")
+    }
+    GraftView.write(viewPath(ident), v.query, v.currentCatalog, v.currentNamespace,
+      v.schema, v.queryColumnNames, v.columnAliases, v.columnComments, props)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    if (!viewExists(ident)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tablePath(ident)).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      true
+    }
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent)) throw new NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new ViewAlreadyExistsException(newIdent)
+    java.nio.file.Files.createDirectories(tablePath(newIdent).getParent)
+    java.nio.file.Files.move(tablePath(oldIdent), tablePath(newIdent))
+  }
+
   // ---- namespaces = directories under the warehouse -----------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -359,5 +440,70 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
     if (java.nio.file.Files.exists(p))
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}
+
+/** Persisted catalog view: SQL text + resolution context + declared
+  * schema, stored as `_graft_view.json` inside the view's dir.
+  */
+case class GraftView(ident: Identifier, sql: String, cat: String, ns: Array[String],
+    viewSchema: StructType, queryCols: Array[String], aliases: Array[String],
+    comments: Array[String], props: Map[String, String]) extends View {
+  override def name(): String = ident.toString
+  override def query(): String = sql
+  override def currentCatalog(): String = cat
+  override def currentNamespace(): Array[String] = ns
+  override def schema(): StructType = viewSchema
+  override def queryColumnNames(): Array[String] = queryCols
+  override def columnAliases(): Array[String] = aliases
+  override def columnComments(): Array[String] = comments
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
+  }
+}
+
+object GraftView {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  import org.json4s.JsonDSL._
+
+  def write(p: java.nio.file.Path, sql: String, cat: String, ns: Array[String],
+      schema: StructType, queryCols: Array[String], aliases: Array[String],
+      comments: Array[String], props: Map[String, String]): Unit = {
+    val json: JObject =
+      ("sql" -> sql) ~
+      ("currentCatalog" -> cat) ~
+      ("currentNamespace" -> ns.toList) ~
+      ("schema" -> JsonMethods.parse(schema.json)) ~
+      ("queryColumnNames" -> Option(queryCols).map(_.toList).getOrElse(Nil)) ~
+      ("columnAliases" -> Option(aliases).map(_.toList).getOrElse(Nil)) ~
+      ("columnComments" -> Option(comments).map(_.toList.map(Option(_).getOrElse(""))).getOrElse(Nil)) ~
+      ("properties" -> props)
+    java.nio.file.Files.write(p,
+      JsonMethods.compact(JsonMethods.render(json)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  def read(ident: Identifier, p: java.nio.file.Path): GraftView = {
+    val txt = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val j = JsonMethods.parse(txt)
+    def str(field: String): String = (j \ field) match {
+      case JString(s) => s
+      case _ => ""
+    }
+    def arr(field: String): Array[String] = (j \ field) match {
+      case JArray(xs) => xs.collect { case JString(s) => s }.toArray
+      case _ => Array.empty
+    }
+    val schema = org.apache.spark.sql.types.DataType.fromJson(
+      JsonMethods.compact(JsonMethods.render(j \ "schema"))).asInstanceOf[StructType]
+    val props = (j \ "properties") match {
+      case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    GraftView(ident, str("sql"), str("currentCatalog"), arr("currentNamespace"),
+      schema, arr("queryColumnNames"), arr("columnAliases"), arr("columnComments"), props)
   }
 }

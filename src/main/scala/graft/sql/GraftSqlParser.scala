@@ -24,8 +24,10 @@ import graft.spatial.{GeometryFields, Snapshots}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    GraftStatements.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val plan = GraftStatements.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftViews.substitute(plan, this)
+  }
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -112,6 +114,10 @@ object GraftStatements {
     }
 
   def tryParse(sql: String): Option[LogicalPlan] = {
+    GraftViews.tryParse(sql) match {
+      case some @ Some(_) => return some
+      case None =>
+    }
     val dml = sql match {
       case DeleteRe(tbl, cond) => Some(DmlCommand(tbl, "delete", cond, Nil, ""))
       case UpdateRe(tbl, sets, cond) =>

@@ -1,0 +1,205 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{BooleanType, StringType}
+
+import graft.sources.GraftView
+import graft.spatial.GeoTable
+
+/** Catalog-level views for graft catalogs — the rebuild of the reference's
+  * `ResolveViews` extension path (`IcebergSparkSessionExtensions.scala:41-43`
+  * in /root/reference). Spark 4.1 ships the `ViewCatalog` SPI (which
+  * [[graft.sources.GraftCatalog]] implements for programmatic use) but no
+  * analyzer support for it, so — exactly like the reference — the session
+  * extension does the work:
+  *
+  *  - view DDL (`CREATE [OR REPLACE] VIEW`, `DROP VIEW`, `SHOW VIEWS`,
+  *    `ALTER VIEW … RENAME TO`) parses here when the identifier lands in a
+  *    registered graft catalog; everything else falls through to Spark;
+  *  - view REFERENCES substitute at parse time: an `UnresolvedRelation`
+  *    naming a stored view is replaced by its parsed SQL (re-entering the
+  *    parser, so nested views compose), with single-part names inside the
+  *    body qualified by the view's stored catalog/namespace context.
+  */
+object GraftViews {
+
+  val ViewFileName = "_graft_view.json"
+
+  private val CreateViewRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*$""".r
+  private val DropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val ShowViewsRe =
+    """(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.]+)\s*$""".r
+  private val RenameViewRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$""".r
+
+  private def spark: Option[SparkSession] = SparkSession.getActiveSession
+
+  private def graftWarehouse(cat: String): Option[String] = spark.flatMap { s =>
+    val impl = s.conf.getOption(s"spark.sql.catalog.$cat")
+    if (impl.contains(classOf[graft.sources.GraftCatalog].getName))
+      s.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+    else None
+  }
+
+  private def isCatalogName(name: String): Boolean =
+    name == "spark_catalog" ||
+      spark.exists(_.conf.getOption(s"spark.sql.catalog.$name").isDefined)
+
+  /** `(catalog, namespace, name, dir)` when `parts` lands in a graft
+    * catalog — explicitly (`cat.ns.name`) or through the session's current
+    * catalog/namespace.
+    */
+  private def resolveIdent(parts: Seq[String]): Option[(String, Seq[String], String, java.nio.file.Path)] = {
+    if (parts.length >= 2 && graftWarehouse(parts.head).isDefined) {
+      val wh = graftWarehouse(parts.head).get
+      val ns = parts.tail.init
+      Some((parts.head, ns,
+        parts.last, java.nio.file.Paths.get(wh, parts.tail: _*)))
+    } else spark.flatMap { s =>
+      val cm = s.sessionState.catalogManager
+      val cat = cm.currentCatalog.name
+      graftWarehouse(cat).map { wh =>
+        val ns = if (parts.length == 1) cm.currentNamespace.toSeq else parts.init
+        (cat, ns, parts.last, java.nio.file.Paths.get(wh, (ns :+ parts.last): _*))
+      }
+    }
+  }
+
+  private def viewFile(dir: java.nio.file.Path): java.nio.file.Path =
+    dir.resolve(ViewFileName)
+
+  def tryParse(sql: String): Option[LogicalPlan] = sql match {
+    case CreateViewRe(replace, ifNotExists, ident, query) =>
+      resolveIdent(ident.split('.').toSeq).map { case (_, _, name, dir) =>
+        GraftCreateViewCommand(dir.toString, name, query.trim,
+          replace != null, ifNotExists != null)
+      }
+    case DropViewRe(ifExists, ident) =>
+      resolveIdent(ident.split('.').toSeq).map { case (_, _, name, dir) =>
+        GraftDropViewCommand(dir.toString, name, ifExists != null)
+      }
+    case ShowViewsRe(ident) =>
+      val parts = ident.split('.').toSeq
+      val whNs: Option[(String, Seq[String])] =
+        if (graftWarehouse(parts.head).isDefined)
+          Some((graftWarehouse(parts.head).get, parts.tail))
+        else None
+      whNs.map { case (wh, ns) => GraftShowViewsCommand(wh, ns) }
+    case RenameViewRe(from, to) =>
+      for {
+        (_, _, _, fromDir) <- resolveIdent(from.split('.').toSeq)
+        (_, _, _, toDir) <- resolveIdent(to.split('.').toSeq)
+        if java.nio.file.Files.exists(viewFile(fromDir))
+      } yield GraftRenameViewCommand(fromDir.toString, toDir.toString)
+    case _ => None
+  }
+
+  // re-entrant substitution depth cap (cyclic view definitions)
+  private val depth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
+
+  /** Replace graft-view relations with their parsed, context-qualified SQL. */
+  def substitute(plan: LogicalPlan, parser: ParserInterface): LogicalPlan = {
+    if (spark.isEmpty || depth.get >= 10) return plan
+    plan.transformUp {
+      case u: UnresolvedRelation =>
+        resolveIdent(u.multipartIdentifier) match {
+          case Some((_, _, name, dir)) if java.nio.file.Files.exists(viewFile(dir)) =>
+            val view = GraftView.read(
+              Identifier.of(Array.empty, name), viewFile(dir))
+            depth.set(depth.get + 1)
+            try {
+              val child = parser.parsePlan(view.query)
+              // single-part (and catalog-less) names inside the body
+              // resolve in the view's STORED context, not the caller's
+              val qualified = child.transformUp {
+                case r: UnresolvedRelation if !isCatalogName(r.multipartIdentifier.head) =>
+                  val parts =
+                    if (r.multipartIdentifier.length == 1)
+                      (view.currentCatalog +: view.currentNamespace.toSeq) :+
+                        r.multipartIdentifier.head
+                    else view.currentCatalog +: r.multipartIdentifier
+                  UnresolvedRelation(parts)
+              }
+              SubqueryAlias(name, qualified)
+            } finally depth.set(depth.get - 1)
+          case _ => u
+        }
+    }
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v AS query` on a graft
+  * catalog: validates the query in the CURRENT session context, stores
+  * SQL + context + schema. Stored SQL, never materialized.
+  */
+case class GraftCreateViewCommand(dir: String, name: String, sql: String,
+    replace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = java.nio.file.Paths.get(dir)
+    val vp = d.resolve(GraftViews.ViewFileName)
+    require(!java.nio.file.Files.exists(d.resolve(GeoTable.ManifestName)),
+      s"cannot create view $name: a table with this name exists")
+    if (java.nio.file.Files.exists(vp) && !replace) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalStateException(s"view already exists: $name")
+    }
+    val schema = spark.sql(sql).schema // resolves + validates the body now
+    val cm = spark.sessionState.catalogManager
+    java.nio.file.Files.createDirectories(d)
+    GraftView.write(vp, sql, cm.currentCatalog.name, cm.currentNamespace,
+      schema, schema.fieldNames, Array.empty, Array.empty, Map.empty)
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(dir: String, name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = java.nio.file.Paths.get(dir)
+    val vp = d.resolve(GraftViews.ViewFileName)
+    if (!java.nio.file.Files.exists(vp)) {
+      if (ifExists) return Seq.empty
+      throw new IllegalStateException(s"view not found: $name")
+    }
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    Seq.empty
+  }
+}
+
+case class GraftShowViewsCommand(warehouse: String, ns: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nsPath = java.nio.file.Paths.get(warehouse, ns: _*)
+    if (!java.nio.file.Files.isDirectory(nsPath)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(nsPath).iterator().asScala
+      .filter(p => java.nio.file.Files.exists(p.resolve(GraftViews.ViewFileName)))
+      .map(p => Row(ns.mkString("."), p.getFileName.toString, false))
+      .toSeq.sortBy(_.getString(1))
+  }
+}
+
+case class GraftRenameViewCommand(fromDir: String, toDir: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val to = java.nio.file.Paths.get(toDir)
+    require(!java.nio.file.Files.exists(to), s"target already exists: $toDir")
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(fromDir), to)
+    Seq.empty
+  }
+}

@@ -389,6 +389,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.stg.fresh").count() == 1)
   }
 
+  test("catalog-level views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP VIEW") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vw")
+    spark.sql("CREATE TABLE gcat.vw.base AS SELECT id, id % 3 AS grp FROM range(30)")
+    spark.sql(
+      "CREATE VIEW gcat.vw.bysum AS SELECT grp, sum(id) AS s FROM gcat.vw.base GROUP BY grp")
+    val got = spark.sql("SELECT * FROM gcat.vw.bysum ORDER BY grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 135L), (1L, 145L), (2L, 155L)))
+    // the view tracks base-table changes (stored SQL, not materialized)
+    spark.sql("INSERT INTO gcat.vw.base VALUES (99, 0)")
+    assert(spark.sql("SELECT s FROM gcat.vw.bysum WHERE grp = 0")
+      .collect().head.getLong(0) == 234L)
+    // the view resolves relative names in its stored namespace context
+    spark.sql("USE gcat.vw")
+    try {
+      spark.sql("CREATE VIEW rel AS SELECT count(*) AS n FROM base")
+      assert(spark.sql("SELECT n FROM rel").collect().head.getLong(0) == 31L)
+    } finally spark.sql("USE spark_catalog.default")
+    assert(spark.sql("SHOW VIEWS IN gcat.vw").collect()
+      .map(_.getString(1)).toSet == Set("bysum", "rel"))
+    spark.sql("ALTER VIEW gcat.vw.rel RENAME TO gcat.vw.rel2")
+    assert(spark.sql("SELECT n FROM gcat.vw.rel2").collect().head.getLong(0) == 31L)
+    spark.sql("DROP VIEW gcat.vw.rel2")
+    intercept[Exception](spark.sql("SELECT * FROM gcat.vw.rel2").collect())
+    // views never shadow tables in listings
+    assert(spark.sql("SHOW TABLES IN gcat.vw").collect()
+      .map(_.getString(1)).contains("base"))
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
