@@ -618,10 +618,40 @@ object Snapshots {
     }
   }
 
+  /** Declared write distribution (`write.distribution-mode = hash`, set by
+    * `ALTER TABLE … WRITE DISTRIBUTED BY PARTITION`): rows hash-shuffle to
+    * their partition transform values before writing, so each partition
+    * directory receives files from FEW tasks instead of every task
+    * spilling a sliver into every directory — the reference's
+    * `SparkWriteUtil` distribution modes, and the difference between
+    * #dirs and #tasks×#dirs files at 100 TB. A declared `write.order`
+    * then sorts LOCALLY within the shuffled tasks.
+    */
+  private def writeShape(df: DataFrame, path: String): DataFrame = {
+    val specs = GeoTable.readPartitionSpecs(path)
+    val hash = currentVersion(path) > 0 && specs.nonEmpty &&
+      readProps(path).get("write.distribution-mode").exists(_.equalsIgnoreCase("hash"))
+    if (!hash) applyWriteOrder(df, path)
+    else {
+      graft.functions.GeoSql.install(df.sparkSession)
+      val rep = df.repartition(specs.map(t => Transforms.writeExpr(t, df)): _*)
+      val keys: Seq[Column] = readProps(path).get("write.order").toSeq.flatMap { spec =>
+        spec.trim match {
+          case HilbertOrderRe(c, res, x1, y1, x2, y2) if df.columns.contains(c) =>
+            Seq(graft.functions.GeoSql.hilbert(col(c), lit(res.toInt),
+              lit(x1.toDouble), lit(y1.toDouble), lit(x2.toDouble), lit(y2.toDouble)))
+          case cols =>
+            cols.split(',').toSeq.map(_.trim).filter(df.columns.contains).map(col)
+        }
+      }
+      if (keys.isEmpty) rep else rep.sortWithinPartitions(keys: _*)
+    }
+  }
+
   private def writeBack(df: DataFrame, path: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
     val spark = df.sparkSession
     val specs = GeoTable.readPartitionSpecs(path)
-    val physical = TableSchema.toPhysical(encodeForStorage(applyWriteOrder(df, path), path), path)
+    val physical = TableSchema.toPhysical(encodeForStorage(writeShape(df, path), path), path)
     // derive missing transform partition columns (appends carry source
     // cols; CoW rewrites already carry the derived ones)
     val withDerived = specs
@@ -892,18 +922,36 @@ object Snapshots {
     if (morMode(path, "write.delete.mode")) deleteMoRPositions(spark, path, cond)
     else deleteCoW(spark, path, cond)
 
-  /** MoR DELETE: one scan finds matching `(file, pos)` rows (existing
-    * delete state applies, so already-deleted rows never re-enter);
-    * publish attaches the delete file in a single commit.
+  /** Live rows WITH their `(file, pos)` provenance — the input every
+    * position-delta DML needs. `_metadata` only binds directly above the
+    * file scan, so provenance materializes FIRST and the snapshot's delete
+    * state applies on top (already-deleted rows never re-enter).
+    */
+  private def readWithPositions(spark: SparkSession, path: String,
+      version: Option[Int]): DataFrame = {
+    val m = readManifest(path, version)
+    val base = GeoTable.readWithStats(spark, path, m)
+      .withColumn("__mor_file", expr("_metadata.file_path"))
+      .withColumn("__mor_pos", expr("_metadata.row_index"))
+    GeoTable.applyDeletes(
+      applyEqDeletes(spark, path,
+        applyPosDeletes(spark, path, base, readPosDeletes(path, version)),
+        readEqDeletes(path, version), m),
+      readDeletes(path, version))
+  }
+
+  private def positionsOf(df: DataFrame): DataFrame =
+    df.select(col("__mor_file").as("file_path"), col("__mor_pos").as("pos"))
+
+  /** MoR DELETE: one scan finds matching `(file, pos)` rows; publish
+    * attaches the delete file in a single commit.
     */
   private def deleteMoRPositions(spark: SparkSession, path: String,
       cond: Column): Int = withCommitRetry() {
     val rs = refsState(path)
     val head = rs.mainHead(path)
-    val positions = read(spark, path, Some(head))
-      .filter(coalesce(cond, lit(false)))
-      .select(expr("_metadata.file_path").as("file_path"),
-        expr("_metadata.row_index").as("pos"))
+    val positions = positionsOf(
+      readWithPositions(spark, path, Some(head)).filter(coalesce(cond, lit(false))))
     if (positions.take(1).isEmpty) head // nothing matches: no-op snapshotless
     else {
       val name = writeDeleteFile(positions, path, "posdel")
@@ -949,14 +997,12 @@ object Snapshots {
     val rs = refsState(path)
     val head = rs.mainHead(path)
     val hit = coalesce(cond, lit(false))
-    val table = read(spark, path, Some(head))
-    val positions = table.filter(hit)
-      .select(expr("_metadata.file_path").as("file_path"),
-        expr("_metadata.row_index").as("pos"))
+    val matched = readWithPositions(spark, path, Some(head)).filter(hit)
+    val positions = positionsOf(matched)
     if (positions.take(1).isEmpty) head
     else {
       val name = writeDeleteFile(positions, path, "posdel")
-      val updated = assignments.foldLeft(table.filter(hit)) {
+      val updated = assignments.foldLeft(matched.drop("__mor_file", "__mor_pos")) {
         case (df, (c, v)) => df.withColumn(c, v)
       }
       // assigned geometry columns must refresh their bbox shadow (same
@@ -1004,13 +1050,41 @@ object Snapshots {
     }
   }
 
-  /** Copy-on-write MERGE (upsert): target rows whose key appears in
-    * `source` are replaced by the source row; unmatched source rows are
-    * inserted. Only target files whose key-range stats overlap the source's
-    * key range are rewritten (`SparkCopyOnWriteOperation` + the reference's
-    * MoR/CoW MERGE surface, SURVEY.md §2.7). Source keys must be unique.
+  /** MERGE (upsert), honoring `write.merge.mode`: target rows whose key
+    * appears in `source` are replaced by the source row; unmatched source
+    * rows are inserted. Copy-on-write rewrites overlapping files;
+    * merge-on-read deletes the matched rows by position and appends all
+    * source rows — one commit, zero data files rewritten (the reference's
+    * position-delta MERGE). Source keys must be unique.
     */
   def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
+      keyCol: String): Int =
+    if (morMode(path, "write.merge.mode")) mergeUpsertMoR(spark, path, source, keyCol)
+    else mergeUpsertCoW(spark, path, source, keyCol)
+
+  private def mergeUpsertMoR(spark: SparkSession, path: String, source: DataFrame,
+      keyCol: String): Int = withCommitRetry() {
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    val table = read(spark, path, Some(head))
+    val src = source.select(table.columns.map(col): _*)
+    val positions = positionsOf(
+      readWithPositions(spark, path, Some(head))
+        .join(src.select(col(keyCol)), Seq(keyCol), "left_semi"))
+    val delFile =
+      if (positions.take(1).isEmpty) None
+      else Some(writeDeleteFile(positions, path, "posdel"))
+    val (added, _) = writeBack(src, path)
+    publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
+      carried(path, head), carriedPos(path, head) ++ delFile,
+      eqDeletes = carriedEq(path, head))
+  }
+
+  /** Copy-on-write MERGE: only target files whose key-range stats overlap
+    * the source's key range are rewritten (`SparkCopyOnWriteOperation` +
+    * the reference's MoR/CoW MERGE surface, SURVEY.md §2.7).
+    */
+  private def mergeUpsertCoW(spark: SparkSession, path: String, source: DataFrame,
       keyCol: String): Int = withCommitRetry() {
     val rs = refsState(path)
     val head = rs.mainHead(path)

@@ -59,6 +59,8 @@ object GraftStatements {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*$""".r
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+UNORDERED\s*$""".r
+  private val WriteDistRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+DISTRIBUTED\s+BY\s+PARTITION(?:\s+LOCALLY\s+ORDERED\s+BY\s+(.+?))?\s*$""".r
   // partition-spec evolution (ref IcebergSqlExtensions.g4:69-83)
   private val AddPartFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
@@ -183,6 +185,8 @@ object GraftStatements {
           s"SET GEOMETRY FIELDS expects `col AS 'encoding'`, got: $bad")
       }
       Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
+    case WriteDistRe(tbl, order) =>
+      Some(WriteDistributionCommand(resolveTable(tbl), Option(order).map(_.trim)))
     case WriteOrderRe(tbl, order) =>
       Some(WriteOrderCommand(resolveTable(tbl), Some(order.trim)))
     case WriteUnorderedRe(tbl) =>
@@ -318,6 +322,22 @@ case class WriteOrderCommand(path: String, order: Option[String])
       case None => Snapshots.updateProperties(path, Map.empty, unset = Seq("write.order"))
     }
     Seq(Row(v.toLong))
+  }
+}
+
+/** `ALTER TABLE t WRITE DISTRIBUTED BY PARTITION [LOCALLY ORDERED BY …]`
+  * — hash-distribute writes onto the partition transforms (stored as
+  * `write.distribution-mode = hash`), optionally with a local sort order;
+  * the reference's write distribution modes (`SparkWriteUtil.java`).
+  */
+case class WriteDistributionCommand(path: String, order: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val props = Map("write.distribution-mode" -> "hash") ++
+      order.map("write.order" -> _)
+    Seq(Row(Snapshots.updateProperties(path, props).toLong))
   }
 }
 

@@ -419,6 +419,26 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("base"))
   }
 
+  test("WRITE DISTRIBUTED BY PARTITION: one shuffle, few files per partition dir") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.wd")
+    spark.sql(
+      "CREATE TABLE gcat.wd.t (id BIGINT, v STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql("ALTER TABLE gcat.wd.t WRITE DISTRIBUTED BY PARTITION")
+    // a 16-partition source would otherwise write up to 16 files per bucket
+    spark.range(0, 400, 1, 16).toDF("id")
+      .withColumn("v", concat(lit("v"), col("id")))
+      .createOrReplaceTempView("wd_src")
+    spark.sql("INSERT INTO gcat.wd.t SELECT * FROM wd_src")
+    val files = Snapshots.readManifest(s"$warehouse/wd/t")
+    assert(files.nonEmpty && files.forall(_.path.contains("id_bucket=")))
+    // hash distribution: each bucket dir written by ONE task → 4 files,
+    // not tasks × dirs
+    assert(files.size <= 4,
+      s"expected at most one file per bucket dir, got ${files.size}")
+    assert(spark.sql("SELECT * FROM gcat.wd.t").count() == 400)
+  }
+
   test("catalog DDL basics: create, list, rename, drop") {
     import org.apache.spark.sql.types._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")

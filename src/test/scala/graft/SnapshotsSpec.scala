@@ -249,6 +249,19 @@ class SnapshotsSpec extends AnyFunSuite {
     val v = Snapshots.currentVersion(dir)
     Snapshots.delete(spark, dir, col("id") === 99999)
     assert(Snapshots.currentVersion(dir) == v)
+
+    // MERGE under write.merge.mode: matched rows die by position, all
+    // source rows append — no pre-existing data file rewritten
+    Snapshots.updateProperties(dir, Map("write.merge.mode" -> "merge-on-read"))
+    val before = Snapshots.readManifest(dir).map(_.path).toSet
+    val srcRows = mkDf(1 to 3, 1).withColumn("id", col("id") + 1000)
+      .unionByName(mkDf(8 to 9, 1)) // 2 updates (ids 8,9) + 3 inserts (1001..1003)
+    Snapshots.mergeUpsert(spark, dir, srcRows, "id")
+    Snapshots.mergeUpsert(spark, cowDir, srcRows, "id")
+    assert(before.subsetOf(Snapshots.readManifest(dir).map(_.path).toSet),
+      "MoR merge must keep every pre-existing data file")
+    assert(rows(dir) == rows(cowDir))
+
     // compaction materializes and clears the position deletes
     Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
     assert(Snapshots.readPosDeletes(dir).isEmpty)
