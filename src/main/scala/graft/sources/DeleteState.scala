@@ -102,19 +102,28 @@ object DeleteFiles {
     * FILE-LEVEL pairs only (≤ #delete-files × #touched-data-files), never
     * delete rows. Returns normalized data path → covering delete files.
     */
+  // delete files are immutable (UUID-named, replaced not rewritten), so a
+  // coverage result is valid forever — memoized per driver JVM to keep
+  // per-micro-batch planning from re-running the distinct-pairs job
+  private val coverageCache =
+    new ConcurrentHashMap[String, Map[String, Seq[DeleteFileRef]]]()
+
   def posCoverage(spark: SparkSession, tablePath: String,
       posFiles: Seq[DeleteFileRef]): Map[String, Seq[DeleteFileRef]] = {
     if (posFiles.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.col
-    val byPath = posFiles.map(f => norm(f.path) -> f).toMap
-    spark.read.parquet(posFiles.map(_.path): _*)
-      .select(col("file_path"), col("_metadata.file_path").as("__src"))
-      .distinct()
-      .collect()
-      .groupBy(r => norm(r.getString(0)))
-      .map { case (data, rows) =>
-        data -> rows.flatMap(r => byPath.get(norm(r.getString(1)))).toSeq.distinct
-      }
+    val key = posFiles.map(f => s"${f.path}#${f.len}").sorted.mkString("|")
+    coverageCache.computeIfAbsent(key, _ => {
+      import org.apache.spark.sql.functions.col
+      val byPath = posFiles.map(f => norm(f.path) -> f).toMap
+      spark.read.parquet(posFiles.map(_.path): _*)
+        .select(col("file_path"), col("_metadata.file_path").as("__src"))
+        .distinct()
+        .collect()
+        .groupBy(r => norm(r.getString(0)))
+        .map { case (data, rows) =>
+          data -> rows.flatMap(r => byPath.get(norm(r.getString(1)))).toSeq.distinct
+        }
+    })
   }
 
   /** Stat delete files once at planning (absolute paths + lengths). */

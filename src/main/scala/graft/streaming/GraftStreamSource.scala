@@ -55,7 +55,9 @@ class GraftStreamProvider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new GraftStreamTable(tablePath(opts),
-      Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
+      Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue),
+      Option(opts.get("maxRecordsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
   }
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
@@ -76,7 +78,9 @@ object GraftStreamTable {
   }
 }
 
-class GraftStreamTable(path: String, maxFiles: Int) extends Table with SupportsRead {
+class GraftStreamTable(path: String, maxFiles: Int,
+    maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-stream:$path"
   override def schema(): StructType = GraftStreamTable.tableSchema(path)
   override def capabilities(): util.Set[TableCapability] =
@@ -87,7 +91,7 @@ class GraftStreamTable(path: String, maxFiles: Int) extends Table with SupportsR
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(path, maxFiles)
+          new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes)
       }
     }
 }
@@ -106,7 +110,8 @@ object GraftStreamOffset {
   }
 }
 
-class GraftMicroBatchStream(path: String, maxFiles: Int)
+class GraftMicroBatchStream(path: String, maxFiles: Int,
+    maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
@@ -141,21 +146,50 @@ class GraftMicroBatchStream(path: String, maxFiles: Int)
     GraftStreamOffset(n)
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxFiles == Int.MaxValue) ReadLimit.allAvailable() else ReadLimit.maxFiles(maxFiles)
+  /** Admission by files, records, AND bytes — records/bytes come from the
+    * MANIFEST's per-file stats, so rate limiting costs zero data reads
+    * (the reference's maxFilesPerTrigger/maxRecordsPerTrigger surface).
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      if (maxFiles != Int.MaxValue) Some(ReadLimit.maxFiles(maxFiles)) else None,
+      if (maxRecords != Long.MaxValue) Some(ReadLimit.maxRows(maxRecords)) else None,
+      if (maxBytes != Long.MaxValue) Some(ReadLimit.maxBytes(maxBytes)) else None).flatten
+    limits match {
+      case Nil => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called with SupportsAdmissionControl")
 
+  private def caps(limit: ReadLimit): (Long, Long, Long) = limit match {
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.map(caps).reduce((a, b) =>
+        (math.min(a._1, b._1), math.min(a._2, b._2), math.min(a._3, b._3)))
+    case m: ReadMaxFiles => (m.maxFiles().toLong, Long.MaxValue, Long.MaxValue)
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      (Long.MaxValue, m.maxRows(), Long.MaxValue)
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      (Long.MaxValue, Long.MaxValue, m.maxBytes())
+    case _ => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = GraftStreamOffset(start).filesSeen
-    val total = fileChain().size.toLong
-    val cap = limit match {
-      case m: ReadMaxFiles => m.maxFiles().toLong
-      case _ => Long.MaxValue
-    }
-    GraftStreamOffset(math.min(total, s + cap))
+    val s = GraftStreamOffset(start).filesSeen.toInt
+    val (mf, mr, mb) = caps(limit)
+    var files = 0L; var rows = 0L; var bytes = 0L
+    fileChain().drop(s).iterator.takeWhile { f =>
+      // always admit the first pending file so the stream makes progress
+      val admit = files < mf &&
+        (files == 0 || (rows + f.rows <= mr && bytes + f.sizeBytes <= mb))
+      if (admit) { files += 1; rows += f.rows; bytes += f.sizeBytes }
+      admit
+    }.foreach(_ => ())
+    GraftStreamOffset(s + files)
   }
 
   override def reportLatestOffset(): Offset = GraftStreamOffset(fileChain().size.toLong)

@@ -199,6 +199,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batches >= 4, s"1 file per trigger over 4 files should give >= 4 batches, got $batches")
   }
 
+  test("table stream honors maxRecordsPerTrigger from manifest stats") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_admrec").toString
+    val src = GeoTable.withBbox(
+      batchEvents.limit(400).select(col("event_id"),
+        graft.functions.GeoSql.st_point(
+          (col("event_id") % 170 - 85).cast("double"),
+          (col("event_id") % 80 - 40).cast("double")).as("geom")), "geom")
+    GeoTable.write(src, dir, "geom", res = 8, numFiles = 4)
+    // 4 files x ~100 rows; a 120-row cap admits one file per trigger (the
+    // row counts come from the MANIFEST, no data read at admission time)
+    var batches = 0
+    val q = spark.readStream.format("graft-stream")
+      .option("path", dir).option("maxRecordsPerTrigger", "120")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) batches += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches >= 3, s"120-row cap over 4x100-row files should give >= 3 batches, got $batches")
+    assert(spark.read.format("graft").load(dir).count() == 400)
+  }
+
   test("DSv2 streaming write: writeStream into a catalog table, exactly-once epochs") {
     import graft.spatial.Snapshots
     graft.spatial.Geo.install(spark)
