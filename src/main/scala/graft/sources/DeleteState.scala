@@ -144,8 +144,15 @@ object DeleteFiles {
   * clears them) and live in EXECUTOR memory — the point of the design.
   */
 object DeleteFileCache {
+  // crude bound: compaction clears delete files over time, but a
+  // long-lived executor serving MANY tables must not accrete every index
+  // it ever parsed — when full, drop everything and re-parse on demand
+  private val MaxEntries = 64
   private val positions = new ConcurrentHashMap[String, Map[String, Array[Long]]]()
   private val keys = new ConcurrentHashMap[String, Set[Seq[Any]]]()
+
+  private def bound(m: ConcurrentHashMap[String, _]): Unit =
+    if (m.size > MaxEntries) m.clear()
 
   /** Sorted deleted positions of `dataAbs` (falling back to a
     * table-relative suffix match for entries recorded under a differently
@@ -153,6 +160,7 @@ object DeleteFileCache {
     */
   def positionsFor(factory: ParquetPartitionReaderFactory, file: DeleteFileRef,
       dataAbs: String, rel: String): Array[Long] = {
+    bound(positions)
     val idx = positions.computeIfAbsent(file.path, _ => {
       val acc = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
       readAll(factory, file) { r =>
@@ -170,7 +178,8 @@ object DeleteFileCache {
     * compare equal to reader-row extractions). Rows are copied out of the
     * reader's reused buffer before extraction.
     */
-  def keysFor(spec: EqDeleteSpec): Set[Seq[Any]] =
+  def keysFor(spec: EqDeleteSpec): Set[Seq[Any]] = {
+    bound(keys)
     keys.computeIfAbsent(spec.file.path, _ => {
       val acc = Set.newBuilder[Seq[Any]]
       readAll(spec.factory, spec.file) { r =>
@@ -179,6 +188,7 @@ object DeleteFileCache {
       }
       acc.result()
     })
+  }
 
   private def readAll(factory: ParquetPartitionReaderFactory, file: DeleteFileRef)(
       f: InternalRow => Unit): Unit = {
