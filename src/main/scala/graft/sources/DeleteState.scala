@@ -60,6 +60,9 @@ case class GraftInputPartition(
     posDeletes: Array[DeleteFileRef],
     eqDeletes: Seq[EqDeleteSpec]) extends InputPartition {
   def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
+  // keep the wrapped FilePartition's block-host hints — without this the
+  // scheduler loses data locality on any locality-aware store
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
 }
 
 object DeleteFiles {
@@ -103,27 +106,42 @@ object DeleteFiles {
     * delete rows. Returns normalized data path → covering delete files.
     */
   // delete files are immutable (UUID-named, replaced not rewritten), so a
-  // coverage result is valid forever — memoized per driver JVM to keep
-  // per-micro-batch planning from re-running the distinct-pairs job
-  private val coverageCache =
-    new ConcurrentHashMap[String, Map[String, Seq[DeleteFileRef]]]()
+  // per-FILE coverage result is valid forever — memoized per driver JVM,
+  // keyed by individual delete file (NOT by the whole delete-file set: a
+  // streaming MoR table grows that set every few commits, and set-keyed
+  // entries would accrete O(N^2) superseded state). A micro-batch only
+  // pays the distinct-pairs job for delete files it has never seen.
+  private val CoverageMaxEntries = 4096
+  private val coverageCache = new ConcurrentHashMap[String, Seq[String]]()
+
+  private def coverageKey(f: DeleteFileRef): String = s"${f.path}#${f.len}"
 
   def posCoverage(spark: SparkSession, tablePath: String,
       posFiles: Seq[DeleteFileRef]): Map[String, Seq[DeleteFileRef]] = {
     if (posFiles.isEmpty) return Map.empty
-    val key = posFiles.map(f => s"${f.path}#${f.len}").sorted.mkString("|")
-    coverageCache.computeIfAbsent(key, _ => {
+    val missing = posFiles.filter(f => !coverageCache.containsKey(coverageKey(f)))
+    if (missing.nonEmpty) {
       import org.apache.spark.sql.functions.col
-      val byPath = posFiles.map(f => norm(f.path) -> f).toMap
-      spark.read.parquet(posFiles.map(_.path): _*)
+      val bySrc = spark.read.parquet(missing.map(_.path): _*)
         .select(col("file_path"), col("_metadata.file_path").as("__src"))
         .distinct()
         .collect()
-        .groupBy(r => norm(r.getString(0)))
-        .map { case (data, rows) =>
-          data -> rows.flatMap(r => byPath.get(norm(r.getString(1)))).toSeq.distinct
-        }
-    })
+        .groupBy(r => norm(r.getString(1)))
+      if (coverageCache.size > CoverageMaxEntries) coverageCache.clear()
+      missing.foreach { f =>
+        val covered = bySrc.getOrElse(norm(f.path), Array.empty)
+          .map(r => norm(r.getString(0))).toSeq.distinct
+        coverageCache.put(coverageKey(f), covered)
+      }
+    }
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[DeleteFileRef]]
+    posFiles.foreach { f =>
+      coverageCache.getOrDefault(coverageKey(f), Nil).foreach { data =>
+        acc.getOrElseUpdate(data, scala.collection.mutable.ArrayBuffer.empty) += f
+      }
+    }
+    acc.map { case (k, v) => k -> v.toSeq }.toMap
   }
 
   /** Stat delete files once at planning (absolute paths + lengths). */

@@ -768,7 +768,7 @@ object Snapshots {
   def deleteByPosition(spark: SparkSession, path: String, positions: DataFrame): Int = {
     require(positions.columns.toSet == Set("file_path", "pos"),
       s"positions must have columns (file_path, pos), got ${positions.columns.mkString(",")}")
-    val name = writeDeleteFile(positions, path, "posdel")
+    val (name, _) = writeDeleteFile(positions, path, "posdel")
     withCommitRetry() {
       val rs = refsState(path)
       val head = rs.mainHead(path)
@@ -787,7 +787,7 @@ object Snapshots {
     val tableCols = read(spark, path).columns.toSet
     require(rows.columns.nonEmpty && rows.columns.forall(tableCols),
       s"equality columns ${rows.columns.mkString(",")} must exist in the table")
-    val name = writeDeleteFile(rows, path, "eqdel")
+    val (name, _) = writeDeleteFile(rows, path, "eqdel")
     withCommitRetry() {
       // seq = 0 here; publish stamps it with the committed version, scoping
       // the delete to data files that already existed (sequence-number
@@ -805,7 +805,7 @@ object Snapshots {
     * underscore-prefixed or Spark's hidden-file filter would refuse to
     * read it back). Returns the table-relative path.
     */
-  private def writeDeleteFile(df: DataFrame, path: String, kind: String): String = {
+  private def writeDeleteFile(df: DataFrame, path: String, kind: String): (String, Long) = {
     val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
     val tmp = Files.createTempDirectory("graft_del").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -816,9 +816,16 @@ object Snapshots {
       if (p.getFileName.toString.endsWith(".parquet")) src = p
     }
     require(src != null, "no delete rows written")
+    // row count from the footer (driver-side, one file) — callers use it
+    // to no-op empty DMLs without a second scan of the matched-rows plan
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(src.toUri),
+      df.sparkSession.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val rows = try reader.getRecordCount finally reader.close()
     Files.createDirectories(Paths.get(path, "_graft_deletes"))
     Files.move(src, Paths.get(path, name))
-    name
+    (name, rows)
   }
 
   /** Apply equality delete files: anti-join on each file's equality
@@ -943,8 +950,9 @@ object Snapshots {
   private def positionsOf(df: DataFrame): DataFrame =
     df.select(col("__mor_file").as("file_path"), col("__mor_pos").as("pos"))
 
-  /** MoR DELETE: one scan finds matching `(file, pos)` rows; publish
-    * attaches the delete file in a single commit.
+  /** MoR DELETE: ONE scan finds matching `(file, pos)` rows and writes the
+    * delete file; the footer row count decides the empty no-op (a take(1)
+    * pre-check would execute the identical matched-rows scan twice).
     */
   private def deleteMoRPositions(spark: SparkSession, path: String,
       cond: Column): Int = withCommitRetry() {
@@ -952,9 +960,10 @@ object Snapshots {
     val head = rs.mainHead(path)
     val positions = positionsOf(
       readWithPositions(spark, path, Some(head)).filter(coalesce(cond, lit(false))))
-    if (positions.take(1).isEmpty) head // nothing matches: no-op snapshotless
-    else {
-      val name = writeDeleteFile(positions, path, "posdel")
+    val (name, matchedRows) = writeDeleteFile(positions, path, "posdel")
+    if (matchedRows == 0) { // nothing matches: no-op snapshotless
+      Files.deleteIfExists(Paths.get(path, name)); head
+    } else {
       publish(path, rs, readManifest(path, Some(head)), carried(path, head),
         carriedPos(path, head) :+ name, eqDeletes = carriedEq(path, head))
     }
@@ -997,26 +1006,31 @@ object Snapshots {
     val rs = refsState(path)
     val head = rs.mainHead(path)
     val hit = coalesce(cond, lit(false))
+    // the matched frame feeds BOTH the position-delete file and the
+    // updated-copy writeback — persist so the (expensive, delete-joined)
+    // matched-rows scan runs once, spilling to disk if large
     val matched = readWithPositions(spark, path, Some(head)).filter(hit)
-    val positions = positionsOf(matched)
-    if (positions.take(1).isEmpty) head
-    else {
-      val name = writeDeleteFile(positions, path, "posdel")
-      val updated = assignments.foldLeft(matched.drop("__mor_file", "__mor_pos")) {
-        case (df, (c, v)) => df.withColumn(c, v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (name, matchedRows) = writeDeleteFile(positionsOf(matched), path, "posdel")
+      if (matchedRows == 0) { Files.deleteIfExists(Paths.get(path, name)); head }
+      else {
+        val updated = assignments.foldLeft(matched.drop("__mor_file", "__mor_pos")) {
+          case (df, (c, v)) => df.withColumn(c, v)
+        }
+        // assigned geometry columns must refresh their bbox shadow (same
+        // invariant as the CoW path)
+        val bboxed = assignments.keys.foldLeft(updated) { case (df, c) =>
+          if (df.columns.contains(s"${c}_bbox"))
+            df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
+          else df
+        }
+        val (added, _) = writeBack(bboxed, path)
+        publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
+          carried(path, head), carriedPos(path, head) :+ name,
+          eqDeletes = carriedEq(path, head))
       }
-      // assigned geometry columns must refresh their bbox shadow (same
-      // invariant as the CoW path)
-      val bboxed = assignments.keys.foldLeft(updated) { case (df, c) =>
-        if (df.columns.contains(s"${c}_bbox"))
-          df.withColumn(s"${c}_bbox", graft.functions.GeoSql.st_bbox(col(c)))
-        else df
-      }
-      val (added, _) = writeBack(bboxed, path)
-      publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
-        carried(path, head), carriedPos(path, head) :+ name,
-        eqDeletes = carriedEq(path, head))
-    }
+    } finally matched.unpersist(blocking = false)
   }
 
   /** Copy-on-write UPDATE: rewrite only files whose stats might match,
@@ -1071,9 +1085,11 @@ object Snapshots {
     val positions = positionsOf(
       readWithPositions(spark, path, Some(head))
         .join(src.select(col(keyCol)), Seq(keyCol), "left_semi"))
+    // one scan: write the delete file, footer count decides the no-match case
+    val (delName, matchedRows) = writeDeleteFile(positions, path, "posdel")
     val delFile =
-      if (positions.take(1).isEmpty) None
-      else Some(writeDeleteFile(positions, path, "posdel"))
+      if (matchedRows == 0) { Files.deleteIfExists(Paths.get(path, delName)); None }
+      else Some(delName)
     val (added, _) = writeBack(src, path)
     publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
       carried(path, head), carriedPos(path, head) ++ delFile,
@@ -1838,7 +1854,7 @@ object Snapshots {
         else live.map(l => col("file_path").endsWith("/" + l)).reduce(_ || _)
       val rows = spark.read.parquet(pos.map(f => s"$path/$f"): _*)
         .filter(keep).dropDuplicates()
-      val name = writeDeleteFile(rows, path, "posdel")
+      val (name, _) = writeDeleteFile(rows, path, "posdel")
       publish(path, rs, readManifest(path, Some(head)), carried(path, head),
         Seq(name), eqDeletes = carriedEq(path, head))
     }

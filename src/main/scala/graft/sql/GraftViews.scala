@@ -2,9 +2,9 @@ package graft.sql
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, SubqueryExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias, UnresolvedWith}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{BooleanType, StringType}
@@ -55,14 +55,21 @@ object GraftViews {
 
   /** `(catalog, namespace, name, dir)` when `parts` lands in a graft
     * catalog — explicitly (`cat.ns.name`) or through the session's current
-    * catalog/namespace.
+    * catalog/namespace. Session/global temp views shadow graft views
+    * (Spark resolution order) unless `respectTempViews = false` (CREATE,
+    * where the persistent and temp namespaces are distinct).
     */
-  private def resolveIdent(parts: Seq[String]): Option[(String, Seq[String], String, java.nio.file.Path)] = {
+  private def resolveIdent(parts: Seq[String], respectTempViews: Boolean = true)
+      : Option[(String, Seq[String], String, java.nio.file.Path)] = {
+    if (respectTempViews &&
+        spark.exists(_.sessionState.catalog.isTempView(parts))) return None
     if (parts.length >= 2 && graftWarehouse(parts.head).isDefined) {
       val wh = graftWarehouse(parts.head).get
       val ns = parts.tail.init
       Some((parts.head, ns,
         parts.last, java.nio.file.Paths.get(wh, parts.tail: _*)))
+    } else if (parts.length >= 2 && isCatalogName(parts.head)) {
+      None // explicit non-graft catalog: never route into the graft warehouse
     } else spark.flatMap { s =>
       val cm = s.sessionState.catalogManager
       val cat = cm.currentCatalog.name
@@ -78,7 +85,7 @@ object GraftViews {
 
   def tryParse(sql: String): Option[LogicalPlan] = sql match {
     case CreateViewRe(replace, ifNotExists, ident, query) =>
-      resolveIdent(ident.split('.').toSeq).map { case (_, _, name, dir) =>
+      resolveIdent(ident.split('.').toSeq, respectTempViews = false).map { case (_, _, name, dir) =>
         GraftCreateViewCommand(dir.toString, name, query.trim,
           replace != null, ifNotExists != null)
       }
@@ -105,33 +112,63 @@ object GraftViews {
   // re-entrant substitution depth cap (cyclic view definitions)
   private val depth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
 
+  /** Bottom-up rewrite of every `UnresolvedRelation`, descending into
+    * `UnresolvedWith` CTE definitions (innerChildren — `transformUp` skips
+    * them) and subquery-expression plans (`IN`/`EXISTS`/scalar), threading
+    * the set of in-scope CTE names so CTE references are never mistaken
+    * for catalog relations. CTE names are case-insensitive in Spark's
+    * default resolution, hence the lowercase scope.
+    */
+  private def transformRelations(plan: LogicalPlan, scope: Set[String])(
+      f: (UnresolvedRelation, Set[String]) => LogicalPlan): LogicalPlan = plan match {
+    case w: UnresolvedWith =>
+      val inScope = scope ++ w.cteRelations.map(_._1.toLowerCase)
+      w.copy(
+        child = transformRelations(w.child, inScope)(f),
+        cteRelations = w.cteRelations.map { case (n, sa, opt) =>
+          (n, transformRelations(sa, inScope)(f).asInstanceOf[SubqueryAlias], opt)
+        })
+    case u: UnresolvedRelation => f(u, scope)
+    case other =>
+      other.mapChildren(transformRelations(_, scope)(f)).transformExpressionsUp {
+        case s: SubqueryExpression => s.withNewPlan(transformRelations(s.plan, scope)(f))
+      }
+  }
+
+  private def isCteRef(parts: Seq[String], scope: Set[String]): Boolean =
+    parts.length == 1 && scope.contains(parts.head.toLowerCase)
+
   /** Replace graft-view relations with their parsed, context-qualified SQL. */
   def substitute(plan: LogicalPlan, parser: ParserInterface): LogicalPlan = {
     if (spark.isEmpty || depth.get >= 10) return plan
-    plan.transformUp {
-      case u: UnresolvedRelation =>
-        resolveIdent(u.multipartIdentifier) match {
-          case Some((_, _, name, dir)) if java.nio.file.Files.exists(viewFile(dir)) =>
-            val view = GraftView.read(
-              Identifier.of(Array.empty, name), viewFile(dir))
-            depth.set(depth.get + 1)
-            try {
-              val child = parser.parsePlan(view.query)
-              // single-part (and catalog-less) names inside the body
-              // resolve in the view's STORED context, not the caller's
-              val qualified = child.transformUp {
-                case r: UnresolvedRelation if !isCatalogName(r.multipartIdentifier.head) =>
-                  val parts =
-                    if (r.multipartIdentifier.length == 1)
-                      (view.currentCatalog +: view.currentNamespace.toSeq) :+
-                        r.multipartIdentifier.head
-                    else view.currentCatalog +: r.multipartIdentifier
-                  UnresolvedRelation(parts)
+    transformRelations(plan, Set.empty) { (u, scope) =>
+      if (isCteRef(u.multipartIdentifier, scope)) u
+      else resolveIdent(u.multipartIdentifier) match {
+        case Some((_, _, name, dir)) if java.nio.file.Files.exists(viewFile(dir)) =>
+          val view = GraftView.read(
+            Identifier.of(Array.empty, name), viewFile(dir))
+          depth.set(depth.get + 1)
+          try {
+            val child = parser.parsePlan(view.query)
+            // single-part (and catalog-less) names inside the body
+            // resolve in the view's STORED context, not the caller's;
+            // CTE references defined by the body itself stay untouched
+            val qualified = transformRelations(child, Set.empty) { (r, inner) =>
+              if (isCteRef(r.multipartIdentifier, inner) ||
+                  isCatalogName(r.multipartIdentifier.head)) r
+              else {
+                val parts =
+                  if (r.multipartIdentifier.length == 1)
+                    (view.currentCatalog +: view.currentNamespace.toSeq) :+
+                      r.multipartIdentifier.head
+                  else view.currentCatalog +: r.multipartIdentifier
+                UnresolvedRelation(parts)
               }
-              SubqueryAlias(name, qualified)
-            } finally depth.set(depth.get - 1)
-          case _ => u
-        }
+            }
+            SubqueryAlias(name, qualified)
+          } finally depth.set(depth.get - 1)
+        case _ => u
+      }
     }
   }
 }

@@ -287,8 +287,13 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val mor = if (head == 0) None
       else GraftStreamFilters.morPredicate(sess, path, head,
         StructType(dataSchema ++ partitionSchema))
-    val posFactory = if (head == 0 || Snapshots.readPosDeletes(path, Some(head)).isEmpty) None
-      else Some(DeleteFiles.readerFactory(sess, DeleteFiles.PosDeleteSchema))
+    // ALWAYS ship a pos-delete reader factory: the partitions were planned
+    // from a separately read head, so deciding None from a re-read here
+    // races with a concurrent compaction — partitions still carrying
+    // posDeletes would hit posFactory.get on the executors. Construction
+    // is metadata-only (no I/O); readers consult it only when a partition
+    // actually has positional deletes attached.
+    val posFactory = Some(DeleteFiles.readerFactory(sess, DeleteFiles.PosDeleteSchema))
     new GraftStreamReaderFactory(parquet, posFactory, mor)
   }
 

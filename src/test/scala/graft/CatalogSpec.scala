@@ -419,6 +419,53 @@ class CatalogSpec extends AnyFunSuite {
       .map(_.getString(1)).contains("base"))
   }
 
+  test("views: CTE bodies, subquery references, temp-view precedence, foreign catalogs") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vx")
+    spark.sql("CREATE TABLE gcat.vx.t AS SELECT id, id % 2 AS par FROM range(20)")
+
+    // a WITH clause inside the view body: the CTE reference must stay a
+    // CTE reference, not get qualified into gcat.vx.c
+    spark.sql(
+      """CREATE VIEW gcat.vx.wv AS
+        |WITH c AS (SELECT id FROM gcat.vx.t WHERE id < 5)
+        |SELECT count(*) AS n FROM c""".stripMargin)
+    assert(spark.sql("SELECT n FROM gcat.vx.wv").collect().head.getLong(0) == 5L)
+
+    // a graft view referenced inside a subquery expression substitutes too
+    assert(spark.sql(
+      "SELECT count(*) AS k FROM gcat.vx.t WHERE id IN (SELECT n FROM gcat.vx.wv)")
+      .collect().head.getLong(0) == 1L) // only id=5 matches n=5
+
+    spark.sql("USE gcat.vx")
+    try {
+      // an outer-query CTE sharing the view's name: the CTE wins
+      assert(spark.sql("WITH wv AS (SELECT 42 AS n) SELECT n FROM wv")
+        .collect().head.getInt(0) == 42)
+
+      // session temp views shadow graft views (Spark resolution order);
+      // DROP VIEW drops the temp view first, unmasking the graft view
+      spark.sql("CREATE VIEW shadowed AS SELECT 1 AS one")
+      spark.range(1).selectExpr("CAST(7 AS INT) AS one")
+        .createOrReplaceTempView("shadowed")
+      assert(spark.sql("SELECT one FROM shadowed").collect().head.getInt(0) == 7)
+      spark.sql("DROP VIEW shadowed") // Spark semantics: temp view goes first
+      assert(spark.sql("SELECT one FROM shadowed").collect().head.getInt(0) == 1)
+      spark.sql("DROP VIEW shadowed")
+
+      // an explicit NON-graft catalog qualifier is never routed into the
+      // graft warehouse, even while a graft catalog is current
+      spark.sql("CREATE VIEW spark_catalog.default.foreign_v AS SELECT 3 AS three")
+      try {
+        assert(!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(warehouse, "spark_catalog", "default", "foreign_v")),
+          "foreign-catalog view must not land in the graft warehouse")
+        assert(spark.sql("SELECT three FROM spark_catalog.default.foreign_v")
+          .collect().head.getInt(0) == 3)
+      } finally spark.sql("DROP VIEW spark_catalog.default.foreign_v")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("WRITE DISTRIBUTED BY PARTITION: one shuffle, few files per partition dir") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.wd")
