@@ -215,6 +215,49 @@ object TextKernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Repetition statistics in one pass: token count, DISTINCT token count,
+    * the highest single-token frequency, and the highest bigram frequency —
+    * the raw ingredients of the Gopher-style repetition quality gates
+    * (type-token ratio, top-token fraction, duplicate-bigram fraction).
+    * Counting is EXACT over token strings (no hash-identity shortcut), so
+    * the output is oracle-comparable; per-row memory is O(distinct tokens),
+    * the document's own working set. Tokenizer replicates
+    * `split(lower(trim(text)), "\\s+", -1)`, boundary empties included,
+    * like [[tokenStats]].
+    */
+  def repStats(textU: UTF8String): InternalRow = {
+    val s0 = textU.toString.toLowerCase(java.util.Locale.ROOT)
+    var b = 0; var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    val s = s0.substring(b, e)
+    val freq = new java.util.HashMap[String, Integer]()
+    val bifreq = new java.util.HashMap[String, Integer]()
+    var nTokens = 0; var topTok = 0; var topBi = 0
+    var prev: String = null
+    var start = 0
+    var done = false
+    while (!done) {
+      var k = start
+      while (k < s.length && !isWs(s.charAt(k))) k += 1
+      val tok = s.substring(start, k)
+      nTokens += 1
+      val c = freq.merge(tok, 1, (a, inc) => a + inc)
+      if (c > topTok) topTok = c
+      if (prev != null) {
+        val bc = bifreq.merge(prev + " " + tok, 1, (a, inc) => a + inc)
+        if (bc > topBi) topBi = bc
+      }
+      prev = tok
+      if (k >= s.length) done = true
+      else {
+        while (k < s.length && isWs(s.charAt(k))) k += 1
+        start = k
+      }
+    }
+    new GenericInternalRow(Array[Any](nTokens, freq.size, topTok, topBi))
+  }
 }
 
 /** text_stats(text, stopwords) → struct<n_tokens, stop_hits, punct_n, nonws_len> */
@@ -241,6 +284,28 @@ object TextStats {
     StructField("stop_hits", IntegerType, nullable = false),
     StructField("punct_n", IntegerType, nullable = false),
     StructField("nonws_len", IntegerType, nullable = false)))
+}
+
+/** rep_stats(text) → struct<n_tokens, distinct_tokens, top_tok_n, top_bigram_n> */
+case class RepStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq[DataType](StringType)
+  override def dataType: DataType = RepStats.schema
+  override protected def nullSafeEval(t: Any): Any =
+    TextKernels.repStats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TextKernels.repStats($t);")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
+object RepStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("top_tok_n", IntegerType, nullable = false),
+    StructField("top_bigram_n", IntegerType, nullable = false)))
 }
 
 /** simhash64(text) → bigint: one-pass 64-bit document SimHash. */

@@ -323,6 +323,7 @@ object VectorSql {
       reg.createOrReplaceTempFunction("shingle_hashes_n",
         e => ShingleHashesN(e(0), e(1)), "built-in")
       reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e(0)), "built-in")
+      reg.createOrReplaceTempFunction("rep_stats", e => RepStats(e(0)), "built-in")
       reg.createOrReplaceTempFunction("vec_nearest", e => VecNearest(e(0), e(1), e(2)), "built-in")
       installedRegistries.add(reg)
     }
@@ -339,6 +340,7 @@ object VectorSql {
   def shingle_hashes_n(t: Column, n: Int): Column =
     call_function("shingle_hashes_n", t, org.apache.spark.sql.functions.lit(n))
   def simhash64(t: Column): Column = call_function("simhash64", t)
+  def rep_stats(t: Column): Column = call_function("rep_stats", t)
   def vec_nearest(v: Column, cents: Column, nProbe: Int): Column =
     call_function("vec_nearest", v, cents, org.apache.spark.sql.functions.lit(nProbe))
   def hash_mix(h: Column, a: Long, b: Long): Column =

@@ -185,6 +185,49 @@ object TextPipeline {
           col("fr_hits"), col("de_hits"))
     }),
 
+    // Gopher-style repetition signals: type-token ratio, top-token
+    // fraction, top-bigram fraction — all from ONE map-only rep_stats
+    // pass (exact string counts, so DuckDB agrees). The naive plan
+    // explodes every token and bigram into two groupBy shuffles; this is
+    // zero-shuffle.
+    "text_repetition" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("r", VectorSql.rep_stats(col("text")))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.distinct_tokens").as("distinct_tokens"),
+          round(col("r.distinct_tokens") / col("r.n_tokens"), 4).as("ttr"),
+          round(col("r.top_tok_n") / col("r.n_tokens"), 4).as("top_tok_frac"),
+          when(col("r.n_tokens") > 1,
+            round(col("r.top_bigram_n") / (col("r.n_tokens") - 1), 4))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+    }),
+
+    // PII scrub: redact emails / phone numbers / IPv4 addresses with typed
+    // placeholders and count each category. The corpus is synthetic word
+    // soup, so the query INJECTS deterministic PII per row first (both
+    // engines run the same injection) — the regex semantics are genuinely
+    // cross-checked, not vacuously zero. Map-only: codegen'd regexp
+    // builtins, no UDF, no shuffle.
+    "text_pii_scrub" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+      docs(s, dir)
+        .withColumn("t", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-123-4567 from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".17")))
+        .select(col("doc_id"),
+          // lit() patterns, NOT expr(): SQL string literals would eat the
+          // backslash escapes (\b -> backspace)
+          size(regexp_extract_all(col("t"), lit(email), lit(0))).as("email_n"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("phone_n"),
+          size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("ip_n"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
+    }),
+
     // document fingerprinting: md5 of whitespace-normalized text
     "text_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -347,6 +390,41 @@ object TextPipeline {
         |      ELSE 'und' END AS pred_lang,
         | en_hits, es_hits, fr_hits, de_hits
         |FROM h""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS n
+        |       FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_tokens,
+        |        CAST(count(*) AS INTEGER) AS distinct_tokens,
+        |        CAST(max(n) AS INTEGER) AS top_tok_n FROM tf GROUP BY 1),
+        |bf AS (SELECT doc_id, b, count(*) AS n
+        |       FROM (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+        |             FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-1)) AS i FROM t))
+        |       GROUP BY 1, 2),
+        |bagg AS (SELECT doc_id, CAST(max(n) AS INTEGER) AS top_bigram_n FROM bf GROUP BY 1)
+        |SELECT a.doc_id, a.n_tokens, a.distinct_tokens,
+        | round(a.distinct_tokens * 1.0 / a.n_tokens, 4) AS ttr,
+        | round(a.top_tok_n * 1.0 / a.n_tokens, 4) AS top_tok_frac,
+        | CASE WHEN a.n_tokens > 1
+        |      THEN round(coalesce(b.top_bigram_n, 0) * 1.0 / (a.n_tokens - 1), 4)
+        |      ELSE 0.0 END AS top_bigram_frac
+        |FROM agg a LEFT JOIN bagg b ON a.doc_id = b.doc_id""".stripMargin,
+
+    "text_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or call 555-123-4567 from 10.0.' || (doc_id % 256) || '.17' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS email_n,
+        | CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS phone_n,
+        | CAST(len(regexp_extract_all(t, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS ip_n,
+        | regexp_replace(regexp_replace(regexp_replace(t,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+        |   '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
+        |FROM t""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

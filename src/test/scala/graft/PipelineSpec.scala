@@ -122,7 +122,7 @@ class PipelineSpec extends AnyFunSuite {
     // reverting to the interpreted path
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      Seq("text_tokens", "text_quality", "text_langid").foreach { q =>
+      Seq("text_tokens", "text_quality", "text_langid", "text_repetition").foreach { q =>
         val df = SparkEntry.queries(q)(spark, sf)
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("*("), s"$q should be whole-stage-codegen'd:\n$plan")
@@ -134,10 +134,36 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("pipeline single-pass ops contain no shuffle (map-only plans)") {
-    Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint", "mm_meta")
+    Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint", "mm_meta",
+      "text_repetition", "text_pii_scrub")
       .foreach { q =>
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"), s"$q should be map-only:\n$plan")
       }
+  }
+
+  test("rep_stats kernel: exact counts incl. tokenizer boundary semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a a a b"),            // top token a×3, bigram "a a"×2 of 3
+      (2L, "x y x y x"),          // bigrams: "x y"×2, "y x"×2 of 4
+      (3L, "unique words only"),  // all distinct
+      (4L, " padded  with   runs "), // space-trimmed, runs collapse
+      (5L, "\tlead"),             // leading non-space ws -> empty first token
+      (6L, "CaSe case CASE"))     // lowercased before counting
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("rep_docs")
+    val got = spark.sql(
+      "SELECT doc_id, rep_stats(text) AS r FROM rep_docs ORDER BY doc_id")
+      .selectExpr("doc_id", "r.n_tokens", "r.distinct_tokens", "r.top_tok_n", "r.top_bigram_n")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got(0) == ((1L, 4, 2, 3, 2)))
+    assert(got(1) == ((2L, 5, 2, 3, 2)))
+    assert(got(2) == ((3L, 3, 3, 1, 1)))
+    assert(got(3) == ((4L, 3, 3, 1, 1)))
+    // split(lower(trim(s)), "\\s+", -1) on "\tlead": trim strips SPACES
+    // only, so the leading tab yields an empty boundary token
+    assert(got(4) == ((5L, 2, 2, 1, 1)))
+    assert(got(5) == ((6L, 3, 1, 3, 2)))
   }
 }
