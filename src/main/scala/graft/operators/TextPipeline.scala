@@ -108,7 +108,13 @@ object TextPipeline {
     val pairs = jaccardPairs(d, maxDf).select(col("d1"), col("d2"))
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
-    var labels = d.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+    // propagate ONLY over edge-connected vertices: isolated docs are their
+    // own cluster by definition, and at any realistic near-dup rate they
+    // are the overwhelming majority of the corpus — having them ride every
+    // round's join + groupBy multiplies each round's shuffle by N/|V|
+    // for rows whose label can never change. They rejoin at the end.
+    var labels = edges.select(col("d1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
     // (row count, label checksum): labels only ever DECREASE under min-
     // propagation, so an unchanged (count, xor-of-hash) pair across rounds
     // means a fixed point — no second join+count job per round. bit_xor
@@ -138,7 +144,11 @@ object TextPipeline {
       labels = next
       iter += 1
     }
-    labels
+    // isolated docs: cluster = self (one anti-join, not O(rounds) of them)
+    d.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .unionByName(labels)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
