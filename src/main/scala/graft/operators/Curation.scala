@@ -88,6 +88,27 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
     }),
 
+    // Domain mixing by TOKEN budget (the DoReMi / Pile mixture-weight
+    // shape): each source maps to a mixture group with a token budget;
+    // docs are admitted per source in a deterministic pseudo-random order
+    // until the running token sum fills the budget. Differs from
+    // stratified sampling (doc COUNTS) — mixtures are specified in tokens.
+    // Window partitions by source: parallel across domains, no global sort.
+    "curate_domain_mix" -> ((s, dir) => {
+      val grp = regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4
+      val budget = when(col("grp") === 0, 3000L).when(col("grp") === 1, 2000L)
+        .when(col("grp") === 2, 1000L).otherwise(500L)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), grp.as("grp"), nTokens.as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("source"), col("grp"),
+          col("n_tokens"), col("cum_tokens"))
+    }),
+
     // Deterministic global shuffle index: position of every doc in the
     // md5-of-id permutation, built scalably — shard by the first TWO hex
     // chars of the hash (256 shards; shard order == global order prefix),
@@ -141,6 +162,20 @@ object Curation {
         |SELECT shard, CAST(floor((cum - n) / 512.0) AS BIGINT) AS bin,
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "curate_domain_mix" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 AS grp,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, grp, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= (CASE grp WHEN 0 THEN 3000 WHEN 1 THEN 2000
+        |                     WHEN 2 THEN 1000 ELSE 500 END)""".stripMargin,
 
     "curate_shuffle_index" ->
       """SELECT doc_id,
