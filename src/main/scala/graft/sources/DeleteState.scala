@@ -119,7 +119,17 @@ object DeleteFiles {
   def posCoverage(spark: SparkSession, tablePath: String,
       posFiles: Seq[DeleteFileRef]): Map[String, Seq[DeleteFileRef]] = {
     if (posFiles.isEmpty) return Map.empty
-    val missing = posFiles.filter(f => !coverageCache.containsKey(coverageKey(f)))
+    // snapshot cached entries into a LOCAL map first: the result must be
+    // assembled from local values only, never re-read from the cache —
+    // the bound-triggered clear() below (or one from a concurrent planning
+    // thread) would otherwise drop coverage for files this very call still
+    // references, silently detaching their deletes from the scan
+    val local = scala.collection.mutable.HashMap.empty[String, Seq[String]]
+    posFiles.foreach { f =>
+      val v = coverageCache.get(coverageKey(f))
+      if (v != null) local(coverageKey(f)) = v
+    }
+    val missing = posFiles.filter(f => !local.contains(coverageKey(f)))
     if (missing.nonEmpty) {
       import org.apache.spark.sql.functions.col
       val bySrc = spark.read.parquet(missing.map(_.path): _*)
@@ -131,13 +141,14 @@ object DeleteFiles {
       missing.foreach { f =>
         val covered = bySrc.getOrElse(norm(f.path), Array.empty)
           .map(r => norm(r.getString(0))).toSeq.distinct
+        local(coverageKey(f)) = covered
         coverageCache.put(coverageKey(f), covered)
       }
     }
     val acc = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[DeleteFileRef]]
     posFiles.foreach { f =>
-      coverageCache.getOrDefault(coverageKey(f), Nil).foreach { data =>
+      local.getOrElse(coverageKey(f), Nil).foreach { data =>
         acc.getOrElseUpdate(data, scala.collection.mutable.ArrayBuffer.empty) += f
       }
     }

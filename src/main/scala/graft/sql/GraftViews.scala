@@ -112,22 +112,35 @@ object GraftViews {
   // re-entrant substitution depth cap (cyclic view definitions)
   private val depth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
 
+  // CTE names resolve case-insensitively unless the session opts into
+  // case-sensitive analysis
+  private def normName(n: String): String =
+    if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis) n
+    else n.toLowerCase
+
   /** Bottom-up rewrite of every `UnresolvedRelation`, descending into
     * `UnresolvedWith` CTE definitions (innerChildren — `transformUp` skips
     * them) and subquery-expression plans (`IN`/`EXISTS`/scalar), threading
     * the set of in-scope CTE names so CTE references are never mistaken
-    * for catalog relations. CTE names are case-insensitive in Spark's
-    * default resolution, hence the lowercase scope.
+    * for catalog relations. Scoping is SEQUENTIAL, matching Spark's
+    * `CTESubstitution`: a definition sees only names declared before it
+    * (plus its own under WITH RECURSIVE) — a self- or forward-reference
+    * in a non-recursive WITH legitimately names a catalog relation and
+    * must stay eligible for view substitution.
     */
   private def transformRelations(plan: LogicalPlan, scope: Set[String])(
       f: (UnresolvedRelation, Set[String]) => LogicalPlan): LogicalPlan = plan match {
     case w: UnresolvedWith =>
-      val inScope = scope ++ w.cteRelations.map(_._1.toLowerCase)
+      var defScope = scope
+      val newCtes = w.cteRelations.map { case (n, sa, opt) =>
+        val bodyScope = if (w.allowRecursion) defScope + normName(n) else defScope
+        val rewritten = transformRelations(sa, bodyScope)(f).asInstanceOf[SubqueryAlias]
+        defScope += normName(n)
+        (n, rewritten, opt)
+      }
       w.copy(
-        child = transformRelations(w.child, inScope)(f),
-        cteRelations = w.cteRelations.map { case (n, sa, opt) =>
-          (n, transformRelations(sa, inScope)(f).asInstanceOf[SubqueryAlias], opt)
-        })
+        child = transformRelations(w.child, defScope)(f),
+        cteRelations = newCtes)
     case u: UnresolvedRelation => f(u, scope)
     case other =>
       other.mapChildren(transformRelations(_, scope)(f)).transformExpressionsUp {
@@ -136,7 +149,7 @@ object GraftViews {
   }
 
   private def isCteRef(parts: Seq[String], scope: Set[String]): Boolean =
-    parts.length == 1 && scope.contains(parts.head.toLowerCase)
+    parts.length == 1 && scope.contains(normName(parts.head))
 
   /** Replace graft-view relations with their parsed, context-qualified SQL. */
   def substitute(plan: LogicalPlan, parser: ParserInterface): LogicalPlan = {

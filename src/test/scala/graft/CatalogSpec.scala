@@ -443,6 +443,18 @@ class CatalogSpec extends AnyFunSuite {
       assert(spark.sql("WITH wv AS (SELECT 42 AS n) SELECT n FROM wv")
         .collect().head.getInt(0) == 42)
 
+      // sequential CTE scoping: inside its own (non-recursive) definition
+      // the name is NOT in scope, so it must substitute to the graft view
+      // — the standard view-shadowing pattern WITH v AS (SELECT..FROM v..)
+      assert(spark.sql("WITH wv AS (SELECT n + 1 AS n FROM wv) SELECT n FROM wv")
+        .collect().head.getLong(0) == 6L) // graft view wv yields n=5
+
+      // forward references are not in scope either: `a` is defined before
+      // `wv2`, so `FROM wv` inside `a` reads the graft view
+      assert(spark.sql(
+        "WITH a AS (SELECT n FROM wv), wv2 AS (SELECT 0 AS n) SELECT n FROM a")
+        .collect().head.getLong(0) == 5L)
+
       // session temp views shadow graft views (Spark resolution order);
       // DROP VIEW drops the temp view first, unmasking the graft view
       spark.sql("CREATE VIEW shadowed AS SELECT 1 AS one")
