@@ -111,7 +111,8 @@ object DeleteFiles {
   // streaming MoR table grows that set every few commits, and set-keyed
   // entries would accrete O(N^2) superseded state). A micro-batch only
   // pays the distinct-pairs job for delete files it has never seen.
-  private val CoverageMaxEntries = 4096
+  // var so specs can shrink the bound and exercise the eviction path
+  private[graft] var CoverageMaxEntries = 4096
   private val coverageCache = new ConcurrentHashMap[String, Seq[String]]()
 
   private def coverageKey(f: DeleteFileRef): String = s"${f.path}#${f.len}"

@@ -250,6 +250,38 @@ class CatalogSpec extends AnyFunSuite {
       10000000000L)
   }
 
+  test("coverage-cache eviction never detaches still-referenced delete files") {
+    import graft.sources.DeleteFiles
+    val tbl = s"$warehouse/db/evict"
+    val src = spark.range(1000).toDF("id")
+      .withColumn("geom", st_point(lit(1.0), lit(2.0)))
+    GeoTable.write(GeoTable.withBbox(src, "geom").drop("geom_bbox"), tbl, "geom",
+      res = 8, numFiles = 2)
+    def posOf(cond: org.apache.spark.sql.Column) =
+      Snapshots.read(spark, tbl).filter(cond)
+        .select(expr("_metadata.file_path").as("file_path"),
+          expr("_metadata.row_index").as("pos"))
+    // bound 0 forces a clear() on every recompute; the bug window needs a
+    // NEW delete file arriving once others are already cached — the clear
+    // then wiped the cached entries and (pre-fix) the result re-read them
+    // as Nil, silently resurrecting their deleted rows
+    val saved = DeleteFiles.CoverageMaxEntries
+    DeleteFiles.CoverageMaxEntries = 0
+    try {
+      Snapshots.deleteByPosition(spark, tbl, posOf(col("id") < 100))
+      Snapshots.deleteByPosition(spark, tbl, posOf(col("id") >= 900))
+      assert(spark.read.format("graft").load(tbl).count() == 800L)
+      // third delete file: its recompute triggers the clear() while the
+      // first two files are served from cache in the same planning call
+      Snapshots.deleteByPosition(spark, tbl,
+        posOf(col("id") >= 400 && col("id") < 500))
+      val counts = (1 to 2).map(_ =>
+        spark.read.format("graft").load(tbl).count())
+      assert(counts.forall(_ == 700L),
+        s"all three delete files must stay attached across eviction, got $counts")
+    } finally DeleteFiles.CoverageMaxEntries = saved
+  }
+
   test("partition-spec evolution: old files keep their layout, pruning spans generations") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
