@@ -63,6 +63,28 @@ object GeoQueries {
         .limit(25)
     }),
 
+    // KNN JOIN: for every query point (one per nation), the k=5 nearest
+    // customer points. The query side is tiny → broadcast; distance is
+    // computed map-side against every corpus point and the per-query
+    // window keeps the top k — the exact KNN-join baseline (same contract
+    // as sim_cosine_topk's brute-force path: exact, O(N·Q), Q small). A
+    // corpus-×-corpus KNN join would route through the grid-bucketed
+    // spatial join instead of this broadcast shape.
+    "geo_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables.load(s, dir, "nation")
+        .withColumn("qx", (col("n_nationkey") * 7919 % 36000) / 100.0 - 180.0)
+        .withColumn("qy", (col("n_nationkey") * 104729 % 18000) / 100.0 - 90.0)
+        .select(col("n_nationkey"), st_point(col("qx"), col("qy")).as("qgeom"))
+      val w = Window.partitionBy(col("n_nationkey"))
+        .orderBy(col("dist"), col("c_custkey"))
+      pts(s, dir).crossJoin(broadcast(q))
+        .withColumn("dist", round(st_distance(col("geom"), col("qgeom")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("n_nationkey"), col("rk"), col("c_custkey"), col("dist"))
+    }),
+
     // st_extent aggregate: per-nation envelope union of customer points
     "geo_extent_agg" -> ((s, dir) => {
       pts(s, dir)
@@ -292,6 +314,17 @@ object GeoQueries {
       s"""SELECT c_custkey, x, y, round(sqrt(x*x + y*y), 6) AS dist
          |FROM ($ptsSql)
          |ORDER BY dist, c_custkey LIMIT 25""".stripMargin,
+
+    "geo_knn_join" ->
+      s"""WITH q AS (SELECT n_nationkey,
+         |  (n_nationkey * 7919 % 36000) / 100.0 - 180.0 AS qx,
+         |  (n_nationkey * 104729 % 18000) / 100.0 - 90.0 AS qy FROM nation),
+         |d AS (SELECT n_nationkey, c_custkey,
+         |  round(sqrt((x-qx)*(x-qx) + (y-qy)*(y-qy)), 6) AS dist
+         |  FROM ($ptsSql) CROSS JOIN q),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY n_nationkey
+         |  ORDER BY dist, c_custkey) AS INTEGER) AS rk FROM d)
+         |SELECT n_nationkey, rk, c_custkey, dist FROM r WHERE rk <= 5""".stripMargin,
 
     "geo_extent_agg" ->
       s"""SELECT c_nationkey,
