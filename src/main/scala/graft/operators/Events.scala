@@ -55,6 +55,34 @@ object Events {
         .filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"),
           col("last_purchase_id"), col("last_purchase_value"))
+    }),
+
+    // RANGE JOIN with no equality key: events against 40 overlapping,
+    // variable-length global time windows. Spark plans a bare interval
+    // predicate as BroadcastNestedLoopJoin (every row × every window);
+    // bucketing both sides on a day grid turns it into an EQUI-join on
+    // the bucket — each event lands in exactly one day bucket, windows
+    // explode onto every day they touch (≤ 2 here), so each matching
+    // (event, window) pair meets exactly once and no dedup is needed.
+    // The tiny exploded window side broadcasts: the corpus side stays
+    // map-only, the classic interval-join shape at 100 TB.
+    "ev_range_join" -> ((s, dir) => {
+      val nsPerDay = 86400L * 1000000000L
+      val base = 1704067200L // 2024-01-01T00:00:00Z, the corpus epoch
+      val win = s.range(0, 40).toDF("w")
+        .withColumn("start_ns", (lit(base) + col("w") * (17L * 3600)) * lit(1000000000L))
+        .withColumn("end_ns",
+          col("start_ns") + (lit(5L) + col("w") % 20) * lit(3600L * 1000000000L))
+      val winDays = win.withColumn("day",
+        explode(sequence(expr(s"start_ns div $nsPerDay"), expr(s"(end_ns - 1) div $nsPerDay"))))
+      ev(s, dir)
+        .withColumn("day", expr(s"ts div $nsPerDay"))
+        .join(broadcast(winDays), Seq("day"))
+        .filter(col("ts") >= col("start_ns") && col("ts") < col("end_ns"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 4).as("sum_value"))
     })
   )
 
@@ -80,6 +108,17 @@ object Events {
         | round(p.value, 4) AS last_purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "ev_range_join" ->
+      """WITH w AS (SELECT w,
+        |  TIMESTAMP '2024-01-01 00:00:00' + to_hours(w * 17) AS start_ts,
+        |  TIMESTAMP '2024-01-01 00:00:00' + to_hours(w * 17 + 5 + w % 20) AS end_ts
+        | FROM generate_series(0, 39) t(w))
+        |SELECT w, count(*) AS n_events,
+        | count(DISTINCT user_id) AS n_users,
+        | round(sum(value), 4) AS sum_value
+        |FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        |GROUP BY w""".stripMargin
   )
 }

@@ -73,4 +73,14 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p4.contains("BroadcastHashJoin"), "q04 should broadcast dims")
   }
+
+  test("ev_range_join buckets the interval predicate into an equi-join") {
+    val p = operators.Events.queries("ev_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the day-grid bucketing must turn the bare range predicate into a
+    // broadcast HASH join — a nested-loop plan means every event is
+    // compared against every window
+    assert(p.contains("BroadcastHashJoin"), s"expected bucketed equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join fell back to NLJ:\n$p")
+  }
 }
