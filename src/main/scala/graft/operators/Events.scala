@@ -57,6 +57,27 @@ object Events {
           col("last_purchase_id"), col("last_purchase_value"))
     }),
 
+    // Conversion funnel (the windowFunnel shape): purchases preceded by a
+    // click from the same user within one hour. One running-max window
+    // over the user's event sequence carries the latest click timestamp
+    // to every row — a single shuffle on user_id, no self-join of the
+    // event stream against itself.
+    "ev_funnel" -> ((s, dir) => {
+      val hourNs = 3600L * 1000000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("last_click_ts",
+          max(when(col("event_type") === "click", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_click_ts").isNotNull &&
+          col("ts") - col("last_click_ts") <= hourNs)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_conversions"),
+          round(sum(col("value")), 4).as("conv_value"))
+    }),
+
     // RANGE JOIN with no equality key: events against 40 overlapping,
     // variable-length global time windows. Spark plans a bare interval
     // predicate as BroadcastNestedLoopJoin (every row × every window);
@@ -109,6 +130,20 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH e AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
+        |lc AS (SELECT *,
+        |  max(CASE WHEN event_type = 'click' THEN ts END) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        | FROM e)
+        |SELECT user_id, count(*) AS n_conversions,
+        | round(sum(value), 4) AS conv_value
+        |FROM lc
+        |WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+        |  AND ts - last_click_ts <= INTERVAL 1 HOUR
+        |GROUP BY user_id""".stripMargin,
 
     "ev_range_join" ->
       """WITH w AS (SELECT w,
