@@ -57,6 +57,20 @@ object Events {
           col("last_purchase_id"), col("last_purchase_value"))
     }),
 
+    // Cohort retention: users grouped by their first-seen week; for each
+    // (cohort_week, week_offset) the count of users still active. The
+    // cohort assignment is a min-aggregate rather than a window (cheaper:
+    // partial min map-side), joined back on user_id — at scale a standard
+    // shuffle join on the user key, then one distinct-count aggregation.
+    "ev_retention" -> ((s, dir) => {
+      val weekNs = 7L * 86400L * 1000000000L
+      val e = ev(s, dir).select(col("user_id"), expr(s"ts div $weekNs").as("week"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Conversion funnel (the windowFunnel shape): purchases preceded by a
     // click from the same user within one hour. One running-max window
     // over the user's event sequence carries the latest click timestamp
@@ -130,6 +144,15 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+
+    "ev_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+        |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "ev_funnel" ->
       """WITH e AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
