@@ -16,12 +16,19 @@ import graft.spatial.Geo
   */
 object GeoQueries {
 
+  /** Deterministic synthetic lon/lat from an integer key — the single
+    * Scala source of truth; `ptsSql` and the knn oracle mirror it in SQL
+    * (the two sides must stay double-for-double identical for the gate).
+    */
+  private def synthX(key: org.apache.spark.sql.Column) = (key * 7919 % 36000) / 100.0 - 180.0
+  private def synthY(key: org.apache.spark.sql.Column) = (key * 104729 % 18000) / 100.0 - 90.0
+
   /** customer → deterministic lon/lat with 0.01° granularity. */
   private def pts(s: SparkSession, dir: String): DataFrame = {
     Geo.install(s)
     Tables.load(s, dir, "customer")
-      .withColumn("x", (col("c_custkey") * 7919 % 36000) / 100.0 - 180.0)
-      .withColumn("y", (col("c_custkey") * 104729 % 18000) / 100.0 - 90.0)
+      .withColumn("x", synthX(col("c_custkey")))
+      .withColumn("y", synthY(col("c_custkey")))
       .withColumn("geom", st_point(col("x"), col("y")))
   }
 
@@ -41,6 +48,7 @@ object GeoQueries {
 
     // spatial join: points × quadrant polygons (inset to dodge boundaries)
     "geo_quadrant_join" -> ((s, dir) => {
+      val p = pts(s, dir) // FIRST: installs the ST_ registry entries
       val quads = s.createDataFrame(Seq(
         (0, 0.001, 0.001, 180.0, 90.0),
         (1, -180.0, 0.001, -0.001, 90.0),
@@ -48,8 +56,7 @@ object GeoQueries {
         (3, 0.001, -90.0, 180.0, -0.001)))
         .toDF("quadrant", "qxmin", "qymin", "qxmax", "qymax")
         .withColumn("qgeom", st_makeenvelope(col("qxmin"), col("qymin"), col("qxmax"), col("qymax")))
-      pts(s, dir)
-        .join(broadcast(quads), st_intersects(col("geom"), col("qgeom")))
+      p.join(broadcast(quads), st_intersects(col("geom"), col("qgeom")))
         .groupBy(col("quadrant"))
         .agg(count(lit(1)).as("n_points"))
     }),
@@ -72,13 +79,14 @@ object GeoQueries {
     // spatial join instead of this broadcast shape.
     "geo_knn_join" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val p = pts(s, dir) // FIRST: installs the ST_ registry entries
       val q = Tables.load(s, dir, "nation")
-        .withColumn("qx", (col("n_nationkey") * 7919 % 36000) / 100.0 - 180.0)
-        .withColumn("qy", (col("n_nationkey") * 104729 % 18000) / 100.0 - 90.0)
+        .withColumn("qx", synthX(col("n_nationkey")))
+        .withColumn("qy", synthY(col("n_nationkey")))
         .select(col("n_nationkey"), st_point(col("qx"), col("qy")).as("qgeom"))
       val w = Window.partitionBy(col("n_nationkey"))
         .orderBy(col("dist"), col("c_custkey"))
-      pts(s, dir).crossJoin(broadcast(q))
+      p.crossJoin(broadcast(q))
         .withColumn("dist", round(st_distance(col("geom"), col("qgeom")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -130,6 +138,7 @@ object GeoQueries {
     // distributed grid-bucketed spatial join (no cross product):
     // customer points × nation-derived envelope regions
     "geo_spatial_join" -> ((s, dir) => {
+      Geo.install(s) // BEFORE any ST_ column construction (eager analysis)
       val regions = Tables.load(s, dir, "nation")
         .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
         .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)

@@ -313,4 +313,16 @@ class GeoSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(viaSql == "POINT (3 4)")
   }
+
+  test("every geo query builder installs ST_ functions before first use") {
+    // a fresh session has an EMPTY FunctionRegistry: a builder that
+    // constructs an ST_ column before its first pts()/Geo.install call
+    // dies here with UNRESOLVED_ROUTINE (query-map iteration order hid
+    // exactly that in geo_knn_join/geo_quadrant_join once)
+    operators.GeoQueries.queries.keys.toSeq.sorted.foreach { q =>
+      val fresh = SparkTestSession.spark.newSession()
+      val df = operators.GeoQueries.queries(q)(fresh, "/root/testdata/sf0.001")
+      assert(df.columns.nonEmpty, q) // analysis succeeded on the fresh registry
+    }
+  }
 }
