@@ -88,7 +88,8 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
     }
   }
 
-  private def fold(vs: Seq[Option[Any]], dt: DataType,
+  /** Shared with the DSv2 pushdown ([[graft.sources.GraftScanBuilder]]). */
+  private[graft] def fold(vs: Seq[Option[Any]], dt: DataType,
       better: (Double, Double) => Boolean): Option[Any] = {
     // every file must have a stat; null stats (all-null column) stay None
     if (vs.isEmpty || vs.exists(v => v.isEmpty || v.get == null)) return None

@@ -9,7 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindRefere
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
 import org.apache.spark.sql.catalyst.{expressions => ce}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
@@ -150,10 +153,12 @@ object GraftTable {
 
 class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     logicalSchema: StructType) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = logicalSchema
+  private var aggResult: Option[(StructType, InternalRow)] = None
 
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters
@@ -167,7 +172,84 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     required = StructType(logicalSchema.fields.filter(f => names(f.name)))
   }
 
-  override def build(): Scan = new GraftScan(spark, path, version, required, pushed)
+  // ---- aggregate pushdown: answer COUNT(*) / MIN / MAX from the manifest
+  // (the reference's SparkScanBuilder.pushAggregation,
+  // spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkScanBuilder.java:202-274
+  // in /root/reference) — `SELECT count(*) FROM graft.db.t` becomes a
+  // driver-side O(#files) manifest fold, zero data files opened. Same
+  // guards as the V1 rule [[graft.plans.StatsAggregatePushdown]]: no
+  // residual filters, no pending delete state (deleted rows would make
+  // manifest counts overcount), stats present for every referenced column.
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    evalAggregation(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    evalAggregation(aggregation) match {
+      case Some(r) => aggResult = Some(r); true
+      case None => false
+    }
+
+  private def evalAggregation(agg: Aggregation): Option[(StructType, InternalRow)] = try {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    if (Snapshots.currentVersion(path) != 0 &&
+        (Snapshots.readDeletes(path, version).nonEmpty ||
+         Snapshots.readEqDeletes(path, version).nonEmpty ||
+         Snapshots.readPosDeletes(path, version).nonEmpty)) return None
+    val stats = Snapshots.readManifest(path, version)
+    val toPhysical: Map[String, String] =
+      TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
+    val encoded = GeometryFields.get(path).keySet
+    import org.apache.spark.sql.types._
+    def key(e: org.apache.spark.sql.connector.expressions.Expression): Option[(String, DataType)] =
+      e match {
+        case n: NamedReference if !n.fieldNames.exists(encoded) =>
+          val parts = n.fieldNames.toSeq
+          val phys = (toPhysical.getOrElse(parts.head, parts.head) +: parts.tail).mkString(".")
+          val dt = parts match {
+            case Seq(c) => logicalSchema.fields.find(_.name == c).map(_.dataType)
+            case Seq(c, leaf) => logicalSchema.fields.find(_.name == c).map(_.dataType)
+              .collect { case st: StructType if st.fieldNames.contains(leaf) => st(leaf).dataType }
+            case _ => None
+          }
+          dt.filter {
+            case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+                 StringType | DateType | TimestampType => true
+            case _ => false
+          }.map(phys -> _)
+        case _ => None
+      }
+    val values = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          stats.map(_.rows).sum: Any))
+      case m: Min => key(m.column).flatMap { case (k, dt) =>
+        graft.plans.StatsAggregatePushdown.fold(stats.map(_.mins.get(k)), dt,
+          math.Ordering.Double.TotalOrdering.lt).map(v => (StructField(s"min($k)", dt), v))
+      }
+      case m: Max => key(m.column).flatMap { case (k, dt) =>
+        graft.plans.StatsAggregatePushdown.fold(stats.map(_.maxs.get(k)), dt,
+          math.Ordering.Double.TotalOrdering.gt).map(v => (StructField(s"max($k)", dt), v))
+      }
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) None
+    else Some((StructType(values.map(_.get._1)), InternalRow.fromSeq(values.map(_.get._2))))
+  } catch { case _: Exception => None }
+
+  override def build(): Scan = aggResult match {
+    case Some((aggSchema, row)) => GraftLocalAggScan(aggSchema, Array(row))
+    case None => new GraftScan(spark, path, version, required, pushed)
+  }
+}
+
+/** A fully-pushed aggregate answered on the driver: Spark plans a local
+  * table scan over these pre-computed rows — no executors, no files.
+  */
+case class GraftLocalAggScan(aggSchema: StructType, rows: Array[InternalRow])
+    extends LocalScan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String = s"GraftLocalAggScan${aggSchema.fieldNames.mkString("[", ", ", "]")}"
 }
 
 /** `pruneFilters` carries conjuncts recovered AFTER scan construction by
@@ -177,7 +259,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   */
 class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     required: StructType, pushed: Array[sources.Filter],
-    val pruneFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch {
+    val pruneFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
 
   /** Same scan with extra pruning conjuncts; `this` when nothing new (the
     * fixed-point convergence guarantee for the rewrite rule).
@@ -253,6 +336,41 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 
   override def toBatch: Batch = this
 
+  // ---- statistics from the pruned manifest (the reference's
+  // SparkScan#estimateStatistics,
+  // spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkScan.java:93,242
+  // in /root/reference): without this DataSourceV2Relation falls back to
+  // defaultSizeInBytes and a small catalog dimension table never
+  // auto-broadcasts in the initial plan. Row counts are an upper bound
+  // while MoR deletes are pending — correct posture for estimates.
+  override def estimateStatistics(): Statistics = {
+    val files = plannedFiles
+    val size = files.map(_.sizeBytes).sum
+    val rows = files.map(_.rows).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  // ---- runtime filtering (the reference's SparkBatchQueryScan
+  // SupportsRuntimeV2Filtering, SparkBatchQueryScan.java:62,156): after the
+  // build side of a join executes, Spark hands back IN-predicates on the
+  // partition source columns; re-pruning through the same manifest
+  // evaluation (incl. transform projection — `id IN (…)` opens only the
+  // matching bucket dirs) shrinks a 100 TB fact scan to the joined keys.
+  private var runtimeFilters: Array[sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    GeoTable.readPartitionSpecs(path).map(_.source).distinct
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val v1 = predicates.flatMap(GraftScan.v2ToV1)
+    if (v1.nonEmpty) runtimeFilters ++= v1
+  }
+
   override def description(): String =
     s"GraftScan $path${version.map(v => s"@v$v").getOrElse("")} " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
@@ -289,13 +407,23 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       case sources.Or(l, r) => for (a <- conv(l); b <- conv(r)) yield ce.Or(a, b)
       case _ => None
     }
-    (pushed ++ pruneFilters).flatMap(conv).toSeq
+    (pushed ++ pruneFilters ++ runtimeFilters).flatMap(conv).toSeq
   }
+
+  /** Planning-only partition schema: every IDENTITY partition column with
+    * its declared type, whether or not the query reads it — a filter (or a
+    * runtime DPP predicate) on a partition column must prune directories
+    * even when the column is pruned from the output.
+    */
+  private val planningPartSchema: StructType = StructType(
+    GeoTable.readPartitionSpecs(path).collect { case graft.spatial.Transforms.Identity(c) => c }
+      .flatMap(c => fullSchemaFields.find(_.name == c))
+      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType)))
 
   private def plannedFiles: Seq[graft.spatial.FileStats] = {
     val manifest = Snapshots.readManifest(path, version)
     val index = new GraftFileIndex(spark, new Path(path), manifest,
-      readPhysicalData, readPartSchema, GeoTable.readPruningSpecs(path))
+      readPhysicalData, planningPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)
       .flatMap(_.files.map(_.getPath.toUri.getPath)).toSet
     manifest.filter(f => keep.contains(new Path(new Path(path), f.path).toUri.getPath))
@@ -370,7 +498,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
     val broadcastConf = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
     // physical-name pushed filters reach parquet for row-group pruning
-    val physFilters = (pushed ++ pruneFilters).flatMap(translatePhysical)
+    val physFilters = (pushed ++ pruneFilters ++ runtimeFilters).flatMap(translatePhysical)
     val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, readPhysicalData,
       readPhysicalData, readPartSchema, physFilters, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
@@ -447,6 +575,57 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     analyzed.collectFirst { case LFilter(c, _) =>
       BindReferences.bindReference(
         Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
+    }
+  }
+}
+
+object GraftScan {
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral}
+
+  /** V2 runtime predicate → V1 source filter, for the shapes runtime
+    * filtering produces (IN / equality over a column, AND/OR trees).
+    * Literal values convert to external form, matching normal V1 filters.
+    */
+  private[sources] def v2ToV1(p: V2Predicate): Option[sources.Filter] = {
+    def ref(e: VExpr): Option[String] = e match {
+      case n: NamedReference => Some(n.fieldNames.mkString("."))
+      case _ => None
+    }
+    def lit(e: VExpr): Option[Any] = e match {
+      case l: VLiteral[_] => Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    val ch = p.children()
+    p.name() match {
+      case "=" => for (a <- ref(ch(0)); v <- lit(ch(1))) yield sources.EqualTo(a, v)
+      case "<=>" => for (a <- ref(ch(0)); v <- lit(ch(1))) yield sources.EqualNullSafe(a, v)
+      case ">" => for (a <- ref(ch(0)); v <- lit(ch(1))) yield sources.GreaterThan(a, v)
+      case ">=" => for (a <- ref(ch(0)); v <- lit(ch(1))) yield sources.GreaterThanOrEqual(a, v)
+      case "<" => for (a <- ref(ch(0)); v <- lit(ch(1))) yield sources.LessThan(a, v)
+      case "<=" => for (a <- ref(ch(0)); v <- lit(ch(1))) yield sources.LessThanOrEqual(a, v)
+      case "IN" =>
+        val vs = ch.drop(1).map(lit)
+        if (vs.exists(_.isEmpty)) None
+        else ref(ch(0)).map(sources.In(_, vs.map(_.get)))
+      case "IS_NULL" => ref(ch(0)).map(sources.IsNull)
+      case "IS_NOT_NULL" => ref(ch(0)).map(sources.IsNotNull)
+      case "AND" => p match {
+        case and: org.apache.spark.sql.connector.expressions.filter.And =>
+          for (l <- v2ToV1(and.left()); r <- v2ToV1(and.right())) yield sources.And(l, r)
+        case _ => None
+      }
+      case "OR" => p match {
+        case or: org.apache.spark.sql.connector.expressions.filter.Or =>
+          for (l <- v2ToV1(or.left()); r <- v2ToV1(or.right())) yield sources.Or(l, r)
+        case _ => None
+      }
+      case "NOT" => p match {
+        case not: org.apache.spark.sql.connector.expressions.filter.Not =>
+          v2ToV1(not.child()).map(sources.Not)
+        case _ => None
+      }
+      case _ => None
     }
   }
 }

@@ -114,8 +114,13 @@ class GraftFileIndex(
   // equality/IN predicate on a transform's SOURCE column projects to the
   // derived directory value at planning time, pruning hash-scattered
   // buckets that file stats can't.
+  // Identity transforms participate too (derived col = the source itself,
+  // present in partitionSchema with its declared type): the DSv2 path
+  // delivers partition-column predicates as DATA filters — both the static
+  // pushdown and runtime (DPP) join-key filters — and they must still
+  // prune to the matching directories.
   private val transformIdx: Seq[(Transforms.Transform, Int)] =
-    partitionSpecs.filterNot(_.isInstanceOf[Transforms.Identity])
+    partitionSpecs
       .flatMap(t => pruneSchema.fieldNames.indexOf(t.derivedName) match {
         case -1 => None // unprunable (e.g. truncate with unknown source type)
         case i => Some(t -> i)
