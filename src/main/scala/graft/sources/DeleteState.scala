@@ -67,10 +67,17 @@ case class GraftInputPartition(
 
 object DeleteFiles {
 
-  /** `_metadata.file_path` comes back scheme-qualified (`file:///…`); the
-    * manifest-planned scan paths are unqualified — normalize to compare.
+  /** `_metadata.file_path` comes back scheme-qualified (`file:///…`,
+    * `s3a://bucket/…`); the manifest-planned scan paths are unqualified
+    * absolute paths built via `Path.toUri.getPath`. Normalize BOTH sides
+    * through the same URI→path routine so scheme AND authority are
+    * stripped identically — a regex that only strips the scheme would
+    * keep `hdfs://nn:8020/…`'s authority as a path prefix and silently
+    * match nothing (coverage resolving empty ⇒ deleted rows resurface).
     */
-  def norm(p: String): String = p.replaceFirst("^[a-zA-Z0-9]+:/+", "/")
+  def norm(p: String): String =
+    try new Path(p).toUri.getPath
+    catch { case _: IllegalArgumentException => p.replaceFirst("^[a-zA-Z0-9]+:/+", "/") }
 
   /** A serializable parquet ROW reader factory for a delete-file schema —
     * the executor-side reading channel. Mirrors the conf wiring of the
@@ -111,9 +118,16 @@ object DeleteFiles {
   // streaming MoR table grows that set every few commits, and set-keyed
   // entries would accrete O(N^2) superseded state). A micro-batch only
   // pays the distinct-pairs job for delete files it has never seen.
+  // LRU-bounded: overflow evicts the coldest entries one at a time — a
+  // table with more live delete files than the bound keeps its hot set
+  // instead of re-running the coverage job on every planning.
   // var so specs can shrink the bound and exercise the eviction path
   private[graft] var CoverageMaxEntries = 4096
-  private val coverageCache = new ConcurrentHashMap[String, Seq[String]]()
+  private val coverageCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+        size() > CoverageMaxEntries
+    })
 
   private def coverageKey(f: DeleteFileRef): String = s"${f.path}#${f.len}"
 
@@ -138,7 +152,6 @@ object DeleteFiles {
         .distinct()
         .collect()
         .groupBy(r => norm(r.getString(1)))
-      if (coverageCache.size > CoverageMaxEntries) coverageCache.clear()
       missing.foreach { f =>
         val covered = bySrc.getOrElse(norm(f.path), Array.empty)
           .map(r => norm(r.getString(0))).toSeq.distinct
@@ -174,15 +187,55 @@ object DeleteFiles {
   * clears them) and live in EXECUTOR memory — the point of the design.
   */
 object DeleteFileCache {
-  // crude bound: compaction clears delete files over time, but a
-  // long-lived executor serving MANY tables must not accrete every index
-  // it ever parsed — when full, drop everything and re-parse on demand
-  private val MaxEntries = 64
-  private val positions = new ConcurrentHashMap[String, Map[String, Array[Long]]]()
-  private val keys = new ConcurrentHashMap[String, Set[Seq[Any]]]()
+  // Bounded by estimated parsed BYTES, evicted least-recently-used and
+  // one entry at a time: an executor serving a MoR-heavy 100 TB table (or
+  // many tables) keeps the delete indexes its current tasks actually
+  // consult instead of wiping the whole cache on overflow — a clear-all
+  // made every task re-parse exactly when delete files were most numerous.
+  // var so specs can shrink the bound and exercise incremental eviction
+  private[graft] var MaxBytes: Long = 256L * 1024 * 1024
 
-  private def bound(m: ConcurrentHashMap[String, _]): Unit =
-    if (m.size > MaxEntries) m.clear()
+  private final class Entry(val value: AnyRef, val bytes: Long) {
+    @volatile var touched: Long = 0L
+  }
+  private val cache = new ConcurrentHashMap[String, Entry]()
+  private val clock = new java.util.concurrent.atomic.AtomicLong()
+  private val totalBytes = new java.util.concurrent.atomic.AtomicLong()
+
+  private[graft] def cachedEntries: Int = cache.size
+  // parse-count telemetry: a re-parse after eviction bumps this; specs
+  // assert hot entries do NOT re-parse across plannings
+  private[graft] val parses = new java.util.concurrent.atomic.AtomicLong()
+
+  private def getOrLoad(key: String)(load: => (AnyRef, Long)): AnyRef = {
+    // computeIfAbsent keeps the parse-once-per-JVM guarantee (concurrent
+    // tasks on the same file block on one parse, not N)
+    val e = cache.computeIfAbsent(key, _ => {
+      val (v, b) = load
+      parses.incrementAndGet()
+      totalBytes.addAndGet(b)
+      new Entry(v, b)
+    })
+    e.touched = clock.incrementAndGet()
+    if (totalBytes.get > MaxBytes) evict(key)
+    e.value
+  }
+
+  /** Drop coldest entries until under the bound (never the one just
+    * touched) — incremental, hot set survives.
+    */
+  private def evict(keep: String): Unit = synchronized {
+    while (totalBytes.get > MaxBytes && cache.size > 1) {
+      var coldest: String = null
+      var coldestTouch = Long.MaxValue
+      cache.forEach { (k, e) =>
+        if (k != keep && e.touched < coldestTouch) { coldest = k; coldestTouch = e.touched }
+      }
+      if (coldest == null) return
+      val removed = cache.remove(coldest)
+      if (removed != null) totalBytes.addAndGet(-removed.bytes)
+    }
+  }
 
   /** Sorted deleted positions of `dataAbs` (falling back to a
     * table-relative suffix match for entries recorded under a differently
@@ -190,15 +243,16 @@ object DeleteFileCache {
     */
   def positionsFor(factory: ParquetPartitionReaderFactory, file: DeleteFileRef,
       dataAbs: String, rel: String): Array[Long] = {
-    bound(positions)
-    val idx = positions.computeIfAbsent(file.path, _ => {
+    val idx = getOrLoad("pos:" + file.path) {
       val acc = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
       readAll(factory, file) { r =>
         acc.getOrElseUpdate(DeleteFiles.norm(r.getUTF8String(0).toString),
           scala.collection.mutable.ArrayBuffer.empty[Long]) += r.getLong(1)
       }
-      acc.map { case (k, v) => k -> v.toArray.sorted }.toMap
-    })
+      val m = acc.map { case (k, v) => k -> v.toArray.sorted }.toMap
+      val bytes = m.iterator.map { case (k, v) => 2L * k.length + 8L * v.length + 48L }.sum
+      (m, bytes)
+    }.asInstanceOf[Map[String, Array[Long]]]
     idx.getOrElse(dataAbs,
       idx.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }
         .getOrElse(Array.emptyLongArray))
@@ -208,17 +262,17 @@ object DeleteFileCache {
     * compare equal to reader-row extractions). Rows are copied out of the
     * reader's reused buffer before extraction.
     */
-  def keysFor(spec: EqDeleteSpec): Set[Seq[Any]] = {
-    bound(keys)
-    keys.computeIfAbsent(spec.file.path, _ => {
+  def keysFor(spec: EqDeleteSpec): Set[Seq[Any]] =
+    getOrLoad("eq:" + spec.file.path) {
       val acc = Set.newBuilder[Seq[Any]]
+      var n = 0L
       readAll(spec.factory, spec.file) { r =>
         val copied = r.copy()
         acc += spec.types.indices.map(i => copied.get(i, spec.types(i)): Any).toList
+        n += 1
       }
-      acc.result()
-    })
-  }
+      (acc.result(), n * (16L * spec.types.length + 48L))
+    }.asInstanceOf[Set[Seq[Any]]]
 
   private def readAll(factory: ParquetPartitionReaderFactory, file: DeleteFileRef)(
       f: InternalRow => Unit): Unit = {

@@ -282,6 +282,38 @@ class CatalogSpec extends AnyFunSuite {
     } finally DeleteFiles.CoverageMaxEntries = saved
   }
 
+  test("executor delete-file cache: LRU byte bound, parse-once across plannings") {
+    import graft.sources.DeleteFileCache
+    val tbl = s"$warehouse/db/evict2"
+    val src = spark.range(600).toDF("id")
+      .withColumn("geom", st_point(lit(1.0), lit(2.0)))
+    GeoTable.write(GeoTable.withBbox(src, "geom").drop("geom_bbox"), tbl, "geom",
+      res = 8, numFiles = 2)
+    def posOf(cond: org.apache.spark.sql.Column) =
+      Snapshots.read(spark, tbl).filter(cond)
+        .select(expr("_metadata.file_path").as("file_path"),
+          expr("_metadata.row_index").as("pos"))
+    Snapshots.deleteByPosition(spark, tbl, posOf(col("id") < 50))
+    Snapshots.deleteByPosition(spark, tbl, posOf(col("id") >= 550))
+    Snapshots.deleteByPosition(spark, tbl, posOf(col("id") >= 300 && col("id") < 350))
+    val savedBytes = DeleteFileCache.MaxBytes
+    try {
+      // generous bound: a second planning serves every delete index from
+      // cache — zero re-parses (the clear-all predecessor wiped everything
+      // once entry count crossed its bound)
+      DeleteFileCache.MaxBytes = 256L * 1024 * 1024
+      assert(spark.read.format("graft").load(tbl).count() == 450L)
+      val p0 = DeleteFileCache.parses.get
+      assert(spark.read.format("graft").load(tbl).count() == 450L)
+      assert(DeleteFileCache.parses.get == p0, "hot delete indexes must not re-parse")
+      // bound smaller than any entry: eviction is incremental (the
+      // just-touched entry always survives) and never detaches deletes
+      DeleteFileCache.MaxBytes = 1L
+      (1 to 2).foreach(_ => assert(spark.read.format("graft").load(tbl).count() == 450L))
+      assert(DeleteFileCache.cachedEntries >= 1)
+    } finally DeleteFileCache.MaxBytes = savedBytes
+  }
+
   test("partition-spec evolution: old files keep their layout, pruning spans generations") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
