@@ -51,13 +51,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val p = tablePath(ident)
     if (isTable(p)) new GraftTable(p.toString, None)
     else {
-      // Iceberg-style metadata identifiers — `SELECT * FROM cat.db.t.files`
-      // resolves here with namespace [db, t] and name "files"
-      // (ref SparkCatalog.java's MetadataTableType lookup)
+      // Iceberg-style suffix identifiers on a parent table — branch/tag
+      // scoping (`SELECT … FROM cat.db.t.branch_x`, `INSERT INTO
+      // cat.db.t.branch_x`; ref SparkTable.java:123-136) and metadata
+      // tables (`cat.db.t.files`, ref SparkCatalog.java's
+      // MetadataTableType lookup) — namespace [db, t], name = suffix.
       val parent = java.nio.file.Paths.get(warehouse, ident.namespace(): _*)
       if (ident.namespace().isEmpty || !isTable(parent))
         throw new NoSuchTableException(ident)
-      try new GraftMetadataTable(
+      val n = ident.name()
+      lazy val (branches, tags) = Snapshots.readRefs(parent.toString)
+      if (n.startsWith("branch_")) {
+        val b = n.stripPrefix("branch_")
+        val head = branches.getOrElse(b, throw new NoSuchTableException(ident))
+        new GraftTable(parent.toString, Some(head), branch = Some(b))
+      } else if (n.startsWith("tag_")) {
+        val t = n.stripPrefix("tag_")
+        val head = tags.getOrElse(t, throw new NoSuchTableException(ident))
+        new GraftTable(parent.toString, Some(head), tag = Some(t))
+      } else try new GraftMetadataTable(
         Snapshots.metadataTable(SparkSession.active, parent.toString,
           ident.name().toLowerCase),
         s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")

@@ -44,19 +44,24 @@ import graft.spatial.{GeometryEncoding, GeometryFields, GeoTable, GraftFileIndex
   *
   * Pushed filters also reach the parquet readers for row-group pruning.
   */
-class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Table
+class GraftTable(val path: String, val snapshotVersion: Option[Int],
+    val branch: Option[String] = None, val tag: Option[String] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
 
-  override def name(): String = s"graft.`$path`"
+  override def name(): String =
+    s"graft.`$path`" + branch.map(b => s"@branch_$b").orElse(tag.map(t => s"@tag_$t")).getOrElse("")
 
   // the LOGICAL read schema — exactly what Snapshots.read serves (decoded
   // geometries, renames applied); plan construction is manifest-only
   override lazy val schema: StructType = Snapshots.read(spark, path, snapshotVersion).schema
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    if (tag.isDefined) util.EnumSet.of(TableCapability.BATCH_READ) // tags never move: read-only
+    else if (branch.isDefined) // branch heads: batch append only (WAP writes)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** Snapshot property map (SHOW TBLPROPERTIES / DESCRIBE EXTENDED). */
@@ -86,7 +91,8 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
     * conditions route through the graft DML parser instead.
     */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
-    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+    branch.isEmpty && tag.isEmpty &&
+      filters.forall(f => GraftTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
@@ -101,15 +107,26 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int]) extends Tab
 
   /** INSERT INTO/OVERWRITE lowered onto the snapshot commit protocol;
     * `toStreaming` serves `writeStream.format("graft")` / `.toTable`
-    * (append mode) with per-epoch exactly-once snapshots.
+    * (append mode) with per-epoch exactly-once snapshots. A branch-scoped
+    * table (`t.branch_x`, the reference's SparkTable branch writes,
+    * SparkTable.java:123-136 in /root/reference) appends onto the branch
+    * head only — main-line readers stay isolated until `fast_forward`.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            if (overwrite) Snapshots.overwrite(data, path)
-            else Snapshots.append(data, path)
+            branch match {
+              case Some(b) =>
+                if (overwrite) throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE is not supported on branch $b; write-audit-publish " +
+                    "appends to the branch, then fast_forward publishes")
+                Snapshots.appendToBranch(data, path, b)
+              case None =>
+                if (overwrite) Snapshots.overwrite(data, path)
+                else Snapshots.append(data, path)
+            }
             ()
           }
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =

@@ -314,6 +314,30 @@ class CatalogSpec extends AnyFunSuite {
     } finally DeleteFileCache.MaxBytes = savedBytes
   }
 
+  test("branch-scoped SQL writes: INSERT INTO t.branch_x isolates main until fast_forward") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE gcat.br.t (id BIGINT) USING graft")
+    spark.sql("INSERT INTO gcat.br.t VALUES (1),(2)")
+    val tbl = s"$warehouse/br/t"
+    Snapshots.createBranch(tbl, "dev")
+    spark.sql("INSERT INTO gcat.br.t.branch_dev VALUES (3),(4)")
+    // write-audit: branch sees the append, main is untouched
+    assert(spark.sql("SELECT * FROM gcat.br.t").count() == 2)
+    assert(spark.sql("SELECT * FROM gcat.br.t.branch_dev").count() == 4)
+    assert(spark.sql("SELECT sum(id) FROM gcat.br.t.branch_dev").collect().head.getLong(0) == 10L)
+    // publish: fast-forward main to the branch head, both refs now agree
+    Snapshots.fastForward(tbl, "main", Snapshots.resolveRef(tbl, "dev"))
+    assert(spark.sql("SELECT * FROM gcat.br.t").count() == 4)
+    assert(spark.sql("SELECT * FROM gcat.br.t.branch_dev").count() == 4)
+    // tags resolve for reads and refuse writes
+    Snapshots.createTag(tbl, "v1")
+    assert(spark.sql("SELECT * FROM gcat.br.t.tag_v1").count() == 4)
+    intercept[Exception] { spark.sql("INSERT INTO gcat.br.t.tag_v1 VALUES (9)") }
+    // overwrite of a branch head is rejected (WAP appends only)
+    intercept[Exception] { spark.sql("INSERT OVERWRITE gcat.br.t.branch_dev VALUES (9)") }
+    assert(spark.sql("SELECT * FROM gcat.br.t.branch_dev").count() == 4)
+  }
+
   test("partition-spec evolution: old files keep their layout, pruning spans generations") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
