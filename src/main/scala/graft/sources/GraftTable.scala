@@ -75,8 +75,8 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     import org.apache.spark.sql.connector.expressions.Expressions
     graft.spatial.GeoTable.readPartitionSpecs(path).map {
       case graft.spatial.Transforms.Identity(c) => Expressions.identity(c)
-      case graft.spatial.Transforms.Bucket(n, c) => Expressions.bucket(n, c)
-      case graft.spatial.Transforms.Truncate(w, c) => Expressions.apply("truncate",
+      case graft.spatial.Transforms.Bucket(n, c, _) => Expressions.bucket(n, c)
+      case graft.spatial.Transforms.Truncate(w, c, _) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(c))
       case graft.spatial.Transforms.DatePart("year", c) => Expressions.years(c)
       case graft.spatial.Transforms.DatePart("month", c) => Expressions.months(c)

@@ -470,18 +470,40 @@ object Snapshots {
     val current = GeoTable.readPartitionSpecs(path)
     val history = GeoTable.readPartitionHistory(path)
     val schema = readSchema(path, Some(head))
-    val adds = add.map(Transforms.parse)
-    adds.foreach { t =>
-      require(!t.isInstanceOf[Transforms.Identity],
-        s"ADD PARTITION FIELD ${t.spec}: identity partitioning cannot be evolved " +
+    val adds = add.map(Transforms.parse).map { t0 =>
+      require(!t0.isInstanceOf[Transforms.Identity],
+        s"ADD PARTITION FIELD ${t0.spec}: identity partitioning cannot be evolved " +
           "(existing data files physically contain the column); use a hidden transform")
-      schema.foreach(s => require(s.fieldNames.contains(t.source),
-        s"partition source column not in schema: ${t.source}"))
+      schema.foreach(s => require(s.fieldNames.contains(t0.source),
+        s"partition source column not in schema: ${t0.source}"))
       val taken = (current.map(_.derivedName) ++
         history.map(Transforms.parse(_).derivedName)).toSet
-      require(!taken(t.derivedName),
+      // a clashing default name auto-disambiguates with the parameter
+      // (`bucket(8,id)` after `bucket(4,id)` → dirs `id_bucket8=`): old
+      // and new generations keep DISTINCT directory columns, so each
+      // file prunes only through the spec that actually laid it out —
+      // this is what makes `REPLACE PARTITION FIELD bucket(4,id) WITH
+      // bucket(8,id)`, the primary Iceberg REPLACE shape, work at all.
+      // Re-activating an identical retired spec keeps its name (same
+      // transform ⇒ same projection semantics, dirs are compatible).
+      val t =
+        if (!taken(t0.derivedName)) t0
+        else if (history.map(Transforms.parse(_).spec).contains(t0.spec) &&
+            !current.exists(_.derivedName == t0.derivedName)) t0
+        else t0 match {
+          case b: Transforms.Bucket if b.name.isEmpty =>
+            b.copy(name = Some(s"${b.source}_bucket${b.n}"))
+          case tr: Transforms.Truncate if tr.name.isEmpty =>
+            tr.copy(name = Some(s"${tr.source}_trunc${tr.w}"))
+          case x => x
+        }
+      require(!taken(t.derivedName) ||
+        (history.map(Transforms.parse(_).spec).contains(t.spec) &&
+          !current.exists(_.derivedName == t.derivedName)),
         s"ADD PARTITION FIELD ${t.spec}: derived name ${t.derivedName} collides with a " +
-          "live or retired partition field; evolve to a differently named transform")
+          "live or retired partition field; name the transform explicitly, e.g. " +
+          s"bucket(n,${t.source},<dirname>)")
+      t
     }
     // canonicalize via the transform grammar so `bucket(4, id)` matches
     // the stored `bucket(4,id)`; unparseable strings match raw/by-name
@@ -1091,7 +1113,14 @@ object Snapshots {
       if (matchedRows == 0) { Files.deleteIfExists(Paths.get(path, delName)); None }
       else Some(delName)
     val (added, _) = writeBack(src, path)
-    publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
+    val stats = statsFor(spark, path, added)
+    if (matchedRows == 0 && stats.forall(_.rows == 0L)) {
+      // empty MERGE source: no-op snapshotless, mirroring the
+      // delete/update paths — never churn a version or register the
+      // writer's empty part files
+      added.foreach(r => Files.deleteIfExists(Paths.get(path, r)))
+      head
+    } else publish(path, rs, readManifest(path, Some(head)) ++ stats,
       carried(path, head), carriedPos(path, head) ++ delFile,
       eqDeletes = carriedEq(path, head))
   }

@@ -44,9 +44,14 @@ object Transforms {
     def spec: String = source
   }
 
-  /** Murmur3(value) mod n — same hash as Spark's `hash()` (seed 42). */
-  case class Bucket(n: Int, source: String) extends Transform {
-    def derivedName: String = s"${source}_bucket"
+  /** Murmur3(value) mod n — same hash as Spark's `hash()` (seed 42).
+    * `name` overrides the derived directory column (spec evolution gives
+    * a REPLACEMENT bucket a distinct name — `id_bucket8` — so its dirs
+    * never mix with the retired generation's `id_bucket` dirs, which
+    * would poison projection pruning).
+    */
+  case class Bucket(n: Int, source: String, name: Option[String] = None) extends Transform {
+    def derivedName: String = name.getOrElse(s"${source}_bucket")
     def project(v: Any): Option[Any] = v match {
       case null => None
       case _ =>
@@ -54,14 +59,14 @@ object Transforms {
         Some(((h % n) + n) % n)
     }
     def monotonic: Boolean = false
-    def spec: String = s"bucket($n,$source)"
+    def spec: String = s"bucket($n,$source${name.fold("")("," + _)})"
   }
 
   /** Numbers floor to a width-multiple; strings take a prefix — both
     * order-preserving.
     */
-  case class Truncate(w: Int, source: String) extends Transform {
-    def derivedName: String = s"${source}_trunc"
+  case class Truncate(w: Int, source: String, name: Option[String] = None) extends Transform {
+    def derivedName: String = name.getOrElse(s"${source}_trunc")
     def project(v: Any): Option[Any] = v match {
       case s: UTF8String => Some(UTF8String.fromString(s.toString.take(w)))
       case s: String => Some(s.take(w))
@@ -70,7 +75,7 @@ object Transforms {
       case _ => None
     }
     def monotonic: Boolean = true
-    def spec: String = s"truncate($w,$source)"
+    def spec: String = s"truncate($w,$source${name.fold("")("," + _)})"
   }
 
   /** Iceberg ordinal semantics so every part is MONOTONIC in the source:
@@ -95,13 +100,13 @@ object Transforms {
     def spec: String = s"$part($source)"
   }
 
-  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
-  private val TruncRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*\)""".r
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*(?:,\s*(\w+)\s*)?\)""".r
+  private val TruncRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*(?:,\s*(\w+)\s*)?\)""".r
   private val DateRe = """(?i)(year|month|day)\s*\(\s*([\w.]+)\s*\)""".r
 
   def parse(spec: String): Transform = spec.trim match {
-    case BucketRe(n, c) => Bucket(n.toInt, c)
-    case TruncRe(w, c) => Truncate(w.toInt, c)
+    case BucketRe(n, c, nm) => Bucket(n.toInt, c, Option(nm))
+    case TruncRe(w, c, nm) => Truncate(w.toInt, c, Option(nm))
     case DateRe(p, c) => DatePart(p.toLowerCase, c)
     case ident if ident.matches("[\\w.]+") => Identity(ident)
     case other => throw new IllegalArgumentException(s"bad partition transform: $other")
@@ -112,8 +117,8 @@ object Transforms {
     */
   def writeExpr(t: Transform, df: DataFrame): Column = t match {
     case Identity(src) => col(src)
-    case Bucket(n, src) => pmod(hash(col(src)), lit(n))
-    case Truncate(w, src) =>
+    case Bucket(n, src, _) => pmod(hash(col(src)), lit(n))
+    case Truncate(w, src, _) =>
       df.schema(src).dataType match {
         case org.apache.spark.sql.types.StringType => substring(col(src), 1, w)
         case _ => col(src) - pmod(col(src), lit(w))

@@ -380,13 +380,49 @@ class CatalogSpec extends AnyFunSuite {
       s"combined predicate must prune both generations: $combined vs $byId / $byCat")
     assert(spark.sql("SELECT * FROM gcat.evo.t WHERE id = 42 AND cat = 'c0'").count() == 2)
 
-    // guardrails: identity evolution and derived-name collisions are rejected
+    // guardrails: identity evolution and EXPLICIT-name collisions are
+    // rejected (an unnamed re-bucket auto-disambiguates instead — see the
+    // REPLACE bucket test below)
     val e1 = intercept[Exception](
       spark.sql("ALTER TABLE gcat.evo.t ADD PARTITION FIELD cat"))
     assert(e1.getMessage.contains("identity"), e1.getMessage)
     val e2 = intercept[Exception](
-      spark.sql("ALTER TABLE gcat.evo.t ADD PARTITION FIELD bucket(8, id)"))
+      spark.sql("ALTER TABLE gcat.evo.t ADD PARTITION FIELD bucket(16, id, id_bucket)"))
     assert(e2.getMessage.contains("collides"), e2.getMessage)
+  }
+
+  test("REPLACE PARTITION FIELD bucket(4,id) WITH bucket(8,id): generations stay distinct") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
+    spark.sql("CREATE TABLE gcat.evo.rb (id BIGINT, cat STRING) PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO gcat.evo.rb SELECT id, concat('c', id % 3) FROM range(100)")
+    def parts(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+    val genAFiles = parts("SELECT * FROM gcat.evo.rb")
+    // the primary Iceberg REPLACE shape: widen the bucket on the same col
+    spark.sql("ALTER TABLE gcat.evo.rb REPLACE PARTITION FIELD bucket(4, id) WITH bucket(8, id)")
+    spark.sql("INSERT INTO gcat.evo.rb SELECT id + 100, concat('c', id % 3) FROM range(100)")
+    assert(spark.sql("SELECT * FROM gcat.evo.rb").count() == 200)
+    // the new generation lays out under its own derived dir (id_bucket8),
+    // never mixing with the retired id_bucket dirs
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(warehouse, "evo", "rb"))
+      .iterator()
+    var sawOld = false; var sawNew = false
+    dirs.forEachRemaining { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("id_bucket=")) sawOld = true
+      if (n.startsWith("id_bucket8=")) sawNew = true
+    }
+    assert(sawOld && sawNew, "expected both bucket generations on disk")
+    // point predicates prune through BOTH generations' own projections
+    val total = parts("SELECT * FROM gcat.evo.rb")
+    val oldGen = parts("SELECT * FROM gcat.evo.rb WHERE id = 42")
+    val newGen = parts("SELECT * FROM gcat.evo.rb WHERE id = 142")
+    assert(oldGen < total && newGen < total,
+      s"both generations must prune: old=$oldGen new=$newGen total=$total (genA=$genAFiles)")
+    assert(spark.sql("SELECT * FROM gcat.evo.rb WHERE id = 42").count() == 1)
+    assert(spark.sql("SELECT * FROM gcat.evo.rb WHERE id = 142").count() == 1)
   }
 
   test("WRITE ORDERED BY hilbert: plain INSERT INTO yields spatially clustered files") {

@@ -262,6 +262,14 @@ class SnapshotsSpec extends AnyFunSuite {
       "MoR merge must keep every pre-existing data file")
     assert(rows(dir) == rows(cowDir))
 
+    // an empty MERGE source is a snapshotless no-op — no version churn,
+    // no empty data files registered (same stance as delete/update)
+    val vMor = Snapshots.currentVersion(dir)
+    val filesMor = Snapshots.readManifest(dir).map(_.path).toSet
+    Snapshots.mergeUpsert(spark, dir, mkDf(1 to 3, 1).filter(col("id") > 100000), "id")
+    assert(Snapshots.currentVersion(dir) == vMor, "empty MERGE must not commit")
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == filesMor)
+
     // compaction materializes and clears the position deletes
     Snapshots.rewriteCompact(spark, dir, "geom", numFiles = 2, res = 8)
     assert(Snapshots.readPosDeletes(dir).isEmpty)
