@@ -6,12 +6,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * wiring the reference documents for its own extension class
   * (`IcebergSparkSessionExtensions` in /root/reference's README). Injects
   * the SQL statement parser (`ALTER TABLE … SET GEOMETRY FIELDS`,
-  * `CALL graft.system.*`). The optimizer rules + ST_ function registry are
-  * installed lazily by every read path (`Geo.install`), so the parser is
-  * the only piece that must ride session construction.
+  * `CALL graft.system.*`) and the view-substitution resolution rule (the
+  * reference's `ResolveViews`). The optimizer rules + ST_ function
+  * registry are installed lazily by every read path (`Geo.install`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(session => GraftViewSubstitution(session))
   }
 }

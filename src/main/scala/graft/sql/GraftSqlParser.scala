@@ -24,10 +24,10 @@ import graft.spatial.{GeometryFields, Snapshots}
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
-    val plan = GraftStatements.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
-    GraftViews.substitute(plan, this)
-  }
+  // view substitution happens during ANALYSIS ([[GraftViewSubstitution]]),
+  // not here: API entries like spark.table() never pass through the parser
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftStatements.tryParse(sqlText).getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -166,9 +166,15 @@ object GraftViews {
             // single-part (and catalog-less) names inside the body
             // resolve in the view's STORED context, not the caller's;
             // CTE references defined by the body itself stay untouched
+            // a 2-part name whose head merely COINCIDES with a catalog
+            // name is still namespace-relative (graft tables are always
+            // ns.table under a catalog): only a >=3-part head-is-catalog
+            // identifier is genuinely catalog-qualified and skips
+            // re-qualification into the stored context
             val qualified = transformRelations(child, Set.empty) { (r, inner) =>
               if (isCteRef(r.multipartIdentifier, inner) ||
-                  isCatalogName(r.multipartIdentifier.head)) r
+                  (r.multipartIdentifier.length >= 3 &&
+                    isCatalogName(r.multipartIdentifier.head))) r
               else {
                 val parts =
                   if (r.multipartIdentifier.length == 1)
@@ -178,12 +184,34 @@ object GraftViews {
                 UnresolvedRelation(parts)
               }
             }
-            SubqueryAlias(name, qualified)
+            // the analyzer's own Substitution batch already ran by the
+            // time the resolution rule injects this body — apply CTE
+            // substitution to the fragment ourselves so WITH-bodies
+            // resolve (the reference's ResolveViews does the same)
+            SubqueryAlias(name,
+              org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified))
           } finally depth.set(depth.get - 1)
         case _ => u
       }
     }
   }
+}
+
+/** Analyzer seat of view substitution — the `ResolveViews`-shaped rule the
+  * reference installs (`IcebergSparkSessionExtensions.scala:41-43` in
+  * /root/reference). Substituting during RESOLUTION rather than parsing
+  * covers every plan entry point: `spark.table("cat.db.v")` and other
+  * DataFrame-API reads never pass through the session parser. By the time
+  * this rule runs, Spark's own `CTESubstitution` has already replaced
+  * in-scope CTE references, so only genuine relations remain unresolved;
+  * the rule is idempotent (a substituted view leaves no matching
+  * `UnresolvedRelation`) and converges within the analyzer's fixed point,
+  * nested views substituting one layer per iteration.
+  */
+case class GraftViewSubstitution(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftViews.substitute(plan, session.sessionState.sqlParser)
 }
 
 /** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v AS query` on a graft

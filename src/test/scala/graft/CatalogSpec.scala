@@ -522,6 +522,11 @@ class CatalogSpec extends AnyFunSuite {
     val got = spark.sql("SELECT * FROM gcat.vw.bysum ORDER BY grp")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((0L, 135L), (1L, 145L), (2L, 155L)))
+    // substitution is an ANALYZER rule: DataFrame-API reads that never
+    // pass through the SQL parser resolve the view too
+    val api = spark.table("gcat.vw.bysum").orderBy("grp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(api == got, "spark.table must resolve catalog views")
     // the view tracks base-table changes (stored SQL, not materialized)
     spark.sql("INSERT INTO gcat.vw.base VALUES (99, 0)")
     assert(spark.sql("SELECT s FROM gcat.vw.bysum WHERE grp = 0")
