@@ -58,8 +58,13 @@ case class GraftInputPartition(
     fp: FilePartition,
     rel: String,
     posDeletes: Array[DeleteFileRef],
-    eqDeletes: Seq[EqDeleteSpec]) extends InputPartition {
+    eqDeletes: Seq[EqDeleteSpec],
+    key: InternalRow = null) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
   def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
+  // non-null whenever the scan reports KeyGroupedPartitioning (the only
+  // time Spark reads it): same-key files group into one SPJ task
+  override def partitionKey(): InternalRow = key
   // keep the wrapped FilePartition's block-host hints — without this the
   // scheduler loses data locality on any locality-aware store
   override def preferredLocations(): Array[String] = fp.preferredLocations()

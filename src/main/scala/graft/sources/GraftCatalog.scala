@@ -3,8 +3,9 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.types.StructType
@@ -24,7 +25,7 @@ import graft.spatial.{GeoTable, Snapshots, TableSchema, Transforms}
   * `loadTable(ident, version)`.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTableCatalog
-    with ViewCatalog {
+    with ViewCatalog with FunctionCatalog {
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
@@ -336,6 +337,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     java.nio.file.Files.createDirectories(tablePath(newIdent).getParent)
     java.nio.file.Files.move(tablePath(oldIdent), tablePath(newIdent))
   }
+
+  // ---- V2 functions: the partition-transform registry (the reference's
+  // SparkFunctionCatalog on SparkCatalog, spark/v3.5/spark/src/main/java/
+  // org/apache/iceberg/spark/functions/SparkFunctions.java). Spark's
+  // V2ExpressionUtils resolves a scan's reported KeyGroupedPartitioning
+  // through loadFunction(Identifier.of(Array.empty, name)) — without this
+  // a bucket/truncate/date-part partitioning can never become a
+  // storage-partitioned join. Served in the root and `system` namespaces.
+
+  private def isFunctionNs(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespace.sameElements(Array("system"))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (isFunctionNs(namespace))
+      GraftFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (isFunctionNs(ident.namespace()))
+      GraftFunctions.load(ident.name())
+        .getOrElse(throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    isFunctionNs(ident.namespace()) && GraftFunctions.load(ident.name()).isDefined
 
   // ---- namespaces = directories under the warehouse -----------------------
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Sup
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
@@ -277,7 +277,8 @@ case class GraftLocalAggScan(aggSchema: StructType, rows: Array[InternalRow])
 class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     required: StructType, pushed: Array[sources.Filter],
     val pruneFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering
+    with SupportsReportPartitioning {
 
   /** Same scan with extra pruning conjuncts; `this` when nothing new (the
     * fixed-point convergence guarantee for the rewrite rule).
@@ -392,6 +393,75 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     s"GraftScan $path${version.map(v => s"@v$v").getOrElse("")} " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
+  // ---- partitioning report (the reference's SparkPartitioningAwareScan,
+  // spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkPartitioningAwareScan.java:61,119
+  // in /root/reference): a partition-transformed table reports
+  // KeyGroupedPartitioning over its transforms; two co-partitioned
+  // `graft.db.*` tables then join as a storage-partitioned join — ZERO
+  // exchanges, the shuffle that dominates a 100 TB fact-fact join gone.
+  // Transforms resolve to catalyst TransformExpressions through the
+  // catalog's V2 function registry ([[GraftFunctions]]); per-file key rows
+  // ride each [[GraftInputPartition]] (HasPartitionKey) and Spark groups
+  // same-key files into one task. After partition-spec evolution the claim
+  // only holds if every live file is laid out under the CURRENT spec —
+  // any file missing a derived dir voids the report (same guard as the V1
+  // path's BucketSpec, `spatial/GeoTable.scala`).
+
+  private lazy val spjSpecs: Seq[graft.spatial.Transforms.Transform] =
+    GeoTable.readPartitionSpecs(path)
+
+  /** Data types of the per-file partition key row, in spec order; None =
+    * unpartitioned or a transform whose key type can't be established
+    * (e.g. truncate over a dropped source column).
+    */
+  private lazy val spjKeySchema: Option[StructType] = {
+    import graft.spatial.Transforms._
+    if (spjSpecs.isEmpty) None
+    else {
+      val fields = spjSpecs.map {
+        case Identity(c) => fullSchemaFields.find(_.name == c)
+          .map(f => org.apache.spark.sql.types.StructField(c, f.dataType))
+        case b: Bucket =>
+          Some(org.apache.spark.sql.types.StructField(b.derivedName,
+            org.apache.spark.sql.types.IntegerType))
+        case t: Truncate => fullSchemaFields.find(_.name == t.source)
+          .map(f => org.apache.spark.sql.types.StructField(t.derivedName, f.dataType))
+        case d: DatePart =>
+          Some(org.apache.spark.sql.types.StructField(d.derivedName,
+            org.apache.spark.sql.types.IntegerType))
+      }
+      if (fields.exists(_.isEmpty)) None else Some(StructType(fields.map(_.get)))
+    }
+  }
+
+  private def keyRowOf(rel: String): Option[InternalRow] =
+    spjKeySchema.flatMap(ks => GraftScan.partitionKeyRow(rel, spjSpecs, ks))
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import graft.spatial.Transforms._
+    spjKeySchema match {
+      case Some(_) =>
+        val files = plannedFiles
+        val keys = files.map(f => keyRowOf(f.path))
+        if (files.isEmpty || keys.exists(_.isEmpty)) new UnknownPartitioning(0)
+        else {
+          val v2 = spjSpecs.map {
+            case Identity(c) => Expressions.identity(c)
+            case Bucket(n, c, _) => Expressions.bucket(n, c)
+            case Truncate(w, c, _) =>
+              Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+            case DatePart("year", c) => Expressions.years(c)
+            case DatePart("month", c) => Expressions.months(c)
+            case DatePart(_, c) => Expressions.days(c)
+          }.toArray[org.apache.spark.sql.connector.expressions.Expression]
+          new KeyGroupedPartitioning(v2, keys.map(_.get).distinct.length)
+        }
+      case None => new UnknownPartitioning(0)
+    }
+  }
+
   // ---- planning: manifest pruning through GraftFileIndex ------------------
 
   private def catalystFilters: Seq[Expression] = {
@@ -492,7 +562,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
           rel, pos.toArray, eqs)
       }
     }.zipWithIndex.map { case ((pf, rel, pos, eqs), i) =>
-      GraftInputPartition(FilePartition(i, Array(pf)), rel, pos, eqs): InputPartition
+      GraftInputPartition(FilePartition(i, Array(pf)), rel, pos, eqs,
+        keyRowOf(rel).orNull): InputPartition
     }.toArray
   }
 
@@ -599,6 +670,42 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 object GraftScan {
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral}
+
+  /** Per-file partition key row from the file's hive-layout dir segments:
+    * one value per transform in spec order, cast to the key schema's
+    * types (catalyst internal form). None when any derived dir is missing
+    * from the path — the file predates the current spec.
+    */
+  private[sources] def partitionKeyRow(rel: String,
+      specs: Seq[graft.spatial.Transforms.Transform],
+      keySchema: StructType): Option[InternalRow] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    import org.apache.spark.sql.types._
+    val kv = rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0) Some(seg.substring(0, i) ->
+        ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
+      else None
+    }.toMap
+    def cast(v: String, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case BooleanType => v.toBoolean
+      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    }
+    val vals = specs.zip(keySchema.fields).map { case (t, f) =>
+      kv.get(t.derivedName).map {
+        case ExternalCatalogUtils.DEFAULT_PARTITION_NAME => null
+        case v => cast(v, f.dataType)
+      }
+    }
+    if (vals.exists(_.isEmpty)) None else Some(InternalRow.fromSeq(vals.map(_.get)))
+  }
 
   /** V2 runtime predicate → V1 source filter, for the shapes runtime
     * filtering produces (IN / equality over a column, AND/OR trees).

@@ -84,6 +84,53 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("co-bucketed catalog tables join as a storage-partitioned join: zero shuffles") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.spj.a (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.spj.a SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql("CREATE TABLE pq.spj.b (id BIGINT, w DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.spj.b SELECT id, CAST(id * 2 AS DOUBLE) FROM range(1000)")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.w FROM pq.spj.a a JOIN pq.spj.b b ON a.id = b.id")
+      val rows = q.collect()
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"co-bucketed graft.db tables must storage-partition join:\n${q.queryExecution.executedPlan}")
+      assert(rows.length == 1000)
+      assert(rows.forall(r => r.getDouble(2) == r.getLong(0) * 2.0))
+    }
+  }
+
+  test("identity co-partitioned catalog tables also join shuffle-free") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.spj.ia (id BIGINT, p INT) USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO pq.spj.ia SELECT id, CAST(id % 4 AS INT) FROM range(400)")
+    spark.sql("CREATE TABLE pq.spj.ib (n BIGINT, p INT) USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO pq.spj.ib SELECT id * 10, CAST(id % 4 AS INT) FROM range(400)")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val q = spark.sql(
+        "SELECT a.id, b.n FROM pq.spj.ia a JOIN pq.spj.ib b ON a.p = b.p")
+      val n = q.collect().length
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"identity co-partitioned join must be shuffle-free:\n${q.queryExecution.executedPlan}")
+      assert(n == 400 * 100) // 100 rows per p-value on each side
+    }
+  }
+
   test("runtime filtering prunes fact files via the dim-side join keys") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.rt.dim (part INT, flag STRING) USING graft")
