@@ -8,8 +8,9 @@ import graft.Tables
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed per-partition in batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB; everything around it — schema,
+  * The container has no image/audio codecs, so featurization is a
+  * codec-free byte-level featurizer (stride-sampled per-block moments) —
+  * deterministic and oracle-checkable; everything around it — schema,
   * partition-batched processing, feature-vector shape — is the real
   * pipeline. At 100 TB the same mapPartitions shape amortizes model/codec
   * init per partition (the Scala analogue of `mapInPandas` batching) and
@@ -46,23 +47,37 @@ object Multimodal {
           "md5(cast(substring(text, frame_idx * 64 + 1, 16) as binary)) as frame_fp")
     }),
 
-    // per-partition batched "decode + featurize" over binary payloads
+    // per-partition batched "decode + featurize" over binary payloads: a
+    // codec-free byte-level featurizer — the payload splits into 8 equal
+    // blocks, each block stride-sampled (≤16 probes) and reduced to its
+    // first two moments (sum, sum-of-squares of byte values). All-integer
+    // arithmetic, so the oracle replicates it exactly (no float-format
+    // drift). A real pipeline would swap the per-byte loop for a codec /
+    // model call; the partition-batched shape (init once per partition,
+    // payloads never on the driver) is the part that survives that swap.
     "mm_features" -> ((s, dir) => {
       import s.implicits._
       val payloads = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
-        // STUB decoder: a real pipeline would init an image/audio codec or
-        // model once per partition here. The stand-in samples bytes
-        // deterministically so results are stable and testable.
+        // codec/model init would happen here, once per partition
         it.map { case (id, bytes) =>
-          val f = Array.tabulate(8) { i =>
-            if (bytes.isEmpty) 0.0
-            else (bytes(((i * 7919) % bytes.length + bytes.length) % bytes.length) & 0xff) / 255.0
-          }
-          val digest = f.map(v => "%.4f".format(math.rint(v * 10000) / 10000)).mkString(",")
-          MediaFeatures(id, bytes.length, digest)
+          val n = bytes.length
+          val digest = (0 until 8).map { i =>
+            val lo = i * n / 8
+            val hi = (i + 1) * n / 8
+            val step = math.max(1, (hi - lo) / 16)
+            var sum = 0L; var sumSq = 0L
+            var p = lo
+            while (p < hi) {
+              val v = bytes(p) & 0xff
+              sum += v; sumSq += v.toLong * v
+              p += step
+            }
+            s"$sum:$sumSq"
+          }.mkString(",")
+          MediaFeatures(id, n, digest)
         }
       }.toDF()
     })
@@ -79,6 +94,36 @@ object Multimodal {
         | CAST(f AS INTEGER) AS frame_idx,
         | md5(substring(d.text, CAST(f AS INTEGER) * 64 + 1, 16)) AS frame_fp
         |FROM documents d,
-        | unnest(generate_series(0, CAST(floor(length(d.text) / 64) AS INTEGER))) AS t(f)""".stripMargin
+        | unnest(generate_series(0, CAST(floor(length(d.text) / 64) AS INTEGER))) AS t(f)""".stripMargin,
+    // byte-exact twin of the Spark featurizer: UTF-8 payload → hex, byte
+    // values recovered per sampled position, integer (sum, sumsq) moments
+    // per block — identical stride arithmetic (integer // division)
+    "mm_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |), samples AS (
+        |  SELECT b.doc_id, blk.i AS blk,
+        |         CASE WHEN s.p < (blk.i + 1) * b.n // 8 THEN
+        |           (strpos('0123456789ABCDEF', substring(b.h, CAST(s.p * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substring(b.h, CAST(s.p * 2 + 2 AS INTEGER), 1)) - 1)
+        |         END AS v
+        |  FROM b,
+        |       unnest(generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT))) AS blk(i),
+        |       unnest(generate_series(blk.i * b.n // 8,
+        |                              greatest(blk.i * b.n // 8, (blk.i + 1) * b.n // 8 - 1),
+        |                              greatest(CAST(1 AS BIGINT),
+        |                                       ((blk.i + 1) * b.n // 8 - blk.i * b.n // 8) // 16))) AS s(p)
+        |), moments AS (
+        |  SELECT doc_id, blk, coalesce(sum(v), 0) AS s, coalesce(sum(v * v), 0) AS ss
+        |  FROM samples GROUP BY doc_id, blk
+        |), digests AS (
+        |  SELECT doc_id,
+        |         string_agg(CAST(s AS VARCHAR) || ':' || CAST(ss AS VARCHAR), ',' ORDER BY blk) AS features_digest
+        |  FROM moments GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_bytes, d.features_digest
+        |FROM b JOIN digests d ON b.doc_id = d.doc_id""".stripMargin
   )
 }
