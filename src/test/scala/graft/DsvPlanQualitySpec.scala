@@ -109,6 +109,28 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("storage-partitioned join survives with AQE enabled (production default)") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.spj.aqx (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.spj.aqx SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql("CREATE TABLE pq.spj.aqy (id BIGINT, w DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.spj.aqy SELECT id, CAST(id * 3 AS DOUBLE) FROM range(1000)")
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.w FROM pq.spj.aqx a JOIN pq.spj.aqy b ON a.id = b.id")
+      assert(q.collect().length == 1000)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"SPJ must hold under AQE:\n$plan")
+    }
+  }
+
   test("identity co-partitioned catalog tables also join shuffle-free") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.spj.ia (id BIGINT, p INT) USING graft PARTITIONED BY (p)")
