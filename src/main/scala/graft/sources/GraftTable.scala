@@ -174,12 +174,47 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     with SupportsPushDownAggregates {
 
   private var pushed: Array[sources.Filter] = Array.empty
+  private var claimed: Set[sources.Filter] = Set.empty
   private var required: StructType = logicalSchema
   private var aggResult: Option[(StructType, InternalRow)] = None
 
+  /** Identity-partition columns whose dir values are present and non-null
+    * on EVERY live file — predicates on them are exact at file
+    * granularity. Dir-comparable types only; any pre-evolution file
+    * (missing segment) or null partition dir voids the column.
+    */
+  private lazy val exactPartCols: Set[String] = try {
+    import org.apache.spark.sql.types._
+    val ident = GeoTable.readPartitionSpecs(path)
+      .collect { case graft.spatial.Transforms.Identity(c) => c }
+    if (ident.isEmpty) Set.empty
+    else {
+      val typed = logicalSchema.fields.filter(f => ident.contains(f.name)).collect {
+        case f if (f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | StringType |
+               DateType | BooleanType => true
+          case _ => false
+        }) => f.name
+      }.toSet
+      val manifest = Snapshots.readManifest(path, version)
+      typed.filter(c =>
+        manifest.forall(f => GraftScan.identityDirValue(f.path, c).isDefined))
+    }
+  } catch { case _: Exception => Set.empty }
+
   override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters
-    filters // all filters re-evaluated above the scan (pruning is inclusive)
+    // claim filters the manifest pruning evaluates EXACTLY (identity
+    // partition dirs) — Spark drops the row-level re-evaluation; all
+    // other filters stay residual (pruning is inclusive)
+    claimed = filters.filter {
+      case sources.EqualTo(a, v) => exactPartCols(a) && GraftScan.comparableDirLiteral(v)
+      case sources.In(a, vs) =>
+        exactPartCols(a) && vs.nonEmpty && vs.forall(GraftScan.comparableDirLiteral)
+      case sources.IsNotNull(a) => exactPartCols(a)
+      case _ => false
+    }.toSet
+    filters.filterNot(claimed)
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
@@ -208,12 +243,17 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     }
 
   private def evalAggregation(agg: Aggregation): Option[(StructType, InternalRow)] = try {
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    // filters are allowed iff ALL of them were claimed as exact-at-file-
+    // granularity identity-partition predicates: the surviving files then
+    // contain ONLY matching rows, so manifest counts/stats stay exact
+    // (the reference's partition-aligned pushAggregation)
+    if (agg.groupByExpressions.nonEmpty || !pushed.forall(claimed)) return None
     if (Snapshots.currentVersion(path) != 0 &&
         (Snapshots.readDeletes(path, version).nonEmpty ||
          Snapshots.readEqDeletes(path, version).nonEmpty ||
          Snapshots.readPosDeletes(path, version).nonEmpty)) return None
     val stats = Snapshots.readManifest(path, version)
+      .filter(f => pushed.forall(GraftScan.exactlyMatches(f.path, _)))
     val toPhysical: Map[String, String] =
       TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
     val encoded = GeometryFields.get(path).keySet
@@ -256,7 +296,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, row)) => GraftLocalAggScan(aggSchema, Array(row))
-    case None => new GraftScan(spark, path, version, required, pushed)
+    case None => new GraftScan(spark, path, version, required, pushed,
+      exactFilters = claimed.toArray)
   }
 }
 
@@ -276,7 +317,13 @@ case class GraftLocalAggScan(aggSchema: StructType, rows: Array[InternalRow])
   */
 class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     required: StructType, pushed: Array[sources.Filter],
-    val pruneFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch
+    val pruneFilters: Array[sources.Filter] = Array.empty,
+    /** Filters the builder CLAIMED as fully pushed (exact identity-
+      * partition predicates): Spark re-evaluates nothing for them, so
+      * planning must drop every file not exactly matching — including
+      * null-dir files the inclusive pruning would conservatively keep.
+      */
+    exactFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -287,7 +334,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val known = (pushed ++ pruneFilters).toSet
     val fresh = extra.filterNot(known)
     if (fresh.isEmpty) this
-    else new GraftScan(spark, path, version, required, pushed, pruneFilters ++ fresh)
+    else new GraftScan(spark, path, version, required, pushed, pruneFilters ++ fresh,
+      exactFilters)
   }
 
   private val partCols = GeoTable.readPartitionCols(path)
@@ -508,7 +556,12 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType)))
 
   private def plannedFiles: Seq[graft.spatial.FileStats] = {
-    val manifest = Snapshots.readManifest(path, version)
+    val manifest0 = Snapshots.readManifest(path, version)
+    // claimed filters are not re-evaluated above the scan: enforce them
+    // exactly here (drops null-dir files inclusive pruning would keep)
+    val manifest =
+      if (exactFilters.isEmpty) manifest0
+      else manifest0.filter(f => exactFilters.forall(GraftScan.exactlyMatches(f.path, _)))
     val index = new GraftFileIndex(spark, new Path(path), manifest,
       readPhysicalData, planningPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)
@@ -705,6 +758,60 @@ object GraftScan {
       }
     }
     if (vals.exists(_.isEmpty)) None else Some(InternalRow.fromSeq(vals.map(_.get)))
+  }
+
+  // ---- exact identity-partition filter evaluation: a file's directory
+  // value determines the column for EVERY row in it, so Eq/In/IsNotNull
+  // predicates on an identity partition column are exact at file
+  // granularity — a kept file has only matching rows, a dropped file none.
+  // That exactness is what lets the scan builder claim such filters as
+  // fully pushed (no row-level re-evaluation) and answer filtered
+  // COUNT/MIN/MAX from the manifest (the reference's
+  // SparkScanBuilder.pushAggregation with partition-aligned filters).
+
+  /** Raw dir value for `col` in a file path; None when the segment is
+    * missing (pre-evolution file) or the null sentinel.
+    */
+  private[sources] def identityDirValue(rel: String, col: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    rel.split('/').dropRight(1).iterator.flatMap { s =>
+      val i = s.indexOf('=')
+      if (i > 0 && s.substring(0, i) == col)
+        Some(ExternalCatalogUtils.unescapePathName(s.substring(i + 1)))
+      else None
+    }.toSeq.headOption.filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+  }
+
+  /** Literal types whose directory rendering compares losslessly. */
+  private[sources] def comparableDirLiteral(v: Any): Boolean = v match {
+    case null => false
+    case _: String | _: java.lang.Boolean | _: java.sql.Date | _: java.time.LocalDate => true
+    case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short | _: java.lang.Byte => true
+    case _ => false
+  }
+
+  private def dirLiteralMatches(raw: String, v: Any): Boolean = v match {
+    case null => false
+    case s: String => raw == s
+    case b: java.lang.Boolean => raw.equalsIgnoreCase(b.toString)
+    case d: java.sql.Date => raw == d.toString
+    case d: java.time.LocalDate => raw == d.toString
+    case n: Number =>
+      try BigDecimal(raw) == BigDecimal(n.toString)
+      catch { case _: NumberFormatException => false }
+    case _ => false
+  }
+
+  /** Does EVERY row of the file at `rel` satisfy the claimed filter?
+    * (Exact for the claimable shapes: null dir values never match Eq/In,
+    * and IsNotNull holds iff the dir value is present and non-null.)
+    */
+  private[sources] def exactlyMatches(rel: String, f: sources.Filter): Boolean = f match {
+    case sources.EqualTo(a, v) => identityDirValue(rel, a).exists(dirLiteralMatches(_, v))
+    case sources.In(a, vs) =>
+      identityDirValue(rel, a).exists(raw => vs.exists(dirLiteralMatches(raw, _)))
+    case sources.IsNotNull(a) => identityDirValue(rel, a).isDefined
+    case _ => false
   }
 
   /** V2 runtime predicate → V1 source filter, for the shapes runtime

@@ -84,6 +84,58 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("filtered COUNT/MIN/MAX over identity partitions answers from the manifest") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.agg.pfact (id BIGINT, part INT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (part)")
+    // NOTE catalog tables serve partition columns LAST: (id, v, part)
+    (0 until 4).foreach { p =>
+      spark.sql(s"INSERT INTO pq.agg.pfact SELECT id, CAST(id AS DOUBLE), $p FROM range(500)")
+    }
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql(
+        "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM pq.agg.pfact WHERE part = 2")
+      assert(df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.isEmpty,
+        s"partition-exact filtered aggregate should answer from the manifest:\n" +
+          df.queryExecution.executedPlan)
+      val r = df.collect().head
+      assert(r.getLong(0) == 500L && r.getLong(1) == 0L && r.getLong(2) == 499L)
+      // IN-shaped partition filters claim too
+      val df2 = spark.sql("SELECT count(*) AS n FROM pq.agg.pfact WHERE part IN (1, 3)")
+      assert(df2.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.isEmpty)
+      assert(df2.collect().head.getLong(0) == 1000L)
+      // data-column filters still scan, stay correct
+      val df3 = spark.sql("SELECT count(*) AS n FROM pq.agg.pfact WHERE id >= 250")
+      assert(df3.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.nonEmpty)
+      assert(df3.collect().head.getLong(0) == 1000L)
+    }
+  }
+
+  test("claimed partition filters skip row-level re-evaluation; null dirs void the claim") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.agg.pnull (id BIGINT, part INT) USING graft " +
+      "PARTITIONED BY (part)")
+    spark.sql("INSERT INTO pq.agg.pnull SELECT id, CAST(id % 3 AS INT) FROM range(300)")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql("SELECT id FROM pq.agg.pnull WHERE part = 1")
+      assert(q.collect().length == 100)
+      assert(q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec => f
+      }.isEmpty, s"claimed partition filter must not re-filter rows:\n" +
+        q.queryExecution.executedPlan)
+      // a null partition value voids the exactness claim: the filter goes
+      // residual again and results stay correct through the scan
+      spark.sql("INSERT INTO pq.agg.pnull VALUES (9999, NULL)")
+      val q2 = spark.sql("SELECT count(*) AS n FROM pq.agg.pnull WHERE part = 1")
+      assert(q2.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.nonEmpty,
+        "null partition dirs must fall back to the scan")
+      assert(q2.collect().head.getLong(0) == 100L)
+      assert(spark.sql("SELECT id FROM pq.agg.pnull WHERE part = 1").collect().length == 100)
+      assert(spark.sql("SELECT count(*) AS n FROM pq.agg.pnull WHERE part IS NOT NULL")
+        .collect().head.getLong(0) == 300L)
+    }
+  }
+
   test("co-bucketed catalog tables join as a storage-partitioned join: zero shuffles") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.spj.a (id BIGINT, v DOUBLE) USING graft " +
