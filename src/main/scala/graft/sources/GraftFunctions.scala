@@ -51,7 +51,11 @@ object GraftFunctions {
     override def description(): String =
       "bucket(numBuckets, col) — murmur3 hash bucket (graft partition transform)"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.length == 2, s"bucket takes (numBuckets, value): $inputType")
+      // UnsupportedOperationException is the contract Spark's
+      // V2ExpressionUtils.loadV2FunctionOpt catches — anything else
+      // aborts query planning instead of degrading to "no SPJ"
+      if (inputType.length != 2)
+        throw new UnsupportedOperationException(s"bucket takes (numBuckets, value): $inputType")
       val vt = inputType(1).dataType
       vt match {
         case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
@@ -78,7 +82,8 @@ object GraftFunctions {
     override def description(): String =
       "truncate(width, col) — prefix/floor truncation (graft partition transform)"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.length == 2, s"truncate takes (width, value): $inputType")
+      if (inputType.length != 2)
+        throw new UnsupportedOperationException(s"truncate takes (width, value): $inputType")
       val vt = inputType(1).dataType
       val canonical = s"graft.truncate(${vt.simpleString})"
       val in = Array[DataType](IntegerType, vt)
@@ -108,8 +113,11 @@ object GraftFunctions {
     override def name(): String = part
     override def description(): String = s"$part(col) — graft date partition transform"
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.length == 1, s"$part takes (date): $inputType")
-      require(inputType(0).dataType == DateType, s"$part over ${inputType(0).dataType}")
+      // a year(ts)-partitioned TIMESTAMP table must degrade to no-SPJ,
+      // not fail its reads: only UnsupportedOperationException is caught
+      // by Spark's function resolution
+      if (inputType.length != 1 || inputType(0).dataType != DateType)
+        throw new UnsupportedOperationException(s"$part over $inputType (DATE only)")
       scalar(part, s"graft.$part(date)", Array(DateType), IntegerType, { row =>
         if (row.isNullAt(0)) null
         else {

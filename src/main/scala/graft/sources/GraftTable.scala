@@ -233,11 +233,22 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   // residual filters, no pending delete state (deleted rows would make
   // manifest counts overcount), stats present for every referenced column.
 
+  // memoized per Aggregation: Spark calls supportCompletePushDown then
+  // pushAggregation with the same instance — one manifest + delete-state
+  // read instead of two
+  private var lastAgg: (Aggregation, Option[(StructType, InternalRow)]) = _
+
+  private def evalCached(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    val last = lastAgg
+    if (last != null && (last._1 eq agg)) last._2
+    else { val r = evalAggregation(agg); lastAgg = (agg, r); r }
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    evalAggregation(aggregation).isDefined
+    evalCached(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    evalAggregation(aggregation) match {
+    evalCached(aggregation) match {
       case Some(r) => aggResult = Some(r); true
       case None => false
     }
@@ -434,7 +445,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val v1 = predicates.flatMap(GraftScan.v2ToV1)
-    if (v1.nonEmpty) runtimeFilters ++= v1
+    if (v1.nonEmpty) { runtimeFilters ++= v1; plannedCache = null }
   }
 
   override def description(): String =
@@ -466,13 +477,18 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     import graft.spatial.Transforms._
     if (spjSpecs.isEmpty) None
     else {
+      // identity/truncate key values are parsed from dir strings — only
+      // castable types can produce a correctly-typed key row (a mistyped
+      // row would CCE inside Spark's partition grouping)
       val fields = spjSpecs.map {
         case Identity(c) => fullSchemaFields.find(_.name == c)
+          .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
           .map(f => org.apache.spark.sql.types.StructField(c, f.dataType))
         case b: Bucket =>
           Some(org.apache.spark.sql.types.StructField(b.derivedName,
             org.apache.spark.sql.types.IntegerType))
         case t: Truncate => fullSchemaFields.find(_.name == t.source)
+          .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
           .map(f => org.apache.spark.sql.types.StructField(t.derivedName, f.dataType))
         case d: DatePart =>
           Some(org.apache.spark.sql.types.StructField(d.derivedName,
@@ -553,9 +569,26 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   private val planningPartSchema: StructType = StructType(
     GeoTable.readPartitionSpecs(path).collect { case graft.spatial.Transforms.Identity(c) => c }
       .flatMap(c => fullSchemaFields.find(_.name == c))
+      // only castable types: an uncastable (timestamp/decimal) dir value
+      // cannot drive pruning decisions — see PartitionPaths.castable
+      .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
       .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType)))
 
+  // planning result memoized per runtime-filter state: statistics,
+  // partitioning report, and input-partition planning all consume it in
+  // one query planning — without the cache a 100k-file table parses its
+  // manifest and re-evaluates stats 3-4x per query on the driver
+  @volatile private var plannedCache: Seq[graft.spatial.FileStats] = _
+
   private def plannedFiles: Seq[graft.spatial.FileStats] = {
+    val cached = plannedCache
+    if (cached != null) return cached
+    val computed = computePlannedFiles
+    plannedCache = computed
+    computed
+  }
+
+  private def computePlannedFiles: Seq[graft.spatial.FileStats] = {
     val manifest0 = Snapshots.readManifest(path, version)
     // claimed filters are not re-evaluated above the scan: enforce them
     // exactly here (drops null-dir files inclusive pruning would keep)
@@ -732,29 +765,14 @@ object GraftScan {
   private[sources] def partitionKeyRow(rel: String,
       specs: Seq[graft.spatial.Transforms.Transform],
       keySchema: StructType): Option[InternalRow] = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    import org.apache.spark.sql.types._
-    val kv = rel.split('/').dropRight(1).flatMap { seg =>
-      val i = seg.indexOf('=')
-      if (i > 0) Some(seg.substring(0, i) ->
-        ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
-      else None
-    }.toMap
-    def cast(v: String, dt: DataType): Any = dt match {
-      case ByteType => v.toByte
-      case ShortType => v.toShort
-      case IntegerType => v.toInt
-      case LongType => v.toLong
-      case FloatType => v.toFloat
-      case DoubleType => v.toDouble
-      case BooleanType => v.toBoolean
-      case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
-      case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-    }
+    import graft.spatial.PartitionPaths
+    val kv = PartitionPaths.dirValues(rel)
     val vals = specs.zip(keySchema.fields).map { case (t, f) =>
-      kv.get(t.derivedName).map {
-        case ExternalCatalogUtils.DEFAULT_PARTITION_NAME => null
-        case v => cast(v, f.dataType)
+      kv.get(t.derivedName) match {
+        case None => None // missing segment: pre-evolution file, void SPJ
+        case Some(PartitionPaths.NullSentinel) => Some(null) // null IS a key
+        // an uncastable value would make a mistyped key row — void instead
+        case Some(v) => PartitionPaths.cast(v, f.dataType)
       }
     }
     if (vals.exists(_.isEmpty)) None else Some(InternalRow.fromSeq(vals.map(_.get)))
@@ -772,15 +790,8 @@ object GraftScan {
   /** Raw dir value for `col` in a file path; None when the segment is
     * missing (pre-evolution file) or the null sentinel.
     */
-  private[sources] def identityDirValue(rel: String, col: String): Option[String] = {
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    rel.split('/').dropRight(1).iterator.flatMap { s =>
-      val i = s.indexOf('=')
-      if (i > 0 && s.substring(0, i) == col)
-        Some(ExternalCatalogUtils.unescapePathName(s.substring(i + 1)))
-      else None
-    }.toSeq.headOption.filter(_ != ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-  }
+  private[sources] def identityDirValue(rel: String, col: String): Option[String] =
+    graft.spatial.PartitionPaths.value(rel, col)
 
   /** Literal types whose directory rendering compares losslessly. */
   private[sources] def comparableDirLiteral(v: Any): Boolean = v match {

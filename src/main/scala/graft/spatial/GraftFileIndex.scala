@@ -123,6 +123,10 @@ class GraftFileIndex(
     partitionSpecs
       .flatMap(t => pruneSchema.fieldNames.indexOf(t.derivedName) match {
         case -1 => None // unprunable (e.g. truncate with unknown source type)
+        // dir strings for uncastable types (timestamp, decimal) can't be
+        // compared against projected literals — a mistyped compare would
+        // silently prune EVERY file; stay conservative instead
+        case i if !PartitionPaths.castable(pruneSchema(i).dataType) => None
         case i => Some(t -> i)
       })
 
@@ -206,31 +210,16 @@ class GraftFileIndex(
   }
 
   private def parsePartRow(rel: String): InternalRow = {
-    val kv = rel.split('/').dropRight(1).flatMap { seg =>
-      val i = seg.indexOf('=')
-      if (i > 0)
-        Some(seg.substring(0, i) ->
-          ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
-      else None
-    }.toMap
+    val kv = PartitionPaths.dirValues(rel)
     InternalRow.fromSeq(pruneSchema.map { f =>
       kv.get(f.name) match {
-        case None | Some(ExternalCatalogUtils.DEFAULT_PARTITION_NAME) => null
-        case Some(v) => castPart(v, f.dataType)
+        case None | Some(PartitionPaths.NullSentinel) => null
+        // uncastable types keep the legacy raw-string fallback for served
+        // values; they are excluded from every pruning decision above
+        case Some(v) => PartitionPaths.cast(v, f.dataType)
+          .getOrElse(UTF8String.fromString(v))
       }
     })
-  }
-
-  private def castPart(v: String, dt: DataType): Any = dt match {
-    case ByteType => v.toByte
-    case ShortType => v.toShort
-    case IntegerType => v.toInt
-    case LongType => v.toLong
-    case FloatType => v.toFloat
-    case DoubleType => v.toDouble
-    case BooleanType => v.toBoolean
-    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
-    case _ => UTF8String.fromString(v)
   }
 
   override def inputFiles: Array[String] =

@@ -130,3 +130,61 @@ object Transforms {
     }
   }
 }
+
+/** The ONE seat of hive-layout partition-directory parsing: segment
+  * extraction, the null sentinel, and string→catalyst casting. Shared by
+  * the file index's prune rows, the DSv2 scan's partition key rows, and
+  * exact-filter evaluation — a type added (or found unparseable) here is
+  * handled identically everywhere.
+  */
+object PartitionPaths {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  import org.apache.spark.sql.types._
+
+  val NullSentinel: String = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  /** dir-segment name → raw unescaped value for a table-relative path
+    * (the null sentinel is preserved for callers to interpret).
+    */
+  def dirValues(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0)
+        Some(seg.substring(0, i) -> ExternalCatalogUtils.unescapePathName(seg.substring(i + 1)))
+      else None
+    }.toMap
+
+  /** Raw value for `col`; None when the segment is missing (pre-evolution
+    * file) or holds the null sentinel.
+    */
+  def value(rel: String, col: String): Option[String] =
+    dirValues(rel).get(col).filter(_ != NullSentinel)
+
+  /** Types whose hive dir rendering round-trips losslessly through
+    * [[cast]]. Timestamps (session-timezone formatting), decimals, and
+    * binaries do NOT — values of those types must never drive pruning or
+    * partition-key decisions from directory strings.
+    */
+  def castable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | StringType | DateType => true
+    case _ => false
+  }
+
+  /** Parse to the catalyst internal value; None for uncastable types —
+    * callers choose between declining (exactness paths) and a string
+    * fallback (legacy served values).
+    */
+  def cast(v: String, dt: DataType): Option[Any] = dt match {
+    case ByteType => Some(v.toByte)
+    case ShortType => Some(v.toShort)
+    case IntegerType => Some(v.toInt)
+    case LongType => Some(v.toLong)
+    case FloatType => Some(v.toFloat)
+    case DoubleType => Some(v.toDouble)
+    case BooleanType => Some(v.toBoolean)
+    case DateType => Some(java.time.LocalDate.parse(v).toEpochDay.toInt)
+    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+    case _ => None
+  }
+}

@@ -151,13 +151,23 @@ object GraftViews {
   private def isCteRef(parts: Seq[String], scope: Set[String]): Boolean =
     parts.length == 1 && scope.contains(normName(parts.head))
 
-  /** Replace graft-view relations with their parsed, context-qualified SQL. */
+  /** Replace graft-view relations with their parsed, context-qualified SQL.
+    * Nested views expand RECURSIVELY within one call (not one layer per
+    * analyzer iteration): the whole tree resolves in a single rule firing
+    * and the depth cap genuinely bounds cyclic definitions — a→b→a trips
+    * it with a clear error instead of running the analyzer to its
+    * fixed-point iteration limit.
+    */
   def substitute(plan: LogicalPlan, parser: ParserInterface): LogicalPlan = {
-    if (spark.isEmpty || depth.get >= 10) return plan
+    if (spark.isEmpty) return plan
     transformRelations(plan, Set.empty) { (u, scope) =>
       if (isCteRef(u.multipartIdentifier, scope)) u
       else resolveIdent(u.multipartIdentifier) match {
         case Some((_, _, name, dir)) if java.nio.file.Files.exists(viewFile(dir)) =>
+          if (depth.get >= 10)
+            throw new IllegalStateException(
+              s"cyclic or too deeply nested view reference while expanding view $name " +
+                "(max nesting 10)")
           val view = GraftView.read(
             Identifier.of(Array.empty, name), viewFile(dir))
           depth.set(depth.get + 1)
@@ -165,16 +175,21 @@ object GraftViews {
             val child = parser.parsePlan(view.query)
             // single-part (and catalog-less) names inside the body
             // resolve in the view's STORED context, not the caller's;
-            // CTE references defined by the body itself stay untouched
-            // a 2-part name whose head merely COINCIDES with a catalog
-            // name is still namespace-relative (graft tables are always
-            // ns.table under a catalog): only a >=3-part head-is-catalog
-            // identifier is genuinely catalog-qualified and skips
-            // re-qualification into the stored context
+            // CTE references defined by the body itself stay untouched.
+            // A 2-part name whose head coincides with a catalog name is
+            // genuinely catalog-qualified ONLY if the stored catalog has
+            // no namespace of that name — otherwise the namespace
+            // interpretation wins and the name re-qualifies into the
+            // stored context (>=3 parts are always catalog-qualified)
+            def storedNsExists(h: String): Boolean =
+              graftWarehouse(view.currentCatalog).exists(wh =>
+                java.nio.file.Files.isDirectory(java.nio.file.Paths.get(wh, h)))
             val qualified = transformRelations(child, Set.empty) { (r, inner) =>
               if (isCteRef(r.multipartIdentifier, inner) ||
-                  (r.multipartIdentifier.length >= 3 &&
-                    isCatalogName(r.multipartIdentifier.head))) r
+                  (isCatalogName(r.multipartIdentifier.head) &&
+                    (r.multipartIdentifier.length >= 3 ||
+                      (r.multipartIdentifier.length == 2 &&
+                        !storedNsExists(r.multipartIdentifier.head))))) r
               else {
                 val parts =
                   if (r.multipartIdentifier.length == 1)
@@ -187,9 +202,10 @@ object GraftViews {
             // the analyzer's own Substitution batch already ran by the
             // time the resolution rule injects this body — apply CTE
             // substitution to the fragment ourselves so WITH-bodies
-            // resolve (the reference's ResolveViews does the same)
-            SubqueryAlias(name,
-              org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified))
+            // resolve (the reference's ResolveViews does the same), then
+            // recurse so nested views expand within this same firing
+            SubqueryAlias(name, substitute(
+              org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified), parser))
           } finally depth.set(depth.get - 1)
         case _ => u
       }
@@ -205,8 +221,8 @@ object GraftViews {
   * this rule runs, Spark's own `CTESubstitution` has already replaced
   * in-scope CTE references, so only genuine relations remain unresolved;
   * the rule is idempotent (a substituted view leaves no matching
-  * `UnresolvedRelation`) and converges within the analyzer's fixed point,
-  * nested views substituting one layer per iteration.
+  * `UnresolvedRelation`) and expands nested views recursively within one
+  * firing, so cyclic definitions trip the depth cap immediately.
   */
 case class GraftViewSubstitution(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {

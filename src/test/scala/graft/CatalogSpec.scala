@@ -527,6 +527,19 @@ class CatalogSpec extends AnyFunSuite {
     val api = spark.table("gcat.vw.bysum").orderBy("grp")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(api == got, "spark.table must resolve catalog views")
+    // cyclic definitions trip the nesting cap with a clear error instead
+    // of running the analyzer to its iteration limit (REPLACE validates
+    // against the PRE-replace state, which is how a cycle can form)
+    spark.sql("CREATE VIEW gcat.vw.cyc_b AS SELECT 1 AS x")
+    spark.sql("CREATE VIEW gcat.vw.cyc_a AS SELECT * FROM gcat.vw.cyc_b")
+    spark.sql("CREATE OR REPLACE VIEW gcat.vw.cyc_b AS SELECT * FROM gcat.vw.cyc_a")
+    val err = intercept[Throwable](spark.sql("SELECT * FROM gcat.vw.cyc_a").collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("cyclic")),
+      s"expected a cyclic-view error, got: $err")
+    spark.sql("DROP VIEW gcat.vw.cyc_a")
+    spark.sql("DROP VIEW gcat.vw.cyc_b")
     // the view tracks base-table changes (stored SQL, not materialized)
     spark.sql("INSERT INTO gcat.vw.base VALUES (99, 0)")
     assert(spark.sql("SELECT s FROM gcat.vw.bysum WHERE grp = 0")

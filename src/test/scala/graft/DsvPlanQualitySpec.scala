@@ -205,6 +205,22 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("date-part partitioning over TIMESTAMP degrades to no-SPJ; reads stay healthy") {
+    assert(warehouse.nonEmpty)
+    // the years/months/days V2 functions are DATE-only: binding over a
+    // TIMESTAMP source must throw the UnsupportedOperationException Spark
+    // catches (degrade to unresolved partitioning), never abort the query
+    spark.sql("CREATE TABLE pq.spj.tsp (ts TIMESTAMP, v INT) USING graft " +
+      "PARTITIONED BY (years(ts))")
+    spark.sql("INSERT INTO pq.spj.tsp SELECT " +
+      "timestampadd(YEAR, CAST(id AS INT), timestamp'2021-03-04 05:06:07'), " +
+      "CAST(id AS INT) FROM range(10)")
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      assert(spark.sql("SELECT v FROM pq.spj.tsp").collect().length == 10)
+      assert(spark.sql("SELECT sum(v) AS s FROM pq.spj.tsp").collect().head.getLong(0) == 45L)
+    }
+  }
+
   test("runtime filtering prunes fact files via the dim-side join keys") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.rt.dim (part INT, flag STRING) USING graft")
