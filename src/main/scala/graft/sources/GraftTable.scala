@@ -176,7 +176,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   private var pushed: Array[sources.Filter] = Array.empty
   private var claimed: Set[sources.Filter] = Set.empty
   private var required: StructType = logicalSchema
-  private var aggResult: Option[(StructType, InternalRow)] = None
+  private var aggResult: Option[(StructType, Array[InternalRow])] = None
 
   /** Identity-partition columns whose dir values are present and non-null
     * on EVERY live file — predicates on them are exact at file
@@ -236,9 +236,9 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   // memoized per Aggregation: Spark calls supportCompletePushDown then
   // pushAggregation with the same instance — one manifest + delete-state
   // read instead of two
-  private var lastAgg: (Aggregation, Option[(StructType, InternalRow)]) = _
+  private var lastAgg: (Aggregation, Option[(StructType, Array[InternalRow])]) = _
 
-  private def evalCached(agg: Aggregation): Option[(StructType, InternalRow)] = {
+  private def evalCached(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
     val last = lastAgg
     if (last != null && (last._1 eq agg)) last._2
     else { val r = evalAggregation(agg); lastAgg = (agg, r); r }
@@ -253,12 +253,32 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
       case None => false
     }
 
-  private def evalAggregation(agg: Aggregation): Option[(StructType, InternalRow)] = try {
+  private def evalAggregation(agg: Aggregation): Option[(StructType, Array[InternalRow])] = try {
     // filters are allowed iff ALL of them were claimed as exact-at-file-
     // granularity identity-partition predicates: the surviving files then
     // contain ONLY matching rows, so manifest counts/stats stay exact
     // (the reference's partition-aligned pushAggregation)
-    if (agg.groupByExpressions.nonEmpty || !pushed.forall(claimed)) return None
+    if (!pushed.forall(claimed)) return None
+    // GROUP BY pushes down iff every group column is a castable identity
+    // partition column: the dir value IS the group key for all of a
+    // file's rows, so grouping files by dir tuple is exact — a 100 TB
+    // partition histogram with zero files opened (beyond the reference,
+    // which declines grouped aggregations)
+    import org.apache.spark.sql.types.{DataType => SDataType}
+    val groupCols: Option[Seq[(String, SDataType)]] = {
+      val identCols = GeoTable.readPartitionSpecs(path)
+        .collect { case graft.spatial.Transforms.Identity(c) => c }.toSet
+      val resolved = agg.groupByExpressions.toSeq.map {
+        case n: NamedReference if n.fieldNames.length == 1 &&
+            identCols(n.fieldNames.head) =>
+          logicalSchema.fields.find(_.name == n.fieldNames.head)
+            .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
+            .map(f => f.name -> f.dataType)
+        case _ => None
+      }
+      if (resolved.exists(_.isEmpty)) None else Some(resolved.map(_.get))
+    }
+    if (groupCols.isEmpty) return None
     if (Snapshots.currentVersion(path) != 0 &&
         (Snapshots.readDeletes(path, version).nonEmpty ||
          Snapshots.readEqDeletes(path, version).nonEmpty ||
@@ -287,26 +307,63 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
           }.map(phys -> _)
         case _ => None
       }
-    val values = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          stats.map(_.rows).sum: Any))
-      case m: Min => key(m.column).flatMap { case (k, dt) =>
-        graft.plans.StatsAggregatePushdown.fold(stats.map(_.mins.get(k)), dt,
-          math.Ordering.Double.TotalOrdering.lt).map(v => (StructField(s"min($k)", dt), v))
+    // aggregate values over one group of files; None = not answerable
+    def valuesOver(gstats: Seq[graft.spatial.FileStats]): Option[Seq[(StructField, Any)]] = {
+      val vs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            gstats.map(_.rows).sum: Any))
+        case m: Min => key(m.column).flatMap { case (k, dt) =>
+          graft.plans.StatsAggregatePushdown.fold(gstats.map(_.mins.get(k)), dt,
+            math.Ordering.Double.TotalOrdering.lt).map(v => (StructField(s"min($k)", dt), v))
+        }
+        case m: Max => key(m.column).flatMap { case (k, dt) =>
+          graft.plans.StatsAggregatePushdown.fold(gstats.map(_.maxs.get(k)), dt,
+            math.Ordering.Double.TotalOrdering.gt).map(v => (StructField(s"max($k)", dt), v))
+        }
+        case _ => None
       }
-      case m: Max => key(m.column).flatMap { case (k, dt) =>
-        graft.plans.StatsAggregatePushdown.fold(stats.map(_.maxs.get(k)), dt,
-          math.Ordering.Double.TotalOrdering.gt).map(v => (StructField(s"max($k)", dt), v))
-      }
-      case _ => None
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
     }
-    if (values.exists(_.isEmpty)) None
-    else Some((StructType(values.map(_.get._1)), InternalRow.fromSeq(values.map(_.get._2))))
+    val gcs = groupCols.get
+    if (gcs.isEmpty) {
+      valuesOver(stats).map(vs =>
+        (StructType(vs.map(_._1)), Array(InternalRow.fromSeq(vs.map(_._2)))))
+    } else {
+      // group key per file from its dir tuple; any missing segment or
+      // uncastable value makes grouping undecidable → decline
+      val keyed = stats.map { f =>
+        val kv = graft.spatial.PartitionPaths.dirValues(f.path)
+        val gk = gcs.map { case (c, dt) =>
+          kv.get(c) match {
+            case None => return None
+            case Some(graft.spatial.PartitionPaths.NullSentinel) => Some(null): Option[Any]
+            case Some(v) => graft.spatial.PartitionPaths.cast(v, dt) match {
+              case None => return None
+              case some => some
+            }
+          }
+        }
+        gk.map(_.get) -> f
+      }
+      val groups = keyed.groupBy(_._1).toSeq
+      val rows = groups.map { case (gvals, files) =>
+        valuesOver(files.map(_._2)) match {
+          case None => return None
+          case Some(vs) => InternalRow.fromSeq(gvals ++ vs.map(_._2))
+        }
+      }
+      // schema: group columns first, then aggregates (the layout Spark's
+      // pushdown rewrite expects); aggregate fields from any group's shape
+      val aggFields = valuesOver(stats).map(_.map(_._1)).getOrElse(return None)
+      val schema = StructType(
+        gcs.map { case (c, dt) => StructField(c, dt) } ++ aggFields)
+      Some((schema, rows.toArray))
+    }
   } catch { case _: Exception => None }
 
   override def build(): Scan = aggResult match {
-    case Some((aggSchema, row)) => GraftLocalAggScan(aggSchema, Array(row))
+    case Some((aggSchema, rows)) => GraftLocalAggScan(aggSchema, rows)
     case None => new GraftScan(spark, path, version, required, pushed,
       exactFilters = claimed.toArray)
   }

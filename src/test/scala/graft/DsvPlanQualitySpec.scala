@@ -111,6 +111,34 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY partition column answers the whole histogram from the manifest") {
+    assert(warehouse.nonEmpty)
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      // pq.agg.pfact: 4 identity partitions x 500 rows (created above)
+      val df = spark.sql("SELECT part, count(*) AS n, min(id) AS lo, max(id) AS hi " +
+        "FROM pq.agg.pfact GROUP BY part ORDER BY part")
+      assert(df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.isEmpty,
+        s"grouped partition aggregate should answer from the manifest:\n" +
+          df.queryExecution.executedPlan)
+      val rows = df.collect()
+      assert(rows.length == 4)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(0) == i && r.getLong(1) == 500L &&
+          r.getLong(2) == 0L && r.getLong(3) == 499L)
+      }
+      // composes with claimed partition filters
+      val df2 = spark.sql("SELECT part, count(*) AS n FROM pq.agg.pfact " +
+        "WHERE part IN (1, 3) GROUP BY part ORDER BY part")
+      assert(df2.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.isEmpty)
+      assert(df2.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+        Seq((1, 500L), (3, 500L)))
+      // grouping by a data column still scans
+      val df3 = spark.sql("SELECT id % 2 AS b, count(*) FROM pq.agg.pfact GROUP BY id % 2")
+      assert(df3.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.nonEmpty)
+      assert(df3.collect().length == 2)
+    }
+  }
+
   test("claimed partition filters skip row-level re-evaluation; null dirs void the claim") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.agg.pnull (id BIGINT, part INT) USING graft " +
