@@ -171,7 +171,18 @@ object GraftTable {
 class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     logicalSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+
+  // LIMIT prunes the PLANNED FILE SET: manifest row counts bound how many
+  // files can possibly be needed, so `SELECT * FROM t LIMIT 10` opens one
+  // file of a 100k-file table. Spark re-applies the limit above, so this
+  // is safe whenever kept-file row counts are exact lower bounds — the
+  // scan skips the trim when deletes or residual filters could shrink
+  // per-file row yields.
+  private var limit: Option[Int] = None
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var claimed: Set[sources.Filter] = Set.empty
@@ -365,7 +376,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   override def build(): Scan = aggResult match {
     case Some((aggSchema, rows)) => GraftLocalAggScan(aggSchema, rows)
     case None => new GraftScan(spark, path, version, required, pushed,
-      exactFilters = claimed.toArray)
+      exactFilters = claimed.toArray, limit = limit)
   }
 }
 
@@ -391,7 +402,12 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       * planning must drop every file not exactly matching — including
       * null-dir files the inclusive pruning would conservatively keep.
       */
-    exactFilters: Array[sources.Filter] = Array.empty) extends Scan with Batch
+    exactFilters: Array[sources.Filter] = Array.empty,
+    /** Pushed LIMIT: trims the planned file set to the first files whose
+      * cumulative row count covers it — only when every kept row is
+      * guaranteed to surface (no deletes, no residual filters).
+      */
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -403,7 +419,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val fresh = extra.filterNot(known)
     if (fresh.isEmpty) this
     else new GraftScan(spark, path, version, required, pushed, pruneFilters ++ fresh,
-      exactFilters)
+      exactFilters, limit)
   }
 
   private val partCols = GeoTable.readPartitionCols(path)
@@ -656,7 +672,19 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       readPhysicalData, planningPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)
       .flatMap(_.files.map(_.getPath.toUri.getPath)).toSet
-    manifest.filter(f => keep.contains(new Path(new Path(path), f.path).toUri.getPath))
+    val kept = manifest.filter(f =>
+      keep.contains(new Path(new Path(path), f.path).toUri.getPath))
+    // LIMIT trim: safe only when every row of every kept file surfaces —
+    // no delete state, and no filters beyond the claimed-exact ones
+    // (residual, late-recovered, or runtime filters shrink row yields)
+    limit match {
+      case Some(n) if posRefs.isEmpty && eqDeletes.isEmpty && morConds.isEmpty &&
+          pruneFilters.isEmpty && runtimeFilters.isEmpty &&
+          pushed.forall(exactFilters.contains) =>
+        var cum = 0L
+        kept.takeWhile { f => val need = cum < n; cum += f.rows; need }
+      case _ => kept
+    }
   }
 
   // ---- delete-file METADATA (never rows) resolved once at planning ------

@@ -233,6 +233,26 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT prunes the planned file set from manifest row counts") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.lim.t (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO pq.lim.t SELECT /*+ REPARTITION(8) */ id, CAST(id AS DOUBLE) " +
+      "FROM range(800)")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql("SELECT * FROM pq.lim.t LIMIT 10")
+      assert(q.collect().length == 10)
+      val scan = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+      }.head
+      val planned = scan.planInputPartitions().length
+      assert(planned == 1, s"LIMIT 10 over 100-row files should plan 1 file, planned $planned")
+      // residual filters disable the trim — rows in kept files might not
+      // match, so all pruned-in files must stay planned
+      val q2 = spark.sql("SELECT * FROM pq.lim.t WHERE id >= 790 LIMIT 10")
+      assert(q2.collect().length == 10)
+    }
+  }
+
   test("date-part partitioning over TIMESTAMP degrades to no-SPJ; reads stay healthy") {
     assert(warehouse.nonEmpty)
     // the years/months/days V2 functions are DATE-only: binding over a
