@@ -207,9 +207,14 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
           case _ => false
         }) => f.name
       }.toSet
-      val manifest = Snapshots.readManifest(path, version)
-      typed.filter(c =>
-        manifest.forall(f => GraftScan.identityDirValue(f.path, c).isDefined))
+      if (typed.isEmpty) Set.empty
+      else {
+        // one dir parse per file, checked against every candidate column
+        val perFile = Snapshots.readManifest(path, version)
+          .map(f => graft.spatial.PartitionPaths.dirValues(f.path))
+        typed.filter(c => perFile.forall(kv =>
+          kv.get(c).exists(_ != graft.spatial.PartitionPaths.NullSentinel)))
+      }
     }
   } catch { case _: Exception => Set.empty }
 
@@ -284,6 +289,11 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
             identCols(n.fieldNames.head) =>
           logicalSchema.fields.find(_.name == n.fieldNames.head)
             .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
+            // NOT float/double: boxed == splits NaN (and -0.0 vs 0.0)
+            // into distinct groups where Spark's NormalizeFloatingNumbers
+            // would merge them — pushed results would silently differ
+            .filterNot(f => f.dataType == org.apache.spark.sql.types.FloatType ||
+              f.dataType == org.apache.spark.sql.types.DoubleType)
             .map(f => f.name -> f.dataType)
         case _ => None
       }
@@ -294,8 +304,10 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         (Snapshots.readDeletes(path, version).nonEmpty ||
          Snapshots.readEqDeletes(path, version).nonEmpty ||
          Snapshots.readPosDeletes(path, version).nonEmpty)) return None
-    val stats = Snapshots.readManifest(path, version)
-      .filter(f => pushed.forall(GraftScan.exactlyMatches(f.path, _)))
+    val stats = Snapshots.readManifest(path, version).filter { f =>
+      val kv = graft.spatial.PartitionPaths.dirValues(f.path)
+      pushed.forall(GraftScan.exactlyMatches(kv, _))
+    }
     val toPhysical: Map[String, String] =
       TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
     val encoded = GeometryFields.get(path).keySet
@@ -358,15 +370,20 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         gk.map(_.get) -> f
       }
       val groups = keyed.groupBy(_._1).toSeq
-      val rows = groups.map { case (gvals, files) =>
+      val folded = groups.map { case (gvals, files) =>
         valuesOver(files.map(_._2)) match {
           case None => return None
-          case Some(vs) => InternalRow.fromSeq(gvals ++ vs.map(_._2))
+          case Some(vs) => (gvals, vs)
         }
       }
+      val rows = folded.map { case (gvals, vs) =>
+        InternalRow.fromSeq(gvals ++ vs.map(_._2)) }
       // schema: group columns first, then aggregates (the layout Spark's
-      // pushdown rewrite expects); aggregate fields from any group's shape
-      val aggFields = valuesOver(stats).map(_.map(_._1)).getOrElse(return None)
+      // pushdown rewrite expects); aggregate fields come from the groups
+      // already folded — no second whole-manifest fold
+      val aggFields = folded.headOption.map(_._2.map(_._1))
+        .orElse(valuesOver(stats).map(_.map(_._1))) // zero groups: empty table
+        .getOrElse(return None)
       val schema = StructType(
         gcs.map { case (c, dt) => StructField(c, dt) } ++ aggFields)
       Some((schema, rows.toArray))
@@ -667,7 +684,10 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     // exactly here (drops null-dir files inclusive pruning would keep)
     val manifest =
       if (exactFilters.isEmpty) manifest0
-      else manifest0.filter(f => exactFilters.forall(GraftScan.exactlyMatches(f.path, _)))
+      else manifest0.filter { f =>
+        val kv = graft.spatial.PartitionPaths.dirValues(f.path)
+        exactFilters.forall(GraftScan.exactlyMatches(kv, _))
+      }
     val index = new GraftFileIndex(spark, new Path(path), manifest,
       readPhysicalData, planningPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)
@@ -872,11 +892,6 @@ object GraftScan {
   // COUNT/MIN/MAX from the manifest (the reference's
   // SparkScanBuilder.pushAggregation with partition-aligned filters).
 
-  /** Raw dir value for `col` in a file path; None when the segment is
-    * missing (pre-evolution file) or the null sentinel.
-    */
-  private[sources] def identityDirValue(rel: String, col: String): Option[String] =
-    graft.spatial.PartitionPaths.value(rel, col)
 
   /** Literal types whose directory rendering compares losslessly. */
   private[sources] def comparableDirLiteral(v: Any): Boolean = v match {
@@ -898,16 +913,22 @@ object GraftScan {
     case _ => false
   }
 
-  /** Does EVERY row of the file at `rel` satisfy the claimed filter?
-    * (Exact for the claimable shapes: null dir values never match Eq/In,
-    * and IsNotNull holds iff the dir value is present and non-null.)
+  /** Does EVERY row of the file with dir segments `kv` satisfy the
+    * claimed filter? (Exact for the claimable shapes: null dir values
+    * never match Eq/In, and IsNotNull holds iff the dir value is present
+    * and non-null.) Takes the pre-parsed segment map so callers parse
+    * each file path once, not once per filter.
     */
-  private[sources] def exactlyMatches(rel: String, f: sources.Filter): Boolean = f match {
-    case sources.EqualTo(a, v) => identityDirValue(rel, a).exists(dirLiteralMatches(_, v))
-    case sources.In(a, vs) =>
-      identityDirValue(rel, a).exists(raw => vs.exists(dirLiteralMatches(raw, _)))
-    case sources.IsNotNull(a) => identityDirValue(rel, a).isDefined
-    case _ => false
+  private[sources] def exactlyMatches(kv: Map[String, String], f: sources.Filter): Boolean = {
+    def dirVal(c: String): Option[String] =
+      kv.get(c).filter(_ != graft.spatial.PartitionPaths.NullSentinel)
+    f match {
+      case sources.EqualTo(a, v) => dirVal(a).exists(dirLiteralMatches(_, v))
+      case sources.In(a, vs) =>
+        dirVal(a).exists(raw => vs.exists(dirLiteralMatches(raw, _)))
+      case sources.IsNotNull(a) => dirVal(a).isDefined
+      case _ => false
+    }
   }
 
   /** V2 runtime predicate → V1 source filter, for the shapes runtime

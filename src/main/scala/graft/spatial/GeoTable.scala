@@ -132,7 +132,9 @@ object GeoTable {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      val rel = base.toUri.relativize(st.getPath.toUri).toString
+      // decoded relative path (no URI escape layer) — matches writeBack's
+      // manifest keys for names with spaces / hive-escaped chars
+      val rel = st.getPath.toUri.getPath.stripPrefix(base.toUri.getPath).stripPrefix("/")
       // hidden segments (_graft_deletes/, _SUCCESS, ...) are never data files
       val hidden = rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
       if (st.isFile && rel.endsWith(".parquet") && !hidden) {

@@ -214,10 +214,11 @@ class GraftFileIndex(
     InternalRow.fromSeq(pruneSchema.map { f =>
       kv.get(f.name) match {
         case None | Some(PartitionPaths.NullSentinel) => null
-        // uncastable types keep the legacy raw-string fallback for served
-        // values; they are excluded from every pruning decision above
+        // uncastable types (timestamp, decimal) SERVE through a lenient
+        // session-zone catalyst cast — a raw string in a typed slot would
+        // CCE in the reader; they stay excluded from pruning decisions
         case Some(v) => PartitionPaths.cast(v, f.dataType)
-          .getOrElse(UTF8String.fromString(v))
+          .getOrElse(PartitionPaths.castLenient(v, f.dataType))
       }
     })
   }

@@ -692,7 +692,13 @@ object Snapshots {
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val st = it.next()
-      val rel = base.toUri.relativize(st.getPath.toUri).toString
+      // DECODED relative path, never URI.relativize: URI encoding would
+      // stack a second escape layer on Spark's hive-escaped dir names
+      // (space→%20, %3A→%253A) and partition values with special chars
+      // (timestamps, strings with ':'/'%') would un-escape wrong on read.
+      // Hive escaping leaves no ':' or '/' in segment values, so the raw
+      // path is safe to carry as the manifest key.
+      val rel = st.getPath.toUri.getPath.stripPrefix(base.toUri.getPath).stripPrefix("/")
       if (st.isFile && rel.endsWith(".parquet") && !rel.split('/').exists(_.startsWith("_"))) {
         val dest = new Path(new Path(path), rel)
         fs.mkdirs(dest.getParent)

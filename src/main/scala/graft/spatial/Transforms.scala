@@ -171,6 +171,18 @@ object PartitionPaths {
     case _ => false
   }
 
+  /** Session-zone catalyst cast for the types hive renders ambiguously
+    * (timestamp, decimal, …): correct for SERVING partition values to
+    * readers — never for exactness decisions (the rendering depends on
+    * the writer's session zone). Null when unparseable (legacy cast).
+    */
+  def castLenient(v: String, dt: DataType): Any = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v), StringType), dt,
+      Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone),
+      EvalMode.LEGACY).eval(null)
+  }
+
   /** Parse to the catalyst internal value; None for uncastable types —
     * callers choose between declining (exactness paths) and a string
     * fallback (legacy served values).

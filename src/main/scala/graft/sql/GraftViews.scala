@@ -109,8 +109,10 @@ object GraftViews {
     case _ => None
   }
 
-  // re-entrant substitution depth cap (cyclic view definitions)
-  private val depth = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
+  // views currently being expanded on this thread, keyed by their dir —
+  // re-entering one is a TRUE definition cycle. (A raw depth cap would
+  // misfire on legitimately deep non-cyclic chains.)
+  private val inFlight = new ThreadLocal[List[String]] { override def initialValue = Nil }
 
   // CTE names resolve case-insensitively unless the session opts into
   // case-sensitive analysis
@@ -154,9 +156,10 @@ object GraftViews {
   /** Replace graft-view relations with their parsed, context-qualified SQL.
     * Nested views expand RECURSIVELY within one call (not one layer per
     * analyzer iteration): the whole tree resolves in a single rule firing
-    * and the depth cap genuinely bounds cyclic definitions — a→b→a trips
-    * it with a clear error instead of running the analyzer to its
-    * fixed-point iteration limit.
+    * and a definition cycle — a→b→a — is detected by re-entry into an
+    * in-flight view, with a clear error instead of running the analyzer
+    * to its fixed-point iteration limit. Non-cyclic chains expand to any
+    * depth.
     */
   def substitute(plan: LogicalPlan, parser: ParserInterface): LogicalPlan = {
     if (spark.isEmpty) return plan
@@ -164,13 +167,13 @@ object GraftViews {
       if (isCteRef(u.multipartIdentifier, scope)) u
       else resolveIdent(u.multipartIdentifier) match {
         case Some((_, _, name, dir)) if java.nio.file.Files.exists(viewFile(dir)) =>
-          if (depth.get >= 10)
+          val key = dir.toString
+          if (inFlight.get.contains(key))
             throw new IllegalStateException(
-              s"cyclic or too deeply nested view reference while expanding view $name " +
-                "(max nesting 10)")
+              s"cyclic view reference while expanding view $name")
           val view = GraftView.read(
             Identifier.of(Array.empty, name), viewFile(dir))
-          depth.set(depth.get + 1)
+          inFlight.set(key :: inFlight.get)
           try {
             val child = parser.parsePlan(view.query)
             // single-part (and catalog-less) names inside the body
@@ -206,7 +209,7 @@ object GraftViews {
             // recurse so nested views expand within this same firing
             SubqueryAlias(name, substitute(
               org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified), parser))
-          } finally depth.set(depth.get - 1)
+          } finally inFlight.set(inFlight.get.tail)
         case _ => u
       }
     }
@@ -222,7 +225,7 @@ object GraftViews {
   * in-scope CTE references, so only genuine relations remain unresolved;
   * the rule is idempotent (a substituted view leaves no matching
   * `UnresolvedRelation`) and expands nested views recursively within one
-  * firing, so cyclic definitions trip the depth cap immediately.
+  * firing, so cyclic definitions fail immediately on in-flight re-entry.
   */
 case class GraftViewSubstitution(session: SparkSession)
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {

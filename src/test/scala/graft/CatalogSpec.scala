@@ -540,6 +540,13 @@ class CatalogSpec extends AnyFunSuite {
       s"expected a cyclic-view error, got: $err")
     spark.sql("DROP VIEW gcat.vw.cyc_a")
     spark.sql("DROP VIEW gcat.vw.cyc_b")
+    // cycle detection is by in-flight re-entry, not raw depth: a deep but
+    // acyclic chain resolves fine
+    spark.sql("CREATE VIEW gcat.vw.chain_0 AS SELECT 7 AS x")
+    (1 to 12).foreach(i =>
+      spark.sql(s"CREATE VIEW gcat.vw.chain_$i AS SELECT x FROM gcat.vw.chain_${i - 1}"))
+    assert(spark.sql("SELECT x FROM gcat.vw.chain_12").collect().head.getInt(0) == 7)
+    (0 to 12).foreach(i => spark.sql(s"DROP VIEW gcat.vw.chain_$i"))
     // the view tracks base-table changes (stored SQL, not materialized)
     spark.sql("INSERT INTO gcat.vw.base VALUES (99, 0)")
     assert(spark.sql("SELECT s FROM gcat.vw.bysum WHERE grp = 0")

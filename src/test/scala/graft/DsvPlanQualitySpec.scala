@@ -253,6 +253,20 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP identity partitions serve typed values via the lenient cast") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.spj.tsid (v INT, ts TIMESTAMP) USING graft " +
+      "PARTITIONED BY (ts)")
+    spark.sql("INSERT INTO pq.spj.tsid SELECT CAST(id AS INT), " +
+      "timestampadd(HOUR, CAST(id AS INT), timestamp'2022-05-06 07:08:09') FROM range(3)")
+    // the partition column is served from dir strings: a raw string in a
+    // TimestampType slot would CCE; the lenient session-zone cast types it
+    val rows = spark.sql("SELECT v, ts FROM pq.spj.tsid ORDER BY v").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getTimestamp(1).toString).toSeq ==
+      Seq("2022-05-06 07:08:09.0", "2022-05-06 08:08:09.0", "2022-05-06 09:08:09.0"))
+  }
+
   test("date-part partitioning over TIMESTAMP degrades to no-SPJ; reads stay healthy") {
     assert(warehouse.nonEmpty)
     // the years/months/days V2 functions are DATE-only: binding over a
