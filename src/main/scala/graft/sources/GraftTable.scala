@@ -213,7 +213,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         val perFile = Snapshots.readManifest(path, version)
           .map(f => graft.spatial.PartitionPaths.dirValues(f.path))
         typed.filter(c => perFile.forall(kv =>
-          kv.get(c).exists(_ != graft.spatial.PartitionPaths.NullSentinel)))
+          graft.spatial.PartitionPaths.value(kv, c).isDefined))
       }
     }
   } catch { case _: Exception => Set.empty }
@@ -920,8 +920,7 @@ object GraftScan {
     * each file path once, not once per filter.
     */
   private[sources] def exactlyMatches(kv: Map[String, String], f: sources.Filter): Boolean = {
-    def dirVal(c: String): Option[String] =
-      kv.get(c).filter(_ != graft.spatial.PartitionPaths.NullSentinel)
+    def dirVal(c: String): Option[String] = graft.spatial.PartitionPaths.value(kv, c)
     f match {
       case sources.EqualTo(a, v) => dirVal(a).exists(dirLiteralMatches(_, v))
       case sources.In(a, vs) =>

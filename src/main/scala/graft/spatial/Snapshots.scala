@@ -1789,7 +1789,8 @@ object Snapshots {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     (1 to cur).filterNot(keepVersions.contains)
       .foreach(v => Files.deleteIfExists(manifestPath(path, v)))
-    val orphans = listDataFiles(spark, path).filterNot(referenced)
+    val orphans = listDataFiles(spark, path)
+      .filterNot(f => referenced(f) || isReferencedLenient(f, referenced))
     orphans.foreach { orphan =>
       fs.delete(new Path(new Path(path), orphan), false)
     }
@@ -1903,8 +1904,22 @@ object Snapshots {
     val versions = (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
     val referenced = versions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val orphans = listDataFiles(spark, path).filterNot(referenced)
+    val orphans = listDataFiles(spark, path)
+      .filterNot(f => referenced(f) || isReferencedLenient(f, referenced))
     orphans.foreach(o => fs.delete(new Path(new Path(path), o), false))
     orphans.size
+  }
+
+  /** Deletion-safety net for manifests written under a different escape
+    * layering (the pre-round-6 URI-encoded relative paths): a listed file
+    * counts as referenced if ITS decoded form matches a decoded manifest
+    * entry. Over-matching only makes orphan deletion more conservative —
+    * a live file is never deleted for an encoding mismatch.
+    */
+  private def isReferencedLenient(file: String, referenced: Set[String]): Boolean = {
+    def decode(s: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+    val d = decode(file)
+    d != file && referenced.exists(r => decode(r) == d)
   }
 }

@@ -157,8 +157,11 @@ object PartitionPaths {
   /** Raw value for `col`; None when the segment is missing (pre-evolution
     * file) or holds the null sentinel.
     */
-  def value(rel: String, col: String): Option[String] =
-    dirValues(rel).get(col).filter(_ != NullSentinel)
+  def value(rel: String, col: String): Option[String] = value(dirValues(rel), col)
+
+  /** Same, over a pre-parsed segment map (parse once per file). */
+  def value(kv: Map[String, String], col: String): Option[String] =
+    kv.get(col).filter(_ != NullSentinel)
 
   /** Types whose hive dir rendering round-trips losslessly through
     * [[cast]]. Timestamps (session-timezone formatting), decimals, and

@@ -113,6 +113,11 @@ object GraftViews {
   // re-entering one is a TRUE definition cycle. (A raw depth cap would
   // misfire on legitimately deep non-cyclic chains.)
   private val inFlight = new ThreadLocal[List[String]] { override def initialValue = Nil }
+  // total expansions per top-level substitution: acyclic diamond nesting
+  // (v_i joins v_{i-1} twice) re-expands siblings and can go exponential
+  // without tripping cycle detection — bound the WORK, generously
+  private val expansions = new ThreadLocal[Integer] { override def initialValue = Integer.valueOf(0) }
+  private val MaxExpansions = 512
 
   // CTE names resolve case-insensitively unless the session opts into
   // case-sensitive analysis
@@ -171,6 +176,12 @@ object GraftViews {
           if (inFlight.get.contains(key))
             throw new IllegalStateException(
               s"cyclic view reference while expanding view $name")
+          if (inFlight.get.isEmpty) expansions.set(0) // new top-level expansion
+          expansions.set(expansions.get + 1)
+          if (expansions.get > MaxExpansions)
+            throw new IllegalStateException(
+              s"view expansion exceeded $MaxExpansions references while expanding " +
+                s"view $name — exponentially nested view definitions?")
           val view = GraftView.read(
             Identifier.of(Array.empty, name), viewFile(dir))
           inFlight.set(key :: inFlight.get)

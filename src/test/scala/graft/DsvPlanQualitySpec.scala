@@ -260,11 +260,14 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     spark.sql("INSERT INTO pq.spj.tsid SELECT CAST(id AS INT), " +
       "timestampadd(HOUR, CAST(id AS INT), timestamp'2022-05-06 07:08:09') FROM range(3)")
     // the partition column is served from dir strings: a raw string in a
-    // TimestampType slot would CCE; the lenient session-zone cast types it
-    val rows = spark.sql("SELECT v, ts FROM pq.spj.tsid ORDER BY v").collect()
+    // TimestampType slot would CCE; the lenient session-zone cast types it.
+    // Render via date_format (session tz) — Timestamp.toString would
+    // depend on the JVM default zone, which build.sbt does not pin
+    val rows = spark.sql("SELECT v, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s " +
+      "FROM pq.spj.tsid ORDER BY v").collect()
     assert(rows.length == 3)
-    assert(rows.map(_.getTimestamp(1).toString).toSeq ==
-      Seq("2022-05-06 07:08:09.0", "2022-05-06 08:08:09.0", "2022-05-06 09:08:09.0"))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("2022-05-06 07:08:09", "2022-05-06 08:08:09", "2022-05-06 09:08:09"))
   }
 
   test("date-part partitioning over TIMESTAMP degrades to no-SPJ; reads stay healthy") {
