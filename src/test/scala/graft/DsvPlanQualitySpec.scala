@@ -233,6 +233,21 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("V2 transform functions are SQL-callable for layout debugging") {
+    assert(warehouse.nonEmpty)
+    // the reference exposes its transforms as catalog functions
+    // (system.bucket etc.) so users can inspect layouts from SQL
+    val b = spark.sql("SELECT pq.system.bucket(8, CAST(42 AS BIGINT)) AS b").collect().head.getInt(0)
+    assert(b >= 0 && b < 8)
+    // matches the write-side derivation (Spark's hash() seed 42)
+    val expected = spark.sql("SELECT pmod(hash(CAST(42 AS BIGINT)), 8)").collect().head.getInt(0)
+    assert(b == expected, s"bucket() must equal the write-side pmod(hash(v), n): $b vs $expected")
+    val t = spark.sql("SELECT pq.system.truncate(3, 'abcdef') AS t").collect().head.getString(0)
+    assert(t == "abc")
+    val y = spark.sql("SELECT pq.system.years(DATE'2024-07-15') AS y").collect().head.getInt(0)
+    assert(y == 2024)
+  }
+
   test("LIMIT prunes the planned file set from manifest row counts") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.lim.t (id BIGINT, v DOUBLE) USING graft")
