@@ -65,8 +65,10 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val n = bytes.length
           val digest = (0 until 8).map { i =>
-            val lo = i * n / 8
-            val hi = (i + 1) * n / 8
+            // Long arithmetic to match the oracle's BIGINT: i*n overflows
+            // Int for payloads above ~306 MB
+            val lo = (i.toLong * n / 8).toInt
+            val hi = ((i + 1).toLong * n / 8).toInt
             val step = math.max(1, (hi - lo) / 16)
             var sum = 0L; var sumSq = 0L
             var p = lo

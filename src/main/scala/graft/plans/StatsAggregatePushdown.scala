@@ -96,10 +96,12 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
     val raw = vs.map(_.get)
     dt match {
       case StringType =>
-        val ss = raw.map(_.toString)
+        // compare in UTF8String binary order, not java String UTF-16
+        // code-unit order — they diverge for [U+E000,U+FFFF] chars mixed
+        // with supplementary characters, and these values are final results
+        val ss = raw.map(v => UTF8String.fromString(v.toString))
         val isMin = better(0, 1)
-        Some(UTF8String.fromString(ss.reduce((a, b) =>
-          if ((a.compareTo(b) < 0) == isMin) a else b)))
+        Some(ss.reduce((a, b) => if ((a.compareTo(b) < 0) == isMin) a else b))
       case _ =>
         // exact comparison (doubles would collapse longs above 2^53)
         val isMin = better(0, 1)

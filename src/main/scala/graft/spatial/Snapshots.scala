@@ -253,8 +253,10 @@ object Snapshots {
     val stats = statsFor(spark, path, added)
     withCommitRetry() {
       val rs = refsState(path)
-      val headV = rs.branches.get(branch).orElse(rs.tags.get(branch)).getOrElse(
-        throw new IllegalArgumentException(s"no such branch or tag: $branch"))
+      if (rs.tags.contains(branch))
+        throw new IllegalArgumentException(s"cannot append to tag: $branch (tags are immutable)")
+      val headV = rs.branches.getOrElse(branch,
+        throw new IllegalArgumentException(s"no such branch: $branch"))
       publish(path, rs, readManifest(path, Some(headV)) ++ stats,
         readDeletes(path, Some(headV)), readPosDeletes(path, Some(headV)),
         readProps(path, Some(headV)), ref = branch,
@@ -1920,6 +1922,13 @@ object Snapshots {
     def decode(s: String): String =
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
     val d = decode(file)
-    d != file && referenced.exists(r => decode(r) == d)
+    // The listed name is usually already decoded (`x=a b/f.parquet`) while a
+    // legacy manifest stores the encoded form (`x=a%20b/f.parquet`) — so the
+    // decoded manifest entry must be compared against the listed name itself,
+    // not only against its (identical) decoded form.
+    referenced.exists { r =>
+      val dr = decode(r)
+      dr == file || dr == d
+    }
   }
 }

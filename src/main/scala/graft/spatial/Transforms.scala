@@ -186,20 +186,21 @@ object PartitionPaths {
       EvalMode.LEGACY).eval(null)
   }
 
-  /** Parse to the catalyst internal value; None for uncastable types —
-    * callers choose between declining (exactness paths) and a string
-    * fallback (legacy served values).
+  /** Parse to the catalyst internal value; None for uncastable types AND
+    * for malformed directory values (a corrupt or foreign dir name must
+    * degrade pruning/SPJ to "unknown", not abort planning) — callers
+    * choose between declining (exactness paths) and a string fallback
+    * (legacy served values).
     */
-  def cast(v: String, dt: DataType): Option[Any] = dt match {
-    case ByteType => Some(v.toByte)
-    case ShortType => Some(v.toShort)
-    case IntegerType => Some(v.toInt)
-    case LongType => Some(v.toLong)
-    case FloatType => Some(v.toFloat)
-    case DoubleType => Some(v.toDouble)
-    case BooleanType => Some(v.toBoolean)
-    case DateType => Some(java.time.LocalDate.parse(v).toEpochDay.toInt)
-    case StringType => Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
-    case _ => None
-  }
+  def cast(v: String, dt: DataType): Option[Any] = scala.util.Try(dt match {
+    case ByteType => v.toByte
+    case ShortType => v.toShort
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case FloatType => v.toFloat
+    case DoubleType => v.toDouble
+    case BooleanType => v.toBoolean
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+  }).toOption
 }

@@ -537,6 +537,47 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readManifest(dir, Some(v - 1)).size == filesBefore)
   }
 
+  test("remove_orphan_files keeps live files referenced by a legacy URI-encoded manifest") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_orph_legacy").toString
+    // partition value with a space: hive dir layout is `part=a b/...`,
+    // round-6+ manifests store the DECODED rel path
+    val rows = (0 until 10).map { i =>
+      Row(i.toLong, "a b", GeoCodec.writeWkb(GeoCodec.point(i.toDouble, i.toDouble)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("part", StringType),
+        StructField("geom", BinaryType))))
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8, partitionBy = Seq("part"))
+    val manifest = Snapshots.readManifest(dir)
+    assert(manifest.forall(_.path.startsWith("part=a b/")), s"fixture: ${manifest.map(_.path)}")
+    // simulate a PRE-round-6 manifest: same files, URI-encoded rel paths
+    val mPath = java.nio.file.Paths.get(dir, s"_graft_manifest_v${Snapshots.currentVersion(dir)}.json")
+    val legacy = new String(Files.readAllBytes(mPath), java.nio.charset.StandardCharsets.UTF_8)
+      .replace("part=a b/", "part=a%20b/")
+    Files.write(mPath, legacy.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(Snapshots.readManifest(dir).forall(_.path.startsWith("part=a%20b/")))
+    // the live file must survive: listing yields the decoded name, the
+    // manifest the encoded one — the lenient match bridges the layers
+    val removed = Snapshots.removeOrphanFiles(spark, dir)
+    assert(removed == 0, "orphan removal must not delete live legacy-referenced files")
+    val dataDir = java.nio.file.Paths.get(dir, "part=a b")
+    assert(Files.list(dataDir).iterator().asScala.exists(_.toString.endsWith(".parquet")),
+      "data file must still exist on disk")
+  }
+
+  test("appendToBranch refuses tags") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_tag_append").toString
+    GeoTable.write(mkDf(0 until 10, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    Snapshots.createTag(dir, "v1_tag")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.appendToBranch(mkDf(10 until 12, 0), dir, "v1_tag")
+    }
+    assert(ex.getMessage.contains("tag"))
+    assert(Snapshots.resolveRef(dir, "v1_tag") == 1)
+  }
+
   test("spatial pruning still applies to snapshot reads") {
     import graft.functions.GeoSql._
     val dir = Files.createTempDirectory("graft_snap2").toString

@@ -82,4 +82,18 @@ class TransformsPropertySpec extends AnyFunSuite {
       assert(norm(t.project(v).get) == norm(w), s"bucket(int $v)")
     }
   }
+
+  test("PartitionPaths.cast returns None for malformed dir values, never throws") {
+    import graft.spatial.PartitionPaths
+    // a corrupt or foreign directory name must degrade pruning/SPJ to
+    // "unknown", not abort planning
+    assert(PartitionPaths.cast("not_a_number", IntegerType).isEmpty)
+    assert(PartitionPaths.cast("12.5.7", DoubleType).isEmpty)
+    assert(PartitionPaths.cast("yesterday", DateType).isEmpty)
+    assert(PartitionPaths.cast("", LongType).isEmpty)
+    assert(PartitionPaths.cast("x", TimestampType).isEmpty) // uncastable type
+    assert(PartitionPaths.cast("42", IntegerType).contains(42))
+    assert(PartitionPaths.cast("2024-01-05", DateType)
+      .contains(java.time.LocalDate.of(2024, 1, 5).toEpochDay.toInt))
+  }
 }
