@@ -49,19 +49,30 @@ case class EqDeleteSpec(
     seq: Int,
     factory: ParquetPartitionReaderFactory) extends Serializable
 
-/** One data file plus the delete state scoped to it. `rel` is the
-  * table-relative path (the manifest key); `posDeletes` lists only the
-  * positional-delete files whose coverage includes this file, and
-  * `eqDeletes` only the equality deletes sequenced after it was added.
+/** The delete state scoped to ONE data file (or file range) of a task.
+  * `rel` is the table-relative path (the manifest key); `posDeletes`
+  * lists only the positional-delete files whose coverage includes this
+  * file, and `eqDeletes` only the equality deletes sequenced after it
+  * was added. Files with positional deletes are never range-split, so a
+  * slice's emitted-row counter IS the file row position.
+  */
+case class GraftFileSlice(
+    rel: String,
+    posDeletes: Array[DeleteFileRef],
+    eqDeletes: Seq[EqDeleteSpec]) extends Serializable {
+  def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
+}
+
+/** One task: a bin-packed / range-split set of data files plus the
+  * delete state scoped to each ([[TaskPlanner]]). `slices` is parallel
+  * to `fp.files`.
   */
 case class GraftInputPartition(
     fp: FilePartition,
-    rel: String,
-    posDeletes: Array[DeleteFileRef],
-    eqDeletes: Seq[EqDeleteSpec],
+    slices: Seq[GraftFileSlice],
     key: InternalRow = null) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
-  def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
+  def hasDeletes: Boolean = slices.exists(_.hasDeletes)
   // non-null whenever the scan reports KeyGroupedPartitioning (the only
   // time Spark reads it): same-key files group into one SPJ task
   override def partitionKey(): InternalRow = key

@@ -730,16 +730,22 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     }
   }
 
-  /** Each partition carries the table-relative path and exactly the
-    * delete files scoped to it — the reference's per-task `DeleteFilter`
-    * attachment; readers resolve delete contents executor-side.
+  /** Each task carries the table-relative path(s) and exactly the delete
+    * files scoped to each — the reference's per-task `DeleteFilter`
+    * attachment; readers resolve delete contents executor-side. Oversized
+    * files split into byte ranges and small files bin-pack into shared
+    * tasks ([[TaskPlanner]]); packing never crosses SPJ key groups.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val files = plannedFiles
     val index = new GraftFileIndex(spark, new Path(path), files,
       readPhysicalData, readPartSchema, GeoTable.readPruningSpecs(path))
     val byAbs = files.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
-    index.listFiles(Nil, Nil).flatMap { dir =>
+    // one key per task only when the partitioning report is live — the
+    // same condition outputPartitioning() checks
+    val spjActive = spjKeySchema.isDefined && files.nonEmpty &&
+      files.forall(f => keyRowOf(f.path).isDefined)
+    val items = index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>
         val abs = st.getPath.toUri.getPath
         val fstat = byAbs.get(abs)
@@ -748,14 +754,17 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
           posCov.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }.getOrElse(Nil))
         val eqs = eqSpecs.filter(s => addedV < s.seq)
-        (PartitionedFile(dir.values,
-          org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
-          rel, pos.toArray, eqs)
+        TaskPlanner.Item(
+          PartitionedFile(dir.values,
+            org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
+          GraftFileSlice(rel, pos.toArray, eqs),
+          keyRowOf(rel).orNull,
+          // positional deletes address file-absolute row positions — the
+          // whole file must stay in one task for pos reconstruction
+          splittable = pos.isEmpty)
       }
-    }.zipWithIndex.map { case ((pf, rel, pos, eqs), i) =>
-      GraftInputPartition(FilePartition(i, Array(pf)), rel, pos, eqs,
-        keyRowOf(rel).orNull): InputPartition
-    }.toArray
+    }
+    TaskPlanner.plan(spark, items, groupByKey = spjActive)
   }
 
   // ---- execution ----------------------------------------------------------
@@ -1070,19 +1079,10 @@ case class GraftBatchReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val inner = parquet.createReader(p.fp)
-    if (!uniformRowMode) return inner
-    val abs = DeleteFiles.norm(p.fp.files.head.toPath.toUri.getPath)
-    // this task's deleted positions: parsed per-executor, scoped per-file
-    val posDel: Array[Long] =
-      if (p.posDeletes.isEmpty) Array.emptyLongArray
-      else {
-        val all = p.posDeletes.flatMap(f =>
-          DeleteFileCache.positionsFor(posFactory.get, f, abs, p.rel))
-        java.util.Arrays.sort(all)
-        all
-      }
-    val eqs = p.eqDeletes.map(s => (s, DeleteFileCache.keysFor(s)))
+    // clean path: Spark's FilePartitionReader concatenates the files
+    if (!uniformRowMode) return parquet.createReader(p.fp)
+    // row mode applies PER-FILE delete state: read file-by-file so row
+    // positions and delete scopes never bleed across packed files
     val proj = projection.map(SafeProjection.create)
     val pred = morPredicate.map { e =>
       val pr = Predicate.createInterpreted(e); pr.initialize(p.fp.index); pr
@@ -1097,28 +1097,67 @@ case class GraftBatchReaderFactory(
         }
         BoundReference(i, dt, nullable = true): Expression
       }))
-    new PartitionReader[InternalRow] {
-      private var pos = -1L
-      private var current: InternalRow = _
-      override def next(): Boolean = {
-        while (inner.next()) {
-          pos += 1
-          if (posDel.isEmpty || java.util.Arrays.binarySearch(posDel, pos) < 0) {
-            val logical = proj.map(_(inner.get())).getOrElse(inner.get())
-            val deleted =
-              eqs.exists { case (e, keys) => keys.contains(e.ordinals.indices.map(i =>
-                logical.get(e.ordinals(i), e.types(i)): Any).toList) } ||
-                pred.exists(_.eval(logical))
-            if (!deleted) {
-              current = trim.map(_(logical)).getOrElse(logical)
-              return true
+    val perFile = p.fp.files.indices.iterator.map { fi =>
+      val pf = p.fp.files(fi)
+      val slice = p.slices(fi)
+      val inner = parquet.createReader(FilePartition(p.fp.index, Array(pf)))
+      val abs = DeleteFiles.norm(pf.toPath.toUri.getPath)
+      // this file's deleted positions: parsed per-executor, scoped per-file
+      val posDel: Array[Long] =
+        if (slice.posDeletes.isEmpty) Array.emptyLongArray
+        else {
+          val all = slice.posDeletes.flatMap(f =>
+            DeleteFileCache.positionsFor(posFactory.get, f, abs, slice.rel))
+          java.util.Arrays.sort(all)
+          all
+        }
+      val eqs = slice.eqDeletes.map(s => (s, DeleteFileCache.keysFor(s)))
+      new PartitionReader[InternalRow] {
+        private var pos = -1L
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          while (inner.next()) {
+            pos += 1
+            if (posDel.isEmpty || java.util.Arrays.binarySearch(posDel, pos) < 0) {
+              val logical = proj.map(_(inner.get())).getOrElse(inner.get())
+              val deleted =
+                eqs.exists { case (e, keys) => keys.contains(e.ordinals.indices.map(i =>
+                  logical.get(e.ordinals(i), e.types(i)): Any).toList) } ||
+                  pred.exists(_.eval(logical))
+              if (!deleted) {
+                current = trim.map(_(logical)).getOrElse(logical)
+                return true
+              }
             }
           }
+          false
         }
-        false
+        override def get(): InternalRow = current
+        override def close(): Unit = inner.close()
       }
-      override def get(): InternalRow = current
-      override def close(): Unit = inner.close()
     }
+    ConcatReader(perFile)
   }
+}
+
+/** Sequential concatenation of per-file readers within one task — each
+  * inner reader is created lazily and closed as soon as it drains.
+  */
+case class ConcatReader(readers: Iterator[PartitionReader[InternalRow]])
+    extends PartitionReader[InternalRow] {
+  private var cur: PartitionReader[InternalRow] = _
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!readers.hasNext) return false
+        cur = readers.next()
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }

@@ -233,7 +233,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
       GeoTable.readPruningSpecs(path))
     val byAbs = slice.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
-    index.listFiles(Nil, Nil).flatMap { dir =>
+    val items = index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>
         val abs = st.getPath.toUri.getPath
         val fstat = byAbs.get(abs)
@@ -242,13 +242,17 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
           posCov.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }.getOrElse(Nil))
         val eqs = eqSpecs.filter(sp => addedV < sp.seq)
-        (PartitionedFile(dir.values,
-          org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
-          rel, pos.toArray, eqs)
+        graft.sources.TaskPlanner.Item(
+          PartitionedFile(dir.values,
+            org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
+          graft.sources.GraftFileSlice(rel, pos.toArray, eqs),
+          key = null, splittable = pos.isEmpty)
       }
-    }.zipWithIndex.map { case ((pf, rel, pos, eqs), i) =>
-      GraftInputPartition(FilePartition(i, Array(pf)), rel, pos, eqs): InputPartition
-    }.toArray
+    }
+    // a micro-batch admitting many small files bin-packs them into ≤ cores
+    // tasks (and splits an oversized compacted file) — same planner as the
+    // batch scan; no SPJ report on the streaming path
+    graft.sources.TaskPlanner.plan(spark, items, groupByKey = false)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -327,10 +331,12 @@ object GraftStreamFilters {
   }
 }
 
-/** Wraps the parquet readers with the delete filters. One file per
-  * partition, so the emitted-row counter IS the file row position (no
-  * filters are pushed into parquet — full file scan order). Delete-file
-  * contents resolve from the per-executor cache, scoped to this file.
+/** Wraps the parquet readers with the delete filters. Row mode reads
+  * file-by-file so positions and delete scopes never bleed across packed
+  * files (files with positional deletes are never split, so each slice's
+  * emitted-row counter IS the file row position — no filters are pushed
+  * into parquet, full file scan order). Delete-file contents resolve
+  * from the per-executor cache, scoped per file.
   */
 class GraftStreamReaderFactory(
     parquet: ParquetPartitionReaderFactory,
@@ -339,22 +345,24 @@ class GraftStreamReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    val inner = parquet.createReader(p.fp)
-    if (!p.hasDeletes && morPredicate.isEmpty) inner
-    else {
-      val abs = DeleteFiles.norm(p.fp.files.head.toPath.toUri.getPath)
+    if (!p.hasDeletes && morPredicate.isEmpty) return parquet.createReader(p.fp)
+    val pred = morPredicate.map { e =>
+      val pr = Predicate.createInterpreted(e); pr.initialize(p.fp.index); pr
+    }
+    val perFile = p.fp.files.indices.iterator.map { fi =>
+      val pf = p.fp.files(fi)
+      val s = p.slices(fi)
+      val inner = parquet.createReader(FilePartition(p.fp.index, Array(pf)))
+      val abs = DeleteFiles.norm(pf.toPath.toUri.getPath)
       val posDel: Array[Long] =
-        if (p.posDeletes.isEmpty) Array.emptyLongArray
+        if (s.posDeletes.isEmpty) Array.emptyLongArray
         else {
-          val all = p.posDeletes.flatMap(f =>
-            DeleteFileCache.positionsFor(posFactory.get, f, abs, p.rel))
+          val all = s.posDeletes.flatMap(f =>
+            DeleteFileCache.positionsFor(posFactory.get, f, abs, s.rel))
           java.util.Arrays.sort(all)
           all
         }
-      val eqs = p.eqDeletes.map(s => (s, DeleteFileCache.keysFor(s)))
-      val pred = morPredicate.map { e =>
-        val pr = Predicate.createInterpreted(e); pr.initialize(p.fp.index); pr
-      }
+      val eqs = s.eqDeletes.map(sp => (sp, DeleteFileCache.keysFor(sp)))
       new PartitionReader[InternalRow] {
         private var pos = -1L
         private var current: InternalRow = _
@@ -376,5 +384,6 @@ class GraftStreamReaderFactory(
         override def close(): Unit = inner.close()
       }
     }
+    graft.sources.ConcatReader(perFile)
   }
 }

@@ -61,8 +61,8 @@ class CatalogSpec extends AnyFunSuite {
     val q = spark.sql("SELECT id FROM gcat.db.quad WHERE geom_bbox.xmin > 0 AND geom_bbox.ymin > 0")
     val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     assert(scans.nonEmpty, "catalog read should plan a DSv2 BatchScan")
-    assert(scans.head.inputPartitions.length == 1,
-      s"quadrant-0 filter must prune to 1 of 4 files, got ${scans.head.inputPartitions.length}")
+    assert(SparkTestSession.plannedFiles(q) == 1,
+      s"quadrant-0 filter must prune to 1 of 4 files, got ${SparkTestSession.plannedFiles(q)}")
     assert(q.count() == 20)
     // clean table → columnar path → vectorized scan feeding codegen
     assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
@@ -129,11 +129,9 @@ class CatalogSpec extends AnyFunSuite {
     assert(seen.exists(_.startsWith("id_bucket=")), s"expected bucket dirs, got $seen")
     // a bucket-key equality prunes to the files of one bucket
     val q = spark.sql("SELECT * FROM gcat.pt.orders WHERE id = 42")
-    val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
-    val total = spark.sql("SELECT * FROM gcat.pt.orders").queryExecution.executedPlan
-      .collect { case b: BatchScanExec => b }.head.inputPartitions.length
-    assert(scans.head.inputPartitions.length < total,
-      s"bucket filter should prune (${scans.head.inputPartitions.length} vs $total files)")
+    val total = SparkTestSession.plannedFiles(spark.sql("SELECT * FROM gcat.pt.orders"))
+    val pruned = SparkTestSession.plannedFiles(q)
+    assert(pruned < total, s"bucket filter should prune ($pruned vs $total files)")
     assert(q.count() == 1)
     // partitioning is visible through the DSv2 Table
     val parts = spark.sql("DESCRIBE TABLE gcat.pt.orders").collect().map(_.getString(0))
@@ -241,9 +239,9 @@ class CatalogSpec extends AnyFunSuite {
     // delete rows — each task resolves its own positions executor-side
     assert(parts.nonEmpty)
     val gps = parts.map(_.asInstanceOf[graft.sources.GraftInputPartition])
-    assert(gps.forall(_.posDeletes.length == 1),
-      "each partition must carry exactly its covering delete file ref")
-    assert(gps.forall(_.posDeletes.forall(_.len > 0)))
+    assert(gps.forall(_.slices.forall(_.posDeletes.length == 1)),
+      "each file slice must carry exactly its covering delete file ref")
+    assert(gps.forall(_.slices.forall(_.posDeletes.forall(_.len > 0))))
     // 100k survivors, all odd: sum of first 100k odd numbers = 100000^2
     assert(q.count() == 100000)
     assert(spark.sql("SELECT sum(id) FROM gcat.db.bigdel").collect().head.getLong(0) ==
@@ -344,8 +342,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE gcat.evo.t (id BIGINT, cat STRING) PARTITIONED BY (bucket(4, id))")
     spark.sql("INSERT INTO gcat.evo.t SELECT id, concat('c', id % 3) FROM range(100)")
     def parts(sql: String): Int =
-      spark.sql(sql).queryExecution.executedPlan
-        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+      SparkTestSession.plannedFiles(spark.sql(sql))
     val genAFiles = parts("SELECT * FROM gcat.evo.t")
     val genAPruned = parts("SELECT * FROM gcat.evo.t WHERE id = 42")
     assert(genAPruned < genAFiles, "bucket pruning must work pre-evolution")
@@ -397,8 +394,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE gcat.evo.rb (id BIGINT, cat STRING) PARTITIONED BY (bucket(4, id))")
     spark.sql("INSERT INTO gcat.evo.rb SELECT id, concat('c', id % 3) FROM range(100)")
     def parts(sql: String): Int =
-      spark.sql(sql).queryExecution.executedPlan
-        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+      SparkTestSession.plannedFiles(spark.sql(sql))
     val genAFiles = parts("SELECT * FROM gcat.evo.rb")
     // the primary Iceberg REPLACE shape: widen the bucket on the same col
     spark.sql("ALTER TABLE gcat.evo.rb REPLACE PARTITION FIELD bucket(4, id) WITH bucket(8, id)")
@@ -456,8 +452,7 @@ class CatalogSpec extends AnyFunSuite {
       .createOrReplaceTempView("wo_src")
     spark.sql("INSERT INTO gcat.wo.t SELECT * FROM wo_src")
     def parts(sql: String): Int =
-      spark.sql(sql).queryExecution.executedPlan
-        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+      SparkTestSession.plannedFiles(spark.sql(sql))
     val total = parts("SELECT * FROM gcat.wo.t")
     assert(total >= 2, s"expected multiple files, got $total")
     assert(spark.sql("SELECT * FROM gcat.wo.t").count() == 80)

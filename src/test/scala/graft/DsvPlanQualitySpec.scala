@@ -334,4 +334,76 @@ class DsvPlanQualitySpec extends AnyFunSuite {
         s"in the matching partition dir, planned $planned")
     }
   }
+
+  private def graftScanOf(q: org.apache.spark.sql.DataFrame): GraftScan =
+    q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+    }.head
+
+  test("task planning splits an oversized file into multiple input partitions") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.big (id BIGINT, pad STRING) USING graft")
+    // one ~MB file with small row groups (the writer reads parquet.block.size
+    // from the session-propagated hadoop conf)
+    withConf("parquet.block.size" -> "16384") {
+      spark.sql("INSERT INTO pq.tp.big SELECT /*+ REPARTITION(1) */ id, " +
+        "repeat(uuid(), 8) AS pad FROM range(5000)")
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.files.openCostInBytes" -> "4096") {
+      val q = spark.sql("SELECT id FROM pq.tp.big")
+      val planned = graftScanOf(q).planInputPartitions().length
+      assert(planned > 1, s"an 8x-oversized file must split into >1 input partition, got $planned")
+      // row-group→range assignment yields every row exactly once
+      val ids = q.collect().map(_.getLong(0))
+      assert(ids.length == 5000 && ids.distinct.length == 5000,
+        s"split ranges must partition the file's rows exactly (got ${ids.length})")
+    }
+  }
+
+  test("task planning bin-packs many small files into ~cores tasks") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.many (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO pq.tp.many SELECT /*+ REPARTITION(300) */ id, " +
+      "CAST(id AS DOUBLE) FROM range(300)")
+    // default open cost (4 MB) prices each tiny file; the 128 MB max-split
+    // cap then packs ~32 files per task — hundreds of tiny files plan a
+    // handful of tasks instead of one task each
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      val q = spark.sql("SELECT * FROM pq.tp.many")
+      val files = spark.sql("SELECT count(*) AS c FROM pq.tp.many.files")
+        .collect().head.getLong(0)
+      assert(files > 50, s"fixture should write many small files, got $files")
+      val planned = graftScanOf(q).planInputPartitions().length
+      assert(planned <= 40 && planned >= 2 && planned * 4 < files,
+        s"$files tiny files should bin-pack into ~files/32 tasks, planned $planned")
+      assert(q.collect().length == 300)
+    }
+  }
+
+  test("bin-packed tasks keep delete state scoped per file") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.mor (id BIGINT, v DOUBLE) USING graft " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO pq.tp.mor SELECT /*+ REPARTITION(20) */ id, " +
+      "CAST(id AS DOUBLE) FROM range(2000)")
+    spark.sql("DELETE FROM pq.tp.mor WHERE id % 7 = 0")
+    // force real packing (tiny fixture files): cheap opens, low target
+    // parallelism → several files share one task, each with its own
+    // delete scope
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.files.openCostInBytes" -> "1024",
+      "spark.sql.files.minPartitionNum" -> "2") {
+      val q = spark.sql("SELECT id FROM pq.tp.mor")
+      val planned = graftScanOf(q).planInputPartitions().length
+      assert(planned < 20, s"20 tiny files should pack into <20 tasks, planned $planned")
+      val ids = q.collect().map(_.getLong(0)).sorted
+      val expected = (0L until 2000L).filter(_ % 7 != 0)
+      assert(ids.toSeq == expected,
+        s"packed MoR read must apply per-file deletes (got ${ids.length}, want ${expected.length})")
+    }
+  }
 }

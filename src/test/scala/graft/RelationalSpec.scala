@@ -16,6 +16,16 @@ object SparkTestSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Data FILES a DSv2 graft scan planned — tasks may bin-pack several
+    * files ([[graft.sources.TaskPlanner]]), so pruning assertions count
+    * the per-task file slices, not the task partitions.
+    */
+  def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan
+      .collect { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .head.inputPartitions
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition].slices.length).sum
 }
 
 class RelationalSpec extends AnyFunSuite {

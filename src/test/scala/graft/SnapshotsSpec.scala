@@ -140,8 +140,8 @@ class SnapshotsSpec extends AnyFunSuite {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }
     assert(scan.nonEmpty, "format(\"graft\") should plan a DSv2 BatchScan")
-    assert(scan.head.inputPartitions.length == 2,
-      s"spatial filter must prune to quadrant-0's 2 files, got ${scan.head.inputPartitions.length}")
+    assert(SparkTestSession.plannedFiles(q) == 2,
+      s"spatial filter must prune to quadrant-0's 2 files, got ${SparkTestSession.plannedFiles(q)}")
     // clean table → columnar vectorized path
     assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }

@@ -302,8 +302,7 @@ class StreamingSpec extends AnyFunSuite {
     // bucket projection prunes through the catalog read
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     def parts(sql: String): Int =
-      spark.sql(sql).queryExecution.executedPlan
-        .collect { case b: BatchScanExec => b }.head.inputPartitions.length
+      SparkTestSession.plannedFiles(spark.sql(sql))
     val total = parts("SELECT * FROM pwcat.st.pev")
     val pruned = parts("SELECT * FROM pwcat.st.pev WHERE user_id = 7")
     assert(pruned < total, s"bucket filter should prune staged stream files ($pruned/$total)")
