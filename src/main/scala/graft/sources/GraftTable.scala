@@ -210,8 +210,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
       if (typed.isEmpty) Set.empty
       else {
         // one dir parse per file, checked against every candidate column
-        val perFile = Snapshots.readManifest(path, version)
-          .map(f => graft.spatial.PartitionPaths.dirValues(f.path))
+        val perFile = Snapshots.readManifest(path, version).map(_.dirVals)
         typed.filter(c => perFile.forall(kv =>
           graft.spatial.PartitionPaths.value(kv, c).isDefined))
       }
@@ -304,10 +303,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         (Snapshots.readDeletes(path, version).nonEmpty ||
          Snapshots.readEqDeletes(path, version).nonEmpty ||
          Snapshots.readPosDeletes(path, version).nonEmpty)) return None
-    val stats = Snapshots.readManifest(path, version).filter { f =>
-      val kv = graft.spatial.PartitionPaths.dirValues(f.path)
-      pushed.forall(GraftScan.exactlyMatches(kv, _))
-    }
+    val stats = Snapshots.readManifest(path, version).filter(f =>
+      pushed.forall(GraftScan.exactlyMatches(f.dirVals, _)))
     val toPhysical: Map[String, String] =
       TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
     val encoded = GeometryFields.get(path).keySet
@@ -356,7 +353,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
       // group key per file from its dir tuple; any missing segment or
       // uncastable value makes grouping undecidable → decline
       val keyed = stats.map { f =>
-        val kv = graft.spatial.PartitionPaths.dirValues(f.path)
+        val kv = f.dirVals
         val gk = gcs.map { case (c, dt) =>
           kv.get(c) match {
             case None => return None
@@ -512,8 +509,14 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   // while MoR deletes are pending — correct posture for estimates.
   override def estimateStatistics(): Statistics = {
     val files = plannedFiles
-    val size = files.map(_.sizeBytes).sum
     val rows = files.map(_.rows).sum
+    // report rows × estimated IN-MEMORY row width of the read schema, not
+    // compressed parquet bytes (the reference's SparkScan.java:260-264 via
+    // SparkSchemaUtil.estimateSize): compressed size undercounts 5-20x for
+    // wide string columns, and sizeInBytes drives broadcast decisions — a
+    // "9 MB" on-disk dim can be 100+ MB on-heap, an OOM vector
+    val rowWidth = 8L + readSchema().fields.map(_.dataType.defaultSize.toLong).sum
+    val size = rows * rowWidth
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
@@ -684,10 +687,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     // exactly here (drops null-dir files inclusive pruning would keep)
     val manifest =
       if (exactFilters.isEmpty) manifest0
-      else manifest0.filter { f =>
-        val kv = graft.spatial.PartitionPaths.dirValues(f.path)
-        exactFilters.forall(GraftScan.exactlyMatches(kv, _))
-      }
+      else manifest0.filter(f =>
+        exactFilters.forall(GraftScan.exactlyMatches(f.dirVals, _)))
     val index = new GraftFileIndex(spark, new Path(path), manifest,
       readPhysicalData, planningPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)

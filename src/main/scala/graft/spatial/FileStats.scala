@@ -29,6 +29,13 @@ case class FileStats(
       */
     addedV: Int = 0) {
 
+  /** Hive-layout partition values parsed from the path — computed once
+    * per FileStats instance; combined with the parsed-manifest memo
+    * ([[Snapshots.readManifest]]) this makes dir parsing one pass per
+    * (table, version) across all scan builds.
+    */
+  @transient lazy val dirVals: Map[String, String] = PartitionPaths.dirValues(path)
+
   def mightMatch(filter: Expression): Boolean = canMatch(filter)
 
   def withAddedV(v: Int): FileStats = if (addedV == 0) copy(addedV = v) else this

@@ -45,8 +45,38 @@ object Snapshots {
     max
   }
 
-  def readManifest(path: String, version: Option[Int] = None): Seq[FileStats] =
-    GeoTable.parseManifest(manifestText(path, version))
+  // Parsed-manifest memo: a manifest file is immutable once published and
+  // version numbers are never reused (rollback republishes FORWARD), so
+  // its (path, size, mtime) fully determines the parse product. Planning
+  // consults the manifest several times per query (stats report, SPJ key
+  // rows, exact-filter claims, aggregate pushdown, input partitions) and
+  // once per scan BUILD on top — at 100k files that is tens of ms of JSON
+  // + string work each; the memo makes it one parse per published
+  // version. LRU-bounded so a driver touching many tables keeps the hot
+  // set. The stat-key also invalidates on out-of-band manifest edits.
+  private val ManifestCacheMax = 16
+  private[graft] val manifestParseCount = new java.util.concurrent.atomic.AtomicLong
+  private val manifestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long), Seq[FileStats]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Seq[FileStats]]): Boolean =
+        size() > ManifestCacheMax
+    })
+
+  def readManifest(path: String, version: Option[Int] = None): Seq[FileStats] = {
+    val v = version.getOrElse(mainVersion(path))
+    require(v > 0, s"no snapshots at $path")
+    val p = manifestPath(path, v)
+    require(Files.exists(p), s"no snapshot version $v at $path")
+    val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    val cached = manifestCache.get(key)
+    if (cached != null) return cached
+    manifestParseCount.incrementAndGet()
+    val parsed = GeoTable.parseManifest(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    manifestCache.put(key, parsed)
+    parsed
+  }
 
   /** Merge-on-read delete predicates of a snapshot. */
   def readDeletes(path: String, version: Option[Int] = None): Seq[String] =

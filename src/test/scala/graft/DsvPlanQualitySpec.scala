@@ -340,6 +340,47 @@ class DsvPlanQualitySpec extends AnyFunSuite {
       case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
     }.head
 
+  test("manifest parses once per published version across repeated plannings") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.mc.t (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO pq.mc.t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    // warm: the first planning of this version parses
+    assert(spark.sql("SELECT * FROM pq.mc.t").collect().length == 100)
+    val before = graft.spatial.Snapshots.manifestParseCount.get()
+    (0 until 5).foreach { i =>
+      assert(spark.sql(s"SELECT id FROM pq.mc.t WHERE id > $i").collect().nonEmpty)
+      assert(spark.sql("SELECT sum(v) AS s FROM pq.mc.t").collect().nonEmpty)
+    }
+    assert(graft.spatial.Snapshots.manifestParseCount.get() == before,
+      "repeated plannings of one version must reuse the parsed manifest")
+    // a new version parses once, no matter how many plannings follow
+    spark.sql("INSERT INTO pq.mc.t SELECT id + 100, CAST(id AS DOUBLE) FROM range(10)")
+    assert(spark.sql("SELECT * FROM pq.mc.t").collect().length == 110)
+    val afterV2 = graft.spatial.Snapshots.manifestParseCount.get()
+    (0 until 5).foreach { i =>
+      assert(spark.sql(s"SELECT id FROM pq.mc.t WHERE id > $i").collect().nonEmpty)
+    }
+    assert(graft.spatial.Snapshots.manifestParseCount.get() == afterV2,
+      "the new version must parse exactly once, then cache")
+  }
+
+  test("statistics report in-memory row width, not compressed on-disk bytes") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.st.wide (id BIGINT, a STRING, b STRING, c STRING, d STRING) " +
+      "USING graft")
+    // highly compressible wide strings: on-disk parquet is tiny, on-heap is not
+    spark.sql("INSERT INTO pq.st.wide SELECT id, repeat('x', 2000), repeat('y', 2000), " +
+      "repeat('z', 2000), repeat('w', 2000) FROM range(5000)")
+    val q = spark.sql("SELECT * FROM pq.st.wide")
+    val stats = graftScanOf(q).estimateStatistics()
+    assert(stats.numRows().getAsLong == 5000L)
+    val onDisk = spark.sql("SELECT sum(file_size_in_bytes) AS s FROM pq.st.wide.files")
+      .collect().head.getLong(0)
+    assert(stats.sizeInBytes().getAsLong > onDisk,
+      s"estimated in-memory size (${stats.sizeInBytes().getAsLong}) must exceed " +
+        s"compressed on-disk bytes ($onDisk) for a wide-string table")
+  }
+
   test("task planning splits an oversized file into multiple input partitions") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.tp.big (id BIGINT, pad STRING) USING graft")
