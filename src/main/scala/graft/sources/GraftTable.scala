@@ -61,8 +61,9 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     if (tag.isDefined) util.EnumSet.of(TableCapability.BATCH_READ) // tags never move: read-only
     else if (branch.isDefined) // branch heads: batch append only (WAP writes)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
-    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** Snapshot property map (SHOW TBLPROPERTIES / DESCRIBE EXTENDED). */
   override def properties(): util.Map[String, String] = {
@@ -103,7 +104,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, path, snapshotVersion, schema)
+    new GraftScanBuilder(spark, path, snapshotVersion, schema, options)
 
   /** INSERT INTO/OVERWRITE lowered onto the snapshot commit protocol;
     * `toStreaming` serves `writeStream.format("graft")` / `.toTable`
@@ -169,7 +170,8 @@ object GraftTable {
 }
 
 class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
-    logicalSchema: StructType) extends ScanBuilder
+    logicalSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -390,7 +392,11 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   override def build(): Scan = aggResult match {
     case Some((aggSchema, rows)) => GraftLocalAggScan(aggSchema, rows)
     case None => new GraftScan(spark, path, version, required, pushed,
-      exactFilters = claimed.toArray, limit = limit)
+      exactFilters = claimed.toArray, limit = limit,
+      streamOptions = {
+        import scala.jdk.CollectionConverters._
+        options.asCaseSensitiveMap().asScala.toMap
+      })
   }
 }
 
@@ -421,9 +427,29 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       * cumulative row count covers it — only when every kept row is
       * guaranteed to surface (no deletes, no residual filters).
       */
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    /** Read options (admission control for `readStream.table`). */
+    streamOptions: Map[String, String] = Map.empty) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
+
+  /** `spark.readStream.table("cat.db.t")` — the reference's
+    * `SparkTable.java:105-109` advertises MICRO_BATCH_READ on catalog
+    * identifiers. Offsets/admission come from the committed-chain stream;
+    * rows are served through THIS scan's batch reader factory, so
+    * declared encodings, renames, and per-file delete state apply
+    * identically to batch reads.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    def opt(k: String) = streamOptions.collectFirst {
+      case (n, v) if n.equalsIgnoreCase(k) => v
+    }
+    new graft.streaming.GraftCatalogMicroBatchStream(this, path,
+      opt("maxFilesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue),
+      opt("maxRecordsPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
+      opt("maxBytesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue))
+  }
 
   /** Same scan with extra pruning conjuncts; `this` when nothing new (the
     * fixed-point convergence guarantee for the rewrite rule).

@@ -112,7 +112,16 @@ object GraftStreamOffset {
 
 class GraftMicroBatchStream(path: String, maxFiles: Int,
     maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: pin the chain length at prepare time; admission
+  // then paces rate-limited batches up to exactly this boundary (without
+  // this the engine's generic wrapper collapses admission to one batch)
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(fileChain().size.toLong)
 
   private def spark = SparkSession.active
 
@@ -178,11 +187,19 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     case _ => (Long.MaxValue, Long.MaxValue, Long.MaxValue)
   }
 
+  /** The admissible chain: everything committed, capped at the
+    * Trigger.AvailableNow boundary when one is pinned.
+    */
+  private def boundedChain(): Seq[FileStats] = availableNowEnd match {
+    case Some(end) => fileChain().take(end.toInt)
+    case None => fileChain()
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = GraftStreamOffset(start).filesSeen.toInt
     val (mf, mr, mb) = caps(limit)
     var files = 0L; var rows = 0L; var bytes = 0L
-    fileChain().drop(s).iterator.takeWhile { f =>
+    boundedChain().drop(s).iterator.takeWhile { f =>
       // always admit the first pending file so the stream makes progress
       val admit = files < mf &&
         (files == 0 || (rows + f.rows <= mr && bytes + f.sizeBytes <= mb))
@@ -192,7 +209,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     GraftStreamOffset(s + files)
   }
 
-  override def reportLatestOffset(): Offset = GraftStreamOffset(fileChain().size.toLong)
+  override def reportLatestOffset(): Offset = GraftStreamOffset(boundedChain().size.toLong)
 
   /** Each partition carries the delete files scoped to its data file —
     * the same executor-side `DeleteFilter` attachment as the batch scan
@@ -303,6 +320,19 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Catalog-table micro-batch stream (`spark.readStream.table("cat.db.t")`,
+  * the reference's `SparkTable.java:105-109` MICRO_BATCH_READ): identical
+  * committed-chain offsets, admission control, and task planning, but
+  * rows serve through the owning scan's BATCH reader factory — declared
+  * geometry encodings, renames, output trimming, and per-slice delete
+  * state apply exactly as in batch reads of the same table.
+  */
+class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
+    maxFiles: Int, maxRecords: Long, maxBytes: Long)
+    extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes) {
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
 }
 
 /** MoR predicate-delete binding: the OR of pending predicate deletes,

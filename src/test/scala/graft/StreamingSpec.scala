@@ -226,6 +226,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() == 400)
   }
 
+  test("readStream.table on a catalog identifier: admission + exactly-once resume") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_sr_wh").toString
+    spark.conf.set("spark.sql.catalog.srcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.srcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS srcat.st")
+    spark.sql("CREATE TABLE srcat.st.src (id BIGINT, v DOUBLE)")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO srcat.st.src SELECT /*+ REPARTITION(1) */ id + ${i * 100}, " +
+        s"CAST(id AS DOUBLE) FROM range(100)")
+    }
+    assert(Snapshots.readManifest(s"$wh/st/src").size == 4)
+    // 1 file per trigger: the committed chain streams in >= 4 batches
+    val ckpt = Files.createTempDirectory("graft_sr_ckpt").toString
+    var batches = 0
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .table("srcat.st.src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) batches += 1
+        ()
+      }
+      // AvailableNow exercises SupportsTriggerAvailableNow: the pinned
+      // boundary still paces 1-file batches instead of one big batch
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(batches >= 4,
+      s"1 file per trigger over 4 files should give >= 4 non-empty batches, got $batches")
+    // all rows exactly once into a durable sink, then resume from the
+    // checkpoint: only NEW commits stream
+    val out = Files.createTempDirectory("graft_sr_out").toString
+    val ckpt2 = Files.createTempDirectory("graft_sr_ckpt2").toString
+    def runOnce(): Unit = {
+      val s = spark.readStream.table("srcat.st.src")
+        .writeStream
+        .option("checkpointLocation", ckpt2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .start(out)
+      try s.awaitTermination() finally s.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 400)
+    spark.sql("INSERT INTO srcat.st.src SELECT id + 400, CAST(id AS DOUBLE) FROM range(50)")
+    runOnce()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(ids.length == 450 && ids.distinct.length == 450,
+      "restart must stream only the new commit, exactly once")
+  }
+
+  test("readStream.table applies MoR deletes and declared encodings like batch") {
+    import graft.spatial.{GeometryFields, Snapshots}
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_sre_wh").toString
+    spark.conf.set("spark.sql.catalog.srecat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.srecat.warehouse", wh)
+    val tbl = s"$wh/st/enc"
+    // WKT-encoded geometry storage + MoR predicate delete: the stream must
+    // serve the decoded runtime repr minus deleted rows, same as batch
+    val src = spark.range(100).toDF("id")
+      .withColumn("x", (col("id") % 90 - 45).cast("double"))
+      .withColumn("geom", graft.functions.GeoSql.st_point(col("x"), lit(5.0)))
+    GeometryFields.writeGeo(src, tbl, "geom", "wkt", res = 8, numFiles = 2)
+    Snapshots.deleteMoR(spark, tbl, "id % 7 = 0")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS srecat.st")
+    val q = spark.readStream.table("srecat.st.enc")
+      .writeStream.format("memory").queryName("sre_enc")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.table("sre_enc")
+    val batch = spark.sql("SELECT * FROM srecat.st.enc")
+    assert(got.schema == batch.schema,
+      s"stream schema ${got.schema.simpleString} != batch ${batch.schema.simpleString}")
+    assert(got.count() == batch.count())
+    assert(!got.select("id").collect().map(_.getLong(0)).exists(_ % 7 == 0))
+    // decoded geometry: st_x works on the served column
+    val bad = got.select(graft.functions.GeoSql.st_x(col("geom")).as("gx"), col("x"))
+      .filter(col("gx") =!= col("x")).count()
+    assert(bad == 0, "stream must serve the decoded runtime geometry repr")
+  }
+
   test("DSv2 streaming write: writeStream into a catalog table, exactly-once epochs") {
     import graft.spatial.Snapshots
     graft.spatial.Geo.install(spark)
