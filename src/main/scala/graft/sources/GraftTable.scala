@@ -557,10 +557,39 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   // matching bucket dirs) shrinks a 100 TB fact scan to the joined keys.
   private var runtimeFilters: Array[sources.Filter] = Array.empty
 
-  override def filterAttributes(): Array[NamedReference] =
-    GeoTable.readPartitionSpecs(path).map(_.source).distinct
+  override def filterAttributes(): Array[NamedReference] = {
+    val partSrcs = GeoTable.readPartitionSpecs(path).map(_.source)
+    // beyond partition sources: any atomic data column with per-file
+    // min/max in the manifest can prune files at runtime too — a
+    // dim-filtered join on a non-partition key over clustered data drops
+    // whole files from the fact scan (the ref's metrics-based residual
+    // evaluation reaches the same filters). Binary/geometry columns are
+    // excluded: their stats are bbox structs, not orderable scalars.
+    val physicalToLogical = logicalToPhysical.map(_.swap)
+    def statPrunable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+             StringType | BooleanType | DateType | TimestampType | _: DecimalType => true
+        case _ => false
+      }
+    }
+    val statted = try {
+      val keys = Snapshots.readManifest(path, version)
+        .flatMap(f => f.mins.keysIterator ++ f.maxs.keysIterator).toSet
+      fullSchemaFields.collect {
+        case f if statPrunable(f.dataType) && keys.contains(f.name) =>
+          physicalToLogical.getOrElse(f.name, f.name)
+      }
+    } catch { case _: Exception => Seq.empty }
+    // Spark resolves these refs against the scan's PRUNED output (a miss
+    // is an AnalysisException, not a decline) — restrict to served
+    // columns; a runtime-filterable join key is in the output by nature
+    val served = readSchema().fieldNames.toSet
+    (partSrcs ++ statted).distinct.filter(served)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
+  }
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val v1 = predicates.flatMap(GraftScan.v2ToV1)

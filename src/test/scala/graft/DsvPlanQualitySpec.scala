@@ -335,6 +335,37 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("runtime filtering prunes fact files on a NON-partition key via min/max stats") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.rt.dim2 (k BIGINT, flag STRING) USING graft")
+    spark.sql("INSERT INTO pq.rt.dim2 VALUES (5,'x'),(7,'x'),(2000,'y'),(3000,'y')")
+    // UNPARTITIONED fact, id-clustered across files: each insert writes one
+    // file covering a disjoint id range, so file min/max stats separate them
+    spark.sql("CREATE TABLE pq.rt.fact2 (id BIGINT, v DOUBLE) USING graft")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO pq.rt.fact2 SELECT /*+ REPARTITION(1) */ id + ${i * 1000}, " +
+        s"CAST(id AS DOUBLE) FROM range(1000)")
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      val q = spark.sql("SELECT f.id, f.v FROM pq.rt.fact2 f JOIN pq.rt.dim2 d " +
+        "ON f.id = d.k WHERE d.flag = 'x'")
+      assert(q.collect().length == 2)
+      val factScans = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b
+      }.filter(_.output.exists(_.name == "v"))
+      assert(factScans.nonEmpty, "fact-side BatchScan not found")
+      assert(factScans.head.runtimeFilters.nonEmpty,
+        s"no runtime filter on the non-partition join key:\n${q.queryExecution.executedPlan}")
+      val scan = factScans.head.scan.asInstanceOf[GraftScan]
+      val planned = scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition].slices.length).sum
+      assert(planned == 1, s"runtime IN (5, 7) should keep only the id∈[0,1000) file " +
+        s"via min/max stats, planned $planned of 4")
+    }
+  }
+
   private def graftScanOf(q: org.apache.spark.sql.DataFrame): GraftScan =
     q.queryExecution.executedPlan.collect {
       case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
