@@ -985,9 +985,22 @@ object Snapshots {
     * small deletes pays O(matched rows) delete-file writes instead of
     * full file rewrites, until a compaction materializes them.
     */
-  def delete(spark: SparkSession, path: String, cond: Column): Int =
-    if (morMode(path, "write.delete.mode")) deleteMoRPositions(spark, path, cond)
-    else deleteCoW(spark, path, cond)
+  def delete(spark: SparkSession, path: String, cond: Column,
+      ref: String = "main"): Int =
+    if (morMode(path, "write.delete.mode")) deleteMoRPositions(spark, path, cond, ref)
+    else deleteCoW(spark, path, cond, ref)
+
+  /** Writable head of a ref: main's head, or a branch head — never a tag.
+    * Branch-scoped DML (`DELETE FROM cat.db.t.branch_x ...`) computes
+    * against the branch head and publishes onto the branch pointer only
+    * (write-audit-publish; `fast_forward` promotes the delta).
+    */
+  private def refHead(rs: RefsState, path: String, ref: String): Int =
+    if (ref == "main") rs.mainHead(path)
+    else if (rs.tags.contains(ref))
+      throw new IllegalArgumentException(s"cannot write to tag: $ref (tags are immutable)")
+    else rs.branches.getOrElse(ref,
+      throw new IllegalArgumentException(s"no such branch: $ref"))
 
   /** Live rows WITH their `(file, pos)` provenance — the input every
     * position-delta DML needs. `_metadata` only binds directly above the
@@ -1015,9 +1028,9 @@ object Snapshots {
     * pre-check would execute the identical matched-rows scan twice).
     */
   private def deleteMoRPositions(spark: SparkSession, path: String,
-      cond: Column): Int = withCommitRetry() {
+      cond: Column, ref: String = "main"): Int = withCommitRetry() {
     val rs = refsState(path)
-    val head = rs.mainHead(path)
+    val head = refHead(rs, path, ref)
     val positions = positionsOf(
       readWithPositions(spark, path, Some(head)).filter(coalesce(cond, lit(false))))
     val (name, matchedRows) = writeDeleteFile(positions, path, "posdel")
@@ -1025,7 +1038,7 @@ object Snapshots {
       Files.deleteIfExists(Paths.get(path, name)); head
     } else {
       publish(path, rs, readManifest(path, Some(head)), carried(path, head),
-        carriedPos(path, head) :+ name, eqDeletes = carriedEq(path, head))
+        carriedPos(path, head) :+ name, ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
 
@@ -1034,10 +1047,11 @@ object Snapshots {
     * head (the failed attempt's files become orphans, cleaned by
     * `removeOrphanFiles` — Iceberg's failed-commit debris semantics).
     */
-  private def deleteCoW(spark: SparkSession, path: String, cond: Column): Int =
+  private def deleteCoW(spark: SparkSession, path: String, cond: Column,
+      ref: String = "main"): Int =
     withCommitRetry() {
       val rs = refsState(path)
-      val head = rs.mainHead(path)
+      val head = refHead(rs, path, ref)
       val current = readManifest(path, Some(head))
       val table = read(spark, path, Some(head))
       val (affected, untouched) = splitByCond(table, cond, current)
@@ -1047,7 +1061,7 @@ object Snapshots {
           .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
         val (added, _) = writeBack(survivors, path)
         publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
-          carriedPos(path, head), eqDeletes = carriedEq(path, head))
+          carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
       }
     }
 
@@ -1057,14 +1071,14 @@ object Snapshots {
     * data file rewritten (the reference's position-delta UPDATE).
     */
   def update(spark: SparkSession, path: String, cond: Column,
-      assignments: Map[String, Column]): Int =
-    if (morMode(path, "write.update.mode")) updateMoR(spark, path, cond, assignments)
-    else updateCoW(spark, path, cond, assignments)
+      assignments: Map[String, Column], ref: String = "main"): Int =
+    if (morMode(path, "write.update.mode")) updateMoR(spark, path, cond, assignments, ref)
+    else updateCoW(spark, path, cond, assignments, ref)
 
   private def updateMoR(spark: SparkSession, path: String, cond: Column,
-      assignments: Map[String, Column]): Int = withCommitRetry() {
+      assignments: Map[String, Column], ref: String = "main"): Int = withCommitRetry() {
     val rs = refsState(path)
-    val head = rs.mainHead(path)
+    val head = refHead(rs, path, ref)
     val hit = coalesce(cond, lit(false))
     // the matched frame feeds BOTH the position-delete file and the
     // updated-copy writeback — persist so the (expensive, delete-joined)
@@ -1087,7 +1101,7 @@ object Snapshots {
         }
         val (added, _) = writeBack(bboxed, path)
         publish(path, rs, readManifest(path, Some(head)) ++ statsFor(spark, path, added),
-          carried(path, head), carriedPos(path, head) :+ name,
+          carried(path, head), carriedPos(path, head) :+ name, ref = ref,
           eqDeletes = carriedEq(path, head))
       }
     } finally matched.unpersist(blocking = false)
@@ -1098,9 +1112,9 @@ object Snapshots {
     * `SparkCopyOnWriteOperation` shape).
     */
   private def updateCoW(spark: SparkSession, path: String, cond: Column,
-      assignments: Map[String, Column]): Int = withCommitRetry() {
+      assignments: Map[String, Column], ref: String = "main"): Int = withCommitRetry() {
     val rs = refsState(path)
-    val head = rs.mainHead(path)
+    val head = refHead(rs, path, ref)
     val current = readManifest(path, Some(head))
     val table = read(spark, path, Some(head))
     val (affected, untouched) = splitByCond(table, cond, current)
@@ -1120,7 +1134,7 @@ object Snapshots {
       }
       val (added, _) = writeBack(bboxed, path)
       publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
-        carriedPos(path, head), eqDeletes = carriedEq(path, head))
+        carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
 
@@ -1132,14 +1146,14 @@ object Snapshots {
     * position-delta MERGE). Source keys must be unique.
     */
   def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
-      keyCol: String): Int =
-    if (morMode(path, "write.merge.mode")) mergeUpsertMoR(spark, path, source, keyCol)
-    else mergeUpsertCoW(spark, path, source, keyCol)
+      keyCol: String, ref: String = "main"): Int =
+    if (morMode(path, "write.merge.mode")) mergeUpsertMoR(spark, path, source, keyCol, ref)
+    else mergeUpsertCoW(spark, path, source, keyCol, ref)
 
   private def mergeUpsertMoR(spark: SparkSession, path: String, source: DataFrame,
-      keyCol: String): Int = withCommitRetry() {
+      keyCol: String, ref: String = "main"): Int = withCommitRetry() {
     val rs = refsState(path)
-    val head = rs.mainHead(path)
+    val head = refHead(rs, path, ref)
     val table = read(spark, path, Some(head))
     val src = source.select(table.columns.map(col): _*)
     val positions = positionsOf(
@@ -1159,7 +1173,7 @@ object Snapshots {
       added.foreach(r => Files.deleteIfExists(Paths.get(path, r)))
       head
     } else publish(path, rs, readManifest(path, Some(head)) ++ stats,
-      carried(path, head), carriedPos(path, head) ++ delFile,
+      carried(path, head), carriedPos(path, head) ++ delFile, ref = ref,
       eqDeletes = carriedEq(path, head))
   }
 
@@ -1168,9 +1182,9 @@ object Snapshots {
     * the reference's MoR/CoW MERGE surface, SURVEY.md §2.7).
     */
   private def mergeUpsertCoW(spark: SparkSession, path: String, source: DataFrame,
-      keyCol: String): Int = withCommitRetry() {
+      keyCol: String, ref: String = "main"): Int = withCommitRetry() {
     val rs = refsState(path)
-    val head = rs.mainHead(path)
+    val head = refHead(rs, path, ref)
     val current = readManifest(path, Some(head))
     val table = read(spark, path, Some(head))
     val src = source.select(table.columns.map(col): _*) // align schema/order
@@ -1194,7 +1208,7 @@ object Snapshots {
       val out = if (affected.isEmpty) src else survivors.unionByName(src)
       val (added, _) = writeBack(out, path)
       publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
-        carriedPos(path, head), eqDeletes = carriedEq(path, head))
+        carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
 
@@ -1220,10 +1234,10 @@ object Snapshots {
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame, onSql: String,
       clauses: Seq[MergeClause], targetAlias: String = "t",
-      sourceAlias: String = "s"): Int = withCommitRetry() {
+      sourceAlias: String = "s", ref: String = "main"): Int = withCommitRetry() {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     val rs = refsState(path)
-    val head = rs.mainHead(path)
+    val head = refHead(rs, path, ref)
     val current = readManifest(path, Some(head))
     val table = read(spark, path, Some(head))
     val tableCols = table.columns.toSeq
@@ -1322,7 +1336,7 @@ object Snapshots {
       }: _*)
       val (added, _) = writeBack(out, path)
       publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
-        carriedPos(path, head), eqDeletes = carriedEq(path, head))
+        carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
 

@@ -95,16 +95,25 @@ object GraftStatements {
     * (`spark.sql.catalog.<cat>` + `.warehouse`), so no catalog
     * instantiation and no touching other catalogs' identifiers.
     */
-  private def graftPath(ident: String): Option[String] =
+  private def graftPath(ident: String): Option[(String, String)] =
     org.apache.spark.sql.SparkSession.getActiveSession.flatMap { spark =>
       val parts = ident.split('.').toSeq
       if (parts.length < 2) None
       else {
         val impl = spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
         val wh = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
-        if (impl.contains(classOf[graft.sources.GraftCatalog].getName) && wh.isDefined)
-          Some(java.nio.file.Paths.get(wh.get, parts.tail: _*).toString)
-        else None
+        if (impl.contains(classOf[graft.sources.GraftCatalog].getName) && wh.isDefined) {
+          val full = java.nio.file.Paths.get(wh.get, parts.tail: _*)
+          def isTable(p: java.nio.file.Path) =
+            java.nio.file.Files.exists(p.resolve(graft.spatial.GeoTable.ManifestName))
+          // branch-scoped DML target (`cat.db.t.branch_x`): resolve the
+          // parent table and carry the branch as the write ref
+          val last = parts.last
+          if (!isTable(full) && last.startsWith("branch_") && parts.length > 2 &&
+              isTable(full.getParent))
+            Some((full.getParent.toString, last.stripPrefix("branch_")))
+          else Some((full.toString, "main"))
+        } else None
       }
     }
 
@@ -129,12 +138,13 @@ object GraftStatements {
           Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
       case MergeRe(tbl, src, key) => Some(DmlCommand(tbl, "merge", src, Nil, key))
       case DeleteIdentRe(ident, cond) =>
-        graftPath(ident).map(p => DmlCommand(p, "delete", cond, Nil, ""))
+        graftPath(ident).map { case (p, ref) => DmlCommand(p, "delete", cond, Nil, "", ref) }
       case UpdateIdentRe(ident, sets, cond) =>
-        graftPath(ident).map(p => DmlCommand(p, "update", cond, parseSets(sets), ""))
+        graftPath(ident).map { case (p, ref) =>
+          DmlCommand(p, "update", cond, parseSets(sets), "", ref) }
       case MergeFullIdentRe(ident, tAlias, src, sAlias, on, whens) =>
-        graftPath(ident).map(p => MergeIntoCommand(p, src, on, parseWhens(whens),
-          Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
+        graftPath(ident).map { case (p, ref) => MergeIntoCommand(p, src, on, parseWhens(whens),
+          Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s"), ref) }
       case _ => None
     }
     dml.orElse(tryParseDdl(sql))
@@ -215,7 +225,7 @@ object GraftStatements {
   private def resolveTable(tbl: String): String = {
     val stripped = stripQuotes(tbl)
     if (tbl.trim.startsWith("'")) stripped
-    else graftPath(stripped).getOrElse(stripped)
+    else graftPath(stripped).map(_._1).getOrElse(stripped)
   }
 
   /** Iceberg grammar accepts plural transform names (`years(ts)`). */
@@ -290,17 +300,18 @@ case class SetGeometryFieldsCommand(path: String, fields: Seq[(String, String)])
   * native DML on catalog tables).
   */
 case class DmlCommand(path: String, op: String, condOrSrc: String,
-    assignments: Seq[(String, String)], key: String) extends LeafRunnableCommand {
+    assignments: Seq[(String, String)], key: String,
+    ref: String = "main") extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.expr
     graft.spatial.Geo.install(spark)
     val v = op match {
-      case "delete" => Snapshots.delete(spark, path, expr(condOrSrc))
+      case "delete" => Snapshots.delete(spark, path, expr(condOrSrc), ref)
       case "update" => Snapshots.update(spark, path, expr(condOrSrc),
-        assignments.map { case (c, e) => c -> expr(e) }.toMap)
-      case "merge" => Snapshots.mergeUpsert(spark, path, spark.sql(condOrSrc), key)
+        assignments.map { case (c, e) => c -> expr(e) }.toMap, ref)
+      case "merge" => Snapshots.mergeUpsert(spark, path, spark.sql(condOrSrc), key, ref)
     }
     Seq(Row(v.toLong))
   }
@@ -374,14 +385,15 @@ case class RefCommand(path: String, op: String, name: String, version: Option[In
   * clauses lowered onto [[Snapshots.mergeInto]]'s copy-on-write rewrite.
   */
 case class MergeIntoCommand(path: String, sourceSql: String, onSql: String,
-    clauses: Seq[Snapshots.MergeClause], targetAlias: String, sourceAlias: String)
+    clauses: Seq[Snapshots.MergeClause], targetAlias: String, sourceAlias: String,
+    ref: String = "main")
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.spatial.Geo.install(spark)
     val v = Snapshots.mergeInto(spark, path, spark.sql(sourceSql), onSql, clauses,
-      targetAlias, sourceAlias)
+      targetAlias, sourceAlias, ref)
     Seq(Row(v.toLong))
   }
 }

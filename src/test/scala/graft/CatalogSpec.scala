@@ -336,6 +336,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.br.t.branch_dev").count() == 4)
   }
 
+  test("branch-scoped DML: DELETE/UPDATE/MERGE on t.branch_x isolate main until fast_forward") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE gcat.br.d (id BIGINT, v DOUBLE) USING graft " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO gcat.br.d SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val tbl = s"$warehouse/br/d"
+    Snapshots.createBranch(tbl, "dev")
+    // MoR DELETE against the branch: main untouched, branch sees it
+    spark.sql("DELETE FROM gcat.br.d.branch_dev WHERE id < 10")
+    assert(spark.sql("SELECT * FROM gcat.br.d").count() == 100, "main must be isolated")
+    assert(spark.sql("SELECT * FROM gcat.br.d.branch_dev").count() == 90)
+    // UPDATE against the branch
+    spark.sql("UPDATE gcat.br.d.branch_dev SET v = v + 1000 WHERE id = 50")
+    assert(spark.sql("SELECT v FROM gcat.br.d.branch_dev WHERE id = 50")
+      .collect().head.getDouble(0) == 1050.0)
+    assert(spark.sql("SELECT v FROM gcat.br.d WHERE id = 50")
+      .collect().head.getDouble(0) == 50.0)
+    // full MERGE against the branch
+    spark.sql("MERGE INTO gcat.br.d.branch_dev AS t USING " +
+      "(SELECT CAST(5000 AS BIGINT) AS id, CAST(1.5 AS DOUBLE) AS v) AS s ON t.id = s.id " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT * FROM gcat.br.d.branch_dev").count() == 91)
+    assert(spark.sql("SELECT * FROM gcat.br.d").count() == 100)
+    // publish the branch delta
+    Snapshots.fastForward(tbl, "main", Snapshots.resolveRef(tbl, "dev"))
+    assert(spark.sql("SELECT * FROM gcat.br.d").count() == 91)
+    assert(spark.sql("SELECT v FROM gcat.br.d WHERE id = 50").collect().head.getDouble(0) == 1050.0)
+    assert(spark.sql("SELECT * FROM gcat.br.d WHERE id < 10").count() == 0)
+    // DML against a tag identifier is refused
+    Snapshots.createTag(tbl, "rel1")
+    intercept[Exception] { spark.sql("DELETE FROM gcat.br.d.tag_rel1 WHERE id = 11") }
+    assert(spark.sql("SELECT * FROM gcat.br.d.tag_rel1").count() == 91)
+  }
+
   test("partition-spec evolution: old files keep their layout, pruning spans generations") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.evo")
