@@ -825,7 +825,23 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 
   // ---- execution ----------------------------------------------------------
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    buildReaderFactory(forceRowDeletes = false)
+
+  /** Reader factory for the catalog micro-batch stream: delete state
+    * EVOLVES across batches while this scan instance lives for the whole
+    * query, so (1) a pos-delete reader factory ALWAYS ships — deciding
+    * None from this scan's lazily-snapshotted `posRefs` would NPE on
+    * deletes committed mid-stream — and (2) readers stay on the row path
+    * so each batch's freshly-planned per-slice delete state is always
+    * applied (a clean-at-start stream would otherwise keep columnar
+    * readers and silently resurface rows deleted later). Same posture as
+    * the path-based [[graft.streaming.GraftStreamReaderFactory]].
+    */
+  private[graft] def streamReaderFactory(): PartitionReaderFactory =
+    buildReaderFactory(forceRowDeletes = true)
+
+  private def buildReaderFactory(forceRowDeletes: Boolean): PartitionReaderFactory = {
     val sqlConf = spark.sessionState.conf
     val conf = spark.sessionState.newHadoopConf()
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -852,10 +868,12 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val keepIdx = (readLogicalData ++ readLogicalPart).zipWithIndex
       .filter { case (f, _) => outNames(f.name) }.map(_._2).toArray
     val posFactory =
-      if (posRefs.isEmpty) None
-      else Some(DeleteFiles.readerFactory(spark, DeleteFiles.PosDeleteSchema))
+      if (forceRowDeletes || posRefs.nonEmpty)
+        Some(DeleteFiles.readerFactory(spark, DeleteFiles.PosDeleteSchema))
+      else None
     GraftBatchReaderFactory(parquet, posFactory, morPredicate(),
-      posRefs.nonEmpty || eqSpecs.nonEmpty, combinedPhysical, projectionExprs, keepIdx)
+      forceRowDeletes || posRefs.nonEmpty || eqSpecs.nonEmpty,
+      combinedPhysical, projectionExprs, keepIdx)
   }
 
   private def combinedPhysical: StructType =

@@ -49,7 +49,10 @@ object TaskPlanner {
     val minPartNum = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
     val bytesPerCore = totalBytes / math.max(1, minPartNum)
-    math.min(conf.filesMaxPartitionBytes, math.max(conf.filesOpenCostInBytes, bytesPerCore))
+    // floor of 1: a zero open cost on a tiny table must not produce a
+    // zero split size (division/step-by-zero in the callers)
+    math.max(1L,
+      math.min(conf.filesMaxPartitionBytes, math.max(conf.filesOpenCostInBytes, bytesPerCore)))
   }
 
   def plan(spark: SparkSession, items: Seq[Item], groupByKey: Boolean): Array[InputPartition] = {

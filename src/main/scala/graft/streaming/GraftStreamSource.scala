@@ -332,7 +332,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
 class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
     maxFiles: Int, maxRecords: Long, maxBytes: Long)
     extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes) {
-  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = scan.streamReaderFactory()
 }
 
 /** MoR predicate-delete binding: the OR of pending predicate deletes,

@@ -280,6 +280,53 @@ class StreamingSpec extends AnyFunSuite {
       "restart must stream only the new commit, exactly once")
   }
 
+  test("readStream.table applies deletes committed BETWEEN batches of one live query") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_srd_wh").toString
+    spark.conf.set("spark.sql.catalog.srdcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.srdcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS srdcat.st")
+    spark.sql("CREATE TABLE srdcat.st.live (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO srdcat.st.live SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val tbl = s"$wh/st/live"
+    // drive ONE scan's stream by hand (deterministic batch boundaries —
+    // the live engine races commits against its own polling)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val scan = new graft.sources.GraftScanBuilder(spark, tbl, None,
+      Snapshots.read(spark, tbl).schema).build().asInstanceOf[graft.sources.GraftScan]
+    val stream = scan.toMicroBatchStream("unused_ckpt")
+      .asInstanceOf[graft.streaming.GraftMicroBatchStream]
+    def readBatch(from: org.apache.spark.sql.connector.read.streaming.Offset,
+        to: org.apache.spark.sql.connector.read.streaming.Offset): Seq[Long] = {
+      val factory = stream.createReaderFactory() // rebuilt per batch, like the engine
+      stream.planInputPartitions(from, to).toSeq.flatMap { p =>
+        val r = factory.createReader(p)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (r.next()) buf += r.get().getLong(0)
+        r.close()
+        buf
+      }
+    }
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+    assert(readBatch(o0, o1).length == 100, "batch 1: the clean initial file")
+    // while the scan instance stays LIVE: append a file, then positionally
+    // delete rows IN that file — batch 2's readers must apply the delete
+    // even though the scan was built when the table had no delete state
+    spark.sql("INSERT INTO srdcat.st.live SELECT id + 100, CAST(id AS DOUBLE) FROM range(20)")
+    val pos = Snapshots.read(spark, tbl)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") >= 100 && col("id") < 103).drop("id")
+    Snapshots.deleteByPosition(spark, tbl, pos)
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+    val batch2 = readBatch(o1, o2).sorted
+    assert(batch2.length == 17,
+      s"mid-stream delete must apply to the newly streamed file: got ${batch2.length}, want 17")
+    assert(!batch2.exists(i => i >= 100 && i < 103))
+  }
+
   test("readStream.table applies MoR deletes and declared encodings like batch") {
     import graft.spatial.{GeometryFields, Snapshots}
     graft.spatial.Geo.install(spark)
