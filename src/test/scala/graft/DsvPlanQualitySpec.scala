@@ -233,6 +233,43 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ stays shuffle-free and correct when tasks bin-pack multiple files per bucket") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.spj.pka (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("CREATE TABLE pq.spj.pkb (id BIGINT, w DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    // several small files per bucket on each side
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO pq.spj.pka SELECT id + ${i * 500}, CAST(id AS DOUBLE) FROM range(500)")
+      spark.sql(s"INSERT INTO pq.spj.pkb SELECT id + ${i * 500}, CAST(id * 2 AS DOUBLE) FROM range(500)")
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // force REAL packing on tiny fixture files
+      "spark.sql.files.openCostInBytes" -> "1024",
+      "spark.sql.files.minPartitionNum" -> "2") {
+      val q = spark.sql(
+        "SELECT a.id, a.v, b.w FROM pq.spj.pka a JOIN pq.spj.pkb b ON a.id = b.id")
+      // packing really happened: fewer tasks than files, one key per task
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b
+      }
+      val parts = scans.head.inputPartitions
+        .map(_.asInstanceOf[graft.sources.GraftInputPartition])
+      assert(parts.exists(_.slices.length > 1), "fixture must exercise packed tasks")
+      assert(parts.forall(_.key != null), "every packed task must keep its partition key")
+      val shuffles = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"packed SPJ must stay shuffle-free:\n${q.queryExecution.executedPlan}")
+      assert(q.collect().length == 1500)
+    }
+  }
+
   test("V2 transform functions are SQL-callable for layout debugging") {
     assert(warehouse.nonEmpty)
     // the reference exposes its transforms as catalog functions
