@@ -448,7 +448,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     new graft.streaming.GraftCatalogMicroBatchStream(this, path,
       opt("maxFilesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue),
       opt("maxRecordsPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
-      opt("maxBytesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue))
+      opt("maxBytesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
+      opt("stream-from-timestamp").map(_.toLong))
   }
 
   /** Same scan with extra pruning conjuncts; `this` when nothing new (the

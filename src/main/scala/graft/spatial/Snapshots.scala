@@ -1471,6 +1471,12 @@ object Snapshots {
   private[graft] def chainVersions(path: String, upto: Int): Seq[Int] =
     (1 to upto).filter(v => Files.exists(manifestPath(path, v)))
 
+  /** Commit time of a snapshot = its manifest's mtime (the same clock
+    * `rollback_to_timestamp` resolves against).
+    */
+  private[graft] def commitTimeMillis(path: String, v: Int): Long =
+    Files.getLastModifiedTime(manifestPath(path, v)).toMillis
+
   /** `snapshots`: one row per retained snapshot with commit time and
     * file/row deltas vs its parent.
     */

@@ -57,7 +57,8 @@ class GraftStreamProvider extends TableProvider with DataSourceRegister {
     new GraftStreamTable(tablePath(opts),
       Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue),
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
-      Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue))
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
+      Option(opts.get("stream-from-timestamp")).map(_.toLong))
   }
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
@@ -79,7 +80,8 @@ object GraftStreamTable {
 }
 
 class GraftStreamTable(path: String, maxFiles: Int,
-    maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue)
+    maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue,
+    streamFromTimestamp: Option[Long] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-stream:$path"
   override def schema(): StructType = GraftStreamTable.tableSchema(path)
@@ -91,7 +93,7 @@ class GraftStreamTable(path: String, maxFiles: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes)
+          new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes, streamFromTimestamp)
       }
     }
 }
@@ -111,7 +113,8 @@ object GraftStreamOffset {
 }
 
 class GraftMicroBatchStream(path: String, maxFiles: Int,
-    maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue)
+    maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue,
+    streamFromTimestamp: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -132,22 +135,38 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     * CoW rewrite / compaction) are skipped: their additions rematerialize
     * already-streamed rows.
     */
-  private def fileChain(): Seq[FileStats] = {
+  private def fileChain(): Seq[FileStats] = chainByVersion().flatMap(_._2)
+
+  /** The chain with its version boundaries (for timestamp-scoped starts). */
+  private def chainByVersion(): Seq[(Int, Seq[FileStats])] = {
     val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
     if (head == 0) return Nil
-    val out = Seq.newBuilder[FileStats]
+    val out = Seq.newBuilder[(Int, Seq[FileStats])]
     var prev = Set.empty[String]
     Snapshots.chainVersions(path, head).foreach { v =>
       val m = Snapshots.readManifest(path, Some(v))
       val names = m.map(_.path).toSet
       val entered = m.filterNot(f => prev(f.path)).sortBy(_.path)
-      if ((prev -- names).isEmpty || prev.isEmpty) out ++= entered
+      if ((prev -- names).isEmpty || prev.isEmpty) out += (v -> entered)
       prev = names
     }
     out.result()
   }
 
-  override def initialOffset(): Offset = GraftStreamOffset(0L)
+  /** `stream-from-timestamp` (the reference's SparkReadOptions surface):
+    * the stream starts AFTER every snapshot committed strictly before the
+    * timestamp — history is skipped by advancing the initial offset past
+    * that prefix of the chain, so a restart from a checkpoint is
+    * unaffected (Spark persists the real offset from then on).
+    */
+  override def initialOffset(): Offset = streamFromTimestamp match {
+    case None => GraftStreamOffset(0L)
+    case Some(ts) =>
+      val skipped = chainByVersion()
+        .takeWhile { case (v, _) => Snapshots.commitTimeMillis(path, v) < ts }
+        .map(_._2.size.toLong).sum
+      GraftStreamOffset(skipped)
+  }
   override def deserializeOffset(json: String): Offset = {
     val n = """"filesSeen"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
@@ -330,8 +349,9 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
   * state apply exactly as in batch reads of the same table.
   */
 class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
-    maxFiles: Int, maxRecords: Long, maxBytes: Long)
-    extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes) {
+    maxFiles: Int, maxRecords: Long, maxBytes: Long,
+    streamFromTimestamp: Option[Long] = None)
+    extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes, streamFromTimestamp) {
   override def createReaderFactory(): PartitionReaderFactory = scan.streamReaderFactory()
 }
 

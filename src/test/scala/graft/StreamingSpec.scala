@@ -327,6 +327,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(!batch2.exists(i => i >= 100 && i < 103))
   }
 
+  test("stream-from-timestamp starts the stream after the historical prefix") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_sft_wh").toString
+    spark.conf.set("spark.sql.catalog.sftcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sftcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sftcat.st")
+    spark.sql("CREATE TABLE sftcat.st.hist (id BIGINT)")
+    spark.sql("INSERT INTO sftcat.st.hist SELECT id FROM range(50)")
+    Thread.sleep(1100) // manifest mtime granularity
+    val ts = System.currentTimeMillis()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO sftcat.st.hist SELECT id + 50 FROM range(30)")
+    // catalog identifier + option: only the post-timestamp commit streams
+    val q = spark.readStream
+      .option("stream-from-timestamp", ts.toString)
+      .table("sftcat.st.hist")
+      .writeStream.format("memory").queryName("sft_rows")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val ids = spark.table("sft_rows").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (50L until 80L),
+      s"only the post-timestamp commit should stream, got ${ids.length} rows")
+    // path-based source honors the same option
+    val tbl = s"$wh/st/hist"
+    assert(Snapshots.currentVersion(tbl) >= 2)
+    val q2 = spark.readStream.format("graft-stream")
+      .option("path", tbl).option("stream-from-timestamp", ts.toString)
+      .load()
+      .writeStream.format("memory").queryName("sft_rows2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.table("sft_rows2").count() == 30)
+  }
+
   test("readStream.table applies MoR deletes and declared encodings like batch") {
     import graft.spatial.{GeometryFields, Snapshots}
     graft.spatial.Geo.install(spark)
