@@ -54,14 +54,32 @@ object Snapshots {
   // + string work each; the memo makes it one parse per published
   // version. LRU-bounded so a driver touching many tables keeps the hot
   // set. The stat-key also invalidates on out-of-band manifest edits.
-  private val ManifestCacheMax = 16
   private[graft] val manifestParseCount = new java.util.concurrent.atomic.AtomicLong
-  private val manifestCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long), Seq[FileStats]](32, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Seq[FileStats]]): Boolean =
-        size() > ManifestCacheMax
-    })
+
+  /** LRU bounded by TOTAL CACHED FILE ENTRIES, not manifest count: a
+    * streaming chain of hundreds of tiny manifests stays fully hot
+    * (a count-bounded LRU would thrash on every chain walk), while a few
+    * 100k-file manifests can't accrete into GBs of driver heap. A
+    * secondary entry cap keeps the key set itself bounded.
+    */
+  private object ManifestCache {
+    private val MaxTotalFiles = 262144L
+    private val MaxEntries = 512
+    private val map =
+      new java.util.LinkedHashMap[(String, Long, Long), Seq[FileStats]](64, 0.75f, true)
+    private var totalFiles = 0L
+    def get(k: (String, Long, Long)): Seq[FileStats] = synchronized { map.get(k) }
+    def put(k: (String, Long, Long), v: Seq[FileStats]): Unit = synchronized {
+      val prev = map.put(k, v)
+      totalFiles += v.size.toLong - (if (prev == null) 0L else prev.size.toLong)
+      val it = map.entrySet().iterator()
+      while ((totalFiles > MaxTotalFiles || map.size() > MaxEntries) &&
+          map.size() > 1 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { totalFiles -= e.getValue.size.toLong; it.remove() }
+      }
+    }
+  }
 
   def readManifest(path: String, version: Option[Int] = None): Seq[FileStats] = {
     val v = version.getOrElse(mainVersion(path))
@@ -69,12 +87,12 @@ object Snapshots {
     val p = manifestPath(path, v)
     require(Files.exists(p), s"no snapshot version $v at $path")
     val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
-    val cached = manifestCache.get(key)
+    val cached = ManifestCache.get(key)
     if (cached != null) return cached
     manifestParseCount.incrementAndGet()
     val parsed = GeoTable.parseManifest(
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-    manifestCache.put(key, parsed)
+    ManifestCache.put(key, parsed)
     parsed
   }
 
