@@ -650,6 +650,9 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   private def keyRowOf(rel: String): Option[InternalRow] =
     spjKeySchema.flatMap(ks => GraftScan.partitionKeyRow(rel, spjSpecs, ks))
 
+  private def keyRowOf(f: graft.spatial.FileStats): Option[InternalRow] =
+    spjKeySchema.flatMap(ks => GraftScan.partitionKeyRowOf(f.dirVals, spjSpecs, ks))
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -657,7 +660,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     spjKeySchema match {
       case Some(_) =>
         val files = plannedFiles
-        val keys = files.map(f => keyRowOf(f.path))
+        val keys = files.map(keyRowOf)
         if (files.isEmpty || keys.exists(_.isEmpty)) new UnknownPartitioning(0)
         else {
           val v2 = spjSpecs.map {
@@ -801,7 +804,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     // one key per task only when the partitioning report is live — the
     // same condition outputPartitioning() checks
     val spjActive = spjKeySchema.isDefined && files.nonEmpty &&
-      files.forall(f => keyRowOf(f.path).isDefined)
+      files.forall(f => keyRowOf(f).isDefined)
     val items = index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>
         val abs = st.getPath.toUri.getPath
@@ -815,7 +818,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
           PartitionedFile(dir.values,
             org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
           GraftFileSlice(rel, pos.toArray, eqs),
-          keyRowOf(rel).orNull,
+          fstat.map(keyRowOf).getOrElse(keyRowOf(rel)).orNull,
           // positional deletes address file-absolute row positions — the
           // whole file must stay in one task for pos reconstruction
           splittable = pos.isEmpty)
@@ -953,9 +956,16 @@ object GraftScan {
     */
   private[sources] def partitionKeyRow(rel: String,
       specs: Seq[graft.spatial.Transforms.Transform],
+      keySchema: StructType): Option[InternalRow] =
+    partitionKeyRowOf(graft.spatial.PartitionPaths.dirValues(rel), specs, keySchema)
+
+  /** Same, over an already-parsed dir map ([[graft.spatial.FileStats.dirVals]]
+    * — one parse per file per manifest version instead of per planning).
+    */
+  private[sources] def partitionKeyRowOf(kv: Map[String, String],
+      specs: Seq[graft.spatial.Transforms.Transform],
       keySchema: StructType): Option[InternalRow] = {
     import graft.spatial.PartitionPaths
-    val kv = PartitionPaths.dirValues(rel)
     val vals = specs.zip(keySchema.fields).map { case (t, f) =>
       kv.get(t.derivedName) match {
         case None => None // missing segment: pre-evolution file, void SPJ
