@@ -449,7 +449,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       opt("maxFilesPerTrigger").map(_.toInt).getOrElse(Int.MaxValue),
       opt("maxRecordsPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
       opt("maxBytesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
-      opt("stream-from-timestamp").map(_.toLong))
+      opt("stream-from-timestamp").map(_.toLong),
+      opt("branch"))
   }
 
   /** Same scan with extra pruning conjuncts; `this` when nothing new (the

@@ -381,10 +381,14 @@ object Snapshots {
       if (props != null) props
       else if (refHead > 0) readProps(path, Some(refHead))
       else Map.empty[String, String]
+    // stamp the commit's PARENT (per-ref ancestry, Iceberg's
+    // parent-snapshot-id): version numbers interleave across refs, so a
+    // numeric walk would mix another ref's commits into this ref's history
+    val stamped = carriedProps + ("graft.parentVersion" -> refHead.toString)
     val sch = schema.orElse(if (refHead > 0) readSchema(path, Some(refHead)) else None)
     commitManifest(path, rs, ref, v =>
       GeoTable.manifestJson(entries.map(_.withAddedV(v)), deletes, parts,
-        posDeletes, carriedProps, eqDeletes.map(_.withSeq(v)), sch, partHist))
+        posDeletes, stamped, eqDeletes.map(_.withSeq(v)), sch, partHist))
   }
 
   /** Allocate the next free version, write `mkBody(v)` as its manifest,
@@ -1489,6 +1493,25 @@ object Snapshots {
   private[graft] def chainVersions(path: String, upto: Int): Seq[Int] =
     (1 to upto).filter(v => Files.exists(manifestPath(path, v)))
 
+  /** A ref head's ancestry, oldest first, via the stamped
+    * `graft.parentVersion` pointers (numeric predecessor for legacy
+    * manifests without a stamp). Version numbers interleave across refs
+    * under branch writes, so `1..head` is NOT a ref's history — an
+    * unpublished branch WAP commit must never enter main's ancestry.
+    * The walk ends at the first expired (missing) manifest.
+    */
+  private[graft] def ancestry(path: String, head: Int): Seq[Int] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[Int]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    var v = head
+    while (v > 0 && !seen(v) && Files.exists(manifestPath(path, v))) {
+      seen += v
+      acc.prepend(v)
+      v = readProps(path, Some(v)).get("graft.parentVersion").map(_.toInt).getOrElse(v - 1)
+    }
+    acc.toList
+  }
+
   /** Commit time of a snapshot = its manifest's mtime (the same clock
     * `rollback_to_timestamp` resolves against).
     */
@@ -1900,7 +1923,7 @@ object Snapshots {
   }
 
   /** Version chain at or below `v` (the reference's `ancestors_of`). */
-  def ancestorsOf(path: String, v: Int): Seq[Int] = chainVersions(path, v).reverse
+  def ancestorsOf(path: String, v: Int): Seq[Int] = ancestry(path, v).reverse
 
   /** Adopt a plain parquet directory as a graft table (the reference's
     * `migrate` / `register_table` import path): collect footer stats for

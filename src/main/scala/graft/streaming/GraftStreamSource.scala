@@ -58,7 +58,8 @@ class GraftStreamProvider extends TableProvider with DataSourceRegister {
       Option(opts.get("maxFilesPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue),
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
-      Option(opts.get("stream-from-timestamp")).map(_.toLong))
+      Option(opts.get("stream-from-timestamp")).map(_.toLong),
+      Option(opts.get("branch")))
   }
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
@@ -81,7 +82,8 @@ object GraftStreamTable {
 
 class GraftStreamTable(path: String, maxFiles: Int,
     maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue,
-    streamFromTimestamp: Option[Long] = None)
+    streamFromTimestamp: Option[Long] = None,
+    branch: Option[String] = None)
     extends Table with SupportsRead {
   override def name(): String = s"graft-stream:$path"
   override def schema(): StructType = GraftStreamTable.tableSchema(path)
@@ -93,7 +95,8 @@ class GraftStreamTable(path: String, maxFiles: Int,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes, streamFromTimestamp)
+          new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes,
+            streamFromTimestamp, branch)
       }
     }
 }
@@ -114,7 +117,8 @@ object GraftStreamOffset {
 
 class GraftMicroBatchStream(path: String, maxFiles: Int,
     maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue,
-    streamFromTimestamp: Option[Long] = None)
+    streamFromTimestamp: Option[Long] = None,
+    branch: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -137,13 +141,27 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     */
   private def fileChain(): Seq[FileStats] = chainByVersion().flatMap(_._2)
 
-  /** The chain with its version boundaries (for timestamp-scoped starts). */
+  /** Streamed head: main's, or the scoped branch's (`option("branch", b)`
+    * — the reference's SparkReadOptions.BRANCH applies to streams too).
+    */
+  private def streamHead(): Int =
+    if (Snapshots.currentVersion(path) == 0) 0
+    else branch match {
+      case Some(b) => Snapshots.resolveRef(path, b)
+      case None => Snapshots.mainVersion(path)
+    }
+
+  /** The chain with its version boundaries (for timestamp-scoped starts).
+    * Walks the streamed ref's ANCESTRY, not all version numbers — an
+    * unpublished branch WAP commit interleaved between two main commits
+    * must never stream into a main-ref consumer (and vice versa).
+    */
   private def chainByVersion(): Seq[(Int, Seq[FileStats])] = {
-    val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
+    val head = streamHead()
     if (head == 0) return Nil
     val out = Seq.newBuilder[(Int, Seq[FileStats])]
     var prev = Set.empty[String]
-    Snapshots.chainVersions(path, head).foreach { v =>
+    Snapshots.ancestry(path, head).foreach { v =>
       val m = Snapshots.readManifest(path, Some(v))
       val names = m.map(_.path).toSet
       val entered = m.filterNot(f => prev(f.path)).sortBy(_.path)
@@ -244,9 +262,9 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val partCols = GeoTable.readPartitionCols(path)
     val partitionSchema = StructType(partCols.flatMap(c => schema.fields.find(_.name == c)))
     val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    // delete state of the current committed snapshot, resolved at batch
-    // plan time (the read-time semantics of Snapshots.read)
-    val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
+    // delete state of the current committed snapshot of the streamed ref,
+    // resolved at batch plan time (the read-time semantics of Snapshots.read)
+    val head = streamHead()
     val posRefs = if (head == 0) Nil
       else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, Some(head)))
     val posCov = DeleteFiles.posCoverage(spark, path, posRefs)
@@ -323,7 +341,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
       partitionSchema, Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf))
     // pos/eq delete CONTENTS resolve executor-side from the per-partition
     // attachments; only the MoR predicate (tiny manifest metadata) binds here
-    val head = if (Snapshots.currentVersion(path) == 0) 0 else Snapshots.mainVersion(path)
+    val head = streamHead()
     val mor = if (head == 0) None
       else GraftStreamFilters.morPredicate(sess, path, head,
         StructType(dataSchema ++ partitionSchema))
@@ -350,8 +368,10 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
   */
 class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
     maxFiles: Int, maxRecords: Long, maxBytes: Long,
-    streamFromTimestamp: Option[Long] = None)
-    extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes, streamFromTimestamp) {
+    streamFromTimestamp: Option[Long] = None,
+    branch: Option[String] = None)
+    extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes,
+      streamFromTimestamp, branch) {
   override def createReaderFactory(): PartitionReaderFactory = scan.streamReaderFactory()
 }
 

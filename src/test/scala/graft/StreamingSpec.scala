@@ -327,6 +327,76 @@ class StreamingSpec extends AnyFunSuite {
     assert(!batch2.exists(i => i >= 100 && i < 103))
   }
 
+  test("branch-scoped streaming: option(branch) streams the branch chain, not main") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_brs_wh").toString
+    spark.conf.set("spark.sql.catalog.brscat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.brscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS brscat.st")
+    spark.sql("CREATE TABLE brscat.st.b (id BIGINT)")
+    spark.sql("INSERT INTO brscat.st.b SELECT id FROM range(40)")
+    val tbl = s"$wh/st/b"
+    Snapshots.createBranch(tbl, "dev")
+    // diverge: branch gets 10 more rows, main gets 5 different ones
+    spark.sql("INSERT INTO brscat.st.b.branch_dev SELECT id + 100 FROM range(10)")
+    spark.sql("INSERT INTO brscat.st.b SELECT id + 500 FROM range(5)")
+    val q = spark.readStream
+      .option("branch", "dev")
+      .table("brscat.st.b")
+      .writeStream.format("memory").queryName("brs_rows")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val ids = spark.table("brs_rows").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 40L) ++ (100L until 110L)),
+      s"branch stream must follow the dev chain (40 base + 10 branch rows), got ${ids.length}")
+    // the path-based source honors the same option
+    val q2 = spark.readStream.format("graft-stream")
+      .option("path", tbl).option("branch", "dev")
+      .load()
+      .writeStream.format("memory").queryName("brs_rows2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.table("brs_rows2").count() == 50)
+  }
+
+  test("interleaved branch WAP commits never leak into a main-ref stream") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_wap_wh").toString
+    spark.conf.set("spark.sql.catalog.wapcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wapcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wapcat.st")
+    spark.sql("CREATE TABLE wapcat.st.w (id BIGINT)")
+    spark.sql("INSERT INTO wapcat.st.w SELECT id FROM range(40)") // main: A
+    val tbl = s"$wh/st/w"
+    Snapshots.createBranch(tbl, "audit")
+    // the POISON ordering: a branch commit lands BETWEEN two main commits,
+    // taking a version number inside main's numeric range
+    spark.sql("INSERT INTO wapcat.st.w.branch_audit SELECT id + 100 FROM range(10)") // B
+    spark.sql("INSERT INTO wapcat.st.w SELECT id + 500 FROM range(5)") // main: C
+    val q = spark.readStream.table("wapcat.st.w")
+      .writeStream.format("memory").queryName("wap_rows")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val ids = spark.table("wap_rows").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 40L) ++ (500L until 505L)),
+      s"main stream must be A+C only — no unpublished branch rows, no lost main rows " +
+        s"(got ${ids.filter(_ >= 100).filter(_ < 500).length} branch rows, ${ids.length} total)")
+    // the branch stream sees A+B and not C
+    val q2 = spark.readStream.option("branch", "audit").table("wapcat.st.w")
+      .writeStream.format("memory").queryName("wap_rows2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q2.awaitTermination() finally q2.stop()
+    val bids = spark.table("wap_rows2").collect().map(_.getLong(0)).sorted.toSeq
+    assert(bids == ((0L until 40L) ++ (100L until 110L)),
+      s"branch stream must be A+B only, got ${bids.length}")
+  }
+
   test("stream-from-timestamp starts the stream after the historical prefix") {
     import graft.spatial.Snapshots
     graft.spatial.Geo.install(spark)
