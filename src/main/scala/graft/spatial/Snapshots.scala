@@ -1526,8 +1526,12 @@ object Snapshots {
     val rows = retainedVersions(path).map { v =>
       val m = readManifest(path, Some(v))
       val names = m.map(_.path).toSet
-      val parent = if (v > 1 && Files.exists(manifestPath(path, v - 1)))
-        readManifest(path, Some(v - 1)).map(_.path).toSet else Set.empty[String]
+      // diff against the STAMPED parent (refs interleave version numbers,
+      // so v-1 may belong to another ref's history); numeric for legacy
+      val parentV = readProps(path, Some(v))
+        .get("graft.parentVersion").map(_.toInt).getOrElse(v - 1)
+      val parent = if (parentV >= 1 && Files.exists(manifestPath(path, parentV)))
+        readManifest(path, Some(parentV)).map(_.path).toSet else Set.empty[String]
       val op =
         if (parent.isEmpty) "append"
         else if ((parent -- names).isEmpty && (names -- parent).nonEmpty) "append"
