@@ -1821,11 +1821,14 @@ object Snapshots {
     * (commit time = manifest file mtime).
     */
   def versionAsOfTimestamp(path: String, tsMillis: Long): Int = {
-    val vs = (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
-    val ok = vs.filter(v =>
-      Files.getLastModifiedTime(manifestPath(path, v)).toMillis <= tsMillis)
+    // resolve within MAIN's ancestry only: version numbers and mtimes
+    // interleave across refs, so the newest manifest at-or-before a
+    // timestamp may be an unpublished branch WAP commit — serving it to a
+    // main-ref reader would leak unaudited data
+    val vs = ancestry(path, mainVersion(path))
+    val ok = vs.filter(v => commitTimeMillis(path, v) <= tsMillis)
     require(ok.nonEmpty, s"no snapshot committed at or before $tsMillis")
-    ok.max
+    ok.last
   }
 
   /** The reference's `rollback_to_timestamp` procedure. */
@@ -1839,7 +1842,14 @@ object Snapshots {
     */
   def cherrypick(spark: SparkSession, path: String, v: Int): Int = {
     require(v > 1, "cannot cherry-pick the initial snapshot")
-    val parent = readManifest(path, Some(v - 1)).map(_.path).toSet
+    // "what v added" is relative to v's STAMPED parent — v-1 may belong
+    // to another ref's interleaved history (legacy numeric fallback)
+    val parentV = readProps(path, Some(v))
+      .get("graft.parentVersion").map(_.toInt).getOrElse(v - 1)
+    val parent =
+      if (parentV >= 1 && Files.exists(manifestPath(path, parentV)))
+        readManifest(path, Some(parentV)).map(_.path).toSet
+      else Set.empty[String]
     val snap = readManifest(path, Some(v))
     val removed = parent -- snap.map(_.path).toSet
     require(removed.isEmpty,

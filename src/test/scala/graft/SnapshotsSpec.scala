@@ -566,6 +566,23 @@ class SnapshotsSpec extends AnyFunSuite {
       "data file must still exist on disk")
   }
 
+  test("timestamp resolution never picks an interleaved branch commit for main") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_tsref").toString
+    GeoTable.write(mkDf(0 until 20, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    val mainHead = Snapshots.mainVersion(dir)
+    Snapshots.createBranch(dir, "wap")
+    Thread.sleep(1100) // mtime granularity
+    // a branch commit NEWER than main's head, higher version number
+    Snapshots.appendToBranch(mkDf(100 until 110, 0), dir, "wap")
+    val afterBranch = System.currentTimeMillis() + 1
+    // "as of now" must resolve to MAIN's head, not the newer branch commit
+    val v = Snapshots.versionAsOfTimestamp(dir, afterBranch)
+    assert(v == mainHead,
+      s"timestamp resolution must stay within main's ancestry: got v$v, main is v$mainHead")
+    assert(Snapshots.read(spark, dir, Some(v)).count() == 20)
+  }
+
   test("appendToBranch refuses tags") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_tag_append").toString
