@@ -1888,9 +1888,12 @@ object Snapshots {
     */
   def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1): Int = {
     val cur = currentVersion(path)
-    // keep the newest `keep` versions plus anything a branch or tag targets
+    // keep the newest `keep` snapshots of MAIN'S ANCESTRY (numeric recency
+    // can be another ref's interleaved commits, expiring main's own recent
+    // history) plus anything a branch or tag targets
     val (bs, ts) = readRefs(path)
-    val keepVersions = ((((cur - keep + 1) max 1) to cur).toSet ++ bs.values ++ ts.values)
+    val mainKeep = ancestry(path, mainVersion(path)).takeRight(keep)
+    val keepVersions = (mainKeep.toSet ++ bs.values ++ ts.values)
       .toSeq.sorted.filter(v => Files.exists(manifestPath(path, v)))
     val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
