@@ -112,9 +112,37 @@ object Snapshots {
   def readSchema(path: String, version: Option[Int] = None): Option[org.apache.spark.sql.types.StructType] =
     GeoTable.parseSchema(manifestText(path, version))
 
-  /** Snapshot properties (committed stream batch ids, etc.). */
-  def readProps(path: String, version: Option[Int] = None): Map[String, String] =
-    GeoTable.parseProps(manifestText(path, version))
+  /** Snapshot properties (committed stream batch ids, parent pointers).
+    * Memoized like the manifest parse: ancestry walks consult props for
+    * EVERY chain version per planning, and parseProps re-parses the whole
+    * manifest JSON — O(chain × manifest bytes) per walk uncached. Values
+    * are tiny, so a plain count-bounded LRU suffices.
+    */
+  def readProps(path: String, version: Option[Int] = None): Map[String, String] = {
+    val v = version.getOrElse(mainVersion(path))
+    require(v > 0, s"no snapshots at $path")
+    val p = manifestPath(path, v)
+    require(Files.exists(p), s"no snapshot version $v at $path")
+    val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    val cached = PropsCache.get(key)
+    if (cached != null) return cached
+    val parsed = GeoTable.parseProps(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    PropsCache.put(key, parsed)
+    parsed
+  }
+
+  private object PropsCache {
+    private val MaxEntries = 4096
+    private val map = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), Map[String, String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), Map[String, String]]): Boolean =
+          size() > MaxEntries
+      })
+    def get(k: (String, Long, Long)): Map[String, String] = map.get(k)
+    def put(k: (String, Long, Long), v: Map[String, String]): Unit = map.put(k, v)
+  }
 
   private def manifestText(path: String, version: Option[Int]): String = {
     val v = version.getOrElse(mainVersion(path))
