@@ -1828,6 +1828,87 @@ object Snapshots {
     publish(path, rs, statsFor(spark, path, added))
   }
 
+  /** Iceberg's default target output size for compaction
+    * (`write.target-file-size-bytes`, 512 MB) — overridable per call or
+    * via the table property of the same name.
+    */
+  val DefaultTargetFileSize: Long = 512L << 20
+
+  /** The reference's full `rewrite_data_files` surface
+    * (`spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/procedures/RewriteDataFilesProcedure.java`
+    * in /root/reference; strategies `core/src/main/java/org/apache/iceberg/actions/
+    * BinPackStrategy.java:44-56` 0.75×/1.8× thresholds, `SortStrategy.java`):
+    *
+    *  - `binpack` (default) normalizes the file-size distribution — files
+    *    below 0.75× or above 1.8× of the target size are rewritten into
+    *    target-sized outputs; well-sized files stay byte-identical.
+    *  - `sort` rewrites every selected file range-clustered on `sortOrder`,
+    *    so post-rewrite per-file min/max stats prune on those columns.
+    *  - `where` scopes the candidate set through the same inclusive
+    *    file-stats check DML uses ([[FileStats.mightMatch]]) — compacting
+    *    one partition of a 100 TB table reads only that partition's files.
+    *
+    * Pending MoR deletes are materialized into the rewritten rows (same
+    * contract as [[binPack]]); untouched files keep their delete state.
+    * Returns (new version, number of files rewritten) — (head, 0) when
+    * nothing qualifies, with no commit.
+    */
+  def rewriteDataFiles(spark: SparkSession, path: String,
+      strategy: String = "binpack",
+      sortOrder: Seq[(String, Boolean)] = Nil,
+      where: Option[Column] = None,
+      targetFileSize: Option[Long] = None): (Int, Int) = withCommitRetry() {
+    require(Set("binpack", "sort")(strategy), s"unknown rewrite strategy: $strategy")
+    require(strategy != "sort" || sortOrder.nonEmpty, "sort strategy requires sort_order")
+    val rs = refsState(path)
+    val head = rs.mainHead(path)
+    require(head > 0, s"no snapshots to rewrite at $path")
+    val current = readManifest(path, Some(head))
+    val candidates = where match {
+      case Some(c) => splitByCond(read(spark, path, Some(head)), c, current)._1
+      case None => current
+    }
+    val target = math.max(1L, targetFileSize
+      .orElse(readProps(path, Some(head)).get("write.target-file-size-bytes").map(_.toLong))
+      .getOrElse(DefaultTargetFileSize))
+    val picked = strategy match {
+      case "sort" => candidates
+      case _ =>
+        val lo = target * 3 / 4
+        val hi = target * 9 / 5
+        val (over, under) = candidates.filter(f => f.sizeBytes < lo || f.sizeBytes > hi)
+          .partition(_.sizeBytes > hi)
+        // a lone small file with no sibling to merge into is already optimal
+        over ++ (if (under.size >= 2) under else Nil)
+    }
+    if (picked.isEmpty) (head, 0)
+    else {
+      val pickedPaths = picked.map(_.path).toSet
+      val untouched = current.filterNot(f => pickedPaths(f.path))
+      val rows = GeoTable.applyDeletes(
+        readFilesForRewrite(spark, path, picked, head), carried(path, head))
+      val n = math.max(1, math.ceil(picked.map(_.sizeBytes).sum.toDouble / target).toInt)
+      val sortCols = sortOrder.map { case (c, asc) =>
+        val col = org.apache.spark.sql.functions.col(c); if (asc) col.asc else col.desc
+      }
+      // partitioned tables shape by the partition derivation, or a random
+      // repartition would scatter each dir's rows over all n tasks and the
+      // per-(task, dir) file writer would emit n small files per dir —
+      // the opposite of compaction
+      val partKeys = GeoTable.readPartitionSpecs(path).map(t => Transforms.writeExpr(t, rows))
+      val shaped =
+        if (strategy == "sort")
+          rows.repartitionByRange(n, (partKeys ++ sortCols): _*)
+            .sortWithinPartitions((partKeys ++ sortCols): _*)
+        else if (partKeys.nonEmpty) rows.repartition(n, partKeys: _*)
+        else rows.repartition(n)
+      val (added, _) = writeBack(shaped, path)
+      val v = publish(path, rs, untouched ++ statsFor(spark, path, added),
+        carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head))
+      (v, picked.size)
+    }
+  }
+
   /** Roll the table back to an earlier snapshot by republishing its
     * manifest as the new current version (the reference's
     * `rollback_to_snapshot` procedure) — data files are untouched.

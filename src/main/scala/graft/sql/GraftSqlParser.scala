@@ -421,6 +421,12 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
     case s: String => s.toInt
     case other => throw new IllegalArgumentException(s"expected integer, got $other")
   }
+  private def long(v: Any): Long = v match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: String => s.toLong
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = str(arg(0, "table"))
@@ -432,10 +438,47 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
       case "remove_orphan_files" =>
         Seq(Row(Snapshots.removeOrphanFiles(spark, table).toLong, "deleted_orphan_files"))
       case "rewrite_data_files" =>
-        val v = Snapshots.rewriteCompact(spark, table,
-          str(arg(1, "geometry_col")), int(arg(2, "num_files")),
-          argOpt(3, "resolution").map(int).getOrElse(graft.spatial.GeoTable.DefaultResolution))
-        Seq(Row(v.toLong, "new_version"))
+        // two surfaces, matching the reference procedure
+        // (RewriteDataFilesProcedure.java): the strategy form
+        //   (table, strategy => 'binpack'|'sort', sort_order => 'c [DESC], …',
+        //    where => '<predicate>', target_file_size => bytes)
+        // and the legacy positional hilbert form (table, geometry_col,
+        // num_files[, resolution]). sort_order => 'hilbert(col, res)' also
+        // routes to the hilbert rewrite.
+        val newForm = named.contains("strategy") || named.contains("sort_order") ||
+          named.contains("where") || named.contains("target_file_size")
+        if (!newForm && argOpt(1, "geometry_col").isDefined) {
+          val v = Snapshots.rewriteCompact(spark, table,
+            str(arg(1, "geometry_col")), int(arg(2, "num_files")),
+            argOpt(3, "resolution").map(int).getOrElse(graft.spatial.GeoTable.DefaultResolution))
+          Seq(Row(v.toLong, "new_version"))
+        } else {
+          val orderSpec = named.get("sort_order").map(str)
+          val hilbert = orderSpec.map(_.trim).filter(_.toLowerCase.startsWith("hilbert("))
+          hilbert match {
+            case Some(h) =>
+              val inner = h.substring(h.indexOf('(') + 1, h.lastIndexOf(')'))
+                .split(',').map(_.trim)
+              val res = if (inner.length > 1) inner(1).toInt
+                else graft.spatial.GeoTable.DefaultResolution
+              val n = named.get("num_files").map(int).getOrElse(
+                spark.sparkContext.defaultParallelism)
+              val v = Snapshots.rewriteCompact(spark, table, inner(0), n, res)
+              Seq(Row(v.toLong, "new_version"))
+            case None =>
+              val order = orderSpec.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+                .map { tok =>
+                  val parts = tok.split("\\s+")
+                  (parts(0), !(parts.length > 1 && parts(1).equalsIgnoreCase("desc")))
+                }
+              val strategy = named.get("strategy").map(str)
+                .getOrElse(if (order.nonEmpty) "sort" else "binpack")
+              val (v, rewritten) = Snapshots.rewriteDataFiles(spark, table, strategy, order,
+                named.get("where").map(w => org.apache.spark.sql.functions.expr(str(w))),
+                named.get("target_file_size").map(a => long(a)))
+              Seq(Row(v.toLong, s"rewritten_files=$rewritten"))
+          }
+        }
       case "rollback_to_snapshot" =>
         Seq(Row(Snapshots.rollback(spark, table, int(arg(1, "version"))).toLong, "new_version"))
       case "rollback_to_timestamp" =>

@@ -522,6 +522,70 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 2025)
   }
 
+  test("rewrite_data_files binpack merges small files, splits oversized, honors where") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_rdf").toString
+    GeoTable.write(mkDf(0 until 2000, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    (0 until 3).foreach(k => Snapshots.append(mkDf(3000 + k * 10 until 3010 + k * 10, 2), dir))
+    val before = Snapshots.readManifest(dir)
+    val big = before.maxBy(_.sizeBytes)
+    // target = big's size → big sits inside [0.75t, 1.8t], the appends are under
+    val (_, r1) = Snapshots.rewriteDataFiles(spark, dir, targetFileSize = Some(big.sizeBytes))
+    assert(r1 == before.size - 1)
+    val after1 = Snapshots.readManifest(dir)
+    assert(after1.map(_.path).contains(big.path), "well-sized file must stay byte-identical")
+    assert(after1.size == 2, s"expected big + 1 packed, got ${after1.map(_.path)}")
+    assert(Snapshots.read(spark, dir).count() == 2030)
+    // already optimal at this target (big is in band, the packed file is a
+    // lone small with no sibling to merge into) → no commit
+    val cur = Snapshots.currentVersion(dir)
+    val (v1b, r1b) = Snapshots.rewriteDataFiles(spark, dir, targetFileSize = Some(big.sizeBytes))
+    assert(r1b == 0 && v1b == cur)
+    // the oversized tail: shrink the target so the big file splits
+    val (_, r2) = Snapshots.rewriteDataFiles(spark, dir,
+      targetFileSize = Some(big.sizeBytes / 4))
+    assert(r2 >= 1)
+    assert(Snapshots.readManifest(dir).size >= 3,
+      "an oversized file must split into multiple target-size outputs")
+    assert(Snapshots.read(spark, dir).count() == 2030)
+    // `where` scopes candidates by inclusive file stats: only the new tiny
+    // appends might hold id >= 5000; everything else must stay untouched
+    Snapshots.append(mkDf(5000 until 5005, 1), dir)
+    Snapshots.append(mkDf(5005 until 5010, 1), dir)
+    val pre = Snapshots.readManifest(dir)
+    val preLow = pre.filter(_.maxs.get("id").exists(_.toString.toLong < 5000)).map(_.path).toSet
+    val (_, r3) = Snapshots.rewriteDataFiles(spark, dir,
+      where = Some(col("id") >= 5000L), targetFileSize = Some(big.sizeBytes))
+    assert(r3 == pre.size - preLow.size)
+    val after3 = Snapshots.readManifest(dir)
+    assert(preLow.subsetOf(after3.map(_.path).toSet),
+      "files excluded by `where` must not be rewritten")
+    assert(Snapshots.read(spark, dir).count() == 2040)
+  }
+
+  test("rewrite_data_files sort strategy clusters files on the declared order") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_rdf_sort").toString
+    // 4 appends with interleaved ids → every file spans the full id range,
+    // so pre-rewrite min/max stats overlap and cannot prune
+    GeoTable.write(mkDf(0 until 400 by 4, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    (1 until 4).foreach(k => Snapshots.append(mkDf(k until 400 by 4, 0), dir))
+    val total = Snapshots.readManifest(dir).map(_.sizeBytes).sum
+    val (_, r) = Snapshots.rewriteDataFiles(spark, dir, strategy = "sort",
+      sortOrder = Seq(("id", true)), targetFileSize = Some(total / 2))
+    assert(r >= 4)
+    val after = Snapshots.readManifest(dir)
+    assert(after.size >= 2)
+    val ranges = after
+      .map(f => (f.mins("id").toString.toLong, f.maxs("id").toString.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, amax), (bmin, _)) =>
+        assert(amax <= bmin, s"sorted rewrite left overlapping id ranges: $ranges")
+      case _ =>
+    }
+    assert(Snapshots.read(spark, dir).count() == 400)
+  }
+
   test("hilbert sort compaction rewrites into fewer clustered files") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_compact").toString

@@ -71,6 +71,30 @@ class SqlExtensionSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(dir) == v)
   }
 
+  test("CALL rewrite_data_files strategy surface: binpack, sort, where, target size") {
+    // 4000-row base files vs 2-row appends: the size gap must beat parquet
+    // per-file metadata overhead for the 0.75× small-file threshold to bite
+    val dir = mkTable(4000)
+    (0 until 3).foreach(_ => Snapshots.append(Snapshots.read(spark, dir).limit(2), dir))
+    val before = Snapshots.readManifest(dir)
+    val target = before.map(_.sizeBytes).max
+    // binpack via named args: small appends merge, the detail row reports the count
+    val out = spark.sql(s"CALL graft.system.rewrite_data_files('$dir', " +
+      s"strategy => 'binpack', target_file_size => $target)").collect().head
+    assert(out.getString(1) == "rewritten_files=3")
+    assert(Snapshots.readManifest(dir).size < before.size)
+    assert(Snapshots.read(spark, dir).count() == 4006)
+    // sort strategy with a where filter parses and preserves rows
+    spark.sql(s"CALL graft.system.rewrite_data_files('$dir', " +
+      s"sort_order => 'id desc', where => 'id >= 0', target_file_size => $target)")
+    assert(Snapshots.read(spark, dir).count() == 4006)
+    // hilbert sort_order routes to the spatial rewrite
+    spark.sql(s"CALL graft.system.rewrite_data_files('$dir', " +
+      s"sort_order => 'hilbert(geom, 8)', num_files => 2)")
+    assert(Snapshots.readManifest(dir).size == 2)
+    assert(Snapshots.read(spark, dir).count() == 4006)
+  }
+
   test("CALL cherrypick_snapshot re-applies an append; add_files registers strays") {
     val dir = mkTable(20)
     Snapshots.append(Snapshots.read(spark, dir).limit(3), dir) // v2: +3
