@@ -1995,13 +1995,20 @@ object Snapshots {
     * surviving snapshot references (the reference's expire_snapshots
     * procedure). Returns the number of data files deleted.
     */
-  def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1): Int = {
+  def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1,
+      olderThanMillis: Option[Long] = None): Int = {
     val cur = currentVersion(path)
     // keep the newest `keep` snapshots of MAIN'S ANCESTRY (numeric recency
     // can be another ref's interleaved commits, expiring main's own recent
-    // history) plus anything a branch or tag targets
+    // history) plus anything committed at/after `older_than` (the
+    // reference's timestamp form — `keep` then plays retain_last) plus
+    // anything a branch or tag targets
     val (bs, ts) = readRefs(path)
-    val mainKeep = ancestry(path, mainVersion(path)).takeRight(keep)
+    val mainAnc = ancestry(path, mainVersion(path))
+    val byAge = olderThanMillis
+      .map(cut => mainAnc.filter(v => commitTimeMillis(path, v) >= cut))
+      .getOrElse(Nil)
+    val mainKeep = mainAnc.takeRight(keep) ++ byAge
     val keepVersions = (mainKeep.toSet ++ bs.values ++ ts.values)
       .toSeq.sorted.filter(v => Files.exists(manifestPath(path, v)))
     val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
@@ -2119,12 +2126,31 @@ object Snapshots {
     * `remove_orphan_files`): files left behind by failed writes. Returns
     * the number deleted.
     */
-  def removeOrphanFiles(spark: SparkSession, path: String): Int = {
+  /** The reference's 3-day default for `remove_orphan_files`'s age guard
+    * (`DeleteOrphanFilesSparkAction`): files younger than this are NEVER
+    * deleted, because a concurrent writer moves its staged files into the
+    * table directory BEFORE its manifest publishes — in that window the
+    * files are unreferenced but about to be committed. Deleting them would
+    * let the writer publish a manifest naming vanished files.
+    */
+  val DefaultOrphanAgeMillis: Long = 3L * 24 * 60 * 60 * 1000
+
+  /** Delete data files no retained manifest references, skipping files
+    * modified after `olderThanMillis` (see [[DefaultOrphanAgeMillis]] for
+    * why the guard exists; pass a future timestamp in tests to disable).
+    */
+  def removeOrphanFiles(spark: SparkSession, path: String,
+      olderThanMillis: Option[Long] = None): Int = {
+    val cutoff = olderThanMillis.getOrElse(System.currentTimeMillis() - DefaultOrphanAgeMillis)
     val versions = (1 to currentVersion(path)).filter(v => Files.exists(manifestPath(path, v)))
     val referenced = versions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val orphans = listDataFiles(spark, path)
       .filterNot(f => referenced(f) || isReferencedLenient(f, referenced))
+      .filter { f =>
+        val st = fs.getFileStatus(new Path(new Path(path), f))
+        st.getModificationTime < cutoff
+      }
     orphans.foreach(o => fs.delete(new Path(new Path(path), o), false))
     orphans.size
   }

@@ -427,16 +427,25 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
     case s: String => s.toLong
     case other => throw new IllegalArgumentException(s"expected integer, got $other")
   }
+  /** Epoch millis from a long or a `'yyyy-MM-dd HH:mm:ss'` timestamp string. */
+  private def millis(v: Any): Long = v match {
+    case l: Long => l
+    case s: String => java.sql.Timestamp.valueOf(s).getTime
+    case other => throw new IllegalArgumentException(s"bad timestamp: $other")
+  }
 
   override def run(spark: SparkSession): Seq[Row] = {
     val table = str(arg(0, "table"))
     proc match {
       case "expire_snapshots" =>
+        // `keep` doubles as the reference's retain_last when older_than is given
         val deleted = Snapshots.expireSnapshots(spark, table,
-          argOpt(1, "keep").map(int).getOrElse(1))
+          argOpt(1, "keep").orElse(named.get("retain_last")).map(int).getOrElse(1),
+          named.get("older_than").map(millis))
         Seq(Row(deleted.toLong, "deleted_data_files"))
       case "remove_orphan_files" =>
-        Seq(Row(Snapshots.removeOrphanFiles(spark, table).toLong, "deleted_orphan_files"))
+        Seq(Row(Snapshots.removeOrphanFiles(spark, table,
+          named.get("older_than").map(millis)).toLong, "deleted_orphan_files"))
       case "rewrite_data_files" =>
         // two surfaces, matching the reference procedure
         // (RewriteDataFilesProcedure.java): the strategy form

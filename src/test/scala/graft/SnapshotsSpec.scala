@@ -623,7 +623,10 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readManifest(dir).forall(_.path.startsWith("part=a%20b/")))
     // the live file must survive: listing yields the decoded name, the
     // manifest the encoded one — the lenient match bridges the layers
-    val removed = Snapshots.removeOrphanFiles(spark, dir)
+    // (future cutoff disables the age guard so the LENIENT match is what's
+    // under test, not the freshness of the files)
+    val removed = Snapshots.removeOrphanFiles(spark, dir,
+      Some(System.currentTimeMillis() + 3600000))
     assert(removed == 0, "orphan removal must not delete live legacy-referenced files")
     val dataDir = java.nio.file.Paths.get(dir, "part=a b")
     assert(Files.list(dataDir).iterator().asScala.exists(_.toString.endsWith(".parquet")),

@@ -300,13 +300,37 @@ class SqlExtensionSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 27)
   }
 
-  test("CALL remove_orphan_files deletes unreferenced data files") {
+  test("CALL remove_orphan_files deletes unreferenced data files behind the age guard") {
     val dir = mkTable(20)
     // stray file never registered in any snapshot
     Snapshots.read(spark, dir).limit(1).write.mode("append").parquet(dir)
-    val removed = spark.sql(s"CALL graft.system.remove_orphan_files('$dir')")
+    // default 3-day age guard: a FRESH unreferenced file is what a
+    // concurrent writer's not-yet-published move looks like — never deleted
+    val guarded = spark.sql(s"CALL graft.system.remove_orphan_files('$dir')")
+      .collect().head.getLong(0)
+    assert(guarded == 0L, "fresh orphans must survive the default age guard")
+    // explicit cutoff past now disables the guard for the test
+    val cutoff = System.currentTimeMillis() + 3600000
+    val removed = spark.sql(
+      s"CALL graft.system.remove_orphan_files('$dir', older_than => $cutoff)")
       .collect().head.getLong(0)
     assert(removed == 1L)
     assert(Snapshots.read(spark, dir).count() == 20)
+  }
+
+  test("CALL expire_snapshots older_than keeps recent history, retain_last floors it") {
+    val dir = mkTable(10)
+    Snapshots.append(Snapshots.read(spark, dir).limit(1), dir) // v2
+    Thread.sleep(1100) // mtime granularity separates the epochs
+    val cut = System.currentTimeMillis()
+    Snapshots.append(Snapshots.read(spark, dir).limit(1), dir) // v3 (after cut)
+    // older_than = cut expires v1 (v2 survives as retain_last=2's floor)
+    spark.sql(s"CALL graft.system.expire_snapshots('$dir', " +
+      s"older_than => $cut, retain_last => 2)")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_graft_manifest_v1.json")),
+      "v1 is older than the cutoff and beyond retain_last")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_graft_manifest_v2.json")),
+      "retain_last=2 must keep v2 even though it predates the cutoff")
+    assert(Snapshots.read(spark, dir).count() == 12)
   }
 }
