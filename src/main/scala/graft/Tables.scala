@@ -16,12 +16,20 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-      // to TimestampType; read it as a nanos-since-epoch long instead.
-      // Queries derive µs timestamps via timestamp_micros(ts div 1000).
+      // generator-version drift: events.ts has been written both as parquet
+      // TIMESTAMP(NANOS) (Spark 4 refuses to map it to TimestampType — read
+      // as nanos-since-epoch long) and as timestamp[us] (arrives as
+      // TIMESTAMP_NTZ). Normalize BOTH to the ns-epoch long every event
+      // query and oracle comparison is built on; sessions pin UTC, so the
+      // NTZ wall clock IS the epoch clock DuckDB's epoch() sees.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     }
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType != org.apache.spark.sql.types.LongType) {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    } else df
   }
 
   /** Register every table as a temp view (for spark.sql entry points). */

@@ -135,6 +135,23 @@ object GeoQueries {
         .select(col("c_custkey"), col("x"), col("y"))
     }),
 
+    // incremental append read (the reference's SparkReadOptions
+    // start-snapshot-id surface): two appends split on key parity, then a
+    // start-version scan that must serve ONLY the second append's rows —
+    // through the same DSv2 pushdown/pruning machinery as a full read
+    "geo_incremental_read" -> ((s, dir) => {
+      import graft.spatial.{GeoTable, Snapshots}
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_incrtable_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+      val p = pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom"))
+      GeoTable.write(p.filter(col("c_custkey") % 2 === 0), path, "geom",
+        res = 10, numFiles = 2)
+      Snapshots.append(
+        GeoTable.withBbox(p.filter(col("c_custkey") % 2 === 1), "geom"), path)
+      s.read.format("graft").option("start-version", 1).load(path)
+        .select(col("c_custkey"), col("x"), col("y"))
+    }),
+
     // distributed grid-bucketed spatial join (no cross product):
     // customer points × nation-derived envelope regions
     "geo_spatial_join" -> ((s, dir) => {
@@ -290,6 +307,10 @@ object GeoQueries {
     "geo_evolved_read" ->
       s"""SELECT c_custkey, x AS lon, y AS lat FROM ($ptsSql)
          |WHERE x > 0""".stripMargin,
+
+    "geo_incremental_read" ->
+      s"""SELECT c_custkey, x, y FROM ($ptsSql)
+         |WHERE c_custkey % 2 = 1""".stripMargin,
 
     "geo_format_read" ->
       s"""SELECT c_custkey, x, y FROM ($ptsSql)

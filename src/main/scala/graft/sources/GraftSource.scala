@@ -12,7 +12,12 @@ import graft.spatial.{Geo, GeometryFields, GeoTable, Snapshots, TableSchema}
   * table implementation). Options:
   *
   *  - `version` — time travel to a snapshot (default: current), the
-  *    `VERSION AS OF` equivalent; `ref`/`branch`/`tag` resolve by name.
+  *    `VERSION AS OF` equivalent; `ref`/`branch`/`tag` resolve by name;
+  *    `as-of-timestamp` (epoch millis) resolves within main's ancestry.
+  *  - `start-version`/`start-snapshot-id` (+ optional `end-version`/
+  *    `end-snapshot-id`, or the `-timestamp` forms) — incremental append
+  *    read: only rows entering `(start, end]`, rewrite snapshots skipped
+  *    (the reference's SparkReadOptions incremental surface).
   *  - `metadata` — a metadata table (`files`, `snapshots`, ...).
   *
   * Reading through the format installs the ST_ function catalog and the
@@ -74,6 +79,9 @@ class GraftSource extends RelationProvider with DataSourceRegister
       .orElse(opt("ref").map(Snapshots.resolveRef(path, _)))
       .orElse(opt("branch").map(Snapshots.resolveRef(path, _)))
       .orElse(opt("tag").map(Snapshots.resolveRef(path, _)))
+      // the reference's SparkReadOptions.AS_OF_TIMESTAMP (epoch millis)
+      .orElse(opt("as-of-timestamp").map(ts =>
+        Snapshots.versionAsOfTimestamp(path, ts.toLong)))
 
   // ---- V1 fallback (spark.sql.sources.useV1SourceList=graft) -------------
 

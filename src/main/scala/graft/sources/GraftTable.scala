@@ -186,6 +186,39 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
+  // ---- incremental / timestamp read options (the reference's
+  // SparkReadOptions surface: start-snapshot-id / end-snapshot-id /
+  // start-timestamp / end-timestamp, SparkScanBuilder.java:398-427 in
+  // /root/reference). Options reach this builder from BOTH faces —
+  // `format("graft").option(...)` and `spark.read.option(...).table("cat.db.t")`.
+  private def opt(k: String): Option[String] = Option(options.get(k))
+  private def tsVersion(millis: String): Int =
+    Snapshots.versionAsOfTimestamp(path, millis.toLong)
+  private val endVersion: Option[Int] =
+    opt("end-version").orElse(opt("end-snapshot-id")).map(_.toInt)
+      .orElse(opt("end-timestamp").map(tsVersion))
+  private val startVersion: Option[Int] =
+    opt("start-version").orElse(opt("start-snapshot-id")).map(_.toInt)
+      .orElse(opt("start-timestamp").map(tsVersion))
+  /** Scan-effective snapshot: an explicit end bound wins over the
+    * table-level time travel (`version`/`ref` options, `VERSION AS OF`).
+    */
+  private val effVersion: Option[Int] = endVersion.orElse(version)
+  /** Incremental scans plan ONLY the files entering `(start, end]` —
+    * including files a later rewrite removed from the end manifest (their
+    * rows were already consumed as appended; the rewrite's own outputs
+    * are skipped, matching `BaseIncrementalAppendScan`).
+    */
+  private lazy val incrementalFiles: Option[Seq[graft.spatial.FileStats]] =
+    startVersion.map(sv => Snapshots.enteredBetween(path, sv,
+      endVersion.getOrElse(Snapshots.mainVersion(path))))
+
+  /** The file set this scan plans over: the snapshot manifest, or the
+    * incremental entered set.
+    */
+  private def manifestForPlanning: Seq[graft.spatial.FileStats] =
+    incrementalFiles.getOrElse(Snapshots.readManifest(path, effVersion))
+
   private var pushed: Array[sources.Filter] = Array.empty
   private var claimed: Set[sources.Filter] = Set.empty
   private var required: StructType = logicalSchema
@@ -212,7 +245,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
       if (typed.isEmpty) Set.empty
       else {
         // one dir parse per file, checked against every candidate column
-        val perFile = Snapshots.readManifest(path, version).map(_.dirVals)
+        val perFile = manifestForPlanning.map(_.dirVals)
         typed.filter(c => perFile.forall(kv =>
           graft.spatial.PartitionPaths.value(kv, c).isDefined))
       }
@@ -302,10 +335,10 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     }
     if (groupCols.isEmpty) return None
     if (Snapshots.currentVersion(path) != 0 &&
-        (Snapshots.readDeletes(path, version).nonEmpty ||
-         Snapshots.readEqDeletes(path, version).nonEmpty ||
-         Snapshots.readPosDeletes(path, version).nonEmpty)) return None
-    val stats = Snapshots.readManifest(path, version).filter(f =>
+        (Snapshots.readDeletes(path, effVersion).nonEmpty ||
+         Snapshots.readEqDeletes(path, effVersion).nonEmpty ||
+         Snapshots.readPosDeletes(path, effVersion).nonEmpty)) return None
+    val stats = manifestForPlanning.filter(f =>
       pushed.forall(GraftScan.exactlyMatches(f.dirVals, _)))
     val toPhysical: Map[String, String] =
       TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
@@ -391,12 +424,13 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
 
   override def build(): Scan = aggResult match {
     case Some((aggSchema, rows)) => GraftLocalAggScan(aggSchema, rows)
-    case None => new GraftScan(spark, path, version, required, pushed,
+    case None => new GraftScan(spark, path, effVersion, required, pushed,
       exactFilters = claimed.toArray, limit = limit,
       streamOptions = {
         import scala.jdk.CollectionConverters._
         options.asCaseSensitiveMap().asScala.toMap
-      })
+      },
+      incrementalFiles = incrementalFiles)
   }
 }
 
@@ -429,7 +463,13 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       */
     limit: Option[Int] = None,
     /** Read options (admission control for `readStream.table`). */
-    streamOptions: Map[String, String] = Map.empty) extends Scan with Batch
+    streamOptions: Map[String, String] = Map.empty,
+    /** Incremental scan (`start-version` et al.): plan over exactly the
+      * files entering `(start, end]` instead of the snapshot manifest —
+      * `version` is the end bound, so the end snapshot's delete state
+      * applies to the entered rows through the normal per-file scoping.
+      */
+    incrementalFiles: Option[Seq[graft.spatial.FileStats]] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -461,7 +501,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val fresh = extra.filterNot(known)
     if (fresh.isEmpty) this
     else new GraftScan(spark, path, version, required, pushed, pruneFilters ++ fresh,
-      exactFilters, limit)
+      exactFilters, limit, streamOptions, incrementalFiles)
   }
 
   private val partCols = GeoTable.readPartitionCols(path)
@@ -742,7 +782,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   }
 
   private def computePlannedFiles: Seq[graft.spatial.FileStats] = {
-    val manifest0 = Snapshots.readManifest(path, version)
+    val manifest0 = incrementalFiles.getOrElse(Snapshots.readManifest(path, version))
     // claimed filters are not re-evaluated above the scan: enforce them
     // exactly here (drops null-dir files inclusive pruning would keep)
     val manifest =

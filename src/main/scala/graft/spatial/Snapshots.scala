@@ -1758,16 +1758,44 @@ object Snapshots {
         "metadata_log_entries|all_entries|all_files|all_data_files|all_delete_files)")
   }
 
-  /** Rows appended between two snapshots — the manifest-diff's ENTERED
-    * files read directly, with the target snapshot's deletes applied. The
+  /** Data files ENTERING the table in `(fromV, toV]` along the same
+    * ancestry chain — the reference's incremental append scan
+    * (`core/src/main/java/org/apache/iceberg/BaseIncrementalAppendScan.java`
+    * in /root/reference): each APPEND-shaped snapshot contributes the
+    * files it added; snapshots that removed files (CoW rewrites,
+    * compactions, row-level deletes) are skipped, because their
+    * additions rematerialize already-consumed rows. Walks the STAMPED
+    * parent chain, so interleaved branch commits never contribute.
+    */
+  def enteredBetween(path: String, fromV: Int, toV: Int): Seq[FileStats] = {
+    require(fromV <= toV, s"start version $fromV is after end version $toV")
+    if (fromV == toV) return Nil
+    val anc = ancestry(path, toV)
+    require(anc.contains(fromV),
+      s"version $fromV is not an ancestor of version $toV (expired, or another ref's history)")
+    var prev = readManifest(path, Some(fromV)).map(_.path).toSet
+    val out = Seq.newBuilder[FileStats]
+    anc.dropWhile(_ != fromV).tail.foreach { v =>
+      val m = readManifest(path, Some(v))
+      val names = m.map(_.path).toSet
+      if ((prev -- names).isEmpty) out ++= m.filterNot(f => prev(f.path))
+      prev = names
+    }
+    out.result()
+  }
+
+  /** Rows appended between two snapshots — [[enteredBetween]]'s files
+    * read directly, with the target snapshot's deletes applied. The
     * cheap append-only incremental-consumption path (no `exceptAll`);
     * copy-on-write rewrites surface through [[changes]] instead (the
     * reference's incremental append scan, `BaseIncrementalAppendScan`).
+    * The DSv2 option surface (`start-version`/`start-snapshot-id` on
+    * `format("graft")` and catalog reads) serves the same file set
+    * through the full pushdown/pruning scan machinery.
     */
   def incrementalRead(spark: SparkSession, path: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
-    val fromNames = readManifest(path, Some(fromVersion)).map(_.path).toSet
-    val entered = readManifest(path, Some(toVersion)).filterNot(f => fromNames(f.path))
+    val entered = enteredBetween(path, fromVersion, toVersion)
     if (entered.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         read(spark, path, Some(toVersion)).schema)

@@ -14,17 +14,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** events as a micro-batch stream; ts arrives as nanos (TIMESTAMP(NANOS)
-    * parquet), surfaced as a proper µs timestamp column `ets`.
+  /** events as a micro-batch stream; `ts` arrives either as a nanos long
+    * (TIMESTAMP(NANOS) parquet under the legacy flag) or as TIMESTAMP_NTZ
+    * (timestamp[us] parquet) depending on generator version — surfaced
+    * uniformly as a proper µs TimestampType column `ets`.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    spark.readStream
+    val stream = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      stream.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    else stream.withColumn("ets", col("ts").cast("timestamp"))
   }
 
   /** Watermarked tumbling-window aggregation (event time). */
