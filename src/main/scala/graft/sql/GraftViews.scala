@@ -32,7 +32,33 @@ object GraftViews {
   val ViewFileName = "_graft_view.json"
 
   private val CreateViewRe =
-    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.+?)\s*$""".r
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
+      """\s*(\([^)]*\))?""" + // optional column list: (a, b COMMENT 'x')
+      """\s*(?:COMMENT\s+'((?:[^']|'')*)')?""" + // optional view comment
+      """\s*(?:TBLPROPERTIES\s*\(([^)]*)\))?""" + // optional ('k'='v', …)
+      """\s+AS\s+(.+?)\s*$""").r
+
+  /** `a, b COMMENT 'doc'` → `(name, per-column comment)` pairs. */
+  private def parseColList(s: String): Seq[(String, Option[String])] =
+    s.stripPrefix("(").stripSuffix(")").split(',').toSeq
+      .map(_.trim).filter(_.nonEmpty).map { c =>
+        val m = """(?is)^(\w+)(?:\s+COMMENT\s+'((?:[^']|'')*)')?$""".r
+        c match {
+          case m(n, cm) => (n, Option(cm).map(_.replace("''", "'")))
+          case other => throw new IllegalArgumentException(
+            s"bad view column spec: $other")
+        }
+      }
+
+  /** `'k' = 'v', 'k2'='v2'` → map (the TBLPROPERTIES body). */
+  private def parseProps(s: String): Map[String, String] = {
+    val Pair = """(?s)^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$""".r
+    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case Pair(k, v) => k.replace("''", "'") -> v.replace("''", "'")
+      case other => throw new IllegalArgumentException(
+        s"bad TBLPROPERTIES entry: $other")
+    }.toMap
+  }
   private val DropViewRe =
     """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val ShowViewsRe =
@@ -84,10 +110,13 @@ object GraftViews {
     dir.resolve(ViewFileName)
 
   def tryParse(sql: String): Option[LogicalPlan] = sql match {
-    case CreateViewRe(replace, ifNotExists, ident, query) =>
+    case CreateViewRe(replace, ifNotExists, ident, colList, comment, props, query) =>
       resolveIdent(ident.split('.').toSeq, respectTempViews = false).map { case (_, _, name, dir) =>
         GraftCreateViewCommand(dir.toString, name, query.trim,
-          replace != null, ifNotExists != null)
+          replace != null, ifNotExists != null,
+          cols = Option(colList).map(parseColList).getOrElse(Nil),
+          comment = Option(comment).map(_.replace("''", "'")),
+          props = Option(props).map(parseProps).getOrElse(Map.empty))
       }
     case DropViewRe(ifExists, ident) =>
       resolveIdent(ident.split('.').toSeq).map { case (_, _, name, dir) =>
@@ -218,8 +247,15 @@ object GraftViews {
             // substitution to the fragment ourselves so WITH-bodies
             // resolve (the reference's ResolveViews does the same), then
             // recurse so nested views expand within this same firing
-            SubqueryAlias(name, substitute(
-              org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified), parser))
+            val body = substitute(
+              org.apache.spark.sql.catalyst.analysis.CTESubstitution(qualified), parser)
+            // declared column list renames the body's output, exactly the
+            // `FROM (q) AS v(c1, c2)` analyzer shape
+            val aliased =
+              if (view.aliases.isEmpty) body
+              else org.apache.spark.sql.catalyst.analysis
+                .UnresolvedSubqueryColumnAliases(view.aliases.toSeq, body)
+            SubqueryAlias(name, aliased)
           } finally inFlight.set(inFlight.get.tail)
         case _ => u
       }
@@ -244,12 +280,18 @@ case class GraftViewSubstitution(session: SparkSession)
     GraftViews.substitute(plan, session.sessionState.sqlParser)
 }
 
-/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v AS query` on a graft
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v [(col [COMMENT 'c'], …)]
+  * [COMMENT 'doc'] [TBLPROPERTIES ('k'='v', …)] AS query` on a graft
   * catalog: validates the query in the CURRENT session context, stores
-  * SQL + context + schema. Stored SQL, never materialized.
+  * SQL + context + schema (+ declared column aliases/comments and
+  * properties — the reference's full view-DDL surface). Stored SQL,
+  * never materialized.
   */
 case class GraftCreateViewCommand(dir: String, name: String, sql: String,
-    replace: Boolean, ifNotExists: Boolean) extends LeafRunnableCommand {
+    replace: Boolean, ifNotExists: Boolean,
+    cols: Seq[(String, Option[String])] = Nil,
+    comment: Option[String] = None,
+    props: Map[String, String] = Map.empty) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val d = java.nio.file.Paths.get(dir)
     val vp = d.resolve(GraftViews.ViewFileName)
@@ -260,10 +302,20 @@ case class GraftCreateViewCommand(dir: String, name: String, sql: String,
       throw new IllegalStateException(s"view already exists: $name")
     }
     val schema = spark.sql(sql).schema // resolves + validates the body now
+    require(cols.isEmpty || cols.size == schema.size,
+      s"view column list has ${cols.size} names but the query produces ${schema.size} columns")
+    // served schema carries the declared aliases (FROM (q) AS v(c1, c2))
+    val served =
+      if (cols.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(
+        schema.fields.zip(cols).map { case (f, (n, _)) => f.copy(name = n) })
     val cm = spark.sessionState.catalogManager
     java.nio.file.Files.createDirectories(d)
     GraftView.write(vp, sql, cm.currentCatalog.name, cm.currentNamespace,
-      schema, schema.fieldNames, Array.empty, Array.empty, Map.empty)
+      served, schema.fieldNames,
+      aliases = if (cols.isEmpty) Array.empty else cols.map(_._1).toArray,
+      comments = if (cols.isEmpty) Array.empty else cols.map(_._2.getOrElse("")).toArray,
+      props = props ++ comment.map("comment" -> _))
     Seq.empty
   }
 }

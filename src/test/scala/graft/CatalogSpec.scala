@@ -542,6 +542,38 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.stg.fresh").count() == 1)
   }
 
+  test("view column lists, COMMENT, and TBLPROPERTIES (reference DDL surface)") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vddl")
+    spark.sql("CREATE TABLE gcat.vddl.src AS SELECT id, id * 2 AS dbl FROM range(5)")
+    spark.sql(
+      """CREATE VIEW gcat.vddl.renamed (key COMMENT 'the id', twice)
+        |COMMENT 'a documented view'
+        |TBLPROPERTIES ('owner' = 'graft', 'tier' = 'gold')
+        |AS SELECT id, dbl FROM gcat.vddl.src""".stripMargin)
+    // the declared column list renames the body's output
+    val df = spark.sql("SELECT key, twice FROM gcat.vddl.renamed WHERE key >= 3 ORDER BY key")
+    assert(df.columns.toSeq == Seq("key", "twice"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 6L), (4L, 8L)))
+    // DataFrame-API resolution sees the same aliased schema
+    assert(spark.table("gcat.vddl.renamed").columns.toSeq == Seq("key", "twice"))
+    // comment + properties persist through the ViewCatalog face
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val v = cat.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("vddl"), "renamed"))
+    assert(v.properties().get("owner") == "graft")
+    assert(v.properties().get("tier") == "gold")
+    assert(v.properties().get("comment") == "a documented view")
+    assert(v.schema().fieldNames.toSeq == Seq("key", "twice"))
+    // a wrong-arity column list fails at definition time
+    val err = intercept[Exception] {
+      spark.sql("CREATE VIEW gcat.vddl.bad (only_one) AS SELECT id, dbl FROM gcat.vddl.src")
+    }
+    assert(err.getMessage.contains("2 columns"))
+  }
+
   test("catalog-level views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP VIEW") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vw")
