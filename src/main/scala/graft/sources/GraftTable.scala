@@ -585,10 +585,52 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     // "9 MB" on-disk dim can be 100+ MB on-heap, an OOM vector
     val rowWidth = 8L + readSchema().fields.map(_.dataType.defaultSize.toLong).sum
     val size = rows * rowWidth
+    // per-column min/max folded from the pruned manifest — Spark's
+    // transformV2Stats turns these into catalyst attributeStats, feeding
+    // CBO filter-selectivity and join-reorder estimates (the reference
+    // reports rows/size only; range estimates at 100 TB are what lets the
+    // optimizer order a 5-way join without scanning anything). The fold is
+    // O(#files × #cols) driver work, so it runs only when CBO — its sole
+    // consumer — is enabled.
+    val cols: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!spark.sessionState.conf.cboEnabled) java.util.Collections.emptyMap()
+      else buildColumnStats(files)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
+  }
+
+  private def buildColumnStats(files: Seq[graft.spatial.FileStats])
+      : java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    def opt(v: Option[Any]): java.util.Optional[Object] = v match {
+      case Some(x) => java.util.Optional.of(x.asInstanceOf[Object])
+      case None => java.util.Optional.empty[Object]()
+    }
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    readSchema().fields.foreach { f =>
+      // encoded geometry columns carry bbox structs, not orderable scalars
+      if (!encodings.contains(f.name)) {
+        val phys = logicalToPhysical.getOrElse(f.name, f.name)
+        val mn = graft.plans.StatsAggregatePushdown.fold(
+          files.map(_.mins.get(phys)), f.dataType, math.Ordering.Double.TotalOrdering.lt)
+        val mx = graft.plans.StatsAggregatePushdown.fold(
+          files.map(_.maxs.get(phys)), f.dataType, math.Ordering.Double.TotalOrdering.gt)
+        if (mn.isDefined || mx.isDefined) {
+          out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new ColumnStatistics {
+              override def min(): java.util.Optional[Object] = opt(mn)
+              override def max(): java.util.Optional[Object] = opt(mx)
+            })
+        }
+      }
+    }
+    out
   }
 
   // ---- runtime filtering (the reference's SparkBatchQueryScan

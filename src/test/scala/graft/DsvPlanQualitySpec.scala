@@ -515,4 +515,28 @@ class DsvPlanQualitySpec extends AnyFunSuite {
         s"packed MoR read must apply per-file deletes (got ${ids.length}, want ${expected.length})")
     }
   }
+
+  test("column min/max statistics reach the optimizer when CBO is on") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.db.cstats (id BIGINT, name STRING) USING graft")
+    spark.sql("INSERT INTO pq.db.cstats SELECT id, concat('n', id) FROM range(1, 101)")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val df = spark.table("pq.db.cstats")
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get
+      val stats = rel.computeStats()
+      assert(stats.rowCount.contains(BigInt(100)))
+      val idStat = stats.attributeStats.find(_._1.name == "id").map(_._2)
+      assert(idStat.isDefined, "id column stats must surface through transformV2Stats")
+      assert(idStat.get.min.contains(1L), s"min: ${idStat.get.min}")
+      assert(idStat.get.max.contains(100L), s"max: ${idStat.get.max}")
+    }
+    // CBO off (the default): no per-column fold is paid, rows/size still served
+    val relOff = spark.table("pq.db.cstats").queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.get
+    assert(relOff.computeStats().attributeStats.isEmpty)
+    assert(relOff.computeStats().rowCount.contains(BigInt(100)))
+  }
 }
