@@ -621,11 +621,17 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
           files.map(_.mins.get(phys)), f.dataType, math.Ordering.Double.TotalOrdering.lt)
         val mx = graft.plans.StatsAggregatePushdown.fold(
           files.map(_.maxs.get(phys)), f.dataType, math.Ordering.Double.TotalOrdering.gt)
-        if (mn.isDefined || mx.isDefined) {
+        val nc: Option[Long] =
+          if (files.nonEmpty && files.forall(_.nulls.contains(phys)))
+            Some(files.map(_.nulls(phys)).sum)
+          else None
+        if (mn.isDefined || mx.isDefined || nc.isDefined) {
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
             new ColumnStatistics {
               override def min(): java.util.Optional[Object] = opt(mn)
               override def max(): java.util.Optional[Object] = opt(mx)
+              override def nullCount(): java.util.OptionalLong =
+                nc.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
             })
         }
       }
@@ -789,6 +795,9 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       case sources.LessThan(a, v) => attr(a).map(ce.LessThan(_, Literal(v)))
       case sources.LessThanOrEqual(a, v) => attr(a).map(ce.LessThanOrEqual(_, Literal(v)))
       case sources.In(a, vs) => attr(a).map(x => ce.In(x, vs.toIndexedSeq.map(Literal(_))))
+      // null-count pruning: IS [NOT] NULL reaches FileStats' null_value_counts
+      case sources.IsNull(a) => attr(a).map(ce.IsNull)
+      case sources.IsNotNull(a) => attr(a).map(ce.IsNotNull)
       case sources.And(l, r) => for (a <- conv(l); b <- conv(r)) yield ce.And(a, b)
       case sources.Or(l, r) => for (a <- conv(l); b <- conv(r)) yield ce.Or(a, b)
       case _ => None

@@ -27,7 +27,13 @@ case class FileStats(
       * only to files with a lower sequence. 0 = unknown (legacy manifest),
       * treated as "older than everything" so old tables keep old behavior.
       */
-    addedV: Int = 0) {
+    addedV: Int = 0,
+    /** Per-column null-value counts (Iceberg's `null_value_counts`,
+      * `InclusiveMetricsEvaluator.notNull/isNull` in the reference): a
+      * column absent from the map has an UNKNOWN count (legacy manifest or
+      * stat-less row group) and never prunes.
+      */
+    nulls: Map[String, Long] = Map.empty) {
 
   /** Hive-layout partition values parsed from the path — computed once
     * per FileStats instance; combined with the parsed-manifest memo
@@ -60,7 +66,23 @@ case class FileStats(
     case InSet(a, vs) =>
       test(a, n => vs.exists(v =>
         cmpMin(n, v).forall(_ <= 0) && cmpMax(n, v).forall(_ >= 0)))
-    case _ => true // IsNull / NOT / unknown exprs: conservative, file might match
+    // null-count pruning (the reference's InclusiveMetricsEvaluator
+    // notNull/isNull from null_value_counts): a zero-null file can't
+    // match IS NULL; an all-null file can't match IS NOT NULL. An unknown
+    // count (absent key) keeps the file.
+    case IsNull(a) => nullStatName(a).forall(n => nulls.get(n).forall(_ > 0))
+    case IsNotNull(a) => nullStatName(a).forall(n => nulls.get(n).forall(_ < rows))
+    case _ => true // NOT / unknown exprs: conservative, file might match
+  }
+
+  /** Stats key for null-count lookups — unlike [[statName]] it does not
+    * require a min/max entry (an all-null column has no value bounds but
+    * a perfectly known null count).
+    */
+  private def nullStatName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case GetStructField(a: AttributeReference, _, Some(f)) => Some(s"${a.name}.$f")
+    case _ => None
   }
 
   private def test(a: Expression, p: String => Boolean): Boolean =

@@ -39,13 +39,23 @@ object FooterStats {
       val mins = mutable.Map.empty[String, Any]
       val maxs = mutable.Map.empty[String, Any]
       val invalid = mutable.Set.empty[String]
+      // null_value_counts tracked independently of value bounds: an
+      // all-null column has no min/max yet a perfectly known null count
+      val nulls = mutable.Map.empty[String, Long]
+      val nullsUnknown = mutable.Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val key = c.getPath.toDotString
         // top-level primitives + one struct level, like the manifest schema;
         // declared geometry columns carry no value stats (bbox shadow does)
         if (key.count(_ == '.') <= 1 && !excludeCols.contains(key.split('.').head)) {
+          val st0 = Option(c.getStatistics: Statistics[_])
+          st0 match {
+            case Some(st) if !st.isEmpty && st.isNumNullsSet && st.getNumNulls >= 0 =>
+              nulls(key) = nulls.getOrElse(key, 0L) + st.getNumNulls
+            case _ => nullsUnknown += key // one unknown row group poisons it
+          }
           val extracted = for {
-            st <- Option(c.getStatistics: Statistics[_]) if !st.isEmpty && st.hasNonNullValue
+            st <- st0 if !st.isEmpty && st.hasNonNullValue
             mn <- convert(c.getPrimitiveType, st.genericGetMin.asInstanceOf[AnyRef])
             mx <- convert(c.getPrimitiveType, st.genericGetMax.asInstanceOf[AnyRef])
           } yield (mn, mx)
@@ -53,14 +63,21 @@ object FooterStats {
             case Some((mn, mx)) if !invalid(key) =>
               mins(key) = merge(mins.get(key), mn, keepMin = true)
               maxs(key) = merge(maxs.get(key), mx, keepMin = false)
-            case _ =>
+            case Some(_) => // already poisoned
+            case None if st0.exists(st => !st.isEmpty && !st.hasNonNullValue) =>
+              // all-null so far: legitimate absence of bounds, not poison —
+              // unless another row group later contributes real bounds,
+              // the entry stays null (handled by merge's null passthrough)
+              if (!mins.contains(key)) { mins(key) = null; maxs(key) = null }
+            case None =>
               // one stat-less row group poisons the whole file's entry
               invalid += key
           }
         }
       }
       invalid.foreach { k => mins(k) = null; maxs(k) = null }
-      FileStats(name, rows, in.getLength, mins.toMap, maxs.toMap)
+      nullsUnknown.foreach(nulls.remove)
+      FileStats(name, rows, in.getLength, mins.toMap, maxs.toMap, nulls = nulls.toMap)
     } finally reader.close()
   }
 

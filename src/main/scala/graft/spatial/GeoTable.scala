@@ -295,7 +295,13 @@ object GeoTable {
     val files = entries.map { e =>
       val mins = e.mins.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
       val maxs = e.maxs.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:${jsonVal(v)}" }.mkString("{", ",", "}")
-      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs}"""
+      // null_value_counts (Iceberg's manifest field): omitted when empty
+      // so pre-change manifests and entries stay byte-identical
+      val nulls =
+        if (e.nulls.isEmpty) ""
+        else e.nulls.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:$v" }
+          .mkString(""","nulls":{""", ",", "}")
+      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs$nulls}"""
     }
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
     val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
@@ -489,7 +495,8 @@ object GeoTable {
           case JObject(kv) => kv.map { case (k, v) => k -> toScala(v) }.toMap
           case _ => Map.empty
         }
-        FileStats(p, rows, size, m("mins"), m("maxs"), addedV)
+        val nulls = m("nulls").collect { case (k, v: Number) => k -> v.longValue() }
+        FileStats(p, rows, size, m("mins"), m("maxs"), addedV, nulls)
       }
       case _ => Nil
     }

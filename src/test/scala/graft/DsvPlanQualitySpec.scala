@@ -516,6 +516,26 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("null-count stats prune IS NULL / IS NOT NULL at file granularity") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.db.nullst (id BIGINT, v DOUBLE) USING graft")
+    // commit 1: v entirely NULL; commit 2: v never NULL
+    spark.sql("INSERT INTO pq.db.nullst SELECT id, CAST(NULL AS DOUBLE) FROM range(0, 10)")
+    spark.sql("INSERT INTO pq.db.nullst SELECT id, id * 1.0 FROM range(10, 20)")
+    val all = SparkTestSession.plannedFiles(spark.table("pq.db.nullst"))
+    assert(all >= 2)
+    val notNull = spark.table("pq.db.nullst").filter("v IS NOT NULL")
+    assert(SparkTestSession.plannedFiles(notNull) < all,
+      "an all-null file must be pruned from an IS NOT NULL scan")
+    assert(notNull.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (10L until 20L))
+    val isNull = spark.table("pq.db.nullst").filter("v IS NULL")
+    assert(SparkTestSession.plannedFiles(isNull) < all,
+      "a zero-null file must be pruned from an IS NULL scan")
+    assert(isNull.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L))
+  }
+
   test("column min/max statistics reach the optimizer when CBO is on") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.db.cstats (id BIGINT, name STRING) USING graft")
