@@ -65,6 +65,10 @@ object GraftViews {
     """(?is)^\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+([\w.]+)\s*$""".r
   private val RenameViewRe =
     """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$""".r
+  private val SetViewPropsRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*$""".r
+  private val UnsetViewPropsRe =
+    """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([^)]*)\)\s*$""".r
 
   private def spark: Option[SparkSession] = SparkSession.getActiveSession
 
@@ -135,6 +139,18 @@ object GraftViews {
         (_, _, _, toDir) <- resolveIdent(to.split('.').toSeq)
         if java.nio.file.Files.exists(viewFile(fromDir))
       } yield GraftRenameViewCommand(fromDir.toString, toDir.toString)
+    case SetViewPropsRe(ident, props) =>
+      resolveIdent(ident.split('.').toSeq).filter(r => java.nio.file.Files.exists(viewFile(r._4)))
+        .map { case (_, _, name, dir) =>
+          GraftAlterViewPropsCommand(dir.toString, name, parseProps(props), unset = Nil)
+        }
+    case UnsetViewPropsRe(ident, keys) =>
+      resolveIdent(ident.split('.').toSeq).filter(r => java.nio.file.Files.exists(viewFile(r._4)))
+        .map { case (_, _, name, dir) =>
+          val ks = keys.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .map(_.stripPrefix("'").stripSuffix("'").replace("''", "'"))
+          GraftAlterViewPropsCommand(dir.toString, name, Map.empty, unset = ks)
+        }
     case _ => None
   }
 
@@ -360,6 +376,24 @@ case class GraftRenameViewCommand(fromDir: String, toDir: String)
     require(!java.nio.file.Files.exists(to), s"target already exists: $toDir")
     java.nio.file.Files.createDirectories(to.getParent)
     java.nio.file.Files.move(java.nio.file.Paths.get(fromDir), to)
+    Seq.empty
+  }
+}
+
+/** `ALTER VIEW v SET TBLPROPERTIES ('k'='v', …)` / `UNSET TBLPROPERTIES
+  * [IF EXISTS] ('k', …)` — merges into / removes from the stored view's
+  * property map; everything else about the view is untouched.
+  */
+case class GraftAlterViewPropsCommand(dir: String, name: String,
+    set: Map[String, String], unset: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vp = java.nio.file.Paths.get(dir).resolve(GraftViews.ViewFileName)
+    val v = GraftView.read(Identifier.of(Array.empty, name), vp)
+    import scala.jdk.CollectionConverters._
+    val cur = v.properties().asScala.toMap
+    GraftView.write(vp, v.query(), v.currentCatalog(), v.currentNamespace(),
+      v.schema(), v.queryColumnNames(), v.columnAliases(), v.columnComments(),
+      cur ++ set -- unset)
     Seq.empty
   }
 }

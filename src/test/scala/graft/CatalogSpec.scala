@@ -572,6 +572,16 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("CREATE VIEW gcat.vddl.bad (only_one) AS SELECT id, dbl FROM gcat.vddl.src")
     }
     assert(err.getMessage.contains("2 columns"))
+    // ALTER VIEW SET / UNSET TBLPROPERTIES round-trips the stored map
+    spark.sql("ALTER VIEW gcat.vddl.renamed SET TBLPROPERTIES ('tier' = 'silver', 'ttl' = '30d')")
+    spark.sql("ALTER VIEW gcat.vddl.renamed UNSET TBLPROPERTIES ('owner')")
+    val v2 = cat.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("vddl"), "renamed"))
+    assert(v2.properties().get("tier") == "silver")
+    assert(v2.properties().get("ttl") == "30d")
+    assert(!v2.properties().containsKey("owner"))
+    assert(v2.schema().fieldNames.toSeq == Seq("key", "twice"), "schema survives props DDL")
+    assert(spark.sql("SELECT key FROM gcat.vddl.renamed").count() == 5)
   }
 
   test("catalog-level views: CREATE/SELECT/SHOW/ALTER/RENAME/DROP VIEW") {
