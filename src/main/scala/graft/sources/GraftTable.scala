@@ -61,9 +61,14 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     if (tag.isDefined) util.EnumSet.of(TableCapability.BATCH_READ) // tags never move: read-only
     else if (branch.isDefined) // branch heads: batch append only (WAP writes)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    // BATCH_WRITE is required (with OVERWRITE_DYNAMIC) for Spark to plan
+    // OverwritePartitionsDynamic — appends/filter-overwrites still route
+    // through the V1 write (exec dispatches on the Write type, not the
+    // capability set)
     else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
 
   /** Snapshot property map (SHOW TBLPROPERTIES / DESCRIBE EXTENDED). */
   override def properties(): util.Map[String, String] = {
@@ -114,19 +119,51 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     * head only — main-line readers stay isolated until `fast_forward`.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): V1Write = new V1Write {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      // 0 = append, 1 = truncate (full overwrite), 2 = filter overwrite,
+      // 3 = dynamic partition overwrite — V2Writes calls exactly one of
+      // the mode setters before build(), matching the reference's
+      // SparkWriteBuilder (truncate/overwrite/overwriteDynamicPartitions)
+      private var mode = 0
+      private var owFilters: Array[sources.Filter] = Array.empty
+
+      override def truncate(): WriteBuilder = { mode = 1; this }
+      override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+        if (filters.length == 1 && filters(0).isInstanceOf[sources.AlwaysTrue])
+          return truncate()
+        mode = 2; owFilters = filters; this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = { mode = 3; this }
+
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        if (mode == 3) {
+          require(branch.isEmpty && tag.isEmpty,
+            "dynamic partition overwrite is not supported on a branch or tag")
+          new GraftDynamicOverwrite(path, info.schema())
+        } else new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             branch match {
               case Some(b) =>
-                if (overwrite) throw new UnsupportedOperationException(
+                if (overwrite || mode != 0) throw new UnsupportedOperationException(
                   s"INSERT OVERWRITE is not supported on branch $b; write-audit-publish " +
                     "appends to the branch, then fast_forward publishes")
                 Snapshots.appendToBranch(data, path, b)
-              case None =>
-                if (overwrite) Snapshots.overwrite(data, path)
-                else Snapshots.append(data, path)
+              case None => mode match {
+                case 1 => Snapshots.overwrite(data, path)
+                case 2 =>
+                  val conds = owFilters.map(f => GraftTable.filterToColumn(f).getOrElse(
+                    throw new UnsupportedOperationException(
+                      s"overwrite condition not expressible as a column predicate: $f")))
+                  Snapshots.overwriteWhere(data, path, owFilters.toSeq,
+                    conds.reduceOption(_ && _)
+                      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+                case _ =>
+                  if (overwrite) Snapshots.overwrite(data, path)
+                  else Snapshots.append(data, path)
+              }
             }
             ()
           }
@@ -953,8 +990,14 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
       .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
     val broadcastConf = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
-    // physical-name pushed filters reach parquet for row-group pruning
+    // physical-name pushed filters reach parquet for row-group pruning —
+    // DATA columns only: a partition-column filter would be evaluated by
+    // parquet's record filter against the clipped record (the column is
+    // served from the dir, not the file) and drop every row of any file
+    // that happens to materialize the column in-file
+    val dataCols = readPhysicalData.fieldNames.toSet
     val physFilters = (pushed ++ pruneFilters ++ runtimeFilters).flatMap(translatePhysical)
+      .filter(_.references.forall(r => dataCols.contains(r.split('.').head)))
     val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, readPhysicalData,
       readPhysicalData, readPartSchema, physFilters, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
@@ -1080,7 +1123,7 @@ object GraftScan {
 
 
   /** Literal types whose directory rendering compares losslessly. */
-  private[sources] def comparableDirLiteral(v: Any): Boolean = v match {
+  private[graft] def comparableDirLiteral(v: Any): Boolean = v match {
     case null => false
     case _: String | _: java.lang.Boolean | _: java.sql.Date | _: java.time.LocalDate => true
     case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short | _: java.lang.Byte => true
@@ -1105,10 +1148,13 @@ object GraftScan {
     * and non-null.) Takes the pre-parsed segment map so callers parse
     * each file path once, not once per filter.
     */
-  private[sources] def exactlyMatches(kv: Map[String, String], f: sources.Filter): Boolean = {
+  private[graft] def exactlyMatches(kv: Map[String, String], f: sources.Filter): Boolean = {
     def dirVal(c: String): Option[String] = graft.spatial.PartitionPaths.value(kv, c)
     f match {
       case sources.EqualTo(a, v) => dirVal(a).exists(dirLiteralMatches(_, v))
+      case sources.EqualNullSafe(a, null) =>
+        kv.get(a).contains(graft.spatial.PartitionPaths.NullSentinel)
+      case sources.EqualNullSafe(a, v) => dirVal(a).exists(dirLiteralMatches(_, v))
       case sources.In(a, vs) =>
         dirVal(a).exists(raw => vs.exists(dirLiteralMatches(raw, _)))
       case sources.IsNotNull(a) => dirVal(a).isDefined

@@ -850,6 +850,126 @@ object Snapshots {
     }
   }
 
+  /** Partition directory of a manifest-relative file path ("" = root). */
+  private def partDir(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** Dynamic partition overwrite commit: register `added` (staged files
+    * already sitting in their final partition directories) and drop every
+    * prior manifest entry sharing a TOUCHED partition directory — one
+    * snapshot, the reference's `asDynamicOverwrite`
+    * (`spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/source/SparkWrite.java:161-186`
+    * in /root/reference). Untouched partitions keep their files
+    * byte-identical; an unpartitioned table ("" dir) degrades to full
+    * overwrite — Iceberg's documented dynamic-overwrite semantics.
+    * Replacement is keyed on the CURRENT layout's directory tuple: files
+    * laid out by a retired partition spec live under different directory
+    * columns and are not replaced.
+    */
+  private[graft] def commitDynamicOverwrite(spark: SparkSession, path: String,
+      added: Seq[String]): Int = {
+    if (added.isEmpty) return mainVersion(path) // nothing incoming: no-op
+    val stats = statsFor(spark, path, added)
+    val touched = added.map(partDir).toSet
+    withCommitRetry() {
+      val rs = refsState(path)
+      val head = rs.mainHead(path)
+      val prior = if (head > 0) readManifest(path, Some(head)) else Nil
+      val kept = prior.filterNot(e => touched(partDir(e.path)))
+      publish(path, rs, kept ++ stats, carried(path, head), carriedPos(path, head),
+        eqDeletes = carriedEq(path, head))
+    }
+  }
+
+  /** Dynamic partition overwrite from a DataFrame — the one-call face of
+    * [[commitDynamicOverwrite]] (`df.writeTo(t).overwritePartitions()`
+    * routes through the DSv2 batch write instead).
+    */
+  def overwriteDynamic(df: DataFrame, path: String): Int = {
+    val (added, _) = writeBack(df, path)
+    commitDynamicOverwrite(df.sparkSession, path, added)
+  }
+
+  private def flattenAnd(f: org.apache.spark.sql.sources.Filter): Seq[org.apache.spark.sql.sources.Filter] =
+    f match {
+      case org.apache.spark.sql.sources.And(l, r) => flattenAnd(l) ++ flattenAnd(r)
+      case x => Seq(x)
+    }
+
+  /** Filter overwrite (the DSv2 `OverwriteByExpression`, Spark's plan for
+    * `INSERT OVERWRITE t PARTITION (p = v, …)` in static mode and for
+    * `df.writeTo(t).overwrite(cond)`): ONE snapshot that removes every row
+    * matching `cond` and adds `df` — the reference's
+    * `SparkWriteBuilder.overwrite(...)`. Files wholly inside the condition
+    * (identity-partition dirs decide every row — the same exactness the
+    * scan builder claims) drop from the manifest without being read, so a
+    * partition-aligned overwrite rewrites nothing; straddling files
+    * rewrite copy-on-write like DELETE.
+    */
+  def overwriteWhere(df: DataFrame, path: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter], cond: Column): Int = {
+    import org.apache.spark.sql.{sources => vs}
+    val spark = df.sparkSession
+    val (added, written) = writeBack(df, path)
+    val stats = statsFor(spark, path, added)
+    withCommitRetry() {
+      val rs = refsState(path)
+      val head = rs.mainHead(path)
+      if (head == 0) publish(path, rs, stats, schema = Some(written))
+      else {
+        val current = readManifest(path, Some(head))
+        val identCols = GeoTable.readPartitionSpecs(path)
+          .collect { case Transforms.Identity(c) => c }.toSet
+        val atomic = filters.flatMap(flattenAnd)
+        // identity-partition attribute of an exactly-evaluable conjunct
+        def attr(f: vs.Filter): Option[String] = (f match {
+          case vs.EqualTo(a, v) if graft.sources.GraftScan.comparableDirLiteral(v) => Some(a)
+          case vs.EqualNullSafe(a, v)
+            if v == null || graft.sources.GraftScan.comparableDirLiteral(v) => Some(a)
+          case vs.In(a, valz) if valz.nonEmpty &&
+            valz.forall(graft.sources.GraftScan.comparableDirLiteral) => Some(a)
+          case vs.IsNotNull(a) => Some(a)
+          case _ => None
+        }).filter(identCols)
+        val exactable = atomic.nonEmpty && atomic.forall(f => attr(f).isDefined)
+        // Some(true) = every row matches (drop unread) · Some(false) = no
+        // row can match (keep untouched) · None = undecidable (CoW below).
+        // A file's dir value decides its column for EVERY row; a missing
+        // segment (pre-evolution file) leaves the column in the data, so
+        // stats-based splitting decides it instead.
+        def decide(e: FileStats): Option[Boolean] =
+          if (!exactable) None
+          else {
+            val per = atomic.map { f =>
+              if (e.dirVals.contains(attr(f).get))
+                Some(graft.sources.GraftScan.exactlyMatches(e.dirVals, f))
+              else None
+            }
+            if (per.contains(Some(false))) Some(false)
+            else if (per.forall(_ == Some(true))) Some(true)
+            else None
+          }
+        val decided = current.map(e => e -> decide(e))
+        val kept = decided.collect { case (e, Some(false)) => e }
+        val maybe = decided.collect { case (e, None) => e }
+        val table = read(spark, path, Some(head))
+        val (affected, untouched) = splitByCond(table, cond, maybe)
+        val rewritten =
+          if (affected.isEmpty) Nil
+          else {
+            val survivors = readFilesForRewrite(spark, path, affected, head)
+              .filter(!coalesce(cond, lit(false)))
+            writeBack(survivors, path)._1
+          }
+        publish(path, rs,
+          kept ++ untouched ++ statsFor(spark, path, rewritten) ++ stats,
+          carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head))
+      }
+    }
+  }
+
   /** Merge-on-read DELETE: publish the predicate instead of rewriting any
     * file — O(manifest) commit latency regardless of table size; readers
     * apply `NOT cond` until a compaction materializes it (the reference's

@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, Expression, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.Project
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -21,7 +21,111 @@ import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.spatial.{GeoTable, Snapshots, Transforms}
+import graft.spatial.{GeometryEncoding, GeometryFields, GeoTable, Snapshots, TableSchema, Transforms}
+
+/** Shared driver-side prep for the DSv2 executor writers (the streaming
+  * sink and the dynamic-overwrite batch write): partition-transform
+  * binding, the logical→physical write projection, and the parquet
+  * WriteSupport conf dance. Everything here runs on the DRIVER; the
+  * products (bound expressions + a serializable conf) ship to executors.
+  */
+object GraftWriters {
+
+  /** Partition transforms bound to the write schema: evaluated row-by-row
+    * in the writers to route each row to its partition directory (same
+    * derived values as [[Transforms.writeExpr]] on the batch V1 path).
+    */
+  def boundTransforms(spark: SparkSession, path: String,
+      schema: StructType): Seq[(String, Expression)] = {
+    val specs = GeoTable.readPartitionSpecs(path)
+    if (specs.isEmpty) return Nil
+    specs.foreach(t => require(schema.fieldNames.contains(t.source),
+      s"DSv2 write: partition source column ${t.source} missing from write schema"))
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val proj = dummy.select(
+      specs.map(t => Transforms.writeExpr(t, dummy).as(t.derivedName)): _*)
+    proj.queryExecution.analyzed match {
+      case p: Project =>
+        val out = p.children.head.output
+        specs.zip(p.projectList).map { case (t, e) =>
+          val inner = e match { case a: Alias => a.child; case x => x }
+          t.derivedName -> BindReferences.bindReference(inner, out)
+        }
+      case other => throw new IllegalStateException(s"unexpected plan: $other")
+    }
+  }
+
+  /** Logical→physical write projection: declared geometry columns encode
+    * to their storage repr, renamed columns map to their physical file
+    * names, and IDENTITY partition source columns are dropped (the
+    * directory carries them, exactly like the V1 path's `partitionBy`
+    * layout — an in-file copy would also shadow the dir-served column) —
+    * the executor-side equivalent of the V1 path's
+    * `encodeForStorage` ∘ `TableSchema.toPhysical`. None = nothing to do
+    * (writers pass rows through untouched).
+    * Returns (physical parquet schema, bound per-column expressions).
+    */
+  def physicalProjection(spark: SparkSession, path: String,
+      schema: StructType): Option[(StructType, Seq[Expression])] = {
+    import org.apache.spark.sql.functions.col
+    val enc = GeometryFields.get(path).filter { case (c, _) =>
+      schema.fieldNames.contains(c) }
+    val rename = TableSchema.read(path).filterNot(_.dropped)
+      .filter(e => e.logical != e.physical && schema.fieldNames.contains(e.logical))
+      .map(e => e.logical -> e.physical).toMap
+    val identSrc = GeoTable.readPartitionSpecs(path)
+      .collect { case Transforms.Identity(c) => c }
+      .filter(schema.fieldNames.contains).toSet
+    if (enc.forall(_._2 == "wkb") && rename.isEmpty && identSrc.isEmpty) return None
+    graft.spatial.Geo.install(spark) // encode exprs resolve ST_ functions
+    val dummy = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val cols = schema.fields.toSeq.filterNot(f => identSrc(f.name)).map { f =>
+      val base = enc.get(f.name) match {
+        case Some(e) => GeometryEncoding.encode(col(f.name), e)
+        case None => col(f.name)
+      }
+      base.as(rename.getOrElse(f.name, f.name))
+    }
+    val proj = dummy.select(cols: _*)
+    proj.queryExecution.analyzed match {
+      case p: Project =>
+        val out = p.children.head.output
+        Some((proj.schema, p.projectList.map {
+          case a: Alias => BindReferences.bindReference(a.child, out)
+          case e => BindReferences.bindReference(e, out)
+        }))
+      case other => throw new IllegalStateException(s"unexpected plan: $other")
+    }
+  }
+
+  /** Hadoop conf prepared for executor-side [[ParquetWriteSupport]] over
+    * the PHYSICAL file schema (mirror of the read-side keys in
+    * `GraftScan.createReaderFactory`).
+    */
+  def writeConf(spark: SparkSession, physicalSchema: StructType): SerializableConfiguration = {
+    val sqlConf = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(physicalSchema, conf)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    new SerializableConfiguration(conf)
+  }
+}
 
 /** DSv2 streaming sink: `df.writeStream.format("graft").start(path)` or
   * `.toTable("cat.db.t")` — the reference's `SparkWrite` streaming face
@@ -43,57 +147,13 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
 
   private def spark = SparkSession.active
 
-  /** Partition transforms bound to the write schema: evaluated row-by-row
-    * in the writers to route each row to its partition directory. Binding
-    * happens driver-side through the analyzer (same expressions as
-    * [[Transforms.writeExpr]] on the batch path).
-    */
-  private def boundTransforms(): Seq[(String, Expression)] = {
-    val specs = GeoTable.readPartitionSpecs(path)
-    if (specs.isEmpty) return Nil
-    specs.foreach(t => require(schema.fieldNames.contains(t.source),
-      s"streaming write: partition source column ${t.source} missing from stream schema"))
-    val dummy = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val proj = dummy.select(
-      specs.map(t => Transforms.writeExpr(t, dummy).as(t.derivedName)): _*)
-    proj.queryExecution.analyzed match {
-      case p: Project =>
-        val out = p.children.head.output
-        specs.zip(p.projectList).map { case (t, e) =>
-          val inner = e match { case a: Alias => a.child; case x => x }
-          t.derivedName -> BindReferences.bindReference(inner, out)
-        }
-      case other => throw new IllegalStateException(s"unexpected plan: $other")
-    }
-  }
-
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val sess = spark
-    val sqlConf = sess.sessionState.conf
-    val conf = sess.sessionState.newHadoopConf()
-    // write-side ParquetWriteSupport conf dance (mirror of the read-side
-    // keys in GraftScan.createReaderFactory) — the executors' WriteSupport
-    // reads these during init
-    ParquetWriteSupport.setSchema(schema, conf)
-    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
-    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-      sqlConf.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      sqlConf.getConf(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE).toString)
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      sqlConf.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
-    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-      sqlConf.getConf(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG).toString)
-    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
-    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
-    GraftStreamWriterFactory(path, new SerializableConfiguration(conf), queryId,
-      boundTransforms())
+    val proj = GraftWriters.physicalProjection(sess, path, schema)
+    GraftStreamWriterFactory(path,
+      GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(schema)), queryId,
+      GraftWriters.boundTransforms(sess, path, schema), proj.map(_._2).getOrElse(Nil))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -121,22 +181,26 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
 case class GraftStagedFiles(names: Seq[String]) extends WriterCommitMessage
 
 case class GraftStreamWriterFactory(dir: String, conf: SerializableConfiguration,
-    queryId: String, transforms: Seq[(String, Expression)])
+    queryId: String, transforms: Seq[(String, Expression)],
+    proj: Seq[Expression] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftStreamDataWriter(dir,
       s"part-stream-${queryId.take(8)}-$epochId-$partitionId-" +
         s"${UUID.randomUUID().toString.take(8)}.parquet",
-      conf.value, transforms)
+      conf.value, transforms, proj)
 }
 
 /** One staged parquet file per (task, partition dir); rows route to their
-  * dir by evaluating the bound transform expressions. Empty tasks stage
+  * dir by evaluating the bound transform expressions (on the INCOMING
+  * logical row), then the physical projection — storage encodings,
+  * renamed columns — applies before the row lands. Empty tasks stage
   * nothing (no file is created until the first row arrives).
   */
 class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
-    transforms: Seq[(String, Expression)]) extends DataWriter[InternalRow] {
+    transforms: Seq[(String, Expression)],
+    proj: Seq[Expression] = Nil) extends DataWriter[InternalRow] {
 
   private class Builder(p: Path)
       extends ParquetWriter.Builder[InternalRow, Builder](p) {
@@ -147,6 +211,8 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
 
   // partition dir ("" for unpartitioned) → (writer, staged relative name)
   private val writers = mutable.LinkedHashMap.empty[String, (ParquetWriter[InternalRow], String)]
+
+  private lazy val physicalRow: UnsafeProjection = UnsafeProjection.create(proj)
 
   private def dirFor(row: InternalRow): String =
     transforms.map { case (name, e) =>
@@ -173,7 +239,7 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
         .withCompressionCodec(CompressionCodecName.SNAPPY)
         .build(), rel)
     })
-    w.write(row)
+    w.write(if (proj.isEmpty) row else physicalRow(row))
   }
 
   override def commit(): WriterCommitMessage = {
