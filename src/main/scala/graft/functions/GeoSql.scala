@@ -49,7 +49,8 @@ object GeoSql {
     "st_numgeometries" -> (e => StNumGeometries(e.head)),
     "st_numpoints" -> (e => StNumPoints(e.head)),
     "st_extent" -> (e => StExtent(e.head).toAggregateExpression()),
-    "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5)))
+    "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5))),
+    "zorder_key" -> (e => ZOrderKey(e))
   )
 
   // registries already installed into (weak identity set: a dropped session
@@ -95,4 +96,5 @@ object GeoSql {
   def st_bbox(g: Column): Column = call_function("st_bbox", g)
   def hilbert(g: Column, res: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
     call_function("hilbert", g, res, minX, minY, maxX, maxY)
+  def zorder_key(cols: Column*): Column = call_function("zorder_key", cols: _*)
 }

@@ -2005,9 +2005,13 @@ object Snapshots {
       strategy: String = "binpack",
       sortOrder: Seq[(String, Boolean)] = Nil,
       where: Option[Column] = None,
-      targetFileSize: Option[Long] = None): (Int, Int) = withCommitRetry() {
+      targetFileSize: Option[Long] = None,
+      zorderCols: Seq[String] = Nil): (Int, Int) = withCommitRetry() {
     require(Set("binpack", "sort")(strategy), s"unknown rewrite strategy: $strategy")
-    require(strategy != "sort" || sortOrder.nonEmpty, "sort strategy requires sort_order")
+    require(strategy != "sort" || sortOrder.nonEmpty || zorderCols.nonEmpty,
+      "sort strategy requires sort_order")
+    require(zorderCols.isEmpty || sortOrder.isEmpty,
+      "zorder(...) and a column sort order are mutually exclusive")
     val rs = refsState(path)
     val head = rs.mainHead(path)
     require(head > 0, s"no snapshots to rewrite at $path")
@@ -2036,9 +2040,18 @@ object Snapshots {
       val rows = GeoTable.applyDeletes(
         readFilesForRewrite(spark, path, picked, head), carried(path, head))
       val n = math.max(1, math.ceil(picked.map(_.sizeBytes).sum.toDouble / target).toInt)
-      val sortCols = sortOrder.map { case (c, asc) =>
-        val col = org.apache.spark.sql.functions.col(c); if (asc) col.asc else col.desc
-      }
+      // zorder(c1,…,cN): range-distribute + sort by ONE interleaved key —
+      // the reference's SparkZOrderDataRewriter (byte-interleave UDF +
+      // range distribution); rows close on every dimension cluster, so
+      // min/max on EACH column tightens per file
+      val sortCols =
+        if (zorderCols.nonEmpty) {
+          graft.functions.GeoSql.install(spark)
+          Seq(graft.functions.GeoSql.zorder_key(
+            zorderCols.map(org.apache.spark.sql.functions.col): _*).asc)
+        } else sortOrder.map { case (c, asc) =>
+          val col = org.apache.spark.sql.functions.col(c); if (asc) col.asc else col.desc
+        }
       // partitioned tables shape by the partition derivation, or a random
       // repartition would scatter each dir's rows over all n tasks and the
       // per-(task, dir) file writer would emit n small files per dir —

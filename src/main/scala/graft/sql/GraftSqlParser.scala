@@ -464,6 +464,9 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         } else {
           val orderSpec = named.get("sort_order").map(str)
           val hilbert = orderSpec.map(_.trim).filter(_.toLowerCase.startsWith("hilbert("))
+          // `zorder(c1, …, cN)` — multi-column Z-order clustering, the
+          // reference's SparkZOrderDataRewriter surface
+          val zorder = orderSpec.map(_.trim).filter(_.toLowerCase.startsWith("zorder("))
           hilbert match {
             case Some(h) =>
               val inner = h.substring(h.indexOf('(') + 1, h.lastIndexOf(')'))
@@ -475,16 +478,22 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
               val v = Snapshots.rewriteCompact(spark, table, inner(0), n, res)
               Seq(Row(v.toLong, "new_version"))
             case None =>
-              val order = orderSpec.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-                .map { tok =>
-                  val parts = tok.split("\\s+")
-                  (parts(0), !(parts.length > 1 && parts(1).equalsIgnoreCase("desc")))
-                }
+              val zcols = zorder.toSeq.flatMap { z =>
+                z.substring(z.indexOf('(') + 1, z.lastIndexOf(')'))
+                  .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+              }
+              val order =
+                if (zcols.nonEmpty) Nil
+                else orderSpec.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+                  .map { tok =>
+                    val parts = tok.split("\\s+")
+                    (parts(0), !(parts.length > 1 && parts(1).equalsIgnoreCase("desc")))
+                  }
               val strategy = named.get("strategy").map(str)
-                .getOrElse(if (order.nonEmpty) "sort" else "binpack")
+                .getOrElse(if (order.nonEmpty || zcols.nonEmpty) "sort" else "binpack")
               val (v, rewritten) = Snapshots.rewriteDataFiles(spark, table, strategy, order,
                 named.get("where").map(w => org.apache.spark.sql.functions.expr(str(w))),
-                named.get("target_file_size").map(a => long(a)))
+                named.get("target_file_size").map(a => long(a)), zorderCols = zcols)
               Seq(Row(v.toLong, s"rewritten_files=$rewritten"))
           }
         }
