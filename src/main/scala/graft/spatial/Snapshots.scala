@@ -501,6 +501,70 @@ object Snapshots {
       eqDeletes = carriedEq(path, head))
   }
 
+  // ---- identifier fields (ref `IcebergSqlExtensions.g4:74-75`,
+  // `UpdateSchema.setIdentifierFields` in /root/reference): the declared
+  // row-identity columns CDC/upsert tooling reads to derive merge keys.
+  // Stored as the `identifier-fields` snapshot property — visible through
+  // SHOW TBLPROPERTIES / DESCRIBE EXTENDED like the reference surfaces
+  // them, versioned with the snapshot it was declared in.
+
+  val IdentifierFieldsProp = "identifier-fields"
+
+  /** Declared identifier fields of the current snapshot (empty = none). */
+  def identifierFields(path: String): Seq[String] =
+    readProps(path).get(IdentifierFieldsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  /** `ALTER TABLE … SET IDENTIFIER FIELDS c1 [, c2 …]` — replaces the
+    * declared set; every named column must exist in the current schema.
+    */
+  def setIdentifierFields(spark: SparkSession, path: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "SET IDENTIFIER FIELDS needs at least one column")
+    val have = read(spark, path).columns.toSet
+    val missing = cols.filterNot(have)
+    require(missing.isEmpty,
+      s"SET IDENTIFIER FIELDS: no such column(s): ${missing.mkString(", ")}")
+    updateProperties(path, Map(IdentifierFieldsProp -> cols.mkString(",")))
+  }
+
+  /** `ALTER TABLE … DROP IDENTIFIER FIELDS c1 [, c2 …]` — removes named
+    * fields from the declared set; rejects names not currently declared.
+    */
+  def dropIdentifierFields(spark: SparkSession, path: String, cols: Seq[String]): Int = {
+    val cur = identifierFields(path)
+    val missing = cols.filterNot(cur.contains)
+    require(missing.isEmpty,
+      s"DROP IDENTIFIER FIELDS: not identifier field(s): ${missing.mkString(", ")}")
+    val remaining = cur.filterNot(cols.contains)
+    if (remaining.isEmpty)
+      updateProperties(path, Map.empty, unset = Seq(IdentifierFieldsProp))
+    else updateProperties(path, Map(IdentifierFieldsProp -> remaining.mkString(",")))
+  }
+
+  /** Upsert `source` keyed on the DECLARED identifier fields — the CDC
+    * default-key path identifier fields exist for: rows matching on every
+    * identifier column update, the rest insert. Single-key tables route
+    * through [[mergeUpsert]] (honoring `write.merge.mode`); composite keys
+    * lower onto [[mergeInto]] with `UPDATE SET *` / `INSERT *` clauses.
+    */
+  def upsert(spark: SparkSession, path: String, source: DataFrame,
+      ref: String = "main"): Int = {
+    val keys = identifierFields(path)
+    require(keys.nonEmpty,
+      "upsert needs declared identifier fields (ALTER TABLE … SET IDENTIFIER FIELDS …)")
+    keys match {
+      case Seq(k) => mergeUpsert(spark, path, source, k, ref)
+      case ks =>
+        val cols = read(spark, path).columns.toSeq
+        mergeInto(spark, path, source,
+          ks.map(k => s"t.`$k` = s.`$k`").mkString(" AND "),
+          Seq(MergeClause(matched = true, None, "update",
+              sets = cols.map(c => c -> s"s.`$c`")),
+            MergeClause(matched = false, None, "insert")),
+          "t", "s", ref)
+    }
+  }
+
   /** Persist an inferred schema onto a legacy manifest (one metadata-only
     * commit); no-op if a schema is already present or the table is empty.
     */

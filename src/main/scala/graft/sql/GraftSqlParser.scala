@@ -61,6 +61,11 @@ object GraftStatements {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+UNORDERED\s*$""".r
   private val WriteDistRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+DISTRIBUTED\s+BY\s+PARTITION(?:\s+LOCALLY\s+ORDERED\s+BY\s+(.+?))?\s*$""".r
+  // identifier fields (ref IcebergSqlExtensions.g4:74-75)
+  private val SetIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+SET\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$""".r
+  private val DropIdFieldsRe =
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$""".r
   // partition-spec evolution (ref IcebergSqlExtensions.g4:69-83)
   private val AddPartFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
@@ -201,6 +206,12 @@ object GraftStatements {
       Some(WriteOrderCommand(resolveTable(tbl), Some(order.trim)))
     case WriteUnorderedRe(tbl) =>
       Some(WriteOrderCommand(resolveTable(tbl), None))
+    case SetIdFieldsRe(tbl, cols) =>
+      Some(IdentifierFieldsCommand(resolveTable(tbl),
+        splitTopLevel(cols).map(stripQuotes), drop = false))
+    case DropIdFieldsRe(tbl, cols) =>
+      Some(IdentifierFieldsCommand(resolveTable(tbl),
+        splitTopLevel(cols).map(stripQuotes), drop = true))
     case ReplacePartFieldRe(tbl, oldSpec, newSpec) =>
       Some(PartitionFieldCommand(resolveTable(tbl),
         add = Seq(normSpec(newSpec)), drop = Seq(normSpec(oldSpec))))
@@ -349,6 +360,23 @@ case class WriteDistributionCommand(path: String, order: Option[String])
     val props = Map("write.distribution-mode" -> "hash") ++
       order.map("write.order" -> _)
     Seq(Row(Snapshots.updateProperties(path, props).toLong))
+  }
+}
+
+/** `ALTER TABLE t SET|DROP IDENTIFIER FIELDS c1 [, c2 …]` — declares the
+  * row-identity columns (ref `IcebergSqlExtensions.g4:74-75`,
+  * `UpdateSchema.setIdentifierFields`). Surfaced as the
+  * `identifier-fields` table property; [[Snapshots.upsert]] reads them as
+  * the default merge keys (the CDC use the declaration exists for).
+  */
+case class IdentifierFieldsCommand(path: String, cols: Seq[String], drop: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = if (drop) Snapshots.dropIdentifierFields(spark, path, cols)
+      else Snapshots.setIdentifierFields(spark, path, cols)
+    Seq(Row(v.toLong))
   }
 }
 

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spatial.Snapshots
+
+/** `ALTER TABLE … SET/DROP IDENTIFIER FIELDS` (ref
+  * `IcebergSqlExtensions.g4:74-75`): declared row-identity columns,
+  * surfaced as the `identifier-fields` table property and consumed by
+  * [[Snapshots.upsert]] as the default merge keys.
+  */
+class IdentifierFieldsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_idf_wh").toString
+    spark.conf.set("spark.sql.catalog.idcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.idcat.warehouse", wh)
+    wh
+  }
+
+  test("set, surface in properties, drop, and reject missing columns") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE idcat.db.ids (k1 BIGINT, k2 STRING, v DOUBLE)")
+    spark.sql("INSERT INTO idcat.db.ids VALUES (1, 'a', 0.5)")
+    val tbl = s"$warehouse/db/ids"
+
+    spark.sql("ALTER TABLE idcat.db.ids SET IDENTIFIER FIELDS k1, k2")
+    assert(Snapshots.identifierFields(tbl) == Seq("k1", "k2"))
+    // visible as a table property (SHOW TBLPROPERTIES face)
+    val props = spark.sql("SHOW TBLPROPERTIES idcat.db.ids").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("identifier-fields").contains("k1,k2"))
+
+    spark.sql("ALTER TABLE idcat.db.ids DROP IDENTIFIER FIELDS k2")
+    assert(Snapshots.identifierFields(tbl) == Seq("k1"))
+    // dropping the last field clears the property
+    spark.sql("ALTER TABLE idcat.db.ids DROP IDENTIFIER FIELDS k1")
+    assert(Snapshots.identifierFields(tbl).isEmpty)
+
+    // reject: unknown column on SET, undeclared column on DROP
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE idcat.db.ids SET IDENTIFIER FIELDS nope") }
+    assert(e1.getMessage.contains("no such column"))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE idcat.db.ids DROP IDENTIFIER FIELDS k1") }
+    assert(e2.getMessage.contains("not identifier field"))
+  }
+
+  test("upsert reads the declared identifier fields as default merge keys") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE idcat.db.cdc (k1 BIGINT, k2 STRING, v DOUBLE)")
+    spark.sql("INSERT INTO idcat.db.cdc VALUES (1, 'a', 1.0), (1, 'b', 2.0), (2, 'a', 3.0)")
+    val tbl = s"$warehouse/db/cdc"
+    // no declaration yet → upsert refuses (no silent key guess)
+    intercept[Exception] {
+      Snapshots.upsert(spark, tbl, spark.sql("SELECT 1L k1, 'a' k2, 9.0 v")) }
+
+    // composite key: (1,'a') updates, (3,'c') inserts, (1,'b') untouched
+    spark.sql("ALTER TABLE idcat.db.cdc SET IDENTIFIER FIELDS k1, k2")
+    Snapshots.upsert(spark, tbl,
+      spark.sql("SELECT * FROM VALUES (1L, 'a', 9.0), (3L, 'c', 4.0) AS s(k1, k2, v)"))
+    val rows = spark.sql("SELECT k1, k2, v FROM idcat.db.cdc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", 9.0), (1L, "b", 2.0), (2L, "a", 3.0), (3L, "c", 4.0)))
+
+    // single key routes through mergeUpsert: every k1=1 row is one identity
+    spark.sql("ALTER TABLE idcat.db.cdc SET IDENTIFIER FIELDS k1")
+    assert(Snapshots.identifierFields(tbl) == Seq("k1"))
+    Snapshots.upsert(spark, tbl, spark.sql("SELECT 2L k1, 'z' k2, 7.0 v"))
+    val k2s = spark.sql("SELECT k2, v FROM idcat.db.cdc WHERE k1 = 2").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(k2s == Set(("z", 7.0)))
+  }
+
+  test("path-addressed DDL form works too") {
+    val dir = Files.createTempDirectory("graft_idf_path").toString
+    import spark.implicits._
+    Seq((1L, 2.0)).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    graft.spatial.GeoTable.writeManifest(spark, dir)
+    spark.sql(s"ALTER TABLE '$dir' SET IDENTIFIER FIELDS id")
+    assert(Snapshots.identifierFields(dir) == Seq("id"))
+  }
+}
