@@ -307,6 +307,24 @@ object Snapshots {
       (rs.branches, rs.tags - name)
     }
 
+  /** Per-ref retention policy (`CREATE BRANCH b RETAIN n DAYS [WITH
+    * SNAPSHOT RETENTION k SNAPSHOTS]`, ref `IcebergSqlExtensions.g4:110,118`
+    * and `SnapshotRef`'s maxRefAgeMs / minSnapshotsToKeep): stored as
+    * `ref.<name>.retain-ms` / `ref.<name>.min-snapshots-keep` snapshot
+    * properties next to a `ref.<name>.created-at-ms` birth stamp, honored
+    * by [[expireSnapshots]] — an aged-out ref is dropped, a branch keeps
+    * only its retained ancestry window.
+    */
+  def setRefRetention(path: String, name: String, retainMs: Option[Long],
+      minSnapshotsKeep: Option[Int]): Unit =
+    if (retainMs.isDefined || minSnapshotsKeep.isDefined) {
+      updateProperties(path,
+        Map(s"ref.$name.created-at-ms" -> System.currentTimeMillis().toString) ++
+          retainMs.map(ms => s"ref.$name.retain-ms" -> ms.toString) ++
+          minSnapshotsKeep.map(k => s"ref.$name.min-snapshots-keep" -> k.toString))
+      ()
+    }
+
   /** Move a branch pointer forward (the reference's `fast_forward`). */
   def fastForward(path: String, branch: String, toVersion: Int): Unit = {
     require(Files.exists(manifestPath(path, toVersion)), s"no snapshot v$toVersion")
@@ -2222,6 +2240,24 @@ object Snapshots {
     */
   def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1,
       olderThanMillis: Option[Long] = None): Int = {
+    // per-ref retention FIRST (CREATE BRANCH/TAG … RETAIN): an aged-out
+    // ref is dropped — with its policy properties — before the keep set
+    // is computed, so its targets stop pinning snapshots
+    locally {
+      val (bs0, ts0) = readRefs(path)
+      val props0 = if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]
+      val now = System.currentTimeMillis()
+      val expired = ((bs0.keySet - "main") ++ ts0.keySet).filter { r =>
+        props0.get(s"ref.$r.retain-ms").map(_.toLong).exists(ms =>
+          props0.get(s"ref.$r.created-at-ms").map(_.toLong).exists(_ + ms <= now))
+      }
+      if (expired.nonEmpty) {
+        updateRefs(path)(rs => (rs.branches -- expired, rs.tags -- expired))
+        updateProperties(path, Map.empty,
+          unset = expired.toSeq.flatMap(r => Seq(s"ref.$r.retain-ms",
+            s"ref.$r.min-snapshots-keep", s"ref.$r.created-at-ms")))
+      }
+    }
     val cur = currentVersion(path)
     // keep the newest `keep` snapshots of MAIN'S ANCESTRY (numeric recency
     // can be another ref's interleaved commits, expiring main's own recent
@@ -2234,7 +2270,16 @@ object Snapshots {
       .map(cut => mainAnc.filter(v => commitTimeMillis(path, v) >= cut))
       .getOrElse(Nil)
     val mainKeep = mainAnc.takeRight(keep) ++ byAge
-    val keepVersions = (mainKeep.toSet ++ bs.values ++ ts.values)
+    // branches with a declared snapshot-retention window keep that many
+    // ancestry snapshots, not just their head
+    val props = if (cur > 0) readProps(path) else Map.empty[String, String]
+    val branchAnc = bs.filterNot(_._1 == "main").flatMap { case (b, v) =>
+      props.get(s"ref.$b.min-snapshots-keep").map(_.toInt) match {
+        case Some(k) if k > 1 => ancestry(path, v).takeRight(k)
+        case _ => Nil
+      }
+    }
+    val keepVersions = (mainKeep.toSet ++ bs.values ++ ts.values ++ branchAnc)
       .toSeq.sorted.filter(v => Files.exists(manifestPath(path, v)))
     val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

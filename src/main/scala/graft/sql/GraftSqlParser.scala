@@ -50,7 +50,10 @@ object GraftStatements {
   private val FieldRe = """(?is)^\s*([\w.`]+)\s+AS\s+'([^']*)'\s*$""".r
   private val CallRe = """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*$""".r
   private val CreateRefRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+CREATE\s+(BRANCH|TAG)\s+(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+CREATE\s+(BRANCH|TAG)\s+(\w+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
+      """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?""" +
+      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(\d+)\s+SNAPSHOTS)?\s*$""").r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
   // declared write order (ref writeSpec / WRITE ORDERED BY in
@@ -219,11 +222,18 @@ object GraftStatements {
       Some(PartitionFieldCommand(resolveTable(tbl), add = Seq(normSpec(spec))))
     case DropPartFieldRe(tbl, spec) =>
       Some(PartitionFieldCommand(resolveTable(tbl), drop = Seq(normSpec(spec))))
-    case CreateRefRe(tbl, kind, name, version) =>
-      Some(RefCommand(stripQuotes(tbl), s"create_${kind.toLowerCase}", name,
-        Option(version).map(_.toInt)))
+    case CreateRefRe(tbl, kind, name, version, retainN, retainUnit, minSnaps) =>
+      val unitMs = Option(retainUnit).map(_.toUpperCase match {
+        case "DAYS" => 86400000L
+        case "HOURS" => 3600000L
+        case _ => 60000L
+      })
+      Some(RefCommand(resolveTable(tbl), s"create_${kind.toLowerCase}", name,
+        Option(version).map(_.toInt),
+        retainMs = Option(retainN).map(n => n.toLong * unitMs.get),
+        minSnapshotsKeep = Option(minSnaps).map(_.toInt)))
     case DropRefRe(tbl, kind, name) =>
-      Some(RefCommand(stripQuotes(tbl), s"drop_${kind.toLowerCase}", name, None))
+      Some(RefCommand(resolveTable(tbl), s"drop_${kind.toLowerCase}", name, None))
     case CallRe(proc, argList) =>
       val (pos, named) = parseArgs(splitTopLevel(argList))
       Some(CallProcedureCommand(proc.toLowerCase, pos, named))
@@ -392,16 +402,25 @@ case class PartitionFieldCommand(path: String, add: Seq[String] = Nil,
     Seq(Row(Snapshots.evolvePartitionSpec(path, add, drop).toLong))
 }
 
-/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n]` — the
-  * reference's ref DDL (`IcebergSqlExtensions.g4` createReplaceBranchClause
-  * / createReplaceTagClause).
+/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n]
+  * [RETAIN n DAYS|HOURS|MINUTES] [WITH SNAPSHOT RETENTION k SNAPSHOTS]` —
+  * the reference's ref DDL (`IcebergSqlExtensions.g4:110,118`
+  * createReplaceBranchClause / createReplaceTagClause incl. the retention
+  * clauses). Retention stores per-ref ([[Snapshots.setRefRetention]]) and
+  * is honored by `expire_snapshots`.
   */
-case class RefCommand(path: String, op: String, name: String, version: Option[Int])
+case class RefCommand(path: String, op: String, name: String, version: Option[Int],
+    retainMs: Option[Long] = None, minSnapshotsKeep: Option[Int] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     op match {
-      case "create_branch" => Snapshots.createBranch(path, name, version)
-      case "create_tag" => Snapshots.createTag(path, name, version)
+      case "create_branch" =>
+        Snapshots.createBranch(path, name, version)
+        Snapshots.setRefRetention(path, name, retainMs, minSnapshotsKeep)
+      case "create_tag" =>
+        require(minSnapshotsKeep.isEmpty, "SNAPSHOT RETENTION applies to branches only")
+        Snapshots.createTag(path, name, version)
+        Snapshots.setRefRetention(path, name, retainMs, None)
       case "drop_branch" => Snapshots.dropBranch(path, name)
       case "drop_tag" => Snapshots.dropTag(path, name)
     }

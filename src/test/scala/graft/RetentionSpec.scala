@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spatial.Snapshots
+
+/** Branch/tag retention (`CREATE BRANCH b RETAIN n DAYS WITH SNAPSHOT
+  * RETENTION k SNAPSHOTS`, ref `IcebergSqlExtensions.g4:110,118` and
+  * `SnapshotRef` retention fields): policies store per-ref and
+  * `expire_snapshots` honors them — an aged-out ref disappears, a branch
+  * keeps only its retained ancestry window.
+  */
+class RetentionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkTable(name: String): String = {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory(s"graft_ret_$name").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    graft.spatial.GeoTable.writeManifest(spark, dir)
+    dir
+  }
+
+  test("expired tag and branch disappear on expire_snapshots; props cleaned") {
+    val dir = mkTable("tag")
+    spark.sql(s"ALTER TABLE '$dir' CREATE TAG archived RETAIN 0 MINUTES")
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH stale RETAIN 0 MINUTES")
+    spark.sql(s"ALTER TABLE '$dir' CREATE TAG keeper RETAIN 1000 DAYS")
+    val (bs0, ts0) = Snapshots.readRefs(dir)
+    assert(ts0.contains("archived") && ts0.contains("keeper") && bs0.contains("stale"))
+    Snapshots.expireSnapshots(spark, dir, keep = 10)
+    val (bs, ts) = Snapshots.readRefs(dir)
+    assert(!ts.contains("archived"), "expired tag must disappear")
+    assert(!bs.contains("stale"), "expired branch must disappear")
+    assert(ts.contains("keeper"), "unexpired tag must survive")
+    val props = Snapshots.readProps(dir)
+    assert(!props.keys.exists(_.startsWith("ref.archived.")),
+      "expired ref's retention properties must be cleaned")
+    assert(props.keys.exists(_.startsWith("ref.keeper.")))
+  }
+
+  test("branch snapshot retention keeps exactly the declared ancestry window") {
+    val dir = mkTable("win")
+    import spark.implicits._
+    spark.sql(
+      s"ALTER TABLE '$dir' CREATE BRANCH dev RETAIN 100 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS")
+    // grow the branch chain: 3 branch appends beyond the fork
+    (0 until 3).foreach { k =>
+      Snapshots.appendToBranch(Seq((10L + k, s"b$k")).toDF("id", "v"), dir, "dev")
+    }
+    val devHead = Snapshots.resolveRef(dir, "dev")
+    val chain = Snapshots.ancestorsOf(dir, devHead).reverse // oldest → newest
+    assert(chain.length >= 4, s"fixture needs a chain, got $chain")
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    // the branch survives; exactly its last 2 ancestry snapshots remain
+    val (bs, _) = Snapshots.readRefs(dir)
+    assert(bs.contains("dev"))
+    val surviving = chain.filter(v =>
+      Files.exists(Paths.get(dir, s"_graft_manifest_v$v.json")))
+    val expectKept = chain.takeRight(2).toSet ++
+      Set(Snapshots.mainVersion(dir)) // main's own head stays
+    assert(surviving.toSet == expectKept.intersect(chain.toSet),
+      s"branch must keep exactly its retained window: chain=$chain surviving=$surviving")
+    // the retained branch head still reads
+    assert(Snapshots.read(spark, dir, Some(devHead)).count() == 4)
+  }
+
+  test("tags reject SNAPSHOT RETENTION; catalog identifiers resolve") {
+    val dir = mkTable("neg")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$dir' CREATE TAG t1 RETAIN 1 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS")
+    }
+    // catalog ident form
+    val wh = Files.createTempDirectory("graft_ret_wh").toString
+    spark.conf.set("spark.sql.catalog.retcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.retcat.warehouse", wh)
+    spark.sql("CREATE TABLE retcat.db.r (id BIGINT)")
+    spark.sql("INSERT INTO retcat.db.r VALUES (1)")
+    spark.sql("ALTER TABLE retcat.db.r CREATE BRANCH dev RETAIN 5 DAYS")
+    val tbl = s"$wh/db/r"
+    assert(Snapshots.readRefs(tbl)._1.contains("dev"))
+    assert(Snapshots.readProps(tbl).contains("ref.dev.retain-ms"))
+  }
+}
