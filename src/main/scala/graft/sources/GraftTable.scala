@@ -167,8 +167,12 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
             }
             ()
           }
+        // complete-mode streaming (Spark calls truncate() on the builder,
+        // mode 1) becomes per-epoch overwrite commits — the reference's
+        // asStreamingOverwrite (SparkWrite.java:181-186)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new graft.streaming.GraftStreamingWrite(path, info.schema(), info.queryId())
+          new graft.streaming.GraftStreamingWrite(path, info.schema(), info.queryId(),
+            overwrite = mode == 1)
       }
     }
 }

@@ -694,7 +694,7 @@ object Snapshots {
     * the foreachBatch sink and the DSv2 sink share dedup state.
     */
   def commitStreamEpoch(spark: SparkSession, path: String, token: String,
-      epochId: Long, files: Seq[String]): Int = withCommitRetry() {
+      epochId: Long, files: Seq[String], overwrite: Boolean = false): Int = withCommitRetry() {
     val key = s"stream.$token.lastCommittedBatchId"
     val rs = refsState(path)
     val head = rs.mainHead(path)
@@ -702,6 +702,13 @@ object Snapshots {
     if (epochId <= props.get(key).map(_.toLong).getOrElse(-1L)) {
       files.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
       head
+    } else if (overwrite) {
+      // complete-mode epoch (the reference's `asStreamingOverwrite`,
+      // SparkWrite.java:181-186): the epoch's files REPLACE the table —
+      // delete state clears with the rows it applied to; the high-water
+      // mark still advances in the same snapshot (replay-safe)
+      publish(path, rs, statsFor(spark, path, files),
+        props = props + (key -> epochId.toString))
     } else {
       val prior = if (head > 0) readManifest(path, Some(head)) else Nil
       publish(path, rs, prior ++ statsFor(spark, path, files),

@@ -142,8 +142,8 @@ object GraftWriters {
   * sink, keyed by the STABLE streaming query id (persisted in the
   * checkpoint, unchanged across restarts).
   */
-class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
-    extends StreamingWrite {
+class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
+    overwrite: Boolean = false) extends StreamingWrite {
 
   private def spark = SparkSession.active
 
@@ -166,7 +166,7 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String)
       case None => files
     }
     Snapshots.commitStreamEpoch(spark, path,
-      GeoStreams.streamToken(queryId), epochId, stamped)
+      GeoStreams.streamToken(queryId), epochId, stamped, overwrite = overwrite)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
