@@ -38,6 +38,22 @@ object GeoQueries {
       | (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS y
       |FROM customer""".stripMargin
 
+  /** Scratch table dir with a FIXED name per input dir, wiped before
+    * reuse: these fixtures grow a version chain per invocation, so a
+    * stale dir would double-append — but a UUID name would leak one
+    * orphan dir per correctness/bench run (round-7 advisor finding).
+    */
+  private def freshScratch(tag: String, dir: String): String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+    if (f.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    f.getAbsolutePath
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ST_Intersects(point, envelope) — the reference's flagship predicate.
     "geo_envelope_filter" -> ((s, dir) => {
@@ -141,8 +157,7 @@ object GeoQueries {
     // through the same DSv2 pushdown/pruning machinery as a full read
     "geo_incremental_read" -> ((s, dir) => {
       import graft.spatial.{GeoTable, Snapshots}
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_incrtable_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+      val path = freshScratch("incrtable", dir)
       val p = pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom"))
       GeoTable.write(p.filter(col("c_custkey") % 2 === 0), path, "geom",
         res = 10, numFiles = 2)
@@ -195,8 +210,7 @@ object GeoQueries {
     // deterministic columns only (version + record_count)
     "geo_snapshots_meta" -> ((s, dir) => {
       import graft.spatial.{GeoTable, Snapshots}
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_snapmeta_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+      val path = freshScratch("snapmeta", dir)
       val base = pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom"))
       GeoTable.write(base, path, "geom", res = 10, numFiles = 4)
       Snapshots.append(
@@ -221,8 +235,7 @@ object GeoQueries {
     // schema evolution end-to-end: rename columns, read under new names
     "geo_evolved_read" -> ((s, dir) => {
       import graft.spatial.{GeoTable, Snapshots, TableSchema}
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_evotable_${java.util.UUID.randomUUID().toString.take(8)}").getAbsolutePath
+      val path = freshScratch("evotable", dir)
       GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
         path, "geom", res = 10, numFiles = 2)
       TableSchema.renameColumn(s, path, "x", "lon")

@@ -92,6 +92,14 @@ class GraftSource extends RelationProvider with DataSourceRegister
     Geo.install(spark)
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
+    // the V1 relation has no incremental planning: fail loudly instead of
+    // serving the FULL table where the V2 path serves only the window
+    val incr = parameters.keys.map(_.toLowerCase)
+      .filter(Set("start-version", "start-snapshot-id", "start-timestamp",
+        "end-version", "end-snapshot-id", "end-timestamp"))
+    if (incr.nonEmpty) throw new IllegalArgumentException(
+      s"incremental read options (${incr.mkString(", ")}) are not supported on the " +
+        "V1 fallback path (spark.sql.sources.useV1SourceList=graft)")
     parameters.get("metadata") match {
       case Some(name) =>
         // metadata tables are O(#files) driver-side rows — a TableScan

@@ -241,6 +241,14 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   private val startVersion: Option[Int] =
     opt("start-version").orElse(opt("start-snapshot-id")).map(_.toInt)
       .orElse(opt("start-timestamp").map(tsVersion))
+  // the reference's SparkScanBuilder posture: incremental options never
+  // combine with table-level time travel — the files would be planned
+  // along MAIN's ancestry while schema/delete state came from the
+  // traveled version, silently mixing histories
+  require(startVersion.isEmpty || version.isEmpty,
+    "incremental read options (start-version / start-snapshot-id / start-timestamp) " +
+      "cannot be combined with VERSION/TIMESTAMP AS OF or version/ref/branch/tag; " +
+      "bound the window with end-version / end-snapshot-id / end-timestamp instead")
   /** Scan-effective snapshot: an explicit end bound wins over the
     * table-level time travel (`version`/`ref` options, `VERSION AS OF`).
     */
@@ -907,6 +915,24 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, version))
   private lazy val posCov: Map[String, Seq[DeleteFileRef]] =
     DeleteFiles.posCoverage(spark, path, posRefs)
+  /** Fallback coverage index by PATH SUFFIX, built once per planning: a
+    * legacy delete file can record a differently-rooted absolute path, so
+    * a primary-key miss used to scan the whole coverage map per planned
+    * file (O(files × delete files) driver string work). Every '/'-suffix
+    * of every covered path is indexed instead — one pass over the map.
+    */
+  private lazy val posCovBySuffix: Map[String, Seq[DeleteFileRef]] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Seq[DeleteFileRef]]
+    posCov.foreach { case (k, v) =>
+      var i = k.indexOf('/')
+      while (i >= 0) {
+        val suf = k.substring(i + 1)
+        if (suf.nonEmpty && !m.contains(suf)) m(suf) = v
+        i = k.indexOf('/', i + 1)
+      }
+    }
+    m.toMap
+  }
   private lazy val eqSpecs: Seq[EqDeleteSpec] = {
     val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
     eqDeletes.flatMap { e =>
@@ -945,7 +971,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
         val rel = fstat.map(_.path).getOrElse(abs)
         val addedV = fstat.map(_.addedV).getOrElse(Int.MaxValue)
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
-          posCov.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }.getOrElse(Nil))
+          posCovBySuffix.getOrElse(rel, Nil))
         val eqs = eqSpecs.filter(s => addedV < s.seq)
         TaskPlanner.Item(
           PartitionedFile(dir.values,

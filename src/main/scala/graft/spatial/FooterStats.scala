@@ -66,8 +66,9 @@ object FooterStats {
             case Some(_) => // already poisoned
             case None if st0.exists(st => !st.isEmpty && !st.hasNonNullValue) =>
               // all-null so far: legitimate absence of bounds, not poison —
-              // unless another row group later contributes real bounds,
-              // the entry stays null (handled by merge's null passthrough)
+              // a later row group's real bounds REPLACE the null
+              // placeholder (merge treats a null prev like None), since
+              // all-null groups contribute no values to min/max
               if (!mins.contains(key)) { mins(key) = null; maxs(key) = null }
             case None =>
               // one stat-less row group poisons the whole file's entry

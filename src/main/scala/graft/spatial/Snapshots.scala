@@ -1976,19 +1976,62 @@ object Snapshots {
     * additions rematerialize already-consumed rows. Walks the STAMPED
     * parent chain, so interleaved branch commits never contribute.
     */
+  // Per-edge append-delta memo for incremental scans: manifests are
+  // immutable and version numbers never reused, so the delta of a
+  // (parent → child) ancestry edge — files added, whether anything was
+  // removed — is computed from the two manifests ONCE ever and replayed
+  // from the memo after. A long-chain incremental scan is then
+  // O(versions in range) after first touch, not O(versions × files) of
+  // path-set building on every planning. Keyed with the child manifest's
+  // (size, mtime) like the parse memo, so out-of-band edits invalidate.
+  private object DeltaCache {
+    private val MaxEntries = 4096
+    private val map =
+      new java.util.LinkedHashMap[(String, Int, Int, Long, Long), (Seq[FileStats], Boolean)](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int, Int, Long, Long), (Seq[FileStats], Boolean)]) =
+          size() > MaxEntries
+      }
+    def get(k: (String, Int, Int, Long, Long)): (Seq[FileStats], Boolean) =
+      synchronized { map.get(k) }
+    def put(k: (String, Int, Int, Long, Long), v: (Seq[FileStats], Boolean)): Unit =
+      synchronized { map.put(k, v); () }
+  }
+
+  /** (files `v` added vs `prevV`, did `v` remove anything) — memoized. */
+  private def appendDelta(path: String, prevV: Int, v: Int): (Seq[FileStats], Boolean) = {
+    val mp = manifestPath(path, v)
+    val key = try {
+      (path, prevV, v, Files.size(mp), Files.getLastModifiedTime(mp).toMillis)
+    } catch { case _: java.io.IOException => (path, prevV, v, -1L, -1L) }
+    val cached = DeltaCache.get(key)
+    if (cached != null) return cached
+    val prev = readManifest(path, Some(prevV)).map(_.path).toSet
+    val m = readManifest(path, Some(v))
+    val removedAny = {
+      var missing = false
+      val names = m.map(_.path).toSet
+      val it = prev.iterator
+      while (!missing && it.hasNext) missing = !names(it.next())
+      missing
+    }
+    val out = (m.filterNot(f => prev(f.path)), removedAny)
+    DeltaCache.put(key, out)
+    out
+  }
+
   def enteredBetween(path: String, fromV: Int, toV: Int): Seq[FileStats] = {
     require(fromV <= toV, s"start version $fromV is after end version $toV")
     if (fromV == toV) return Nil
     val anc = ancestry(path, toV)
     require(anc.contains(fromV),
       s"version $fromV is not an ancestor of version $toV (expired, or another ref's history)")
-    var prev = readManifest(path, Some(fromV)).map(_.path).toSet
     val out = Seq.newBuilder[FileStats]
-    anc.dropWhile(_ != fromV).tail.foreach { v =>
-      val m = readManifest(path, Some(v))
-      val names = m.map(_.path).toSet
-      if ((prev -- names).isEmpty) out ++= m.filterNot(f => prev(f.path))
-      prev = names
+    val range = anc.dropWhile(_ != fromV)
+    range.lazyZip(range.tail).foreach { (prevV, v) =>
+      val (added, removedAny) = appendDelta(path, prevV, v)
+      if (!removedAny) out ++= added
     }
     out.result()
   }

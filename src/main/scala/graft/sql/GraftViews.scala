@@ -31,29 +31,48 @@ object GraftViews {
 
   val ViewFileName = "_graft_view.json"
 
+  // parenthesized groups are QUOTE-AWARE: `[^)']` or a complete
+  // ''-escaped quoted string — a property value or column comment
+  // containing ')' or ',' parses instead of silently falling through to
+  // Spark's parser (round-7 advisor finding)
+  private val Paren = """(?:[^)']|'(?:[^']|'')*')*"""
+
   private val CreateViewRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)""" +
-      """\s*(\([^)]*\))?""" + // optional column list: (a, b COMMENT 'x')
+      s"""\\s*(\\($Paren\\))?""" + // optional column list: (a, b COMMENT 'x')
       """\s*(?:COMMENT\s+'((?:[^']|'')*)')?""" + // optional view comment
-      """\s*(?:TBLPROPERTIES\s*\(([^)]*)\))?""" + // optional ('k'='v', …)
+      s"""\\s*(?:TBLPROPERTIES\\s*\\(($Paren)\\))?""" + // optional ('k'='v', …)
       """\s+AS\s+(.+?)\s*$""").r
+
+  /** Split on top-level commas, quotes respected. */
+  private def splitQuoteAware(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '\'' => inQ = !inQ; cur += '\''
+      case ',' if !inQ => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty || s.trim.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** `a, b COMMENT 'doc'` → `(name, per-column comment)` pairs. */
   private def parseColList(s: String): Seq[(String, Option[String])] =
-    s.stripPrefix("(").stripSuffix(")").split(',').toSeq
-      .map(_.trim).filter(_.nonEmpty).map { c =>
-        val m = """(?is)^(\w+)(?:\s+COMMENT\s+'((?:[^']|'')*)')?$""".r
-        c match {
-          case m(n, cm) => (n, Option(cm).map(_.replace("''", "'")))
-          case other => throw new IllegalArgumentException(
-            s"bad view column spec: $other")
-        }
+    splitQuoteAware(s.stripPrefix("(").stripSuffix(")")).map { c =>
+      val m = """(?is)^(\w+)(?:\s+COMMENT\s+'((?:[^']|'')*)')?$""".r
+      c match {
+        case m(n, cm) => (n, Option(cm).map(_.replace("''", "'")))
+        case other => throw new IllegalArgumentException(
+          s"bad view column spec: $other")
       }
+    }
 
   /** `'k' = 'v', 'k2'='v2'` → map (the TBLPROPERTIES body). */
   private def parseProps(s: String): Map[String, String] = {
     val Pair = """(?s)^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$""".r
-    s.split(',').toSeq.map(_.trim).filter(_.nonEmpty).map {
+    splitQuoteAware(s).map {
       case Pair(k, v) => k.replace("''", "'") -> v.replace("''", "'")
       case other => throw new IllegalArgumentException(
         s"bad TBLPROPERTIES entry: $other")
@@ -66,9 +85,11 @@ object GraftViews {
   private val RenameViewRe =
     """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$""".r
   private val SetViewPropsRe =
-    """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.]+)\\s+SET\\s+TBLPROPERTIES\\s*""" +
+      s"""\\(($Paren)\\)\\s*$$""").r
   private val UnsetViewPropsRe =
-    """(?is)^\s*ALTER\s+VIEW\s+([\w.]+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([^)]*)\)\s*$""".r
+    (s"""(?is)^\\s*ALTER\\s+VIEW\\s+([\\w.]+)\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
+      s"""(?:IF\\s+EXISTS\\s*)?\\(($Paren)\\)\\s*$$""").r
 
   private def spark: Option[SparkSession] = SparkSession.getActiveSession
 

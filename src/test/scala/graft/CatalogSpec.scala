@@ -567,6 +567,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(v.properties().get("tier") == "gold")
     assert(v.properties().get("comment") == "a documented view")
     assert(v.schema().fieldNames.toSeq == Seq("key", "twice"))
+    // quote-aware parsing: ')' and ',' inside quoted values must not
+    // truncate the parenthesized groups or split entries (r7 advisor)
+    spark.sql(
+      """CREATE VIEW gcat.vddl.tricky (key COMMENT 'id, the (primary) one', twice)
+        |TBLPROPERTIES ('note' = 'contains ) and , chars')
+        |AS SELECT id, dbl FROM gcat.vddl.src""".stripMargin)
+    val tv = cat.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("vddl"), "tricky"))
+    assert(tv.properties().get("note") == "contains ) and , chars")
+    assert(tv.columnComments().toSeq.headOption.contains("id, the (primary) one"))
+    spark.sql("ALTER VIEW gcat.vddl.tricky SET TBLPROPERTIES ('note' = 'a)b,c')")
+    assert(cat.loadView(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("vddl"), "tricky")).properties().get("note") == "a)b,c")
     // a wrong-arity column list fails at definition time
     val err = intercept[Exception] {
       spark.sql("CREATE VIEW gcat.vddl.bad (only_one) AS SELECT id, dbl FROM gcat.vddl.src")

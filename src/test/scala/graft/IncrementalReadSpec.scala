@@ -111,4 +111,39 @@ class IncrementalReadSpec extends AnyFunSuite {
     }
     assert(err.getMessage != null)
   }
+
+  test("incremental options reject time-travel combos and the V1 fallback path") {
+    val dir = newTable()
+    // combining with table-level time travel would mix histories: files
+    // planned along main's ancestry, schema/deletes from the traveled
+    // version — the reference rejects the combination, so do we
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .option("start-version", 1).option("version", 2).load(dir).collect()
+    }
+    assert(e.getMessage.contains("cannot be combined"))
+    // the V1 fallback has no incremental planning: loud failure, never a
+    // silent full-table superset
+    spark.conf.set("spark.sql.sources.useV1SourceList", "graft")
+    try {
+      val e2 = intercept[Exception] {
+        spark.read.format("graft").option("start-version", 1).load(dir).collect()
+      }
+      assert(e2.getMessage.contains("V1 fallback"))
+    } finally spark.conf.unset("spark.sql.sources.useV1SourceList")
+  }
+
+  test("repeat incremental scans replay memoized deltas: zero re-parses") {
+    val dir = newTable()
+    (0 until 8).foreach(k => Snapshots.append(mkDf(300 + k * 10 until 305 + k * 10), dir))
+    val head = Snapshots.mainVersion(dir)
+    // warm: first walk parses what it needs and memoizes per-edge deltas
+    val first = Snapshots.enteredBetween(dir, 1, head)
+    val parses = Snapshots.manifestParseCount.get()
+    // repeat walks (and a sub-range) serve entirely from the memos
+    assert(Snapshots.enteredBetween(dir, 1, head).map(_.path) == first.map(_.path))
+    Snapshots.enteredBetween(dir, 3, head)
+    assert(Snapshots.manifestParseCount.get() == parses,
+      "repeated incremental planning must not re-parse any manifest")
+  }
 }
