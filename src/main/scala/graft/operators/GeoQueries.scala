@@ -280,6 +280,26 @@ object GeoQueries {
                |WHERE x >= -50 AND x <= 50 AND y >= -30 AND y <= 30""".stripMargin)
     }),
 
+    // dynamic partition overwrite end-to-end through the DSv2 batch write
+    // (the reference's asDynamicOverwrite): seed 3 identity partitions,
+    // overwritePartitions() replaces exactly the one the incoming rows
+    // land in, untouched partitions serve their original files
+    "geo_dynamic_overwrite" -> ((s, dir) => {
+      val wh = freshScratch("dynowh", dir)
+      val cat = s"gdyn_${Integer.toHexString(dir.hashCode)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      s.sql(s"CREATE TABLE $cat.db.dyn (c_custkey BIGINT, x DOUBLE, y DOUBLE, p INT) " +
+        "PARTITIONED BY (p)")
+      val base = pts(s, dir).select(col("c_custkey").cast("bigint").as("c_custkey"),
+        col("x"), col("y"), (col("c_custkey") % 3).cast("int").as("p"))
+      base.writeTo(s"$cat.db.dyn").append()
+      base.filter(col("p") === 1).withColumn("x", col("x") + 1000.0)
+        .writeTo(s"$cat.db.dyn").overwritePartitions()
+      s.sql(s"SELECT c_custkey, x, y, p FROM $cat.db.dyn")
+    }),
+
     // hilbert clustering key (no SQL oracle — locality is property-tested;
     // driver rows-only check keeps it deterministic)
     "geo_hilbert_index" -> ((s, dir) => {
@@ -324,6 +344,12 @@ object GeoQueries {
     "geo_incremental_read" ->
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
          |WHERE c_custkey % 2 = 1""".stripMargin,
+
+    "geo_dynamic_overwrite" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         | CASE WHEN c_custkey % 3 = 1 THEN x + 1000.0 ELSE x END AS x,
+         | y, CAST(c_custkey % 3 AS INTEGER) AS p
+         |FROM ($ptsSql)""".stripMargin,
 
     "geo_format_read" ->
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
