@@ -119,9 +119,13 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     * head only — main-line readers stay isolated until `fast_forward`.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // SupportsStreamingUpdateAsAppend: update-mode streaming queries write
+    // their changed rows as per-epoch appends — the reference's
+    // SparkWriteBuilder implements the same (internal) marker
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate
         with org.apache.spark.sql.connector.write.SupportsOverwrite
-        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       // 0 = append, 1 = truncate (full overwrite), 2 = filter overwrite,
       // 3 = dynamic partition overwrite — V2Writes calls exactly one of
       // the mode setters before build(), matching the reference's

@@ -307,6 +307,25 @@ object Snapshots {
       (rs.branches, rs.tags - name)
     }
 
+  /** `[CREATE OR] REPLACE BRANCH/TAG` — move (or create) the ref in one
+    * CAS; a name registered as the OTHER ref kind is rejected, and plain
+    * REPLACE (`mustExist`) refuses to create.
+    */
+  def replaceRef(path: String, name: String, version: Option[Int],
+      branch: Boolean, mustExist: Boolean): Unit =
+    updateRefs(path) { rs =>
+      require(name != "main" || branch, "main is a branch")
+      if (branch) {
+        require(!rs.tags.contains(name), s"ref is a tag: $name")
+        require(!mustExist || rs.branches.contains(name), s"no such branch: $name")
+        (rs.branches + (name -> version.getOrElse(rs.mainHead(path))), rs.tags)
+      } else {
+        require(!rs.branches.contains(name), s"ref is a branch: $name")
+        require(!mustExist || rs.tags.contains(name), s"no such tag: $name")
+        (rs.branches, rs.tags + (name -> version.getOrElse(rs.mainHead(path))))
+      }
+    }
+
   /** Per-ref retention policy (`CREATE BRANCH b RETAIN n DAYS [WITH
     * SNAPSHOT RETENTION k SNAPSHOTS]`, ref `IcebergSqlExtensions.g4:110,118`
     * and `SnapshotRef`'s maxRefAgeMs / minSnapshotsToKeep): stored as
@@ -316,12 +335,13 @@ object Snapshots {
     * only its retained ancestry window.
     */
   def setRefRetention(path: String, name: String, retainMs: Option[Long],
-      minSnapshotsKeep: Option[Int]): Unit =
-    if (retainMs.isDefined || minSnapshotsKeep.isDefined) {
+      minSnapshotsKeep: Option[Int], maxSnapshotAgeMs: Option[Long] = None): Unit =
+    if (retainMs.isDefined || minSnapshotsKeep.isDefined || maxSnapshotAgeMs.isDefined) {
       updateProperties(path,
         Map(s"ref.$name.created-at-ms" -> System.currentTimeMillis().toString) ++
           retainMs.map(ms => s"ref.$name.retain-ms" -> ms.toString) ++
-          minSnapshotsKeep.map(k => s"ref.$name.min-snapshots-keep" -> k.toString))
+          minSnapshotsKeep.map(k => s"ref.$name.min-snapshots-keep" -> k.toString) ++
+          maxSnapshotAgeMs.map(ms => s"ref.$name.max-snapshot-age-ms" -> ms.toString))
       ()
     }
 
@@ -2321,12 +2341,19 @@ object Snapshots {
       .getOrElse(Nil)
     val mainKeep = mainAnc.takeRight(keep) ++ byAge
     // branches with a declared snapshot-retention window keep that many
-    // ancestry snapshots, not just their head
+    // ancestry snapshots (and/or everything younger than the declared
+    // max snapshot age), not just their head
     val props = if (cur > 0) readProps(path) else Map.empty[String, String]
+    val nowMs = System.currentTimeMillis()
     val branchAnc = bs.filterNot(_._1 == "main").flatMap { case (b, v) =>
-      props.get(s"ref.$b.min-snapshots-keep").map(_.toInt) match {
-        case Some(k) if k > 1 => ancestry(path, v).takeRight(k)
-        case _ => Nil
+      val k = props.get(s"ref.$b.min-snapshots-keep").map(_.toInt)
+      val age = props.get(s"ref.$b.max-snapshot-age-ms").map(_.toLong)
+      if (k.forall(_ <= 1) && age.isEmpty) Nil
+      else {
+        val chain = ancestry(path, v)
+        chain.takeRight(k.getOrElse(1)) ++
+          age.map(ms => chain.filter(x => commitTimeMillis(path, x) >= nowMs - ms))
+            .getOrElse(Nil)
       }
     }
     val keepVersions = (mainKeep.toSet ++ bs.values ++ ts.values ++ branchAnc)

@@ -50,12 +50,13 @@ object GraftStatements {
   private val FieldRe = """(?is)^\s*([\w.`]+)\s+AS\s+'([^']*)'\s*$""".r
   private val CallRe = """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*$""".r
   private val CreateRefRe =
-    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+CREATE\s+(BRANCH|TAG)\s+(\w+)""" +
+    ("""(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+(CREATE\s+OR\s+REPLACE|CREATE|REPLACE)\s+""" +
+      """(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
       """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?""" +
-      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+(\d+)\s+SNAPSHOTS)?\s*$""").r
+      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION(?:\s+(\d+)\s+SNAPSHOTS)?(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?)?\s*$""").r
   private val DropRefRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(\w+)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*$""".r
   // declared write order (ref writeSpec / WRITE ORDERED BY in
   // IcebergSqlExtensions.g4; stored as the write.order table property)
   private val WriteOrderRe =
@@ -71,11 +72,11 @@ object GraftStatements {
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+IDENTIFIER\s+FIELDS\s+(.+?)\s*$""".r
   // partition-spec evolution (ref IcebergSqlExtensions.g4:69-83)
   private val AddPartFieldRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*$""".r
   private val DropPartFieldRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$""".r
   private val ReplacePartFieldRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+REPLACE\s+PARTITION\s+FIELD\s+(.+?)\s+WITH\s+(.+?)(?:\s+AS\s+(\w+))?\s*$""".r
 
   // row-level DML on quoted PATH tables (a quoted string is never a valid
   // table name for Spark's parser) — or on MULTIPART IDENTIFIERS that
@@ -215,25 +216,34 @@ object GraftStatements {
     case DropIdFieldsRe(tbl, cols) =>
       Some(IdentifierFieldsCommand(resolveTable(tbl),
         splitTopLevel(cols).map(stripQuotes), drop = true))
-    case ReplacePartFieldRe(tbl, oldSpec, newSpec) =>
+    case ReplacePartFieldRe(tbl, oldSpec, newSpec, asName) =>
       Some(PartitionFieldCommand(resolveTable(tbl),
-        add = Seq(normSpec(newSpec)), drop = Seq(normSpec(oldSpec))))
-    case AddPartFieldRe(tbl, spec) =>
-      Some(PartitionFieldCommand(resolveTable(tbl), add = Seq(normSpec(spec))))
+        add = Seq(namedSpec(normSpec(newSpec), Option(asName))),
+        drop = Seq(normSpec(oldSpec))))
+    case AddPartFieldRe(tbl, spec, asName) =>
+      Some(PartitionFieldCommand(resolveTable(tbl),
+        add = Seq(namedSpec(normSpec(spec), Option(asName)))))
     case DropPartFieldRe(tbl, spec) =>
       Some(PartitionFieldCommand(resolveTable(tbl), drop = Seq(normSpec(spec))))
-    case CreateRefRe(tbl, kind, name, version, retainN, retainUnit, minSnaps) =>
-      val unitMs = Option(retainUnit).map(_.toUpperCase match {
+    case CreateRefRe(tbl, verb, kind, ifNotExists, name, version, retainN, retainUnit,
+        minSnaps, ageN, ageUnit) =>
+      def ms(unit: String): Long = unit.toUpperCase match {
         case "DAYS" => 86400000L
         case "HOURS" => 3600000L
         case _ => 60000L
-      })
+      }
+      val v = verb.toUpperCase.replaceAll("\\s+", " ")
       Some(RefCommand(resolveTable(tbl), s"create_${kind.toLowerCase}", name,
         Option(version).map(_.toInt),
-        retainMs = Option(retainN).map(n => n.toLong * unitMs.get),
-        minSnapshotsKeep = Option(minSnaps).map(_.toInt)))
-    case DropRefRe(tbl, kind, name) =>
-      Some(RefCommand(resolveTable(tbl), s"drop_${kind.toLowerCase}", name, None))
+        retainMs = Option(retainN).map(n => n.toLong * ms(retainUnit)),
+        minSnapshotsKeep = Option(minSnaps).map(_.toInt),
+        maxSnapshotAgeMs = Option(ageN).map(n => n.toLong * ms(ageUnit)),
+        replace = v != "CREATE",
+        orCreate = v != "REPLACE",
+        ifNotExists = ifNotExists != null))
+    case DropRefRe(tbl, kind, ifExists, name) =>
+      Some(RefCommand(resolveTable(tbl), s"drop_${kind.toLowerCase}", name, None,
+        ifExists = ifExists != null))
     case CallRe(proc, argList) =>
       val (pos, named) = parseArgs(splitTopLevel(argList))
       Some(CallProcedureCommand(proc.toLowerCase, pos, named))
@@ -252,6 +262,22 @@ object GraftStatements {
   /** Iceberg grammar accepts plural transform names (`years(ts)`). */
   private def normSpec(spec: String): String =
     spec.trim.replaceAll("(?i)^(year|month|day)s\\s*\\(", "$1(")
+
+  /** `ADD PARTITION FIELD bucket(4, id) AS shard` (ref grammar's
+    * `AS name=identifier`): the explicit name becomes the derived
+    * directory column. Only bucket/truncate carry custom names — the
+    * other transforms derive fixed directory columns.
+    */
+  private def namedSpec(spec: String, as: Option[String]): String = as match {
+    case None => spec
+    case Some(n) => graft.spatial.Transforms.parse(spec) match {
+      case b: graft.spatial.Transforms.Bucket => b.copy(name = Some(n)).spec
+      case t: graft.spatial.Transforms.Truncate => t.copy(name = Some(n)).spec
+      case other => throw new IllegalArgumentException(
+        s"AS $n: only bucket/truncate partition fields accept an explicit name " +
+          s"(got ${other.spec})")
+    }
+  }
 
   private def stripQuotes(s: String): String = {
     val t = s.trim
@@ -402,27 +428,48 @@ case class PartitionFieldCommand(path: String, add: Seq[String] = Nil,
     Seq(Row(Snapshots.evolvePartitionSpec(path, add, drop).toLong))
 }
 
-/** `ALTER TABLE t CREATE|DROP BRANCH|TAG name [AS OF VERSION n]
-  * [RETAIN n DAYS|HOURS|MINUTES] [WITH SNAPSHOT RETENTION k SNAPSHOTS]` —
-  * the reference's ref DDL (`IcebergSqlExtensions.g4:110,118`
-  * createReplaceBranchClause / createReplaceTagClause incl. the retention
-  * clauses). Retention stores per-ref ([[Snapshots.setRefRetention]]) and
-  * is honored by `expire_snapshots`.
+/** `ALTER TABLE t (CREATE [OR REPLACE]|REPLACE) BRANCH|TAG [IF NOT
+  * EXISTS] name [AS OF VERSION n] [RETAIN n DAYS|HOURS|MINUTES]
+  * [WITH SNAPSHOT RETENTION [k SNAPSHOTS] [n DAYS|HOURS|MINUTES]]` and
+  * `DROP BRANCH|TAG [IF EXISTS] name` — the reference's ref DDL
+  * (`IcebergSqlExtensions.g4:85-120` createReplaceBranchClause /
+  * createReplaceTagClause incl. every retention clause shape). Retention
+  * stores per-ref ([[Snapshots.setRefRetention]]) and is honored by
+  * `expire_snapshots`.
   */
 case class RefCommand(path: String, op: String, name: String, version: Option[Int],
-    retainMs: Option[Long] = None, minSnapshotsKeep: Option[Int] = None)
+    retainMs: Option[Long] = None, minSnapshotsKeep: Option[Int] = None,
+    maxSnapshotAgeMs: Option[Long] = None, replace: Boolean = false,
+    orCreate: Boolean = true, ifNotExists: Boolean = false, ifExists: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val isBranch = op.endsWith("branch")
+    if (!isBranch)
+      require(minSnapshotsKeep.isEmpty && maxSnapshotAgeMs.isEmpty,
+        "SNAPSHOT RETENTION applies to branches only")
     op match {
-      case "create_branch" =>
-        Snapshots.createBranch(path, name, version)
-        Snapshots.setRefRetention(path, name, retainMs, minSnapshotsKeep)
-      case "create_tag" =>
-        require(minSnapshotsKeep.isEmpty, "SNAPSHOT RETENTION applies to branches only")
-        Snapshots.createTag(path, name, version)
-        Snapshots.setRefRetention(path, name, retainMs, None)
-      case "drop_branch" => Snapshots.dropBranch(path, name)
-      case "drop_tag" => Snapshots.dropTag(path, name)
+      case "create_branch" | "create_tag" =>
+        val exists = {
+          val (bs, ts) = Snapshots.readRefs(path)
+          bs.contains(name) || ts.contains(name)
+        }
+        if (exists && ifNotExists) () // IF NOT EXISTS: silent no-op
+        else {
+          if (replace)
+            Snapshots.replaceRef(path, name, version, branch = isBranch,
+              mustExist = !orCreate)
+          else if (isBranch) Snapshots.createBranch(path, name, version)
+          else Snapshots.createTag(path, name, version)
+          Snapshots.setRefRetention(path, name, retainMs,
+            if (isBranch) minSnapshotsKeep else None,
+            if (isBranch) maxSnapshotAgeMs else None)
+        }
+      case "drop_branch" | "drop_tag" =>
+        val (bs, ts) = Snapshots.readRefs(path)
+        val exists = if (isBranch) bs.contains(name) else ts.contains(name)
+        if (!exists && ifExists) () // IF EXISTS: silent no-op
+        else if (isBranch) Snapshots.dropBranch(path, name)
+        else Snapshots.dropTag(path, name)
     }
     Seq.empty
   }

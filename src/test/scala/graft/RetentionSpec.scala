@@ -68,6 +68,73 @@ class RetentionSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir, Some(devHead)).count() == 4)
   }
 
+  test("CREATE OR REPLACE / REPLACE / IF NOT EXISTS / DROP IF EXISTS ref forms") {
+    val dir = mkTable("forms")
+    import spark.implicits._
+    spark.sql(s"ALTER TABLE '$dir' CREATE TAG v1")
+    val v1 = Snapshots.resolveRef(dir, "v1")
+    Snapshots.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    // plain CREATE refuses an existing name; IF NOT EXISTS no-ops
+    intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' CREATE TAG v1") }
+    spark.sql(s"ALTER TABLE '$dir' CREATE TAG IF NOT EXISTS v1")
+    assert(Snapshots.resolveRef(dir, "v1") == v1, "IF NOT EXISTS must not move the tag")
+    // CREATE OR REPLACE moves it to the new head
+    spark.sql(s"ALTER TABLE '$dir' CREATE OR REPLACE TAG v1")
+    assert(Snapshots.resolveRef(dir, "v1") == Snapshots.mainVersion(dir))
+    // plain REPLACE requires existence
+    intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' REPLACE BRANCH nope") }
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH dev AS OF VERSION $v1")
+    spark.sql(s"ALTER TABLE '$dir' REPLACE BRANCH dev")
+    assert(Snapshots.resolveRef(dir, "dev") == Snapshots.mainVersion(dir))
+    // a branch name cannot be REPLACEd as a tag
+    intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' CREATE OR REPLACE TAG dev") }
+    // DROP IF EXISTS no-ops on a missing ref; plain DROP errors
+    spark.sql(s"ALTER TABLE '$dir' DROP TAG IF EXISTS ghost")
+    intercept[Exception] { spark.sql(s"ALTER TABLE '$dir' DROP TAG ghost") }
+    spark.sql(s"ALTER TABLE '$dir' DROP BRANCH IF EXISTS dev")
+    assert(!Snapshots.readRefs(dir)._1.contains("dev"))
+  }
+
+  test("WITH SNAPSHOT RETENTION age and combined forms; age window honored by expire") {
+    val dir = mkTable("age")
+    import spark.implicits._
+    spark.sql(
+      s"ALTER TABLE '$dir' CREATE BRANCH aged RETAIN 100 DAYS WITH SNAPSHOT RETENTION 1000 DAYS")
+    assert(Snapshots.readProps(dir).get("ref.aged.max-snapshot-age-ms")
+      .contains((1000L * 86400000L).toString))
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH both " +
+      "RETAIN 100 DAYS WITH SNAPSHOT RETENTION 2 SNAPSHOTS 1000 DAYS")
+    assert(Snapshots.readProps(dir).get("ref.both.min-snapshots-keep").contains("2"))
+    assert(Snapshots.readProps(dir).get("ref.both.max-snapshot-age-ms").isDefined)
+    // a 1000-day age window keeps the WHOLE young chain despite keep=1
+    (0 until 3).foreach(k =>
+      Snapshots.appendToBranch(Seq((10L + k, "x")).toDF("id", "v"), dir, "aged"))
+    val chain = Snapshots.ancestorsOf(dir, Snapshots.resolveRef(dir, "aged")).reverse
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    assert(chain.forall(v => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, s"_graft_manifest_v$v.json"))),
+      "age-retained branch ancestry must survive expire")
+  }
+
+  test("ADD/REPLACE PARTITION FIELD accepts AS <name> for bucket/truncate") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_ret_asname").toString
+    import spark.implicits._
+    (1L to 20L).map(i => (i, s"r$i")).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    graft.spatial.GeoTable.writeManifest(spark, dir)
+    spark.sql(s"ALTER TABLE '$dir' ADD PARTITION FIELD bucket(4, id) AS shard")
+    val specs = graft.spatial.GeoTable.readPartitionSpecs(dir)
+    assert(specs.exists(_.derivedName == "shard"), s"got ${specs.map(_.spec)}")
+    spark.sql(s"ALTER TABLE '$dir' REPLACE PARTITION FIELD bucket(4, id, shard) " +
+      "WITH bucket(8, id) AS shard8")
+    val specs2 = graft.spatial.GeoTable.readPartitionSpecs(dir)
+    assert(specs2.exists(_.derivedName == "shard8") && !specs2.exists(_.derivedName == "shard"))
+    // identity/date transforms refuse an explicit name
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$dir' ADD PARTITION FIELD days(id) AS d") }
+  }
+
   test("tags reject SNAPSHOT RETENTION; catalog identifiers resolve") {
     val dir = mkTable("neg")
     intercept[Exception] {
