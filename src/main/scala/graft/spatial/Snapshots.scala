@@ -1619,6 +1619,31 @@ object Snapshots {
     }
   }
 
+  /** Pair changelog delete+insert rows sharing the identifier columns
+    * into `update_before` / `update_after` — the reference's
+    * `create_changelog_view(identifier_columns => …)` /
+    * `ChangelogIterator.computeUpdates`. One hash shuffle on the
+    * identifier; unpaired rows keep their insert/delete tags.
+    */
+  def computeUpdates(changesDf: DataFrame, idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty, "computeUpdates needs identifier columns")
+    val missing = idCols.filterNot(changesDf.columns.contains)
+    require(missing.isEmpty, s"identifier column(s) not in changelog: ${missing.mkString(", ")}")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCols.map(col): _*)
+    changesDf
+      .withColumn("__del",
+        max(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+      .withColumn("__ins",
+        max(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col("__del") === 1 && col("__ins") === 1,
+          when(col("_change_type") === "delete", lit("update_before"))
+            .otherwise(lit("update_after")))
+          .otherwise(col("_change_type")))
+      .drop("__del", "__ins")
+  }
+
   /** Read a snapshot (default: current) through the pruning file index,
     * applying that snapshot's positional deletes and merge-on-read delete
     * predicates.

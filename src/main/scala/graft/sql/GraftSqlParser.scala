@@ -634,8 +634,23 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         Seq(Row(names.size.toLong, names.mkString(",")))
       case "create_changelog_view" =>
         val view = str(arg(3, "view"))
-        Snapshots.changes(spark, table, int(arg(1, "from_version")), int(arg(2, "to_version")))
-          .createOrReplaceTempView(view)
+        val base = Snapshots.changes(spark, table,
+          int(arg(1, "from_version")), int(arg(2, "to_version")))
+        // `identifier_columns => 'c1,c2'` (or `compute_updates => true`
+        // with declared IDENTIFIER FIELDS) pairs delete+insert rows into
+        // update_before/update_after — ref ChangelogIterator.computeUpdates
+        val idCols = named.get("identifier_columns")
+          .map(a => str(a).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .orElse(if (named.get("compute_updates").contains(true))
+            Some(Snapshots.identifierFields(table)) else None)
+        val out = idCols match {
+          case Some(cols) =>
+            require(cols.nonEmpty, "compute_updates needs identifier columns " +
+              "(identifier_columns => …, or ALTER TABLE … SET IDENTIFIER FIELDS)")
+            Snapshots.computeUpdates(base, cols)
+          case None => base
+        }
+        out.createOrReplaceTempView(view)
         Seq(Row(1L, s"view=$view"))
       case "rewrite_manifests" =>
         Seq(Row(Snapshots.rewriteManifests(spark, table).toLong, "new_version"))

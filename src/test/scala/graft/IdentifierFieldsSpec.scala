@@ -76,6 +76,40 @@ class IdentifierFieldsSpec extends AnyFunSuite {
     assert(k2s == Set(("z", 7.0)))
   }
 
+  test("create_changelog_view pairs updates on identifier columns") {
+    val dir = Files.createTempDirectory("graft_idf_cdc").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    graft.spatial.GeoTable.writeManifest(spark, dir)
+    val v1 = Snapshots.mainVersion(dir)
+    spark.sql(s"UPDATE '$dir' SET v = 'a2' WHERE id = 1")
+    val v2 = Snapshots.mainVersion(dir)
+
+    // explicit identifier_columns: delete+insert of id=1 pair into updates
+    spark.sql(s"CALL graft.system.create_changelog_view('$dir', $v1, $v2, 'cdc_v', " +
+      "identifier_columns => 'id')")
+    val rows = spark.sql("SELECT id, v, _change_type FROM cdc_v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "a", "update_before"), (1L, "a2", "update_after")),
+      s"got $rows")
+
+    // compute_updates => true reads the DECLARED identifier fields
+    spark.sql(s"ALTER TABLE '$dir' SET IDENTIFIER FIELDS id")
+    spark.sql(s"CALL graft.system.create_changelog_view('$dir', $v1, $v2, 'cdc_v2', " +
+      "compute_updates => true)")
+    val rows2 = spark.sql("SELECT _change_type FROM cdc_v2").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(rows2 == Seq("update_after", "update_before"))
+    // without a declaration and without columns, compute_updates refuses
+    val bare = Files.createTempDirectory("graft_idf_cdc2").toString
+    Seq((1L, "x")).toDF("id", "v").write.mode("overwrite").parquet(bare)
+    graft.spatial.GeoTable.writeManifest(spark, bare)
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.create_changelog_view('$bare', 1, 1, 'cdc_v3', " +
+        "compute_updates => true)")
+    }
+  }
+
   test("path-addressed DDL form works too") {
     val dir = Files.createTempDirectory("graft_idf_path").toString
     import spark.implicits._
