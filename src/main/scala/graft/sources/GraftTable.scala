@@ -254,9 +254,12 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
       "cannot be combined with VERSION/TIMESTAMP AS OF or version/ref/branch/tag; " +
       "bound the window with end-version / end-snapshot-id / end-timestamp instead")
   /** Scan-effective snapshot: an explicit end bound wins over the
-    * table-level time travel (`version`/`ref` options, `VERSION AS OF`).
+    * table-level time travel (`version`/`ref` options, `VERSION AS OF`);
+    * an unpinned scan under an active `spark.wap.branch`/`spark.wap.id`
+    * conf follows the session's audit branch (the reference's WAP reads).
     */
-  private val effVersion: Option[Int] = endVersion.orElse(version)
+  private val effVersion: Option[Int] =
+    endVersion.orElse(version).orElse(Snapshots.wapReadVersion(path))
   /** Incremental scans plan ONLY the files entering `(start, end]` —
     * including files a later rewrite removed from the end manifest (their
     * rows were already consumed as appended; the rewrite's own outputs

@@ -922,11 +922,49 @@ object Snapshots {
           c.fields ++ written.fields.filterNot(f => have(f.name))))
     }
 
+  // ---- session-scoped write-audit-publish (the reference's
+  // `spark.wap.id` / `spark.wap.branch` confs, gated on the
+  // `write.wap.enabled` table property): plain appends to a WAP-enabled
+  // table land on the session's audit branch (auto-created at main's
+  // head), reads of the table follow the branch while the conf is set,
+  // and `CALL graft.system.publish_changes(t, wap_id)` (or
+  // `fast_forward`) promotes the staged commits onto main.
+
+  /** Audit branch the session's WAP conf names for `path`, or None.
+    * Conf absence short-circuits before any metadata read. */
+  private[graft] def wapBranchFor(path: String): Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
+      s.conf.getOption("spark.wap.branch")
+        .orElse(s.conf.getOption("spark.wap.id").map(id => s"wap_$id"))
+        .filter(_ => currentVersion(path) > 0 &&
+          readProps(path).get("write.wap.enabled").exists(_.equalsIgnoreCase("true")))
+    }
+
+  /** Branch head the session's WAP conf points reads of `path` at (only
+    * once the branch exists — before the first staged write, reads serve
+    * main like the reference).
+    */
+  private[graft] def wapReadVersion(path: String): Option[Int] =
+    wapBranchFor(path).flatMap(b => refsState(path).branches.get(b))
+
   /** Append `df` as a new snapshot (new data files; old ones untouched).
     * `props` merge into the snapshot's property map (e.g. the streaming
     * sink's committed batch id — committed atomically WITH the data).
+    * Under an active WAP conf the append stages onto the audit branch
+    * instead of main (plain appends only: prop-carrying commits like the
+    * streaming high-water mark stay on their ref).
     */
-  def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty): Int = {
+  def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty): Int =
+    wapBranchFor(path).filter(_ => props.isEmpty) match {
+      case Some(b) =>
+        if (!refsState(path).branches.contains(b))
+          try createBranch(path, b)
+          catch { case _: IllegalArgumentException => () } // concurrent create: fine
+        appendToBranch(df, path, b)
+      case None => appendMain(df, path, props)
+    }
+
+  private def appendMain(df: DataFrame, path: String, props: Map[String, String]): Int = {
     val spark = df.sparkSession
     val (added, written) = writeBack(df, path) // exact attribution, outside retry
     val stats = statsFor(spark, path, added)
@@ -1649,14 +1687,16 @@ object Snapshots {
     * predicates.
     */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
-    val m = readManifest(path, version)
+    // an unpinned read under an active WAP conf follows the audit branch
+    val v = version.orElse(wapReadVersion(path))
+    val m = readManifest(path, v)
     GeoTable.applyDeletes(
       applyEqDeletes(spark, path,
         applyPosDeletes(spark, path,
           GeoTable.readWithStats(spark, path, m),
-          readPosDeletes(path, version)),
-        readEqDeletes(path, version), m),
-      readDeletes(path, version))
+          readPosDeletes(path, v)),
+        readEqDeletes(path, v), m),
+      readDeletes(path, v))
   }
 
   /** Changelog between two snapshots: row-level inserts/deletes with a

@@ -652,6 +652,29 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         }
         out.createOrReplaceTempView(view)
         Seq(Row(1L, s"view=$view"))
+      case "publish_changes" =>
+        // the reference's WAP publish (PublishChangesProcedure): promote
+        // the audit branch staged under `wap_id` onto main — fast-forward
+        // when main hasn't advanced, else cherry-pick each staged append
+        // in order — and drop the branch
+        val id = str(arg(1, "wap_id"))
+        val (bs, _) = Snapshots.readRefs(table)
+        val b = Seq(s"wap_$id", id).find(bs.contains).getOrElse(
+          throw new IllegalArgumentException(s"no staged WAP branch for id: $id"))
+        val bHead = Snapshots.resolveRef(table, b)
+        val mainV = Snapshots.mainVersion(table)
+        val nv =
+          if (Snapshots.ancestorsOf(table, bHead).contains(mainV)) {
+            Snapshots.fastForward(table, "main", bHead); bHead
+          } else {
+            val mainAnc = Snapshots.ancestorsOf(table, mainV).toSet
+            var v = mainV
+            Snapshots.ancestorsOf(table, bHead).filterNot(mainAnc).reverse
+              .foreach(sv => v = Snapshots.cherrypick(spark, table, sv))
+            v
+          }
+        Snapshots.dropBranch(table, b)
+        Seq(Row(nv.toLong, s"published=$b"))
       case "rewrite_manifests" =>
         Seq(Row(Snapshots.rewriteManifests(spark, table).toLong, "new_version"))
       case "ancestors_of" =>

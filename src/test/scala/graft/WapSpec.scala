@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spatial.Snapshots
+
+/** Session-scoped write-audit-publish — the reference's `spark.wap.id` /
+  * `spark.wap.branch` confs gated on `write.wap.enabled`, plus
+  * `CALL graft.system.publish_changes(t, wap_id)`
+  * (`PublishChangesProcedure` in /root/reference): appends stage on an
+  * audit branch, reads follow it only while the conf is set, publish
+  * promotes onto main and drops the branch.
+  */
+class WapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_wpub_wh").toString
+    spark.conf.set("spark.sql.catalog.wpubcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wpubcat.warehouse", wh)
+    wh
+  }
+
+  test("spark.wap.id stages appends; reads follow; publish_changes promotes") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.w (id BIGINT) TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO wpubcat.db.w VALUES (1), (2)") // conf unset: straight to main
+    val tbl = s"$warehouse/db/w"
+    assert(Snapshots.readRefs(tbl)._1.keySet == Set("main"))
+
+    spark.conf.set("spark.wap.id", "job1")
+    try {
+      spark.sql("INSERT INTO wpubcat.db.w VALUES (3)")
+      spark.sql("INSERT INTO wpubcat.db.w VALUES (4)")
+      // staged on the audit branch; session reads follow it
+      assert(Snapshots.readRefs(tbl)._1.contains("wap_job1"))
+      assert(spark.sql("SELECT count(*) FROM wpubcat.db.w").head.getLong(0) == 4)
+    } finally spark.conf.unset("spark.wap.id")
+    // conf unset: main is untouched by the staged writes
+    assert(spark.sql("SELECT count(*) FROM wpubcat.db.w").head.getLong(0) == 2)
+
+    // publish: both staged appends land on main, the branch drops
+    spark.sql(s"CALL graft.system.publish_changes('$tbl', 'job1')")
+    assert(spark.sql("SELECT id FROM wpubcat.db.w").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    assert(!Snapshots.readRefs(tbl)._1.contains("wap_job1"))
+  }
+
+  test("publish_changes cherry-picks when main advanced concurrently") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.c (id BIGINT) TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO wpubcat.db.c VALUES (1)")
+    val tbl = s"$warehouse/db/c"
+    spark.conf.set("spark.wap.branch", "audit")
+    try spark.sql("INSERT INTO wpubcat.db.c VALUES (2)")
+    finally spark.conf.unset("spark.wap.branch")
+    // main advances AFTER the staging fork
+    spark.sql("INSERT INTO wpubcat.db.c VALUES (9)")
+    spark.sql(s"CALL graft.system.publish_changes('$tbl', 'audit')")
+    assert(spark.sql("SELECT id FROM wpubcat.db.c").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 9L),
+      "staged and concurrent rows must both survive the publish")
+  }
+
+  test("WAP is inert without the table property or the conf") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.plain (id BIGINT)")
+    spark.conf.set("spark.wap.id", "ghost")
+    try {
+      spark.sql("INSERT INTO wpubcat.db.plain VALUES (1)")
+      // write.wap.enabled not set: the conf is ignored, main advances
+      assert(spark.sql("SELECT count(*) FROM wpubcat.db.plain").head.getLong(0) == 1)
+      assert(Snapshots.readRefs(s"$warehouse/db/plain")._1.keySet == Set("main"))
+    } finally spark.conf.unset("spark.wap.id")
+  }
+}
