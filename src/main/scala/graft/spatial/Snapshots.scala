@@ -817,7 +817,14 @@ object Snapshots {
             (Nil, cols.split(',').map(_.trim).filter(df.columns.contains).map(col).toSeq)
         }
         if (keys.isEmpty) df
-        else {
+        else if (readProps(path).get("write.order.mode").contains("local")) {
+          // WRITE LOCALLY ORDERED BY: sort within the incoming tasks
+          // only, no range exchange (the reference's locally-ordered mode)
+          val withKey = tmp.zip(keys).foldLeft(df) { case (d, (name, k)) =>
+            d.withColumn(name, k) }
+          val sortCols = if (tmp.nonEmpty) tmp.map(col) else keys
+          withKey.sortWithinPartitions(sortCols: _*).drop(tmp: _*)
+        } else {
           // keep the incoming parallelism; the range exchange only
           // re-clusters, it does not decide file count policy
           val n = math.max(1, df.rdd.getNumPartitions)

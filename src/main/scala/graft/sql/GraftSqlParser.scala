@@ -60,7 +60,7 @@ object GraftStatements {
   // declared write order (ref writeSpec / WRITE ORDERED BY in
   // IcebergSqlExtensions.g4; stored as the write.order table property)
   private val WriteOrderRe =
-    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+ORDERED\s+BY\s+(.+?)\s*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+(LOCALLY\s+)?ORDERED\s+BY\s+(.+?)\s*$""".r
   private val WriteUnorderedRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+WRITE\s+UNORDERED\s*$""".r
   private val WriteDistRe =
@@ -206,8 +206,8 @@ object GraftStatements {
       Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
     case WriteDistRe(tbl, order) =>
       Some(WriteDistributionCommand(resolveTable(tbl), Option(order).map(_.trim)))
-    case WriteOrderRe(tbl, order) =>
-      Some(WriteOrderCommand(resolveTable(tbl), Some(order.trim)))
+    case WriteOrderRe(tbl, locally, order) =>
+      Some(WriteOrderCommand(resolveTable(tbl), Some(order.trim), local = locally != null))
     case WriteUnorderedRe(tbl) =>
       Some(WriteOrderCommand(resolveTable(tbl), None))
     case SetIdFieldsRe(tbl, cols) =>
@@ -364,20 +364,26 @@ case class DmlCommand(path: String, op: String, condOrSrc: String,
   }
 }
 
-/** `ALTER TABLE t WRITE ORDERED BY hilbert(geom,res,minX,minY,maxX,maxY)`
-  * (or a column list) / `WRITE UNORDERED` — declares the write order as
-  * table metadata so EVERY later write (plain `INSERT INTO`, appends,
-  * rewrites) applies it; the reference stores sort orders the same way
-  * (`SortOrderToSpark.java:87-104`).
+/** `ALTER TABLE t WRITE [LOCALLY] ORDERED BY
+  * hilbert(geom,res,minX,minY,maxX,maxY)` (or a column list) /
+  * `WRITE UNORDERED` — declares the write order as table metadata so
+  * EVERY later write (plain `INSERT INTO`, appends, rewrites) applies it;
+  * the reference stores sort orders the same way
+  * (`SortOrderToSpark.java:87-104`). LOCALLY sorts within the incoming
+  * tasks only — no range exchange (the reference's LOCALLY ORDERED BY).
   */
-case class WriteOrderCommand(path: String, order: Option[String])
-    extends LeafRunnableCommand {
+case class WriteOrderCommand(path: String, order: Option[String],
+    local: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val v = order match {
-      case Some(o) => Snapshots.updateProperties(path, Map("write.order" -> o))
-      case None => Snapshots.updateProperties(path, Map.empty, unset = Seq("write.order"))
+      case Some(o) => Snapshots.updateProperties(path,
+        Map("write.order" -> o) ++
+          (if (local) Map("write.order.mode" -> "local") else Map.empty),
+        unset = if (local) Nil else Seq("write.order.mode"))
+      case None => Snapshots.updateProperties(path, Map.empty,
+        unset = Seq("write.order", "write.order.mode"))
     }
     Seq(Row(v.toLong))
   }

@@ -455,6 +455,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.evo.rb WHERE id = 142").count() == 1)
   }
 
+  test("WRITE LOCALLY ORDERED BY sorts within tasks without a range exchange") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.lo")
+    spark.sql("CREATE TABLE gcat.lo.t (id BIGINT)")
+    spark.sql("ALTER TABLE gcat.lo.t WRITE LOCALLY ORDERED BY id")
+    assert(Snapshots.readProps(s"$warehouse/lo/t").get("write.order.mode").contains("local"))
+    // 4 input tasks each spanning the FULL id range: a global range
+    // exchange would produce disjoint per-file ranges; LOCALLY must keep
+    // the overlap (sort inside each task only)
+    import spark.implicits._
+    spark.range(0, 400).map(i => (i % 4) * 1000 + i / 4).toDF("id")
+      .repartition(4).createOrReplaceTempView("lo_src")
+    spark.sql("INSERT INTO gcat.lo.t SELECT id FROM lo_src")
+    val m = Snapshots.readManifest(s"$warehouse/lo/t")
+    assert(m.size >= 2, s"need several files, got ${m.size}")
+    val ranges = m.map(f => (f.mins("id").toString.toLong, f.maxs("id").toString.toLong))
+    val overlapping = ranges.combinations(2).exists {
+      case Seq((a1, a2), (b1, b2)) => a1 <= b2 && b1 <= a2
+      case _ => false
+    }
+    assert(overlapping, s"local order must not range-partition globally: $ranges")
+    // regular ORDERED BY on the same data DOES disjoint the ranges
+    spark.sql("CREATE TABLE gcat.lo.g (id BIGINT)")
+    spark.sql("ALTER TABLE gcat.lo.g WRITE ORDERED BY id")
+    spark.sql("INSERT INTO gcat.lo.g SELECT id FROM lo_src")
+    val g = Snapshots.readManifest(s"$warehouse/lo/g")
+      .map(f => (f.mins("id").toString.toLong, f.maxs("id").toString.toLong)).sortBy(_._1)
+    g.sliding(2).foreach {
+      case Seq((_, amax), (bmin, _)) => assert(amax <= bmin, s"global order overlaps: $g")
+      case _ =>
+    }
+  }
+
   test("WRITE ORDERED BY hilbert: plain INSERT INTO yields spatially clustered files") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
