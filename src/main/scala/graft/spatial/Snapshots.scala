@@ -954,6 +954,29 @@ object Snapshots {
   private[graft] def wapReadVersion(path: String): Option[Int] =
     wapBranchFor(path).flatMap(b => refsState(path).branches.get(b))
 
+  /** Effective write ref: a main-targeted write under an active WAP conf
+    * redirects to the audit branch (auto-created at main's head);
+    * explicitly ref-scoped writes keep their ref.
+    */
+  private def wapRef(path: String, ref: String): String =
+    if (ref != "main") ref
+    else wapBranchFor(path) match {
+      case Some(b) =>
+        if (!refsState(path).branches.contains(b))
+          try createBranch(path, b)
+          catch { case _: IllegalArgumentException => () } // concurrent create
+        b
+      case None => "main"
+    }
+
+  /** Overwrites have no branch-write form: refuse to clobber main while a
+    * WAP session is staging (the alternative is silent unaudited data loss).
+    */
+  private def rejectUnderWap(path: String, op: String): Unit =
+    require(wapBranchFor(path).isEmpty,
+      s"$op is not supported while a WAP session (spark.wap.id / spark.wap.branch) " +
+        "is active; unset the conf or publish the staged changes first")
+
   /** Append `df` as a new snapshot (new data files; old ones untouched).
     * `props` merge into the snapshot's property map (e.g. the streaming
     * sink's committed batch id — committed atomically WITH the data).
@@ -995,6 +1018,7 @@ object Snapshots {
 
   /** Logical overwrite: new snapshot references only the new files. */
   def overwrite(df: DataFrame, path: String): Int = {
+    rejectUnderWap(path, "overwrite")
     val spark = df.sparkSession
     val (added, written) = writeBack(df, path)
     val stats = statsFor(spark, path, added)
@@ -1024,6 +1048,7 @@ object Snapshots {
     */
   private[graft] def commitDynamicOverwrite(spark: SparkSession, path: String,
       added: Seq[String]): Int = {
+    rejectUnderWap(path, "dynamic partition overwrite")
     if (added.isEmpty) return mainVersion(path) // nothing incoming: no-op
     val stats = statsFor(spark, path, added)
     val touched = added.map(partDir).toSet
@@ -1064,6 +1089,7 @@ object Snapshots {
     */
   def overwriteWhere(df: DataFrame, path: String,
       filters: Seq[org.apache.spark.sql.sources.Filter], cond: Column): Int = {
+    rejectUnderWap(path, "filter overwrite")
     import org.apache.spark.sql.{sources => vs}
     val spark = df.sparkSession
     val (added, written) = writeBack(df, path)
@@ -1310,9 +1336,11 @@ object Snapshots {
     * full file rewrites, until a compaction materializes them.
     */
   def delete(spark: SparkSession, path: String, cond: Column,
-      ref: String = "main"): Int =
-    if (morMode(path, "write.delete.mode")) deleteMoRPositions(spark, path, cond, ref)
-    else deleteCoW(spark, path, cond, ref)
+      ref: String = "main"): Int = {
+    val r = wapRef(path, ref) // a WAP session stages row-level ops too
+    if (morMode(path, "write.delete.mode")) deleteMoRPositions(spark, path, cond, r)
+    else deleteCoW(spark, path, cond, r)
+  }
 
   /** Writable head of a ref: main's head, or a branch head — never a tag.
     * Branch-scoped DML (`DELETE FROM cat.db.t.branch_x ...`) computes
@@ -1395,9 +1423,11 @@ object Snapshots {
     * data file rewritten (the reference's position-delta UPDATE).
     */
   def update(spark: SparkSession, path: String, cond: Column,
-      assignments: Map[String, Column], ref: String = "main"): Int =
-    if (morMode(path, "write.update.mode")) updateMoR(spark, path, cond, assignments, ref)
-    else updateCoW(spark, path, cond, assignments, ref)
+      assignments: Map[String, Column], ref: String = "main"): Int = {
+    val r = wapRef(path, ref)
+    if (morMode(path, "write.update.mode")) updateMoR(spark, path, cond, assignments, r)
+    else updateCoW(spark, path, cond, assignments, r)
+  }
 
   private def updateMoR(spark: SparkSession, path: String, cond: Column,
       assignments: Map[String, Column], ref: String = "main"): Int = withCommitRetry() {
@@ -1470,9 +1500,11 @@ object Snapshots {
     * position-delta MERGE). Source keys must be unique.
     */
   def mergeUpsert(spark: SparkSession, path: String, source: DataFrame,
-      keyCol: String, ref: String = "main"): Int =
+      keyCol: String, ref0: String = "main"): Int = {
+    val ref = wapRef(path, ref0)
     if (morMode(path, "write.merge.mode")) mergeUpsertMoR(spark, path, source, keyCol, ref)
     else mergeUpsertCoW(spark, path, source, keyCol, ref)
+  }
 
   private def mergeUpsertMoR(spark: SparkSession, path: String, source: DataFrame,
       keyCol: String, ref: String = "main"): Int = withCommitRetry() {
@@ -1558,7 +1590,14 @@ object Snapshots {
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame, onSql: String,
       clauses: Seq[MergeClause], targetAlias: String = "t",
-      sourceAlias: String = "s", ref: String = "main"): Int = withCommitRetry() {
+      sourceAlias: String = "s", ref0: String = "main"): Int = {
+    val ref = wapRef(path, ref0) // a WAP session stages row-level ops too
+    mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
+  }
+
+  private def mergeIntoRef(spark: SparkSession, path: String, source: DataFrame, onSql: String,
+      clauses: Seq[MergeClause], targetAlias: String,
+      sourceAlias: String, ref: String): Int = withCommitRetry() {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     val rs = refsState(path)
     val head = refHead(rs, path, ref)

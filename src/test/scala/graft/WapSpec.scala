@@ -65,6 +65,34 @@ class WapSpec extends AnyFunSuite {
       "staged and concurrent rows must both survive the publish")
   }
 
+  test("row-level DML stages under WAP; overwrites refuse") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.dml (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO wpubcat.db.dml VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val tbl = s"$warehouse/db/dml"
+    spark.conf.set("spark.wap.id", "dmljob")
+    try {
+      spark.sql("DELETE FROM wpubcat.db.dml WHERE id = 3")
+      spark.sql("UPDATE wpubcat.db.dml SET v = 'a2' WHERE id = 1")
+      // session view sees the staged DML
+      assert(spark.sql("SELECT id, v FROM wpubcat.db.dml").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (2L, "b")))
+      // overwrites refuse instead of silently clobbering main
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE wpubcat.db.dml VALUES (9, 'z')") }
+      assert(e.getMessage.contains("WAP"))
+    } finally spark.conf.unset("spark.wap.id")
+    // main untouched until publish
+    assert(spark.sql("SELECT id, v FROM wpubcat.db.dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // publish: fast-forward (main did not advance) promotes the DML
+    spark.sql(s"CALL graft.system.publish_changes('$tbl', 'dmljob')")
+    assert(spark.sql("SELECT id, v FROM wpubcat.db.dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (2L, "b")))
+  }
+
   test("WAP is inert without the table property or the conf") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE wpubcat.db.plain (id BIGINT)")
