@@ -141,6 +141,17 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
       }
       override def overwriteDynamicPartitions(): WriteBuilder = { mode = 3; this }
 
+      // `snapshot-property.<key>` write options commit as snapshot summary
+      // properties atomically with the data (the reference's
+      // SparkWriteOptions / SnapshotSummary custom properties)
+      private def snapshotProps: Map[String, String] = {
+        import scala.jdk.CollectionConverters._
+        info.options().asCaseSensitiveMap().asScala.collect {
+          case (k, v) if k.toLowerCase.startsWith("snapshot-property.") =>
+            k.substring("snapshot-property.".length) -> v
+        }.toMap
+      }
+
       override def build(): org.apache.spark.sql.connector.write.Write =
         if (mode == 3) {
           require(branch.isEmpty && tag.isEmpty,
@@ -166,7 +177,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                       .getOrElse(org.apache.spark.sql.functions.lit(true)))
                 case _ =>
                   if (overwrite) Snapshots.overwrite(data, path)
-                  else Snapshots.append(data, path)
+                  else Snapshots.append(data, path, snapshotProps)
               }
             }
             ()

@@ -985,8 +985,11 @@ object Snapshots {
     * streaming high-water mark stay on their ref).
     */
   def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty): Int =
-    wapBranchFor(path).filter(_ => props.isEmpty) match {
+    wapBranchFor(path) match {
       case Some(b) =>
+        require(props.isEmpty,
+          "snapshot properties cannot be combined with an active WAP session " +
+            "(the staged branch commit does not carry them)")
         if (!refsState(path).branches.contains(b))
           try createBranch(path, b)
           catch { case _: IllegalArgumentException => () } // concurrent create: fine

@@ -93,6 +93,20 @@ class WapSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (2L, "b")))
   }
 
+  test("snapshot-property.* write options commit as snapshot summary properties") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.sp (id BIGINT)")
+    import spark.implicits._
+    Seq(1L, 2L).toDF("id").writeTo("wpubcat.db.sp")
+      .option("snapshot-property.ingest-job", "batch-42")
+      .option("snapshot-property.source", "s3-drop")
+      .append()
+    val props = Snapshots.readProps(s"$warehouse/db/sp")
+    assert(props.get("ingest-job").contains("batch-42"))
+    assert(props.get("source").contains("s3-drop"))
+    assert(spark.sql("SELECT count(*) FROM wpubcat.db.sp").head.getLong(0) == 2)
+  }
+
   test("WAP is inert without the table property or the conf") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE wpubcat.db.plain (id BIGINT)")
