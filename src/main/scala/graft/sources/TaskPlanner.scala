@@ -78,6 +78,10 @@ object TaskPlanner {
       var cur = ArrayBuffer.empty[Item]
       var size = 0L
       g.sortBy(-_.pf.length).foreach { it =>
+        // the admission test excludes the candidate's OWN open cost (it
+        // accrues after), so a pack can exceed the target by up to one
+        // open cost — deliberate parity with Spark's getFilePartitions,
+        // which accounts the same way
         if (cur.nonEmpty && size + it.pf.length > maxSplit) {
           parts += cur.toSeq; cur = ArrayBuffer.empty[Item]; size = 0L
         }
