@@ -41,16 +41,26 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val cold = runAll() // first pass: per-query codegen/compile included
-    // steady state = per-query min over two warm passes (drops residual
-    // one-off pauses a single pass can't avoid)
-    val warm1 = runAll().toMap
-    val warm2 = runAll().toMap
-    val results = warm1.keys.toSeq.sorted.map(k => k -> math.min(warm1(k), warm2(k)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // steady state = per-query MEDIAN over n>=3 warm passes (round-8
+    // retro: a single cold pass plus per-query min over two warm passes
+    // let one noisy run of the GC-heavy dedup/pipeline queries read as a
+    // 20%+ "regression"; the median is robust to a one-off pause while
+    // still penalizing a genuine shift)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(3)
+    val warm = Seq.fill(passes)(runAll().toMap)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val keys = warm.head.keys.toSeq.sorted
+    val results = keys.map(k => k -> median(warm.map(_(k))))
+    val mins = keys.map(k => k -> warm.map(_(k)).min)
+    def fmt(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val minTotal = mins.map(_._2).sum
     val coldTotal = cold.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"query_min":${fmt(mins)},"query_cold":${fmt(cold)},"min_total":$minTotal,"cold_total":$coldTotal,"warm_passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

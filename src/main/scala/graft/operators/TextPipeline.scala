@@ -60,18 +60,35 @@ object TextPipeline {
     * is df-insensitive.
     */
   private[graft] def jaccardPairs(d: DataFrame, maxDf: Long): DataFrame = {
-    // the shingle frame feeds FOUR branches (per-doc sizes, df counts,
-    // candidate generation, hot re-count); un-materialized, every branch
-    // re-ran tokenize+explode+distinct — 14 corpus scans in the final
-    // plan, zero exchange reuse (one side always sat under a broadcast).
-    // One eager localCheckpoint = one scan; blocks feed every branch (at
-    // 100 TB the same shape persists the shingle frame to cluster storage
-    // once — the checkpoint the docstring always promised).
-    val sh = shingles(d).localCheckpoint(true)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // the shingle frame feeds THREE branches (df counts, candidate
+    // generation, hot re-count); un-materialized, every branch re-ran
+    // tokenize+explode+distinct — 14 corpus scans in the final plan, zero
+    // exchange reuse (one side always sat under a broadcast). One eager
+    // localCheckpoint = one scan; blocks feed every branch (at 100 TB the
+    // same shape persists the shingle frame to cluster storage once).
+    // The per-doc shingle count rides ALONG each shingle row (`n` is
+    // map-side arithmetic on the same kernel array) instead of being a
+    // separate groupBy(doc_id) frame: the old shape joined the
+    // million-plus-row candidate-pair aggregate against that sz frame
+    // TWICE — two extra shuffles of the widest frame in the query — where
+    // a functionally-dependent grouping column costs 8 bytes per shingle
+    // row and nothing downstream.
+    // widen FIRST: the checkpoint freezes whatever partitioning it sees,
+    // and a single-file scan would pin the self-join probe to one core
+    val sh = Par.widen(d).withColumn("h", VectorSql.shingle_hashes(col("text")))
+      .select(col("doc_id"), size(col("h")).as("n"), explode(col("h")).as("s"))
+      .localCheckpoint(true)
+    // hot shingles are few by construction (df > maxDf) — checkpoint the
+    // tiny frame so (a) the broadcast below re-reads blocks and (b) the
+    // emptiness probe is metadata-cheap. When NO shingle crosses the cap
+    // (the common case off boilerplate-free corpora) the whole hot
+    // re-count sub-DAG — two joins and an aggregate over the candidate
+    // frame — drops out of the plan instead of running against an empty
+    // broadcast.
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("s"))
-    val rare = sh.join(broadcast(hot), Seq("s"), "left_anti")
+      .filter(col("df") > maxDf).select(col("s")).localCheckpoint(true)
+    val hasHot = !hot.isEmpty
+    val rare = if (hasHot) sh.join(broadcast(hot), Seq("s"), "left_anti") else sh
     // candidate pairs by SELF-JOIN on the shingle hash: the checkpoint
     // above makes this safe (round 3's self-join pathology was the whole
     // shingle pipeline recomputing under a broadcast — a materialized
@@ -80,20 +97,21 @@ object TextPipeline {
     // by ~40% measured. The df cap still bounds the join's per-key fanout.
     val pairs = rare.as("a").join(rare.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("n1"), col("b.n").as("n2"))
       .agg(count(lit(1)).as("common_rare"))
     // exact common counts: add hot-shingle matches for candidates only
-    val shHot = sh.join(broadcast(hot), Seq("s"))
-    val hotCommon = pairs.select(col("d1"), col("d2"))
-      .join(shHot.as("x"), col("d1") === col("x.doc_id"))
-      .join(shHot.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common_hot"))
-    pairs
-      .join(hotCommon, Seq("d1", "d2"), "left")
-      .withColumn("common", col("common_rare") + coalesce(col("common_hot"), lit(0L)))
-      .join(sz.as("x"), col("d1") === col("x.doc_id"))
-      .join(sz.as("y"), col("d2") === col("y.doc_id"))
-      .withColumn("jac", col("common") / (col("x.n") + col("y.n") - col("common")))
+    val withCommon = if (hasHot) {
+      val shHot = sh.join(broadcast(hot), Seq("s"))
+      val hotCommon = pairs.select(col("d1"), col("d2"))
+        .join(shHot.as("x"), col("d1") === col("x.doc_id"))
+        .join(shHot.as("y"), col("d2") === col("y.doc_id") && col("x.s") === col("y.s"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common_hot"))
+      pairs.join(hotCommon, Seq("d1", "d2"), "left")
+        .withColumn("common", col("common_rare") + coalesce(col("common_hot"), lit(0L)))
+    } else pairs.withColumn("common", col("common_rare"))
+    withCommon
+      .withColumn("jac", col("common") / (col("n1") + col("n2") - col("common")))
       .filter(col("jac") >= 0.4)
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
   }
@@ -104,8 +122,53 @@ object TextPipeline {
     * clusters). Every doc gets cluster = smallest reachable doc_id;
     * keeping rows where doc_id == cluster is the dedup KEEP policy.
     */
+  /** Edge-count ceiling for the driver-local terminal solve: 4M edges =
+    * 64 MB of packed longs — comfortably broadcast-sized. NOT a coverage
+    * cap: graphs above it route through the distributed loop below.
+    */
+  private val LocalSolveMaxEdges = 4L * 1000 * 1000
+
   private[graft] def clusterLabels(d: DataFrame, maxDf: Long): DataFrame = {
     val pairs = jaccardPairs(d, maxDf).select(col("d1"), col("d2"))
+      .localCheckpoint(true)
+    // The near-dup pair graph is SMALL relative to the corpus by
+    // construction (each edge is a >=0.4-Jaccard duplicate pair — a
+    // corpus that is mostly duplicate of itself has already left dedup
+    // territory), so the standard two-phase connected-components design
+    // applies: solve locally (union-find over the collected edge list)
+    // once the materialized edge count fits a broadcast-sized budget, and
+    // keep the iterative distributed propagation as the path for graphs
+    // that don't. GraphFrames' CC runs the same terminal local step once
+    // the contracted graph fits; this is that shape with one phase,
+    // size-gated on the exact count the checkpoint just made free. The
+    // win is real at every scale: the loop costs O(diameter) jobs of
+    // 3 stages each, pure scheduling overhead when the graph is tiny.
+    val edgeCount = pairs.count()
+    if (edgeCount <= LocalSolveMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+      }
+      import scala.jdk.CollectionConverters._
+      val touched = parent.keySet.asScala.toSet ++ parent.values.asScala
+      val resolved = touched.toSeq.map(v => (v, find(v)))
+      val spark = d.sparkSession
+      import spark.implicits._
+      val connected = resolved.toDF("doc_id", "cluster")
+      // isolated docs: cluster = self (single anti-join)
+      return d.select(col("doc_id"))
+        .join(broadcast(connected.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster"))
+        .unionByName(connected)
+    }
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
     // propagate ONLY over edge-connected vertices: isolated docs are their
@@ -223,7 +286,7 @@ object TextPipeline {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "\\d{3}-\\d{3}-\\d{4}"
       val ip = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
-      docs(s, dir)
+      Par.widen(docs(s, dir)) // three regex passes per row — the costliest map kernel here
         .withColumn("t", concat(col("text"),
           lit(" contact user"), col("doc_id").cast("string"),
           lit("@mail.example.com or call 555-123-4567 from 10.0."),

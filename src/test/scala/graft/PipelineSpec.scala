@@ -135,11 +135,18 @@ class PipelineSpec extends AnyFunSuite {
 
   test("pipeline single-pass ops contain no shuffle (map-only plans)") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint", "mm_meta",
-      "text_repetition", "text_pii_scrub")
+      "text_repetition")
       .foreach { q =>
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"), s"$q should be map-only:\n$plan")
       }
+    // pii_scrub carries Par.widen (measured 2x: three regex passes per row
+    // dwarf one narrow-frame exchange) — the ONLY allowed exchange is that
+    // leading round-robin repartition; the op itself must stay map-only
+    val pii = SparkEntry.queries("text_pii_scrub")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pii.split("Exchange").length <= 2 && !pii.contains("hashpartitioning"),
+      s"text_pii_scrub should shuffle only for the parallelism widen:\n$pii")
   }
 
   test("rep_stats kernel: exact counts incl. tokenizer boundary semantics") {
