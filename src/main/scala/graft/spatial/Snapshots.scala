@@ -1573,11 +1573,15 @@ object Snapshots {
 
   /** One WHEN clause of a full MERGE, in source order. `action` is
     * "update" (with `sets`), "delete", or "insert" (with optional column
-    * list + value expressions; both None = INSERT *).
+    * list + value expressions; both None = INSERT *). `bySource` marks a
+    * `WHEN NOT MATCHED BY SOURCE` clause (the mirror-sync shape — target
+    * rows with no source partner; UPDATE/DELETE only, per the reference's
+    * Spark 3.5 row-level MERGE, TestMerge.java:116-118).
     */
   case class MergeClause(matched: Boolean, cond: Option[String], action: String,
       sets: Seq[(String, String)] = Nil,
-      insertCols: Option[Seq[String]] = None, insertVals: Option[Seq[String]] = None)
+      insertCols: Option[Seq[String]] = None, insertVals: Option[Seq[String]] = None,
+      bySource: Boolean = false)
 
   /** Full copy-on-write MERGE (the reference's `SparkCopyOnWriteOperation`
     * MERGE surface): arbitrary multi-column ON condition, ordered WHEN
@@ -1595,7 +1599,63 @@ object Snapshots {
       clauses: Seq[MergeClause], targetAlias: String = "t",
       sourceAlias: String = "s", ref0: String = "main"): Int = {
     val ref = wapRef(path, ref0) // a WAP session stages row-level ops too
-    mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
+    if (morMode(path, "write.merge.mode"))
+      mergeIntoMoR(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
+    else mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
+  }
+
+  /** First-matching-clause action tag over the full-outer merge frame
+    * (SQL MERGE: clauses apply in source order; a row matching none keeps
+    * its prior state). Tags are `<action><clause-index>`, plus "keep" for
+    * untouched target rows and "dropSrc" for source rows no clause
+    * inserts.
+    */
+  private def mergeActionCol(clauses: Seq[MergeClause]): Column = {
+    val isMatched = col("__t").isNotNull && col("__s").isNotNull
+    val sOnly = col("__t").isNull
+    val tOnly = col("__s").isNull && col("__t").isNotNull
+    def clauseCond(c: MergeClause): Column = {
+      val base =
+        if (c.matched) isMatched
+        else if (c.bySource) tOnly
+        else sOnly
+      c.cond.map(x => base && coalesce(expr(x), lit(false))).getOrElse(base)
+    }
+    clauses.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (c, i)) => acc.when(clauseCond(c), lit(s"${c.action}$i"))
+    }.otherwise(when(sOnly, lit("dropSrc")).otherwise(lit("keep")))
+  }
+
+  /** Output value of `colName` for a tagged merge row: the matching
+    * update/insert clause's expression, else the target's current value.
+    */
+  private def mergeOutputCol(clauses: Seq[MergeClause], source: DataFrame,
+      schema: org.apache.spark.sql.types.StructType, targetAlias: String,
+      sourceAlias: String)(colName: String): Column = {
+    def insertExpr(c: MergeClause): Column = c match {
+      case MergeClause(_, _, _, _, None, None, _) => // INSERT *
+        if (source.columns.contains(colName)) col(s"$sourceAlias.$colName")
+        else lit(null).cast(schema(colName).dataType)
+      case MergeClause(_, _, _, _, Some(cols), Some(vals), _) =>
+        cols.indexOf(colName) match {
+          case -1 => lit(null).cast(schema(colName).dataType)
+          case i => expr(vals(i)).cast(schema(colName).dataType)
+        }
+      case _ => throw new IllegalArgumentException("INSERT needs (cols) VALUES (...) or *")
+    }
+    clauses.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+      case (acc, (c, i)) =>
+        val tag = s"${c.action}$i"
+        c.action match {
+          case "update" =>
+            val set = c.sets.toMap.get(colName)
+              .map(expr(_).cast(schema(colName).dataType))
+              .getOrElse(col(s"$targetAlias.$colName"))
+            acc.when(col("__action") === tag, set)
+          case "insert" => acc.when(col("__action") === tag, insertExpr(c))
+          case _ => acc
+        }
+    }.otherwise(col(s"$targetAlias.$colName")).as(colName)
   }
 
   private def mergeIntoRef(spark: SparkSession, path: String, source: DataFrame, onSql: String,
@@ -1631,8 +1691,12 @@ object Snapshots {
           else None
       }.flatten
     }
+    // a NOT MATCHED BY SOURCE clause touches target rows REGARDLESS of the
+    // source's key bounds — no file can be skipped on source stats
+    val hasBySource = clauses.exists(_.bySource)
     val (affected, untouched) =
-      if (eqPairs.isEmpty) (current, Seq.empty[FileStats])
+      if (hasBySource) (current, Seq.empty[FileStats])
+      else if (eqPairs.isEmpty) (current, Seq.empty[FileStats])
       else {
         val aggs = eqPairs.flatMap(p => Seq(min(col(p._2)), max(col(p._2))))
         val bounds = source.agg(aggs.head, aggs.tail: _*).collect().head
@@ -1660,50 +1724,65 @@ object Snapshots {
         .withColumn("__t", lit(1)).alias(targetAlias)
       val src = source.withColumn("__s", lit(1)).alias(sourceAlias)
       val joined = tgt.join(src, expr(onSql), "full_outer")
-      val isMatched = col("__t").isNotNull && col("__s").isNotNull
-      val sOnly = col("__t").isNull
-
-      // first matching clause wins, in source order (SQL MERGE semantics)
-      def clauseCond(c: MergeClause): Column = {
-        val base = if (c.matched) isMatched else sOnly
-        c.cond.map(x => base && coalesce(expr(x), lit(false))).getOrElse(base)
-      }
-      val action = clauses.zipWithIndex.foldLeft(when(lit(false), lit(""))) {
-        case (acc, (c, i)) => acc.when(clauseCond(c), lit(s"${c.action}$i"))
-      }.otherwise(when(sOnly, lit("dropSrc")).otherwise(lit("keep")))
-      val withAction = joined.withColumn("__action", action)
+      val withAction = joined.withColumn("__action", mergeActionCol(clauses))
         .filter(!col("__action").startsWith("delete") && col("__action") =!= "dropSrc")
-
-      def insertExpr(c: MergeClause, colName: String): Column = c match {
-        case MergeClause(_, _, _, _, None, None) => // INSERT *
-          if (source.columns.contains(colName)) col(s"$sourceAlias.$colName")
-          else lit(null).cast(table.schema(colName).dataType)
-        case MergeClause(_, _, _, _, Some(cols), Some(vals)) =>
-          cols.indexOf(colName) match {
-            case -1 => lit(null).cast(table.schema(colName).dataType)
-            case i => expr(vals(i)).cast(table.schema(colName).dataType)
-          }
-        case _ => throw new IllegalArgumentException("INSERT needs (cols) VALUES (...) or *")
-      }
-      val out = withAction.select(tableCols.map { colName =>
-        clauses.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
-          case (acc, (c, i)) =>
-            val tag = s"${c.action}$i"
-            c.action match {
-              case "update" =>
-                val set = c.sets.toMap.get(colName)
-                  .map(expr(_).cast(table.schema(colName).dataType))
-                  .getOrElse(col(s"$targetAlias.$colName"))
-                acc.when(col("__action") === tag, set)
-              case "insert" => acc.when(col("__action") === tag, insertExpr(c, colName))
-              case _ => acc
-            }
-        }.otherwise(col(s"$targetAlias.$colName")).as(colName)
-      }: _*)
+      val out = withAction.select(tableCols.map(
+        mergeOutputCol(clauses, source, table.schema, targetAlias, sourceAlias)): _*)
       val (added, _) = writeBack(out, path)
       publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
         carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
+  }
+
+  /** Merge-on-read full MERGE (`write.merge.mode = merge-on-read`): the
+    * position-delta lowering — matched UPDATE/DELETE rows (and NOT MATCHED
+    * BY SOURCE ones) become positional delete entries, updated copies and
+    * NOT MATCHED inserts append as new files; zero data files rewritten,
+    * one snapshot (the reference's position-delta MERGE,
+    * `SparkPositionDeltaOperation`). The target is scanned once with
+    * `(file, pos)` provenance; no file-level pruning is attempted — MoR
+    * trades the CoW path's stats pruning for never rewriting, and a
+    * BY SOURCE clause needs every target row anyway.
+    */
+  private def mergeIntoMoR(spark: SparkSession, path: String, source: DataFrame,
+      onSql: String, clauses: Seq[MergeClause], targetAlias: String,
+      sourceAlias: String, ref: String): Int = withCommitRetry() {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    val rs = refsState(path)
+    val head = refHead(rs, path, ref)
+    val table = read(spark, path, Some(head))
+    val tableCols = table.columns.toSeq
+    val tgt = readWithPositions(spark, path, Some(head))
+      .withColumn("__t", lit(1)).alias(targetAlias)
+    val src = source.withColumn("__s", lit(1)).alias(sourceAlias)
+    // resolve the alias-qualified clause expressions BEFORE materializing:
+    // one scan then feeds both outputs (blocks, not re-scans), and the
+    // checkpointed frame no longer depends on join-side qualifiers
+    val prepared = tgt.join(src, expr(onSql), "full_outer")
+      .withColumn("__action", mergeActionCol(clauses))
+      .filter(col("__action") =!= "keep" && col("__action") =!= "dropSrc")
+      .select(col("__action") +: col("__mor_file") +: col("__mor_pos") +:
+        tableCols.map(
+          mergeOutputCol(clauses, source, table.schema, targetAlias, sourceAlias)): _*)
+      .localCheckpoint(true)
+    // old versions of updated rows + deleted rows → positional deletes
+    val positions = positionsOf(prepared.filter(
+      col("__action").startsWith("delete") || col("__action").startsWith("update")))
+    val (delName, deletedRows) = writeDeleteFile(positions, path, "posdel")
+    val delFile =
+      if (deletedRows == 0) { Files.deleteIfExists(Paths.get(path, delName)); None }
+      else Some(delName)
+    // new versions of updated rows + inserted rows → appended files
+    val out = prepared.filter(
+        col("__action").startsWith("update") || col("__action").startsWith("insert"))
+      .select(tableCols.map(col): _*)
+    val (added, _) = writeBack(out, path)
+    val (live, empty) = statsFor(spark, path, added).partition(_.rows > 0L)
+    empty.foreach(f => Files.deleteIfExists(Paths.get(path, f.path)))
+    if (deletedRows == 0 && live.isEmpty) head // no clause fired: no-op, snapshotless
+    else publish(path, rs, readManifest(path, Some(head)) ++ live,
+      carried(path, head), carriedPos(path, head) ++ delFile, ref = ref,
+      eqDeletes = carriedEq(path, head))
   }
 
   /** Pair changelog delete+insert rows sharing the identifier columns

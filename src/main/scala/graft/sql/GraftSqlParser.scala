@@ -97,7 +97,7 @@ object GraftStatements {
   private val MergeFullIdentRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+\((.+?)\)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
   private val WhenRe =
-    """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))\s*(?=WHEN\s|$)""".r
+    """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))\s*(?=WHEN\s|$)""".r
 
   /** Warehouse path of `cat.ns….table` iff `cat` is a registered
     * [[graft.sources.GraftCatalog]] — resolved from the session conf
@@ -163,8 +163,11 @@ object GraftStatements {
   private def parseWhens(text: String): Seq[Snapshots.MergeClause] = {
     val clauses = WhenRe.findAllMatchIn(text).map { m =>
       val matched = m.group(1) == null
-      val cond = Option(m.group(2)).map(_.trim)
-      val act = m.group(3).trim
+      val by = Option(m.group(2)).map(_.toUpperCase)
+      require(by.isEmpty || !matched, "BY SOURCE/TARGET is only valid after NOT MATCHED")
+      val bySource = by.contains("SOURCE") // NOT MATCHED [BY TARGET] = source-side
+      val cond = Option(m.group(3)).map(_.trim)
+      val act = m.group(4).trim
       val lower = act.toLowerCase
       if (lower.startsWith("update")) {
         val sets = splitTopLevel(act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")).map { a =>
@@ -172,26 +175,31 @@ object GraftStatements {
           require(i > 0, s"bad SET clause: $a")
           a.take(i).trim -> a.drop(i + 1).trim
         }
-        Snapshots.MergeClause(matched, cond, "update", sets = sets)
+        Snapshots.MergeClause(matched, cond, "update", sets = sets, bySource = bySource)
       } else if (lower == "delete") {
-        Snapshots.MergeClause(matched, cond, "delete")
+        Snapshots.MergeClause(matched, cond, "delete", bySource = bySource)
       } else if (lower.replaceAll("\\s", "") == "insert*") {
-        Snapshots.MergeClause(matched, cond, "insert")
+        Snapshots.MergeClause(matched, cond, "insert", bySource = bySource)
       } else {
         val InsertRe = """(?is)^INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.*)\)\s*$""".r
         act match {
           case InsertRe(cols, vals) =>
             Snapshots.MergeClause(matched, cond, "insert",
               insertCols = Some(splitTopLevel(cols).map(stripQuotes)),
-              insertVals = Some(splitTopLevel(vals)))
+              insertVals = Some(splitTopLevel(vals)), bySource = bySource)
           case bad => throw new IllegalArgumentException(s"bad MERGE action: $bad")
         }
       }
     }.toSeq
     require(clauses.nonEmpty, "MERGE needs WHEN clauses")
     clauses.foreach { c =>
-      require(c.matched || c.action == "insert", "WHEN NOT MATCHED supports only INSERT")
-      require(!c.matched || c.action != "insert", "WHEN MATCHED supports UPDATE or DELETE")
+      if (c.matched)
+        require(c.action != "insert", "WHEN MATCHED supports UPDATE or DELETE")
+      else if (c.bySource)
+        require(c.action != "insert",
+          "WHEN NOT MATCHED BY SOURCE supports UPDATE or DELETE")
+      else
+        require(c.action == "insert", "WHEN NOT MATCHED [BY TARGET] supports only INSERT")
     }
     clauses
   }
@@ -482,7 +490,9 @@ case class RefCommand(path: String, op: String, name: String, version: Option[In
 }
 
 /** Full `MERGE INTO '<path>' USING (query) ON cond WHEN ...` — ordered
-  * clauses lowered onto [[Snapshots.mergeInto]]'s copy-on-write rewrite.
+  * clauses (incl. `WHEN NOT MATCHED BY SOURCE`) lowered onto
+  * [[Snapshots.mergeInto]], which honors `write.merge.mode`
+  * (copy-on-write rewrite or position-delta merge-on-read).
   */
 case class MergeIntoCommand(path: String, sourceSql: String, onSql: String,
     clauses: Seq[Snapshots.MergeClause], targetAlias: String, sourceAlias: String,

@@ -255,6 +255,44 @@ class SqlExtensionSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir2).filter(col("id") === 77L).count() == 1)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: mirror-sync on CoW and MoR") {
+    for (mor <- Seq(false, true)) {
+      val dir = mkTable(10) // ids 0..9
+      if (mor) Snapshots.updateProperties(dir, Map("write.merge.mode" -> "merge-on-read"))
+      val before = Snapshots.readManifest(dir).map(_.path).toSet
+      // the source has dropped ids 5..9; flag 8..9, delete the rest
+      spark.range(0, 5).toDF("sid").createOrReplaceTempView("sync_src")
+      spark.sql(
+        s"""MERGE INTO '$dir' USING (SELECT * FROM sync_src) ON t.id = s.sid
+           |WHEN MATCHED THEN UPDATE SET id = t.id + 100
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN UPDATE SET id = t.id + 7000
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val t = Snapshots.read(spark, dir)
+      assert(t.count() == 7, s"mor=$mor")
+      assert(t.filter(col("id").isin(5L, 6L, 7L)).count() == 0, s"by-source delete (mor=$mor)")
+      assert(t.filter(col("id").isin(7008L, 7009L)).count() == 2, s"by-source update (mor=$mor)")
+      assert(t.filter(col("id").between(100L, 104L)).count() == 5, s"matched update (mor=$mor)")
+      if (mor) assert(before.subsetOf(Snapshots.readManifest(dir).map(_.path).toSet),
+        "MoR merge must keep every pre-existing data file")
+    }
+    // NOT MATCHED BY TARGET is the explicit spelling of plain NOT MATCHED
+    val dir2 = mkTable(3)
+    spark.range(2, 5).toDF("sid").createOrReplaceTempView("sync_src2")
+    spark.sql(
+      s"""MERGE INTO '$dir2' USING (SELECT * FROM sync_src2) ON t.id = s.sid
+         |WHEN NOT MATCHED BY TARGET THEN INSERT (id) VALUES (s.sid)""".stripMargin)
+    assert(Snapshots.read(spark, dir2).count() == 5)
+    // invalid clause shapes are parse-time errors
+    intercept[Exception] { // BY SOURCE can't INSERT
+      spark.sql(s"""MERGE INTO '$dir2' USING (SELECT * FROM sync_src2) ON t.id = s.sid
+                   |WHEN NOT MATCHED BY SOURCE THEN INSERT *""".stripMargin)
+    }
+    intercept[Exception] { // MATCHED takes no BY qualifier
+      spark.sql(s"""MERGE INTO '$dir2' USING (SELECT * FROM sync_src2) ON t.id = s.sid
+                   |WHEN MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+  }
+
   test("CALL rewrite_manifests / ancestors_of / snapshot / register_table") {
     val dir = mkTable(20)
     Snapshots.append(Snapshots.read(spark, dir).limit(3), dir)
