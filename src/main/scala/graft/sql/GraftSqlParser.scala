@@ -111,7 +111,10 @@ object GraftStatements {
       else {
         val impl = spark.conf.getOption(s"spark.sql.catalog.${parts.head}")
         val wh = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.warehouse")
-        if (impl.contains(classOf[graft.sources.GraftCatalog].getName) && wh.isDefined) {
+        val graftImpl = impl.exists(i =>
+          i == classOf[graft.sources.GraftCatalog].getName ||
+            i == classOf[graft.sources.GraftSessionCatalog].getName)
+        if (graftImpl && wh.isDefined) {
           val full = java.nio.file.Paths.get(wh.get, parts.tail: _*)
           def isTable(p: java.nio.file.Path) =
             java.nio.file.Files.exists(p.resolve(graft.spatial.GeoTable.ManifestName))
