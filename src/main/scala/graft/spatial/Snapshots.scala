@@ -1796,18 +1796,55 @@ object Snapshots {
     val missing = idCols.filterNot(changesDf.columns.contains)
     require(missing.isEmpty, s"identifier column(s) not in changelog: ${missing.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(idCols.map(col): _*)
+    // PAIRWISE, like the reference's ChangelogIterator.computeUpdates: the
+    // k-th delete of an identifier group pairs with its k-th insert; only
+    // min(#deletes, #inserts) pairs relabel, surplus rows keep their
+    // original tags (an unbalanced group — two deletes, one insert —
+    // previously relabeled EVERY row, inventing an update_before with no
+    // partner). Ordinals are deterministic: rows order by a hash of their
+    // non-identifier columns. One exchange on the identifier (the group
+    // window's subset-clustering reuses it), two local sorts.
+    val others = changesDf.columns
+      .filterNot(c => idCols.contains(c) || c == "_change_type").toSeq
+    val ord = if (others.isEmpty) lit(0L) else xxhash64(others.map(col): _*)
+    val wKey = Window.partitionBy(idCols.map(col): _*)
+    val wType = Window.partitionBy((idCols :+ "_change_type").map(col): _*).orderBy(ord)
     changesDf
+      .withColumn("__rn", row_number().over(wType))
       .withColumn("__del",
-        max(when(col("_change_type") === "delete", 1).otherwise(0)).over(w))
+        sum(when(col("_change_type") === "delete", 1).otherwise(0)).over(wKey))
       .withColumn("__ins",
-        max(when(col("_change_type") === "insert", 1).otherwise(0)).over(w))
+        sum(when(col("_change_type") === "insert", 1).otherwise(0)).over(wKey))
+      .withColumn("__pairs", least(col("__del"), col("__ins")))
       .withColumn("_change_type",
-        when(col("__del") === 1 && col("__ins") === 1,
-          when(col("_change_type") === "delete", lit("update_before"))
-            .otherwise(lit("update_after")))
+        when(col("_change_type") === "delete" && col("__rn") <= col("__pairs"),
+          lit("update_before"))
+          .when(col("_change_type") === "insert" && col("__rn") <= col("__pairs"),
+            lit("update_after"))
           .otherwise(col("_change_type")))
-      .drop("__del", "__ins")
+      .drop("__rn", "__del", "__ins", "__pairs")
+  }
+
+  /** Collapse a changelog to net row effects — the reference's
+    * `create_changelog_view(net_changes => true)` /
+    * `ChangelogIterator.removeNetCarryovers`: a row content inserted and
+    * deleted within the range nets to nothing; surviving multiplicity
+    * keeps the majority side's tag. [[changes]] diffs endpoint states (so
+    * its output is already net per construction); this pass makes the
+    * contract explicit and holds for any per-snapshot changelog source.
+    */
+  def removeNetCarryovers(changesDf: DataFrame): DataFrame = {
+    val valueCols = changesDf.columns.filterNot(_ == "_change_type").toSeq
+    changesDf
+      .groupBy(valueCols.map(col): _*)
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .when(col("_change_type") === "delete", -1L).otherwise(0L)).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .withColumn("_change_type",
+        when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("__dup", explode(expr("sequence(1, abs(__net))")))
+      .drop("__net", "__dup")
+      .select(changesDf.columns.map(col): _*)
   }
 
   /** Read a snapshot (default: current) through the pruning file index,
@@ -2470,13 +2507,33 @@ object Snapshots {
     require(removed.isEmpty,
       s"cherrypick supports append snapshots only; v$v removed ${removed.size} file(s)")
     val added = snap.filterNot(f => parent(f.path))
+    // MoR DML snapshots add DELETE state, not data files — transfer v's
+    // delta of predicate / positional / equality delete entries relative
+    // to its stamped parent, or a WAP-staged MoR DELETE/UPDATE would
+    // silently vanish on publish whenever main had advanced (rows the
+    // audited branch deleted would resurrect). Entries naming files main
+    // doesn't carry are harmless (never read); eq-delete `seq` scoping is
+    // consistent because versions draw from one global counter.
+    val hasParent = parentV >= 1 && Files.exists(manifestPath(path, parentV))
+    def delta[T](at: Int => Seq[T]): Seq[T] = {
+      val before = if (hasParent) at(parentV).toSet else Set.empty[T]
+      at(v).filterNot(before)
+    }
+    val addedDels = delta(pv => readDeletes(path, Some(pv)))
+    val addedPos = delta(pv => readPosDeletes(path, Some(pv)))
+    val addedEq = delta(pv => readEqDeletes(path, Some(pv)))
     withCommitRetry() {
       val rs = refsState(path)
       val head = rs.mainHead(path)
       val current = readManifest(path, Some(head))
       val currentNames = current.map(_.path).toSet
+      val dels = carried(path, head)
+      val pos = carriedPos(path, head)
+      val eqs = carriedEq(path, head)
       publish(path, rs, current ++ added.filterNot(f => currentNames(f.path)),
-        carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head))
+        dels ++ addedDels.filterNot(dels.toSet),
+        pos ++ addedPos.filterNot(pos.toSet),
+        eqDeletes = eqs ++ addedEq.filterNot(eqs.toSet))
     }
   }
 

@@ -662,12 +662,17 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
           .map(a => str(a).split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .orElse(if (named.get("compute_updates").contains(true))
             Some(Snapshots.identifierFields(table)) else None)
+        val netChanges = named.get("net_changes").contains(true)
+        // ref CreateChangelogViewProcedure.java:96-106: net-changes mode is
+        // mutually exclusive with update pairing
+        require(!netChanges || idCols.isEmpty,
+          "net_changes cannot be combined with identifier_columns / compute_updates")
         val out = idCols match {
           case Some(cols) =>
             require(cols.nonEmpty, "compute_updates needs identifier columns " +
               "(identifier_columns => …, or ALTER TABLE … SET IDENTIFIER FIELDS)")
             Snapshots.computeUpdates(base, cols)
-          case None => base
+          case None => if (netChanges) Snapshots.removeNetCarryovers(base) else base
         }
         out.createOrReplaceTempView(view)
         Seq(Row(1L, s"view=$view"))

@@ -110,6 +110,55 @@ class IdentifierFieldsSpec extends AnyFunSuite {
     }
   }
 
+  test("computeUpdates pairs ordinally; surplus rows keep their tags") {
+    import spark.implicits._
+    // 2 deletes + 1 insert sharing id=1: ONE pair relabels, the surplus
+    // delete stays a delete (ref ChangelogIterator.computeUpdates pairs
+    // one-to-one; the old whole-group window invented a second
+    // update_before with no update_after partner)
+    val unbalanced = Seq(
+      (1L, "a", "delete"), (1L, "b", "delete"), (1L, "c", "insert"),
+      (2L, "x", "delete"), (2L, "y", "insert"), (2L, "z", "insert"),
+      (3L, "only", "delete"))
+      .toDF("id", "v", "_change_type")
+    val out = Snapshots.computeUpdates(unbalanced, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    def tally(id: Long) = out.filter(_._1 == id).map(_._2).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(tally(1L) == Map("update_before" -> 1, "update_after" -> 1, "delete" -> 1))
+    assert(tally(2L) == Map("update_before" -> 1, "update_after" -> 1, "insert" -> 1))
+    assert(tally(3L) == Map("delete" -> 1))
+  }
+
+  test("create_changelog_view(net_changes => true) collapses carry-overs") {
+    val dir = Files.createTempDirectory("graft_idf_net").toString
+    import spark.implicits._
+    Seq((1L, "keep")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    graft.spatial.GeoTable.writeManifest(spark, dir)
+    val v1 = Snapshots.mainVersion(dir)
+    // insert id=2 then delete it again inside the range: net effect zero
+    Snapshots.append(Seq((2L, "transient")).toDF("id", "v"), dir)
+    spark.sql(s"DELETE FROM '$dir' WHERE id = 2")
+    Snapshots.append(Seq((3L, "stays")).toDF("id", "v"), dir)
+    val v2 = Snapshots.mainVersion(dir)
+    spark.sql(s"CALL graft.system.create_changelog_view('$dir', $v1, $v2, 'net_v', " +
+      "net_changes => true)")
+    val rows = spark.sql("SELECT id, _change_type FROM net_v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((3L, "insert")), s"got $rows")
+    // the direct net pass also collapses an explicit carry-over frame
+    val carry = Seq((9L, "t", "insert"), (9L, "t", "delete"), (8L, "s", "insert"))
+      .toDF("id", "v", "_change_type")
+    val net = Snapshots.removeNetCarryovers(carry).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(net == Set((8L, "insert")))
+    // ref CreateChangelogViewProcedure: net_changes + update pairing rejected
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.create_changelog_view('$dir', $v1, $v2, 'net_bad', " +
+        "net_changes => true, identifier_columns => 'id')")
+    }
+  }
+
   test("path-addressed DDL form works too") {
     val dir = Files.createTempDirectory("graft_idf_path").toString
     import spark.implicits._

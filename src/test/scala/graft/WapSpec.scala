@@ -93,6 +93,30 @@ class WapSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet == Set((1L, "a2"), (2L, "b")))
   }
 
+  test("publish_changes cherry-picks staged MoR delete state when main advanced") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.mor (id BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.wap.enabled'='true', 'write.delete.mode'='merge-on-read', " +
+      "'write.update.mode'='merge-on-read')")
+    spark.sql("INSERT INTO wpubcat.db.mor VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val tbl = s"$warehouse/db/mor"
+    spark.conf.set("spark.wap.id", "morjob")
+    try {
+      // MoR DML on the audit branch: pos-delete entries, no data removed
+      spark.sql("DELETE FROM wpubcat.db.mor WHERE id = 3")
+      spark.sql("UPDATE wpubcat.db.mor SET v = 'a2' WHERE id = 1")
+    } finally spark.conf.unset("spark.wap.id")
+    // main advances AFTER the staging fork -> publish must CHERRY-PICK,
+    // and the picked snapshots' delete-state deltas must ride along or
+    // the audited DELETE/UPDATE silently vanishes (id=3 resurrects)
+    spark.sql("INSERT INTO wpubcat.db.mor VALUES (9, 'z')")
+    spark.sql(s"CALL graft.system.publish_changes('$tbl', 'morjob')")
+    assert(spark.sql("SELECT id, v FROM wpubcat.db.mor").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a2"), (2L, "b"), (9L, "z")),
+      "staged MoR delete state must survive a cherry-pick publish")
+  }
+
   test("snapshot-property.* write options commit as snapshot summary properties") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE wpubcat.db.sp (id BIGINT)")
