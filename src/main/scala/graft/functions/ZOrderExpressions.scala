@@ -52,6 +52,11 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression with CodegenF
     var i = 0
     while (i < longs.length) {
       val v = children(i).eval(input)
+      // null -> the all-zero word, which COLLIDES with the minimum value
+      // of sign-flipped integral columns: nulls cluster with Long.MinValue
+      // rows. Clustering-quality-only — min/max file stats stay exact, so
+      // pruning is unaffected; the reference takes the same posture
+      // (SparkZOrderUDF's null handling).
       longs(i) = if (v == null) 0L else convs(i)(v)
       i += 1
     }

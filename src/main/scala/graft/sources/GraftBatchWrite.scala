@@ -34,7 +34,8 @@ import graft.streaming.{GraftStagedFiles, GraftStreamDataWriter, GraftWriters}
   * writing, so each directory receives files from FEW tasks — without it
   * a 1000-task write into D dirs stages up to 1000×D slivers.
   */
-class GraftDynamicOverwrite(path: String, writeSchema: StructType)
+class GraftDynamicOverwrite(path: String, writeSchema: StructType,
+    snapshotProps: Map[String, String] = Map.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   private def spark = SparkSession.active
@@ -98,7 +99,7 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType)
         case Some(b) => GeoTable.stampBucketIds(spark, path, b, files)
         case None => files
       }
-      Snapshots.commitDynamicOverwrite(spark, path, stamped)
+      Snapshots.commitDynamicOverwrite(spark, path, stamped, snapshotProps)
       ()
     }
 

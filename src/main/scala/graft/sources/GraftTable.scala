@@ -156,7 +156,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         if (mode == 3) {
           require(branch.isEmpty && tag.isEmpty,
             "dynamic partition overwrite is not supported on a branch or tag")
-          new GraftDynamicOverwrite(path, info.schema())
+          new GraftDynamicOverwrite(path, info.schema(), snapshotProps)
         } else new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -167,16 +167,17 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                     "appends to the branch, then fast_forward publishes")
                 Snapshots.appendToBranch(data, path, b)
               case None => mode match {
-                case 1 => Snapshots.overwrite(data, path)
+                case 1 => Snapshots.overwrite(data, path, snapshotProps)
                 case 2 =>
                   val conds = owFilters.map(f => GraftTable.filterToColumn(f).getOrElse(
                     throw new UnsupportedOperationException(
                       s"overwrite condition not expressible as a column predicate: $f")))
                   Snapshots.overwriteWhere(data, path, owFilters.toSeq,
                     conds.reduceOption(_ && _)
-                      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+                      .getOrElse(org.apache.spark.sql.functions.lit(true)),
+                    snapshotProps)
                 case _ =>
-                  if (overwrite) Snapshots.overwrite(data, path)
+                  if (overwrite) Snapshots.overwrite(data, path, snapshotProps)
                   else Snapshots.append(data, path, snapshotProps)
               }
             }

@@ -126,11 +126,18 @@ object Snapshots {
     val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
     val cached = PropsCache.get(key)
     if (cached != null) return cached
+    propsParses.incrementAndGet()
     val parsed = GeoTable.parseProps(
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     PropsCache.put(key, parsed)
     parsed
   }
+
+  /** Cache-miss parse count — observability for the per-version props
+    * memo (a WAP session consults `write.wap.enabled` on every statement;
+    * the spec asserts steady-state statements stay at zero parses).
+    */
+  private[graft] val propsParses = new java.util.concurrent.atomic.AtomicLong()
 
   private object PropsCache {
     private val MaxEntries = 4096
@@ -1019,15 +1026,28 @@ object Snapshots {
     }
   }
 
+  /** Table props of `head` (empty for a fresh table) merged with a
+    * commit's `snapshot-property.*` extras — every overwrite-family commit
+    * applies this, mirroring the reference's SparkWrite applying
+    * `extraSnapshotMetadata` to EVERY operation, not only appends.
+    */
+  private def propsWithExtras(path: String, head: Int,
+      extras: Map[String, String]): Map[String, String] =
+    if (extras.isEmpty) null // null = publish carries the head's props
+    else (if (head > 0) readProps(path, Some(head)) else Map.empty[String, String]) ++ extras
+
   /** Logical overwrite: new snapshot references only the new files. */
-  def overwrite(df: DataFrame, path: String): Int = {
+  def overwrite(df: DataFrame, path: String,
+      extraProps: Map[String, String] = Map.empty): Int = {
     rejectUnderWap(path, "overwrite")
     val spark = df.sparkSession
     val (added, written) = writeBack(df, path)
     val stats = statsFor(spark, path, added)
     withCommitRetry() {
+      val rs = refsState(path)
       // logical overwrite clears deletes and resets the schema
-      publish(path, refsState(path), stats, schema = Some(written))
+      publish(path, rs, stats, schema = Some(written),
+        props = propsWithExtras(path, rs.mainHead(path), extraProps))
     }
   }
 
@@ -1050,7 +1070,7 @@ object Snapshots {
     * columns and are not replaced.
     */
   private[graft] def commitDynamicOverwrite(spark: SparkSession, path: String,
-      added: Seq[String]): Int = {
+      added: Seq[String], extraProps: Map[String, String] = Map.empty): Int = {
     rejectUnderWap(path, "dynamic partition overwrite")
     if (added.isEmpty) return mainVersion(path) // nothing incoming: no-op
     val stats = statsFor(spark, path, added)
@@ -1061,6 +1081,7 @@ object Snapshots {
       val prior = if (head > 0) readManifest(path, Some(head)) else Nil
       val kept = prior.filterNot(e => touched(partDir(e.path)))
       publish(path, rs, kept ++ stats, carried(path, head), carriedPos(path, head),
+        props = propsWithExtras(path, head, extraProps),
         eqDeletes = carriedEq(path, head))
     }
   }
@@ -1069,9 +1090,10 @@ object Snapshots {
     * [[commitDynamicOverwrite]] (`df.writeTo(t).overwritePartitions()`
     * routes through the DSv2 batch write instead).
     */
-  def overwriteDynamic(df: DataFrame, path: String): Int = {
+  def overwriteDynamic(df: DataFrame, path: String,
+      extraProps: Map[String, String] = Map.empty): Int = {
     val (added, _) = writeBack(df, path)
-    commitDynamicOverwrite(df.sparkSession, path, added)
+    commitDynamicOverwrite(df.sparkSession, path, added, extraProps)
   }
 
   private def flattenAnd(f: org.apache.spark.sql.sources.Filter): Seq[org.apache.spark.sql.sources.Filter] =
@@ -1091,7 +1113,8 @@ object Snapshots {
     * rewrite copy-on-write like DELETE.
     */
   def overwriteWhere(df: DataFrame, path: String,
-      filters: Seq[org.apache.spark.sql.sources.Filter], cond: Column): Int = {
+      filters: Seq[org.apache.spark.sql.sources.Filter], cond: Column,
+      extraProps: Map[String, String] = Map.empty): Int = {
     rejectUnderWap(path, "filter overwrite")
     import org.apache.spark.sql.{sources => vs}
     val spark = df.sparkSession
@@ -1100,7 +1123,8 @@ object Snapshots {
     withCommitRetry() {
       val rs = refsState(path)
       val head = rs.mainHead(path)
-      if (head == 0) publish(path, rs, stats, schema = Some(written))
+      if (head == 0) publish(path, rs, stats, schema = Some(written),
+        props = propsWithExtras(path, head, extraProps))
       else {
         val current = readManifest(path, Some(head))
         val identCols = GeoTable.readPartitionSpecs(path)
@@ -1148,7 +1172,9 @@ object Snapshots {
           }
         publish(path, rs,
           kept ++ untouched ++ statsFor(spark, path, rewritten) ++ stats,
-          carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head))
+          carried(path, head), carriedPos(path, head),
+          props = propsWithExtras(path, head, extraProps),
+          eqDeletes = carriedEq(path, head))
       }
     }
   }
@@ -2575,7 +2601,10 @@ object Snapshots {
         updateRefs(path)(rs => (rs.branches -- expired, rs.tags -- expired))
         updateProperties(path, Map.empty,
           unset = expired.toSeq.flatMap(r => Seq(s"ref.$r.retain-ms",
-            s"ref.$r.min-snapshots-keep", s"ref.$r.created-at-ms")))
+            s"ref.$r.min-snapshots-keep", s"ref.$r.created-at-ms",
+            // must go too, or a later branch recreated under the same name
+            // silently inherits the stale age window in the keep set
+            s"ref.$r.max-snapshot-age-ms")))
       }
     }
     val cur = currentVersion(path)

@@ -54,7 +54,7 @@ object GraftStatements {
       """(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?""" +
       """(?:\s+RETAIN\s+(\d+)\s+(DAYS|HOURS|MINUTES))?""" +
-      """(?:\s+WITH\s+SNAPSHOT\s+RETENTION(?:\s+(\d+)\s+SNAPSHOTS)?(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?)?\s*$""").r
+      """(?:\s+(WITH)\s+SNAPSHOT\s+RETENTION(?:\s+(\d+)\s+SNAPSHOTS)?(?:\s+(\d+)\s+(DAYS|HOURS|MINUTES))?)?\s*$""").r
   private val DropRefRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+DROP\s+(BRANCH|TAG)\s+(?:(IF\s+EXISTS)\s+)?(\w+)\s*$""".r
   // declared write order (ref writeSpec / WRITE ORDERED BY in
@@ -237,12 +237,17 @@ object GraftStatements {
     case DropPartFieldRe(tbl, spec) =>
       Some(PartitionFieldCommand(resolveTable(tbl), drop = Seq(normSpec(spec))))
     case CreateRefRe(tbl, verb, kind, ifNotExists, name, version, retainN, retainUnit,
-        minSnaps, ageN, ageUnit) =>
+        retentionKw, minSnaps, ageN, ageUnit) =>
       def ms(unit: String): Long = unit.toUpperCase match {
         case "DAYS" => 86400000L
         case "HOURS" => 3600000L
         case _ => 60000L
       }
+      // ref grammar: the clause requires at least one of
+      // minSnapshotsToKeep / maxSnapshotAge — a bare clause is an error,
+      // not a silent no-op retention policy
+      require(retentionKw == null || minSnaps != null || ageN != null,
+        "WITH SNAPSHOT RETENTION needs `<n> SNAPSHOTS` and/or `<n> DAYS|HOURS|MINUTES`")
       val v = verb.toUpperCase.replaceAll("\\s+", " ")
       Some(RefCommand(resolveTable(tbl), s"create_${kind.toLowerCase}", name,
         Option(version).map(_.toInt),

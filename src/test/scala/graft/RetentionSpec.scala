@@ -114,6 +114,20 @@ class RetentionSpec extends AnyFunSuite {
     assert(chain.forall(v => java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, s"_graft_manifest_v$v.json"))),
       "age-retained branch ancestry must survive expire")
+    // ref grammar: a bare WITH SNAPSHOT RETENTION (neither k SNAPSHOTS nor
+    // an age) is an error, not a silent no-op retention clause
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH bare WITH SNAPSHOT RETENTION")
+    }
+    assert(e.getMessage.contains("SNAPSHOT RETENTION"), e.getMessage)
+    // an aged-out ref drop clears ALL its policy props, incl. the age
+    // window — a recreated same-name branch must not inherit it
+    spark.sql(s"ALTER TABLE '$dir' CREATE BRANCH ghost " +
+      "RETAIN 0 MINUTES WITH SNAPSHOT RETENTION 999 DAYS")
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    assert(!Snapshots.readRefs(dir)._1.contains("ghost"))
+    assert(!Snapshots.readProps(dir).contains("ref.ghost.max-snapshot-age-ms"),
+      "expired ref must not leave a stale age window behind")
   }
 
   test("ADD/REPLACE PARTITION FIELD accepts AS <name> for bucket/truncate") {

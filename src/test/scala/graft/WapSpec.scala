@@ -129,6 +129,38 @@ class WapSpec extends AnyFunSuite {
     assert(props.get("ingest-job").contains("batch-42"))
     assert(props.get("source").contains("s3-drop"))
     assert(spark.sql("SELECT count(*) FROM wpubcat.db.sp").head.getLong(0) == 2)
+    // the OVERWRITE family honors them too (the reference applies
+    // extraSnapshotMetadata to every commit operation, not only appends)
+    Seq(7L).toDF("id").writeTo("wpubcat.db.sp")
+      .option("snapshot-property.reason", "backfill")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    val p2 = Snapshots.readProps(s"$warehouse/db/sp")
+    assert(p2.get("reason").contains("backfill"), s"truncate-overwrite props: $p2")
+    spark.sql("CREATE TABLE wpubcat.db.spd (id BIGINT, p INT) PARTITIONED BY (p)")
+    Seq((1L, 0), (2L, 1)).toDF("id", "p").writeTo("wpubcat.db.spd").append()
+    Seq((3L, 1)).toDF("id", "p").writeTo("wpubcat.db.spd")
+      .option("snapshot-property.reason", "partition-refresh")
+      .overwritePartitions()
+    assert(Snapshots.readProps(s"$warehouse/db/spd")
+      .get("reason").contains("partition-refresh"), "dynamic-overwrite props")
+  }
+
+  test("WAP conf checks hit the props memo, not the manifest parser") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE wpubcat.db.memo (id BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    val tbl = s"$warehouse/db/memo"
+    spark.conf.set("spark.wap.id", "memojob")
+    try {
+      spark.sql("INSERT INTO wpubcat.db.memo VALUES (1)") // warm: branch + caches
+      val before = Snapshots.propsParses.get()
+      // steady-state statements under an active WAP session: the
+      // write.wap.enabled lookup must come from the per-version memo
+      (1 to 5).foreach(_ =>
+        assert(spark.sql("SELECT count(*) FROM wpubcat.db.memo").head.getLong(0) == 1))
+      assert(Snapshots.propsParses.get() == before,
+        "read-only WAP statements must not re-parse table properties")
+    } finally spark.conf.unset("spark.wap.id")
   }
 
   test("WAP is inert without the table property or the conf") {
