@@ -162,6 +162,32 @@ object Similarity {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // nearest-centroid assignment against a FIXED deterministic centroid
+    // set (the k lowest vec_ids — so DuckDB derives the same set): the
+    // labeling pass of k-means / semantic clustering at corpus scale. The
+    // k centroid vectors fold into literal columns (bounded driver
+    // collect: k rows), so assignment is MAP-ONLY — zero shuffles, zero
+    // joins; at 100 TB this is one codegen'd scan with broadcast-free
+    // centroid state. Ties on rounded cosine break to the smallest
+    // centroid id via struct-ordered greatest().
+    "sim_centroid_assign" -> ((s, dir) => {
+      val k = 8
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val scored = cents.map { case (cid, cv) =>
+        struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
+          lit(-cid).as("neg"))
+      }
+      val best = greatest(scored: _*)
+      e.filter(col("vec_id") >= k)
+        .select(col("vec_id"),
+          (-best.getField("neg")).as("centroid_id"),
+          best.getField("cos").as("cos"))
+    }),
+
     // embedding near-duplicate pairs (cosine >= threshold) via banded LSH;
     // same size-scaled buckets — the within-bucket self-join stays linear
     "dedup_embed_cosine" -> ((s, dir) => {
@@ -202,6 +228,18 @@ object Similarity {
         |FROM q CROSS JOIN n
         |WHERE vec_id != qid
         |QUALIFY row_number() OVER (PARTITION BY qid
-        |  ORDER BY round(list_dot_product(qv, v) / (qnorm * norm), 6) DESC, vec_id) <= 5""".stripMargin
+        |  ORDER BY round(list_dot_product(qv, v) / (qnorm * norm), 6) DESC, vec_id) <= 5""".stripMargin,
+
+    "sim_centroid_assign" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id < 8)
+        |SELECT vec_id, cid AS centroid_id,
+        | round(list_dot_product(v, cv) / (norm * cnorm), 6) AS cos
+        |FROM n CROSS JOIN c
+        |WHERE vec_id >= 8
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6) DESC, cid) = 1""".stripMargin
   )
 }

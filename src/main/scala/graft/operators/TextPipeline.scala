@@ -301,6 +301,46 @@ object TextPipeline {
             email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
     }),
 
+    // BPE-ish token accounting: a GPT-2-style pre-tokenizer regex
+    // (contraction suffixes | space-prefixed letter runs | digit runs |
+    // punctuation runs | whitespace runs) counted alongside the whitespace
+    // token count and byte length — the three "how big is this document"
+    // numbers a token-budgeted pretraining mix is planned with. Map-only:
+    // codegen'd regexp builtins, no UDF, no shuffle; both engines run the
+    // identical RE2-compatible pattern (leftmost-first alternation).
+    "text_tokens_bpe" -> ((s, dir) => {
+      val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+      docs(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n_bpe"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_ws"),
+        octet_length(col("text")).as("n_bytes"))
+    }),
+
+    // Gopher-style quality gate: the standard rule set a pretraining
+    // curation pass applies (token-count window, mean-token-length window,
+    // stopword floor, type-token-ratio floor, top-token concentration
+    // ceiling), each exposed as its own 0/1 flag plus the conjunction.
+    // Zero-shuffle: every signal comes from the one-pass text_stats /
+    // rep_stats kernels, so the whole gate fuses into the scan.
+    "text_gopher_filter" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("st", VectorSql.text_stats(col("text"), typedlit(stopwords)))
+        .withColumn("r", VectorSql.rep_stats(col("text")))
+        .withColumn("ok_len",
+          (col("st.n_tokens") >= 20 && col("st.n_tokens") <= 2000).cast("int"))
+        .withColumn("ok_avg_len",
+          (col("st.nonws_len") / col("st.n_tokens")).between(3.0, 10.0).cast("int"))
+        .withColumn("ok_stop", (col("st.stop_hits") >= 2).cast("int"))
+        .withColumn("ok_ttr",
+          (col("r.distinct_tokens") / col("r.n_tokens") >= 0.3).cast("int"))
+        .withColumn("ok_top",
+          (col("r.top_tok_n") / col("r.n_tokens") <= 0.2).cast("int"))
+        .select(col("doc_id"), col("ok_len"), col("ok_avg_len"), col("ok_stop"),
+          col("ok_ttr"), col("ok_top"),
+          (col("ok_len") * col("ok_avg_len") * col("ok_stop") * col("ok_ttr") *
+            col("ok_top")).as("keep"))
+    }),
+
     // document fingerprinting: md5 of whitespace-normalized text
     "text_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -498,6 +538,36 @@ object TextPipeline {
         |   '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
         |   '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM t""".stripMargin,
+
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INTEGER) AS n_bpe,
+        | CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws,
+        | CAST(strlen(text) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "text_gopher_filter" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS n
+        |       FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_tokens,
+        |        CAST(count(*) AS INTEGER) AS distinct_tokens,
+        |        CAST(max(n) AS INTEGER) AS top_tok_n FROM tf GROUP BY 1),
+        |q AS (SELECT t.doc_id, agg.n_tokens, agg.distinct_tokens, agg.top_tok_n,
+        |  length(regexp_replace(t.text, '\s+', '', 'g')) AS nonws_len,
+        |  len(list_filter(t.tk, w -> w IN ('the','a','of','and','to','in','is'))) AS stop_hits
+        | FROM t JOIN agg ON t.doc_id = agg.doc_id),
+        |f AS (SELECT doc_id,
+        |  CAST(n_tokens >= 20 AND n_tokens <= 2000 AS INTEGER) AS ok_len,
+        |  CAST(nonws_len * 1.0 / n_tokens BETWEEN 3.0 AND 10.0 AS INTEGER) AS ok_avg_len,
+        |  CAST(stop_hits >= 2 AS INTEGER) AS ok_stop,
+        |  CAST(distinct_tokens * 1.0 / n_tokens >= 0.3 AS INTEGER) AS ok_ttr,
+        |  CAST(top_tok_n * 1.0 / n_tokens <= 0.2 AS INTEGER) AS ok_top
+        | FROM q)
+        |SELECT doc_id, ok_len, ok_avg_len, ok_stop, ok_ttr, ok_top,
+        | ok_len * ok_avg_len * ok_stop * ok_ttr * ok_top AS keep
+        |FROM f""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -149,6 +149,81 @@ class PipelineSpec extends AnyFunSuite {
       s"text_pii_scrub should shuffle only for the parallelism widen:\n$pii")
   }
 
+  test("text_tokens_bpe: pre-tokenizer counts match hand-derived matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // mirror the query's pattern on a constructed row with every branch:
+    // contraction suffix, letter runs, digit run, punctuation run, ws runs
+    val bpe = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    val got = Seq((1L, "it's 42 ok!"), (2L, "plain words"), (3L, "a1b2"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(bpe), lit(0))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // "it's 42 ok!" -> [it]['s][ 42][ ok][!]
+    assert(got(1L) == 5, s"got ${got(1L)}")
+    // "plain words" -> [plain][ words]
+    assert(got(2L) == 2)
+    // "a1b2" -> [a][1][b][2]
+    assert(got(3L) == 4)
+    // the full query: map-only, one row per doc, byte/ws counts consistent
+    val df = SparkEntry.queries("text_tokens_bpe")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"text_tokens_bpe should be map-only:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= r.getInt(2), "BPE-ish tokens >= whitespace tokens")
+      assert(r.getInt(3) > 0)
+    }
+  }
+
+  test("text_gopher_filter: flags are 0/1, keep is their conjunction, gates agree") {
+    val rows = SparkEntry.queries("text_gopher_filter")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val flags = (1 to 5).map(r.getInt)
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getInt(6) == flags.product)
+    }
+    // ok_len must agree with the independently-computed token count
+    val toks = SparkEntry.queries("text_tokens")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val n = toks(r.getLong(0))
+      assert(r.getInt(1) == (if (n >= 20 && n <= 2000) 1 else 0))
+    }
+    // the gate must actually split the corpus (not vacuous)
+    val kept = rows.count(_.getInt(6) == 1)
+    assert(kept > 0 && kept < 500, s"gopher gate kept $kept of 500")
+  }
+
+  test("sim_centroid_assign: map-only plan; assignment matches brute force") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("sim_centroid_assign")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"centroid assignment should be one codegen'd scan:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 492) // 500 vectors minus the 8 centroids
+    // brute-force oracle in-test: exact cosine against each centroid
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    got.foreach { case (vid, cid, c) =>
+      val scored = (0L until 8L).map(k => k -> cos(e(vid), e(k)))
+      val best = scored.maxBy { case (k, s) => (s, -k) }
+      assert(best._1 == cid, s"vec $vid assigned $cid, brute force says ${best._1}")
+      assert(math.abs(best._2 - c) < 1e-9, s"vec $vid cos $c vs ${best._2}")
+    }
+  }
+
   test("rep_stats kernel: exact counts incl. tokenizer boundary semantics") {
     import spark.implicits._
     val rows = Seq(
