@@ -39,6 +39,40 @@ object EventStreams {
       .groupBy(window(col("ets"), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream interval join: click attribution. Each click joins the
+    * views of the same user that happened within `within` BEFORE it. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance in both directions, so Spark can expire buffered state —
+    * without that, a continuous pipeline's join state grows without bound
+    * (the property that matters at production stream rates; Spark rejects
+    * unwatermarked inner interval joins in append mode outright).
+    */
+  def viewClickJoin(events: DataFrame, within: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ets").as("v_ts"), col("event_id").as("view_id"))
+      .withWatermark("v_ts", "2 hours")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ets").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
+  /** Streaming deduplication on a business key with bounded state:
+    * duplicates arriving within the watermark horizon are dropped, and
+    * per-key state is expired once the watermark passes it —
+    * `dropDuplicatesWithinWatermark`, the at-least-once-source →
+    * exactly-once-semantics repair stage of an ingest pipeline.
+    */
+  def dedupedEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ets", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
   /** Custom per-key state: running per-user totals via mapGroupsWithState —

@@ -51,6 +51,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val q = EventStreams.viewClickJoin(EventStreams.readEvents(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vc_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vc_join")
+      val ev = batchEvents.withColumn("ets",
+        if (batchEvents.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else col("ts").cast("timestamp"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ets").as("v_ts"), col("event_id").as("view_id"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ets").as("c_ts"),
+          col("event_id").as("click_id"))
+      val batch = views.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 1 hour"))
+      assert(batch.count() > 0, "fixture should produce attributable clicks")
+      assert(got.count() == batch.count())
+      // exact pair-set equality, not just cardinality
+      val gotPairs = got.select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchPairs = batch.select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotPairs == batchPairs)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-horizon duplicates with bounded state") {
+    // duplicate the whole events file into one source dir → every event
+    // arrives exactly twice in the same micro-batch window
+    val dir = Files.createTempDirectory("dup_events").toFile
+    val src = new java.io.File(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "a.parquet").toPath)
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(dir, "b.parquet").toPath)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val stream0 = spark.readStream.schema(schema).parquet(dir.getAbsolutePath)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        stream0.withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      else stream0.withColumn("ets", col("ts").cast("timestamp"))
+    val q = EventStreams.dedupedEvents(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_events").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_events").count()
+      assert(n == batchEvents.count(),
+        s"expected each duplicated event once, got $n")
+      assert(spark.table("dedup_events").groupBy("event_id").count()
+        .filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming geo sink commits one snapshot per micro-batch") {
     import graft.functions.GeoSql
     import graft.spatial.{GeoTable, Snapshots}
