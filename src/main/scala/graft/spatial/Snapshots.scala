@@ -1630,6 +1630,32 @@ object Snapshots {
     else mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
   }
 
+  /** SQL MERGE cardinality rule: a target row matching MORE THAN ONE
+    * source row is an error whenever a WHEN MATCHED clause exists — the
+    * duplicate matches would update/delete the same row twice (the
+    * reference raises the same error through Spark's row-level MERGE
+    * framework, `MergeRowsExec`; SQL:2016 14.12 GR 6). Enforced inline on
+    * the merge frame: a window count over the target row identity
+    * (`__tid`, a per-row id stamped before the join; source-only rows get
+    * unique negative keys so the null-identity partition can't skew),
+    * raising from the executor on the first violation — no second pass
+    * over the data. Insert-only merges skip the check and its exchange,
+    * matching Spark.
+    */
+  private def cardinalityChecked(joined: DataFrame, check: Boolean): DataFrame =
+    if (!check) joined
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val matched = col("__t").isNotNull && col("__s").isNotNull
+      val w = Window.partitionBy(coalesce(col("__tid"), -col("__sid") - 1))
+      joined
+        .withColumn("__nmatch", sum(when(matched, 1L).otherwise(0L)).over(w))
+        .filter(assert_true(!(matched && col("__nmatch") > 1),
+          lit("MERGE cardinality violation: a single target row matched " +
+            "multiple source rows while a WHEN MATCHED clause is present")).isNull)
+        .drop("__nmatch")
+    }
+
   /** First-matching-clause action tag over the full-outer merge frame
     * (SQL MERGE: clauses apply in source order; a row matching none keeps
     * its prior state). Tags are `<action><clause-index>`, plus "keep" for
@@ -1747,9 +1773,12 @@ object Snapshots {
         import scala.jdk.CollectionConverters._
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
       } else readFilesForRewrite(spark, path, affected, head))
-        .withColumn("__t", lit(1)).alias(targetAlias)
-      val src = source.withColumn("__s", lit(1)).alias(sourceAlias)
-      val joined = tgt.join(src, expr(onSql), "full_outer")
+        .withColumn("__t", lit(1))
+        .withColumn("__tid", monotonically_increasing_id()).alias(targetAlias)
+      val src = source.withColumn("__s", lit(1))
+        .withColumn("__sid", monotonically_increasing_id()).alias(sourceAlias)
+      val joined = cardinalityChecked(tgt.join(src, expr(onSql), "full_outer"),
+        clauses.exists(_.matched))
       val withAction = joined.withColumn("__action", mergeActionCol(clauses))
         .filter(!col("__action").startsWith("delete") && col("__action") =!= "dropSrc")
       val out = withAction.select(tableCols.map(
@@ -1779,12 +1808,15 @@ object Snapshots {
     val table = read(spark, path, Some(head))
     val tableCols = table.columns.toSeq
     val tgt = readWithPositions(spark, path, Some(head))
-      .withColumn("__t", lit(1)).alias(targetAlias)
-    val src = source.withColumn("__s", lit(1)).alias(sourceAlias)
+      .withColumn("__t", lit(1))
+      .withColumn("__tid", monotonically_increasing_id()).alias(targetAlias)
+    val src = source.withColumn("__s", lit(1))
+      .withColumn("__sid", monotonically_increasing_id()).alias(sourceAlias)
     // resolve the alias-qualified clause expressions BEFORE materializing:
     // one scan then feeds both outputs (blocks, not re-scans), and the
     // checkpointed frame no longer depends on join-side qualifiers
-    val prepared = tgt.join(src, expr(onSql), "full_outer")
+    val prepared = cardinalityChecked(tgt.join(src, expr(onSql), "full_outer"),
+        clauses.exists(_.matched))
       .withColumn("__action", mergeActionCol(clauses))
       .filter(col("__action") =!= "keep" && col("__action") =!= "dropSrc")
       .select(col("__action") +: col("__mor_file") +: col("__mor_pos") +:
@@ -1830,11 +1862,16 @@ object Snapshots {
     // partner). Ordinals are deterministic: rows order by a hash of their
     // non-identifier columns. One exchange on the identifier (the group
     // window's subset-clustering reuses it), two local sorts.
+    // per-commit changelogs pair WITHIN each commit: the reference's
+    // procedure repartitions by (identifier columns, _change_ordinal)
+    // before running ComputeUpdateIterator
+    // (CreateChangelogViewProcedure.java:169-176)
+    val keyCols = idCols ++ ChangelogMetaCols.filter(changesDf.columns.contains)
     val others = changesDf.columns
-      .filterNot(c => idCols.contains(c) || c == "_change_type").toSeq
+      .filterNot(c => keyCols.contains(c) || c == "_change_type").toSeq
     val ord = if (others.isEmpty) lit(0L) else xxhash64(others.map(col): _*)
-    val wKey = Window.partitionBy(idCols.map(col): _*)
-    val wType = Window.partitionBy((idCols :+ "_change_type").map(col): _*).orderBy(ord)
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    val wType = Window.partitionBy((keyCols :+ "_change_type").map(col): _*).orderBy(ord)
     changesDf
       .withColumn("__rn", row_number().over(wType))
       .withColumn("__del",
@@ -1851,26 +1888,91 @@ object Snapshots {
       .drop("__rn", "__del", "__ins", "__pairs")
   }
 
+  /** The reference's changelog metadata columns beyond `_change_type`
+    * (`core/src/main/java/org/apache/iceberg/ChangelogUtil.java:32`).
+    */
+  private val ChangelogMetaCols = Seq("_change_ordinal", "_commit_snapshot_id")
+
+  /** Per-commit changelog over the ancestry range `(fromV, toV]` — the
+    * reference's changelog table scan (`ChangelogUtil.changelogSchema`):
+    * one row-level diff PER COMMIT, tagged `_change_ordinal` (0-based
+    * commit position within the range) and `_commit_snapshot_id`. Unlike
+    * the endpoint diff [[changes]] (which nets by construction), a row
+    * inserted mid-range and deleted later shows BOTH events here —
+    * `net_changes => true` is what collapses them.
+    */
+  def changelog(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    val chain = ancestry(path, toV)
+    require(chain.contains(fromV) || fromV == toV,
+      s"from_version $fromV is not an ancestor of to_version $toV")
+    val inRange = chain.filter(v => v > fromV && v <= toV)
+    val parts = (fromV +: inRange).zip(inRange).zipWithIndex.map {
+      case ((parent, v), i) =>
+        changes(spark, path, parent, v)
+          .withColumn("_change_ordinal", lit(i))
+          .withColumn("_commit_snapshot_id", lit(v.toLong))
+    }
+    parts.reduceOption(_.unionAll(_)).getOrElse {
+      val schema = read(spark, path, Some(toV)).schema
+        .add("_change_type", org.apache.spark.sql.types.StringType)
+        .add("_change_ordinal", org.apache.spark.sql.types.IntegerType)
+        .add("_commit_snapshot_id", org.apache.spark.sql.types.LongType)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+  }
+
   /** Collapse a changelog to net row effects — the reference's
     * `create_changelog_view(net_changes => true)` /
-    * `ChangelogIterator.removeNetCarryovers`: a row content inserted and
-    * deleted within the range nets to nothing; surviving multiplicity
-    * keeps the majority side's tag. [[changes]] diffs endpoint states (so
-    * its output is already net per construction); this pass makes the
-    * contract explicit and holds for any per-snapshot changelog source.
+    * `ChangelogIterator.removeNetCarryovers`. Per identical row content
+    * (metadata columns excluded), the reference's iterator walks rows
+    * sorted by (ordinal, change type) keeping a single greedy run: an
+    * opposite-type row cancels one from the run, a cancellation to zero
+    * drops the run and starts fresh at the next row, and only the FINAL
+    * run survives — emitted as `count` copies of the run's first row
+    * (`RemoveNetCarryoverIterator.java:66-100`). Reproduced exactly with a
+    * sorted collect_list + aggregate fold per value group (group sizes are
+    * the number of changes to ONE row content across the range — tiny by
+    * construction). Plain frames without ordinal columns keep the simpler
+    * net-count semantics (sign of the insert−delete balance).
     */
   def removeNetCarryovers(changesDf: DataFrame): DataFrame = {
-    val valueCols = changesDf.columns.filterNot(_ == "_change_type").toSeq
-    changesDf
-      .groupBy(valueCols.map(col): _*)
-      .agg(sum(when(col("_change_type") === "insert", 1L)
-        .when(col("_change_type") === "delete", -1L).otherwise(0L)).as("__net"))
-      .filter(col("__net") =!= 0L)
-      .withColumn("_change_type",
-        when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
-      .withColumn("__dup", explode(expr("sequence(1, abs(__net))")))
-      .drop("__net", "__dup")
-      .select(changesDf.columns.map(col): _*)
+    val metaCols = "_change_type" +: ChangelogMetaCols
+    val valueCols = changesDf.columns.filterNot(metaCols.contains).toSeq
+    if (!changesDf.columns.contains("_change_ordinal")) {
+      changesDf
+        .groupBy(valueCols.map(col): _*)
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .when(col("_change_type") === "delete", -1L).otherwise(0L)).as("__net"))
+        .filter(col("__net") =!= 0L)
+        .withColumn("_change_type",
+          when(col("__net") > 0, lit("insert")).otherwise(lit("delete")))
+        .withColumn("__dup", explode(expr("sequence(1, abs(__net))")))
+        .drop("__net", "__dup")
+        .select(changesDf.columns.map(col): _*)
+    } else {
+      val grouped = changesDf
+        .groupBy(valueCols.map(col): _*)
+        .agg(sort_array(collect_list(struct(
+          col("_change_ordinal").as("o"),
+          col("_commit_snapshot_id").as("c"),
+          col("_change_type").as("t")))).as("__rows"))
+      // greedy-run fold: state = (first row of the live run, its count)
+      val folded = grouped.withColumn("__run", expr(
+        """aggregate(__rows,
+          |  struct(CAST(NULL AS STRUCT<o: INT, c: BIGINT, t: STRING>) AS first,
+          |         0 AS cnt),
+          |  (acc, r) -> CASE
+          |    WHEN acc.cnt = 0 THEN struct(r AS first, 1 AS cnt)
+          |    WHEN r.t = acc.first.t THEN struct(acc.first AS first, acc.cnt + 1 AS cnt)
+          |    ELSE struct(acc.first AS first, acc.cnt - 1 AS cnt) END)""".stripMargin))
+        .filter(col("__run.cnt") > 0)
+      folded
+        .withColumn("__dup", explode(expr("sequence(1, __run.cnt)")))
+        .withColumn("_change_type", col("__run.first.t"))
+        .withColumn("_change_ordinal", col("__run.first.o"))
+        .withColumn("_commit_snapshot_id", col("__run.first.c"))
+        .select(changesDf.columns.map(col): _*)
+    }
   }
 
   /** Read a snapshot (default: current) through the pruning file index,
@@ -2051,13 +2153,18 @@ object Snapshots {
         else if ((parent -- names).nonEmpty && (names -- parent).nonEmpty) "overwrite"
         else if ((parent -- names).nonEmpty) "delete"
         else "metadata" // same file set (MoR delete / rollback no-op)
-      org.apache.spark.sql.Row(v,
+      // parent_version: the stamped ancestry pointer (null for roots) —
+      // the reference's snapshots.parent_id
+      val parentOut: Any =
+        if (parentV >= 1 && Files.exists(manifestPath(path, parentV))) parentV else null
+      org.apache.spark.sql.Row(v, parentOut,
         new java.sql.Timestamp(Files.getLastModifiedTime(manifestPath(path, v)).toMillis),
         op, m.size, (names -- parent).size, (parent -- names).size,
         m.map(_.rows).sum, m.map(_.sizeBytes).sum)
     }
     mkDf(spark, rows,
-      "version" -> IntegerType, "committed_at" -> TimestampType,
+      "version" -> IntegerType, "parent_version" -> IntegerType,
+      "committed_at" -> TimestampType,
       "operation" -> StringType, "n_files" -> IntegerType,
       "added_files" -> IntegerType, "removed_files" -> IntegerType,
       "record_count" -> LongType, "total_bytes" -> LongType)

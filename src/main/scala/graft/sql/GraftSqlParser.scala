@@ -658,7 +658,9 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         Seq(Row(names.size.toLong, names.mkString(",")))
       case "create_changelog_view" =>
         val view = str(arg(3, "view"))
-        val base = Snapshots.changes(spark, table,
+        // per-commit changelog with the reference's _change_ordinal /
+        // _commit_snapshot_id metadata columns (ChangelogUtil.changelogSchema)
+        val base = Snapshots.changelog(spark, table,
           int(arg(1, "from_version")), int(arg(2, "to_version")))
         // `identifier_columns => 'c1,c2'` (or `compute_updates => true`
         // with declared IDENTIFIER FIELDS) pairs delete+insert rows into

@@ -130,6 +130,39 @@ class IdentifierFieldsSpec extends AnyFunSuite {
     assert(tally(3L) == Map("delete" -> 1))
   }
 
+  test("changelog is per-commit with ordinal and commit-snapshot metadata") {
+    val dir = Files.createTempDirectory("graft_idf_ord").toString
+    import spark.implicits._
+    Seq((1L, "base")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+    graft.spatial.GeoTable.writeManifest(spark, dir)
+    val v1 = Snapshots.mainVersion(dir)
+    Snapshots.append(Seq((2L, "transient")).toDF("id", "v"), dir)
+    val v2 = Snapshots.mainVersion(dir)
+    spark.sql(s"DELETE FROM '$dir' WHERE id = 2")
+    val v3 = Snapshots.mainVersion(dir)
+    // the PLAIN changelog shows both events (the reference's changelog
+    // scan), with 0-based ordinals and the committing snapshot id — an
+    // endpoint diff would net them to nothing
+    spark.sql(s"CALL graft.system.create_changelog_view('$dir', $v1, $v3, 'ord_v')")
+    val rows = spark.sql(
+      "SELECT id, _change_type, _change_ordinal, _commit_snapshot_id FROM ord_v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(rows == Set(
+      (2L, "insert", 0, v2.toLong),
+      (2L, "delete", 1, v3.toLong)), s"got $rows")
+    // survivors of the net pass keep the metadata of the surviving event
+    Snapshots.append(Seq((2L, "back")).toDF("id", "v"), dir)
+    val v4 = Snapshots.mainVersion(dir)
+    spark.sql(s"CALL graft.system.create_changelog_view('$dir', $v1, $v4, 'ord_net', " +
+      "net_changes => true)")
+    val net = spark.sql(
+      "SELECT id, v, _change_type, _commit_snapshot_id FROM ord_net").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // ins('transient')@v2 cancels del('transient')@v3? No — net pass groups
+    // by row CONTENT: 'transient' ins+del cancel; 'back' survives from v4
+    assert(net == Set((2L, "back", "insert", v4.toLong)), s"got $net")
+  }
+
   test("create_changelog_view(net_changes => true) collapses carry-overs") {
     val dir = Files.createTempDirectory("graft_idf_net").toString
     import spark.implicits._

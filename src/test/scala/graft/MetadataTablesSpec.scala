@@ -42,15 +42,23 @@ class MetadataTablesSpec extends AnyFunSuite {
 
   test("snapshots table reports commit lineage with operations and deltas") {
     val snaps = Snapshots.snapshotsTable(spark, dir).collect()
-      .map(r => r.getInt(0) -> r).toMap
+      .map(r => r.getInt(r.fieldIndex("version")) -> r).toMap
+    def str(v: Int, c: String) = snaps(v).getString(snaps(v).fieldIndex(c))
+    def int(v: Int, c: String) = snaps(v).getInt(snaps(v).fieldIndex(c))
+    def lng(v: Int, c: String) = snaps(v).getLong(snaps(v).fieldIndex(c))
     assert(snaps.keySet == Set(1, 2, 3))
-    assert(snaps(1).getString(2) == "append" && snaps(1).getLong(6) == 40L)
-    assert(snaps(2).getString(2) == "append" && snaps(2).getLong(6) == 80L)
-    assert(snaps(2).getInt(4) == 1 && snaps(2).getInt(5) == 0) // +1 file, -0
-    assert(snaps(3).getString(2) == "overwrite" && snaps(3).getLong(6) == 75L)
-    assert(snaps(3).getInt(5) == 1) // CoW removed the rewritten file
+    assert(str(1, "operation") == "append" && lng(1, "record_count") == 40L)
+    assert(str(2, "operation") == "append" && lng(2, "record_count") == 80L)
+    assert(int(2, "added_files") == 1 && int(2, "removed_files") == 0)
+    assert(str(3, "operation") == "overwrite" && lng(3, "record_count") == 75L)
+    assert(int(3, "removed_files") == 1) // CoW removed the rewritten file
+    // parent lineage: roots have null parents, children point at their
+    // predecessor (the reference's snapshots.parent_id)
+    assert(snaps(1).isNullAt(snaps(1).fieldIndex("parent_version")))
+    assert(int(2, "parent_version") == 1 && int(3, "parent_version") == 2)
     // commit times are monotonic
-    val ts = (1 to 3).map(v => snaps(v).getTimestamp(1).getTime)
+    val ts = (1 to 3).map(v =>
+      snaps(v).getTimestamp(snaps(v).fieldIndex("committed_at")).getTime)
     assert(ts == ts.sorted)
   }
 

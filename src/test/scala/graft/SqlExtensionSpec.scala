@@ -293,6 +293,43 @@ class SqlExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE cardinality violation: multi-match + MATCHED clause raises; insert-only doesn't") {
+    for (mor <- Seq(false, true)) {
+      val dir = mkTable(10) // ids 0..9
+      if (mor) Snapshots.updateProperties(dir, Map("write.merge.mode" -> "merge-on-read"))
+      // two source rows hit target id=3
+      spark.sql("SELECT * FROM VALUES (3L, 10L), (3L, 20L), (7L, 30L) AS v(sid, bump)")
+        .createOrReplaceTempView("card_src")
+      val before = Snapshots.read(spark, dir).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO '$dir' USING (SELECT * FROM card_src) ON t.id = s.sid
+                     |WHEN MATCHED THEN UPDATE SET id = t.id + s.bump""".stripMargin)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage).exists(
+          _.contains("cardinality"))), s"mor=$mor: $e")
+      // the failed MERGE must not have committed anything
+      val after = Snapshots.read(spark, dir).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(after == before, s"mor=$mor: failed MERGE must leave the table untouched")
+      // insert-only MERGE skips the check even with duplicate source keys
+      spark.sql("SELECT * FROM VALUES (55L), (55L) AS v(sid)")
+        .createOrReplaceTempView("card_src2")
+      spark.sql(s"""MERGE INTO '$dir' USING (SELECT * FROM card_src2) ON t.id = s.sid
+                   |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.sid)""".stripMargin)
+      assert(Snapshots.read(spark, dir).filter(col("id") === 55L).count() == 2,
+        s"mor=$mor: insert-only merge admits duplicate source rows")
+      // a unique-match MERGE with MATCHED clauses still works
+      spark.sql("SELECT * FROM VALUES (4L, 100L) AS v(sid, bump)")
+        .createOrReplaceTempView("card_src3")
+      spark.sql(s"""MERGE INTO '$dir' USING (SELECT * FROM card_src3) ON t.id = s.sid
+                   |WHEN MATCHED THEN UPDATE SET id = t.id + s.bump""".stripMargin)
+      assert(Snapshots.read(spark, dir).filter(col("id") === 104L).count() == 1, s"mor=$mor")
+    }
+  }
+
   test("CALL rewrite_manifests / ancestors_of / snapshot / register_table") {
     val dir = mkTable(20)
     Snapshots.append(Snapshots.read(spark, dir).limit(3), dir)
