@@ -67,6 +67,16 @@ class GraftSource extends RelationProvider with DataSourceRegister
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
     Option(opts.get("metadata")) match {
+      case Some(name) if name.equalsIgnoreCase("changes") =>
+        // the reference's `t.changes` changelog table: start is EXCLUSIVE
+        // (0 = full history), end inclusive (default: main head)
+        def intOpt(ks: String*): Option[Int] =
+          ks.flatMap(k => Option(opts.get(k))).headOption.map(_.toInt)
+        val from = intOpt("start-version", "start-snapshot-id").getOrElse(0)
+        val to = intOpt("end-version", "end-snapshot-id")
+          .getOrElse(Snapshots.mainVersion(path))
+        new GraftMetadataTable(Snapshots.changelog(spark, path, from, to),
+          s"graft:$path#changes")
       case Some(name) =>
         new GraftMetadataTable(Snapshots.metadataTable(spark, path, name), s"graft:$path#$name")
       case None =>

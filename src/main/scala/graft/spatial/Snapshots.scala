@@ -1903,13 +1903,17 @@ object Snapshots {
     */
   def changelog(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
     val chain = ancestry(path, toV)
-    require(chain.contains(fromV) || fromV == toV,
+    require(fromV == 0 || chain.contains(fromV) || fromV == toV,
       s"from_version $fromV is not an ancestor of to_version $toV")
     val inRange = chain.filter(v => v > fromV && v <= toV)
     val parts = (fromV +: inRange).zip(inRange).zipWithIndex.map {
       case ((parent, v), i) =>
-        changes(spark, path, parent, v)
-          .withColumn("_change_ordinal", lit(i))
+        // parent 0 = before the first retained snapshot: every visible row
+        // of the oldest commit is an insert (full-history changelog)
+        val d = if (parent == 0)
+          read(spark, path, Some(v)).withColumn("_change_type", lit("insert"))
+        else changes(spark, path, parent, v)
+        d.withColumn("_change_ordinal", lit(i))
           .withColumn("_commit_snapshot_id", lit(v.toLong))
     }
     parts.reduceOption(_.unionAll(_)).getOrElse {
@@ -2344,10 +2348,14 @@ object Snapshots {
     case "all_entries" => allEntriesTable(spark, path)
     case "all_files" | "all_data_files" => allFilesTable(spark, path)
     case "all_delete_files" => allDeleteFilesTable(spark, path)
+    // full-history changelog (the reference's `t.changes` table); a
+    // bounded window goes through format("graft").option("metadata",
+    // "changes") with start-version / end-version read options
+    case "changes" => changelog(spark, path, 0, mainVersion(path))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table: $other (files|data_files|history|snapshots|manifests|" +
         "all_manifests|partitions|entries|refs|delete_files|position_deletes|" +
-        "metadata_log_entries|all_entries|all_files|all_data_files|all_delete_files)")
+        "metadata_log_entries|all_entries|all_files|all_data_files|all_delete_files|changes)")
   }
 
   /** Data files ENTERING the table in `(fromV, toV]` along the same

@@ -216,6 +216,11 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.meta.m.snapshots").count() == 2)
     assert(spark.sql("SELECT * FROM gcat.meta.m.history").count() == 2)
     assert(spark.sql("SELECT * FROM gcat.meta.m.refs").count() >= 1)
+    // full-history changelog: 10 CTAS inserts @ordinal 0 + 1 insert @1
+    val ch = spark.sql(
+      "SELECT _change_ordinal, count(*) AS n FROM gcat.meta.m.changes GROUP BY 1")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ch == Map(0 -> 10L, 1 -> 1L), s"got $ch")
     // unknown metadata name is a missing table, not an internal error
     val e = intercept[Exception](spark.sql("SELECT * FROM gcat.meta.m.nosuch").collect())
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)

@@ -62,6 +62,28 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(ts == ts.sorted)
   }
 
+  test("changes table: full-history and windowed changelog reads") {
+    // full history via the metadata-table name (also `cat.db.t.changes`):
+    // 40 inserts @v1, 40 inserts @v2, 5 deletes + re-inserts? no — CoW
+    // delete removes 5 rows of part=0: delete events @v3
+    val full = spark.read.format("graft")
+      .option("metadata", "changes").load(dir)
+    val byOrd = full.groupBy("_change_ordinal", "_change_type").count().collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byOrd == Map((0, "insert") -> 40L, (1, "insert") -> 40L,
+      (2, "delete") -> 5L), s"got $byOrd")
+    // commit ids line up with the snapshot versions
+    val commits = full.select("_change_ordinal", "_commit_snapshot_id").distinct()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(commits == Map(0 -> 1L, 1 -> 2L, 2 -> 3L))
+    // windowed: start-version is exclusive, end-version inclusive
+    val win = spark.read.format("graft")
+      .option("metadata", "changes")
+      .option("start-version", "1").option("end-version", "2").load(dir)
+    assert(win.count() == 40 &&
+      win.select("_change_type").distinct().collect().head.getString(0) == "insert")
+  }
+
   test("manifests table lists every retained manifest") {
     val ms = Snapshots.manifestsTable(spark, dir).collect()
     assert(ms.length == 3)
