@@ -66,7 +66,17 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop the completed query's localCheckpoint blocks: the dedup /
+        // curation queries each materialize multi-hundred-MB shingle
+        // frames, and without an unpersist they accumulate across the
+        // whole run — measured 40%+ slowdown on the LATER heavy queries
+        // from block-manager eviction pressure (the blocks are dead the
+        // moment the noop write finishes; nothing references them across
+        // queries)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> dt
       }
     val cold = runAll() // first pass: per-query codegen/compile included
     // steady state = per-query MEDIAN over n>=3 warm passes (round-8
