@@ -35,7 +35,8 @@ import graft.streaming.{GraftStagedFiles, GraftStreamDataWriter, GraftWriters}
   * a 1000-task write into D dirs stages up to 1000×D slivers.
   */
 class GraftDynamicOverwrite(path: String, writeSchema: StructType,
-    snapshotProps: Map[String, String] = Map.empty)
+    snapshotProps: Map[String, String] = Map.empty,
+    validate: Option[(Int, String)] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   private def spark = SparkSession.active
@@ -99,7 +100,7 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
         case Some(b) => GeoTable.stampBucketIds(spark, path, b, files)
         case None => files
       }
-      Snapshots.commitDynamicOverwrite(spark, path, stamped, snapshotProps)
+      Snapshots.commitDynamicOverwrite(spark, path, stamped, snapshotProps, validate)
       ()
     }
 

@@ -152,11 +152,23 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         }.toMap
       }
 
+      // conflict validation for overwrites: the reference's
+      // validate-from-snapshot-id + isolation-level write options
+      // (SparkWriteConf; serializable is the reference's default level)
+      private def validateOpt: Option[(Int, String)] = {
+        val o = info.options()
+        Option(o.get("validate-from-version"))
+          .orElse(Option(o.get("validate-from-snapshot-id")))
+          .map(_.toInt)
+          .map(_ -> Option(o.get("isolation-level"))
+            .map(_.toLowerCase).getOrElse("serializable"))
+      }
+
       override def build(): org.apache.spark.sql.connector.write.Write =
         if (mode == 3) {
           require(branch.isEmpty && tag.isEmpty,
             "dynamic partition overwrite is not supported on a branch or tag")
-          new GraftDynamicOverwrite(path, info.schema(), snapshotProps)
+          new GraftDynamicOverwrite(path, info.schema(), snapshotProps, validateOpt)
         } else new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -167,7 +179,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                     "appends to the branch, then fast_forward publishes")
                 Snapshots.appendToBranch(data, path, b)
               case None => mode match {
-                case 1 => Snapshots.overwrite(data, path, snapshotProps)
+                case 1 => Snapshots.overwrite(data, path, snapshotProps, validateOpt)
                 case 2 =>
                   val conds = owFilters.map(f => GraftTable.filterToColumn(f).getOrElse(
                     throw new UnsupportedOperationException(
@@ -175,7 +187,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                   Snapshots.overwriteWhere(data, path, owFilters.toSeq,
                     conds.reduceOption(_ && _)
                       .getOrElse(org.apache.spark.sql.functions.lit(true)),
-                    snapshotProps)
+                    snapshotProps, validateOpt)
                 case _ =>
                   if (overwrite) Snapshots.overwrite(data, path, snapshotProps)
                   else Snapshots.append(data, path, snapshotProps)

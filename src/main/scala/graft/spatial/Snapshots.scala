@@ -1038,13 +1038,18 @@ object Snapshots {
 
   /** Logical overwrite: new snapshot references only the new files. */
   def overwrite(df: DataFrame, path: String,
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty,
+      validate: Option[(Int, String)] = None): Int = {
     rejectUnderWap(path, "overwrite")
     val spark = df.sparkSession
     val (added, written) = writeBack(df, path)
     val stats = statsFor(spark, path, added)
     withCommitRetry() {
       val rs = refsState(path)
+      // truncate scope = the whole table: every concurrent change conflicts
+      validate.foreach { case (fromV, level) =>
+        validateOverwriteConflicts(spark, path, fromV, rs.mainHead(path), level,
+          None, None) }
       // logical overwrite clears deletes and resets the schema
       publish(path, rs, stats, schema = Some(written),
         props = propsWithExtras(path, rs.mainHead(path), extraProps))
@@ -1069,8 +1074,78 @@ object Snapshots {
     * laid out by a retired partition spec live under different directory
     * columns and are not replaced.
     */
+  /** Conflict validation for overwrite commits — the reference's
+    * `validate-from-snapshot-id` / `isolation-level` write options
+    * (`SparkWriteConf` → `OverwriteFiles.validateNoConflicting*`): walk
+    * every commit between `fromV` (exclusive, must be an ancestor) and the
+    * head the overwrite is about to replace, and fail if a concurrent
+    * commit could affect rows in the overwrite's scope.
+    *
+    *  - `serializable`: concurrently ADDED data files whose stats might
+    *    match the scope conflict (the overwrite would silently clobber or
+    *    miss them), plus everything `snapshot` checks.
+    *  - `snapshot`: only concurrent DELETES conflict — removed data files
+    *    in scope, new positional deletes targeting in-scope files, and
+    *    (conservatively, like the reference's unresolvable cases) any new
+    *    predicate/equality delete state.
+    *
+    * Stats-level, zero data reads (pos-delete targets come from the delete
+    * files themselves — O(delete entries)). Scope = the overwrite
+    * condition via `FileStats.mightMatch`, or touched partition dirs for a
+    * dynamic overwrite.
+    */
+  private[graft] def validateOverwriteConflicts(spark: SparkSession, path: String,
+      fromV: Int, head: Int, level: String,
+      condExpr: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      touchedDirs: Option[Set[String]]): Unit = {
+    require(level == "serializable" || level == "snapshot",
+      s"isolation-level must be serializable or snapshot, got: $level")
+    if (fromV == head) return
+    val chain = ancestry(path, head)
+    require(chain.contains(fromV),
+      s"validate-from-version $fromV is not an ancestor of the current head $head")
+    def inScope(f: FileStats): Boolean = touchedDirs match {
+      case Some(dirs) => dirs(partDir(f.path))
+      case None => condExpr.forall(f.mightMatch)
+    }
+    var parent = fromV
+    chain.dropWhile(_ != fromV).drop(1).foreach { v =>
+      val pm = readManifest(path, Some(parent))
+      val vm = readManifest(path, Some(v))
+      val pn = pm.map(_.path).toSet
+      val vn = vm.map(_.path).toSet
+      if (level == "serializable") {
+        val hit = vm.filterNot(f => pn(f.path)).filter(inScope)
+        if (hit.nonEmpty) throw new IllegalStateException(
+          s"Found conflicting files added in snapshot $v that can contain records " +
+            s"matching the overwrite scope: ${hit.map(_.path).mkString(", ")} " +
+            "(isolation-level=serializable, validate-from-version=" + fromV + ")")
+      }
+      val removedHit = pm.filterNot(f => vn(f.path)).filter(inScope)
+      if (removedHit.nonEmpty) throw new IllegalStateException(
+        s"Found conflicting files deleted in snapshot $v that can contain records " +
+          s"matching the overwrite scope: ${removedHit.map(_.path).mkString(", ")}")
+      val predNew = readDeletes(path, Some(v)).diff(readDeletes(path, Some(parent)))
+      val eqNew = readEqDeletes(path, Some(v)).diff(readEqDeletes(path, Some(parent)))
+      if (predNew.nonEmpty || eqNew.nonEmpty) throw new IllegalStateException(
+        s"Found conflicting delete state added in snapshot $v " +
+          s"(predicate deletes: ${predNew.size}, equality deletes: ${eqNew.size})")
+      val posNew = readPosDeletes(path, Some(v)).diff(readPosDeletes(path, Some(parent)))
+      if (posNew.nonEmpty) {
+        val targets = spark.read.parquet(posNew.map(f => s"$path/$f"): _*)
+          .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+        val posHit = vm.filter(f => targets.exists(_.endsWith("/" + f.path))).filter(inScope)
+        if (posHit.nonEmpty) throw new IllegalStateException(
+          s"Found new conflicting position-delete files in snapshot $v that can apply " +
+            s"to records matching the overwrite scope: ${posHit.map(_.path).mkString(", ")}")
+      }
+      parent = v
+    }
+  }
+
   private[graft] def commitDynamicOverwrite(spark: SparkSession, path: String,
-      added: Seq[String], extraProps: Map[String, String] = Map.empty): Int = {
+      added: Seq[String], extraProps: Map[String, String] = Map.empty,
+      validate: Option[(Int, String)] = None): Int = {
     rejectUnderWap(path, "dynamic partition overwrite")
     if (added.isEmpty) return mainVersion(path) // nothing incoming: no-op
     val stats = statsFor(spark, path, added)
@@ -1078,6 +1153,8 @@ object Snapshots {
     withCommitRetry() {
       val rs = refsState(path)
       val head = rs.mainHead(path)
+      validate.foreach { case (fromV, level) =>
+        validateOverwriteConflicts(spark, path, fromV, head, level, None, Some(touched)) }
       val prior = if (head > 0) readManifest(path, Some(head)) else Nil
       val kept = prior.filterNot(e => touched(partDir(e.path)))
       publish(path, rs, kept ++ stats, carried(path, head), carriedPos(path, head),
@@ -1114,7 +1191,8 @@ object Snapshots {
     */
   def overwriteWhere(df: DataFrame, path: String,
       filters: Seq[org.apache.spark.sql.sources.Filter], cond: Column,
-      extraProps: Map[String, String] = Map.empty): Int = {
+      extraProps: Map[String, String] = Map.empty,
+      validate: Option[(Int, String)] = None): Int = {
     rejectUnderWap(path, "filter overwrite")
     import org.apache.spark.sql.{sources => vs}
     val spark = df.sparkSession
@@ -1123,6 +1201,12 @@ object Snapshots {
     withCommitRetry() {
       val rs = refsState(path)
       val head = rs.mainHead(path)
+      validate.foreach { case (fromV, level) =>
+        val condExpr = read(spark, path, Some(head)).filter(cond)
+          .queryExecution.optimizedPlan
+          .collectFirst { case Filter(c, _) => c }
+        validateOverwriteConflicts(spark, path, fromV, head, level, condExpr, None)
+      }
       if (head == 0) publish(path, rs, stats, schema = Some(written),
         props = propsWithExtras(path, head, extraProps))
       else {
