@@ -78,6 +78,13 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
     strip(e) match {
       case AggregateExpression(Count(Seq(Literal(_, _))), Complete, false, None, _) =>
         Some(stats.map(_.rows).sum)
+      // COUNT(col) = Σ (rows − null_count(col)); declines when any file
+      // lacks a null count (legacy manifest entries)
+      case AggregateExpression(Count(Seq(c)), Complete, false, None, _) =>
+        statKey(c).flatMap { case (k, _) =>
+          val per = stats.map(f => f.nulls.get(k).map(n => f.rows - n))
+          if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+        }
       case AggregateExpression(Min(c), Complete, false, None, _) =>
         statKey(c).flatMap { case (k, dt) =>
           fold(stats.map(_.mins.get(k)), dt, math.Ordering.Double.TotalOrdering.lt) }

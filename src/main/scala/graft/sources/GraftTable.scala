@@ -456,6 +456,18 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
           graft.plans.StatsAggregatePushdown.fold(gstats.map(_.maxs.get(k)), dt,
             math.Ordering.Double.TotalOrdering.gt).map(v => (StructField(s"max($k)", dt), v))
         }
+        // COUNT(col) = Σ (rows − null_count(col)) — answerable whenever
+        // every file carries a null count for the column (the reference's
+        // CountAggregate over null_value_counts); legacy entries without
+        // counts decline
+        case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !c.isDistinct =>
+          key(c.column).flatMap { case (k, _) =>
+            val per = gstats.map(f => f.nulls.get(k).map(n => f.rows - n))
+            if (per.exists(_.isEmpty)) None
+            else Some((StructField(s"count($k)", LongType, nullable = false),
+              per.flatten.sum: Any))
+          }
         case _ => None
       }
       if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))

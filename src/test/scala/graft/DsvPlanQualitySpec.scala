@@ -67,6 +67,27 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(r.getString(3) == "c0" && r.getDouble(4) == 999.0 / 2)
   }
 
+  test("COUNT(col) answers from null counts; COUNT(DISTINCT col) declines") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.db.aggc (id BIGINT, v DOUBLE) USING graft")
+    // one file with 4 nulls in v, one with none
+    spark.sql("INSERT INTO pq.db.aggc SELECT id, " +
+      "CASE WHEN id < 4 THEN CAST(NULL AS DOUBLE) ELSE id * 1.0 END FROM range(0, 10)")
+    spark.sql("INSERT INTO pq.db.aggc SELECT id, id * 1.0 FROM range(10, 20)")
+    val df = spark.sql("SELECT count(v) AS nv, count(id) AS ni FROM pq.db.aggc")
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case b: BatchScanExec => b }.isEmpty,
+      s"COUNT(col) should be answered from manifest null counts, not a scan:\n$plan")
+    assert(plan.collect { case l: LocalTableScanExec => l }.nonEmpty, s"no local scan:\n$plan")
+    val r = df.collect().head
+    assert(r.getLong(0) == 16L && r.getLong(1) == 20L)
+    // distinct counting genuinely needs the rows (plan string: AQE wraps
+    // the tree, collect{} would not descend into it)
+    val dd = spark.sql("SELECT count(DISTINCT v) FROM pq.db.aggc")
+    assert(dd.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(dd.collect().head.getLong(0) == 16L)
+  }
+
   test("aggregate pushdown declines with residual filters or pending deletes") {
     assert(warehouse.nonEmpty)
     withConf("spark.sql.adaptive.enabled" -> "false") {

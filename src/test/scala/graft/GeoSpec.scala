@@ -212,6 +212,12 @@ class GeoSpec extends AnyFunSuite {
     val plan = agg.queryExecution.executedPlan.toString
     assert(!plan.contains("FileScan") && !plan.contains("HashAggregate"),
       s"aggregate should come from manifest stats:\n$plan")
+    // COUNT(col) from per-file null counts (no nulls here: equals count(*))
+    val cc = table.agg(count(col("id")).as("ni"))
+    assert(cc.collect().head.getLong(0) == 80L)
+    val ccPlan = cc.queryExecution.executedPlan.toString
+    assert(!ccPlan.contains("FileScan") && !ccPlan.contains("HashAggregate"),
+      s"COUNT(col) should come from manifest null counts:\n$ccPlan")
   }
 
   test("stats aggregate pushdown leaves grouped/filtered aggregates alone") {
