@@ -23,6 +23,20 @@ object TextPipeline {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Per-(tag, sfDir) scratch table dir, wiped per invocation so bench /
+    * verify re-runs are deterministic (same pattern as GeoQueries).
+    */
+  private def scratch(tag: String, dir: String): String = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+    if (f.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    f.getAbsolutePath
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame = {
     VectorSql.install(s)
     Tables.load(s, dir, "documents")
@@ -399,6 +413,42 @@ object TextPipeline {
         .select(col("doc_id"), col("n_tokens"))
     }),
 
+    // incremental ingest dedup: the arriving batch checks itself against
+    // the EXISTING corpus only — the shape a continuously-ingesting
+    // pretraining pipeline actually runs (a full-corpus self-join per
+    // batch would be O(corpus) per ingest; this is O(batch × matches)).
+    // The corpus is a snapshot table: the "existing" state is snapshot v1,
+    // the batch arrives as an append, and the INCREMENTAL READ
+    // (start-version) plans only the files the append introduced — the
+    // corpus files are never in the batch-side scan. Bipartite n-gram
+    // Jaccard via one shingle-hash equi-join (no self-join); both shingle
+    // frames are slim (doc_id, n, hash) checkpoints. At 100 TB the
+    // corpus-side frame persists once per ingest wave and hot-shingle
+    // df-capping (see jaccardPairs) bounds the join fanout.
+    "dedup_incremental" -> ((s, dir) => {
+      import graft.spatial.{GeoTable, Snapshots}
+      val d = docs(s, dir)
+      val path = scratch("incrdedup", dir)
+      // existing corpus = even doc_ids (snapshot v1); batch = odd ids
+      d.filter(col("doc_id") % 2 === 0).write.parquet(path)
+      GeoTable.writeManifest(s, path)
+      val v1 = Snapshots.mainVersion(path)
+      Snapshots.append(d.filter(col("doc_id") % 2 === 1), path)
+      val corpus = Snapshots.read(s, path, Some(v1))
+      val batch = s.read.format("graft").option("start-version", v1).load(path)
+      def sh(frame: DataFrame, idAs: String, nAs: String): DataFrame =
+        Par.widen(frame).withColumn("h", VectorSql.shingle_hashes(col("text")))
+          .select(col("doc_id").as(idAs), size(col("h")).as(nAs),
+            explode(col("h")).as("s"))
+          .localCheckpoint(true)
+      sh(batch, "doc_id", "nb").join(sh(corpus, "dup_of", "nc"), "s")
+        .groupBy(col("doc_id"), col("dup_of"), col("nb"), col("nc"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jac", col("common") / (col("nb") + col("nc") - col("common")))
+        .filter(col("jac") >= 0.4)
+        .select(col("doc_id"), col("dup_of"), round(col("jac"), 4).as("jac"))
+    }),
+
     // MinHash + LSH banding: 16 permutations, 4 bands × 4 rows. The
     // permutation family is ONE base xxhash64 per shingle + 16 linear
     // multiply-adds by odd constants (bijections mod 2^64) — the round-3
@@ -589,6 +639,19 @@ object TextPipeline {
         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT d1, d2, round(common * 1.0 / (x.n + y.n - common), 4) AS jac
         |FROM pair JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pair AS (SELECT b.doc_id AS doc_id, c.doc_id AS dup_of, count(*) AS common
+        |         FROM sh b JOIN sh c ON b.s = c.s
+        |         WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0 GROUP BY 1, 2)
+        |SELECT pair.doc_id, pair.dup_of, round(common * 1.0 / (x.n + y.n - common), 4) AS jac
+        |FROM pair JOIN sz x ON pair.doc_id = x.doc_id JOIN sz y ON pair.dup_of = y.doc_id
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin,
 
     "pipeline_curate" ->

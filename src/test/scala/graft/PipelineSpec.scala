@@ -224,6 +224,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_incremental: batch-vs-corpus pairs, cross-parity, exact jaccard") {
+    val rows = SparkEntry.queries("dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "fixture should plant cross-parity near-dups")
+    // batch side is odd ids, corpus side even (the snapshot split)
+    rows.foreach { case (b, c, jac) =>
+      assert(b % 2 == 1 && c % 2 == 0, s"($b, $c) crosses the wrong way")
+      assert(jac >= 0.4)
+    }
+    // every emitted pair is one of the full self-join's near-dup pairs
+    // with the identical exact jaccard value
+    val full = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1))) -> r.getDouble(2)).toMap
+    rows.foreach { case (b, c, jac) =>
+      val k = (math.min(b, c), math.max(b, c))
+      assert(full.get(k).exists(v => math.abs(v - jac) < 1e-9),
+        s"pair $k jac $jac not in the full self-join (${full.get(k)})")
+    }
+    // and it finds EVERY cross-parity pair the full self-join knows
+    val cross = full.keys.filter { case (a, b) => a % 2 != b % 2 }.toSet
+    assert(rows.map { case (b, c, _) =>
+      (math.min(b, c), math.max(b, c)) }.toSet == cross)
+  }
+
   test("rep_stats kernel: exact counts incl. tokenizer boundary semantics") {
     import spark.implicits._
     val rows = Seq(
