@@ -19,6 +19,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The status store still tracks every job/stage/task/SQL execution
+      // with the UI off (it backs the REST API), and the defaults retain
+      // 1000 jobs / 1000 stages / 100k tasks / 1000 SQL executions WITH
+      // full plan-graph strings. Over ~300 query executions (cold + 3
+      // warm passes x 76 queries) that is GBs of driver-heap churn taxing
+      // every later query's GC — measured ~2x inflation on the queries
+      // that run late in the pass. Trim retention to a working set.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
+      .config("spark.sql.ui.retainedExecutions", "5")
+      .config("spark.appStatusStore.asyncTracking.enable", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup: scan + shuffle + codegen path
