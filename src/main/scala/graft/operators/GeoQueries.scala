@@ -102,8 +102,13 @@ object GeoQueries {
         .select(col("n_nationkey"), st_point(col("qx"), col("qy")).as("qgeom"))
       val w = Window.partitionBy(col("n_nationkey"))
         .orderBy(col("dist"), col("c_custkey"))
+      // project the geometry blobs away BEFORE the window: the rank
+      // exchange then shuffles (key, id, dist) instead of two WKB columns
+      // per candidate row — at N x Q candidate scale the geometry bytes
+      // dominate the shuffle otherwise
       p.crossJoin(broadcast(q))
-        .withColumn("dist", round(st_distance(col("geom"), col("qgeom")), 6))
+        .select(col("n_nationkey"), col("c_custkey"),
+          round(st_distance(col("geom"), col("qgeom")), 6).as("dist"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("n_nationkey"), col("rk"), col("c_custkey"), col("dist"))
