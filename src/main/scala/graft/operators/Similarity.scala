@@ -188,6 +188,32 @@ object Similarity {
           best.getField("cos").as("cos"))
     }),
 
+    // one distributed Lloyd update step — the building block a corpus-
+    // scale k-means / IVF-quantizer trainer iterates: (1) MAP-ONLY
+    // assignment of every vector to its nearest centroid (centroids fold
+    // into literal columns — k x d doubles of broadcast-free state, same
+    // exact tie-break as sim_centroid_assign), (2) ONE shuffle keyed
+    // (cell, dim) for the per-dimension means. Per iteration at 100 TB:
+    // one corpus pass + a k x d update table back to the driver; the
+    // fixed deterministic init (k lowest vec_ids) is what lets DuckDB
+    // derive the identical step.
+    "sim_kmeans_update" -> ((s, dir) => {
+      val k = 8
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val scored = cents.map { case (cid, cv) =>
+        struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
+          lit(-cid).as("neg"))
+      }
+      val cell = -greatest(scored: _*).getField("neg")
+      e.select(cell.as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+    }),
+
     // embedding near-duplicate pairs (cosine >= threshold) via banded LSH;
     // same size-scaled buckets — the within-bucket self-join stays linear
     "dedup_embed_cosine" -> ((s, dir) => {
@@ -240,6 +266,21 @@ object Similarity {
         |FROM n CROSS JOIN c
         |WHERE vec_id >= 8
         |QUALIFY row_number() OVER (PARTITION BY vec_id
-        |  ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6) DESC, cid) = 1""".stripMargin
+        |  ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6) DESC, cid) = 1""".stripMargin,
+
+    "sim_kmeans_update" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id < 8),
+        |a AS (
+        |  SELECT vec_id, v, cid AS cell
+        |  FROM n CROSS JOIN c
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6) DESC, cid) = 1),
+        |x AS (SELECT cell, unnest(v) AS x, unnest(range(len(v))) AS dim FROM a)
+        |SELECT cell, CAST(dim AS INTEGER) AS dim, round(avg(x), 6) AS m,
+        |  count(*) AS n
+        |FROM x GROUP BY cell, dim""".stripMargin
   )
 }

@@ -186,6 +186,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         TableSchema.renameColumn(spark, p.toString, single(r.fieldNames()), r.newName())
       case d: TableChange.DeleteColumn =>
         TableSchema.dropColumn(spark, p.toString, single(d.fieldNames()))
+      case t: TableChange.UpdateColumnType =>
+        TableSchema.updateColumnType(spark, p.toString, single(t.fieldNames()), t.newDataType())
+      case n: TableChange.UpdateColumnNullability =>
+        // relaxing to nullable is a no-op (graft columns are nullable by
+        // construction); required-ness cannot be added after the fact
+        // without re-validating every file — reject, like the reference's
+        // UpdateSchema (optional -> required is not allowed)
+        if (!n.nullable())
+          throw new UnsupportedOperationException(
+            s"cannot add NOT NULL to existing column ${single(n.fieldNames())}")
+      case c: TableChange.UpdateColumnComment =>
+        TableSchema.setColumnComment(spark, p.toString, single(c.fieldNames()),
+          Option(c.newComment()).filter(_.nonEmpty))
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case u: TableChange.RemoveProperty => unsetProps += u.property()
       case other => throw new UnsupportedOperationException(s"unsupported table change: $other")

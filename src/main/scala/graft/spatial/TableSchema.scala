@@ -26,7 +26,8 @@ object TableSchema {
   val SchemaName = "_graft_schema.json"
 
   /** (logical, physical, typeJson, dropped) per column, in schema order. */
-  case class Entry(logical: String, physical: String, dataType: DataType, dropped: Boolean)
+  case class Entry(logical: String, physical: String, dataType: DataType, dropped: Boolean,
+      comment: Option[String] = None)
 
   def exists(path: String): Boolean = Files.exists(Paths.get(path, SchemaName))
 
@@ -44,7 +45,8 @@ object TableSchema {
           // primitives keep their quotes ("long") and structs stay objects
           val typeJson = JsonMethods.compact(JsonMethods.render(m("type")))
           Entry(str("logical"), str("physical"), DataType.fromJson(typeJson),
-            m.get("dropped").contains(JBool(true)))
+            m.get("dropped").contains(JBool(true)),
+            m.get("comment").collect { case JString(c) => c })
       }
       case _ => Nil
     }
@@ -53,8 +55,9 @@ object TableSchema {
   private def write(path: String, entries: Seq[Entry]): Unit = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = entries.map { e =>
+      val comment = e.comment.map(c => s""","comment":"${esc(c)}"""").getOrElse("")
       s"""{"logical":"${esc(e.logical)}","physical":"${esc(e.physical)}",""" +
-        s""""type":${e.dataType.json},"dropped":${e.dropped}}"""
+        s""""type":${e.dataType.json},"dropped":${e.dropped}$comment}"""
     }.mkString("[", ",", "]")
     Files.write(Paths.get(path, SchemaName), body.getBytes(StandardCharsets.UTF_8))
   }
@@ -93,6 +96,59 @@ object TableSchema {
       if (!e.dropped && e.logical == from) e.copy(logical = to) else e))
   }
 
+  /** Type promotion matrix — exactly Iceberg's WIDENING-only evolution
+    * (ref /root/reference/api/src/main/java/org/apache/iceberg/types/TypeUtil.java
+    * `isPromotionAllowed`: int→long, float→double, decimal precision
+    * widen at fixed scale), extended along Spark's small-integral chain
+    * (byte→short→int→long — all INT32-annotated in parquet, so the same
+    * metadata-only widening applies). Every promotion is metadata-only:
+    * old files keep their narrow physical type and the parquet readers
+    * (vectorized and row) up-convert to the declared logical type; new
+    * appends write the wide type; manifest min/max stats recorded under
+    * the narrow type stay valid because stat comparison is value-exact
+    * (BigDecimal), and aggregate pushdown converts folded stats to the
+    * CURRENT logical type.
+    */
+  private def promotable(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 0; case ShortType => 1; case IntegerType => 2; case LongType => 3
+      case _ => -1
+    }
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (a, b) if rank(a) >= 0 && rank(b) >= 0 => rank(a) < rank(b)
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) => b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
+  /** Widen a column's logical type (no data rewrite). Rejects anything
+    * outside the promotion matrix, like the reference's
+    * `UpdateSchema.updateColumn`.
+    */
+  def updateColumnType(spark: SparkSession, path: String, name: String, to: DataType): Unit = {
+    val entries = ensure(spark, path)
+    val e = entries.find(x => !x.dropped && x.logical == name)
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
+    require(promotable(e.dataType, to),
+      s"cannot promote $name: ${e.dataType.simpleString} -> ${to.simpleString} " +
+        "(allowed: integral widening, float->double, decimal precision widening at fixed scale)")
+    if (e.dataType != to)
+      write(path, entries.map(x =>
+        if (!x.dropped && x.logical == name) x.copy(dataType = to) else x))
+  }
+
+  /** Attach / replace a column doc comment (metadata-only). */
+  def setColumnComment(spark: SparkSession, path: String, name: String,
+      comment: Option[String]): Unit = {
+    val entries = ensure(spark, path)
+    require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
+    write(path, entries.map(e =>
+      if (!e.dropped && e.logical == name) e.copy(comment = comment) else e))
+  }
+
   def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
     val entries = ensure(spark, path)
     require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
@@ -119,7 +175,17 @@ object TableSchema {
     else {
       val mapped = entries.filterNot(_.dropped)
         .filter(e => df.columns.contains(e.physical))
-        .map(e => col(e.physical).as(e.logical))
+        .map { e =>
+          // promoted columns: old files surface the narrow physical type —
+          // cast up so every snapshot reads under ONE logical type; the
+          // column comment rides along as standard field metadata
+          val base = col(e.physical).cast(e.dataType)
+          e.comment match {
+            case Some(c) => base.as(e.logical,
+              new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
+            case None => base.as(e.logical)
+          }
+        }
       val known = entries.map(_.physical).toSet
       val passthrough = df.columns.filterNot(known).map(col(_))
       df.select(mapped ++ passthrough: _*)

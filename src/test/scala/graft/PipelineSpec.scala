@@ -273,4 +273,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4) == ((5L, 2, 2, 1, 1)))
     assert(got(5) == ((6L, 3, 1, 3, 2)))
   }
+
+  test("sim_kmeans_update: one Lloyd step; iterating it converges") {
+    import org.apache.spark.sql.functions._
+    // the query output is one (cell, dim) mean per centroid dimension
+    val step = SparkEntry.queries("sim_kmeans_update")(spark, sf).collect()
+    val k = step.map(_.getLong(0)).distinct.length
+    assert(k >= 2 && k <= 8)
+    assert(step.map(r => (r.getLong(0), r.getInt(1))).distinct.length == step.length)
+    // every cell's mean vector has all 64 dims and a consistent count
+    step.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (0 until 64))
+      assert(rows.map(_.getLong(3)).distinct.length == 1)
+    }
+    // iterate the same update driver-side: within-cluster cost (1 - cos
+    // to assigned centroid, summed) must be non-increasing across Lloyd
+    // iterations — the convergence property the distributed step must
+    // preserve to be a usable trainer
+    val e = graft.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var cents: Map[Long, Array[Double]] = (0L until 8L).map(i => i -> e(i)).toMap
+    def assign(v: Array[Double]) =
+      cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }
+    val costs = (0 until 4).map { _ =>
+      val asg = e.toSeq.map { case (id, v) => (assign(v)._1, v) }
+      val cost = asg.map { case (c, v) => 1.0 - cos(v, cents(c)) }.sum
+      cents = asg.groupBy(_._1).map { case (c, vs) =>
+        val m = new Array[Double](64)
+        vs.foreach { case (_, v) => for (i <- 0 until 64) m(i) += v(i) }
+        c -> m.map(_ / vs.length)
+      }
+      cost
+    }
+    costs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"$costs") }
+  }
 }

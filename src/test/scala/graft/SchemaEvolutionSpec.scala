@@ -93,4 +93,105 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql(s"CALL graft.system.drop_column('$dir', 'priority')")
     assert(!Snapshots.read(spark, dir).columns.contains("priority"))
   }
+
+  /** Table with an INT measure column for promotion tests. */
+  private def mkIntTable(n: Int): String = {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_promo").toString
+    val rows = (0 until n).map { i =>
+      Row(i, GeoCodec.writeWkb(GeoCodec.point(i % 50 + 1.0, i % 40 + 1.0)))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(StructField("iv", IntegerType), StructField("geom", BinaryType))))
+    GeoTable.write(df, dir, "geom", res = 8, numFiles = 2)
+    dir
+  }
+
+  test("int -> bigint promotion: metadata-only, old files widen, new appends mix") {
+    val dir = mkIntTable(20)
+    val filesBefore = Snapshots.readManifest(dir).map(_.path).toSet
+    TableSchema.updateColumnType(spark, dir, "iv", LongType)
+    val t1 = Snapshots.read(spark, dir)
+    assert(t1.schema("iv").dataType == LongType)
+    assert(t1.agg(sum(col("iv"))).first().getLong(0) == (0 until 20).sum.toLong)
+    assert(Snapshots.readManifest(dir).map(_.path).toSet == filesBefore) // no rewrite
+    // append values only a long can hold; both generations read together
+    val add = GeoTable.withBbox(
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L << 40, GeoCodec.writeWkb(GeoCodec.point(3.0, 4.0)))), 1),
+        StructType(Seq(StructField("iv", LongType), StructField("geom", BinaryType)))), "geom")
+    Snapshots.append(add, dir)
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.count() == 21)
+    assert(t2.agg(max(col("iv"))).first().getLong(0) == (1L << 40))
+    // old-generation int stats still prune files under the long logical type
+    assert(t2.filter(col("iv") > Int.MaxValue.toLong).count() == 1)
+  }
+
+  test("promotion matrix: widening only, like the reference's UpdateSchema") {
+    val dir = mkIntTable(5)
+    // no-op same type is fine
+    TableSchema.updateColumnType(spark, dir, "iv", IntegerType)
+    intercept[IllegalArgumentException] {
+      TableSchema.updateColumnType(spark, dir, "iv", ShortType) // narrowing
+    }
+    intercept[IllegalArgumentException] {
+      TableSchema.updateColumnType(spark, dir, "iv", StringType) // cross-family
+    }
+    intercept[IllegalArgumentException] {
+      TableSchema.updateColumnType(spark, dir, "iv", DoubleType) // int -> double not in matrix
+    }
+    TableSchema.addColumn(spark, dir, "price", DecimalType(7, 2))
+    TableSchema.updateColumnType(spark, dir, "price", DecimalType(12, 2)) // precision widen ok
+    intercept[IllegalArgumentException] {
+      TableSchema.updateColumnType(spark, dir, "price", DecimalType(12, 4)) // scale change
+    }
+    intercept[IllegalArgumentException] {
+      TableSchema.updateColumnType(spark, dir, "missing", LongType)
+    }
+  }
+
+  test("ALTER COLUMN TYPE / COMMENT / nullability through the catalog") {
+    val wh = Files.createTempDirectory("graft_promo_wh").toString
+    spark.conf.set("spark.sql.catalog.pcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.pcat.warehouse", wh)
+    val src = mkIntTable(10)
+    val tbl = s"$wh/db/promo"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    org.apache.commons.io.FileUtils.copyDirectory(new java.io.File(src), new java.io.File(tbl))
+    spark.sql("ALTER TABLE pcat.db.promo ALTER COLUMN iv TYPE bigint")
+    assert(spark.table("pcat.db.promo").schema("iv").dataType == LongType)
+    spark.sql("ALTER TABLE pcat.db.promo ALTER COLUMN iv COMMENT 'widened measure'")
+    assert(spark.table("pcat.db.promo").schema("iv")
+      .metadata.getString("comment") == "widened measure")
+    // relaxing to nullable: accepted (no-op); adding NOT NULL: rejected
+    spark.sql("ALTER TABLE pcat.db.promo ALTER COLUMN iv DROP NOT NULL")
+    // rejected by Spark's analyzer (nullable -> non-nullable) before the
+    // catalog; the catalog guard stays for non-SQL TableChange callers
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE pcat.db.promo ALTER COLUMN iv SET NOT NULL")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(not null|non-nullable).*"))
+    // narrowing: Spark's analyzer rejects it before the catalog
+    val n = intercept[Exception] {
+      spark.sql("ALTER TABLE pcat.db.promo ALTER COLUMN iv TYPE int")
+    }
+    assert(n.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    // a direct TableChange (non-SQL caller, no analyzer in front): the
+    // catalog's own matrix is the gate — long -> double is a Spark upcast
+    // but NOT an Iceberg promotion
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("pcat")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val d = intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array("db"), "promo"),
+        TableChange.updateColumnType(Array("iv"), DoubleType))
+    }
+    assert(d.getMessage.contains("cannot promote"))
+    val nn = intercept[UnsupportedOperationException] {
+      cat.alterTable(Identifier.of(Array("db"), "promo"),
+        TableChange.updateColumnNullability(Array("iv"), false))
+    }
+    assert(nn.getMessage.contains("NOT NULL"))
+  }
 }
