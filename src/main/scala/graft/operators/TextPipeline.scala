@@ -249,6 +249,30 @@ object TextPipeline {
           round(col("st.nonws_len") / col("st.n_tokens"), 4).as("avg_tok_len"))
     }),
 
+    // linear quality-classifier INFERENCE (the fasttext/CCNet-style gate a
+    // pretraining pipeline runs after heuristic filters): each token maps
+    // through the hashing trick to a weight, the document score is
+    // sigmoid(mean token weight), label = score >= 0.5. Map-only and fully
+    // codegen'd — at 100 TB this is one scan with the weight table as
+    // broadcast state. A real deployment broadcasts a LEARNED weight
+    // array; here the weight of a token is derived deterministically from
+    // its md5 (two hex chars -> integer -> [-1, 1) bucket value) so the
+    // DuckDB oracle reproduces the identical model — the plumbing (tokener
+    // -> hashed lookup -> mean -> sigmoid) is exactly the deployed shape.
+    "text_quality_classifier" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("w", expr(
+          """transform(split(lower(trim(text)), '\\s+'),
+            | t -> ((ascii(substr(md5(encode(t, 'UTF-8')), 1, 1)) * 256
+            |        + ascii(substr(md5(encode(t, 'UTF-8')), 2, 1))) % 200 - 100)
+            |      / 100.0d)""".stripMargin))
+        .withColumn("score", round(
+          lit(1.0) / (lit(1.0) + exp(-(expr("aggregate(w, 0.0d, (a, x) -> a + x)")
+            / size(col("w"))))), 6))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= 0.5).cast("int").as("keep"))
+    }),
+
     // language-ID: stopword-profile heuristic (argmax of profile hits);
     // all four profiles counted in a single tokenizer pass
     "text_langid" -> ((s, dir) => {
@@ -535,6 +559,16 @@ object TextPipeline {
         | round(len(list_filter(tk, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(tk), 4) AS stop_ratio,
         | round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 4) AS avg_tok_len
         |FROM t""".stripMargin,
+
+    "text_quality_classifier" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |  round(1.0 / (1.0 + exp(-avg(
+        |    ((ascii(substr(md5(t), 1, 1)) * 256 + ascii(substr(md5(t), 2, 1)))
+        |      % 200 - 100) / 100.0))), 6) AS score
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, score, CAST(score >= 0.5 AS INTEGER) AS keep FROM s""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id,

@@ -135,7 +135,7 @@ class PipelineSpec extends AnyFunSuite {
 
   test("pipeline single-pass ops contain no shuffle (map-only plans)") {
     Seq("text_tokens", "text_quality", "text_langid", "text_fingerprint", "mm_meta",
-      "text_repetition")
+      "text_repetition", "text_quality_classifier")
       .foreach { q =>
         val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
         assert(!plan.contains("Exchange"), s"$q should be map-only:\n$plan")
