@@ -249,6 +249,31 @@ object TextPipeline {
           round(col("st.nonws_len") / col("st.n_tokens"), 4).as("avg_tok_len"))
     }),
 
+    // exact-substring span dedup report (the within-corpus repeated-span
+    // detection of "Deduplicating Training Data Makes Language Models
+    // Better": long token spans appearing verbatim in 2+ documents are
+    // cut candidates). Spans are DISTINCT word-8-gram rolling hashes from
+    // the one-pass kernel; span document-frequency comes from one
+    // hash-keyed aggregate and joins back by span hash — never an
+    // all-pairs comparison, so the shape survives corpus scale (the same
+    // df-keyed discipline as the jaccard candidate join). Output: per-doc
+    // span counts + fraction of spans shared with another document.
+    "dedup_span_exact" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // one scan feeds both the df aggregate and the join-back
+      val sp = Par.widen(d)
+        .select(col("doc_id"), explode(VectorSql.shingle_hashes_n(col("text"), 8)).as("s"))
+        .localCheckpoint(true)
+      // sp is distinct per (doc, span) by kernel construction, so the
+      // span's row count IS its document frequency
+      val df = sp.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+      sp.join(df, Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum((col("nd") >= 2).cast("long")).as("n_dup_spans"))
+        .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 4))
+    }),
+
     // linear quality-classifier INFERENCE (the fasttext/CCNet-style gate a
     // pretraining pipeline runs after heuristic filters): each token maps
     // through the hashing trick to a weight, the document score is
@@ -559,6 +584,18 @@ object TextPipeline {
         | round(len(list_filter(tk, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(tk), 4) AS stop_ratio,
         | round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 4) AS avg_tok_len
         |FROM t""".stripMargin,
+
+    "dedup_span_exact" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 8),
+        |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-7)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS s FROM idx),
+        |df AS (SELECT s, count(*) AS nd FROM sh GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_spans,
+        | CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        | round(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+        |FROM sh JOIN df USING (s) GROUP BY doc_id""".stripMargin,
 
     "text_quality_classifier" ->
       """WITH tok AS (SELECT doc_id,
