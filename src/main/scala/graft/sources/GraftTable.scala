@@ -705,6 +705,10 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       case None => java.util.Optional.empty[Object]()
     }
     val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    // NDV recorded by compute_table_stats: properties are snapshot-
+    // versioned, so a time-travel read can only ever see stats committed
+    // at or before its version (never from its future)
+    val ndv = Snapshots.ndvStats(path, version)
     readSchema().fields.foreach { f =>
       // encoded geometry columns carry bbox structs, not orderable scalars
       if (!encodings.contains(f.name)) {
@@ -717,13 +721,16 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
           if (files.nonEmpty && files.forall(_.nulls.contains(phys)))
             Some(files.map(_.nulls(phys)).sum)
           else None
-        if (mn.isDefined || mx.isDefined || nc.isDefined) {
+        val dc: Option[Long] = ndv.get(f.name)
+        if (mn.isDefined || mx.isDefined || nc.isDefined || dc.isDefined) {
           out.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
             new ColumnStatistics {
               override def min(): java.util.Optional[Object] = opt(mn)
               override def max(): java.util.Optional[Object] = opt(mx)
               override def nullCount(): java.util.OptionalLong =
                 nc.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
+              override def distinctCount(): java.util.OptionalLong =
+                dc.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty())
             })
         }
       }

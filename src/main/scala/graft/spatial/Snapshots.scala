@@ -546,6 +546,62 @@ object Snapshots {
       eqDeletes = carriedEq(path, head))
   }
 
+  // ---- table statistics (NDV): one approx_count_distinct pass over the
+  // current snapshot, persisted as snapshot properties and served to the
+  // CBO through GraftScan.estimateStatistics columnStats().distinctCount
+  // — the role Iceberg's ComputeTableStats/puffin ndv blobs play for
+  // SparkScan.estimateStatistics; the reference fork predates that
+  // action, so this is a beyond-ref addition using the same property
+  // channel as the rest of the table metadata. At 100 TB: one corpus
+  // pass (HLL partial-aggregates, no extra shuffle width) per ANALYZE,
+  // amortized over every CBO plan until the table changes enough to
+  // matter.
+
+  val NdvVersionProp = "stats.ndv.version"
+  def ndvProp(col: String): String = s"stats.ndv.$col"
+
+  /** Compute + store per-column NDV for the current snapshot. Geometry
+    * and other binary columns are skipped (their NDV never feeds a CBO
+    * estimate worth having). Returns (stamped version, column -> ndv).
+    */
+  def computeTableStats(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): (Int, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    val df = read(spark, path)
+    val geo = GeometryFields.get(path).keySet
+    val targets0 = if (columns.nonEmpty) columns else df.schema.fields.toSeq
+      .filterNot(f => f.dataType == org.apache.spark.sql.types.BinaryType ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(_.name)
+    val targets = targets0.filterNot(geo.contains).filterNot(_ == "geom_bbox")
+    require(targets.nonEmpty, "no NDV-eligible columns")
+    val missing = targets.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    val row = df.agg(
+      approx_count_distinct(col(targets.head)),
+      targets.tail.map(c => approx_count_distinct(col(c))): _*).first()
+    val ndv = targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    val stamped = mainVersion(path)
+    updateProperties(path,
+      ndv.map { case (c, n) => ndvProp(c) -> n.toString } +
+        (NdvVersionProp -> stamped.toString))
+    (stamped, ndv)
+  }
+
+  /** NDV map recorded at or before `version` (None = current). Empty when
+    * compute_table_stats never ran or ran only AFTER the read version —
+    * stats from the future of a time-travel read are never served.
+    */
+  def ndvStats(path: String, version: Option[Int]): Map[String, Long] = {
+    val props = readProps(path, version)
+    props.get(NdvVersionProp) match {
+      case Some(_) =>
+        props.collect { case (k, v) if k.startsWith("stats.ndv.") && k != NdvVersionProp =>
+          k.stripPrefix("stats.ndv.") -> v.toLong }
+      case None => Map.empty
+    }
+  }
+
   // ---- identifier fields (ref `IcebergSqlExtensions.g4:74-75`,
   // `UpdateSchema.setIdentifierFields` in /root/reference): the declared
   // row-identity columns CDC/upsert tooling reads to derive merge keys.

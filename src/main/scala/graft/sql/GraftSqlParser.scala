@@ -564,6 +564,14 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
       case "remove_orphan_files" =>
         Seq(Row(Snapshots.removeOrphanFiles(spark, table,
           named.get("older_than").map(millis)).toLong, "deleted_orphan_files"))
+      case "compute_table_stats" =>
+        // per-column NDV in one approx_count_distinct pass, stored as
+        // snapshot properties and served to the CBO (columns => 'a,b'
+        // restricts; default = every eligible column)
+        val cols = named.get("columns").map(str).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        val (v, ndv) = Snapshots.computeTableStats(spark, table, cols)
+        Seq(Row(v.toLong, s"ndv_columns=${ndv.size}"))
       case "rewrite_data_files" =>
         // two surfaces, matching the reference procedure
         // (RewriteDataFilesProcedure.java): the strategy form

@@ -580,4 +580,39 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(relOff.computeStats().attributeStats.isEmpty)
     assert(relOff.computeStats().rowCount.contains(BigInt(100)))
   }
+
+  test("compute_table_stats records NDV; CBO serves it; time travel does not see the future") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.db.ndv (id BIGINT, grp STRING) USING graft")
+    spark.sql("INSERT INTO pq.db.ndv SELECT id, concat('g', id % 7) FROM range(0, 200)")
+    val preStats = graft.spatial.Snapshots.mainVersion(s"$warehouse/db/ndv")
+    val res = spark.sql(s"CALL graft.system.compute_table_stats('$warehouse/db/ndv')")
+      .collect()
+    assert(res.head.getString(1) == "ndv_columns=2")
+    def attrStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.get.computeStats().attributeStats
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val st = attrStats(spark.table("pq.db.ndv"))
+      val grp = st.find(_._1.name == "grp").map(_._2).get
+      // HLL estimate of 7 distinct values is exact at this cardinality
+      assert(grp.distinctCount.contains(BigInt(7)), s"ndv: ${grp.distinctCount}")
+      val idNdv = st.find(_._1.name == "id").get._2.distinctCount.get
+      assert(idNdv >= BigInt(180) && idNdv <= BigInt(220), s"HLL ndv: $idNdv") // ~5% rsd
+      // the pre-stats snapshot's properties predate the ANALYZE — a
+      // time-travel read must not serve NDV recorded after it
+      val old = attrStats(spark.read.format("graft").option("version", preStats)
+        .load(s"$warehouse/db/ndv"))
+      assert(old.forall(_._2.distinctCount.isEmpty),
+        "time-travel read served NDV from its future")
+    }
+    // restricted column list
+    spark.sql(s"CALL graft.system.compute_table_stats('$warehouse/db/ndv', columns => 'grp')")
+    // unknown column errors
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.compute_table_stats('$warehouse/db/ndv', columns => 'nope')")
+    }
+    assert(e.getMessage.contains("no such columns"))
+  }
 }

@@ -619,6 +619,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(tbl) == v)
   }
 
+  test("streaming curation: quality gates + stream-static dedup + exactly-once sink") {
+    import graft.spatial.{GeoTable, Snapshots}
+    import graft.functions.VectorSql
+    VectorSql.install(spark)
+    val base = Files.createTempDirectory("graft_scur").toString
+    val (corpus, incoming, curated) = (s"$base/corpus", s"$base/incoming", s"$base/curated")
+    val ckpt = s"$base/ckpt"
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text", "lang")
+    docs.filter(col("doc_id") % 2 === 0).write.parquet(corpus)
+    GeoTable.writeManifest(spark, corpus)
+    // incoming batch + two planted drop cases: an exact duplicate of a
+    // corpus doc (same text, fresh id) and a too-short fragment
+    val dupOfCorpus = docs.filter(col("doc_id") === 0)
+      .select(lit(100001L).as("doc_id"), col("text"), col("lang"))
+    val tooShort = spark.range(1).select(lit(100002L).as("doc_id"),
+      lit("too short doc").as("text"), lit("en").as("lang"))
+    docs.filter(col("doc_id") % 2 === 1).unionByName(dupOfCorpus).unionByName(tooShort)
+      .write.parquet(incoming)
+    GeoTable.writeManifest(spark, incoming)
+    // the batch curation pieces, applied to a STREAM: normalized-text
+    // fingerprint dedup against the existing corpus (stream-static left
+    // anti join — the static side re-plans per batch from the manifest)
+    // after a map-only token-count quality gate
+    val fp = md5(lower(trim(regexp_replace(col("text"), "\\s+", " "))))
+    val corpusFp = Snapshots.read(spark, corpus).select(fp.as("fp")).distinct()
+    val gate = size(split(lower(trim(col("text"))), "\\s+")) >= 5
+    val stream = spark.readStream.format("graft-stream").load(incoming)
+      .filter(gate)
+      .withColumn("fp", fp)
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("fp"))
+    val q = graft.streaming.GeoStreams.appendStream(stream, curated, ckpt)
+    try q.awaitTermination() finally q.stop()
+    // batch oracle: identical pipeline over the static frames
+    val expected = Snapshots.read(spark, incoming).filter(gate).withColumn("fp", fp)
+      .join(corpusFp, Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Snapshots.read(spark, curated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "the gates should keep something")
+    assert(!got.contains(100001L), "corpus duplicate must be anti-joined away")
+    assert(!got.contains(100002L), "short fragment must fail the quality gate")
+    // replay with the same checkpoint: exactly-once, no duplicate snapshot
+    val v = Snapshots.currentVersion(curated)
+    val q2 = graft.streaming.GeoStreams.appendStream(stream, curated, ckpt)
+    try q2.awaitTermination() finally q2.stop()
+    assert(Snapshots.currentVersion(curated) == v)
+  }
+
   test("streaming parquet sink round-trips every row (checkpointed)") {
     val out = Files.createTempDirectory("graft_stream_out").toString
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
