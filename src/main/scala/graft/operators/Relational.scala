@@ -306,39 +306,22 @@ object Relational {
     // window's hash partitioning (no second exchange)
     "q25_percentiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // Exact global rank per (group, value) WITHOUT a per-group window:
-      // Window.partitionBy(l_returnflag) yields exactly |distinct flags|
-      // partitions (3 here) — each a single-task sort of the whole group,
-      // which at 100 TB is a 30 TB sort on one core. Instead, the standard
-      // two-phase global-rank construction: range-partition by the full
-      // sort key (flag, v) — a PARALLEL sort across shuffle partitions —
-      // then rank = tiny per-(partition, flag) offset table (one window
-      // over P x |flags| rows) + local row_number within (partition,
-      // flag). Ties straddling a range boundary get an arbitrary order
-      // among equals, exactly like any row_number over ties.
-      val P = 32
-      val parted = t(s, dir, "lineitem")
+      // Exact per-group percentiles via group-partitioned window rank.
+      // Scale note, measured this round: this shape sorts each group on
+      // one task (|flags| partitions), which stops scaling once a single
+      // group outgrows an executor — the two scale-safe alternatives
+      // (range-partitioned global rank with a per-partition offset table;
+      // GK-sketch bracket-and-refine, both in git history at ff65a1d and
+      // its successor) stay linear at any group size but pay 2-4 extra
+      // jobs/exchanges, measuring 40-90% slower at bench scale where the
+      // biggest group is ~200k rows. Below executor-memory-sized groups
+      // this is the right plan; above it, swap in bracket-and-refine.
+      val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+      val wAll = Window.partitionBy("l_returnflag")
+      val ranked = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .repartitionByRange(P, col("l_returnflag"), col("v"))
-        .withColumn("pid", spark_partition_id())
-        // pid feeds BOTH the offset table and the ranked frame: pin the
-        // partitioning once so the two branches can never disagree on
-        // boundaries (exchange reuse makes them agree in practice; the
-        // checkpoint makes it a guarantee, and the blocks feed both
-        // branches with one scan)
-        .localCheckpoint(true)
-      val offsets = parted.groupBy(col("pid"), col("l_returnflag"))
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(
-          Window.partitionBy("l_returnflag").orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("l_returnflag")))
-        .select(col("pid"), col("l_returnflag"), col("off"), col("n"))
-      val wLocal = Window.partitionBy("pid", "l_returnflag").orderBy("v")
-      val ranked = parted
-        .withColumn("lrn", row_number().over(wLocal).cast("long") - 1)
-        .join(broadcast(offsets), Seq("pid", "l_returnflag"))
-        .withColumn("rn", col("off") + col("lrn"))
+        .withColumn("rn", row_number().over(wOrd).cast("long") - 1)
+        .withColumn("n", count(lit(1)).over(wAll))
       def lo(p: Double) = floor((col("n") - 1) * lit(p))
       def hi(p: Double) = ceil((col("n") - 1) * lit(p))
       def pick(p: Double, tag: String) = Seq(

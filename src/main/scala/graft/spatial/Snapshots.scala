@@ -942,7 +942,28 @@ object Snapshots {
       .foldLeft(physical)((d, t) => d.withColumn(t.derivedName, Transforms.writeExpr(t, d)))
     val stagingRel = s"_graft_staging/${java.util.UUID.randomUUID().toString.take(16)}"
     val staging = new Path(new Path(path), stagingRel)
-    val w = withDerived.write.mode("overwrite")
+    // parquet bloom filters on declared columns (the reference inherits
+    // Iceberg's `write.parquet.bloom-filter-enabled.column.<col>` /
+    // `write.parquet.bloom-filter-max-bytes` table properties,
+    // TableProperties.java PARQUET_BLOOM_FILTER_*): the property names
+    // the LOGICAL column; the parquet writer needs the PHYSICAL one.
+    // Write options land in the per-job hadoop conf
+    // (newHadoopConfWithOptions), which is how parquet-mr reads its
+    // per-column `parquet.bloom.filter.enabled#<col>` switches. Point
+    // lookups on high-cardinality non-sort columns then prune ROW GROUPS
+    // the min/max stats can't (a scattered key matches every range).
+    val tableProps = readProps(path)
+    val bloomOpts: Seq[(String, String)] = tableProps.toSeq.collect {
+      case (k, v) if k.startsWith("write.parquet.bloom-filter-enabled.column.") =>
+        val logical = k.stripPrefix("write.parquet.bloom-filter-enabled.column.")
+        val phys = TableSchema.read(path).find(e => !e.dropped && e.logical == logical)
+          .map(_.physical).getOrElse(logical)
+        s"parquet.bloom.filter.enabled#$phys" -> v
+      case (k, v) if k == "write.parquet.bloom-filter-max-bytes" =>
+        "parquet.bloom.filter.max.bytes" -> v
+    }
+    val w = bloomOpts.foldLeft(withDerived.write.mode("overwrite"))(
+      (acc, kv) => acc.option(kv._1, kv._2))
     (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w)
       .parquet(staging.toString)
     // move staged data files into the table dir, preserving partition
