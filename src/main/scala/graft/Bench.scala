@@ -75,6 +75,11 @@ object Bench {
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         System.gc()
+        // settle: the GC enqueues dead shuffle/broadcast references that
+        // the ContextCleaner drains ASYNCHRONOUSLY (file deletion, block
+        // removal) — without a pause that IO lands inside the next
+        // query's timed window. Untimed by construction (before t0).
+        Thread.sleep(75)
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -87,7 +92,7 @@ object Bench {
         // moment the noop write finishes; nothing references them across
         // queries)
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         name -> dt
       }
     val cold = runAll() // first pass: per-query codegen/compile included

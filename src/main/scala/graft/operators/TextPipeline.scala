@@ -249,6 +249,25 @@ object TextPipeline {
           round(col("st.nonws_len") / col("st.n_tokens"), 4).as("avg_tok_len"))
     }),
 
+    // BPE merge-candidate counting — the first step of vocabulary
+    // induction (byte-pair / WordPiece training): corpus-wide frequencies
+    // of ADJACENT token pairs, top candidates by count. One explode +
+    // one partially-aggregated groupBy + TakeOrdered — at 100 TB the
+    // pair counts combine map-side and only the top-k heap crosses the
+    // wire per partition. (Full BPE training iterates this with merges
+    // applied; each round is exactly this query over the rewritten
+    // corpus.)
+    "text_bpe_pairs" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("tk", split(lower(trim(col("text"))), "\\s+"))
+        .select(explode(expr(
+          """transform(slice(tk, 1, greatest(size(tk) - 1, 0)),
+            | (x, i) -> concat(x, ' ', tk[i + 1]))""".stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    }),
+
     // exact-substring span dedup report (the within-corpus repeated-span
     // detection of "Deduplicating Training Data Makes Language Models
     // Better": long token spans appearing verbatim in 2+ documents are
@@ -584,6 +603,13 @@ object TextPipeline {
         | round(len(list_filter(tk, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(tk), 4) AS stop_ratio,
         | round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0 / len(tk), 4) AS avg_tok_len
         |FROM t""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |b AS (SELECT t[i] || ' ' || t[i+1] AS pair
+        |      FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM tok))
+        |SELECT pair, count(*) AS n FROM b GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "dedup_span_exact" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
