@@ -48,7 +48,12 @@ object GraftStatements {
   private val AlterRe =
     """(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+SET\s+GEOMETRY\s+FIELDS\s+(.+?)\s*$""".r
   private val FieldRe = """(?is)^\s*([\w.`]+)\s+AS\s+'([^']*)'\s*$""".r
-  private val CallRe = """(?is)^\s*CALL\s+graft\.system\.(\w+)\s*\((.*)\)\s*$""".r
+  // `CALL <catalog>.system.<proc>(...)` — the reference's procedure form
+  // (SparkProcedures via any registered Iceberg catalog). `graft` always
+  // works; any other catalog name is accepted iff the session registers
+  // it as a graft catalog (checked at match time, so other extensions'
+  // CALL statements pass through untouched).
+  private val CallRe = """(?is)^\s*CALL\s+(\w+)\.system\.(\w+)\s*\((.*)\)\s*$""".r
   private val CreateRefRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+(\S+?|'[^']*')\s+(CREATE\s+OR\s+REPLACE|CREATE|REPLACE)\s+""" +
       """(BRANCH|TAG)\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(\w+)""" +
@@ -104,7 +109,7 @@ object GraftStatements {
     * (`spark.sql.catalog.<cat>` + `.warehouse`), so no catalog
     * instantiation and no touching other catalogs' identifiers.
     */
-  private def graftPath(ident: String): Option[(String, String)] =
+  private[sql] def graftPath(ident: String): Option[(String, String)] =
     org.apache.spark.sql.SparkSession.getActiveSession.flatMap { spark =>
       val parts = ident.split('.').toSeq
       if (parts.length < 2) None
@@ -260,11 +265,30 @@ object GraftStatements {
     case DropRefRe(tbl, kind, ifExists, name) =>
       Some(RefCommand(resolveTable(tbl), s"drop_${kind.toLowerCase}", name, None,
         ifExists = ifExists != null))
-    case CallRe(proc, argList) =>
+    case CallRe(cat, proc, argList) if cat.equalsIgnoreCase("graft") || isGraftCatalog(cat) =>
       val (pos, named) = parseArgs(splitTopLevel(argList))
-      Some(CallProcedureCommand(proc.toLowerCase, pos, named))
+      Some(CallProcedureCommand(proc.toLowerCase, pos, named, cat))
     case _ => None
   }
+
+  /** Is `cat` registered as a graft catalog in the active session? */
+  private[sql] def isGraftCatalog(cat: String): Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { spark =>
+      spark.conf.getOption(s"spark.sql.catalog.$cat").exists(i =>
+        i == classOf[graft.sources.GraftCatalog].getName ||
+          i == classOf[graft.sources.GraftSessionCatalog].getName)
+    }
+
+  /** Warehouse path for `db….table` under a named graft catalog, without
+    * requiring the table to exist (procedure args may name a target a
+    * procedure is about to create).
+    */
+  private[sql] def warehousePath(cat: String, ident: String): Option[String] =
+    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { spark =>
+      spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+        .filter(_ => isGraftCatalog(cat))
+        .map(wh => java.nio.file.Paths.get(wh, ident.split('.').toSeq: _*).toString)
+    }
 
   /** A quoted string is a literal path; a bare identifier resolves through
     * a registered GraftCatalog when one matches, else it IS the path.
@@ -520,7 +544,8 @@ case class MergeIntoCommand(path: String, sourceSql: String, onSql: String,
   * snapshot layer (the reference ships these under
   * `spark/v3.5/spark/src/main/java/org/apache/iceberg/spark/procedures/`).
   */
-case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, Any])
+case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, Any],
+    catalog: String = "graft")
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -553,7 +578,20 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
   }
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val table = str(arg(0, "table"))
+    // the first argument names the table: a filesystem path (always
+    // worked), a fully-qualified `cat.db.t`, or — reference style — an
+    // identifier relative to the CALL's own catalog
+    // (`CALL gcat.system.proc('db.t')`)
+    val rawTable = str(arg(0, "table"))
+    val table =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(rawTable,
+          graft.spatial.GeoTable.ManifestName))) rawTable
+      else GraftStatements.graftPath(rawTable).map(_._1)
+        .orElse(GraftStatements.graftPath(s"$catalog.$rawTable").map(_._1))
+        .orElse(GraftStatements.warehousePath(catalog, rawTable)
+          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p,
+            graft.spatial.GeoTable.ManifestName))))
+        .getOrElse(rawTable)
     proc match {
       case "expire_snapshots" =>
         // `keep` doubles as the reference's retain_last when older_than is given

@@ -782,4 +782,21 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.ddl.fresh2")
     intercept[Exception](spark.sql("SELECT * FROM gcat.ddl.fresh2").collect())
   }
+
+  test("CALL <catalog>.system.<proc> with identifier table args (reference form)") {
+    val tbl = s"$warehouse/db/callid"
+    writeQuadrants(tbl)
+    // identifier relative to the CALL's own catalog
+    val r = spark.sql("CALL gcat.system.compute_table_stats('db.callid')").collect()
+    assert(r.head.getString(1).startsWith("ndv_columns="))
+    assert(graft.spatial.Snapshots.ndvStats(tbl, None).nonEmpty)
+    // fully-qualified identifier and literal path keep working
+    spark.sql("CALL gcat.system.compute_table_stats('gcat.db.callid')")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    // a CALL against a catalog this extension does not own falls through
+    // to Spark's parser (and fails there), instead of being swallowed
+    intercept[Exception] {
+      spark.sql("CALL sparky.system.compute_table_stats('db.callid')")
+    }
+  }
 }
