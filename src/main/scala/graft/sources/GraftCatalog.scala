@@ -79,10 +79,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   }
 
   /** `VERSION AS OF` — versions are snapshot numbers. */
+  /** `VERSION AS OF x` — a snapshot version number, or a branch / tag
+    * NAME (the reference's SparkCatalog.loadTable(ident, version) tries
+    * snapshot id, then branch, then tag, SparkCatalog.java).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    new GraftTable(p.toString, Some(version.toInt))
+    version.toIntOption match {
+      case Some(v) => new GraftTable(p.toString, Some(v))
+      case None =>
+        val (branches, tags) = Snapshots.readRefs(p.toString)
+        val v = branches.get(version).orElse(tags.get(version)).getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF '$version': no such snapshot version, branch, or tag"))
+        new GraftTable(p.toString, Some(v))
+    }
   }
 
   /** `TIMESTAMP AS OF` — micros since epoch per the DSv2 contract. */

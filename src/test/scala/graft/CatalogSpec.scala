@@ -799,4 +799,23 @@ class CatalogSpec extends AnyFunSuite {
       spark.sql("CALL sparky.system.compute_table_stats('db.callid')")
     }
   }
+
+  test("VERSION AS OF accepts a branch or tag name like the reference") {
+    val tbl = s"$warehouse/db/refver"
+    writeQuadrants(tbl)
+    val v1 = graft.spatial.Snapshots.mainVersion(tbl)
+    spark.sql(s"ALTER TABLE '$tbl' CREATE TAG stable")
+    spark.sql(s"ALTER TABLE '$tbl' CREATE BRANCH audit")
+    // advance the branch past main
+    graft.spatial.Snapshots.appendToBranch(
+      spark.range(5).selectExpr("id + 1000 AS id", "CAST(0 AS INT) AS part",
+        "CAST(NULL AS BINARY) AS geom"), tbl, "audit")
+    assert(spark.sql("SELECT * FROM gcat.db.refver VERSION AS OF 'stable'").count() == 80)
+    assert(spark.sql("SELECT * FROM gcat.db.refver VERSION AS OF 'audit'").count() == 85)
+    assert(spark.sql(s"SELECT * FROM gcat.db.refver VERSION AS OF $v1").count() == 80)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.db.refver VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("no such snapshot version, branch, or tag"))
+  }
 }
