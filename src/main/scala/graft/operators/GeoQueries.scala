@@ -47,8 +47,7 @@ object GeoQueries {
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
     if (f.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq.reverse
+      graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     f.getAbsolutePath

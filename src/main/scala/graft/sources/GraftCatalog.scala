@@ -78,7 +78,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     }
   }
 
-  /** `VERSION AS OF` — versions are snapshot numbers. */
   /** `VERSION AS OF x` — a snapshot version number, or a branch / tag
     * NAME (the reference's SparkCatalog.loadTable(ident, version) tries
     * snapshot id, then branch, then tag, SparkCatalog.java).
@@ -108,10 +107,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = java.nio.file.Paths.get(warehouse, namespace: _*)
     if (!java.nio.file.Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
-    val it = java.nio.file.Files.list(ns).iterator()
+    val listed = Snapshots.listDir(ns)(_.toSeq)
     val out = Array.newBuilder[Identifier]
-    while (it.hasNext) {
-      val p = it.next()
+    for (p <- listed) {
       // dot-dirs are in-flight staged CTAS/REPLACE work, not tables
       if (isTable(p) && !p.getFileName.toString.startsWith("."))
         out += Identifier.of(namespace, p.getFileName.toString)
@@ -269,8 +267,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val p = tablePath(ident)
     if (!isTable(p)) false
     else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }
@@ -300,10 +297,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def listViews(namespace: String*): Array[Identifier] = {
     val ns = java.nio.file.Paths.get(warehouse, namespace: _*)
     if (!java.nio.file.Files.isDirectory(ns)) return Array.empty
-    val it = java.nio.file.Files.list(ns).iterator()
+    val listed = Snapshots.listDir(ns)(_.toSeq)
     val out = Array.newBuilder[Identifier]
-    while (it.hasNext) {
-      val p = it.next()
+    for (p <- listed) {
       if (java.nio.file.Files.exists(p.resolve(ViewFileName)))
         out += Identifier.of(namespace.toArray, p.getFileName.toString)
     }
@@ -348,8 +344,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def dropView(ident: Identifier): Boolean = {
     if (!viewExists(ident)) false
     else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tablePath(ident)).iterator().asScala.toSeq.reverse
+      Snapshots.walkDir(tablePath(ident))(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }
@@ -394,10 +389,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def listNamespaces(): Array[Array[String]] = {
     val root = java.nio.file.Paths.get(warehouse)
     if (!java.nio.file.Files.isDirectory(root)) return Array.empty
-    val it = java.nio.file.Files.list(root).iterator()
+    val listed = Snapshots.listDir(root)(_.toSeq)
     val out = Array.newBuilder[Array[String]]
-    while (it.hasNext) {
-      val p = it.next()
+    for (p <- listed) {
       if (java.nio.file.Files.isDirectory(p) && !isTable(p))
         out += Array(p.getFileName.toString)
     }
@@ -430,11 +424,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     val p = java.nio.file.Paths.get(warehouse, namespace: _*)
     if (!java.nio.file.Files.isDirectory(p)) false
     else {
-      import scala.jdk.CollectionConverters._
-      val entries = java.nio.file.Files.list(p).iterator().asScala.toSeq
+      val entries = Snapshots.listDir(p)(_.toSeq)
       if (entries.nonEmpty && !cascade)
         throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }
@@ -499,10 +492,9 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
   }
 
   override def abortStagedChanges(): Unit = {
-    import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(tmpPath)
     if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 }

@@ -604,8 +604,10 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   // full physical file schema (for parquet footer matching)
   private val physicalDataSchema: StructType = {
     val full = GeoTable.ensureSchema(spark, path)
-    TableSchema.physicalSchema(path).getOrElse(
-      StructType(full.fields.filterNot(f => partCols.contains(f.name))))
+    // nullable for the same reason as the V1 path: a column added by a
+    // later schema merge is required-missing in older files otherwise
+    Snapshots.nullableShallow(TableSchema.physicalSchema(path).getOrElse(
+      StructType(full.fields.filterNot(f => partCols.contains(f.name)))))
   }
   private val fullSchemaFields =
     GeoTable.readSchema(path).map(_.fields.toSeq).getOrElse(physicalDataSchema.fields.toSeq)

@@ -226,8 +226,11 @@ object GeoTable {
     val partitionSchema = StructType(partCols.flatMap(c => full.fields.find(_.name == c)))
     // evolved tables read under the authoritative stored physical schema
     // (a sampled file may predate an added column)
-    val dataSchema = TableSchema.physicalSchema(path).getOrElse(
-      StructType(full.fields.filterNot(f => partCols.contains(f.name))))
+    // fully nullable: any column may be absent from SOME generation of
+    // files (schema merge / evolution), and a required read-schema column
+    // missing from a file is a reader ERROR, not nulls
+    val dataSchema = Snapshots.nullableShallow(TableSchema.physicalSchema(path).getOrElse(
+      StructType(full.fields.filterNot(f => partCols.contains(f.name)))))
     val index = new GraftFileIndex(spark, new Path(path), stats, dataSchema, partitionSchema,
       readPruningSpecs(path))
     // a bucket transform doubles as a Spark bucket spec: file names carry

@@ -29,20 +29,31 @@ object Snapshots {
     */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** Run `f` over a directory listing / walk and CLOSE the underlying
+    * DirectoryStream. `Files.list`/`Files.walk` hold an open fd until
+    * closed; the metadata paths call these constantly, and relying on GC
+    * to close them exhausted the process fd limit under the full suite.
+    */
+  private[graft] def listDir[T](dir: java.nio.file.Path)(f: Iterator[java.nio.file.Path] => T): T = {
+    val s = Files.list(dir)
+    try { import scala.jdk.CollectionConverters._; f(s.iterator().asScala) } finally s.close()
+  }
+  private[graft] def walkDir[T](dir: java.nio.file.Path)(f: Iterator[java.nio.file.Path] => T): T = {
+    val s = Files.walk(dir)
+    try { import scala.jdk.CollectionConverters._; f(s.iterator().asScala) } finally s.close()
+  }
+
   private def manifestPath(path: String, v: Int) = Paths.get(path, s"_graft_manifest_v$v.json")
 
   def currentVersion(path: String): Int = {
     val dir = Paths.get(path)
     if (!Files.exists(dir)) return 0
-    val vs = Files.list(dir).iterator()
-    var max = 0
-    while (vs.hasNext) {
-      val n = vs.next().getFileName.toString
-      if (n.startsWith("_graft_manifest_v") && n.endsWith(".json")) {
-        max = math.max(max, n.stripPrefix("_graft_manifest_v").stripSuffix(".json").toInt)
-      }
-    }
-    max
+    listDir(dir)(_.foldLeft(0) { (max, p) =>
+      val n = p.getFileName.toString
+      if (n.startsWith("_graft_manifest_v") && n.endsWith(".json"))
+        math.max(max, n.stripPrefix("_graft_manifest_v").stripSuffix(".json").toInt)
+      else max
+    })
   }
 
   // Parsed-manifest memo: a manifest file is immutable once published and
@@ -207,12 +218,12 @@ object Snapshots {
     val dir = Paths.get(path)
     var max = 0
     if (Files.exists(dir)) {
-      val it = Files.list(dir).iterator()
-      while (it.hasNext) {
-        val n = it.next().getFileName.toString
+      max = listDir(dir)(_.foldLeft(0) { (m, p) =>
+        val n = p.getFileName.toString
         if (n.startsWith("_graft_refs_v") && n.endsWith(".json"))
-          max = math.max(max, n.stripPrefix("_graft_refs_v").stripSuffix(".json").toInt)
-      }
+          math.max(m, n.stripPrefix("_graft_refs_v").stripSuffix(".json").toInt)
+        else m
+      })
     }
     if (max > 0) {
       val (bs, ts) = parseRefs(new String(Files.readAllBytes(refsVPath(path, max)),
@@ -952,7 +963,10 @@ object Snapshots {
     // per-column `parquet.bloom.filter.enabled#<col>` switches. Point
     // lookups on high-cardinality non-sort columns then prune ROW GROUPS
     // the min/max stats can't (a scattered key matches every range).
-    val tableProps = readProps(path)
+    // fresh tables (first streaming batch / first write) have no
+    // snapshot to read properties from yet
+    val tableProps =
+      if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]
     val bloomOpts: Seq[(String, String)] = tableProps.toSeq.collect {
       case (k, v) if k.startsWith("write.parquet.bloom-filter-enabled.column.") =>
         val logical = k.stripPrefix("write.parquet.bloom-filter-enabled.column.")
@@ -1003,14 +1017,25 @@ object Snapshots {
   /** Union of the carried schema and a newly-written frame's schema (new
     * columns append; existing columns keep their carried definition).
     */
+  /** Recorded schemas are always fully NULLABLE: any column can be
+    * missing from some generation of files (added after old files were
+    * written, or dropped from a later writer's frame), and the parquet
+    * readers refuse a file that lacks a REQUIRED read-schema column
+    * instead of serving nulls. The reference adds evolved columns as
+    * optional for the same reason (UpdateSchema.addColumn).
+    */
+  private[graft] def nullableShallow(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true)))
+
   private def mergeSchema(carried: Option[org.apache.spark.sql.types.StructType],
       written: org.apache.spark.sql.types.StructType): Option[org.apache.spark.sql.types.StructType] =
     carried match {
-      case None => Some(written)
+      case None => Some(nullableShallow(written))
       case Some(c) =>
         val have = c.fieldNames.toSet
-        Some(org.apache.spark.sql.types.StructType(
-          c.fields ++ written.fields.filterNot(f => have(f.name))))
+        Some(nullableShallow(org.apache.spark.sql.types.StructType(
+          c.fields ++ written.fields.filterNot(f => have(f.name)))))
     }
 
   // ---- session-scoped write-audit-publish (the reference's
@@ -1409,12 +1434,9 @@ object Snapshots {
     val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
     val tmp = Files.createTempDirectory("graft_del").toString
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var src: java.nio.file.Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.getFileName.toString.endsWith(".parquet")) src = p
-    }
+    val src = listDir(Paths.get(tmp))(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).foldLeft(
+        null: java.nio.file.Path)((_, p) => p))
     require(src != null, "no delete rows written")
     // row count from the footer (driver-side, one file) — callers use it
     // to no-op empty DMLs without a second scan of the matched-rows plan
@@ -2927,9 +2949,7 @@ object Snapshots {
       keepVersions.flatMap(v => readEqDeletes(path, Some(v)).map(_.path))
     val delDir = Paths.get(path, "_graft_deletes")
     if (Files.exists(delDir)) {
-      val posIt = Files.list(delDir).iterator()
-      while (posIt.hasNext) {
-        val p = posIt.next()
+      listDir(delDir)(_.toSeq).foreach { p =>
         val rel = s"_graft_deletes/${p.getFileName}"
         if (!keptPos.contains(rel)) Files.delete(p)
       }

@@ -366,8 +366,7 @@ case class GraftDropViewCommand(dir: String, name: String, ifExists: Boolean)
       if (ifExists) return Seq.empty
       throw new IllegalStateException(s"view not found: $name")
     }
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+    graft.spatial.Snapshots.walkDir(d)(_.toSeq).reverse
       .foreach(java.nio.file.Files.deleteIfExists(_))
     Seq.empty
   }
@@ -382,11 +381,10 @@ case class GraftShowViewsCommand(warehouse: String, ns: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val nsPath = java.nio.file.Paths.get(warehouse, ns: _*)
     if (!java.nio.file.Files.isDirectory(nsPath)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(nsPath).iterator().asScala
-      .filter(p => java.nio.file.Files.exists(p.resolve(GraftViews.ViewFileName)))
-      .map(p => Row(ns.mkString("."), p.getFileName.toString, false))
-      .toSeq.sortBy(_.getString(1))
+    graft.spatial.Snapshots.listDir(nsPath)(
+      _.filter(p => java.nio.file.Files.exists(p.resolve(GraftViews.ViewFileName)))
+        .map(p => Row(ns.mkString("."), p.getFileName.toString, false))
+        .toSeq).sortBy(_.getString(1))
   }
 }
 

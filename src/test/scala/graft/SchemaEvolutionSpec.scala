@@ -194,4 +194,35 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
     assert(nn.getMessage.contains("NOT NULL"))
   }
+
+  test("schema-merging appends: extra columns add as nullable, absent columns read null") {
+    val dir = mkTable(10)
+    // append WITH a column the table has never seen: merges into the
+    // recorded schema as NULLABLE (the reference adds evolved columns as
+    // optional) — old files read null, new rows carry values
+    val extra = GeoTable.withBbox(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (100 until 105).map(i => Row(i.toLong, "new",
+          GeoCodec.writeWkb(GeoCodec.point(1.0, 2.0)), i * 1.5)), 1),
+        StructType(Seq(StructField("id", LongType), StructField("category", StringType),
+          StructField("geom", BinaryType),
+          StructField("score", DoubleType, nullable = false)))), "geom")
+    Snapshots.append(extra, dir)
+    val t1 = Snapshots.read(spark, dir)
+    assert(t1.schema("score").nullable)
+    assert(t1.count() == 15)
+    assert(t1.filter(col("score").isNull).count() == 10)
+    assert(t1.filter(col("score") === 150.0).count() == 1)
+    // append MISSING a column the table does have: newest files read null
+    val missing = GeoTable.withBbox(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        (200 until 203).map(i => Row(i.toLong,
+          GeoCodec.writeWkb(GeoCodec.point(3.0, 4.0)))), 1),
+        StructType(Seq(StructField("id", LongType),
+          StructField("geom", BinaryType)))), "geom")
+    Snapshots.append(missing, dir)
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.count() == 18)
+    assert(t2.filter(col("id") >= 200 && col("category").isNull).count() == 3)
+  }
 }
