@@ -367,6 +367,30 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(byV.keySet == versions.toSet + 1, s"addedV stamps: ${byV.keySet} vs $versions")
   }
 
+  test("concurrent MIXED commits serialize: appends + MoR delete + property update") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_mixed").toString
+    GeoTable.write(mkDf(0 until 40, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    // four DIFFERENT commit kinds race through the CAS: two appends with
+    // disjoint ids, a merge-on-read predicate delete of initial rows, and
+    // a property update. Every kind merges against whatever head it
+    // retries onto, so the final state must hold all four effects —
+    // regardless of commit order.
+    Await.result(Future.sequence(Seq(
+      Future(Snapshots.append(mkDf(100 until 120, 1), dir)),
+      Future(Snapshots.append(mkDf(200 until 220, 2), dir)),
+      Future(Snapshots.deleteMoR(spark, dir, "id < 10")),
+      Future(Snapshots.updateProperties(dir, Map("owner" -> "raceteam"))))), 5.minutes)
+    val t = Snapshots.read(spark, dir)
+    assert(t.filter(col("id") < 10).count() == 0, "the MoR delete must survive the race")
+    assert(t.count() == 30 + 20 + 20)
+    assert(t.groupBy(col("id")).count().filter(col("count") > 1).count() == 0)
+    assert(Snapshots.readProps(dir).get("owner").contains("raceteam"))
+  }
+
   test("interleaved publishes from the same base state conflict (cross-process shape)") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_cas").toString
