@@ -62,6 +62,27 @@ object Bench {
       graft.spatial.GeoTable.write(tiny, wdir.getAbsolutePath, "geom", res = 4, numFiles = 1)
       graft.spatial.GeoTable.read(spark, wdir.getAbsolutePath)
         .write.format("noop").mode("overwrite").save()
+      // text/vector kernels: the dedup/similarity family's first query
+      // otherwise absorbs the one-time codegen of the shingle/simhash/
+      // vector expressions (~4 s on the alphabetically-first jaccard
+      // query) — warm them on 8 rows so cold numbers measure operators
+      graft.functions.VectorSql.install(spark)
+      val tinyDocs = nation.limit(8).selectExpr("n_nationkey AS doc_id",
+        "concat(n_name, ' alpha beta gamma delta epsilon zeta eta theta') AS text")
+      graft.operators.TextPipeline.jaccardPairs(tinyDocs, 64)
+        .write.format("noop").mode("overwrite").save()
+      tinyDocs.select(graft.functions.VectorSql.simhash64(col("text")),
+          md5(encode(col("text"), "UTF-8")),
+          graft.functions.VectorSql.text_stats(col("text"),
+            typedlit(Seq("the", "a"))))
+        .write.format("noop").mode("overwrite").save()
+      val tinyVecs = nation.limit(8).selectExpr("n_nationkey AS vec_id",
+        "transform(sequence(1, 8), i -> cast(n_nationkey * i % 7 AS DOUBLE)) AS v")
+      tinyVecs.select(graft.functions.VectorSql.vec_cosine(col("v"), col("v")),
+          graft.functions.VectorSql.vec_nearest(col("v"),
+            typedlit(Seq(Seq.fill(8)(0.5))), 1),
+          posexplode(col("v")))
+        .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable => System.err.println(s"warmup skipped: $e") }
     // GC before each timed query: the heavy dedup/pipeline queries leave
     // multi-GB garbage behind, and without a collect the NEXT query pays
