@@ -314,4 +314,26 @@ class PipelineSpec extends AnyFunSuite {
     }
     costs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"$costs") }
   }
+
+  test("new corpus ops keep scale-shaped plans: top-k heap, hash joins only") {
+    // BPE pair counting must plan as partial-aggregated counts feeding a
+    // per-partition top-k heap (TakeOrdered), never a global sort of the
+    // full pair histogram
+    val bpe = SparkEntry.queries("text_bpe_pairs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(bpe.contains("TakeOrderedAndProject"), s"expected top-k heap:\n$bpe")
+    assert(!bpe.matches("(?s).*Sort \\[n.*DESC.*global=true.*"),
+      s"top-50 must not globally sort the histogram:\n$bpe")
+    // span dedup joins by span hash — any nested-loop/cartesian shape
+    // means the hash-keyed discipline broke
+    val span = SparkEntry.queries("dedup_span_exact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!span.contains("CartesianProduct") && !span.contains("BroadcastNestedLoop"),
+      s"span dedup must stay hash-keyed:\n$span")
+    // kmeans update: assignment is map-side (no join); the only exchange
+    // feeds the (cell, dim) aggregate
+    val km = SparkEntry.queries("sim_kmeans_update")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!km.contains("Join"), s"assignment must fold centroids into the scan:\n$km")
+  }
 }
