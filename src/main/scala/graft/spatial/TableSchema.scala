@@ -177,9 +177,18 @@ object TableSchema {
         .filter(e => df.columns.contains(e.physical))
         .map { e =>
           // promoted columns: old files surface the narrow physical type —
-          // cast up so every snapshot reads under ONE logical type; the
-          // column comment rides along as standard field metadata
-          val base = col(e.physical).cast(e.dataType)
+          // cast up so every snapshot reads under ONE logical type. Cast
+          // ONLY when the frame's actual type is a strict widening source
+          // of the declared type: a declared-encoding geometry column
+          // arrives here already DECODED (wkt string files -> wkb binary
+          // frame), so an unconditional cast to the recorded physical
+          // type would mangle it. The column comment rides along as
+          // standard field metadata.
+          val actual = df.schema(e.physical).dataType
+          val base =
+            if (actual != e.dataType && promotable(actual, e.dataType))
+              col(e.physical).cast(e.dataType)
+            else col(e.physical)
           e.comment match {
             case Some(c) => base.as(e.logical,
               new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())

@@ -225,4 +225,26 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(t2.count() == 18)
     assert(t2.filter(col("id") >= 200 && col("category").isNull).count() == 3)
   }
+
+  test("declared-encoding geometry survives evolution: decode + rename compose") {
+    import graft.spatial.GeometryFields
+    import graft.functions.GeoSql
+    val dir = Files.createTempDirectory("graft_evo_enc").toString + "/tbl"
+    GeoSql.install(spark)
+    val src = spark.range(20).toDF("id")
+      .withColumn("x", (col("id") % 90 - 45).cast("double"))
+      .withColumn("geom", GeoSql.st_point(col("x"), lit(5.0)))
+    // WKT storage: the files hold STRINGs, readers decode back to WKB
+    GeometryFields.writeGeo(src, dir, "geom", "wkt", res = 8, numFiles = 2)
+    // evolution on a sibling column must NOT disturb the decode path
+    // (the recorded physical type of geom is STRING; the decoded frame
+    // carries BINARY — a type-blind cast here once mangled the geometry)
+    TableSchema.renameColumn(spark, dir, "x", "lon")
+    val t = Snapshots.read(spark, dir)
+    assert(t.columns.contains("lon"))
+    // ids 0..19 -> x in [-45, -26]; the envelope catches x in [-45, -36]
+    val hits = t.filter(GeoSql.st_intersects(col("geom"),
+      GeoSql.st_makeenvelope(lit(-45.0), lit(0.0), lit(-36.0), lit(10.0)))).count()
+    assert(hits > 0 && hits < 20, s"decoded geometry must stay queryable, got $hits")
+  }
 }
