@@ -42,26 +42,37 @@ object Bench {
     // codegen of infrastructure every query shares. All on tiny inputs
     // (nation = 25 rows); ~1 s total against the ~20 s of first-use init
     // the cold pass otherwise smears across whichever queries run first.
-    try {
+    // Each warm statement gets its OWN try: one failure must not silently
+    // skip the remaining warms (r9 retro: a throwing vector statement
+    // aborted the rest of the block and the sim-family cold numbers
+    // carried first-use codegen), and the label names which one died.
+    def warmUp(label: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Throwable => System.err.println(s"warmup [$label] skipped: $e") }
+    {
       import org.apache.spark.sql.functions._
       val nation = spark.read.parquet(s"$sfDir/nation.parquet")
       val region = spark.read.parquet(s"$sfDir/region.parquet")
-      nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
-        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("r_regionkey")).orderBy(col("n_nationkey"))))
-        .withColumn("m", size(regexp_extract_all(col("n_name"), lit("[A-Z]+"), lit(0))))
-        .localCheckpoint(true)
-        .write.format("noop").mode("overwrite").save()
-      val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_bench_warmup_${System.nanoTime()}")
-      graft.functions.GeoSql.install(spark)
-      val tiny = nation.limit(8).selectExpr("n_nationkey",
-          "cast(n_nationkey as double) as x", "cast(n_regionkey as double) as y")
-        .withColumn("geom", graft.functions.GeoSql.st_point(col("x"), col("y")))
-      graft.spatial.GeoTable.write(tiny, wdir.getAbsolutePath, "geom", res = 4, numFiles = 1)
-      graft.spatial.GeoTable.read(spark, wdir.getAbsolutePath)
-        .write.format("noop").mode("overwrite").save()
+      warmUp("relational") {
+        nation.join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("r_regionkey")).orderBy(col("n_nationkey"))))
+          .withColumn("m", size(regexp_extract_all(col("n_name"), lit("[A-Z]+"), lit(0))))
+          .localCheckpoint(true)
+          .write.format("noop").mode("overwrite").save()
+      }
+      warmUp("graft-table") {
+        val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bench_warmup_${System.nanoTime()}")
+        graft.functions.GeoSql.install(spark)
+        val tiny = nation.limit(8).selectExpr("n_nationkey",
+            "cast(n_nationkey as double) as x", "cast(n_regionkey as double) as y")
+          .withColumn("geom", graft.functions.GeoSql.st_point(col("x"), col("y")))
+        graft.spatial.GeoTable.write(tiny, wdir.getAbsolutePath, "geom", res = 4, numFiles = 1)
+        graft.spatial.GeoTable.read(spark, wdir.getAbsolutePath)
+          .write.format("noop").mode("overwrite").save()
+      }
       // text/vector kernels: the dedup/similarity family's first query
       // otherwise absorbs the one-time codegen of the shingle/simhash/
       // vector expressions (~4 s on the alphabetically-first jaccard
@@ -69,21 +80,27 @@ object Bench {
       graft.functions.VectorSql.install(spark)
       val tinyDocs = nation.limit(8).selectExpr("n_nationkey AS doc_id",
         "concat(n_name, ' alpha beta gamma delta epsilon zeta eta theta') AS text")
-      graft.operators.TextPipeline.jaccardPairs(tinyDocs, 64)
-        .write.format("noop").mode("overwrite").save()
-      tinyDocs.select(graft.functions.VectorSql.simhash64(col("text")),
-          md5(encode(col("text"), "UTF-8")),
-          graft.functions.VectorSql.text_stats(col("text"),
-            typedlit(Seq("the", "a"))))
-        .write.format("noop").mode("overwrite").save()
-      val tinyVecs = nation.limit(8).selectExpr("n_nationkey AS vec_id",
-        "transform(sequence(1, 8), i -> cast(n_nationkey * i % 7 AS DOUBLE)) AS v")
-      tinyVecs.select(graft.functions.VectorSql.vec_cosine(col("v"), col("v")),
-          graft.functions.VectorSql.vec_nearest(col("v"),
-            typedlit(Seq(Seq.fill(8)(0.5))), 1),
-          posexplode(col("v")))
-        .write.format("noop").mode("overwrite").save()
-    } catch { case e: Throwable => System.err.println(s"warmup skipped: $e") }
+      warmUp("jaccard") {
+        graft.operators.TextPipeline.jaccardPairs(tinyDocs, 64)
+          .write.format("noop").mode("overwrite").save()
+      }
+      warmUp("text-kernels") {
+        tinyDocs.select(graft.functions.VectorSql.simhash64(col("text")).as("sh"),
+            md5(encode(col("text"), "UTF-8")).as("fp"),
+            graft.functions.VectorSql.text_stats(col("text"),
+              typedlit(Seq("the", "a"))).as("ts"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      warmUp("vector-kernels") {
+        val tinyVecs = nation.limit(8).selectExpr("n_nationkey AS vec_id",
+          "transform(sequence(1, 8), i -> cast(n_nationkey * i % 7 AS DOUBLE)) AS v")
+        tinyVecs.select(graft.functions.VectorSql.vec_cosine(col("v"), col("v")).as("c"),
+            graft.functions.VectorSql.vec_nearest(col("v"),
+              typedlit(Seq(Seq.fill(8)(0.5))), 1).as("nn"),
+            posexplode(col("v")))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // GC before each timed query: the heavy dedup/pipeline queries leave
     // multi-GB garbage behind, and without a collect the NEXT query pays
     // their GC pause — the round-2 q01 "regression" was exactly this

@@ -262,10 +262,10 @@ object TextKernels {
 
 /** text_stats(text, stopwords) → struct<n_tokens, stop_hits, punct_n, nonws_len> */
 case class TextStats(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with FoldableArgCheck {
   override def inputTypes = Seq[DataType](StringType, ArrayType(StringType))
   override def dataType: DataType = TextStats.schema
-  require(right.foldable, "text_stats: the stopword set must be foldable")
+  override protected def foldableArgs = Seq(right -> "the stopword set")
   @transient private lazy val stops: java.util.HashSet[String] =
     TextKernels.toStringSet(right.eval(null).asInstanceOf[ArrayData])
   override protected def nullSafeEval(t: Any, ignored: Any): Any =
@@ -338,14 +338,14 @@ case class ShingleHashes(child: Expression)
 
 /** shingle_hashes_n(text, n) → array<bigint>: distinct word-n-gram hashes. */
 case class ShingleHashesN(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with FoldableArgCheck {
   override def inputTypes = Seq[DataType](StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  require(right.foldable, "shingle_hashes_n: the window width must be foldable")
+  override protected def foldableArgs = Seq(right -> "the window width")
   // misuse (NULL width, n <= 0) must fail at ANALYSIS time, not as an
   // ArithmeticException inside the kernel mid-job
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val base = super.checkInputDataTypes()
+    val base = super.checkInputDataTypes() // types + foldability (FoldableArgCheck)
     if (!base.isSuccess) base
     else right.eval(null) match {
       case i: Integer if i >= 1 =>
@@ -368,10 +368,10 @@ case class ShingleHashesN(left: Expression, right: Expression)
 
 /** lang_hits(text, array(array<string>...)) → array<int> of per-set hits */
 case class TextHits(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with FoldableArgCheck {
   override def inputTypes = Seq[DataType](StringType, ArrayType(ArrayType(StringType)))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  require(right.foldable, "lang_hits: the profile sets must be foldable")
+  override protected def foldableArgs = Seq(right -> "the profile sets")
   @transient private lazy val sets: Array[java.util.HashSet[String]] = {
     val outer = right.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements()) { i =>

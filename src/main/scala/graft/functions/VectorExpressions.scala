@@ -86,10 +86,10 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinary {
 
 /** Count of array elements contained in a literal string set. */
 case class CountInSet(left: Expression, right: Expression)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with FoldableArgCheck {
   override def inputTypes = Seq[DataType](ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = IntegerType
-  require(right.foldable, "count_in_set: the set argument must be foldable")
+  override protected def foldableArgs = Seq(right -> "the set argument")
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
     val arr = right.eval(null).asInstanceOf[ArrayData]
@@ -133,14 +133,14 @@ case class CountInSet(left: Expression, right: Expression)
   * planes/bands/bits must be foldable.
   */
 case class VecBandSig(vec: Expression, planesE: Expression, bandsE: Expression, bitsE: Expression)
-    extends Expression with ExpectsInputTypes {
+    extends Expression with FoldableArgCheck {
   override def children: Seq[Expression] = Seq(vec, planesE, bandsE, bitsE)
   override def inputTypes = Seq[DataType](ArrayType(DoubleType),
     ArrayType(ArrayType(DoubleType)), IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = vec.nullable
-  require(planesE.foldable && bandsE.foldable && bitsE.foldable,
-    "vec_band_sig: planes/bands/bits must be foldable")
+  override protected def foldableArgs =
+    Seq(planesE -> "planes", bandsE -> "bands", bitsE -> "bits")
   @transient private lazy val planes: Array[Array[Double]] = {
     val outer = planesE.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
@@ -184,14 +184,14 @@ case class VecBandSig(vec: Expression, planesE: Expression, bandsE: Expression, 
   * — the IVF coarse-quantizer routing step, one pass over the k×d matrix.
   */
 case class VecNearest(vec: Expression, centsE: Expression, nProbeE: Expression)
-    extends Expression with ExpectsInputTypes {
+    extends Expression with FoldableArgCheck {
   override def children: Seq[Expression] = Seq(vec, centsE, nProbeE)
   override def inputTypes = Seq[DataType](ArrayType(DoubleType),
     ArrayType(ArrayType(DoubleType)), IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = vec.nullable
-  require(centsE.foldable && nProbeE.foldable,
-    "vec_nearest: centroids/nProbe must be foldable")
+  override protected def foldableArgs =
+    Seq(centsE -> "centroids", nProbeE -> "nProbe")
   @transient private lazy val cents: Array[Array[Double]] = {
     val outer = centsE.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())

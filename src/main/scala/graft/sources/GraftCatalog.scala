@@ -206,6 +206,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         if (!n.nullable())
           throw new UnsupportedOperationException(
             s"cannot add NOT NULL to existing column ${single(n.fieldNames())}")
+        else // no-op, but direct TableChange callers (no analyzer in
+          // front) must still get an error for a nonexistent column
+          TableSchema.requireColumn(spark, p.toString, single(n.fieldNames()))
       case c: TableChange.UpdateColumnComment =>
         TableSchema.setColumnComment(spark, p.toString, single(c.fieldNames()),
           Option(c.newComment()).filter(_.nonEmpty))

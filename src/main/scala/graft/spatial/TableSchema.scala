@@ -53,7 +53,19 @@ object TableSchema {
   }
 
   private def write(path: String, entries: Seq[Entry]): Unit = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // column comments are free text: control chars (newline/tab/anything
+    // < 0x20) must be \u-escaped too, or one legal multiline COMMENT makes
+    // the schema file unparseable on every subsequent read
+    def esc(s: String): String = {
+      val sb = new StringBuilder(s.length + 8)
+      s.foreach {
+        case '\\' => sb.append("\\\\")
+        case '"'  => sb.append("\\\"")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
     val body = entries.map { e =>
       val comment = e.comment.map(c => s""","comment":"${esc(c)}"""").getOrElse("")
       s"""{"logical":"${esc(e.logical)}","physical":"${esc(e.physical)}",""" +
@@ -147,6 +159,16 @@ object TableSchema {
     require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
     write(path, entries.map(e =>
       if (!e.dropped && e.logical == name) e.copy(comment = comment) else e))
+  }
+
+  /** Validate a column exists — for TableChanges whose effect is a no-op
+    * (e.g. DROP NOT NULL on an already-nullable column) but that must
+    * still fail on a nonexistent column when invoked without the Spark
+    * analyzer in front.
+    */
+  def requireColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val entries = ensure(spark, path)
+    require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
   }
 
   def dropColumn(spark: SparkSession, path: String, name: String): Unit = {

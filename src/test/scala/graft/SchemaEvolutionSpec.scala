@@ -193,6 +193,21 @@ class SchemaEvolutionSpec extends AnyFunSuite {
         TableChange.updateColumnNullability(Array("iv"), false))
     }
     assert(nn.getMessage.contains("NOT NULL"))
+    // DROP NOT NULL is a no-op but must still validate the column exists
+    // for direct TableChange callers (no analyzer in front)
+    val ghost = intercept[IllegalArgumentException] {
+      cat.alterTable(Identifier.of(Array("db"), "promo"),
+        TableChange.updateColumnNullability(Array("no_such_col"), true))
+    }
+    assert(ghost.getMessage.contains("no such column"))
+    // comments are free text: a comment with newlines / tabs / control
+    // chars must round-trip (the schema json escapes them; an unescaped
+    // control char would make the file unreadable forever after)
+    val wild = "line one\nline two\ttabbed\rctl \"quoted\" back\\slash"
+    cat.alterTable(Identifier.of(Array("db"), "promo"),
+      TableChange.updateColumnComment(Array("iv"), wild))
+    assert(spark.table("pcat.db.promo").schema("iv")
+      .metadata.getString("comment") == wild)
   }
 
   test("schema-merging appends: extra columns add as nullable, absent columns read null") {
