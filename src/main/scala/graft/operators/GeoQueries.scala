@@ -171,6 +171,25 @@ object GeoQueries {
         .select(col("c_custkey"), col("x"), col("y"))
     }),
 
+    // metadata columns in DQL (`_pos`, `_deleted` — the reference's
+    // MetadataColumns.java surface): one ORDERED data file so positions
+    // are deterministic, then a MoR positional delete on every 97th key;
+    // selecting `_deleted` keeps the deleted rows visible, flagged true
+    // (DeleteFilter mark-and-keep semantics), so DuckDB reproduces both
+    // columns from the write order alone
+    "geo_meta_columns" -> ((s, dir) => {
+      import graft.spatial.{GeoTable, Snapshots}
+      val path = freshScratch("metacols", dir)
+      pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom"))
+        .repartition(1).sortWithinPartitions(col("c_custkey"))
+        .write.mode("overwrite").parquet(path)
+      GeoTable.writeManifest(s, path)
+      Snapshots.updateProperties(path, Map("write.delete.mode" -> "merge-on-read"))
+      Snapshots.delete(s, path, col("c_custkey") % 97 === 0)
+      s.read.format("graft").load(path)
+        .select(col("c_custkey"), col("_pos"), col("_deleted"))
+    }),
+
     // distributed grid-bucketed spatial join (no cross product):
     // customer points × nation-derived envelope regions
     "geo_spatial_join" -> ((s, dir) => {
@@ -348,6 +367,12 @@ object GeoQueries {
     "geo_incremental_read" ->
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
          |WHERE c_custkey % 2 = 1""".stripMargin,
+
+    "geo_meta_columns" ->
+      s"""SELECT c_custkey,
+         | CAST(row_number() OVER (ORDER BY c_custkey) - 1 AS BIGINT) AS _pos,
+         | (c_custkey % 97 = 0) AS _deleted
+         |FROM ($ptsSql)""".stripMargin,
 
     "geo_dynamic_overwrite" ->
       s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences, BoundReference, Coalesce, Expression, GetStructField, Literal, Predicate, SafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
 import org.apache.spark.sql.catalyst.{expressions => ce}
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -46,7 +46,14 @@ import graft.spatial.{GeometryEncoding, GeometryFields, GeoTable, GraftFileIndex
   */
 class GraftTable(val path: String, val snapshotVersion: Option[Int],
     val branch: Option[String] = None, val tag: Option[String] = None) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns {
+
+  /** `_file` / `_pos` / `_deleted` for DQL (the reference's
+    * `MetadataColumns.java` FILE_PATH / ROW_POSITION / IS_DELETED).
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    GraftMetadataColumns.forSchema(schema)
 
   private def spark = SparkSession.active
 
@@ -352,7 +359,16 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     // keep the table's field order for a stable physical row layout
     val names = requiredSchema.fieldNames.toSet
     required = StructType(logicalSchema.fields.filter(f => names(f.name)))
+    // requested metadata columns (_file/_pos/_deleted) arrive in the same
+    // required schema (Spark's AddMetadataColumns resolved them against
+    // the table's metadataColumns) — split them out; the scan serves them
+    // as a fixed-order tail after the data columns. A data column of the
+    // same name shadows the metadata column (it stays in `required`).
+    val dataNames = logicalSchema.fieldNames.toSet
+    metaCols = GraftMetadataColumns.ordered.filter(c => names(c) && !dataNames(c))
   }
+
+  private var metaCols: Seq[String] = Nil
 
   // ---- aggregate pushdown: answer COUNT(*) / MIN / MAX from the manifest
   // (the reference's SparkScanBuilder.pushAggregation,
@@ -522,7 +538,8 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         import scala.jdk.CollectionConverters._
         options.asCaseSensitiveMap().asScala.toMap
       },
-      incrementalFiles = incrementalFiles)
+      incrementalFiles = incrementalFiles,
+      metaCols = metaCols)
   }
 }
 
@@ -561,7 +578,13 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       * `version` is the end bound, so the end snapshot's delete state
       * applies to the entered rows through the normal per-file scoping.
       */
-    incrementalFiles: Option[Seq[graft.spatial.FileStats]] = None) extends Scan with Batch
+    incrementalFiles: Option[Seq[graft.spatial.FileStats]] = None,
+    /** Requested metadata columns (`_file`/`_pos`/`_deleted`), served as a
+      * fixed-order tail after the data columns. `_deleted` switches the
+      * MoR delete application from filter to mark-and-keep (the
+      * reference's `DeleteFilter` with IS_DELETED in the expected schema).
+      */
+    metaCols: Seq[String] = Nil) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeV2Filtering
     with SupportsReportPartitioning {
 
@@ -593,7 +616,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val fresh = extra.filterNot(known)
     if (fresh.isEmpty) this
     else new GraftScan(spark, path, version, required, pushed, pruneFilters ++ fresh,
-      exactFilters, limit, streamOptions, incrementalFiles)
+      exactFilters, limit, streamOptions, incrementalFiles, metaCols)
   }
 
   private val partCols = GeoTable.readPartitionCols(path)
@@ -658,7 +681,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 
   override def readSchema(): StructType =
     StructType(readLogicalData.filterNot(f => extraCols.contains(f.name)) ++
-      readLogicalPart.filterNot(f => extraCols.contains(f.name)))
+      readLogicalPart.filterNot(f => extraCols.contains(f.name)) ++
+      metaCols.map(GraftMetadataColumns.field))
 
   override def toBatch: Batch = this
 
@@ -805,8 +829,20 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   // any file missing a derived dir voids the report (same guard as the V1
   // path's BucketSpec, `spatial/GeoTable.scala`).
 
-  private lazy val spjSpecs: Seq[graft.spatial.Transforms.Transform] =
+  private[sources] lazy val spjSpecs: Seq[graft.spatial.Transforms.Transform] =
     GeoTable.readPartitionSpecs(path)
+
+  /** Names of HIDDEN derived partition columns (bucket/truncate/date
+    * transforms): filters on them prune via directory segments only — the
+    * column doesn't exist in data files, so they must never reach row- or
+    * stats-level evaluation.
+    */
+  private lazy val derivedDirNames: Set[String] =
+    spjSpecs.filterNot(_.isInstanceOf[graft.spatial.Transforms.Identity])
+      .map(_.derivedName).toSet
+
+  private def isDirFilter(f: sources.Filter): Boolean =
+    f.references.nonEmpty && f.references.forall(derivedDirNames)
 
   /** Data types of the per-file partition key row, in spec order; None =
     * unpartitioned or a transform whose key type can't be established
@@ -903,7 +939,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       case sources.Or(l, r) => for (a <- conv(l); b <- conv(r)) yield ce.Or(a, b)
       case _ => None
     }
-    (pushed ++ pruneFilters ++ runtimeFilters).flatMap(conv).toSeq
+    (pushed ++ pruneFilters ++ runtimeFilters).filterNot(isDirFilter).flatMap(conv).toSeq
   }
 
   /** Planning-only partition schema: every IDENTITY partition column with
@@ -937,10 +973,20 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val manifest0 = incrementalFiles.getOrElse(Snapshots.readManifest(path, version))
     // claimed filters are not re-evaluated above the scan: enforce them
     // exactly here (drops null-dir files inclusive pruning would keep)
-    val manifest =
+    val manifest1 =
       if (exactFilters.isEmpty) manifest0
       else manifest0.filter(f =>
         exactFilters.forall(GraftScan.exactlyMatches(f.dirVals, _)))
+    // derived-dir filters (explicit transform-function predicates like
+    // `system.bucket(4, id) = 1`, recovered by the late pushdown rule):
+    // evaluated INCLUSIVELY against directory segments — a file missing
+    // the segment (pre-evolution layout) is kept; Spark re-evaluates the
+    // original function predicate above the scan, so pruning here only
+    // has to be a superset
+    val dirFs = (pruneFilters ++ runtimeFilters).filter(isDirFilter)
+    val manifest =
+      if (dirFs.isEmpty) manifest1
+      else manifest1.filter(f => dirFs.forall(GraftScan.dirMightMatch(f.dirVals, _)))
     val index = new GraftFileIndex(spark, new Path(path), manifest,
       readPhysicalData, planningPartSchema, GeoTable.readPruningSpecs(path))
     val keep = index.listFiles(Nil, catalystFilters)
@@ -1061,10 +1107,24 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val conf = spark.sessionState.newHadoopConf()
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readPhysicalData.json)
-    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readPhysicalData.json)
+    // row positions come from the parquet reader's OWN row-index generator
+    // (ParquetRowIndexUtil) whenever anything consumes them — positional
+    // delete application or a requested `_pos` column. A read-side counter
+    // would drift the moment a pushed filter prunes a row group, silently
+    // deleting the wrong rows; the generator is exact under pruning.
+    val needRowIdx = forceRowDeletes || posRefs.nonEmpty ||
+      metaCols.contains(GraftMetadataColumns.RowPos)
+    val parquetData: StructType =
+      if (!needRowIdx) readPhysicalData
+      else StructType(readPhysicalData.fields :+ org.apache.spark.sql.types.StructField(
+        org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    val rowIdxOrdinal = if (needRowIdx) readPhysicalData.length else -1
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, parquetData.json)
+    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, parquetData.json)
     conf.set("spark.sql.session.timeZone", sqlConf.sessionLocalTimeZone)
-    ParquetWriteSupport.setSchema(readPhysicalData, conf)
+    ParquetWriteSupport.setSchema(parquetData, conf)
     val sc = org.apache.spark.sql.internal.SQLConf
     Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
       sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
@@ -1080,8 +1140,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     val dataCols = readPhysicalData.fieldNames.toSet
     val physFilters = (pushed ++ pruneFilters ++ runtimeFilters).flatMap(translatePhysical)
       .filter(_.references.forall(r => dataCols.contains(r.split('.').head)))
-    val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, readPhysicalData,
-      readPhysicalData, readPartSchema, physFilters, None,
+    val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, parquetData,
+      parquetData, readPartSchema, physFilters, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
     // indices of the OUTPUT fields within the combined (data ++ partition)
     // row — extras read only for delete evaluation are trimmed away
@@ -1094,7 +1154,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       else None
     GraftBatchReaderFactory(parquet, posFactory, morPredicate(),
       forceRowDeletes || posRefs.nonEmpty || eqSpecs.nonEmpty,
-      combinedPhysical, projectionExprs, keepIdx)
+      combinedPhysical, projectionExprs, keepIdx, rowIdxOrdinal, metaCols)
   }
 
   private def combinedPhysical: StructType =
@@ -1224,6 +1284,29 @@ object GraftScan {
     case _ => false
   }
 
+  /** Can ANY row of the file with dir segments `kv` satisfy a filter on a
+    * hidden DERIVED partition column (bucket/truncate/date dirs)? The
+    * derived value is constant per directory, so Eq/In are decidable when
+    * the segment is present; a missing segment (pre-evolution file) keeps
+    * the file — inclusive posture, the residual predicate re-filters rows.
+    * A null-sentinel dir means the transform evaluated to NULL for every
+    * row: no equality against a literal can hold there.
+    */
+  private[sources] def dirMightMatch(kv: Map[String, String], f: sources.Filter): Boolean =
+    f match {
+      case sources.EqualTo(a, v) => kv.get(a) match {
+        case None => true
+        case Some(graft.spatial.PartitionPaths.NullSentinel) => false
+        case Some(raw) => dirLiteralMatches(raw, v)
+      }
+      case sources.In(a, vs) => kv.get(a) match {
+        case None => true
+        case Some(graft.spatial.PartitionPaths.NullSentinel) => false
+        case Some(raw) => vs.exists(dirLiteralMatches(raw, _))
+      }
+      case _ => true
+    }
+
   /** Does EVERY row of the file with dir segments `kv` satisfy the
     * claimed filter? (Exact for the claimable shapes: null dir values
     * never match Eq/In, and IsNotNull holds iff the dir value is present
@@ -1305,8 +1388,55 @@ object GraftScanFilterPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ LFilter(cond, rel @ DataSourceV2ScanRelation(_, scan: GraftScan, _, _, _)) =>
-      val merged = scan.withMorePruning(split(cond).flatMap(toV1))
+      val merged = scan.withMorePruning(split(cond).flatMap(c =>
+        toV1(c).orElse(functionToV1(c, scan.spjSpecs))))
       if (merged eq scan) f else LFilter(cond, rel.copy(scan = merged))
+  }
+
+  /** Explicit transform-function predicates — `system.bucket(4, id) = 1`,
+    * `system.days(d) IN (...)` — prune to the matching derived partition
+    * dirs (the reference's `ReplaceStaticInvoke` optimizer rule +
+    * `SparkV2Filters.java:458-475`; test `TestSystemFunctionPushDownDQL`).
+    * The call must match a DECLARED transform of the table exactly (same
+    * function, same parameter, same source column) — only then is the
+    * per-directory derived value the function's value for every row in it.
+    * Our V2 functions bind without a magic method, so the resolved shape
+    * is `ApplyFunctionExpression`, not the reference's `StaticInvoke`.
+    */
+  private def functionToV1(e: Expression,
+      specs: Seq[graft.spatial.Transforms.Transform]): Option[sources.Filter] = {
+    def ext(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }
+    def derived(fe: Expression): Option[String] = fe match {
+      case af: ce.ApplyFunctionExpression
+          // ours only: another catalog's bucket() may hash differently
+          if af.function.canonicalName().startsWith("graft.") =>
+        import graft.spatial.Transforms._
+        (af.function.name(), af.children) match {
+          case ("bucket", Seq(ce.Literal(n: Int, _), a: ce.AttributeReference)) =>
+            specs.collectFirst {
+              case b @ Bucket(n2, src, _) if n2 == n && src == a.name => b.derivedName }
+          case ("truncate", Seq(ce.Literal(w: Int, _), a: ce.AttributeReference)) =>
+            specs.collectFirst {
+              case t @ Truncate(w2, src, _) if w2 == w && src == a.name => t.derivedName }
+          case (fn @ ("years" | "months" | "days"), Seq(a: ce.AttributeReference)) =>
+            specs.collectFirst {
+              case d @ DatePart(p, src) if p == fn.stripSuffix("s") && src == a.name =>
+                d.derivedName }
+          case _ => None
+        }
+      case _ => None
+    }
+    e match {
+      case ce.EqualTo(fe, ce.Literal(v, _)) => derived(fe).map(sources.EqualTo(_, ext(v)))
+      case ce.EqualTo(ce.Literal(v, _), fe) => derived(fe).map(sources.EqualTo(_, ext(v)))
+      case ce.In(fe, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        derived(fe).map(sources.In(_,
+          vs.map { case ce.Literal(v, _) => ext(v) }.toArray))
+      case _ => None
+    }
   }
 
   private def split(e: Expression): Seq[Expression] = e match {
@@ -1369,11 +1499,18 @@ case class GraftBatchReaderFactory(
     anyDeletes: Boolean,
     physicalCombined: StructType,
     projection: Option[Seq[Expression]],
-    keepIdx: Array[Int]) extends PartitionReaderFactory {
+    keepIdx: Array[Int],
+    /** Ordinal of the parquet row-index column within the inner reader's
+      * rows (data fields... rowIdx, partition fields...); -1 = not read.
+      */
+    rowIdxOrdinal: Int = -1,
+    /** Metadata columns to append (`_file`/`_pos`/`_deleted`). */
+    metaCols: Seq[String] = Nil) extends PartitionReaderFactory {
 
   private def uniformRowMode: Boolean =
     projection.isDefined || morPredicate.isDefined || anyDeletes ||
-      physicalCombined.size != keepIdx.length
+      physicalCombined.size != keepIdx.length ||
+      rowIdxOrdinal >= 0 || metaCols.nonEmpty
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     !uniformRowMode &&
@@ -1402,6 +1539,13 @@ case class GraftBatchReaderFactory(
         }
         BoundReference(i, dt, nullable = true): Expression
       }))
+    // metadata tail: `_deleted` switches delete application from filter
+    // to mark-and-keep (the reference's DeleteFilter with IS_DELETED in
+    // the expected schema — deleted rows surface, flagged true)
+    val fileIdx = metaCols.indexOf(GraftMetadataColumns.FilePath)
+    val posIdx = metaCols.indexOf(GraftMetadataColumns.RowPos)
+    val delIdx = metaCols.indexOf(GraftMetadataColumns.IsDeleted)
+    val markDeleted = delIdx >= 0
     val perFile = p.fp.files.indices.iterator.map { fi =>
       val pf = p.fp.files(fi)
       val slice = p.slices(fi)
@@ -1420,17 +1564,43 @@ case class GraftBatchReaderFactory(
       new PartitionReader[InternalRow] {
         private var pos = -1L
         private var current: InternalRow = _
+        // hides the row-index column from the decode projection / MoR
+        // predicate / trim, which were all bound against data ++ partition
+        private val skipRow =
+          if (rowIdxOrdinal >= 0) new SkipOrdinalRow(rowIdxOrdinal) else null
+        private val metaRow =
+          if (metaCols.isEmpty) null
+          else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(metaCols.length)
+        private val joined =
+          if (metaCols.isEmpty) null
+          else new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        if (fileIdx >= 0)
+          metaRow.update(fileIdx, org.apache.spark.unsafe.types.UTF8String.fromString(abs))
         override def next(): Boolean = {
           while (inner.next()) {
-            pos += 1
-            if (posDel.isEmpty || java.util.Arrays.binarySearch(posDel, pos) < 0) {
-              val logical = proj.map(_(inner.get())).getOrElse(inner.get())
-              val deleted =
+            val raw = inner.get()
+            // file-absolute row position: the reader's row-index generator
+            // when read (exact under row-group pruning), else a counter
+            // (valid only when no parquet-side pruning can drop rows)
+            pos = if (rowIdxOrdinal >= 0) raw.getLong(rowIdxOrdinal) else pos + 1
+            val physical: InternalRow =
+              if (skipRow != null) { skipRow.row = raw; skipRow } else raw
+            val posDeleted = posDel.nonEmpty &&
+              java.util.Arrays.binarySearch(posDel, pos) >= 0
+            if (!posDeleted || markDeleted) {
+              val logical = proj.map(_(physical)).getOrElse(physical)
+              val deleted = posDeleted ||
                 eqs.exists { case (e, keys) => keys.contains(e.ordinals.indices.map(i =>
                   logical.get(e.ordinals(i), e.types(i)): Any).toList) } ||
                   pred.exists(_.eval(logical))
-              if (!deleted) {
-                current = trim.map(_(logical)).getOrElse(logical)
+              if (!deleted || markDeleted) {
+                val out = trim.map(_(logical)).getOrElse(logical)
+                if (metaRow == null) current = out
+                else {
+                  if (posIdx >= 0) metaRow.setLong(posIdx, pos)
+                  if (delIdx >= 0) metaRow.setBoolean(delIdx, deleted)
+                  current = joined(out, metaRow)
+                }
                 return true
               }
             }

@@ -615,4 +615,53 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no such columns"))
   }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
+    }.head.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.GraftInputPartition].fp.files.length).sum
+
+  test("explicit system.bucket() predicates prune to the matching bucket dirs") {
+    assert(warehouse.nonEmpty)
+    // ref ReplaceStaticInvoke.scala + SparkV2Filters.java:458-475
+    // (TestSystemFunctionPushDownDQL): WHERE catalog.system.bucket(4, id) = k
+    // must plan only bucket k's files
+    spark.sql("CREATE TABLE pq.fn.bt (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.fn.bt SELECT id, CAST(id AS DOUBLE) FROM range(400)")
+    val all = plannedFiles(spark.sql("SELECT * FROM pq.fn.bt"))
+    assert(all >= 4, s"expected >=4 files across buckets, got $all")
+    val q = spark.sql("SELECT id FROM pq.fn.bt WHERE pq.system.bucket(4, id) = 1")
+    val pruned = plannedFiles(q)
+    assert(pruned < all, s"bucket(4,id)=1 must prune: planned $pruned of $all")
+    // parity with the row-level evaluation of the same predicate
+    val expect = spark.sql("SELECT id FROM pq.fn.bt").collect()
+      .map(_.getLong(0)).filter(id => Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+          id, org.apache.spark.sql.types.LongType, 42L).toInt, 4) == 1).toSet
+    assert(q.collect().map(_.getLong(0)).toSet == expect)
+    // IN over buckets prunes too, and mismatched params don't (wrong n)
+    val in2 = plannedFiles(
+      spark.sql("SELECT id FROM pq.fn.bt WHERE pq.system.bucket(4, id) IN (0, 2)"))
+    assert(in2 < all, s"IN must prune: $in2 of $all")
+    val wrongN = spark.sql("SELECT id FROM pq.fn.bt WHERE pq.system.bucket(8, id) = 1")
+    assert(plannedFiles(wrongN) == all, "bucket(8,...) over a bucket(4) table must NOT prune")
+    assert(wrongN.collect().nonEmpty) // …but still evaluates correctly
+  }
+
+  test("explicit system.days() predicates prune date-transform dirs") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.fn.dt (d DATE, v BIGINT) USING graft " +
+      "PARTITIONED BY (days(d))")
+    spark.sql("INSERT INTO pq.fn.dt SELECT DATE_ADD(DATE'2024-01-01', CAST(id % 5 AS INT)), id " +
+      "FROM range(100)")
+    val all = plannedFiles(spark.sql("SELECT * FROM pq.fn.dt"))
+    assert(all >= 5, s"expected >=5 day dirs, got $all")
+    val day = java.time.LocalDate.of(2024, 1, 3).toEpochDay.toInt
+    val q = spark.sql(s"SELECT v FROM pq.fn.dt WHERE pq.system.days(d) = $day")
+    assert(plannedFiles(q) < all, "days(d) = k must prune to one day dir")
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      (0L until 100L).filter(_ % 5 == 2).toSet)
+  }
 }
