@@ -35,4 +35,28 @@ object Tables {
   /** Register every table as a temp view (for spark.sql entry points). */
   def views(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Table row count from parquet footers only — O(#files) driver work,
+    * zero executors, no data pages read. The plan-choice input for
+    * adaptive operators (e.g. [[graft.operators.Relational]]'s
+    * percentiles): the number is exact, available before any job runs,
+    * and at 100 TB costs one metadata round-trip per file.
+    */
+  def metaRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    }
+    files(root).map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
 }

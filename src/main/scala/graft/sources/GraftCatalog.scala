@@ -29,19 +29,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   private var catalogName: String = "graft"
   private var warehouse: String = _
+  private var backend: CatalogBackend = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+    // identifier-resolution backend (the reference's catalog-impl seam):
+    // layout-convention filesystem (default) or the properties-file
+    // registry "metastore" — see [[CatalogBackend]]
+    backend = Option(options.get("backend")).getOrElse("filesystem") match {
+      case "filesystem" => new FilesystemBackend(warehouse)
+      case "registry" => new RegistryBackend(warehouse)
+      case other => throw new IllegalArgumentException(
+        s"catalog $name: unknown backend '$other' (filesystem | registry)")
+    }
     graft.spatial.Geo.install(SparkSession.active)
   }
 
   override def name(): String = catalogName
 
   private def tablePath(ident: Identifier): java.nio.file.Path =
-    java.nio.file.Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*)
+    backend.tableLocation(ident)
 
   private def isTable(p: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(p.resolve(GeoTable.ManifestName))
@@ -57,7 +67,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       // cat.db.t.branch_x`; ref SparkTable.java:123-136) and metadata
       // tables (`cat.db.t.files`, ref SparkCatalog.java's
       // MetadataTableType lookup) — namespace [db, t], name = suffix.
-      val parent = java.nio.file.Paths.get(warehouse, ident.namespace(): _*)
+      val parent =
+        if (ident.namespace().isEmpty) java.nio.file.Paths.get(warehouse)
+        else backend.tableLocation(Identifier.of(
+          ident.namespace().dropRight(1), ident.namespace().last))
       if (ident.namespace().isEmpty || !isTable(parent))
         throw new NoSuchTableException(ident)
       val n = ident.name()
@@ -105,16 +118,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val ns = java.nio.file.Paths.get(warehouse, namespace: _*)
-    if (!java.nio.file.Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
-    val listed = Snapshots.listDir(ns)(_.toSeq)
-    val out = Array.newBuilder[Identifier]
-    for (p <- listed) {
-      // dot-dirs are in-flight staged CTAS/REPLACE work, not tables
-      if (isTable(p) && !p.getFileName.toString.startsWith("."))
-        out += Identifier.of(namespace, p.getFileName.toString)
-    }
-    out.result()
+    if (!backend.namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    // dot-dirs are in-flight staged CTAS/REPLACE work, not tables
+    backend.listTables(namespace, isTable).toArray
   }
 
   /** DSv2 partition `Transform` → graft transform spec (the manifest's
@@ -157,7 +163,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val p = tablePath(ident)
+    // a registry backend decouples identity from layout: CREATE TABLE …
+    // LOCATION '/x' registers the table wherever the user pointed it (the
+    // metastore behavior); the filesystem backend's layout IS its
+    // identity, so there LOCATION is not honored
+    val p = Option(properties.get("location"))
+      .filter(_ => backend.isInstanceOf[RegistryBackend])
+      // Spark qualifies LOCATION into a URI (file:/…) — back to a path
+      .map(loc => java.nio.file.Paths.get(
+        if (loc.contains(":")) new java.net.URI(loc).getPath else loc))
+      .getOrElse(tablePath(ident))
     val specs = partitions.map(t => Transforms.parse(toSpec(t, schema))).toSeq
     val props = {
       import scala.jdk.CollectionConverters._
@@ -172,6 +187,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     Snapshots.commitCreate(p.toString,
       _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
         schema = Some(schema)))
+    backend.recordTable(ident, p)
     new GraftTable(p.toString, None)
   }
 
@@ -263,7 +279,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
         schema = Some(schema)))
     new StagedGraftTable(ident, finalPath.toString, tmp.toString, schema,
-      specs.map(_.spec), props, replace, orCreate)
+      specs.map(_.spec), props, replace, orCreate,
+      onCommit = () => backend.recordTable(ident, finalPath))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -272,6 +289,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     else {
       Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      backend.forgetTable(ident)
       true
     }
   }
@@ -279,8 +297,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
-    java.nio.file.Files.createDirectories(tablePath(newIdent).getParent)
-    java.nio.file.Files.move(tablePath(oldIdent), tablePath(newIdent))
+    backend.renameTable(oldIdent, newIdent)
+    ()
   }
 
   // ---- catalog-level views (the reference's ResolveViews path in
@@ -389,23 +407,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   // ---- namespaces = directories under the warehouse -----------------------
 
-  override def listNamespaces(): Array[Array[String]] = {
-    val root = java.nio.file.Paths.get(warehouse)
-    if (!java.nio.file.Files.isDirectory(root)) return Array.empty
-    val listed = Snapshots.listDir(root)(_.toSeq)
-    val out = Array.newBuilder[Array[String]]
-    for (p <- listed) {
-      if (java.nio.file.Files.isDirectory(p) && !isTable(p))
-        out += Array(p.getFileName.toString)
-    }
-    out.result()
-  }
+  override def listNamespaces(): Array[Array[String]] =
+    backend.listNamespaces(isTable).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces() else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warehouse, namespace: _*))
+    backend.namespaceExists(namespace)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -413,28 +422,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(warehouse, namespace: _*))
-    ()
-  }
+      metadata: util.Map[String, String]): Unit =
+    backend.createNamespace(namespace)
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("namespace properties are not supported")
 
   // (StagedGraftTable lives below, outside the catalog class)
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val p = java.nio.file.Paths.get(warehouse, namespace: _*)
-    if (!java.nio.file.Files.isDirectory(p)) false
-    else {
-      val entries = Snapshots.listDir(p)(_.toSeq)
-      if (entries.nonEmpty && !cascade)
-        throw new IllegalStateException(s"namespace not empty: ${namespace.mkString(".")}")
-      Snapshots.walkDir(p)(_.toSeq).reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-      true
-    }
-  }
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    backend.dropNamespace(namespace, cascade, ident => { dropTable(ident); () })
 }
 
 /** An in-flight atomic CTAS / REPLACE: a real graft table in a hidden
@@ -446,7 +443,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   */
 class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
     declaredSchema: StructType, parts: Seq[String], props: Map[String, String],
-    replace: Boolean, orCreate: Boolean) extends StagedTable with SupportsWrite {
+    replace: Boolean, orCreate: Boolean,
+    onCommit: () => Unit = () => ()) extends StagedTable with SupportsWrite {
 
   override def name(): String = ident.toString
   override def schema(): StructType = declaredSchema
@@ -491,6 +489,7 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
       Snapshots.commitCreate(finalPath,
         v => GeoTable.manifestJson(entries.map(_.withAddedV(v)), Nil, parts,
           props = finalProps, schema = Some(schema)))
+    onCommit() // registry backends record the (ident -> location) mapping
     abortStagedChanges() // staged dir is spent either way
   }
 

@@ -300,11 +300,30 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
     startVersion.map(sv => Snapshots.enteredBetween(path, sv,
       endVersion.getOrElse(Snapshots.mainVersion(path))))
 
-  /** The file set this scan plans over: the snapshot manifest, or the
-    * incremental entered set.
+  /** INTERNAL (`__files` read option): plan over exactly these manifest
+    * entries (comma-separated relative paths) instead of the whole
+    * snapshot. The row-level-operation seat: a CoW MERGE reads only its
+    * affected files through the DSv2 scan, keeping the scan's reported
+    * partitioning so a co-bucketed merge source joins storage-partitioned
+    * (the reference's SparkScanBuilder stage-scan surface used by
+    * TestStoragePartitionedJoinsInRowLevelOperations). Delete state,
+    * decodings, and schema evolution apply exactly as in a full read.
+    */
+  private lazy val explicitFiles: Option[Seq[graft.spatial.FileStats]] =
+    opt("__files").map { s =>
+      val names = s.split(',').filter(_.nonEmpty).toSet
+      val found = Snapshots.readManifest(path, effVersion).filter(f => names(f.path))
+      require(found.size == names.size,
+        s"__files names ${names.size - found.size} file(s) not in the snapshot manifest")
+      found
+    }
+
+  /** The file set this scan plans over: the snapshot manifest, the
+    * incremental entered set, or the explicit subset.
     */
   private def manifestForPlanning: Seq[graft.spatial.FileStats] =
-    incrementalFiles.getOrElse(Snapshots.readManifest(path, effVersion))
+    explicitFiles.orElse(incrementalFiles)
+      .getOrElse(Snapshots.readManifest(path, effVersion))
 
   private var pushed: Array[sources.Filter] = Array.empty
   private var claimed: Set[sources.Filter] = Set.empty
@@ -538,7 +557,7 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         import scala.jdk.CollectionConverters._
         options.asCaseSensitiveMap().asScala.toMap
       },
-      incrementalFiles = incrementalFiles,
+      incrementalFiles = explicitFiles.orElse(incrementalFiles),
       metaCols = metaCols)
   }
 }

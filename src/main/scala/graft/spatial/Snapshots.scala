@@ -1806,11 +1806,15 @@ object Snapshots {
     */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame, onSql: String,
       clauses: Seq[MergeClause], targetAlias: String = "t",
-      sourceAlias: String = "s", ref0: String = "main"): Int = {
+      sourceAlias: String = "s", ref0: String = "main",
+      catalogIdent: Option[String] = None): Int = {
     val ref = wapRef(path, ref0) // a WAP session stages row-level ops too
     if (morMode(path, "write.merge.mode"))
       mergeIntoMoR(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
-    else mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
+    else mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref,
+      // SPJ needs the CATALOG read face — only a catalog relation can
+      // resolve the bucket transform through the V2 function registry
+      catalogIdent.filter(_ => ref == "main"))
   }
 
   /** SQL MERGE cardinality rule: a target row matching MORE THAN ONE
@@ -1895,7 +1899,8 @@ object Snapshots {
 
   private def mergeIntoRef(spark: SparkSession, path: String, source: DataFrame, onSql: String,
       clauses: Seq[MergeClause], targetAlias: String,
-      sourceAlias: String, ref: String): Int = withCommitRetry() {
+      sourceAlias: String, ref: String,
+      catalogIdent: Option[String] = None): Int = withCommitRetry() {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     val rs = refsState(path)
     val head = refHead(rs, path, ref)
@@ -1952,9 +1957,32 @@ object Snapshots {
     val hasInsert = clauses.exists(!_.matched)
     if (affected.isEmpty && !hasInsert) head
     else {
+      // storage-partitioned MERGE (the reference's
+      // TestStoragePartitionedJoinsInRowLevelOperations): when every
+      // bucket transform's source column is an ON equality key and V2
+      // bucketing is on, read the affected files through the DSv2 scan —
+      // it reports KeyGroupedPartitioning over exactly those files (the
+      // `__files` option), so a co-bucketed source joins with ZERO
+      // exchanges on the join. Semantics are identical to the V1 rewrite
+      // read (same delete state, decodings, evolved schema); if the
+      // source isn't compatibly partitioned Spark just inserts the same
+      // exchanges the V1 read would have needed.
+      val spjCapable = affected.nonEmpty && catalogIdent.isDefined &&
+        spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled").contains("true") && {
+          val buckets = GeoTable.readPartitionSpecs(path)
+            .collect { case b: Transforms.Bucket => b }
+          buckets.nonEmpty && buckets.forall(b => eqPairs.exists(_._1 == b.source))
+        }
       val tgt = (if (affected.isEmpty) {
-        import scala.jdk.CollectionConverters._
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
+      } else if (spjCapable) {
+        // end-version pins the scan to this commit's head; the catalog
+        // face (not the path) resolves bucket() through the V2 function
+        // registry — without that the reported KeyGroupedPartitioning
+        // can't translate to TransformExpressions and SPJ never plans
+        spark.read.option("end-version", head)
+          .option("__files", affected.map(_.path).mkString(","))
+          .table(catalogIdent.get)
       } else readFilesForRewrite(spark, path, affected, head))
         .withColumn("__t", lit(1))
         .withColumn("__tid", monotonically_increasing_id()).alias(targetAlias)

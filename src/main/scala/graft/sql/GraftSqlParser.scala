@@ -120,16 +120,33 @@ object GraftStatements {
           i == classOf[graft.sources.GraftCatalog].getName ||
             i == classOf[graft.sources.GraftSessionCatalog].getName)
         if (graftImpl && wh.isDefined) {
-          val full = java.nio.file.Paths.get(wh.get, parts.tail: _*)
-          def isTable(p: java.nio.file.Path) =
-            java.nio.file.Files.exists(p.resolve(graft.spatial.GeoTable.ManifestName))
-          // branch-scoped DML target (`cat.db.t.branch_x`): resolve the
-          // parent table and carry the branch as the write ref
-          val last = parts.last
-          if (!isTable(full) && last.startsWith("branch_") && parts.length > 2 &&
-              isTable(full.getParent))
-            Some((full.getParent.toString, last.stripPrefix("branch_")))
-          else Some((full.toString, "main"))
+          // registry-backed catalogs resolve through the recorded
+          // (ident -> location) mapping — the table may live anywhere,
+          // not at the conventional layout path
+          val registry =
+            if (spark.conf.getOption(s"spark.sql.catalog.${parts.head}.backend")
+                .contains("registry")) {
+              val last = parts.last
+              graft.sources.RegistryBackend.lookup(wh.get, parts.tail.mkString("."))
+                .map(_ -> "main")
+                .orElse(if (last.startsWith("branch_") && parts.length > 2)
+                  graft.sources.RegistryBackend
+                    .lookup(wh.get, parts.tail.dropRight(1).mkString("."))
+                    .map(_ -> last.stripPrefix("branch_"))
+                else None)
+            } else None
+          registry.orElse {
+            val full = java.nio.file.Paths.get(wh.get, parts.tail: _*)
+            def isTable(p: java.nio.file.Path) =
+              java.nio.file.Files.exists(p.resolve(graft.spatial.GeoTable.ManifestName))
+            // branch-scoped DML target (`cat.db.t.branch_x`): resolve the
+            // parent table and carry the branch as the write ref
+            val last = parts.last
+            if (!isTable(full) && last.startsWith("branch_") && parts.length > 2 &&
+                isTable(full.getParent))
+              Some((full.getParent.toString, last.stripPrefix("branch_")))
+            else Some((full.toString, "main"))
+          }
         } else None
       }
     }
@@ -161,7 +178,8 @@ object GraftStatements {
           DmlCommand(p, "update", cond, parseSets(sets), "", ref) }
       case MergeFullIdentRe(ident, tAlias, src, sAlias, on, whens) =>
         graftPath(ident).map { case (p, ref) => MergeIntoCommand(p, src, on, parseWhens(whens),
-          Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s"), ref) }
+          Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s"), ref,
+          catalogIdent = Some(ident).filter(_ => ref == "main")) }
       case _ => None
     }
     dml.orElse(tryParseDdl(sql))
@@ -517,14 +535,19 @@ case class RefCommand(path: String, op: String, name: String, version: Option[In
   */
 case class MergeIntoCommand(path: String, sourceSql: String, onSql: String,
     clauses: Seq[Snapshots.MergeClause], targetAlias: String, sourceAlias: String,
-    ref: String = "main")
+    ref: String = "main",
+    /** Original `cat.db.t` identifier when the target was named through a
+      * graft catalog — lets the CoW merge read its affected files through
+      * the CATALOG scan (storage-partitioned join when co-bucketed).
+      */
+    catalogIdent: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.spatial.Geo.install(spark)
     val v = Snapshots.mergeInto(spark, path, spark.sql(sourceSql), onSql, clauses,
-      targetAlias, sourceAlias, ref)
+      targetAlias, sourceAlias, ref, catalogIdent)
     Seq(Row(v.toLong))
   }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The catalog's identifier-resolution seam ([[graft.sources.CatalogBackend]])
+  * run through the SECOND backend: a registry "metastore"
+  * (`backend=registry`) where the (identifier -> location) mapping lives
+  * in a properties file instead of the directory layout — the in-sandbox
+  * stand-in for the reference's catalog-impl / Hive / REST seam
+  * (`SparkCatalog.java:101-104,148-154`). The whole DDL/DML surface must
+  * behave identically to the filesystem backend, plus the two behaviors
+  * only a metastore can offer: custom table locations and metadata-only
+  * rename.
+  */
+class RegistryBackendSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_reg_wh").toString
+    spark.conf.set("spark.sql.catalog.rcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rcat.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.rcat.backend", "registry")
+    wh
+  }
+
+  test("DDL basics through the registry: create namespace/table, list, insert, select") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE rcat.db")
+    spark.sql("CREATE TABLE rcat.db.t (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO rcat.db.t SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    assert(spark.sql("SELECT * FROM rcat.db.t").count() == 100)
+    assert(spark.sql("SHOW TABLES IN rcat.db").collect().map(_.getString(1)).contains("t"))
+    assert(spark.sql("SHOW NAMESPACES IN rcat").collect().map(_.getString(0)).contains("db"))
+    // the registry file exists and records the table
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.t").isDefined)
+  }
+
+  test("row-level DML resolves through the registry mapping") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE rcat.db.dml (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO rcat.db.dml SELECT id, CAST(id AS DOUBLE) FROM range(50)")
+    spark.sql("DELETE FROM rcat.db.dml WHERE id >= 40")
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.db.dml").collect().head.getLong(0) == 40)
+    spark.sql("UPDATE rcat.db.dml SET v = v + 1000 WHERE id < 5")
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.db.dml WHERE v >= 1000")
+      .collect().head.getLong(0) == 5)
+    spark.range(5).selectExpr("id + 45 AS id", "CAST(0 AS DOUBLE) AS v")
+      .createOrReplaceTempView("reg_merge_src")
+    spark.sql(
+      """MERGE INTO rcat.db.dml AS t USING (SELECT * FROM reg_merge_src) AS s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM rcat.db.dml").collect().head.getLong(0) == 45)
+  }
+
+  test("time travel, ALTER TABLE, and metadata tables through the registry") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE rcat.db.tt (id BIGINT) USING graft")
+    spark.sql("INSERT INTO rcat.db.tt SELECT id FROM range(10)")
+    spark.sql("INSERT INTO rcat.db.tt SELECT id + 10 FROM range(10)")
+    assert(spark.sql("SELECT * FROM rcat.db.tt VERSION AS OF 2").count() == 10)
+    assert(spark.sql("SELECT * FROM rcat.db.tt").count() == 20)
+    spark.sql("ALTER TABLE rcat.db.tt ADD COLUMN tag STRING")
+    assert(spark.table("rcat.db.tt").columns.contains("tag"))
+    assert(spark.sql("SELECT * FROM rcat.db.tt.snapshots").count() >= 2)
+  }
+
+  test("CTAS commits through the registry; rename is metadata-only; drop deregisters") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE rcat.db.ct USING graft AS SELECT id, id * 2 AS d FROM range(20)")
+    assert(spark.sql("SELECT * FROM rcat.db.ct").count() == 20)
+    val locBefore = graft.sources.RegistryBackend.lookup(warehouse, "db.ct").get
+    spark.sql("ALTER TABLE rcat.db.ct RENAME TO db.ct2")
+    // metastore rename: mapping moves, the data directory does not
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ct").isEmpty)
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ct2").contains(locBefore))
+    assert(spark.sql("SELECT * FROM rcat.db.ct2").count() == 20)
+    spark.sql("DROP TABLE rcat.db.ct2")
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ct2").isEmpty)
+    assert(!spark.catalog.tableExists("rcat.db.ct2"))
+  }
+
+  test("custom LOCATION: the table lives outside the layout, DQL and DML still resolve") {
+    assert(warehouse.nonEmpty)
+    val elsewhere = Files.createTempDirectory("graft_reg_elsewhere").toString
+    spark.sql(s"CREATE TABLE rcat.db.away (id BIGINT, v DOUBLE) USING graft " +
+      s"LOCATION '$elsewhere/awaydata'")
+    spark.sql("INSERT INTO rcat.db.away SELECT id, CAST(id AS DOUBLE) FROM range(30)")
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.away")
+      .exists(_.startsWith(elsewhere)), "location must be the custom one")
+    // data really lives there, not under the warehouse
+    assert(Files.exists(java.nio.file.Paths.get(s"$elsewhere/awaydata",
+      graft.spatial.GeoTable.ManifestName)))
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "db", "away")))
+    assert(spark.sql("SELECT * FROM rcat.db.away").count() == 30)
+    // DML through the custom parser resolves via the registry too
+    spark.sql("DELETE FROM rcat.db.away WHERE id < 10")
+    assert(spark.sql("SELECT * FROM rcat.db.away").count() == 20)
+  }
+
+  test("dropNamespace: non-empty refuses without cascade, cascade wipes and deregisters") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE rcat.tmpns")
+    spark.sql("CREATE TABLE rcat.tmpns.x (id BIGINT) USING graft")
+    val e = intercept[Exception] { spark.sql("DROP NAMESPACE rcat.tmpns") }
+    assert(e.getMessage.toLowerCase.contains("not empty") ||
+      e.getMessage.contains("NON_EMPTY"), e.getMessage)
+    spark.sql("DROP NAMESPACE rcat.tmpns CASCADE")
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "tmpns.x").isEmpty)
+    assert(!spark.sql("SHOW NAMESPACES IN rcat").collect()
+      .map(_.getString(0)).contains("tmpns"))
+  }
+}

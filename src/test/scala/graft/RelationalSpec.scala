@@ -93,4 +93,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected bucketed equi-join:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"range join fell back to NLJ:\n$p")
   }
+
+  test("q25 percentiles: big-group plan equals the window plan, with no single-task group sort") {
+    import org.apache.spark.sql.functions.col
+    val src = operators.Relational.queries("q25_percentiles") // ensure registered
+    assert(src != null)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val small = operators.Relational.percentiles(li, bigGroups = false).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    val big = operators.Relational.percentiles(li, bigGroups = true)
+    val bigRows = big.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(bigRows == small, s"plans disagree:\nbig=$bigRows\nwin=$small")
+    // no single-task per-group sort: the rank window over the DATA is
+    // partitioned by (pid, group) — pid fans the sort across the range
+    // partitions — and the checkpointed rank input has >1 partition
+    // AQE wraps stages behind leaf QueryStageExec nodes — descend them
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => Nil
+      }
+      p +: (p.children ++ nested).flatMap(flatten)
+    }
+    val nodes = flatten(big.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no WindowExec found:\n${big.queryExecution.executedPlan}")
+    val dataWindow = windows.filter(_.partitionSpec.exists(_.toString.contains("pid")))
+    assert(dataWindow.nonEmpty,
+      s"rank window must be partitioned by (pid, group), not the group alone")
+    val rddParts = nodes.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.inputRDD.getNumPartitions
+    }
+    assert(rddParts.nonEmpty && rddParts.forall(_ > 1),
+      s"rank stage must fan across >1 partitions, got $rddParts")
+    // the plan choice itself comes from metadata row counts, no scan
+    assert(Tables.metaRowCount(spark, sf, "lineitem") ==
+      Tables.load(spark, sf, "lineitem").count())
+  }
 }
