@@ -216,6 +216,37 @@ object Similarity {
 
     // embedding near-duplicate pairs (cosine >= threshold) via banded LSH;
     // same size-scaled buckets — the within-bucket self-join stays linear
+    // SemDeDup-shape semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // assign every vector to its nearest coarse centroid (map-only — the
+    // centroids fold into literal columns, zero joins), then look for
+    // near-duplicates ONLY within a cluster. The pairwise cosine work is
+    // bounded by cluster size — k scales with the corpus so clusters stay
+    // O(N/k) — never an all-pairs product. Keep-one policy: a row is
+    // dropped when a LOWER-id member of its cluster is >= the similarity
+    // threshold (deterministic, order-free). Output = the kept rows.
+    "sim_semdedup" -> ((s, dir) => {
+      val k = 8
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val scored = cents.map { case (cid, cv) =>
+        struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
+          lit(-cid).as("neg"))
+      }
+      val best = greatest(scored: _*)
+      val assigned = e.filter(col("vec_id") >= k)
+        .select(col("vec_id"), col("v"), (-best.getField("neg")).as("cell"))
+      val slim = assigned.select(col("cell"), col("vec_id"), col("v"))
+      val dropped = slim.as("x").join(slim.as("y"),
+          col("x.cell") === col("y.cell") && col("x.vec_id") > col("y.vec_id"))
+        .filter(round(cosine(col("x.v"), col("y.v")), 6) >= 0.3)
+        .select(col("x.vec_id").as("vec_id")).distinct()
+      assigned.join(dropped, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cell"))
+    }),
+
     "dedup_embed_cosine" -> ((s, dir) => {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(e0.count()))
@@ -267,6 +298,24 @@ object Similarity {
         |WHERE vec_id >= 8
         |QUALIFY row_number() OVER (PARTITION BY vec_id
         |  ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6) DESC, cid) = 1""".stripMargin,
+
+    "sim_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, norm AS cnorm FROM n WHERE vec_id < 8),
+        |a AS (
+        |  SELECT vec_id, v, norm, cid AS cell
+        |  FROM n CROSS JOIN c
+        |  WHERE vec_id >= 8
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY round(list_dot_product(v, cv) / (norm * cnorm), 6) DESC, cid) = 1),
+        |d AS (
+        |  SELECT DISTINCT x.vec_id
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id > y.vec_id
+        |  WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= 0.3)
+        |SELECT vec_id, cell FROM a
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)""".stripMargin,
 
     "sim_kmeans_update" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

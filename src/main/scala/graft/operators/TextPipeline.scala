@@ -442,9 +442,11 @@ object TextPipeline {
     // (stopword runs — the unbounded skew key of the self-join at scale)
     // are EXCLUDED from candidate generation, then counted exactly for the
     // surviving candidate pairs, so reported Jaccard values stay exact.
+    // The df cap derives from metaRowCount (parquet footers, driver-only)
+    // — d.count() here was one extra Spark job per invocation.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-      jaccardPairs(d, math.max(64L, d.count() / 8))
+      jaccardPairs(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
     }),
 
     // near-dup cluster canonicalization: connected components over the
@@ -455,7 +457,7 @@ object TextPipeline {
     // rows where doc_id == cluster is the dedup KEEP policy.
     "dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      clusterLabels(d, math.max(64L, d.count() / 8))
+      clusterLabels(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
     }),
 
     // end-to-end training-data curation: language gate + quality gate +
@@ -465,7 +467,7 @@ object TextPipeline {
     // Catalyst fuses the map-only gates into the scan.
     "pipeline_curate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val labels = clusterLabels(d, math.max(64L, d.count() / 8))
+      val labels = clusterLabels(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
       d.withColumn("st", VectorSql.text_stats(col("text"), typedlit(stopwords)))
         .withColumn("h", VectorSql.lang_hits(col("text"), typedlit(Seq(
           Seq("the", "a", "of", "and"), Seq("el", "la", "de", "y"),

@@ -41,6 +41,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 5L))
   }
 
+  test("semantic dedup: cluster-bounded, keep-one per near-dup group, plan has no all-pairs join") {
+    val kept = SparkEntry.queries("sim_semdedup")(spark, sf)
+    val rows = kept.collect()
+    val total = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter("vec_id >= 8").count()
+    assert(rows.length < total, "the corpus has planted near-dups; some must drop")
+    assert(rows.length > total / 2, "most rows are unique; most must survive")
+    // the pairwise stage must be keyed on the cluster cell — an all-pairs
+    // cross product would have no equi-join condition
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup pairwise stage must be cell-keyed, not all-pairs:\n$plan")
+  }
+
   test("ANN-LSH results are a subset of true neighbors' ranking universe") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
     assert(ann.nonEmpty)
