@@ -397,6 +397,29 @@ object TextPipeline {
         octet_length(col("text")).as("n_bytes"))
     }),
 
+    // CCNet-style LM perplexity filter (Wenzek et al. 2020 shape): score
+    // each document by the mean negative log-probability of its tokens
+    // under a unigram LM — the lower-quality tail of a crawl scores high
+    // and gets cut. Trained here on the corpus itself so the whole
+    // pipeline is deterministic and DuckDB-checkable; at 100 TB the model
+    // is trained ONCE on a reference corpus and becomes broadcast state
+    // (exactly how the vocab joins below: broadcast). Scoring is explode →
+    // broadcast-join → per-doc aggregate: one shuffle to build the vocab
+    // (map-side combine) and one to regroup docs — never a vocab-keyed
+    // shuffle of the corpus.
+    "text_lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = d.select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).as("tot"))
+      tk.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"),
+          count(lit(1)).cast("int").as("n_toks"))
+    }),
+
     // Gopher-style quality gate: the standard rule set a pretraining
     // curation pass applies (token-count window, mean-token-length window,
     // stopword floor, type-token-ratio floor, top-token concentration
@@ -594,6 +617,19 @@ object TextPipeline {
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "text_lm_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+        |v AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS tot FROM v)
+        |SELECT doc_id,
+        | round(avg(-ln(cnt * 1.0 / tot)), 6) AS logppl,
+        | CAST(count(*) AS INTEGER) AS n_toks
+        |FROM t2 JOIN v USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
