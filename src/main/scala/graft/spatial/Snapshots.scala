@@ -1809,12 +1809,12 @@ object Snapshots {
       sourceAlias: String = "s", ref0: String = "main",
       catalogIdent: Option[String] = None): Int = {
     val ref = wapRef(path, ref0) // a WAP session stages row-level ops too
+    // SPJ needs the CATALOG read face — only a catalog relation can
+    // resolve the bucket transform through the V2 function registry
+    val ident = catalogIdent.filter(_ => ref == "main")
     if (morMode(path, "write.merge.mode"))
-      mergeIntoMoR(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref)
-    else mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref,
-      // SPJ needs the CATALOG read face — only a catalog relation can
-      // resolve the bucket transform through the V2 function registry
-      catalogIdent.filter(_ => ref == "main"))
+      mergeIntoMoR(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref, ident)
+    else mergeIntoRef(spark, path, source, onSql, clauses, targetAlias, sourceAlias, ref, ident)
   }
 
   /** SQL MERGE cardinality rule: a target row matching MORE THAN ONE
@@ -1897,24 +1897,16 @@ object Snapshots {
     }.otherwise(col(s"$targetAlias.$colName")).as(colName)
   }
 
-  private def mergeIntoRef(spark: SparkSession, path: String, source: DataFrame, onSql: String,
-      clauses: Seq[MergeClause], targetAlias: String,
-      sourceAlias: String, ref: String,
-      catalogIdent: Option[String] = None): Int = withCommitRetry() {
-    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
-    val rs = refsState(path)
-    val head = refHead(rs, path, ref)
-    val current = readManifest(path, Some(head))
-    val table = read(spark, path, Some(head))
-    val tableCols = table.columns.toSeq
-
-    // file pruning from equality conjuncts `t.c = s.c` in the ON condition:
-    // the affected files are those whose stats overlap the source's bounds
-    // on every such key (the mergeUpsert strategy, generalized)
+  /** `(target column, source column)` for every `t.c = s.c` equality
+    * conjunct of the ON condition (resolved through a probe analysis, so
+    * aliases and qualification follow Spark's own rules).
+    */
+  private def onEqualityPairs(table: DataFrame, source: DataFrame, onSql: String,
+      targetAlias: String, sourceAlias: String): Seq[(String, String)] = {
     val probe = table.alias(targetAlias)
       .join(source.alias(sourceAlias), expr(onSql)).queryExecution.analyzed
     val tgtOut = probe.children.headOption.map(_.output.map(_.exprId).toSet).getOrElse(Set.empty)
-    val eqPairs: Seq[(String, String)] = probe.collectFirst {
+    probe.collectFirst {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.condition
     }.flatten.toSeq.flatMap { cond =>
       def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -1931,6 +1923,36 @@ object Snapshots {
           else None
       }.flatten
     }
+  }
+
+  /** Is the storage-partitioned-join read face worth taking for a
+    * row-level op? Yes when V2 bucketing is on and every bucket
+    * transform's source column is an ON equality key — then the catalog
+    * scan's KeyGroupedPartitioning lines up with the merge join keys.
+    */
+  private def spjMergeCapable(spark: SparkSession, path: String,
+      eqPairs: Seq[(String, String)]): Boolean =
+    spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled").contains("true") && {
+      val buckets = GeoTable.readPartitionSpecs(path)
+        .collect { case b: Transforms.Bucket => b }
+      buckets.nonEmpty && buckets.forall(b => eqPairs.exists(_._1 == b.source))
+    }
+
+  private def mergeIntoRef(spark: SparkSession, path: String, source: DataFrame, onSql: String,
+      clauses: Seq[MergeClause], targetAlias: String,
+      sourceAlias: String, ref: String,
+      catalogIdent: Option[String] = None): Int = withCommitRetry() {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    val rs = refsState(path)
+    val head = refHead(rs, path, ref)
+    val current = readManifest(path, Some(head))
+    val table = read(spark, path, Some(head))
+    val tableCols = table.columns.toSeq
+
+    // file pruning from equality conjuncts `t.c = s.c` in the ON condition:
+    // the affected files are those whose stats overlap the source's bounds
+    // on every such key (the mergeUpsert strategy, generalized)
+    val eqPairs = onEqualityPairs(table, source, onSql, targetAlias, sourceAlias)
     // a NOT MATCHED BY SOURCE clause touches target rows REGARDLESS of the
     // source's key bounds — no file can be skipped on source stats
     val hasBySource = clauses.exists(_.bySource)
@@ -1968,11 +1990,7 @@ object Snapshots {
       // source isn't compatibly partitioned Spark just inserts the same
       // exchanges the V1 read would have needed.
       val spjCapable = affected.nonEmpty && catalogIdent.isDefined &&
-        spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled").contains("true") && {
-          val buckets = GeoTable.readPartitionSpecs(path)
-            .collect { case b: Transforms.Bucket => b }
-          buckets.nonEmpty && buckets.forall(b => eqPairs.exists(_._1 == b.source))
-        }
+        spjMergeCapable(spark, path, eqPairs)
       val tgt = (if (affected.isEmpty) {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), table.schema)
       } else if (spjCapable) {
@@ -2012,13 +2030,27 @@ object Snapshots {
     */
   private def mergeIntoMoR(spark: SparkSession, path: String, source: DataFrame,
       onSql: String, clauses: Seq[MergeClause], targetAlias: String,
-      sourceAlias: String, ref: String): Int = withCommitRetry() {
+      sourceAlias: String, ref: String,
+      catalogIdent: Option[String] = None): Int = withCommitRetry() {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     val rs = refsState(path)
     val head = refHead(rs, path, ref)
     val table = read(spark, path, Some(head))
     val tableCols = table.columns.toSeq
-    val tgt = readWithPositions(spark, path, Some(head))
+    // storage-partitioned MoR MERGE: the `_file`/`_pos` metadata columns
+    // ARE the staged-scan provenance (the reference reads its row-level
+    // targets through the metadata-column scan the same way), so a
+    // co-bucketed merge can take the catalog scan face and join with zero
+    // exchanges — identical delete-state/decoding semantics either way
+    val spjCapable = catalogIdent.isDefined && spjMergeCapable(spark, path,
+      onEqualityPairs(table, source, onSql, targetAlias, sourceAlias))
+    val tgt0 =
+      if (spjCapable)
+        spark.read.option("end-version", head).table(catalogIdent.get)
+          .withColumn("__mor_file", col("_file"))
+          .withColumn("__mor_pos", col("_pos"))
+      else readWithPositions(spark, path, Some(head))
+    val tgt = tgt0
       .withColumn("__t", lit(1))
       .withColumn("__tid", monotonically_increasing_id()).alias(targetAlias)
     val src = source.withColumn("__s", lit(1))

@@ -726,6 +726,83 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("MoR MERGE between co-bucketed tables also joins storage-partitioned") {
+    assert(warehouse.nonEmpty)
+    // the _file/_pos metadata columns serve as the staged-scan provenance
+    // (ref's SparkStagedScan + row-position metadata), so the MoR merge
+    // target reads through the catalog face and SPJs like the CoW one
+    spark.sql("CREATE TABLE pq.spj.mmt (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.spj.mmt SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    spark.sql("ALTER TABLE pq.spj.mmt SET TBLPROPERTIES ('write.merge.mode'='merge-on-read')")
+    spark.sql("CREATE TABLE pq.spj.mms (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.spj.mms SELECT id * 2, CAST(id AS DOUBLE) * 10 FROM range(600)")
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[
+      org.apache.spark.sql.execution.QueryExecution]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val before = graft.spatial.Snapshots.readManifest(s"$warehouse/spj/mmt", None)
+        .map(_.path).toSet
+      spark.sql(
+        """MERGE INTO pq.spj.mmt AS t USING (SELECT * FROM pq.spj.mms) AS s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+      // MoR: original data files all survive; deltas land as new files
+      assert(before.subsetOf(
+        graft.spatial.Snapshots.readManifest(s"$warehouse/spj/mmt", None).map(_.path).toSet),
+        "MoR merge must not rewrite existing data files")
+      val got = spark.sql("SELECT id, v FROM pq.spj.mmt").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == 1100, s"got ${got.size}")
+      (0L until 1000L).foreach { id =>
+        val expect = if (id % 2 == 0) (id / 2) * 10.0 else id.toDouble
+        assert(got(id) == expect, s"id=$id")
+      }
+      (1000L until 1200L by 2).foreach(id => assert(got(id) == (id / 2) * 10.0, s"id=$id"))
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val nested = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+          case _ => Nil
+        }
+        p +: (p.children ++ nested).flatMap(flatten)
+      }
+      var tries = 0
+      def joins = {
+        import scala.jdk.CollectionConverters._
+        captured.asScala.toSeq.flatMap(qe => flatten(qe.executedPlan)).collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+            if j.joinType.toString.toLowerCase.contains("outer") => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+            if j.joinType.toString.toLowerCase.contains("outer") => j
+        }
+      }
+      while (joins.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      assert(joins.nonEmpty, "did not capture the MoR merge's full-outer join plan")
+      joins.foreach { j =>
+        val shuffles = flatten(j).collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+        }
+        assert(shuffles.isEmpty,
+          s"co-bucketed MoR MERGE join must be storage-partitioned:\n$j")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("explicit system.days() predicates prune date-transform dirs") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.fn.dt (d DATE, v BIGINT) USING graft " +
