@@ -59,7 +59,12 @@ case class EqDeleteSpec(
 case class GraftFileSlice(
     rel: String,
     posDeletes: Array[DeleteFileRef],
-    eqDeletes: Seq[EqDeleteSpec]) extends Serializable {
+    eqDeletes: Seq[EqDeleteSpec],
+    /** The file's typed partition key under the current spec (serves the
+      * `_partition` metadata column); null when the file predates the
+      * spec or the table is unpartitioned.
+      */
+    partKey: InternalRow = null) extends Serializable {
   def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
 }
 

@@ -49,11 +49,17 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsMetadataColumns {
 
-  /** `_file` / `_pos` / `_deleted` for DQL (the reference's
-    * `MetadataColumns.java` FILE_PATH / ROW_POSITION / IS_DELETED).
+  /** `_file` / `_pos` / `_deleted` / `_partition` for DQL (the
+    * reference's `MetadataColumns.java` FILE_PATH / ROW_POSITION /
+    * IS_DELETED / PARTITION).
     */
-  override def metadataColumns(): Array[MetadataColumn] =
-    GraftMetadataColumns.forSchema(schema)
+  override def metadataColumns(): Array[MetadataColumn] = {
+    val partType = GraftScan.partitionKeySchema(
+      graft.spatial.GeoTable.readPartitionSpecs(path),
+      graft.spatial.GeoTable.readSchema(path).map(_.fields.toSeq)
+        .getOrElse(schema.fields.toSeq))
+    GraftMetadataColumns.forSchema(schema, partType)
+  }
 
   private def spark = SparkSession.active
 
@@ -701,7 +707,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   override def readSchema(): StructType =
     StructType(readLogicalData.filterNot(f => extraCols.contains(f.name)) ++
       readLogicalPart.filterNot(f => extraCols.contains(f.name)) ++
-      metaCols.map(GraftMetadataColumns.field))
+      metaCols.map(GraftMetadataColumns.field(_, spjKeySchema)))
 
   override def toBatch: Batch = this
 
@@ -867,30 +873,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     * unpartitioned or a transform whose key type can't be established
     * (e.g. truncate over a dropped source column).
     */
-  private lazy val spjKeySchema: Option[StructType] = {
-    import graft.spatial.Transforms._
-    if (spjSpecs.isEmpty) None
-    else {
-      // identity/truncate key values are parsed from dir strings — only
-      // castable types can produce a correctly-typed key row (a mistyped
-      // row would CCE inside Spark's partition grouping)
-      val fields = spjSpecs.map {
-        case Identity(c) => fullSchemaFields.find(_.name == c)
-          .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
-          .map(f => org.apache.spark.sql.types.StructField(c, f.dataType))
-        case b: Bucket =>
-          Some(org.apache.spark.sql.types.StructField(b.derivedName,
-            org.apache.spark.sql.types.IntegerType))
-        case t: Truncate => fullSchemaFields.find(_.name == t.source)
-          .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
-          .map(f => org.apache.spark.sql.types.StructField(t.derivedName, f.dataType))
-        case d: DatePart =>
-          Some(org.apache.spark.sql.types.StructField(d.derivedName,
-            org.apache.spark.sql.types.IntegerType))
-      }
-      if (fields.exists(_.isEmpty)) None else Some(StructType(fields.map(_.get)))
-    }
-  }
+  private lazy val spjKeySchema: Option[StructType] =
+    GraftScan.partitionKeySchema(spjSpecs, fullSchemaFields)
 
   private def keyRowOf(rel: String): Option[InternalRow] =
     spjKeySchema.flatMap(ks => GraftScan.partitionKeyRow(rel, spjSpecs, ks))
@@ -1090,11 +1074,12 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
           posCovBySuffix.getOrElse(rel, Nil))
         val eqs = eqSpecs.filter(s => addedV < s.seq)
+        val partKey = fstat.map(keyRowOf).getOrElse(keyRowOf(rel)).orNull
         TaskPlanner.Item(
           PartitionedFile(dir.values,
             org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
-          GraftFileSlice(rel, pos.toArray, eqs),
-          fstat.map(keyRowOf).getOrElse(keyRowOf(rel)).orNull,
+          GraftFileSlice(rel, pos.toArray, eqs, partKey),
+          partKey,
           // positional deletes address file-absolute row positions — the
           // whole file must stay in one task for pos reconstruction
           splittable = pos.isEmpty)
@@ -1244,6 +1229,39 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 object GraftScan {
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral}
+
+  /** Typed per-file partition key schema for the declared transforms, in
+    * spec order; None = unpartitioned or a transform whose key type can't
+    * be established (e.g. truncate over a dropped source column). Shared
+    * by the SPJ report (`outputPartitioning`) and the `_partition`
+    * metadata column — both must agree on the type.
+    */
+  private[sources] def partitionKeySchema(
+      specs: Seq[graft.spatial.Transforms.Transform],
+      fields: Seq[org.apache.spark.sql.types.StructField]): Option[StructType] = {
+    import graft.spatial.Transforms._
+    if (specs.isEmpty) None
+    else {
+      // identity/truncate key values are parsed from dir strings — only
+      // castable types can produce a correctly-typed key row (a mistyped
+      // row would CCE inside Spark's partition grouping)
+      val out = specs.map {
+        case Identity(c) => fields.find(_.name == c)
+          .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
+          .map(f => org.apache.spark.sql.types.StructField(c, f.dataType))
+        case b: Bucket =>
+          Some(org.apache.spark.sql.types.StructField(b.derivedName,
+            org.apache.spark.sql.types.IntegerType))
+        case t: Truncate => fields.find(_.name == t.source)
+          .filter(f => graft.spatial.PartitionPaths.castable(f.dataType))
+          .map(f => org.apache.spark.sql.types.StructField(t.derivedName, f.dataType))
+        case d: DatePart =>
+          Some(org.apache.spark.sql.types.StructField(d.derivedName,
+            org.apache.spark.sql.types.IntegerType))
+      }
+      if (out.exists(_.isEmpty)) None else Some(StructType(out.map(_.get)))
+    }
+  }
 
   /** Per-file partition key row from the file's hive-layout dir segments:
     * one value per transform in spec order, cast to the key schema's
@@ -1564,6 +1582,7 @@ case class GraftBatchReaderFactory(
     val fileIdx = metaCols.indexOf(GraftMetadataColumns.FilePath)
     val posIdx = metaCols.indexOf(GraftMetadataColumns.RowPos)
     val delIdx = metaCols.indexOf(GraftMetadataColumns.IsDeleted)
+    val partIdx = metaCols.indexOf(GraftMetadataColumns.Partition)
     val markDeleted = delIdx >= 0
     val perFile = p.fp.files.indices.iterator.map { fi =>
       val pf = p.fp.files(fi)
@@ -1595,6 +1614,7 @@ case class GraftBatchReaderFactory(
           else new org.apache.spark.sql.catalyst.expressions.JoinedRow
         if (fileIdx >= 0)
           metaRow.update(fileIdx, org.apache.spark.unsafe.types.UTF8String.fromString(abs))
+        if (partIdx >= 0) metaRow.update(partIdx, slice.partKey) // per-file constant
         override def next(): Boolean = {
           while (inner.next()) {
             val raw = inner.get()

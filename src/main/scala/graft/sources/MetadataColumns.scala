@@ -21,32 +21,44 @@ object GraftMetadataColumns {
   val FilePath = "_file"
   val RowPos = "_pos"
   val IsDeleted = "_deleted"
+  val Partition = "_partition"
 
   /** Canonical order for the scan output tail. */
-  val ordered: Seq[String] = Seq(FilePath, RowPos, IsDeleted)
+  val ordered: Seq[String] = Seq(FilePath, RowPos, IsDeleted, Partition)
 
-  def field(name: String): StructField = name match {
+  /** `partType` = the table's typed partition key struct (None when
+    * unpartitioned / unresolvable — then `_partition` is not exposed).
+    */
+  def field(name: String, partType: Option[StructType]): StructField = name match {
     case FilePath => StructField(FilePath, StringType, nullable = false)
     case RowPos => StructField(RowPos, LongType, nullable = false)
     case IsDeleted => StructField(IsDeleted, BooleanType, nullable = false)
+    // nullable: a file written under an OLDER partition spec has no
+    // current-spec key (the reference's PARTITION column is nullable too)
+    case Partition => StructField(Partition,
+      partType.getOrElse(new StructType()), nullable = true)
   }
 
-  private def mc(n: String, c: String) = new MetadataColumn {
+  private def mc(n: String, c: String, partType: Option[StructType],
+      nullable: Boolean = false) = new MetadataColumn {
     override def name(): String = n
-    override def dataType(): DataType = field(n).dataType
-    override def isNullable: Boolean = false
+    override def dataType(): DataType = field(n, partType).dataType
+    override def isNullable: Boolean = nullable
     override def comment(): String = c
   }
 
   /** Data columns shadow metadata columns of the same name (Spark's
     * documented conflict posture) — suppress the shadowed ones.
     */
-  def forSchema(schema: StructType): Array[MetadataColumn] = {
+  def forSchema(schema: StructType, partType: Option[StructType]): Array[MetadataColumn] = {
     val taken = schema.fieldNames.toSet
-    Array(
-      mc(FilePath, "absolute path of the data file the row lives in"),
-      mc(RowPos, "row position within the data file"),
-      mc(IsDeleted, "whether the row is marked deleted by MoR delete state"))
+    (Array(
+      mc(FilePath, "absolute path of the data file the row lives in", None),
+      mc(RowPos, "row position within the data file", None),
+      mc(IsDeleted, "whether the row is marked deleted by MoR delete state", None)) ++
+      partType.map(pt => mc(Partition,
+        "the row's typed partition key under the current spec", Some(pt),
+        nullable = true)).toArray)
       .filterNot(m => taken(m.name))
   }
 }

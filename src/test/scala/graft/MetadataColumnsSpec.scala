@@ -147,6 +147,30 @@ class MetadataColumnsSpec extends AnyFunSuite {
     assert(deleted == Set(7L, 13L), s"flagged: $deleted")
   }
 
+  test("_partition serves the typed per-file partition key; null for pre-spec files") {
+    val wh = Files.createTempDirectory("graft_metacol_part_wh").toString
+    spark.conf.set("spark.sql.catalog.mpc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mpc.warehouse", wh)
+    spark.sql("CREATE TABLE mpc.db.pt (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO mpc.db.pt SELECT id, CAST(id AS DOUBLE) FROM range(100)")
+    val rows = spark.sql("SELECT id, _partition FROM mpc.db.pt").collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val st = r.getStruct(1)
+      val expect = Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+          r.getLong(0), org.apache.spark.sql.types.LongType, 42L).toInt, 4)
+      assert(st.getInt(st.fieldIndex("id_bucket")) == expect, s"id=${r.getLong(0)}")
+    }
+    // an unpartitioned table does not expose _partition at all
+    val d = mkTable(10)
+    val e = intercept[Exception] {
+      spark.read.format("graft").load(d).select("_partition").collect()
+    }
+    assert(e.getMessage.contains("_partition"), e.getMessage)
+  }
+
   test("a data column named like a metadata column shadows it") {
     val d = mkTable(10)
     // the graft table itself has no _file column; Spark resolves _file as
