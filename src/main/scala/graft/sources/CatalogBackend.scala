@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.connector.catalog.Identifier
 
@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.catalog.Identifier
   *    `<warehouse>/<ns…>/<table>`, namespaces are directories, listing
   *    walks the tree. Zero extra state; the mapping can never drift.
   *  - [[RegistryBackend]] (`backend=registry`): a properties-file
-  *    "metastore" (`<warehouse>/_graft_registry.properties`) records
+  *    "metastore" (`<warehouse>/_graft_registry_v<N>.properties`) records
   *    `table.<ns.name>=<absolute location>` and `namespace.<ns>=` keys.
   *    Locations are decoupled from layout (a table can live anywhere),
   *    listing reads the registry instead of the filesystem, and RENAME
@@ -24,9 +24,9 @@ import org.apache.spark.sql.connector.catalog.Identifier
   *    stand-in for those services (no network services here); a Hive or
   *    REST implementation would plug into this same trait.
   *
-  * Mutating registry ops serialize through an atomic temp-file +
-  * ATOMIC_MOVE swap keyed by the registry path, the same
-  * write-temp-then-move discipline the snapshot layer uses.
+  * Mutating registry ops serialize through the generation hard-link CAS
+  * (see [[RegistryBackend]]) — the same lost-update-safe discipline the
+  * snapshot refs pointer uses, valid in- and cross-process.
   */
 trait CatalogBackend {
   /** Where `ident`'s table lives — the registered location, or the
@@ -111,46 +111,54 @@ class FilesystemBackend(warehouse: String) extends CatalogBackend {
 }
 
 /** Properties-file registry "metastore": identifiers resolve through
-  * recorded keys, not directory layout.
+  * recorded keys, not directory layout. State lives in GENERATION files
+  * (`_graft_registry_v<N>.properties`) advanced by the same hard-link CAS
+  * the snapshot refs pointer uses — a registry update stages the full
+  * next state and publishes it as generation N+1, which FAILS if another
+  * writer (in- or cross-process) already took that generation; the loser
+  * re-reads and retries. Lost read-modify-write updates are impossible.
   */
 class RegistryBackend(warehouse: String) extends CatalogBackend {
   import RegistryBackend._
-
-  private val registry: Path = Paths.get(warehouse, RegistryFileName)
 
   private def key(ident: Identifier): String =
     "table." + (ident.namespace() :+ ident.name()).mkString(".")
   private def nsKey(ns: Array[String]): String = "namespace." + ns.mkString(".")
 
   override def tableLocation(ident: Identifier): Path =
-    read(registry).get(key(ident)).map(Paths.get(_)).getOrElse(
+    read(warehouse).get(key(ident)).map(Paths.get(_)).getOrElse(
       // default layout for a to-be-created table; becomes authoritative
       // only once recordTable writes it
       Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*))
 
   override def recordTable(ident: Identifier, location: Path): Unit =
-    update(registry)(_ + (key(ident) -> location.toAbsolutePath.toString))
+    update(warehouse)(_ + (key(ident) -> location.toAbsolutePath.toString))
 
   override def forgetTable(ident: Identifier): Unit =
-    update(registry)(_ - key(ident))
+    update(warehouse)(_ - key(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Path = {
-    // metadata-only: the data directory stays where it is
-    val loc = tableLocation(oldIdent)
-    update(registry)(m => m - key(oldIdent) + (key(newIdent) -> loc.toString))
+    // metadata-only: the data directory stays where it is. The location
+    // re-reads INSIDE the CAS update so a concurrent move can't be lost.
+    var loc: Path = null
+    update(warehouse) { m =>
+      loc = m.get(key(oldIdent)).map(Paths.get(_)).getOrElse(
+        Paths.get(warehouse, (oldIdent.namespace() :+ oldIdent.name()): _*))
+      m - key(oldIdent) + (key(newIdent) -> loc.toString)
+    }
     loc
   }
 
   override def listTables(ns: Array[String], isTable: Path => Boolean): Seq[Identifier] = {
     val prefix = "table." + ns.mkString(".") + "."
-    read(registry).keys.toSeq.sorted.collect {
+    read(warehouse).keys.toSeq.sorted.collect {
       case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains('.') =>
         Identifier.of(ns, k.stripPrefix(prefix))
     }
   }
 
   override def listNamespaces(isTable: Path => Boolean): Seq[Array[String]] = {
-    val m = read(registry)
+    val m = read(warehouse)
     val declared = m.keys.collect {
       case k if k.startsWith("namespace.") => k.stripPrefix("namespace.")
     }
@@ -168,7 +176,7 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
     // record the namespace AND materialize its default-layout dir, so
     // staged CTAS (which stages next to the final path) has a parent
     Files.createDirectories(Paths.get(warehouse, ns: _*))
-    update(registry)(_ + (nsKey(ns) -> ""))
+    update(warehouse)(_ + (nsKey(ns) -> ""))
   }
 
   override def dropNamespace(ns: Array[String], cascade: Boolean,
@@ -178,43 +186,77 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace not empty: ${ns.mkString(".")}")
     tables.foreach(dropTable)
-    update(registry)(_ - nsKey(ns))
+    update(warehouse)(_ - nsKey(ns))
     true
   }
 }
 
 object RegistryBackend {
-  val RegistryFileName = "_graft_registry.properties"
+  private val GenRe = """_graft_registry_v(\d+)\.properties""".r
+
+  private def fileFor(warehouse: String, gen: Int): Path =
+    Paths.get(warehouse, s"_graft_registry_v$gen.properties")
+
+  private def currentGen(warehouse: String): Int = {
+    val wh = Paths.get(warehouse)
+    if (!Files.isDirectory(wh)) return 0
+    graft.spatial.Snapshots.listDir(wh)(_.foldLeft(0) { (acc, p) =>
+      p.getFileName.toString match {
+        case GenRe(n) => math.max(acc, n.toInt)
+        case _ => acc
+      }
+    })
+  }
 
   /** Registry lookup for out-of-catalog resolvers (the DML parser): the
     * recorded location of `<ns….table>` under a registry-backed catalog's
     * warehouse, if any.
     */
   def lookup(warehouse: String, identTail: String): Option[String] =
-    read(Paths.get(warehouse, RegistryFileName)).get(s"table.$identTail")
+    read(warehouse).get(s"table.$identTail")
 
-  private def read(p: Path): Map[String, String] =
-    if (!Files.exists(p)) Map.empty
-    else {
-      val props = new java.util.Properties()
-      val in = Files.newInputStream(p)
-      try props.load(in) finally in.close()
-      import scala.jdk.CollectionConverters._
-      props.asScala.toMap
-    }
+  private def read(warehouse: String): Map[String, String] = {
+    val g = currentGen(warehouse)
+    if (g == 0) return Map.empty
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(fileFor(warehouse, g))
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    props.asScala.toMap
+  }
 
-  private val lock = new Object
-
-  private def update(p: Path)(f: Map[String, String] => Map[String, String]): Unit =
-    lock.synchronized {
-      val next = f(read(p))
+  /** Read-modify-write under the generation CAS: stage the full next
+    * state, publish as gen+1 via hard-link create (fails if taken),
+    * retry on contention. Superseded generations older than a reader
+    * window are pruned by the winner.
+    */
+  private def update(warehouse: String)(
+      f: Map[String, String] => Map[String, String]): Unit = {
+    var attempts = 0
+    while (true) {
+      val g = currentGen(warehouse)
+      val next = f(read(warehouse))
       val props = new java.util.Properties()
       next.foreach { case (k, v) => props.setProperty(k, v) }
-      Files.createDirectories(p.getParent)
-      val tmp = p.getParent.resolve(s".${p.getFileName}.${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = Files.newOutputStream(tmp)
-      try props.store(out, "graft catalog registry") finally out.close()
-      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      val target = fileFor(warehouse, g + 1)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(target.getParent, ".tmp_registry_", ".properties")
+      try {
+        val out = Files.newOutputStream(tmp)
+        try props.store(out, "graft catalog registry") finally out.close()
+        try {
+          Files.createLink(target, tmp)
+          // winner prunes a superseded window (readers mid-listing keep a few)
+          ((g - 16) to (g - 8)).filter(_ > 0)
+            .foreach(k => Files.deleteIfExists(fileFor(warehouse, k)))
+          return
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              s"registry CAS at $warehouse lost ${attempts} races; giving up")
+        }
+      } finally Files.deleteIfExists(tmp)
     }
+  }
 }

@@ -100,6 +100,24 @@ class RegistryBackendSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM rcat.db.away").count() == 20)
   }
 
+  test("concurrent registry updates never lose a record (generation CAS)") {
+    assert(warehouse.nonEmpty)
+    val wh = java.nio.file.Files.createTempDirectory("graft_reg_cas").toString
+    val backend = new graft.sources.RegistryBackend(wh)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    // 8 threads each record 10 tables concurrently: a read-modify-write
+    // race would drop some keys; the CAS must keep all 80
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 10).foreach { i =>
+        backend.recordTable(Identifier.of(Array("db"), s"t${t}_$i"),
+          java.nio.file.Paths.get(wh, "db", s"t${t}_$i"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val listed = backend.listTables(Array("db"), _ => true).map(_.name()).toSet
+    assert(listed.size == 80, s"lost ${80 - listed.size} records to the race")
+  }
+
   test("dropNamespace: non-empty refuses without cascade, cascade wipes and deregisters") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE rcat.tmpns")
