@@ -153,6 +153,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case "years" | "year" => s"year($col)"
       case "months" | "month" => s"month($col)"
       case "days" | "day" => s"day($col)"
+      case "hours" | "hour" => s"hour($col)"
       case _ => throw new UnsupportedOperationException(s"unsupported partition transform: $t")
     }
   }

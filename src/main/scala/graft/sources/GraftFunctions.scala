@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftFunctions {
 
-  val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days")
+  val names: Seq[String] = Seq("bucket", "truncate", "years", "months", "days", "hours")
 
   def load(name: String): Option[UnboundFunction] = name.toLowerCase match {
     case "bucket" => Some(BucketUnbound)
@@ -30,7 +30,26 @@ object GraftFunctions {
     case "years" => Some(datePart("years"))
     case "months" => Some(datePart("months"))
     case "days" => Some(datePart("days"))
+    case "hours" => Some(HoursUnbound)
     case _ => None
+  }
+
+  /** `hours(ts)` = floorDiv(epoch micros, 3600e6) — TIMESTAMP only, and
+    * timezone-INDEPENDENT (pure epoch division), which is what makes it
+    * safe to bind for SPJ where year/month/day over timestamps are not
+    * (their write derivation follows the session timezone).
+    */
+  private object HoursUnbound extends UnboundFunction {
+    override def name(): String = "hours"
+    override def description(): String = "hours(ts) — graft timestamp partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      if (inputType.length != 1 || inputType(0).dataType != TimestampType)
+        throw new UnsupportedOperationException(s"hours over $inputType (TIMESTAMP only)")
+      scalar("hours", "graft.hours(timestamp)", Array(TimestampType), IntegerType, { row =>
+        if (row.isNullAt(0)) null
+        else Math.floorDiv(row.getLong(0), 3600L * 1000000L).toInt
+      })
+    }
   }
 
   private def scalar(fname: String, canonical: String, in: Array[DataType],

@@ -99,6 +99,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         Expressions.literal(w), Expressions.column(c))
       case graft.spatial.Transforms.DatePart("year", c) => Expressions.years(c)
       case graft.spatial.Transforms.DatePart("month", c) => Expressions.months(c)
+      case graft.spatial.Transforms.DatePart("hour", c) => Expressions.hours(c)
       case graft.spatial.Transforms.DatePart(_, c) => Expressions.days(c)
     }.toArray
   }
@@ -899,6 +900,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
               Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
             case DatePart("year", c) => Expressions.years(c)
             case DatePart("month", c) => Expressions.months(c)
+            case DatePart("hour", c) => Expressions.hours(c)
             case DatePart(_, c) => Expressions.days(c)
           }.toArray[org.apache.spark.sql.connector.expressions.Expression]
           new KeyGroupedPartitioning(v2, keys.map(_.get).distinct.length)
@@ -1263,6 +1265,55 @@ object GraftScan {
     }
   }
 
+  /** Explicit transform-function predicates — `system.bucket(4, id) = 1`,
+    * `system.days(d) IN (...)` — prune to the matching derived partition
+    * dirs (the reference's `ReplaceStaticInvoke` optimizer rule +
+    * `SparkV2Filters.java:458-475`; test `TestSystemFunctionPushDownDQL`,
+    * and via [[graft.spatial.Snapshots]]'s row-level file split,
+    * `TestSystemFunctionPushDownInRowLevelOperations`).
+    * The call must match a DECLARED transform of the table exactly (same
+    * function, same parameter, same source column) — only then is the
+    * per-directory derived value the function's value for every row in it.
+    * Our V2 functions bind without a magic method, so the resolved shape
+    * is `ApplyFunctionExpression`, not the reference's `StaticInvoke`.
+    */
+  private[graft] def transformFunctionFilter(e: Expression,
+      specs: Seq[graft.spatial.Transforms.Transform]): Option[sources.Filter] = {
+    def ext(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case x => x
+    }
+    def derived(fe: Expression): Option[String] = fe match {
+      case af: ce.ApplyFunctionExpression
+          // ours only: another catalog's bucket() may hash differently
+          if af.function.canonicalName().startsWith("graft.") =>
+        import graft.spatial.Transforms._
+        (af.function.name(), af.children) match {
+          case ("bucket", Seq(ce.Literal(n: Int, _), a: ce.AttributeReference)) =>
+            specs.collectFirst {
+              case b @ Bucket(n2, src, _) if n2 == n && src == a.name => b.derivedName }
+          case ("truncate", Seq(ce.Literal(w: Int, _), a: ce.AttributeReference)) =>
+            specs.collectFirst {
+              case t @ Truncate(w2, src, _) if w2 == w && src == a.name => t.derivedName }
+          case (fn @ ("years" | "months" | "days" | "hours"), Seq(a: ce.AttributeReference)) =>
+            specs.collectFirst {
+              case d @ DatePart(p, src) if p == fn.stripSuffix("s") && src == a.name =>
+                d.derivedName }
+          case _ => None
+        }
+      case _ => None
+    }
+    e match {
+      case ce.EqualTo(fe, ce.Literal(v, _)) => derived(fe).map(sources.EqualTo(_, ext(v)))
+      case ce.EqualTo(ce.Literal(v, _), fe) => derived(fe).map(sources.EqualTo(_, ext(v)))
+      case ce.In(fe, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        derived(fe).map(sources.In(_,
+          vs.map { case ce.Literal(v, _) => ext(v) }.toArray))
+      case _ => None
+    }
+  }
+
+
   /** Per-file partition key row from the file's hive-layout dir segments:
     * one value per transform in spec order, cast to the key schema's
     * types (catalyst internal form). None when any derived dir is missing
@@ -1329,7 +1380,7 @@ object GraftScan {
     * A null-sentinel dir means the transform evaluated to NULL for every
     * row: no equality against a literal can hold there.
     */
-  private[sources] def dirMightMatch(kv: Map[String, String], f: sources.Filter): Boolean =
+  private[graft] def dirMightMatch(kv: Map[String, String], f: sources.Filter): Boolean =
     f match {
       case sources.EqualTo(a, v) => kv.get(a) match {
         case None => true
@@ -1426,54 +1477,8 @@ object GraftScanFilterPushdown
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ LFilter(cond, rel @ DataSourceV2ScanRelation(_, scan: GraftScan, _, _, _)) =>
       val merged = scan.withMorePruning(split(cond).flatMap(c =>
-        toV1(c).orElse(functionToV1(c, scan.spjSpecs))))
+        toV1(c).orElse(GraftScan.transformFunctionFilter(c, scan.spjSpecs))))
       if (merged eq scan) f else LFilter(cond, rel.copy(scan = merged))
-  }
-
-  /** Explicit transform-function predicates — `system.bucket(4, id) = 1`,
-    * `system.days(d) IN (...)` — prune to the matching derived partition
-    * dirs (the reference's `ReplaceStaticInvoke` optimizer rule +
-    * `SparkV2Filters.java:458-475`; test `TestSystemFunctionPushDownDQL`).
-    * The call must match a DECLARED transform of the table exactly (same
-    * function, same parameter, same source column) — only then is the
-    * per-directory derived value the function's value for every row in it.
-    * Our V2 functions bind without a magic method, so the resolved shape
-    * is `ApplyFunctionExpression`, not the reference's `StaticInvoke`.
-    */
-  private def functionToV1(e: Expression,
-      specs: Seq[graft.spatial.Transforms.Transform]): Option[sources.Filter] = {
-    def ext(v: Any): Any = v match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case x => x
-    }
-    def derived(fe: Expression): Option[String] = fe match {
-      case af: ce.ApplyFunctionExpression
-          // ours only: another catalog's bucket() may hash differently
-          if af.function.canonicalName().startsWith("graft.") =>
-        import graft.spatial.Transforms._
-        (af.function.name(), af.children) match {
-          case ("bucket", Seq(ce.Literal(n: Int, _), a: ce.AttributeReference)) =>
-            specs.collectFirst {
-              case b @ Bucket(n2, src, _) if n2 == n && src == a.name => b.derivedName }
-          case ("truncate", Seq(ce.Literal(w: Int, _), a: ce.AttributeReference)) =>
-            specs.collectFirst {
-              case t @ Truncate(w2, src, _) if w2 == w && src == a.name => t.derivedName }
-          case (fn @ ("years" | "months" | "days"), Seq(a: ce.AttributeReference)) =>
-            specs.collectFirst {
-              case d @ DatePart(p, src) if p == fn.stripSuffix("s") && src == a.name =>
-                d.derivedName }
-          case _ => None
-        }
-      case _ => None
-    }
-    e match {
-      case ce.EqualTo(fe, ce.Literal(v, _)) => derived(fe).map(sources.EqualTo(_, ext(v)))
-      case ce.EqualTo(ce.Literal(v, _), fe) => derived(fe).map(sources.EqualTo(_, ext(v)))
-      case ce.In(fe, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
-        derived(fe).map(sources.In(_,
-          vs.map { case ce.Literal(v, _) => ext(v) }.toArray))
-      case _ => None
-    }
   }
 
   private def split(e: Expression): Seq[Expression] = e match {

@@ -1348,7 +1348,7 @@ object Snapshots {
         val kept = decided.collect { case (e, Some(false)) => e }
         val maybe = decided.collect { case (e, None) => e }
         val table = read(spark, path, Some(head))
-        val (affected, untouched) = splitByCond(table, cond, maybe)
+        val (affected, untouched) = splitByCond(table, cond, maybe, path)
         val rewritten =
           if (affected.isEmpty) Nil
           else {
@@ -1521,10 +1521,32 @@ object Snapshots {
     * 1=1`, TRUNCATE via deleteWhere) matches every file.
     */
   private def splitByCond(table: DataFrame, cond: Column,
-      current: Seq[FileStats]): (Seq[FileStats], Seq[FileStats]) = {
+      current: Seq[FileStats], path: String = null): (Seq[FileStats], Seq[FileStats]) = {
     val plan = table.filter(cond).queryExecution.optimizedPlan
     plan.collectFirst { case Filter(c, _) => c } match {
-      case Some(c) => current.partition(_.mightMatch(c))
+      case Some(c) =>
+        // explicit transform-function conjuncts (`system.bucket(4,id)=1`)
+        // prune via the derived partition dirs in row-level ops too (ref
+        // TestSystemFunctionPushDownInRowLevelOperations) — stats can't
+        // see through the function call, the dir value IS its result
+        val fnFilters =
+          if (path == null) Nil
+          else {
+            val specs = GeoTable.readPartitionSpecs(path)
+            if (specs.isEmpty) Nil
+            else {
+              def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+                  : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+                case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                  conjuncts(l) ++ conjuncts(r)
+                case x => Seq(x)
+              }
+              conjuncts(c).flatMap(
+                graft.sources.GraftScan.transformFunctionFilter(_, specs))
+            }
+          }
+        current.partition(f => f.mightMatch(c) &&
+          fnFilters.forall(graft.sources.GraftScan.dirMightMatch(f.dirVals, _)))
       case None =>
         val provablyEmpty = plan.collectFirst {
           case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
@@ -1618,7 +1640,7 @@ object Snapshots {
       val head = refHead(rs, path, ref)
       val current = readManifest(path, Some(head))
       val table = read(spark, path, Some(head))
-      val (affected, untouched) = splitByCond(table, cond, current)
+      val (affected, untouched) = splitByCond(table, cond, current, path)
       if (affected.isEmpty) head // nothing can match
       else {
         val survivors = readFilesForRewrite(spark, path, affected, head)
@@ -1683,7 +1705,7 @@ object Snapshots {
     val head = refHead(rs, path, ref)
     val current = readManifest(path, Some(head))
     val table = read(spark, path, Some(head))
-    val (affected, untouched) = splitByCond(table, cond, current)
+    val (affected, untouched) = splitByCond(table, cond, current, path)
     if (affected.isEmpty) head
     else {
       val hit = coalesce(cond, lit(false))
@@ -2783,7 +2805,7 @@ object Snapshots {
     require(head > 0, s"no snapshots to rewrite at $path")
     val current = readManifest(path, Some(head))
     val candidates = where match {
-      case Some(c) => splitByCond(read(spark, path, Some(head)), c, current)._1
+      case Some(c) => splitByCond(read(spark, path, Some(head)), c, current, path)._1
       case None => current
     }
     val target = math.max(1L, targetFileSize

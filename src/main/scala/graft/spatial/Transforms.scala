@@ -86,14 +86,19 @@ object Transforms {
     */
   case class DatePart(part: String, source: String) extends Transform {
     def derivedName: String = s"${source}_$part"
-    def project(v: Any): Option[Any] = v match {
-      case days: Int => // DateType literal
+    def project(v: Any): Option[Any] = (v, part) match {
+      case (days: Int, _) => // DateType literal
         val d = java.time.LocalDate.ofEpochDay(days.toLong)
         part match {
           case "year" => Some(d.getYear)
           case "month" => Some((d.getYear - 1970) * 12 + (d.getMonthValue - 1))
           case "day" => Some(days)
+          case _ => None // hour over a DATE literal: not derivable
         }
+      // TimestampType literal (epoch micros): only the hour ordinal is
+      // timezone-independent, so only it projects
+      case (micros: Long, "hour") =>
+        Some(Math.floorDiv(micros, 3600L * 1000000L).toInt)
       case _ => None
     }
     def monotonic: Boolean = true
@@ -102,7 +107,7 @@ object Transforms {
 
   private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*(?:,\s*(\w+)\s*)?\)""".r
   private val TruncRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([\w.]+)\s*(?:,\s*(\w+)\s*)?\)""".r
-  private val DateRe = """(?i)(year|month|day)\s*\(\s*([\w.]+)\s*\)""".r
+  private val DateRe = """(?i)(year|month|day|hour)s?\s*\(\s*([\w.]+)\s*\)""".r
 
   def parse(spec: String): Transform = spec.trim match {
     case BucketRe(n, c, nm) => Bucket(n.toInt, c, Option(nm))
@@ -127,6 +132,15 @@ object Transforms {
       case "year" => year(col(src))
       case "month" => (year(col(src)) - 1970) * 12 + month(col(src)) - 1
       case "day" => datediff(col(src), lit(java.sql.Date.valueOf("1970-01-01")))
+      // hours since epoch — TIMESTAMP sources only (epoch division is
+      // timezone-independent, unlike year/month/day over timestamps).
+      // floorDiv in exact integer arithmetic: (a - pmod(a,b)) / b — the
+      // numerator is an exact multiple of b, so the division is lossless
+      // (a float floor could round an epsilon-under-boundary value UP)
+      case "hour" =>
+        val us = unix_micros(col(src))
+        val b = 3600L * 1000000L
+        ((us - pmod(us, lit(b))) / b).cast("int")
     }
   }
 }

@@ -803,6 +803,68 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("explicit system.bucket() predicates prune files in row-level ops (CoW DELETE/UPDATE)") {
+    assert(warehouse.nonEmpty)
+    // ref TestSystemFunctionPushDownInRowLevelOperations: a DELETE whose
+    // condition is an explicit transform call must rewrite ONLY the
+    // matching bucket's files — the others stay byte-identical
+    spark.sql("CREATE TABLE pq.fn.rbt (id BIGINT, v DOUBLE) USING graft " +
+      "PARTITIONED BY (bucket(4, id))")
+    spark.sql("INSERT INTO pq.fn.rbt SELECT id, CAST(id AS DOUBLE) FROM range(400)")
+    val tbl = s"$warehouse/fn/rbt"
+    val before = graft.spatial.Snapshots.readManifest(tbl, None).map(_.path).toSet
+    def bucketOf(id: Long): Int = Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+        id, org.apache.spark.sql.types.LongType, 42L).toInt, 4)
+    spark.sql("DELETE FROM pq.fn.rbt WHERE pq.system.bucket(4, id) = 1")
+    val after = graft.spatial.Snapshots.readManifest(tbl, None).map(_.path).toSet
+    // every untouched bucket's files survive the rewrite unchanged
+    val untouched = before.filterNot(_.contains("id_bucket=1"))
+    assert(untouched.subsetOf(after),
+      s"non-matching buckets must not be rewritten:\nmissing=${untouched.diff(after)}")
+    assert(before.filter(_.contains("id_bucket=1")).forall(!after.contains(_)),
+      "the matching bucket's files must be gone")
+    val ids = spark.sql("SELECT id FROM pq.fn.rbt").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 400L).filter(bucketOf(_) != 1).toSet)
+    // UPDATE through the same seat: only bucket 2's files rewrite
+    val before2 = graft.spatial.Snapshots.readManifest(tbl, None).map(_.path).toSet
+    spark.sql("UPDATE pq.fn.rbt SET v = v + 10000 WHERE pq.system.bucket(4, id) = 2")
+    val after2 = graft.spatial.Snapshots.readManifest(tbl, None).map(_.path).toSet
+    assert(before2.filterNot(_.contains("id_bucket=2")).subsetOf(after2))
+    val bumped = spark.sql("SELECT id FROM pq.fn.rbt WHERE v >= 10000")
+      .collect().map(_.getLong(0)).toSet
+    assert(bumped == (0L until 400L).filter(bucketOf(_) == 2).toSet)
+  }
+
+  test("hours(ts) transform: layout, range pruning, explicit-call pushdown, SQL function") {
+    assert(warehouse.nonEmpty)
+    // ref TestSparkHoursFunction: hours since epoch over TIMESTAMP —
+    // timezone-independent epoch division, so it binds for SPJ/pushdown
+    // where year/month/day over timestamps deliberately degrade
+    spark.sql("CREATE TABLE pq.fn.ht (ts TIMESTAMP, v BIGINT) USING graft " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO pq.fn.ht SELECT timestampadd(MINUTE, CAST(id * 15 AS INT), " +
+      "TIMESTAMP'2024-03-01 00:00:00'), id FROM range(16)") // 4 hours x 4 rows
+    val dirs = graft.spatial.Snapshots.readManifest(s"$warehouse/fn/ht", None)
+      .map(_.path.split('/').head).toSet
+    val h0 = java.time.Instant.parse("2024-03-01T00:00:00Z").getEpochSecond / 3600
+    assert(dirs == (h0 until h0 + 4).map(h => s"ts_hour=$h").toSet, s"dirs: $dirs")
+    val all = plannedFiles(spark.sql("SELECT * FROM pq.fn.ht"))
+    // a timestamp range predicate prunes through the monotonic projection
+    val ranged = spark.sql(
+      "SELECT v FROM pq.fn.ht WHERE ts >= TIMESTAMP'2024-03-01 03:00:00'")
+    assert(plannedFiles(ranged) < all, "ts range must prune hour dirs")
+    assert(ranged.collect().map(_.getLong(0)).toSet == (12L until 16L).toSet)
+    // explicit hours() call prunes too
+    val q = spark.sql(s"SELECT v FROM pq.fn.ht WHERE pq.system.hours(ts) = ${h0 + 1}")
+    assert(plannedFiles(q) < all, "hours(ts) = k must prune to one hour dir")
+    assert(q.collect().map(_.getLong(0)).toSet == (4L until 8L).toSet)
+    // SQL-callable and equal to the write-side derivation
+    val b = spark.sql("SELECT pq.system.hours(TIMESTAMP'2024-03-01 02:30:00') AS h")
+      .collect().head.getInt(0)
+    assert(b == h0.toInt + 2, s"hours() must be epoch-hour: $b vs ${h0 + 2}")
+  }
+
   test("explicit system.days() predicates prune date-transform dirs") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.fn.dt (d DATE, v BIGINT) USING graft " +
