@@ -88,6 +88,58 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
     }),
 
+    // RAG-style chunking: fixed-size token windows with OVERLAP (size 64,
+    // stride 48) — the retrieval-corpus preparation step before embedding.
+    // Entirely MAP-ONLY: chunk starts derive from each doc's own token
+    // count and explode in place — zero shuffles, embarrassingly parallel
+    // at 100 TB. Chunk i covers tokens [i*stride, i*stride + size); every
+    // doc yields at least one chunk; the last chunk may run short.
+    "curate_chunk_overlap" -> ((s, dir) => {
+      val size = 64
+      val stride = 48
+      docs(s, dir)
+        .select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("tk"))
+        .withColumn("n", org.apache.spark.sql.functions.size(col("tk")))
+        .withColumn("chunk_id",
+          explode(sequence(lit(0),
+            ceil(greatest(col("n") - size, lit(0)) / lit(stride.toDouble)).cast("int"))))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ", slice(col("tk"), col("chunk_id") * stride + 1, lit(size)))
+            .as("chunk_text"),
+          least(col("n") - col("chunk_id") * stride, lit(size)).as("n_chunk_toks"))
+    }),
+
+    // Corpus-level boilerplate scrub (the CCNet / RefinedWeb line-wise
+    // dedup): a LINE occurring in >= K distinct documents is boilerplate
+    // (nav bars, footers, license headers) and is removed from every doc.
+    // The synthetic corpus is single-line, so lines are defined as fixed
+    // 8-token windows — the splitter is the pluggable part, the operator
+    // is the corpus-frequency scrub. Shape at 100 TB: one map-side-
+    // combined shuffle to count line document-frequencies, the heavy
+    // hitters (tiny by construction: only lines crossing the threshold)
+    // BROADCAST back, then a map-only filter + per-doc reassembly.
+    "text_boilerplate_scrub" -> ((s, dir) => {
+      val K = 3
+      val lines = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0),
+              greatest(ceil(org.apache.spark.sql.functions.size(
+                split(lower(trim(col("text"))), "\\s+")) / lit(8.0)).cast("int") - 1, lit(0))),
+            i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+              i * 8 + 1, lit(8))))).as(Seq("line_no", "line")))
+      val boiler = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= K)
+        .select(col("line"))
+      lines.join(broadcast(boiler), Seq("line"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(struct(col("line_no"), col("line"))))
+          .getField("line")).as("clean_text"),
+          count(lit(1)).cast("int").as("n_kept_lines"))
+    }),
+
     // Domain mixing by TOKEN budget (the DoReMi / Pile mixture-weight
     // shape): each source maps to a mixture group with a token budget;
     // docs are admitted per source in a deterministic pseudo-random order
@@ -134,6 +186,34 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "curate_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+        |c AS (SELECT doc_id, tk, n,
+        |  unnest(generate_series(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS cid
+        |  FROM n)
+        |SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+        | array_to_string(tk[cid*48 + 1 : cid*48 + 64], ' ') AS chunk_text,
+        | CAST(least(n - cid*48, 64) AS INT) AS n_chunk_toks
+        |FROM c""".stripMargin,
+
+    "text_boilerplate_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+        |l0 AS (SELECT doc_id, tk,
+        |  unnest(generate_series(0, greatest(CAST(ceil(n / 8.0) AS INT) - 1, 0))) AS ln
+        |  FROM n),
+        |l AS (SELECT doc_id, CAST(ln AS INT) AS line_no,
+        |  array_to_string(tk[ln*8 + 1 : ln*8 + 8], ' ') AS line FROM l0),
+        |b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 3),
+        |k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM b))
+        |SELECT doc_id,
+        | string_agg(line, ' ' ORDER BY line_no) AS clean_text,
+        | CAST(count(*) AS INTEGER) AS n_kept_lines
+        |FROM k GROUP BY doc_id""".stripMargin,
+
     "curate_decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
         |  FROM documents),

@@ -55,6 +55,24 @@ class PipelineSpec extends AnyFunSuite {
       s"semdedup pairwise stage must be cell-keyed, not all-pairs:\n$plan")
   }
 
+  test("chunking is map-only; boilerplate scrub broadcasts only the heavy hitters") {
+    // RAG chunking: zero exchanges — the whole operator is explode + project
+    val chunks = SparkEntry.queries("curate_chunk_overlap")(spark, sf)
+    val cPlan = chunks.queryExecution.executedPlan.toString
+    assert(!cPlan.contains("Exchange"), s"chunking must be map-only:\n$cPlan")
+    // every chunk covers <= 64 tokens; consecutive chunks overlap by 16
+    val rows = chunks.collect()
+    assert(rows.nonEmpty && rows.forall(_.getInt(3) <= 64))
+    assert(rows.forall(r => r.getInt(3) > 0))
+    // boilerplate scrub: the line-frequency side joins BROADCAST (the
+    // heavy hitters are tiny), never a corpus-vs-corpus shuffle join
+    val scrub = SparkEntry.queries("text_boilerplate_scrub")(spark, sf)
+    val sPlan = scrub.queryExecution.executedPlan.toString
+    assert(sPlan.contains("BroadcastHashJoin") || sPlan.contains("BroadcastExchange"),
+      s"boiler side must broadcast:\n$sPlan")
+    assert(!sPlan.contains("SortMergeJoin"), s"no corpus-keyed merge join:\n$sPlan")
+  }
+
   test("ANN-LSH results are a subset of true neighbors' ranking universe") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
     assert(ann.nonEmpty)
