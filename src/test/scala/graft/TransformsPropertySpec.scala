@@ -72,6 +72,23 @@ class TransformsPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hour projection equals the written epoch-hour for timestamp keys") {
+    val t = Transforms.parse("hour(ts)")
+    // spread across decades incl. pre-1970 (negative micros: floorDiv
+    // semantics) and epsilon-under-boundary instants (a float-floor write
+    // derivation would round these UP — the integer arithmetic must not)
+    val micros = ((-50 until 50).map(i => i.toLong * 3600L * 1000000L * 977 + i * 1234567L) ++
+      (1 until 10).map(i => i.toLong * 3600L * 1000000L - 1L)).distinct
+    val ts = micros.map(us => java.sql.Timestamp.from(
+      java.time.Instant.EPOCH.plus(us, java.time.temporal.ChronoUnit.MICROS)))
+    val written = evalWrite(t, StructField("ts", TimestampType), ts)
+    micros.zip(written).foreach { case (us, w) =>
+      // TimestampType literals arrive as epoch micros
+      assert(norm(t.project(us).get) == norm(w), s"hour($us)")
+      assert(norm(w) == norm(Math.floorDiv(us, 3600L * 1000000L).toInt), s"floorDiv($us)")
+    }
+  }
+
   test("bucket projection matches Spark literals of every integral width") {
     // EqualTo casts the literal to the column type before our matcher sees
     // it, but guard the hash anyway: same value, same bucket, per type
