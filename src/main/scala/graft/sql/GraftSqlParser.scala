@@ -308,7 +308,7 @@ object GraftStatements {
 
   /** Iceberg grammar accepts plural transform names (`years(ts)`). */
   private def normSpec(spec: String): String =
-    spec.trim.replaceAll("(?i)^(year|month|day)s\\s*\\(", "$1(")
+    spec.trim.replaceAll("(?i)^(year|month|day|hour)s\\s*\\(", "$1(")
 
   /** `ADD PARTITION FIELD bucket(4, id) AS shard` (ref grammar's
     * `AS name=identifier`): the explicit name becomes the derived

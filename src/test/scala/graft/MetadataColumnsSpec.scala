@@ -171,6 +171,28 @@ class MetadataColumnsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_partition"), e.getMessage)
   }
 
+  test("_partition after spec evolution: pre-spec files read null") {
+    val wh = Files.createTempDirectory("graft_metacol_evo_wh").toString
+    spark.conf.set("spark.sql.catalog.mpe", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mpe.warehouse", wh)
+    spark.sql("CREATE TABLE mpe.db.et (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO mpe.db.et SELECT id, CAST(id AS DOUBLE) FROM range(20)")
+    spark.sql("ALTER TABLE mpe.db.et ADD PARTITION FIELD bucket(4, id)")
+    spark.sql("INSERT INTO mpe.db.et SELECT id + 100, CAST(id AS DOUBLE) FROM range(20)")
+    val rows = spark.sql("SELECT id, _partition FROM mpe.db.et").collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id < 100) assert(r.isNullAt(1), s"pre-spec row $id must read null _partition")
+      else {
+        val expect = Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction.hash(
+            id, org.apache.spark.sql.types.LongType, 42L).toInt, 4)
+        assert(r.getStruct(1).getInt(0) == expect, s"id=$id")
+      }
+    }
+  }
+
   test("a data column named like a metadata column shadows it") {
     val d = mkTable(10)
     // the graft table itself has no _file column; Spark resolves _file as
