@@ -46,12 +46,18 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = root.getFileSystem(conf)
+    // recursive: partitioned layouts nest data files under partition dirs —
+    // an undercount here would silently pick the wrong adaptive plan
     def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.getFileStatus(p)
       if (st.isFile) Seq(p)
       else fs.listStatus(p).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath)
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s =>
+          if (s.isDirectory) files(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+          else Nil)
     }
     files(root).map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
