@@ -734,6 +734,16 @@ object Snapshots {
           "(existing data files physically contain the column); use a hidden transform")
       schema.foreach(s => require(s.fieldNames.contains(t0.source),
         s"partition source column not in schema: ${t0.source}"))
+      // hour is TIMESTAMP-only (the reference's posture): over a DATE it
+      // would fail at the NEXT insert's write derivation — reject at DDL
+      t0 match {
+        case Transforms.DatePart("hour", src) =>
+          schema.foreach(s => require(
+            s.fields.find(_.name == src)
+              .exists(_.dataType == org.apache.spark.sql.types.TimestampType),
+            s"ADD PARTITION FIELD hour($src): hour requires a TIMESTAMP source"))
+        case _ => ()
+      }
       val taken = (current.map(_.derivedName) ++
         history.map(Transforms.parse(_).derivedName)).toSet
       // a clashing default name auto-disambiguates with the parameter
