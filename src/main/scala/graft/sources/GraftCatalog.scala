@@ -153,7 +153,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case "years" | "year" => s"year($col)"
       case "months" | "month" => s"month($col)"
       case "days" | "day" => s"day($col)"
-      case "hours" | "hour" => s"hour($col)"
+      case "hours" | "hour" =>
+        // TIMESTAMP-only: over a DATE the write derivation would fail at
+        // the first INSERT — reject at CREATE like the evolution DDL does
+        val c = col
+        require(schema.fields.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.TimestampType),
+          s"PARTITIONED BY hours($c): hour requires a TIMESTAMP source")
+        s"hour($c)"
       case _ => throw new UnsupportedOperationException(s"unsupported partition transform: $t")
     }
   }
