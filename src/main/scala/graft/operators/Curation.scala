@@ -60,6 +60,26 @@ object Curation {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // Contamination SCORING (beyond the binary decontaminate gate): the
+    // fraction of a document's distinct 5-gram shingles shared with the
+    // benchmark set — the overlap-severity metric the GPT-3/PaLM
+    // contamination analyses grade by (partial overlap gets a score, not
+    // just a drop). Benchmark shingles BROADCAST; the corpus side is one
+    // map-only probe per shingle plus a doc_id regroup.
+    "curate_contamination_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBench = col("doc_id") % 97 === 0
+      val bench = d.filter(isBench)
+        .select(explode(VectorSql.shingle_hashes_n(col("text"), 5)).as("sh"))
+        .distinct()
+      d.filter(!isBench)
+        .select(col("doc_id"), explode(VectorSql.shingle_hashes_n(col("text"), 5)).as("sh"))
+        .join(broadcast(bench).withColumn("__b", lit(1)), Seq("sh"), "left_outer")
+        .groupBy("doc_id")
+        .agg(round(avg(when(col("__b").isNull, 0.0).otherwise(1.0)), 4).as("contamination"),
+          count(lit(1)).cast("int").as("n_shingles"))
+    }),
+
     // Stratified sampling: at most 50 documents per language, chosen by a
     // deterministic pseudo-random order (md5 of the doc id) so reruns and
     // the oracle agree. Window partitions by lang — parallel across
@@ -225,6 +245,20 @@ object Curation {
         |        WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bs))
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    "curate_contamination_score" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |            FROM tok WHERE len(t) >= 5)),
+        |gd AS (SELECT DISTINCT doc_id, s FROM g),
+        |bs AS (SELECT DISTINCT s FROM gd WHERE doc_id % 97 = 0)
+        |SELECT doc_id,
+        | round(avg(CASE WHEN s IN (SELECT s FROM bs) THEN 1.0 ELSE 0.0 END), 4)
+        |   AS contamination,
+        | CAST(count(*) AS INTEGER) AS n_shingles
+        |FROM gd WHERE doc_id % 97 <> 0 GROUP BY doc_id""".stripMargin,
 
     "curate_sample_stratified" ->
       """SELECT doc_id, lang, rk FROM (

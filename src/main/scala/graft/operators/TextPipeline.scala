@@ -420,6 +420,28 @@ object TextPipeline {
           count(lit(1)).cast("int").as("n_toks"))
     }),
 
+    // Vocabulary-coverage / OOV gate: build the top-K corpus vocabulary
+    // (one map-side-combined count + a TakeOrdered top-K heap — no global
+    // sort), then score every doc's out-of-vocabulary token rate against
+    // it. High-OOV docs are gibberish or mis-encoded text a tokenizer wastes
+    // context on — a standard curation gate. The vocab is BROADCAST state
+    // (top-K is small by construction); the scoring pass is map-only.
+    "text_vocab_coverage" -> ((s, dir) => {
+      val K = 256
+      val d = docs(s, dir)
+      val tk = d.select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+      // deterministic top-K: count desc, token asc tiebreak
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(K)
+        .select(col("tok"))
+      tk.join(broadcast(vocab).withColumn("__v", lit(1)), Seq("tok"), "left_outer")
+        .groupBy("doc_id")
+        .agg(round(avg(when(col("__v").isNull, 1.0).otherwise(0.0)), 4).as("oov_rate"),
+          count(lit(1)).cast("int").as("n_toks"))
+        .withColumn("keep", (col("oov_rate") <= 0.5).cast("int"))
+    }),
+
     // Gopher-style quality gate: the standard rule set a pretraining
     // curation pass applies (token-count window, mean-token-length window,
     // stopword floor, type-token-ratio floor, top-token concentration
@@ -617,6 +639,24 @@ object TextPipeline {
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "text_vocab_coverage" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
+        |v AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 256)),
+        |s AS (
+        |  SELECT doc_id,
+        |   round(avg(CASE WHEN tok IN (SELECT tok FROM v) THEN 0.0 ELSE 1.0 END), 4)
+        |     AS oov_rate,
+        |   CAST(count(*) AS INTEGER) AS n_toks
+        |  FROM tk GROUP BY doc_id)
+        |SELECT doc_id, oov_rate, n_toks,
+        | CAST(CASE WHEN oov_rate <= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM s""".stripMargin,
 
     "text_lm_perplexity" ->
       """WITH tk AS (
