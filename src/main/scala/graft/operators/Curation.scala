@@ -80,6 +80,37 @@ object Curation {
           count(lit(1)).cast("int").as("n_shingles"))
     }),
 
+    // DSIR-style importance weights (Data Selection via Importance
+    // Resampling, Xie et al. 2023): score every raw-corpus document by the
+    // mean log-likelihood ratio of its tokens under a TARGET-domain unigram
+    // model vs the RAW-corpus unigram model (add-1 smoothed over the shared
+    // vocabulary). High-weight docs look like the target domain and get
+    // up-sampled by the resampling stage. The benchmark subset
+    // (doc_id % 97 == 0) stands in for the target domain. Scale posture:
+    // both unigram models come out of ONE map-side-combined (token) count
+    // with conditional sums; the fitted model is BROADCAST back (same
+    // reference-model posture as text_lm_perplexity) and the scoring pass
+    // is a per-doc regroup — the corpus never shuffles on token.
+    "curate_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val isBench = col("doc_id") % 97 === 0
+      val tk = d.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = tk.groupBy("tok").agg(
+        sum(when(col("doc_id") % 97 === 0, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") % 97 =!= 0, 1L).otherwise(0L)).as("cr"))
+      val tot = vocab.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+        count(lit(1)).as("nv"))
+      tk.filter(!isBench)
+        .join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(avg(log(((col("ct") + lit(1.0)) / (col("tt") + col("nv"))) /
+            ((col("cr") + lit(1.0)) / (col("tr") + col("nv"))))), 6).as("dsir_logw"),
+          count(lit(1)).cast("int").as("n_toks"))
+    }),
+
     // Stratified sampling: at most 50 documents per language, chosen by a
     // deterministic pseudo-random order (md5 of the doc id) so reruns and
     // the oracle agree. Window partitions by lang — parallel across
@@ -259,6 +290,24 @@ object Curation {
         |   AS contamination,
         | CAST(count(*) AS INTEGER) AS n_shingles
         |FROM gd WHERE doc_id % 97 <> 0 GROUP BY doc_id""".stripMargin,
+
+    "curate_dsir_weights" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
+        |v AS (SELECT tok,
+        |   sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS ct,
+        |   sum(CASE WHEN doc_id % 97 <> 0 THEN 1 ELSE 0 END) AS cr
+        | FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS nv FROM v)
+        |SELECT doc_id,
+        | round(avg(ln(((ct + 1.0) / (tt + nv)) / ((cr + 1.0) / (tr + nv)))), 6)
+        |   AS dsir_logw,
+        | CAST(count(*) AS INTEGER) AS n_toks
+        |FROM tk JOIN v USING (tok) CROSS JOIN tot
+        |WHERE doc_id % 97 <> 0
+        |GROUP BY doc_id""".stripMargin,
 
     "curate_sample_stratified" ->
       """SELECT doc_id, lang, rk FROM (

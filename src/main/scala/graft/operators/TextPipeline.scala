@@ -442,6 +442,34 @@ object TextPipeline {
         .withColumn("keep", (col("oov_rate") <= 0.5).cast("int"))
     }),
 
+    // Per-source distribution drift: KL divergence of each source domain's
+    // unigram token distribution from the whole-corpus distribution —
+    // the corpus-monitoring signal a pipeline watches to catch a crawl
+    // source going off-distribution (spam floods, encoding breakage)
+    // between ingests. KL(p_source || p_corpus) needs only tokens PRESENT
+    // in the source (q > 0 always holds since every source token is a
+    // corpus token), so no smoothing and no vocab outer join. Scale
+    // posture: one map-side-combined (source, token) count; the corpus
+    // unigram model and the 1-row total are BROADCAST; per-source totals
+    // are a 20-row broadcast — the heavy frame only ever aggregates, it
+    // never joins shuffled.
+    "text_domain_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = d.select(col("source"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+      val st = tk.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val v = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ts"))
+      val tot = tk.agg(count(lit(1)).as("t"))
+      st.join(broadcast(v), "tok")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(tot))
+        .groupBy("source")
+        .agg(round(sum((col("cs") / col("ts")) *
+            log((col("cs") / col("ts")) / (col("c") / col("t")))), 6).as("kl_div"),
+          max(col("ts")).cast("int").as("n_toks"))
+    }),
+
     // Gopher-style quality gate: the standard rule set a pretraining
     // curation pass applies (token-count window, mean-token-length window,
     // stopword floor, type-token-ratio floor, top-token concentration
@@ -639,6 +667,22 @@ object TextPipeline {
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "text_domain_drift" ->
+      """WITH tk0 AS (
+        |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT source, tok FROM tk0 WHERE tok <> ''),
+        |st AS (SELECT source, tok, count(*) AS cs FROM tk GROUP BY source, tok),
+        |v AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |srctot AS (SELECT source, count(*) AS ts FROM tk GROUP BY source),
+        |tot AS (SELECT count(*) AS t FROM tk)
+        |SELECT source,
+        | round(sum((cs * 1.0 / ts) * ln((cs * 1.0 / ts) / (c * 1.0 / t))), 6)
+        |   AS kl_div,
+        | CAST(max(ts) AS INTEGER) AS n_toks
+        |FROM st JOIN v USING (tok) JOIN srctot USING (source) CROSS JOIN tot
+        |GROUP BY source""".stripMargin,
 
     "text_vocab_coverage" ->
       """WITH tk0 AS (
