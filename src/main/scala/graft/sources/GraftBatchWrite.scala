@@ -88,7 +88,7 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
       val sess = spark
       val proj = GraftWriters.physicalProjection(sess, path, writeSchema)
       GraftBatchWriterFactory(path,
-        GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(writeSchema)),
+        GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(writeSchema), path),
         GraftWriters.boundTransforms(sess, path, writeSchema),
         proj.map(_._2).getOrElse(Nil))
     }

@@ -33,7 +33,13 @@ case class FileStats(
       * column absent from the map has an UNKNOWN count (legacy manifest or
       * stat-less row group) and never prunes.
       */
-    nulls: Map[String, Long] = Map.empty) {
+    nulls: Map[String, Long] = Map.empty,
+    /** Per-column on-disk byte sizes (Iceberg's `column_sizes`), summed
+      * over the file's column chunks; empty = unknown (legacy manifest).
+      * Surfaced through the files/entries metadata tables'
+      * `readable_metrics.<col>.column_size`.
+      */
+    colSizes: Map[String, Long] = Map.empty) {
 
   /** Hive-layout partition values parsed from the path — computed once
     * per FileStats instance; combined with the parsed-manifest memo

@@ -43,8 +43,13 @@ object FooterStats {
       // all-null column has no min/max yet a perfectly known null count
       val nulls = mutable.Map.empty[String, Long]
       val nullsUnknown = mutable.Set.empty[String]
+      // per-column on-disk bytes (compressed chunk sizes, like Iceberg's
+      // column_sizes from the writer metrics)
+      val sizes = mutable.Map.empty[String, Long]
       for (b <- blocks; c <- b.getColumns.asScala) {
         val key = c.getPath.toDotString
+        if (key.count(_ == '.') <= 1)
+          sizes(key) = sizes.getOrElse(key, 0L) + c.getTotalSize
         // top-level primitives + one struct level, like the manifest schema;
         // declared geometry columns carry no value stats (bbox shadow does)
         if (key.count(_ == '.') <= 1 && !excludeCols.contains(key.split('.').head)) {
@@ -78,7 +83,8 @@ object FooterStats {
       }
       invalid.foreach { k => mins(k) = null; maxs(k) = null }
       nullsUnknown.foreach(nulls.remove)
-      FileStats(name, rows, in.getLength, mins.toMap, maxs.toMap, nulls = nulls.toMap)
+      FileStats(name, rows, in.getLength, mins.toMap, maxs.toMap,
+        nulls = nulls.toMap, colSizes = sizes.toMap)
     } finally reader.close()
   }
 

@@ -81,7 +81,13 @@ object GeoTable {
     val withDerived = transforms
       .filterNot(_.isInstanceOf[Transforms.Identity])
       .foldLeft(stored)((d, t) => d.withColumn(t.derivedName, Transforms.writeExpr(t, d)))
-    val writer = withDerived.write.mode("overwrite")
+    // a fresh table has no properties yet; the SESSION-conf codec
+    // override still applies (Snapshots.compressionSpec precedence)
+    val (codecOpt, levelOpt) =
+      Snapshots.compressionSpec(df.sparkSession, Map.empty, delete = false)
+    val writer = (codecOpt.map("compression" -> _).toSeq ++
+        levelOpt.toSeq.map("parquet.compression.codec.zstd.level" -> _))
+      .foldLeft(withDerived.write.mode("overwrite"))((acc, kv) => acc.option(kv._1, kv._2))
     (if (transforms.nonEmpty) writer.partitionBy(transforms.map(_.derivedName): _*)
      else writer).parquet(path)
     // bucket transform: our bucket id IS Spark's bucketing hash
@@ -262,12 +268,14 @@ object GeoTable {
     val stats = readManifest(path)
     val geomLeaves = stats.headOption.map(_.mins.keys.filter(_.contains("_bbox.")).toSeq.sorted)
       .getOrElse(Nil)
+    val rm = readableMetrics(path, stats)
     val rows = stats.map { f =>
       org.apache.spark.sql.Row.fromSeq(
-        Seq(f.path, f.rows, f.sizeBytes) ++
-          geomLeaves.flatMap(k => Seq(
-            Option(f.mins(k)).map(_.asInstanceOf[Number].doubleValue()).orNull,
-            Option(f.maxs(k)).map(_.asInstanceOf[Number].doubleValue()).orNull)))
+        Seq[Any](f.path, f.rows, f.sizeBytes) ++
+          geomLeaves.flatMap(k => Seq[Any](
+            Option(f.mins(k)).map(v => Double.box(v.asInstanceOf[Number].doubleValue())).orNull,
+            Option(f.maxs(k)).map(v => Double.box(v.asInstanceOf[Number].doubleValue())).orNull)) ++
+          rm.map(_._2(f.path)).toSeq)
     }
     val schema = StructType(
       Seq(StructField("file_path", org.apache.spark.sql.types.StringType),
@@ -275,8 +283,76 @@ object GeoTable {
         StructField("file_size_in_bytes", org.apache.spark.sql.types.LongType)) ++
         geomLeaves.flatMap(k => Seq(
           StructField(s"min_$k".replace('.', '_'), org.apache.spark.sql.types.DoubleType),
-          StructField(s"max_$k".replace('.', '_'), org.apache.spark.sql.types.DoubleType))))
+          StructField(s"max_$k".replace('.', '_'), org.apache.spark.sql.types.DoubleType))) ++
+        rm.map(_._1).toSeq)
     spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** The reference's `readable_metrics` derived column on the files /
+    * entries metadata tables (`MetadataTableUtils` readable-metrics
+    * struct, TestMetadataTableReadableMetrics): one nested struct PER
+    * LOGICAL COLUMN, alphabetically ordered, each carrying
+    * `{column_size, value_count, null_value_count, nan_value_count,
+    * lower_bound, upper_bound}` with the bounds surfaced AS THE COLUMN'S
+    * OWN TYPE (human-readable, not serialized bytes). Unknown facets are
+    * null: column_size for legacy manifests, null_value_count for
+    * stat-less files, nan counts always (not tracked), bounds for types
+    * without value stats (geometry carries bbox shadows instead).
+    * None when the table predates recorded schemas.
+    * Returns (the struct field, per-file-path metric rows).
+    */
+  private[graft] def readableMetrics(path: String, stats: Seq[FileStats])
+      : Option[(StructField, Map[String, org.apache.spark.sql.Row])] = {
+    import org.apache.spark.sql.types._
+    val schema = Snapshots.readSchema(path).getOrElse(return None)
+    val phys = TableSchema.read(path).filterNot(_.dropped)
+      .map(e => e.logical -> e.physical).toMap
+    val cols = schema.fields.sortBy(_.name).toSeq
+    def ext(v: Any, dt: DataType): Any = v match {
+      case null => null
+      case _ => dt match {
+        case IntegerType => v.asInstanceOf[Number].intValue()
+        case LongType => v.asInstanceOf[Number].longValue()
+        case DoubleType => v.asInstanceOf[Number].doubleValue()
+        case FloatType => v.asInstanceOf[Number].floatValue()
+        case ShortType => v.asInstanceOf[Number].shortValue()
+        case ByteType => v.asInstanceOf[Number].byteValue()
+        case StringType => v.toString
+        case BooleanType => v match { case b: Boolean => b; case _ => null }
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()))
+        case TimestampType =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
+            v.asInstanceOf[Number].longValue())
+        case _: DecimalType => v match {
+          case bd: scala.math.BigDecimal => bd.bigDecimal
+          case n: Number => new java.math.BigDecimal(n.toString)
+          case _ => null
+        }
+        case _ => null // binary / nested: no readable bounds
+      }
+    }
+    val field = StructField("readable_metrics", StructType(cols.map(c =>
+      StructField(c.name, StructType(Seq(
+        StructField("column_size", LongType),
+        StructField("value_count", LongType),
+        StructField("null_value_count", LongType),
+        StructField("nan_value_count", LongType),
+        StructField("lower_bound", c.dataType),
+        StructField("upper_bound", c.dataType)))))))
+    val rows = stats.map { f =>
+      f.path -> org.apache.spark.sql.Row.fromSeq(cols.map { c =>
+        val k = phys.getOrElse(c.name, c.name)
+        org.apache.spark.sql.Row(
+          f.colSizes.get(k).map(Long.box).orNull,
+          Long.box(f.rows),
+          f.nulls.get(k).map(Long.box).orNull,
+          null,
+          ext(f.mins.get(k).orNull, c.dataType),
+          ext(f.maxs.get(k).orNull, c.dataType))
+      })
+    }.toMap
+    Some((field, rows))
   }
 
   // ---- manifest (de)serialization ---------------------------------------
@@ -304,7 +380,11 @@ object GeoTable {
         if (e.nulls.isEmpty) ""
         else e.nulls.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:$v" }
           .mkString(""","nulls":{""", ",", "}")
-      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs$nulls}"""
+      val csizes =
+        if (e.colSizes.isEmpty) ""
+        else e.colSizes.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:$v" }
+          .mkString(""","csizes":{""", ",", "}")
+      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs$nulls$csizes}"""
     }
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
     val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
@@ -499,7 +579,8 @@ object GeoTable {
           case _ => Map.empty
         }
         val nulls = m("nulls").collect { case (k, v: Number) => k -> v.longValue() }
-        FileStats(p, rows, size, m("mins"), m("maxs"), addedV, nulls)
+        val csizes = m("csizes").collect { case (k, v: Number) => k -> v.longValue() }
+        FileStats(p, rows, size, m("mins"), m("maxs"), addedV, nulls, csizes)
       }
       case _ => Nil
     }

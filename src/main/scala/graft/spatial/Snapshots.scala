@@ -952,6 +952,38 @@ object Snapshots {
     }
   }
 
+  /** Parquet compression writer options from (highest wins) the session
+    * conf `spark.sql.graft.parquet.compression-codec` / `-level`, then the
+    * table properties `write.parquet.compression-codec` / `-level` — the
+    * reference's TableProperties.PARQUET_COMPRESSION +
+    * SparkSQLProperties.COMPRESSION_CODEC precedence
+    * (TestCompressionSettings; SparkWriteConf.parquetCompressionCodec).
+    * Delete files read the `write.delete.parquet.*` property family
+    * instead, falling back to the data-file properties like the reference.
+    * Codec names are Spark's ParquetOptions set (zstd/gzip/snappy/lz4/
+    * uncompressed/...); the level applies to codecs that have one (zstd,
+    * gzip via their parquet-mr conf keys) and is ignored by the rest.
+    */
+  private[graft] def compressionSpec(spark: SparkSession,
+      tableProps: Map[String, String], delete: Boolean): (Option[String], Option[String]) = {
+    def prop(base: String): Option[String] =
+      if (delete) tableProps.get(s"write.delete.parquet.$base")
+        .orElse(tableProps.get(s"write.parquet.$base"))
+      else tableProps.get(s"write.parquet.$base")
+    val codec = spark.conf.getOption("spark.sql.graft.parquet.compression-codec")
+      .orElse(prop("compression-codec"))
+    val level = spark.conf.getOption("spark.sql.graft.parquet.compression-level")
+      .orElse(prop("compression-level"))
+    (codec.map(_.toLowerCase(java.util.Locale.ROOT)), level)
+  }
+
+  private def compressionOpts(spark: SparkSession,
+      tableProps: Map[String, String], delete: Boolean): Seq[(String, String)] = {
+    val (codec, level) = compressionSpec(spark, tableProps, delete)
+    codec.map("compression" -> _).toSeq ++
+      level.toSeq.map("parquet.compression.codec.zstd.level" -> _)
+  }
+
   private def writeBack(df: DataFrame, path: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
     val spark = df.sparkSession
     val specs = GeoTable.readPartitionSpecs(path)
@@ -986,8 +1018,9 @@ object Snapshots {
       case (k, v) if k == "write.parquet.bloom-filter-max-bytes" =>
         "parquet.bloom.filter.max.bytes" -> v
     }
-    val w = bloomOpts.foldLeft(withDerived.write.mode("overwrite"))(
-      (acc, kv) => acc.option(kv._1, kv._2))
+    val w = (bloomOpts ++ compressionOpts(spark, tableProps, delete = false))
+      .foldLeft(withDerived.write.mode("overwrite"))(
+        (acc, kv) => acc.option(kv._1, kv._2))
     (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w)
       .parquet(staging.toString)
     // move staged data files into the table dir, preserving partition
@@ -1443,7 +1476,14 @@ object Snapshots {
   private def writeDeleteFile(df: DataFrame, path: String, kind: String): (String, Long) = {
     val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
     val tmp = Files.createTempDirectory("graft_del").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    // delete files honor write.delete.parquet.compression-* (falling back
+    // to the data-file family) — the reference's DELETE_PARQUET_COMPRESSION
+    val delProps =
+      if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]
+    compressionOpts(df.sparkSession, delProps, delete = true)
+      .foldLeft(df.coalesce(1).write.mode("overwrite"))(
+        (acc, kv) => acc.option(kv._1, kv._2))
+      .parquet(tmp)
     val src = listDir(Paths.get(tmp))(
       _.filter(_.getFileName.toString.endsWith(".parquet")).foldLeft(
         null: java.nio.file.Path)((_, p) => p))
@@ -2485,16 +2525,22 @@ object Snapshots {
     */
   def entriesTable(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
     val v = currentVersion(path)
     val parent = if (v > 1 && Files.exists(manifestPath(path, v - 1)))
       readManifest(path, Some(v - 1)).map(_.path).toSet else Set.empty[String]
-    val rows = readManifest(path).map { f =>
-      org.apache.spark.sql.Row(
-        if (parent(f.path)) "existing" else "added", f.path, f.rows, f.sizeBytes)
+    val stats = readManifest(path)
+    val rm = GeoTable.readableMetrics(path, stats)
+    val rows = stats.map { f =>
+      org.apache.spark.sql.Row.fromSeq(Seq(
+        if (parent(f.path)) "existing" else "added", f.path, f.rows, f.sizeBytes) ++
+        rm.map(_._2(f.path)).toSeq)
     }
-    mkDf(spark, rows,
-      "status" -> StringType, "file_path" -> StringType,
-      "record_count" -> LongType, "file_size_in_bytes" -> LongType)
+    val schema = StructType(Seq(
+      StructField("status", StringType), StructField("file_path", StringType),
+      StructField("record_count", LongType),
+      StructField("file_size_in_bytes", LongType)) ++ rm.map(_._1).toSeq)
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** `refs`: one row per branch/tag with its target version (the

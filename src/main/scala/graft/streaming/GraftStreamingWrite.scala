@@ -104,10 +104,22 @@ object GraftWriters {
     * the PHYSICAL file schema (mirror of the read-side keys in
     * `GraftScan.createReaderFactory`).
     */
-  def writeConf(spark: SparkSession, physicalSchema: StructType): SerializableConfiguration = {
+  def writeConf(spark: SparkSession, physicalSchema: StructType,
+      path: String): SerializableConfiguration = {
     val sqlConf = spark.sessionState.conf
     val conf = spark.sessionState.newHadoopConf()
     ParquetWriteSupport.setSchema(physicalSchema, conf)
+    // declared parquet compression (session conf > table property — the
+    // V1 path's Snapshots.compressionSpec precedence) rides the conf to
+    // the executor-side ParquetWriter; zstd level via its parquet-mr key
+    val tableProps =
+      if (graft.spatial.Snapshots.currentVersion(path) > 0)
+        graft.spatial.Snapshots.readProps(path)
+      else Map.empty[String, String]
+    val (codec, level) =
+      graft.spatial.Snapshots.compressionSpec(spark, tableProps, delete = false)
+    codec.foreach(c => conf.set("graft.write.compression-codec", c))
+    level.foreach(l => conf.set("parquet.compression.codec.zstd.level", l))
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
       sqlConf.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
@@ -152,7 +164,7 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     val sess = spark
     val proj = GraftWriters.physicalProjection(sess, path, schema)
     GraftStreamWriterFactory(path,
-      GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(schema)), queryId,
+      GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(schema), path), queryId,
       GraftWriters.boundTransforms(sess, path, schema), proj.map(_._2).getOrElse(Nil))
   }
 
@@ -230,13 +242,20 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
       s"$name=$s"
     }.mkString("/")
 
+  // the declared codec rides in on the conf (GraftWriters.writeConf);
+  // snappy is the default the V1 writer path shares
+  private lazy val codec: CompressionCodecName =
+    Option(conf.get("graft.write.compression-codec"))
+      .map(c => CompressionCodecName.valueOf(c.toUpperCase(java.util.Locale.ROOT)))
+      .getOrElse(CompressionCodecName.SNAPPY)
+
   override def write(row: InternalRow): Unit = {
     val d = if (transforms.isEmpty) "" else dirFor(row)
     val (w, _) = writers.getOrElseUpdate(d, {
       val rel = if (d.isEmpty) baseName else s"$d/$baseName"
       (new Builder(new Path(new Path(dir), rel))
         .withConf(conf)
-        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withCompressionCodec(codec)
         .build(), rel)
     })
     w.write(if (proj.isEmpty) row else physicalRow(row))
