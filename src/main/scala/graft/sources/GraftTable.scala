@@ -974,6 +974,27 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     computed
   }
 
+  // ---- scan metrics (the reference's SparkScan custom metrics:
+  // TestSparkReadMetrics / metrics/* in spark/source) — planning-time
+  // pruning observability surfaced into the SQL UI node: how many
+  // manifest files the scan kept vs skipped, their byte volume, and the
+  // delete files riding along. All values fall out of the memoized
+  // planning pass — reporting reads no extra metadata.
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(GraftScan.metric("resultDataFiles", "data files read"),
+      GraftScan.metric("skippedDataFiles", "data files skipped by pruning"),
+      GraftScan.metric("totalFileSize", "bytes of data files read"),
+      GraftScan.metric("resultDeleteFiles", "delete files applied"))
+
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val candidates = incrementalFiles.getOrElse(Snapshots.readManifest(path, version))
+    val result = plannedFiles
+    Array(GraftScan.DriverMetric("resultDataFiles", result.size),
+      GraftScan.DriverMetric("skippedDataFiles", candidates.size - result.size),
+      GraftScan.DriverMetric("totalFileSize", result.map(_.sizeBytes).sum),
+      GraftScan.DriverMetric("resultDeleteFiles", posRefs.size + eqSpecs.size))
+  }
+
   private def computePlannedFiles: Seq[graft.spatial.FileStats] = {
     val manifest0 = incrementalFiles.getOrElse(Snapshots.readManifest(path, version))
     // claimed filters are not re-evaluated above the scan: enforce them
@@ -1087,7 +1108,19 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
           splittable = pos.isEmpty)
       }
     }
-    TaskPlanner.plan(spark, items, groupByKey = spjActive)
+    // per-read planning knobs (the reference's SparkReadOptions SPLIT_SIZE
+    // / FILE_OPEN_COST with the read.split.* table-property fallbacks)
+    def knob(opt: String, prop: String): Option[Long] = {
+      val o = streamOptions.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(opt) => v }
+      o.orElse(scala.util.Try(
+          graft.spatial.Snapshots.readProps(path, version).get(prop))
+        .toOption.flatten)
+        .map(_.toLong)
+    }
+    TaskPlanner.plan(spark, items, groupByKey = spjActive,
+      splitSize = knob("split-size", "read.split.target-size"),
+      openCostOpt = knob("file-open-cost", "read.split.open-file-cost"))
   }
 
   // ---- execution ----------------------------------------------------------
@@ -1231,6 +1264,20 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
 object GraftScan {
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral}
+
+  /** Sum-aggregated custom metric for the scan's SQL UI node. */
+  private[sources] def metric(n: String, desc: String)
+      : org.apache.spark.sql.connector.metric.CustomMetric =
+    new org.apache.spark.sql.connector.metric.CustomSumMetric {
+      override def name(): String = n
+      override def description(): String = desc
+    }
+
+  private[sources] case class DriverMetric(metricName: String, metricValue: Long)
+      extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+    override def name(): String = metricName
+    override def value(): Long = metricValue
+  }
 
   /** Typed per-file partition key schema for the declared transforms, in
     * spec order; None = unpartitioned or a transform whose key type can't

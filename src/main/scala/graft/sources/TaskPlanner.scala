@@ -44,21 +44,33 @@ object TaskPlanner {
     * floor at the open cost, target `totalBytes / minPartitionNum` so small
     * tables still fan out over the cluster.
     */
-  def maxSplitBytes(spark: SparkSession, totalBytes: Long): Long = {
+  def maxSplitBytes(spark: SparkSession, totalBytes: Long,
+      openCostOverride: Option[Long] = None): Long = {
     val conf = spark.sessionState.conf
     val minPartNum = conf.filesMinPartitionNum
       .getOrElse(spark.sparkContext.defaultParallelism)
     val bytesPerCore = totalBytes / math.max(1, minPartNum)
+    val openCost = openCostOverride.getOrElse(conf.filesOpenCostInBytes)
     // floor of 1: a zero open cost on a tiny table must not produce a
     // zero split size (division/step-by-zero in the callers)
     math.max(1L,
-      math.min(conf.filesMaxPartitionBytes, math.max(conf.filesOpenCostInBytes, bytesPerCore)))
+      math.min(conf.filesMaxPartitionBytes, math.max(openCost, bytesPerCore)))
   }
 
-  def plan(spark: SparkSession, items: Seq[Item], groupByKey: Boolean): Array[InputPartition] = {
+  /** `splitSize` / `openCostOpt` are the reference's per-read planning
+    * knobs (SparkReadOptions.SPLIT_SIZE / FILE_OPEN_COST, table
+    * properties `read.split.target-size` / `read.split.open-file-cost`,
+    * TableScanUtil): an explicit split size is ABSOLUTE — it replaces the
+    * adaptive Spark policy entirely, like the reference's targetSplitSize —
+    * while the open cost feeds both the adaptive floor and bin-packing.
+    */
+  def plan(spark: SparkSession, items: Seq[Item], groupByKey: Boolean,
+      splitSize: Option[Long] = None,
+      openCostOpt: Option[Long] = None): Array[InputPartition] = {
     if (items.isEmpty) return Array.empty
-    val openCost = spark.sessionState.conf.filesOpenCostInBytes
-    val maxSplit = maxSplitBytes(spark, items.map(_.pf.length + openCost).sum)
+    val openCost = openCostOpt.getOrElse(spark.sessionState.conf.filesOpenCostInBytes)
+    val maxSplit = splitSize.map(s => math.max(1L, s)).getOrElse(
+      maxSplitBytes(spark, items.map(_.pf.length + openCost).sum, openCostOpt))
 
     // 1) oversized splittable files → byte ranges
     val sized = items.flatMap { it =>

@@ -879,4 +879,60 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).toSet ==
       (0L until 100L).filter(_ % 5 == 2).toSet)
   }
+
+  test("split-size / file-open-cost read options and read.split.* properties steer planning") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.knobs (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO pq.tp.knobs SELECT /*+ REPARTITION(40) */ id, " +
+      "CAST(id AS DOUBLE) FROM range(4000)")
+    withConf("spark.sql.adaptive.enabled" -> "false") {
+      // explicit split-size is ABSOLUTE (the reference's SparkReadOptions
+      // SPLIT_SIZE): a huge target + zero open cost packs everything into
+      // one task regardless of Spark's adaptive policy
+      val one = spark.read
+        .option("split-size", (64L * 1024 * 1024).toString)
+        .option("file-open-cost", "0")
+        .table("pq.tp.knobs")
+      assert(graftScanOf(one).planInputPartitions().length == 1,
+        "a 64 MB split target with zero open cost must pack all tiny files into one task")
+      // the table-property form steers plain reads the same way
+      spark.sql("ALTER TABLE pq.tp.knobs SET TBLPROPERTIES (" +
+        "'read.split.target-size' = '1', 'read.split.open-file-cost' = '0')")
+      val many = spark.table("pq.tp.knobs")
+      val planned = graftScanOf(many).planInputPartitions().length
+      assert(planned >= 30, s"a 1-byte target must stop bin-packing, got $planned tasks")
+      // read option outranks the property
+      val again = spark.read
+        .option("split-size", (64L * 1024 * 1024).toString)
+        .option("file-open-cost", "0")
+        .table("pq.tp.knobs")
+      assert(graftScanOf(again).planInputPartitions().length == 1)
+      assert(spark.table("pq.tp.knobs").count() == 4000)
+    }
+  }
+
+  test("scan reports pruning metrics to the driver (resultDataFiles / skippedDataFiles)") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.metrics (id BIGINT, v DOUBLE) USING graft")
+    (0 until 4).foreach(i => spark.sql(
+      s"INSERT INTO pq.tp.metrics SELECT /*+ REPARTITION(1) */ id, CAST(id AS DOUBLE) " +
+        s"FROM range(${i * 1000}, ${i * 1000 + 1000})"))
+    val q = spark.sql("SELECT id FROM pq.tp.metrics WHERE id < 500")
+    val scan = graftScanOf(q)
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("resultDataFiles", "skippedDataFiles", "totalFileSize", "resultDeleteFiles"))
+    val m = scan.reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+    assert(m("resultDataFiles") == 1L, s"stats must prune to one file: $m")
+    assert(m("skippedDataFiles") == 3L, s"three files lie outside id<500: $m")
+    assert(m("totalFileSize") > 0L && m("resultDeleteFiles") == 0L)
+    // after a MoR delete the applied delete files surface in the metrics
+    spark.sql("ALTER TABLE pq.tp.metrics SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM pq.tp.metrics WHERE id = 100")
+    val q2 = spark.sql("SELECT id FROM pq.tp.metrics WHERE id < 500")
+    val m2 = graftScanOf(q2).reportDriverMetrics()
+      .map(t => t.name() -> t.value()).toMap
+    assert(m2("resultDeleteFiles") == 1L, s"the positional delete file must count: $m2")
+    assert(q2.collect().length == 499)
+  }
 }
