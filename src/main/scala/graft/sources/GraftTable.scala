@@ -981,10 +981,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   // delete files riding along. All values fall out of the memoized
   // planning pass — reporting reads no extra metadata.
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(GraftScan.metric("resultDataFiles", "data files read"),
-      GraftScan.metric("skippedDataFiles", "data files skipped by pruning"),
-      GraftScan.metric("totalFileSize", "bytes of data files read"),
-      GraftScan.metric("resultDeleteFiles", "delete files applied"))
+    Array(new ResultDataFilesMetric, new SkippedDataFilesMetric,
+      new TotalFileSizeMetric, new ResultDeleteFilesMetric)
 
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
     val candidates = incrementalFiles.getOrElse(Snapshots.readManifest(path, version))
@@ -1261,17 +1259,31 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   }
 }
 
+/** Scan custom metrics — TOP-LEVEL classes with zero-arg constructors:
+  * Spark re-instantiates CustomMetric classes REFLECTIVELY on the driver
+  * to aggregate SQL-UI values, so anonymous/inner classes break with
+  * "did not have a zero-argument constructor" on every query.
+  */
+class ResultDataFilesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "resultDataFiles"
+  override def description(): String = "data files read"
+}
+class SkippedDataFilesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "skippedDataFiles"
+  override def description(): String = "data files skipped by pruning"
+}
+class TotalFileSizeMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "totalFileSize"
+  override def description(): String = "bytes of data files read"
+}
+class ResultDeleteFilesMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "resultDeleteFiles"
+  override def description(): String = "delete files applied"
+}
+
 object GraftScan {
   import org.apache.spark.sql.catalyst.CatalystTypeConverters
   import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLiteral}
-
-  /** Sum-aggregated custom metric for the scan's SQL UI node. */
-  private[sources] def metric(n: String, desc: String)
-      : org.apache.spark.sql.connector.metric.CustomMetric =
-    new org.apache.spark.sql.connector.metric.CustomSumMetric {
-      override def name(): String = n
-      override def description(): String = desc
-    }
 
   private[sources] case class DriverMetric(metricName: String, metricValue: Long)
       extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
