@@ -85,12 +85,16 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
           val per = stats.map(f => f.nulls.get(k).map(n => f.rows - n))
           if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
         }
+      // TRUNCATED bounds (write.metadata.metrics truncate(n)) are bounds,
+      // not the exact extremes — any file flagging the column declines
       case AggregateExpression(Min(c), Complete, false, None, _) =>
         statKey(c).flatMap { case (k, dt) =>
-          fold(stats.map(_.mins.get(k)), dt, math.Ordering.Double.TotalOrdering.lt) }
+          if (stats.exists(_.truncated.contains(k))) None
+          else fold(stats.map(_.mins.get(k)), dt, math.Ordering.Double.TotalOrdering.lt) }
       case AggregateExpression(Max(c), Complete, false, None, _) =>
         statKey(c).flatMap { case (k, dt) =>
-          fold(stats.map(_.maxs.get(k)), dt, math.Ordering.Double.TotalOrdering.gt) }
+          if (stats.exists(_.truncated.contains(k))) None
+          else fold(stats.map(_.maxs.get(k)), dt, math.Ordering.Double.TotalOrdering.gt) }
       case _ => None
     }
   }

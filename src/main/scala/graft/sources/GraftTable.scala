@@ -490,12 +490,16 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         case _: CountStar =>
           Some((StructField("count(*)", LongType, nullable = false),
             gstats.map(_.rows).sum: Any))
+        // truncated bounds (write.metadata.metrics truncate(n)) are
+        // bounds, not exact extremes — decline like the logical-plan rule
         case m: Min => key(m.column).flatMap { case (k, dt) =>
-          graft.plans.StatsAggregatePushdown.fold(gstats.map(_.mins.get(k)), dt,
+          if (gstats.exists(_.truncated.contains(k))) None
+          else graft.plans.StatsAggregatePushdown.fold(gstats.map(_.mins.get(k)), dt,
             math.Ordering.Double.TotalOrdering.lt).map(v => (StructField(s"min($k)", dt), v))
         }
         case m: Max => key(m.column).flatMap { case (k, dt) =>
-          graft.plans.StatsAggregatePushdown.fold(gstats.map(_.maxs.get(k)), dt,
+          if (gstats.exists(_.truncated.contains(k))) None
+          else graft.plans.StatsAggregatePushdown.fold(gstats.map(_.maxs.get(k)), dt,
             math.Ordering.Double.TotalOrdering.gt).map(v => (StructField(s"max($k)", dt), v))
         }
         // COUNT(col) = Σ (rows − null_count(col)) — answerable whenever

@@ -39,7 +39,13 @@ case class FileStats(
       * Surfaced through the files/entries metadata tables'
       * `readable_metrics.<col>.column_size`.
       */
-    colSizes: Map[String, Long] = Map.empty) {
+    colSizes: Map[String, Long] = Map.empty,
+    /** Columns whose bounds were TRUNCATED at write time
+      * (write.metadata.metrics truncate(n) — [[MetricsModes]]): bounds
+      * remain sound for inclusive pruning but are NOT the exact extreme
+      * values, so MIN/MAX aggregate pushdown must decline them.
+      */
+    truncated: Seq[String] = Nil) {
 
   /** Hive-layout partition values parsed from the path — computed once
     * per FileStats instance; combined with the parsed-manifest memo

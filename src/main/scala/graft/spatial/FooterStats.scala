@@ -25,6 +25,139 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
   * unmappable in any row group get a null entry → inclusive evaluation
   * treats them as "might match" (never unsound pruning).
   */
+/** The reference's `write.metadata.metrics.*` table-property family
+  * (TableProperties METRICS_MODE_*, MetricsModes.java, tested by
+  * TestWriteMetricsConfig): per-column control over which manifest
+  * metrics a write records. At 100 TB this bounds manifest size — a wide
+  * table with multi-KB string columns otherwise persists full-length
+  * bounds for every file.
+  *
+  *  - `none`: no value metrics at all (no bounds, no null counts)
+  *  - `counts`: null counts only
+  *  - `truncate(n)`: counts + bounds truncated to n code points — the
+  *    lower bound is a prefix (≤ true min), the upper bound is the prefix
+  *    with its last code point incremented (≥ true max), so INCLUSIVE
+  *    pruning stays conservative; truncated columns are flagged in the
+  *    manifest so MIN/MAX aggregate pushdown declines (a truncated bound
+  *    is a bound, not the value)
+  *  - `full`: everything (this engine's default; the reference defaults
+  *    to truncate(16))
+  *
+  * Column keys are LOGICAL names; application maps them to the physical
+  * stats keys.
+  */
+object MetricsModes {
+  sealed trait Mode
+  case object NoMetrics extends Mode
+  case object Counts extends Mode
+  case object Full extends Mode
+  final case class Truncate(n: Int) extends Mode
+
+  private val TruncRe = "truncate\\((\\d+)\\)".r
+
+  def parse(s: String): Mode = s.trim.toLowerCase(java.util.Locale.ROOT) match {
+    case "none" => NoMetrics
+    case "counts" => Counts
+    case "full" => Full
+    case TruncRe(n) if n.toInt > 0 => Truncate(n.toInt)
+    case other => throw new IllegalArgumentException(
+      s"unsupported metrics mode: $other (none|counts|truncate(n)|full)")
+  }
+
+  /** (default mode, per-PHYSICAL-column overrides) for the table's current
+    * properties; Full when the table has no manifest yet.
+    */
+  def forTable(path: String): (Mode, Map[String, Mode]) = {
+    val props =
+      if (Snapshots.currentVersion(path) > 0) Snapshots.readProps(path)
+      else Map.empty[String, String]
+    val default = props.get("write.metadata.metrics.default")
+      .map(parse).getOrElse(Full)
+    val phys = TableSchema.read(path).filterNot(_.dropped)
+      .map(e => e.logical -> e.physical).toMap
+    val perCol = props.collect {
+      case (k, v) if k.startsWith("write.metadata.metrics.column.") =>
+        val logical = k.stripPrefix("write.metadata.metrics.column.")
+        phys.getOrElse(logical, logical) -> parse(v)
+    }
+    (default, perCol)
+  }
+
+  /** Truncate a string lower bound: a prefix is always ≤ the value. */
+  def truncMin(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** Truncate a string upper bound: prefix with the last code point
+    * incremented (skipping the surrogate gap); None when every prefix
+    * code point is already U+10FFFF (no representable upper bound).
+    */
+  def truncMax(s: String, n: Int): Option[String] = {
+    if (s.codePointCount(0, s.length) <= n) return Some(s)
+    val cps = s.codePoints().limit(n.toLong).toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val inc = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+      Some(new String(cps.take(i), 0, i) + new String(Character.toChars(inc)))
+    }
+  }
+
+  /** Apply the table's metrics config to freshly collected file stats. */
+  def apply(path: String, stats: Seq[FileStats]): Seq[FileStats] = {
+    val (default, perCol) = forTable(path)
+    if (default == Full && perCol.isEmpty) return stats
+    def mode(k: String): Mode = perCol.getOrElse(k.split('.').head, default)
+    stats.map { f =>
+      val keep = (m: Map[String, Any]) => m.filter { case (k, _) =>
+        mode(k) match {
+          case Full => true
+          case Truncate(_) => true // handled below
+          case _ => false
+        }
+      }
+      val truncated = mutable.ArrayBuffer.empty[String]
+      def bounds(m: Map[String, Any], isMin: Boolean): Map[String, Any] =
+        keep(m).flatMap { case (k, v) =>
+          mode(k) match {
+            case Truncate(n) => v match {
+              case s: String =>
+                if (isMin) Some(k -> truncMin(s, n))
+                else truncMax(s, n) match {
+                  case Some(t) =>
+                    if (t != s && !truncated.contains(k)) truncated += k
+                    Some(k -> t)
+                  case None => None
+                }
+              case other => Some(k -> other) // non-string: full bounds
+            }
+            case _ => Some(k -> v)
+          }
+        }
+      val mins = bounds(f.mins, isMin = true)
+      // a min prefix shorter than the value also marks truncation
+      f.mins.foreach { case (k, v) => mode(k) match {
+        case Truncate(n) => v match {
+          case s: String if truncMin(s, n) != s && !truncated.contains(k) =>
+            truncated += k
+          case _ => ()
+        }
+        case _ => ()
+      }}
+      val maxs = bounds(f.maxs, isMin = false)
+      // upper-bound truncation can DROP a key (no representable bound):
+      // drop the min too — a one-sided range would still prune soundly,
+      // but symmetric absence keeps the manifest shape simple
+      val minsAligned = mins.filter { case (k, _) =>
+        maxs.contains(k) || !mode(k).isInstanceOf[Truncate] }
+      val nulls = f.nulls.filter { case (k, _) => mode(k) != NoMetrics }
+      f.copy(mins = minsAligned, maxs = maxs, nulls = nulls,
+        truncated = truncated.toSeq.sorted)
+    }
+  }
+}
+
 object FooterStats {
 
   /** Read stats for one data file (runs on an executor). */

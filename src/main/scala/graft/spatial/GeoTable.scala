@@ -172,7 +172,9 @@ object GeoTable {
           .map(n => FooterStats.read(path, n, conf.value, geomCols))
           .collect().toSeq
       }
-    stats.sortBy(_.path)
+    // declared write.metadata.metrics.* modes trim/truncate the recorded
+    // stats (driver-side: stats are tiny next to the footer reads)
+    MetricsModes(path, stats.sortBy(_.path))
   }
 
   /** Compute and publish the manifest for every data file in the directory
@@ -384,7 +386,10 @@ object GeoTable {
         if (e.colSizes.isEmpty) ""
         else e.colSizes.toSeq.sortBy(_._1).map { case (k, v) => s"${jsonVal(k)}:$v" }
           .mkString(""","csizes":{""", ",", "}")
-      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs$nulls$csizes}"""
+      val trunc =
+        if (e.truncated.isEmpty) ""
+        else e.truncated.map(jsonVal).mkString(""","trunc":[""", ",", "]")
+      s"""{"path":${jsonVal(e.path)},"rows":${e.rows},"size":${e.sizeBytes},"v":${e.addedV},"mins":$mins,"maxs":$maxs$nulls$csizes$trunc}"""
     }
     val del = deletes.map(jsonVal).mkString("[", ",", "]")
     val parts = partitionCols.map(jsonVal).mkString("[", ",", "]")
@@ -580,7 +585,11 @@ object GeoTable {
         }
         val nulls = m("nulls").collect { case (k, v: Number) => k -> v.longValue() }
         val csizes = m("csizes").collect { case (k, v: Number) => k -> v.longValue() }
-        FileStats(p, rows, size, m("mins"), m("maxs"), addedV, nulls, csizes)
+        val trunc = (f \ "trunc") match {
+          case JArray(ts) => ts.collect { case JString(t) => t }
+          case _ => Nil
+        }
+        FileStats(p, rows, size, m("mins"), m("maxs"), addedV, nulls, csizes, trunc)
       }
       case _ => Nil
     }
