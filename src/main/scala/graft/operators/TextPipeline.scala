@@ -420,6 +420,38 @@ object TextPipeline {
           count(lit(1)).cast("int").as("n_toks"))
     }),
 
+    // CCNet perplexity bucketing: split each LANGUAGE's documents into
+    // head/middle/tail thirds by LM perplexity — the published CCNet
+    // pipeline keeps "head" (closest to the reference LM) for pretraining.
+    // Buckets come from integer per-language rank tertiles (rk*3 <= n),
+    // not float threshold comparisons, so the oracle agrees exactly; the
+    // rank window partitions by lang — parallel across languages, no
+    // global sort (same posture as curate_sample_stratified). Ordering is
+    // on the ROUNDED score + doc_id tiebreak so both engines sort the
+    // same ties identically.
+    "text_ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = d.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+        .filter(col("tok") =!= "")
+      val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).as("tot"))
+      val scored = tk.join(broadcast(vocab), "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("logppl"), col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("bucket",
+          when(col("rk") * 3 <= col("n"), "head")
+            .when(col("rk") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail"))
+        .select(col("doc_id"), col("lang"), col("logppl"), col("bucket"))
+    }),
+
     // Vocabulary-coverage / OOV gate: build the top-K corpus vocabulary
     // (one map-side-combined count + a TakeOrdered top-K heap — no global
     // sort), then score every doc's out-of-vocabulary token rate against
@@ -667,6 +699,28 @@ object TextPipeline {
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
         |FROM documents""".stripMargin,
+
+    "text_ccnet_buckets" ->
+      """WITH tk0 AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang, tok FROM tk0 WHERE tok <> ''),
+        |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS tot FROM v),
+        |s AS (
+        |  SELECT doc_id, lang, round(avg(-ln(cnt * 1.0 / tot)), 6) AS logppl
+        |  FROM tk JOIN v USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id, lang),
+        |r AS (
+        |  SELECT doc_id, lang, logppl,
+        |   CAST(row_number() OVER (PARTITION BY lang ORDER BY logppl, doc_id) AS INTEGER) AS rk,
+        |   CAST(count(*) OVER (PARTITION BY lang) AS INTEGER) AS n
+        |  FROM s)
+        |SELECT doc_id, lang, logppl,
+        | CASE WHEN rk * 3 <= n THEN 'head'
+        |      WHEN rk * 3 <= n * 2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
 
     "text_domain_drift" ->
       """WITH tk0 AS (
