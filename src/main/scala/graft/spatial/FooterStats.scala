@@ -108,7 +108,14 @@ object MetricsModes {
   def apply(path: String, stats: Seq[FileStats]): Seq[FileStats] = {
     val (default, perCol) = forTable(path)
     if (default == Full && perCol.isEmpty) return stats
-    def mode(k: String): Mode = perCol.getOrElse(k.split('.').head, default)
+    // geometry bbox SHADOW stats are exempt: they are derived pruning
+    // metadata (4 doubles per geometry column, bounded), not user column
+    // stats — a blanket `default = none/counts` must not silently kill
+    // spatial pruning (the reference's geometry bounds ride the manifest
+    // unconditionally too)
+    def mode(k: String): Mode =
+      if (k.contains("_bbox")) Full
+      else perCol.getOrElse(k.split('.').head, default)
     stats.map { f =>
       val keep = (m: Map[String, Any]) => m.filter { case (k, _) =>
         mode(k) match {

@@ -67,6 +67,26 @@ class MetricsModesSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).filter(col("v").isNotNull).count() == 80)
   }
 
+  test("geometry bbox shadow stats are exempt from metrics modes") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_mm_geo").toString
+    val mk = (ids: Range) => {
+      import spark.implicits._
+      ids.map(i => (i.toLong, s"POINT ($i $i)")).toDF("id", "wkt")
+        .withColumn("geom", expr("ST_GeomFromText(wkt)")).drop("wkt")
+    }
+    // declared encoding → appends derive the bbox shadow themselves
+    GeoTable.write(mk(0 until 20), dir, "geom", res = 8,
+      storageEncoding = Some("wkb"))
+    Snapshots.updateProperties(dir, Map("write.metadata.metrics.default" -> "none"))
+    // appends carry the bbox shadow like every geo write path
+    Snapshots.append(GeoTable.withBbox(mk(100 until 120), "geom"), dir)
+    val newFile = Snapshots.readManifest(dir).filter(_.addedV > 1).head
+    assert(!newFile.mins.contains("id"), "none mode drops user-column stats")
+    assert(newFile.mins.keys.exists(_.contains("_bbox")),
+      s"bbox shadow stats must survive a blanket none mode: ${newFile.mins.keySet}")
+  }
+
   test("truncate(n): sound pruning bounds, MIN/MAX pushdown declines, " +
       "per-column override beats default") {
     val wh = Files.createTempDirectory("graft_mm_wh").toString
