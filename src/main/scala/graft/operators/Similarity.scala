@@ -170,6 +170,95 @@ object Similarity {
     // joins; at 100 TB this is one codegen'd scan with broadcast-free
     // centroid state. Ties on rounded cosine break to the smallest
     // centroid id via struct-ordered greatest().
+    // Product-quantization (PQ) approximate top-3 — the MEMORY story of
+    // ANN at 100 TB: each 64-d float vector compresses to m=4 one-byte
+    // codes (one per 16-d subspace, k=16 centroids each → 64x smaller
+    // than float64), and query-to-vector distance is m table LOOKUPS
+    // (asymmetric distance computation) instead of d multiplications.
+    // Codebooks train driver-side over a BOUNDED stride sample (Lloyd per
+    // subspace, L2); encoding is MAP-ONLY codegen'd column expressions
+    // (transform/zip_with/aggregate — no UDFs). The ADC pass scans codes
+    // against the broadcast query LUTs; the top-16 ADC candidates per
+    // query get an EXACT cosine re-rank on the full vectors. At corpus
+    // scale this composes with the IVF cell routing (IVF-PQ): cells bound
+    // the candidate scan, PQ bounds its memory and per-pair cost.
+    "sim_pq_topk" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val n = e0.count()
+      val m = 4; val ksub = 16; val dsub = 16
+      val stride = math.max(1L, n / 2048)
+      val sample = e0.filter(col("vec_id") % stride === 0)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      // per-subspace L2 Lloyd over the sample (k x dsub doubles each)
+      def train(sub: Int): Seq[Seq[Double]] = {
+        val vs = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
+        var cents = Array.tabulate(math.min(ksub, vs.length))(
+          i => vs(i * vs.length / ksub))
+        for (_ <- 1 to 3) {
+          def nearest(v: Array[Double]): Int = {
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < cents.length) {
+              var d2 = 0.0; var i = 0
+              while (i < v.length) { val d = v(i) - cents(c)(i); d2 += d * d; i += 1 }
+              if (d2 < bd) { bd = d2; best = c }
+              c += 1
+            }
+            best
+          }
+          val byCell = vs.groupBy(nearest)
+          cents = cents.indices.map { c =>
+            byCell.get(c) match {
+              case Some(g) =>
+                val mean = new Array[Double](dsub)
+                g.foreach(v => (0 until dsub).foreach(i => mean(i) += v(i)))
+                mean.map(_ / g.length)
+              case None => cents(c)
+            }
+          }.toArray
+        }
+        cents.map(_.toSeq).toSeq
+      }
+      val books = (0 until m).map(train) // m x k x dsub, broadcast literals
+      // map-only encode: per subspace, argmin L2 over the k centroids
+      def codeCol(sub: Int): Column = {
+        val cb = typedlit(books(sub))
+        val sv = slice(col("v"), sub * dsub + 1, dsub)
+        val dists = transform(cb, c => aggregate(
+          zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (a, x) => a + x))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
+      val coded = e0.select(col("vec_id"), col("v"),
+        array((0 until m).map(codeCol): _*).as("codes"))
+      // queries carry their per-subspace LUTs (k ADC distances each)
+      def lutCol(sub: Int): Column = {
+        val cb = typedlit(books(sub))
+        val sv = slice(col("v"), sub * dsub + 1, dsub)
+        transform(cb, c => aggregate(
+          zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (a, x) => a + x))
+      }
+      val q = e0.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          array((0 until m).map(lutCol): _*).as("luts"))
+      // ADC scan: approx dist = sum of m LUT lookups; top-16 per query
+      val adc = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("adist", aggregate(
+          zip_with(col("codes"), col("luts"),
+            (c, lut) => element_at(lut, c + 1)),
+          lit(0.0d), (a, x) => a + x))
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      adc.withColumn("crn", row_number().over(wAdc))
+        .filter(col("crn") <= 16)
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     "sim_centroid_assign" -> ((s, dir) => {
       val k = 8
       val e = emb(s, dir)

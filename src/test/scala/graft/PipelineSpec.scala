@@ -107,6 +107,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toDouble / total >= 0.3, s"IVF recall ${hits.toDouble / total}")
   }
 
+  test("PQ ANN: exact re-rank, compressed codes, usable recall vs brute force") {
+    val pq = SparkEntry.queries("sim_pq_topk")(spark, sf).collect()
+    assert(pq.nonEmpty)
+    assert(pq.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    // re-rank is EXACT: every reported cos equals the brute-force cosine
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      bruteMap.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+    // 4x16-centroid codes + ADC top-16 candidates recover a usable share
+    // of the true top-3
+    val top3 = brute.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(-_.getDouble(2)).take(3).map(_.getLong(1)).toSet).toMap
+    val hits = pq.count(r => top3.get(r.getLong(0)).exists(_.contains(r.getLong(1))))
+    val total = top3.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.3, s"PQ recall ${hits.toDouble / total}")
+  }
+
   test("mm_features is deterministic and correctly shaped") {
     val a = SparkEntry.queries("mm_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_features")(spark, sf).collect()
