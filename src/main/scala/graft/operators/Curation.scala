@@ -172,6 +172,11 @@ object Curation {
     // BROADCAST back, then a map-only filter + per-doc reassembly.
     "text_boilerplate_scrub" -> ((s, dir) => {
       val K = 3
+      // the line frame feeds TWO branches (df counting + the anti-join
+      // probe); un-materialized each branch re-runs tokenize+explode —
+      // two full corpus scans. One eager localCheckpoint = one scan
+      // (the jaccardPairs rationale; at 100 TB the blocks feed both
+      // branches instead of doubling scan I/O).
       val lines = docs(s, dir)
         .select(col("doc_id"),
           posexplode(transform(
@@ -180,6 +185,7 @@ object Curation {
                 split(lower(trim(col("text"))), "\\s+")) / lit(8.0)).cast("int") - 1, lit(0))),
             i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
               i * 8 + 1, lit(8))))).as(Seq("line_no", "line")))
+        .localCheckpoint(true)
       val boiler = lines.groupBy(col("line"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= K)
