@@ -307,9 +307,18 @@ object GeoTable {
       : Option[(StructField, Map[String, org.apache.spark.sql.Row])] = {
     import org.apache.spark.sql.types._
     val schema = Snapshots.readSchema(path).getOrElse(return None)
+    // the recorded schema stores PHYSICAL names; surface the current
+    // LOGICAL names (renames) and skip dropped columns
+    val byPhys = TableSchema.read(path).map(e => e.physical -> e).toMap
+    val cols = schema.fields.toSeq.flatMap { f =>
+      byPhys.get(f.name) match {
+        case Some(e) if e.dropped => None
+        case Some(e) => Some(f.copy(name = e.logical))
+        case None => Some(f)
+      }
+    }.sortBy(_.name)
     val phys = TableSchema.read(path).filterNot(_.dropped)
       .map(e => e.logical -> e.physical).toMap
-    val cols = schema.fields.sortBy(_.name).toSeq
     def ext(v: Any, dt: DataType): Any = v match {
       case null => null
       case _ => dt match {

@@ -85,6 +85,20 @@ class ReadableMetricsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE rmcat.db.rm_t")
   }
 
+  test("column rename: readable_metrics keys by the NEW logical name, stats resolve physically") {
+    val dir = mkTable()
+    graft.spatial.TableSchema.renameColumn(spark, dir, "name", "title")
+    val files = Snapshots.metadataTable(spark, dir, "files")
+    val rm = files.select("readable_metrics.*")
+    assert(rm.columns.toSeq == Seq("d", "id", "score", "title"),
+      s"struct keys follow the rename: ${rm.columns.toSeq}")
+    val row = files.selectExpr(
+      "readable_metrics.title.lower_bound", "readable_metrics.title.column_size").head()
+    assert(row.getString(0) == "name_000",
+      "bounds come from the ORIGINAL physical stats key")
+    assert(row.getLong(1) > 0L)
+  }
+
   test("legacy manifests (no recorded column sizes) keep null column_size") {
     val dir = mkTable()
     // simulate a legacy entry: strip csizes by rewriting stats without them
