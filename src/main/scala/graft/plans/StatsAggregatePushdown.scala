@@ -27,7 +27,10 @@ import graft.spatial.{FileStats, GraftFileIndex}
 object StatsAggregatePushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, child, _) =>
+    case agg @ Aggregate(Nil, aggExprs, child, _)
+        if org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.sql.graft.aggregate-push-down.enabled")
+          .forall(_.toBoolean) =>
       unwrap(child).map { case (index, keys) =>
         val stats = index.allStats
         if (stats.isEmpty) agg

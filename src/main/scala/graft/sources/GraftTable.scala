@@ -411,6 +411,11 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
   private var lastAgg: (Aggregation, Option[(StructType, Array[InternalRow])]) = _
 
   private def evalCached(agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+    // session kill-switch, the reference's
+    // SparkSQLProperties.AGGREGATE_PUSH_DOWN_ENABLED (default true) —
+    // lets users force a real scan when auditing results
+    if (!spark.conf.getOption("spark.sql.graft.aggregate-push-down.enabled")
+        .forall(_.toBoolean)) return None
     val last = lastAgg
     if (last != null && (last._1 eq agg)) last._2
     else { val r = evalAggregation(agg); lastAgg = (agg, r); r }
@@ -1193,9 +1198,21 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       if (forceRowDeletes || posRefs.nonEmpty)
         Some(DeleteFiles.readerFactory(spark, DeleteFiles.PosDeleteSchema))
       else None
+    // the reference's vectorization toggle (SparkReadOptions
+    // VECTORIZATION_ENABLED / TableProperties PARQUET_VECTORIZATION):
+    // read option > table property > enabled — false forces the row path
+    // (debugging surface; columnar stays the default)
+    val vectorize = streamOptions.collectFirst {
+        case (k, v) if k.equalsIgnoreCase("vectorization-enabled") => v.toBoolean }
+      .orElse(scala.util.Try(
+          graft.spatial.Snapshots.readProps(path, version)
+            .get("read.parquet.vectorization.enabled").map(_.toBoolean))
+        .toOption.flatten)
+      .getOrElse(true)
     GraftBatchReaderFactory(parquet, posFactory, morPredicate(),
       forceRowDeletes || posRefs.nonEmpty || eqSpecs.nonEmpty,
-      combinedPhysical, projectionExprs, keepIdx, rowIdxOrdinal, metaCols)
+      combinedPhysical, projectionExprs, keepIdx, rowIdxOrdinal, metaCols,
+      vectorize)
   }
 
   private def combinedPhysical: StructType =
@@ -1610,7 +1627,9 @@ case class GraftBatchReaderFactory(
       */
     rowIdxOrdinal: Int = -1,
     /** Metadata columns to append (`_file`/`_pos`/`_deleted`). */
-    metaCols: Seq[String] = Nil) extends PartitionReaderFactory {
+    metaCols: Seq[String] = Nil,
+    /** false = the declared vectorization toggle forces row readers. */
+    vectorizationEnabled: Boolean = true) extends PartitionReaderFactory {
 
   private def uniformRowMode: Boolean =
     projection.isDefined || morPredicate.isDefined || anyDeletes ||
@@ -1618,7 +1637,7 @@ case class GraftBatchReaderFactory(
       rowIdxOrdinal >= 0 || metaCols.nonEmpty
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    !uniformRowMode &&
+    vectorizationEnabled && !uniformRowMode &&
       parquet.supportColumnarReads(partition.asInstanceOf[GraftInputPartition].fp)
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =

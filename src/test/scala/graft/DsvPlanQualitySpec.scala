@@ -911,6 +911,44 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate-push-down kill-switch forces a real scan with identical results") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.aggsw (id BIGINT) USING graft")
+    spark.sql("INSERT INTO pq.tp.aggsw SELECT id FROM range(100)")
+    val sql = "SELECT count(*) AS n, min(id) AS lo, max(id) AS hi FROM pq.tp.aggsw"
+    val pushed = spark.sql(sql)
+    assert(!pushed.queryExecution.executedPlan.toString.contains("BatchScan"),
+      "default: answered from the manifest")
+    spark.conf.set("spark.sql.graft.aggregate-push-down.enabled", "false")
+    try {
+      val scanned = spark.sql(sql)
+      assert(scanned.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "kill-switch must force a real scan")
+      assert(scanned.collect().toSeq == pushed.collect().toSeq)
+    } finally spark.conf.unset("spark.sql.graft.aggregate-push-down.enabled")
+  }
+
+  test("vectorization-enabled=false forces the row path (option and property forms)") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.tp.vec (id BIGINT, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO pq.tp.vec SELECT id, CAST(id AS DOUBLE) FROM range(1000)")
+    val cols = spark.table("pq.tp.vec")
+    assert(cols.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "clean scans default to the columnar path")
+    val rows = spark.read.option("vectorization-enabled", "false").table("pq.tp.vec")
+    assert(!rows.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the read option must force row readers")
+    assert(rows.count() == 1000 && rows.agg(org.apache.spark.sql.functions.sum("v")).head().getDouble(0) == 499500.0)
+    spark.sql("ALTER TABLE pq.tp.vec SET TBLPROPERTIES " +
+      "('read.parquet.vectorization.enabled' = 'false')")
+    val viaProp = spark.table("pq.tp.vec")
+    assert(!viaProp.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "the table-property form steers plain reads")
+    // option outranks property
+    val back = spark.read.option("vectorization-enabled", "true").table("pq.tp.vec")
+    assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+  }
+
   test("scan reports pruning metrics to the driver (resultDataFiles / skippedDataFiles)") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.tp.metrics (id BIGINT, v DOUBLE) USING graft")
