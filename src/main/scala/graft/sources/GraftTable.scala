@@ -640,7 +640,9 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       opt("maxRecordsPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
       opt("maxBytesPerTrigger").map(_.toLong).getOrElse(Long.MaxValue),
       opt("stream-from-timestamp").map(_.toLong),
-      opt("branch"))
+      opt("branch"),
+      opt("streaming-skip-delete-snapshots").forall(_.toBoolean),
+      opt("streaming-skip-overwrite-snapshots").forall(_.toBoolean))
   }
 
   /** Same scan with extra pruning conjuncts; `this` when nothing new (the

@@ -59,7 +59,9 @@ class GraftStreamProvider extends TableProvider with DataSourceRegister {
       Option(opts.get("maxRecordsPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong).getOrElse(Long.MaxValue),
       Option(opts.get("stream-from-timestamp")).map(_.toLong),
-      Option(opts.get("branch")))
+      Option(opts.get("branch")),
+      Option(opts.get("streaming-skip-delete-snapshots")).forall(_.toBoolean),
+      Option(opts.get("streaming-skip-overwrite-snapshots")).forall(_.toBoolean))
   }
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
@@ -83,7 +85,9 @@ object GraftStreamTable {
 class GraftStreamTable(path: String, maxFiles: Int,
     maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue,
     streamFromTimestamp: Option[Long] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    skipDeleteSnapshots: Boolean = true,
+    skipOverwriteSnapshots: Boolean = true)
     extends Table with SupportsRead {
   override def name(): String = s"graft-stream:$path"
   override def schema(): StructType = GraftStreamTable.tableSchema(path)
@@ -96,7 +100,8 @@ class GraftStreamTable(path: String, maxFiles: Int,
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes,
-            streamFromTimestamp, branch)
+            streamFromTimestamp, branch, skipDeleteSnapshots,
+            skipOverwriteSnapshots)
       }
     }
 }
@@ -118,7 +123,15 @@ object GraftStreamOffset {
 class GraftMicroBatchStream(path: String, maxFiles: Int,
     maxRecords: Long = Long.MaxValue, maxBytes: Long = Long.MaxValue,
     streamFromTimestamp: Option[Long] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    /** The reference's SparkReadOptions STREAMING_SKIP_DELETE_SNAPSHOTS /
+      * STREAMING_SKIP_OVERWRITE_SNAPSHOTS. Deviation, stated: our default
+      * is true (skip) on both — the established silent-skip posture of
+      * this source — where the reference FAILS by default; set false to
+      * get the reference's strict failure.
+      */
+    skipDeleteSnapshots: Boolean = true,
+    skipOverwriteSnapshots: Boolean = true)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -165,7 +178,16 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
       val m = Snapshots.readManifest(path, Some(v))
       val names = m.map(_.path).toSet
       val entered = m.filterNot(f => prev(f.path)).sortBy(_.path)
-      if ((prev -- names).isEmpty || prev.isEmpty) out += (v -> entered)
+      val removedAny = prev.nonEmpty && (prev -- names).nonEmpty
+      if (!removedAny) out += (v -> entered)
+      else if (entered.isEmpty && !skipDeleteSnapshots)
+        throw new IllegalStateException(
+          s"cannot stream past a delete snapshot (version $v); " +
+            "set streaming-skip-delete-snapshots=true to skip it")
+      else if (entered.nonEmpty && !skipOverwriteSnapshots)
+        throw new IllegalStateException(
+          s"cannot stream past an overwrite/rewrite snapshot (version $v); " +
+            "set streaming-skip-overwrite-snapshots=true to skip it")
       prev = names
     }
     out.result()
@@ -369,9 +391,12 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
 class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
     maxFiles: Int, maxRecords: Long, maxBytes: Long,
     streamFromTimestamp: Option[Long] = None,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    skipDeleteSnapshots: Boolean = true,
+    skipOverwriteSnapshots: Boolean = true)
     extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes,
-      streamFromTimestamp, branch) {
+      streamFromTimestamp, branch, skipDeleteSnapshots,
+      skipOverwriteSnapshots) {
   override def createReaderFactory(): PartitionReaderFactory = scan.streamReaderFactory()
 }
 

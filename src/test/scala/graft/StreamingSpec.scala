@@ -234,6 +234,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got2 == expected2)
   }
 
+  test("streaming-skip-*-snapshots=false fails strictly on non-append snapshots") {
+    import graft.spatial.{GeoTable, Snapshots}
+    val dir = Files.createTempDirectory("graft_strict_stream").toString + "/tbl"
+    spark.range(40).select(col("id"), (col("id") % 4).as("k"))
+      .coalesce(2).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    // a CoW delete produces an overwrite-shaped snapshot (files removed
+    // AND rewritten)
+    Snapshots.delete(spark, dir, col("k") === 1)
+    def run(opts: Map[String, String], name: String): Option[Throwable] = {
+      val r = spark.readStream.format("graft-stream")
+        .options(opts).load(dir)
+      val q = r.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable(); q.exception }
+      catch { case e: Throwable => Some(e) }
+      finally q.stop()
+    }
+    // default posture: skip silently, stream the committed state
+    assert(run(Map.empty, "strict0").isEmpty)
+    assert(spark.table("strict0").count() == 40,
+      "the rewrite's additions are skipped (rematerialized rows)")
+    // strict overwrite mode: the walk refuses the rewrite snapshot
+    val err = run(Map("streaming-skip-overwrite-snapshots" -> "false"), "strict1")
+    assert(err.exists(e => String.valueOf(e.getMessage) + String.valueOf(e.getCause) contains "overwrite/rewrite snapshot"),
+      s"strict mode must fail on the rewrite: $err")
+    // NOTE: a PURE delete snapshot (files removed, none added) cannot
+    // arise along a stamped ancestry here — CoW deletes always rewrite
+    // survivors, and out-of-band manifest re-publishes start a fresh
+    // ancestry the walk will not cross. The delete-strict branch stays
+    // as defense for degenerate manifests; only the overwrite form is
+    // reachable, tested above. Strict mode off again streams clean:
+    assert(run(Map("streaming-skip-delete-snapshots" -> "false"), "strict2").isEmpty,
+      "delete-strict must not trip on an overwrite-shaped chain")
+  }
+
   test("table stream honors maxFilesPerTrigger admission control") {
     import graft.spatial.GeoTable
     import graft.streaming.GeoStreams
