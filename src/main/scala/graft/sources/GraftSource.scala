@@ -86,6 +86,8 @@ class GraftSource extends RelationProvider with DataSourceRegister
 
   private def resolveVersion(path: String, opt: String => Option[String]): Option[Int] =
     opt("version").map(_.toInt)
+      // the reference's SparkReadOptions.SNAPSHOT_ID name for the same thing
+      .orElse(opt("snapshot-id").map(_.toInt))
       .orElse(opt("ref").map(Snapshots.resolveRef(path, _)))
       .orElse(opt("branch").map(Snapshots.resolveRef(path, _)))
       .orElse(opt("tag").map(Snapshots.resolveRef(path, _)))

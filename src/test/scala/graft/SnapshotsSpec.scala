@@ -130,6 +130,8 @@ class SnapshotsSpec extends AnyFunSuite {
     val t = spark.read.format("graft").load(dir)
     assert(t.count() == 100)
     assert(spark.read.format("graft").option("version", "1").load(dir).count() == 60)
+    // the reference's SparkReadOptions.SNAPSHOT_ID spelling resolves too
+    assert(spark.read.format("graft").option("snapshot-id", "1").load(dir).count() == 60)
     // spatial pushdown works through the format: the envelope covers only
     // quadrant 0, so the late bbox-rewrite rule must prune the two
     // quadrant-2 files out of the DSv2 scan
