@@ -218,6 +218,38 @@ object Curation {
           col("n_tokens"), col("cum_tokens"))
     }),
 
+    // Temperature-flattened domain RESAMPLING (the multilingual/multi-
+    // source reweighting of mBERT/XLM-R and the Pile: target mixture
+    // ∝ share^(1/T), T=2 — head domains subsample, tail domains keep
+    // everything). Acceptance rate_s ∝ 1/sqrt(share_s), normalized so the
+    // SMALLEST source keeps rate 1.0; a doc survives when a deterministic
+    // md5-derived draw falls under its source's rate — both engines
+    // replay the identical draw (the text_quality_classifier ascii-pair
+    // primitive; a production pipeline would draw from xxhash64 for
+    // strict uniformity). Scale: one tiny per-source count (20 rows,
+    // broadcast back), then a MAP-ONLY keep filter — the corpus never
+    // shuffles.
+    "curate_temperature_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val srcCnt = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+      val tot = srcCnt.agg(sum(col("cnt")).as("tot"))
+      val rates = srcCnt.crossJoin(broadcast(tot))
+        .withColumn("raw_rate", lit(1.0) / sqrt(col("cnt") / col("tot")))
+      val maxRate = rates.agg(max(col("raw_rate")).as("mx"))
+      val normed = rates.crossJoin(broadcast(maxRate))
+        .withColumn("rate", round(col("raw_rate") / col("mx"), 6))
+        .select(col("source"), col("rate"))
+      val h = md5(col("doc_id").cast("string"))
+      val u = ((ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 1000)
+        .cast("double") / lit(1000.0d)
+      d.join(broadcast(normed), "source")
+        .withColumn("keep", (u < col("rate")).cast("int"))
+        .groupBy("source", "rate")
+        .agg(count(lit(1)).cast("int").as("n_docs"),
+          sum(col("keep")).cast("int").as("n_kept"))
+        .select(col("source"), col("rate"), col("n_docs"), col("n_kept"))
+    }),
+
     // Deterministic global shuffle index: position of every doc in the
     // md5-of-id permutation, built scalably — shard by the first TWO hex
     // chars of the hash (256 shards; shard order == global order prefix),
@@ -314,6 +346,23 @@ object Curation {
         |FROM tk JOIN v USING (tok) CROSS JOIN tot
         |WHERE doc_id % 97 <> 0
         |GROUP BY doc_id""".stripMargin,
+
+    "curate_temperature_resample" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |t AS (SELECT sum(cnt) AS tot FROM c),
+        |r AS (SELECT source, cnt, 1.0 / sqrt(cnt * 1.0 / tot) AS raw_rate
+        |      FROM c CROSS JOIN t),
+        |m AS (SELECT max(raw_rate) AS mx FROM r),
+        |n AS (SELECT source, round(raw_rate / mx, 6) AS rate FROM r CROSS JOIN m),
+        |d AS (SELECT doc_id, source,
+        |  ((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+        |    + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 1000) / 1000.0 AS u
+        |  FROM documents)
+        |SELECT d.source, n.rate,
+        | CAST(count(*) AS INTEGER) AS n_docs,
+        | CAST(sum(CASE WHEN d.u < n.rate THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
+        |FROM d JOIN n USING (source)
+        |GROUP BY d.source, n.rate""".stripMargin,
 
     "curate_sample_stratified" ->
       """SELECT doc_id, lang, rk FROM (
