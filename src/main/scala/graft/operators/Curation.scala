@@ -167,9 +167,14 @@ object Curation {
     // The synthetic corpus is single-line, so lines are defined as fixed
     // 8-token windows — the splitter is the pluggable part, the operator
     // is the corpus-frequency scrub. Shape at 100 TB: one map-side-
-    // combined shuffle to count line document-frequencies, the heavy
-    // hitters (tiny by construction: only lines crossing the threshold)
-    // BROADCAST back, then a map-only filter + per-doc reassembly.
+    // combined shuffle to count line document-frequencies, then the
+    // heavy-hitter set comes back either as a BROADCAST anti-join (when
+    // the count says it fits) or a shuffled anti-join (web-scale corpora:
+    // lines duplicated >= K times number in the billions — CCNet's own
+    // motivation — and a forced broadcast there is a driver OOM, not a
+    // plan). The gate is the dedup_clusters pattern: the aggregate is the
+    // output of a shuffle already paid for, so counting its checkpoint is
+    // metadata-cheap.
     "text_boilerplate_scrub" -> ((s, dir) => {
       val K = 3
       // the line frame feeds TWO branches (df counting + the anti-join
@@ -190,7 +195,17 @@ object Curation {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= K)
         .select(col("line"))
-      lines.join(broadcast(boiler), Seq("line"), "left_anti")
+        .localCheckpoint(true)
+      val maxBroadcastLines = s.conf.getOption(
+        "spark.sql.graft.curation.boilerplate.broadcast-max-lines")
+        .map(_.toLong).getOrElse(1000000L)
+      val scrubbed =
+        if (boiler.count() <= maxBroadcastLines)
+          lines.join(broadcast(boiler), Seq("line"), "left_anti")
+        else // no hint: the anti-join shuffles on `line` (AQE may still
+          // pick broadcast if the runtime size allows — that's the point)
+          lines.join(boiler, Seq("line"), "left_anti")
+      scrubbed
         .groupBy(col("doc_id"))
         .agg(concat_ws(" ", array_sort(collect_list(struct(col("line_no"), col("line"))))
           .getField("line")).as("clean_text"),

@@ -34,6 +34,17 @@ trait CatalogBackend {
     */
   def tableLocation(ident: Identifier): Path
 
+  /** Where `ident`'s table lives IF the backend considers it to exist —
+    * the authoritative existence check. For the filesystem backend the
+    * layout IS the registration, so this is always the layout path (the
+    * caller still checks for a manifest); for the registry backend an
+    * unregistered identifier is nonexistent, full stop. Without this
+    * distinction a metadata-only RENAME leaves the OLD name resolving to
+    * the renamed table's data dir (reads/writes succeed, and DROP TABLE
+    * old-name deletes the NEW name's data — data loss).
+    */
+  def registeredLocation(ident: Identifier): Option[Path]
+
   /** A table was created at `location` (after its first commit). */
   def recordTable(ident: Identifier, location: Path): Unit
 
@@ -63,6 +74,9 @@ trait CatalogBackend {
 class FilesystemBackend(warehouse: String) extends CatalogBackend {
   override def tableLocation(ident: Identifier): Path =
     Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*)
+
+  override def registeredLocation(ident: Identifier): Option[Path] =
+    Some(tableLocation(ident)) // layout IS the registration
 
   override def recordTable(ident: Identifier, location: Path): Unit = ()
   override def forgetTable(ident: Identifier): Unit = ()
@@ -130,6 +144,9 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
       // default layout for a to-be-created table; becomes authoritative
       // only once recordTable writes it
       Paths.get(warehouse, (ident.namespace() :+ ident.name()): _*))
+
+  override def registeredLocation(ident: Identifier): Option[Path] =
+    read(warehouse).get(key(ident)).map(Paths.get(_)) // registry-only: no layout fallback
 
   override def recordTable(ident: Identifier, location: Path): Unit =
     update(warehouse)(_ + (key(ident) -> location.toAbsolutePath.toString))

@@ -56,23 +56,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   private def isTable(p: java.nio.file.Path): Boolean =
     java.nio.file.Files.exists(p.resolve(GeoTable.ManifestName))
 
-  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+  /** Authoritative resolution of an EXISTING table: the backend must know
+    * the identifier (under `backend=registry` an unregistered name is
+    * nonexistent even when the conventional layout dir holds a table —
+    * after a metadata-only RENAME that dir belongs to the NEW name) and
+    * the location must hold a manifest.
+    */
+  private def existingTablePath(ident: Identifier): Option[java.nio.file.Path] =
+    backend.registeredLocation(ident).filter(isTable)
 
-  override def loadTable(ident: Identifier): Table = {
-    val p = tablePath(ident)
-    if (isTable(p)) new GraftTable(p.toString, None)
-    else {
+  override def tableExists(ident: Identifier): Boolean = existingTablePath(ident).isDefined
+
+  override def loadTable(ident: Identifier): Table = existingTablePath(ident) match {
+    case Some(p) => new GraftTable(p.toString, None)
+    case None =>
       // Iceberg-style suffix identifiers on a parent table — branch/tag
       // scoping (`SELECT … FROM cat.db.t.branch_x`, `INSERT INTO
       // cat.db.t.branch_x`; ref SparkTable.java:123-136) and metadata
       // tables (`cat.db.t.files`, ref SparkCatalog.java's
       // MetadataTableType lookup) — namespace [db, t], name = suffix.
-      val parent =
-        if (ident.namespace().isEmpty) java.nio.file.Paths.get(warehouse)
-        else backend.tableLocation(Identifier.of(
+      if (ident.namespace().isEmpty) throw new NoSuchTableException(ident)
+      val parent = existingTablePath(Identifier.of(
           ident.namespace().dropRight(1), ident.namespace().last))
-      if (ident.namespace().isEmpty || !isTable(parent))
-        throw new NoSuchTableException(ident)
+        .getOrElse(throw new NoSuchTableException(ident))
       val n = ident.name()
       lazy val (branches, tags) = Snapshots.readRefs(parent.toString)
       if (n.startsWith("branch_")) {
@@ -88,7 +94,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
           ident.name().toLowerCase),
         s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
       catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
-    }
   }
 
   /** `VERSION AS OF x` — a snapshot version number, or a branch / tag
@@ -96,8 +101,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * snapshot id, then branch, then tag, SparkCatalog.java).
     */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     version.toIntOption match {
       case Some(v) => new GraftTable(p.toString, Some(v))
       case None =>
@@ -111,8 +115,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   /** `TIMESTAMP AS OF` — micros since epoch per the DSv2 contract. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     new GraftTable(p.toString,
       Some(Snapshots.versionAsOfTimestamp(p.toString, timestampMicros / 1000L)))
   }
@@ -168,19 +171,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   /** Spark-reserved CREATE TABLE properties that are not table props. */
   private val ReservedProps = Set("provider", "location", "owner", "comment", "external")
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    // a registry backend decouples identity from layout: CREATE TABLE …
-    // LOCATION '/x' registers the table wherever the user pointed it (the
-    // metastore behavior); the filesystem backend's layout IS its
-    // identity, so there LOCATION is not honored
-    val p = Option(properties.get("location"))
+  /** Where a table being created should live: a registry backend decouples
+    * identity from layout, so CREATE TABLE … LOCATION '/x' (plain or AS
+    * SELECT) registers the table wherever the user pointed it (the
+    * metastore behavior); the filesystem backend's layout IS its identity,
+    * so there LOCATION is not honored.
+    */
+  private def createLocation(ident: Identifier,
+      properties: util.Map[String, String]): java.nio.file.Path =
+    Option(properties.get("location"))
       .filter(_ => backend.isInstanceOf[RegistryBackend])
       // Spark qualifies LOCATION into a URI (file:/…) — back to a path
       .map(loc => java.nio.file.Paths.get(
         if (loc.contains(":")) new java.net.URI(loc).getPath else loc))
       .getOrElse(tablePath(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = createLocation(ident, properties)
     val specs = partitions.map(t => Transforms.parse(toSpec(t, schema))).toSeq
     val props = {
       import scala.jdk.CollectionConverters._
@@ -204,8 +213,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * TBLPROPERTIES commit a new snapshot with the merged property map.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
     def single(names: Array[String]): String = {
       require(names.length == 1, s"nested column changes are not supported: ${names.mkString(".")}")
@@ -277,7 +285,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filterNot { case (k, _) => ReservedProps(k) }
     }
-    val finalPath = tablePath(ident)
+    // CTAS/REPLACE honors LOCATION the same way plain createTable does
+    // (registry backend only); REPLACE of an existing registered table
+    // keeps its current location
+    val finalPath = existingTablePath(ident).getOrElse(createLocation(ident, properties))
     val tmp = finalPath.getParent.resolve(
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(12)}")
     java.nio.file.Files.createDirectories(tmp)
@@ -291,15 +302,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       onCommit = () => backend.recordTable(ident, finalPath))
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val p = tablePath(ident)
-    if (!isTable(p)) false
-    else {
+  override def dropTable(ident: Identifier): Boolean = existingTablePath(ident) match {
+    // unregistered names (e.g. a renamed-away identifier under the
+    // registry backend) must NOT fall back to the layout dir: that dir is
+    // another table's data
+    case None => false
+    case Some(p) =>
       Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       backend.forgetTable(ident)
       true
-    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {

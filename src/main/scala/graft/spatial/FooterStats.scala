@@ -204,6 +204,32 @@ object MetricsModes {
     }
   }
 
+  /** `<geom>_bbox` shadow columns of the table: stems whose name matches
+    * the shadow pattern AND whose stripped sibling is an actual geometry
+    * column — declared (recorded encoding) or a physical-BINARY (WKB)
+    * column with the 4-double bbox struct beside it. A user data column
+    * that merely contains "_bbox" in its name is NOT a shadow and honors
+    * its declared metrics mode.
+    */
+  private def geometryShadowStems(path: String): Set[String] = {
+    import org.apache.spark.sql.types.{BinaryType, DoubleType, StructType => SStruct}
+    def isBboxStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: SStruct => s.fields.length == 4 &&
+        s.fields.map(_.name).toSet == Set("xmin", "ymin", "xmax", "ymax") &&
+        s.fields.forall(_.dataType == DoubleType)
+      case _ => false
+    }
+    val declared = GeometryFields.get(path).keySet
+    val fromSchema = GeoTable.readSchema(path).map { st =>
+      st.fields.collect {
+        case f if f.name.endsWith("_bbox") && isBboxStruct(f.dataType) &&
+            st.fields.exists(s => s.name == f.name.stripSuffix("_bbox") &&
+              (s.dataType == BinaryType || declared(s.name))) => f.name
+      }.toSet
+    }.getOrElse(Set.empty[String])
+    fromSchema ++ declared.map(_ + "_bbox")
+  }
+
   /** Apply the table's metrics config to freshly collected file stats. */
   def apply(path: String, stats: Seq[FileStats]): Seq[FileStats] = {
     val (default, perCol) = forTable(path)
@@ -212,9 +238,11 @@ object MetricsModes {
     // metadata (4 doubles per geometry column, bounded), not user column
     // stats — a blanket `default = none/counts` must not silently kill
     // spatial pruning (the reference's geometry bounds ride the manifest
-    // unconditionally too)
+    // unconditionally too). Matched exactly against the table's shadow
+    // columns, not by substring.
+    val shadows = geometryShadowStems(path)
     def mode(k: String): Mode =
-      if (k.contains("_bbox")) Full
+      if (shadows(k.split('.').head)) Full
       else perCol.getOrElse(k.split('.').head, default)
     stats.map { f =>
       val keep = (m: Map[String, Any]) => m.filter { case (k, _) =>

@@ -961,8 +961,9 @@ object Snapshots {
     * Delete files read the `write.delete.parquet.*` property family
     * instead, falling back to the data-file properties like the reference.
     * Codec names are Spark's ParquetOptions set (zstd/gzip/snappy/lz4/
-    * uncompressed/...); the level applies to codecs that have one (zstd,
-    * gzip via their parquet-mr conf keys) and is ignored by the rest.
+    * uncompressed/...); the level is wired to zstd's parquet-mr conf key
+    * (`parquet.compression.codec.zstd.level`) — the one codec parquet-mr
+    * exposes a level knob for — and is ignored by the rest.
     */
   private[graft] def compressionSpec(spark: SparkSession,
       tableProps: Map[String, String], delete: Boolean): (Option[String], Option[String]) = {

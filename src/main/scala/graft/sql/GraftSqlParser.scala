@@ -120,22 +120,23 @@ object GraftStatements {
           i == classOf[graft.sources.GraftCatalog].getName ||
             i == classOf[graft.sources.GraftSessionCatalog].getName)
         if (graftImpl && wh.isDefined) {
-          // registry-backed catalogs resolve through the recorded
-          // (ident -> location) mapping — the table may live anywhere,
-          // not at the conventional layout path
-          val registry =
-            if (spark.conf.getOption(s"spark.sql.catalog.${parts.head}.backend")
-                .contains("registry")) {
-              val last = parts.last
-              graft.sources.RegistryBackend.lookup(wh.get, parts.tail.mkString("."))
-                .map(_ -> "main")
-                .orElse(if (last.startsWith("branch_") && parts.length > 2)
-                  graft.sources.RegistryBackend
-                    .lookup(wh.get, parts.tail.dropRight(1).mkString("."))
-                    .map(_ -> last.stripPrefix("branch_"))
-                else None)
-            } else None
-          registry.orElse {
+          // registry-backed catalogs resolve ONLY through the recorded
+          // (ident -> location) mapping — the table may live anywhere, and
+          // a registry miss means the identifier does not exist. No layout
+          // fallback here: after a metadata-only RENAME the conventional
+          // layout dir belongs to the RENAMED table, and a fallback would
+          // let DML against the old name silently mutate its data.
+          if (spark.conf.getOption(s"spark.sql.catalog.${parts.head}.backend")
+              .contains("registry")) {
+            val last = parts.last
+            graft.sources.RegistryBackend.lookup(wh.get, parts.tail.mkString("."))
+              .map(_ -> "main")
+              .orElse(if (last.startsWith("branch_") && parts.length > 2)
+                graft.sources.RegistryBackend
+                  .lookup(wh.get, parts.tail.dropRight(1).mkString("."))
+                  .map(_ -> last.stripPrefix("branch_"))
+              else None)
+          } else {
             val full = java.nio.file.Paths.get(wh.get, parts.tail: _*)
             def isTable(p: java.nio.file.Path) =
               java.nio.file.Files.exists(p.resolve(graft.spatial.GeoTable.ManifestName))

@@ -243,10 +243,23 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
     }.mkString("/")
 
   // the declared codec rides in on the conf (GraftWriters.writeConf);
-  // snappy is the default the V1 writer path shares
+  // snappy is the default the V1 writer path shares. Spellings are Spark's
+  // ParquetOptions set — a couple have no same-named parquet-mr enum
+  // constant ('none', 'lz4raw'), so map them instead of crashing the
+  // stream on a codec Spark itself accepts.
   private lazy val codec: CompressionCodecName =
     Option(conf.get("graft.write.compression-codec"))
-      .map(c => CompressionCodecName.valueOf(c.toUpperCase(java.util.Locale.ROOT)))
+      .map(_.toLowerCase(java.util.Locale.ROOT) match {
+        case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+        case "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+        case c =>
+          try CompressionCodecName.valueOf(c.toUpperCase(java.util.Locale.ROOT))
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"unknown parquet compression codec for streaming write: '$c' " +
+                "(none|uncompressed|snappy|gzip|lzo|brotli|lz4|lz4raw|zstd)")
+          }
+      })
       .getOrElse(CompressionCodecName.SNAPPY)
 
   override def write(row: InternalRow): Unit = {

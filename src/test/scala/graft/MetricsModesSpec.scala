@@ -87,6 +87,29 @@ class MetricsModesSpec extends AnyFunSuite {
       s"bbox shadow stats must survive a blanket none mode: ${newFile.mins.keySet}")
   }
 
+  test("a USER column named *_bbox honors its metrics mode; only real geometry " +
+      "shadows are exempt") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_mm_userbbox").toString
+    val mk = (ids: Range) => {
+      import spark.implicits._
+      ids.map(i => (i.toLong, s"POINT ($i $i)", s"user_$i")).toDF("id", "wkt", "x_bbox")
+        .withColumn("geom", expr("ST_GeomFromText(wkt)")).drop("wkt")
+    }
+    GeoTable.write(mk(0 until 20), dir, "geom", res = 8, storageEncoding = Some("wkb"))
+    Snapshots.updateProperties(dir, Map("write.metadata.metrics.default" -> "counts"))
+    Snapshots.append(GeoTable.withBbox(mk(100 until 120), "geom"), dir)
+    val newFile = Snapshots.readManifest(dir).filter(_.addedV > 1).head
+    // the user column matches the substring but is NOT a geometry shadow:
+    // counts mode applies (bounds dropped, null count kept)
+    assert(!newFile.mins.contains("x_bbox") && !newFile.maxs.contains("x_bbox"),
+      s"user *_bbox column must honor the declared mode: ${newFile.mins.keySet}")
+    assert(newFile.nulls.contains("x_bbox"))
+    // the real shadow struct keeps full bounds
+    assert(newFile.mins.keys.exists(_.startsWith("geom_bbox.")),
+      s"geometry shadow stats stay exempt: ${newFile.mins.keySet}")
+  }
+
   test("truncate(n): sound pruning bounds, MIN/MAX pushdown declines, " +
       "per-column override beats default") {
     val wh = Files.createTempDirectory("graft_mm_wh").toString

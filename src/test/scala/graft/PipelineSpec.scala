@@ -73,6 +73,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!sPlan.contains("SortMergeJoin"), s"no corpus-keyed merge join:\n$sPlan")
   }
 
+  test("boilerplate scrub size gate: an oversized heavy-hitter set falls back to a " +
+      "shuffled anti-join with identical results") {
+    val keyOf = (r: org.apache.spark.sql.Row) => r.toSeq.toList
+    val small = SparkEntry.queries("text_boilerplate_scrub")(spark, sf)
+      .collect().map(keyOf).toSet
+    try {
+      // force the web-scale path: every heavy-hitter set is "too big" to
+      // broadcast, and the join must not be hinted into one either way
+      spark.conf.set("spark.sql.graft.curation.boilerplate.broadcast-max-lines", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("text_boilerplate_scrub")(spark, sf)
+      val rows = df.collect().map(keyOf).toSet
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"the gated path must not force a broadcast of the unbounded aggregate:\n$plan")
+      assert(rows == small, "both gate paths must produce identical results")
+    } finally {
+      spark.conf.unset("spark.sql.graft.curation.boilerplate.broadcast-max-lines")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ANN-LSH results are a subset of true neighbors' ranking universe") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
     assert(ann.nonEmpty)

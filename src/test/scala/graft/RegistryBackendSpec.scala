@@ -100,6 +100,30 @@ class RegistryBackendSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM rcat.db.away").count() == 20)
   }
 
+  test("the registry is authoritative: a renamed-away identifier stops resolving " +
+      "and cannot drop the new name's data") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE rcat.db.auth (id BIGINT) USING graft")
+    spark.sql("INSERT INTO rcat.db.auth SELECT id FROM range(25)")
+    spark.sql("ALTER TABLE rcat.db.auth RENAME TO db.auth2")
+    // the old identifier is gone — even though the data dir still sits at
+    // its conventional layout position (metadata-only rename)
+    assert(!spark.catalog.tableExists("rcat.db.auth"))
+    val e = intercept[Exception] { spark.sql("SELECT * FROM rcat.db.auth").collect() }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    // DML through the graft parser must not fall back to the layout path
+    val eDml = intercept[Exception] { spark.sql("DELETE FROM rcat.db.auth WHERE id < 5") }
+    assert(eDml.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      eDml.getMessage.toLowerCase.contains("not found"), eDml.getMessage)
+    // DROP TABLE on the old name is a no-op/failure, NOT a delete of the
+    // directory the new name is registered to
+    intercept[Exception] { spark.sql("DROP TABLE rcat.db.auth") }
+    assert(spark.sql("SELECT * FROM rcat.db.auth2").count() == 25,
+      "dropping the unregistered old name must not destroy the renamed table's data")
+    spark.sql("DROP TABLE rcat.db.auth2")
+  }
+
   test("concurrent registry updates never lose a record (generation CAS)") {
     assert(warehouse.nonEmpty)
     val wh = java.nio.file.Files.createTempDirectory("graft_reg_cas").toString
@@ -116,6 +140,20 @@ class RegistryBackendSpec extends AnyFunSuite {
     threads.foreach(_.start()); threads.foreach(_.join())
     val listed = backend.listTables(Array("db"), _ => true).map(_.name()).toSet
     assert(listed.size == 80, s"lost ${80 - listed.size} records to the race")
+  }
+
+  test("CTAS honors LOCATION under the registry backend (same as plain CREATE)") {
+    assert(warehouse.nonEmpty)
+    val elsewhere = Files.createTempDirectory("graft_reg_ctas_loc").toString
+    spark.sql(s"CREATE TABLE rcat.db.ctl USING graft LOCATION '$elsewhere/ctldata' " +
+      "AS SELECT id, id * 3 AS v FROM range(15)")
+    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ctl")
+      .exists(_.startsWith(elsewhere)), "CTAS must register the custom location")
+    assert(Files.exists(java.nio.file.Paths.get(s"$elsewhere/ctldata",
+      graft.spatial.GeoTable.ManifestName)))
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "db", "ctl")))
+    assert(spark.sql("SELECT * FROM rcat.db.ctl").count() == 15)
+    spark.sql("DROP TABLE rcat.db.ctl")
   }
 
   test("dropNamespace: non-empty refuses without cascade, cascade wipes and deregisters") {
