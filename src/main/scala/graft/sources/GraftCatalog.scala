@@ -215,19 +215,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
+    // ADD/RENAME/DROP/COMMENT take full dot-paths (nested struct fields,
+    // incl. struct-in-array `a.element.f` / struct-in-map-value
+    // `m.value.f` — ref UpdateSchema.java:56-84); type/nullability
+    // changes stay top-level-only (a nested promotion would need per-leaf
+    // physical-type bookkeeping the log doesn't carry).
     def single(names: Array[String]): String = {
-      require(names.length == 1, s"nested column changes are not supported: ${names.mkString(".")}")
+      require(names.length == 1,
+        s"nested column type changes are not supported: ${names.mkString(".")}")
       names.head
     }
     val setProps = Map.newBuilder[String, String]
     val unsetProps = Seq.newBuilder[String]
     changes.foreach {
       case a: TableChange.AddColumn =>
-        TableSchema.addColumn(spark, p.toString, single(a.fieldNames()), a.dataType())
+        TableSchema.addColumn(spark, p.toString, a.fieldNames().toSeq, a.dataType())
       case r: TableChange.RenameColumn =>
-        TableSchema.renameColumn(spark, p.toString, single(r.fieldNames()), r.newName())
+        TableSchema.renameColumn(spark, p.toString, r.fieldNames().toSeq, r.newName())
       case d: TableChange.DeleteColumn =>
-        TableSchema.dropColumn(spark, p.toString, single(d.fieldNames()))
+        TableSchema.dropColumn(spark, p.toString, d.fieldNames().toSeq)
       case t: TableChange.UpdateColumnType =>
         TableSchema.updateColumnType(spark, p.toString, single(t.fieldNames()), t.newDataType())
       case n: TableChange.UpdateColumnNullability =>
@@ -237,12 +243,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         // UpdateSchema (optional -> required is not allowed)
         if (!n.nullable())
           throw new UnsupportedOperationException(
-            s"cannot add NOT NULL to existing column ${single(n.fieldNames())}")
+            s"cannot add NOT NULL to existing column ${n.fieldNames().mkString(".")}")
         else // no-op, but direct TableChange callers (no analyzer in
           // front) must still get an error for a nonexistent column
-          TableSchema.requireColumn(spark, p.toString, single(n.fieldNames()))
+          TableSchema.requireColumn(spark, p.toString, n.fieldNames().toSeq)
       case c: TableChange.UpdateColumnComment =>
-        TableSchema.setColumnComment(spark, p.toString, single(c.fieldNames()),
+        TableSchema.setColumnComment(spark, p.toString, c.fieldNames().toSeq,
           Option(c.newComment()).filter(_.nonEmpty))
       case s: TableChange.SetProperty => setProps += s.property() -> s.value()
       case u: TableChange.RemoveProperty => unsetProps += u.property()

@@ -467,15 +467,15 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
          Snapshots.readPosDeletes(path, effVersion).nonEmpty)) return None
     val stats = manifestForPlanning.filter(f =>
       pushed.forall(GraftScan.exactlyMatches(f.dirVals, _)))
-    val toPhysical: Map[String, String] =
-      TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
+    val schemaEntries = TableSchema.read(path)
     val encoded = GeometryFields.get(path).keySet
     import org.apache.spark.sql.types._
     def key(e: org.apache.spark.sql.connector.expressions.Expression): Option[(String, DataType)] =
       e match {
         case n: NamedReference if !n.fieldNames.exists(encoded) =>
           val parts = n.fieldNames.toSeq
-          val phys = (toPhysical.getOrElse(parts.head, parts.head) +: parts.tail).mkString(".")
+          // nested-aware logical → physical stats-key mapping
+          val phys = TableSchema.physicalFieldPath(schemaEntries, parts).mkString(".")
           val dt = parts match {
             case Seq(c) => logicalSchema.fields.find(_.name == c).map(_.dataType)
             case Seq(c, leaf) => logicalSchema.fields.find(_.name == c).map(_.dataType)
@@ -657,8 +657,9 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   }
 
   private val partCols = GeoTable.readPartitionCols(path)
+  private val schemaEntries: Seq[TableSchema.Entry] = TableSchema.read(path)
   private val logicalToPhysical: Map[String, String] =
-    TableSchema.read(path).filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
+    schemaEntries.filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
   private val encodings = GeometryFields.get(path)
 
   // full physical file schema (for parquet footer matching)
@@ -1220,12 +1221,14 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
   private def combinedPhysical: StructType =
     StructType(readPhysicalData.fields ++ readPartSchema.fields)
 
-  /** Rename a pushed filter's columns to physical names (best effort). */
+  /** Rename a pushed filter's columns to physical names (best effort) —
+    * nested-aware: each dot-path component maps through the evolution log
+    * (a renamed struct leaf's filter must reach parquet under the name
+    * the files store, or worse, collide with a later re-added field).
+    */
   private def translatePhysical(f: sources.Filter): Option[sources.Filter] = {
-    def phys(a: String): String = {
-      val parts = a.split('.')
-      (logicalToPhysical.getOrElse(parts.head, parts.head) +: parts.tail).mkString(".")
-    }
+    def phys(a: String): String =
+      TableSchema.physicalFieldPath(schemaEntries, a.split('.').toSeq).mkString(".")
     f match {
       case sources.EqualTo(a, v) => Some(sources.EqualTo(phys(a), v))
       case sources.GreaterThan(a, v) => Some(sources.GreaterThan(phys(a), v))

@@ -3,7 +3,7 @@ package graft.spatial
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
@@ -20,14 +20,33 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * physical before appending, so every data file ever written stays
   * readable under the current logical schema. A column added later simply
   * doesn't exist in older files — the parquet reader yields nulls there.
+  *
+  * NESTED evolution (`ALTER TABLE t ADD COLUMN point.z double`, renames /
+  * drops / comments of struct fields, incl. structs inside array elements
+  * and map values — ref `UpdateSchema.java:56-84`,
+  * `TestAlterTable.java:81,104,129`) uses the same machinery one level
+  * down: an entry carries `children` describing its nested fields'
+  * (logical, physical) mapping. The file-facing READ type of an evolved
+  * struct lists its live fields in LOGICAL order under PHYSICAL names —
+  * parquet's by-name clipping serves them in requested order, missing
+  * (later-added) fields surface as nulls, dropped fields are simply not
+  * requested — so the physical and logical rows align POSITIONALLY and a
+  * reader needs only name fixups, never data movement. Map keys cannot
+  * evolve (identity-bearing), matching the reference's rejection.
   */
 object TableSchema {
 
   val SchemaName = "_graft_schema.json"
 
-  /** (logical, physical, typeJson, dropped) per column, in schema order. */
+  /** (logical, physical, typeJson, dropped) per column, in schema order.
+    * `children` (nested evolution log) mirror the same shape per struct
+    * field; an array entry holds one child `element`, a map entry one
+    * child `value`. `dataType` is the container shape at baseline — for
+    * entries WITH children the authoritative leaf types live in the
+    * children and [[logicalType]]/[[physicalType]] rebuild the tree.
+    */
   case class Entry(logical: String, physical: String, dataType: DataType, dropped: Boolean,
-      comment: Option[String] = None)
+      comment: Option[String] = None, children: Seq[Entry] = Nil)
 
   def exists(path: String): Boolean = Files.exists(Paths.get(path, SchemaName))
 
@@ -36,7 +55,7 @@ object TableSchema {
     import org.json4s.jackson.JsonMethods
     val p = Paths.get(path, SchemaName)
     if (!Files.exists(p)) return Nil
-    JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)) match {
+    def parseEntries(v: JValue): Seq[Entry] = v match {
       case JArray(es) => es.collect {
         case JObject(kv) =>
           val m = kv.toMap
@@ -46,10 +65,13 @@ object TableSchema {
           val typeJson = JsonMethods.compact(JsonMethods.render(m("type")))
           Entry(str("logical"), str("physical"), DataType.fromJson(typeJson),
             m.get("dropped").contains(JBool(true)),
-            m.get("comment").collect { case JString(c) => c })
+            m.get("comment").collect { case JString(c) => c },
+            m.get("children").map(parseEntries).getOrElse(Nil))
       }
       case _ => Nil
     }
+    parseEntries(JsonMethods.parse(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
   private def write(path: String, entries: Seq[Entry]): Unit = {
@@ -66,11 +88,14 @@ object TableSchema {
       }
       sb.toString
     }
-    val body = entries.map { e =>
+    def entryJson(e: Entry): String = {
       val comment = e.comment.map(c => s""","comment":"${esc(c)}"""").getOrElse("")
+      val kids = if (e.children.isEmpty) ""
+        else s""","children":${e.children.map(entryJson).mkString("[", ",", "]")}"""
       s"""{"logical":"${esc(e.logical)}","physical":"${esc(e.physical)}",""" +
-        s""""type":${e.dataType.json},"dropped":${e.dropped}$comment}"""
-    }.mkString("[", ",", "]")
+        s""""type":${e.dataType.json},"dropped":${e.dropped}$comment$kids}"""
+    }
+    val body = entries.map(entryJson).mkString("[", ",", "]")
     Files.write(Paths.get(path, SchemaName), body.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -92,20 +117,155 @@ object TableSchema {
     }
   }
 
-  def addColumn(spark: SparkSession, path: String, name: String, dt: DataType): Unit = {
-    val entries = ensure(spark, path)
-    require(!entries.exists(e => !e.dropped && e.logical == name), s"column exists: $name")
-    // physical name must be globally fresh (a dropped column keeps its data)
-    val physical = if (entries.exists(_.physical == name)) s"${name}_${entries.size}" else name
-    write(path, entries :+ Entry(name, physical, dt, dropped = false))
+  // ---- nested navigation --------------------------------------------------
+
+  /** The reader-facing type an entry serves: nested evolution applied —
+    * dropped nested fields hidden, logical names, nested comments as
+    * standard field metadata. Entries without children serve `dataType`.
+    */
+  def logicalType(e: Entry): DataType =
+    if (e.children.isEmpty) e.dataType
+    else e.dataType match {
+      case _: StructType => StructType(e.children.filterNot(_.dropped).map { k =>
+        val md = k.comment.map(c =>
+            new org.apache.spark.sql.types.MetadataBuilder().putString("comment", c).build())
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        StructField(k.logical, logicalType(k), nullable = true, md)
+      })
+      case a: org.apache.spark.sql.types.ArrayType => org.apache.spark.sql.types.ArrayType(
+        e.children.find(_.logical == "element").map(logicalType).getOrElse(a.elementType),
+        containsNull = true)
+      case m: org.apache.spark.sql.types.MapType => org.apache.spark.sql.types.MapType(
+        m.keyType,
+        e.children.find(_.logical == "value").map(logicalType).getOrElse(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+
+  /** The file-facing READ type: live fields only (dropped fields are not
+    * requested — parquet by-name clipping skips them in old files and
+    * they're absent from new ones), in the SAME order as [[logicalType]]
+    * but under PHYSICAL names. Fields added after a file was written are
+    * requested anyway and surface as nulls there. The positional identity
+    * with the logical type is what lets readers fix names without moving
+    * data.
+    */
+  def physicalType(e: Entry): DataType =
+    if (e.children.isEmpty) e.dataType
+    else e.dataType match {
+      case _: StructType => StructType(e.children.filterNot(_.dropped).map(k =>
+        StructField(k.physical, physicalType(k), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType => org.apache.spark.sql.types.ArrayType(
+        e.children.find(_.logical == "element").map(physicalType).getOrElse(a.elementType),
+        containsNull = true)
+      case m: org.apache.spark.sql.types.MapType => org.apache.spark.sql.types.MapType(
+        m.keyType,
+        e.children.find(_.logical == "value").map(physicalType).getOrElse(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+
+  /** First nested mutation of an entry materializes its children from the
+    * baseline type (logical == physical per field, like [[ensure]] at the
+    * top level). Arrays expose one `element` child, maps one `value`
+    * child (keys are identity-bearing and cannot evolve).
+    */
+  private def materialize(e: Entry): Entry =
+    if (e.children.nonEmpty) e
+    else e.dataType match {
+      case s: StructType => e.copy(children = s.fields.toSeq.map(f =>
+        Entry(f.name, f.name, f.dataType, dropped = false)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        e.copy(children = Seq(Entry("element", "element", a.elementType, dropped = false)))
+      case m: org.apache.spark.sql.types.MapType =>
+        e.copy(children = Seq(Entry("value", "value", m.valueType, dropped = false)))
+      case other => throw new IllegalArgumentException(
+        s"column ${e.logical}: ${other.simpleString} has no nested fields")
+    }
+
+  /** Navigate `parts` down the entry tree and transform the children list
+    * at the end. `parent` is the container type whose children are being
+    * edited (None at the top level). Map keys are rejected anywhere on
+    * the path — the reference's `UpdateSchema` refuses map-key changes
+    * the same way (`TestAlterTable.java`'s map-key negative case).
+    */
+  private def editChildren(es: Seq[Entry], parts: Seq[String], parent: Option[DataType])(
+      op: (Seq[Entry], Option[DataType]) => Seq[Entry]): Seq[Entry] =
+    parts match {
+      case Seq() => op(es, parent)
+      case name +: rest =>
+        if (parent.exists(_.isInstanceOf[org.apache.spark.sql.types.MapType]) && name == "key")
+          throw new UnsupportedOperationException(
+            "cannot evolve a map key: keys are identity-bearing")
+        val idx = es.indexWhere(x => !x.dropped && x.logical == name)
+        require(idx >= 0, s"no such column: $name")
+        val m = materialize(es(idx))
+        es.updated(idx, m.copy(children =
+          editChildren(m.children, rest, Some(m.dataType))(op)))
+    }
+
+  /** Struct-field targets only: nested add/rename/drop/comment address a
+    * field of a struct (possibly inside an array element / map value);
+    * the structural `element`/`value`/`key` slots themselves are not
+    * renameable/droppable.
+    */
+  private def requireStructParent(parent: Option[DataType], target: Seq[String]): Unit =
+    require(parent.forall(_.isInstanceOf[StructType]),
+      s"${target.init.mkString(".")} is not a struct; nested changes address struct fields " +
+        "(use `.element` / `.value` to reach structs inside arrays / map values)")
+
+  /** Map a LOGICAL dot-path to the PHYSICAL one (stats keys, parquet
+    * filter names). Components below the deepest evolved level pass
+    * through unchanged — they are logical==physical by construction.
+    */
+  def physicalFieldPath(path: String, parts: Seq[String]): Seq[String] =
+    physicalFieldPath(read(path), parts)
+
+  def physicalFieldPath(entries: Seq[Entry], parts: Seq[String]): Seq[String] = {
+    if (entries.isEmpty) return parts
+    def walk(es: Seq[Entry], ps: Seq[String]): Seq[String] = ps match {
+      case Seq() => Nil
+      case name +: rest => es.find(e => !e.dropped && e.logical == name) match {
+        case None => ps
+        case Some(e) => e.physical +: walk(e.children, rest)
+      }
+    }
+    walk(entries, parts)
   }
 
-  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Unit = {
+  // ---- mutations ----------------------------------------------------------
+
+  def addColumn(spark: SparkSession, path: String, name: String, dt: DataType): Unit =
+    addColumn(spark, path, name.split('.').toSeq, dt)
+
+  def addColumn(spark: SparkSession, path: String, parts: Seq[String], dt: DataType): Unit = {
     val entries = ensure(spark, path)
-    require(entries.exists(e => !e.dropped && e.logical == from), s"no such column: $from")
-    require(!entries.exists(e => !e.dropped && e.logical == to), s"column exists: $to")
-    write(path, entries.map(e =>
-      if (!e.dropped && e.logical == from) e.copy(logical = to) else e))
+    write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
+      requireStructParent(parent, parts)
+      val name = parts.last
+      require(!kids.exists(k => !k.dropped && k.logical == name),
+        s"column exists: ${parts.mkString(".")}")
+      // physical name must be globally fresh within its struct (a dropped
+      // column keeps its data in files already written)
+      val physical = if (kids.exists(_.physical == name)) s"${name}_${kids.size}" else name
+      kids :+ Entry(name, physical, dt, dropped = false)
+    })
+  }
+
+  def renameColumn(spark: SparkSession, path: String, from: String, to: String): Unit =
+    renameColumn(spark, path, from.split('.').toSeq, to)
+
+  def renameColumn(spark: SparkSession, path: String, parts: Seq[String], to: String): Unit = {
+    val entries = ensure(spark, path)
+    write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
+      requireStructParent(parent, parts)
+      val from = parts.last
+      require(kids.exists(k => !k.dropped && k.logical == from),
+        s"no such column: ${parts.mkString(".")}")
+      require(!kids.exists(k => !k.dropped && k.logical == to),
+        s"column exists: ${(parts.init :+ to).mkString(".")}")
+      kids.map(k => if (!k.dropped && k.logical == from) k.copy(logical = to) else k)
+    })
   }
 
   /** Type promotion matrix — exactly Iceberg's WIDENING-only evolution
@@ -154,11 +314,18 @@ object TableSchema {
 
   /** Attach / replace a column doc comment (metadata-only). */
   def setColumnComment(spark: SparkSession, path: String, name: String,
+      comment: Option[String]): Unit =
+    setColumnComment(spark, path, name.split('.').toSeq, comment)
+
+  def setColumnComment(spark: SparkSession, path: String, parts: Seq[String],
       comment: Option[String]): Unit = {
     val entries = ensure(spark, path)
-    require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
-    write(path, entries.map(e =>
-      if (!e.dropped && e.logical == name) e.copy(comment = comment) else e))
+    write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
+      requireStructParent(parent, parts)
+      require(kids.exists(k => !k.dropped && k.logical == parts.last),
+        s"no such column: ${parts.mkString(".")}")
+      kids.map(k => if (!k.dropped && k.logical == parts.last) k.copy(comment = comment) else k)
+    })
   }
 
   /** Validate a column exists — for TableChanges whose effect is a no-op
@@ -166,30 +333,106 @@ object TableSchema {
     * still fail on a nonexistent column when invoked without the Spark
     * analyzer in front.
     */
-  def requireColumn(spark: SparkSession, path: String, name: String): Unit = {
-    val entries = ensure(spark, path)
-    require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
+  def requireColumn(spark: SparkSession, path: String, name: String): Unit =
+    requireColumn(spark, path, name.split('.').toSeq)
+
+  def requireColumn(spark: SparkSession, path: String, parts: Seq[String]): Unit = {
+    editChildren(ensure(spark, path), parts.init, None) { (kids, _) =>
+      require(kids.exists(k => !k.dropped && k.logical == parts.last),
+        s"no such column: ${parts.mkString(".")}")
+      kids
+    }
+    ()
   }
 
-  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit =
+    dropColumn(spark, path, name.split('.').toSeq)
+
+  def dropColumn(spark: SparkSession, path: String, parts: Seq[String]): Unit = {
     val entries = ensure(spark, path)
-    require(entries.exists(e => !e.dropped && e.logical == name), s"no such column: $name")
-    write(path, entries.map(e =>
-      if (!e.dropped && e.logical == name) e.copy(dropped = true) else e))
+    write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
+      requireStructParent(parent, parts)
+      require(kids.exists(k => !k.dropped && k.logical == parts.last),
+        s"no such column: ${parts.mkString(".")}")
+      kids.map(k => if (!k.dropped && k.logical == parts.last) k.copy(dropped = true) else k)
+    })
   }
 
   /** Physical file schema (all non-dropped + dropped columns still present
     * in files) for relation building; None when no evolution happened.
+    * Nested-evolved columns surface their physical READ type (live fields
+    * only, physical names, logical order).
     */
   def physicalSchema(path: String): Option[StructType] = {
     val entries = read(path)
     if (entries.isEmpty) None
-    else Some(StructType(entries.map(e => StructField(e.physical, e.dataType))))
+    else Some(StructType(entries.map(e => StructField(e.physical, physicalType(e)))))
+  }
+
+  /** Physical-shape → logical-shape projection of one nested-evolved
+    * column, matched BY NAME against the frame's actual type (`actual`) —
+    * robust to frames read under the exact physical schema AND to
+    * inference over a file subset (fields missing there become typed
+    * nulls, extra file-order differences don't matter).
+    */
+  private[graft] def projectLogical(c: Column, e: Entry, actual: DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    import org.apache.spark.sql.functions.{lit, struct, transform, transform_values, when}
+    if (e.children.isEmpty)
+      return if (actual != e.dataType && promotable(actual, e.dataType)) c.cast(e.dataType) else c
+    (e.dataType, actual) match {
+      case (_: StructType, at: StructType) =>
+        val fields = e.children.filterNot(_.dropped).map { k =>
+          at.fields.find(_.name == k.physical) match {
+            case Some(f) => projectLogical(c.getField(k.physical), k, f.dataType).as(k.logical)
+            case None => lit(null).cast(logicalType(k)).as(k.logical) // added after this frame shape
+          }
+        }
+        // struct() of a null struct's fields is a struct of nulls — keep
+        // row-level nullness intact
+        when(c.isNull, lit(null).cast(logicalType(e))).otherwise(struct(fields: _*))
+      case (_: ArrayType, at: ArrayType) =>
+        e.children.find(_.logical == "element")
+          .map(k => transform(c, x => projectLogical(x, k, at.elementType))).getOrElse(c)
+      case (_: MapType, at: MapType) =>
+        e.children.find(_.logical == "value")
+          .map(k => transform_values(c, (_, v) => projectLogical(v, k, at.valueType))).getOrElse(c)
+      case _ => c
+    }
+  }
+
+  /** Inverse of [[projectLogical]]: a logically-named value rebuilt under
+    * physical field names for writing. Dropped nested fields are not
+    * written; live fields missing from the written frame become typed
+    * nulls.
+    */
+  private[graft] def projectPhysical(c: Column, e: Entry, actual: DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    import org.apache.spark.sql.functions.{lit, struct, transform, transform_values, when}
+    if (e.children.isEmpty) return c
+    (e.dataType, actual) match {
+      case (_: StructType, at: StructType) =>
+        val fields = e.children.filterNot(_.dropped).map { k =>
+          at.fields.find(_.name == k.logical) match {
+            case Some(f) => projectPhysical(c.getField(k.logical), k, f.dataType).as(k.physical)
+            case None => lit(null).cast(physicalType(k)).as(k.physical)
+          }
+        }
+        when(c.isNull, lit(null).cast(physicalType(e))).otherwise(struct(fields: _*))
+      case (_: ArrayType, at: ArrayType) =>
+        e.children.find(_.logical == "element")
+          .map(k => transform(c, x => projectPhysical(x, k, at.elementType))).getOrElse(c)
+      case (_: MapType, at: MapType) =>
+        e.children.find(_.logical == "value")
+          .map(k => transform_values(c, (_, v) => projectPhysical(v, k, at.valueType))).getOrElse(c)
+      case _ => c
+    }
   }
 
   /** Project a physically-named frame to the logical view (hides dropped
-    * columns, applies renames). Pass-through columns (partition cols,
-    * bbox shadows added after the fact) keep their names.
+    * columns, applies renames — top-level and nested). Pass-through
+    * columns (partition cols, bbox shadows added after the fact) keep
+    * their names.
     */
   def toLogical(df: DataFrame, path: String): DataFrame = {
     val entries = read(path)
@@ -208,7 +451,12 @@ object TableSchema {
           // standard field metadata.
           val actual = df.schema(e.physical).dataType
           val base =
-            if (actual != e.dataType && promotable(actual, e.dataType))
+            // the trailing cast is a name/metadata fixup (positionally
+            // identical types): struct() aliases drop field METADATA, so
+            // nested comments ride in on the cast's target type
+            if (e.children.nonEmpty)
+              projectLogical(col(e.physical), e, actual).cast(logicalType(e))
+            else if (actual != e.dataType && promotable(actual, e.dataType))
               col(e.physical).cast(e.dataType)
             else col(e.physical)
           e.comment match {
@@ -223,13 +471,23 @@ object TableSchema {
     }
   }
 
-  /** Map a logically-named frame back to physical names for writing. */
+  /** Map a logically-named frame back to physical names for writing
+    * (top-level aliases; nested-evolved structs rebuilt under physical
+    * field names).
+    */
   def toPhysical(df: DataFrame, path: String): DataFrame = {
     val entries = read(path)
     if (entries.isEmpty) df
     else {
-      val byLogical = entries.filterNot(_.dropped).map(e => e.logical -> e.physical).toMap
-      df.select(df.columns.map(c => col(c).as(byLogical.getOrElse(c, c))): _*)
+      val byLogical = entries.filterNot(_.dropped).map(e => e.logical -> e).toMap
+      df.select(df.columns.map { c =>
+        byLogical.get(c) match {
+          case Some(e) if e.children.nonEmpty =>
+            projectPhysical(col(c), e, df.schema(c).dataType).as(e.physical)
+          case Some(e) => col(c).as(e.physical)
+          case None => col(c)
+        }
+      }: _*)
     }
   }
 }

@@ -71,13 +71,17 @@ object GraftWriters {
     import org.apache.spark.sql.functions.col
     val enc = GeometryFields.get(path).filter { case (c, _) =>
       schema.fieldNames.contains(c) }
-    val rename = TableSchema.read(path).filterNot(_.dropped)
-      .filter(e => e.logical != e.physical && schema.fieldNames.contains(e.logical))
+    val live = TableSchema.read(path).filterNot(_.dropped)
+      .filter(e => schema.fieldNames.contains(e.logical))
+    val rename = live.filter(e => e.logical != e.physical)
       .map(e => e.logical -> e.physical).toMap
+    // nested-evolved struct columns rebuild under physical field names
+    val nested = live.filter(_.children.nonEmpty).map(e => e.logical -> e).toMap
     val identSrc = GeoTable.readPartitionSpecs(path)
       .collect { case Transforms.Identity(c) => c }
       .filter(schema.fieldNames.contains).toSet
-    if (enc.forall(_._2 == "wkb") && rename.isEmpty && identSrc.isEmpty) return None
+    if (enc.forall(_._2 == "wkb") && rename.isEmpty && identSrc.isEmpty &&
+      nested.isEmpty) return None
     graft.spatial.Geo.install(spark) // encode exprs resolve ST_ functions
     val dummy = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -86,7 +90,9 @@ object GraftWriters {
         case Some(e) => GeometryEncoding.encode(col(f.name), e)
         case None => col(f.name)
       }
-      base.as(rename.getOrElse(f.name, f.name))
+      val shaped = nested.get(f.name)
+        .map(e => TableSchema.projectPhysical(base, e, f.dataType)).getOrElse(base)
+      shaped.as(rename.getOrElse(f.name, f.name))
     }
     val proj = dummy.select(cols: _*)
     proj.queryExecution.analyzed match {

@@ -241,6 +241,174 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(t2.filter(col("id") >= 200 && col("category").isNull).count() == 3)
   }
 
+  // ---- nested evolution (ref UpdateSchema.java:56-84,
+  // TestAlterTable.java:81,104,129): dot-path ADD/RENAME/DROP/COMMENT on
+  // struct fields, incl. structs inside array elements and map values ----
+
+  // one warehouse for the whole suite: Spark's CatalogManager caches the
+  // catalog instance with the warehouse it saw first
+  private lazy val nestedWh: String = {
+    val wh = Files.createTempDirectory("graft_nest_wh").toString
+    spark.conf.set("spark.sql.catalog.ncat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ncat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ncat.db")
+    wh
+  }
+  private def mkNestedCatalog(): String = nestedWh
+
+  test("nested ADD: old files read null, appends carry values, siblings keep stats") {
+    mkNestedCatalog()
+    spark.sql("""CREATE TABLE ncat.db.na (id BIGINT,
+      point STRUCT<x: DOUBLE, y: DOUBLE>) USING graft""")
+    spark.sql("INSERT INTO ncat.db.na SELECT id, named_struct('x', id * 1.0, 'y', id * 2.0) " +
+      "FROM range(10)")
+    spark.sql("ALTER TABLE ncat.db.na ADD COLUMNS (point.z DOUBLE)")
+    val t1 = spark.table("ncat.db.na")
+    assert(t1.schema("point").dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+      Seq("x", "y", "z"))
+    assert(t1.filter(col("point.z").isNull).count() == 10, "old files read null for the add")
+    assert(t1.filter(col("point.x") === 3.0).count() == 1, "untouched siblings keep values")
+    spark.sql("INSERT INTO ncat.db.na SELECT id, " +
+      "named_struct('x', id * 1.0, 'y', id * 2.0, 'z', id * 3.0) FROM range(100, 105)")
+    val t2 = spark.table("ncat.db.na")
+    assert(t2.count() == 15)
+    assert(t2.filter(col("point.z").isNotNull).count() == 5)
+    assert(t2.filter(col("point.z") >= 303.0).count() == 4) // 303, 306, 309, 312
+    spark.sql("DROP TABLE ncat.db.na")
+  }
+
+  test("nested RENAME is metadata-only; reads and writes round-trip; old name is gone") {
+    mkNestedCatalog()
+    spark.sql("""CREATE TABLE ncat.db.nr (id BIGINT,
+      point STRUCT<x: DOUBLE, y: DOUBLE>) USING graft""")
+    spark.sql("INSERT INTO ncat.db.nr SELECT id, named_struct('x', id * 1.0, 'y', id * 2.0) " +
+      "FROM range(10)")
+    val files = graft.spatial.Snapshots.readManifest(
+      nestedWh + "/db/nr").map(_.path).toSet
+    spark.sql("ALTER TABLE ncat.db.nr RENAME COLUMN point.x TO lon")
+    val t = spark.table("ncat.db.nr")
+    val pf = t.schema("point").dataType.asInstanceOf[StructType]
+    assert(pf.fieldNames.contains("lon") && !pf.fieldNames.contains("x"))
+    // values survive the rename (metadata-only — same files)
+    assert(t.agg(sum(col("point.lon"))).first().getDouble(0) == (0 until 10).sum.toDouble)
+    assert(graft.spatial.Snapshots.readManifest(
+      nestedWh + "/db/nr").map(_.path).toSet
+      == files, "rename must not rewrite data files")
+    // writes under the NEW logical name land in the OLD physical field
+    spark.sql("INSERT INTO ncat.db.nr SELECT id, named_struct('lon', id * 1.0, 'y', id * 2.0) " +
+      "FROM range(50, 52)")
+    val t2 = spark.table("ncat.db.nr")
+    assert(t2.count() == 12)
+    assert(t2.filter(col("point.lon") === 50.0).count() == 1)
+    // filter pushdown on the renamed leaf stays CORRECT across generations
+    assert(t2.filter(col("point.lon") < 5.0).count() == 5)
+    spark.sql("DROP TABLE ncat.db.nr")
+  }
+
+  test("nested DROP hides the field without rewrites; re-add reads null (fresh storage)") {
+    mkNestedCatalog()
+    spark.sql("""CREATE TABLE ncat.db.nd (id BIGINT,
+      point STRUCT<x: DOUBLE, y: DOUBLE>) USING graft""")
+    spark.sql("INSERT INTO ncat.db.nd SELECT id, named_struct('x', id * 1.0, 'y', id * 2.0) " +
+      "FROM range(8)")
+    val dir = nestedWh + "/db/nd"
+    val before = graft.spatial.Snapshots.readManifest(dir).map(_.path).toSet
+    spark.sql("ALTER TABLE ncat.db.nd DROP COLUMN point.y")
+    val t = spark.table("ncat.db.nd")
+    assert(t.schema("point").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("x"))
+    assert(graft.spatial.Snapshots.readManifest(dir).map(_.path).toSet == before)
+    assert(t.agg(sum(col("point.x"))).first().getDouble(0) == (0 until 8).sum.toDouble)
+    // re-adding the same logical name maps to fresh physical storage: the
+    // dropped data must NOT resurrect
+    spark.sql("ALTER TABLE ncat.db.nd ADD COLUMNS (point.y DOUBLE)")
+    val t2 = spark.table("ncat.db.nd")
+    assert(t2.filter(col("point.y").isNotNull).count() == 0,
+      "re-added nested field must read null, not the dropped column's data")
+    spark.sql("DROP TABLE ncat.db.nd")
+  }
+
+  test("nested COMMENT persists as field metadata") {
+    mkNestedCatalog()
+    spark.sql("""CREATE TABLE ncat.db.nc (id BIGINT,
+      point STRUCT<x: DOUBLE, y: DOUBLE>) USING graft""")
+    spark.sql("INSERT INTO ncat.db.nc SELECT id, named_struct('x', 1.0, 'y', 2.0) FROM range(3)")
+    spark.sql("ALTER TABLE ncat.db.nc ALTER COLUMN point.x COMMENT 'longitude degrees'")
+    val pf = spark.table("ncat.db.nc").schema("point").dataType.asInstanceOf[StructType]
+    assert(pf("x").metadata.contains("comment") &&
+      pf("x").metadata.getString("comment") == "longitude degrees")
+    spark.sql("DROP TABLE ncat.db.nc")
+  }
+
+  test("struct inside array element and map value evolve; map keys are rejected") {
+    mkNestedCatalog()
+    spark.sql("""CREATE TABLE ncat.db.nn (id BIGINT,
+      tags ARRAY<STRUCT<t: STRING, w: INT>>,
+      attrs MAP<STRING, STRUCT<f: DOUBLE>>) USING graft""")
+    spark.sql("INSERT INTO ncat.db.nn SELECT id, " +
+      "array(named_struct('t', concat('tag', id), 'w', CAST(id AS INT))), " +
+      "map('k', named_struct('f', id * 0.5)) FROM range(6)")
+    // add + rename inside the array element struct
+    spark.sql("ALTER TABLE ncat.db.nn ADD COLUMNS (tags.element.score DOUBLE)")
+    spark.sql("ALTER TABLE ncat.db.nn RENAME COLUMN tags.element.w TO weight")
+    val t = spark.table("ncat.db.nn")
+    val et = t.schema("tags").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(et.fieldNames.toSeq == Seq("t", "weight", "score"))
+    assert(t.selectExpr("aggregate(tags, 0L, (a, x) -> a + x.weight) AS s")
+      .agg(sum(col("s"))).first().getLong(0) == (0 until 6).sum.toLong)
+    assert(t.selectExpr("tags[0].score AS sc").filter(col("sc").isNull).count() == 6)
+    // rename inside the map VALUE struct
+    spark.sql("ALTER TABLE ncat.db.nn RENAME COLUMN attrs.value.f TO g")
+    val t2 = spark.table("ncat.db.nn")
+    assert(t2.schema("attrs").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType].fieldNames.toSeq == Seq("g"))
+    assert(t2.selectExpr("attrs['k'].g AS g").agg(sum(col("g"))).first().getDouble(0)
+      == (0 until 6).map(_ * 0.5).sum)
+    // appends after element/value evolution round-trip through the writer
+    spark.sql("INSERT INTO ncat.db.nn SELECT id, " +
+      "array(named_struct('t', 'late', 'weight', CAST(99 AS INT), 'score', 0.9)), " +
+      "map('k', named_struct('g', 9.0)) FROM range(100, 101)")
+    val t3 = spark.table("ncat.db.nn")
+    assert(t3.count() == 7)
+    assert(t3.selectExpr("tags[0].score AS sc").filter(col("sc") === 0.9).count() == 1)
+    assert(t3.selectExpr("attrs['k'].g AS g").filter(col("g") === 9.0).count() == 1)
+    // map KEYS cannot evolve — identity-bearing, like the reference
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE ncat.db.nn ADD COLUMNS (attrs.key.k2 INT)")
+    }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(map key|key.*map|cannot.*key).*") ||
+      e.getMessage.contains("key"), e.getMessage)
+    spark.sql("DROP TABLE ncat.db.nn")
+  }
+
+  test("nested evolution through the TableSchema API on a path table (multi-level)") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_nest_path").toString
+    val df = spark.range(5).toDF("id")
+      .withColumn("meta", struct(
+        struct(col("id").cast("double").as("a")).as("inner"),
+        lit("s").as("lbl")))
+      .withColumn("geom", expr("ST_GeomFromText(concat('POINT (', id, ' ', id, ')'))"))
+    GeoTable.write(df, dir, "geom", res = 8, numFiles = 1)
+    // two levels down: meta.inner.a -> meta.inner.alpha; add meta.inner.b
+    TableSchema.renameColumn(spark, dir, Seq("meta", "inner", "a"), "alpha")
+    TableSchema.addColumn(spark, dir, Seq("meta", "inner", "b"), LongType)
+    val t = Snapshots.read(spark, dir)
+    val innerT = t.schema("meta").dataType.asInstanceOf[StructType]("inner")
+      .dataType.asInstanceOf[StructType]
+    assert(innerT.fieldNames.toSeq == Seq("alpha", "b"))
+    assert(t.agg(sum(col("meta.inner.alpha"))).first().getDouble(0) == 10.0)
+    assert(t.filter(col("meta.inner.b").isNull).count() == 5)
+    // negative: navigating into a non-struct leaf
+    intercept[IllegalArgumentException] {
+      TableSchema.addColumn(spark, dir, Seq("id", "sub"), LongType)
+    }
+    // negative: adding a duplicate nested name
+    intercept[IllegalArgumentException] {
+      TableSchema.addColumn(spark, dir, Seq("meta", "inner", "alpha"), LongType)
+    }
+  }
+
   test("declared-encoding geometry survives evolution: decode + rename compose") {
     import graft.spatial.GeometryFields
     import graft.functions.GeoSql
