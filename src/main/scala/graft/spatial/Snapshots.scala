@@ -988,7 +988,10 @@ object Snapshots {
   private def writeBack(df: DataFrame, path: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
     val spark = df.sparkSession
     val specs = GeoTable.readPartitionSpecs(path)
-    val physical = TableSchema.toPhysical(encodeForStorage(writeShape(df, path), path), path)
+    // declared uuid/fixed/time columns validate + canonicalize first
+    // (map-only, codegen'd; identity for undeclared tables)
+    val physical = TableSchema.toPhysical(
+      encodeForStorage(writeShape(ExtendedTypes.validate(df, path), path), path), path)
     // derive missing transform partition columns (appends carry source
     // cols; CoW rewrites already carry the derived ones)
     val withDerived = specs

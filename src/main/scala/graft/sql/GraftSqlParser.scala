@@ -689,15 +689,27 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         val (v, n) = Snapshots.addFiles(spark, table)
         Seq(Row(n.toLong, s"files_added;new_version=$v"))
       case "add_column" =>
-        graft.spatial.TableSchema.addColumn(spark, table, str(arg(1, "name")),
-          org.apache.spark.sql.types.DataType.fromDDL(str(arg(2, "type"))))
+        // Iceberg's uuid/fixed[n]/time primitives (no Spark twin) map to
+        // their physical types and record the declared type in the
+        // _graft_xtypes sidecar ([[graft.spatial.ExtendedTypes]])
+        val typeSpec = str(arg(2, "type"))
+        graft.spatial.ExtendedTypes.parse(typeSpec) match {
+          case Some(x) =>
+            graft.spatial.TableSchema.addColumn(spark, table, str(arg(1, "name")), x.physical)
+            graft.spatial.ExtendedTypes.declare(table, str(arg(1, "name")), x)
+          case None =>
+            graft.spatial.TableSchema.addColumn(spark, table, str(arg(1, "name")),
+              org.apache.spark.sql.types.DataType.fromDDL(typeSpec))
+        }
         Seq(Row(1L, s"added=${str(arg(1, "name"))}"))
       case "rename_column" =>
         graft.spatial.TableSchema.renameColumn(spark, table,
           str(arg(1, "from")), str(arg(2, "to")))
+        graft.spatial.ExtendedTypes.onRename(table, str(arg(1, "from")), str(arg(2, "to")))
         Seq(Row(1L, s"renamed=${str(arg(1, "from"))}->${str(arg(2, "to"))}"))
       case "drop_column" =>
         graft.spatial.TableSchema.dropColumn(spark, table, str(arg(1, "name")))
+        graft.spatial.ExtendedTypes.onDrop(table, str(arg(1, "name")))
         Seq(Row(1L, s"dropped=${str(arg(1, "name"))}"))
       case "fast_forward" =>
         Snapshots.fastForward(table, str(arg(1, "branch")), int(arg(2, "version")))
