@@ -571,32 +571,168 @@ object Snapshots {
   val NdvVersionProp = "stats.ndv.version"
   def ndvProp(col: String): String = s"stats.ndv.$col"
 
+  /** Persisted NDV sketch sidecar (the Puffin-statistics-file analogue:
+    * `core/.../puffin/StandardBlobTypes.java` carries
+    * apache-datasketches-theta blobs per snapshot; here the blobs are
+    * Spark's own DataSketches HLL from `hll_sketch_agg` — mergeable,
+    * deterministic, codegen'd): one JSON per stats-computing version under
+    * `_graft_stats/`, with a base64 sketch per column plus the scan
+    * telemetry the incremental path is judged by.
+    */
+  private val StatsDir = "_graft_stats"
+  private def sketchFile(path: String, v: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(path, StatsDir, s"ndv_sketch_v$v.json")
+
+  private def readSketches(path: String, v: Int)
+      : Option[(Map[String, Array[Byte]], Int)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    // newest sketch file at or before v (stats never travel back in time)
+    val dir = java.nio.file.Paths.get(path, StatsDir)
+    if (!java.nio.file.Files.isDirectory(dir)) return None
+    val SketchRe = """ndv_sketch_v(\d+)\.json""".r
+    val best = listDir(dir)(_.toSeq).flatMap(_.getFileName.toString match {
+      case SketchRe(n) if n.toInt <= v => Some(n.toInt)
+      case _ => None
+    }).sorted.lastOption
+    best.map { bv =>
+      val j = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(sketchFile(path, bv)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val cols = (j \ "columns") match {
+        case JObject(kv) => kv.collect { case (k, JString(b64)) =>
+          k -> java.util.Base64.getDecoder.decode(b64) }.toMap
+        case _ => Map.empty[String, Array[Byte]]
+      }
+      (cols, bv)
+    }
+  }
+
+  private def writeSketches(path: String, v: Int, sketches: Map[String, Array[Byte]],
+      scannedFiles: Int, scannedRows: Long, mode: String): Unit = {
+    val cols = sketches.toSeq.sortBy(_._1).map { case (c, b) =>
+      s""""$c":"${java.util.Base64.getEncoder.encodeToString(b)}""""
+    }.mkString("{", ",", "}")
+    val body = s"""{"version":$v,"mode":"$mode","scanned_files":$scannedFiles,""" +
+      s""""scanned_rows":$scannedRows,"columns":$cols}"""
+    val f = sketchFile(path, v)
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Scan telemetry of the newest sketch refresh at or before `v`:
+    * (mode, scanned_files, scanned_rows) — the spec's proof that an
+    * append-only refresh read ONLY the delta.
+    */
+  def ndvRefreshTelemetry(path: String, v: Int): Option[(String, Int, Long)] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    readSketches(path, v).map { case (_, bv) =>
+      val j = JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(sketchFile(path, bv)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val mode = (j \ "mode") match { case JString(s) => s; case _ => "" }
+      val nf = (j \ "scanned_files") match { case JInt(n) => n.toInt; case _ => -1 }
+      val nr = (j \ "scanned_rows") match { case JInt(n) => n.toLong; case _ => -1L }
+      (mode, nf, nr)
+    }
+  }
+
   /** Compute + store per-column NDV for the current snapshot. Geometry
     * and other binary columns are skipped (their NDV never feeds a CBO
     * estimate worth having). Returns (stamped version, column -> ndv).
+    *
+    * INCREMENTAL on appends: when a sketch sidecar exists for an earlier
+    * version and every file of that epoch is still live (nothing
+    * rewritten away, no delete state pending), only files ADDED since are
+    * scanned and their sketches HLL-union with the persisted ones —
+    * metadata + delta instead of a full re-scan, the reason Iceberg
+    * persists mergeable sketches in Puffin files. Any row-removing change
+    * (overwrite, delete, rewrite) voids the merge precondition and falls
+    * back to the full pass (an HLL cannot subtract).
     */
   def computeTableStats(spark: SparkSession, path: String,
       columns: Seq[String] = Nil): (Int, Map[String, Long]) = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, col}
-    val df = read(spark, path)
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, hll_union, lit}
+    val head = mainVersion(path)
+    val manifest = readManifest(path, Some(head))
+    val full = read(spark, path)
     val geo = GeometryFields.get(path).keySet
-    val targets0 = if (columns.nonEmpty) columns else df.schema.fields.toSeq
+    val targets0 = if (columns.nonEmpty) columns else full.schema.fields.toSeq
       .filterNot(f => f.dataType == org.apache.spark.sql.types.BinaryType ||
         f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
       .map(_.name)
     val targets = targets0.filterNot(geo.contains).filterNot(_ == "geom_bbox")
     require(targets.nonEmpty, "no NDV-eligible columns")
-    val missing = targets.filterNot(df.columns.contains)
+    val missing = targets.filterNot(full.columns.contains)
     require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
-    val row = df.agg(
-      approx_count_distinct(col(targets.head)),
-      targets.tail.map(c => approx_count_distinct(col(c))): _*).first()
-    val ndv = targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
-    val stamped = mainVersion(path)
+
+    val prev = readSketches(path, head)
+    // merge precondition: previous sketch covers exactly the files that
+    // existed then AND all of them are still live (append-only since) AND
+    // no delete state trims rows at read time AND the previous sketch has
+    // every requested column
+    val incremental = prev.collect {
+      case (sketches, pv)
+        if targets.forall(sketches.contains) &&
+          manifest.count(_.addedV <= pv) == readManifest(path, Some(pv)).size &&
+          readDeletes(path, Some(head)).isEmpty &&
+          readEqDeletes(path, Some(head)).isEmpty &&
+          readPosDeletes(path, Some(head)).isEmpty =>
+        (sketches, pv, manifest.filter(_.addedV > pv))
+    }
+
+    val (ndv, sketchesOut, scannedFiles, scannedRows, mode) = incremental match {
+      case Some((prevSketches, _, added)) =>
+        val fresh: Map[String, Array[Byte]] =
+          if (added.isEmpty) Map.empty // nothing new: pure metadata refresh
+          else {
+            val row = readFilesDecoded(spark, path, added.map(_.path)).agg(
+              hll_sketch_agg(col(targets.head)).as("s0"),
+              targets.tail.zipWithIndex.map { case (c, i) =>
+                hll_sketch_agg(col(c)).as(s"s${i + 1}") }: _*).first()
+            targets.zipWithIndex.flatMap { case (c, i) =>
+              if (row.isNullAt(i)) None else Some(c -> row.getAs[Array[Byte]](i))
+            }.toMap
+          }
+        // union + estimate in ONE 1-row local projection (all operands are
+        // tiny binary blobs on the driver; no data motion)
+        val unionCols = targets.flatMap { c =>
+          val u = fresh.get(c)
+            .map(f => hll_union(lit(prevSketches(c)), lit(f)))
+            .getOrElse(lit(prevSketches(c)))
+          Seq(u.as(s"u_$c"), hll_sketch_estimate(u).as(s"e_$c"))
+        }
+        val out = spark.range(1).select(unionCols: _*).first()
+        val merged = targets.zipWithIndex.map { case (c, i) =>
+          c -> out.getAs[Array[Byte]](2 * i) }.toMap
+        val est = targets.zipWithIndex.map { case (c, i) =>
+          c -> out.getLong(2 * i + 1) }.toMap
+        (est, merged, added.size, added.map(_.rows).sum, "incremental")
+      case None =>
+        val row = full.agg(
+          hll_sketch_agg(col(targets.head)).as("s0"),
+          targets.tail.zipWithIndex.map { case (c, i) =>
+            hll_sketch_agg(col(c)).as(s"s${i + 1}") }: _*).first()
+        val sketches = targets.zipWithIndex.flatMap { case (c, i) =>
+          if (row.isNullAt(i)) None else Some(c -> row.getAs[Array[Byte]](i))
+        }.toMap
+        val est =
+          if (sketches.isEmpty) targets.map(_ -> 0L).toMap
+          else {
+            val estCols = targets.map(c => sketches.get(c)
+              .map(b => hll_sketch_estimate(lit(b))).getOrElse(lit(0L)).as(s"e_$c"))
+            val out = spark.range(1).select(estCols: _*).first()
+            targets.zipWithIndex.map { case (c, i) => c -> out.getLong(i) }.toMap
+          }
+        (est, sketches, manifest.size, manifest.map(_.rows).sum, "full")
+    }
+    writeSketches(path, head, sketchesOut, scannedFiles, scannedRows, mode)
     updateProperties(path,
       ndv.map { case (c, n) => ndvProp(c) -> n.toString } +
-        (NdvVersionProp -> stamped.toString))
-    (stamped, ndv)
+        (NdvVersionProp -> head.toString))
+    (head, ndv)
   }
 
   /** NDV map recorded at or before `version` (None = current). Empty when

@@ -616,6 +616,39 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("no such columns"))
   }
 
+  test("NDV sketches refresh incrementally on appends (delta scan only); " +
+      "row-removing changes fall back to the full pass; time travel is epoch-correct") {
+    assert(warehouse.nonEmpty)
+    import graft.spatial.Snapshots
+    spark.sql("CREATE TABLE pq.db.ndvinc (id BIGINT, grp STRING) USING graft")
+    spark.sql("INSERT INTO pq.db.ndvinc SELECT id, concat('g', id % 5) FROM range(0, 100)")
+    val tbl = s"$warehouse/db/ndvinc"
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    val (m1, _, r1) = Snapshots.ndvRefreshTelemetry(tbl, Int.MaxValue).get
+    assert(m1 == "full" && r1 == 100, s"first ANALYZE scans everything: $m1/$r1")
+    val epoch1 = Snapshots.mainVersion(tbl)
+    assert(Snapshots.ndvStats(tbl, None)("grp") == 5)
+    // append a second generation with 5 NEW groups
+    spark.sql("INSERT INTO pq.db.ndvinc SELECT id, concat('h', id % 5) FROM range(100, 200)")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    val (m2, _, r2) = Snapshots.ndvRefreshTelemetry(tbl, Int.MaxValue).get
+    assert(m2 == "incremental", s"append-only refresh must merge sketches, got $m2")
+    assert(r2 == 100, s"only the appended rows may be scanned, got $r2")
+    val ndv = Snapshots.ndvStats(tbl, None)
+    assert(ndv("grp") == 10, s"merged sketch sees both epochs: ${ndv("grp")}")
+    assert(ndv("id") >= 180 && ndv("id") <= 220, s"merged id ndv: ${ndv("id")}")
+    // time travel: the pre-append epoch keeps ITS numbers (no future stats)
+    assert(Snapshots.ndvStats(tbl, Some(epoch1))("grp") == 5,
+      "time-travel read must see the epoch's own NDV")
+    // a CoW delete rewrites files: the merge precondition is void (an HLL
+    // cannot subtract) and the next ANALYZE must re-scan
+    spark.sql(s"DELETE FROM '$tbl' WHERE id < 10")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    val (m3, _, _) = Snapshots.ndvRefreshTelemetry(tbl, Int.MaxValue).get
+    assert(m3 == "full", s"post-delete refresh must not trust merged sketches, got $m3")
+    assert(Snapshots.ndvStats(tbl, None)("id") <= 205)
+  }
+
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect {
       case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
