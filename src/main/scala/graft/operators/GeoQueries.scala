@@ -268,6 +268,61 @@ object GeoQueries {
         .select(col("c_custkey"), col("lon"), col("lat"))
     }),
 
+    // NESTED schema evolution end-to-end (ref UpdateSchema.java:56-84):
+    // rename a struct field, add a new one, append a generation carrying
+    // it — old files read null for the add, both generations serve the
+    // renamed field from the same physical bytes
+    "geo_nested_evolution" -> ((s, dir) => {
+      import graft.spatial.{GeoTable, Snapshots, TableSchema}
+      val path = freshScratch("nestedevo", dir)
+      val base = pts(s, dir)
+      GeoTable.write(
+        base.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"),
+            struct(col("x").as("a"), col("y").as("b")).as("pt"), col("geom")),
+        path, "geom", res = 10, numFiles = 2)
+      TableSchema.renameColumn(s, path, Seq("pt", "a"), "lon")
+      TableSchema.addColumn(s, path, Seq("pt", "z"),
+        org.apache.spark.sql.types.DoubleType)
+      Snapshots.append(GeoTable.withBbox(
+        base.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"),
+            struct(col("x").as("lon"), col("y").as("b"),
+              (col("x") + col("y")).as("z")).as("pt"), col("geom")), "geom"), path)
+      Snapshots.read(s, path)
+        .filter(col("pt.lon") > 0)
+        .select(col("c_custkey"), col("pt.lon").as("lon"),
+          col("pt.b").as("b"), col("pt.z").as("z"))
+    }),
+
+    // Iceberg uuid/time primitives mapped to physical string/long-µs
+    // (ExtendedTypes; ref Types.java:50-58): the second batch arrives
+    // with UPPERCASE uuids and is canonicalized by the write-path
+    // validation, then a filter on the uuid column evaluates over both
+    // generations
+    "geo_xtypes_filter" -> ((s, dir) => {
+      import graft.spatial.{ExtendedTypes, GeoTable, Snapshots}
+      val path = freshScratch("xtypes", dir)
+      def uuidOf(c: org.apache.spark.sql.Column) = {
+        val h = md5(encode(c.cast("string"), "UTF-8"))
+        concat(substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+          substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+          substring(h, 21, 12))
+      }
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), uuidOf(col("c_custkey")).as("u"),
+          ((col("c_custkey") * lit(104729L)) % lit(86400000000L)).as("t"))
+      base.filter(col("c_custkey") % 2 === 1).write.mode("overwrite").parquet(path)
+      GeoTable.writeManifest(s, path)
+      ExtendedTypes.declare(path, "u", ExtendedTypes.Uuid)
+      ExtendedTypes.declare(path, "t", ExtendedTypes.Time)
+      Snapshots.append(base.filter(col("c_custkey") % 2 === 0)
+        .withColumn("u", upper(col("u"))), path)
+      Snapshots.read(s, path)
+        .filter(col("u") < "8")
+        .select(col("c_custkey"), col("u"), col("t"))
+    }),
+
     // connector full-fidelity: a table with a WKT storage encoding AND a
     // pending merge-on-read delete, read through format("graft") — the
     // read must decode the geometry and apply the delete (the reference's
@@ -363,6 +418,19 @@ object GeoQueries {
     "geo_evolved_read" ->
       s"""SELECT c_custkey, x AS lon, y AS lat FROM ($ptsSql)
          |WHERE x > 0""".stripMargin,
+
+    "geo_nested_evolution" ->
+      s"""SELECT c_custkey, x AS lon, y AS b,
+         | CASE WHEN c_custkey % 2 = 0 THEN x + y ELSE NULL END AS z
+         |FROM ($ptsSql) WHERE x > 0""".stripMargin,
+
+    "geo_xtypes_filter" ->
+      """SELECT c_custkey,
+        | concat(substr(h,1,8),'-',substr(h,9,4),'-',substr(h,13,4),'-',
+        |        substr(h,17,4),'-',substr(h,21,12)) AS u,
+        | (CAST(c_custkey AS BIGINT) * 104729) % 86400000000 AS t
+        |FROM (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR)) AS h FROM customer) x
+        |WHERE substr(h,1,1) < '8'""".stripMargin,
 
     "geo_incremental_read" ->
       s"""SELECT c_custkey, x, y FROM ($ptsSql)
