@@ -204,6 +204,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     Snapshots.commitCreate(p.toString,
       _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
         schema = Some(schema)))
+    Option(properties.get(graft.spatial.ExtendedTypes.PropertyKey))
+      .foreach(s => graft.spatial.ExtendedTypes.declareFromProperty(p.toString, schema, s))
     backend.recordTable(ident, p)
     new GraftTable(p.toString, None)
   }
@@ -215,16 +217,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
-    // ADD/RENAME/DROP/COMMENT take full dot-paths (nested struct fields,
-    // incl. struct-in-array `a.element.f` / struct-in-map-value
-    // `m.value.f` — ref UpdateSchema.java:56-84); type/nullability
-    // changes stay top-level-only (a nested promotion would need per-leaf
-    // physical-type bookkeeping the log doesn't carry).
-    def single(names: Array[String]): String = {
-      require(names.length == 1,
-        s"nested column type changes are not supported: ${names.mkString(".")}")
-      names.head
-    }
+    // ADD/RENAME/DROP/COMMENT/TYPE take full dot-paths (nested struct
+    // fields, incl. struct-in-array `a.element.f` / struct-in-map-value
+    // `m.value.f`, and `arr.element` / `m.value` themselves for type
+    // widening — ref UpdateSchema.java:56-84); nullability tightening
+    // stays rejected at any depth.
     val setProps = Map.newBuilder[String, String]
     val unsetProps = Seq.newBuilder[String]
     changes.foreach {
@@ -235,7 +232,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case d: TableChange.DeleteColumn =>
         TableSchema.dropColumn(spark, p.toString, d.fieldNames().toSeq)
       case t: TableChange.UpdateColumnType =>
-        TableSchema.updateColumnType(spark, p.toString, single(t.fieldNames()), t.newDataType())
+        TableSchema.updateColumnType(spark, p.toString, t.fieldNames().toSeq, t.newDataType())
       case n: TableChange.UpdateColumnNullability =>
         // relaxing to nullable is a no-op (graft columns are nullable by
         // construction); required-ness cannot be added after the fact
@@ -303,6 +300,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     Snapshots.commitCreate(tmp.toString,
       _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
         schema = Some(schema)))
+    // declared on the staging dir so the CTAS insert itself validates +
+    // canonicalizes; the sidecar travels with the dir move on commit
+    Option(properties.get(graft.spatial.ExtendedTypes.PropertyKey))
+      .foreach(s => graft.spatial.ExtendedTypes.declareFromProperty(tmp.toString, schema, s))
     new StagedGraftTable(ident, finalPath.toString, tmp.toString, schema,
       specs.map(_.spec), props, replace, orCreate,
       onCommit = () => backend.recordTable(ident, finalPath))
@@ -509,6 +510,12 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
       java.nio.file.Files.createDirectories(dst.getParent)
       java.nio.file.Files.move(src, dst)
     }
+    // extended-type declarations made on the staging dir travel with it
+    val xt = java.nio.file.Paths.get(tmpPath, graft.spatial.ExtendedTypes.FileName)
+    if (java.nio.file.Files.exists(xt))
+      java.nio.file.Files.copy(xt,
+        java.nio.file.Paths.get(finalPath, graft.spatial.ExtendedTypes.FileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     if (exists)
       Snapshots.commitReplace(spark, finalPath, entries, schema, parts, finalProps)
     else

@@ -298,18 +298,26 @@ object TableSchema {
 
   /** Widen a column's logical type (no data rewrite). Rejects anything
     * outside the promotion matrix, like the reference's
-    * `UpdateSchema.updateColumn`.
+    * `UpdateSchema.updateColumn`. Nested dot-paths promote a struct leaf
+    * (or an array `element` / map `value` directly): the child entry
+    * carries the wide type, the physical READ schema declares it, and the
+    * parquet readers up-convert old files' narrow leaves exactly as at the
+    * top level — per-leaf column readers don't care about nesting depth.
     */
-  def updateColumnType(spark: SparkSession, path: String, name: String, to: DataType): Unit = {
+  def updateColumnType(spark: SparkSession, path: String, name: String, to: DataType): Unit =
+    updateColumnType(spark, path, name.split('.').toSeq, to)
+
+  def updateColumnType(spark: SparkSession, path: String, parts: Seq[String], to: DataType): Unit = {
     val entries = ensure(spark, path)
-    val e = entries.find(x => !x.dropped && x.logical == name)
-      .getOrElse(throw new IllegalArgumentException(s"no such column: $name"))
-    require(promotable(e.dataType, to),
-      s"cannot promote $name: ${e.dataType.simpleString} -> ${to.simpleString} " +
-        "(allowed: integral widening, float->double, decimal precision widening at fixed scale)")
-    if (e.dataType != to)
-      write(path, entries.map(x =>
-        if (!x.dropped && x.logical == name) x.copy(dataType = to) else x))
+    write(path, editChildren(entries, parts.init, None) { (kids, _) =>
+      val idx = kids.indexWhere(k => !k.dropped && k.logical == parts.last)
+      require(idx >= 0, s"no such column: ${parts.mkString(".")}")
+      val e = kids(idx)
+      require(promotable(e.dataType, to),
+        s"cannot promote ${parts.mkString(".")}: ${e.dataType.simpleString} -> ${to.simpleString} " +
+          "(allowed: integral widening, float->double, decimal precision widening at fixed scale)")
+      kids.updated(idx, e.copy(dataType = to))
+    })
   }
 
   /** Attach / replace a column doc comment (metadata-only). */

@@ -409,6 +409,44 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("nested TYPE widening: struct leaf int->bigint, array element float->double; " +
+      "narrowing rejected; old files up-convert") {
+    mkNestedCatalog()
+    spark.sql("""CREATE TABLE ncat.db.nt (id BIGINT,
+      point STRUCT<x: INT, y: DOUBLE>, vs ARRAY<FLOAT>) USING graft""")
+    spark.sql("INSERT INTO ncat.db.nt SELECT id, " +
+      "named_struct('x', CAST(id AS INT), 'y', id * 2.0), " +
+      "array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)) FROM range(10)")
+    val dir = nestedWh + "/db/nt"
+    val before = graft.spatial.Snapshots.readManifest(dir).map(_.path).toSet
+    spark.sql("ALTER TABLE ncat.db.nt ALTER COLUMN point.x TYPE BIGINT")
+    spark.sql("ALTER TABLE ncat.db.nt ALTER COLUMN vs.element TYPE DOUBLE")
+    val t = spark.table("ncat.db.nt")
+    assert(t.schema("point").dataType.asInstanceOf[StructType]("x").dataType == LongType)
+    assert(t.schema("vs").dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+    // metadata-only: same files, old narrow leaves up-convert on read
+    assert(graft.spatial.Snapshots.readManifest(dir).map(_.path).toSet == before)
+    assert(t.agg(sum(col("point.x"))).first().getLong(0) == (0 until 10).sum.toLong)
+    assert(t.selectExpr("aggregate(vs, 0.0D, (a, x) -> a + x) AS s")
+      .agg(sum(col("s"))).first().getDouble(0) == (0 until 10).map(i => 2.0 * i + 1).sum)
+    // appends carry the wide type; filters span both generations
+    spark.sql("INSERT INTO ncat.db.nt SELECT id, " +
+      "named_struct('x', id * 1000000000000, 'y', 0.0), array(CAST(id AS DOUBLE)) " +
+      "FROM range(100, 102)")
+    val t2 = spark.table("ncat.db.nt")
+    assert(t2.count() == 12)
+    assert(t2.filter(col("point.x") >= 100000000000000L).count() == 2)
+    assert(t2.filter(col("point.x") < 10L).count() == 10)
+    // narrowing and cross-family changes are rejected at any depth
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ncat.db.nt ALTER COLUMN point.y TYPE FLOAT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ncat.db.nt ALTER COLUMN point.x TYPE STRING")
+    }
+    spark.sql("DROP TABLE ncat.db.nt")
+  }
+
   test("declared-encoding geometry survives evolution: decode + rename compose") {
     import graft.spatial.GeometryFields
     import graft.functions.GeoSql
