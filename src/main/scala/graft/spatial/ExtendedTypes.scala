@@ -74,6 +74,34 @@ object ExtendedTypes {
   def declare(path: String, col: String, x: XType): Unit =
     put(path, get(path) + (col -> x))
 
+  /** Table property declaring extended types at CREATE TABLE:
+    * `TBLPROPERTIES ('graft.xtypes' = 'u:uuid, f:fixed(16), t:time')`.
+    * Spark's DDL parser has no uuid/fixed/time keywords, so the schema
+    * declares the PHYSICAL twin (string/binary/bigint) and the property
+    * names which columns carry the extended meaning — checked against the
+    * schema here so a typo fails the CREATE, not a later write.
+    */
+  val PropertyKey = "graft.xtypes"
+
+  def declareFromProperty(path: String, schema: org.apache.spark.sql.types.StructType,
+      spec: String): Unit = {
+    val decls = spec.split(',').map(_.trim).filter(_.nonEmpty).map { s =>
+      val i = s.indexOf(':')
+      require(i > 0, s"$PropertyKey entry '$s': want col:type")
+      val (c, t) = (s.substring(0, i).trim, s.substring(i + 1).trim)
+      val x = parse(t).getOrElse(throw new IllegalArgumentException(
+        s"$PropertyKey entry '$s': unknown extended type '$t' (uuid, fixed(n), time)"))
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"$PropertyKey names a column not in the schema: $c"))
+      require(f.dataType == x.physical,
+        s"column $c: declared ${x.spec} stores as ${x.physical.simpleString}, " +
+          s"schema says ${f.dataType.simpleString}")
+      c -> x
+    }
+    decls.foreach { case (c, x) => declare(path, c, x) }
+  }
+
   /** Keep the annotation map in step with column evolution. */
   def onRename(path: String, from: String, to: String): Unit = {
     val m = get(path)

@@ -102,6 +102,44 @@ class ExtendedTypesSpec extends AnyFunSuite {
     assert(ExtendedTypes.get(dir).get("uid").isEmpty)
   }
 
+  test("CREATE TABLE declares extended types via the graft.xtypes property; " +
+      "CTAS canonicalizes during the staged insert; typos fail the CREATE") {
+    val wh = Files.createTempDirectory("graft_xt_wh").toString
+    spark.conf.set("spark.sql.catalog.xtc", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xtc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS xtc.db")
+    spark.sql("""CREATE TABLE xtc.db.xt (id BIGINT, u STRING, t BIGINT) USING graft
+      TBLPROPERTIES ('graft.xtypes' = 'u:uuid, t:time')""")
+    assert(ExtendedTypes.get(s"$wh/db/xt") ==
+      Map("u" -> ExtendedTypes.Uuid, "t" -> ExtendedTypes.Time))
+    // inserts canonicalize (uppercase in, lowercase stored) and validate
+    spark.sql("INSERT INTO xtc.db.xt VALUES " +
+      "(1, 'ABCDEF01-2345-6789-ABCD-EF0123456789', 42)")
+    assert(spark.table("xtc.db.xt").filter(
+      col("u") === "abcdef01-2345-6789-abcd-ef0123456789").count() == 1)
+    intercept[Exception] {
+      spark.sql("INSERT INTO xtc.db.xt VALUES (2, 'nope', 1)")
+    }
+    // CTAS: the staged insert already validates + canonicalizes, and the
+    // declaration survives the staging-dir move
+    spark.sql("""CREATE TABLE xtc.db.xt2 USING graft
+      TBLPROPERTIES ('graft.xtypes' = 'u:uuid')
+      AS SELECT id, upper(u) AS u FROM xtc.db.xt""")
+    assert(ExtendedTypes.get(s"$wh/db/xt2") == Map("u" -> ExtendedTypes.Uuid))
+    assert(spark.table("xtc.db.xt2").filter(col("u") =!= lower(col("u"))).count() == 0)
+    // schema mismatches fail the CREATE itself
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE xtc.db.bad1 (id BIGINT, u BIGINT) USING graft
+        TBLPROPERTIES ('graft.xtypes' = 'u:uuid')""")
+    }
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE xtc.db.bad2 (id BIGINT) USING graft
+        TBLPROPERTIES ('graft.xtypes' = 'ghost:time')""")
+    }
+    spark.sql("DROP TABLE xtc.db.xt")
+    spark.sql("DROP TABLE xtc.db.xt2")
+  }
+
   test("uuid and time columns carry manifest min/max stats (pruning as physical types)") {
     val dir = mkTable()
     val f = Snapshots.readManifest(dir).head
