@@ -695,6 +695,10 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         val typeSpec = str(arg(2, "type"))
         graft.spatial.ExtendedTypes.parse(typeSpec) match {
           case Some(x) =>
+            // write-path validation matches top-level frame columns —
+            // a nested declaration would sit inert in the sidecar
+            require(!str(arg(1, "name")).contains("."),
+              s"extended type ${x.spec} is only supported on top-level columns")
             graft.spatial.TableSchema.addColumn(spark, table, str(arg(1, "name")), x.physical)
             graft.spatial.ExtendedTypes.declare(table, str(arg(1, "name")), x)
           case None =>

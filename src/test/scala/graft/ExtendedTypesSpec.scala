@@ -100,6 +100,12 @@ class ExtendedTypesSpec extends AnyFunSuite {
     assert(ExtendedTypes.get(dir)("uid") == ExtendedTypes.Uuid)
     spark.sql(s"CALL graft.system.drop_column('$dir', 'uid')")
     assert(ExtendedTypes.get(dir).get("uid").isEmpty)
+    // write-path validation matches top-level frame columns, so an
+    // extended type on a nested path would sit inert — rejected up front
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column('$dir', 'pt.z', 'uuid')")
+    }
+    assert(e.getMessage.contains("top-level"), e.getMessage)
   }
 
   test("CREATE TABLE declares extended types via the graft.xtypes property; " +
