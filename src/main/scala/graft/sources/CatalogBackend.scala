@@ -68,6 +68,13 @@ trait CatalogBackend {
     */
   def dropNamespace(ns: Array[String], cascade: Boolean,
       dropTable: Identifier => Unit): Boolean
+
+  /** Whether this backend decouples table identity from directory layout
+    * (a metastore: locations are recorded, not derived), which is what
+    * makes `CREATE TABLE … LOCATION` honorable and RENAME metadata-only.
+    * The filesystem backend's layout IS its identity, so `false` there.
+    */
+  def locationDecoupled: Boolean = false
 }
 
 /** Convention-over-layout backend: `<warehouse>/<ns…>/<table>`. */
@@ -134,6 +141,8 @@ class FilesystemBackend(warehouse: String) extends CatalogBackend {
   */
 class RegistryBackend(warehouse: String) extends CatalogBackend {
   import RegistryBackend._
+
+  override def locationDecoupled: Boolean = true
 
   private def key(ident: Identifier): String =
     "table." + (ident.namespace() :+ ident.name()).mkString(".")

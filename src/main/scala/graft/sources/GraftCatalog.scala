@@ -33,17 +33,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    warehouse = Option(options.get("warehouse")).getOrElse(
+    def requiredWarehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires spark.sql.catalog.$name.warehouse"))
-    // identifier-resolution backend (the reference's catalog-impl seam):
-    // layout-convention filesystem (default) or the properties-file
-    // registry "metastore" — see [[CatalogBackend]]
+    // identifier-resolution backend (the reference's catalog-impl seam,
+    // `SparkCatalog.java:101-104,148-154`): layout-convention filesystem
+    // (default), the properties-file registry "metastore", or an external
+    // REST catalog service — see [[CatalogBackend]] / [[RestBackend]]
     backend = Option(options.get("backend")).getOrElse("filesystem") match {
-      case "filesystem" => new FilesystemBackend(warehouse)
-      case "registry" => new RegistryBackend(warehouse)
+      case "filesystem" => new FilesystemBackend(requiredWarehouse)
+      case "registry" => new RegistryBackend(requiredWarehouse)
+      case "rest" => new RestBackend(Option(options.get("uri")).getOrElse(
+        throw new IllegalArgumentException(
+          s"catalog $name: backend=rest requires spark.sql.catalog.$name.uri")))
       case other => throw new IllegalArgumentException(
-        s"catalog $name: unknown backend '$other' (filesystem | registry)")
+        s"catalog $name: unknown backend '$other' (filesystem | registry | rest)")
+    }
+    // a REST catalog advertises its warehouse in /v1/config (the client
+    // needs no local warehouse conf, like the reference's REST client)
+    warehouse = backend match {
+      case r: RestBackend => r.warehouse
+      case _ => requiredWarehouse
     }
     graft.spatial.Geo.install(SparkSession.active)
   }
@@ -171,16 +181,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   /** Spark-reserved CREATE TABLE properties that are not table props. */
   private val ReservedProps = Set("provider", "location", "owner", "comment", "external")
 
-  /** Where a table being created should live: a registry backend decouples
-    * identity from layout, so CREATE TABLE … LOCATION '/x' (plain or AS
-    * SELECT) registers the table wherever the user pointed it (the
-    * metastore behavior); the filesystem backend's layout IS its identity,
+  /** Where a table being created should live: a metastore-style backend
+    * (registry, REST) decouples identity from layout, so CREATE TABLE …
+    * LOCATION '/x' (plain or AS SELECT) registers the table wherever the
+    * user pointed it; the filesystem backend's layout IS its identity,
     * so there LOCATION is not honored.
     */
   private def createLocation(ident: Identifier,
       properties: util.Map[String, String]): java.nio.file.Path =
     Option(properties.get("location"))
-      .filter(_ => backend.isInstanceOf[RegistryBackend])
+      .filter(_ => backend.locationDecoupled)
       // Spark qualifies LOCATION into a URI (file:/…) — back to a path
       .map(loc => java.nio.file.Paths.get(
         if (loc.contains(":")) new java.net.URI(loc).getPath else loc))

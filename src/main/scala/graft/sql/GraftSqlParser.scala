@@ -119,21 +119,31 @@ object GraftStatements {
         val graftImpl = impl.exists(i =>
           i == classOf[graft.sources.GraftCatalog].getName ||
             i == classOf[graft.sources.GraftSessionCatalog].getName)
-        if (graftImpl && wh.isDefined) {
-          // registry-backed catalogs resolve ONLY through the recorded
-          // (ident -> location) mapping — the table may live anywhere, and
-          // a registry miss means the identifier does not exist. No layout
-          // fallback here: after a metadata-only RENAME the conventional
-          // layout dir belongs to the RENAMED table, and a fallback would
-          // let DML against the old name silently mutate its data.
-          if (spark.conf.getOption(s"spark.sql.catalog.${parts.head}.backend")
-              .contains("registry")) {
+        val backendKind = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.backend")
+        val restUri = spark.conf.getOption(s"spark.sql.catalog.${parts.head}.uri")
+          .filter(_ => backendKind.contains("rest"))
+        if (graftImpl && (wh.isDefined || restUri.isDefined)) {
+          // metastore-backed catalogs (registry, REST) resolve ONLY
+          // through the recorded (ident -> location) mapping — the table
+          // may live anywhere, and a lookup miss means the identifier does
+          // not exist. No layout fallback here: after a metadata-only
+          // RENAME the conventional layout dir belongs to the RENAMED
+          // table, and a fallback would let DML against the old name
+          // silently mutate its data.
+          val metastoreLookup: Option[String => Option[String]] = backendKind match {
+            case Some("registry") if wh.isDefined =>
+              Some(t => graft.sources.RegistryBackend.lookup(wh.get, t))
+            case Some("rest") if restUri.isDefined =>
+              Some(t => graft.sources.RestBackend.lookup(restUri.get, t))
+            case _ => None
+          }
+          if (metastoreLookup.isDefined) {
+            val lookup = metastoreLookup.get
             val last = parts.last
-            graft.sources.RegistryBackend.lookup(wh.get, parts.tail.mkString("."))
+            lookup(parts.tail.mkString("."))
               .map(_ -> "main")
               .orElse(if (last.startsWith("branch_") && parts.length > 2)
-                graft.sources.RegistryBackend
-                  .lookup(wh.get, parts.tail.dropRight(1).mkString("."))
+                lookup(parts.tail.dropRight(1).mkString("."))
                   .map(_ -> last.stripPrefix("branch_"))
               else None)
           } else {
