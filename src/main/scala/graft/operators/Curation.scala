@@ -265,6 +265,53 @@ object Curation {
         .select(col("source"), col("rate"), col("n_docs"), col("n_kept"))
     }),
 
+    // Per-domain document cap (the CCNet/RefinedWeb guard against a few
+    // giant domains dominating the mixture): keep the top-K documents of
+    // every source by quality (here n_chars, tiebroken by doc_id).
+    // Scale: a plain `row_number over (partition by source)` sorts each
+    // ENTIRE domain in one task — at 100 TB a mega-domain is exactly the
+    // skew case. Two-phase salted top-K instead: per-(source, salt)
+    // top-K first (8-way salt bounds every sort), then re-rank the ≤ 8·K
+    // survivors per source — a bounded second window. The union of
+    // per-salt top-Ks provably contains the global top-K, so the result
+    // is EXACTLY the single-window answer.
+    "curate_domain_cap" -> ((s, dir) => {
+      val k = 10
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val salted = Window.partitionBy(col("source"), (col("doc_id") % 8).as("salt"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val candidates = d
+        .withColumn("lrk", row_number().over(salted))
+        .filter(col("lrk") <= k).drop("lrk")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      candidates
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rank"))
+    }),
+
+    // Tokenizer training, first BPE iteration (Sennrich et al. 2016):
+    // adjacent character-pair frequencies weighted by word frequency.
+    // Scale: the published trick — build the word-frequency DICTIONARY
+    // first (one corpus scan + one vocab-bounded shuffle), then explode
+    // pairs over DISTINCT words only. Pair generation touches vocab-many
+    // short strings, never the corpus again; at 100 TB the dictionary is
+    // maybe 10^7 rows against 10^11 documents.
+    "tokenizer_pair_counts" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+      val freq = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      freq
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"), col("freq"))
+        .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(100)
+    }),
+
     // Deterministic global shuffle index: position of every doc in the
     // md5-of-id permutation, built scalably — shard by the first TWO hex
     // chars of the hash (256 shards; shard order == global order prefix),
@@ -414,6 +461,25 @@ object Curation {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS BIGINT) AS pos
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // the salted two-phase construction is exactly the single-window
+    // top-K, so the oracle states it the direct way
+    "curate_domain_cap" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "tokenizer_pair_counts" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) >= 2
+        |  GROUP BY word),
+        |p AS (SELECT substring(word, i, 2) AS pair, freq FROM f,
+        |  unnest(generate_series(1, length(word) - 1)) AS t(i))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+        |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 100""".stripMargin
   )
 }

@@ -413,4 +413,44 @@ class PipelineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!km.contains("Join"), s"assignment must fold centroids into the scan:\n$km")
   }
+
+  test("domain cap: salted two-phase top-K equals the single-window answer, " +
+      "and no single-partition stage touches the data") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val capped = SparkEntry.queries("curate_domain_cap")(spark, sf)
+    // direct single-window construction (what a mega-domain could NOT run)
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val direct = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+    assert(capped.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet,
+      "two-phase salted top-K must be EXACTLY the single-window top-K")
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"per-domain cap must never gather to one partition:\n$plan")
+  }
+
+  test("tokenizer pair counts: pairs come from the word DICTIONARY, not the corpus; " +
+      "top-k is a heap, not a global sort") {
+    val q = SparkEntry.queries("tokenizer_pair_counts")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k heap:\n$plan")
+    // the dictionary-first shape shows as an aggregate (word freq) BELOW
+    // the pair-explode generator: the generator's input must carry the
+    // aggregated freq column, not raw text
+    val gen = plan.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(gen.contains("freq"), s"pair explode must run over the word dictionary:\n$plan")
+    // hand-check one pair count: 'er' in word w contributes freq(w) per occurrence
+    val er = q.collect().find(_.getString(0) == "er")
+    val words = graft.Tables.load(spark, sf, "documents")
+      .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS word")
+      .where("length(word) >= 2").collect().map(_.getString(0))
+    val expected = words.map(w => (0 until w.length - 1).count(i => w.substring(i, i + 2) == "er").toLong).sum
+    // (guard: 'er' could fall outside the top-100 on a tiny corpus)
+    er.foreach(r => assert(r.getLong(1) == expected,
+      s"er count mismatch: got ${r.getLong(1)}, expected $expected"))
+    assert(q.count() > 0)
+  }
 }
