@@ -78,7 +78,10 @@ object Bench {
       // vector expressions (~4 s on the alphabetically-first jaccard
       // query) — warm them on 8 rows so cold numbers measure operators
       graft.functions.VectorSql.install(spark)
-      val tinyDocs = nation.limit(8).selectExpr("n_nationkey AS doc_id",
+      // BIGINT doc_id to match the documents table: codegen specializes
+      // generated classes on input types, so an int-keyed warm leaves the
+      // long-keyed real plans compiling from scratch
+      val tinyDocs = nation.limit(8).selectExpr("CAST(n_nationkey AS BIGINT) AS doc_id",
         "concat(n_name, ' alpha beta gamma delta epsilon zeta eta theta') AS text")
       warmUp("jaccard") {
         graft.operators.TextPipeline.jaccardPairs(tinyDocs, 64)
@@ -101,7 +104,13 @@ object Bench {
       // own codegen class, and r10's partial warm (4 mins, bands only)
       // left ~0.8 s of first-use compilation on the real query
       warmUp("minhash") {
-        val sig = tinyDocs
+        // volume, not just shape: the signature loops (16 hash_mix mins
+        // per shingle) need enough iterations to reach C2, or the real
+        // query's first run pays the interpreted/C1 tail
+        val warmDocs = spark.range(2000).selectExpr("id AS doc_id",
+          """concat_ws(' ', transform(sequence(0, 24),
+            | i -> substring(md5(cast(id * 31 + i as string)), 1, 6))) AS text""".stripMargin)
+        val sig = warmDocs
           .withColumn("h", graft.functions.VectorSql.shingle_hashes(col("text")))
           .select(col("doc_id"), explode(col("h")).as("s"))
           .groupBy(col("doc_id"))
