@@ -39,8 +39,13 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    // warehouse present -> graft side active; absent -> pure delegation
-    graftOpt = Option(options.get("warehouse")).map { _ =>
+    // warehouse present -> graft side active; absent -> pure delegation.
+    // A REST-backed catalog needs no local warehouse (it arrives via the
+    // service's /v1/config), so `backend=rest` + `uri` activates too.
+    val restActive = Option(options.get("backend")).contains("rest") &&
+      options.get("uri") != null
+    graftOpt = Option(options.get("warehouse")).orElse(
+        if (restActive) Some("") else None).map { _ =>
       val g = new GraftCatalog
       g.initialize(name, options)
       g

@@ -158,6 +158,42 @@ class RestBackendSpec extends AnyFunSuite {
       .map(_.getString(0)).contains("tmpns"))
   }
 
+  test("GraftSessionCatalog activates its graft side from backend=rest + uri alone " +
+      "(no local warehouse conf)") {
+    assert(uri.nonEmpty)
+    val sc = new graft.sources.GraftSessionCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("backend", "rest")
+    opts.put("uri", uri)
+    sc.initialize("spark_catalog",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog}
+    import org.apache.spark.sql.connector.expressions.Transform
+    import org.apache.spark.sql.types.StructType
+    // minimal knows-nothing delegate (the built-in session catalog's role)
+    sc.setDelegateCatalog(new TableCatalog {
+      override def name(): String = "stub"
+      override def initialize(n: String,
+          o: org.apache.spark.sql.util.CaseInsensitiveStringMap): Unit = ()
+      override def listTables(ns: Array[String]): Array[Identifier] = Array.empty
+      override def loadTable(ident: Identifier): Table =
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      override def createTable(ident: Identifier, schema: StructType,
+          partitions: Array[Transform], props: java.util.Map[String, String]): Table =
+        throw new UnsupportedOperationException
+      override def alterTable(ident: Identifier,
+          changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+        throw new UnsupportedOperationException
+      override def dropTable(ident: Identifier): Boolean = false
+      override def renameTable(o: Identifier, n: Identifier): Unit =
+        throw new UnsupportedOperationException
+      override def tableExists(ident: Identifier): Boolean = false
+    })
+    // graft side is live: an earlier test's REST-registered table resolves
+    assert(sc.tableExists(Identifier.of(Array("db"), "t")))
+    assert(!sc.tableExists(Identifier.of(Array("db"), "definitely_absent")))
+  }
+
   test("the service persists across restarts (state lives in the registry file)") {
     assert(uri.nonEmpty)
     spark.sql("CREATE TABLE restcat.db.durable (id BIGINT) USING graft")
