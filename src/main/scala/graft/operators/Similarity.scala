@@ -336,6 +336,73 @@ object Similarity {
         .select(col("vec_id"), col("cell"))
     }),
 
+    // PCA projection to k=8 components — the dimensionality-reduction
+    // front of a vector index (IVF/PQ pipelines train on reduced vectors;
+    // the OPQ line of work). Distributed shape is the RowMatrix Gram
+    // pattern: ONE corpus pass where each input partition folds its rows
+    // into a (n, sum[d], gram[d·d]) accumulator and emits ONE row —
+    // d²-bounded, corpus-size-free (at 100 TB: 32k partitions × 33 KB
+    // beats shuffling n·d² exploded products by ~9 orders of magnitude).
+    // Partials combine on the driver in PARTITION ORDER (treeAggregate's
+    // combine order varies run-to-run and float addition is not
+    // associative — the driver re-executes queries for hashing, so
+    // determinism is part of the contract). Eigen-decomposition of the
+    // 64×64 covariance runs on the driver (breeze eigSym, ships with
+    // Spark MLlib); eigenvector sign is canonicalized (largest-|coord|
+    // positive). The projection itself is MAP-ONLY: k codegen'd vec_dot
+    // columns against broadcast-literal component vectors.
+    "sim_pca_project" -> ((s, dir) => {
+      val d = 64
+      val k = 8
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      val partials = e.select(col("v")).rdd
+        .mapPartitionsWithIndex { (pid, it) =>
+          val sum = new Array[Double](d)
+          val gram = new Array[Double](d * d)
+          var n = 0L
+          it.foreach { r =>
+            val v = r.getSeq[Double](0)
+            var i = 0
+            while (i < d) {
+              val vi = v(i)
+              sum(i) += vi
+              var j = i
+              while (j < d) { gram(i * d + j) += vi * v(j); j += 1 }
+              i += 1
+            }
+            n += 1
+          }
+          Iterator.single((pid, n, sum, gram))
+        }.collect().sortBy(_._1)
+      val n = partials.map(_._2).sum.toDouble
+      val sum = new Array[Double](d)
+      val gram = new Array[Double](d * d)
+      partials.foreach { case (_, _, ps, pg) =>
+        var i = 0
+        while (i < d) { sum(i) += ps(i); i += 1 }
+        i = 0
+        while (i < d * d) { gram(i) += pg(i); i += 1 }
+      }
+      val mean = sum.map(_ / n)
+      val cov = breeze.linalg.DenseMatrix.tabulate[Double](d, d) { (i, j) =>
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        gram(a * d + b) / n - mean(a) * mean(b)
+      }
+      val es = breeze.linalg.eigSym(cov) // ascending eigenvalues
+      val comps: Seq[Seq[Double]] = (0 until k).map { c =>
+        val colIdx = d - 1 - c // descending variance
+        val w = (0 until d).map(i => es.eigenvectors(i, colIdx))
+        // canonical sign: the largest-|coordinate| entry is positive
+        val flip = if (w(w.zipWithIndex.maxBy(x => math.abs(x._1))._2) < 0) -1.0 else 1.0
+        w.map(_ * flip)
+      }
+      val projCols = comps.zipWithIndex.map { case (w, c) =>
+        val offset = w.zip(mean).map { case (wi, mi) => wi * mi }.sum
+        round(dot(col("v"), typedlit(w)) - lit(offset), 4).as(s"p$c")
+      }
+      e.select((col("vec_id") +: projCols): _*)
+    }),
+
     "dedup_embed_cosine" -> ((s, dir) => {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(e0.count()))

@@ -414,6 +414,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!km.contains("Join"), s"assignment must fold centroids into the scan:\n$km")
   }
 
+  test("PCA projection: components decorrelate, variance descends, " +
+      "projection is map-only, and reruns are bit-identical") {
+    val q = SparkEntry.queries("sim_pca_project")(spark, sf)
+    val rows = q.collect()
+    val k = rows.head.length - 1
+    val n = rows.length.toDouble
+    val cols = (0 until k).map(c => rows.map(_.getDouble(c + 1)))
+    val means = cols.map(_.sum / n)
+    def cov(a: Int, b: Int): Double =
+      cols(a).zip(cols(b)).map { case (x, y) => (x - means(a)) * (y - means(b)) }.sum / n
+    val vars = (0 until k).map(c => cov(c, c))
+    // variance descends component-to-component
+    vars.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(hi >= lo - 1e-9, s"variance must descend: $vars")
+    }
+    assert(vars.head > 0, "first component must carry variance")
+    // off-diagonal covariance ~ 0 relative to the component scales
+    for (a <- 0 until k; b <- (a + 1) until k) {
+      val rel = math.abs(cov(a, b)) / math.sqrt(vars(a) * vars(b) + 1e-300)
+      assert(rel < 0.01, s"components $a,$b correlate: rel=$rel")
+    }
+    // centered: projected means ~ 0
+    means.foreach(m => assert(math.abs(m) < 1e-3, s"projection must center: $means"))
+    // the projection stage is map-only over the scan (the Gram pass is a
+    // separate bounded job at build time)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must be map-only:\n$plan")
+    // determinism: the driver re-executes queries for hashing
+    val again = SparkEntry.queries("sim_pca_project")(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "PCA projection must be bit-identical run-to-run")
+  }
+
   test("domain cap: salted two-phase top-K equals the single-window answer, " +
       "and no single-partition stage touches the data") {
     import org.apache.spark.sql.expressions.Window
