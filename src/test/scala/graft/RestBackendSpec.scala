@@ -194,6 +194,27 @@ class RestBackendSpec extends AnyFunSuite {
     assert(!sc.tableExists(Identifier.of(Array("db"), "definitely_absent")))
   }
 
+  test("concurrent clients never lose a record (server-side generation CAS)") {
+    assert(uri.nonEmpty)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    // 4 independent clients × 10 registrations race through HTTP; the
+    // server serializes them through the registry CAS — read-modify-write
+    // races would drop keys
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        val c = new graft.sources.RestBackend(uri)
+        (0 until 10).foreach { i =>
+          c.recordTable(Identifier.of(Array("racedb"), s"t${t}_$i"),
+            java.nio.file.Paths.get(warehouse, "racedb", s"t${t}_$i"))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val listed = new graft.sources.RestBackend(uri)
+      .listTables(Array("racedb"), _ => true).map(_.name()).toSet
+    assert(listed.size == 40, s"lost ${40 - listed.size} records to the race")
+  }
+
   test("the service persists across restarts (state lives in the registry file)") {
     assert(uri.nonEmpty)
     spark.sql("CREATE TABLE restcat.db.durable (id BIGINT) USING graft")
