@@ -150,6 +150,17 @@ object Bench {
             least(col("n") - col("chunk_id") * 3, lit(4)).as("nt"))
           .write.format("noop").mode("overwrite").save()
       }
+      // PCA: the Gram RDD pass compiles its own deserializer + closure
+      // classes and the first breeze eigSym call pays LAPACK/class init
+      // (~1.3 s measured on sim_pca_project's first run) — warm both on a
+      // 256-row 64-d frame through the same factored code path
+      warmUp("pca") {
+        val tiny = spark.range(256)
+          .selectExpr("id AS vec_id",
+            "transform(sequence(0, 63), i -> cast((id * 31 + i) % 17 AS DOUBLE) / 17) AS v")
+        graft.operators.Similarity.pcaProject(tiny, 64, 8)
+          .write.format("noop").mode("overwrite").save()
+      }
       warmUp("vector-kernels") {
         val tinyVecs = nation.limit(8).selectExpr("n_nationkey AS vec_id",
           "transform(sequence(1, 8), i -> cast(n_nationkey * i % 7 AS DOUBLE)) AS v")

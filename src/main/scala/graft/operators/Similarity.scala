@@ -351,10 +351,40 @@ object Similarity {
     // Spark MLlib); eigenvector sign is canonicalized (largest-|coord|
     // positive). The projection itself is MAP-ONLY: k codegen'd vec_dot
     // columns against broadcast-literal component vectors.
-    "sim_pca_project" -> ((s, dir) => {
-      val d = 64
-      val k = 8
-      val e = emb(s, dir).select(col("vec_id"), col("v"))
+    "sim_pca_project" -> ((s, dir) =>
+      pcaProject(emb(s, dir).select(col("vec_id"), col("v")), 64, 8)),
+
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val (bands, bits) = (4, sizedBits(e0.count()))
+      val ps = planes(bands * bits, 64)
+      // materialize ONLY the slim (vec_id, band, sig) frame for the
+      // self-join: checkpointing the vector-carrying exploded frame costs
+      // bands× vector copies in executor storage (measured 2.2× slower in
+      // the full-bench JVM); the exact re-rank re-joins vectors from the
+      // base scan instead
+      val sigs = e0
+        .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .localCheckpoint(true)
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
+        .dropDuplicates("d1", "d2")
+      cand
+        .join(e0.select(col("vec_id").as("d1"), col("v").as("v1")), Seq("d1"))
+        .join(e0.select(col("vec_id").as("d2"), col("v").as("v2")), Seq("d2"))
+        .withColumn("cos", cosine(col("v1"), col("v2")))
+        .filter(col("cos") >= 0.3)
+        .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+    })
+  )
+
+  /** PCA projection body, factored so the bench can warm the Gram pass +
+    * eigSym init on a tiny frame. `e` must be (vec_id, v: array<double>).
+    */
+  def pcaProject(e: DataFrame, d: Int, k: Int): DataFrame = {
       val partials = e.select(col("v")).rdd
         .mapPartitionsWithIndex { (pid, it) =>
           val sum = new Array[Double](d)
@@ -401,34 +431,7 @@ object Similarity {
         round(dot(col("v"), typedlit(w)) - lit(offset), 4).as(s"p$c")
       }
       e.select((col("vec_id") +: projCols): _*)
-    }),
-
-    "dedup_embed_cosine" -> ((s, dir) => {
-      val e0 = emb(s, dir)
-      val (bands, bits) = (4, sizedBits(e0.count()))
-      val ps = planes(bands * bits, 64)
-      // materialize ONLY the slim (vec_id, band, sig) frame for the
-      // self-join: checkpointing the vector-carrying exploded frame costs
-      // bands× vector copies in executor storage (measured 2.2× slower in
-      // the full-bench JVM); the exact re-rank re-joins vectors from the
-      // base scan instead
-      val sigs = e0
-        .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
-        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
-        .localCheckpoint(true)
-      val cand = sigs.as("a").join(sigs.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"))
-        .dropDuplicates("d1", "d2")
-      cand
-        .join(e0.select(col("vec_id").as("d1"), col("v").as("v1")), Seq("d1"))
-        .join(e0.select(col("vec_id").as("d2"), col("v").as("v2")), Seq("d2"))
-        .withColumn("cos", cosine(col("v1"), col("v2")))
-        .filter(col("cos") >= 0.3)
-        .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
-    })
-  )
+  }
 
   val oracleSql: Map[String, String] = Map(
     "sim_cosine_topk" ->

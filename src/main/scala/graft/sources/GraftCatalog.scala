@@ -194,7 +194,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       // Spark qualifies LOCATION into a URI (file:/…) — back to a path
       .map(loc => java.nio.file.Paths.get(
         if (loc.contains(":")) new java.net.URI(loc).getPath else loc))
-      .getOrElse(tablePath(ident))
+      .getOrElse {
+        val base = tablePath(ident)
+        // metastore backends: a non-purging DROP leaves the old data in
+        // place, so a re-CREATE at the default layout position would
+        // resurrect the dropped rows — take a fresh unique location
+        // instead (what a metastore does for every table)
+        if (backend.locationDecoupled && isTable(base))
+          base.resolveSibling(base.getFileName.toString + "_" +
+            java.util.UUID.randomUUID().toString.take(8))
+        else base
+      }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -319,12 +329,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       onCommit = () => backend.recordTable(ident, finalPath))
   }
 
+  /** DROP TABLE never purges data under a metastore-style backend — the
+    * reference's posture (`SparkCatalog.java:354-356` routes DROP to
+    * dropTableWithoutPurging; data deletion needs `DROP TABLE … PURGE`).
+    * The filesystem backend drops the directory with the entry because
+    * the directory IS the entry — the reference notes the same for
+    * HadoopCatalog/HadoopTables (`SparkCatalog.java:372-374`).
+    * Also: unregistered names (e.g. a renamed-away identifier under a
+    * metastore backend) must NOT fall back to the layout dir — that dir
+    * is another table's data.
+    */
   override def dropTable(ident: Identifier): Boolean = existingTablePath(ident) match {
-    // unregistered names (e.g. a renamed-away identifier under the
-    // registry backend) must NOT fall back to the layout dir: that dir is
-    // another table's data
     case None => false
     case Some(p) =>
+      if (!backend.locationDecoupled)
+        Snapshots.walkDir(p)(_.toSeq).reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      backend.forgetTable(ident)
+      true
+  }
+
+  /** DROP TABLE … PURGE: deletes the data too, refused when the table
+    * disables GC (`gc.enabled=false`) — deleting files may corrupt tables
+    * sharing them (zero-copy `snapshot` clones), the reference's exact
+    * guard (`SparkCatalog.java:359-366`).
+    */
+  override def purgeTable(ident: Identifier): Boolean = existingTablePath(ident) match {
+    case None => false
+    case Some(p) =>
+      val gcEnabled = Snapshots.readProps(p.toString)
+        .getOrElse("gc.enabled", "true").toBoolean
+      if (!gcEnabled) throw new UnsupportedOperationException(
+        "Cannot purge table: GC is disabled (deleting files may corrupt other tables)")
       Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       backend.forgetTable(ident)

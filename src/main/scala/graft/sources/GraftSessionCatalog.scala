@@ -118,7 +118,8 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
     graftOpt.exists(_.dropTable(ident)) || dTables.dropTable(ident)
 
   override def purgeTable(ident: Identifier): Boolean =
-    graftOpt.exists(_.dropTable(ident)) || dTables.purgeTable(ident)
+    graftOpt.filter(_.tableExists(ident)).map(_.purgeTable(ident))
+      .getOrElse(dTables.purgeTable(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     if (graftOpt.exists(_.tableExists(oldIdent))) graft.renameTable(oldIdent, newIdent)

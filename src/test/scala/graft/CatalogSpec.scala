@@ -781,6 +781,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.ddl.fresh2").count() == 2)
     spark.sql("DROP TABLE gcat.ddl.fresh2")
     intercept[Exception](spark.sql("SELECT * FROM gcat.ddl.fresh2").collect())
+    // filesystem backend: the directory IS the catalog entry, so a plain
+    // DROP removes it with the entry (the reference's HadoopCatalog
+    // posture, SparkCatalog.java:372-374) — and a re-CREATE starts empty
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(warehouse, "ddl", "fresh2")))
+    spark.sql("CREATE TABLE gcat.ddl.fresh2 (id BIGINT)")
+    assert(spark.sql("SELECT * FROM gcat.ddl.fresh2").count() == 0)
+    spark.sql("DROP TABLE gcat.ddl.fresh2")
   }
 
   test("CALL <catalog>.system.<proc> with identifier table args (reference form)") {

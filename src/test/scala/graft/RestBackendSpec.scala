@@ -141,7 +141,7 @@ class RestBackendSpec extends AnyFunSuite {
   }
 
   test("dropNamespace over REST: non-empty refuses without cascade, cascade " +
-      "drops data client-side and deregisters") {
+      "deregisters every table (non-purging, metastore semantics)") {
     assert(uri.nonEmpty)
     spark.sql("CREATE NAMESPACE restcat.tmpns")
     spark.sql("CREATE TABLE restcat.tmpns.x (id BIGINT) USING graft")
@@ -153,9 +153,42 @@ class RestBackendSpec extends AnyFunSuite {
       e.getMessage.contains("NON_EMPTY"), e.getMessage)
     spark.sql("DROP NAMESPACE restcat.tmpns CASCADE")
     assert(graft.sources.RestBackend.lookup(uri, "tmpns.x").isEmpty)
-    assert(!Files.exists(dataDir), "cascade must delete the table data (client-side)")
+    // cascade drops through non-purging dropTable: data files remain
+    // (the reference's DROP-without-PURGE posture, SparkCatalog.java:354)
+    assert(Files.exists(dataDir.resolve(graft.spatial.GeoTable.ManifestName)),
+      "cascade must deregister, not purge")
     assert(!spark.sql("SHOW NAMESPACES IN restcat").collect()
       .map(_.getString(0)).contains("tmpns"))
+  }
+
+  test("DROP TABLE deregisters without purging; re-CREATE gets a fresh location; " +
+      "DROP TABLE PURGE deletes data unless gc.enabled=false") {
+    assert(uri.nonEmpty)
+    spark.sql("CREATE TABLE restcat.db.dp (id BIGINT) USING graft")
+    spark.sql("INSERT INTO restcat.db.dp SELECT id FROM range(9)")
+    val loc1 = java.nio.file.Paths.get(graft.sources.RestBackend.lookup(uri, "db.dp").get)
+    spark.sql("DROP TABLE restcat.db.dp")
+    assert(graft.sources.RestBackend.lookup(uri, "db.dp").isEmpty)
+    assert(Files.exists(loc1.resolve(graft.spatial.GeoTable.ManifestName)),
+      "plain DROP must not delete data")
+    // re-CREATE must NOT resurrect the dropped rows: fresh unique location
+    spark.sql("CREATE TABLE restcat.db.dp (id BIGINT) USING graft")
+    val loc2 = java.nio.file.Paths.get(graft.sources.RestBackend.lookup(uri, "db.dp").get)
+    assert(loc2 != loc1, "re-CREATE over leftover data must take a fresh location")
+    assert(spark.sql("SELECT * FROM restcat.db.dp").count() == 0)
+    spark.sql("INSERT INTO restcat.db.dp SELECT id FROM range(3)")
+    // PURGE deletes the data directory and deregisters
+    spark.sql("DROP TABLE restcat.db.dp PURGE")
+    assert(graft.sources.RestBackend.lookup(uri, "db.dp").isEmpty)
+    assert(!Files.exists(loc2), "PURGE must delete the data")
+    // gc.enabled=false refuses the purge (zero-copy clones may share files)
+    spark.sql("CREATE TABLE restcat.db.nogc (id BIGINT) USING graft " +
+      "TBLPROPERTIES ('gc.enabled' = 'false')")
+    val eGc = intercept[Exception] { spark.sql("DROP TABLE restcat.db.nogc PURGE") }
+    assert(eGc.getMessage.contains("GC is disabled"), eGc.getMessage)
+    assert(spark.catalog.tableExists("restcat.db.nogc"),
+      "a refused purge must leave the table intact")
+    spark.sql("DROP TABLE restcat.db.nogc")
   }
 
   test("GraftSessionCatalog activates its graft side from backend=rest + uri alone " +
