@@ -614,10 +614,22 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         .getOrElse(rawTable)
     proc match {
       case "expire_snapshots" =>
-        // `keep` doubles as the reference's retain_last when older_than is given
-        val deleted = Snapshots.expireSnapshots(spark, table,
-          argOpt(1, "keep").orElse(named.get("retain_last")).map(int).getOrElse(1),
-          named.get("older_than").map(millis))
+        // `keep` doubles as the reference's retain_last when older_than is
+        // given. Args absent -> the table's declared history.expire.*
+        // properties supply the defaults (the reference's RemoveSnapshots
+        // property seam, TableProperties.java:329-333). Deviation, stated:
+        // no implicit 5-day age default when the property is undeclared —
+        // that safety default would make the bare procedure a no-op on
+        // every short-lived table; production tables declare the window.
+        val props = if (Snapshots.currentVersion(table) > 0)
+          Snapshots.readProps(table) else Map.empty[String, String]
+        val keep = argOpt(1, "keep").orElse(named.get("retain_last")).map(int)
+          .orElse(props.get("history.expire.min-snapshots-to-keep").map(_.toInt))
+          .getOrElse(1)
+        val olderThan = named.get("older_than").map(millis)
+          .orElse(props.get("history.expire.max-snapshot-age-ms").map(ms =>
+            System.currentTimeMillis() - ms.toLong))
+        val deleted = Snapshots.expireSnapshots(spark, table, keep, olderThan)
         Seq(Row(deleted.toLong, "deleted_data_files"))
       case "remove_orphan_files" =>
         Seq(Row(Snapshots.removeOrphanFiles(spark, table,

@@ -165,4 +165,33 @@ class RetentionSpec extends AnyFunSuite {
     assert(Snapshots.readRefs(tbl)._1.contains("dev"))
     assert(Snapshots.readProps(tbl).contains("ref.dev.retain-ms"))
   }
+
+  test("bare expire_snapshots takes its defaults from history.expire.* properties") {
+    import spark.implicits._
+    val dir = mkTable("propdef")
+    (2 to 5).foreach(i =>
+      Snapshots.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir))
+    // min-snapshots-to-keep=3: the bare call must keep 3, not the
+    // hardcoded 1 (the reference's RemoveSnapshots property seam)
+    Snapshots.updateProperties(dir,
+      Map("history.expire.min-snapshots-to-keep" -> "3"))
+    spark.sql(s"CALL graft.system.expire_snapshots('$dir')")
+    val kept = Snapshots.metadataTable(spark, dir, "snapshots").count()
+    assert(kept >= 3, s"min-snapshots-to-keep=3 must keep 3 ancestry snapshots, kept $kept")
+    assert(kept < 6, "older snapshots beyond the floor must expire")
+    // a declared age window protects EVERYTHING younger than it
+    val dir2 = mkTable("propage")
+    (2 to 4).foreach(i =>
+      Snapshots.append(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir2))
+    Snapshots.updateProperties(dir2,
+      Map("history.expire.max-snapshot-age-ms" -> (24L * 3600 * 1000).toString))
+    spark.sql(s"CALL graft.system.expire_snapshots('$dir2')")
+    assert(Snapshots.metadataTable(spark, dir2, "snapshots").count() >= 4,
+      "snapshots younger than the declared age window must survive the bare call")
+    // an explicit older_than overrides the declared window (the property
+    // is the DEFAULT for the absent arg, reference semantics)
+    spark.sql(s"CALL graft.system.expire_snapshots('$dir2', 1, " +
+      s"older_than => ${System.currentTimeMillis() + 1000})")
+    assert(Snapshots.metadataTable(spark, dir2, "snapshots").count() < 4)
+  }
 }
