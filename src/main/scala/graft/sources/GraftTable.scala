@@ -78,10 +78,21 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
     // OverwritePartitionsDynamic — appends/filter-overwrites still route
     // through the V1 write (exec dispatches on the Write type, not the
     // capability set)
-    else util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
+    else {
+      val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+        TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
+      // the reference's schema-evolve-on-write seam (SparkTable
+      // capabilities + TableProperties.SPARK_WRITE_ACCEPT_ANY_SCHEMA):
+      // with the property set, Spark skips output resolution and the
+      // write builder enforces the contract instead — `merge-schema`
+      // evolves the table, otherwise columns must already exist
+      if (Snapshots.readProps(path, snapshotVersion)
+          .get("write.spark.accept-any-schema").exists(_.equalsIgnoreCase("true")))
+        caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      caps
+    }
 
   /** Snapshot property map (SHOW TBLPROPERTIES / DESCRIBE EXTENDED). */
   override def properties(): util.Map[String, String] = {
@@ -186,25 +197,58 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         } else new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            // under ACCEPT_ANY_SCHEMA Spark skipped output resolution, so
+            // the builder enforces the reference's contract
+            // (SparkWriteBuilder.validateOrMergeWriteSchema): with
+            // `merge-schema`/`mergeSchema` new columns evolve the table
+            // (the snapshot layer unions by name); without it every
+            // written column must already exist with its declared type —
+            // missing columns are fine (all graft columns are nullable,
+            // readers null-fill)
+            val mergeOpt = Option(info.options().get("merge-schema"))
+              .orElse(Option(info.options().get("mergeSchema")))
+              .exists(_.equalsIgnoreCase("true"))
+            val data2 = if (mergeOpt) data else {
+              val tbl = schema
+              // by-name when every written name exists; otherwise by
+              // POSITION (SQL INSERT arrives positionally — Spark's own
+              // resolver would have done this, but ACCEPT_ANY_SCHEMA
+              // turns it off), renaming to the table's column names
+              val resolved =
+                if (data.schema.fields.forall(f => tbl.exists(_.name == f.name))) data
+                else {
+                  require(data.schema.length <= tbl.length,
+                    s"write has ${data.schema.length} columns, table has ${tbl.length} " +
+                      "(write with merge-schema=true to add columns)")
+                  data.toDF(tbl.fields.take(data.schema.length).map(_.name).toIndexedSeq: _*)
+                }
+              resolved.schema.fields.foreach { f =>
+                val tf = tbl.find(_.name == f.name).get
+                require(tf.dataType.catalogString == f.dataType.catalogString,
+                  s"write column ${f.name}: ${f.dataType.simpleString} is not the " +
+                    s"table's ${tf.dataType.simpleString}")
+              }
+              resolved
+            }
             branch match {
               case Some(b) =>
                 if (overwrite || mode != 0) throw new UnsupportedOperationException(
                   s"INSERT OVERWRITE is not supported on branch $b; write-audit-publish " +
                     "appends to the branch, then fast_forward publishes")
-                Snapshots.appendToBranch(data, path, b)
+                Snapshots.appendToBranch(data2, path, b)
               case None => mode match {
-                case 1 => Snapshots.overwrite(data, path, snapshotProps, validateOpt)
+                case 1 => Snapshots.overwrite(data2, path, snapshotProps, validateOpt)
                 case 2 =>
                   val conds = owFilters.map(f => GraftTable.filterToColumn(f).getOrElse(
                     throw new UnsupportedOperationException(
                       s"overwrite condition not expressible as a column predicate: $f")))
-                  Snapshots.overwriteWhere(data, path, owFilters.toSeq,
+                  Snapshots.overwriteWhere(data2, path, owFilters.toSeq,
                     conds.reduceOption(_ && _)
                       .getOrElse(org.apache.spark.sql.functions.lit(true)),
                     snapshotProps, validateOpt)
                 case _ =>
-                  if (overwrite) Snapshots.overwrite(data, path, snapshotProps)
-                  else Snapshots.append(data, path, snapshotProps)
+                  if (overwrite) Snapshots.overwrite(data2, path, snapshotProps)
+                  else Snapshots.append(data2, path, snapshotProps)
               }
             }
             ()

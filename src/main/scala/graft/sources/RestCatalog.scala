@@ -255,8 +255,9 @@ class RestCatalogServer(warehouse: String) {
         reply(ex, 200, RestJson.obj().toString)
 
       case (("GET" | "HEAD"), List("namespaces", nsSeg)) =>
-        if (state.namespaceExists(decodeNs(nsSeg))) reply(ex, 200, RestJson.obj().toString)
-        else reply(ex, 404)
+        if (!state.namespaceExists(decodeNs(nsSeg))) reply(ex, 404)
+        else if (method == "HEAD") reply(ex, 204) // no body on HEAD
+        else reply(ex, 200, RestJson.obj().toString)
 
       case ("DELETE", List("namespaces", nsSeg)) =>
         val ns = decodeNs(nsSeg)

@@ -1216,10 +1216,35 @@ object Snapshots {
     carried match {
       case None => Some(nullableShallow(written))
       case Some(c) =>
-        val have = c.fieldNames.toSet
-        Some(nullableShallow(org.apache.spark.sql.types.StructType(
-          c.fields ++ written.fields.filterNot(f => have(f.name)))))
+        Some(nullableShallow(unionByName(c, written)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
     }
+
+  /** Recursive by-name union (the reference's UpdateSchema.unionByNameWith
+    * shape): new fields append — at the top level AND inside structs,
+    * struct-in-array elements, and struct map values — as nullable; for
+    * fields present on both sides the CARRIED type wins (type widening is
+    * the TYPE DDL's job, never an implicit write effect).
+    */
+  private def unionByName(c: org.apache.spark.sql.types.DataType,
+      w: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    (c, w) match {
+      case (cs: StructType, ws: StructType) =>
+        val have = cs.fieldNames.toSet
+        StructType(
+          cs.fields.map { f =>
+            ws.find(_.name == f.name)
+              .map(wf => f.copy(dataType = unionByName(f.dataType, wf.dataType)))
+              .getOrElse(f)
+          } ++ ws.fields.filterNot(f => have(f.name)).map(_.copy(nullable = true)))
+      case (ca: ArrayType, wa: ArrayType) =>
+        ca.copy(elementType = unionByName(ca.elementType, wa.elementType))
+      case (cm: MapType, wm: MapType) =>
+        cm.copy(valueType = unionByName(cm.valueType, wm.valueType))
+      case _ => c
+    }
+  }
 
   // ---- session-scoped write-audit-publish (the reference's
   // `spark.wap.id` / `spark.wap.branch` confs, gated on the

@@ -468,4 +468,45 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       GeoSql.st_makeenvelope(lit(-45.0), lit(0.0), lit(-36.0), lit(10.0)))).count()
     assert(hits > 0 && hits < 20, s"decoded geometry must stay queryable, got $hits")
   }
+
+  test("schema-evolve-on-write: accept-any-schema + merge-schema add columns " +
+      "(top-level and nested); without merge-schema new columns are rejected") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_msw_wh").toString
+    spark.conf.set("spark.sql.catalog.mscat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE mscat.db")
+    spark.sql("CREATE TABLE mscat.db.m (id BIGINT, pt STRUCT<x: DOUBLE, y: DOUBLE>) " +
+      "USING graft TBLPROPERTIES ('write.spark.accept-any-schema' = 'true')")
+    spark.sql("INSERT INTO mscat.db.m SELECT id, named_struct('x', CAST(id AS DOUBLE), " +
+      "'y', 0D) FROM range(5)")
+    // without merge-schema an unknown column must be rejected by the
+    // builder (Spark's own check is disabled by ACCEPT_ANY_SCHEMA)
+    val bad = spark.range(5, 8).selectExpr("id",
+      "named_struct('x', CAST(id AS DOUBLE), 'y', 0D) AS pt", "'new' AS tag")
+    val e = intercept[Exception] { bad.writeTo("mscat.db.m").append() }
+    assert(e.getMessage.contains("merge-schema"), e.getMessage)
+    // with merge-schema the same write evolves the table: new top-level
+    // column AND new nested struct field
+    val wider = spark.range(5, 8).selectExpr("id",
+      "named_struct('x', CAST(id AS DOUBLE), 'y', 0D, 'z', CAST(id AS DOUBLE)) AS pt",
+      "'new' AS tag")
+    wider.writeTo("mscat.db.m").option("merge-schema", "true").append()
+    val out = spark.table("mscat.db.m")
+    assert(out.columns.toSeq == Seq("id", "pt", "tag"))
+    assert(out.schema("pt").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("x", "y", "z"))
+    // old rows read null for both additions; new rows carry values
+    val rows = out.selectExpr("id", "pt.z", "tag").collect().sortBy(_.getLong(0))
+    assert(rows.take(5).forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    assert(rows.drop(5).forall(r => !r.isNullAt(1) && r.getString(2) == "new"))
+    // a write MISSING a column null-fills without any option
+    spark.range(8, 10).selectExpr("id").writeTo("mscat.db.m").append()
+    assert(spark.table("mscat.db.m").where("id >= 8 AND pt IS NULL AND tag IS NULL")
+      .count() == 2)
+    // a type-mismatched column is rejected, never silently cast
+    val mistyped = spark.range(10, 11).selectExpr("id", "CAST(1 AS INT) AS tag")
+    val e2 = intercept[Exception] { mistyped.writeTo("mscat.db.m").append() }
+    assert(e2.getMessage.contains("tag"), e2.getMessage)
+  }
 }
