@@ -258,7 +258,7 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         // asStreamingOverwrite (SparkWrite.java:181-186)
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new graft.streaming.GraftStreamingWrite(path, info.schema(), info.queryId(),
-            overwrite = mode == 1)
+            overwrite = mode == 1, extraProps = snapshotProps)
       }
     }
 }

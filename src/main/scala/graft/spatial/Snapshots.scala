@@ -934,7 +934,8 @@ object Snapshots {
     * the foreachBatch sink and the DSv2 sink share dedup state.
     */
   def commitStreamEpoch(spark: SparkSession, path: String, token: String,
-      epochId: Long, files: Seq[String], overwrite: Boolean = false): Int = withCommitRetry() {
+      epochId: Long, files: Seq[String], overwrite: Boolean = false,
+      extraProps: Map[String, String] = Map.empty): Int = withCommitRetry() {
     val key = s"stream.$token.lastCommittedBatchId"
     val rs = refsState(path)
     val head = rs.mainHead(path)
@@ -948,12 +949,12 @@ object Snapshots {
       // delete state clears with the rows it applied to; the high-water
       // mark still advances in the same snapshot (replay-safe)
       publish(path, rs, statsFor(spark, path, files),
-        props = props + (key -> epochId.toString))
+        props = props + (key -> epochId.toString) ++ extraProps)
     } else {
       val prior = if (head > 0) readManifest(path, Some(head)) else Nil
       publish(path, rs, prior ++ statsFor(spark, path, files),
         carried(path, head), carriedPos(path, head),
-        props = props + (key -> epochId.toString),
+        props = props + (key -> epochId.toString) ++ extraProps,
         eqDeletes = carriedEq(path, head))
     }
   }

@@ -161,7 +161,11 @@ object GraftWriters {
   * checkpoint, unchanged across restarts).
   */
 class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
-    overwrite: Boolean = false) extends StreamingWrite {
+    overwrite: Boolean = false,
+    // `snapshot-property.<key>` writeStream options — committed with every
+    // epoch snapshot, like the batch path (the reference's
+    // extraSnapshotMetadata applies to streaming commits too)
+    extraProps: Map[String, String] = Map.empty) extends StreamingWrite {
 
   private def spark = SparkSession.active
 
@@ -184,7 +188,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
       case None => files
     }
     Snapshots.commitStreamEpoch(spark, path,
-      GeoStreams.streamToken(queryId), epochId, stamped, overwrite = overwrite)
+      GeoStreams.streamToken(queryId), epochId, stamped, overwrite = overwrite,
+      extraProps = extraProps)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

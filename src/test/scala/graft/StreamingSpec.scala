@@ -609,6 +609,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out2.nonEmpty)
   }
 
+  test("streaming sink commits snapshot-property.* options with every epoch") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_sp_wh").toString
+    spark.conf.set("spark.sql.catalog.spcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spcat.st")
+    val ckpt = Files.createTempDirectory("graft_sp_ckpt").toString
+    val q = EventStreams.readEvents(spark, sf)
+      .select(col("event_id"), col("user_id"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .option("snapshot-property.ingest-run", "r42")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("spcat.st.evp")
+    try q.awaitTermination() finally q.stop()
+    val tbl = s"$wh/st/evp"
+    assert(Snapshots.readProps(tbl).get("ingest-run").contains("r42"),
+      "epoch snapshots must carry the declared snapshot property")
+  }
+
   test("DSv2 streaming write to a partition-transformed table: layout + replay safety") {
     import graft.spatial.Snapshots
     graft.spatial.Geo.install(spark)
