@@ -227,6 +227,17 @@ class RestBackendSpec extends AnyFunSuite {
     assert(!sc.tableExists(Identifier.of(Array("db"), "definitely_absent")))
   }
 
+  test("CALL procedures resolve identifier table args through the REST service") {
+    assert(uri.nonEmpty)
+    spark.sql("CREATE TABLE restcat.db.proc (id BIGINT) USING graft")
+    spark.sql("INSERT INTO restcat.db.proc SELECT id FROM range(12)")
+    val r = spark.sql("CALL restcat.system.compute_table_stats('db.proc')").collect()
+    assert(r.nonEmpty)
+    val loc = graft.sources.RestBackend.lookup(uri, "db.proc").get
+    assert(graft.spatial.Snapshots.readProps(loc).contains("stats.ndv.id"),
+      "stats must land on the service-resolved location")
+  }
+
   test("concurrent clients never lose a record (server-side generation CAS)") {
     assert(uri.nonEmpty)
     import org.apache.spark.sql.connector.catalog.Identifier
