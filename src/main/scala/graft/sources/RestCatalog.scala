@@ -163,18 +163,24 @@ object RestBackend {
   private def send(req: HttpRequest): HttpResponse[String] =
     client.send(req, HttpResponse.BodyHandlers.ofString())
 
+  // per-request deadline: a hung catalog service must fail the query, not
+  // stall the driver indefinitely
+  private def builder(uri: String, path: String): HttpRequest.Builder =
+    HttpRequest.newBuilder(URI.create(uri + path))
+      .timeout(java.time.Duration.ofSeconds(30))
+
   private[sources] def get(uri: String, path: String): Option[String] = {
-    val r = send(HttpRequest.newBuilder(URI.create(uri + path)).GET().build())
+    val r = send(builder(uri, path).GET().build())
     if (r.statusCode() == 200 || r.statusCode() == 204) Some(r.body()) else None
   }
 
   private[sources] def post(uri: String, path: String, body: String): HttpResponse[String] =
-    send(HttpRequest.newBuilder(URI.create(uri + path))
+    send(builder(uri, path)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8)).build())
 
   private[sources] def delete(uri: String, path: String): HttpResponse[String] =
-    send(HttpRequest.newBuilder(URI.create(uri + path)).DELETE().build())
+    send(builder(uri, path).DELETE().build())
 
   private[sources] def expect(r: HttpResponse[String], code: Int, what: String): Unit =
     if (r.statusCode() != code) throw new IllegalStateException(
@@ -208,7 +214,10 @@ class RestCatalogServer(warehouse: String) {
   def start(): String = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1", (ex: HttpExchange) => handle(ex))
-    server.setExecutor(null) // serve on the dispatch thread: tiny payloads
+    // small pool so one slow client never blocks the rest; handlers are
+    // concurrency-safe because every mutation goes through the registry's
+    // generation CAS
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     s"http://127.0.0.1:${server.getAddress.getPort}"
   }
