@@ -193,7 +193,33 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         if (mode == 3) {
           require(branch.isEmpty && tag.isEmpty,
             "dynamic partition overwrite is not supported on a branch or tag")
-          new GraftDynamicOverwrite(path, info.schema(), snapshotProps, validateOpt)
+          // same contract as the V1 path: when ACCEPT_ANY_SCHEMA turned
+          // Spark's output resolution off, the declared write schema must
+          // resolve here — by name when every name exists, positionally
+          // otherwise (merge-schema is not supported on dynamic overwrite)
+          val declared = info.schema()
+          val tbl = schema
+          val resolvedSchema =
+            if (declared.fields.forall(f => tbl.exists(_.name == f.name))) {
+              declared.fields.foreach { f =>
+                val tf = tbl.find(_.name == f.name).get
+                require(tf.dataType.catalogString == f.dataType.catalogString,
+                  s"write column ${f.name}: ${f.dataType.simpleString} is not the " +
+                    s"table's ${tf.dataType.simpleString}")
+              }
+              declared
+            } else {
+              require(declared.length <= tbl.length,
+                s"write has ${declared.length} columns, table has ${tbl.length}")
+              org.apache.spark.sql.types.StructType(
+                declared.fields.zip(tbl.fields).map { case (df, tf) =>
+                  require(tf.dataType.catalogString == df.dataType.catalogString,
+                    s"write column ${tf.name}: ${df.dataType.simpleString} is not the " +
+                      s"table's ${tf.dataType.simpleString}")
+                  df.copy(name = tf.name)
+                })
+            }
+          new GraftDynamicOverwrite(path, resolvedSchema, snapshotProps, validateOpt)
         } else new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -256,9 +282,22 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         // complete-mode streaming (Spark calls truncate() on the builder,
         // mode 1) becomes per-epoch overwrite commits — the reference's
         // asStreamingOverwrite (SparkWrite.java:181-186)
-        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          // ACCEPT_ANY_SCHEMA applies to micro-batch sinks too — enforce
+          // the by-name contract here (no merge-schema on streaming, like
+          // the reference); with the capability off this is a no-op re-check
+          val tbl = schema
+          info.schema().fields.foreach { f =>
+            val tf = tbl.find(_.name == f.name).getOrElse(
+              throw new IllegalArgumentException(
+                s"streaming write column ${f.name} is not in the table schema"))
+            require(tf.dataType.catalogString == f.dataType.catalogString,
+              s"streaming write column ${f.name}: ${f.dataType.simpleString} is not " +
+                s"the table's ${tf.dataType.simpleString}")
+          }
           new graft.streaming.GraftStreamingWrite(path, info.schema(), info.queryId(),
             overwrite = mode == 1, extraProps = snapshotProps)
+        }
       }
     }
 }
