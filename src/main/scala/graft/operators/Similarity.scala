@@ -112,39 +112,8 @@ object Similarity {
       val e0 = emb(s, dir)
       val n = e0.count()
       val k = math.max(4, math.min(256, (n / 64).toInt))
-      val stride = math.max(1L, n / 4096)
-      val sample = e0.filter(col("vec_id") % stride === 0)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-      def normalize(c: Array[Double]): Seq[Double] = {
-        val nn = math.sqrt(c.map(x => x * x).sum)
-        (if (nn == 0) c else c.map(_ / nn)).toSeq
-      }
-      var cents: Array[Array[Double]] =
-        Array.tabulate(math.min(k, sample.length))(i => sample(i * sample.length / k))
-      for (_ <- 1 to 3) {
-        val normed = cents.map(normalize)
-        def cell(v: Array[Double]): Int = {
-          var best = 0; var bestS = Double.NegativeInfinity
-          var c = 0
-          while (c < normed.length) {
-            var dot = 0.0; var i = 0
-            while (i < v.length && i < normed(c).length) { dot += v(i) * normed(c)(i); i += 1 }
-            if (dot > bestS) { bestS = dot; best = c }
-            c += 1
-          }
-          best
-        }
-        val byCell = sample.groupBy(cell)
-        cents = cents.indices.map { c =>
-          byCell.get(c) match {
-            case Some(vs) =>
-              val m = new Array[Double](vs.head.length)
-              vs.foreach(v => (0 until m.length).foreach(i => m(i) += v(i)))
-              m.map(_ / vs.length)
-            case None => cents(c) // empty cell keeps its centroid
-          }
-        }.toArray
-      }
+      val sample = strideSample(e0, n, 4096)
+      val cents = coarseCentroids(sample, k)
       val cn = typedlit(cents.map(normalize).toSeq)
       val assigned = e0.withColumn("cell",
         VectorSql.vec_nearest(col("v"), cn, 1).getItem(0))
@@ -186,61 +155,13 @@ object Similarity {
       val e0 = emb(s, dir)
       val n = e0.count()
       val m = 4; val ksub = 16; val dsub = 16
-      val stride = math.max(1L, n / 2048)
-      val sample = e0.filter(col("vec_id") % stride === 0)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-      // per-subspace L2 Lloyd over the sample (k x dsub doubles each)
-      def train(sub: Int): Seq[Seq[Double]] = {
-        val vs = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
-        var cents = Array.tabulate(math.min(ksub, vs.length))(
-          i => vs(i * vs.length / ksub))
-        for (_ <- 1 to 3) {
-          def nearest(v: Array[Double]): Int = {
-            var best = 0; var bd = Double.MaxValue; var c = 0
-            while (c < cents.length) {
-              var d2 = 0.0; var i = 0
-              while (i < v.length) { val d = v(i) - cents(c)(i); d2 += d * d; i += 1 }
-              if (d2 < bd) { bd = d2; best = c }
-              c += 1
-            }
-            best
-          }
-          val byCell = vs.groupBy(nearest)
-          cents = cents.indices.map { c =>
-            byCell.get(c) match {
-              case Some(g) =>
-                val mean = new Array[Double](dsub)
-                g.foreach(v => (0 until dsub).foreach(i => mean(i) += v(i)))
-                mean.map(_ / g.length)
-              case None => cents(c)
-            }
-          }.toArray
-        }
-        cents.map(_.toSeq).toSeq
-      }
-      val books = (0 until m).map(train) // m x k x dsub, broadcast literals
-      // map-only encode: per subspace, argmin L2 over the k centroids
-      def codeCol(sub: Int): Column = {
-        val cb = typedlit(books(sub))
-        val sv = slice(col("v"), sub * dsub + 1, dsub)
-        val dists = transform(cb, c => aggregate(
-          zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (a, x) => a + x))
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      }
+      val sample = strideSample(e0, n, 2048)
+      val books = pqCodebooks(sample, m, ksub, dsub) // broadcast literals
       val coded = e0.select(col("vec_id"), col("v"),
-        array((0 until m).map(codeCol): _*).as("codes"))
-      // queries carry their per-subspace LUTs (k ADC distances each)
-      def lutCol(sub: Int): Column = {
-        val cb = typedlit(books(sub))
-        val sv = slice(col("v"), sub * dsub + 1, dsub)
-        transform(cb, c => aggregate(
-          zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0d), (a, x) => a + x))
-      }
+        array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"))
       val q = e0.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("v").as("qv"),
-          array((0 until m).map(lutCol): _*).as("luts"))
+          array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
       // ADC scan: approx dist = sum of m LUT lookups; top-16 per query
       val adc = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("adist", aggregate(
@@ -253,6 +174,52 @@ object Similarity {
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
       adc.withColumn("crn", row_number().over(wAdc))
         .filter(col("crn") <= 16)
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // IVF-PQ — the composed ANN index as deployed at corpus scale (the
+    // Jégou-lineage design every billion-vector system uses): the coarse
+    // quantizer bounds WHICH candidates a query touches (2 probed cells
+    // of k, so the scan is corpus/k-shaped, not corpus-shaped) and PQ
+    // bounds the MEMORY and per-pair cost of touching them (4 one-byte
+    // codes + m table lookups instead of 64 floats + 64 multiplies).
+    // Both trainers run over bounded driver samples; encode/LUT columns
+    // are map-only codegen'd expressions; the ADC join is an equi-join
+    // on the cell id against a broadcast query side; exact cosine
+    // re-ranks the top-16 ADC survivors.
+    "sim_ivf_pq" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val n = e0.count()
+      val coarseK = math.max(4, math.min(256, (n / 64).toInt))
+      val m = 4; val ksub = 16; val dsub = 16
+      val sample = strideSample(e0, n, 4096)
+      val cn = typedlit(coarseCentroids(sample, coarseK).map(normalize).toSeq)
+      val books = pqCodebooks(strideSample(e0, n, 2048), m, ksub, dsub)
+      val coded = e0.select(col("vec_id"), col("v"),
+        VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),
+        array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"))
+      val q = e0.filter(col("vec_id") % 100 === 0)
+        // nprobe=3: one more probed cell than plain IVF, compensating the
+        // second approximation PQ stacks on top — still corpus/k-shaped
+        .withColumn("probe", explode(VectorSql.vec_nearest(col("v"), cn, 3)))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"),
+          array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
+      val adc = coded.join(broadcast(q),
+          col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+        .dropDuplicates("qid", "vec_id")
+        .withColumn("adist", aggregate(
+          zip_with(col("codes"), col("luts"),
+            (c, lut) => element_at(lut, c + 1)),
+          lit(0.0d), (a, x) => a + x))
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("adist"), col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      adc.withColumn("crn", row_number().over(wAdc))
+        .filter(col("crn") <= 32)
         .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -380,6 +347,100 @@ object Similarity {
         .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
     })
   )
+
+  /** Bounded driver-side stride sample of raw vectors (≤ `cap` rows). */
+  private def strideSample(e0: DataFrame, n: Long, cap: Int): Array[Array[Double]] =
+    e0.filter(col("vec_id") % math.max(1L, n / cap) === 0)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
+  private def normalize(c: Array[Double]): Seq[Double] = {
+    val nn = math.sqrt(c.map(x => x * x).sum)
+    (if (nn == 0) c else c.map(_ / nn)).toSeq
+  }
+
+  /** IVF coarse quantizer: cosine Lloyd over the sample (3 iterations);
+    * empty cells keep their centroid.
+    */
+  private def coarseCentroids(sample: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] =
+      Array.tabulate(math.min(k, sample.length))(i => sample(i * sample.length / k))
+    for (_ <- 1 to 3) {
+      val normed = cents.map(normalize)
+      def cell(v: Array[Double]): Int = {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var c = 0
+        while (c < normed.length) {
+          var dot = 0.0; var i = 0
+          while (i < v.length && i < normed(c).length) { dot += v(i) * normed(c)(i); i += 1 }
+          if (dot > bestS) { bestS = dot; best = c }
+          c += 1
+        }
+        best
+      }
+      val byCell = sample.groupBy(cell)
+      cents = cents.indices.map { c =>
+        byCell.get(c) match {
+          case Some(vs) =>
+            val m = new Array[Double](vs.head.length)
+            vs.foreach(v => (0 until m.length).foreach(i => m(i) += v(i)))
+            m.map(_ / vs.length)
+          case None => cents(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** PQ codebooks: per-subspace L2 Lloyd over the sample (k × dsub each). */
+  private def pqCodebooks(sample: Array[Array[Double]], m: Int, ksub: Int,
+      dsub: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map { sub =>
+      val vs = sample.map(_.slice(sub * dsub, (sub + 1) * dsub))
+      var cents = Array.tabulate(math.min(ksub, vs.length))(
+        i => vs(i * vs.length / ksub))
+      for (_ <- 1 to 3) {
+        def nearest(v: Array[Double]): Int = {
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            var d2 = 0.0; var i = 0
+            while (i < v.length) { val d = v(i) - cents(c)(i); d2 += d * d; i += 1 }
+            if (d2 < bd) { bd = d2; best = c }
+            c += 1
+          }
+          best
+        }
+        val byCell = vs.groupBy(nearest)
+        cents = cents.indices.map { c =>
+          byCell.get(c) match {
+            case Some(g) =>
+              val mean = new Array[Double](dsub)
+              g.foreach(v => (0 until dsub).foreach(i => mean(i) += v(i)))
+              mean.map(_ / g.length)
+            case None => cents(c)
+          }
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+
+  /** Map-only PQ encode: per subspace, argmin L2 over the k centroids. */
+  private def pqCodeCol(books: Seq[Seq[Seq[Double]]], sub: Int, dsub: Int): Column = {
+    val cb = typedlit(books(sub))
+    val sv = slice(col("v"), sub * dsub + 1, dsub)
+    val dists = transform(cb, c => aggregate(
+      zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (a, x) => a + x))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Per-query ADC lookup table for one subspace (k distances). */
+  private def pqLutCol(books: Seq[Seq[Seq[Double]]], sub: Int, dsub: Int): Column = {
+    val cb = typedlit(books(sub))
+    val sv = slice(col("v"), sub * dsub + 1, dsub)
+    transform(cb, c => aggregate(
+      zip_with(sv, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (a, x) => a + x))
+  }
 
   /** PCA projection body, factored so the bench can warm the Gram pass +
     * eigSym init on a tiny frame. `e` must be (vec_id, v: array<double>).
