@@ -312,6 +312,67 @@ object Curation {
         .limit(100)
     }),
 
+    // URL canonicalization + dedup — the FIRST dedup every crawl
+    // pipeline runs (CCNet/RefinedWeb dedup by canonical URL before any
+    // content hashing): scheme/host lowercase, default-port and www.
+    // strip, fragment drop, utm_* tracking-param removal, trailing-slash
+    // normalization — then exact dedup on the canonical key (keep-lowest
+    // doc_id, duplicate count kept for QA). The test corpus carries no
+    // URLs, so the query plants deterministic casing/port/utm/slash
+    // VARIANTS from (source, doc_id) — same posture as text_pii_scrub —
+    // which the canonicalizer must converge; the dedup is a hash
+    // aggregate on the canonical key (map-side combined, no skew: web
+    // URL keys are near-unique after canonicalization). Map-only
+    // canonicalization via codegen'd regexp builtins; identical
+    // RE2-compatible patterns in both engines (replacement dialects
+    // differ: $1 vs \1).
+    "curate_url_dedup" -> ((s, dir) => {
+      val raw = concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/Article/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&ref=1"))
+          .otherwise(lit("?ref=1")),
+        lit("#frag"))
+      val noFrag = regexp_replace(raw, "#.*$", "")
+      val host = regexp_replace(regexp_replace(
+        lower(regexp_extract(noFrag, "^[^/]+//[^/?#]+", 0)),
+        ":443$|:80$", ""), "^(https?://)www\\.", "$1")
+      val rest = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(noFrag, "^[^/]+//[^/?#]+", ""),
+        "utm_[^&#]*&?", ""), "[?&]$", ""), "/(\\?|$)", "$1")
+      docs(s, dir)
+        .select(col("doc_id"), concat(host, rest).as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    // Full BPE merge-table training (Sennrich et al. 2016), the
+    // dictionary-first way every corpus-scale tokenizer trainer works:
+    // the corpus is scanned ONCE into the word-frequency dictionary (one
+    // vocab-bounded shuffle — the same first stage tokenizer_pair_counts
+    // oracles); training then iterates greedy merges over the DICTIONARY
+    // on the driver, never touching the corpus again. The dictionary is
+    // capped at the top-M words by (freq desc, word) — the standard
+    // frequency cutoff; M bounds driver state the same way the IVF/PQ
+    // trainers bound their samples (at 100 TB: vocab ~10^7 against 10^11
+    // documents; each merge iteration is O(dictionary chars)). Ties
+    // break deterministically (freq desc, then lexicographic pair), so
+    // the merge table is bit-identical run to run. Iteration #1 is
+    // EXACTLY the oracle-checked tokenizer_pair_counts top-1 — the spec
+    // pins that equivalence.
+    "tokenizer_bpe_train" -> ((s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val dict = freq.orderBy(col("freq").desc, col("word")).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val merges = bpeTrain(dict, 24)
+      s.createDataFrame(merges.zipWithIndex.map { case ((l, r, f), i) =>
+        (i + 1, l, r, l + r, f) })
+        .toDF("rank", "left", "right", "merged", "pair_freq")
+    }),
+
     // Deterministic global shuffle index: position of every doc in the
     // md5-of-id permutation, built scalably — shard by the first TWO hex
     // chars of the hash (256 shards; shard order == global order prefix),
@@ -335,6 +396,52 @@ object Curation {
         .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
     })
   )
+
+  /** Greedy BPE merge loop over a (word, freq) dictionary: each round
+    * counts adjacent symbol pairs weighted by word frequency (overlapping
+    * occurrences count, as in the published algorithm), picks the
+    * (freq desc, lexicographic) max, and rewrites every word left-to-
+    * right. Returns up to `k` (left, right, pairFreq) merges; stops
+    * early when no pair remains.
+    */
+  private[graft] def bpeTrain(dict: Array[(String, Long)],
+      k: Int): Seq[(String, String, Long)] = {
+    var words: Array[(Array[String], Long)] =
+      dict.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var continue = true
+    while (continue && out.length < k) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), f) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((l, r, f))
+        val merged = l + r
+        words = words.map { case (syms, wf) =>
+          if (syms.length < 2) (syms, wf)
+          else {
+            val b = scala.collection.mutable.ArrayBuffer[String]()
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                b += merged; i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.toArray, wf)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
 
   val oracleSql: Map[String, String] = Map(
     "curate_chunk_overlap" ->
@@ -456,6 +563,26 @@ object Curation {
         |SELECT doc_id, source, grp, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= (CASE grp WHEN 0 THEN 3000 WHEN 1 THEN 2000
         |                     WHEN 2 THEN 1000 ELSE 500 END)""".stripMargin,
+
+    "curate_url_dedup" ->
+      """WITH r AS (SELECT doc_id,
+        |  'HTTPS://WWW.' || source || '.Example.COM:443/Article/' || (doc_id % 50)
+        |  || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |  || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=1' ELSE '?ref=1' END
+        |  || '#frag' AS raw
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS u FROM r),
+        |parts AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(u, '^[^/]+//[^/?#]+')),
+        |    ':443$|:80$', ''), '^(https?://)www\.', '\1') AS host,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(u, '^[^/]+//[^/?#]+', ''),
+        |    'utm_[^&#]*&?', ''), '[?&]$', ''), '/(\?|$)', '\1') AS rest
+        |  FROM nf)
+        |SELECT host || rest AS url, min(doc_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM parts GROUP BY 1""".stripMargin,
 
     "curate_shuffle_index" ->
       """SELECT doc_id,

@@ -226,6 +226,67 @@ object Similarity {
         .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
     }),
 
+    // SQ8 scalar-quantized approximate top-3 — the OTHER compression
+    // point on the ANN memory/accuracy curve (FAISS ScalarQuantizer /
+    // Lucene int8 HNSW): every dimension quantizes independently to one
+    // byte against trained per-dimension [min, max] bounds — 8× smaller
+    // than float64 with far less distortion than PQ's 64× (PQ shares 16
+    // centroids across a 16-d subspace; SQ8 keeps 256 levels PER
+    // dimension). Bounds train over the same bounded stride sample the
+    // PQ codebooks use (out-of-range corpus values clamp — standard SQ
+    // posture); encode is MAP-ONLY codegen'd zip_with arithmetic, and the
+    // approximate score needs NO per-pair reconstruction: with
+    // r_i = min_i + code_i·scale_i,  dot(q, r) = Σ q_i·min_i (per-query
+    // constant) + Σ (q_i·scale_i)·code_i — one fused multiply-add over
+    // the byte codes against a per-query weight vector. The reconstructed
+    // norm is stamped at encode time, so approx cosine is one division;
+    // the top-16 approximate candidates per query get an EXACT cosine
+    // re-rank on the full vectors. Composes with IVF cell routing the
+    // same way PQ does.
+    "sim_sq8_topk" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val n = e0.count()
+      val d = 64
+      val (mins, scales) = sq8Bounds(strideSample(e0, n, 2048), d)
+      val minsL = typedlit(mins.toSeq)
+      val scalesL = typedlit(scales.toSeq)
+      // code_i = clamp(round((v_i - min_i)/scale_i), 0, 255)  (map-only)
+      val codeCol = zip_with(
+        zip_with(col("v"), minsL, (x, mn) => x - mn),
+        scalesL,
+        (xm, sc) => least(lit(255), greatest(lit(0), round(xm / sc, 0).cast("int"))))
+      val coded = e0.select(col("vec_id"), col("v"), codeCol.as("codes"))
+        // reconstructed norm ||r||, stamped once at encode time
+        .withColumn("anorm", sqrt(aggregate(
+          zip_with(
+            zip_with(col("codes"), scalesL, (c, sc) => c.cast("double") * sc),
+            minsL, (cs, mn) => (cs + mn) * (cs + mn)),
+          lit(0.0d), (a, x) => a + x)))
+      val q = e0.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          // per-query constant Σ q_i·min_i and weight vector q_i·scale_i
+          aggregate(zip_with(col("v"), minsL, (x, mn) => x * mn),
+            lit(0.0d), (a, x) => a + x).as("qoff"),
+          zip_with(col("v"), scalesL, (x, sc) => x * sc).as("qw"),
+          sqrt(aggregate(transform(col("v"), x => x * x),
+            lit(0.0d), (a, x) => a + x)).as("qnorm"))
+      val adc = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("acos",
+          (col("qoff") + aggregate(
+            zip_with(col("codes"), col("qw"), (c, w) => c.cast("double") * w),
+            lit(0.0d), (a, x) => a + x)) / (col("qnorm") * col("anorm")))
+      val wAdc = Window.partitionBy(col("qid"))
+        .orderBy(col("acos").desc, col("vec_id"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      adc.withColumn("crn", row_number().over(wAdc))
+        .filter(col("crn") <= 16)
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+    }),
+
     "sim_centroid_assign" -> ((s, dir) => {
       val k = 8
       val e = emb(s, dir)
@@ -422,6 +483,27 @@ object Similarity {
       }
       cents.map(_.toSeq).toSeq
     }
+
+  /** SQ8 bounds: per-dimension [min, max] over the sample → (mins,
+    * scales) with scale = (max−min)/255, floored so constant dimensions
+    * stay finite. Corpus values outside the sampled range CLAMP at
+    * encode time (the standard scalar-quantizer posture: bounds are
+    * training artifacts, not corpus invariants).
+    */
+  private def sq8Bounds(sample: Array[Array[Double]], d: Int): (Array[Double], Array[Double]) = {
+    val mins = Array.fill(d)(Double.MaxValue)
+    val maxs = Array.fill(d)(Double.MinValue)
+    sample.foreach { v =>
+      var i = 0
+      while (i < d && i < v.length) {
+        if (v(i) < mins(i)) mins(i) = v(i)
+        if (v(i) > maxs(i)) maxs(i) = v(i)
+        i += 1
+      }
+    }
+    val scales = Array.tabulate(d)(i => math.max(1e-9, (maxs(i) - mins(i)) / 255.0))
+    (mins, scales)
+  }
 
   /** Map-only PQ encode: per subspace, argmin L2 over the k centroids. */
   private def pqCodeCol(books: Seq[Seq[Seq[Double]]], sub: Int, dsub: Int): Column = {

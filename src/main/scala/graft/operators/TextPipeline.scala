@@ -382,6 +382,36 @@ object TextPipeline {
             email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("scrubbed"))
     }),
 
+    // HTML → visible-text extraction: the WET-extraction kernel of a
+    // crawl pipeline (trafilatura/jusText ancestry reduced to its
+    // deterministic regex core — the step between raw WARC and every
+    // text operator above). The test corpus carries plain text, so the
+    // query synthesizes deterministic markup around it (same posture as
+    // text_pii_scrub's planted PII); the operator is the extraction
+    // chain: (1) drop script/style subtrees, (2) strip tags, (3) decode
+    // the common entities, (4) collapse whitespace. All codegen'd
+    // regexp/replace builtins — map-only, zero shuffles; both engines
+    // run identical RE2-compatible patterns (inline (?s) for the
+    // subtree match; only the replacement-string dialects differ).
+    "text_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style>p{c:1}</style></head>" +
+          "<body><script>var x=\"no\";</script><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"nav\">&lt;menu&gt; &amp; links&nbsp;here</div>" +
+          "</body></html>"))
+      val noBlocks = regexp_replace(html,
+        "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+      val noTags = regexp_replace(noBlocks, "<[^>]+>", " ")
+      val decoded = replace(replace(replace(replace(noTags,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&nbsp;"), lit(" ")), lit("&amp;"), lit("&"))
+      val extracted = trim(regexp_replace(decoded, "\\s+", " "))
+      docs(s, dir).select(col("doc_id"), extracted.as("extracted"),
+        length(extracted).as("n_extracted"))
+    }),
+
     // BPE-ish token accounting: a GPT-2-style pre-tokenizer regex
     // (contraction suffixes | space-prefixed letter runs | digit runs |
     // punctuation runs | whitespace runs) counted alongside the whitespace
@@ -860,6 +890,24 @@ object TextPipeline {
         |   '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
         |   '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed
         |FROM t""".stripMargin,
+
+    "text_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>d</title><style>p{c:1}</style></head><body><script>var x="no";</script><h1>Doc '
+        |  || doc_id || '</h1><p>' || text
+        |  || '</p><div class="nav">&lt;menu&gt; &amp; links&nbsp;here</div></body></html>' AS html
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |  regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+        |  FROM h),
+        |b AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM a),
+        |c AS (SELECT doc_id,
+        |  replace(replace(replace(replace(t, '&lt;', '<'), '&gt;', '>'),
+        |    '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM b)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS extracted,
+        |  CAST(length(trim(regexp_replace(t, '\s+', ' ', 'g'))) AS INTEGER) AS n_extracted
+        |FROM c""".stripMargin,
 
     "text_tokens_bpe" ->
       """SELECT doc_id,

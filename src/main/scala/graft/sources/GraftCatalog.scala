@@ -573,10 +573,25 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
   }
 
   override def abortStagedChanges(): Unit = {
+    // A failed CTAS job's KILLED tasks can still be flushing files into
+    // the staging dir while this abort runs (task kill is asynchronous;
+    // Spark's job failure does not await killed tasks) — a single-pass
+    // recursive delete then hits DirectoryNotEmptyException and leaves
+    // debris. Re-walk and retry briefly until the root is gone; anything
+    // that outlives the retries is plain unreferenced staging data that
+    // remove_orphan_files collects, so best-effort is the right contract.
     val p = java.nio.file.Paths.get(tmpPath)
-    if (java.nio.file.Files.exists(p))
-      Snapshots.walkDir(p)(_.toSeq).reverse
+    var attempt = 0
+    while (java.nio.file.Files.exists(p) && attempt < 20) {
+      if (attempt > 0) Thread.sleep(100)
+      try Snapshots.walkDir(p)(_.toSeq).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      catch {
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+        case _: java.nio.file.NoSuchFileException => ()
+      }
+      attempt += 1
+    }
   }
 }
 

@@ -179,6 +179,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivfAll.nonEmpty)
   }
 
+  test("SQ8 ANN: exact re-rank, per-dimension byte codes keep high recall") {
+    val sq = SparkEntry.queries("sim_sq8_topk")(spark, sf).collect()
+    assert(sq.nonEmpty)
+    assert(sq.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // re-rank is EXACT: every reported cos equals the brute-force cosine
+    sq.foreach { r =>
+      bruteMap.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+    // 256 levels PER dimension distort far less than PQ's shared
+    // subspace centroids — SQ8 recall should beat the PQ floor clearly
+    val top3 = brute.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(-_.getDouble(2)).take(3).map(_.getLong(1)).toSet).toMap
+    val hits = sq.count(r => top3.get(r.getLong(0)).exists(_.contains(r.getLong(1))))
+    val total = top3.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.6, s"SQ8 recall ${hits.toDouble / total}")
+  }
+
+  test("BPE training: hand-checked merges; iteration #1 = pair-counts top-1") {
+    // classic worked example: overlapping pairs count, greedy rewrite
+    val merges = graft.operators.Curation.bpeTrain(
+      Array(("aaab", 10L), ("ab", 5L)), 3)
+    // round 1: (a,a) appears twice in "aaab" (overlapping) → 20
+    assert(merges.head == ("a", "a", 20L))
+    // after greedy left-to-right rewrite "aaab" → [aa, a, b]: pairs
+    // (aa,a)=10, (a,b)=10+5 across both words → (a,b) wins
+    assert(merges(1) == ("a", "b", 15L))
+    // rewrite → [aa, ab] and [ab]; the only remaining pair is (aa, ab)
+    assert(merges(2) == ("aa", "ab", 10L))
+    // ties break lexicographically: (a,b) before (b,a) at equal freq
+    val tied = graft.operators.Curation.bpeTrain(
+      Array(("ab", 3L), ("ba", 3L)), 1)
+    assert(tied.head == ("a", "b", 3L))
+    // trained merge #1 on the corpus equals the oracle-checked
+    // tokenizer_pair_counts top row (same dictionary-first counting)
+    val first = SparkEntry.queries("tokenizer_bpe_train")(spark, sf).collect()
+      .sortBy(_.getInt(0)).head
+    val topPair = SparkEntry.queries("tokenizer_pair_counts")(spark, sf).collect().head
+    assert(first.getString(1) + first.getString(2) == topPair.getString(0))
+    assert(first.getLong(4) == topPair.getLong(1))
+  }
+
+  test("html extract and url dedup plan map-only / single-aggregate shapes") {
+    // extraction is one codegen'd projection: no exchange anywhere
+    val ex = SparkEntry.queries("text_html_extract")(spark, sf)
+    assert(!ex.queryExecution.executedPlan.toString.contains("Exchange"),
+      "html extract should be map-only")
+    // url dedup: canonicalization is map-side; the only shuffle is the
+    // single hash aggregate on the canonical key
+    val ud = SparkEntry.queries("curate_url_dedup")(spark, sf)
+    val plan = ud.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // canonicalizer converges the planted variants: every canonical URL
+    // is lowercase-host, fragment-free, utm-free
+    val urls = ud.collect().map(_.getString(0))
+    assert(urls.nonEmpty)
+    urls.foreach { u =>
+      assert(u.startsWith("https://src"), u)
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains("WWW"), u)
+      assert(!u.contains(":443"), u)
+    }
+  }
+
   test("mm_features is deterministic and correctly shaped") {
     val a = SparkEntry.queries("mm_features")(spark, sf).collect()
     val b = SparkEntry.queries("mm_features")(spark, sf).collect()
