@@ -312,6 +312,29 @@ object Curation {
         .limit(100)
     }),
 
+    // Epoch-expansion mix planning — the Pile/Llama recipe for
+    // under-represented high-value slices: low-resource LANGUAGES repeat
+    // (multilingual upsampling), epochs = ceil(mean language token mass /
+    // this language's mass) capped at 4, and the plan EXPANDS to one
+    // (doc_id, epoch) row per repeat. The mix table is #languages rows —
+    // broadcast state by construction — so expansion is one corpus scan:
+    // per-language masses come from one map-side-combined aggregate, the
+    // epoch explode is map-only against the broadcast mix, and nothing
+    // ever shuffles corpus-shaped data twice. ceil (not round) keeps the
+    // two engines bit-identical — no banker's-rounding divergence.
+    "curate_mix_epochs" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), col("lang"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+      val mass = tok.groupBy(col("lang")).agg(sum(col("toks")).as("mass"))
+      val mean = mass.agg(avg(col("mass")).as("mean"))
+      val mix = mass.crossJoin(broadcast(mean))
+        .select(col("lang"), least(lit(4L), greatest(lit(1L),
+          ceil(col("mean") / col("mass")).cast("long"))).as("epochs"))
+      tok.join(broadcast(mix), Seq("lang"))
+        .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+        .select(col("doc_id"), col("lang"), col("epoch"), col("epochs"))
+    }),
+
     // URL canonicalization + dedup — the FIRST dedup every crawl
     // pipeline runs (CCNet/RefinedWeb dedup by canonical URL before any
     // content hashing): scheme/host lowercase, default-port and www.
@@ -563,6 +586,18 @@ object Curation {
         |SELECT doc_id, source, grp, n_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= (CASE grp WHEN 0 THEN 3000 WHEN 1 THEN 2000
         |                     WHEN 2 THEN 1000 ELSE 500 END)""".stripMargin,
+
+    "curate_mix_epochs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |m AS (SELECT lang, sum(toks) AS mass FROM t GROUP BY 1),
+        |mm AS (SELECT avg(mass) AS mean FROM m),
+        |mix AS (SELECT lang,
+        |  least(4, greatest(1, CAST(ceil(mean / mass) AS BIGINT))) AS epochs
+        |  FROM m, mm)
+        |SELECT doc_id, t.lang, e.epoch, epochs
+        |FROM t JOIN mix USING (lang),
+        |  LATERAL (SELECT unnest(generate_series(1, epochs)) AS epoch) e""".stripMargin,
 
     "curate_url_dedup" ->
       """WITH r AS (SELECT doc_id,

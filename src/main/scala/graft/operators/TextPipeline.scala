@@ -584,6 +584,30 @@ object TextPipeline {
       jaccardPairs(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
     }),
 
+    // quality-aware near-dup keep policy (the RefinedWeb posture: keep
+    // the best REPRESENTATIVE, not the lowest id): for every exact-
+    // jaccard near-dup pair the lower-quality side loses (more chars
+    // wins; the lower doc_id keeps ties), and a doc is dropped if ANY
+    // pair marks it the loser. One projection over the already-capped
+    // pair join + a broadcast-sized loser anti-join — cheaper than full
+    // connected components when transitive closure isn't needed, and
+    // quality-aware where dedup_clusters' min-id canonical is blind.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = jaccardPairs(d,
+        math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
+      val q = d.select(col("doc_id"), col("n_chars"))
+      val losers = pairs
+        .join(q.select(col("doc_id").as("d1"), col("n_chars").as("c1")), Seq("d1"))
+        .join(q.select(col("doc_id").as("d2"), col("n_chars").as("c2")), Seq("d2"))
+        // d1 < d2 by construction: at equal quality the higher id loses
+        .select(when(col("c1") < col("c2"), col("d1")).otherwise(col("d2"))
+          .as("doc_id"))
+        .distinct()
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // near-dup cluster canonicalization: connected components over the
     // Jaccard pair graph by iterative min-label propagation (each round is
     // one join + agg; lineage truncated per round; converges in O(cluster
@@ -960,6 +984,24 @@ object TextPipeline {
         |SELECT d1, d2, round(common * 1.0 / (x.n + y.n - common), 4) AS jac
         |FROM pair JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT d1, d2 FROM pair
+        |       JOIN sz x ON d1 = x.doc_id JOIN sz y ON d2 = y.doc_id
+        |       WHERE common * 1.0 / (x.n + y.n - common) >= 0.4),
+        |losers AS (SELECT DISTINCT
+        |    CASE WHEN c1.n_chars < c2.n_chars THEN d1 ELSE d2 END AS doc_id
+        |  FROM jp JOIN documents c1 ON d1 = c1.doc_id
+        |          JOIN documents c2 ON d2 = c2.doc_id)
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "dedup_incremental" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

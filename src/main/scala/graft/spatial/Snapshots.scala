@@ -2686,6 +2686,95 @@ object Snapshots {
       "record_count" -> LongType, "total_bytes" -> LongType)
   }
 
+  /** Partition statistics FILES — the reference's registered per-snapshot
+    * partition-stats artifact (`core/.../GenericPartitionStatisticsFile
+    * .java`, `SetPartitionStatistics.java`, `PartitionStatsUtil`): a
+    * persisted parquet file of per-partition aggregates, stamped with the
+    * snapshot it describes. Computed ENTIRELY from the manifest + delete
+    * state — zero data-file reads (every number below is already in
+    * table metadata), which is the 100 TB point: refreshing partition
+    * stats costs O(#files) manifest work, not a corpus scan. Readers take
+    * the newest stats file at or before their snapshot (same
+    * never-travel-forward rule as the NDV sketches).
+    */
+  private val PartitionStatsDir = "_graft_partition_stats"
+
+  /** Compute + persist partition stats for the current main snapshot.
+    * Returns (described version, partition count).
+    */
+  def computePartitionStats(spark: SparkSession, path: String): (Int, Int) = {
+    import org.apache.spark.sql.types._
+    val v = mainVersion(path)
+    val files = readManifest(path)
+    // pending positional deletes, attributed to the deleted data file's
+    // partition (delete files are metadata artifacts, footprint bounded
+    // by delete volume; the aggregate is distributed, only the
+    // #partitions-bounded result lands on the driver). Equality deletes
+    // are predicate-scoped, not partition-attributable without
+    // evaluation — out of scope here, matching what manifests alone can
+    // answer in the reference.
+    val posByPart: Map[String, Long] = {
+      val pos = readPosDeletes(path)
+      if (pos.isEmpty) Map.empty[String, Long]
+      else {
+        // delete rows record `_metadata.file_path` (scheme-qualified);
+        // normalize to the manifest's table-relative key by suffix match,
+        // the same rule DeleteState applies when planning reads
+        val rel = files.map(_.path)
+        def toRel(fp: String): Option[String] =
+          rel.find(p => fp == p || fp.endsWith("/" + p))
+        spark.read.parquet(pos.map(f => s"$path/$f"): _*)
+          .groupBy(org.apache.spark.sql.functions.col("file_path")).count()
+          .collect()
+          .flatMap(r => toRel(r.getString(0)).map(p =>
+            (p.split('/').dropRight(1).mkString("/"), r.getLong(1))))
+          .groupBy(_._1)
+          .map { case (p, cs) => (p, cs.map(_._2).sum) }
+      }
+    }
+    val byPart = files.groupBy(f => f.path.split('/').dropRight(1).mkString("/"))
+    val rows = byPart.toSeq.sortBy(_._1).map { case (part, fs) =>
+      org.apache.spark.sql.Row(part, fs.size.toLong, fs.map(_.rows).sum,
+        fs.map(_.sizeBytes).sum,
+        posByPart.getOrElse(part, 0L),
+        v.toLong)
+    }
+    val df = mkDf(spark, rows,
+      "partition" -> StringType, "data_file_count" -> LongType,
+      "record_count" -> LongType, "total_size_bytes" -> LongType,
+      "position_delete_count" -> LongType, "last_updated_snapshot" -> LongType)
+    val out = java.nio.file.Paths.get(path, PartitionStatsDir, s"v$v")
+    df.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    (v, rows.size)
+  }
+
+  /** `partition_stats` metadata table: the newest REGISTERED stats file at
+    * or before the main snapshot; empty (with the declared schema) when
+    * compute_partition_stats has never run.
+    */
+  def partitionStatsTable(spark: SparkSession, path: String): DataFrame = {
+    val v = mainVersion(path)
+    val dir = java.nio.file.Paths.get(path, PartitionStatsDir)
+    val VRe = """v(\d+)""".r
+    val best =
+      if (!java.nio.file.Files.isDirectory(dir)) None
+      else listDir(dir)(_.toSeq).flatMap(_.getFileName.toString match {
+        case VRe(n) if n.toInt <= v => Some(n.toInt)
+        case _ => None
+      }).sorted.lastOption
+    best match {
+      case Some(bv) =>
+        spark.read.parquet(dir.resolve(s"v$bv").toString)
+          .orderBy(org.apache.spark.sql.functions.col("partition"))
+      case None =>
+        import org.apache.spark.sql.types._
+        mkDf(spark, Nil,
+          "partition" -> StringType, "data_file_count" -> LongType,
+          "record_count" -> LongType, "total_size_bytes" -> LongType,
+          "position_delete_count" -> LongType, "last_updated_snapshot" -> LongType)
+    }
+  }
+
   /** `entries`: per-file membership of the current snapshot with status
     * relative to the parent (added/existing).
     */
@@ -2827,6 +2916,7 @@ object Snapshots {
     case "snapshots" => snapshotsTable(spark, path)
     case "manifests" | "all_manifests" => manifestsTable(spark, path)
     case "partitions" => partitionsTable(spark, path)
+    case "partition_stats" => partitionStatsTable(spark, path)
     case "entries" => entriesTable(spark, path)
     case "refs" => refsTable(spark, path)
     case "delete_files" => deleteFilesTable(spark, path)

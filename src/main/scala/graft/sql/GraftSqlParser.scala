@@ -642,6 +642,13 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
         val (v, ndv) = Snapshots.computeTableStats(spark, table, cols)
         Seq(Row(v.toLong, s"ndv_columns=${ndv.size}"))
+      case "compute_partition_stats" =>
+        // the reference's partition-statistics file: per-partition
+        // aggregates persisted + snapshot-stamped, computed from the
+        // manifest alone (zero data-file reads); served by the
+        // `partition_stats` metadata table
+        val (v, np) = Snapshots.computePartitionStats(spark, table)
+        Seq(Row(v.toLong, s"partitions=$np"))
       case "rewrite_data_files" =>
         // two surfaces, matching the reference procedure
         // (RewriteDataFilesProcedure.java): the strategy form

@@ -164,4 +164,43 @@ class MetadataTablesSpec extends AnyFunSuite {
       spark.read.format("graft").option("metadata", "nope").load(dir).collect()
     }
   }
+
+  test("partition_stats: persisted snapshot-stamped file, manifest-derived, " +
+      "MoR position deletes attributed, stale file serves until recompute") {
+    graft.spatial.Geo.install(spark)
+    val d = Files.createTempDirectory("graft_pstats").toString
+    GeoTable.write(mk(0 until 40, 0).coalesce(1), d, "geom", res = 8,
+      partitionBy = Seq("part"))
+    Snapshots.append(mk(100 until 140, 2), d)
+    // never computed → empty with the declared schema
+    val empty = Snapshots.metadataTable(spark, d, "partition_stats")
+    assert(empty.columns.toSeq == Seq("partition", "data_file_count",
+      "record_count", "total_size_bytes", "position_delete_count",
+      "last_updated_snapshot"))
+    assert(empty.count() == 0)
+    // CALL computes + registers; result row carries version + partition count
+    val res = spark.sql(s"CALL graft.system.compute_partition_stats('$d')").collect()
+    assert(res.head.getString(1) == "partitions=2")
+    val ps = Snapshots.metadataTable(spark, d, "partition_stats").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val v1 = Snapshots.mainVersion(d)
+    assert(ps == Map("part=0" -> (1L, 40L, v1.toLong),
+      "part=2" -> (1L, 40L, v1.toLong)))
+    // MoR positional deletes attribute to the deleted file's partition
+    val victims = Snapshots.read(spark, d)
+      .filter(col("id").isin(101L, 103L, 105L))
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"))
+    Snapshots.deleteByPosition(spark, d, victims)
+    // stale rule: the v1-stamped file still serves (never travels forward)
+    val stale = Snapshots.metadataTable(spark, d, "partition_stats").collect()
+    assert(stale.forall(_.getLong(5) == v1.toLong))
+    spark.sql(s"CALL graft.system.compute_partition_stats('$d')")
+    val ps2 = Snapshots.metadataTable(spark, d, "partition_stats").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(ps2 == Map("part=0" -> 0L, "part=2" -> 3L))
+    // both versioned stats files persist on disk
+    assert(Files.list(java.nio.file.Paths.get(d, "_graft_partition_stats"))
+      .count() == 2)
+  }
 }
