@@ -1159,7 +1159,22 @@ object Snapshots {
       case (k, v) if k == "write.parquet.bloom-filter-max-bytes" =>
         "parquet.bloom.filter.max.bytes" -> v
     }
-    val w = (bloomOpts ++ compressionOpts(spark, tableProps, delete = false))
+    // write-time file sizing (the reference's WRITE_TARGET_FILE_SIZE_BYTES,
+    // TableProperties.java:296): Spark's parquet writer rolls by RECORD
+    // count only, so the declared byte target converts through the
+    // table's own average row size — manifest totals, metadata-only.
+    // First writes (no stats yet) skip: nothing to estimate with; the
+    // DSv2/streaming writer rolls by actual bytes instead.
+    val sizeOpts: Seq[(String, String)] =
+      tableProps.get("write.target-file-size-bytes").toSeq.flatMap { t =>
+        val entries = readManifest(path)
+        val rows = entries.map(_.rows).sum
+        val bytes = entries.map(_.sizeBytes).sum
+        if (rows <= 0 || bytes <= 0) Nil
+        else Seq("maxRecordsPerFile" ->
+          math.max(1L, (t.toLong * rows) / bytes).toString)
+      }
+    val w = (bloomOpts ++ compressionOpts(spark, tableProps, delete = false) ++ sizeOpts)
       .foldLeft(withDerived.write.mode("overwrite"))(
         (acc, kv) => acc.option(kv._1, kv._2))
     (if (specs.nonEmpty) w.partitionBy(specs.map(_.derivedName): _*) else w)

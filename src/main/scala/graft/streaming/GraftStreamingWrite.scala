@@ -126,6 +126,13 @@ object GraftWriters {
       graft.spatial.Snapshots.compressionSpec(spark, tableProps, delete = false)
     codec.foreach(c => conf.set("graft.write.compression-codec", c))
     level.foreach(l => conf.set("parquet.compression.codec.zstd.level", l))
+    // declared target file size rides to the executor-side writer, which
+    // ROLLS to a new file when the in-progress one reaches it (the
+    // reference's WRITE_TARGET_FILE_SIZE_BYTES + RollingDataWriter,
+    // TableProperties.java:296-297) — without it one task writing 5 GB
+    // of a partition emits one 5 GB file at 100 TB scale
+    tableProps.get("write.target-file-size-bytes")
+      .foreach(t => conf.set("graft.write.target-file-size", t))
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
       sqlConf.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)
@@ -234,6 +241,17 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
 
   // partition dir ("" for unpartitioned) → (writer, staged relative name)
   private val writers = mutable.LinkedHashMap.empty[String, (ParquetWriter[InternalRow], String)]
+  // files already rolled-and-closed this task (relative names)
+  private val rolled = mutable.ArrayBuffer.empty[String]
+  private var rollIdx = 0
+
+  // declared target file size (write.target-file-size-bytes, via
+  // writeConf): the writer ROLLS to a fresh file once the in-progress
+  // one reaches it — the reference's RollingDataWriter. getDataSize()
+  // is parquet-mr's buffered+flushed estimate, the same signal the
+  // reference's appender polls.
+  private lazy val targetFileSize: Option[Long] =
+    Option(conf.get("graft.write.target-file-size")).map(_.toLong)
 
   private lazy val physicalRow: UnsafeProjection = UnsafeProjection.create(proj)
 
@@ -276,24 +294,36 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
   override def write(row: InternalRow): Unit = {
     val d = if (transforms.isEmpty) "" else dirFor(row)
     val (w, _) = writers.getOrElseUpdate(d, {
-      val rel = if (d.isEmpty) baseName else s"$d/$baseName"
+      // rolled files need distinct names: roll k re-opens as `…-rk.parquet`
+      val fname = if (rollIdx == 0) baseName
+        else s"${baseName.stripSuffix(".parquet")}-r$rollIdx.parquet"
+      val rel = if (d.isEmpty) fname else s"$d/$fname"
       (new Builder(new Path(new Path(dir), rel))
         .withConf(conf)
         .withCompressionCodec(codec)
         .build(), rel)
     })
     w.write(if (proj.isEmpty) row else physicalRow(row))
+    targetFileSize.foreach { t =>
+      if (w.getDataSize >= t) {
+        w.close()
+        val (_, rel) = writers.remove(d).get
+        rolled += rel
+        rollIdx += 1 // the next write to this dir opens roll file -r<k>
+      }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_._1.close())
-    GraftStagedFiles(writers.values.map(_._2).toSeq)
+    GraftStagedFiles(rolled.toSeq ++ writers.values.map(_._2).toSeq)
   }
 
-  override def abort(): Unit = writers.values.foreach { case (w, rel) =>
-    try w.close() catch { case _: Exception => () }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
-  }
+  override def abort(): Unit =
+    (writers.values.toSeq ++ rolled.map(r => (null, r))).foreach { case (w, rel) =>
+      if (w != null) { try w.close() catch { case _: Exception => () } }
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+    }
 
   override def close(): Unit = ()
 }
