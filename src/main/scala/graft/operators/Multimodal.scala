@@ -82,6 +82,42 @@ object Multimodal {
           MediaFeatures(id, n, digest)
         }
       }.toDF()
+    }),
+
+    // image-style RESIZE (downsample): the payload reads as a W=16-column
+    // byte grid (H = n/16 full rows, ragged tail dropped) and average-
+    // pools 2×2 with stride 2 — the standard pre-model downsample, in
+    // pure integer arithmetic ((a+b+c+d)/4 floor) so the oracle matches
+    // byte-exactly. Same partition-batched stub boundary as mm_features:
+    // a real pipeline swaps the byte grid for a decoded raster, and the
+    // shape — batched per-partition kernel, scalar outputs, payloads
+    // never on the driver — survives the swap.
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val w = 16
+          val h = bytes.length / w
+          val oh = h / 2
+          var sum = 0L; var sumSq = 0L
+          var r = 0
+          while (r < oh) {
+            var c = 0
+            while (c < w / 2) {
+              val base = (2 * r) * w + 2 * c
+              val v = ((bytes(base) & 0xff) + (bytes(base + 1) & 0xff) +
+                (bytes(base + w) & 0xff) + (bytes(base + w + 1) & 0xff)) / 4
+              sum += v; sumSq += v.toLong * v
+              c += 1
+            }
+            r += 1
+          }
+          (id, w / 2, oh, sum, sumSq)
+        }
+      }.toDF("doc_id", "out_w", "out_h", "pooled_sum", "pooled_sumsq")
     })
   )
 
@@ -97,6 +133,42 @@ object Multimodal {
         | md5(substring(d.text, CAST(f AS INTEGER) * 64 + 1, 16)) AS frame_fp
         |FROM documents d,
         | unnest(generate_series(0, CAST(floor(length(d.text) / 64) AS INTEGER))) AS t(f)""".stripMargin,
+    // byte-exact twin of the 2x2 average pool: every pooled cell decodes
+    // its 4 bytes from the hex payload and floors the mean; docs shorter
+    // than two grid rows emit zero-cell rows via the left join
+    "mm_resize" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |), dims AS (
+        |  SELECT doc_id, h, n // 16 AS hh FROM b
+        |), cells AS (
+        |  SELECT d.doc_id, (2 * r.i) * 16 + 2 * c.i AS base, d.h
+        |  FROM dims d,
+        |       unnest(generate_series(CAST(0 AS BIGINT), d.hh // 2 - 1)) AS r(i),
+        |       unnest(generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT))) AS c(i)
+        |  WHERE d.hh >= 2
+        |), vals AS (
+        |  SELECT doc_id,
+        |    (((strpos('0123456789ABCDEF', substring(h, CAST(base * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substring(h, CAST(base * 2 + 2 AS INTEGER), 1)) - 1))
+        |   + ((strpos('0123456789ABCDEF', substring(h, CAST((base + 1) * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substring(h, CAST((base + 1) * 2 + 2 AS INTEGER), 1)) - 1))
+        |   + ((strpos('0123456789ABCDEF', substring(h, CAST((base + 16) * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substring(h, CAST((base + 16) * 2 + 2 AS INTEGER), 1)) - 1))
+        |   + ((strpos('0123456789ABCDEF', substring(h, CAST((base + 17) * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |      + (strpos('0123456789ABCDEF', substring(h, CAST((base + 17) * 2 + 2 AS INTEGER), 1)) - 1))) // 4 AS v
+        |  FROM cells
+        |), agg AS (
+        |  SELECT doc_id, sum(v) AS s, sum(v * v) AS sq FROM vals GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(8 AS INTEGER) AS out_w,
+        |  CAST(d.hh // 2 AS INTEGER) AS out_h,
+        |  CAST(coalesce(a.s, 0) AS BIGINT) AS pooled_sum,
+        |  CAST(coalesce(a.sq, 0) AS BIGINT) AS pooled_sumsq
+        |FROM dims d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // byte-exact twin of the Spark featurizer: UTF-8 payload → hex, byte
     // values recovered per sampled position, integer (sum, sumsq) moments
     // per block — identical stride arithmetic (integer // division)

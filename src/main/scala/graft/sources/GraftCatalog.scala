@@ -31,6 +31,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   private var warehouse: String = _
   private var backend: CatalogBackend = _
 
+  // Table-instance cache — the reference's CachingCatalog seam
+  // (`SparkCatalog.java` wraps the Iceberg catalog in CachingCatalog when
+  // `cache-enabled`, with `cache.expiration-interval-ms`; ref
+  // TestSparkCatalogCacheExpiration): caches ident → Table resolution,
+  // saving a registry read / REST round-trip per reference. Deviation,
+  // stated: default OFF (the reference defaults on) — the default
+  // filesystem backend's layout IS its metadata, so resolution is one
+  // local stat and always-fresh beats cached; metastore-backed catalogs
+  // opt in. DDL through this catalog invalidates; `REFRESH TABLE` (Spark
+  // calls invalidateTable) invalidates; changes made by OTHER processes
+  // become visible when the entry expires — the reference's documented
+  // tradeoff. Expiration `-1` caches forever, `0` disables caching
+  // (CatalogProperties.CACHE_EXPIRATION_INTERVAL_MS semantics).
+  private var cacheEnabled = false
+  private var cacheExpirationMs: Long = -1L
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[Identifier, (Table, Long)]()
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     def requiredWarehouse = Option(options.get("warehouse")).getOrElse(
@@ -55,6 +73,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case r: RestBackend => r.warehouse
       case _ => requiredWarehouse
     }
+    cacheExpirationMs = Option(options.get("cache.expiration-interval-ms"))
+      .map(_.toLong).getOrElse(-1L)
+    cacheEnabled = Option(options.get("cache-enabled")).exists(_.toBoolean) &&
+      cacheExpirationMs != 0L
     graft.spatial.Geo.install(SparkSession.active)
   }
 
@@ -77,7 +99,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   override def tableExists(ident: Identifier): Boolean = existingTablePath(ident).isDefined
 
-  override def loadTable(ident: Identifier): Table = existingTablePath(ident) match {
+  override def loadTable(ident: Identifier): Table =
+    if (!cacheEnabled) loadTableFresh(ident)
+    else {
+      val now = System.currentTimeMillis()
+      Option(tableCache.get(ident)).collect {
+        case (t, at) if cacheExpirationMs < 0 || now - at < cacheExpirationMs => t
+      }.getOrElse {
+        val t = loadTableFresh(ident)
+        // cache only plain-table resolutions: branch/tag/metadata suffix
+        // identifiers resolve through their parent and stay dynamic
+        t match {
+          case _: GraftTable => tableCache.put(ident, (t, now)); ()
+          case _ => ()
+        }
+        t
+      }
+    }
+
+  override def invalidateTable(ident: Identifier): Unit = {
+    tableCache.remove(ident)
+    ()
+  }
+
+  private def loadTableFresh(ident: Identifier): Table = existingTablePath(ident) match {
     case Some(p) => new GraftTable(p.toString, None)
     case None =>
       // Iceberg-style suffix identifiers on a parent table — branch/tag
@@ -235,6 +280,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * TBLPROPERTIES commit a new snapshot with the merged property map.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    invalidateTable(ident)
     val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
     // ADD/RENAME/DROP/COMMENT/TYPE take full dot-paths (nested struct
@@ -326,7 +372,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       .foreach(s => graft.spatial.ExtendedTypes.declareFromProperty(tmp.toString, schema, s))
     new StagedGraftTable(ident, finalPath.toString, tmp.toString, schema,
       specs.map(_.spec), props, replace, orCreate,
-      onCommit = () => backend.recordTable(ident, finalPath))
+      onCommit = () => { invalidateTable(ident); backend.recordTable(ident, finalPath) })
   }
 
   /** DROP TABLE never purges data under a metastore-style backend — the
@@ -339,7 +385,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * metastore backend) must NOT fall back to the layout dir — that dir
     * is another table's data.
     */
-  override def dropTable(ident: Identifier): Boolean = existingTablePath(ident) match {
+  override def dropTable(ident: Identifier): Boolean = { invalidateTable(ident); existingTablePath(ident) } match {
     case None => false
     case Some(p) =>
       if (!backend.locationDecoupled)
@@ -354,7 +400,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * sharing them (zero-copy `snapshot` clones), the reference's exact
     * guard (`SparkCatalog.java:359-366`).
     */
-  override def purgeTable(ident: Identifier): Boolean = existingTablePath(ident) match {
+  override def purgeTable(ident: Identifier): Boolean = { invalidateTable(ident); existingTablePath(ident) } match {
     case None => false
     case Some(p) =>
       val gcEnabled = Snapshots.readProps(p.toString)
@@ -371,6 +417,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     backend.renameTable(oldIdent, newIdent)
+    invalidateTable(oldIdent)
+    invalidateTable(newIdent)
     ()
   }
 

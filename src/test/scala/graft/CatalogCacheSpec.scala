@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftCatalog
+
+/** Catalog table-instance caching — the reference's CachingCatalog seam
+  * (`SparkCatalog.java` wraps in CachingCatalog under `cache-enabled`,
+  * `cache.expiration-interval-ms`; ref TestSparkCatalogCacheExpiration).
+  * Deviation, stated in the code: default OFF (reference defaults on) —
+  * the filesystem backend's layout is its metadata, so always-fresh is
+  * free; metastore-backed catalogs opt in to save round-trips.
+  */
+class CatalogCacheSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkCatalog(name: String, opts: Map[String, String]): TableCatalog = {
+    val wh = Files.createTempDirectory(s"graft_${name}_wh").toString
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.conf.set(s"spark.sql.catalog.$name.backend", "registry")
+    opts.foreach { case (k, v) => spark.conf.set(s"spark.sql.catalog.$name.$k", v) }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.db")
+    spark.sql(s"CREATE TABLE $name.db.t (id BIGINT, v STRING)")
+    spark.sessionState.catalogManager.catalog(name).asInstanceOf[TableCatalog]
+  }
+
+  private val ident = Identifier.of(Array("db"), "t")
+
+  test("cache-enabled serves the cached instance; DDL and REFRESH invalidate") {
+    val cat = mkCatalog("ccache1", Map("cache-enabled" -> "true"))
+    val a = cat.loadTable(ident)
+    assert(cat.loadTable(ident) eq a, "second load must hit the cache")
+    // ALTER through this catalog invalidates — the new schema is visible
+    spark.sql("ALTER TABLE ccache1.db.t ADD COLUMN extra INT")
+    val b = cat.loadTable(ident)
+    assert(!(b eq a))
+    assert(b.schema().fieldNames.contains("extra"))
+    // REFRESH TABLE routes through invalidateTable
+    assert(cat.loadTable(ident) eq b)
+    spark.sql("REFRESH TABLE ccache1.db.t")
+    assert(!(cat.loadTable(ident) eq b))
+    // RENAME invalidates both idents; the old name stops resolving
+    spark.sql("ALTER TABLE ccache1.db.t RENAME TO db.t2")
+    intercept[Exception] { cat.loadTable(ident) }
+    assert(cat.loadTable(Identifier.of(Array("db"), "t2")) != null)
+  }
+
+  test("cache.expiration-interval-ms expires entries; 0 disables caching") {
+    val cat = mkCatalog("ccache2",
+      Map("cache-enabled" -> "true", "cache.expiration-interval-ms" -> "200"))
+    val a = cat.loadTable(ident)
+    assert(cat.loadTable(ident) eq a)
+    Thread.sleep(350)
+    assert(!(cat.loadTable(ident) eq a), "expired entry must re-resolve")
+    val off = mkCatalog("ccache3",
+      Map("cache-enabled" -> "true", "cache.expiration-interval-ms" -> "0"))
+    val x = off.loadTable(ident)
+    assert(!(off.loadTable(ident) eq x), "expiration 0 disables caching")
+  }
+
+  test("default catalog is uncached: every load resolves fresh") {
+    val cat = mkCatalog("ccache4", Map.empty)
+    val a = cat.loadTable(ident)
+    assert(!(cat.loadTable(ident) eq a))
+  }
+}
