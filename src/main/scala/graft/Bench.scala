@@ -73,6 +73,26 @@ object Bench {
         graft.spatial.GeoTable.read(spark, wdir.getAbsolutePath)
           .write.format("noop").mode("overwrite").save()
       }
+      // bucket-transform write + stamped bucket ids + bucketed read:
+      // geo_bucket_prune writes a bucketed table inside its timed window
+      // and its first run otherwise pays this path's codegen (~1 s
+      // cold-vs-min measured in r11)
+      warmUp("graft-bucket-table") {
+        val wdir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bench_warmup_b_${System.nanoTime()}")
+        // volume (2k rows), not just shape: the bucket/hilbert write
+        // kernels need iterations to reach C2 or the real query's first
+        // run pays the interpreted/C1 tail (same lesson as the minhash
+        // warm)
+        val tiny = spark.range(2000).selectExpr("id AS n_nationkey",
+            "cast(id % 97 as double) as x", "cast(id % 89 as double) as y")
+          .withColumn("geom", graft.functions.GeoSql.st_point(col("x"), col("y")))
+        graft.spatial.GeoTable.write(tiny, wdir.getAbsolutePath, "geom", res = 4,
+          numFiles = 1, partitionBy = Seq("bucket(4, n_nationkey)"))
+        graft.spatial.GeoTable.read(spark, wdir.getAbsolutePath)
+          .filter(col("n_nationkey") % 5 === 1)
+          .write.format("noop").mode("overwrite").save()
+      }
       // text/vector kernels: the dedup/similarity family's first query
       // otherwise absorbs the one-time codegen of the shingle/simhash/
       // vector expressions (~4 s on the alphabetically-first jaccard
