@@ -35,6 +35,7 @@ import graft.streaming.{GraftStagedFiles, GraftStreamDataWriter, GraftWriters}
   * a 1000-task write into D dirs stages up to 1000×D slivers.
   */
 class GraftDynamicOverwrite(path: String, writeSchema: StructType,
+    writeOptions: Map[String, String],
     snapshotProps: Map[String, String] = Map.empty,
     validate: Option[(Int, String)] = None)
     extends Write with RequiresDistributionAndOrdering {
@@ -88,7 +89,8 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
       val sess = spark
       val proj = GraftWriters.physicalProjection(sess, path, writeSchema)
       GraftBatchWriterFactory(path,
-        GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(writeSchema), path),
+        GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(writeSchema), path,
+          writeOptions),
         GraftWriters.boundTransforms(sess, path, writeSchema),
         proj.map(_._2).getOrElse(Nil))
     }

@@ -155,25 +155,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     * NAME (the reference's SparkCatalog.loadTable(ident, version) tries
     * snapshot id, then branch, then tag, SparkCatalog.java).
     */
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
-    version.toIntOption match {
-      case Some(v) => new GraftTable(p.toString, Some(v))
+  override def loadTable(ident: Identifier, version: String): Table =
+    existingTablePath(ident) match {
+      case Some(p) =>
+        version.toIntOption match {
+          case Some(v) => new GraftTable(p.toString, Some(v))
+          case None =>
+            val (branches, tags) = Snapshots.readRefs(p.toString)
+            val v = branches.get(version).orElse(tags.get(version)).getOrElse(
+              throw new IllegalArgumentException(
+                s"VERSION AS OF '$version': no such snapshot version, branch, or tag"))
+            new GraftTable(p.toString, Some(v))
+        }
       case None =>
-        val (branches, tags) = Snapshots.readRefs(p.toString)
-        val v = branches.get(version).orElse(tags.get(version)).getOrElse(
-          throw new IllegalArgumentException(
-            s"VERSION AS OF '$version': no such snapshot version, branch, or tag"))
-        new GraftTable(p.toString, Some(v))
+        // metadata-suffix identifiers time-travel too — the reference's
+        // `SELECT * FROM cat.db.t.files VERSION AS OF n`; branch/tag
+        // names resolve like on the data table
+        val (parent, v) = metadataSuffixVersion(ident, version)
+        versionedMetadataTable(ident, parent, v)
     }
-  }
 
   /** `TIMESTAMP AS OF` — micros since epoch per the DSv2 contract. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
-    new GraftTable(p.toString,
-      Some(Snapshots.versionAsOfTimestamp(p.toString, timestampMicros / 1000L)))
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    existingTablePath(ident) match {
+      case Some(p) =>
+        new GraftTable(p.toString,
+          Some(Snapshots.versionAsOfTimestamp(p.toString, timestampMicros / 1000L)))
+      case None =>
+        val parent = metadataSuffixParent(ident)
+        versionedMetadataTable(ident, parent,
+          Snapshots.versionAsOfTimestamp(parent, timestampMicros / 1000L))
+    }
+
+  private def metadataSuffixParent(ident: Identifier): String = {
+    if (ident.namespace().isEmpty) throw new NoSuchTableException(ident)
+    existingTablePath(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      .getOrElse(throw new NoSuchTableException(ident)).toString
   }
+
+  private def metadataSuffixVersion(ident: Identifier, version: String): (String, Int) = {
+    val parent = metadataSuffixParent(ident)
+    val v = version.toIntOption.getOrElse {
+      val (branches, tags) = Snapshots.readRefs(parent)
+      branches.get(version).orElse(tags.get(version)).getOrElse(
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': no such snapshot version, branch, or tag"))
+    }
+    (parent, v)
+  }
+
+  private def versionedMetadataTable(ident: Identifier, parent: String, v: Int): Table =
+    try new GraftMetadataTable(
+      Snapshots.metadataTable(SparkSession.active, parent,
+        ident.name().toLowerCase, Some(v)),
+      s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.startsWith("unknown metadata table") =>
+        throw new NoSuchTableException(ident)
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (!backend.namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)

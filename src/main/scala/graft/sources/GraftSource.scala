@@ -78,7 +78,8 @@ class GraftSource extends RelationProvider with DataSourceRegister
         new GraftMetadataTable(Snapshots.changelog(spark, path, from, to),
           s"graft:$path#changes")
       case Some(name) =>
-        new GraftMetadataTable(Snapshots.metadataTable(spark, path, name), s"graft:$path#$name")
+        new GraftMetadataTable(Snapshots.metadataTable(spark, path, name,
+          resolveVersion(path, k => Option(opts.get(k)))), s"graft:$path#$name")
       case None =>
         new GraftTable(path, resolveVersion(path, k => Option(opts.get(k))))
     }
@@ -86,14 +87,25 @@ class GraftSource extends RelationProvider with DataSourceRegister
 
   private def resolveVersion(path: String, opt: String => Option[String]): Option[Int] =
     opt("version").map(_.toInt)
-      // the reference's SparkReadOptions.SNAPSHOT_ID name for the same thing
+      // the reference's SparkReadOptions.SNAPSHOT_ID name for the same
+      // thing, plus Spark's own camelCase time-travel spelling
+      // (SparkReadOptions.VERSION_AS_OF — `option("versionAsOf", n)`)
       .orElse(opt("snapshot-id").map(_.toInt))
+      .orElse(opt("versionAsOf").map(_.toInt))
       .orElse(opt("ref").map(Snapshots.resolveRef(path, _)))
       .orElse(opt("branch").map(Snapshots.resolveRef(path, _)))
       .orElse(opt("tag").map(Snapshots.resolveRef(path, _)))
-      // the reference's SparkReadOptions.AS_OF_TIMESTAMP (epoch millis)
+      // the reference's SparkReadOptions.AS_OF_TIMESTAMP (epoch millis) +
+      // the camelCase TIMESTAMP_AS_OF twin
       .orElse(opt("as-of-timestamp").map(ts =>
         Snapshots.versionAsOfTimestamp(path, ts.toLong)))
+      // camelCase twin accepts epoch millis OR Spark's timestamp-string
+      // spelling (`option("timestampAsOf", "2026-01-01 00:00:00")`)
+      .orElse(opt("timestampAsOf").map { ts =>
+        val millis = ts.toLongOption
+          .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
+        Snapshots.versionAsOfTimestamp(path, millis)
+      })
 
   // ---- V1 fallback (spark.sql.sources.useV1SourceList=graft) -------------
 
@@ -116,7 +128,8 @@ class GraftSource extends RelationProvider with DataSourceRegister
       case Some(name) =>
         // metadata tables are O(#files) driver-side rows — a TableScan
         // relation over the computed frame (Iceberg's `tbl.files` surface)
-        new MetadataRelation(sqlContext, Snapshots.metadataTable(spark, path, name))
+        new MetadataRelation(sqlContext,
+          Snapshots.metadataTable(spark, path, name, resolveVersion(path, parameters.get)))
       case None =>
         // `version` time travel, or `ref`/`branch`/`tag` by name
         val version = resolveVersion(path, parameters.get)

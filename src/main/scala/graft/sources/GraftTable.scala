@@ -177,6 +177,12 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         }.toMap
       }
 
+      // per-write sizing (the reference's SparkWriteOptions
+      // TARGET_FILE_SIZE_BYTES — option > table property)
+      private def writeOpts: Map[String, String] =
+        Option(info.options().get("target-file-size-bytes"))
+          .map(v => Map("target-file-size-bytes" -> v)).getOrElse(Map.empty)
+
       // conflict validation for overwrites: the reference's
       // validate-from-snapshot-id + isolation-level write options
       // (SparkWriteConf; serializable is the reference's default level)
@@ -219,7 +225,8 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                   df.copy(name = tf.name)
                 })
             }
-          new GraftDynamicOverwrite(path, resolvedSchema, snapshotProps, validateOpt)
+          new GraftDynamicOverwrite(path, resolvedSchema, writeOpts,
+            snapshotProps, validateOpt)
         } else new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
@@ -296,7 +303,8 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                 s"the table's ${tf.dataType.simpleString}")
           }
           new graft.streaming.GraftStreamingWrite(path, info.schema(), info.queryId(),
-            overwrite = mode == 1, extraProps = snapshotProps)
+            overwrite = mode == 1, extraProps = snapshotProps,
+            writeOptions = writeOpts)
         }
       }
     }

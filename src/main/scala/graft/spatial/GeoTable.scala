@@ -265,9 +265,13 @@ object GeoTable {
     * metadata table with geometry bounds visible
     * (`spark/.../SparkContentFile.java:206-220` in /root/reference).
     */
-  def filesTable(spark: SparkSession, path: String): DataFrame = {
+  def filesTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val stats = readManifest(path)
+    val stats = version match {
+      case Some(v) => Snapshots.readManifest(path, Some(v))
+      case None => readManifest(path)
+    }
     val geomLeaves = stats.headOption.map(_.mins.keys.filter(_.contains("_bbox.")).toSeq.sorted)
       .getOrElse(Nil)
     val rm = readableMetrics(path, stats)

@@ -2688,9 +2688,10 @@ object Snapshots {
   /** `partitions`: current snapshot grouped by partition directory (one
     * `partition=""` row for unpartitioned tables).
     */
-  def partitionsTable(spark: SparkSession, path: String): DataFrame = {
+  def partitionsTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
-    val rows = readManifest(path)
+    val rows = readManifest(path, version)
       .groupBy(f => f.path.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1)
       .map { case (part, fs) =>
@@ -2767,8 +2768,9 @@ object Snapshots {
     * or before the main snapshot; empty (with the declared schema) when
     * compute_partition_stats has never run.
     */
-  def partitionStatsTable(spark: SparkSession, path: String): DataFrame = {
-    val v = mainVersion(path)
+  def partitionStatsTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(mainVersion(path))
     val dir = java.nio.file.Paths.get(path, PartitionStatsDir)
     val VRe = """v(\d+)""".r
     val best =
@@ -2793,13 +2795,14 @@ object Snapshots {
   /** `entries`: per-file membership of the current snapshot with status
     * relative to the parent (added/existing).
     */
-  def entriesTable(spark: SparkSession, path: String): DataFrame = {
+  def entriesTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
-    val v = currentVersion(path)
+    val v = version.getOrElse(currentVersion(path))
     val parent = if (v > 1 && Files.exists(manifestPath(path, v - 1)))
       readManifest(path, Some(v - 1)).map(_.path).toSet else Set.empty[String]
-    val stats = readManifest(path)
+    val stats = readManifest(path, Some(v))
     val rm = GeoTable.readableMetrics(path, stats)
     val rows = stats.map { f =>
       org.apache.spark.sql.Row.fromSeq(Seq(
@@ -2853,8 +2856,9 @@ object Snapshots {
   }
 
   /** `position_deletes`: the delete ROWS themselves (file_path, pos). */
-  def positionDeletesTable(spark: SparkSession, path: String): DataFrame = {
-    val pos = readPosDeletes(path)
+  def positionDeletesTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val pos = readPosDeletes(path, version)
     if (pos.isEmpty)
       mkDf(spark, Nil, "file_path" -> org.apache.spark.sql.types.StringType,
         "pos" -> org.apache.spark.sql.types.LongType)
@@ -2924,18 +2928,33 @@ object Snapshots {
 
   /** Unified metadata-table accessor — the reference's MetadataTableType
     * surface (`core/src/main/java/org/apache/iceberg/MetadataTableType.java:24-38`).
+    *
+    * `version` snapshot-scopes the SNAPSHOT-SHAPED tables (`SELECT *
+    * FROM cat.db.t.files VERSION AS OF n` — the reference time-travels
+    * metadata tables like data tables). Tables that are whole-history by
+    * construction (history, snapshots, manifests, refs, the all_ family,
+    * changes) reject a version scope instead of silently ignoring it.
     */
-  def metadataTable(spark: SparkSession, path: String, name: String): DataFrame = name match {
-    case "files" | "data_files" => GeoTable.filesTable(spark, path)
+  def metadataTable(spark: SparkSession, path: String, name: String,
+      version: Option[Int] = None): DataFrame = {
+    version.foreach { v =>
+      val snapshotScoped = Set("files", "data_files", "partitions",
+        "partition_stats", "entries", "delete_files", "position_deletes")
+      require(snapshotScoped(name),
+        s"VERSION AS OF does not apply to the whole-history metadata table '$name'")
+      require(Files.exists(manifestPath(path, v)), s"no such snapshot version: $v")
+    }
+    name match {
+    case "files" | "data_files" => GeoTable.filesTable(spark, path, version)
     case "history" => history(spark, path)
     case "snapshots" => snapshotsTable(spark, path)
     case "manifests" | "all_manifests" => manifestsTable(spark, path)
-    case "partitions" => partitionsTable(spark, path)
-    case "partition_stats" => partitionStatsTable(spark, path)
-    case "entries" => entriesTable(spark, path)
+    case "partitions" => partitionsTable(spark, path, version)
+    case "partition_stats" => partitionStatsTable(spark, path, version)
+    case "entries" => entriesTable(spark, path, version)
     case "refs" => refsTable(spark, path)
-    case "delete_files" => deleteFilesTable(spark, path)
-    case "position_deletes" => positionDeletesTable(spark, path)
+    case "delete_files" => deleteFilesTable(spark, path, version)
+    case "position_deletes" => positionDeletesTable(spark, path, version)
     case "metadata_log_entries" => metadataLogTable(spark, path)
     case "all_entries" => allEntriesTable(spark, path)
     case "all_files" | "all_data_files" => allFilesTable(spark, path)
@@ -2946,8 +2965,10 @@ object Snapshots {
     case "changes" => changelog(spark, path, 0, mainVersion(path))
     case other => throw new IllegalArgumentException(
       s"unknown metadata table: $other (files|data_files|history|snapshots|manifests|" +
-        "all_manifests|partitions|entries|refs|delete_files|position_deletes|" +
-        "metadata_log_entries|all_entries|all_files|all_data_files|all_delete_files|changes)")
+        "all_manifests|partitions|partition_stats|entries|refs|delete_files|" +
+        "position_deletes|metadata_log_entries|all_entries|all_files|" +
+        "all_data_files|all_delete_files|changes)")
+    }
   }
 
   /** Data files ENTERING the table in `(fromV, toV]` along the same

@@ -111,7 +111,8 @@ object GraftWriters {
     * `GraftScan.createReaderFactory`).
     */
   def writeConf(spark: SparkSession, physicalSchema: StructType,
-      path: String): SerializableConfiguration = {
+      path: String,
+      writeOptions: Map[String, String] = Map.empty): SerializableConfiguration = {
     val sqlConf = spark.sessionState.conf
     val conf = spark.sessionState.newHadoopConf()
     ParquetWriteSupport.setSchema(physicalSchema, conf)
@@ -131,7 +132,10 @@ object GraftWriters {
     // reference's WRITE_TARGET_FILE_SIZE_BYTES + RollingDataWriter,
     // TableProperties.java:296-297) — without it one task writing 5 GB
     // of a partition emits one 5 GB file at 100 TB scale
-    tableProps.get("write.target-file-size-bytes")
+    // per-write option wins over the table property (the reference's
+    // SparkWriteOptions.TARGET_FILE_SIZE_BYTES > TableProperties order)
+    writeOptions.get("target-file-size-bytes")
+      .orElse(tableProps.get("write.target-file-size-bytes"))
       .foreach(t => conf.set("graft.write.target-file-size", t))
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
@@ -172,7 +176,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     // `snapshot-property.<key>` writeStream options — committed with every
     // epoch snapshot, like the batch path (the reference's
     // extraSnapshotMetadata applies to streaming commits too)
-    extraProps: Map[String, String] = Map.empty) extends StreamingWrite {
+    extraProps: Map[String, String] = Map.empty,
+    writeOptions: Map[String, String] = Map.empty) extends StreamingWrite {
 
   private def spark = SparkSession.active
 
@@ -181,7 +186,8 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     val sess = spark
     val proj = GraftWriters.physicalProjection(sess, path, schema)
     GraftStreamWriterFactory(path,
-      GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(schema), path), queryId,
+      GraftWriters.writeConf(sess, proj.map(_._1).getOrElse(schema), path,
+        writeOptions), queryId,
       GraftWriters.boundTransforms(sess, path, schema), proj.map(_._2).getOrElse(Nil))
   }
 

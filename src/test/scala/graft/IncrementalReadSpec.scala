@@ -92,6 +92,18 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(asOf.count() == 50) // v1 + v2
   }
 
+  test("Spark's camelCase time-travel options: versionAsOf / timestampAsOf") {
+    val dir = newTable()
+    // versionAsOf — Spark's own DataFrameReader time-travel spelling
+    // (the reference's SparkReadOptions.VERSION_AS_OF)
+    assert(spark.read.format("graft").option("versionAsOf", 2).load(dir).count() == 50)
+    // timestampAsOf accepts epoch millis and the timestamp-string form
+    val t2 = Snapshots.commitTimeMillis(dir, 2)
+    assert(spark.read.format("graft").option("timestampAsOf", t2).load(dir).count() == 50)
+    val str = new java.sql.Timestamp(t2).toString
+    assert(spark.read.format("graft").option("timestampAsOf", str).load(dir).count() == 50)
+  }
+
   test("catalog table reads honor the options; bad starts error") {
     val wh = Files.createTempDirectory("graft_incr_wh").toString
     spark.conf.set("spark.sql.catalog.icat", classOf[graft.sources.GraftCatalog].getName)

@@ -165,6 +165,47 @@ class MetadataTablesSpec extends AnyFunSuite {
     }
   }
 
+  test("metadata tables time-travel: VERSION AS OF scopes the snapshot-shaped " +
+      "tables; whole-history tables reject it") {
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_mtt_wh").toString
+    spark.conf.set("spark.sql.catalog.mttcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mttcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mttcat.db")
+    spark.sql("CREATE TABLE mttcat.db.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO mttcat.db.t SELECT id, concat('a', id) FROM range(10)")
+    spark.sql("INSERT INTO mttcat.db.t SELECT id, concat('b', id) FROM range(10, 30)")
+    val d = s"$wh/db/t"
+    val head = Snapshots.mainVersion(d)
+    val prev = head - 1
+    // files table at the PREVIOUS snapshot sees only the first append
+    val oldFiles = spark.sql(
+      s"SELECT * FROM mttcat.db.t.files VERSION AS OF $prev").collect()
+    val newFiles = spark.sql("SELECT * FROM mttcat.db.t.files").collect()
+    assert(oldFiles.length < newFiles.length)
+    assert(oldFiles.map(r => r.getLong(r.fieldIndex("record_count"))).sum == 10)
+    assert(newFiles.map(r => r.getLong(r.fieldIndex("record_count"))).sum == 30)
+    // partitions + entries scope too (record counts reflect the snapshot)
+    val oldParts = spark.sql(
+      s"SELECT * FROM mttcat.db.t.partitions VERSION AS OF $prev").collect()
+    assert(oldParts.map(r => r.getLong(r.fieldIndex("record_count"))).sum == 10)
+    val oldEntries = Snapshots.metadataTable(spark, d, "entries", Some(prev)).collect()
+    assert(oldEntries.map(r => r.getLong(r.fieldIndex("record_count"))).sum == 10)
+    // the same scope through the path API: format("graft") version option
+    assert(spark.read.format("graft").option("metadata", "files")
+      .option("version", prev.toString).load(d).count() == oldFiles.length)
+    // whole-history tables reject a version scope instead of ignoring it
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM mttcat.db.t.history VERSION AS OF $prev").collect()
+    }
+    assert(e.getMessage.contains("does not apply") ||
+      Option(e.getCause).exists(_.getMessage.contains("does not apply")))
+    // a nonexistent snapshot fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM mttcat.db.t.files VERSION AS OF 999").collect()
+    }
+  }
+
   test("partition_stats: persisted snapshot-stamped file, manifest-derived, " +
       "MoR position deletes attributed, stale file serves until recompute") {
     graft.spatial.Geo.install(spark)

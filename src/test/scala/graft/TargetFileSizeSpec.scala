@@ -52,6 +52,33 @@ class TargetFileSizeSpec extends AnyFunSuite {
     assert(Snapshots.readManifest(dir).size - before == 1)
   }
 
+  test("per-write target-file-size-bytes option overrides the table property") {
+    val wh = Files.createTempDirectory("graft_tfso_wh").toString
+    spark.conf.set("spark.sql.catalog.tfsocat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tfsocat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tfsocat.st")
+    // NO table property: the write OPTION alone must drive the rolling
+    spark.sql("CREATE TABLE tfsocat.st.t (id BIGINT, v STRING)")
+    val ckpt = Files.createTempDirectory("graft_tfso_ckpt").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Long]
+    input.addData(0L until 4000L: _*)
+    val q = input.toDF()
+      .select(col("value").as("id"), concat(lit("v"), col("value")).as("v"))
+      .coalesce(1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .option("target-file-size-bytes", "2000")
+      .trigger(Trigger.AvailableNow())
+      .toTable("tfsocat.st.t")
+    try q.awaitTermination() finally q.stop()
+    val files = Snapshots.readManifest(s"$wh/st/t")
+    assert(files.size >= 2,
+      s"write option should roll a single-task epoch, files=${files.size}")
+    assert(files.map(_.rows).sum == 4000)
+  }
+
   test("DSv2 streaming writer rolls by actual bytes within an epoch") {
     val wh = Files.createTempDirectory("graft_tfs_wh").toString
     spark.conf.set("spark.sql.catalog.tfscat", classOf[graft.sources.GraftCatalog].getName)
