@@ -108,9 +108,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       }.getOrElse {
         val t = loadTableFresh(ident)
         // cache only plain-table resolutions: branch/tag/metadata suffix
-        // identifiers resolve through their parent and stay dynamic
+        // identifiers resolve through their parent and stay dynamic — a
+        // branch-suffix load is a GraftTable too, but with a PINNED head
+        // version, so caching it would freeze the branch at first read
         t match {
-          case _: GraftTable => tableCache.put(ident, (t, now)); ()
+          case g: GraftTable
+              if g.snapshotVersion.isEmpty && g.branch.isEmpty && g.tag.isEmpty =>
+            tableCache.put(ident, (t, now)); ()
           case _ => ()
         }
         t
@@ -301,6 +305,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filterNot { case (k, _) => ReservedProps(k) }
     }
+    // validate graft.xtypes BEFORE committing any metadata: a bad property
+    // must fail the CREATE without leaving a half-created (and under the
+    // filesystem backend, fully-registered) table behind
+    val xtypeDecls = Option(properties.get(graft.spatial.ExtendedTypes.PropertyKey))
+      .map(s => graft.spatial.ExtendedTypes.parseProperty(schema, s))
     java.nio.file.Files.createDirectories(p)
     // an empty v1 snapshot carrying the declared schema + partition specs.
     // Hidden partitioning, like the reference: derived transform columns
@@ -310,8 +319,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     Snapshots.commitCreate(p.toString,
       _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
         schema = Some(schema)))
-    Option(properties.get(graft.spatial.ExtendedTypes.PropertyKey))
-      .foreach(s => graft.spatial.ExtendedTypes.declareFromProperty(p.toString, schema, s))
+    xtypeDecls.foreach(_.foreach { case (c, x) =>
+      graft.spatial.ExtendedTypes.declare(p.toString, c, x) })
     backend.recordTable(ident, p)
     new GraftTable(p.toString, None)
   }
@@ -336,8 +345,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         TableSchema.addColumn(spark, p.toString, a.fieldNames().toSeq, a.dataType())
       case r: TableChange.RenameColumn =>
         TableSchema.renameColumn(spark, p.toString, r.fieldNames().toSeq, r.newName())
+        // keep the extended-type sidecar keyed to the live name (nested
+        // paths can't carry xtypes — declarations are top-level only)
+        if (r.fieldNames().length == 1)
+          graft.spatial.ExtendedTypes.onRename(p.toString, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         TableSchema.dropColumn(spark, p.toString, d.fieldNames().toSeq)
+        if (d.fieldNames().length == 1)
+          graft.spatial.ExtendedTypes.onDrop(p.toString, d.fieldNames()(0))
       case t: TableChange.UpdateColumnType =>
         TableSchema.updateColumnType(spark, p.toString, t.fieldNames().toSeq, t.newDataType())
       case n: TableChange.UpdateColumnNullability =>

@@ -100,10 +100,16 @@ class GraftSource extends RelationProvider with DataSourceRegister
       .orElse(opt("as-of-timestamp").map(ts =>
         Snapshots.versionAsOfTimestamp(path, ts.toLong)))
       // camelCase twin accepts epoch millis OR Spark's timestamp-string
-      // spelling (`option("timestampAsOf", "2026-01-01 00:00:00")`)
+      // spellings — full `2026-01-01 00:00:00[.f]` AND the date-only
+      // `2026-01-01` form Spark's own timestampAsOf accepts (midnight
+      // local, like a CAST to timestamp)
       .orElse(opt("timestampAsOf").map { ts =>
-        val millis = ts.toLongOption
-          .getOrElse(java.sql.Timestamp.valueOf(ts).getTime)
+        val millis = ts.toLongOption.getOrElse {
+          try java.sql.Timestamp.valueOf(ts).getTime
+          catch { case _: IllegalArgumentException =>
+            java.sql.Timestamp.valueOf(
+              java.time.LocalDate.parse(ts.trim).atStartOfDay()).getTime }
+        }
         Snapshots.versionAsOfTimestamp(path, millis)
       })
 

@@ -215,8 +215,14 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
               }
               declared
             } else {
-              require(declared.length <= tbl.length,
-                s"write has ${declared.length} columns, table has ${tbl.length}")
+              // positional only at FULL width (SQL INSERT with unnamed
+              // select-list expressions); a PARTIAL write with an
+              // unmatched name is ambiguous — resolving it positionally
+              // could land data in the wrong same-typed column silently
+              require(declared.length == tbl.length,
+                s"write columns ${declared.fieldNames.filterNot(n => tbl.exists(_.name == n))
+                  .mkString("[", ", ", "]")} not in the table: partial writes " +
+                  "resolve by name; write all columns positionally or match names")
               org.apache.spark.sql.types.StructType(
                 declared.fields.zip(tbl.fields).map { case (df, tf) =>
                   require(tf.dataType.catalogString == df.dataType.catalogString,
@@ -253,7 +259,17 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                   require(data.schema.length <= tbl.length,
                     s"write has ${data.schema.length} columns, table has ${tbl.length} " +
                       "(write with merge-schema=true to add columns)")
-                  data.toDF(tbl.fields.take(data.schema.length).map(_.name).toIndexedSeq: _*)
+                  // positional only at FULL width (SQL INSERT with unnamed
+                  // select-list expressions); a PARTIAL write with an
+                  // unmatched name is ambiguous — positional resolution
+                  // could land data in the wrong same-typed column
+                  require(data.schema.length == tbl.length,
+                    s"write columns ${data.schema.fieldNames
+                      .filterNot(n => tbl.exists(_.name == n))
+                      .mkString("[", ", ", "]")} not in the table: partial writes " +
+                      "resolve by name; write all columns positionally, match names, " +
+                      "or add columns with merge-schema=true")
+                  data.toDF(tbl.fields.map(_.name).toIndexedSeq: _*)
                 }
               resolved.schema.fields.foreach { f =>
                 val tf = tbl.find(_.name == f.name).get

@@ -98,8 +98,13 @@ class RestBackend(uri: String) extends CatalogBackend {
   }
 
   override def forgetTable(ident: Identifier): Unit = {
-    delete(uri, s"/v1/namespaces/${nsPath(ident.namespace())}/tables/${enc(ident.name())}")
-    ()
+    val r = delete(uri, s"/v1/namespaces/${nsPath(ident.namespace())}/tables/${enc(ident.name())}")
+    // 404 = already gone (idempotent drop); anything else non-2xx is a
+    // real failure the caller must see — data may already be deleted, but
+    // the registration must not silently survive
+    if (r.statusCode() != 204 && r.statusCode() != 200 && r.statusCode() != 404)
+      throw new IllegalStateException(
+        s"REST catalog: drop $ident failed with HTTP ${r.statusCode()}: ${r.body()}")
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Path = {
@@ -171,7 +176,15 @@ object RestBackend {
 
   private[sources] def get(uri: String, path: String): Option[String] = {
     val r = send(builder(uri, path).GET().build())
-    if (r.statusCode() == 200 || r.statusCode() == 204) Some(r.body()) else None
+    r.statusCode() match {
+      case 200 | 204 => Some(r.body())
+      // only NOT FOUND means "does not exist"; a 5xx/4xx service error
+      // must NOT read as absence — tableExists=false during a transient
+      // outage would let CREATE silently re-register a live identifier
+      case 404 => None
+      case code => throw new IllegalStateException(
+        s"REST catalog: GET $path failed with HTTP $code: ${r.body()}")
+    }
   }
 
   private[sources] def post(uri: String, path: String, body: String): HttpResponse[String] =

@@ -83,9 +83,13 @@ object ExtendedTypes {
     */
   val PropertyKey = "graft.xtypes"
 
-  def declareFromProperty(path: String, schema: org.apache.spark.sql.types.StructType,
-      spec: String): Unit = {
-    val decls = spec.split(',').map(_.trim).filter(_.nonEmpty).map { s =>
+  /** Parse + validate the property against the schema WITHOUT writing —
+    * callers validate before committing table metadata, so a bad property
+    * fails the CREATE without leaving a half-created table behind.
+    */
+  def parseProperty(schema: org.apache.spark.sql.types.StructType,
+      spec: String): Seq[(String, XType)] =
+    spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { s =>
       val i = s.indexOf(':')
       require(i > 0, s"$PropertyKey entry '$s': want col:type")
       val (c, t) = (s.substring(0, i).trim, s.substring(i + 1).trim)
@@ -99,8 +103,10 @@ object ExtendedTypes {
           s"schema says ${f.dataType.simpleString}")
       c -> x
     }
-    decls.foreach { case (c, x) => declare(path, c, x) }
-  }
+
+  def declareFromProperty(path: String, schema: org.apache.spark.sql.types.StructType,
+      spec: String): Unit =
+    parseProperty(schema, spec).foreach { case (c, x) => declare(path, c, x) }
 
   /** Keep the annotation map in step with column evolution. */
   def onRename(path: String, from: String, to: String): Unit = {
@@ -119,7 +125,7 @@ object ExtendedTypes {
 
   val MicrosPerDay: Long = 86400000000L
 
-  private def validExpr(c: Column, name: String, x: XType): Column = x match {
+  private[graft] def validExpr(c: Column, name: String, x: XType): Column = x match {
     case Uuid =>
       when(c.isNull, c)
         .when(c.rlike(UuidRe), lower(c)) // canonical form is lowercase

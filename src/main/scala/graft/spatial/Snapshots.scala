@@ -668,14 +668,29 @@ object Snapshots {
     val missing = targets.filterNot(full.columns.contains)
     require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
 
+    // hll_sketch_agg accepts only int/long/string/binary
+    // (HllSketchAgg's ExpectsInputTypes; no implicit cast is inserted) —
+    // every other eligible type (double, date, timestamp, boolean,
+    // decimal, …) sketches its string form: distinct values stay
+    // distinct, and an approximate NDV doesn't care about the codec.
+    def sketchCol(c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types._
+      full.schema(c).dataType match {
+        case IntegerType | LongType | StringType | BinaryType => col(c)
+        case _ => col(c).cast(StringType)
+      }
+    }
     val prev = readSketches(path, head)
     // merge precondition: previous sketch covers exactly the files that
     // existed then AND all of them are still live (append-only since) AND
     // no delete state trims rows at read time AND the previous sketch has
-    // every requested column
+    // every requested column. The epoch's manifest may itself have been
+    // expired (expire_snapshots deletes old manifest files) — that voids
+    // the precondition rather than erroring the procedure.
     val incremental = prev.collect {
       case (sketches, pv)
         if targets.forall(sketches.contains) &&
+          Files.exists(manifestPath(path, pv)) &&
           manifest.count(_.addedV <= pv) == readManifest(path, Some(pv)).size &&
           readDeletes(path, Some(head)).isEmpty &&
           readEqDeletes(path, Some(head)).isEmpty &&
@@ -689,9 +704,9 @@ object Snapshots {
           if (added.isEmpty) Map.empty // nothing new: pure metadata refresh
           else {
             val row = readFilesDecoded(spark, path, added.map(_.path)).agg(
-              hll_sketch_agg(col(targets.head)).as("s0"),
+              hll_sketch_agg(sketchCol(targets.head)).as("s0"),
               targets.tail.zipWithIndex.map { case (c, i) =>
-                hll_sketch_agg(col(c)).as(s"s${i + 1}") }: _*).first()
+                hll_sketch_agg(sketchCol(c)).as(s"s${i + 1}") }: _*).first()
             targets.zipWithIndex.flatMap { case (c, i) =>
               if (row.isNullAt(i)) None else Some(c -> row.getAs[Array[Byte]](i))
             }.toMap
@@ -712,9 +727,9 @@ object Snapshots {
         (est, merged, added.size, added.map(_.rows).sum, "incremental")
       case None =>
         val row = full.agg(
-          hll_sketch_agg(col(targets.head)).as("s0"),
+          hll_sketch_agg(sketchCol(targets.head)).as("s0"),
           targets.tail.zipWithIndex.map { case (c, i) =>
-            hll_sketch_agg(col(c)).as(s"s${i + 1}") }: _*).first()
+            hll_sketch_agg(sketchCol(c)).as(s"s${i + 1}") }: _*).first()
         val sketches = targets.zipWithIndex.flatMap { case (c, i) =>
           if (row.isNullAt(i)) None else Some(c -> row.getAs[Array[Byte]](i))
         }.toMap
@@ -1894,6 +1909,26 @@ object Snapshots {
     else updateCoW(spark, path, cond, assignments, r)
   }
 
+  /** Apply one SET assignment, supporting DOT-PATH nested struct fields
+    * (`UPDATE t SET pt.x = …` — the reference supports nested assignment
+    * through Spark's row-level frameworks, `TestUpdate`/`UpdateSchema`).
+    * A literal top-level column whose name contains a dot wins over
+    * nesting. `gate` keeps non-matching rows at their current value
+    * (CoW rewrites whole files; only `hit` rows change).
+    */
+  private def applyAssignment(df: DataFrame, name: String, value: Column,
+      gate: Option[Column]): DataFrame =
+    if (df.columns.contains(name) || !name.contains('.')) {
+      val v = gate.map(h => when(h, value).otherwise(col(name))).getOrElse(value)
+      df.withColumn(name, v)
+    } else {
+      val top = name.takeWhile(_ != '.')
+      require(df.columns.contains(top), s"UPDATE: no such column: $name")
+      val nested = col(top).withField(name.drop(top.length + 1), value)
+      val v = gate.map(h => when(h, nested).otherwise(col(top))).getOrElse(nested)
+      df.withColumn(top, v)
+    }
+
   private def updateMoR(spark: SparkSession, path: String, cond: Column,
       assignments: Map[String, Column], ref: String = "main"): Int = withCommitRetry() {
     val rs = refsState(path)
@@ -1909,7 +1944,7 @@ object Snapshots {
       if (matchedRows == 0) { Files.deleteIfExists(Paths.get(path, name)); head }
       else {
         val updated = assignments.foldLeft(matched.drop("__mor_file", "__mor_pos")) {
-          case (df, (c, v)) => df.withColumn(c, v)
+          case (df, (c, v)) => applyAssignment(df, c, v, gate = None)
         }
         // assigned geometry columns must refresh their bbox shadow (same
         // invariant as the CoW path)
@@ -1942,7 +1977,7 @@ object Snapshots {
       val hit = coalesce(cond, lit(false))
       val base = readFilesForRewrite(spark, path, affected, head)
       val rewritten = assignments.foldLeft(base) {
-        case (df, (c, v)) => df.withColumn(c, when(hit, v).otherwise(col(c)))
+        case (df, (c, v)) => applyAssignment(df, c, v, gate = Some(hit))
       }
       // assigned geometry columns must refresh their bbox shadow, or later
       // spatial pruning would evaluate against stale bounds
@@ -2135,15 +2170,25 @@ object Snapshots {
         }
       case _ => throw new IllegalArgumentException("INSERT needs (cols) VALUES (...) or *")
     }
+    // SET keys may be alias-qualified (`t.id = …`) and may address NESTED
+    // struct fields by dot path (`pt.x = …` / `t.pt.x = …`) — both forms
+    // the reference accepts through Spark's MERGE framework
+    def updateExpr(c: MergeClause): Column = {
+      val norm = c.sets.map { case (k, v) =>
+        (if (k.startsWith(s"$targetAlias.")) k.stripPrefix(s"$targetAlias.") else k) -> v }
+      norm.toMap.get(colName) match {
+        case Some(v) => expr(v).cast(schema(colName).dataType)
+        case None =>
+          val nested = norm.filter(_._1.startsWith(s"$colName."))
+          nested.foldLeft(col(s"$targetAlias.$colName")) { case (acc, (k, v)) =>
+            acc.withField(k.stripPrefix(s"$colName."), expr(v)) }
+      }
+    }
     clauses.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
       case (acc, (c, i)) =>
         val tag = s"${c.action}$i"
         c.action match {
-          case "update" =>
-            val set = c.sets.toMap.get(colName)
-              .map(expr(_).cast(schema(colName).dataType))
-              .getOrElse(col(s"$targetAlias.$colName"))
-            acc.when(col("__action") === tag, set)
+          case "update" => acc.when(col("__action") === tag, updateExpr(c))
           case "insert" => acc.when(col("__action") === tag, insertExpr(c))
           case _ => acc
         }
@@ -2940,9 +2985,16 @@ object Snapshots {
     version.foreach { v =>
       val snapshotScoped = Set("files", "data_files", "partitions",
         "partition_stats", "entries", "delete_files", "position_deletes")
-      require(snapshotScoped(name),
+      val wholeHistory = Set("history", "snapshots", "manifests", "all_manifests",
+        "refs", "metadata_log_entries", "all_entries", "all_files",
+        "all_data_files", "all_delete_files", "changes")
+      // an UNKNOWN name falls through to the unknown-metadata-table error
+      // below (which the catalog converts to NoSuchTableException) — the
+      // scope check applies only to names that are real metadata tables
+      require(snapshotScoped(name) || !wholeHistory(name),
         s"VERSION AS OF does not apply to the whole-history metadata table '$name'")
-      require(Files.exists(manifestPath(path, v)), s"no such snapshot version: $v")
+      if (snapshotScoped(name))
+        require(Files.exists(manifestPath(path, v)), s"no such snapshot version: $v")
     }
     name match {
     case "files" | "data_files" => GeoTable.filesTable(spark, path, version)

@@ -93,14 +93,14 @@ object GraftStatements {
     """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*$""".r
-  private val MergeFullRe =
-    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+AS\s+(\w+))?\s+USING\s+\((.+?)\)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
+  private val MergeFullRe = // aliases with or without AS (`'t' x` / `'t' AS x`)
+    """(?is)^\s*MERGE\s+INTO\s+'([^']+)'(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+\((.+?)\)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
   private val DeleteIdentRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*$""".r
   private val UpdateIdentRe =
     """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
   private val MergeFullIdentRe =
-    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+\((.+?)\)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
+    """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+\((.+?)\)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
   private val WhenRe =
     """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))\s*(?=WHEN\s|$)""".r
 

@@ -71,6 +71,12 @@ object GraftWriters {
     import org.apache.spark.sql.functions.col
     val enc = GeometryFields.get(path).filter { case (c, _) =>
       schema.fieldNames.contains(c) }
+    // declared uuid/fixed/time columns validate + canonicalize on THIS
+    // path too (the V1 writeBack path does it via ExtendedTypes.validate;
+    // without it here, streamed / dynamic-overwrite rows would skip the
+    // invariant every read relies on, e.g. lowercase-canonical uuids)
+    val xtypes = graft.spatial.ExtendedTypes.get(path).filter { case (c, _) =>
+      schema.fieldNames.contains(c) }
     val live = TableSchema.read(path).filterNot(_.dropped)
       .filter(e => schema.fieldNames.contains(e.logical))
     val rename = live.filter(e => e.logical != e.physical)
@@ -81,14 +87,18 @@ object GraftWriters {
       .collect { case Transforms.Identity(c) => c }
       .filter(schema.fieldNames.contains).toSet
     if (enc.forall(_._2 == "wkb") && rename.isEmpty && identSrc.isEmpty &&
-      nested.isEmpty) return None
+      nested.isEmpty && xtypes.isEmpty) return None
     graft.spatial.Geo.install(spark) // encode exprs resolve ST_ functions
     val dummy = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val cols = schema.fields.toSeq.filterNot(f => identSrc(f.name)).map { f =>
-      val base = enc.get(f.name) match {
-        case Some(e) => GeometryEncoding.encode(col(f.name), e)
+      val validated = xtypes.get(f.name) match {
+        case Some(x) => graft.spatial.ExtendedTypes.validExpr(col(f.name), f.name, x)
         case None => col(f.name)
+      }
+      val base = enc.get(f.name) match {
+        case Some(e) => GeometryEncoding.encode(validated, e)
+        case None => validated
       }
       val shaped = nested.get(f.name)
         .map(e => TableSchema.projectPhysical(base, e, f.dataType)).getOrElse(base)

@@ -62,6 +62,24 @@ class CatalogCacheSpec extends AnyFunSuite {
     assert(!(off.loadTable(ident) eq x), "expiration 0 disables caching")
   }
 
+  test("branch-suffix identifiers stay dynamic under cache-enabled " +
+      "(a cached pinned head would hide the session's own branch writes)") {
+    val cat = mkCatalog("ccache5", Map("cache-enabled" -> "true"))
+    assert(cat != null)
+    spark.sql("INSERT INTO ccache5.db.t VALUES (1, 'a'), (2, 'b')")
+    val wh = spark.conf.get("spark.sql.catalog.ccache5.warehouse")
+    graft.spatial.Snapshots.createBranch(s"$wh/db/t", "wip")
+    assert(spark.sql("SELECT * FROM ccache5.db.t.branch_wip").count() == 2)
+    // a write through the SAME suffix identifier must be visible to the
+    // next read — the suffix resolution carries a pinned head version, so
+    // caching it freezes the branch at first read
+    spark.sql("INSERT INTO ccache5.db.t.branch_wip VALUES (3, 'c')")
+    assert(spark.sql("SELECT * FROM ccache5.db.t.branch_wip").count() == 3,
+      "branch read after branch write must see the new row")
+    // while the PLAIN identifier still caches (and main is untouched)
+    assert(spark.sql("SELECT * FROM ccache5.db.t").count() == 2)
+  }
+
   test("default catalog is uncached: every load resolves fresh") {
     val cat = mkCatalog("ccache4", Map.empty)
     val a = cat.loadTable(ident)

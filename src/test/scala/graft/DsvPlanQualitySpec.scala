@@ -649,6 +649,54 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(Snapshots.ndvStats(tbl, None)("id") <= 205)
   }
 
+  test("compute_table_stats sketches non-int/string types " +
+      "(double/date/timestamp/boolean) and stays incremental across them") {
+    assert(warehouse.nonEmpty)
+    import graft.spatial.Snapshots
+    // hll_sketch_agg natively takes only int/long/string/binary; the other
+    // eligible types must sketch via their string form, not throw
+    spark.sql("CREATE TABLE pq.db.ndvt (id BIGINT, v DOUBLE, d DATE, " +
+      "ts TIMESTAMP, ok BOOLEAN) USING graft")
+    spark.sql("INSERT INTO pq.db.ndvt SELECT id, CAST(id AS DOUBLE) / 2, " +
+      "date_add(DATE'2026-01-01', CAST(id % 10 AS INT)), " +
+      "timestamp_millis(1700000000000 + id * 1000), id % 2 = 0 FROM range(0, 100)")
+    val tbl = s"$warehouse/db/ndvt"
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    val ndv = Snapshots.ndvStats(tbl, None)
+    assert(ndv("ok") == 2, s"boolean ndv: ${ndv("ok")}")
+    assert(ndv("d") == 10, s"date ndv: ${ndv("d")}")
+    assert(ndv("v") >= 90 && ndv("v") <= 110, s"double ndv: ${ndv("v")}")
+    assert(ndv("ts") >= 90 && ndv("ts") <= 110, s"timestamp ndv: ${ndv("ts")}")
+    // the cast path merges like any other sketch on append
+    spark.sql("INSERT INTO pq.db.ndvt SELECT id, CAST(id AS DOUBLE) / 2, " +
+      "date_add(DATE'2026-01-01', CAST(10 + id % 10 AS INT)), " +
+      "timestamp_millis(1700000000000 + id * 1000), id % 2 = 0 FROM range(100, 200)")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    val (m2, _, r2) = Snapshots.ndvRefreshTelemetry(tbl, Int.MaxValue).get
+    assert(m2 == "incremental" && r2 == 100, s"append-only refresh: $m2/$r2")
+    assert(Snapshots.ndvStats(tbl, None)("d") == 20)
+  }
+
+  test("NDV refresh survives expiry of the sketch epoch's manifest " +
+      "(falls back to a full pass instead of erroring)") {
+    assert(warehouse.nonEmpty)
+    import graft.spatial.Snapshots
+    spark.sql("CREATE TABLE pq.db.ndvex (id BIGINT, grp STRING) USING graft")
+    spark.sql("INSERT INTO pq.db.ndvex SELECT id, concat('g', id % 4) FROM range(0, 50)")
+    val tbl = s"$warehouse/db/ndvex"
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    spark.sql("INSERT INTO pq.db.ndvex SELECT id, concat('h', id % 4) FROM range(50, 100)")
+    spark.sql("INSERT INTO pq.db.ndvex SELECT id, concat('k', id % 4) FROM range(100, 150)")
+    // expire everything but the head — including the manifest of the
+    // epoch the persisted sketch was computed at
+    spark.sql(s"CALL graft.system.expire_snapshots('$tbl', keep => 1)")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    val (m, _, r) = Snapshots.ndvRefreshTelemetry(tbl, Int.MaxValue).get
+    assert(m == "full" && r == 150,
+      s"expired merge base must fall back to the full pass: $m/$r")
+    assert(Snapshots.ndvStats(tbl, None)("grp") == 12)
+  }
+
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect {
       case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]

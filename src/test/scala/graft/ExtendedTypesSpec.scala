@@ -146,6 +146,94 @@ class ExtendedTypesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE xtc.db.xt2")
   }
 
+  test("a CREATE failing graft.xtypes validation leaves no table behind") {
+    val wh = Files.createTempDirectory("graft_xtv_wh").toString
+    spark.conf.set("spark.sql.catalog.xtv", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xtv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS xtv.db")
+    // physical-type mismatch fails the CREATE…
+    intercept[Exception] {
+      spark.sql("""CREATE TABLE xtv.db.t (id BIGINT, u BIGINT) USING graft
+        TBLPROPERTIES ('graft.xtypes' = 'u:uuid')""")
+    }
+    // …and must NOT leave a half-created table: the corrected retry works
+    // (the filesystem backend's layout dir IS the registration, so a
+    // manifest committed before validation would brick the identifier)
+    spark.sql("""CREATE TABLE xtv.db.t (id BIGINT, u STRING) USING graft
+      TBLPROPERTIES ('graft.xtypes' = 'u:uuid')""")
+    spark.sql("INSERT INTO xtv.db.t VALUES " +
+      "(1, 'ABCDEF01-2345-6789-ABCD-EF0123456789')")
+    assert(spark.table("xtv.db.t").filter(col("u") === lower(col("u"))).count() == 1)
+    spark.sql("DROP TABLE xtv.db.t")
+  }
+
+  test("DSv2 ALTER TABLE RENAME/DROP COLUMN keeps the xtypes sidecar in step") {
+    val wh = Files.createTempDirectory("graft_xta_wh").toString
+    spark.conf.set("spark.sql.catalog.xta", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xta.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS xta.db")
+    spark.sql("""CREATE TABLE xta.db.t (id BIGINT, u STRING) USING graft
+      TBLPROPERTIES ('graft.xtypes' = 'u:uuid')""")
+    val dir = s"$wh/db/t"
+    spark.sql("ALTER TABLE xta.db.t RENAME COLUMN u TO uid")
+    assert(ExtendedTypes.get(dir) == Map("uid" -> ExtendedTypes.Uuid),
+      s"sidecar must follow the rename: ${ExtendedTypes.get(dir)}")
+    // the renamed column still validates + canonicalizes
+    spark.sql("INSERT INTO xta.db.t VALUES " +
+      "(1, 'ABCDEF01-2345-6789-ABCD-EF0123456789')")
+    assert(spark.table("xta.db.t").filter(col("uid") === lower(col("uid"))).count() == 1)
+    intercept[Exception] { spark.sql("INSERT INTO xta.db.t VALUES (2, 'nope')") }
+    spark.sql("ALTER TABLE xta.db.t DROP COLUMN uid")
+    assert(ExtendedTypes.get(dir).isEmpty, "drop must retire the declaration")
+    // re-adding a column under the ORIGINAL name carries no stale
+    // declaration: a non-uuid string must append cleanly
+    spark.sql("ALTER TABLE xta.db.t ADD COLUMN u STRING")
+    spark.sql("INSERT INTO xta.db.t VALUES (3, 'plain text')")
+    assert(spark.table("xta.db.t").filter(col("u") === "plain text").count() == 1)
+    spark.sql("DROP TABLE xta.db.t")
+  }
+
+  test("streaming writes validate + canonicalize extended types " +
+      "(the DSv2 writer path, not just V1 writeBack)") {
+    val wh = Files.createTempDirectory("graft_xts_wh").toString
+    spark.conf.set("spark.sql.catalog.xts", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.xts.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS xts.db")
+    spark.sql("""CREATE TABLE xts.db.s (id BIGINT, u STRING) USING graft
+      TBLPROPERTIES ('graft.xtypes' = 'u:uuid')""")
+    val srcDir = Files.createTempDirectory("graft_xts_src").toString + "/data"
+    spark.range(10).select(col("id"), upper(uuidOf(col("id"))).as("u"))
+      .coalesce(1).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Files.createTempDirectory("graft_xts_ckpt").toString
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("graft").start(s"$wh/db/s")
+    try q.awaitTermination() finally q.stop()
+    val t = spark.table("xts.db.s")
+    assert(t.count() == 10)
+    assert(t.filter(col("u") =!= lower(col("u"))).count() == 0,
+      "streamed uuids must store canonical lowercase")
+    // an invalid value fails the stream instead of committing silently
+    val badDir = Files.createTempDirectory("graft_xts_bad").toString + "/data"
+    spark.range(1).select(col("id"), lit("not-a-uuid").as("u"))
+      .coalesce(1).write.parquet(badDir)
+    val ckpt2 = Files.createTempDirectory("graft_xts_ckpt2").toString
+    val q2 = spark.readStream.schema(schema).parquet(badDir)
+      .writeStream.option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("graft").start(s"$wh/db/s")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.awaitTermination() finally q2.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("invalid uuid")), msgs(e).mkString(" | "))
+    assert(spark.table("xts.db.s").count() == 10, "failed epoch must not commit")
+    spark.sql("DROP TABLE xts.db.s")
+  }
+
   test("uuid and time columns carry manifest min/max stats (pruning as physical types)") {
     val dir = mkTable()
     val f = Snapshots.readManifest(dir).head

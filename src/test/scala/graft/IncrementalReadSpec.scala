@@ -102,6 +102,11 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(spark.read.format("graft").option("timestampAsOf", t2).load(dir).count() == 50)
     val str = new java.sql.Timestamp(t2).toString
     assert(spark.read.format("graft").option("timestampAsOf", str).load(dir).count() == 50)
+    // the DATE-ONLY spelling Spark's own option accepts (midnight local);
+    // tomorrow's date is strictly after every commit in this test table
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    assert(spark.read.format("graft").option("timestampAsOf", tomorrow)
+      .load(dir).count() == Snapshots.read(spark, dir).count())
   }
 
   test("catalog table reads honor the options; bad starts error") {

@@ -204,6 +204,19 @@ class MetadataTablesSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("SELECT * FROM mttcat.db.t.files VERSION AS OF 999").collect()
     }
+    // an UNKNOWN metadata-table name under VERSION AS OF reports
+    // table-not-found (not a misleading "whole-history" scope error that
+    // implies the name is valid)
+    val eu = intercept[Exception] {
+      spark.sql(s"SELECT * FROM mttcat.db.t.nope VERSION AS OF $prev").collect()
+    }
+    def all(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ all(x.getCause)
+    assert(all(eu).exists(m => m.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      m.contains("cannot be found") || m.contains("not found")),
+      s"want not-found, got: ${all(eu).mkString(" | ")}")
+    assert(!all(eu).exists(_.contains("does not apply")),
+      "unknown name must not surface the whole-history scope error")
   }
 
   test("partition_stats: persisted snapshot-stamped file, manifest-derived, " +

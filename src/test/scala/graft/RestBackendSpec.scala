@@ -259,6 +259,34 @@ class RestBackendSpec extends AnyFunSuite {
     assert(listed.size == 40, s"lost ${40 - listed.size} records to the race")
   }
 
+  test("a 5xx service error surfaces as an error, never as 'table absent' " +
+      "(absence during an outage would let CREATE re-register a live table)") {
+    // a degraded service: /v1/config answers, everything else is 500
+    val broken = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    broken.createContext("/v1", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body =
+        if (ex.getRequestURI.getPath == "/v1/config")
+          s"""{"defaults":{},"overrides":{"warehouse":"$warehouse"}}"""
+        else """{"error":"internal"}"""
+      val code = if (ex.getRequestURI.getPath == "/v1/config") 200 else 500
+      val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    broken.start()
+    try {
+      val b = new graft.sources.RestBackend(
+        s"http://127.0.0.1:${broken.getAddress.getPort}")
+      val e = intercept[IllegalStateException] {
+        b.registeredLocation(org.apache.spark.sql.connector.catalog.Identifier.of(
+          Array("db"), "t"))
+      }
+      assert(e.getMessage.contains("500"), e.getMessage)
+    } finally broken.stop(0)
+  }
+
   test("the service persists across restarts (state lives in the registry file)") {
     assert(uri.nonEmpty)
     spark.sql("CREATE TABLE restcat.db.durable (id BIGINT) USING graft")

@@ -509,4 +509,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val e2 = intercept[Exception] { mistyped.writeTo("mscat.db.m").append() }
     assert(e2.getMessage.contains("tag"), e2.getMessage)
   }
+
+  test("accept-any-schema: a PARTIAL write with an unmatched column name is " +
+      "rejected, never resolved positionally into the wrong column") {
+    val wh = Files.createTempDirectory("graft_pos_wh").toString
+    spark.conf.set("spark.sql.catalog.poscat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.poscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE poscat.db")
+    spark.sql("CREATE TABLE poscat.db.p (id BIGINT, a STRING, tag STRING) " +
+      "USING graft TBLPROPERTIES ('write.spark.accept-any-schema' = 'true')")
+    // FULL-width positional resolution (SQL INSERT with unnamed
+    // select-list expressions) is the legitimate positional case
+    spark.sql("INSERT INTO poscat.db.p SELECT id, concat('a', id), concat('t', id) " +
+      "FROM range(3)")
+    assert(spark.table("poscat.db.p").where("a = 'a1' AND tag = 't1'").count() == 1)
+    // a PARTIAL frame whose second column ('mytag') is not a table column
+    // is ambiguous: positionally it would land in the same-typed 'a'
+    // silently — it must error instead
+    val partial = spark.range(3, 5).selectExpr("id", "concat('t', id) AS mytag")
+    val e = intercept[Exception] { partial.writeTo("poscat.db.p").append() }
+    assert(e.getMessage.contains("mytag"), e.getMessage)
+    assert(spark.table("poscat.db.p").where("id >= 3").count() == 0,
+      "rejected write must not land")
+    // a partial frame with MATCHING names still null-fills fine
+    spark.range(3, 5).selectExpr("id", "concat('t', id) AS tag").writeTo("poscat.db.p").append()
+    assert(spark.table("poscat.db.p").where("id >= 3 AND a IS NULL AND tag = concat('t', id)")
+      .count() == 2)
+  }
 }

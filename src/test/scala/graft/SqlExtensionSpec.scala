@@ -190,6 +190,42 @@ class SqlExtensionSpec extends AnyFunSuite {
     intercept[Exception] { graft.spatial.Views.read(spark, dir, "big_ids") }
   }
 
+  test("UPDATE and MERGE assign NESTED struct fields by dot path " +
+      "(and MERGE accepts alias-qualified SET keys)") {
+    val dir = Files.createTempDirectory("graft_nested_dml").toString + "/tbl"
+    spark.range(10).selectExpr("id",
+        "named_struct('x', CAST(id AS DOUBLE), 'y', 0D) AS pt", "'raw' AS tag")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    // CoW UPDATE: one nested field + one top-level column, others untouched
+    spark.sql(s"UPDATE '$dir' SET pt.x = pt.x + 100, tag = 'u' WHERE id < 3")
+    val t = Snapshots.read(spark, dir)
+    assert(t.where("id < 3 AND pt.x = id + 100 AND pt.y = 0 AND tag = 'u'").count() == 3)
+    assert(t.where("id >= 3 AND pt.x = id AND tag = 'raw'").count() == 7)
+    // full MERGE: nested SET through the target alias
+    spark.range(2, 5).selectExpr("id", "CAST(id * 10 AS DOUBLE) AS v")
+      .createOrReplaceTempView("ndml_src")
+    spark.sql(
+      s"""MERGE INTO '$dir' t USING (SELECT * FROM ndml_src) s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.pt.y = s.v, t.tag = 'm'""".stripMargin)
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.where("id IN (2, 3, 4) AND pt.y = id * 10 AND tag = 'm'").count() == 3)
+    // the matched rows keep their pt.x from the earlier UPDATE
+    assert(t2.where("id = 2 AND pt.x = 102").count() == 1)
+    assert(t2.where("id >= 5 AND pt.y = 0").count() == 5)
+    // MoR UPDATE takes the same path
+    Snapshots.updateProperties(dir, Map("write.update.mode" -> "merge-on-read"))
+    spark.sql(s"UPDATE '$dir' SET pt.y = -1 WHERE id = 7")
+    val t3 = Snapshots.read(spark, dir)
+    assert(t3.where("id = 7 AND pt.y = -1 AND pt.x = 7").count() == 1)
+    assert(t3.count() == 10)
+    // a dotted path with no such top-level column fails loudly
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE '$dir' SET ghost.x = 1 WHERE id = 0")
+    }
+    assert(e.getMessage.contains("ghost"), e.getMessage)
+  }
+
   test("row-level DML statements on path tables: DELETE / UPDATE / MERGE") {
     val dir = mkTable(30)
     // DELETE FROM (copy-on-write)
