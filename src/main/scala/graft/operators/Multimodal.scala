@@ -84,6 +84,82 @@ object Multimodal {
       }.toDF()
     }),
 
+    // perceptual-hash near-duplicate detection (aHash family — the
+    // standard image-dedup primitive every crawl pipeline runs on media
+    // before training, catching re-encodes/recompressions exact hashing
+    // misses). Codec-free stand-in like the rest of the family: the
+    // payload splits into 64 equal byte blocks; bit_i = 1 iff block i's
+    // mean byte value exceeds the payload mean (exact integer
+    // cross-multiplication, no division) → a 64-bit hash carried as two
+    // non-negative 32-bit halves (BIGINT-safe in both engines).
+    //
+    // Dedup shape at 100 TB: exact-duplicate hashes collapse FIRST
+    // (group-by, one row per DISTINCT hash), then an 8-band × 8-bit LSH
+    // self-join over distinct hashes finds near pairs — by pigeonhole,
+    // hamming distance ≤ 7 GUARANTEES two hashes share a band, so the
+    // banded candidate set is EXACTLY the ≤7-distance pair set (the
+    // oracle verifies against the all-pairs definition). Canonical id is
+    // the one-hop minimum neighbor (transitive closure is dedup_clusters'
+    // job); never an all-pairs join over documents.
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+      val hashed = payloads.mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < 64) {
+            val lo = (i * n / 64).toInt
+            val hi = ((i + 1) * n / 64).toInt
+            cnts(i) = (hi - lo).toLong
+            var p = lo; var s0 = 0L
+            while (p < hi) { s0 += bytes(p) & 0xff; p += 1 }
+            sums(i) = s0; total += s0
+            i += 1
+          }
+          var hiBits = 0L; var loBits = 0L
+          i = 0
+          while (i < 64) {
+            val bit = if (sums(i) * n > total * cnts(i)) 1L else 0L
+            if (i < 32) hiBits = (hiBits << 1) | bit else loBits = (loBits << 1) | bit
+            i += 1
+          }
+          (id, hiBits, loBits)
+        }
+      }.toDF("doc_id", "phash_hi", "phash_lo")
+      val reps = hashed.groupBy("phash_hi", "phash_lo").agg(min("doc_id").as("rep_id"))
+      val bands = reps.select(col("rep_id"), col("phash_hi"), col("phash_lo"),
+        explode(array((0 until 8).map { b =>
+          val src = if (b < 4) col("phash_hi") else col("phash_lo")
+          struct(lit(b).as("b"),
+            shiftright(src, 8 * (3 - b % 4)).bitwiseAND(lit(255L)).as("v"))
+        }: _*)).as("band"))
+        .select(col("rep_id"), col("phash_hi"), col("phash_lo"),
+          col("band.b").as("b"), col("band.v").as("v"))
+      // min() absorbs the duplicate candidates from multi-band collisions,
+      // so no distinct() pass is needed before the aggregate
+      val neighbors = bands.as("a").join(bands.as("b"),
+          col("a.b") === col("b.b") && col("a.v") === col("b.v") &&
+            col("a.rep_id") =!= col("b.rep_id"))
+        .select(col("a.rep_id").as("rep_id"), col("b.rep_id").as("rb"),
+          col("a.phash_hi").as("ha"), col("a.phash_lo").as("la"),
+          col("b.phash_hi").as("hb"), col("b.phash_lo").as("lb"))
+        .filter(expr("bit_count(ha ^ hb) + bit_count(la ^ lb) <= 7"))
+        .groupBy("rep_id").agg(min("rb").as("min_nb"))
+      val canon = reps.join(neighbors, Seq("rep_id"), "left")
+        .select(col("phash_hi"), col("phash_lo"),
+          when(col("min_nb").isNull || col("min_nb") > col("rep_id"), col("rep_id"))
+            .otherwise(col("min_nb")).as("canonical_id"))
+      hashed.join(canon, Seq("phash_hi", "phash_lo"))
+        .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+          col("canonical_id"), (col("canonical_id") =!= col("doc_id")).as("is_dup"))
+    }),
+
     // image-style RESIZE (downsample): the payload reads as a W=16-column
     // byte grid (H = n/16 full rows, ragged tail dropped) and average-
     // pools 2×2 with stride 2 — the standard pre-model downsample, in
@@ -133,6 +209,65 @@ object Multimodal {
         | md5(substring(d.text, CAST(f AS INTEGER) * 64 + 1, 16)) AS frame_fp
         |FROM documents d,
         | unnest(generate_series(0, CAST(floor(length(d.text) / 64) AS INTEGER))) AS t(f)""".stripMargin,
+    // byte-exact twin of the perceptual hash: 64 block mean-threshold bits
+    // from the hex payload, packed into two 32-bit halves, then the
+    // ALL-PAIRS hamming ≤ 7 neighbor definition (which the Spark side's
+    // 8-band LSH equals exactly by pigeonhole) and one-hop min canonical
+    "mm_phash_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+        |  FROM documents
+        |), blkbounds AS (
+        |  SELECT b.doc_id, b.n, b.h, i.i AS blk,
+        |         i.i * b.n // 64 AS lo, (i.i + 1) * b.n // 64 AS hi
+        |  FROM b, unnest(generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT))) AS i(i)
+        |), persample AS (
+        |  SELECT bb.doc_id, bb.blk,
+        |    (strpos('0123456789ABCDEF', substring(bb.h, CAST(p.p * 2 + 1 AS INTEGER), 1)) - 1) * 16
+        |    + (strpos('0123456789ABCDEF', substring(bb.h, CAST(p.p * 2 + 2 AS INTEGER), 1)) - 1) AS v
+        |  FROM blkbounds bb, unnest(generate_series(bb.lo, bb.hi - 1)) AS p(p)
+        |  WHERE bb.hi > bb.lo
+        |), blksum AS (
+        |  SELECT doc_id, blk, sum(v) AS s FROM persample GROUP BY 1, 2
+        |), blocks AS (
+        |  SELECT bb.doc_id, bb.n, bb.blk, bb.hi - bb.lo AS cnt,
+        |         CAST(coalesce(bs.s, 0) AS BIGINT) AS s
+        |  FROM blkbounds bb LEFT JOIN blksum bs
+        |    ON bs.doc_id = bb.doc_id AND bs.blk = bb.blk
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total FROM blocks GROUP BY 1
+        |), bits AS (
+        |  SELECT bl.doc_id, bl.blk,
+        |    CASE WHEN bl.s * bl.n > t.total * bl.cnt THEN 1 ELSE 0 END AS bit
+        |  FROM blocks bl JOIN tot t USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN blk < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(31 - blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_hi,
+        |    CAST(sum(CASE WHEN blk >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << CAST(63 - blk AS INTEGER)) ELSE 0 END) AS BIGINT) AS phash_lo
+        |  FROM bits GROUP BY 1
+        |), reps AS (
+        |  SELECT phash_hi, phash_lo, min(doc_id) AS rep_id FROM hashes GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT a.rep_id, min(b.rep_id) AS min_nb
+        |  FROM reps a JOIN reps b
+        |    ON a.rep_id <> b.rep_id
+        |   AND bit_count(xor(a.phash_hi, b.phash_hi))
+        |     + bit_count(xor(a.phash_lo, b.phash_lo)) <= 7
+        |  GROUP BY 1
+        |), canon AS (
+        |  SELECT r.phash_hi, r.phash_lo,
+        |    CASE WHEN n.min_nb IS NULL OR n.min_nb > r.rep_id
+        |      THEN r.rep_id ELSE n.min_nb END AS canonical_id
+        |  FROM reps r LEFT JOIN nb n ON n.rep_id = r.rep_id
+        |)
+        |SELECT h.doc_id, h.phash_hi, h.phash_lo, c.canonical_id,
+        |  (c.canonical_id <> h.doc_id) AS is_dup
+        |FROM hashes h JOIN canon c
+        |  ON c.phash_hi = h.phash_hi AND c.phash_lo = h.phash_lo""".stripMargin,
+
     // byte-exact twin of the 2x2 average pool: every pooled cell decodes
     // its 4 bytes from the hex payload and floors the mean; docs shorter
     // than two grid rows emit zero-cell rows via the left join

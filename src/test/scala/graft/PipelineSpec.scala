@@ -579,4 +579,25 @@ class PipelineSpec extends AnyFunSuite {
       s"er count mismatch: got ${r.getLong(1)}, expected $expected"))
     assert(q.count() > 0)
   }
+
+  test("mm_phash_dedup groups exact and near payload duplicates (planted) " +
+      "and the LSH band join is exact for hamming <= 7") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash").toString
+    // 640-byte payloads over 64 blocks of 10 bytes: 'z' blocks sit above
+    // the payload mean, 'a' blocks below → a crisp 32-ones bit pattern
+    val base = ("z" * 10) * 32 + ("a" * 10) * 32
+    val near = ("z" * 10) * 33 + ("a" * 10) * 31 // ONE block flipped → hamming 1
+    val far = "m" * 640 // uniform → all bits 0 → hamming 32 from base
+    Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("mm_phash_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(1L) == (1L, false), s"canonical self: ${out(1L)}")
+    assert(out(2L) == (1L, true), "exact duplicate must collapse to the rep")
+    assert(out(3L) == (1L, true), "hamming-1 near duplicate must be caught")
+    assert(out(4L) == (4L, false), "a distant payload must stay canonical")
+  }
 }
