@@ -3439,6 +3439,43 @@ object Snapshots {
     // superseded refs generations (all but the newest)
     val gen = refsState(path).gen
     (1 until gen).foreach(k => Files.deleteIfExists(refsVPath(path, k)))
+    // statistics sidecars (NDV sketches, partition stats): a file stamped
+    // at version N serves every kept version K >= N with no newer file in
+    // between — keep exactly the files some kept version still reads
+    // (the reference's RemoveSnapshots cleans statistics files the same
+    // way), delete the rest
+    def reachable(stamps: Seq[Int]): Set[Int] = {
+      val sorted = stamps.sorted
+      keepVersions.flatMap(k => sorted.takeWhile(_ <= k).lastOption).toSet ++
+        sorted.filter(n => keepVersions.forall(_ < n)) // future-of-all-kept: defensive keep
+    }
+    locally {
+      val dir = Paths.get(path, "_graft_stats")
+      if (Files.isDirectory(dir)) {
+        val SketchRe = """ndv_sketch_v(\d+)\.json""".r
+        val stamped = listDir(dir)(_.toSeq).flatMap(p => p.getFileName.toString match {
+          case SketchRe(n) => Some(n.toInt -> p)
+          case _ => None
+        })
+        val keep = reachable(stamped.map(_._1))
+        stamped.filterNot(s => keep(s._1)).foreach(s => Files.deleteIfExists(s._2))
+      }
+    }
+    locally {
+      val dir = Paths.get(path, "_graft_partition_stats")
+      if (Files.isDirectory(dir)) {
+        val VRe = """v(\d+)""".r
+        val stamped = listDir(dir)(_.toSeq).flatMap(p => p.getFileName.toString match {
+          case VRe(n) => Some(n.toInt -> p)
+          case _ => None
+        })
+        val keep = reachable(stamped.map(_._1))
+        stamped.filterNot(s => keep(s._1)).foreach { s =>
+          // stats files are parquet DIRECTORIES
+          fs.delete(new Path(s._2.toUri), true)
+        }
+      }
+    }
     orphans.size
   }
 

@@ -697,6 +697,43 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(Snapshots.ndvStats(tbl, None)("grp") == 12)
   }
 
+  test("expire_snapshots cleans statistics sidecars no kept version reads " +
+      "(newest sketch at-or-before each kept version survives)") {
+    assert(warehouse.nonEmpty)
+    import graft.spatial.Snapshots
+    spark.sql("CREATE TABLE pq.db.ndvclean (id BIGINT, grp STRING) USING graft")
+    val tbl = s"$warehouse/db/ndvclean"
+    def sketches(): Seq[String] = {
+      val d = java.nio.file.Paths.get(tbl, "_graft_stats")
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else java.nio.file.Files.list(d).toArray.map(_.toString.split('/').last).toSeq.sorted
+    }
+    def pstats(): Seq[String] = {
+      val d = java.nio.file.Paths.get(tbl, "_graft_partition_stats")
+      if (!java.nio.file.Files.isDirectory(d)) Nil
+      else java.nio.file.Files.list(d).toArray.map(_.toString.split('/').last).toSeq.sorted
+    }
+    spark.sql("INSERT INTO pq.db.ndvclean SELECT id, concat('g', id % 3) FROM range(0, 30)")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    spark.sql(s"CALL graft.system.compute_partition_stats('$tbl')")
+    spark.sql("INSERT INTO pq.db.ndvclean SELECT id, concat('h', id % 3) FROM range(30, 60)")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    spark.sql(s"CALL graft.system.compute_partition_stats('$tbl')")
+    spark.sql("INSERT INTO pq.db.ndvclean SELECT id, concat('k', id % 3) FROM range(60, 90)")
+    spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
+    assert(sketches().size == 3 && pstats().size == 2, s"${sketches()} / ${pstats()}")
+    val newestSketch = sketches().last // stamped at the head the stats saw
+    spark.sql(s"CALL graft.system.expire_snapshots('$tbl', keep => 1)")
+    // head is the only kept version; the newest sketch serves it — the two
+    // older sketches and the superseded partition-stats file must be gone
+    assert(sketches() == Seq(newestSketch),
+      s"stale sketches survive expire: ${sketches()}")
+    assert(pstats().size == 1, s"stale partition stats survive expire: ${pstats()}")
+    // the surviving sidecars still serve reads
+    assert(Snapshots.ndvStats(tbl, None)("grp") == 9)
+    assert(spark.sql("SELECT * FROM pq.db.ndvclean.partition_stats").count() >= 1)
+  }
+
   private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.executedPlan.collect {
       case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b.scan.asInstanceOf[GraftScan]
