@@ -557,6 +557,28 @@ object TextPipeline {
             col("ok_top")).as("keep"))
     }),
 
+    // n-gram novelty (memorization-risk / near-duplication pressure
+    // signal, the per-doc complement of corpus-level dedup): the fraction
+    // of a doc's DISTINCT 5-gram shingles that appear in NO other
+    // document. Low novelty = the doc is mostly made of text repeated
+    // elsewhere (template/boilerplate-heavy or a near-dup survivor);
+    // curation pipelines use it to cap repeated-content exposure the way
+    // Lee et al. 2022 motivate dedup. Scale posture: one map-side-combined
+    // (shingle) document-frequency count, one shingle-keyed join back, one
+    // doc regroup — the same shape as the boilerplate/DSIR family; never
+    // a doc×doc join.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        explode(VectorSql.shingle_hashes_n(col("text"), 5)).as("sh"))
+      val dfc = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+      sh.join(dfc, Seq("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_shingles"),
+          sum(when(col("ndocs") === 1, 1L).otherwise(0L)).cast("int")
+            .as("unique_shingles"),
+          round(avg(when(col("ndocs") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
+    }),
+
     // document fingerprinting: md5 of whitespace-normalized text
     "text_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
@@ -962,6 +984,21 @@ object TextPipeline {
         |SELECT doc_id, ok_len, ok_avg_len, ok_stop, ok_ttr, ok_top,
         | ok_len * ok_avg_len * ok_stop * ok_ttr * ok_top AS keep
         |FROM f""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
+        |            FROM tok WHERE len(t) >= 5)),
+        |gd AS (SELECT DISTINCT doc_id, s FROM g),
+        |dfc AS (SELECT s, count(*) AS ndocs FROM gd GROUP BY 1)
+        |SELECT gd.doc_id,
+        | CAST(count(*) AS INTEGER) AS n_shingles,
+        | CAST(sum(CASE WHEN dfc.ndocs = 1 THEN 1 ELSE 0 END) AS INTEGER)
+        |   AS unique_shingles,
+        | round(avg(CASE WHEN dfc.ndocs = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+        |FROM gd JOIN dfc USING (s) GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
