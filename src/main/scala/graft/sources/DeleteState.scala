@@ -190,14 +190,21 @@ object DeleteFiles {
     acc.map { case (k, v) => k -> v.toSeq }.toMap
   }
 
-  /** Stat delete files once at planning (absolute paths + lengths). */
+  /** Stat delete files once at planning (absolute paths + lengths). The
+    * ref keeps the FULLY-QUALIFIED path (scheme + authority): the driver's
+    * coverage read and the executor-side cache open it directly, and an
+    * object-store-rooted table (s3a://bucket/tbl) must not resolve its
+    * delete files against the cluster's default filesystem. Matching
+    * against coverage keys goes through norm(), which strips the scheme on
+    * both sides.
+    */
   def refs(spark: SparkSession, tablePath: String, rels: Seq[String]): Seq[DeleteFileRef] = {
     if (rels.isEmpty) return Nil
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     rels.map { r =>
       val p = new Path(root, r)
-      DeleteFileRef(p.toUri.getPath, fs.getFileStatus(p).getLen)
+      DeleteFileRef(fs.makeQualified(p).toString, fs.getFileStatus(p).getLen)
     }
   }
 }

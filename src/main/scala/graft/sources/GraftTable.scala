@@ -284,9 +284,10 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                 if (overwrite || mode != 0) throw new UnsupportedOperationException(
                   s"INSERT OVERWRITE is not supported on branch $b; write-audit-publish " +
                     "appends to the branch, then fast_forward publishes")
-                Snapshots.appendToBranch(data2, path, b)
+                Snapshots.appendToBranch(data2, path, b, snapshotProps, writeOpts)
               case None => mode match {
-                case 1 => Snapshots.overwrite(data2, path, snapshotProps, validateOpt)
+                case 1 => Snapshots.overwrite(data2, path, snapshotProps, validateOpt,
+                  writeOpts)
                 case 2 =>
                   val conds = owFilters.map(f => GraftTable.filterToColumn(f).getOrElse(
                     throw new UnsupportedOperationException(
@@ -294,10 +295,11 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                   Snapshots.overwriteWhere(data2, path, owFilters.toSeq,
                     conds.reduceOption(_ && _)
                       .getOrElse(org.apache.spark.sql.functions.lit(true)),
-                    snapshotProps, validateOpt)
+                    snapshotProps, validateOpt, writeOpts)
                 case _ =>
-                  if (overwrite) Snapshots.overwrite(data2, path, snapshotProps)
-                  else Snapshots.append(data2, path, snapshotProps)
+                  if (overwrite) Snapshots.overwrite(data2, path, snapshotProps,
+                    writeOptions = writeOpts)
+                  else Snapshots.append(data2, path, snapshotProps, writeOpts)
               }
             }
             ()

@@ -136,8 +136,13 @@ case class FileStats(
 
   private def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
     case (null, _) => None // no stat → undetermined → treat as overlapping
-    case (s: String, l: UTF8String) => Some(s.compareTo(l.toString))
-    case (s: String, l: String) => Some(s.compareTo(l))
+    // UTF-8 binary order to match how the bounds were computed (parquet
+    // footers + FooterStats merge): UTF-16 compareTo ranks supplementary
+    // characters below [U+E000, U+FFFF], which would flip pruning
+    // decisions against the recorded min/max
+    case (s: String, l: UTF8String) => Some(UTF8String.fromString(s).compareTo(l))
+    case (s: String, l: String) =>
+      Some(UTF8String.fromString(s).compareTo(UTF8String.fromString(l)))
     // exact numeric comparison — immune to double rounding above 2^53
     case _ => for (a <- big(stat); b <- big(lit)) yield a.compare(b)
   }

@@ -96,7 +96,14 @@ object FooterStats {
   }
 
   private def compare(a: Any, b: Any): Int = (a, b) match {
-    case (x: String, y: String) => x.compareTo(y)
+    // UTF-8 binary order, NOT String.compareTo: parquet footer bounds and
+    // every consumer (FileStats.cmp, StatsAggregatePushdown.fold via
+    // UTF8String) order strings by UTF-8 bytes — UTF-16 code-unit order
+    // ranks surrogate pairs (U+10000+) BELOW U+E000..U+FFFF, which would
+    // record a wrong file min/max and mis-prune
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
     case (x: Number, y: Number) => BigDecimal(x.toString).compare(BigDecimal(y.toString))
     case _ => 0
   }

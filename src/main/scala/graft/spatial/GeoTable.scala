@@ -272,15 +272,20 @@ object GeoTable {
       case Some(v) => Snapshots.readManifest(path, Some(v))
       case None => readManifest(path)
     }
-    val geomLeaves = stats.headOption.map(_.mins.keys.filter(_.contains("_bbox.")).toSeq.sorted)
-      .getOrElse(Nil)
+    // leaf set = UNION across files: stat key sets legitimately diverge
+    // (add_files-imported plain parquet next to geo appends), and a file
+    // without a key serves null — a direct apply would crash the table
+    val geomLeaves = stats.flatMap(_.mins.keys.filter(_.contains("_bbox.")))
+      .distinct.sorted
     val rm = readableMetrics(path, stats)
     val rows = stats.map { f =>
       org.apache.spark.sql.Row.fromSeq(
         Seq[Any](f.path, f.rows, f.sizeBytes) ++
           geomLeaves.flatMap(k => Seq[Any](
-            Option(f.mins(k)).map(v => Double.box(v.asInstanceOf[Number].doubleValue())).orNull,
-            Option(f.maxs(k)).map(v => Double.box(v.asInstanceOf[Number].doubleValue())).orNull)) ++
+            f.mins.get(k).flatMap(Option(_))
+              .map(v => Double.box(v.asInstanceOf[Number].doubleValue())).orNull,
+            f.maxs.get(k).flatMap(Option(_))
+              .map(v => Double.box(v.asInstanceOf[Number].doubleValue())).orNull)) ++
           rm.map(_._2(f.path)).toSeq)
     }
     val schema = StructType(
@@ -372,12 +377,26 @@ object GeoTable {
 
   // ---- manifest (de)serialization ---------------------------------------
 
+  // control characters \u-escape (Jackson rejects raw control chars on
+  // re-parse — a string column whose min/max stat contains a newline must
+  // not brick the manifest)
+  private def escJson(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   private def jsonVal(v: Any): String = v match {
     case null => "null"
-    case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case s: String => "\"" + escJson(s) + "\""
     case b: Boolean => b.toString
     case n: Number => n.toString
-    case other => "\"" + other.toString + "\""
+    case other => "\"" + escJson(other.toString) + "\""
   }
 
   private[graft] def manifestJson(entries: Seq[FileStats], deletes: Seq[String] = Nil,
@@ -572,13 +591,19 @@ object GeoTable {
   private[spatial] def parseManifest(txt: String): Seq[FileStats] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val j = JsonMethods.parse(txt)
+    // BigDecimal parsing: a decimal(p>15) column's min/max must not round
+    // through Double on read — a rounded-UP min could prune files that
+    // hold matching rows. Values that round-trip Double exactly (i.e.
+    // every stat a double/float column ever writes) still come back as
+    // Double so downstream literal typing is unchanged.
+    val j = JsonMethods.parse(txt, useBigDecimalForDouble = true)
     def toScala(v: JValue): Any = v match {
       case JString(s) => s
       case JDouble(d) => d
       case JInt(i) => i.toLong
       case JLong(l) => l
-      case JDecimal(d) => d.toDouble
+      case JDecimal(d) =>
+        if (BigDecimal(d.toDouble.toString).compare(d) == 0) d.toDouble else d
       case JBool(b) => b
       case JNull => null
       case other => other.toString

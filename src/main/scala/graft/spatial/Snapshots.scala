@@ -162,12 +162,33 @@ object Snapshots {
     def put(k: (String, Long, Long), v: Map[String, String]): Unit = map.put(k, v)
   }
 
+  // one planning pass consults the same manifest several times (deletes,
+  // schema, partition specs, props) — cache the TEXT under the same
+  // (path, size, mtime) key ManifestCache uses; version files are written
+  // once (hard-link publish), so entries never go stale
+  private object ManifestTextCache {
+    private val MaxEntries = 8
+    private val map =
+      new java.util.LinkedHashMap[(String, Long, Long), String](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), String]): Boolean =
+          size() > MaxEntries
+      }
+    def get(k: (String, Long, Long)): String = synchronized { map.get(k) }
+    def put(k: (String, Long, Long), v: String): Unit = synchronized { map.put(k, v); () }
+  }
+
   private def manifestText(path: String, version: Option[Int]): String = {
     val v = version.getOrElse(mainVersion(path))
     require(v > 0, s"no snapshots at $path")
     val p = manifestPath(path, v)
     require(Files.exists(p), s"no snapshot version $v at $path")
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    val cached = ManifestTextCache.get(key)
+    if (cached != null) return cached
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    ManifestTextCache.put(key, txt)
+    txt
   }
 
   // ---- named refs: branches (movable) and tags (fixed) -------------------
@@ -378,10 +399,15 @@ object Snapshots {
 
   /** Append onto a BRANCH head: allocates the next global version but
     * moves only the branch pointer — main-line readers are isolated.
+    * `props` carries a commit's `snapshot-property.*` extras (branch
+    * commits record them like main commits — silent loss here would be
+    * inconsistent with the WAP path's loud rejection).
     */
-  def appendToBranch(df: DataFrame, path: String, branch: String): Int = {
+  def appendToBranch(df: DataFrame, path: String, branch: String,
+      props: Map[String, String] = Map.empty,
+      writeOptions: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession
-    val (added, written) = writeBack(df, path)
+    val (added, written) = writeBack(df, path, writeOptions)
     val stats = statsFor(spark, path, added)
     withCommitRetry() {
       val rs = refsState(path)
@@ -391,7 +417,7 @@ object Snapshots {
         throw new IllegalArgumentException(s"no such branch: $branch"))
       publish(path, rs, readManifest(path, Some(headV)) ++ stats,
         readDeletes(path, Some(headV)), readPosDeletes(path, Some(headV)),
-        readProps(path, Some(headV)), ref = branch,
+        readProps(path, Some(headV)) ++ props, ref = branch,
         eqDeletes = readEqDeletes(path, Some(headV)),
         schema = mergeSchema(readSchema(path, Some(headV)), written))
     }
@@ -1137,7 +1163,8 @@ object Snapshots {
       level.toSeq.map("parquet.compression.codec.zstd.level" -> _)
   }
 
-  private def writeBack(df: DataFrame, path: String): (Seq[String], org.apache.spark.sql.types.StructType) = {
+  private def writeBack(df: DataFrame, path: String,
+      writeOptions: Map[String, String] = Map.empty): (Seq[String], org.apache.spark.sql.types.StructType) = {
     val spark = df.sparkSession
     val specs = GeoTable.readPartitionSpecs(path)
     // declared uuid/fixed/time columns validate + canonicalize first
@@ -1180,9 +1207,12 @@ object Snapshots {
     // table's own average row size — manifest totals, metadata-only.
     // First writes (no stats yet) skip: nothing to estimate with; the
     // DSv2/streaming writer rolls by actual bytes instead.
+    // per-write option wins over the table property (the reference's
+    // SparkWriteOptions.TARGET_FILE_SIZE_BYTES > TableProperties order)
     val sizeOpts: Seq[(String, String)] =
-      tableProps.get("write.target-file-size-bytes").toSeq.flatMap { t =>
-        val entries = readManifest(path)
+      writeOptions.get("target-file-size-bytes")
+        .orElse(tableProps.get("write.target-file-size-bytes")).toSeq.flatMap { t =>
+        val entries = if (currentVersion(path) > 0) readManifest(path) else Nil
         val rows = entries.map(_.rows).sum
         val bytes = entries.map(_.sizeBytes).sum
         if (rows <= 0 || bytes <= 0) Nil
@@ -1332,7 +1362,8 @@ object Snapshots {
     * instead of main (plain appends only: prop-carrying commits like the
     * streaming high-water mark stay on their ref).
     */
-  def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty): Int =
+  def append(df: DataFrame, path: String, props: Map[String, String] = Map.empty,
+      writeOptions: Map[String, String] = Map.empty): Int =
     wapBranchFor(path) match {
       case Some(b) =>
         require(props.isEmpty,
@@ -1341,13 +1372,14 @@ object Snapshots {
         if (!refsState(path).branches.contains(b))
           try createBranch(path, b)
           catch { case _: IllegalArgumentException => () } // concurrent create: fine
-        appendToBranch(df, path, b)
-      case None => appendMain(df, path, props)
+        appendToBranch(df, path, b, writeOptions = writeOptions)
+      case None => appendMain(df, path, props, writeOptions)
     }
 
-  private def appendMain(df: DataFrame, path: String, props: Map[String, String]): Int = {
+  private def appendMain(df: DataFrame, path: String, props: Map[String, String],
+      writeOptions: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession
-    val (added, written) = writeBack(df, path) // exact attribution, outside retry
+    val (added, written) = writeBack(df, path, writeOptions) // exact attribution, outside retry
     val stats = statsFor(spark, path, added)
     // commit retry is METADATA-ONLY: the data files are already in place,
     // a conflicting concurrent commit just means re-reading the new head
@@ -1380,10 +1412,11 @@ object Snapshots {
   /** Logical overwrite: new snapshot references only the new files. */
   def overwrite(df: DataFrame, path: String,
       extraProps: Map[String, String] = Map.empty,
-      validate: Option[(Int, String)] = None): Int = {
+      validate: Option[(Int, String)] = None,
+      writeOptions: Map[String, String] = Map.empty): Int = {
     rejectUnderWap(path, "overwrite")
     val spark = df.sparkSession
-    val (added, written) = writeBack(df, path)
+    val (added, written) = writeBack(df, path, writeOptions)
     val stats = statsFor(spark, path, added)
     withCommitRetry() {
       val rs = refsState(path)
@@ -1533,11 +1566,12 @@ object Snapshots {
   def overwriteWhere(df: DataFrame, path: String,
       filters: Seq[org.apache.spark.sql.sources.Filter], cond: Column,
       extraProps: Map[String, String] = Map.empty,
-      validate: Option[(Int, String)] = None): Int = {
+      validate: Option[(Int, String)] = None,
+      writeOptions: Map[String, String] = Map.empty): Int = {
     rejectUnderWap(path, "filter overwrite")
     import org.apache.spark.sql.{sources => vs}
     val spark = df.sparkSession
-    val (added, written) = writeBack(df, path)
+    val (added, written) = writeBack(df, path, writeOptions)
     val stats = statsFor(spark, path, added)
     withCommitRetry() {
       val rs = refsState(path)
@@ -3366,6 +3400,9 @@ object Snapshots {
     */
   def expireSnapshots(spark: SparkSession, path: String, keep: Int = 1,
       olderThanMillis: Option[Long] = None): Int = {
+    // a non-positive keep would empty the keep set and delete the table's
+    // whole history — always an argument error, never an intent
+    require(keep >= 1, s"expire_snapshots: keep must be >= 1, got $keep")
     // per-ref retention FIRST (CREATE BRANCH/TAG … RETAIN): an aged-out
     // ref is dropped — with its policy properties — before the keep set
     // is computed, so its targets stop pinning snapshots

@@ -246,8 +246,14 @@ object TableSchema {
       require(!kids.exists(k => !k.dropped && k.logical == name),
         s"column exists: ${parts.mkString(".")}")
       // physical name must be globally fresh within its struct (a dropped
-      // column keeps its data in files already written)
-      val physical = if (kids.exists(_.physical == name)) s"${name}_${kids.size}" else name
+      // column keeps its data in files already written) — and the
+      // collision-avoidance name must ITSELF be fresh, or two logical
+      // columns could map onto one physical column (e.g. add after
+      // dropping when a live sibling already holds `name_<k>`)
+      val taken = kids.map(_.physical).toSet
+      val physical =
+        if (!taken(name)) name
+        else Iterator.from(kids.size).map(i => s"${name}_$i").find(!taken(_)).get
       kids :+ Entry(name, physical, dt, dropped = false)
     })
   }

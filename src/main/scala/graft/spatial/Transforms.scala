@@ -68,8 +68,12 @@ object Transforms {
   case class Truncate(w: Int, source: String, name: Option[String] = None) extends Transform {
     def derivedName: String = name.getOrElse(s"${source}_trunc")
     def project(v: Any): Option[Any] = v match {
-      case s: UTF8String => Some(UTF8String.fromString(s.toString.take(w)))
-      case s: String => Some(s.take(w))
+      // CODE-POINT prefix, matching the write path's substring(col, 1, w)
+      // (Spark substring counts code points): String.take counts UTF-16
+      // units, so a supplementary character (emoji) would make the
+      // projected value disagree with the written directory and mis-prune
+      case s: UTF8String => Some(s.substringSQL(1, w))
+      case s: String => Some(UTF8String.fromString(s).substringSQL(1, w).toString)
       case l: Long => Some(l - (((l % w) + w) % w))
       case i: Int => Some(i - (((i % w) + w) % w))
       case _ => None

@@ -89,8 +89,8 @@ object GraftStatements {
   // the delegate untouched, so other catalogs keep Spark's native DML)
   private val DeleteRe =
     """(?is)^\s*DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)\s*$""".r
-  private val UpdateRe =
-    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+  private val UpdateRe = // SET/WHERE boundary found quote-aware, not here
+    """(?is)^\s*UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s*$""".r
   private val MergeRe =
     """(?is)^\s*MERGE\s+INTO\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+(\w+)\s*$""".r
   private val MergeFullRe = // aliases with or without AS (`'t' x` / `'t' AS x`)
@@ -98,7 +98,7 @@ object GraftStatements {
   private val DeleteIdentRe =
     """(?is)^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*$""".r
   private val UpdateIdentRe =
-    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*$""".r
+    """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*$""".r
   private val MergeFullIdentRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+\((.+?)\)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
   private val WhenRe =
@@ -169,6 +169,36 @@ object GraftStatements {
       a.take(i).trim -> a.drop(i + 1).trim
     }
 
+  /** First occurrence of word `kw` outside quotes and parens (-1 = none):
+    * the SET/WHERE boundary must not split inside a string literal
+    * (`SET c = 'a WHERE b' WHERE id = 1`) or a parenthesized subquery.
+    */
+  private def keywordIndex(s: String, kw: String): Int = {
+    var i = 0; var inQ = false; var depth = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + kw.length == s.length || !isWordChar(s.charAt(i + kw.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def splitUpdateBody(tbl: String, body: String,
+      ref: String = "main"): Option[DmlCommand] = {
+    val wi = keywordIndex(body, "WHERE")
+    // no WHERE = update every row (standard SQL; Iceberg allows it too)
+    if (wi < 0) Some(DmlCommand(tbl, "update", "true", parseSets(body), "", ref))
+    else Some(DmlCommand(tbl, "update", body.substring(wi + 5).trim,
+      parseSets(body.take(wi)), "", ref))
+  }
+
   def tryParse(sql: String): Option[LogicalPlan] = {
     GraftViews.tryParse(sql) match {
       case some @ Some(_) => return some
@@ -176,17 +206,15 @@ object GraftStatements {
     }
     val dml = sql match {
       case DeleteRe(tbl, cond) => Some(DmlCommand(tbl, "delete", cond, Nil, ""))
-      case UpdateRe(tbl, sets, cond) =>
-        Some(DmlCommand(tbl, "update", cond, parseSets(sets), ""))
+      case UpdateRe(tbl, body) => splitUpdateBody(tbl, body)
       case MergeFullRe(tbl, tAlias, src, sAlias, on, whens) =>
         Some(MergeIntoCommand(tbl, src, on, parseWhens(whens),
           Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s")))
       case MergeRe(tbl, src, key) => Some(DmlCommand(tbl, "merge", src, Nil, key))
       case DeleteIdentRe(ident, cond) =>
         graftPath(ident).map { case (p, ref) => DmlCommand(p, "delete", cond, Nil, "", ref) }
-      case UpdateIdentRe(ident, sets, cond) =>
-        graftPath(ident).map { case (p, ref) =>
-          DmlCommand(p, "update", cond, parseSets(sets), "", ref) }
+      case UpdateIdentRe(ident, body) =>
+        graftPath(ident).flatMap { case (p, ref) => splitUpdateBody(p, body, ref) }
       case MergeFullIdentRe(ident, tAlias, src, sAlias, on, whens) =>
         graftPath(ident).map { case (p, ref) => MergeIntoCommand(p, src, on, parseWhens(whens),
           Option(tAlias).getOrElse("t"), Option(sAlias).getOrElse("s"), ref,
@@ -375,7 +403,11 @@ object GraftStatements {
 
   private def parseValue(v: String): Any = {
     val t = v.trim
-    if (t.startsWith("'") && t.endsWith("'")) t.substring(1, t.length - 1)
+    // SQL escaping: a doubled quote inside a string literal is one quote
+    // ('SELECT ''x''' carries SELECT 'x') — leaving it doubled corrupts
+    // any argument with an apostrophe (view bodies, filter strings)
+    if (t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
     else if (t.equalsIgnoreCase("true")) true
     else if (t.equalsIgnoreCase("false")) false
     else if (t.matches("[-+]?\\d+")) t.toLong
@@ -457,8 +489,13 @@ case class WriteDistributionCommand(path: String, order: Option[String])
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // the declared order is LOCALLY ORDERED: record the mode, so if the
+    // hash-distribution branch ever stops applying (partition fields all
+    // dropped), later writes sort within tasks instead of paying a
+    // cluster-wide range exchange the user never asked for
     val props = Map("write.distribution-mode" -> "hash") ++
-      order.map("write.order" -> _)
+      order.map("write.order" -> _) ++
+      order.map(_ => "write.order.mode" -> "local")
     Seq(Row(Snapshots.updateProperties(path, props).toLong))
   }
 }
@@ -582,7 +619,12 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
     named.get(name).orElse(pos.lift(i))
   private def str(v: Any): String = v.toString
   private def int(v: Any): Int = v match {
-    case l: Long => l.toInt
+    // NO silent truncation: an epoch-millis timestamp passed where a small
+    // int is expected (expire_snapshots' positional older_than convention)
+    // must error, not wrap into a garbage negative that empties a keep set
+    case l: Long =>
+      if (l.isValidInt) l.toInt
+      else throw new IllegalArgumentException(s"integer argument out of range: $l")
     case i: Int => i
     case s: String => s.toInt
     case other => throw new IllegalArgumentException(s"expected integer, got $other")

@@ -366,8 +366,13 @@ case class GraftDropViewCommand(dir: String, name: String, ifExists: Boolean)
       if (ifExists) return Seq.empty
       throw new IllegalStateException(s"view not found: $name")
     }
-    graft.spatial.Snapshots.walkDir(d)(_.toSeq).reverse
-      .foreach(java.nio.file.Files.deleteIfExists(_))
+    // delete ONLY the view definition (and the now-empty dir): a recursive
+    // walk would take any tables or views nested under the view's
+    // directory with it — namespaces are implicit directories, so
+    // unrelated children can and do live there
+    java.nio.file.Files.deleteIfExists(vp)
+    try java.nio.file.Files.deleteIfExists(d) // fails if non-empty: fine
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
     Seq.empty
   }
 }

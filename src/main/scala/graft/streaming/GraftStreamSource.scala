@@ -208,10 +208,11 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
       GraftStreamOffset(skipped)
   }
   override def deserializeOffset(json: String): Offset = {
-    val n = """"filesSeen"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset json: $json"))
-    GraftStreamOffset(n)
+    // one parser for the offset JSON shape (GraftStreamOffset.apply);
+    // bind the argument first — inside the anonymous Offset, `json`
+    // names the method, not this parameter
+    val body = json
+    GraftStreamOffset(new Offset { override def json(): String = body })
   }
 
   /** Admission by files, records, AND bytes — records/bytes come from the
@@ -291,12 +292,23 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
       else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, Some(head)))
     val posCov = DeleteFiles.posCoverage(spark, path, posRefs)
     val rowSchema = StructType(dataSchema ++ partitionSchema)
+    // equality-delete columns are recorded under LOGICAL names, but the
+    // stream reader produces PHYSICAL rows (tableSchema = manifest physical
+    // schema): bind ordinals through the rename map, or a delete on a
+    // renamed column would silently be dropped here while the batch read
+    // of the same table filters it
+    val logicalToPhysical: Map[String, String] =
+      graft.spatial.TableSchema.read(path).filterNot(_.dropped)
+        .map(e => e.logical -> e.physical).toMap
     val eqSpecs = if (head == 0) Nil
       else Snapshots.readEqDeletes(path, Some(head)).flatMap { eq =>
-        if (!eq.cols.forall(rowSchema.fieldNames.contains)) None
+        val phys = eq.cols.map(c => logicalToPhysical.getOrElse(c, c))
+        if (!phys.forall(rowSchema.fieldNames.contains)) None
         else {
-          val ordinals = eq.cols.map(rowSchema.fieldIndex).toArray
+          val ordinals = phys.map(rowSchema.fieldIndex).toArray
           val types = ordinals.map(rowSchema(_).dataType)
+          // the delete FILE's parquet columns carry the logical names —
+          // the key reader addresses it by those, the ordinals by physical
           val keySchema = StructType(eq.cols.zip(types).map { case (c, t) =>
             org.apache.spark.sql.types.StructField(c, t) })
           val ref = DeleteFiles.refs(spark, path, Seq(eq.path)).head
@@ -309,6 +321,21 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
       GeoTable.readPruningSpecs(path))
     val byAbs = slice.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
+    // suffix index over covered paths, built once per planning pass — the
+    // same O(map) construction the batch scan uses instead of a per-file
+    // linear scan of the coverage map
+    val posCovBySuffix: Map[String, Seq[graft.sources.DeleteFileRef]] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Seq[graft.sources.DeleteFileRef]]
+      posCov.foreach { case (k, v) =>
+        var i = k.indexOf('/')
+        while (i >= 0) {
+          val suf = k.substring(i + 1)
+          if (suf.nonEmpty && !m.contains(suf)) m(suf) = v
+          i = k.indexOf('/', i + 1)
+        }
+      }
+      m.toMap
+    }
     val items = index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>
         val abs = st.getPath.toUri.getPath
@@ -316,7 +343,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
         val rel = fstat.map(_.path).getOrElse(abs)
         val addedV = fstat.map(_.addedV).getOrElse(Int.MaxValue)
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
-          posCov.collectFirst { case (k, v) if k.endsWith("/" + rel) => v }.getOrElse(Nil))
+          posCovBySuffix.getOrElse(rel, Nil))
         val eqs = eqSpecs.filter(sp => addedV < sp.seq)
         graft.sources.TaskPlanner.Item(
           PartitionedFile(dir.values,

@@ -510,6 +510,28 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("tag"), e2.getMessage)
   }
 
+  test("re-adding a dropped column never collides with a live column's " +
+      "physical name (two logical columns must not share storage)") {
+    val dir = Files.createTempDirectory("graft_physcol").toString + "/tbl"
+    spark.range(3).selectExpr("id", "'a' AS c").coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    import graft.spatial.TableSchema
+    // force the collision shape: a live column whose NAME equals the
+    // collision-avoidance candidate `c_<k>` for some later add
+    TableSchema.addColumn(spark, dir, "c_3", org.apache.spark.sql.types.StringType)
+    TableSchema.dropColumn(spark, dir, Seq("c"))
+    TableSchema.addColumn(spark, dir, "c", org.apache.spark.sql.types.StringType)
+    val phys = TableSchema.read(dir).filterNot(_.dropped).map(_.physical)
+    assert(phys.distinct.size == phys.size,
+      s"physical names must be unique, got $phys")
+    // the re-added column reads null and writes independently of c_3
+    Snapshots.append(spark.range(3, 5).selectExpr(
+      "id", "'x' AS c_3", "'fresh' AS c"), dir)
+    val t = Snapshots.read(spark, dir)
+    assert(t.where("id < 3 AND c IS NULL").count() == 3)
+    assert(t.where("id >= 3 AND c = 'fresh' AND c_3 = 'x'").count() == 2)
+  }
+
   test("accept-any-schema: a PARTIAL write with an unmatched column name is " +
       "rejected, never resolved positionally into the wrong column") {
     val wh = Files.createTempDirectory("graft_pos_wh").toString

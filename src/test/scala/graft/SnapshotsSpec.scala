@@ -688,6 +688,52 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.resolveRef(dir, "v1_tag") == 1)
   }
 
+  test("string stats with control characters round-trip the manifest " +
+      "(a newline in a min/max must not brick the table)") {
+    val dir = Files.createTempDirectory("graft_ctrl").toString + "/tbl"
+    spark.range(3).selectExpr("id", "concat('a\nb\tc', id) AS v")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    // the manifest must re-parse (Jackson rejects raw control chars) and
+    // keep serving reads + appends
+    val m = Snapshots.readManifest(dir)
+    assert(m.head.mins.get("v").exists(_.toString.contains("\n")))
+    Snapshots.append(spark.range(3, 6).selectExpr("id", "concat('xy', id) AS v"), dir)
+    assert(Snapshots.read(spark, dir).count() == 6)
+  }
+
+  test("wide-decimal stats keep exact precision through the manifest " +
+      "(Double rounding must not prune files holding matching rows)") {
+    val dir = Files.createTempDirectory("graft_dec").toString + "/tbl"
+    // 12345678901234567890.12 is not Double-representable: the nearest
+    // Double is ABOVE the true value, so a rounded min could prune a
+    // file whose true min matches a <= predicate
+    spark.sql("SELECT CAST('12345678901234567890.12' AS DECIMAL(30,2)) AS d " +
+      "UNION ALL SELECT CAST('92345678901234567890.99' AS DECIMAL(30,2))")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    val min = Snapshots.readManifest(dir).head.mins("d")
+    assert(min.isInstanceOf[BigDecimal] &&
+      min.asInstanceOf[BigDecimal] == BigDecimal("12345678901234567890.12"),
+      s"manifest must keep the exact decimal, got $min (${min.getClass})")
+    // the predicate sits BETWEEN the true min and its Double rounding:
+    // pruning through a Double would wrongly drop the file
+    val hits = spark.read.format("graft").load(dir)
+      .where("d <= CAST('12345678901234567890.50' AS DECIMAL(30,2))").count()
+    assert(hits == 1, s"expected the true-min row to survive pruning, got $hits")
+  }
+
+  test("string pruning compares in UTF-8 order (supplementary characters)") {
+    val dir = Files.createTempDirectory("graft_utf8").toString + "/tbl"
+    // U+FFFF sorts BELOW U+1F600 in UTF-8/code-point order but ABOVE it
+    // in UTF-16 code-unit order — a UTF-16 comparison of the file min
+    // against the literal would prune the file despite the matching row
+    spark.range(1).selectExpr("'\uFFFF' AS s").coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    val hits = spark.read.format("graft").load(dir).where(col("s") <= "\uD83D\uDE00").count()
+    assert(hits == 1, "UTF-16 bound comparison would mis-prune this file")
+  }
+
   test("spatial pruning still applies to snapshot reads") {
     import graft.functions.GeoSql._
     val dir = Files.createTempDirectory("graft_snap2").toString

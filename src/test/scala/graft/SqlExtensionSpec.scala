@@ -190,6 +190,60 @@ class SqlExtensionSpec extends AnyFunSuite {
     intercept[Exception] { graft.spatial.Views.read(spark, dir, "big_ids") }
   }
 
+  test("CALL argument hygiene: out-of-range integers error loudly; " +
+      "doubled quotes unescape; view bodies with apostrophes work") {
+    val dir = mkTable(10)
+    // an epoch-millis timestamp passed positionally where a small int is
+    // expected (the reference's expire_snapshots older_than convention)
+    // must ERROR — silent Long→Int truncation once wrapped it into a
+    // garbage negative keep that expired the whole history
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.expire_snapshots('$dir', 1700000000000)")
+    }
+    assert(e.getMessage.contains("out of range"), e.getMessage)
+    assert(Snapshots.read(spark, dir).count() == 10, "nothing may be expired")
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.expire_snapshots('$dir', keep => 0)")
+    }
+    // SQL-escaped quotes inside CALL string args: '' = one quote
+    spark.sql(s"CALL graft.system.create_view('$dir', 'q', " +
+      "'SELECT id, ''x'' AS tag FROM graft_table WHERE id < 3')")
+    val v = graft.spatial.Views.read(spark, dir, "q")
+    assert(v.count() == 3 && v.where("tag = 'x'").count() == 3)
+  }
+
+  test("UPDATE splits SET/WHERE outside string literals") {
+    val dir = Files.createTempDirectory("graft_qsplit").toString + "/tbl"
+    spark.range(5).selectExpr("id", "'raw' AS v").coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    // the literal contains ' WHERE ' — a naive first-WHERE split would
+    // break inside it
+    spark.sql(s"UPDATE '$dir' SET v = 'a WHERE b' WHERE id = 1")
+    val t = Snapshots.read(spark, dir)
+    assert(t.where("id = 1 AND v = 'a WHERE b'").count() == 1)
+    assert(t.where("v = 'raw'").count() == 4)
+    // UPDATE without WHERE hits every row (standard SQL)
+    spark.sql(s"UPDATE '$dir' SET v = 'all'")
+    assert(Snapshots.read(spark, dir).where("v = 'all'").count() == 5)
+  }
+
+  test("DROP VIEW removes only the view definition, never nested tables") {
+    val wh = Files.createTempDirectory("graft_dv_wh").toString
+    spark.conf.set("spark.sql.catalog.dvcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.dvcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvcat.ns")
+    spark.sql("CREATE VIEW dvcat.ns.v AS SELECT 1 AS one")
+    // a TABLE whose namespace nests under the view's directory (namespaces
+    // are implicit directories, so this layout is legal)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS dvcat.ns.v")
+    spark.sql("CREATE TABLE dvcat.ns.v.t (id BIGINT)")
+    spark.sql("INSERT INTO dvcat.ns.v.t SELECT id FROM range(4)")
+    spark.sql("DROP VIEW dvcat.ns.v")
+    intercept[Exception] { spark.sql("SELECT * FROM dvcat.ns.v").collect() }
+    assert(spark.table("dvcat.ns.v.t").count() == 4,
+      "dropping the view must not delete the nested table's data")
+  }
+
   test("UPDATE and MERGE assign NESTED struct fields by dot path " +
       "(and MERGE accepts alias-qualified SET keys)") {
     val dir = Files.createTempDirectory("graft_nested_dml").toString + "/tbl"

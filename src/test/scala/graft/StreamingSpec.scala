@@ -110,6 +110,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("equality deletes on RENAMED columns apply in the stream " +
+      "(logical delete columns bind against the physical stream rows)") {
+    import spark.implicits._
+    import graft.spatial.{GeoTable, Snapshots, TableSchema}
+    val dir = Files.createTempDirectory("graft_eqren").toString + "/tbl"
+    spark.range(20).selectExpr("id", "concat('v', id) AS v")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    TableSchema.renameColumn(spark, dir, "id", "key")
+    Snapshots.deleteByEquality(spark, dir, Seq(3L, 7L).toDF("key"))
+    assert(Snapshots.read(spark, dir).where("key IN (3, 7)").count() == 0)
+    val q = graft.streaming.GeoStreams.readTableStream(spark, dir, maxFilesPerTrigger = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_rename_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("eq_rename_stream")
+      assert(got.count() == 18,
+        s"stream must apply the equality delete after the rename, got ${got.count()}")
+      assert(got.where("key IN (3, 7)").count() == 0)
+    } finally q.stop()
+  }
+
+  test("branch appends record snapshot-property.* options on the branch commit") {
+    import graft.spatial.Snapshots
+    val wh = Files.createTempDirectory("graft_bsp_wh").toString
+    spark.conf.set("spark.sql.catalog.bspcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bspcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bspcat.db")
+    spark.sql("CREATE TABLE bspcat.db.t (id BIGINT)")
+    spark.sql("INSERT INTO bspcat.db.t SELECT id FROM range(5)")
+    val dir = s"$wh/db/t"
+    Snapshots.createBranch(dir, "audit")
+    spark.range(5, 8).toDF("id").writeTo("bspcat.db.t.branch_audit")
+      .option("snapshot-property.source-run", "42").append()
+    val head = Snapshots.readRefs(dir)._1("audit")
+    assert(Snapshots.readProps(dir, Some(head)).get("source-run").contains("42"),
+      s"branch commit must carry the snapshot property: " +
+        s"${Snapshots.readProps(dir, Some(head))}")
+    assert(spark.sql("SELECT * FROM bspcat.db.t.branch_audit").count() == 8)
+    // main is untouched — neither the rows nor the property
+    assert(spark.table("bspcat.db.t").count() == 5)
+  }
+
   test("streaming geo sink commits one snapshot per micro-batch") {
     import graft.functions.GeoSql
     import graft.spatial.{GeoTable, Snapshots}

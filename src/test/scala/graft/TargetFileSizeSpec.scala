@@ -40,6 +40,30 @@ class TargetFileSizeSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() == 2000)
   }
 
+  test("per-write target-file-size-bytes option drives BATCH append rolling " +
+      "(V1 write leg, no table property declared)") {
+    val wh = Files.createTempDirectory("graft_tfsb_wh").toString
+    spark.conf.set("spark.sql.catalog.tfsbcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tfsbcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tfsbcat.st")
+    spark.sql("CREATE TABLE tfsbcat.st.b (id BIGINT, v STRING)")
+    // priming append: the record-count conversion needs manifest stats
+    spark.range(1000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .coalesce(1).writeTo("tfsbcat.st.b").append()
+    val dir = s"$wh/st/b"
+    val m = Snapshots.readManifest(dir)
+    val avg = m.map(_.sizeBytes).sum / m.map(_.rows).sum.toDouble
+    val before = m.size
+    spark.range(1000, 2000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .coalesce(1).writeTo("tfsbcat.st.b")
+      .option("target-file-size-bytes", math.max(1L, (avg * 250).toLong).toString)
+      .append()
+    val added = Snapshots.readManifest(dir).size - before
+    assert(added >= 3,
+      s"per-write option must roll a 1000-row single-task append, added=$added")
+    assert(spark.table("tfsbcat.st.b").count() == 2000)
+  }
+
   test("a table without the property keeps one file per task (no rolling)") {
     val dir = Files.createTempDirectory("graft_tfs0").toString + "/tbl"
     spark.range(1000).select(col("id"), concat(lit("v"), col("id")).as("v"))

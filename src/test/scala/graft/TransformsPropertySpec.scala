@@ -34,6 +34,20 @@ class TransformsPropertySpec extends AnyFunSuite {
     case other => other
   }
 
+  test("truncate projection counts CODE POINTS like the write path " +
+      "(supplementary characters must not desync projection from the dir value)") {
+    val t = Transforms.parse("truncate(2, s)")
+    // "😀ab": take(2) in UTF-16 units would yield just the emoji — the
+    // write path's substring(col, 1, 2) yields emoji + 'a'
+    val v = "😀ab"
+    val expect = "😀a"
+    assert(t.project(v) == Some(expect))
+    assert(t.project(UTF8String.fromString(v)) == Some(UTF8String.fromString(expect)))
+    // parity with the actual write expression
+    val written = evalWrite(t, StructField("s", StringType), Seq(v))
+    assert(norm(written.head) == expect)
+  }
+
   test("bucket projection equals the written bucket id for long keys") {
     val t = Transforms.parse("bucket(8, l)")
     val written = evalWrite(t, StructField("l", LongType), longs)
