@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// the container's default locale is POSIX, which makes the JVM unable to
+// create non-ASCII file names (sun.jnu.encoding) — real clusters run
+// UTF-8; partition values are user data and can be any unicode
+Test / envVars += ("LC_ALL" -> "C.utf8")
+run / envVars += ("LC_ALL" -> "C.utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -117,6 +117,15 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
         val isMin = better(0, 1)
         Some(ss.reduce((a, b) => if ((a.compareTo(b) < 0) == isMin) a else b))
       case _ =>
+        // non-finite bounds (manifests written before the convert-side
+        // guard) decline the rewrite: NaN has no order and BigDecimal
+        // can't parse Infinity — fall back to the real scan
+        val nonFinite = raw.exists {
+          case d: java.lang.Double => d.isNaN || d.isInfinite
+          case f: java.lang.Float => f.isNaN || f.isInfinite
+          case _ => false
+        }
+        if (nonFinite) return None
         // exact comparison (doubles would collapse longs above 2^53)
         val isMin = better(0, 1)
         val ds = raw.map(v => BigDecimal(v.asInstanceOf[Number].toString))

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
 
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.Identifier
 
 /** The catalog's identifier-resolution seam: everything `GraftCatalog`
@@ -144,9 +145,12 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
 
   override def locationDecoupled: Boolean = true
 
+  // identifier parts are dot-ESCAPED in keys: without it a table named
+  // `a.b` in ns `db` and a table `b` in ns `db.a` collide on the same
+  // key — wrong-table reads, drops, and phantom namespaces
   private def key(ident: Identifier): String =
-    "table." + (ident.namespace() :+ ident.name()).mkString(".")
-  private def nsKey(ns: Array[String]): String = "namespace." + ns.mkString(".")
+    "table." + escJoin(ident.namespace() :+ ident.name())
+  private def nsKey(ns: Array[String]): String = "namespace." + escJoin(ns)
 
   override def tableLocation(ident: Identifier): Path =
     read(warehouse).get(key(ident)).map(Paths.get(_)).getOrElse(
@@ -164,35 +168,41 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
     update(warehouse)(_ - key(ident))
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Path = {
-    // metadata-only: the data directory stays where it is. The location
-    // re-reads INSIDE the CAS update so a concurrent move can't be lost.
+    // metadata-only: the data directory stays where it is. BOTH identity
+    // checks re-run INSIDE the CAS update — the catalog's pre-checks are
+    // outside it, so a concurrent rename/create to the same target (or a
+    // concurrent drop of the source) would otherwise silently overwrite
+    // a live registration / orphan a table.
     var loc: Path = null
     update(warehouse) { m =>
+      if (m.contains(key(newIdent))) throw new TableAlreadyExistsException(newIdent)
       loc = m.get(key(oldIdent)).map(Paths.get(_)).getOrElse(
-        Paths.get(warehouse, (oldIdent.namespace() :+ oldIdent.name()): _*))
+        throw new NoSuchTableException(oldIdent))
       m - key(oldIdent) + (key(newIdent) -> loc.toString)
     }
     loc
   }
 
   override def listTables(ns: Array[String], isTable: Path => Boolean): Seq[Identifier] = {
-    val prefix = "table." + ns.mkString(".") + "."
-    read(warehouse).keys.toSeq.sorted.collect {
-      case k if k.startsWith(prefix) && !k.stripPrefix(prefix).contains('.') =>
-        Identifier.of(ns, k.stripPrefix(prefix))
-    }
+    read(warehouse).keys.toSeq.sorted
+      .filter(_.startsWith("table."))
+      .map(k => unescSplit(k.stripPrefix("table.")))
+      .collect {
+        case parts if parts.length == ns.length + 1 && parts.init == ns.toSeq =>
+          Identifier.of(ns, parts.last)
+      }
   }
 
   override def listNamespaces(isTable: Path => Boolean): Seq[Array[String]] = {
     val m = read(warehouse)
-    val declared = m.keys.collect {
-      case k if k.startsWith("namespace.") => k.stripPrefix("namespace.")
+    val declared = m.keys.toSeq.collect {
+      case k if k.startsWith("namespace.") => unescSplit(k.stripPrefix("namespace."))
     }
-    val implied = m.keys.collect {
-      case k if k.startsWith("table.") && k.stripPrefix("table.").contains('.') =>
-        k.stripPrefix("table.").split('.').dropRight(1).mkString(".")
-    }
-    (declared ++ implied).toSeq.distinct.sorted.map(_.split('.').toArray)
+    val implied = m.keys.toSeq
+      .filter(_.startsWith("table."))
+      .map(k => unescSplit(k.stripPrefix("table.")))
+      .collect { case parts if parts.length > 1 => parts.dropRight(1) }
+    (declared ++ implied).distinct.sortBy(_.mkString(" ")).map(_.toArray)
   }
 
   override def namespaceExists(ns: Array[String]): Boolean =
@@ -220,6 +230,27 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
 object RegistryBackend {
   private val GenRe = """_graft_registry_v(\d+)\.properties""".r
 
+  /** Keys join identifier parts with '.'; a literal '.' (or '\') inside a
+    * part is escaped so `db` + `a.b` can never collide with `db.a` + `b`.
+    */
+  private[sources] def escJoin(parts: Seq[String]): String =
+    parts.map(_.replace("\\", "\\\\").replace(".", "\\.")).mkString(".")
+
+  private[sources] def unescSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' if i + 1 < s.length => sb.append(s.charAt(i + 1)); i += 2
+        case '.' => out += sb.toString; sb.clear(); i += 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    out += sb.toString
+    out.result()
+  }
+
   private def fileFor(warehouse: String, gen: Int): Path =
     Paths.get(warehouse, s"_graft_registry_v$gen.properties")
 
@@ -235,11 +266,11 @@ object RegistryBackend {
   }
 
   /** Registry lookup for out-of-catalog resolvers (the DML parser): the
-    * recorded location of `<ns….table>` under a registry-backed catalog's
-    * warehouse, if any.
+    * recorded location of the table identified by `parts` (namespace …,
+    * name) under a registry-backed catalog's warehouse, if any.
     */
-  def lookup(warehouse: String, identTail: String): Option[String] =
-    read(warehouse).get(s"table.$identTail")
+  def lookup(warehouse: String, parts: Seq[String]): Option[String] =
+    read(warehouse).get("table." + escJoin(parts))
 
   private def read(warehouse: String): Map[String, String] = {
     val g = currentGen(warehouse)

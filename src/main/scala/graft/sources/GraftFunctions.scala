@@ -108,8 +108,11 @@ object GraftFunctions {
       val in = Array[DataType](IntegerType, vt)
       vt match {
         case StringType => scalar("truncate", canonical, in, vt, { row =>
+          // CODE-POINT prefix like the write path (substring counts code
+          // points, String.take counts UTF-16 units): the SPJ identity
+          // bound-function == write-derivation must hold for emoji too
           if (row.isNullAt(1)) null
-          else UTF8String.fromString(row.getUTF8String(1).toString.take(row.getInt(0)))
+          else row.getUTF8String(1).substringSQL(1, row.getInt(0))
         })
         case IntegerType => scalar("truncate", canonical, in, vt, { row =>
           if (row.isNullAt(1)) null

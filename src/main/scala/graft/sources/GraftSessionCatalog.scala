@@ -90,7 +90,12 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
       catch { case _: NoSuchTableException => dTables.loadTable(ident, timestampMicros) }
     }.getOrElse(dTables.loadTable(ident, timestampMicros))
 
-  override def invalidateTable(ident: Identifier): Unit = dTables.invalidateTable(ident)
+  // REFRESH TABLE must evict BOTH sides: the graft ident→Table cache
+  // (snapshot pinned at load) and the delegate's relation cache
+  override def invalidateTable(ident: Identifier): Unit = {
+    graftOpt.foreach(_.invalidateTable(ident))
+    dTables.invalidateTable(ident)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     // union: graft tables live on the warehouse filesystem, not in the

@@ -127,8 +127,8 @@ case class FileStats(
   private def cmpMax(n: String, v: Any): Option[Int] = cmp(maxs(n), v)
 
   private def big(v: Any): Option[BigDecimal] = v match {
-    case d: java.lang.Double if d.isNaN => None
-    case f: java.lang.Float if f.isNaN => None
+    case d: java.lang.Double if d.isNaN || d.isInfinite => None
+    case f: java.lang.Float if f.isNaN || f.isInfinite => None
     case n: Number => Some(BigDecimal(n.toString))
     case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
     case _ => None

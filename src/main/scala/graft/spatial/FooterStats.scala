@@ -123,8 +123,13 @@ object FooterStats {
         Some(BigDecimal(BigInt(new java.math.BigInteger(b.getBytes)), d.getScale))
       case (_, _: StringLogicalTypeAnnotation, b: Binary) =>
         Some(b.toStringUsingUTF8)
-      case (_, _, d: java.lang.Double) => if (d.isNaN) None else Some(d.doubleValue())
-      case (_, _, f: java.lang.Float) => if (f.isNaN) None else Some(f.floatValue())
+      // non-finite bounds decline entirely: NaN has no order, and Infinity
+      // would both crash the BigDecimal merge and serialize as a bare
+      // `Infinity` token no JSON parser accepts — bricking the manifest
+      case (_, _, d: java.lang.Double) =>
+        if (d.isNaN || d.isInfinite) None else Some(d.doubleValue())
+      case (_, _, f: java.lang.Float) =>
+        if (f.isNaN || f.isInfinite) None else Some(f.floatValue())
       case (_, _, i: java.lang.Integer) => Some(i.intValue()) // incl. DATE days
       case (_, _, l: java.lang.Long) => Some(l.longValue()) // incl. TIMESTAMP µs/ns
       case _ => None // INT96, plain binary, boolean, unknown

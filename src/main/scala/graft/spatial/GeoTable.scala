@@ -395,6 +395,10 @@ object GeoTable {
     case null => "null"
     case s: String => "\"" + escJson(s) + "\""
     case b: Boolean => b.toString
+    // bare NaN/Infinity are not JSON tokens — a manifest carrying one
+    // would never parse again; encode as null (stat absent)
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
     case n: Number => n.toString
     case other => "\"" + escJson(other.toString) + "\""
   }

@@ -173,12 +173,27 @@ class GraftFileIndex(
         }
       }
 
+  // UTF-8 binary order (Spark's own string comparison), never UTF-16
+  // compareTo — they diverge for supplementary characters, and a range
+  // projection through the wrong order prunes partitions holding matches.
+  // Non-finite doubles (NaN/Infinity) decline: BigDecimal can't carry
+  // them and pruning conservatively keeps the partition.
+  private def utf8(v: Any): UTF8String = v match {
+    case u: UTF8String => u
+    case other => UTF8String.fromString(String.valueOf(other))
+  }
+  private def finite(n: Number): Boolean = n match {
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case f: java.lang.Float => !f.isNaN && !f.isInfinite
+    case _ => true
+  }
   private def compareValues(a: Any, b: Any): Option[Int] = (a, b) match {
     case (null, _) | (_, null) => None
-    case (x: UTF8String, y) => Some(x.toString.compareTo(String.valueOf(y)))
-    case (x, y: UTF8String) => Some(String.valueOf(x).compareTo(y.toString))
-    case (x: String, y) => Some(x.compareTo(String.valueOf(y)))
-    case (x: Number, y: Number) => Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
+    case (x: UTF8String, y) => Some(utf8(x).compareTo(utf8(y)))
+    case (x, y: UTF8String) => Some(utf8(x).compareTo(utf8(y)))
+    case (x: String, y) => Some(utf8(x).compareTo(utf8(y)))
+    case (x: Number, y: Number) if finite(x) && finite(y) =>
+      Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
     case _ => None
   }
 
@@ -205,7 +220,12 @@ class GraftFileIndex(
     case (null, _) | (_, null) => false
     case (x: UTF8String, y) => x.toString == String.valueOf(y)
     case (x, y: UTF8String) => String.valueOf(x) == y.toString
-    case (x: Number, y: Number) => BigDecimal(x.toString) == BigDecimal(y.toString)
+    // NaN/Infinity partition values: compare textually (both sides came
+    // through the same cast/format path) — BigDecimal would throw and
+    // abort planning
+    case (x: Number, y: Number) if finite(x) && finite(y) =>
+      BigDecimal(x.toString) == BigDecimal(y.toString)
+    case (x: Number, y: Number) => x.toString == y.toString
     case _ => a == b
   }
 

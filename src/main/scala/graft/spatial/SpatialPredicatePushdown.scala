@@ -97,13 +97,19 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
     for {
       a <- geomAttr
       e <- env
+      // name match alone isn't proof: the rule is installed session-wide,
+      // so a user's own unrelated `<g>_bbox` struct must not be read by
+      // ordinal — require the exact shadow shape (4 double leaves named
+      // xmin/ymin/xmax/ymax, same test as FooterStats.geometryShadowStems)
       bbox <- out.collectFirst {
         case b: AttributeReference if b.name == s"${a.name}_bbox" &&
-          b.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => b
+          isShadowStruct(b.dataType) => b
       }
     } yield {
-      def leaf(i: Int, n: String) = GetStructField(bbox, i, Some(n))
-      val (xmin, ymin, xmax, ymax) = (leaf(0, "xmin"), leaf(1, "ymin"), leaf(2, "xmax"), leaf(3, "ymax"))
+      val names = bbox.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames
+      def leaf(n: String) = GetStructField(bbox, names.indexOf(n), Some(n))
+      val (xmin, ymin, xmax, ymax) = (leaf("xmin"), leaf("ymin"), leaf("xmax"), leaf("ymax"))
       def le(l: Expression, v: Double) = LessThanOrEqual(l, Literal(v, DoubleType))
       def ge(l: Expression, v: Double) = GreaterThanOrEqual(l, Literal(v, DoubleType))
       val cs = mode match {
@@ -116,6 +122,14 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
       }
       cs.reduce[Expression](And)
     }
+  }
+
+  private def isShadowStruct(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.length == 4 &&
+        s.fields.map(_.name).toSet == Set("xmin", "ymin", "xmax", "ymax") &&
+        s.fields.forall(_.dataType == DoubleType)
+    case _ => false
   }
 }
 

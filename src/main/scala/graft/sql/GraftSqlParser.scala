@@ -130,20 +130,20 @@ object GraftStatements {
           // RENAME the conventional layout dir belongs to the RENAMED
           // table, and a fallback would let DML against the old name
           // silently mutate its data.
-          val metastoreLookup: Option[String => Option[String]] = backendKind match {
+          val metastoreLookup: Option[Seq[String] => Option[String]] = backendKind match {
             case Some("registry") if wh.isDefined =>
               Some(t => graft.sources.RegistryBackend.lookup(wh.get, t))
             case Some("rest") if restUri.isDefined =>
-              Some(t => graft.sources.RestBackend.lookup(restUri.get, t))
+              Some(t => graft.sources.RestBackend.lookup(restUri.get, t.mkString(".")))
             case _ => None
           }
           if (metastoreLookup.isDefined) {
             val lookup = metastoreLookup.get
             val last = parts.last
-            lookup(parts.tail.mkString("."))
+            lookup(parts.tail)
               .map(_ -> "main")
               .orElse(if (last.startsWith("branch_") && parts.length > 2)
-                lookup(parts.tail.dropRight(1).mkString("."))
+                lookup(parts.tail.dropRight(1))
                   .map(_ -> last.stripPrefix("branch_"))
               else None)
           } else {

@@ -80,6 +80,35 @@ class CatalogCacheSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM ccache5.db.t").count() == 2)
   }
 
+  test("session catalog: REFRESH TABLE evicts the graft-side cache, not " +
+      "just the delegate's") {
+    val s = spark.newSession()
+    val wh = Files.createTempDirectory("graft_sesscache_wh").toString
+    s.conf.set("spark.sql.catalog.spark_catalog",
+      classOf[graft.sources.GraftSessionCatalog].getName)
+    s.conf.set("spark.sql.catalog.spark_catalog.warehouse", wh)
+    s.conf.set("spark.sql.catalog.spark_catalog.cache-enabled", "true")
+    graft.spatial.Geo.install(s)
+    val db = s"scache_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    s.sql(s"CREATE TABLE $db.ct (id BIGINT) USING graft")
+    // CatalogManager resolves spark_catalog through the thread-active
+    // SQLConf — direct (non-SQL) calls need this session active
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(s)
+    try {
+      val cat = s.sessionState.catalogManager.catalog("spark_catalog")
+        .asInstanceOf[TableCatalog]
+      val ci = Identifier.of(Array(db), "ct")
+      val a = cat.loadTable(ci)
+      assert(cat.loadTable(ci) eq a, "cache must serve the same instance")
+      s.sql(s"REFRESH TABLE $db.ct")
+      assert(!(cat.loadTable(ci) eq a),
+        "REFRESH TABLE must reach GraftCatalog.invalidateTable through the session catalog")
+      s.sql(s"DROP TABLE $db.ct")
+    } finally prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+  }
+
   test("default catalog is uncached: every load resolves fresh") {
     val cat = mkCatalog("ccache4", Map.empty)
     val a = cat.loadTable(ident)

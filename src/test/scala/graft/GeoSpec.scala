@@ -165,6 +165,29 @@ class GeoSpec extends AnyFunSuite {
     assert(r2 == 3L) // point(1,1), buffer(1,1), point covered? ids k=1 rows + point(2? no)
   }
 
+  test("a user struct named <g>_bbox with the wrong shape is never rewritten " +
+      "into ordinal reads; a right-shaped struct resolves leaves BY NAME") {
+    import spark.implicits._
+    // wrong shape: struct<_1:int,_2:int> — the session-wide rewrite must
+    // decline (ordinal 2/3 would be out of bounds at runtime)
+    val bad = Seq(
+      (GeoCodec.writeWkb(GeoCodec.point(1, 1)), (1, 2)),
+      (GeoCodec.writeWkb(GeoCodec.point(50, 50)), (3, 4)))
+      .toDF("g", "g_bbox")
+    assert(bad.filter(st_intersects(col("g"), env(0, 0, 10, 10))).count() == 1)
+    // right shape but PERMUTED field order: the rewrite must bind xmin/…
+    // by field name, not by position
+    val permuted = Seq(
+      (GeoCodec.writeWkb(GeoCodec.point(1, 1)), (1.1, 1.1, 0.9, 0.9)),
+      (GeoCodec.writeWkb(GeoCodec.point(50, 50)), (50.1, 50.1, 49.9, 49.9)))
+      .toDF("g", "bb")
+      .select(col("g"), struct(
+        col("bb._1").as("ymax"), col("bb._2").as("xmax"),
+        col("bb._3").as("ymin"), col("bb._4").as("xmin")).as("g_bbox"))
+    assert(permuted.filter(st_intersects(col("g"), env(0, 0, 10, 10)))
+      .count() == 1, "permuted shadow fields must still filter correctly")
+  }
+
   test("NOT st_intersects produces no bbox pruning (non-negatable)") {
     val (f, r) = validateScan(table.filter(
       !st_intersects(col("geom"), env(0.5, -1.1, 1.1, 1.1))))

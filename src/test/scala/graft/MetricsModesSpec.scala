@@ -50,6 +50,35 @@ class MetricsModesSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).filter(col("id") === 150).count() == 1)
   }
 
+  test("non-finite doubles: bounds decline, the manifest stays parseable, " +
+      "reads and aggregates stay exact") {
+    val dir = Files.createTempDirectory("graft_mm_inf").toString + "/tbl"
+    spark.range(10).select(col("id"),
+        when(col("id") === 3, lit(Double.PositiveInfinity))
+          .when(col("id") === 4, lit(Double.NegativeInfinity))
+          .when(col("id") === 5, lit(Double.NaN))
+          .otherwise(col("id").cast("double")).as("d"))
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    // the manifest must parse — a bare Infinity token would brick it
+    val entries = Snapshots.readManifest(dir)
+    assert(entries.nonEmpty)
+    entries.foreach { f =>
+      // declined bounds are recorded as the null placeholder ("no usable
+      // bounds"), never as a bare Infinity/NaN token
+      assert(f.mins.get("d").forall(_ == null) && f.maxs.get("d").forall(_ == null),
+        s"non-finite bounds must decline: ${f.mins.get("d")} / ${f.maxs.get("d")}")
+      assert(f.mins.get("id").exists(_ != null), "finite sibling keeps its stats")
+    }
+    val t = Snapshots.read(spark, dir)
+    assert(t.count() == 10)
+    // MIN/MAX can't rewrite from stats (absent) — the real scan answers
+    assert(t.agg(min("d")).collect().head.getDouble(0) == Double.NegativeInfinity)
+    assert(t.filter(col("d") === Double.PositiveInfinity).count() == 1)
+    // finite band: ids 1,2,6,7,8,9 (0.0 excluded; ±Inf and NaN outside)
+    assert(t.filter(col("d") > 0.0 && col("d") < 100.0).count() == 6)
+  }
+
   test("none mode drops every value metric") {
     val dir = Files.createTempDirectory("graft_mm_none").toString + "/tbl"
     spark.range(50).select(col("id"), concat(lit("v"), col("id")).as("v"))

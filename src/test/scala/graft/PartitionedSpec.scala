@@ -214,6 +214,52 @@ class PartitionedSpec extends AnyFunSuite {
     assert(f3 == perYear("d_year=2023").toLong)
   }
 
+  test("NaN / Infinity identity-partition values never crash planning; " +
+      "pruning keeps them conservatively and rows stay correct") {
+    val dir = Files.createTempDirectory("graft_part_nonfinite").toString
+    val rows = Seq(
+      Row(1L, 1.0, GeoCodec.writeWkb(GeoCodec.point(1, 1))),
+      Row(2L, -1.0, GeoCodec.writeWkb(GeoCodec.point(2, 2))),
+      Row(3L, Double.NaN, GeoCodec.writeWkb(GeoCodec.point(3, 3))),
+      Row(4L, Double.PositiveInfinity, GeoCodec.writeWkb(GeoCodec.point(4, 4))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("d", DoubleType),
+        StructField("geom", BinaryType))))
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8, partitionBy = Seq("d"))
+    val t = GeoTable.read(spark, dir)
+    assert(t.count() == 4)
+    // range predicate: planning must not throw (BigDecimal can't parse
+    // NaN/Infinity); Spark semantics rank NaN and +Inf above 0
+    assert(t.filter(col("d") > lit(0.0)).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    // equality against the non-finite values themselves
+    assert(t.filter(col("d") === lit(Double.PositiveInfinity))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(t.filter(col("d").isNaN).count() == 1)
+    // a finite equality still prunes to one partition dir
+    val (f, r) = validateScan(t.filter(col("d") === lit(1.0)))
+    assert(r == 1L && f == 1L, s"files=$f rows=$r")
+  }
+
+  test("string partition range pruning uses UTF-8 binary order " +
+      "(supplementary characters must not be pruned below BMP chars)") {
+    val dir = Files.createTempDirectory("graft_part_utf8").toString
+    val rows = Seq(
+      Row(1L, "a", GeoCodec.writeWkb(GeoCodec.point(1, 1))),
+      Row(2L, "", GeoCodec.writeWkb(GeoCodec.point(2, 2))),
+      // U+1F600: UTF-16 surrogates (0xD83D…) sort BELOW U+E000, but
+      // UTF-8 binary (Spark's string order) puts it ABOVE
+      Row(3L, "😀", GeoCodec.writeWkb(GeoCodec.point(3, 3))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+        StructField("geom", BinaryType))))
+    GeoTable.write(df.coalesce(1), dir, "geom", res = 8, partitionBy = Seq("s"))
+    val t = GeoTable.read(spark, dir)
+    val got = t.filter(col("s") >= lit("")).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 3L), s"UTF-16 ordering would have pruned the emoji partition: $got")
+  }
+
   test("append and CoW delete preserve the partition layout") {
     val dir = Files.createTempDirectory("graft_part_cow").toString
     val mk = (ids: Range, q: Int) => {

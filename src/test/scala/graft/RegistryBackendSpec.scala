@@ -35,7 +35,7 @@ class RegistryBackendSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN rcat.db").collect().map(_.getString(1)).contains("t"))
     assert(spark.sql("SHOW NAMESPACES IN rcat").collect().map(_.getString(0)).contains("db"))
     // the registry file exists and records the table
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.t").isDefined)
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "t")).isDefined)
   }
 
   test("row-level DML resolves through the registry mapping") {
@@ -71,14 +71,14 @@ class RegistryBackendSpec extends AnyFunSuite {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE rcat.db.ct USING graft AS SELECT id, id * 2 AS d FROM range(20)")
     assert(spark.sql("SELECT * FROM rcat.db.ct").count() == 20)
-    val locBefore = graft.sources.RegistryBackend.lookup(warehouse, "db.ct").get
+    val locBefore = graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "ct")).get
     spark.sql("ALTER TABLE rcat.db.ct RENAME TO db.ct2")
     // metastore rename: mapping moves, the data directory does not
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ct").isEmpty)
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ct2").contains(locBefore))
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "ct")).isEmpty)
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "ct2")).contains(locBefore))
     assert(spark.sql("SELECT * FROM rcat.db.ct2").count() == 20)
     spark.sql("DROP TABLE rcat.db.ct2")
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ct2").isEmpty)
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "ct2")).isEmpty)
     assert(!spark.catalog.tableExists("rcat.db.ct2"))
   }
 
@@ -88,7 +88,7 @@ class RegistryBackendSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE rcat.db.away (id BIGINT, v DOUBLE) USING graft " +
       s"LOCATION '$elsewhere/awaydata'")
     spark.sql("INSERT INTO rcat.db.away SELECT id, CAST(id AS DOUBLE) FROM range(30)")
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.away")
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "away"))
       .exists(_.startsWith(elsewhere)), "location must be the custom one")
     // data really lives there, not under the warehouse
     assert(Files.exists(java.nio.file.Paths.get(s"$elsewhere/awaydata",
@@ -147,13 +147,58 @@ class RegistryBackendSpec extends AnyFunSuite {
     val elsewhere = Files.createTempDirectory("graft_reg_ctas_loc").toString
     spark.sql(s"CREATE TABLE rcat.db.ctl USING graft LOCATION '$elsewhere/ctldata' " +
       "AS SELECT id, id * 3 AS v FROM range(15)")
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "db.ctl")
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("db", "ctl"))
       .exists(_.startsWith(elsewhere)), "CTAS must register the custom location")
     assert(Files.exists(java.nio.file.Paths.get(s"$elsewhere/ctldata",
       graft.spatial.GeoTable.ManifestName)))
     assert(!Files.exists(java.nio.file.Paths.get(warehouse, "db", "ctl")))
     assert(spark.sql("SELECT * FROM rcat.db.ctl").count() == 15)
     spark.sql("DROP TABLE rcat.db.ctl")
+  }
+
+  test("rename re-validates INSIDE the CAS: an occupied target fails, a " +
+      "vanished source fails — no silent overwrite of a live registration") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = java.nio.file.Files.createTempDirectory("graft_reg_rename").toString
+    val backend = new graft.sources.RegistryBackend(wh)
+    val x = Identifier.of(Array("db"), "x")
+    val y = Identifier.of(Array("db"), "y")
+    val z = Identifier.of(Array("db"), "z")
+    backend.recordTable(x, java.nio.file.Paths.get(wh, "db", "x"))
+    backend.recordTable(y, java.nio.file.Paths.get(wh, "db", "y"))
+    backend.renameTable(x, z)
+    // the catalog's pre-check is OUTSIDE the CAS; a concurrent rename to
+    // the same target must be rejected by the update itself
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      backend.renameTable(y, z)
+    }
+    assert(backend.registeredLocation(y).isDefined, "loser keeps its registration")
+    assert(backend.registeredLocation(z).get.endsWith(java.nio.file.Paths.get("db", "x")),
+      "winner's mapping untouched")
+    // source dropped concurrently → NoSuchTable, not a phantom re-create
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchTableException] {
+      backend.renameTable(x, Identifier.of(Array("db"), "w"))
+    }
+  }
+
+  test("table names containing dots never collide with nested namespaces " +
+      "(registry keys escape identifier parts)") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val wh = java.nio.file.Files.createTempDirectory("graft_reg_dots").toString
+    val backend = new graft.sources.RegistryBackend(wh)
+    val dotted = Identifier.of(Array("db"), "a.b") // table `a.b` in ns db
+    val nested = Identifier.of(Array("db", "a"), "b") // table b in ns db.a
+    backend.recordTable(dotted, java.nio.file.Paths.get(wh, "loc1"))
+    backend.recordTable(nested, java.nio.file.Paths.get(wh, "loc2"))
+    assert(backend.registeredLocation(dotted).get.endsWith("loc1"))
+    assert(backend.registeredLocation(nested).get.endsWith("loc2"))
+    // listings keep them apart
+    assert(backend.listTables(Array("db"), _ => true).map(_.name()).toSet == Set("a.b"))
+    assert(backend.listTables(Array("db", "a"), _ => true).map(_.name()).toSet == Set("b"))
+    // dropping one never touches the other
+    backend.forgetTable(dotted)
+    assert(backend.registeredLocation(dotted).isEmpty)
+    assert(backend.registeredLocation(nested).get.endsWith("loc2"))
   }
 
   test("dropNamespace: non-empty refuses without cascade, cascade wipes and deregisters") {
@@ -164,7 +209,7 @@ class RegistryBackendSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("not empty") ||
       e.getMessage.contains("NON_EMPTY"), e.getMessage)
     spark.sql("DROP NAMESPACE rcat.tmpns CASCADE")
-    assert(graft.sources.RegistryBackend.lookup(warehouse, "tmpns.x").isEmpty)
+    assert(graft.sources.RegistryBackend.lookup(warehouse, Seq("tmpns", "x")).isEmpty)
     assert(!spark.sql("SHOW NAMESPACES IN rcat").collect()
       .map(_.getString(0)).contains("tmpns"))
   }

@@ -48,6 +48,22 @@ class TransformsPropertySpec extends AnyFunSuite {
     assert(norm(written.head) == expect)
   }
 
+  test("V2 BOUND truncate(string) counts code points — SPJ identity with " +
+      "the write derivation holds for supplementary characters") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
+    val bound = graft.sources.GraftFunctions.load("truncate").get
+      .bind(StructType(Seq(StructField("w", IntegerType), StructField("s", StringType))))
+      .asInstanceOf[ScalarFunction[Any]]
+    val got = bound.produceResult(new GenericInternalRow(
+      Array[Any](2, UTF8String.fromString("😀ab"))))
+    // UTF-16 take(2) would return just the emoji; code-point semantics
+    // (the write path's substring) return emoji + 'a'
+    assert(got == UTF8String.fromString("😀a"))
+    val t = Transforms.parse("truncate(2, s)")
+    assert(t.project("😀ab").contains("😀a"))
+  }
+
   test("bucket projection equals the written bucket id for long keys") {
     val t = Transforms.parse("bucket(8, l)")
     val written = evalWrite(t, StructField("l", LongType), longs)
