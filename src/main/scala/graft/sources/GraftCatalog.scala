@@ -316,9 +316,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     // (`id_bucket`, `ts_year`) never enter the logical schema — they live
     // in directory names, written by the append path and used for
     // planning-time projection pruning by GraftFileIndex's pruneSchema.
-    Snapshots.commitCreate(p.toString,
+    try Snapshots.commitCreate(p.toString,
       _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
-        schema = Some(schema)))
+        schema = Some(schema)), failIfExists = true)
+    catch { case _: Snapshots.TableCreateConflictException =>
+      throw new TableAlreadyExistsException(ident) }
     xtypeDecls.foreach(_.foreach { case (c, x) =>
       graft.spatial.ExtendedTypes.declare(p.toString, c, x) })
     backend.recordTable(ident, p)
@@ -666,12 +668,25 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
       java.nio.file.Files.copy(xt,
         java.nio.file.Paths.get(finalPath, graft.spatial.ExtendedTypes.FileName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // RE-STAMP addedV to the published version: the staging dir's own
+    // commit stamped these entries with STAGING version numbers (the empty
+    // staged create is v1, the CTAS insert v2), and keeping them would
+    // desync equality-delete sequence scoping — the first delete on the
+    // new table (seq=2) would exempt files stamped addedV=2
     if (exists)
-      Snapshots.commitReplace(spark, finalPath, entries, schema, parts, finalProps)
+      Snapshots.commitReplace(spark, finalPath, entries.map(_.copy(addedV = 0)),
+        schema, parts, finalProps)
     else
-      Snapshots.commitCreate(finalPath,
-        v => GeoTable.manifestJson(entries.map(_.withAddedV(v)), Nil, parts,
-          props = finalProps, schema = Some(schema)))
+      try Snapshots.commitCreate(finalPath,
+        v => GeoTable.manifestJson(entries.map(_.copy(addedV = v)), Nil, parts,
+          props = finalProps, schema = Some(schema)), failIfExists = true)
+      catch { case _: Snapshots.TableCreateConflictException =>
+        // a concurrent creator won between the exists-check and the commit:
+        // CREATE OR REPLACE degrades to the replace path; plain CTAS fails
+        if (replace) Snapshots.commitReplace(spark, finalPath,
+          entries.map(_.copy(addedV = 0)), schema, parts, finalProps)
+        else throw new TableAlreadyExistsException(ident)
+      }
     onCommit() // registry backends record the (ident -> location) mapping
     abortStagedChanges() // staged dir is spent either way
   }

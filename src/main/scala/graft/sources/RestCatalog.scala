@@ -148,7 +148,13 @@ class RestBackend(uri: String) extends CatalogBackend {
     // it never touches table storage): drop each table through the
     // catalog's own dropTable, THEN retire the namespace record
     tables.foreach(dropTable)
-    delete(uri, s"/v1/namespaces/${nsPath(ns)}")
+    val r = delete(uri, s"/v1/namespaces/${nsPath(ns)}")
+    // the server can refuse (409: a concurrent client registered a table
+    // between our listing and this DELETE) — success must not be assumed
+    if (r.statusCode() != 204 && r.statusCode() != 200 && r.statusCode() != 404)
+      throw new IllegalStateException(
+        s"REST catalog: drop namespace ${ns.mkString(".")} failed with " +
+          s"HTTP ${r.statusCode()}: ${r.body()}")
     true
   }
 }

@@ -29,6 +29,13 @@ object Snapshots {
     */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
 
+  /** A CREATE lost the race: another writer committed the table's first
+    * snapshot between the catalog's existence pre-check and this commit.
+    * Catalogs translate it to Spark's TableAlreadyExistsException.
+    */
+  class TableCreateConflictException(path: String)
+    extends RuntimeException(s"table already created at $path")
+
   /** Run `f` over a directory listing / walk and CLOSE the underlying
     * DirectoryStream. `Files.list`/`Files.walk` hold an open fd until
     * closed; the metadata paths call these constantly, and relying on GC
@@ -477,7 +484,8 @@ object Snapshots {
       eqDeletes: Seq[EqDelete] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       partsOverride: Seq[String] = null,
-      partHistoryOverride: Seq[String] = null): Int = {
+      partHistoryOverride: Seq[String] = null,
+      minVersion: Int = 0): Int = {
     val refHead = rs.branches.getOrElse(ref, if (ref == "main") rs.mainHead(path) else 0)
     // partitioning is table-level: carry the column list forward; props
     // and schema carry forward (from the ref's OWN head) unless replaced
@@ -498,7 +506,8 @@ object Snapshots {
     val sch = schema.orElse(if (refHead > 0) readSchema(path, Some(refHead)) else None)
     commitManifest(path, rs, ref, v =>
       GeoTable.manifestJson(entries.map(_.withAddedV(v)), deletes, parts,
-        posDeletes, stamped, eqDeletes.map(_.withSeq(v)), sch, partHist))
+        posDeletes, stamped, eqDeletes.map(_.withSeq(v)), sch, partHist),
+      minVersion = minVersion)
   }
 
   /** Allocate the next free version, write `mkBody(v)` as its manifest,
@@ -507,12 +516,16 @@ object Snapshots {
     * one commit point.
     */
   private[spatial] def commitManifest(path: String, rs: RefsState, ref: String,
-      mkBody: Int => String): Int = {
+      mkBody: Int => String, minVersion: Int = 0): Int = {
     // legacy-main fallback must be read BEFORE our version file lands
     val legacyMain = rs.mainHead(path)
     // allocate the next free version number; a collision here is another
-    // in-flight writer's allocation, not a conflict — bump and re-stamp
-    var v = math.max(currentVersion(path), rs.branches.getOrElse(ref, 0)) + 1
+    // in-flight writer's allocation, not a conflict — bump and re-stamp.
+    // `minVersion` floors the allocation (snapshotClone: the clone's first
+    // version must be >= every carried addedV/seq stamp or sequence-number
+    // scoping inverts on the clone)
+    var v = math.max(math.max(currentVersion(path), rs.branches.getOrElse(ref, 0)),
+      minVersion - 1) + 1
     var body: Array[Byte] = null
     var placed = false
     while (!placed) {
@@ -547,10 +560,19 @@ object Snapshots {
   }
 
   /** Creation-path commit: retry loop around [[commitManifest]] with fresh
-    * refs state each attempt.
+    * refs state each attempt. `failIfExists` re-checks INSIDE the retry
+    * that no main head exists yet — two racing CREATE TABLEs both pass the
+    * catalog's tableExists pre-check, and without this the loser's retry
+    * would silently commit an empty v2 over the winner's table.
     */
-  private[graft] def commitCreate(path: String, mkBody: Int => String): Int =
-    withCommitRetry() { commitManifest(path, refsState(path), "main", mkBody) }
+  private[graft] def commitCreate(path: String, mkBody: Int => String,
+      failIfExists: Boolean = false): Int =
+    withCommitRetry() {
+      val rs = refsState(path)
+      if (failIfExists && rs.mainHead(path) > 0)
+        throw new TableCreateConflictException(path)
+      commitManifest(path, rs, "main", mkBody)
+    }
 
   /** Pending MoR deletes of snapshot `head` (carried forward by ops; 0 =
     * empty table). Ops read ALL prior state at the head their refs state
@@ -717,7 +739,11 @@ object Snapshots {
       case (sketches, pv)
         if targets.forall(sketches.contains) &&
           Files.exists(manifestPath(path, pv)) &&
-          manifest.count(_.addedV <= pv) == readManifest(path, Some(pv)).size &&
+          // MEMBERSHIP, not counts: a cherrypick adding files stamped
+          // <= pv while a CoW delete removes the same number would pass a
+          // count check and leave the cherrypicked files out of the union
+          manifest.filter(_.addedV <= pv).map(_.path).toSet ==
+            readManifest(path, Some(pv)).map(_.path).toSet &&
           readDeletes(path, Some(head)).isEmpty &&
           readEqDeletes(path, Some(head)).isEmpty &&
           readPosDeletes(path, Some(head)).isEmpty =>
@@ -1727,6 +1753,9 @@ object Snapshots {
     val rows = try reader.getRecordCount finally reader.close()
     Files.createDirectories(Paths.get(path, "_graft_deletes"))
     Files.move(src, Paths.get(path, name))
+    // the temp dir still holds _SUCCESS/.crc debris — one leaked dir per
+    // MoR DML statement adds up on a long-lived driver
+    walkDir(Paths.get(tmp))(_.toSeq).reverse.foreach(Files.deleteIfExists(_))
     (name, rows)
   }
 
@@ -2657,7 +2686,8 @@ object Snapshots {
   /** History metadata table: one row per snapshot. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val rows = (1 to currentVersion(path)).map { v =>
+    // retained versions only: expire_snapshots deletes old manifest files
+    val rows = retainedVersions(path).map { v =>
       val m = readManifest(path, Some(v))
       org.apache.spark.sql.Row(v, m.size, m.map(_.rows).sum, m.map(_.sizeBytes).sum)
     }
@@ -2970,8 +3000,11 @@ object Snapshots {
     */
   def allEntriesTable(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val rows = retainedVersions(path).flatMap { v =>
-      val parent = retainedVersions(path).filter(_ < v).lastOption
+    // ONE directory listing: retainedVersions is a Files.list, and per-
+    // version re-listing would make this O(versions²) directory scans
+    val retained = retainedVersions(path)
+    val rows = retained.flatMap { v =>
+      val parent = retained.filter(_ < v).lastOption
         .map(pv => readManifest(path, Some(pv)).map(_.path).toSet)
         .getOrElse(Set.empty[String])
       readManifest(path, Some(v)).map { f =>
@@ -3456,22 +3489,30 @@ object Snapshots {
       .toSeq.sorted.filter(v => Files.exists(manifestPath(path, v)))
     val referenced = keepVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (1 to cur).filterNot(keepVersions.contains)
-      .foreach(v => Files.deleteIfExists(manifestPath(path, v)))
-    val orphans = listDataFiles(spark, path)
+    // data-file deletion is a REACHABILITY DIFF (files some EXPIRED
+    // manifest references minus files any kept one does), never a
+    // directory listing: a concurrent writer's moved-but-uncommitted
+    // files are referenced by no manifest yet, and a listing-based sweep
+    // would delete them out from under the in-flight commit (the race
+    // removeOrphanFiles guards with its age cutoff — failed-commit debris
+    // stays ITS job, with that guard). Expired manifests are read for
+    // their references BEFORE the manifest files are deleted.
+    val expiredVersions = (1 to cur).filterNot(keepVersions.contains)
+      .filter(v => Files.exists(manifestPath(path, v)))
+    val expiredRefs = expiredVersions.flatMap(v => readManifest(path, Some(v)).map(_.path)).toSet
+    val expiredDel = expiredVersions.flatMap(v =>
+      readPosDeletes(path, Some(v)) ++ readEqDeletes(path, Some(v)).map(_.path)).toSet
+    expiredVersions.foreach(v => Files.deleteIfExists(manifestPath(path, v)))
+    val orphans = expiredRefs
       .filterNot(f => referenced(f) || isReferencedLenient(f, referenced))
     orphans.foreach { orphan =>
       fs.delete(new Path(new Path(path), orphan), false)
     }
-    // delete files (positional + equality) referenced by no retained snapshot
+    // delete files (positional + equality) referenced only by expired snapshots
     val keptPos = keepVersions.flatMap(v => readPosDeletes(path, Some(v))).toSet ++
       keepVersions.flatMap(v => readEqDeletes(path, Some(v)).map(_.path))
-    val delDir = Paths.get(path, "_graft_deletes")
-    if (Files.exists(delDir)) {
-      listDir(delDir)(_.toSeq).foreach { p =>
-        val rel = s"_graft_deletes/${p.getFileName}"
-        if (!keptPos.contains(rel)) Files.delete(p)
-      }
+    (expiredDel -- keptPos).foreach { rel =>
+      Files.deleteIfExists(Paths.get(path, rel))
     }
     // superseded refs generations (all but the newest)
     val gen = refsState(path).gen
@@ -3570,10 +3611,15 @@ object Snapshots {
       if (Files.exists(src)) Files.copy(src, Paths.get(target, n))
     }
     withCommitRetry() {
+      // pin the clone's first version AT the source head: entries keep
+      // their source addedV stamps and eq-deletes their seq stamps, so
+      // the clone's version counter must start past all of them — a clone
+      // restarting at v1 would let cloned seq=8 deletes hide fresh v2
+      // appends, and fresh deletes (seq=2) exempt cloned addedV=5 files
       publish(target, refsState(target), m, readDeletes(source, Some(head)),
         readPosDeletes(source, Some(head)), readProps(source, Some(head)),
         eqDeletes = readEqDeletes(source, Some(head)),
-        schema = readSchema(source, Some(head)))
+        schema = readSchema(source, Some(head)), minVersion = head)
     }
   }
 

@@ -271,15 +271,32 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
 
   private lazy val physicalRow: UnsafeProjection = UnsafeProjection.create(proj)
 
+  // the batch writer (Spark partitionBy) formats timestamp dir values in
+  // the SESSION time zone as 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' — raw epoch
+  // micros in the dir would read back as NULL through the string cast
+  private lazy val tsFormatter =
+    org.apache.spark.sql.catalyst.util.TimestampFormatter.getFractionFormatter(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+        Option(conf.get(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key))
+          .getOrElse("UTC")))
+  private lazy val ntzFormatter =
+    org.apache.spark.sql.catalyst.util.TimestampFormatter.getFractionFormatter(
+      java.time.ZoneOffset.UTC)
+
   private def dirFor(row: InternalRow): String =
     transforms.map { case (name, e) =>
       val v = e.eval(row)
       // hive dir formatting must match the batch writer's (read back by
-      // GraftFileIndex.castPart): dates print as ISO strings, not day ints
+      // GraftFileIndex.castPart): dates print as ISO strings, not day
+      // ints; timestamps print formatted, not as epoch micros
       val str = v match {
         case null => null
         case i: java.lang.Integer if e.dataType == org.apache.spark.sql.types.DateType =>
           java.time.LocalDate.ofEpochDay(i.longValue).toString
+        case l: java.lang.Long if e.dataType == org.apache.spark.sql.types.TimestampType =>
+          tsFormatter.format(l.longValue)
+        case l: java.lang.Long if e.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+          ntzFormatter.format(l.longValue)
         case x => x.toString
       }
       val s = if (str == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME

@@ -204,6 +204,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.dml.t").count() == 1)
   }
 
+  test("CTAS entries are re-stamped to the PUBLISHED version, so the first " +
+      "equality delete on the new table applies") {
+    import spark.implicits._
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    spark.sql("CREATE TABLE gcat.dml.ctas_stamp AS SELECT id FROM range(20)")
+    val p = s"$warehouse/dml/ctas_stamp"
+    val head = graft.spatial.Snapshots.mainVersion(p)
+    val entries = graft.spatial.Snapshots.readManifest(p)
+    assert(entries.nonEmpty && entries.forall(_.addedV == head),
+      s"staging-version stamps must not survive the publish: " +
+        s"head=$head stamps=${entries.map(_.addedV).distinct}")
+    // the regression this guards: files stamped with the STAGING counter
+    // (v2) exempt themselves from the table's first eq-delete (seq=2)
+    graft.spatial.Snapshots.deleteByEquality(spark, p, Seq(3L, 5L).toDF("id"))
+    assert(spark.sql("SELECT count(*) FROM gcat.dml.ctas_stamp").head.getLong(0) == 18)
+  }
+
   test("metadata tables resolve as catalog identifiers: cat.db.t.files") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.meta")

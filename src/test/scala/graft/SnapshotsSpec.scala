@@ -82,6 +82,83 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("expire_snapshots is a reachability diff: unreferenced files survive " +
+      "(a concurrent writer's moved-but-uncommitted files are not manifest-reachable)") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_exp_reach").toString
+    GeoTable.write(mkDf(0 until 30, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 2)
+    Snapshots.overwrite(mkDf(100 until 120, 1), dir) // v2 references only new files
+    val v1Only = Snapshots.readManifest(dir, Some(1)).map(_.path).toSet --
+      Snapshots.readManifest(dir, Some(2)).map(_.path).toSet
+    assert(v1Only.nonEmpty)
+    // simulate an in-flight commit: a data file moved into place whose
+    // manifest has not been published yet
+    val stray = java.nio.file.Paths.get(dir, "part-inflight-000.parquet")
+    Files.write(stray, Array[Byte](80, 65, 82, 49))
+    Snapshots.expireSnapshots(spark, dir, keep = 1)
+    assert(Files.exists(stray),
+      "expire must not delete unreferenced files — that is remove_orphan_files' " +
+        "age-guarded job")
+    v1Only.foreach(f => assert(!Files.exists(java.nio.file.Paths.get(dir, f)),
+      s"file referenced only by the expired v1 must be deleted: $f"))
+    assert(Snapshots.read(spark, dir).count() == 20)
+    // history lists only retained versions instead of throwing on expired ones
+    val hist = Snapshots.history(spark, dir).collect().map(_.getInt(0)).toSeq
+    assert(hist == Seq(2), s"got $hist")
+    Files.delete(stray)
+  }
+
+  test("snapshotClone starts the clone's version counter past carried stamps " +
+      "(sequence scoping must not invert on the clone)") {
+    import spark.implicits._
+    graft.spatial.Geo.install(spark)
+    val src = Files.createTempDirectory("graft_clone_src").toString
+    GeoTable.write(mkDf(0 until 20, 0).drop("geom_bbox"), src, "geom", res = 8, numFiles = 2)
+    Snapshots.append(mkDf(100 until 110, 1), src) // v2
+    Snapshots.deleteByEquality(spark, src, Seq(5L).toDF("id")) // v3, seq=3
+    val srcHead = Snapshots.mainVersion(src)
+    val target = Files.createTempDirectory("graft_clone_tgt").toString + "/t"
+    val v = Snapshots.snapshotClone(spark, src, target)
+    assert(v >= srcHead, s"clone committed at $v, below source head $srcHead")
+    assert(Snapshots.read(spark, target).count() == 29)
+    // (a) an append to the clone must stay visible — under a restarted
+    // counter the cloned seq=3 delete would swallow it
+    Snapshots.append(mkDf(5 until 6, 0), target) // reinsert the deleted key
+    assert(Snapshots.read(spark, target).filter(col("id") === 5L).count() == 1)
+    // (b) a fresh delete on the clone must apply to CLONED files — under a
+    // restarted counter their addedV stamps would exempt them
+    Snapshots.deleteByEquality(spark, target, Seq(7L).toDF("id"))
+    assert(Snapshots.read(spark, target).filter(col("id") === 7L).count() == 0)
+    // the source is untouched
+    assert(Snapshots.read(spark, src).filter(col("id") === 7L).count() == 1)
+  }
+
+  test("racing table creation: the second commitCreate(failIfExists) loses " +
+      "instead of committing an empty v2 over the winner") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_create_race").toString
+    def create() = Snapshots.commitCreate(dir,
+      _ => GeoTable.manifestJson(Nil, Nil, Nil,
+        schema = Some(StructType(Seq(StructField("id", LongType))))),
+      failIfExists = true)
+    assert(create() == 1)
+    intercept[Snapshots.TableCreateConflictException] { create() }
+    assert(Snapshots.mainVersion(dir) == 1, "loser must not advance the table")
+  }
+
+  test("MoR DML leaves no temp-dir debris behind") {
+    import spark.implicits._
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_tmp_debris").toString
+    GeoTable.write(mkDf(0 until 20, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def tmpDirs() = Files.list(tmpRoot).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("graft_del")).toSet
+    val before = tmpDirs()
+    Snapshots.deleteByEquality(spark, dir, Seq(3L).toDF("id"))
+    assert(tmpDirs() == before, "writeDeleteFile must clean its temp directory")
+  }
+
   test("copy-on-write update rewrites only stats-matching files") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_upd").toString

@@ -720,6 +720,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(tbl) == v)
   }
 
+  test("identity TIMESTAMP partition dirs from the streaming writer match " +
+      "the batch hive format (not raw epoch micros)") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_tsw_wh").toString
+    spark.conf.set("spark.sql.catalog.tscat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tscat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tscat.st")
+    spark.sql(
+      """CREATE TABLE tscat.st.tsev (event_id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (ts)""".stripMargin)
+    val ckpt = Files.createTempDirectory("graft_tsw_ckpt").toString
+    val ev = EventStreams.readEvents(spark, sf)
+      .select(col("event_id"),
+        date_trunc("day", col("ts").cast("timestamp")).as("ts"))
+    val q = ev.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("tscat.st.tsev")
+    try q.awaitTermination() finally q.stop()
+    val n = batchEvents.count()
+    assert(spark.sql("SELECT * FROM tscat.st.tsev").count() == n)
+    // raw epoch-micros dir values would cast back to NULL on read
+    assert(spark.sql("SELECT count(*) FROM tscat.st.tsev WHERE ts IS NULL")
+      .head.getLong(0) == 0L, "timestamp partition values must survive the round trip")
+    val manifest = Snapshots.readManifest(s"$wh/st/tsev")
+    assert(manifest.nonEmpty && manifest.forall(_.path.matches("""ts=\d{4}-.*""")),
+      s"dirs must carry formatted timestamps: ${manifest.map(_.path).take(3)}")
+  }
+
   test("streaming curation: quality gates + stream-static dedup + exactly-once sink") {
     import graft.spatial.{GeoTable, Snapshots}
     import graft.functions.VectorSql
