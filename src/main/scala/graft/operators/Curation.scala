@@ -182,14 +182,19 @@ object Curation {
       // two full corpus scans. One eager localCheckpoint = one scan
       // (the jaccardPairs rationale; at 100 TB the blocks feed both
       // branches instead of doubling scan I/O).
+      // tokenize ONCE into a projected column: a split() inside the
+      // transform lambda is interpreted per element and escapes codegen
+      // CSE — the full regex split would re-run ceil(n/8) times per doc
+      // (O(n²/8) tokenization on the corpus scan feeding the checkpoint)
       val lines = docs(s, dir)
+        .withColumn("tk", split(lower(trim(col("text"))), "\\s+"))
         .select(col("doc_id"),
           posexplode(transform(
             sequence(lit(0),
-              greatest(ceil(org.apache.spark.sql.functions.size(
-                split(lower(trim(col("text"))), "\\s+")) / lit(8.0)).cast("int") - 1, lit(0))),
-            i => concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
-              i * 8 + 1, lit(8))))).as(Seq("line_no", "line")))
+              greatest(ceil(org.apache.spark.sql.functions.size(col("tk")) / lit(8.0))
+                .cast("int") - 1, lit(0))),
+            i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8)))))
+            .as(Seq("line_no", "line")))
         .localCheckpoint(true)
       val boiler = lines.groupBy(col("line"))
         .agg(countDistinct(col("doc_id")).as("df"))

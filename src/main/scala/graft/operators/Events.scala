@@ -40,9 +40,20 @@ object Events {
     // purchase (composed as tagged-union + running last_value — one shuffle)
     "ev_asof_join" -> ((s, dir) => {
       val e = ev(s, dir)
-      val tagged = e.select(col("user_id"), col("ts"), col("event_id"), col("value"),
-        col("event_type"), (col("event_type") === "purchase").cast("int").as("is_p"))
-        .filter(col("event_type").isin("click", "purchase"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          lit(0).as("is_p"))
+      // ONE purchase row per (user_id, ts): DuckDB's ASOF pick among
+      // equal-ts matches is unspecified, so determinism must come from
+      // the data — keep the max event_id (map-side-combinable aggregate,
+      // mirrored by arg_max in the oracle SQL)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"),
+          max_by(col("value"), col("event_id")).as("value"))
+        .withColumn("is_p", lit(1))
+      val tagged = clicks.unionByName(purchases.select(
+        col("user_id"), col("ts"), col("event_id"), col("value"), col("is_p")))
       // purchases sort before clicks at equal ts → ">= purchase.ts" semantics
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("is_p").desc, col("event_id"))
@@ -52,7 +63,7 @@ object Events {
           last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true).over(w))
         .withColumn("last_purchase_value",
           round(last(when(col("is_p") === 1, col("value")), ignoreNulls = true).over(w), 4))
-        .filter(col("event_type") === "click")
+        .filter(col("is_p") === 0)
         .select(col("event_id"), col("user_id"),
           col("last_purchase_id"), col("last_purchase_value"))
     }),
@@ -142,7 +153,10 @@ object Events {
         | p.event_id AS last_purchase_id,
         | round(p.value, 4) AS last_purchase_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS event_id,
+        |         arg_max(value, event_id) AS value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 
     "ev_retention" ->

@@ -76,24 +76,29 @@ object Similarity {
     // candidates meet on any (band, sig) — exact cosine re-ranks
     "sim_ann_lsh" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val (bands, bits) = (4, sizedBits(e0.count()))
+      val (bands, bits) = (4, sizedBits(Tables.metaRowCount(s, dir, "embeddings")))
       val ps = planes(bands * bits, 64)
       // signatures are the expensive map work (bands*bits plane dots per
-      // vector) and feed BOTH join sides — materialize once (at 100 TB:
-      // persist to cluster storage), or each side recomputes the kernel
-      val exploded = e0
+      // vector) and feed BOTH join sides — materialize ONLY the slim
+      // (vec_id, band, sig) frame (the dedup_embed_cosine shape: a
+      // vector-carrying checkpoint stores bands× copies of every vector,
+      // measured 2.2× slower in the full bench); the exact re-rank
+      // re-joins vectors from the base scan
+      val sigs = e0
         .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
-        .select(col("vec_id"), col("v"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
         .localCheckpoint(true)
-      val q = exploded.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("v").as("qv"),
-          col("band").as("qband"), col("sig").as("qsig"))
+      val q = sigs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("band").as("qband"), col("sig").as("qsig"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
-      exploded.join(broadcast(q),
+      sigs.join(broadcast(q),
           col("band") === col("qband") && col("sig") === col("qsig") &&
             col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
         .dropDuplicates("qid", "vec_id") // a pair may collide in several bands
+        .join(e0.select(col("vec_id").as("qid"), col("v").as("qv")), Seq("qid"))
+        .join(e0.select(col("vec_id"), col("v")), Seq("vec_id"))
         .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -110,7 +115,7 @@ object Similarity {
     // broadcast state by construction (k × d doubles).
     "sim_ann_ivf" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val n = e0.count()
+      val n = Tables.metaRowCount(s, dir, "embeddings") // footer-only, no scan
       val k = math.max(4, math.min(256, (n / 64).toInt))
       val sample = strideSample(e0, n, 4096)
       val cents = coarseCentroids(sample, k)
@@ -153,7 +158,7 @@ object Similarity {
     // the candidate scan, PQ bounds its memory and per-pair cost.
     "sim_pq_topk" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val n = e0.count()
+      val n = Tables.metaRowCount(s, dir, "embeddings")
       val m = 4; val ksub = 16; val dsub = 16
       val sample = strideSample(e0, n, 2048)
       val books = pqCodebooks(sample, m, ksub, dsub) // broadcast literals
@@ -192,12 +197,16 @@ object Similarity {
     // re-ranks the top-16 ADC survivors.
     "sim_ivf_pq" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val n = e0.count()
+      val n = Tables.metaRowCount(s, dir, "embeddings")
       val coarseK = math.max(4, math.min(256, (n / 64).toInt))
       val m = 4; val ksub = 16; val dsub = 16
       val sample = strideSample(e0, n, 4096)
       val cn = typedlit(coarseCentroids(sample, coarseK).map(normalize).toSeq)
-      val books = pqCodebooks(strideSample(e0, n, 2048), m, ksub, dsub)
+      // the PQ training sample derives from the coarse sample already on
+      // the driver (every other stride element ≈ the 2048-cap stride) —
+      // a second full scan + collect would be pure waste on the build path
+      val books = pqCodebooks(
+        sample.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }, m, ksub, dsub)
       val coded = e0.select(col("vec_id"), col("v"),
         VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),
         array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"))
@@ -245,7 +254,7 @@ object Similarity {
     // same way PQ does.
     "sim_sq8_topk" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val n = e0.count()
+      val n = Tables.metaRowCount(s, dir, "embeddings")
       val d = 64
       val (mins, scales) = sq8Bounds(strideSample(e0, n, 2048), d)
       val minsL = typedlit(mins.toSeq)
@@ -290,15 +299,7 @@ object Similarity {
     "sim_centroid_assign" -> ((s, dir) => {
       val k = 8
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      val scored = cents.map { case (cid, cv) =>
-        struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
-          lit(-cid).as("neg"))
-      }
-      val best = greatest(scored: _*)
+      val best = fixedCentroidBest(e, k)
       e.filter(col("vec_id") >= k)
         .select(col("vec_id"),
           (-best.getField("neg")).as("centroid_id"),
@@ -317,15 +318,7 @@ object Similarity {
     "sim_kmeans_update" -> ((s, dir) => {
       val k = 8
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      val scored = cents.map { case (cid, cv) =>
-        struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
-          lit(-cid).as("neg"))
-      }
-      val cell = -greatest(scored: _*).getField("neg")
+      val cell = -fixedCentroidBest(e, k).getField("neg")
       e.select(cell.as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
@@ -344,15 +337,7 @@ object Similarity {
     "sim_semdedup" -> ((s, dir) => {
       val k = 8
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < k)
-        .select(col("vec_id"), col("v")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      val scored = cents.map { case (cid, cv) =>
-        struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
-          lit(-cid).as("neg"))
-      }
-      val best = greatest(scored: _*)
+      val best = fixedCentroidBest(e, k)
       val assigned = e.filter(col("vec_id") >= k)
         .select(col("vec_id"), col("v"), (-best.getField("neg")).as("cell"))
       val slim = assigned.select(col("cell"), col("vec_id"), col("v"))
@@ -384,7 +369,7 @@ object Similarity {
 
     "dedup_embed_cosine" -> ((s, dir) => {
       val e0 = emb(s, dir)
-      val (bands, bits) = (4, sizedBits(e0.count()))
+      val (bands, bits) = (4, sizedBits(Tables.metaRowCount(s, dir, "embeddings")))
       val ps = planes(bands * bits, 64)
       // materialize ONLY the slim (vec_id, band, sig) frame for the
       // self-join: checkpointing the vector-carrying exploded frame costs
@@ -409,10 +394,31 @@ object Similarity {
     })
   )
 
-  /** Bounded driver-side stride sample of raw vectors (≤ `cap` rows). */
+  /** Bounded driver-side stride sample of raw vectors (≤ `cap` rows).
+    * CEIL division: floor would give stride 1 for n just under 2·cap and
+    * collect ~2× the documented bound.
+    */
   private def strideSample(e0: DataFrame, n: Long, cap: Int): Array[Array[Double]] =
-    e0.filter(col("vec_id") % math.max(1L, n / cap) === 0)
+    e0.filter(col("vec_id") % math.max(1L, (n + cap - 1) / cap) === 0)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
+  /** Nearest FIXED centroid (the k lowest vec_ids — DuckDB derives the
+    * identical set) as a struct-ordered greatest(): `.getField("cos")` is
+    * the rounded cosine, `-getField("neg")` the centroid id. Ties on
+    * rounded cosine break to the SMALLEST centroid id — the tie-break is
+    * part of the oracle contract for all three consumers (assign / Lloyd
+    * update / SemDeDup), so it lives in exactly one place.
+    */
+  private def fixedCentroidBest(e: DataFrame, k: Int): Column = {
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    greatest(cents.map { case (cid, cv) =>
+      struct(round(cosine(col("v"), typedlit(cv)), 6).as("cos"),
+        lit(-cid).as("neg"))
+    }: _*)
+  }
 
   private def normalize(c: Array[Double]): Seq[Double] = {
     val nn = math.sqrt(c.map(x => x * x).sum)

@@ -141,6 +141,15 @@ object TextPipeline {
     */
   private val LocalSolveMaxEdges = 4L * 1000 * 1000
 
+  /** Default hot-shingle df cap: >12.5% of the corpus means stopword-run
+    * shingles, the unbounded skew key of the self-join at scale. Footer
+    * row count only (driver-side, no scan). ONE definition — four query
+    * closures share this contract, and the recall trade-off comment on
+    * [[jaccardPairs]] documents it.
+    */
+  private def defaultMaxDf(s: SparkSession, dir: String): Long =
+    math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8)
+
   private[graft] def clusterLabels(d: DataFrame, maxDf: Long): DataFrame = {
     val pairs = jaccardPairs(d, maxDf).select(col("d1"), col("d2"))
       .localCheckpoint(true)
@@ -158,7 +167,20 @@ object TextPipeline {
     // 3 stages each, pure scheduling overhead when the graph is tiny.
     val edgeCount = pairs.count()
     if (edgeCount <= LocalSolveMaxEdges) {
-      val parent = new java.util.HashMap[Long, Long]()
+      // honest memory math for the gate: the edges come back as PACKED
+      // LONGS (one Array[Long] per partition — 16 B/edge, 64 MB at the
+      // 4M gate), never as collect()ed Row objects (~100 B/edge, a
+      // ~400 MB transient spike); the union-find map is the remaining
+      // boxed cost (≤ 2·edges entries ≈ 60 B each, ~480 MB worst case) —
+      // the gate is sized for a driver with gigabytes, not the default
+      // heap, which is why the distributed loop below exists at all
+      val chunks: Array[Array[Long]] = pairs.rdd.mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
+      val parent = new java.util.HashMap[Long, Long](
+        math.min(edgeCount * 2, Int.MaxValue / 2).toInt)
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
@@ -166,9 +188,13 @@ object TextPipeline {
         while (parent.getOrDefault(c, c) != c) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
         r
       }
-      pairs.collect().foreach { row =>
-        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+      chunks.foreach { chunk =>
+        var i = 0
+        while (i < chunk.length) {
+          val (a, b) = (find(chunk(i)), find(chunk(i + 1)))
+          if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+          i += 2
+        }
       }
       import scala.jdk.CollectionConverters._
       val touched = parent.keySet.asScala.toSet ++ parent.values.asScala
@@ -205,10 +231,18 @@ object TextPipeline {
     var prev = checksum(labels)
     var changed = true
     var iter = 0
-    while (changed && iter < 20) {
+    while (changed) {
       val viaNeighbor = edges.join(labels, edges("d2") === labels("doc_id"))
         .select(edges("d1").as("doc_id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
+      // POINTER DOUBLING (label-of-label): halves the remaining distance
+      // to the component minimum each round, so rounds = O(log diameter)
+      // — neighbor propagation alone is O(diameter) and a chain-shaped
+      // component longer than any fixed cap would exit unconverged,
+      // silently splitting one duplicate cluster into several
+      val viaLabel = labels.as("a").join(labels.as("b"),
+          col("a.cluster") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.cluster").as("cluster"))
+      val next = labels.unionByName(viaNeighbor).unionByName(viaLabel)
         .groupBy(col("doc_id")).agg(min(col("cluster")).as("cluster"))
         .localCheckpoint(eager = false)
       // ONE action per round: the checksum agg materializes the lazy
@@ -219,6 +253,11 @@ object TextPipeline {
       prev = cur
       labels = next
       iter += 1
+      // with doubling, 64 rounds covers diameters beyond any physical
+      // graph; hitting the cap means a bug, and a LOUD failure beats
+      // returning labels that silently split a duplicate cluster
+      if (changed && iter >= 64) throw new IllegalStateException(
+        s"connected-components propagation did not converge after $iter rounds")
     }
     // isolated docs: cluster = self (one anti-join, not O(rounds) of them)
     d.select(col("doc_id"))
@@ -603,7 +642,7 @@ object TextPipeline {
     // — d.count() here was one extra Spark job per invocation.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
-      jaccardPairs(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
+      jaccardPairs(d, defaultMaxDf(s, dir))
     }),
 
     // quality-aware near-dup keep policy (the RefinedWeb posture: keep
@@ -617,7 +656,7 @@ object TextPipeline {
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = jaccardPairs(d,
-        math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
+        defaultMaxDf(s, dir))
       val q = d.select(col("doc_id"), col("n_chars"))
       val losers = pairs
         .join(q.select(col("doc_id").as("d1"), col("n_chars").as("c1")), Seq("d1"))
@@ -638,7 +677,7 @@ object TextPipeline {
     // rows where doc_id == cluster is the dedup KEEP policy.
     "dedup_clusters" -> ((s, dir) => {
       val d = docs(s, dir)
-      clusterLabels(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
+      clusterLabels(d, defaultMaxDf(s, dir))
     }),
 
     // end-to-end training-data curation: language gate + quality gate +
@@ -648,7 +687,7 @@ object TextPipeline {
     // Catalyst fuses the map-only gates into the scan.
     "pipeline_curate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val labels = clusterLabels(d, math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8))
+      val labels = clusterLabels(d, defaultMaxDf(s, dir))
       d.withColumn("st", VectorSql.text_stats(col("text"), typedlit(stopwords)))
         .withColumn("h", VectorSql.lang_hits(col("text"), typedlit(Seq(
           Seq("the", "a", "of", "and"), Seq("el", "la", "de", "y"),
