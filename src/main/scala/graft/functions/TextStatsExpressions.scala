@@ -266,6 +266,16 @@ case class TextStats(left: Expression, right: Expression)
   override def inputTypes = Seq[DataType](StringType, ArrayType(StringType))
   override def dataType: DataType = TextStats.schema
   override protected def foldableArgs = Seq(right -> "the stopword set")
+  // a NULL literal set must fail at ANALYSIS time (the ShingleHashesN
+  // posture), not as an opaque NPE when codegen forces `stops`
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (right.eval(null) == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "text_stats: the stopword set must not be NULL (pass an empty array)")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
   @transient private lazy val stops: java.util.HashSet[String] =
     TextKernels.toStringSet(right.eval(null).asInstanceOf[ArrayData])
   override protected def nullSafeEval(t: Any, ignored: Any): Any =
@@ -372,6 +382,20 @@ case class TextHits(left: Expression, right: Expression)
   override def inputTypes = Seq[DataType](StringType, ArrayType(ArrayType(StringType)))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override protected def foldableArgs = Seq(right -> "the profile sets")
+  // NULL outer literal or a NULL inner set: analysis-time error, not NPE
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else right.eval(null) match {
+      case null =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "lang_hits: the profile sets must not be NULL")
+      case outer: ArrayData if (0 until outer.numElements()).exists(outer.isNullAt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "lang_hits: no profile set may be NULL (pass empty arrays)")
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
   @transient private lazy val sets: Array[java.util.HashSet[String]] = {
     val outer = right.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements()) { i =>

@@ -43,9 +43,15 @@ object GeoQueries {
     * stale dir would double-append — but a UUID name would leak one
     * orphan dir per correctness/bench run (round-7 advisor finding).
     */
+  /** The per-(tag, input) scratch location — ONE naming scheme for every
+    * fixture-writing query.
+    */
+  private def scratchPath(tag: String, dir: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+
   private def freshScratch(tag: String, dir: String): String = {
-    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+    val f = new java.io.File(scratchPath(tag, dir))
     if (f.exists()) {
       graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -145,8 +151,7 @@ object GeoQueries {
     // lifecycle in one query)
     "geo_table_roundtrip" -> ((s, dir) => {
       import graft.spatial.GeoTable
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_geotable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = scratchPath("geotable", dir)
       GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
         path, "geom", res = 10, numFiles = 8)
       GeoTable.read(s, path)
@@ -212,8 +217,7 @@ object GeoQueries {
     // the reference's partitioned pruning matrix as an end-to-end query
     "geo_partitioned_prune" -> ((s, dir) => {
       import graft.spatial.GeoTable
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_parttable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = scratchPath("parttable", dir)
       val src = pts(s, dir)
         .withColumn("pq",
           when(col("x") > 0 && col("y") > 0, 0)
@@ -246,8 +250,7 @@ object GeoQueries {
     // project to one bucket directory at planning time
     "geo_bucket_prune" -> ((s, dir) => {
       import graft.spatial.GeoTable
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_buckettable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = scratchPath("buckettable", dir)
       GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
         path, "geom", res = 10, numFiles = 2, partitionBy = Seq("bucket(8, c_custkey)"))
       GeoTable.read(s, path)
@@ -329,8 +332,7 @@ object GeoQueries {
     // DeleteFilter-always-on contract, RowDataReader.java:95)
     "geo_format_read" -> ((s, dir) => {
       import graft.spatial.{GeometryFields, Snapshots}
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_formattable_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val path = scratchPath("formattable", dir)
       GeometryFields.writeGeo(
         pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
         path, "geom", "wkt", res = 10, numFiles = 4)
@@ -346,8 +348,7 @@ object GeoQueries {
     // filter pushdown reaching the manifest index
     "geo_catalog_sql" -> ((s, dir) => {
       import graft.spatial.GeoTable
-      val wh = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_warehouse_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val wh = scratchPath("warehouse", dir)
       val tbl = new java.io.File(wh, "db/pts").getAbsolutePath
       GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
         tbl, "geom", res = 10, numFiles = 4)

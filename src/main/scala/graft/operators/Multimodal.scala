@@ -125,7 +125,12 @@ object Multimodal {
           var hiBits = 0L; var loBits = 0L
           i = 0
           while (i < 64) {
-            val bit = if (sums(i) * n > total * cnts(i)) 1L else 0L
+            // cross-multiplication bound: sums(i)*n ≈ 4n² overflows Long
+            // past n ≈ 1.5 GB (byte arrays reach 2 GB) — exact BigInt on
+            // the cold giant-payload path, plain longs on the hot one
+            val bit =
+              if (n <= 1000000000L) { if (sums(i) * n > total * cnts(i)) 1L else 0L }
+              else { if (BigInt(sums(i)) * n > BigInt(total) * cnts(i)) 1L else 0L }
             if (i < 32) hiBits = (hiBits << 1) | bit else loBits = (loBits << 1) | bit
             i += 1
           }

@@ -47,22 +47,31 @@ object Relational {
           col("l_extendedprice"))
     }),
 
-    // TPC-H Q3-style shipping priority: dim-filtered broadcast join chain + top-N.
+    // TPC-H Q3-style shipping priority: fact-fact join + top-N. NO
+    // explicit broadcast hints: orders and customer grow WITH the corpus
+    // (a hint bypasses autoBroadcastJoinThreshold entirely and would
+    // collect a scale-proportional table to the driver at 100 TB) — the
+    // size-based planner / AQE broadcasts them while they fit and
+    // shuffles when they don't.
     "q03_top_revenue" -> ((s, dir) => {
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
-      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
 
-    // TPC-H Q5-style: 6-table join; small dims broadcast, fact joins shuffle.
+    // TPC-H Q5-style: 6-table join. Only the CONSTANT-size dims (nation:
+    // 25 rows, region: 5) carry broadcast hints — supplier/customer/
+    // orders grow with the corpus, so their join strategy is left to the
+    // size-based planner / AQE (hinting them would force a driver
+    // collect of scale-proportional tables at 100 TB).
     "q04_nation_revenue" -> ((s, dir) => {
       val region = t(s, dir, "region")
       val nation = t(s, dir, "nation")
@@ -72,9 +81,9 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(s, dir, "lineitem")
-      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        .join(cust, col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -177,11 +186,12 @@ object Relational {
         .filter(col("sum_qty") > 500.0)
     }),
 
-    // Fact⋈dim with broadcast + group on dim attribute.
+    // Fact⋈dim + group on dim attribute. part is scale-proportional, so
+    // no explicit hint — the size-based planner broadcasts while it fits.
     "q15_brand_revenue" -> ((s, dir) => {
       val part = t(s, dir, "part").filter(col("p_size") <= 25)
       t(s, dir, "lineitem")
-        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(part, col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"), col("p_type"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_items"))

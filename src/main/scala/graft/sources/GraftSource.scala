@@ -60,20 +60,47 @@ class GraftSource extends RelationProvider with DataSourceRegister
       : org.apache.spark.sql.connector.catalog.Table =
     makeTable(new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties))
 
+  // one read calls makeTable TWICE (inferSchema, then getTable) — for the
+  // changes/metadata tables that construction walks every manifest version,
+  // a planning stall paid double. Memoize the last build; the key carries
+  // the table's current version so a new commit busts the entry.
+  @volatile private var memo:
+    (String, org.apache.spark.sql.connector.catalog.Table) = null
+
   private def makeTable(opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.catalog.Table = {
     val spark = org.apache.spark.sql.SparkSession.active
     Geo.install(spark)
     val path = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException("format(\"graft\") requires a path"))
+    import scala.jdk.CollectionConverters._
+    val key = opts.asCaseSensitiveMap().asScala.toSeq.sorted.mkString(";") +
+      "@" + Snapshots.currentVersion(path)
+    val cached = memo
+    if (cached != null && cached._1 == key) return cached._2
+    val built = buildTable(spark, path, opts)
+    memo = (key, built)
+    built
+  }
+
+  private def buildTable(spark: org.apache.spark.sql.SparkSession, path: String,
+      opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.catalog.Table = {
     Option(opts.get("metadata")) match {
       case Some(name) if name.equalsIgnoreCase("changes") =>
         // the reference's `t.changes` changelog table: start is EXCLUSIVE
-        // (0 = full history), end inclusive (default: main head)
+        // (0 = full history), end inclusive (default: main head). The
+        // -timestamp forms resolve like the data-table incremental read —
+        // ignoring them would silently serve the FULL history to a CDC
+        // consumer that asked for a window
         def intOpt(ks: String*): Option[Int] =
           ks.flatMap(k => Option(opts.get(k))).headOption.map(_.toInt)
-        val from = intOpt("start-version", "start-snapshot-id").getOrElse(0)
+        def tsOpt(k: String): Option[Int] = Option(opts.get(k))
+          .map(ms => Snapshots.versionAsOfTimestamp(path, ms.toLong))
+        val from = intOpt("start-version", "start-snapshot-id")
+          .orElse(tsOpt("start-timestamp")).getOrElse(0)
         val to = intOpt("end-version", "end-snapshot-id")
+          .orElse(tsOpt("end-timestamp"))
           .getOrElse(Snapshots.mainVersion(path))
         new GraftMetadataTable(Snapshots.changelog(spark, path, from, to),
           s"graft:$path#changes")

@@ -92,6 +92,19 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(asOf.count() == 50) // v1 + v2
   }
 
+  test("the changes metadata table honors start-timestamp / end-timestamp " +
+      "(ignoring them would serve the FULL history to a windowed CDC read)") {
+    val dir = newTable()
+    val t2 = Snapshots.commitTimeMillis(dir, 2)
+    // start is exclusive: only v3's 10 inserts enter after v2's commit time
+    val windowed = spark.read.format("graft").option("metadata", "changes")
+      .option("start-timestamp", t2).load(dir)
+    assert(windowed.count() == 10, "only the post-v2 changes may stream")
+    val upTo = spark.read.format("graft").option("metadata", "changes")
+      .option("end-timestamp", t2).load(dir)
+    assert(upTo.count() == 50, "v1 + v2 inserts up to the end timestamp")
+  }
+
   test("Spark's camelCase time-travel options: versionAsOf / timestampAsOf") {
     val dir = newTable()
     // versionAsOf — Spark's own DataFrameReader time-travel spelling

@@ -55,6 +55,21 @@ class KernelFunctionSpec extends AnyFunSuite {
     assert(rows.length == 4)
   }
 
+  test("a NULL literal set argument fails at analysis time, not as an NPE") {
+    val d = docs
+    import graft.functions.VectorSql._
+    val e1 = intercept[Exception] {
+      d.select(text_stats(col("text"),
+        lit(null).cast("array<string>")).as("st")).collect()
+    }
+    assert(e1.getMessage.contains("NULL"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      d.select(lang_hits(col("text"),
+        lit(null).cast("array<array<string>>")).as("h")).collect()
+    }
+    assert(e2.getMessage.contains("NULL"), s"got: ${e2.getMessage}")
+  }
+
   test("a genuinely non-foldable argument still fails at analysis time") {
     val d = docs
     import graft.functions.VectorSql._
