@@ -48,6 +48,8 @@ object GeoCodec {
       rings.map(r => coords(r.getCoordinates)).mkString("[", ",", "]")
     }
     g match {
+      // empty point: GeoJSON's standard empty-coordinates form, not an NPE
+      case p: Point if p.isEmpty => """{"type":"Point","coordinates":[]}"""
       case p: Point => s"""{"type":"Point","coordinates":${coord(p.getCoordinate)}}"""
       case l: LineString => s"""{"type":"LineString","coordinates":${coords(l.getCoordinates)}}"""
       case p: Polygon => s"""{"type":"Polygon","coordinates":${poly(p)}}"""

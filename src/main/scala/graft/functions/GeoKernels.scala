@@ -67,12 +67,13 @@ object GeoKernels {
   def buffer(b: Array[Byte], d: Double): Array[Byte] = GeoCodec.writeWkb(g(b).buffer(d))
   def convexHull(b: Array[Byte]): Array[Byte] = GeoCodec.writeWkb(g(b).convexHull())
 
+  // POINT EMPTY has no coordinate: SQL NULL, never a JTS IllegalState
   def x(b: Array[Byte]): java.lang.Double = g(b) match {
-    case p: Point => p.getX
+    case p: Point if !p.isEmpty => p.getX
     case _ => null
   }
   def y(b: Array[Byte]): java.lang.Double = g(b) match {
-    case p: Point => p.getY
+    case p: Point if !p.isEmpty => p.getY
     case _ => null
   }
 

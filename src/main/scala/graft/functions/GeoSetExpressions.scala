@@ -80,8 +80,11 @@ case class StNumPoints(child: Expression) extends GeoUnary {
 case class StExtent(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[Envelope] {
+    inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[Envelope]
+    with ExpectsInputTypes {
 
+  // a non-binary input must fail ANALYSIS, not ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = StBboxStruct.schema

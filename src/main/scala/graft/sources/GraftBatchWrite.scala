@@ -59,6 +59,11 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
       case StringType | IntegerType | LongType => true
       case _ => false
     }
+    // hour binds TIMESTAMP-only, year/month/day DATE-only (the
+    // GraftFunctions bind checks) — a missing hour arm here silently
+    // dropped the clustered distribution for hours(ts) tables, staging
+    // one sliver file per (task, hour dir)
+    case Transforms.DatePart("hour", _) => dt.contains(TimestampType)
     case Transforms.DatePart(_, _) => dt.contains(DateType)
   }
 
@@ -75,6 +80,7 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
         Expressions.literal(w), Expressions.column(c))
       case Transforms.DatePart("year", c) => Expressions.years(c)
       case Transforms.DatePart("month", c) => Expressions.months(c)
+      case Transforms.DatePart("hour", c) => Expressions.hours(c)
       case Transforms.DatePart(_, c) => Expressions.days(c)
     }.toArray)
   }
@@ -102,7 +108,15 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
         case Some(b) => GeoTable.stampBucketIds(spark, path, b, files)
         case None => files
       }
-      Snapshots.commitDynamicOverwrite(spark, path, stamped, snapshotProps, validate)
+      try Snapshots.commitDynamicOverwrite(spark, path, stamped, snapshotProps, validate)
+      catch { case e: Throwable =>
+        // the stamp RENAMED the staged files; abort() only knows the
+        // pre-stamp names, so a failed commit must clean the stamped
+        // ones here or they linger as resurrectable orphans
+        if (stamped ne files) stamped.foreach(n =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+        throw e
+      }
       ()
     }
 

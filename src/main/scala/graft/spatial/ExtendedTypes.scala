@@ -44,7 +44,10 @@ object ExtendedTypes {
     spec.trim.toLowerCase(java.util.Locale.ROOT) match {
       case "uuid" => Some(Uuid)
       case "time" => Some(Time)
-      case FixedRe(n) if n.toInt > 0 => Some(Fixed(n.toInt))
+      // toIntOption: a width past Int.MaxValue must fall to "not an
+      // extended type" (the caller's friendly error), not leak a raw
+      // NumberFormatException out of the pattern guard
+      case FixedRe(n) if n.toIntOption.exists(_ > 0) => Some(Fixed(n.toInt))
       case _ => None
     }
 
@@ -63,10 +66,20 @@ object ExtendedTypes {
     }
   }
 
+  // column names are user data: quotes/backslashes/control chars must be
+  // JSON-escaped or one exotic name bricks every later read of the sidecar
+  private def escJson(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private def put(path: String, m: Map[String, XType]): Unit = {
     if (m.isEmpty) { Files.deleteIfExists(Paths.get(path, FileName)); return }
     val body = m.toSeq.sortBy(_._1)
-      .map { case (c, x) => s""""$c":"${x.spec}"""" }.mkString("{", ",", "}")
+      .map { case (c, x) => s""""${escJson(c)}":"${x.spec}"""" }.mkString("{", ",", "}")
     Files.write(Paths.get(path, FileName), body.getBytes(StandardCharsets.UTF_8))
     ()
   }

@@ -103,11 +103,18 @@ object GeometryFields {
     put(path, cur + (column -> enc))
   }
 
-  /** Read a table with every declared geometry column decoded to WKB. */
+  /** Read a table with every declared geometry column decoded to WKB.
+    * A manifest-backed table MUST read through the snapshot (manifest
+    * file scoping + MoR deletes + bbox pruning — `GeoTable.read` also
+    * decodes declared encodings); a raw `spark.read.parquet` there would
+    * resurrect deleted rows and double-read superseded file generations
+    * awaiting expiry. The raw path remains only for plain parquet
+    * directories that never wrote a graft manifest.
+    */
   def readGeo(spark: SparkSession, path: String): DataFrame = {
     GeoSql.install(spark)
-    val encs = get(path)
-    encs.foldLeft(spark.read.parquet(path)) { case (df, (c, e)) =>
+    if (Snapshots.currentVersion(path) > 0) GeoTable.read(spark, path)
+    else get(path).foldLeft(spark.read.parquet(path)) { case (df, (c, e)) =>
       df.withColumn(c, GeometryEncoding.decode(col(c), e))
     }
   }

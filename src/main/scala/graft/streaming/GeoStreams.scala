@@ -98,9 +98,12 @@ object GeoStreams {
       else df
     }
     val logical = graft.spatial.TableSchema.toLogical(decoded, path)
-    // belt for predicate deletes that reference logical (renamed/decoded)
-    // columns — the in-source physical evaluation skips those; re-applying
-    // a delete predicate is idempotent
+    // belt for predicate deletes over DECODED geometry values — the only
+    // shape the per-batch in-source evaluation can't bind physically
+    // (renamed columns now translate inside GraftStreamFilters, so they
+    // stay per-batch fresh). NOTE this list is captured at stream START:
+    // a decoded-geometry predicate delete committed later is not applied
+    // until the stream restarts — documented limitation.
     graft.spatial.GeoTable.applyDeletes(logical,
       if (Snapshots.currentVersion(path) == 0) Nil else Snapshots.readDeletes(path))
   }

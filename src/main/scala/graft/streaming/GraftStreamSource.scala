@@ -441,8 +441,24 @@ object GraftStreamFilters {
     if (conds.isEmpty) None else try {
       graft.functions.GeoSql.install(spark)
       val attrs = rowSchema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
-      val parsed = spark.sessionState.sqlParser.parseExpression(
+      // predicates are written against the LOGICAL schema; translate
+      // top-level renamed columns to their physical names so the binding
+      // happens HERE, per batch — the post-decode belt in readTableStream
+      // is captured at stream START and misses deletes committed after
+      val renames = graft.spatial.TableSchema.read(path)
+        .filterNot(_.dropped)
+        .filter(e => e.logical != e.physical)
+        .map(e => e.logical -> e.physical).toMap
+      val parsed0 = spark.sessionState.sqlParser.parseExpression(
         conds.map(c => s"($c)").mkString(" OR "))
+      val parsed =
+        if (renames.isEmpty) parsed0
+        else parsed0.transformUp {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if ua.nameParts.nonEmpty && renames.contains(ua.nameParts.head) =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+              renames(ua.nameParts.head) +: ua.nameParts.tail)
+        }
       val analyzed = spark.sessionState.analyzer.execute(
         Filter(parsed, LocalRelation(attrs)))
       analyzed.collectFirst { case Filter(c, _) =>

@@ -210,9 +210,16 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
       case Some(b) => GeoTable.stampBucketIds(spark, path, b, files)
       case None => files
     }
-    Snapshots.commitStreamEpoch(spark, path,
+    try Snapshots.commitStreamEpoch(spark, path,
       GeoStreams.streamToken(queryId), epochId, stamped, overwrite = overwrite,
       extraProps = extraProps)
+    catch { case e: Throwable =>
+      // the stamp RENAMED staged files; abort() only knows pre-stamp names
+      if (stamped ne files) stamped.foreach(n =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+      throw e
+    }
+    ()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -42,10 +42,16 @@ class ExtendedTypesSpec extends AnyFunSuite {
     assert(ExtendedTypes.parse("fixed[8]").contains(ExtendedTypes.Fixed(8)))
     assert(ExtendedTypes.parse("time").contains(ExtendedTypes.Time))
     assert(ExtendedTypes.parse("bigint").isEmpty)
+    // a width past Int.MaxValue is "not an extended type", not a raw NFE
+    assert(ExtendedTypes.parse("fixed(99999999999)").isEmpty)
     val dir = mkTable()
     val declared = ExtendedTypes.get(dir)
     assert(declared == Map("u" -> ExtendedTypes.Uuid, "t" -> ExtendedTypes.Time,
       "f" -> ExtendedTypes.Fixed(4)))
+    // exotic column names survive the sidecar round trip (JSON escaping)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_xt_esc").toString
+    ExtendedTypes.declare(dir2, "a\"b\\c", ExtendedTypes.Uuid)
+    assert(ExtendedTypes.get(dir2) == Map("a\"b\\c" -> ExtendedTypes.Uuid))
   }
 
   test("appends canonicalize uuids (uppercase in, lowercase stored) and accept valid rows") {

@@ -341,6 +341,19 @@ class GeoSpec extends AnyFunSuite {
       "SELECT st_astext(st_geomfromgeojson(st_asgeojson(st_geomfromtext('POINT (3 4)')))) AS w")
       .collect().head.getString(0)
     assert(viaSql == "POINT (3 4)")
+    // POINT EMPTY: accessors return SQL NULL (JTS throws on getX/getY),
+    // geojson serializes the empty-coordinates form instead of NPE-ing
+    val empt = spark.sql(
+      "SELECT st_x(g), st_y(g), st_asgeojson(g) FROM " +
+        "(SELECT st_geomfromtext('POINT EMPTY') AS g)").collect().head
+    assert(empt.isNullAt(0) && empt.isNullAt(1))
+    assert(empt.getString(2) == """{"type":"Point","coordinates":[]}""")
+    // st_extent over a non-binary column: analysis error, not a runtime CCE
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_extent(w) FROM (SELECT 'not-geom' AS w)").collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("BINARY") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
   }
 
   test("every geo query builder installs ST_ functions before first use") {

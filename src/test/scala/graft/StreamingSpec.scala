@@ -133,6 +133,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("predicate deletes on RENAMED columns committed after stream " +
+      "CONSTRUCTION still bind per batch (in-source logical→physical translation)") {
+    import graft.spatial.{GeoTable, Snapshots, TableSchema}
+    val dir = Files.createTempDirectory("graft_predren").toString + "/tbl"
+    spark.range(20).selectExpr("id", "concat('v', id) AS v")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    TableSchema.renameColumn(spark, dir, "id", "key")
+    // the stream frame is CONSTRUCTED before the delete exists — the
+    // post-decode belt captured an empty list, so only the per-batch
+    // in-source binding (with the rename translated) can apply it
+    val streamDf = graft.streaming.GeoStreams.readTableStream(spark, dir, 4)
+    Snapshots.deleteMoR(spark, dir, "key >= 15")
+    assert(Snapshots.read(spark, dir).count() == 15)
+    val q = streamDf.writeStream.outputMode("append")
+      .format("memory").queryName("pred_rename_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pred_rename_stream")
+      assert(got.count() == 15,
+        s"the post-construction predicate delete must apply, got ${got.count()}")
+      assert(got.where("key >= 15").count() == 0)
+    } finally q.stop()
+  }
+
   test("branch appends record snapshot-property.* options on the branch commit") {
     import graft.spatial.Snapshots
     val wh = Files.createTempDirectory("graft_bsp_wh").toString
