@@ -367,6 +367,22 @@ object Similarity {
     "sim_pca_project" -> ((s, dir) =>
       pcaProject(emb(s, dir).select(col("vec_id"), col("v")), 64, 8)),
 
+    // PERSISTED IVF-PQ index — build once, query many (the missing piece
+    // of the retrain-per-query family above): the index is a graft TABLE
+    // whose inverted lists are IDENTITY PARTITION DIRS on the cell id, so
+    // a query's probed cells become a literal IN filter the manifest
+    // index prunes at PLANNING time — non-probed cells' files are never
+    // opened. Centroids/codebooks persist as table properties (bounded
+    // metadata). At 100 TB: one training pass + one map-only encode,
+    // amortized over every subsequent query batch against codes 64×
+    // smaller than the raw vectors. Rebuilds only when absent/invalid.
+    "sim_index_topk" -> ((s, dir) => {
+      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_vecindex_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      if (!indexValid(idx)) buildVectorIndex(s, dir, idx)
+      queryVectorIndex(s, dir, idx)
+    }),
+
     "dedup_embed_cosine" -> ((s, dir) => {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(Tables.metaRowCount(s, dir, "embeddings")))
@@ -401,6 +417,99 @@ object Similarity {
   private def strideSample(e0: DataFrame, n: Long, cap: Int): Array[Array[Double]] =
     e0.filter(col("vec_id") % math.max(1L, (n + cap - 1) / cap) === 0)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+
+  // ---- persistent IVF-PQ index: build once, query many -------------------
+
+  private[graft] def indexValid(indexPath: String): Boolean =
+    graft.spatial.Snapshots.currentVersion(indexPath) > 0 &&
+      graft.spatial.Snapshots.readProps(indexPath).contains("graft.index.kind")
+
+  /** Build the index table at `indexPath`: (vec_id, codes) rows laid out
+    * as identity partitions on `cell`; trainer state (coarse centroids +
+    * PQ codebooks, trained over bounded driver samples) persists in the
+    * table properties. The data codes at 1 byte per subspace vs 8 bytes
+    * per dimension — the 64× ANN memory story, now durable.
+    */
+  private[graft] def buildVectorIndex(s: SparkSession, dir: String,
+      indexPath: String): Unit = {
+    val e0 = emb(s, dir)
+    val n = Tables.metaRowCount(s, dir, "embeddings")
+    val coarseK = math.max(4, math.min(256, (n / 64).toInt))
+    val m = 4; val ksub = 16; val dsub = 16
+    val sample = strideSample(e0, n, 4096)
+    val cents = coarseCentroids(sample, coarseK).map(normalize)
+    val books = pqCodebooks(
+      sample.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }, m, ksub, dsub)
+    val cn = typedlit(cents.toSeq)
+    val coded = e0.select(col("vec_id"),
+      VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),
+      array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"))
+    val p = java.nio.file.Paths.get(indexPath)
+    if (java.nio.file.Files.exists(p))
+      graft.spatial.Snapshots.walkDir(p)(_.toSeq).reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    coded.write.partitionBy("cell").parquet(indexPath)
+    graft.spatial.GeoTable.writeManifest(s, indexPath, partitionCols = Seq("cell"))
+    graft.spatial.Snapshots.updateProperties(indexPath, Map(
+      "graft.index.kind" -> "ivfpq",
+      "graft.index.m" -> m.toString,
+      "graft.index.ksub" -> ksub.toString,
+      "graft.index.dsub" -> dsub.toString,
+      "graft.index.centroids" -> cents.map(_.mkString(",")).mkString(";"),
+      "graft.index.codebooks" ->
+        books.map(_.map(_.mkString(",")).mkString(";")).mkString("|")))
+    ()
+  }
+
+  private def parseMatrix(s: String): Seq[Seq[Double]] =
+    s.split(';').toSeq.map(_.split(',').toSeq.map(_.toDouble))
+
+  /** Query a persisted index WITHOUT retraining: trainer state loads from
+    * the table properties, the query batch's probed cells collapse to a
+    * bounded literal IN (≤ k ints of driver metadata) so the manifest
+    * index partition-prunes the codes scan at planning time, ADC ranks
+    * the candidates, the top-32 get an exact cosine re-rank against the
+    * base vectors.
+    */
+  private[graft] def queryVectorIndex(s: SparkSession, dir: String,
+      indexPath: String, nprobe: Int = 3): DataFrame = {
+    val props = graft.spatial.Snapshots.readProps(indexPath)
+    require(props.get("graft.index.kind").contains("ivfpq"),
+      s"no ivfpq index at $indexPath")
+    val m = props("graft.index.m").toInt
+    val dsub = props("graft.index.dsub").toInt
+    val cents = parseMatrix(props("graft.index.centroids"))
+    val books: Seq[Seq[Seq[Double]]] =
+      props("graft.index.codebooks").split('|').toSeq.map(parseMatrix)
+    val cn = typedlit(cents)
+    val e0 = emb(s, dir)
+    val q = e0.filter(col("vec_id") % 100 === 0)
+      .withColumn("probe", explode(VectorSql.vec_nearest(col("v"), cn, nprobe)))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"),
+        array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
+      .localCheckpoint(true)
+    val probed = q.select(col("probe")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cell ids
+    val codes = graft.spatial.GeoTable.read(s, indexPath)
+      .filter(col("cell").isin(probed: _*))
+    val adc = codes.join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("adist", aggregate(
+        zip_with(col("codes"), col("luts"), (c, lut) => element_at(lut, c + 1)),
+        lit(0.0d), (a, x) => a + x))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+    adc.withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= 32)
+      .select(col("qid"), col("vec_id"), col("qv"))
+      .join(e0.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 6).as("cos"))
+  }
 
   /** Nearest FIXED centroid (the k lowest vec_ids — DuckDB derives the
     * identical set) as a struct-ordered greatest(): `.getField("cos")` is

@@ -152,6 +152,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(hits.toDouble / total >= 0.3, s"PQ recall ${hits.toDouble / total}")
   }
 
+  test("persisted IVF-PQ index: build once / query many, partition-pruned " +
+      "probes, exact re-rank, usable recall") {
+    import org.apache.spark.sql.functions.col
+    import graft.spatial.{GeoTable, Snapshots}
+    val idx = java.nio.file.Files.createTempDirectory("graft_vidx").toString + "/index"
+    operators.Similarity.buildVectorIndex(spark, sf, idx)
+    assert(operators.Similarity.indexValid(idx))
+    val r1 = operators.Similarity.queryVectorIndex(spark, sf, idx).collect()
+    assert(r1.nonEmpty)
+    assert(r1.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    // exact re-rank parity with brute force
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    val bruteMap = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    r1.foreach { r =>
+      bruteMap.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 1e-9)
+      }
+    }
+    val top3 = brute.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(-_.getDouble(2)).take(3).map(_.getLong(1)).toSet).toMap
+    val hits = r1.count(r => top3.get(r.getLong(0)).exists(_.contains(r.getLong(1))))
+    val total = top3.values.map(_.size).sum
+    assert(hits.toDouble / total >= 0.25, s"index recall ${hits.toDouble / total}")
+    // query AGAIN without rebuilding: trainer state loads from the table
+    // properties — identical answer, zero retraining drift
+    val r2 = operators.Similarity.queryVectorIndex(spark, sf, idx).collect()
+    assert(r1.map(_.toString).sorted.toSeq == r2.map(_.toString).sorted.toSeq)
+    // the inverted lists ARE partition dirs: a probed-cell literal filter
+    // opens strictly fewer data files than the whole index
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val full = GeoTable.read(spark, idx)
+    val cell0 = full.select(col("cell")).distinct().limit(1).collect().head.getInt(0)
+    val totalFiles = Snapshots.readManifest(idx).size.toLong
+    val pruned = scannedFiles(GeoTable.read(spark, idx).filter(col("cell") === cell0))
+    assert(pruned < totalFiles,
+      s"probe filter must partition-prune the codes scan ($pruned/$totalFiles)")
+  }
+
   test("IVF-PQ: composed index keeps exact re-rank and usable recall; " +
       "refactored IVF and PQ queries still agree with brute force") {
     val ivfpq = SparkEntry.queries("sim_ivf_pq")(spark, sf).collect()
