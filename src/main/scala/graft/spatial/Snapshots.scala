@@ -1034,6 +1034,18 @@ object Snapshots {
     if (names.isEmpty) Nil
     else GeoTable.collectStats(spark, path, names)
 
+  /** Stats for freshly-REWRITTEN files with zero-row outputs dropped (the
+    * empty parquet file deleted): a fully-deleted input file must leave
+    * NO manifest entry — otherwise every CoW DELETE/UPDATE/MERGE that
+    * empties a file accumulates one junk empty file, forever scanned.
+    */
+  private def liveStatsFor(spark: SparkSession, path: String,
+      names: Seq[String]): Seq[FileStats] = {
+    val (live, empty) = statsFor(spark, path, names).partition(_.rows > 0L)
+    empty.foreach(f => Files.deleteIfExists(Paths.get(path, f.path)))
+    live
+  }
+
   /** Read specific files applying pending positional + equality deletes —
     * what a copy-on-write rewrite must read, or it would resurrect rows
     * whose delete entries still name the ORIGINAL file paths (positional)
@@ -1656,7 +1668,7 @@ object Snapshots {
             writeBack(survivors, path)._1
           }
         publish(path, rs,
-          kept ++ untouched ++ statsFor(spark, path, rewritten) ++ stats,
+          kept ++ untouched ++ liveStatsFor(spark, path, rewritten) ++ stats,
           carried(path, head), carriedPos(path, head),
           props = propsWithExtras(path, head, extraProps),
           eqDeletes = carriedEq(path, head))
@@ -1955,7 +1967,7 @@ object Snapshots {
         val survivors = readFilesForRewrite(spark, path, affected, head)
           .filter(!coalesce(cond, lit(false))) // DELETE keeps rows where cond is false or null
         val (added, _) = writeBack(survivors, path)
-        publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
+        publish(path, rs, untouched ++ liveStatsFor(spark, path, added), carried(path, head),
           carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
       }
     }
@@ -2050,7 +2062,7 @@ object Snapshots {
         else df
       }
       val (added, _) = writeBack(bboxed, path)
-      publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
+      publish(path, rs, untouched ++ liveStatsFor(spark, path, added), carried(path, head),
         carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
@@ -2126,7 +2138,7 @@ object Snapshots {
           .select(table.columns.map(col): _*)
       val out = if (affected.isEmpty) src else survivors.unionByName(src)
       val (added, _) = writeBack(out, path)
-      publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
+      publish(path, rs, untouched ++ liveStatsFor(spark, path, added), carried(path, head),
         carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
@@ -2374,7 +2386,7 @@ object Snapshots {
       val out = withAction.select(tableCols.map(
         mergeOutputCol(clauses, source, table.schema, targetAlias, sourceAlias)): _*)
       val (added, _) = writeBack(out, path)
-      publish(path, rs, untouched ++ statsFor(spark, path, added), carried(path, head),
+      publish(path, rs, untouched ++ liveStatsFor(spark, path, added), carried(path, head),
         carriedPos(path, head), ref = ref, eqDeletes = carriedEq(path, head))
     }
   }
@@ -3319,7 +3331,7 @@ object Snapshots {
         else if (partKeys.nonEmpty) rows.repartition(n, partKeys: _*)
         else rows.repartition(n)
       val (added, _) = writeBack(shaped, path)
-      val v = publish(path, rs, untouched ++ statsFor(spark, path, added),
+      val v = publish(path, rs, untouched ++ liveStatsFor(spark, path, added),
         carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head))
       (v, picked.size)
     }

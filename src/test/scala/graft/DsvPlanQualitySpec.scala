@@ -677,6 +677,40 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(Snapshots.ndvStats(tbl, None)("d") == 20)
   }
 
+  test("NDV incremental precondition is MEMBERSHIP, not file counts: a " +
+      "balanced cherrypick + CoW delete forces the full pass") {
+    import graft.spatial.{GeoTable, Snapshots}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    graft.spatial.Geo.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndvmember").toString
+    def rows(ids: Range) = spark.range(ids.head, ids.last + 1)
+      .select(col("id"), concat(lit("v"), col("id")).as("v")).coalesce(1)
+    rows(0 until 10).write.mode("overwrite").parquet(dir)
+    GeoTable.writeManifest(spark, dir) // v1: one file
+    Snapshots.createBranch(dir, "wap")
+    val branchV = Snapshots.appendToBranch(rows(200 until 210), dir, "wap") // one file
+    Snapshots.append(rows(10 until 20), dir) // main: one file
+    val pv = Snapshots.mainVersion(dir)
+    Snapshots.computeTableStats(spark, dir) // sketch at pv: 2 main files
+    // CoW delete drops the second main file entirely (-1 file), then the
+    // cherrypick adds the branch file stamped addedV=branchV <= pv (+1):
+    // head files with addedV <= pv EQUAL pv's manifest in COUNT but not
+    // in membership — a count check would wrongly merge incrementally and
+    // leave the cherrypicked file out of the NDV union forever
+    Snapshots.delete(spark, dir, col("id") >= 10 && col("id") <= 19)
+    assert(Snapshots.readManifest(dir).size == 1)
+    assert(branchV <= pv, s"fixture broke: branch v$branchV must be <= pv $pv")
+    Snapshots.cherrypick(spark, dir, branchV)
+    assert(Snapshots.readManifest(dir).count(_.addedV <= pv) ==
+      Snapshots.readManifest(dir, Some(pv)).size,
+      "fixture must be COUNT-balanced for the regression to be meaningful")
+    Snapshots.computeTableStats(spark, dir)
+    val (m, _, r) = Snapshots.ndvRefreshTelemetry(dir, Int.MaxValue).get
+    assert(m == "full", s"balanced add/remove must force the full pass, got $m")
+    assert(r == 20)
+    assert(Snapshots.ndvStats(dir, None)("id") == 20) // 0..9 + 200..209
+  }
+
   test("NDV refresh survives expiry of the sketch epoch's manifest " +
       "(falls back to a full pass instead of erroring)") {
     assert(warehouse.nonEmpty)
