@@ -379,7 +379,10 @@ object Similarity {
     "sim_index_topk" -> ((s, dir) => {
       val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_vecindex_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-      if (!indexValid(idx)) buildVectorIndex(s, dir, idx)
+      // rebuild when absent OR built from a different corpus generation
+      // (the scratch index outlives test-data regeneration)
+      val n = Tables.metaRowCount(s, dir, "embeddings")
+      if (!indexValid(idx, n)) buildVectorIndex(s, dir, idx)
       queryVectorIndex(s, dir, idx)
     }),
 
@@ -420,9 +423,12 @@ object Similarity {
 
   // ---- persistent IVF-PQ index: build once, query many -------------------
 
-  private[graft] def indexValid(indexPath: String): Boolean =
-    graft.spatial.Snapshots.currentVersion(indexPath) > 0 &&
-      graft.spatial.Snapshots.readProps(indexPath).contains("graft.index.kind")
+  private[graft] def indexValid(indexPath: String, sourceRows: Long): Boolean =
+    graft.spatial.Snapshots.currentVersion(indexPath) > 0 && {
+      val p = graft.spatial.Snapshots.readProps(indexPath)
+      p.contains("graft.index.kind") &&
+        p.get("graft.index.source-rows").contains(sourceRows.toString)
+    }
 
   /** Build the index table at `indexPath`: (vec_id, codes) rows laid out
     * as identity partitions on `cell`; trainer state (coarse centroids +
@@ -452,6 +458,7 @@ object Similarity {
     graft.spatial.GeoTable.writeManifest(s, indexPath, partitionCols = Seq("cell"))
     graft.spatial.Snapshots.updateProperties(indexPath, Map(
       "graft.index.kind" -> "ivfpq",
+      "graft.index.source-rows" -> n.toString,
       "graft.index.m" -> m.toString,
       "graft.index.ksub" -> ksub.toString,
       "graft.index.dsub" -> dsub.toString,
