@@ -30,7 +30,18 @@ object Views {
   }
 
   private def write(path: String, views: Map[String, String]): Unit = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // control chars must escape too: view SQL is typically MULTI-LINE,
+    // and a raw newline inside a JSON string makes Jackson reject the
+    // whole sidecar on the next read (same bug class as TableSchema.esc)
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val body = views.toSeq.sorted
       .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")

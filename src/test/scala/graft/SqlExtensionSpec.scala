@@ -188,6 +188,12 @@ class SqlExtensionSpec extends AnyFunSuite {
     }
     spark.sql(s"CALL graft.system.drop_view('$dir', 'big_ids')")
     intercept[Exception] { graft.spatial.Views.read(spark, dir, "big_ids") }
+    // MULTI-LINE view SQL survives the sidecar round trip (raw control
+    // chars in a JSON string would brick every later read of the file)
+    graft.spatial.Views.createOrReplace(spark, dir, "ml",
+      "SELECT id\nFROM graft_table\n\tWHERE id < 5")
+    assert(graft.spatial.Views.read(spark, dir, "ml").count() == 5)
+    assert(graft.spatial.Views.list(dir)("ml").contains("\n"))
   }
 
   test("CALL argument hygiene: out-of-range integers error loudly; " +
