@@ -46,7 +46,7 @@ object GeoQueries {
   /** The per-(tag, input) scratch location — ONE naming scheme for every
     * fixture-writing query.
     */
-  private def scratchPath(tag: String, dir: String): String =
+  private[operators] def scratchPath(tag: String, dir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
 

@@ -377,12 +377,11 @@ object Similarity {
     // amortized over every subsequent query batch against codes 64×
     // smaller than the raw vectors. Rebuilds only when absent/invalid.
     "sim_index_topk" -> ((s, dir) => {
-      val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_vecindex_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      val idx = GeoQueries.scratchPath("vecindex", dir)
       // rebuild when absent OR built from a different corpus generation
-      // (the scratch index outlives test-data regeneration)
-      val n = Tables.metaRowCount(s, dir, "embeddings")
-      if (!indexValid(idx, n)) buildVectorIndex(s, dir, idx)
+      // (the scratch index outlives test-data regeneration; the validity
+      // check fingerprints the source CONTENT, not just its row count)
+      if (!indexValid(idx, dir)) buildVectorIndex(s, dir, idx)
       queryVectorIndex(s, dir, idx)
     }),
 
@@ -423,11 +422,27 @@ object Similarity {
 
   // ---- persistent IVF-PQ index: build once, query many -------------------
 
-  private[graft] def indexValid(indexPath: String, sourceRows: Long): Boolean =
+  /** CONTENT fingerprint of the source corpus (sizes + mtimes of the
+    * embeddings parquet): row count alone can't see a same-cardinality
+    * regeneration with different vectors, which would silently serve a
+    * stale index.
+    */
+  private def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    def stamp(f: java.nio.file.Path) =
+      s"${java.nio.file.Files.size(f)}:${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+    if (java.nio.file.Files.isDirectory(p))
+      graft.spatial.Snapshots.listDir(p)(_.toSeq)
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .sortBy(_.getFileName.toString).map(stamp).mkString(",")
+    else stamp(p)
+  }
+
+  private[graft] def indexValid(indexPath: String, dir: String): Boolean =
     graft.spatial.Snapshots.currentVersion(indexPath) > 0 && {
       val p = graft.spatial.Snapshots.readProps(indexPath)
       p.contains("graft.index.kind") &&
-        p.get("graft.index.source-rows").contains(sourceRows.toString)
+        p.get("graft.index.source-fingerprint").contains(corpusFingerprint(dir))
     }
 
   /** Build the index table at `indexPath`: (vec_id, codes) rows laid out
@@ -458,7 +473,7 @@ object Similarity {
     graft.spatial.GeoTable.writeManifest(s, indexPath, partitionCols = Seq("cell"))
     graft.spatial.Snapshots.updateProperties(indexPath, Map(
       "graft.index.kind" -> "ivfpq",
-      "graft.index.source-rows" -> n.toString,
+      "graft.index.source-fingerprint" -> corpusFingerprint(dir),
       "graft.index.m" -> m.toString,
       "graft.index.ksub" -> ksub.toString,
       "graft.index.dsub" -> dsub.toString,

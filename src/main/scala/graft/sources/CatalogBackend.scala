@@ -202,7 +202,7 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
       .filter(_.startsWith("table."))
       .map(k => unescSplit(k.stripPrefix("table.")))
       .collect { case parts if parts.length > 1 => parts.dropRight(1) }
-    (declared ++ implied).distinct.sortBy(_.mkString(" ")).map(_.toArray)
+    (declared ++ implied).distinct.sortBy(_.mkString("\u0000")).map(_.toArray)
   }
 
   override def namespaceExists(ns: Array[String]): Boolean =

@@ -109,12 +109,14 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
         case None => files
       }
       try Snapshots.commitDynamicOverwrite(spark, path, stamped, snapshotProps, validate)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         // the stamp RENAMED the staged files; abort() only knows the
         // pre-stamp names, so a failed commit must clean the stamped
-        // ones here or they linger as resurrectable orphans
+        // ones here or they linger as resurrectable orphans. Cleanup
+        // failures must never MASK the commit exception.
         if (stamped ne files) stamped.foreach(n =>
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+          try { java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)); () }
+          catch { case scala.util.control.NonFatal(c) => e.addSuppressed(c) })
         throw e
       }
       ()

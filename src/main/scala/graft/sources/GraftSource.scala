@@ -95,8 +95,13 @@ class GraftSource extends RelationProvider with DataSourceRegister
         // consumer that asked for a window
         def intOpt(ks: String*): Option[Int] =
           ks.flatMap(k => Option(opts.get(k))).headOption.map(_.toInt)
-        def tsOpt(k: String): Option[Int] = Option(opts.get(k))
-          .map(ms => Snapshots.versionAsOfTimestamp(path, ms.toLong))
+        def tsOpt(k: String): Option[Int] = Option(opts.get(k)).map { ms =>
+          // a timestamp BEFORE the first snapshot resolves to 0 ("from the
+          // beginning" / an empty window), never an error — a CDC consumer
+          // asking for changes since a pre-table time means everything
+          try Snapshots.versionAsOfTimestamp(path, ms.toLong)
+          catch { case _: IllegalArgumentException => 0 }
+        }
         val from = intOpt("start-version", "start-snapshot-id")
           .orElse(tsOpt("start-timestamp")).getOrElse(0)
         val to = intOpt("end-version", "end-snapshot-id")

@@ -213,10 +213,12 @@ class GraftStreamingWrite(path: String, schema: StructType, queryId: String,
     try Snapshots.commitStreamEpoch(spark, path,
       GeoStreams.streamToken(queryId), epochId, stamped, overwrite = overwrite,
       extraProps = extraProps)
-    catch { case e: Throwable =>
-      // the stamp RENAMED staged files; abort() only knows pre-stamp names
+    catch { case scala.util.control.NonFatal(e) =>
+      // the stamp RENAMED staged files; abort() only knows pre-stamp
+      // names. Cleanup failures must never MASK the commit exception.
       if (stamped ne files) stamped.foreach(n =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)))
+        try { java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, n)); () }
+        catch { case scala.util.control.NonFatal(c) => e.addSuppressed(c) })
       throw e
     }
     ()

@@ -158,7 +158,7 @@ class PipelineSpec extends AnyFunSuite {
     import graft.spatial.{GeoTable, Snapshots}
     val idx = java.nio.file.Files.createTempDirectory("graft_vidx").toString + "/index"
     operators.Similarity.buildVectorIndex(spark, sf, idx)
-    assert(operators.Similarity.indexValid(idx, graft.Tables.metaRowCount(spark, sf, "embeddings")))
+    assert(operators.Similarity.indexValid(idx, sf))
     val r1 = operators.Similarity.queryVectorIndex(spark, sf, idx).collect()
     assert(r1.nonEmpty)
     assert(r1.groupBy(_.getLong(0)).values.forall(_.length <= 3))
