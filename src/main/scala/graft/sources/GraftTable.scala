@@ -223,6 +223,20 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                 s"write columns ${declared.fieldNames.filterNot(n => tbl.exists(_.name == n))
                   .mkString("[", ", ", "]")} not in the table: partial writes " +
                   "resolve by name; write all columns positionally or match names")
+              // full-width frames whose names match table columns at
+              // DIFFERENT positions are as ambiguous as partial ones —
+              // positional resolution would silently cross their data over
+              // (same-position matches are no-op renames, fine)
+              val crossed = declared.fieldNames.zipWithIndex.collect {
+                case (n, i) if tbl.fieldNames.indexOf(n) >= 0 &&
+                  tbl.fieldNames.indexOf(n) != i => n
+              }
+              require(crossed.isEmpty,
+                s"ambiguous write: columns ${crossed.mkString("[", ", ", "]")} match " +
+                  "table columns at different positions while " +
+                  s"${declared.fieldNames.filterNot(n => tbl.exists(_.name == n))
+                    .mkString("[", ", ", "]")} match none — match every column " +
+                  "name, or write a fully unnamed select-list to resolve positionally")
               org.apache.spark.sql.types.StructType(
                 declared.fields.zip(tbl.fields).map { case (df, tf) =>
                   require(tf.dataType.catalogString == df.dataType.catalogString,
@@ -269,6 +283,22 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
                       .mkString("[", ", ", "]")} not in the table: partial writes " +
                       "resolve by name; write all columns positionally, match names, " +
                       "or add columns with merge-schema=true")
+                  // a full-width frame where a name matches a table column
+                  // at a DIFFERENT position is equally ambiguous: positional
+                  // resolution would rename it and silently land its data in
+                  // another column (table (a,b,c) written as (b,x,a) puts
+                  // b-data in a). A name matching its own positional slot is
+                  // harmless — the rename is a no-op there.
+                  val crossed = data.schema.fieldNames.zipWithIndex.collect {
+                    case (n, i) if tbl.fieldNames.indexOf(n) >= 0 &&
+                      tbl.fieldNames.indexOf(n) != i => n
+                  }
+                  require(crossed.isEmpty,
+                    s"ambiguous write: columns ${crossed.mkString("[", ", ", "]")} match " +
+                      "table columns at different positions while " +
+                      s"${data.schema.fieldNames.filterNot(n => tbl.exists(_.name == n))
+                        .mkString("[", ", ", "]")} match none — match every column " +
+                      "name, or write a fully unnamed select-list to resolve positionally")
                   data.toDF(tbl.fields.map(_.name).toIndexedSeq: _*)
                 }
               resolved.schema.fields.foreach { f =>

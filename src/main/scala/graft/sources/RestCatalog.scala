@@ -93,8 +93,14 @@ class RestBackend(uri: String) extends CatalogBackend {
     val body = RestJson.obj()
     body.put("name", ident.name())
     body.put("metadata-location", location.toAbsolutePath.toString)
-    expect(post(uri, s"/v1/namespaces/${nsPath(ident.namespace())}/register", body.toString),
-      200, s"register ${ident}")
+    val r = post(uri, s"/v1/namespaces/${nsPath(ident.namespace())}/register", body.toString)
+    // 409 = a concurrent client registered this identifier (at another
+    // location) between our existence check and this register — surface
+    // it as the same exception a lost local CREATE race raises
+    if (r.statusCode() == 409)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    expect(r, 200, s"register ${ident}")
   }
 
   override def forgetTable(ident: Identifier): Unit = {
@@ -205,11 +211,14 @@ object RestBackend {
     if (r.statusCode() != code) throw new IllegalStateException(
       s"REST catalog: $what failed with HTTP ${r.statusCode()}: ${r.body()}")
 
-  /** Registry lookup for out-of-catalog resolvers (the DML parser):
-    * the service-recorded location of `<ns….table>`, if any.
+  /** Registry lookup for out-of-catalog resolvers (the DML parser): the
+    * service-recorded location of the table identified by `parts`
+    * (namespace …, name), if any. Takes pre-split parts — the same API
+    * as [[RegistryBackend.lookup]] — so a table or namespace part
+    * containing a literal dot resolves to its own identifier instead of
+    * being re-split into the wrong one.
     */
-  def lookup(uri: String, identTail: String): Option[String] = {
-    val parts = identTail.split('.')
+  def lookup(uri: String, parts: Seq[String]): Option[String] = {
     if (parts.length < 2) return None
     val ns = URLEncoder.encode(parts.dropRight(1).mkString(NsSep), "UTF-8")
     get(uri, s"/v1/namespaces/$ns/tables/${enc(parts.last)}")
@@ -305,8 +314,19 @@ class RestCatalogServer(warehouse: String) {
       case ("POST", List("namespaces", nsSeg, "register")) =>
         val body = RestJson.parse(readBody(ex))
         val ident = Identifier.of(decodeNs(nsSeg), body.get("name").asText())
-        state.recordTable(ident, Paths.get(body.get("metadata-location").asText()))
-        reply(ex, 200, RestJson.obj().toString)
+        val loc = Paths.get(body.get("metadata-location").asText())
+        state.registeredLocation(ident) match {
+          // two clients racing CREATE … LOCATION both pass commitCreate
+          // (different dirs); letting the second register would silently
+          // orphan the first table's registration — Iceberg's register
+          // endpoint returns 409 AlreadyExists. Same location stays
+          // idempotent (REPLACE TABLE re-registers its own location).
+          case Some(existing) if existing != loc =>
+            reply(ex, 409, """{"error":"table already exists"}""")
+          case _ =>
+            state.recordTable(ident, loc)
+            reply(ex, 200, RestJson.obj().toString)
+        }
 
       case ("GET", List("namespaces", nsSeg, "tables", tSeg)) =>
         val ident = Identifier.of(decodeNs(nsSeg), URLDecoder.decode(tSeg, "UTF-8"))

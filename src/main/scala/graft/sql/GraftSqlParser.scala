@@ -134,7 +134,7 @@ object GraftStatements {
             case Some("registry") if wh.isDefined =>
               Some(t => graft.sources.RegistryBackend.lookup(wh.get, t))
             case Some("rest") if restUri.isDefined =>
-              Some(t => graft.sources.RestBackend.lookup(restUri.get, t.mkString(".")))
+              Some(t => graft.sources.RestBackend.lookup(restUri.get, t))
             case _ => None
           }
           if (metastoreLookup.isDefined) {

@@ -264,8 +264,17 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
       new ParquetWriteSupport
   }
 
-  // partition dir ("" for unpartitioned) → (writer, staged relative name)
-  private val writers = mutable.LinkedHashMap.empty[String, (ParquetWriter[InternalRow], String)]
+  // an in-progress staged file: the writer, its relative name, and the
+  // rows written since the last size poll (getDataSize walks every
+  // column writer — O(columns) — so the roll check samples every
+  // SizePollRows rows, Iceberg's RollingFileWriter ROWS_DIVISOR posture,
+  // instead of paying that walk per row)
+  private final class Open(val w: ParquetWriter[InternalRow], val rel: String) {
+    var sincePoll: Int = 0
+  }
+  private val SizePollRows = 1000
+  // partition dir ("" for unpartitioned) → in-progress staged file
+  private val writers = mutable.LinkedHashMap.empty[String, Open]
   // files already rolled-and-closed this task (relative names)
   private val rolled = mutable.ArrayBuffer.empty[String]
   private var rollIdx = 0
@@ -335,37 +344,44 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
 
   override def write(row: InternalRow): Unit = {
     val d = if (transforms.isEmpty) "" else dirFor(row)
-    val (w, _) = writers.getOrElseUpdate(d, {
+    val o = writers.getOrElseUpdate(d, {
       // rolled files need distinct names: roll k re-opens as `…-rk.parquet`
       val fname = if (rollIdx == 0) baseName
         else s"${baseName.stripSuffix(".parquet")}-r$rollIdx.parquet"
       val rel = if (d.isEmpty) fname else s"$d/$fname"
-      (new Builder(new Path(new Path(dir), rel))
+      new Open(new Builder(new Path(new Path(dir), rel))
         .withConf(conf)
         .withCompressionCodec(codec)
         .build(), rel)
     })
-    w.write(if (proj.isEmpty) row else physicalRow(row))
+    o.w.write(if (proj.isEmpty) row else physicalRow(row))
     targetFileSize.foreach { t =>
-      if (w.getDataSize >= t) {
-        w.close()
-        val (_, rel) = writers.remove(d).get
-        rolled += rel
-        rollIdx += 1 // the next write to this dir opens roll file -r<k>
+      o.sincePoll += 1
+      // per-writer sampled poll: each dir's own row flow drives its check
+      // cadence, so a rarely-written dir (small file anyway) never
+      // starves and a hot dir overshoots by at most SizePollRows rows
+      if (o.sincePoll >= SizePollRows) {
+        o.sincePoll = 0
+        if (o.w.getDataSize >= t) {
+          o.w.close()
+          rolled += writers.remove(d).get.rel
+          rollIdx += 1 // the next write to this dir opens roll file -r<k>
+        }
       }
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    writers.values.foreach(_._1.close())
-    GraftStagedFiles(rolled.toSeq ++ writers.values.map(_._2).toSeq)
+    writers.values.foreach(_.w.close())
+    GraftStagedFiles(rolled.toSeq ++ writers.values.map(_.rel).toSeq)
   }
 
   override def abort(): Unit =
-    (writers.values.toSeq ++ rolled.map(r => (null, r))).foreach { case (w, rel) =>
-      if (w != null) { try w.close() catch { case _: Exception => () } }
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
-    }
+    (writers.values.map(o => (o.w, o.rel)).toSeq ++ rolled.map(r => (null, r)))
+      .foreach { case (w, rel) =>
+        if (w != null) { try w.close() catch { case _: Exception => () } }
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, rel))
+      }
 
   override def close(): Unit = ()
 }

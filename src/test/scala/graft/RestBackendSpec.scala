@@ -44,7 +44,7 @@ class RestBackendSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN restcat.db").collect().map(_.getString(1)).contains("t"))
     assert(spark.sql("SHOW NAMESPACES IN restcat").collect().map(_.getString(0)).contains("db"))
     // the service records the table; data landed under the advertised root
-    assert(graft.sources.RestBackend.lookup(uri, "db.t").exists(_.startsWith(warehouse)))
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "t")).exists(_.startsWith(warehouse)))
   }
 
   test("row-level DML resolves through the REST service") {
@@ -69,11 +69,11 @@ class RestBackendSpec extends AnyFunSuite {
     assert(uri.nonEmpty)
     spark.sql("CREATE TABLE restcat.db.auth (id BIGINT) USING graft")
     spark.sql("INSERT INTO restcat.db.auth SELECT id FROM range(25)")
-    val locBefore = graft.sources.RestBackend.lookup(uri, "db.auth").get
+    val locBefore = graft.sources.RestBackend.lookup(uri, Seq("db", "auth")).get
     spark.sql("ALTER TABLE restcat.db.auth RENAME TO db.auth2")
     // mapping moved, data directory did not
-    assert(graft.sources.RestBackend.lookup(uri, "db.auth").isEmpty)
-    assert(graft.sources.RestBackend.lookup(uri, "db.auth2").contains(locBefore))
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "auth")).isEmpty)
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "auth2")).contains(locBefore))
     assert(!spark.catalog.tableExists("restcat.db.auth"))
     val e = intercept[Exception] { spark.sql("SELECT * FROM restcat.db.auth").collect() }
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
@@ -93,14 +93,14 @@ class RestBackendSpec extends AnyFunSuite {
     spark.sql(s"CREATE TABLE restcat.db.away (id BIGINT) USING graft " +
       s"LOCATION '$elsewhere/awaydata'")
     spark.sql("INSERT INTO restcat.db.away SELECT id FROM range(30)")
-    assert(graft.sources.RestBackend.lookup(uri, "db.away").exists(_.startsWith(elsewhere)))
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "away")).exists(_.startsWith(elsewhere)))
     assert(Files.exists(java.nio.file.Paths.get(s"$elsewhere/awaydata",
       graft.spatial.GeoTable.ManifestName)))
     assert(!Files.exists(java.nio.file.Paths.get(warehouse, "db", "away")))
     assert(spark.sql("SELECT * FROM restcat.db.away").count() == 30)
     spark.sql(s"CREATE TABLE restcat.db.ctl USING graft LOCATION '$elsewhere/ctldata' " +
       "AS SELECT id, id * 3 AS v FROM range(15)")
-    assert(graft.sources.RestBackend.lookup(uri, "db.ctl").exists(_.startsWith(elsewhere)))
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "ctl")).exists(_.startsWith(elsewhere)))
     assert(spark.sql("SELECT * FROM restcat.db.ctl").count() == 15)
     spark.sql("DROP TABLE restcat.db.away")
     spark.sql("DROP TABLE restcat.db.ctl")
@@ -147,12 +147,12 @@ class RestBackendSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE restcat.tmpns.x (id BIGINT) USING graft")
     spark.sql("INSERT INTO restcat.tmpns.x SELECT id FROM range(5)")
     val dataDir = java.nio.file.Paths.get(
-      graft.sources.RestBackend.lookup(uri, "tmpns.x").get)
+      graft.sources.RestBackend.lookup(uri, Seq("tmpns", "x")).get)
     val e = intercept[Exception] { spark.sql("DROP NAMESPACE restcat.tmpns") }
     assert(e.getMessage.toLowerCase.contains("not empty") ||
       e.getMessage.contains("NON_EMPTY"), e.getMessage)
     spark.sql("DROP NAMESPACE restcat.tmpns CASCADE")
-    assert(graft.sources.RestBackend.lookup(uri, "tmpns.x").isEmpty)
+    assert(graft.sources.RestBackend.lookup(uri, Seq("tmpns", "x")).isEmpty)
     // cascade drops through non-purging dropTable: data files remain
     // (the reference's DROP-without-PURGE posture, SparkCatalog.java:354)
     assert(Files.exists(dataDir.resolve(graft.spatial.GeoTable.ManifestName)),
@@ -166,20 +166,20 @@ class RestBackendSpec extends AnyFunSuite {
     assert(uri.nonEmpty)
     spark.sql("CREATE TABLE restcat.db.dp (id BIGINT) USING graft")
     spark.sql("INSERT INTO restcat.db.dp SELECT id FROM range(9)")
-    val loc1 = java.nio.file.Paths.get(graft.sources.RestBackend.lookup(uri, "db.dp").get)
+    val loc1 = java.nio.file.Paths.get(graft.sources.RestBackend.lookup(uri, Seq("db", "dp")).get)
     spark.sql("DROP TABLE restcat.db.dp")
-    assert(graft.sources.RestBackend.lookup(uri, "db.dp").isEmpty)
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "dp")).isEmpty)
     assert(Files.exists(loc1.resolve(graft.spatial.GeoTable.ManifestName)),
       "plain DROP must not delete data")
     // re-CREATE must NOT resurrect the dropped rows: fresh unique location
     spark.sql("CREATE TABLE restcat.db.dp (id BIGINT) USING graft")
-    val loc2 = java.nio.file.Paths.get(graft.sources.RestBackend.lookup(uri, "db.dp").get)
+    val loc2 = java.nio.file.Paths.get(graft.sources.RestBackend.lookup(uri, Seq("db", "dp")).get)
     assert(loc2 != loc1, "re-CREATE over leftover data must take a fresh location")
     assert(spark.sql("SELECT * FROM restcat.db.dp").count() == 0)
     spark.sql("INSERT INTO restcat.db.dp SELECT id FROM range(3)")
     // PURGE deletes the data directory and deregisters
     spark.sql("DROP TABLE restcat.db.dp PURGE")
-    assert(graft.sources.RestBackend.lookup(uri, "db.dp").isEmpty)
+    assert(graft.sources.RestBackend.lookup(uri, Seq("db", "dp")).isEmpty)
     assert(!Files.exists(loc2), "PURGE must delete the data")
     // gc.enabled=false refuses the purge (zero-copy clones may share files)
     spark.sql("CREATE TABLE restcat.db.nogc (id BIGINT) USING graft " +
@@ -233,7 +233,7 @@ class RestBackendSpec extends AnyFunSuite {
     spark.sql("INSERT INTO restcat.db.proc SELECT id FROM range(12)")
     val r = spark.sql("CALL restcat.system.compute_table_stats('db.proc')").collect()
     assert(r.nonEmpty)
-    val loc = graft.sources.RestBackend.lookup(uri, "db.proc").get
+    val loc = graft.sources.RestBackend.lookup(uri, Seq("db", "proc")).get
     assert(graft.spatial.Snapshots.readProps(loc).contains("stats.ndv.id"),
       "stats must land on the service-resolved location")
   }
@@ -287,6 +287,29 @@ class RestBackendSpec extends AnyFunSuite {
     } finally broken.stop(0)
   }
 
+  test("register of an already-registered identifier at a DIFFERENT location is " +
+      "409 — a lost CREATE race cannot silently orphan the winner's registration") {
+    assert(uri.nonEmpty)
+    import org.apache.spark.sql.connector.catalog.Identifier
+    val b = new graft.sources.RestBackend(uri)
+    val ident = Identifier.of(Array("db"), "race409")
+    val loc1 = java.nio.file.Paths.get(warehouse, "db", "race409_first")
+    val loc2 = java.nio.file.Paths.get(warehouse, "db", "race409_second")
+    b.recordTable(ident, loc1)
+    // the loser of the CREATE race (different location) must see the
+    // same exception a lost local CREATE raises, and the winner's
+    // registration must survive untouched
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      b.recordTable(ident, loc2)
+    }
+    assert(b.registeredLocation(ident).contains(loc1))
+    // re-registering the SAME location stays idempotent (REPLACE TABLE
+    // commits re-register their own location)
+    b.recordTable(ident, loc1)
+    assert(b.registeredLocation(ident).contains(loc1))
+    b.forgetTable(ident)
+  }
+
   test("the service persists across restarts (state lives in the registry file)") {
     assert(uri.nonEmpty)
     spark.sql("CREATE TABLE restcat.db.durable (id BIGINT) USING graft")
@@ -295,7 +318,7 @@ class RestBackendSpec extends AnyFunSuite {
     val srv2 = new graft.sources.RestCatalogServer(warehouse)
     val uri2 = srv2.start()
     try {
-      assert(graft.sources.RestBackend.lookup(uri2, "db.durable").isDefined)
+      assert(graft.sources.RestBackend.lookup(uri2, Seq("db", "durable")).isDefined)
       val b2 = new graft.sources.RestBackend(uri2)
       assert(b2.listTables(Array("db"), _ => true).map(_.name()).contains("durable"))
     } finally srv2.stop()

@@ -558,4 +558,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(spark.table("poscat.db.p").where("id >= 3 AND a IS NULL AND tag = concat('t', id)")
       .count() == 2)
   }
+
+  test("accept-any-schema: a FULL-width write whose names match table columns " +
+      "at different positions is rejected, not silently crossed over") {
+    val wh = Files.createTempDirectory("graft_mix_wh").toString
+    spark.conf.set("spark.sql.catalog.mixcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mixcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE mixcat.db")
+    spark.sql("CREATE TABLE mixcat.db.m (a STRING, b STRING, c STRING) " +
+      "USING graft TBLPROPERTIES ('write.spark.accept-any-schema' = 'true')")
+    // table (a,b,c), frame (b,x,a): full width, all STRING — positional
+    // resolution would land b-data in a and a-data in c with no error
+    val frame = spark.range(2).selectExpr(
+      "concat('B', id) AS b", "concat('X', id) AS x", "concat('A', id) AS a")
+    val e = intercept[Exception] { frame.writeTo("mixcat.db.m").append() }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+    assert(spark.table("mixcat.db.m").count() == 0, "rejected write must not land")
+    // same guard on the dynamic-overwrite leg
+    spark.sql("ALTER TABLE mixcat.db.m SET TBLPROPERTIES " +
+      "('write.spark.dynamic-partition-overwrite' = 'true')")
+    val e2 = intercept[Exception] { frame.writeTo("mixcat.db.m").overwritePartitions() }
+    assert(e2.getMessage.contains("ambiguous"), e2.getMessage)
+    // a name matching its OWN positional slot stays legitimate positional
+    // (SQL INSERT select-lists routinely carry one passthrough name)
+    spark.range(2).selectExpr("concat('A', id) AS a", "concat('B', id) AS q1",
+      "concat('C', id) AS q2").writeTo("mixcat.db.m").append()
+    assert(spark.table("mixcat.db.m").where("a = 'A1' AND b = 'B1' AND c = 'C1'").count() == 1)
+  }
 }
