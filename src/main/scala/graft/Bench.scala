@@ -181,6 +181,14 @@ object Bench {
         graft.operators.Similarity.pcaProject(tiny, 64, 8)
           .write.format("noop").mode("overwrite").save()
       }
+      // the persisted IVF-PQ index: build (or catch up) OUTSIDE the timed
+      // window so sim_index_topk reports the query-many steady state —
+      // r11's driver bench silently folded a one-time build into the
+      // per-query figure (3.1 s reported vs 1.2 s steady-state). A
+      // rebuild, if one happens, logs its own [graft] vecindex marker.
+      warmUp("vecindex") {
+        graft.operators.Similarity.ensureVectorIndex(spark, sfDir)
+      }
       warmUp("vector-kernels") {
         val tinyVecs = nation.limit(8).selectExpr("n_nationkey AS vec_id",
           "transform(sequence(1, 8), i -> cast(n_nationkey * i % 7 AS DOUBLE)) AS v")

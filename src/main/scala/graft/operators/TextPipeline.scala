@@ -129,6 +129,38 @@ object TextPipeline {
       .select(col("d1"), col("d2"), round(col("jac"), 4).as("jac"))
   }
 
+  /** Per-doc n-gram novelty: the fraction of a doc's 5-gram shingles
+    * that appear in NO other document. The r11 shape joined the full
+    * shingle frame back to its df aggregate on the RAW shingle key — the
+    * unbounded skew key `jaccardPairs` df-caps (a stopword-run shingle
+    * present in every doc lands its whole left side in one partition at
+    * 100 TB). This shape has NO shingle-keyed join at all: `min(doc_id)`
+    * rides the df aggregate, so a df=1 shingle already knows its only
+    * document; the unique-per-doc counts come from regrouping the
+    * (df=1)-filtered AGGREGATE — a frame with one row per distinct
+    * shingle, hot keys already collapsed map-side — and the only join is
+    * doc_id-keyed (skew-free: one row per doc per side).
+    */
+  private[graft] def ngramNovelty(d: DataFrame, n: Int): DataFrame = {
+    // one shingle scan feeds both counts (the jaccardPairs checkpoint
+    // rationale); widen first so the blocks aren't pinned to one core
+    val sh = Par.widen(d).select(col("doc_id"),
+      explode(VectorSql.shingle_hashes_n(col("text"), n)).as("sh"))
+      .localCheckpoint(true)
+    val perDoc = sh.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shingles"))
+    val uniqPerDoc = sh.groupBy("sh")
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("only_doc"))
+      .filter(col("ndocs") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).cast("int").as("unique_shingles"))
+    perDoc.join(uniqPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("unique_shingles"), lit(0)).as("unique_shingles"),
+        round(coalesce(col("unique_shingles"), lit(0)) / col("n_shingles"), 4)
+          .as("novelty"))
+  }
+
   /** Connected components over the near-dup pair graph by iterative
     * min-label propagation (one join + agg per round, lineage truncated
     * per round, converges in O(cluster diameter) rounds — tiny for dup
@@ -602,21 +634,10 @@ object TextPipeline {
     // document. Low novelty = the doc is mostly made of text repeated
     // elsewhere (template/boilerplate-heavy or a near-dup survivor);
     // curation pipelines use it to cap repeated-content exposure the way
-    // Lee et al. 2022 motivate dedup. Scale posture: one map-side-combined
-    // (shingle) document-frequency count, one shingle-keyed join back, one
-    // doc regroup — the same shape as the boilerplate/DSIR family; never
-    // a doc×doc join.
-    "text_ngram_novelty" -> ((s, dir) => {
-      val sh = docs(s, dir).select(col("doc_id"),
-        explode(VectorSql.shingle_hashes_n(col("text"), 5)).as("sh"))
-      val dfc = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
-      sh.join(dfc, Seq("sh"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_shingles"),
-          sum(when(col("ndocs") === 1, 1L).otherwise(0L)).cast("int")
-            .as("unique_shingles"),
-          round(avg(when(col("ndocs") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
-    }),
+    // Lee et al. 2022 motivate dedup. Scale posture: NO shingle-keyed
+    // join anywhere (see ngramNovelty) — two map-side-combined counts and
+    // one doc_id-keyed join, every shuffle key skew-free.
+    "text_ngram_novelty" -> ((s, dir) => ngramNovelty(docs(s, dir), 5)),
 
     // document fingerprinting: md5 of whitespace-normalized text
     "text_fingerprint" -> ((s, dir) => {

@@ -862,6 +862,34 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
           "target_version"))
       case "rewrite_position_delete_files" =>
         Seq(Row(Snapshots.rewritePositionDeleteFiles(spark, table).toLong, "new_version"))
+      case "build_vector_index" =>
+        // CALL graft.system.build_vector_index('<corpus parquet path>',
+        //   location => '<index dir>'[, column => 'embedding',
+        //   id_column => 'vec_id'])
+        // — the build-once/query-many ANN path without the Scala API.
+        // Fresh corpus → no-op; pure append → incremental encode; else a
+        // full staged rebuild ([[graft.operators.Similarity]]).
+        val loc = str(arg(1, "location"))
+        val idCol = named.get("id_column").map(str).getOrElse("vec_id")
+        val vecCol = named.get("column").map(str).getOrElse("embedding")
+        graft.operators.Similarity.ensureVectorIndexAt(spark, table, loc, idCol, vecCol)
+        val rows = Snapshots.readManifest(loc).map(_.rows).sum
+        Seq(Row(rows, s"index=$loc"))
+      case "ann_search" =>
+        // CALL graft.system.ann_search('<corpus parquet path>',
+        //   location => '<index dir>', view => '<name>'[, k => 3,
+        //   nprobe => 3, query_filter => '<predicate on vec_id/v>'])
+        // — registers the top-k neighbor frame as a temp view (the
+        // create_changelog_view convention for table-valued results).
+        val loc = str(arg(1, "location"))
+        val view = str(arg(2, "view"))
+        val k = named.get("k").map(int).getOrElse(3)
+        val nprobe = named.get("nprobe").map(int).getOrElse(3)
+        val qf = named.get("query_filter").map(str).getOrElse("vec_id % 100 = 0")
+        graft.operators.Similarity
+          .queryVectorIndexAt(spark, table, loc, nprobe, k, qf)
+          .createOrReplaceTempView(view)
+        Seq(Row(k.toLong, s"view=$view"))
       case other =>
         throw new IllegalArgumentException(s"unknown procedure: graft.system.$other")
     }

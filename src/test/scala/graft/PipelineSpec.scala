@@ -335,6 +335,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped == uncapped, s"capped=$capped uncapped=$uncapped")
   }
 
+  test("ngram novelty: no shingle-keyed join (de-skewed), results equal the " +
+      "naive full-df join-back on a hot-shingle fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorSql.install(spark)
+    // the jaccardPairs hot-shingle fixture: "alpha beta gamma" runs in
+    // EVERY doc (the skew key the old join-back partitioned on)
+    val boiler = "alpha beta gamma delta epsilon"
+    val docs = (0 until 12).map { i =>
+      val pairId = i / 2
+      (i.toLong, s"$boiler unique$pairId word$pairId tail$pairId extra$i more$i")
+    }.toDF("doc_id", "text")
+    val got = graft.operators.TextPipeline.ngramNovelty(docs, 5)
+    // naive reference: the r11 full-df join-back shape
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.VectorSql.shingle_hashes_n(col("text"), 5)).as("sh"))
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+    val want = sh.join(dfc, Seq("sh")).groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_shingles"),
+        sum(when(col("ndocs") === 1, 1L).otherwise(0L)).cast("int").as("unique_shingles"),
+        round(avg(when(col("ndocs") === 1, 1.0).otherwise(0.0)), 4).as("novelty"))
+    val g = got.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val w = want.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(g == w, s"got=$g want=$w")
+    assert(g.values.exists(_._2 > 0), "fixture must have unique shingles")
+    // plan quality: the ONLY join is doc_id-keyed — a join on the raw
+    // shingle column is the unbounded skew key this operator must avoid
+    val joins = got.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected one doc_id join, got ${joins.size}")
+    val cond = joins.head.condition.map(_.references.map(_.name).toSet).getOrElse(Set.empty)
+    assert(cond.forall(_.startsWith("doc_id")) && !cond.exists(_.contains("sh")),
+      s"join must be doc_id-keyed, got $cond")
+  }
+
   test("text kernels run inside WholeStageCodegen (no interpreted fallback)") {
     // fallback=false makes janino compile errors throw instead of silently
     // reverting to the interpreted path
@@ -586,6 +624,29 @@ class PipelineSpec extends AnyFunSuite {
     val again = SparkEntry.queries("sim_pca_project")(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
       "PCA projection must be bit-identical run-to-run")
+  }
+
+  test("PCA bounded fan-in: >1024 input partitions route through the coalesce " +
+      "combine level, and rounded projections match the flat-collect answer") {
+    // 1500 two-row partitions force the fan-in path (FanIn = 1024); the
+    // same rows in 8 partitions take the flat path — rounded projections
+    // must agree (the determinism contract under partition-layout change)
+    val wide = spark.range(0, 3000, 1, 1500)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), i -> cast((id * 37 + i * i) % 101 AS DOUBLE) / 101) AS v")
+    val narrow = spark.range(0, 3000, 1, 8)
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 63), i -> cast((id * 37 + i * i) % 101 AS DOUBLE) / 101) AS v")
+    val a = graft.operators.Similarity.pcaProject(wide, 64, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    val b = graft.operators.Similarity.pcaProject(narrow, 64, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(a.size == 3000 && a == b,
+      "fan-in combine must not change the rounded projection")
+    // and reruns of the fan-in path itself stay bit-identical
+    val a2 = graft.operators.Similarity.pcaProject(wide, 64, 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getDouble)).toMap
+    assert(a == a2, "fan-in PCA must be deterministic run-to-run")
   }
 
   test("domain cap: salted two-phase top-K equals the single-window answer, " +

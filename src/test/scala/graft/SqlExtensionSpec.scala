@@ -504,4 +504,49 @@ class SqlExtensionSpec extends AnyFunSuite {
       "retain_last=2 must keep v2 even though it predates the cutoff")
     assert(Snapshots.read(spark, dir).count() == 12)
   }
+
+  test("CALL build_vector_index + ann_search: the persisted ANN index is " +
+      "reachable from SQL and matches the Scala API's answers") {
+    graft.functions.VectorSql.install(spark)
+    val base = Files.createTempDirectory("graft_sql_ann").toString
+    val corpus = s"$base/vecs.parquet"
+    spark.range(500).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.parquet(corpus)
+    val loc = s"$base/annindex"
+    val out = spark.sql(s"CALL graft.system.build_vector_index('$corpus', " +
+      s"location => '$loc')").collect()
+    assert(out.head.getLong(0) == 500L, out.head.toString)
+    assert(Snapshots.currentVersion(loc) > 0)
+    // second CALL on an unchanged corpus is a no-op (no new snapshot)
+    val v1 = Snapshots.currentVersion(loc)
+    spark.sql(s"CALL graft.system.build_vector_index('$corpus', location => '$loc')")
+    assert(Snapshots.currentVersion(loc) == v1, "fresh index must not rebuild")
+    // table-valued query surface: ann_search registers the neighbor view
+    spark.sql(s"CALL graft.system.ann_search('$corpus', location => '$loc', " +
+      "view => 'annv', k => 3, query_filter => 'vec_id % 100 = 0')")
+    val viaSql = spark.sql("SELECT * FROM annv ORDER BY qid, vec_id").collect()
+      .map(_.toString).toSeq
+    assert(viaSql.nonEmpty)
+    val viaScala = graft.operators.Similarity
+      .queryVectorIndexAt(spark, corpus, loc)
+      .orderBy(col("qid"), col("vec_id")).collect().map(_.toString).toSeq
+    assert(viaSql == viaScala, "SQL and Scala answers must be identical")
+    // the SQL path maintains incrementally too: append corpus rows, CALL
+    // again → append snapshot (not a rebuild), new queries answered
+    spark.range(1000, 1050).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.mode("append").parquet(corpus)
+    val out2 = spark.sql(s"CALL graft.system.build_vector_index('$corpus', " +
+      s"location => '$loc')").collect()
+    assert(out2.head.getLong(0) == 550L)
+    assert(Snapshots.currentVersion(loc) == v1 + 1, "append, not rebuild")
+    spark.sql(s"CALL graft.system.ann_search('$corpus', location => '$loc', " +
+      "view => 'annv2', query_filter => 'vec_id = 1000')")
+    assert(spark.sql("SELECT * FROM annv2").collect()
+      .forall(_.getLong(0) == 1000L))
+    assert(spark.sql("SELECT count(*) AS n FROM annv2").collect().head.getLong(0) > 0)
+  }
 }

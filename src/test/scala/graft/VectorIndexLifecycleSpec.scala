@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Lifecycle of the persisted IVF-PQ vector index (r11 "do this" #1):
+  *
+  *  - a pure corpus APPEND updates the index incrementally — only the new
+  *    corpus files are encoded (with the trainer state persisted in the
+  *    index's table properties) and committed as an append snapshot;
+  *    pre-existing corpus files are never rescanned;
+  *  - a FAILED rebuild leaves the previous index intact and serving
+  *    identical results (stage-and-swap: the old index dir is untouched
+  *    until the staged replacement commits);
+  *  - validity is CONTENT-based per file (size + tail CRC): a same-size,
+  *    same-mtime regeneration still invalidates (r11 advisor).
+  */
+class VectorIndexLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** A corpus dir in the Tables layout: `<dir>/embeddings.parquet/part-*`.
+    * Each call appends ONE new part file of [start, end) vectors.
+    */
+  private def addCorpusFile(dir: String, start: Long, end: Long): Unit =
+    spark.range(start, end).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding",
+      "concat('l', id % 4) AS label")
+      .coalesce(1).write.mode("append").parquet(s"$dir/embeddings.parquet")
+
+  private def partFiles(dir: String): Set[String] =
+    Files.list(Paths.get(dir, "embeddings.parquet")).toArray.map(_.toString)
+      .map(p => Paths.get(p).getFileName.toString)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+
+  test("corpus append maintains the index incrementally: only new files are " +
+      "encoded, the commit is an append snapshot, queries surface new vectors") {
+    val dir = Files.createTempDirectory("graft_vil_a").toString
+    addCorpusFile(dir, 0, 600)
+    val before = partFiles(dir)
+    val idx = Similarity.ensureVectorIndex(spark, dir)
+    assert(Similarity.indexValid(idx, dir))
+    val v1 = graft.spatial.Snapshots.currentVersion(idx)
+    val rows1 = graft.spatial.Snapshots.readManifest(idx).map(_.rows).sum
+    assert(rows1 == 600)
+    val files1 = graft.spatial.Snapshots.readManifest(idx).map(_.path).toSet
+    val r1 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+    assert(r1.nonEmpty)
+
+    // append 10% of the corpus → the index must take the APPEND path
+    addCorpusFile(dir, 1000, 1060)
+    val newNames = partFiles(dir) -- before
+    assert(newNames.nonEmpty)
+    assert(Similarity.indexState(idx, dir)
+      .isInstanceOf[Similarity.IndexAppendable], "append must classify as appendable")
+
+    // count records read during the catch-up: pre-existing corpus files
+    // (600 rows) must never be rescanned
+    val recs = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) recs.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val idx2 = try {
+      val p = Similarity.ensureVectorIndex(spark, dir)
+      Thread.sleep(2000) // listener bus drains asynchronously
+      p
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(idx2 == idx)
+    assert(recs.get() > 0 && recs.get() < 600,
+      s"incremental encode read ${recs.get()} records — pre-existing corpus " +
+        "files must not be rescanned (old corpus alone is 600 rows)")
+
+    // append SNAPSHOT, not a rebuild: version advanced by one commit and
+    // every pre-existing index file survives
+    assert(graft.spatial.Snapshots.currentVersion(idx) == v1 + 1)
+    val m2 = graft.spatial.Snapshots.readManifest(idx)
+    assert(m2.map(_.rows).sum == 660)
+    assert(files1.subsetOf(m2.map(_.path).toSet),
+      "append must keep every pre-existing index file")
+    assert(Similarity.indexValid(idx, dir))
+
+    // queries surface the new vectors (vec_id 1000 is a query point) and
+    // old query points still answer
+    val r2 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+    val qids = r2.map(_.getLong(0)).toSet
+    assert(qids.contains(1000L), s"new query vector must surface, got $qids")
+    assert(r1.map(_.getLong(0)).toSet.subsetOf(qids))
+
+    // an append LARGER than the indexed corpus is trainer drift → rebuild
+    addCorpusFile(dir, 2000, 4000)
+    assert(Similarity.indexState(idx, dir) == Similarity.IndexRebuild,
+      "a corpus-doubling append must retrain, not stretch stale centroids")
+  }
+
+  test("failed rebuild leaves the previous index intact and serving identical " +
+      "results; content stamp sees a same-size same-mtime change; orphaned " +
+      "staging dirs are swept") {
+    val dir = Files.createTempDirectory("graft_vil_f").toString
+    addCorpusFile(dir, 0, 300)
+    val idx = Similarity.ensureVectorIndex(spark, dir)
+    val v1 = graft.spatial.Snapshots.currentVersion(idx)
+    val props1 = graft.spatial.Snapshots.readProps(idx)
+    val r1 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+      .map(_.toString).sorted.toSeq
+
+    // a leftover staged dir from a "crashed" earlier build
+    val orphan = Paths.get(idx + ".staged-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("junk"), Array[Byte](1, 2, 3))
+
+    // corrupt one corpus file IN PLACE: same size, same mtime, different
+    // bytes inside the tail window — the per-file content stamp must see
+    // it (size+mtime could not), and the rebuild it forces must fail
+    // because the parquet footer no longer parses
+    val f = Paths.get(dir, "embeddings.parquet").resolve(
+      partFiles(dir).toSeq.sorted.head)
+    val mtime = Files.getLastModifiedTime(f)
+    val original = Files.readAllBytes(f)
+    val corrupted = original.clone()
+    val at = corrupted.length - 1000 // inside both the CRC window and the footer
+    (0 until 64).foreach(i => corrupted(at + i) = (corrupted(at + i) ^ 0x5A).toByte)
+    Files.write(f, corrupted, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.setLastModifiedTime(f, mtime)
+    assert(Files.size(f) == original.length)
+    assert(Similarity.indexState(idx, dir) == Similarity.IndexRebuild,
+      "content change with identical size+mtime must invalidate")
+
+    intercept[Throwable] { Similarity.ensureVectorIndex(spark, dir) }
+
+    // the failed build touched NOTHING of the live index, and swept both
+    // its own staging debris and the pre-existing orphan
+    assert(graft.spatial.Snapshots.currentVersion(idx) == v1)
+    assert(graft.spatial.Snapshots.readProps(idx) == props1)
+    val parent = Paths.get(idx).getParent
+    val debris = Files.list(parent).toArray.map(_.toString)
+      .filter(p => p.contains(".staged-") || p.contains(".old-"))
+    assert(debris.isEmpty, s"staging debris left behind: ${debris.toSeq}")
+
+    // restore the corpus byte-for-byte → the index validates again and
+    // serves results identical to before the failed attempt
+    Files.write(f, original, StandardOpenOption.TRUNCATE_EXISTING)
+    assert(Similarity.indexValid(idx, dir))
+    val r2 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(r1 == r2, "previous index must keep serving identical results")
+  }
+}
