@@ -657,7 +657,8 @@ object Snapshots {
   }
 
   private def writeSketches(path: String, v: Int, sketches: Map[String, Array[Byte]],
-      scannedFiles: Int, scannedRows: Long, mode: String): Unit = {
+      scannedFiles: Int, scannedRows: Long, mode: String,
+      ndvs: Map[String, Long] = Map.empty): Unit = {
     val cols = sketches.toSeq.sortBy(_._1).map { case (c, b) =>
       s""""$c":"${java.util.Base64.getEncoder.encodeToString(b)}""""
     }.mkString("{", ",", "}")
@@ -666,6 +667,16 @@ object Snapshots {
     val f = sketchFile(path, v)
     java.nio.file.Files.createDirectories(f.getParent)
     java.nio.file.Files.write(f, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Puffin twin of the JSON sidecar (r11 Missing #3): the same sketch
+    // bytes framed per the public spec so external DataSketches/Puffin
+    // readers can consume graft's NDV stats; blob properties carry the
+    // spec-recommended "ndv" estimate plus the sketched column name
+    Puffin.write(f.resolveSibling(s"ndv_puffin_v$v.puffin"),
+      sketches.toSeq.sortBy(_._1).map { case (c, b) =>
+        (Puffin.HllBlobType, b,
+          Map("column" -> c) ++ ndvs.get(c).map(n => "ndv" -> n.toString))
+      }, snapshotId = v.toLong,
+      fileProps = Map("created-by" -> "graft", "mode" -> mode))
     ()
   }
 
@@ -795,7 +806,7 @@ object Snapshots {
           }
         (est, sketches, manifest.size, manifest.map(_.rows).sum, "full")
     }
-    writeSketches(path, head, sketchesOut, scannedFiles, scannedRows, mode)
+    writeSketches(path, head, sketchesOut, scannedFiles, scannedRows, mode, ndv)
     updateProperties(path,
       ndv.map { case (c, n) => ndvProp(c) -> n.toString } +
         (NdvVersionProp -> head.toString))
