@@ -691,10 +691,15 @@ object Similarity {
     * the candidates, the top-32 get an exact cosine re-rank against the
     * base vectors. `queryFilter` selects the query batch from the corpus
     * (the SQL `ann_search` surface); the default is the bench's stride.
+    * `querySource` points the query batch at a SEPARATE parquet source
+    * (same id/vector column names as the index declares) — the common
+    * production shape where queries are not corpus members; self-match
+    * exclusion then turns off (an external qid is not a corpus vec_id).
     */
   def queryVectorIndexAt(s: SparkSession, corpusPath: String,
       indexPath: String, nprobe: Int = 3, k: Int = 3,
-      queryFilter: String = "vec_id % 100 = 0"): DataFrame = {
+      queryFilter: String = "vec_id % 100 = 0",
+      querySource: Option[String] = None): DataFrame = {
     val props = graft.spatial.Snapshots.readProps(indexPath)
     require(props.get("graft.index.kind").contains("ivfpq"),
       s"no ivfpq index at $indexPath")
@@ -707,7 +712,8 @@ object Similarity {
       props("graft.index.codebooks").split('|').toSeq.map(parseMatrix)
     val cn = typedlit(cents)
     val e0 = corpusFrame(s, corpusPath, idCol, vecCol)
-    val q = e0.filter(expr(queryFilter))
+    val qSrc = querySource.map(p => corpusFrame(s, p, idCol, vecCol)).getOrElse(e0)
+    val q = qSrc.filter(expr(queryFilter))
       .withColumn("probe", explode(VectorSql.vec_nearest(col("v"), cn, nprobe)))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"),
         array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
@@ -716,8 +722,11 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cell ids
     val codes = graft.spatial.GeoTable.read(s, indexPath)
       .filter(col("cell").isin(probed: _*))
-    val adc = codes.join(broadcast(q),
-        col("cell") === col("probe") && col("vec_id") =!= col("qid"))
+    // self-match exclusion only for corpus self-queries — an external
+    // query batch's ids are not corpus vec_ids
+    val probeMatch = col("cell") === col("probe") &&
+      (if (querySource.isEmpty) col("vec_id") =!= col("qid") else lit(true))
+    val adc = codes.join(broadcast(q), probeMatch)
       .dropDuplicates("qid", "vec_id")
       .withColumn("adist", aggregate(
         zip_with(col("codes"), col("luts"), (c, lut) => element_at(lut, c + 1)),

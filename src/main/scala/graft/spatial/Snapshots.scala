@@ -3553,9 +3553,10 @@ object Snapshots {
     locally {
       val dir = Paths.get(path, "_graft_stats")
       if (Files.isDirectory(dir)) {
-        val SketchRe = """ndv_sketch_v(\d+)\.json""".r
+        // the Puffin twin shares its sketch version's lifetime
+        val SketchRe = """ndv_(?:sketch_v(\d+)\.json|puffin_v(\d+)\.puffin)""".r
         val stamped = listDir(dir)(_.toSeq).flatMap(p => p.getFileName.toString match {
-          case SketchRe(n) => Some(n.toInt -> p)
+          case SketchRe(j, pf) => Some(Option(j).getOrElse(pf).toInt -> p)
           case _ => None
         })
         val keep = reachable(stamped.map(_._1))

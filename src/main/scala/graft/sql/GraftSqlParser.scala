@@ -878,16 +878,22 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
       case "ann_search" =>
         // CALL graft.system.ann_search('<corpus parquet path>',
         //   location => '<index dir>', view => '<name>'[, k => 3,
-        //   nprobe => 3, query_filter => '<predicate on vec_id/v>'])
+        //   nprobe => 3, query_filter => '<predicate on vec_id/v>',
+        //   queries => '<separate query parquet path>'])
         // — registers the top-k neighbor frame as a temp view (the
         // create_changelog_view convention for table-valued results).
+        // With `queries`, the batch reads from that source (production
+        // shape: queries are not corpus members) and query_filter
+        // defaults to every row.
         val loc = str(arg(1, "location"))
         val view = str(arg(2, "view"))
         val k = named.get("k").map(int).getOrElse(3)
         val nprobe = named.get("nprobe").map(int).getOrElse(3)
-        val qf = named.get("query_filter").map(str).getOrElse("vec_id % 100 = 0")
+        val qSrc = named.get("queries").map(str)
+        val qf = named.get("query_filter").map(str)
+          .getOrElse(if (qSrc.isDefined) "true" else "vec_id % 100 = 0")
         graft.operators.Similarity
-          .queryVectorIndexAt(spark, table, loc, nprobe, k, qf)
+          .queryVectorIndexAt(spark, table, loc, nprobe, k, qf, qSrc)
           .createOrReplaceTempView(view)
         Seq(Row(k.toLong, s"view=$view"))
       case other =>

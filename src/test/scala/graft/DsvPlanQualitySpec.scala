@@ -755,12 +755,15 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     spark.sql(s"CALL graft.system.compute_partition_stats('$tbl')")
     spark.sql("INSERT INTO pq.db.ndvclean SELECT id, concat('k', id % 3) FROM range(60, 90)")
     spark.sql(s"CALL graft.system.compute_table_stats('$tbl')")
-    assert(sketches().size == 3 && pstats().size == 2, s"${sketches()} / ${pstats()}")
-    val newestSketch = sketches().last // stamped at the head the stats saw
+    // 3 stats epochs x (JSON sidecar + Puffin twin)
+    assert(sketches().size == 6 && pstats().size == 2, s"${sketches()} / ${pstats()}")
+    val newestEpoch = sketches().filter(_.endsWith(".json")).last // head's sketch
+      .stripPrefix("ndv_sketch_").stripSuffix(".json")
     spark.sql(s"CALL graft.system.expire_snapshots('$tbl', keep => 1)")
-    // head is the only kept version; the newest sketch serves it — the two
-    // older sketches and the superseded partition-stats file must be gone
-    assert(sketches() == Seq(newestSketch),
+    // head is the only kept version; the newest sketch (and its Puffin
+    // twin) serves it — the older epochs' sidecars must be gone
+    assert(sketches() == Seq(s"ndv_puffin_$newestEpoch.puffin",
+      s"ndv_sketch_$newestEpoch.json"),
       s"stale sketches survive expire: ${sketches()}")
     assert(pstats().size == 1, s"stale partition stats survive expire: ${pstats()}")
     // the surviving sidecars still serve reads

@@ -548,5 +548,21 @@ class SqlExtensionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM annv2").collect()
       .forall(_.getLong(0) == 1000L))
     assert(spark.sql("SELECT count(*) AS n FROM annv2").collect().head.getLong(0) > 0)
+
+    // external query batch (queries => …): vectors that are NOT corpus
+    // members probe the index; a query equal to corpus vector j must
+    // surface j itself at cos 1.0 (self-exclusion is off for external
+    // batches — an external qid is not a corpus vec_id)
+    val qsrc = s"$base/queries.parquet"
+    spark.sql("SELECT 0 AS qn, 7 AS src UNION ALL SELECT 1, 123 UNION ALL SELECT 2, 250")
+      .selectExpr("CAST(qn AS BIGINT) AS vec_id",
+        "transform(sequence(0, 63), i -> cast(sin(src * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.parquet(qsrc)
+    spark.sql(s"CALL graft.system.ann_search('$corpus', location => '$loc', " +
+      s"view => 'annx', k => 1, queries => '$qsrc')")
+    val hits = spark.sql("SELECT qid, vec_id, cos FROM annx").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits == Map(0L -> (7L, 1.0), 1L -> (123L, 1.0), 2L -> (250L, 1.0)),
+      s"external queries must find their corpus twins: $hits")
   }
 }

@@ -97,6 +97,40 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       "a corpus-doubling append must retrain, not stretch stale centroids")
   }
 
+  test("the index composes with table maintenance: incremental appends leave " +
+      "small per-cell files, rewrite_data_files compacts them, expire_snapshots " +
+      "drops the old epochs — queries identical throughout, index stays fresh") {
+    val dir = Files.createTempDirectory("graft_vil_m").toString
+    addCorpusFile(dir, 0, 400)
+    val idx = Similarity.ensureVectorIndex(spark, dir)
+    // three incremental epochs (each well under the indexed corpus size)
+    addCorpusFile(dir, 1000, 1040); Similarity.ensureVectorIndex(spark, dir)
+    addCorpusFile(dir, 2000, 2040); Similarity.ensureVectorIndex(spark, dir)
+    addCorpusFile(dir, 3000, 3040); Similarity.ensureVectorIndex(spark, dir)
+    assert(Similarity.indexValid(idx, dir))
+    val filesBefore = graft.spatial.Snapshots.readManifest(idx).size
+    val r1 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+      .map(_.toString).sorted.toSeq
+    // compaction: the index IS a graft table, so the standard procedure
+    // merges the append-epoch file tails per inverted list
+    val (_, rewritten) = graft.spatial.Snapshots.rewriteDataFiles(
+      spark, idx, "binpack", targetFileSize = Some(512L * 1024 * 1024))
+    assert(rewritten > 0, "appends must have left compactable files")
+    val filesAfter = graft.spatial.Snapshots.readManifest(idx).size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(Similarity.indexValid(idx, dir),
+      "compaction must carry the source fingerprint props")
+    val r2 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(r1 == r2, "compaction must not change answers")
+    // retention: expire the pre-compaction snapshots, dropping their files
+    graft.spatial.Snapshots.expireSnapshots(spark, idx, keep = 1)
+    val r3 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(r1 == r3, "expire must not change answers")
+    assert(Similarity.indexValid(idx, dir))
+  }
+
   test("failed rebuild leaves the previous index intact and serving identical " +
       "results; content stamp sees a same-size same-mtime change; orphaned " +
       "staging dirs are swept") {
