@@ -453,21 +453,33 @@ object Similarity {
   private def corpusPathOf(dir: String): String =
     java.nio.file.Paths.get(dir, "embeddings.parquet").toString
 
-  /** The corpus's data files, name-sorted (no `_SUCCESS`/dot markers). */
-  private def corpusFiles(corpusPath: String): Seq[java.nio.file.Path] = {
+  /** The corpus's data files as (relative path, file) pairs, name-sorted.
+    * RECURSIVE: a hive-partitioned corpus nests its files under `k=v/`
+    * dirs — a top-level-only listing would fingerprint such a corpus as
+    * empty and validate a stale index forever. Any path segment starting
+    * with `_`/`.` (markers, hidden) is excluded, matching what
+    * `spark.read.parquet` ignores.
+    */
+  private def corpusFiles(corpusPath: String): Seq[(String, java.nio.file.Path)] = {
     val p = java.nio.file.Paths.get(corpusPath)
     if (java.nio.file.Files.isDirectory(p))
-      graft.spatial.Snapshots.listDir(p)(_.toSeq)
+      graft.spatial.Snapshots.walkDir(p)(_.toSeq)
         .filter { f =>
-          val n = f.getFileName.toString
-          java.nio.file.Files.isRegularFile(f) &&
-            !n.startsWith("_") && !n.startsWith(".")
-        }.sortBy(_.getFileName.toString)
-    else Seq(p)
+          java.nio.file.Files.isRegularFile(f) && {
+            val rel = p.relativize(f)
+            (0 until rel.getNameCount).forall { i =>
+              val seg = rel.getName(i).toString
+              !seg.startsWith("_") && !seg.startsWith(".")
+            }
+          }
+        }
+        .map(f => p.relativize(f).toString -> f)
+        .sortBy(_._1)
+    else Seq(p.getFileName.toString -> p)
   }
 
   private def corpusFileMap(corpusPath: String): Map[String, String] =
-    corpusFiles(corpusPath).map(f => f.getFileName.toString -> fileStamp(f)).toMap
+    corpusFiles(corpusPath).map { case (rel, f) => rel -> fileStamp(f) }.toMap
 
   /** (vec_id, v) projection of an arbitrary corpus — the generalized
     * [[emb]] the SQL procedures build on.
@@ -483,7 +495,7 @@ object Similarity {
   /** Corpus row count from parquet footers only (no data pages). */
   private def corpusRowCount(s: SparkSession, corpusPath: String): Long = {
     val conf = s.sessionState.newHadoopConf()
-    corpusFiles(corpusPath).map { f =>
+    corpusFiles(corpusPath).map { case (_, f) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f.toString), conf))
@@ -491,12 +503,15 @@ object Similarity {
     }.sum
   }
 
+  // newline-separated entries: file paths cannot contain '\n', while ','
+  // CAN appear in hive partition values; the stamp after the LAST '='
+  // never contains '=' itself, so keys with '=' (hive dirs) parse right
   private def encodeFileMap(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
 
   private def decodeFileMap(s: String): Map[String, String] =
     if (s.isEmpty) Map.empty
-    else s.split(',').map { kv =>
+    else s.split('\n').map { kv =>
       val i = kv.lastIndexOf('=')
       kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
@@ -607,7 +622,17 @@ object Similarity {
     val n = corpusRowCount(s, corpusPath)
     val coarseK = math.max(4, math.min(256, (n / 64).toInt))
     val m = 4; val ksub = 16; val dsub = 16
-    val sample = strideSample(e0, n, 4096)
+    // id-stride sampling assumes a dense non-negative id space (the bench
+    // corpus); an arbitrary SQL-procedure corpus (sparse/negative ids)
+    // can stride to nothing — fall back to a deterministic ordered top-N
+    // (distributed TakeOrdered, never a full driver collect)
+    val sample0 = strideSample(e0, n, 4096)
+    val sample =
+      if (sample0.nonEmpty) sample0
+      else e0.orderBy(col("vec_id")).limit(4096)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"cannot build a vector index over an empty corpus at $corpusPath")
     val cents = coarseCentroids(sample, coarseK).map(normalize)
     val books = pqCodebooks(
       sample.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }, m, ksub, dsub)

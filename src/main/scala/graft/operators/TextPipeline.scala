@@ -142,11 +142,13 @@ object TextPipeline {
     * doc_id-keyed (skew-free: one row per doc per side).
     */
   private[graft] def ngramNovelty(d: DataFrame, n: Int): DataFrame = {
-    // one shingle scan feeds both counts (the jaccardPairs checkpoint
-    // rationale); widen first so the blocks aren't pinned to one core
-    val sh = Par.widen(d).select(col("doc_id"),
+    // NO checkpoint and NO widen: both consumers are aggregations that
+    // shuffle anyway (map-side combined), so materializing the exploded
+    // frame — or round-robin-shuffling the full text first — only adds
+    // IO (measured +0.5 s at sf0.1); recomputing the map-only shingle
+    // explode per branch is cheaper than storing it
+    val sh = d.select(col("doc_id"),
       explode(VectorSql.shingle_hashes_n(col("text"), n)).as("sh"))
-      .localCheckpoint(true)
     val perDoc = sh.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_shingles"))
     val uniqPerDoc = sh.groupBy("sh")

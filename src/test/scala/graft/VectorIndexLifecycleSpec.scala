@@ -131,6 +131,50 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(Similarity.indexValid(idx, dir))
   }
 
+  test("hive-partitioned corpus: the fingerprint walks NESTED files, so a " +
+      "nested-file change invalidates; sparse-id corpora build via the " +
+      "ordered-sample fallback") {
+    val base = Files.createTempDirectory("graft_vil_p").toString
+    // partitioned corpus: files nest under lang=<v>/ dirs
+    val corpus = s"$base/pcorpus.parquet"
+    spark.range(300).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding",
+      "concat('l', id % 2) AS lang")
+      .write.partitionBy("lang").parquet(corpus)
+    val idx = s"$base/pindex"
+    Similarity.ensureVectorIndexAt(spark, corpus, idx)
+    assert(Similarity.indexStateAt(idx, corpus) == Similarity.IndexFresh)
+    assert(Similarity.queryVectorIndexAt(spark, corpus, idx).collect().nonEmpty)
+    // touch ONE nested file in place (same size): the per-file stamp must
+    // see it even though no top-level entry changed
+    val nested = Files.walk(Paths.get(corpus)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("lang="))
+    assert(nested.nonEmpty, "fixture must nest its files")
+    val f = Paths.get(nested.sorted.head)
+    val orig = Files.readAllBytes(f)
+    val tweaked = orig.clone(); tweaked(orig.length / 2) = (tweaked(orig.length / 2) ^ 1).toByte
+    Files.write(f, tweaked, StandardOpenOption.TRUNCATE_EXISTING)
+    assert(Similarity.indexStateAt(idx, corpus) == Similarity.IndexRebuild,
+      "a nested-file change must invalidate the index")
+    Files.write(f, orig, StandardOpenOption.TRUNCATE_EXISTING)
+    assert(Similarity.indexStateAt(idx, corpus) == Similarity.IndexFresh)
+
+    // sparse ids: >cap rows force stride 2, all-odd ids never hit it, so
+    // stride sampling finds nothing — the ordered-top-N fallback must
+    // still train and serve queries
+    val sparse = s"$base/sparse.parquet"
+    spark.range(8192).selectExpr(
+      "id * 2 + 1 AS vec_id", // all odd: stride-2 sampling strides to nothing
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.parquet(sparse)
+    val sidx = s"$base/sindex"
+    Similarity.ensureVectorIndexAt(spark, sparse, sidx)
+    val r = Similarity.queryVectorIndexAt(spark, sparse, sidx,
+      queryFilter = "vec_id = 1").collect()
+    assert(r.nonEmpty, "sparse-id corpus must still answer queries")
+  }
+
   test("failed rebuild leaves the previous index intact and serving identical " +
       "results; content stamp sees a same-size same-mtime change; orphaned " +
       "staging dirs are swept") {
