@@ -478,8 +478,42 @@ object Similarity {
     else Seq(p.getFileName.toString -> p)
   }
 
+  /** A corpus that is itself a graft TABLE (manifest present) gets the
+    * metadata-native treatment: freshness from the manifest instead of
+    * per-file CRC reads (validity = ONE manifest read at any scale),
+    * reads through [[graft.spatial.GeoTable.read]] (logical schema,
+    * MoR deletes applied), and delete-state awareness — a snapshot whose
+    * delete state changed can serve rows the encoded codes don't know
+    * about, so it rebuilds rather than silently answering from them.
+    */
+  private def isGraftCorpus(corpusPath: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(corpusPath,
+      graft.spatial.GeoTable.ManifestName))
+
+  /** Pseudo-entry recording the corpus table's delete state: any change
+    * (new predicate/positional/equality deletes) invalidates — codes
+    * cannot subtract rows. Leading "0:" keeps the bytes-parser happy.
+    */
+  private val DeleteStateKey = "__graft_delete_state"
+  private def deleteStateStamp(corpusPath: String): String = {
+    val d = graft.spatial.Snapshots.readDeletes(corpusPath)
+    val pd = graft.spatial.Snapshots.readPosDeletes(corpusPath)
+    val ed = graft.spatial.Snapshots.readEqDeletes(corpusPath)
+    if (d.isEmpty && pd.isEmpty && ed.isEmpty) "0:none"
+    else {
+      val crc = new java.util.zip.CRC32()
+      (d ++ pd ++ ed.map(e => s"${e.path}|${e.cols.mkString(",")}|${e.seq}"))
+        .foreach(x => crc.update(x.getBytes("UTF-8")))
+      s"0:${java.lang.Long.toHexString(crc.getValue)}"
+    }
+  }
+
   private def corpusFileMap(corpusPath: String): Map[String, String] =
-    corpusFiles(corpusPath).map { case (rel, f) => rel -> fileStamp(f) }.toMap
+    if (isGraftCorpus(corpusPath))
+      graft.spatial.Snapshots.readManifest(corpusPath)
+        .map(e => e.path -> s"${e.sizeBytes}:${e.rows}").toMap +
+        (DeleteStateKey -> deleteStateStamp(corpusPath))
+    else corpusFiles(corpusPath).map { case (rel, f) => rel -> fileStamp(f) }.toMap
 
   /** (vec_id, v) projection of an arbitrary corpus — the generalized
     * [[emb]] the SQL procedures build on.
@@ -487,21 +521,28 @@ object Similarity {
   private def corpusFrame(s: SparkSession, corpusPath: String,
       idCol: String, vecCol: String): DataFrame = {
     VectorSql.install(s)
-    s.read.parquet(corpusPath)
-      .select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val base =
+      if (isGraftCorpus(corpusPath)) graft.spatial.GeoTable.read(s, corpusPath)
+      else s.read.parquet(corpusPath)
+    base.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
   }
 
-  /** Corpus row count from parquet footers only (no data pages). */
-  private def corpusRowCount(s: SparkSession, corpusPath: String): Long = {
-    val conf = s.sessionState.newHadoopConf()
-    corpusFiles(corpusPath).map { case (_, f) =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.toString), conf))
-      try reader.getRecordCount finally reader.close()
-    }.sum
-  }
+  /** Corpus row count: manifest totals for graft corpora (driver-only),
+    * parquet footers (no data pages) otherwise.
+    */
+  private def corpusRowCount(s: SparkSession, corpusPath: String): Long =
+    if (isGraftCorpus(corpusPath))
+      graft.spatial.Snapshots.readManifest(corpusPath).map(_.rows).sum
+    else {
+      val conf = s.sessionState.newHadoopConf()
+      corpusFiles(corpusPath).map { case (_, f) =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toString), conf))
+        try reader.getRecordCount finally reader.close()
+      }.sum
+    }
 
   // newline-separated entries: file paths cannot contain '\n', while ','
   // CAN appear in hive partition values; the stamp after the LAST '='
@@ -516,11 +557,15 @@ object Similarity {
       kv.substring(0, i) -> kv.substring(i + 1)
     }.toMap
 
-  /** What the persisted index needs to catch up with its corpus. */
+  /** What the persisted index needs to catch up with its corpus.
+    * `IndexAppendable` carries the NEW corpus files by relative name
+    * (manifest-entry paths for graft corpora, dir-relative paths for
+    * plain parquet ones).
+    */
   private[graft] sealed trait IndexState
   private[graft] case object IndexFresh extends IndexState
   private[graft] final case class IndexAppendable(
-      newFiles: Seq[java.nio.file.Path]) extends IndexState
+      newFiles: Seq[String]) extends IndexState
   private[graft] case object IndexRebuild extends IndexState
 
   /** Classify the index against the live corpus: every indexed file
@@ -551,7 +596,7 @@ object Similarity {
     else if (stored.nonEmpty && stored.forall { case (k, v) => cur.get(k).contains(v) }) {
       val newNames = (cur.keySet -- stored.keySet).toSeq.sorted
       if (bytes(cur, newNames) <= bytes(stored, stored.keys))
-        IndexAppendable(newNames.map(java.nio.file.Paths.get(corpusPath).resolve(_)))
+        IndexAppendable(newNames)
       else IndexRebuild
     } else IndexRebuild
   }
@@ -611,12 +656,16 @@ object Similarity {
     // absorbed a one-time build (r11 bench opacity finding)
     System.err.println(s"[graft] vecindex FULL build at $indexPath")
     val target = java.nio.file.Paths.get(indexPath)
-    // sweep orphans of earlier crashed builds/swaps of THIS index name
+    // sweep orphans of earlier CRASHED builds/swaps of this index name —
+    // age-gated (>1 h stale), so a concurrent builder's LIVE staging dir
+    // is never deleted out from under it
+    val sweepCutoff = System.currentTimeMillis() - 60L * 60 * 1000
     Option(target.getParent).filter(java.nio.file.Files.isDirectory(_))
       .foreach(parent => graft.spatial.Snapshots.listDir(parent)(_.toSeq)
-        .filter(_.getFileName.toString.matches(
+        .filter(p => p.getFileName.toString.matches(
           java.util.regex.Pattern.quote(target.getFileName.toString) +
-            "\\.(staged|old)-.*"))
+            "\\.(staged|old)-.*") &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < sweepCutoff)
         .foreach(deleteTree))
     val e0 = corpusFrame(s, corpusPath, idCol, vecCol)
     val n = corpusRowCount(s, corpusPath)
@@ -660,9 +709,18 @@ object Similarity {
           books.map(_.map(_.mkString(",")).mkString(";")).mkString("|")))
     } catch { case e: Throwable => deleteTree(staged); throw e }
     val old = target.resolveSibling(s"${target.getFileName}.old-$nonce")
-    if (java.nio.file.Files.exists(target))
-      java.nio.file.Files.move(target, old)
-    java.nio.file.Files.move(staged, target)
+    try {
+      if (java.nio.file.Files.exists(target))
+        java.nio.file.Files.move(target, old)
+      java.nio.file.Files.move(staged, target)
+    } catch {
+      case e: java.nio.file.FileSystemException =>
+        // lost a swap race to a concurrent builder: if the live index now
+        // validates against this corpus, accept the winner's build and
+        // discard ours — both built from the same corpus state
+        deleteTree(staged)
+        if (indexStateAt(indexPath, corpusPath, idCol, vecCol) != IndexFresh) throw e
+    }
     deleteTree(old)
   }
 
@@ -680,7 +738,7 @@ object Similarity {
     * read (the no-rescan spec hook).
     */
   private[graft] def appendToVectorIndexAt(s: SparkSession, corpusPath: String,
-      indexPath: String, newFiles: Seq[java.nio.file.Path]): Seq[String] = {
+      indexPath: String, newFiles: Seq[String]): Seq[String] = {
     System.err.println(
       s"[graft] vecindex APPEND of ${newFiles.size} corpus files at $indexPath")
     VectorSql.install(s)
@@ -693,10 +751,25 @@ object Similarity {
     val books: Seq[Seq[Seq[Double]]] =
       props("graft.index.codebooks").split('|').toSeq.map(parseMatrix)
     // read ONLY the new corpus files — pre-existing files are never
-    // rescanned (the corpus projection, applied to an explicit file list)
-    val e0 = s.read.parquet(newFiles.map(_.toString): _*)
-      .select(col(idCol).cast("long").as("vec_id"),
-        col(vecCol).cast("array<double>").as("v"))
+    // rescanned (the corpus projection, applied to an explicit file list).
+    // Graft corpora read their new manifest entries through the pruning
+    // index (logical schema, encodings decoded) with the table's
+    // predicate deletes applied — they filter at READ time, so a
+    // predicate committed before this append still scopes the new rows.
+    // Pos/eq deletes can't touch the new files: any delete-state change
+    // voids the appendable classification entirely (DeleteStateKey).
+    val raw =
+      if (isGraftCorpus(corpusPath)) {
+        val names = newFiles.toSet
+        graft.spatial.GeoTable.applyDeletes(
+          graft.spatial.GeoTable.readWithStats(s, corpusPath,
+            graft.spatial.Snapshots.readManifest(corpusPath)
+              .filter(e => names(e.path))),
+          graft.spatial.Snapshots.readDeletes(corpusPath))
+      } else s.read.parquet(newFiles.map(n =>
+        java.nio.file.Paths.get(corpusPath).resolve(n).toString): _*)
+    val e0 = raw.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
     val cn = typedlit(cents)
     val coded = e0.select(col("vec_id"),
       VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),

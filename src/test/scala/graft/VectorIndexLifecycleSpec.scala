@@ -131,6 +131,54 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(Similarity.indexValid(idx, dir))
   }
 
+  test("graft-TABLE corpus: freshness from the manifest (metadata-only), " +
+      "incremental append on an append snapshot, any delete-state change " +
+      "rebuilds — codes cannot subtract rows") {
+    import graft.spatial.{GeoTable, Snapshots}
+    val base = Files.createTempDirectory("graft_vil_t").toString
+    val tbl = s"$base/corpus_tbl"
+    def vecs(a: Long, b: Long) = spark.range(a, b).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+    vecs(0, 400).coalesce(1).write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    val idx = s"$base/gindex"
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh)
+    val r1 = Similarity.queryVectorIndexAt(spark, tbl, idx).collect()
+    assert(r1.nonEmpty)
+
+    // append SNAPSHOT on the corpus table → the index classifies
+    // appendable from the manifest diff alone and encodes only the new
+    // entries as its own append snapshot
+    Snapshots.append(vecs(1000, 1040).coalesce(1), tbl)
+    val st = Similarity.indexStateAt(idx, tbl)
+    assert(st.isInstanceOf[Similarity.IndexAppendable], st.toString)
+    val iv = Snapshots.currentVersion(idx)
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    assert(Snapshots.currentVersion(idx) == iv + 1, "append, not rebuild")
+    val r2 = Similarity.queryVectorIndexAt(spark, tbl, idx).collect()
+    assert(r2.map(_.getLong(0)).toSet.contains(1000L),
+      "the appended query vector must surface")
+
+    // MoR delete: data files UNCHANGED, but the new positional delete
+    // means the index's codes still carry the dead rows → must rebuild
+    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
+    val filesBefore = Snapshots.readManifest(tbl).map(_.path).toSet
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("vec_id") < 5)
+    assert(Snapshots.readManifest(tbl).map(_.path).toSet == filesBefore,
+      "fixture must be a genuine MoR delete")
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexRebuild,
+      "a delete-state change must invalidate the index")
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    val r3 = Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect()
+    assert(r3.nonEmpty && r3.forall(_.getLong(1) >= 5),
+      s"rebuilt index must not serve deleted rows: ${r3.toSeq}")
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh,
+      "post-rebuild state must validate with the delete stamp")
+  }
+
   test("hive-partitioned corpus: the fingerprint walks NESTED files, so a " +
       "nested-file change invalidates; sparse-id corpora build via the " +
       "ordered-sample fallback") {
@@ -186,10 +234,17 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     val r1 = Similarity.queryVectorIndex(spark, dir, idx).collect()
       .map(_.toString).sorted.toSeq
 
-    // a leftover staged dir from a "crashed" earlier build
+    // a STALE staged dir from a "crashed" earlier build (old mtime) must
+    // be swept; a FRESH one (a concurrent builder's live staging) must
+    // survive the sweep
     val orphan = Paths.get(idx + ".staged-deadbeef")
     Files.createDirectories(orphan)
     Files.write(orphan.resolve("junk"), Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(1000))
+    val liveOrphan = Paths.get(idx + ".staged-live0000")
+    Files.createDirectories(liveOrphan)
+    Files.write(liveOrphan.resolve("junk"), Array[Byte](4, 5, 6))
 
     // corrupt one corpus file IN PLACE: same size, same mtime, different
     // bytes inside the tail window — the per-file content stamp must see
@@ -210,14 +265,18 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
 
     intercept[Throwable] { Similarity.ensureVectorIndex(spark, dir) }
 
-    // the failed build touched NOTHING of the live index, and swept both
-    // its own staging debris and the pre-existing orphan
+    // the failed build touched NOTHING of the live index, swept its own
+    // staging debris and the STALE orphan, and left the fresh (possibly
+    // live concurrent) staging dir alone
     assert(graft.spatial.Snapshots.currentVersion(idx) == v1)
     assert(graft.spatial.Snapshots.readProps(idx) == props1)
     val parent = Paths.get(idx).getParent
     val debris = Files.list(parent).toArray.map(_.toString)
       .filter(p => p.contains(".staged-") || p.contains(".old-"))
-    assert(debris.isEmpty, s"staging debris left behind: ${debris.toSeq}")
+    assert(debris.toSeq == Seq(liveOrphan.toString),
+      s"expected only the fresh staging dir to survive: ${debris.toSeq}")
+    Files.deleteIfExists(liveOrphan.resolve("junk"))
+    Files.deleteIfExists(liveOrphan)
 
     // restore the corpus byte-for-byte → the index validates again and
     // serves results identical to before the failed attempt
