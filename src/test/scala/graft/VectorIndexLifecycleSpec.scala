@@ -179,6 +179,50 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       "post-rebuild state must validate with the delete stamp")
   }
 
+  test("continuous ingest: each streaming epoch commits a corpus snapshot the " +
+      "index catches up with incrementally — stream, table, and index compose") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_vil_s_wh").toString
+    spark.conf.set("spark.sql.catalog.vilcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.vilcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS vilcat.db")
+    spark.sql("CREATE TABLE vilcat.db.vecs (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+    val ckpt = Files.createTempDirectory("graft_vil_s_ckpt").toString
+    val input = MemoryStream[Long]
+    def runEpoch(): Unit = {
+      val q = input.toDF()
+        .selectExpr("value AS vec_id",
+          "transform(sequence(0, 63), i -> cast(sin(value * 0.7 + i) AS FLOAT)) AS embedding")
+        .coalesce(1)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("vilcat.db.vecs")
+      try q.awaitTermination() finally q.stop()
+    }
+    input.addData(0L until 500L: _*)
+    runEpoch()
+    val tbl = s"$wh/db/vecs"
+    val idx = Similarity.ensureVectorIndexAt(spark, tbl,
+      s"${Files.createTempDirectory("graft_vil_s_idx")}/index")
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh)
+    val iv = graft.spatial.Snapshots.currentVersion(idx)
+    // next epoch: the exactly-once sink commits ONE append snapshot; the
+    // index classifies appendable from the manifest diff and encodes only
+    // the epoch's files
+    input.addData(1000L until 1050L: _*)
+    runEpoch()
+    assert(Similarity.indexStateAt(idx, tbl)
+      .isInstanceOf[Similarity.IndexAppendable])
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    assert(graft.spatial.Snapshots.currentVersion(idx) == iv + 1,
+      "epoch catch-up must be an append snapshot, not a rebuild")
+    val r = Similarity.queryVectorIndexAt(spark, tbl, idx).collect()
+    assert(r.map(_.getLong(0)).toSet.contains(1000L),
+      "the streamed epoch's query vector must surface")
+  }
+
   test("hive-partitioned corpus: the fingerprint walks NESTED files, so a " +
       "nested-file change invalidates; sparse-id corpora build via the " +
       "ordered-sample fallback") {
