@@ -515,6 +515,43 @@ object Similarity {
         (DeleteStateKey -> deleteStateStamp(corpusPath))
     else corpusFiles(corpusPath).map { case (rel, f) => rel -> fileStamp(f) }.toMap
 
+  /** Resolve captured relative names back to readable paths. A
+    * single-file corpus fingerprints as its own filename and never
+    * classifies appendable, so the non-directory branch is total.
+    */
+  private def resolveCorpusFiles(corpusPath: String, names: Seq[String]): Seq[String] = {
+    val p = java.nio.file.Paths.get(corpusPath)
+    if (java.nio.file.Files.isDirectory(p)) names.map(n => p.resolve(n).toString)
+    else Seq(corpusPath)
+  }
+
+  /** [[corpusFrame]] restricted to an explicit CAPTURED file set. The
+    * encode scan and the committed source fingerprint must come from the
+    * SAME listing — re-listing at commit time records corpus files that
+    * arrived during the encode window as indexed without ever encoding
+    * them, and nothing would invalidate the index afterwards.
+    */
+  private def corpusFrameFor(s: SparkSession, corpusPath: String,
+      idCol: String, vecCol: String, fileMap: Map[String, String]): DataFrame = {
+    VectorSql.install(s)
+    val names = fileMap.keySet - DeleteStateKey
+    val base =
+      if (isGraftCorpus(corpusPath))
+        // graft corpora: the captured manifest entries read through the
+        // pruning index (logical schema, encodings decoded) with the
+        // table's predicate deletes applied at READ time. Pos/eq deletes
+        // can't be stale here: any delete-state change flips the captured
+        // DeleteStateKey stamp and voids freshness/appendability.
+        graft.spatial.GeoTable.applyDeletes(
+          graft.spatial.GeoTable.readWithStats(s, corpusPath,
+            graft.spatial.Snapshots.readManifest(corpusPath)
+              .filter(e => names(e.path))),
+          graft.spatial.Snapshots.readDeletes(corpusPath))
+      else s.read.parquet(resolveCorpusFiles(corpusPath, names.toSeq.sorted): _*)
+    base.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).cast("array<double>").as("v"))
+  }
+
   /** (vec_id, v) projection of an arbitrary corpus — the generalized
     * [[emb]] the SQL procedures build on.
     */
