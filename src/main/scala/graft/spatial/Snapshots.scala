@@ -478,6 +478,16 @@ object Snapshots {
     * entries are stamped with the committed version (their sequence
     * number); new eq-delete entries likewise.
     */
+  /** Per-snapshot operation stamp (the reference's snapshot `operation`
+    * field, `core/.../SnapshotSummary`): set by commits whose shape is not
+    * derivable from the manifest diff alone — today only `replace`
+    * (rows-preserving rewrite), which downstream consumers (the vector
+    * index's catch-up walk) must distinguish from an overwrite with a
+    * coincidentally equal row count. Cleared on every commit that does not
+    * restate it, so it never leaks onto later snapshots via prop carry.
+    */
+  private[graft] val OperationProp = "graft.snapshot.operation"
+
   private[graft] def publish(path: String, rs: RefsState, entries: Seq[FileStats],
       deletes: Seq[String] = Nil, posDeletes: Seq[String] = Nil,
       props: Map[String, String] = null, ref: String = "main",
@@ -485,7 +495,8 @@ object Snapshots {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       partsOverride: Seq[String] = null,
       partHistoryOverride: Seq[String] = null,
-      minVersion: Int = 0): Int = {
+      minVersion: Int = 0,
+      operation: String = null): Int = {
     val refHead = rs.branches.getOrElse(ref, if (ref == "main") rs.mainHead(path) else 0)
     // partitioning is table-level: carry the column list forward; props
     // and schema carry forward (from the ref's OWN head) unless replaced
@@ -502,7 +513,9 @@ object Snapshots {
     // stamp the commit's PARENT (per-ref ancestry, Iceberg's
     // parent-snapshot-id): version numbers interleave across refs, so a
     // numeric walk would mix another ref's commits into this ref's history
-    val stamped = carriedProps + ("graft.parentVersion" -> refHead.toString)
+    val stamped = (carriedProps - OperationProp) +
+      ("graft.parentVersion" -> refHead.toString) ++
+      Option(operation).map(OperationProp -> _)
     val sch = schema.orElse(if (refHead > 0) readSchema(path, Some(refHead)) else None)
     commitManifest(path, rs, ref, v =>
       GeoTable.manifestJson(entries.map(_.withAddedV(v)), deletes, parts,
@@ -3229,7 +3242,8 @@ object Snapshots {
         carried(path, head))
       val (added, _) = writeBack(rows.repartition(numFiles), path)
       publish(path, rs, big ++ statsFor(spark, path, added), carried(path, head),
-        carriedPos(path, head), eqDeletes = carriedEq(path, head))
+        carriedPos(path, head), eqDeletes = carriedEq(path, head),
+        operation = "replace")
     }
   }
 
@@ -3251,7 +3265,7 @@ object Snapshots {
       .drop("__hilbert")
     val (added, _) = writeBack(clustered, path)
     // read() applied pending MoR deletes → the rewrite materializes them
-    publish(path, rs, statsFor(spark, path, added))
+    publish(path, rs, statsFor(spark, path, added), operation = "replace")
   }
 
   /** Iceberg's default target output size for compaction
@@ -3343,7 +3357,8 @@ object Snapshots {
         else rows.repartition(n)
       val (added, _) = writeBack(shaped, path)
       val v = publish(path, rs, untouched ++ liveStatsFor(spark, path, added),
-        carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head))
+        carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head),
+        operation = "replace")
       (v, picked.size)
     }
   }

@@ -879,21 +879,31 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         // CALL graft.system.ann_search('<corpus parquet path>',
         //   location => '<index dir>', view => '<name>'[, k => 3,
         //   nprobe => 3, query_filter => '<predicate on vec_id/v>',
-        //   queries => '<separate query parquet path>'])
+        //   queries => '<separate query parquet path>',
+        //   query_vector => '0.1,0.2,…[;0.3,0.4,…]'])
         // — registers the top-k neighbor frame as a temp view (the
         // create_changelog_view convention for table-valued results).
         // With `queries`, the batch reads from that source (production
         // shape: queries are not corpus members) and query_filter
-        // defaults to every row.
+        // defaults to every row. With `query_vector`, the batch is the
+        // inline literal vector(s) — the most common production call
+        // shape (search by a given embedding, no query table); qid is
+        // the vector's position in the argument.
         val loc = str(arg(1, "location"))
         val view = str(arg(2, "view"))
         val k = named.get("k").map(int).getOrElse(3)
         val nprobe = named.get("nprobe").map(int).getOrElse(3)
         val qSrc = named.get("queries").map(str)
+        val qVecs = named.get("query_vector").map(str).toSeq
+          .flatMap(_.split(';').toSeq)
+          .map(v => v.split(',').toSeq.map(_.trim.toDouble))
+        require(qSrc.isEmpty || qVecs.isEmpty,
+          "ann_search: queries and query_vector are mutually exclusive")
         val qf = named.get("query_filter").map(str)
-          .getOrElse(if (qSrc.isDefined) "true" else "vec_id % 100 = 0")
+          .getOrElse(if (qSrc.isDefined || qVecs.nonEmpty) "true"
+            else "vec_id % 100 = 0")
         graft.operators.Similarity
-          .queryVectorIndexAt(spark, table, loc, nprobe, k, qf, qSrc)
+          .queryVectorIndexAt(spark, table, loc, nprobe, k, qf, qSrc, qVecs)
           .createOrReplaceTempView(view)
         Seq(Row(k.toLong, s"view=$view"))
       case other =>

@@ -564,5 +564,22 @@ class SqlExtensionSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(hits == Map(0L -> (7L, 1.0), 1L -> (123L, 1.0), 2L -> (250L, 1.0)),
       s"external queries must find their corpus twins: $hits")
+
+    // inline literal vectors (query_vector => …): the production "search
+    // by a given embedding" shape — identical answers to the querySource
+    // path on the same vector; qid = position in the argument
+    val inline = (0 until 64).map(i => f"${math.sin(123 * 0.7 + i)}%.9f")
+      .mkString(",")
+    spark.sql(s"CALL graft.system.ann_search('$corpus', location => '$loc', " +
+      s"view => 'anni', k => 1, query_vector => '$inline')")
+    val viaInline = spark.sql("SELECT vec_id FROM anni").collect()
+      .map(_.getLong(0)).toSeq
+    assert(viaInline == Seq(123L),
+      s"inline-vector search must find the corpus twin: $viaInline")
+    // two ';'-separated vectors → qids 0 and 1
+    spark.sql(s"CALL graft.system.ann_search('$corpus', location => '$loc', " +
+      s"view => 'anni2', k => 1, query_vector => '$inline;$inline')")
+    assert(spark.sql("SELECT DISTINCT qid FROM anni2").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 1L))
   }
 }
