@@ -447,10 +447,12 @@ object GeoQueries {
     // INDEPENDENT Hilbert construction ([[skillingXy2d]], the Skilling
     // transpose transform — r12 judge: deriving the table from the
     // product's own xy2d pinned everything EXCEPT the curve); the
-    // grid-cell mapping mirrors HilbertCurve2D.index's Math.round =
-    // floor(v + 0.5) exactly (DuckDB's round() is half-away-from-zero,
-    // which can disagree on FP boundary values — r12 advisor), so the
-    // join key is bit-deterministic
+    // grid-cell mapping mirrors Java Math.round EXACTLY: round-half-up
+    // in exact arithmetic, i.e. floor(v) + (frac(v) >= 0.5). Neither
+    // DuckDB round() (half-away-from-zero) nor floor(v + 0.5) (the
+    // v + 0.5 addition itself can round up across the half, e.g.
+    // v = 0.49999999999999994 — JDK-8010430) matches; v - floor(v) is
+    // exact for |v| < 2^52, so the comparison below is bit-deterministic
     "geo_hilbert_index" -> {
       val res = 8
       val n = 1 << res
@@ -458,10 +460,14 @@ object GeoQueries {
         yield s"($gx,$gy,${skillingXy2d(res, gx, gy)})")
         .mkString(",")
       s"""WITH hc AS (SELECT * FROM (VALUES $entries) AS t(gx, gy, hv)),
+         |v AS (SELECT c_custkey,
+         |  (x + 180.0) / 360.0 * 255.0 AS vx,
+         |  (y + 90.0) / 180.0 * 255.0 AS vy
+         |  FROM ($ptsSql)),
          |g AS (SELECT c_custkey,
-         |  CAST(floor((x + 180.0) / 360.0 * 255.0 + 0.5) AS INTEGER) AS gx,
-         |  CAST(floor((y + 90.0) / 180.0 * 255.0 + 0.5) AS INTEGER) AS gy
-         |  FROM ($ptsSql))
+         |  CAST(floor(vx) + (CASE WHEN vx - floor(vx) >= 0.5 THEN 1 ELSE 0 END) AS INTEGER) AS gx,
+         |  CAST(floor(vy) + (CASE WHEN vy - floor(vy) >= 0.5 THEN 1 ELSE 0 END) AS INTEGER) AS gy
+         |  FROM v)
          |SELECT c_custkey, CAST(hv AS BIGINT) AS h
          |FROM g JOIN hc USING (gx, gy)
          |ORDER BY h, c_custkey LIMIT 100""".stripMargin

@@ -422,15 +422,19 @@ object Similarity {
   private val SourceFilesProp = "graft.index.source-files"
   private val SourceVersionProp = "graft.index.source-version"
   private val FormatProp = "graft.index.format"
-  /** Format 2 (r13): index rows carry the RAW vector alongside the PQ
+  /** Format 3 (r13): index rows carry the RAW vector alongside the PQ
     * codes (the FAISS refine posture), so the exact re-rank — and the
     * self-query batch — read only probed index cells and the corpus is
     * never touched at query time; codes encode the corpus's PHYSICAL rows
     * (no delete filtering at encode) and the live delete state applies as
-    * a query-time anti-join instead of invalidating the index. Format-1
-    * indexes (no stored vectors, delete-filtered codes) rebuild once.
+    * a query-time anti-join instead of invalidating the index. Each row
+    * also records its source corpus FILE (`src`), because positional and
+    * equality deletes are file/sequence-scoped: a delete-then-reinsert of
+    * the same id (the canonical CDC upsert) deletes the OLD file's row
+    * while the reinserted row in a newer, exempt file stays live — a
+    * bare id anti-join would hide both. Earlier formats rebuild once.
     */
-  private val FormatV = "2"
+  private val FormatV = "3"
 
   /** Per-file CONTENT stamp: size + CRC32 of the file TAIL (last 64 KB —
     * the parquet footer with its row counts and per-column min/max stats
@@ -539,7 +543,7 @@ object Similarity {
     * them, and nothing would invalidate the index afterwards.
     *
     * Reads the PHYSICAL rows: no delete filtering at encode (the index's
-    * format-2 contract — deletes are a query-time view, so delete-state
+    * format-3 contract — deletes are a query-time view, so delete-state
     * changes in either direction never invalidate the codes). Graft
     * corpora read their captured manifest entries through the pruning
     * index at the CAPTURED version (logical schema, encodings decoded);
@@ -564,7 +568,19 @@ object Similarity {
         rdr.parquet(resolveCorpusFiles(corpusPath, names.toSeq.sorted): _*)
       }
     base.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).cast("array<double>").as("v"))
+      col(vecCol).cast("array<double>").as("v"),
+      relSrcCol(corpusPath).as("src"))
+  }
+
+  /** The row's source corpus file as the capture-relative name (the same
+    * key the fingerprint map and manifest entries use) — the provenance
+    * the file/sequence-scoped query-time delete anti-join matches on.
+    */
+  private def relSrcCol(corpusPath: String): Column = {
+    val p = java.nio.file.Paths.get(corpusPath).toAbsolutePath
+    val prefix = (if (java.nio.file.Files.isDirectory(p)) p else p.getParent).toString
+    graft.spatial.Snapshots.normFile(expr("_metadata.file_path"))
+      .substr(lit(prefix.length + 2), lit(Int.MaxValue))
   }
 
   /** (vec_id, v) projection of an arbitrary corpus — the generalized
@@ -842,14 +858,14 @@ object Similarity {
     val books = pqCodebooks(
       sample.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }, m, ksub, dsub)
     val cn = typedlit(cents.toSeq)
-    // format 2: the raw vector rides each row next to its codes (FAISS
+    // format 3: the raw vector rides each row next to its codes (FAISS
     // refine posture) — the exact re-rank and the self-query batch read
     // probed index cells only, never the corpus; ADC scans still read
     // just (vec_id, cell, codes) via parquet column pruning
     val coded = e0.select(col("vec_id"),
       VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),
       array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"),
-      col("v"))
+      col("v"), col("src"))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staged = target.resolveSibling(s"${target.getFileName}.staged-$nonce")
     try {
@@ -927,7 +943,7 @@ object Similarity {
     // read ONLY the new corpus files — pre-existing files are never
     // rescanned (the corpus projection, applied to the captured file
     // subset). Physical rows, no delete filtering: deletes are a
-    // query-time view in format 2, so the encode is a pure function of
+    // query-time view in format 3, so the encode is a pure function of
     // the captured files.
     val e0 = corpusFrameFor(s, corpusPath, idCol, vecCol, newFiles.toSet,
       sourceVersion)
@@ -935,7 +951,7 @@ object Similarity {
     val coded = e0.select(col("vec_id"),
       VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),
       array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"),
-      col("v"))
+      col("v"), col("src"))
     graft.spatial.Snapshots.append(coded, indexPath,
       props = Map(SourceFilesProp -> encodeFileMap(stampMap),
         SourceVersionProp -> sourceVersion.toString))
@@ -979,13 +995,19 @@ object Similarity {
     val cn = typedlit(cents)
     // the corpus's LIVE delete state as a query-time anti-join: rows
     // deleted since the encode never surface — as candidates or as
-    // self-query points — without invalidating a single code
+    // self-query points — without invalidating a single code. The frame
+    // is checkpointed ONCE (it feeds three consumers below; re-executing
+    // the resolution would re-read delete + referenced corpus files per
+    // consumer). Matching is (vec_id, src)-scoped for pos/eq deletes:
+    // a reinserted id in a newer, delete-exempt file must stay live.
     val delIds = corpusDeletedIds(s, corpusPath, idCol)
+      .map(_.localCheckpoint(true))
     def dropDeleted(df: DataFrame): DataFrame = delIds match {
-      case Some(d) => df.join(d, df("vec_id") === d("__del_id"), "left_anti")
+      case Some(d) => df.join(d, df("vec_id") === d("__del_id") &&
+          (d("__del_src").isNull || df("src") === d("__del_src")), "left_anti")
       case None => df
     }
-    // format 2 serves queries ENTIRELY from the index table: the stored
+    // format 3 serves queries ENTIRELY from the index table: the stored
     // raw vectors answer both the self-query batch and the exact re-rank,
     // so with no pending deletes a query batch reads ZERO corpus files
     val idx0 = graft.spatial.GeoTable.read(s, indexPath)
@@ -993,13 +1015,16 @@ object Similarity {
     val qSrc =
       if (queryVectors.nonEmpty) {
         // inline literal vectors (the production "search by embedding"
-        // call shape): qid = position in the argument list
+        // call shape): qid = position in the argument list; queryFilter
+        // does NOT apply — the inline vectors ARE the batch (the default
+        // bench stride would silently drop most argument positions)
         import s.implicits._
         queryVectors.zipWithIndex.map { case (v, i) => (i.toLong, v) }
           .toDF("vec_id", "v")
-      } else querySource.map(p => corpusFrame(s, p, idCol, vecCol))
-        .getOrElse(dropDeleted(idx0.select(col("vec_id"), col("v"))))
-    val q = qSrc.filter(expr(queryFilter))
+      } else (querySource.map(p => corpusFrame(s, p, idCol, vecCol))
+        .getOrElse(dropDeleted(idx0.select(col("vec_id"), col("v"), col("src")))))
+        .filter(expr(queryFilter))
+    val q = qSrc
       .withColumn("probe", explode(VectorSql.vec_nearest(col("v"), cn, nprobe)))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"),
         array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
@@ -1007,10 +1032,14 @@ object Similarity {
     val probed = q.select(col("probe")).distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cell ids
     // probed cells collapse to a literal IN the manifest index prunes at
-    // PLANNING time; ADC reads only (vec_id, cell, codes) of those cells
-    // (column pruning drops the stored vectors from this scan)
-    val codes = idx0.select(col("vec_id"), col("cell"), col("codes"))
-      .filter(col("cell").isin(probed: _*))
+    // PLANNING time; ADC reads only (vec_id, cell, codes, src) of those
+    // cells (column pruning drops the stored vectors from this scan).
+    // Deleted rows drop BEFORE the top-32 ADC cut — they must not consume
+    // the exact-re-rank candidate pool (a deleted near-cluster would
+    // otherwise crowd out every live neighbor)
+    val codes = dropDeleted(
+      idx0.select(col("vec_id"), col("cell"), col("codes"), col("src"))
+        .filter(col("cell").isin(probed: _*))).drop("src")
     // self-match exclusion only for corpus self-queries — an external
     // query batch's ids are not corpus vec_ids
     val probeMatch = col("cell") === col("probe") &&
@@ -1026,12 +1055,14 @@ object Similarity {
     // exact re-rank against the index's OWN stored vectors, partition-
     // pruned to the probed cells — the corpus is never read (the r12
     // judge's re-rank corpus scan, a scale-killer at the build-once/
-    // query-many contract)
-    val rerank = idx0.select(col("vec_id"), col("cell"), col("v"))
-      .filter(col("cell").isin(probed: _*)).drop("cell")
-    dropDeleted(adc.withColumn("crn", row_number().over(wAdc))
-        .filter(col("crn") <= 32)
-        .select(col("qid"), col("vec_id"), col("qv")))
+    // query-many contract); deleted rows drop here too, so a reinserted
+    // id re-ranks against its LIVE vector only
+    val rerank = dropDeleted(
+      idx0.select(col("vec_id"), col("cell"), col("v"), col("src"))
+        .filter(col("cell").isin(probed: _*))).select(col("vec_id"), col("v"))
+    adc.withColumn("crn", row_number().over(wAdc))
+      .filter(col("crn") <= 32)
+      .select(col("qid"), col("vec_id"), col("qv"))
       .join(rerank, Seq("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rn", row_number().over(w))
@@ -1043,16 +1074,19 @@ object Similarity {
       indexPath: String, nprobe: Int = 3): DataFrame =
     queryVectorIndexAt(s, corpusPathOf(dir), indexPath, nprobe)
 
-  /** vec_ids the corpus's CURRENT delete state removes, resolved WITHOUT
-    * a full corpus scan: predicate deletes read the corpus through the
-    * stats-pruning index filtered to matching rows (file stats prune the
-    * non-matching files); positional deletes read only the still-live
-    * corpus files their entries reference; equality deletes on the id
-    * column read just the delete files themselves, and other column sets
-    * semi-join the APPLICABLE files (sequence-number scoped — files
-    * appended after the delete are exempt by not being read). None when
-    * the corpus carries no deletes — the common case, costing three
-    * manifest-text reads. Positional/equality resolution reads raw
+  /** (vec_id, source-file) pairs the corpus's CURRENT delete state
+    * removes, resolved WITHOUT a full corpus scan: predicate deletes read
+    * the corpus through the stats-pruning index filtered to matching rows
+    * (src = null: predicates are global views, a reinserted match is
+    * deleted too); positional deletes read only the still-live corpus
+    * files their entries reference; equality deletes on the id column
+    * with every current file applicable read just the delete files
+    * themselves (src = null is safe: no current file is exempt), and
+    * other shapes semi-join the APPLICABLE files with provenance
+    * (sequence-number scoped — a delete-then-reinserted id stays live
+    * because its newer file's (id, src) pair never enters this frame).
+    * None when the corpus carries no deletes — the common case, costing
+    * three manifest-text reads. Positional/equality resolution reads raw
     * parquet, so it requires `idCol` (and eq-delete columns) to be data
     * columns, not hive partition columns — the same posture as the MoR
     * delete files themselves.
@@ -1065,42 +1099,53 @@ object Similarity {
     val pos = Snapshots.readPosDeletes(corpusPath)
     val eqs = Snapshots.readEqDeletes(corpusPath)
     if (preds.isEmpty && pos.isEmpty && eqs.isEmpty) return None
+    // delete files store ABSOLUTE normalized file_paths — resolve the
+    // corpus path the same way or a relative input (SQL procedures)
+    // would silently classify every positional entry as stale
+    val cp = java.nio.file.Paths.get(corpusPath).toAbsolutePath.toString
     val manifest = Snapshots.readManifest(corpusPath)
-    def idOf(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("__del_id"))
-    def norm(c: Column): Column = regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+    def pairOf(df: DataFrame, src: Column): DataFrame =
+      df.select(col(idCol).cast("long").as("__del_id"),
+        src.cast("string").as("__del_src"))
+    // capture-relative source name from an absolute normalized file path
+    def relOf(f: Column): Column = f.substr(lit(cp.length + 2), lit(Int.MaxValue))
     val parts = Seq.newBuilder[DataFrame]
     if (preds.nonEmpty)
-      parts += idOf(GeoTable.readWithStats(s, corpusPath, manifest)
-        .filter(preds.map(p => coalesce(expr(p), lit(false))).reduce(_ || _)))
+      parts += pairOf(GeoTable.readWithStats(s, corpusPath, manifest)
+        .filter(preds.map(p => coalesce(expr(p), lit(false))).reduce(_ || _)),
+        lit(null))
     if (pos.nonEmpty) {
-      val dels = s.read.parquet(pos.map(f => s"$corpusPath/$f"): _*)
-        .select(norm(col("file_path")).as("__del_file"), col("pos").as("__del_pos"))
+      val dels = s.read.parquet(pos.map(f => s"$cp/$f"): _*)
+        .select(Snapshots.normFile(col("file_path")).as("__del_file"),
+          col("pos").as("__del_pos"))
       // read only the still-live files the entries reference (a rewrite
       // leaves stale entries naming departed files — nothing to read)
       val refd = dels.select(col("__del_file")).distinct()
         .collect().map(_.getString(0)).toSet
-      val live = manifest.filter(e => refd(
-        s"$corpusPath/${e.path}".replaceFirst("^[a-zA-Z0-9]+:/+", "/")))
+      val live = manifest.filter(e => refd(s"$cp/${e.path}"))
       if (live.nonEmpty)
-        parts += s.read.parquet(live.map(e => s"$corpusPath/${e.path}"): _*)
-          .select(col(idCol).cast("long").as("__del_id"),
-            norm(expr("_metadata.file_path")).as("__f"),
-            expr("_metadata.row_index").as("__p"))
-          .join(dels, col("__f") === col("__del_file") &&
-            col("__p") === col("__del_pos"), "left_semi")
-          .select(col("__del_id"))
+        parts += pairOf(
+          s.read.parquet(live.map(e => s"$cp/${e.path}"): _*)
+            .select(col(idCol).cast("long").as(idCol),
+              Snapshots.normFile(expr("_metadata.file_path")).as("__f"),
+              expr("_metadata.row_index").as("__p"))
+            .join(dels, col("__f") === col("__del_file") &&
+              col("__p") === col("__del_pos"), "left_semi"),
+          relOf(col("__f")))
     }
     eqs.foreach { e =>
       val applicable = manifest.filter(e.appliesTo)
       if (applicable.nonEmpty) {
-        val dels = s.read.parquet(s"$corpusPath/${e.path}")
+        val dels = s.read.parquet(s"$cp/${e.path}")
           .select(e.cols.map(col): _*).dropDuplicates()
         parts += (
           if (e.cols == Seq(idCol) && applicable.size == manifest.size)
-            idOf(dels)
-          else idOf(GeoTable.readWithStats(s, corpusPath, applicable)
-            .join(dels, e.cols, "left_semi")))
+            pairOf(dels, lit(null))
+          else pairOf(
+            GeoTable.readWithStats(s, corpusPath, applicable)
+              .withColumn("__f", Snapshots.normFile(expr("_metadata.file_path")))
+              .join(dels, e.cols, "left_semi"),
+            relOf(col("__f"))))
       }
     }
     val out = parts.result() // all entries stale/inapplicable → nothing deleted

@@ -1841,7 +1841,7 @@ object Snapshots {
     * plain parquet reads but unqualified (`/…`) through the manifest file
     * index — normalize before comparing.
     */
-  private def normFile(c: Column): Column =
+  private[graft] def normFile(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
 
   private[spatial] def applyPosDeletes(spark: SparkSession, path: String,

@@ -163,7 +163,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(r2.map(_.getLong(0)).toSet.contains(1000L),
       "the appended query vector must surface")
 
-    // MoR delete: data files UNCHANGED → the index STAYS FRESH (format 2
+    // MoR delete: data files UNCHANGED → the index STAYS FRESH (format 3
     // encodes physical rows; the live delete state is a query-time
     // anti-join) — no rebuild, no commit, and the deleted ids never
     // surface, as candidates or as self-query points
@@ -173,7 +173,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(Snapshots.readManifest(tbl).map(_.path).toSet == filesBefore,
       "fixture must be a genuine MoR delete")
     assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh,
-      "a delete-state change must NOT invalidate a format-2 index")
+      "a delete-state change must NOT invalidate a format-3 index")
     val iv2 = Snapshots.currentVersion(idx)
     Similarity.ensureVectorIndexAt(spark, tbl, idx)
     assert(Snapshots.currentVersion(idx) == iv2,
@@ -185,6 +185,22 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     val rq = Similarity.queryVectorIndexAt(spark, tbl, idx,
       queryFilter = "vec_id < 5").collect()
     assert(rq.isEmpty, s"deleted rows must not be query points: ${rq.toSeq}")
+
+    // delete-then-reinsert (the canonical CDC upsert): MoR-delete id 100,
+    // then append a NEW row with vec_id 100 — positional deletes are
+    // file-scoped, so the reinserted row in the newer (exempt) file must
+    // stay live; a bare id anti-join would hide both rows forever
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("vec_id") === 100)
+    assert(Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect().isEmpty,
+      "freshly deleted id must stop answering")
+    Snapshots.append(vecs(100, 101).coalesce(1), tbl)
+    Similarity.ensureVectorIndexAt(spark, tbl, idx) // appendable: encode the new file
+    val back = Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect()
+    assert(back.nonEmpty,
+      "reinserted id must be live again (file-scoped delete, exempt new file)")
+    assert(back.forall(_.getLong(1) != 100L), "self-exclusion still applies")
   }
 
   test("continuous ingest: each streaming epoch commits a corpus snapshot the " +
@@ -381,7 +397,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
 
   test("rows-preserving corpus compaction REMAPS the fingerprint: no retrain, " +
       "no re-encode, one metadata commit; results byte-identical — and " +
-      "format-2 queries read ZERO corpus files (corpus moved away)") {
+      "format-3 queries read ZERO corpus files (corpus moved away)") {
     import graft.spatial.{GeoTable, Snapshots}
     val base = Files.createTempDirectory("graft_vil_rw").toString
     val tbl = s"$base/corpus_tbl"
@@ -419,7 +435,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       .map(_.toString).sorted.toSeq
     assert(r1 == r2, "compaction must not change answers")
 
-    // corpus independence: with NO pending deletes, a format-2 query —
+    // corpus independence: with NO pending deletes, a format-3 query —
     // self-batch, probe, ADC, exact re-rank — reads only the index; move
     // the corpus away entirely and answers stay byte-identical
     Files.move(Paths.get(tbl), Paths.get(s"$base/corpus_gone"))
