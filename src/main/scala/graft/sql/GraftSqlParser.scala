@@ -862,6 +862,13 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
           "target_version"))
       case "rewrite_position_delete_files" =>
         Seq(Row(Snapshots.rewritePositionDeleteFiles(spark, table).toLong, "new_version"))
+      case "export_iceberg_metadata" =>
+        // CALL graft.system.export_iceberg_metadata('<table>') — one-way
+        // export of the current snapshot as Iceberg v2 metadata
+        // (metadata.json + avro manifest list/manifest with a name
+        // mapping) over the existing parquet ([[spatial.IcebergExport]]).
+        val metaFile = graft.spatial.IcebergExport.export(spark, table)
+        Seq(Row(Snapshots.readManifest(table).size.toLong, metaFile))
       case "build_vector_index" =>
         // CALL graft.system.build_vector_index('<corpus parquet path>',
         //   location => '<index dir>'[, column => 'embedding',

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spatial.{GeoTable, IcebergExport, Snapshots}
+
+/** One-way Iceberg v2 metadata export ([[IcebergExport]]): the emitted
+  * metadata.json + avro manifest list + manifest are validated by
+  * READING THEM BACK with the Apache Avro library's own
+  * DataFileReader/GenericDatumReader and Spark's JSON reader — the
+  * writer is never consulted — and cross-checked against the graft
+  * manifest they describe (paths, row counts, sizes, identity partition
+  * values, name-mapping coverage, spec'd field-ids).
+  */
+class IcebergExportSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def readAvro(p: String): (org.apache.avro.Schema, Seq[GenericRecord], Map[String, String]) = {
+    val r = new DataFileReader(
+      new java.io.File(p), new GenericDatumReader[GenericRecord]())
+    try {
+      val rows = r.iterator().asScala.toList
+      val meta = r.getMetaKeys.asScala.toSeq.collect {
+        case k if !k.startsWith("avro.") => k -> r.getMetaString(k)
+      }.toMap
+      (r.getSchema, rows, meta)
+    } finally r.close()
+  }
+
+  private def jsonDf(file: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(new String(Files.readAllBytes(Paths.get(file)), "UTF-8")).toDS)
+  }
+
+  test("export: metadata.json + manifest list + manifest conform to the v2 " +
+      "spec and describe exactly the graft snapshot's files") {
+    val base = Files.createTempDirectory("graft_ice").toString
+    val tbl = s"$base/t"
+    spark.range(100).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS x",
+      "concat('s', id % 3) AS s").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    Snapshots.append(spark.range(100, 130).selectExpr("id",
+      "CAST(id % 7 AS DOUBLE) AS x", "concat('s', id % 3) AS s"), tbl)
+
+    val metaFile = IcebergExport.export(spark, tbl)
+    assert(Files.exists(Paths.get(metaFile)))
+    assert(new String(Files.readAllBytes(
+      Paths.get(tbl, "metadata", "version-hint.text")), "UTF-8") == "1")
+
+    val md = jsonDf(metaFile)
+    val row = md.selectExpr("`format-version`", "`last-sequence-number`",
+      "`current-snapshot-id`", "`current-schema-id`", "`default-spec-id`",
+      "location").collect().head
+    assert(row.getLong(0) == 2L)
+    assert(row.getLong(1) == 1L)
+    assert(row.getLong(4) == 0L)
+    assert(row.getString(5) == Paths.get(tbl).toAbsolutePath.toString)
+    val snapId = row.getLong(2)
+
+    // snapshots[] points at a readable manifest LIST whose single entry
+    // points at a readable manifest
+    val listPath = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`", "s.`snapshot-id`", "s.`sequence-number`")
+      .collect().head
+    assert(listPath.getLong(1) == snapId && listPath.getLong(2) == 1L)
+    val (listSchema, listRows, listMeta) = readAvro(listPath.getString(0))
+    assert(listMeta("format-version") == "2")
+    assert(listMeta("snapshot-id") == snapId.toString)
+    // spec'd field-ids on the wire schema
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id") == 500)
+    assert(listSchema.getField("sequence_number").getObjectProp("field-id") == 515)
+    assert(listRows.size == 1)
+    val lr = listRows.head
+    assert(lr.get("content") == 0 && lr.get("partition_spec_id") == 0)
+
+    val graftFiles = Snapshots.readManifest(tbl)
+    assert(lr.get("added_files_count") == graftFiles.size)
+    assert(lr.get("added_rows_count") == graftFiles.map(_.rows).sum)
+
+    val (entrySchema, entryRows, entryMeta) =
+      readAvro(lr.get("manifest_path").toString)
+    assert(entryMeta("format-version") == "2" && entryMeta("content") == "data")
+    assert(entrySchema.getField("data_file").schema()
+      .getField("file_path").getObjectProp("field-id") == 100)
+    assert(lr.get("manifest_length") ==
+      Files.size(Paths.get(lr.get("manifest_path").toString)))
+
+    // every graft file present, absolute, existing on disk, counts equal
+    val byPath = entryRows.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("file_path").toString ->
+        (df.get("record_count").asInstanceOf[Long],
+          df.get("file_size_in_bytes").asInstanceOf[Long],
+          e.get("status"), df.get("file_format").toString)
+    }.toMap
+    assert(byPath.size == graftFiles.size)
+    val absTbl = Paths.get(tbl).toAbsolutePath.toString
+    graftFiles.foreach { f =>
+      val (rows, size, status, fmt) = byPath(s"$absTbl/${f.path}")
+      assert(rows == f.rows && size == f.sizeBytes)
+      assert(status == 1 && fmt == "PARQUET")
+      assert(Files.exists(Paths.get(s"$absTbl/${f.path}")))
+    }
+
+    // the name mapping covers every column with the schema's field ids
+    val props = jsonDf(metaFile)
+      .selectExpr("properties.`schema.name-mapping.default` AS nm").collect().head
+    import spark.implicits._
+    val nm = spark.read.json(Seq(props.getString(0)).toDS)
+      .selectExpr("`field-id`", "names[0] AS name").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(nm.keySet == Set("id", "x", "s"))
+    val schemaFields = md.selectExpr("explode(schemas[0].fields) AS f")
+      .selectExpr("f.name", "f.id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nm == schemaFields, "name mapping must mirror the schema's ids")
+  }
+
+  test("identity-partitioned export: partition spec + per-file partition " +
+      "values (hive dirs omit the column from data, manifests must carry it); " +
+      "derived transforms drop from the spec; MoR deletes refuse") {
+    val base = Files.createTempDirectory("graft_ice_p").toString
+    val tbl = s"$base/p"
+    spark.range(60).selectExpr("id", "CAST(id % 3 AS INT) AS p",
+      "concat('v', id) AS s", "pmod(hash(id), 4) AS id_bucket")
+      .write.partitionBy("p", "id_bucket").parquet(tbl)
+    GeoTable.writeManifest(spark, tbl, partitionCols = Seq("p", "bucket(4,id)"))
+    val metaFile = IcebergExport.export(spark, tbl)
+
+    val md = jsonDf(metaFile)
+    val spec = md.selectExpr("explode(`partition-specs`[0].fields) AS f")
+      .selectExpr("f.name", "f.transform", "f.`field-id`", "f.`source-id`")
+      .collect()
+    // identity field exported, bucket dropped (graft bucket = Spark
+    // murmur3(42), not Iceberg's bucket — exporting it would mis-prune)
+    assert(spec.map(_.getString(0)).toSeq == Seq("p"))
+    assert(spec.head.getString(1) == "identity")
+    assert(spec.head.getLong(2) == 1000L)
+    val schemaIds = md.selectExpr("explode(schemas[0].fields) AS f")
+      .selectExpr("f.name", "f.id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(spec.head.getLong(3) == schemaIds("p"))
+
+    val listPath = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+    val (_, listRows, _) = readAvro(listPath)
+    val (_, entryRows, entryMeta) = readAvro(
+      listRows.head.get("manifest_path").toString)
+    // partition-spec metadata names only the identity field
+    assert(entryMeta("partition-spec").contains("\"p\"") &&
+      !entryMeta("partition-spec").contains("bucket"))
+    // every entry's partition record carries the typed dir value
+    val graftFiles = Snapshots.readManifest(tbl)
+    val dirByPath = graftFiles.map(f =>
+      s"${Paths.get(tbl).toAbsolutePath}/${f.path}" -> f.dirVals("p").toInt).toMap
+    entryRows.foreach { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      val part = df.get("partition").asInstanceOf[GenericRecord]
+      assert(part.get("p") == dirByPath(df.get("file_path").toString),
+        s"partition value mismatch for ${df.get("file_path")}")
+    }
+
+    // pending MoR deletes refuse the export with a pointer to compaction
+    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("id") < 5)
+    val err = intercept[IllegalArgumentException] {
+      IcebergExport.export(spark, tbl)
+    }
+    assert(err.getMessage.contains("rewrite_data_files"))
+  }
+
+  test("the SQL procedure surface: CALL export_iceberg_metadata returns the " +
+      "metadata path and the file count") {
+    val base = Files.createTempDirectory("graft_ice_sql").toString
+    val tbl = s"$base/t"
+    spark.range(10).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    val out = spark.sql(
+      s"CALL graft.system.export_iceberg_metadata('$tbl')").collect().head
+    assert(out.getLong(0) == Snapshots.readManifest(tbl).size.toLong)
+    assert(out.getString(1).endsWith("v1.metadata.json"))
+    assert(Files.exists(Paths.get(out.getString(1))))
+  }
+}
