@@ -1000,8 +1000,7 @@ object Similarity {
     // the resolution would re-read delete + referenced corpus files per
     // consumer). Matching is (vec_id, src)-scoped for pos/eq deletes:
     // a reinserted id in a newer, delete-exempt file must stay live.
-    val delIds = corpusDeletedIds(s, corpusPath, idCol)
-      .map(_.localCheckpoint(true))
+    val delIds = cachedDeletedIds(s, corpusPath, idCol)
     def dropDeleted(df: DataFrame): DataFrame = delIds match {
       case Some(d) => df.join(d, df("vec_id") === d("__del_id") &&
           (d("__del_src").isNull || df("src") === d("__del_src")), "left_anti")
@@ -1073,6 +1072,48 @@ object Similarity {
   private[graft] def queryVectorIndex(s: SparkSession, dir: String,
       indexPath: String, nprobe: Int = 3): DataFrame =
     queryVectorIndexAt(s, corpusPathOf(dir), indexPath, nprobe)
+
+  /** Per-JVM memo of the resolved delete frame, keyed by the corpus's
+    * (path, main version): the build-once/query-many contract means many
+    * query batches against one corpus state, and re-resolving — re-reading
+    * delete files plus the referenced/applicable corpus files — per batch
+    * would re-pay the only corpus-shaped cost left on the query path.
+    * Every delete change commits a new corpus version, so the version is
+    * the complete invalidation key; entries are localCheckpointed (cut
+    * from their scan lineage) and bounded LRU with unpersist on evict.
+    */
+  private val deletedIdsCache =
+    new java.util.LinkedHashMap[(String, Int, String), Option[DataFrame]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int, String), Option[DataFrame]]): Boolean = {
+        val evict = size() > 8
+        if (evict) e.getValue.foreach(_.unpersist())
+        evict
+      }
+    }
+
+  private def cachedDeletedIds(s: SparkSession, corpusPath: String,
+      idCol: String): Option[DataFrame] = {
+    if (!isGraftCorpus(corpusPath)) return None
+    val key = (java.nio.file.Paths.get(corpusPath).toAbsolutePath.toString,
+      graft.spatial.Snapshots.mainVersion(corpusPath), idCol)
+    deletedIdsCache.synchronized {
+      if (deletedIdsCache.containsKey(key)) return deletedIdsCache.get(key)
+    }
+    // resolve OUTSIDE the lock (a corpus-shaped scan must not serialize
+    // unrelated queries); a concurrent duplicate resolution is benign
+    val resolved = corpusDeletedIds(s, corpusPath, idCol)
+      .map(_.localCheckpoint(true))
+    deletedIdsCache.synchronized {
+      if (deletedIdsCache.containsKey(key)) {
+        resolved.foreach(_.unpersist()) // lost the race; keep the winner
+        deletedIdsCache.get(key)
+      } else {
+        deletedIdsCache.put(key, resolved)
+        resolved
+      }
+    }
+  }
 
   /** (vec_id, source-file) pairs the corpus's CURRENT delete state
     * removes, resolved WITHOUT a full corpus scan: predicate deletes read

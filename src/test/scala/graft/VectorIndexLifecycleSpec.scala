@@ -449,6 +449,16 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       queryFilter = "true", queryVectors = qv).collect()
     assert(rv.nonEmpty && rv.exists(_.getLong(1) == 100L),
       s"inline-vector query must find vec 100's neighborhood: ${rv.toSeq}")
+    // …and an EXTERNAL query batch (querySource) reads only its own
+    // source + the index: still zero corpus files (the corpus is gone)
+    val qsrc = s"$base/queries.parquet"
+    spark.range(1).selectExpr("CAST(100 AS BIGINT) AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(100 * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.parquet(qsrc)
+    val rs = Similarity.queryVectorIndexAt(spark, tbl, idx, k = 1,
+      queryFilter = "true", querySource = Some(qsrc)).collect()
+    assert(rs.length == 1 && rs.head.getLong(1) == 100L,
+      s"external query must find its corpus twin from the index alone: ${rs.toSeq}")
   }
 
   test("post-swap cleanup failure must not fail a committed rebuild: the new " +
