@@ -1073,19 +1073,28 @@ object Similarity {
       indexPath: String, nprobe: Int = 3): DataFrame =
     queryVectorIndexAt(s, corpusPathOf(dir), indexPath, nprobe)
 
-  /** Per-JVM memo of the resolved delete frame, keyed by the corpus's
-    * (path, main version): the build-once/query-many contract means many
-    * query batches against one corpus state, and re-resolving — re-reading
-    * delete files plus the referenced/applicable corpus files — per batch
-    * would re-pay the only corpus-shaped cost left on the query path.
-    * Every delete change commits a new corpus version, so the version is
-    * the complete invalidation key; entries are localCheckpointed (cut
-    * from their scan lineage) and bounded LRU with unpersist on evict.
+  /** Per-JVM memo of the resolved delete frame: the build-once/query-many
+    * contract means many query batches against one corpus state, and
+    * re-resolving — re-reading delete files plus the referenced/
+    * applicable corpus files — per batch would re-pay the only
+    * corpus-shaped cost left on the query path.
+    *
+    * Key = (Spark application id, absolute path, version, the version
+    * manifest's size+mtime, id column): every delete change commits a
+    * new corpus version; the manifest stat guards a table DELETED AND
+    * RECREATED at the same path whose version numbering restarts (same
+    * identity-key posture as Snapshots' own manifest caches); the
+    * application id drops entries owned by a stopped SparkContext.
+    * Values are PERSISTed, not localCheckpointed — persist keeps the
+    * lineage, so an evicted executor's lost blocks recompute instead of
+    * poisoning the entry, and unpersist() genuinely frees the storage on
+    * LRU eviction.
     */
   private val deletedIdsCache =
-    new java.util.LinkedHashMap[(String, Int, String), Option[DataFrame]](16, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, String, Int, String, String), Option[DataFrame]](
+        16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int, String), Option[DataFrame]]): Boolean = {
+          e: java.util.Map.Entry[(String, String, Int, String, String), Option[DataFrame]]): Boolean = {
         val evict = size() > 8
         if (evict) e.getValue.foreach(_.unpersist())
         evict
@@ -1095,15 +1104,21 @@ object Similarity {
   private def cachedDeletedIds(s: SparkSession, corpusPath: String,
       idCol: String): Option[DataFrame] = {
     if (!isGraftCorpus(corpusPath)) return None
-    val key = (java.nio.file.Paths.get(corpusPath).toAbsolutePath.toString,
-      graft.spatial.Snapshots.mainVersion(corpusPath), idCol)
+    val abs = java.nio.file.Paths.get(corpusPath).toAbsolutePath.toString
+    val v = graft.spatial.Snapshots.mainVersion(corpusPath)
+    val mp = graft.spatial.Snapshots.manifestPath(corpusPath, v)
+    val stat = try {
+      s"${java.nio.file.Files.size(mp)}:" +
+        java.nio.file.Files.getLastModifiedTime(mp).toMillis
+    } catch { case _: java.io.IOException => "gone" }
+    val key = (s.sparkContext.applicationId, abs, v, stat, idCol)
     deletedIdsCache.synchronized {
       if (deletedIdsCache.containsKey(key)) return deletedIdsCache.get(key)
     }
     // resolve OUTSIDE the lock (a corpus-shaped scan must not serialize
     // unrelated queries); a concurrent duplicate resolution is benign
     val resolved = corpusDeletedIds(s, corpusPath, idCol)
-      .map(_.localCheckpoint(true))
+      .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     deletedIdsCache.synchronized {
       if (deletedIdsCache.containsKey(key)) {
         resolved.foreach(_.unpersist()) // lost the race; keep the winner

@@ -380,7 +380,7 @@ object GeoTable {
   // control characters \u-escape (Jackson rejects raw control chars on
   // re-parse — a string column whose min/max stat contains a newline must
   // not brick the manifest)
-  private def escJson(s: String): String = {
+  private[spatial] def escJson(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '\\' => sb.append("\\\\")

@@ -16,31 +16,45 @@ import org.apache.spark.sql.types._
   * HadoopTables convention: `<table>/metadata/v1.metadata.json` +
   * `version-hint.text`, a `snap-*.avro` manifest list, and one
   * `*-m0.avro` manifest, all per the public Iceberg table spec
-  * (format version 2). Data files are NOT touched or copied.
+  * (format version 2). Data files are NOT touched or copied; a
+  * re-export SWEEPS the metadata dir first (it is wholly owned by this
+  * exporter), so repeated exports never accumulate dead avro.
   *
-  * Because graft parquet files carry no Iceberg field ids, the exported
-  * metadata includes `schema.name-mapping.default` — the spec's
-  * documented mechanism for reading migrated files by name (the same
-  * seam Iceberg's own `add_files`/`migrate` procedures rely on).
+  * The export publishes the LOGICAL schema — renames applied, dropped
+  * columns excluded ([[TableSchema]]) — while the
+  * `schema.name-mapping.default` property maps every field id to its
+  * PHYSICAL name in the data files (the spec's mechanism for reading
+  * files written without Iceberg field ids; the same seam Iceberg's own
+  * `add_files`/`migrate` rely on).
+  *
+  * Partition handling: EVERY hive partition-dir column — identity
+  * sources and derived ones (`id_bucket`, …) alike — exports as an
+  * Iceberg IDENTITY field with its typed per-file value read from the
+  * dir path, because hive-layout data files omit those columns: only
+  * the manifest's partition record can serve them to an Iceberg reader
+  * (identity constants), and it also preserves partition pruning.
+  * Graft's bucket TRANSFORM is deliberately not exported as Iceberg
+  * `bucket` (it is Spark murmur3(seed 42), a different function —
+  * Iceberg readers would mis-prune); the identity re-typing loses
+  * nothing a reader can observe.
   *
   * Boundaries (stated, not silent):
-  *  - pending merge-on-read deletes refuse the export — materialize them
-  *    first (`rewrite_data_files`); an Iceberg reader cannot apply
-  *    graft's predicate deletes, and exporting position deletes over
-  *    id-less parquet is not portable;
-  *  - only IDENTITY partition fields export into the Iceberg spec:
-  *    graft's bucket transform is Spark murmur3(seed 42), not Iceberg's
-  *    bucket — exporting it would make Iceberg readers mis-prune, so
-  *    derived (bucket/truncate/date-part) fields are dropped from the
-  *    exported spec; their SOURCE columns live in the data files, so
-  *    results stay correct and only partition pruning is lost. Identity
-  *    values (which hive-layout data files omit) export into each
-  *    manifest entry's partition record, as the spec requires.
+  *  - pending merge-on-read deletes refuse the export — materialize
+  *    them first (`rewrite_data_files`); an Iceberg reader cannot apply
+  *    graft's predicate deletes;
+  *  - a partition-dir column whose type has no hive-dir-value mapping
+  *    here (timestamp, decimal, …) refuses the export with the column
+  *    named — its values exist ONLY in dir paths, so dropping it would
+  *    publish a schema column that reads as all-null;
+  *  - declared geometry storage encodings export as the PHYSICAL
+  *    column (Iceberg v2 has no geometry type); each declared encoding
+  *    is recorded as a `graft.geometry-encoding.<col>` table property
+  *    so consumers can decode.
   */
 object IcebergExport {
 
   /** Export `path`'s current main snapshot; returns the metadata.json
-    * path. Re-export overwrites the previous export.
+    * path. Re-export replaces the previous export.
     */
   def export(spark: SparkSession, path: String): String = {
     val abs = Paths.get(path).toAbsolutePath.toString
@@ -53,23 +67,28 @@ object IcebergExport {
         "rewrite_data_files to materialize them, then export")
     val files = Snapshots.readManifest(path, Some(v))
     val ids = new Ids
-    val top = toIStruct(GeoTable.ensureSchema(spark, path), ids)
-    val identity = GeoTable.readPartitionSpecs(path)
-      .collect { case Transforms.Identity(src) => src }
-    val partFields = identity.zipWithIndex.map { case (src, i) =>
-      val f = top.fields.find(_.name == src).getOrElse(
-        throw new IllegalArgumentException(
-          s"identity partition source $src is not a top-level column"))
-      PartField(1000 + i, src, f.id, f.t match {
-        case IPrim(s) => s
-        case _ => throw new IllegalArgumentException(
-          s"partition source $src must be a primitive column")
-      })
-    }
+    val top = topStruct(spark, path, ids)
+    val partFields = GeoTable.readPartitionCols(path).zipWithIndex
+      .map { case (dirCol, i) =>
+        val f = top.fields.find(_.dataName == dirCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition dir column $dirCol is not a top-level schema column"))
+        PartField(1000 + i, f.name, dirCol, f.id, f.t match {
+          case IPrim(s) if AvroPrim.contains(s) => s
+          case other => throw new IllegalArgumentException(
+            s"cannot export $path: partition dir column $dirCol has type " +
+              s"$other, whose values exist only in dir paths and have no " +
+              "Iceberg partition-value mapping here")
+        })
+      }
     val snapId = v.toLong
     val now = System.currentTimeMillis()
     val metaDir = Paths.get(abs, "metadata")
     Files.createDirectories(metaDir)
+    // the metadata dir is wholly export-owned: sweep the previous export
+    // (fresh nonce-named avro would otherwise accumulate forever)
+    Snapshots.listDir(metaDir)(_.toSeq).filter(Files.isRegularFile(_))
+      .foreach(Files.deleteIfExists(_))
     val nonce = java.util.UUID.randomUUID().toString
 
     // ---- manifest file (one, all entries ADDED at sequence 1) ----------
@@ -80,8 +99,8 @@ object IcebergExport {
     val entries = files.map { f =>
       val part = new GenericData.Record(partSchema)
       partFields.foreach { pf =>
-        part.put(pf.name, partitionValue(pf,
-          f.dirVals.get(pf.name).orNull))
+        part.put(pf.specName, partitionValue(pf,
+          f.dirVals.get(pf.dirName).orNull))
       }
       val df = new GenericData.Record(dfSchema)
       df.put("content", 0)
@@ -100,7 +119,7 @@ object IcebergExport {
     }
     val schemaJson = structJson(top, Some(0))
     val specFieldsJson = partFields.map(pf =>
-      s"""{"name":"${esc(pf.name)}","transform":"identity",""" +
+      s"""{"name":"${esc(pf.specName)}","transform":"identity",""" +
         s""""source-id":${pf.sourceId},"field-id":${pf.fieldId}}""").mkString(",")
     val manifestLen = writeAvro(manifestPath, entrySchema, Map(
       "schema" -> schemaJson,
@@ -135,6 +154,9 @@ object IcebergExport {
 
     // ---- metadata.json + version hint ----------------------------------
     val lastPartId = if (partFields.isEmpty) 999 else partFields.map(_.fieldId).max
+    val geomProps = GeometryFields.get(path).toSeq.sortBy(_._1).map {
+      case (c, e) => s""","graft.geometry-encoding.${esc(c)}":"${esc(e)}""""
+    }.mkString
     val metadata =
       s"""{"format-version":2,"table-uuid":"$nonce","location":"${esc(abs)}",
          |"last-sequence-number":1,"last-updated-ms":$now,
@@ -145,7 +167,7 @@ object IcebergExport {
          |"last-partition-id":$lastPartId,
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
-         |"properties":{"schema.name-mapping.default":"${esc(nameMapping(top))}"},
+         |"properties":{"schema.name-mapping.default":"${esc(nameMapping(top))}"$geomProps},
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
          |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
@@ -160,7 +182,9 @@ object IcebergExport {
   }
 
   // ---- Iceberg schema model (ids assigned in DFS pre-order, like
-  // Iceberg's own fresh-schema assignment) ------------------------------
+  // Iceberg's own fresh-schema assignment). Each field carries BOTH its
+  // logical name (what the exported schema advertises) and its physical
+  // dataName (what the data files store — the name-mapping target).
 
   private final class Ids { var last = 0; def next(): Int = { last += 1; last } }
 
@@ -170,15 +194,37 @@ object IcebergExport {
   private final case class IList(elemId: Int, elem: IType, required: Boolean) extends IType
   private final case class IMapT(kId: Int, vId: Int, k: IType, v: IType,
       vRequired: Boolean) extends IType
-  private final case class IField(id: Int, name: String, required: Boolean, t: IType)
+  private final case class IField(id: Int, name: String, required: Boolean,
+      t: IType, dataName: String)
 
-  private final case class PartField(fieldId: Int, name: String, sourceId: Int,
-      icebergType: String)
+  private final case class PartField(fieldId: Int, specName: String,
+      dirName: String, sourceId: Int, icebergType: String)
+
+  /** The exported top-level struct: logical view when the table has a
+    * schema-evolution log (renames applied, dropped columns excluded,
+    * physical names retained as mapping targets), the stored/baseline
+    * schema otherwise.
+    */
+  private def topStruct(spark: SparkSession, path: String, ids: Ids): IStruct = {
+    val entries = TableSchema.read(path)
+    if (entries.nonEmpty)
+      IStruct(entries.filterNot(_.dropped).map(fromEntry(_, ids)))
+    else toIStruct(GeoTable.ensureSchema(spark, path), ids)
+  }
+
+  private def fromEntry(e: TableSchema.Entry, ids: Ids): IField = {
+    val id = ids.next()
+    val t =
+      if (e.children.nonEmpty)
+        IStruct(e.children.filterNot(_.dropped).map(fromEntry(_, ids)))
+      else toIType(TableSchema.logicalType(e), ids)
+    IField(id, e.logical, required = false, t, e.physical)
+  }
 
   private def toIStruct(st: StructType, ids: Ids): IStruct =
     IStruct(st.fields.toSeq.map { f =>
       val id = ids.next()
-      IField(id, f.name, !f.nullable, toIType(f.dataType, ids))
+      IField(id, f.name, !f.nullable, toIType(f.dataType, ids), f.name)
     })
 
   private def toIType(dt: DataType, ids: Ids): IType = dt match {
@@ -223,13 +269,15 @@ object IcebergExport {
     s"""{"type":"struct",$idAttr"fields":[$fs]}"""
   }
 
-  /** `schema.name-mapping.default`: field-id ↔ name for every field, the
-    * spec's mechanism for data files written without Iceberg field ids.
+  /** `schema.name-mapping.default`: field-id → PHYSICAL data-file name
+    * for every field — the spec's mechanism for data files written
+    * without Iceberg field ids (and the rename seam: the schema
+    * advertises the logical name, the mapping finds the physical one).
     */
   private def nameMapping(top: IStruct): String = {
     def fieldEntry(f: IField): String = {
       val nested = nestedMapping(f.t)
-      s"""{"field-id":${f.id},"names":["${esc(f.name)}"]""" +
+      s"""{"field-id":${f.id},"names":["${esc(f.dataName)}"]""" +
         (if (nested.isEmpty) "}" else s""","fields":[$nested]}""")
     }
     def nestedMapping(t: IType): String = t match {
@@ -252,21 +300,21 @@ object IcebergExport {
 
   // ---- Avro schemas per the Iceberg spec (field-id attributes) --------
 
-  private def avroPrim(icebergType: String): String = icebergType match {
-    case "int" => "\"int\""
-    case "long" => "\"long\""
-    case "string" => "\"string\""
-    case "double" => "\"double\""
-    case "float" => "\"float\""
-    case "boolean" => "\"boolean\""
-    case "date" => """{"type":"int","logicalType":"date"}"""
-    case other => throw new IllegalArgumentException(
-      s"partition source type $other is not exportable")
-  }
+  /** Iceberg primitive → Avro type, for partition-dir values — the types
+    * whose hive dir rendering round-trips losslessly.
+    */
+  private val AvroPrim: Map[String, String] = Map(
+    "int" -> "\"int\"",
+    "long" -> "\"long\"",
+    "string" -> "\"string\"",
+    "double" -> "\"double\"",
+    "float" -> "\"float\"",
+    "boolean" -> "\"boolean\"",
+    "date" -> """{"type":"int","logicalType":"date"}""")
 
   /** Hive dir value string → typed Avro partition value. */
   private def partitionValue(pf: PartField, raw: String): Any = {
-    if (raw == null || raw == "__HIVE_DEFAULT_PARTITION__") return null
+    if (raw == null || raw == PartitionPaths.NullSentinel) return null
     pf.icebergType match {
       case "int" => raw.toInt
       case "long" => raw.toLong
@@ -282,7 +330,7 @@ object IcebergExport {
 
   private def manifestEntryAvro(partFields: Seq[PartField]): String = {
     val pf = partFields.map(p =>
-      s"""{"name":"${esc(p.name)}","type":["null",${avroPrim(p.icebergType)}],""" +
+      s"""{"name":"${esc(p.specName)}","type":["null",${AvroPrim(p.icebergType)}],""" +
         s""""default":null,"field-id":${p.fieldId}}""").mkString(",")
     s"""{"type":"record","name":"manifest_entry","fields":[
        |{"name":"status","type":"int","field-id":0},
@@ -335,13 +383,5 @@ object IcebergExport {
     Files.size(target)
   }
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  private def esc(s: String): String = GeoTable.escJson(s)
 }

@@ -50,7 +50,7 @@ object Snapshots {
     try { import scala.jdk.CollectionConverters._; f(s.iterator().asScala) } finally s.close()
   }
 
-  private def manifestPath(path: String, v: Int) = Paths.get(path, s"_graft_manifest_v$v.json")
+  private[graft] def manifestPath(path: String, v: Int) = Paths.get(path, s"_graft_manifest_v$v.json")
 
   def currentVersion(path: String): Int = {
     val dir = Paths.get(path)

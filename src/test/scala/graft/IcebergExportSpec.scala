@@ -122,9 +122,9 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(nm == schemaFields, "name mapping must mirror the schema's ids")
   }
 
-  test("identity-partitioned export: partition spec + per-file partition " +
-      "values (hive dirs omit the column from data, manifests must carry it); " +
-      "derived transforms drop from the spec; MoR deletes refuse") {
+  test("partitioned export: EVERY dir column (identity source or derived) " +
+      "exports as an identity field with per-file typed values (hive dirs " +
+      "omit the column from data, manifests must carry it); MoR deletes refuse") {
     val base = Files.createTempDirectory("graft_ice_p").toString
     val tbl = s"$base/p"
     spark.range(60).selectExpr("id", "CAST(id % 3 AS INT) AS p",
@@ -137,32 +137,39 @@ class IcebergExportSpec extends AnyFunSuite {
     val spec = md.selectExpr("explode(`partition-specs`[0].fields) AS f")
       .selectExpr("f.name", "f.transform", "f.`field-id`", "f.`source-id`")
       .collect()
-    // identity field exported, bucket dropped (graft bucket = Spark
-    // murmur3(42), not Iceberg's bucket — exporting it would mis-prune)
-    assert(spec.map(_.getString(0)).toSeq == Seq("p"))
-    assert(spec.head.getString(1) == "identity")
-    assert(spec.head.getLong(2) == 1000L)
+    // EVERY dir column exports as IDENTITY — the bucket TRANSFORM is
+    // never exported (graft bucket = Spark murmur3(42), not Iceberg's;
+    // readers would mis-prune) but its dir COLUMN must: hive data files
+    // omit dir columns, so only the manifest partition record can serve
+    // id_bucket values to an Iceberg reader
+    assert(spec.map(_.getString(0)).toSeq == Seq("p", "id_bucket"))
+    assert(spec.forall(_.getString(1) == "identity"))
+    assert(spec.map(_.getLong(2)).toSeq == Seq(1000L, 1001L))
     val schemaIds = md.selectExpr("explode(schemas[0].fields) AS f")
       .selectExpr("f.name", "f.id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(spec.head.getLong(3) == schemaIds("p"))
+    assert(spec(1).getLong(3) == schemaIds("id_bucket"))
 
     val listPath = md.selectExpr("explode(snapshots) AS s")
       .selectExpr("s.`manifest-list`").collect().head.getString(0)
     val (_, listRows, _) = readAvro(listPath)
     val (_, entryRows, entryMeta) = readAvro(
       listRows.head.get("manifest_path").toString)
-    // partition-spec metadata names only the identity field
+    // partition-spec metadata names both fields, identity only
     assert(entryMeta("partition-spec").contains("\"p\"") &&
-      !entryMeta("partition-spec").contains("bucket"))
-    // every entry's partition record carries the typed dir value
+      entryMeta("partition-spec").contains("id_bucket") &&
+      !entryMeta("partition-spec").contains("bucket("))
+    // every entry's partition record carries the typed dir values
     val graftFiles = Snapshots.readManifest(tbl)
     val dirByPath = graftFiles.map(f =>
-      s"${Paths.get(tbl).toAbsolutePath}/${f.path}" -> f.dirVals("p").toInt).toMap
+      s"${Paths.get(tbl).toAbsolutePath}/${f.path}" ->
+        (f.dirVals("p").toInt, f.dirVals("id_bucket").toInt)).toMap
     entryRows.foreach { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       val part = df.get("partition").asInstanceOf[GenericRecord]
-      assert(part.get("p") == dirByPath(df.get("file_path").toString),
+      val (p, b) = dirByPath(df.get("file_path").toString)
+      assert(part.get("p") == p && part.get("id_bucket") == b,
         s"partition value mismatch for ${df.get("file_path")}")
     }
 
@@ -173,6 +180,40 @@ class IcebergExportSpec extends AnyFunSuite {
       IcebergExport.export(spark, tbl)
     }
     assert(err.getMessage.contains("rewrite_data_files"))
+  }
+
+  test("schema evolution exports the LOGICAL view: renames applied in the " +
+      "schema, name mapping targets the physical file column, dropped " +
+      "columns are excluded; re-export sweeps the previous avro") {
+    val base = Files.createTempDirectory("graft_ice_e").toString
+    val tbl = s"$base/t"
+    spark.range(20).selectExpr("id", "CAST(id AS DOUBLE) AS x",
+      "concat('v', id) AS s").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    IcebergExport.export(spark, tbl) // first export, swept by the second
+    graft.spatial.TableSchema.renameColumn(spark, tbl, "x", "renamed_x")
+    graft.spatial.TableSchema.dropColumn(spark, tbl, "s")
+    val metaFile = IcebergExport.export(spark, tbl)
+    val md = jsonDf(metaFile)
+    val fields = md.selectExpr("explode(schemas[0].fields) AS f")
+      .selectExpr("f.name", "f.id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fields.keySet == Set("id", "renamed_x"),
+      s"renames applied, dropped columns excluded: $fields")
+    import spark.implicits._
+    val nmJson = md.selectExpr("properties.`schema.name-mapping.default` AS nm")
+      .collect().head.getString(0)
+    val nm = spark.read.json(Seq(nmJson).toDS)
+      .selectExpr("`field-id`", "names[0] AS name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(nm(fields("renamed_x")) == "x",
+      "mapping must target the PHYSICAL column name in the data files")
+    // re-export swept the first export's nonce-named avro: exactly one
+    // manifest list + one manifest remain
+    val metaFiles = Files.list(Paths.get(tbl, "metadata")).toArray
+      .map(_.toString.split('/').last)
+    assert(metaFiles.count(_.startsWith("snap-")) == 1, metaFiles.toSeq.toString)
+    assert(metaFiles.count(_.endsWith("-m0.avro")) == 1, metaFiles.toSeq.toString)
   }
 
   test("the SQL procedure surface: CALL export_iceberg_metadata returns the " +
