@@ -1096,7 +1096,12 @@ object Similarity {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, String, Int, String, String), Option[DataFrame]]): Boolean = {
         val evict = size() > 8
-        if (evict) e.getValue.foreach(_.unpersist())
+        // the evicted entry may belong to a STOPPED SparkContext (that's
+        // why the application id is in the key) — its unpersist would
+        // throw against the dead block manager; eviction must never fail
+        // the insert that triggered it
+        if (evict) e.getValue.foreach(df =>
+          try df.unpersist() catch { case _: Exception => () })
         evict
       }
     }
@@ -1121,7 +1126,10 @@ object Similarity {
       .map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     deletedIdsCache.synchronized {
       if (deletedIdsCache.containsKey(key)) {
-        resolved.foreach(_.unpersist()) // lost the race; keep the winner
+        // lost the race: just drop our reference — Spark's CacheManager
+        // keys cache entries by LOGICAL PLAN, so both racers' persists
+        // alias ONE shared entry and an unpersist here would silently
+        // uncache the winner's memo too
         deletedIdsCache.get(key)
       } else {
         deletedIdsCache.put(key, resolved)

@@ -74,7 +74,7 @@ object IcebergExport {
           throw new IllegalArgumentException(
             s"partition dir column $dirCol is not a top-level schema column"))
         PartField(1000 + i, f.name, dirCol, f.id, f.t match {
-          case IPrim(s) if AvroPrim.contains(s) => s
+          case IPrim(s) if DirTypes.contains(s) => s
           case other => throw new IllegalArgumentException(
             s"cannot export $path: partition dir column $dirCol has type " +
               s"$other, whose values exist only in dir paths and have no " +
@@ -85,10 +85,6 @@ object IcebergExport {
     val now = System.currentTimeMillis()
     val metaDir = Paths.get(abs, "metadata")
     Files.createDirectories(metaDir)
-    // the metadata dir is wholly export-owned: sweep the previous export
-    // (fresh nonce-named avro would otherwise accumulate forever)
-    Snapshots.listDir(metaDir)(_.toSeq).filter(Files.isRegularFile(_))
-      .foreach(Files.deleteIfExists(_))
     val nonce = java.util.UUID.randomUUID().toString
 
     // ---- manifest file (one, all entries ADDED at sequence 1) ----------
@@ -175,9 +171,22 @@ object IcebergExport {
          |"summary":{"operation":"append"},"schema-id":0}],
          |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapId}],
          |"metadata-log":[]}""".stripMargin.replace("\n", "")
+    // WRITE-FIRST, SWEEP-LAST: the new avro landed above under fresh
+    // nonce names, metadata.json replaces ATOMICALLY, and only then do
+    // stale files of earlier exports sweep — a crash at any point leaves
+    // a complete, self-consistent export on disk (old or new)
     val metaFile = metaDir.resolve("v1.metadata.json")
-    Files.write(metaFile, metadata.getBytes("UTF-8"))
+    val tmp = metaDir.resolve(s".v1.metadata.json.$nonce")
+    Files.write(tmp, metadata.getBytes("UTF-8"))
+    Files.move(tmp, metaFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    val keep = Set(manifestPath, listPath, metaFile,
+      metaDir.resolve("version-hint.text")).map(_.getFileName.toString)
+    Snapshots.listDir(metaDir)(_.toSeq)
+      .filter(p => Files.isRegularFile(p) && !keep(p.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
     metaFile.toString
   }
 
@@ -207,19 +216,53 @@ object IcebergExport {
     */
   private def topStruct(spark: SparkSession, path: String, ids: Ids): IStruct = {
     val entries = TableSchema.read(path)
-    if (entries.nonEmpty)
-      IStruct(entries.filterNot(_.dropped).map(fromEntry(_, ids)))
-    else toIStruct(GeoTable.ensureSchema(spark, path), ids)
+    val base = GeoTable.ensureSchema(spark, path)
+    if (entries.isEmpty) toIStruct(base, ids)
+    else {
+      val evolved = entries.filterNot(_.dropped).map(fromEntry(_, ids))
+      // partition dir columns live in directory names, not in the
+      // evolution log (TableSchema.ensure excludes them) — append them
+      // from the baseline schema or a schema-evolved PARTITIONED table
+      // could never export
+      val dirCols = GeoTable.readPartitionCols(path)
+        .filterNot(c => evolved.exists(_.dataName == c))
+        .flatMap(c => base.fields.find(_.name == c))
+        .map { f =>
+          val id = ids.next()
+          IField(id, f.name, required = false, toIType(f.dataType, ids), f.name)
+        }
+      IStruct(evolved ++ dirCols)
+    }
   }
 
   private def fromEntry(e: TableSchema.Entry, ids: Ids): IField = {
     val id = ids.next()
-    val t =
-      if (e.children.nonEmpty)
-        IStruct(e.children.filterNot(_.dropped).map(fromEntry(_, ids)))
-      else toIType(TableSchema.logicalType(e), ids)
-    IField(id, e.logical, required = false, t, e.physical)
+    IField(id, e.logical, required = false, entryType(e, ids), e.physical)
   }
+
+  /** Entry → Iceberg type, shape-directed by the entry's BASELINE type:
+    * struct children are fields, but array entries carry one `element`
+    * child and map entries one `value` child (keys cannot evolve) — an
+    * evolved container must still export as a list/map, never a struct.
+    */
+  private def entryType(e: TableSchema.Entry, ids: Ids): IType =
+    if (e.children.isEmpty) toIType(TableSchema.logicalType(e), ids)
+    else e.dataType match {
+      case _: StructType =>
+        IStruct(e.children.filterNot(_.dropped).map(fromEntry(_, ids)))
+      case a: ArrayType =>
+        val elemId = ids.next()
+        val elem = e.children.find(_.logical == "element")
+          .map(entryType(_, ids)).getOrElse(toIType(a.elementType, ids))
+        IList(elemId, elem, required = false)
+      case m: MapType =>
+        val kId = ids.next(); val vId = ids.next()
+        val k = toIType(m.keyType, ids)
+        val vT = e.children.find(_.logical == "value")
+          .map(entryType(_, ids)).getOrElse(toIType(m.valueType, ids))
+        IMapT(kId, vId, k, vT, vRequired = false)
+      case _ => toIType(TableSchema.logicalType(e), ids)
+    }
 
   private def toIStruct(st: StructType, ids: Ids): IStruct =
     IStruct(st.fields.toSeq.map { f =>
@@ -300,37 +343,28 @@ object IcebergExport {
 
   // ---- Avro schemas per the Iceberg spec (field-id attributes) --------
 
-  /** Iceberg primitive → Avro type, for partition-dir values — the types
-    * whose hive dir rendering round-trips losslessly.
+  /** The partition-dir round-trippable types: Iceberg primitive →
+    * (Avro schema json, dir-string parser) — ONE seat, so the
+    * exportability guard and the value parse can never diverge.
     */
-  private val AvroPrim: Map[String, String] = Map(
-    "int" -> "\"int\"",
-    "long" -> "\"long\"",
-    "string" -> "\"string\"",
-    "double" -> "\"double\"",
-    "float" -> "\"float\"",
-    "boolean" -> "\"boolean\"",
-    "date" -> """{"type":"int","logicalType":"date"}""")
+  private val DirTypes: Map[String, (String, String => Any)] = Map(
+    "int" -> ("\"int\"", (s: String) => s.toInt),
+    "long" -> ("\"long\"", (s: String) => s.toLong),
+    "string" -> ("\"string\"", (s: String) => s),
+    "double" -> ("\"double\"", (s: String) => s.toDouble),
+    "float" -> ("\"float\"", (s: String) => s.toFloat),
+    "boolean" -> ("\"boolean\"", (s: String) => s.toBoolean),
+    "date" -> ("""{"type":"int","logicalType":"date"}""",
+      (s: String) => java.time.LocalDate.parse(s).toEpochDay.toInt))
 
   /** Hive dir value string → typed Avro partition value. */
-  private def partitionValue(pf: PartField, raw: String): Any = {
-    if (raw == null || raw == PartitionPaths.NullSentinel) return null
-    pf.icebergType match {
-      case "int" => raw.toInt
-      case "long" => raw.toLong
-      case "string" => raw
-      case "double" => raw.toDouble
-      case "float" => raw.toFloat
-      case "boolean" => raw.toBoolean
-      case "date" => java.time.LocalDate.parse(raw).toEpochDay.toInt
-      case other => throw new IllegalArgumentException(
-        s"partition source type $other is not exportable")
-    }
-  }
+  private def partitionValue(pf: PartField, raw: String): Any =
+    if (raw == null || raw == PartitionPaths.NullSentinel) null
+    else DirTypes(pf.icebergType)._2(raw)
 
   private def manifestEntryAvro(partFields: Seq[PartField]): String = {
     val pf = partFields.map(p =>
-      s"""{"name":"${esc(p.specName)}","type":["null",${AvroPrim(p.icebergType)}],""" +
+      s"""{"name":"${esc(p.specName)}","type":["null",${DirTypes(p.icebergType)._1}],""" +
         s""""default":null,"field-id":${p.fieldId}}""").mkString(",")
     s"""{"type":"record","name":"manifest_entry","fields":[
        |{"name":"status","type":"int","field-id":0},

@@ -216,6 +216,40 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(metaFiles.count(_.endsWith("-m0.avro")) == 1, metaFiles.toSeq.toString)
   }
 
+  test("evolved PARTITIONED table exports (dir columns appended from the " +
+      "baseline schema) and an evolved container keeps its LIST shape " +
+      "with the nested rename applied") {
+    val base = Files.createTempDirectory("graft_ice_pe").toString
+    val tbl = s"$base/t"
+    spark.range(30).selectExpr("id", "CAST(id % 2 AS INT) AS p",
+      "array(named_struct('a', id, 'b', id * 2)) AS arr")
+      .write.partitionBy("p").parquet(tbl)
+    GeoTable.writeManifest(spark, tbl, partitionCols = Seq("p"))
+    // nested rename inside the array element materializes container
+    // children in the evolution log — the export must keep arr a LIST
+    graft.spatial.TableSchema.renameColumn(spark, tbl,
+      Seq("arr", "element", "a"), "a2")
+    val metaFile = IcebergExport.export(spark, tbl)
+    val md = jsonDf(metaFile)
+    val fields = md.selectExpr("explode(schemas[0].fields) AS f")
+      .selectExpr("f.name").collect().map(_.getString(0)).toSet
+    assert(fields == Set("id", "arr", "p"),
+      s"partition dir column must export on an evolved table: $fields")
+    val raw = new String(Files.readAllBytes(Paths.get(metaFile)), "UTF-8")
+    assert(raw.contains("\"type\":\"list\""),
+      "an evolved array column must still export as a list type")
+    assert(raw.contains("\"a2\""), "the nested rename must apply")
+    val spec = md.selectExpr("explode(`partition-specs`[0].fields) AS f")
+      .selectExpr("f.name", "f.transform").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(spec == Seq(("p", "identity")))
+    // mapping: the renamed nested field still targets the PHYSICAL name
+    val nmJson = md.selectExpr("properties.`schema.name-mapping.default` AS nm")
+      .collect().head.getString(0)
+    assert(nmJson.contains("\"element\"") && nmJson.contains("[\"a\"]"),
+      s"element-level mapping must target the physical nested name: $nmJson")
+  }
+
   test("the SQL procedure surface: CALL export_iceberg_metadata returns the " +
       "metadata path and the file count") {
     val base = Files.createTempDirectory("graft_ice_sql").toString
