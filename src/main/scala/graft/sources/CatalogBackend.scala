@@ -161,8 +161,21 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
   override def registeredLocation(ident: Identifier): Option[Path] =
     read(warehouse).get(key(ident)).map(Paths.get(_)) // registry-only: no layout fallback
 
-  override def recordTable(ident: Identifier, location: Path): Unit =
-    update(warehouse)(_ + (key(ident) -> location.toAbsolutePath.toString))
+  override def recordTable(ident: Identifier, location: Path): Unit = {
+    // existence re-checked INSIDE the CAS (same discipline as rename):
+    // two CREATE … LOCATION racers both pass the catalog's pre-check, and
+    // an unconditional put would let the second silently overwrite the
+    // first registration, permanently orphaning its table. The SAME
+    // location stays idempotent (REPLACE TABLE re-records its own dir).
+    val loc = location.toAbsolutePath.toString
+    update(warehouse) { m =>
+      m.get(key(ident)) match {
+        case Some(existing) if existing != loc =>
+          throw new TableAlreadyExistsException(ident)
+        case _ => m + (key(ident) -> loc)
+      }
+    }
+  }
 
   override def forgetTable(ident: Identifier): Unit =
     update(warehouse)(_ - key(ident))

@@ -190,6 +190,28 @@ object DeleteFiles {
     acc.map { case (k, v) => k -> v.toSeq }.toMap
   }
 
+  /** Fallback coverage index by PATH SUFFIX, built once per planning: a
+    * legacy delete file can record a differently-rooted absolute path, so
+    * a primary-key miss used to scan the whole coverage map per planned
+    * file (O(files × delete files) driver string work). Every '/'-suffix
+    * of every covered path is indexed instead — one pass over the map.
+    * ONE implementation shared by the batch scan and the streaming
+    * source, so the lookup rule can never drift between them.
+    */
+  def suffixIndex(
+      posCov: Map[String, Seq[DeleteFileRef]]): Map[String, Seq[DeleteFileRef]] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Seq[DeleteFileRef]]
+    posCov.foreach { case (k, v) =>
+      var i = k.indexOf('/')
+      while (i >= 0) {
+        val suf = k.substring(i + 1)
+        if (suf.nonEmpty && !m.contains(suf)) m(suf) = v
+        i = k.indexOf('/', i + 1)
+      }
+    }
+    m.toMap
+  }
+
   /** Stat delete files once at planning (absolute paths + lengths). The
     * ref keeps the FULLY-QUALIFIED path (scheme + authority): the driver's
     * coverage read and the executor-side cache open it directly, and an

@@ -1188,39 +1188,31 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, version))
   private lazy val posCov: Map[String, Seq[DeleteFileRef]] =
     DeleteFiles.posCoverage(spark, path, posRefs)
-  /** Fallback coverage index by PATH SUFFIX, built once per planning: a
-    * legacy delete file can record a differently-rooted absolute path, so
-    * a primary-key miss used to scan the whole coverage map per planned
-    * file (O(files × delete files) driver string work). Every '/'-suffix
-    * of every covered path is indexed instead — one pass over the map.
+  // shared suffix-fallback construction — see [[DeleteFiles.suffixIndex]]
+  private lazy val posCovBySuffix: Map[String, Seq[DeleteFileRef]] =
+    DeleteFiles.suffixIndex(posCov)
+  /** Bind one equality delete's key ordinals against THIS scan's row
+    * layout (pruned/projected logical data ++ partition columns) — the
+    * layout its reader factory emits. The catalog micro-batch stream
+    * delegates here: its rows serve through this scan's readers, so
+    * ordinals bound against the full physical schema (the path-based
+    * stream's layout) would index the wrong fields.
     */
-  private lazy val posCovBySuffix: Map[String, Seq[DeleteFileRef]] = {
-    val m = scala.collection.mutable.HashMap.empty[String, Seq[DeleteFileRef]]
-    posCov.foreach { case (k, v) =>
-      var i = k.indexOf('/')
-      while (i >= 0) {
-        val suf = k.substring(i + 1)
-        if (suf.nonEmpty && !m.contains(suf)) m(suf) = v
-        i = k.indexOf('/', i + 1)
-      }
-    }
-    m.toMap
-  }
-  private lazy val eqSpecs: Seq[EqDeleteSpec] = {
+  private[graft] def bindEqSpec(e: graft.spatial.EqDelete): Option[EqDeleteSpec] = {
     val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
-    eqDeletes.flatMap { e =>
-      if (!e.cols.forall(logicalCombined.fieldNames.contains)) None
-      else {
-        val ordinals = e.cols.map(logicalCombined.fieldIndex).toArray
-        val types = ordinals.map(logicalCombined(_).dataType)
-        val keySchema = StructType(e.cols.zip(types).map { case (c, t) =>
-          org.apache.spark.sql.types.StructField(c, t) })
-        val ref = DeleteFiles.refs(spark, path, Seq(e.path)).head
-        Some(EqDeleteSpec(ref, ordinals, types, e.seq,
-          DeleteFiles.readerFactory(spark, keySchema)))
-      }
+    if (!e.cols.forall(logicalCombined.fieldNames.contains)) None
+    else {
+      val ordinals = e.cols.map(logicalCombined.fieldIndex).toArray
+      val types = ordinals.map(logicalCombined(_).dataType)
+      val keySchema = StructType(e.cols.zip(types).map { case (c, t) =>
+        org.apache.spark.sql.types.StructField(c, t) })
+      val ref = DeleteFiles.refs(spark, path, Seq(e.path)).head
+      Some(EqDeleteSpec(ref, ordinals, types, e.seq,
+        DeleteFiles.readerFactory(spark, keySchema)))
     }
   }
+
+  private lazy val eqSpecs: Seq[EqDeleteSpec] = eqDeletes.flatMap(bindEqSpec)
 
   /** Each task carries the table-relative path(s) and exactly the delete
     * files scoped to each — the reference's per-task `DeleteFilter`

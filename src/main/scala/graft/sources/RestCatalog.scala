@@ -76,8 +76,13 @@ class RestBackend(uri: String) extends CatalogBackend {
   }
   require(warehouse.nonEmpty, s"REST catalog at $uri advertises no warehouse in /v1/config")
 
+  // the EMPTY namespace (top-level tables) must survive as a routable URL
+  // segment: an empty string collapses in the server's path split, so
+  // every route for it would 404 — encode it as the bare separator (which
+  // no real namespace part can round-trip to: parts are %1F-JOINED)
   private def nsPath(ns: Array[String]): String =
-    URLEncoder.encode(ns.mkString(RestBackend.NsSep), "UTF-8")
+    if (ns.isEmpty) RestBackend.enc(RestBackend.NsSep)
+    else URLEncoder.encode(ns.mkString(RestBackend.NsSep), "UTF-8")
 
   override def tableLocation(ident: Identifier): Path =
     registeredLocation(ident).getOrElse(
@@ -118,6 +123,16 @@ class RestBackend(uri: String) extends CatalogBackend {
     body.set[ObjectNode]("source", RestJson.identNode(oldIdent))
     body.set[ObjectNode]("destination", RestJson.identNode(newIdent))
     val resp = post(uri, "/v1/tables/rename", body.toString)
+    // translate protocol conflicts back into the catalog contract's
+    // analysis exceptions — a lost rename race must surface as
+    // ALREADY_EXISTS / TABLE_NOT_FOUND, not an internal HTTP error
+    // (the registry backend used directly throws exactly these)
+    if (resp.statusCode() == 409)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
+    if (resp.statusCode() == 404)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (oldIdent.namespace() :+ oldIdent.name()).toSeq)
     expect(resp, 200, s"rename $oldIdent -> $newIdent")
     Paths.get(RestJson.parse(resp.body()).get("metadata-location").asText())
   }
@@ -237,6 +252,7 @@ object RestBackend {
 class RestCatalogServer(warehouse: String) {
   private val state = new RegistryBackend(warehouse)
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   /** Start on an ephemeral port; returns the service URI. */
   def start(): String = {
@@ -245,12 +261,18 @@ class RestCatalogServer(warehouse: String) {
     // small pool so one slow client never blocks the rest; handlers are
     // concurrency-safe because every mutation goes through the registry's
     // generation CAS
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    server.setExecutor(pool)
     server.start()
     s"http://127.0.0.1:${server.getAddress.getPort}"
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // HttpServer.stop does NOT shut down a user-supplied executor — the 4
+    // non-daemon pool threads would outlive every stop() and hang JVM exit
+    if (pool != null) pool.shutdown()
+  }
 
   private def reply(ex: HttpExchange, code: Int, body: String = ""): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -263,8 +285,12 @@ class RestCatalogServer(warehouse: String) {
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
-  private def decodeNs(seg: String): Array[String] =
-    URLDecoder.decode(seg, "UTF-8").split(RestBackend.NsSep.head)
+  private def decodeNs(seg: String): Array[String] = {
+    val s = URLDecoder.decode(seg, "UTF-8")
+    // the bare separator is the EMPTY namespace's routable encoding
+    if (s == RestBackend.NsSep) Array.empty
+    else s.split(RestBackend.NsSep.head)
+  }
 
   private def handle(ex: HttpExchange): Unit = try {
     val method = ex.getRequestMethod
@@ -356,6 +382,13 @@ class RestCatalogServer(warehouse: String) {
       case _ => reply(ex, 404, """{"error":"no such route"}""")
     }
   } catch {
+    // registry in-CAS conflicts are protocol-level outcomes, not server
+    // errors: a lost register/rename race maps to 409/404 so the client
+    // can translate it back to the catalog contract's analysis exception
+    case e: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+      reply(ex, 409, RestJson.obj().put("error", String.valueOf(e.getMessage)).toString)
+    case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+      reply(ex, 404, RestJson.obj().put("error", String.valueOf(e.getMessage)).toString)
     case e: Exception =>
       reply(ex, 500, RestJson.obj().put("error", String.valueOf(e.getMessage)).toString)
   }

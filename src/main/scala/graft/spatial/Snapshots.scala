@@ -1438,6 +1438,48 @@ object Snapshots {
       case None => appendMain(df, path, props, writeOptions)
     }
 
+  /** Append one streaming micro-batch EXACTLY ONCE: the batch-id dedup
+    * re-checks the durable high-water mark INSIDE the commit CAS — a
+    * zombie driver and its replacement replaying the same batch both pass
+    * any outside-the-CAS check, and the loser's commit retry would then
+    * re-publish the duplicate on top of the winner (the reference dedups
+    * inside the snapshot commit the same way; [[commitStreamEpoch]] is
+    * the DSv2 sink's equivalent). Returns true when this call committed
+    * the batch; false when it was already committed (the staged data
+    * files are deleted).
+    */
+  private[graft] def appendIfBatchNew(df: DataFrame, path: String,
+      batchKey: String, batchId: Long): Boolean = {
+    // same posture as append(): the high-water-mark commit stays on its
+    // ref and cannot stage onto a WAP audit branch
+    rejectUnderWap(path, "a streaming batch commit")
+    val spark = df.sparkSession
+    val (added, written) = writeBack(df, path)
+    val stats = statsFor(spark, path, added)
+    var committed = false
+    withCommitRetry() {
+      val rs = refsState(path)
+      val head = Some(rs.mainHead(path)).filter(_ > 0)
+      val props = head.map(v => readProps(path, Some(v)))
+        .getOrElse(Map.empty[String, String])
+      if (batchId <= props.get(batchKey).map(_.toLong).getOrElse(-1L)) {
+        added.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
+        committed = false
+        head.getOrElse(0)
+      } else {
+        val prior = head.map(v => readManifest(path, Some(v))).getOrElse(Nil)
+        committed = true
+        publish(path, rs, prior ++ stats,
+          head.map(v => readDeletes(path, Some(v))).getOrElse(Nil),
+          head.map(v => readPosDeletes(path, Some(v))).getOrElse(Nil),
+          props + (batchKey -> batchId.toString),
+          eqDeletes = head.map(v => readEqDeletes(path, Some(v))).getOrElse(Nil),
+          schema = mergeSchema(head.flatMap(v => readSchema(path, Some(v))), written))
+      }
+    }
+    committed
+  }
+
   private def appendMain(df: DataFrame, path: String, props: Map[String, String],
       writeOptions: Map[String, String] = Map.empty): Int = {
     val spark = df.sparkSession

@@ -48,15 +48,17 @@ object GeoStreams {
     else Snapshots.readProps(path).get(batchKey(streamToken)).map(_.toLong).getOrElse(-1L)
 
   /** Commit one micro-batch exactly once: skips batch ids at or below the
-    * query's durable high-water mark. Returns true if appended.
+    * query's durable high-water mark. Returns true if appended. The
+    * cheap pre-check short-circuits obvious replays; the authoritative
+    * dedup re-checks INSIDE the commit CAS ([[Snapshots.appendIfBatchNew]])
+    * — a zombie driver and its restarted replacement replaying the same
+    * batch both pass any outside check, and the loser's commit retry
+    * would otherwise re-publish the duplicate on top of the winner.
     */
   private[graft] def commitBatch(batch: DataFrame, path: String, batchId: Long,
       streamToken: String = "default"): Boolean = {
     if (batchId <= lastCommittedBatch(path, streamToken)) false
-    else {
-      Snapshots.append(batch, path, Map(batchKey(streamToken) -> batchId.toString))
-      true
-    }
+    else Snapshots.appendIfBatchNew(batch, path, batchKey(streamToken), batchId)
   }
 
   /** Start a streaming append into a snapshot table at `path`. The input
@@ -90,6 +92,9 @@ object GeoStreams {
     val raw = spark.readStream
       .format("graft-stream")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      // this wrapper applies the post-decode belt below, so in-source
+      // predicate binding may fall back to it instead of failing
+      .option("mor-bind-fallback", "true")
       .load(path)
     val decoded = graft.spatial.GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
       if (raw.columns.contains(c))

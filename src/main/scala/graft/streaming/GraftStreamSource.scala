@@ -61,7 +61,8 @@ class GraftStreamProvider extends TableProvider with DataSourceRegister {
       Option(opts.get("stream-from-timestamp")).map(_.toLong),
       Option(opts.get("branch")),
       Option(opts.get("streaming-skip-delete-snapshots")).forall(_.toBoolean),
-      Option(opts.get("streaming-skip-overwrite-snapshots")).forall(_.toBoolean))
+      Option(opts.get("streaming-skip-overwrite-snapshots")).forall(_.toBoolean),
+      Option(opts.get("mor-bind-fallback")).exists(_.toBoolean))
   }
 
   private def tablePath(options: CaseInsensitiveStringMap): String =
@@ -87,7 +88,8 @@ class GraftStreamTable(path: String, maxFiles: Int,
     streamFromTimestamp: Option[Long] = None,
     branch: Option[String] = None,
     skipDeleteSnapshots: Boolean = true,
-    skipOverwriteSnapshots: Boolean = true)
+    skipOverwriteSnapshots: Boolean = true,
+    morBindFallback: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-stream:$path"
   override def schema(): StructType = GraftStreamTable.tableSchema(path)
@@ -101,7 +103,7 @@ class GraftStreamTable(path: String, maxFiles: Int,
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes,
             streamFromTimestamp, branch, skipDeleteSnapshots,
-            skipOverwriteSnapshots)
+            skipOverwriteSnapshots, morBindFallback)
       }
     }
 }
@@ -131,7 +133,12 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
       * get the reference's strict failure.
       */
     skipDeleteSnapshots: Boolean = true,
-    skipOverwriteSnapshots: Boolean = true)
+    skipOverwriteSnapshots: Boolean = true,
+    /** A downstream post-decode belt filter is declared (the
+      * [[GeoStreams.readTableStream]] wrapper) — predicate-delete bind
+      * failures may fall back to it instead of failing the stream.
+      */
+    morBindFallback: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -168,13 +175,33 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     * Walks the streamed ref's ANCESTRY, not all version numbers — an
     * unpublished branch WAP commit interleaved between two main commits
     * must never stream into a main-ref consumer (and vice versa).
+    *
+    * MEMOIZED by head version: committed entered-file sets are immutable
+    * (the invariant the offsets already rely on), so each trigger resumes
+    * the walk from the last memoized head instead of re-walking the whole
+    * ancestry — latestOffset + reportLatestOffset + planInputPartitions
+    * each consult the chain, and an uncached walk would cost O(history)
+    * manifest-diff set work three-plus times per trigger, growing without
+    * bound as the table ages. Driver-only state; a head outside the
+    * memo's lineage (rollback to another ref's history) rewalks fully.
     */
+  @volatile private var chainMemo: (Int, Seq[(Int, Seq[FileStats])], Set[String]) =
+    (0, Nil, Set.empty)
+
   private def chainByVersion(): Seq[(Int, Seq[FileStats])] = {
     val head = streamHead()
     if (head == 0) return Nil
+    val memo = chainMemo
+    if (memo._1 == head) return memo._2
+    val anc = Snapshots.ancestry(path, head)
+    val (doneChain, donePrev, todo) =
+      if (memo._1 != 0 && anc.contains(memo._1))
+        (memo._2, memo._3, anc.dropWhile(_ != memo._1).tail)
+      else (Nil, Set.empty[String], anc)
     val out = Seq.newBuilder[(Int, Seq[FileStats])]
-    var prev = Set.empty[String]
-    Snapshots.ancestry(path, head).foreach { v =>
+    out ++= doneChain
+    var prev = donePrev
+    todo.foreach { v =>
       val m = Snapshots.readManifest(path, Some(v))
       val names = m.map(_.path).toSet
       val entered = m.filterNot(f => prev(f.path)).sortBy(_.path)
@@ -190,7 +217,9 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
             "set streaming-skip-overwrite-snapshots=true to skip it")
       prev = names
     }
-    out.result()
+    val result = out.result()
+    chainMemo = (head, result, prev)
+    result
   }
 
   /** `stream-from-timestamp` (the reference's SparkReadOptions surface):
@@ -271,6 +300,34 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
 
   override def reportLatestOffset(): Offset = GraftStreamOffset(boundedChain().size.toLong)
 
+  /** Bind one equality delete's key ordinals against the row layout THIS
+    * stream's readers emit — the FULL physical (data ++ partition) row
+    * for the path-based stream. Delete columns are recorded under
+    * LOGICAL names, so ordinals bind through the rename map (a delete on
+    * a renamed column would otherwise silently be dropped here while the
+    * batch read of the same table filters it); the delete FILE's parquet
+    * columns carry the logical names — the key reader addresses it by
+    * those, the ordinals by physical. The catalog stream OVERRIDES this:
+    * its rows serve through the owning scan's reader factory, whose
+    * layout is the scan's pruned/projected logical row.
+    */
+  protected def bindEqDelete(eq: EqDelete, rowSchema: StructType): Option[EqDeleteSpec] = {
+    val logicalToPhysical: Map[String, String] =
+      graft.spatial.TableSchema.read(path).filterNot(_.dropped)
+        .map(e => e.logical -> e.physical).toMap
+    val phys = eq.cols.map(c => logicalToPhysical.getOrElse(c, c))
+    if (!phys.forall(rowSchema.fieldNames.contains)) None
+    else {
+      val ordinals = phys.map(rowSchema.fieldIndex).toArray
+      val types = ordinals.map(rowSchema(_).dataType)
+      val keySchema = StructType(eq.cols.zip(types).map { case (c, t) =>
+        org.apache.spark.sql.types.StructField(c, t) })
+      val ref = DeleteFiles.refs(spark, path, Seq(eq.path)).head
+      Some(EqDeleteSpec(ref, ordinals, types, eq.seq,
+        DeleteFiles.readerFactory(spark, keySchema)))
+    }
+  }
+
   /** Each partition carries the delete files scoped to its data file —
     * the same executor-side `DeleteFilter` attachment as the batch scan
     * ([[graft.sources.GraftInputPartition]]); the driver resolves only
@@ -292,50 +349,16 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
       else DeleteFiles.refs(spark, path, Snapshots.readPosDeletes(path, Some(head)))
     val posCov = DeleteFiles.posCoverage(spark, path, posRefs)
     val rowSchema = StructType(dataSchema ++ partitionSchema)
-    // equality-delete columns are recorded under LOGICAL names, but the
-    // stream reader produces PHYSICAL rows (tableSchema = manifest physical
-    // schema): bind ordinals through the rename map, or a delete on a
-    // renamed column would silently be dropped here while the batch read
-    // of the same table filters it
-    val logicalToPhysical: Map[String, String] =
-      graft.spatial.TableSchema.read(path).filterNot(_.dropped)
-        .map(e => e.logical -> e.physical).toMap
     val eqSpecs = if (head == 0) Nil
-      else Snapshots.readEqDeletes(path, Some(head)).flatMap { eq =>
-        val phys = eq.cols.map(c => logicalToPhysical.getOrElse(c, c))
-        if (!phys.forall(rowSchema.fieldNames.contains)) None
-        else {
-          val ordinals = phys.map(rowSchema.fieldIndex).toArray
-          val types = ordinals.map(rowSchema(_).dataType)
-          // the delete FILE's parquet columns carry the logical names —
-          // the key reader addresses it by those, the ordinals by physical
-          val keySchema = StructType(eq.cols.zip(types).map { case (c, t) =>
-            org.apache.spark.sql.types.StructField(c, t) })
-          val ref = DeleteFiles.refs(spark, path, Seq(eq.path)).head
-          Some(EqDeleteSpec(ref, ordinals, types, eq.seq,
-            DeleteFiles.readerFactory(spark, keySchema)))
-        }
-      }
+      else Snapshots.readEqDeletes(path, Some(head)).flatMap(bindEqDelete(_, rowSchema))
     // GraftFileIndex parses hive-layout partition values from the paths —
     // the same code path the batch relation uses
     val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
       GeoTable.readPruningSpecs(path))
     val byAbs = slice.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
     // suffix index over covered paths, built once per planning pass — the
-    // same O(map) construction the batch scan uses instead of a per-file
-    // linear scan of the coverage map
-    val posCovBySuffix: Map[String, Seq[graft.sources.DeleteFileRef]] = {
-      val m = scala.collection.mutable.HashMap.empty[String, Seq[graft.sources.DeleteFileRef]]
-      posCov.foreach { case (k, v) =>
-        var i = k.indexOf('/')
-        while (i >= 0) {
-          val suf = k.substring(i + 1)
-          if (suf.nonEmpty && !m.contains(suf)) m(suf) = v
-          i = k.indexOf('/', i + 1)
-        }
-      }
-      m.toMap
-    }
+    // SHARED construction the batch scan uses ([[DeleteFiles.suffixIndex]])
+    val posCovBySuffix = DeleteFiles.suffixIndex(posCov)
     val items = index.listFiles(Nil, Nil).flatMap { dir =>
       dir.files.map { st =>
         val abs = st.getPath.toUri.getPath
@@ -393,7 +416,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val head = streamHead()
     val mor = if (head == 0) None
       else GraftStreamFilters.morPredicate(sess, path, head,
-        StructType(dataSchema ++ partitionSchema))
+        StructType(dataSchema ++ partitionSchema), morBindFallback)
     // ALWAYS ship a pos-delete reader factory: the partitions were planned
     // from a separately read head, so deciding None from a re-read here
     // races with a concurrent compaction — partitions still carrying
@@ -425,6 +448,15 @@ class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
       streamFromTimestamp, branch, skipDeleteSnapshots,
       skipOverwriteSnapshots) {
   override def createReaderFactory(): PartitionReaderFactory = scan.streamReaderFactory()
+
+  /** Rows serve through the SCAN's reader factory, whose layout is the
+    * scan's pruned/projected logical row — equality-delete ordinals must
+    * bind against THAT layout, not the full physical schema (a pruned
+    * column would shift every ordinal and the filter would compare the
+    * wrong fields).
+    */
+  override protected def bindEqDelete(eq: graft.spatial.EqDelete,
+      rowSchema: StructType): Option[EqDeleteSpec] = scan.bindEqSpec(eq)
 }
 
 /** MoR predicate-delete binding: the OR of pending predicate deletes,
@@ -435,8 +467,15 @@ class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
   * executor-side ([[graft.sources.DeleteFileCache]]).
   */
 object GraftStreamFilters {
+  /** `bindFallback` = a post-decode belt filter WILL apply downstream
+    * ([[GeoStreams.readTableStream]] declares it via stream option), so a
+    * bind failure may resolve to None. WITHOUT it, failing to bind must
+    * FAIL the stream: a direct `format("graft-stream")` reader has no
+    * belt, and silently dropping the predicate would resurrect every
+    * deleted row as live data.
+    */
   def morPredicate(spark: SparkSession, path: String, version: Int,
-      rowSchema: StructType): Option[Expression] = {
+      rowSchema: StructType, bindFallback: Boolean = false): Option[Expression] = {
     val conds = Snapshots.readDeletes(path, Some(version))
     if (conds.isEmpty) None else try {
       graft.functions.GeoSql.install(spark)
@@ -451,6 +490,17 @@ object GraftStreamFilters {
         .map(e => e.logical -> e.physical).toMap
       val parsed0 = spark.sessionState.sqlParser.parseExpression(
         conds.map(c => s"($c)").mkString(" OR "))
+      // a predicate referencing a DECLARED-ENCODING column must never
+      // bind against the raw physical row: the implicit string→binary
+      // cast can ANALYZE cleanly and then evaluate garbage (a wkt string
+      // is not wkb bytes) — route it to the fallback/failure path
+      val encodedCols = graft.spatial.GeometryFields.get(path).keySet
+      if (encodedCols.nonEmpty && parsed0.collectFirst {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if ua.nameParts.nonEmpty && encodedCols.contains(ua.nameParts.head) => ()
+          }.isDefined)
+        throw new IllegalStateException(
+          "predicate references a declared-encoding column")
       val parsed =
         if (renames.isEmpty) parsed0
         else parsed0.transformUp {
@@ -465,7 +515,16 @@ object GraftStreamFilters {
         BindReferences.bindReference(
           Coalesce(Seq(c, Literal(false))), attrs.map(_.toAttribute))
       }
-    } catch { case _: Exception => None } // physical-schema mismatch: post-decode filter applies
+    } catch {
+      case _: Exception if bindFallback =>
+        None // physical-schema mismatch: the declared post-decode belt applies
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"merge-on-read predicate delete(s) on $path cannot bind to the " +
+            "physical stream schema (encoded/renamed columns); stream the " +
+            "table through the catalog or GeoStreams.readTableStream, " +
+            "which apply the predicate post-decode", e)
+    }
   }
 }
 

@@ -213,4 +213,21 @@ class RegistryBackendSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW NAMESPACES IN rcat").collect()
       .map(_.getString(0)).contains("tmpns"))
   }
+
+  test("recordTable re-checks INSIDE the CAS: a raced register to a DIFFERENT " +
+      "location fails ALREADY_EXISTS (never silently orphans the first " +
+      "table); the same location stays idempotent") {
+    import java.nio.file.Paths
+    val wh = Files.createTempDirectory("graft_reg_race").toString
+    val b = new graft.sources.RegistryBackend(wh)
+    val id = org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "t")
+    val loc = Paths.get(wh, "db", "t")
+    b.recordTable(id, loc)
+    b.recordTable(id, loc) // same location: idempotent (REPLACE TABLE)
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      b.recordTable(id, Paths.get(wh, "elsewhere"))
+    }
+    assert(b.registeredLocation(id).contains(loc.toAbsolutePath),
+      "the FIRST registration must survive the lost race")
+  }
 }

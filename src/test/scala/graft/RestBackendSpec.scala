@@ -323,4 +323,40 @@ class RestBackendSpec extends AnyFunSuite {
       assert(b2.listTables(Array("db"), _ => true).map(_.name()).contains("durable"))
     } finally srv2.stop()
   }
+
+  test("register/rename conflicts surface as the catalog contract's analysis " +
+      "exceptions ACROSS THE WIRE; the empty namespace routes") {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+    import org.apache.spark.sql.connector.catalog.Identifier
+    assert(uri.nonEmpty)
+    val b = new graft.sources.RestBackend(uri)
+    val ns = Array("racedb")
+    b.createNamespace(ns)
+    val id = Identifier.of(ns, "t1")
+    val loc = Paths.get(warehouse, "racedb", "t1")
+    b.recordTable(id, loc)
+    b.recordTable(id, loc) // same location: idempotent
+    // a raced register to a DIFFERENT location = ALREADY_EXISTS, not a
+    // silent overwrite and not a generic HTTP 500
+    intercept[TableAlreadyExistsException] {
+      b.recordTable(id, Paths.get(warehouse, "racedb", "other"))
+    }
+    assert(b.registeredLocation(id).contains(loc.toAbsolutePath))
+    // rename conflicts map 409/404 back to the proper exceptions
+    val id2 = Identifier.of(ns, "t2")
+    b.recordTable(id2, Paths.get(warehouse, "racedb", "t2"))
+    intercept[TableAlreadyExistsException] { b.renameTable(id, id2) }
+    intercept[NoSuchTableException] {
+      b.renameTable(Identifier.of(ns, "ghost"), Identifier.of(ns, "t3"))
+    }
+    // the EMPTY namespace (top-level tables) is routable: an empty URL
+    // segment would collapse in the server's path split and 404 all of it
+    val top = Identifier.of(Array.empty[String], "toplevel")
+    b.recordTable(top, Paths.get(warehouse, "toplevel"))
+    assert(b.registeredLocation(top).isDefined)
+    assert(b.listTables(Array.empty[String], _ => true).contains(top))
+    b.forgetTable(top)
+    assert(b.registeredLocation(top).isEmpty)
+  }
 }

@@ -836,4 +836,93 @@ class StreamingSpec extends AnyFunSuite {
     try q.processAllAvailable() finally q.stop()
     assert(spark.read.parquet(out).count() == batchEvents.count())
   }
+
+  test("catalog streaming with COLUMN PRUNING applies equality deletes: " +
+      "ordinals bind against the scan's pruned layout, not the full schema") {
+    import graft.spatial.Snapshots
+    import spark.implicits._
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_csp_wh").toString
+    spark.conf.set("spark.sql.catalog.cspcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cspcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cspcat.db")
+    spark.sql("CREATE TABLE cspcat.db.t (a BIGINT, b STRING, c BIGINT)")
+    spark.sql("INSERT INTO cspcat.db.t SELECT /*+ REPARTITION(1) */ id, " +
+      "concat('v', id), id * 10 FROM range(20)")
+    // equality delete on c — the LAST full-schema column, so binding its
+    // ordinal against the full schema indexes past the end of a pruned row
+    Snapshots.deleteByEquality(spark, s"$wh/db/t", Seq(30L, 70L).toDF("c"))
+    assert(Snapshots.read(spark, s"$wh/db/t").where("c IN (30, 70)").count() == 0)
+    val q = spark.readStream.table("cspcat.db.t").select("c")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("csp_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("csp_stream").as[Long].collect().toSet
+      assert(got.size == 18 && !got.contains(30L) && !got.contains(70L),
+        s"pruned catalog stream must apply the equality delete: $got")
+    } finally q.stop()
+  }
+
+  test("streaming batch replay dedups INSIDE the commit CAS: a replayed " +
+      "appendIfBatchNew commits nothing and cleans its staged files") {
+    import graft.spatial.Snapshots
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_replay").toString + "/tbl"
+    val key = "stream.tk.lastCommittedBatchId"
+    assert(Snapshots.appendIfBatchNew(
+      Seq(1L, 2L, 3L).toDF("id").coalesce(1), dir, key, 0L))
+    val v1 = Snapshots.currentVersion(dir)
+    // a zombie driver replaying batch 0 passes any check OUTSIDE the
+    // commit CAS — the in-CAS re-check must reject it, leave no commit,
+    // and remove the replay's staged data files
+    assert(!Snapshots.appendIfBatchNew(
+      Seq(1L, 2L, 3L).toDF("id").coalesce(1), dir, key, 0L))
+    assert(Snapshots.currentVersion(dir) == v1, "replay must not commit")
+    assert(Snapshots.read(spark, dir).count() == 3, "no duplicated rows")
+    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
+      .map(_.toString).count(_.endsWith(".parquet"))
+    assert(onDisk == Snapshots.readManifest(dir).size,
+      "the replay's staged files must be cleaned up")
+    // a genuinely new batch still commits
+    assert(Snapshots.appendIfBatchNew(
+      Seq(4L).toDF("id").coalesce(1), dir, key, 1L))
+    assert(Snapshots.read(spark, dir).count() == 4)
+  }
+
+  test("direct format(graft-stream) FAILS on predicate deletes that cannot " +
+      "bind to physical rows (declared-encoding column) instead of silently " +
+      "resurrecting deleted rows; readTableStream applies them post-decode") {
+    import graft.spatial.{GeoTable, Snapshots}
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_morbind").toString + "/tbl"
+    val df = spark.range(10).selectExpr("id",
+      "st_point(CAST(id AS DOUBLE) - 5.0, CAST(0 AS DOUBLE)) AS geom")
+    GeoTable.write(df, dir, "geom", storageEncoding = Some("wkt"))
+    Snapshots.deleteMoR(spark, dir, "st_x(geom) < 0")
+    assert(Snapshots.readDeletes(dir).nonEmpty, "fixture must be a MoR predicate delete")
+    // the wrapper declares its post-decode belt — deleted rows excluded
+    val viaWrapper = graft.streaming.GeoStreams
+      .readTableStream(spark, dir, maxFilesPerTrigger = 10)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("morbind_ok").start()
+    try {
+      viaWrapper.processAllAvailable()
+      assert(spark.table("morbind_ok").count() == 5,
+        "wrapper must apply the predicate post-decode")
+    } finally viaWrapper.stop()
+    // the DIRECT surface has no belt: binding st_x over the wkt STRING
+    // column would evaluate garbage — the stream must FAIL, not resurrect
+    val direct = spark.readStream.format("graft-stream").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("morbind_fail").start()
+    val err = intercept[Exception] {
+      try direct.processAllAvailable() finally direct.stop()
+    }
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(chain(err).exists(m => m.contains("cannot bind") ||
+      m.contains("post-decode")), s"unexpected failure chain: ${chain(err)}")
+  }
 }
