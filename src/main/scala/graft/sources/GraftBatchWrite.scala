@@ -34,15 +34,15 @@ import graft.streaming.{GraftStagedFiles, GraftStreamDataWriter, GraftWriters}
   * writing, so each directory receives files from FEW tasks — without it
   * a 1000-task write into D dirs stages up to 1000×D slivers.
   */
-class GraftDynamicOverwrite(path: String, writeSchema: StructType,
-    writeOptions: Map[String, String],
-    snapshotProps: Map[String, String] = Map.empty,
-    validate: Option[(Int, String)] = None)
-    extends Write with RequiresDistributionAndOrdering {
-
-  private def spark = SparkSession.active
-
-  override def description(): String = s"graft dynamic overwrite $path"
+/** The CLUSTERED write distribution over a table's partition transforms —
+  * ONE implementation consulted by every DSv2 write face (dynamic
+  * overwrite, the append/overwrite `V1Write`, and through it the
+  * streaming sink): rows shuffle to their partition before writing, so
+  * each directory receives files from FEW tasks. Without it a 1000-task
+  * write (or a 200-task streaming epoch) into D dirs stages up to
+  * 1000×D sliver files — the problem compounds per TRIGGER on streams.
+  */
+object GraftWriteDistribution {
 
   /** Transforms whose V2 function resolution is known to succeed (the
     * bind-type checks in [[GraftFunctions]]); anything else degrades to
@@ -67,7 +67,7 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
     case Transforms.DatePart(_, _) => dt.contains(DateType)
   }
 
-  override def requiredDistribution(): Distribution = {
+  def forTable(path: String, writeSchema: StructType): Distribution = {
     val specs = GeoTable.readPartitionSpecs(path)
     def dt(c: String): Option[DataType] =
       writeSchema.fields.find(_.name == c).map(_.dataType)
@@ -84,6 +84,20 @@ class GraftDynamicOverwrite(path: String, writeSchema: StructType,
       case Transforms.DatePart(_, c) => Expressions.days(c)
     }.toArray)
   }
+}
+
+class GraftDynamicOverwrite(path: String, writeSchema: StructType,
+    writeOptions: Map[String, String],
+    snapshotProps: Map[String, String] = Map.empty,
+    validate: Option[(Int, String)] = None)
+    extends Write with RequiresDistributionAndOrdering {
+
+  private def spark = SparkSession.active
+
+  override def description(): String = s"graft dynamic overwrite $path"
+
+  override def requiredDistribution(): Distribution =
+    GraftWriteDistribution.forTable(path, writeSchema)
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 

@@ -247,7 +247,19 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
             }
           new GraftDynamicOverwrite(path, resolvedSchema, writeOpts,
             snapshotProps, validateOpt)
-        } else new V1Write {
+        } else new V1Write
+            // partitioned writes — batch INSERT/append and EVERY streaming
+            // epoch through toStreaming below — cluster rows to their
+            // partition first, or D touched dirs × N tasks stage N×D
+            // sliver files per write/trigger (shared with the dynamic
+            // overwrite; unpartitioned tables report unspecified)
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            GraftWriteDistribution.forTable(path, info.schema())
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+          override def requiredNumPartitions(): Int = 0 // AQE sizes the shuffle
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             // under ACCEPT_ANY_SCHEMA Spark skipped output resolution, so

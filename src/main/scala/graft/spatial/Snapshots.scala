@@ -1021,12 +1021,23 @@ object Snapshots {
   /** Commit one streaming epoch's staged files exactly once (the DSv2
     * `StreamingWrite.commit`): files of a replayed epoch — id at or below
     * the query's durable high-water mark — are deleted, not registered.
-    * The property key matches [[graft.streaming.GeoStreams.batchKey]] so
-    * the foreachBatch sink and the DSv2 sink share dedup state.
+    * The property key SHAPE matches [[graft.streaming.GeoStreams.batchKey]],
+    * but the tokens differ by construction (this sink hashes the stable
+    * query id; foreachBatch hashes the checkpoint path — the only stable
+    * handle each surface has), so switching SINK TYPES under one
+    * checkpoint replays the last in-flight batch once — stated boundary,
+    * not shared state. Empty epochs (watermark-advancement triggers with
+    * no rows) commit NOTHING: re-publishing the whole manifest just to
+    * bump the mark would grow metadata per idle trigger, and a replayed
+    * empty epoch appends nothing anyway.
     */
   def commitStreamEpoch(spark: SparkSession, path: String, token: String,
       epochId: Long, files: Seq[String], overwrite: Boolean = false,
       extraProps: Map[String, String] = Map.empty): Int = withCommitRetry() {
+    // same posture as every other main-ref write: a WAP session stages
+    // onto its audit branch, and a streaming epoch cannot — committing
+    // to main mid-audit would land unaudited rows there silently
+    rejectUnderWap(path, "a streaming epoch commit")
     val key = s"stream.$token.lastCommittedBatchId"
     val rs = refsState(path)
     val head = rs.mainHead(path)
@@ -1034,6 +1045,8 @@ object Snapshots {
     if (epochId <= props.get(key).map(_.toLong).getOrElse(-1L)) {
       files.foreach(f => Files.deleteIfExists(Paths.get(path, f)))
       head
+    } else if (files.isEmpty && !overwrite) {
+      head // empty epoch: nothing to register, no metadata churn
     } else if (overwrite) {
       // complete-mode epoch (the reference's `asStreamingOverwrite`,
       // SparkWrite.java:181-186): the epoch's files REPLACE the table —
@@ -1274,12 +1287,19 @@ object Snapshots {
     val sizeOpts: Seq[(String, String)] =
       writeOptions.get("target-file-size-bytes")
         .orElse(tableProps.get("write.target-file-size-bytes")).toSeq.flatMap { t =>
+        // fail fast with the property name — a malformed value ('512MB')
+        // would otherwise surface as a bare NumberFormatException
+        val target = try t.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"write.target-file-size-bytes must be a byte count, got '$t'")
+        }
+        require(target > 0, s"write.target-file-size-bytes must be positive, got $t")
         val entries = if (currentVersion(path) > 0) readManifest(path) else Nil
         val rows = entries.map(_.rows).sum
         val bytes = entries.map(_.sizeBytes).sum
         if (rows <= 0 || bytes <= 0) Nil
         else Seq("maxRecordsPerFile" ->
-          math.max(1L, (t.toLong * rows) / bytes).toString)
+          math.max(1L, (target * rows) / bytes).toString)
       }
     val w = (bloomOpts ++ compressionOpts(spark, tableProps, delete = false) ++ sizeOpts)
       .foldLeft(withDerived.write.mode("overwrite"))(

@@ -17,7 +17,16 @@ object EventStreams {
   /** events as a micro-batch stream; `ts` arrives either as a nanos long
     * (TIMESTAMP(NANOS) parquet under the legacy flag) or as TIMESTAMP_NTZ
     * (timestamp[us] parquet) depending on generator version — surfaced
-    * uniformly as a proper µs TimestampType column `ets`.
+    * as a µs TimestampType column `ets` either way. Stated boundary: the
+    * nanos path yields exact UTC epoch micros while the NTZ cast
+    * interprets the wall-clock in the SESSION time zone (the same cast
+    * every batch consumer of this table applies — stream and batch agree
+    * by construction; this harness runs UTC, where the two coincide).
+    *
+    * The legacy nanos flag is set SESSION-WIDE on purpose: it is read at
+    * plan time of every later parquet scan of this table (a scoped
+    * set/restore would not survive lazy execution), and the whole
+    * harness's `Tables.load` applies the same convention.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -146,7 +146,18 @@ object GraftWriters {
     // SparkWriteOptions.TARGET_FILE_SIZE_BYTES > TableProperties order)
     writeOptions.get("target-file-size-bytes")
       .orElse(tableProps.get("write.target-file-size-bytes"))
-      .foreach(t => conf.set("graft.write.target-file-size", t))
+      .foreach { t =>
+        // validate ONCE on the driver: the value is consumed lazily on
+        // executors, where a malformed ('512MB') or non-positive value
+        // would fail every task with a context-free NumberFormatException
+        // — or silently roll a file per poll window
+        val v = try t.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"write.target-file-size-bytes must be a byte count, got '$t'")
+        }
+        require(v > 0, s"write.target-file-size-bytes must be positive, got $t")
+        conf.set("graft.write.target-file-size", t)
+      }
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
       sqlConf.getConf(SQLConf.PARQUET_WRITE_LEGACY_FORMAT).toString)

@@ -925,4 +925,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(chain(err).exists(m => m.contains("cannot bind") ||
       m.contains("post-decode")), s"unexpected failure chain: ${chain(err)}")
   }
+
+  test("partitioned streaming epochs cluster rows to their partition dirs: " +
+      "files per dir stay bounded, not one per (task × dir)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_sd_wh").toString
+    spark.conf.set("spark.sql.catalog.sdcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sdcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sdcat.db")
+    spark.sql("CREATE TABLE sdcat.db.p (id BIGINT, part INT) PARTITIONED BY (part)")
+    val input = MemoryStream[Long]
+    input.addData(0L until 400L: _*)
+    val ckpt = Files.createTempDirectory("graft_sd_ckpt").toString
+    // 8 input tasks each holding every partition value: without the
+    // clustered write distribution the epoch stages up to 8×4 files
+    val q = input.toDF().repartition(8)
+      .selectExpr("value AS id", "CAST(value % 4 AS INT) AS part")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("sdcat.db.p")
+    try q.awaitTermination() finally q.stop()
+    val files = graft.spatial.Snapshots.readManifest(s"$wh/db/p")
+    assert(files.map(_.rows).sum == 400)
+    val perDir = files.groupBy(_.dirVals("part")).view.mapValues(_.size)
+    assert(perDir.values.forall(_ <= 2),
+      s"clustered epoch write must bound files per dir, got $perDir")
+  }
+
+  test("streaming epoch commits refuse under an active WAP session; empty " +
+      "epochs commit nothing; a malformed target file size fails fast") {
+    import graft.spatial.{GeoTable, Snapshots}
+    val dir = Files.createTempDirectory("graft_sg").toString + "/tbl"
+    spark.range(10).selectExpr("id").coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    val v1 = Snapshots.currentVersion(dir)
+    // empty epoch (watermark-advancement trigger): no publish, no churn
+    assert(Snapshots.commitStreamEpoch(spark, dir, "tk", 5L, Nil) == v1)
+    assert(Snapshots.currentVersion(dir) == v1,
+      "an empty epoch must not republish the manifest")
+    // WAP: a streaming epoch cannot land unaudited rows on main mid-audit
+    Snapshots.updateProperties(dir, Map("write.wap.enabled" -> "true"))
+    val v2 = Snapshots.currentVersion(dir)
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Snapshots.commitStreamEpoch(spark, dir, "tk", 6L, Nil)
+      }
+      assert(err.getMessage.contains("WAP"))
+      assert(Snapshots.currentVersion(dir) == v2)
+    } finally spark.conf.unset("spark.wap.branch")
+    // target size validates ONCE on the driver with the property name
+    val werr = intercept[Exception] {
+      spark.range(5).selectExpr("id")
+        .write.format("graft").option("target-file-size-bytes", "512MB")
+        .mode("append").save(dir)
+    }
+    def chain(e: Throwable): Seq[String] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(chain(werr).exists(_.contains("byte count")),
+      s"unexpected failure chain: ${chain(werr)}")
+  }
 }
