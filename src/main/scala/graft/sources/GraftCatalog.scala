@@ -246,8 +246,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     def col: String = {
       val c = args.flatMap(ref(_)).headOption.getOrElse(
         throw new UnsupportedOperationException(s"unsupported partition transform: $t"))
-      require(schema.fieldNames.contains(c), s"partition source column not in schema: $c")
-      c
+      // honor the session's resolution mode: under the default
+      // case-insensitive analysis, PARTITIONED BY (years(TS)) must find
+      // column `ts` — and the canonical SCHEMA casing names the dirs
+      val cs = SparkSession.active.sessionState.conf.caseSensitiveAnalysis
+      schema.fields.find(f => if (cs) f.name == c else f.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition source column not in schema: $c")).name
     }
     t.name.toLowerCase match {
       case "identity" => col
@@ -259,7 +264,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case "hours" | "hour" =>
         // TIMESTAMP-only: over a DATE the write derivation would fail at
         // the first INSERT — reject at CREATE like the evolution DDL does
-        val c = col
+        val c = col // already resolved to the canonical schema name
         require(schema.fields.find(_.name == c)
           .exists(_.dataType == org.apache.spark.sql.types.TimestampType),
           s"PARTITIONED BY hours($c): hour requires a TIMESTAMP source")
@@ -335,6 +340,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     invalidateTable(ident)
     val p = existingTablePath(ident).getOrElse(throw new NoSuchTableException(ident))
     val spark = SparkSession.active
+    // statement-atomicity over the per-change sidecar writes: a failing
+    // change (e.g. the second of ADD COLUMNS (a, b) colliding) must not
+    // leave the earlier changes applied — capture the schema-evolution
+    // and extended-type sidecars and restore them on ANY failure
+    // (property changes already batch into one commit at the end)
+    def sidecar(name: String) = java.nio.file.Paths.get(p.toString, name)
+    val sidecars = Seq(TableSchema.SchemaName, graft.spatial.ExtendedTypes.FileName)
+      .map { n =>
+        val f = sidecar(n)
+        n -> (if (java.nio.file.Files.exists(f))
+          Some(java.nio.file.Files.readAllBytes(f)) else None)
+      }
+    def restoreSidecars(): Unit = sidecars.foreach {
+      case (n, Some(bytes)) => java.nio.file.Files.write(sidecar(n), bytes); ()
+      case (n, None) => java.nio.file.Files.deleteIfExists(sidecar(n)); ()
+    }
+    try applyChanges(ident, p, spark, changes)
+    catch { case e: Throwable => restoreSidecars(); invalidateTable(ident); throw e }
+    // invalidate AGAIN after the mutation: a concurrent load during the
+    // alter can re-cache the PRE-alter table; with no expiry it would
+    // serve the stale schema forever
+    invalidateTable(ident)
+    loadTable(ident)
+  }
+
+  private def applyChanges(ident: Identifier, p: java.nio.file.Path,
+      spark: SparkSession, changes: Seq[TableChange]): Unit = {
     // ADD/RENAME/DROP/COMMENT/TYPE take full dot-paths (nested struct
     // fields, incl. struct-in-array `a.element.f` / struct-in-map-value
     // `m.value.f`, and `arr.element` / `m.value` themselves for type
@@ -376,9 +408,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       case other => throw new UnsupportedOperationException(s"unsupported table change: $other")
     }
     val (set, unset) = (setProps.result(), unsetProps.result())
-    if (set.nonEmpty || unset.nonEmpty)
+    if (set.nonEmpty || unset.nonEmpty) {
       Snapshots.updateProperties(p.toString, set, unset)
-    new GraftTable(p.toString, None)
+      ()
+    }
   }
 
   // ---- atomic CTAS / REPLACE TABLE (the reference's StagingTableCatalog,
@@ -590,7 +623,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     backend.listNamespaces(isTable).toArray
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) listNamespaces() else Array.empty
+    if (namespace.isEmpty) listNamespaces()
+    else if (!namespaceExists(namespace)) // SupportsNamespaces contract:
+      throw new NoSuchNamespaceException(namespace) // a typo is an error, not []
+    else Array.empty
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     backend.namespaceExists(namespace)
@@ -609,8 +645,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
 
   // (StagedGraftTable lives below, outside the catalog class)
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    // the filesystem backend wipes the tree DIRECTLY (never invoking the
+    // per-table callback) — invalidate the dropped tables' cache entries
+    // first, or a later re-create serves the stale pre-drop Table forever
+    if (cascade && namespaceExists(namespace))
+      try listTables(namespace).foreach(invalidateTable)
+      catch { case _: NoSuchNamespaceException => () }
     backend.dropNamespace(namespace, cascade, ident => { dropTable(ident); () })
+  }
 }
 
 /** An in-flight atomic CTAS / REPLACE: a real graft table in a hidden
@@ -682,10 +725,18 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
           props = finalProps, schema = Some(schema)), failIfExists = true)
       catch { case _: Snapshots.TableCreateConflictException =>
         // a concurrent creator won between the exists-check and the commit:
-        // CREATE OR REPLACE degrades to the replace path; plain CTAS fails
+        // CREATE OR REPLACE degrades to the replace path; plain CTAS fails —
+        // but its data files were already MOVED into what is now the
+        // winner's live dir: remove them (UUID names — only ours) before
+        // surfacing the conflict, or they linger as phantom rows for raw
+        // compatibility reads until remove_orphan_files
         if (replace) Snapshots.commitReplace(spark, finalPath,
           entries.map(_.copy(addedV = 0)), schema, parts, finalProps)
-        else throw new TableAlreadyExistsException(ident)
+        else {
+          entries.foreach(e => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(finalPath, e.path)))
+          throw new TableAlreadyExistsException(ident)
+        }
       }
     onCommit() // registry backends record the (ident -> location) mapping
     abortStagedChanges() // staged dir is spent either way

@@ -99,15 +99,20 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     // union: graft tables live on the warehouse filesystem, not in the
-    // session catalog's store — the delegate alone would hide them
+    // session catalog's store — the delegate alone would hide them. A
+    // namespace NEITHER side knows stays an error (SHOW TABLES in a
+    // typo'd namespace must not read as empty).
     val fromDelegate =
-      try dTables.listTables(namespace)
-      catch { case _: NoSuchNamespaceException => Array.empty[Identifier] }
-    val fromGraft = graftOpt.map { g =>
-      try g.listTables(namespace)
-      catch { case _: NoSuchNamespaceException => Array.empty[Identifier] }
-    }.getOrElse(Array.empty[Identifier])
-    (fromDelegate ++ fromGraft).distinct
+      try Some(dTables.listTables(namespace))
+      catch { case _: NoSuchNamespaceException => None }
+    val fromGraft = graftOpt.flatMap { g =>
+      try Some(g.listTables(namespace))
+      catch { case _: NoSuchNamespaceException => None }
+    }
+    if (fromDelegate.isEmpty && fromGraft.isEmpty)
+      throw new NoSuchNamespaceException(namespace)
+    (fromDelegate.getOrElse(Array.empty[Identifier]) ++
+      fromGraft.getOrElse(Array.empty[Identifier])).distinct
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -126,9 +131,16 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
     graftOpt.filter(_.tableExists(ident)).map(_.purgeTable(ident))
       .getOrElse(dTables.purgeTable(ident))
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // gate on BOTH sides: each side checks only its own store, so a
+    // rename could silently shadow a live table on the other side (the
+    // shadowed table becomes unreachable, reads change data with no error)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
     if (graftOpt.exists(_.tableExists(oldIdent))) graft.renameTable(oldIdent, newIdent)
     else dTables.renameTable(oldIdent, newIdent)
+  }
 
   // ---- atomic CTAS routing (ref SparkSessionCatalog.stageCreate:
   // graft provider -> real staging; anything else -> the delegate's
@@ -144,7 +156,7 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
     if (isGraftProvider(properties)) graft.stageReplace(ident, schema, partitions, properties)
     else {
-      dTables.dropTable(ident)
+      dropBothSides(ident)
       nonAtomic(ident, dTables.createTable(ident, schema, partitions, properties))
     }
 
@@ -153,9 +165,20 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
     if (isGraftProvider(properties))
       graft.stageCreateOrReplace(ident, schema, partitions, properties)
     else {
-      dTables.dropTable(ident)
+      dropBothSides(ident)
       nonAtomic(ident, dTables.createTable(ident, schema, partitions, properties))
     }
+
+  /** REPLACE with a NON-graft provider over an existing GRAFT table must
+    * drop the graft side too: loadTable tries graft first, so a surviving
+    * graft table would shadow the just-created delegate table and every
+    * later read would silently serve the OLD data.
+    */
+  private def dropBothSides(ident: Identifier): Unit = {
+    graftOpt.filter(_.tableExists(ident)).foreach(_.dropTable(ident))
+    dTables.dropTable(ident)
+    ()
+  }
 
   /** The delegate's table, already created, wearing the StagedTable
     * interface: commit is a no-op, abort drops the just-created table.
@@ -167,9 +190,12 @@ class GraftSessionCatalog extends CatalogExtension with StagingTableCatalog {
       override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
         created.capabilities()
       override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-          : org.apache.spark.sql.connector.write.WriteBuilder =
-        created.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
-          .newWriteBuilder(info)
+          : org.apache.spark.sql.connector.write.WriteBuilder = created match {
+        case w: org.apache.spark.sql.connector.catalog.SupportsWrite =>
+          w.newWriteBuilder(info)
+        case _ => throw new UnsupportedOperationException(
+          s"table ${created.name()} does not support writes") // not a raw CCE
+      }
       override def commitStagedChanges(): Unit = ()
       override def abortStagedChanges(): Unit = { dTables.dropTable(ident); () }
     }

@@ -844,4 +844,32 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no such snapshot version, branch, or tag"))
   }
+
+  test("ALTER TABLE is statement-atomic: a failing change rolls back the " +
+      "changes applied before it") {
+    spark.sql("CREATE TABLE gcat.db.atomic (id BIGINT, v STRING)")
+    // the second column collides — the FIRST must not survive the failure
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.atomic ADD COLUMNS (fresh INT, v INT)")
+    }
+    assert(e.getMessage.contains("v"), e.getMessage)
+    val cols = spark.table("gcat.db.atomic").columns.toSeq
+    assert(cols == Seq("id", "v"),
+      s"half-applied ALTER: $cols (fresh must have rolled back)")
+    // and a clean ALTER still applies
+    spark.sql("ALTER TABLE gcat.db.atomic ADD COLUMNS (fresh INT)")
+    assert(spark.table("gcat.db.atomic").columns.toSeq == Seq("id", "v", "fresh"))
+  }
+
+  test("PARTITIONED BY resolves its source column case-insensitively under " +
+      "the default analysis mode, using the schema's canonical casing") {
+    spark.sql("CREATE TABLE gcat.db.ci (ts TIMESTAMP, id INT) " +
+      "PARTITIONED BY (years(TS))")
+    spark.sql("INSERT INTO gcat.db.ci SELECT timestamp'2024-03-01 00:00:00', 1")
+    assert(spark.sql("SELECT id FROM gcat.db.ci").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // dirs carry the canonical (schema) column casing
+    val files = graft.spatial.Snapshots.readManifest(s"$warehouse/db/ci")
+    assert(files.forall(_.path.startsWith("ts_year=")),
+      s"canonical-cased derived dir expected: ${files.map(_.path)}")
+  }
 }

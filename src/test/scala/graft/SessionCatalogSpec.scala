@@ -30,6 +30,20 @@ class SessionCatalogSpec extends AnyFunSuite {
   private def freshDb(tag: String): String =
     s"${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
 
+  /** A GraftSessionCatalog instance wired exactly like the SQL-path one
+    * (same warehouse, the session's own V2SessionCatalog as delegate) —
+    * for driving catalog-API seams the analyzer rewrites before they
+    * would reach the extension through SQL.
+    */
+  private def directCatalog(): graft.sources.GraftSessionCatalog = {
+    val c = new graft.sources.GraftSessionCatalog
+    c.initialize("spark_catalog",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh)))
+    c.setDelegateCatalog(spark.sessionState.catalogManager.catalog("spark_catalog"))
+    c
+  }
+
   test("one session serves plain session-catalog tables AND graft tables") {
     val sdb = freshDb("sdb")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $sdb")
@@ -81,5 +95,56 @@ class SessionCatalogSpec extends AnyFunSuite {
       s2.sql(s"CREATE TABLE $ddb.g (id BIGINT) USING graft")
     }
     assert(e.getMessage.contains("warehouse"), e.getMessage)
+  }
+
+  test("REPLACE with a NON-graft provider over a graft table drops the graft " +
+      "side — the old graft table must not shadow the replacement") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.connector.catalog.{Identifier, StagingTableCatalog, TableCatalog}
+    val db = freshDb("repl")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"CREATE TABLE $db.t USING graft AS SELECT id FROM range(5)")
+    assert(Files.exists(Paths.get(wh, db, "t", GeoTable.ManifestName)))
+    // drive the staging seam directly (Spark's analyzer rejects RTAS for
+    // V1 session-catalog providers before reaching it, but V2 providers
+    // and direct API users land here)
+    val cat = directCatalog()
+    val ident = Identifier.of(Array(db), "t")
+    val staged = cat.stageCreateOrReplace(ident,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType),
+      Array.empty,
+      Map(TableCatalog.PROP_PROVIDER -> "parquet").asJava)
+    staged.commitStagedChanges()
+    assert(!Files.exists(Paths.get(wh, db, "t", GeoTable.ManifestName)),
+      "the graft side must be dropped by the replace, not shadow the delegate")
+    // loadTable now serves the DELEGATE table (the empty replacement)
+    assert(spark.sql(s"SELECT count(*) FROM $db.t").head.getLong(0) == 0,
+      "reads must serve the replacement, not the old graft data")
+  }
+
+  test("rename refuses to shadow a live table on the OTHER side of the " +
+      "session catalog; SHOW TABLES in a namespace neither side knows errors") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val db = freshDb("ren")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.range(3).toDF("id").write.format("parquet").saveAsTable(s"$db.plain")
+    spark.sql(s"CREATE TABLE $db.g USING graft AS SELECT id FROM range(5)")
+    val cat = directCatalog()
+    // graft → delegate-occupied name: each side alone sees no conflict
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      cat.renameTable(Identifier.of(Array(db), "g"), Identifier.of(Array(db), "plain"))
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $db.plain").head.getLong(0) == 3,
+      "the delegate table must stay reachable")
+    // delegate → graft-occupied name
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      cat.renameTable(Identifier.of(Array(db), "plain"), Identifier.of(Array(db), "g"))
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $db.g").head.getLong(0) == 5)
+    // a namespace NEITHER side knows errors instead of listing empty
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      cat.listTables(Array(s"no_such_ns_${freshDb("x")}"))
+    }
   }
 }
