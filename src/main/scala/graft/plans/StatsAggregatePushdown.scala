@@ -26,11 +26,18 @@ import graft.spatial.{FileStats, GraftFileIndex}
   */
 object StatsAggregatePushdown extends Rule[LogicalPlan] {
 
+  /** Kill switch, read from the RULE's own SQLConf (not SparkSession
+    * .active — wrong session in multi-session JVMs, throws with none
+    * active on the optimizing thread) and parsed safely: a malformed
+    * value declines the rewrite instead of failing every aggregate query.
+    */
+  private def enabled: Boolean =
+    conf.getConfString("spark.sql.graft.aggregate-push-down.enabled", "true")
+      .equalsIgnoreCase("true") ||
+      conf.getConfString("spark.sql.graft.aggregate-push-down.enabled", "true") == "1"
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggExprs, child, _)
-        if org.apache.spark.sql.SparkSession.active.conf
-          .getOption("spark.sql.graft.aggregate-push-down.enabled")
-          .forall(_.toBoolean) =>
+    case agg @ Aggregate(Nil, aggExprs, child, _) if enabled =>
       unwrap(child).map { case (index, keys) =>
         val stats = index.allStats
         if (stats.isEmpty) agg

@@ -142,6 +142,11 @@ class GraftFileIndex(
       case EqualTo(Literal(v, _), a: AttributeReference) => sourceOk(a.name, Seq(v), row)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         sourceOk(a.name, vs.map(_.asInstanceOf[Literal].value), row)
+      // OptimizeIn converts 10+-value IN-lists to InSet BEFORE this code
+      // runs — without this arm exactly the hash-scattered large-IN
+      // workloads hidden partitioning exists for lost all dir pruning
+      case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, vs) =>
+        sourceOk(a.name, vs.toSeq, row)
       // range projection for MONOTONIC transforms: src >= L ⇒ derived >= t(L)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = true)
       case GreaterThan(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = true)

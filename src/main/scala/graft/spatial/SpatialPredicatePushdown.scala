@@ -100,18 +100,40 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
       // name match alone isn't proof: the rule is installed session-wide,
       // so a user's own unrelated `<g>_bbox` struct must not be read by
       // ordinal — require the exact shadow shape (4 double leaves named
-      // xmin/ymin/xmax/ymax, same test as FooterStats.geometryShadowStems)
-      bbox <- out.collectFirst {
-        case b: AttributeReference if b.name == s"${a.name}_bbox" &&
-          isShadowStruct(b.dataType) => b
+      // xmin/ymin/xmax/ymax, same test as FooterStats.geometryShadowStems).
+      // The match must also be UNIQUE: a self-join surfaces two
+      // same-named shadows and binding the wrong relation's bbox would
+      // filter on the wrong row's envelope — prefer the geometry
+      // attribute's qualifier, else DECLINE (pruning lost, rows kept).
+      bbox <- {
+        val cands = out.collect {
+          case b: AttributeReference if b.name == s"${a.name}_bbox" &&
+            isShadowStruct(b.dataType) => b
+        }
+        cands match {
+          case Seq(one) => Some(one)
+          case several => several.filter(_.qualifier == a.qualifier) match {
+            case Seq(one) => Some(one)
+            case _ => None
+          }
+        }
       }
     } yield {
       val names = bbox.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
         .fieldNames
       def leaf(n: String) = GetStructField(bbox, names.indexOf(n), Some(n))
       val (xmin, ymin, xmax, ymax) = (leaf("xmin"), leaf("ymin"), leaf("xmax"), leaf("ymax"))
-      def le(l: Expression, v: Double) = LessThanOrEqual(l, Literal(v, DoubleType))
-      def ge(l: Expression, v: Double) = GreaterThanOrEqual(l, Literal(v, DoubleType))
+      // NULL-SAFE per leaf: the bbox test is a NECESSARY condition only —
+      // a row whose shadow is NULL (add_files-imported parquet, pre-shadow
+      // generations null-filled by the fully-nullable read schema) must
+      // fall through to the retained exact predicate, never be dropped by
+      // And(NULL, true) = NULL. Per-LEAF IsNull keeps file pruning: stats
+      // record zero nulls on shadow leaves of normal files, so
+      // FileStats.canMatch(IsNull) still excludes them.
+      def le(l: Expression, v: Double) =
+        Or(IsNull(l), LessThanOrEqual(l, Literal(v, DoubleType)))
+      def ge(l: Expression, v: Double) =
+        Or(IsNull(l), GreaterThanOrEqual(l, Literal(v, DoubleType)))
       val cs = mode match {
         case Intersects =>
           Seq(le(xmin, e.getMaxX), ge(xmax, e.getMinX), le(ymin, e.getMaxY), ge(ymax, e.getMinY))

@@ -367,4 +367,43 @@ class GeoSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty, q) // analysis succeeded on the fresh registry
     }
   }
+
+  test("bbox pushdown is NULL-SAFE: rows whose shadow is NULL (add_files-" +
+      "imported parquet) fall through to the exact predicate, never dropped") {
+    import graft.spatial.{GeoTable, Snapshots}
+    graft.spatial.Geo.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullbbox").toString + "/tbl"
+    GeoTable.write(spark.range(5).selectExpr("id",
+      "st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS g"), dir, "g")
+    // a stray parquet file WITHOUT the shadow column lands in the dir and
+    // registers via add_files — its rows read g_bbox = NULL
+    spark.range(100, 103).selectExpr("id",
+      "st_point(CAST(id - 100 AS DOUBLE), CAST(id - 100 AS DOUBLE)) AS g")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // remove the shadow from the stray file only: rewrite it without g_bbox
+    val (_, added) = Snapshots.addFiles(spark, dir)
+    assert(added > 0, "fixture must register a shadow-less stray file")
+    val got = GeoTable.read(spark, dir)
+      .where("st_intersects(g, st_makeenvelope(CAST(-0.5 AS DOUBLE), CAST(-0.5 AS DOUBLE), CAST(1.5 AS DOUBLE), CAST(1.5 AS DOUBLE)))")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 100L, 101L),
+      s"NULL-shadow rows matching the exact predicate must surface: $got")
+  }
+
+  test("bbox pushdown declines on AMBIGUOUS shadow bindings (self-join OR " +
+      "references both sides) instead of filtering on the wrong bbox") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sjbbox").toString + "/tbl"
+    GeoTable.write(spark.range(4).selectExpr("id",
+      "st_point(CAST(id * 10 AS DOUBLE), CAST(0 AS DOUBLE)) AS g"), dir, "g")
+    val t = GeoTable.read(spark, dir)
+    val j = t.as("a").join(t.as("b"),
+      org.apache.spark.sql.functions.expr("a.id = b.id"))
+      .where("st_intersects(a.g, st_makeenvelope(CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(1 AS DOUBLE))) OR " +
+        "st_intersects(b.g, st_makeenvelope(CAST(29 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(31 AS DOUBLE), CAST(1 AS DOUBLE)))")
+    val got = j.selectExpr("a.id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 3L),
+      s"the OR across both sides must keep both matches: $got")
+  }
 }
