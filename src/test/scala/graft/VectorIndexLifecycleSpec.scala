@@ -65,7 +65,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     val newNames = partFiles(dir) -- before
     assert(newNames.nonEmpty)
     assert(Similarity.indexState(idx, dir) match {
-      case Similarity.IndexCatchUp(nf, _, _) => nf.nonEmpty
+      case Similarity.IndexCatchUp(nf, _, _, _) => nf.nonEmpty
       case _ => false
     }, "append must classify as a non-empty catch-up")
 
@@ -377,7 +377,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       finally Similarity.onBuildCaptured = () => ()
     val st = Similarity.indexState(idx, dir)
     assert(st match {
-      case Similarity.IndexCatchUp(nf, _, _) => nf.nonEmpty
+      case Similarity.IndexCatchUp(nf, _, _, _) => nf.nonEmpty
       case other => fail(s"mid-encode arrival must classify non-fresh: $other")
     })
     // the catch-up encodes it; its vectors then answer queries
@@ -398,7 +398,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     Similarity.appendToVectorIndexAt(spark, s"$dir/embeddings.parquet", idx,
       st2.newFiles, st2.stampMap, st2.sourceVersion)
     assert(Similarity.indexState(idx, dir) match {
-      case Similarity.IndexCatchUp(nf, _, _) => nf.nonEmpty
+      case Similarity.IndexCatchUp(nf, _, _, _) => nf.nonEmpty
       case other => fail(s"mid-append arrival must classify non-fresh: $other")
     })
     Similarity.ensureVectorIndex(spark, dir)
@@ -430,7 +430,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(rewritten > 0, "fixture must compact")
     val st = Similarity.indexStateAt(idx, tbl)
     assert(st match {
-      case Similarity.IndexCatchUp(nf, _, _) => nf.isEmpty
+      case Similarity.IndexCatchUp(nf, _, _, _) => nf.isEmpty
       case other => fail(s"a rows-preserving rewrite must remap, not rebuild: $other")
     })
     Similarity.ensureVectorIndexAt(spark, tbl, idx)
@@ -469,6 +469,130 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       queryFilter = "true", querySource = Some(qsrc)).collect()
     assert(rs.length == 1 && rs.head.getLong(1) == 100L,
       s"external query must find its corpus twin from the index alone: ${rs.toSeq}")
+  }
+
+  test("REMAP then MoR delete: a row deleted AFTER a rows-preserving " +
+      "compaction must not resurface — index rows keep encode-time src, the " +
+      "delete resolves to rewritten names, the src-remap map bridges them; a " +
+      "reinserted id stays live; a SECOND compaction merges the groups") {
+    import graft.spatial.{GeoTable, Snapshots}
+    val base = Files.createTempDirectory("graft_vil_rd").toString
+    val tbl = s"$base/corpus_tbl"
+    def vecs(a: Long, b: Long) = spark.range(a, b).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+    vecs(0, 400).coalesce(1).write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    Snapshots.append(vecs(1000, 1030).coalesce(1), tbl)
+    val idx = s"$base/gindex"
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+
+    // compact → the ensure REMAPS and commits the src mapping
+    val (_, rewritten) = Snapshots.rewriteDataFiles(spark, tbl, "binpack",
+      targetFileSize = Some(512L * 1024 * 1024))
+    assert(rewritten > 0, "fixture must compact")
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh)
+    val remap1 = Snapshots.readProps(idx).getOrElse("graft.index.src-remap", "")
+    assert(remap1.nonEmpty, "the remap must commit a src mapping")
+
+    // MoR POSITIONAL delete AFTER the compaction: the delete entries name
+    // post-rewrite files while every index row still carries its
+    // pre-rewrite encode-time src — without canonicalization the
+    // (vec_id, src) anti-join never matches and the ids resurface
+    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
+    val filesBefore = Snapshots.readManifest(tbl).map(_.path).toSet
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("vec_id") < 5)
+    assert(Snapshots.readManifest(tbl).map(_.path).toSet == filesBefore,
+      "fixture must be a genuine MoR delete")
+    assert(Snapshots.readPosDeletes(tbl).nonEmpty,
+      "fixture must carry positional delete files")
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh,
+      "a delete-state change must NOT invalidate a format-3 index")
+    val cand = Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect()
+    assert(cand.nonEmpty && cand.forall(_.getLong(1) >= 5),
+      s"post-remap deleted rows must not surface as candidates: ${cand.toSeq}")
+    assert(Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id < 5").collect().isEmpty,
+      "post-remap deleted rows must not be query points")
+
+    // delete-then-reinsert ACROSS the remap: the reinserted row lives in a
+    // new file outside every rewrite group — it must stay live
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("vec_id") === 100)
+    assert(Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect().isEmpty)
+    Snapshots.append(vecs(100, 101).coalesce(1), tbl)
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    val back = Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect()
+    assert(back.nonEmpty, "reinserted id must be live after a remap")
+
+    // CHAINED remaps on a delete-free fixture: compact₁ groups the build
+    // files, an append adds a file, compact₂ folds compact₁'s OUTPUT and
+    // the appended file into one group — union-find must chain through
+    // the first group's canonical — and only then a MoR delete arrives;
+    // its post-compact₂ names must still suppress rows encoded pre-compact₁
+    val tbl2 = s"$base/corpus_chain"
+    vecs(0, 400).coalesce(1).write.parquet(tbl2)
+    GeoTable.writeManifest(spark, tbl2)
+    Snapshots.append(vecs(1000, 1030).coalesce(1), tbl2)
+    val idx2 = s"$base/gindex_chain"
+    Similarity.ensureVectorIndexAt(spark, tbl2, idx2)
+    val (_, rwA) = Snapshots.rewriteDataFiles(spark, tbl2, "binpack",
+      targetFileSize = Some(512L * 1024 * 1024))
+    assert(rwA > 0)
+    Similarity.ensureVectorIndexAt(spark, tbl2, idx2) // remap 1
+    Snapshots.append(vecs(2000, 2030).coalesce(1), tbl2)
+    Similarity.ensureVectorIndexAt(spark, tbl2, idx2) // append catch-up
+    val v2 = Snapshots.currentVersion(idx2)
+    val (_, rwB) = Snapshots.rewriteDataFiles(spark, tbl2, "binpack",
+      targetFileSize = Some(512L * 1024 * 1024))
+    assert(rwB > 0, "second compaction must rewrite")
+    Similarity.ensureVectorIndexAt(spark, tbl2, idx2) // remap 2 (chained)
+    assert(Snapshots.currentVersion(idx2) == v2 + 1,
+      "the second compaction must remap (one metadata commit), not rebuild")
+    assert(Similarity.indexStateAt(idx2, tbl2) == Similarity.IndexFresh)
+    Snapshots.updateProperties(tbl2, Map("write.delete.mode" -> "merge-on-read"))
+    Snapshots.delete(spark, tbl2,
+      org.apache.spark.sql.functions.col("vec_id") === 200)
+    assert(Snapshots.readPosDeletes(tbl2).nonEmpty)
+    val c2 = Similarity.queryVectorIndexAt(spark, tbl2, idx2,
+      queryFilter = "vec_id = 201").collect()
+    assert(c2.nonEmpty && c2.forall(_.getLong(1) != 200L),
+      s"id deleted after TWO chained compactions must not surface: ${c2.toSeq}")
+  }
+
+  test("query-batch broadcast is SIZE-GATED: above the byte gate the hint " +
+      "drops (no forced BroadcastExchange) and answers stay identical") {
+    val dir = Files.createTempDirectory("graft_vil_bc").toString
+    addCorpusFile(dir, 0, 400)
+    val idx = Similarity.ensureVectorIndex(spark, dir)
+    val r1 = Similarity.queryVectorIndex(spark, dir, idx).collect()
+      .map(_.toString).sorted.toSeq
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // isolate the HINT: with AQE's own broadcasts off, a BroadcastExchange
+      // can only come from the gate's explicit broadcast(q)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def planOf(gate: String): (Seq[String], String) = {
+        spark.conf.set("graft.ann.query-broadcast-bytes", gate)
+        val df = Similarity.queryVectorIndex(spark, dir, idx)
+        val rows = df.collect().map(_.toString).sorted.toSeq
+        (rows, df.queryExecution.executedPlan.toString) // post-collect: AQE final
+      }
+      val (small, planHinted) = planOf(Long.MaxValue.toString)
+      assert(planHinted.contains("BroadcastExchange"),
+        "below the gate the hint must pin the broadcast shape")
+      val (large, planGated) = planOf("1")
+      assert(!planGated.contains("BroadcastExchange"),
+        s"above the gate the hint must drop:\n$planGated")
+      assert(small == large && small == r1,
+        "the gate must never change answers")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.unset("graft.ann.query-broadcast-bytes")
+    }
   }
 
   test("post-swap cleanup failure must not fail a committed rebuild: the new " +
