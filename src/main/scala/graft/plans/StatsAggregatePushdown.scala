@@ -31,10 +31,10 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
     * active on the optimizing thread) and parsed safely: a malformed
     * value declines the rewrite instead of failing every aggregate query.
     */
-  private def enabled: Boolean =
-    conf.getConfString("spark.sql.graft.aggregate-push-down.enabled", "true")
-      .equalsIgnoreCase("true") ||
-      conf.getConfString("spark.sql.graft.aggregate-push-down.enabled", "true") == "1"
+  private def enabled: Boolean = {
+    val v = conf.getConfString("spark.sql.graft.aggregate-push-down.enabled", "true")
+    v.equalsIgnoreCase("true") || v == "1"
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case agg @ Aggregate(Nil, aggExprs, child, _) if enabled =>

@@ -248,8 +248,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
         throw new UnsupportedOperationException(s"unsupported partition transform: $t"))
       // honor the session's resolution mode: under the default
       // case-insensitive analysis, PARTITIONED BY (years(TS)) must find
-      // column `ts` — and the canonical SCHEMA casing names the dirs
-      val cs = SparkSession.active.sessionState.conf.caseSensitiveAnalysis
+      // column `ts` — and the canonical SCHEMA casing names the dirs.
+      // SQLConf.get, NOT SparkSession.active: the thread-local conf falls
+      // back correctly on a thread without an active session (the same
+      // multi-session/no-session hazard StatsAggregatePushdown fixed)
+      val cs = org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
       schema.fields.find(f => if (cs) f.name == c else f.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalArgumentException(
           s"partition source column not in schema: $c")).name

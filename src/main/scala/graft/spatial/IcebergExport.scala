@@ -86,6 +86,25 @@ object IcebergExport {
     val metaDir = Paths.get(abs, "metadata")
     Files.createDirectories(metaDir)
     val nonce = java.util.UUID.randomUUID().toString
+    // STABLE identity + ADVANCING version across re-exports (r13 advisor):
+    // HadoopTableOperations validates table-uuid stability on refresh — a
+    // fresh nonce per export fails every reader holding the table across a
+    // re-export — and an advancing version hint is how such a reader
+    // detects staleness. The uuid carries over from the previous export's
+    // metadata.json; the version increments from the hint.
+    val hintFile = metaDir.resolve("version-hint.text")
+    val prevVersion =
+      if (Files.exists(hintFile))
+        try new String(Files.readAllBytes(hintFile), "UTF-8").trim.toInt
+        catch { case _: NumberFormatException => 0 }
+      else 0
+    val newVersion = prevVersion + 1
+    val prevMetaFile = metaDir.resolve(s"v$prevVersion.metadata.json")
+    val tableUuid =
+      (if (prevVersion > 0 && Files.exists(prevMetaFile)) {
+        val txt = new String(Files.readAllBytes(prevMetaFile), "UTF-8")
+        """"table-uuid"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      } else None).getOrElse(nonce)
 
     // ---- manifest file (one, all entries ADDED at sequence 1) ----------
     val manifestPath = metaDir.resolve(s"$nonce-m0.avro")
@@ -154,7 +173,7 @@ object IcebergExport {
       case (c, e) => s""","graft.geometry-encoding.${esc(c)}":"${esc(e)}""""
     }.mkString
     val metadata =
-      s"""{"format-version":2,"table-uuid":"$nonce","location":"${esc(abs)}",
+      s"""{"format-version":2,"table-uuid":"$tableUuid","location":"${esc(abs)}",
          |"last-sequence-number":1,"last-updated-ms":$now,
          |"last-column-id":${ids.last},
          |"current-schema-id":0,"schemas":[$schemaJson],
@@ -172,18 +191,21 @@ object IcebergExport {
          |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapId}],
          |"metadata-log":[]}""".stripMargin.replace("\n", "")
     // WRITE-FIRST, SWEEP-LAST: the new avro landed above under fresh
-    // nonce names, metadata.json replaces ATOMICALLY, and only then do
-    // stale files of earlier exports sweep — a crash at any point leaves
-    // a complete, self-consistent export on disk (old or new)
-    val metaFile = metaDir.resolve("v1.metadata.json")
-    val tmp = metaDir.resolve(s".v1.metadata.json.$nonce")
+    // nonce names, metadata.json lands ATOMICALLY at the NEXT version,
+    // the hint flips, and only then do stale files of earlier exports
+    // sweep (including the previous metadata.json — its manifests are
+    // being swept with it, so keeping it would leave a dangling pointer;
+    // metadata-log stays empty for the same reason) — a crash at any
+    // point leaves a complete, self-consistent export on disk (old or new)
+    val metaFile = metaDir.resolve(s"v$newVersion.metadata.json")
+    val tmp = metaDir.resolve(s".v$newVersion.metadata.json.$nonce")
     Files.write(tmp, metadata.getBytes("UTF-8"))
     Files.move(tmp, metaFile,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
-    val keep = Set(manifestPath, listPath, metaFile,
-      metaDir.resolve("version-hint.text")).map(_.getFileName.toString)
+    Files.write(hintFile, newVersion.toString.getBytes("UTF-8"))
+    val keep = Set(manifestPath, listPath, metaFile, hintFile)
+      .map(_.getFileName.toString)
     Snapshots.listDir(metaDir)(_.toSeq)
       .filter(p => Files.isRegularFile(p) && !keep(p.getFileName.toString))
       .foreach(Files.deleteIfExists(_))

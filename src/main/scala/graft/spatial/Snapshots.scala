@@ -1474,6 +1474,21 @@ object Snapshots {
     // ref and cannot stage onto a WAP audit branch
     rejectUnderWap(path, "a streaming batch commit")
     val spark = df.sparkSession
+    // cheap PRE-check before any file lands: the common replay (driver
+    // restart re-offering an already-committed batch) writes NOTHING into
+    // the live dir — no transient duplicates for raw-parquet compatibility
+    // readers, no orphan debris if we crash before the in-CAS check. The
+    // authoritative dedup stays INSIDE the CAS below: a zombie driver and
+    // its replacement can both pass this pre-check, and only the CAS
+    // decides. Residual window (documented, same class as the CTAS race):
+    // a crash between writeBack and the in-CAS replay delete leaves the
+    // staged files as orphans serving phantom rows ONLY to manifest-less
+    // raw-parquet reads until remove_orphan_files; manifest readers never
+    // see them.
+    val head0 = Some(refsState(path).mainHead(path)).filter(_ > 0)
+    val hwm0 = head0.flatMap(v => readProps(path, Some(v)).get(batchKey))
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= hwm0) return false
     val (added, written) = writeBack(df, path)
     val stats = statsFor(spark, path, added)
     var committed = false

@@ -122,6 +122,34 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(nm == schemaFields, "name mapping must mirror the schema's ids")
   }
 
+  test("re-export: table-uuid STABLE (HadoopTableOperations validates uuid " +
+      "on refresh), metadata version ADVANCES (staleness via the hint), one " +
+      "complete export on disk") {
+    val base = Files.createTempDirectory("graft_ice_re").toString
+    val tbl = s"$base/t"
+    spark.range(50).selectExpr("id", "CAST(id AS DOUBLE) AS x").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    val meta1 = IcebergExport.export(spark, tbl)
+    assert(meta1.endsWith("v1.metadata.json"))
+    val uuid1 = jsonDf(meta1).selectExpr("`table-uuid`").collect().head.getString(0)
+    Snapshots.append(spark.range(50, 60).selectExpr("id",
+      "CAST(id AS DOUBLE) AS x"), tbl)
+    val meta2 = IcebergExport.export(spark, tbl)
+    assert(meta2.endsWith("v2.metadata.json"), meta2)
+    assert(new String(Files.readAllBytes(
+      Paths.get(tbl, "metadata", "version-hint.text")), "UTF-8") == "2")
+    assert(jsonDf(meta2).selectExpr("`table-uuid`").collect().head
+      .getString(0) == uuid1, "re-export must keep the table-uuid stable")
+    assert(!Files.exists(Paths.get(meta1)),
+      "the previous export sweeps (its manifests go with it)")
+    // the new export is complete: manifest list + manifest readable, row
+    // counts cover both appends
+    val lp = jsonDf(meta2).selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+    val (_, listRows, _) = readAvro(lp)
+    assert(listRows.map(_.get("added_rows_count").asInstanceOf[Long]).sum == 60L)
+  }
+
   test("partitioned export: EVERY dir column (identity source or derived) " +
       "exports as an identity field with per-file typed values (hive dirs " +
       "omit the column from data, manifests must carry it); MoR deletes refuse") {

@@ -865,7 +865,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming batch replay dedups INSIDE the commit CAS: a replayed " +
-      "appendIfBatchNew commits nothing and cleans its staged files") {
+      "appendIfBatchNew commits nothing and cleans its staged files — and " +
+      "the sequential replay (the common restart path) writes NO files at " +
+      "all into the live dir (pre-check)") {
     import graft.spatial.Snapshots
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_replay").toString + "/tbl"
@@ -873,21 +875,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshots.appendIfBatchNew(
       Seq(1L, 2L, 3L).toDF("id").coalesce(1), dir, key, 0L))
     val v1 = Snapshots.currentVersion(dir)
-    // a zombie driver replaying batch 0 passes any check OUTSIDE the
-    // commit CAS — the in-CAS re-check must reject it, leave no commit,
-    // and remove the replay's staged data files
+    def parquetCount() = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).count(_.endsWith(".parquet"))
+    val files1 = parquetCount()
+    // the COMMON replay (driver restart re-offers a committed batch): the
+    // pre-check rejects before a single file lands in the live dir — no
+    // transient duplicates for raw-parquet compatibility reads, no orphan
+    // debris window
     assert(!Snapshots.appendIfBatchNew(
       Seq(1L, 2L, 3L).toDF("id").coalesce(1), dir, key, 0L))
     assert(Snapshots.currentVersion(dir) == v1, "replay must not commit")
+    assert(parquetCount() == files1,
+      "a sequential replay must write NOTHING into the live dir")
     assert(Snapshots.read(spark, dir).count() == 3, "no duplicated rows")
-    val onDisk = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).toArray
-      .map(_.toString).count(_.endsWith(".parquet"))
-    assert(onDisk == Snapshots.readManifest(dir).size,
-      "the replay's staged files must be cleaned up")
+    // the ZOMBIE race (both drivers pass the pre-check concurrently): the
+    // in-CAS re-check stays authoritative — exactly one of two concurrent
+    // offers of the SAME batch commits; the loser cleans its staged files
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val results = Await.result(Future.sequence((1 to 2).map(i => Future {
+      Snapshots.appendIfBatchNew(
+        Seq(10L + i, 20L + i).toDF("id").coalesce(1), dir, key, 1L)
+    })), 2.minutes)
+    assert(results.count(identity) == 1,
+      s"exactly ONE concurrent offer of batch 1 must commit: $results")
+    assert(Snapshots.read(spark, dir).count() == 5, "no duplicated rows")
+    assert(parquetCount() == Snapshots.readManifest(dir).size,
+      "the losing offer's staged files must be cleaned up")
     // a genuinely new batch still commits
     assert(Snapshots.appendIfBatchNew(
-      Seq(4L).toDF("id").coalesce(1), dir, key, 1L))
-    assert(Snapshots.read(spark, dir).count() == 4)
+      Seq(4L).toDF("id").coalesce(1), dir, key, 2L))
+    assert(Snapshots.read(spark, dir).count() == 6)
   }
 
   test("direct format(graft-stream) FAILS on predicate deletes that cannot " +
