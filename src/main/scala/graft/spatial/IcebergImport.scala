@@ -1,0 +1,634 @@
+package graft.spatial
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Read-direction Iceberg interop: register an EXISTING Apache Iceberg v2
+  * (or v1) table as a graft table — the reference's `register_table` /
+  * `migrate` adoption path (`core/.../TableMetadataParser.java`,
+  * `HadoopTables.java`, `spark/.../procedures/RegisterTableProcedure.java`
+  * in /root/reference), re-expressed over graft's own snapshot layer.
+  *
+  * The import is METADATA-ONLY: no data file is copied or moved. The
+  * Iceberg `metadata.json` + Avro manifest list + manifests are parsed
+  * into one graft snapshot whose entries reference the Iceberg data files
+  * at their ABSOLUTE paths (graft's planning resolves `new Path(base,
+  * child)`, and an absolute child wins URI resolution — the same contract
+  * object stores give Iceberg itself). Per-file min/max pruning stats are
+  * harvested from the parquet footers in one distributed footer pass
+  * ([[GeoTable.collectStats]]) — the import cost is O(files) footer reads,
+  * never a data pass.
+  *
+  * Fidelity mapping:
+  *  - schema: the CURRENT Iceberg schema, with `schema.name-mapping
+  *    .default` honored — the table is created under the PHYSICAL
+  *    (data-file) column names and each logical≠physical field becomes a
+  *    graft rename ([[TableSchema]]), so files written without Iceberg
+  *    field ids and renamed columns both read correctly by name;
+  *  - sequence numbers: Iceberg data/delete sequence numbers are
+  *    rank-mapped onto graft `addedV` / equality-delete `seq` stamps
+  *    (both engines scope an equality delete to strictly-older files),
+  *    and the first graft version is pinned past every stamp
+  *    (`minVersion`, the [[Snapshots.snapshotClone]] discipline);
+  *  - v2 POSITION delete files (`content=1`) are rewritten into graft's
+  *    native `(file_path, pos)` delete files ((file, pos) identifies a
+  *    row globally, so Iceberg's partition/sequence scoping is subsumed);
+  *  - v2 EQUALITY delete files (`content=2`) become graft equality
+  *    deletes on the `equality_ids` columns; a PARTITION-SCOPED equality
+  *    delete over identity partitioning is narrowed by appending the
+  *    partition columns as constant equality columns (graft equality
+  *    deletes are table-global, Iceberg's apply within their partition);
+  *  - identity partition fields whose values live only in directory
+  *    names (hive layout — graft's own export shape) are VERIFIED
+  *    against the manifests' partition records and registered as graft
+  *    partition columns; identity fields stored in the data files
+  *    themselves (Iceberg's default write shape) import as ordinary
+  *    columns — dir pruning is replaced by the harvested footer stats.
+  *
+  * Stated refusals (loud, never silent): non-parquet data files,
+  * uuid/fixed/time primitive types, a partition field neither
+  * dir-verified nor present in the data files, equality deletes scoped
+  * to a non-identity partition, a renamed dir-served partition column,
+  * and record-count mismatches between a manifest entry and its footer.
+  */
+object IcebergImport {
+
+  /** Import the Iceberg table at `source` (a table dir with
+    * `metadata/version-hint.text`, a metadata dir, or a direct
+    * `*.metadata.json` path) as a fresh graft table at `target`.
+    * Returns the committed graft version.
+    */
+  def importTable(spark: SparkSession, source: String, target: String): Int = {
+    val metaFile = resolveMetadataFile(source)
+    val meta = parseMetadata(metaFile)
+    require(Snapshots.currentVersion(target) == 0, s"target exists: $target")
+    Files.createDirectories(Paths.get(target))
+
+    // geometry encodings recorded by graft's own export round-trip as
+    // declared encodings (and keep multi-MB WKT out of the value stats)
+    val geomProps = meta.props.collect {
+      case (k, v) if k.startsWith("graft.geometry-encoding.") =>
+        k.stripPrefix("graft.geometry-encoding.") -> v
+    }
+    if (geomProps.nonEmpty) GeometryFields.putUnchecked(target, geomProps)
+
+    val (dataEntries, posDels, eqDels) = meta.manifestList match {
+      case Some(ml) => readManifests(ml, meta.formatVersion)
+      case None => (Nil, Nil, Nil) // no current snapshot: schema-only import
+    }
+    dataEntries.foreach { e =>
+      require(e.format.equalsIgnoreCase("PARQUET"),
+        s"cannot import $source: data file ${e.path} has format ${e.format} " +
+          "(only parquet data files are readable here)")
+    }
+
+    // ---- distributed footer harvest (stats + the in-file column set) ----
+    val names = dataEntries.map(e => absPath(e.path)).distinct
+    val footerStats = GeoTable.collectStats(spark, target, names)
+    val byName = footerStats.map(f => f.path -> f).toMap
+    dataEntries.foreach { e =>
+      val f = byName(absPath(e.path))
+      require(f.rows == e.rows,
+        s"cannot import $source: manifest records ${e.rows} rows for " +
+          s"${e.path} but the file holds ${f.rows} — a partial-file " +
+          "reference has no graft representation")
+    }
+    // columns physically present in the data files (any footer chunk)
+    val inFile: Set[String] = footerStats
+      .flatMap(f => f.colSizes.keysIterator.map(_.split('.').head)).toSet
+
+    // ---- partition fields: dir-served vs in-file vs refuse ---------------
+    val dirServed = meta.specFields.filter { sf =>
+      sf.transform == "identity" && {
+        val srcField = meta.schema.fields.find(_.id == sf.sourceId)
+        val present = srcField.exists(f => inFile(f.physical))
+        if (present) false // values come from the files; footer stats prune
+        else {
+          val verified = srcField.exists(f =>
+            dataEntries.forall(e => dirValueMatches(
+              absPath(e.path), sf.name, e.partVals.get(sf.name).orNull, f.dataType)))
+          require(verified,
+            s"cannot import $source: identity partition field ${sf.name} is " +
+              "neither stored in the data files nor served by matching " +
+              "hive-style directory names — its values would read as null")
+          require(srcField.exists(f => f.physical == sf.name && f.logical == sf.name),
+            s"cannot import $source: dir-served partition column ${sf.name} " +
+              "carries a name mapping or rename; renamed partition dir " +
+              "columns are not representable (graft serves them by dir name)")
+          true
+        }
+      }
+    }
+    meta.specFields.filterNot(_.transform == "identity").foreach { sf =>
+      val src = meta.schema.fields.find(_.id == sf.sourceId)
+      val phys = src.map(_.physical).getOrElse(sf.name)
+      require(src.nonEmpty && inFile(phys),
+        s"cannot import $source: partition field ${sf.name} " +
+          s"(${sf.transform}) derives from a column absent from the data " +
+          "files; its source values are unrecoverable")
+    }
+
+    // ---- sequence-number rank mapping ------------------------------------
+    // graft stamps are Ints ordered like versions; Iceberg sequence
+    // numbers are sparse longs. Rank-map the union — both engines compare
+    // STRICTLY (eq delete at seq S hits data seq < S), so any
+    // order-preserving map keeps scoping exact.
+    val allSeqs = (dataEntries.map(_.seq) ++ eqDels.map(_.seq)).distinct.sorted
+    val rank: Map[Long, Int] = allSeqs.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val maxRank = if (allSeqs.isEmpty) 0 else allSeqs.size
+
+    val entries = dataEntries.map { e =>
+      byName(absPath(e.path)).copy(addedV = rank(e.seq))
+    }
+
+    // ---- delete files: rewrite into graft's native shapes ----------------
+    // position deletes: (file_path, pos) rows, file paths normalized to
+    // the unqualified absolute form the scan's `_metadata.file_path`
+    // normalizes to. One rewritten file per source file (tiny parquet).
+    val posNames = posDels.map { d =>
+      val rows = spark.read.parquet(absPath(d.path))
+        .select(Snapshots.normFile(col("file_path")).as("file_path"),
+          col("pos").cast(LongType).as("pos"))
+      writeMorFile(spark, target, rows, "posdel")
+    }
+    // equality deletes: columns resolved from equality_ids; a
+    // partition-scoped delete (non-null partition under a partitioned
+    // spec) is narrowed with constant identity partition columns
+    val eqSpecs = eqDels.map { d =>
+      require(d.eqIds.nonEmpty,
+        s"cannot import $source: equality delete ${d.path} carries no equality_ids")
+      val raw = spark.read.parquet(absPath(d.path))
+      val cols = d.eqIds.map { id =>
+        val f = meta.schema.fields.find(_.id == id).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot import $source: equality delete ${d.path} references " +
+              s"unknown field id $id"))
+        val src = Seq(f.logical, f.physical).find(raw.columns.contains).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot import $source: equality delete ${d.path} is missing " +
+              s"column ${f.logical} (field id $id)"))
+        (src, f.logical, f.dataType)
+      }
+      var df = raw.select(cols.map { case (src, logical, dt) =>
+        col(src).cast(dt).as(logical) }: _*)
+      val partScope: Seq[(String, Any)] =
+        if (d.partVals.isEmpty) Nil
+        else d.partVals.toSeq.map { case (name, v) =>
+          val sf = meta.specFields.find(_.name == name)
+          require(sf.exists(_.transform == "identity"),
+            s"cannot import $source: equality delete ${d.path} is scoped to " +
+              s"partition field $name with transform " +
+              s"${sf.map(_.transform).getOrElse("?")} — graft equality " +
+              "deletes cannot reproduce non-identity partition scoping")
+          // graft narrows the scope with a constant equality column; SQL
+          // join semantics make a NULL constant match nothing, which would
+          // silently invert "applies to the null partition" — refuse
+          require(v != null,
+            s"cannot import $source: equality delete ${d.path} is scoped to " +
+              s"the NULL partition of $name, which graft equality-column " +
+              "narrowing cannot express")
+          name -> v
+        }
+      partScope.foreach { case (name, v) =>
+        val dt = meta.schema.fields.find(_.logical == name).map(_.dataType)
+          .getOrElse(StringType)
+        df = df.withColumn(name, lit(toSparkLiteral(v, dt)).cast(dt))
+      }
+      val name = writeMorFile(spark, target, df, "eqdel")
+      EqDelete(name, cols.map(_._2) ++ partScope.map(_._1), rank(d.seq))
+    }
+
+    // ---- publish one graft snapshot --------------------------------------
+    // manifest schema = every current Iceberg column under its PHYSICAL
+    // name (incl. dir-served partition cols — graft's "data + partition
+    // columns" convention); renames land as evolution-log entries below.
+    val physicalSchema = StructType(meta.schema.fields.map(f =>
+      StructField(f.physical, f.dataType, nullable = !f.required)))
+    val v = Snapshots.withCommitRetry() {
+      Snapshots.publish(target, Snapshots.refsState(target), entries,
+        posDeletes = posNames, eqDeletes = eqSpecs,
+        props = Map(
+          "graft.imported-from" -> metaFile.toString,
+          "iceberg.table-uuid" -> meta.tableUuid),
+        schema = Some(physicalSchema),
+        partsOverride = dirServed.map(_.name),
+        minVersion = maxRank + 1)
+    }
+
+    // ---- name-mapped renames → graft schema evolution --------------------
+    // pre-order: a parent's rename lands before its children's, and each
+    // child path addresses the parent by its NEW logical name
+    meta.schema.renames.foreach { case (parts, to) =>
+      TableSchema.renameColumn(spark, target, parts, to)
+    }
+    v
+  }
+
+  // ---- metadata.json ------------------------------------------------------
+
+  private def resolveMetadataFile(source: String): java.nio.file.Path = {
+    val p = Paths.get(source)
+    if (Files.isRegularFile(p) && source.endsWith(".json")) return p
+    val metaDir = if (p.getFileName != null && p.getFileName.toString == "metadata") p
+      else p.resolve("metadata")
+    val hint = metaDir.resolve("version-hint.text")
+    require(Files.exists(hint),
+      s"no Iceberg table at $source: expected metadata/version-hint.text " +
+        "or a direct *.metadata.json path")
+    val v = new String(Files.readAllBytes(hint), StandardCharsets.UTF_8).trim
+    val f = metaDir.resolve(s"v$v.metadata.json")
+    require(Files.exists(f), s"version hint names $v but $f is missing")
+    f
+  }
+
+  private case class SpecField(name: String, transform: String, sourceId: Int)
+  private case class SField(id: Int, logical: String, physical: String,
+      required: Boolean, dataType: DataType)
+  /** Flattened current schema: top-level fields plus the pre-order rename
+    * list (logical path → new name) the name mapping implies.
+    */
+  private case class ISchema(fields: Seq[SField], renames: Seq[(Seq[String], String)])
+  private case class Meta(formatVersion: Int, location: String, tableUuid: String,
+      schema: ISchema, specFields: Seq[SpecField], props: Map[String, String],
+      manifestList: Option[String])
+
+  private def parseMetadata(file: java.nio.file.Path): Meta = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val j = JsonMethods.parse(new String(Files.readAllBytes(file), StandardCharsets.UTF_8))
+    def jint(v: JValue): Int = v match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case _ => throw new IllegalArgumentException(s"expected int, got $v")
+    }
+    val fv = jint(j \ "format-version")
+    require(fv == 1 || fv == 2, s"unsupported Iceberg format-version: $fv")
+    val uuid = (j \ "table-uuid") match { case JString(s) => s; case _ => "" }
+    val location = (j \ "location") match { case JString(s) => s; case _ => "" }
+    val props = (j \ "properties") match {
+      case JObject(kv) => kv.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    // current schema: v2 `schemas[current-schema-id]`; v1 fallback `schema`
+    val schemaJson = (j \ "schemas") match {
+      case JArray(ss) =>
+        val cur = jint(j \ "current-schema-id")
+        ss.find(s => (s \ "schema-id").toOption.exists(jint(_) == cur)).getOrElse(
+          throw new IllegalArgumentException(s"current-schema-id $cur not in schemas"))
+      case _ => j \ "schema"
+    }
+    val mapping = props.get("schema.name-mapping.default")
+      .map(m => JsonMethods.parse(m)).getOrElse(JArray(Nil))
+    val schema = parseSchema(schemaJson, mapping)
+    // default partition spec: v2 `partition-specs[default-spec-id]`; v1
+    // fallback flat `partition-spec`
+    val specJson = (j \ "partition-specs") match {
+      case JArray(ss) =>
+        val cur = jint(j \ "default-spec-id")
+        ss.find(s => (s \ "spec-id").toOption.exists(jint(_) == cur))
+          .map(_ \ "fields").getOrElse(JArray(Nil))
+      case _ => (j \ "partition-spec") match {
+        case a: JArray => a
+        case _ => JArray(Nil)
+      }
+    }
+    val specFields = specJson match {
+      case JArray(fs) => fs.map { f =>
+        val JString(name) = f \ "name"
+        val JString(tr) = f \ "transform"
+        SpecField(name, tr, jint(f \ "source-id"))
+      }
+      case _ => Nil
+    }
+    // current snapshot → manifest list (none when the table is empty)
+    val curSnap = (j \ "current-snapshot-id") match {
+      case JInt(i) if i.toLong >= 0 => Some(i.toLong)
+      case JLong(l) if l >= 0 => Some(l)
+      case _ => None
+    }
+    val manifestList = curSnap.flatMap { id =>
+      (j \ "snapshots") match {
+        case JArray(ss) => ss.find(s => (s \ "snapshot-id") match {
+          case JInt(i) => i.toLong == id
+          case JLong(l) => l == id
+          case _ => false
+        }).map { s =>
+          (s \ "manifest-list") match {
+            case JString(ml) => ml
+            case _ => throw new IllegalArgumentException(
+              "snapshot without manifest-list (v1 embedded `manifests` " +
+                "lists are not supported — rewrite the table metadata)")
+          }
+        }
+        case _ => None
+      }
+    }
+    Meta(fv, location, uuid, schema, specFields, props, manifestList)
+  }
+
+  /** Iceberg JSON schema + name mapping → flattened fields and renames. */
+  private def parseSchema(j: org.json4s.JValue, mapping: org.json4s.JValue): ISchema = {
+    import org.json4s._
+    val renames = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], String)]
+
+    def mappingEntries(m: JValue): Seq[JValue] = m match {
+      case JArray(es) => es
+      case _ => Nil
+    }
+    def entryFor(ms: Seq[JValue], id: Int): Option[JValue] =
+      ms.find(e => (e \ "field-id") match {
+        case JInt(i) => i.toInt == id
+        case JLong(l) => l.toInt == id
+        case _ => false
+      })
+    def physicalName(e: Option[JValue], logical: String): String =
+      e.map(_ \ "names").collect {
+        case JArray(JString(n) :: _) => n
+      }.getOrElse(logical)
+
+    /** Convert a type; `path` is the LOGICAL path of this position (with
+      * renames already applied to ancestors — TableSchema rename paths
+      * address the post-rename tree when applied pre-order).
+      */
+    def convert(t: JValue, ms: Seq[JValue], path: Seq[String]): DataType = t match {
+      case JString(s) => primitive(s)
+      case obj: JObject => (obj \ "type") match {
+        case JString("struct") =>
+          val JArray(fs) = obj \ "fields"
+          StructType(fs.map { f =>
+            val JString(name) = f \ "name"
+            val id = (f \ "id") match {
+              case JInt(i) => i.toInt
+              case JLong(l) => l.toInt
+              case _ => -1
+            }
+            val required = (f \ "required") match {
+              case JBool(b) => b
+              case _ => false
+            }
+            val me = entryFor(ms, id)
+            val phys = physicalName(me, name)
+            // nested fields materialize under their PHYSICAL name first
+            // (matching the files), then rename to the logical name
+            if (phys != name) renames += ((path :+ phys) -> name)
+            val childMs = me.map(e => mappingEntries(e \ "fields")).getOrElse(Nil)
+            val dt = convert(f \ "type", childMs, path :+ name)
+            StructField(phys, dt, nullable = !required)
+          })
+        case JString("list") =>
+          val elemId = (obj \ "element-id") match {
+            case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => -1
+          }
+          val me = entryFor(ms, elemId)
+          val childMs = me.map(e => mappingEntries(e \ "fields")).getOrElse(Nil)
+          val elem = convert(obj \ "element", childMs, path :+ "element")
+          val req = (obj \ "element-required") match {
+            case JBool(b) => b; case _ => false
+          }
+          ArrayType(elem, containsNull = !req)
+        case JString("map") =>
+          val vId = (obj \ "value-id") match {
+            case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => -1
+          }
+          val ve = entryFor(ms, vId)
+          val childMs = ve.map(e => mappingEntries(e \ "fields")).getOrElse(Nil)
+          val k = convert(obj \ "key", Nil, path :+ "key")
+          val v = convert(obj \ "value", childMs, path :+ "value")
+          val req = (obj \ "value-required") match {
+            case JBool(b) => b; case _ => false
+          }
+          MapType(k, v, valueContainsNull = !req)
+        case other => throw new IllegalArgumentException(s"bad Iceberg type: $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad Iceberg type: $other")
+    }
+
+    val ms = mappingEntries(mapping)
+    val JArray(fields) = j \ "fields"
+    val top = fields.map { f =>
+      val JString(name) = f \ "name"
+      val id = (f \ "id") match {
+        case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => -1
+      }
+      val required = (f \ "required") match { case JBool(b) => b; case _ => false }
+      val me = entryFor(ms, id)
+      val phys = physicalName(me, name)
+      if (phys != name) renames += ((Seq(phys)) -> name)
+      val childMs = me.map(e => mappingEntries(e \ "fields")).getOrElse(Nil)
+      SField(id, name, phys, required, convert(f \ "type", childMs, Seq(name)))
+    }
+    ISchema(top, renames.toSeq)
+  }
+
+  private val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val FixedRe = """fixed\[(\d+)\]""".r
+
+  private def primitive(s: String): DataType = s match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+    case "uuid" | "time" | FixedRe(_) => throw new IllegalArgumentException(
+      s"Iceberg type $s has no by-name parquet reading here — " +
+        "not importable")
+    case other => throw new IllegalArgumentException(s"unknown Iceberg type: $other")
+  }
+
+  // ---- Avro manifests -----------------------------------------------------
+
+  private case class DataEntry(path: String, format: String, seq: Long,
+      rows: Long, partVals: Map[String, Any])
+  private case class DeleteEntry(path: String, seq: Long, content: Int,
+      eqIds: Seq[Int], partVals: Map[String, Any])
+
+  /** Read the manifest list and every reachable manifest. Returns live
+    * data entries, position-delete entries, equality-delete entries.
+    */
+  private def readManifests(manifestList: String, formatVersion: Int)
+      : (Seq[DataEntry], Seq[DeleteEntry], Seq[DeleteEntry]) = {
+    val data = Seq.newBuilder[DataEntry]
+    val pos = Seq.newBuilder[DeleteEntry]
+    val eq = Seq.newBuilder[DeleteEntry]
+    readAvro(manifestList).foreach { m =>
+      val mPath = m.get("manifest_path").toString
+      val mContent = intField(m, "content", 0)
+      val mSeq = longField(m, "sequence_number", 0L)
+      readAvro(mPath).foreach { e =>
+        val status = intField(e, "status", 0)
+        if (status != 2) { // 2 = DELETED: not part of the snapshot
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val content = intField(df, "content", 0)
+          // explicit entry sequence, else inherited from the manifest
+          val seq = Option(e.get("sequence_number"))
+            .collect { case l: java.lang.Long => l.longValue() }
+            .getOrElse(mSeq)
+          val path = df.get("file_path").toString
+          val partVals = Option(df.get("partition"))
+            .collect { case r: GenericRecord =>
+              r.getSchema.getFields.asScala.map { f =>
+                f.name() -> avroValue(f.schema(), r.get(f.pos()))
+              }.filter(_._2 != null).toMap
+            }.getOrElse(Map.empty[String, Any])
+          (mContent, content) match {
+            case (0, 0) =>
+              data += DataEntry(path, df.get("file_format").toString, seq,
+                df.get("record_count").asInstanceOf[java.lang.Long], partVals)
+            case (_, 1) => pos += DeleteEntry(path, seq, 1, Nil, partVals)
+            case (_, 2) =>
+              val ids = Option(df.get("equality_ids")).toSeq.flatMap {
+                case l: java.util.List[_] =>
+                  l.asScala.toSeq.collect { case i: java.lang.Integer => i.intValue() }
+                case _ => Nil
+              }
+              eq += DeleteEntry(path, seq, 2, ids, partVals)
+            case (1, 0) => throw new IllegalArgumentException(
+              s"delete manifest $mPath carries a data entry: $path")
+            case (_, c) => throw new IllegalArgumentException(
+              s"unknown content=$c for $path in $mPath")
+          }
+        }
+      }
+    }
+    (data.result(), pos.result(), eq.result())
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val r = new DataFileReader(new java.io.File(stripScheme(path)),
+      new GenericDatumReader[GenericRecord]())
+    try r.iterator().asScala.toList finally r.close()
+  }
+
+  private def intField(r: GenericRecord, name: String, dflt: Int): Int =
+    if (r.getSchema.getField(name) == null) dflt
+    else Option(r.get(name)).collect {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+    }.getOrElse(dflt)
+
+  private def longField(r: GenericRecord, name: String, dflt: Long): Long =
+    if (r.getSchema.getField(name) == null) dflt
+    else Option(r.get(name)).collect {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+    }.getOrElse(dflt)
+
+  /** Avro partition value → plain JVM value (logical types decoded). */
+  private def avroValue(sch: AvroSchema, v: AnyRef): Any = {
+    if (v == null) return null
+    val eff = if (sch.getType == AvroSchema.Type.UNION)
+      sch.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL).getOrElse(sch)
+    else sch
+    val logical = Option(eff.getLogicalType).map(_.getName).getOrElse("")
+    (v, logical) match {
+      case (i: java.lang.Integer, "date") => java.time.LocalDate.ofEpochDay(i.longValue())
+      case (l: java.lang.Long, "timestamp-micros") => l.longValue()
+      case (b: java.nio.ByteBuffer, "decimal") =>
+        val d = eff.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        val bytes = new Array[Byte](b.remaining()); b.duplicate().get(bytes)
+        BigDecimal(new java.math.BigInteger(bytes), d.getScale)
+      case (f: org.apache.avro.generic.GenericFixed, "decimal") =>
+        val d = eff.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        BigDecimal(new java.math.BigInteger(f.bytes()), d.getScale)
+      case (u: org.apache.avro.util.Utf8, _) => u.toString
+      case (s: java.lang.String, _) => s
+      case (other, _) => other
+    }
+  }
+
+  // ---- partition-value plumbing ---------------------------------------
+
+  /** Does `col=value` in the file's directory names round-trip to the
+    * manifest's typed partition value? Exact parses for the losslessly
+    * castable types; the session-zone lenient cast for timestamps and
+    * decimals (the same seam graft itself serves those dir values
+    * through).
+    */
+  private def dirValueMatches(abs: String, name: String, v: Any, dt: DataType): Boolean = {
+    val dirs = PartitionPaths.dirValues(abs)
+    val raw = PartitionPaths.value(dirs, name)
+    (raw, v) match {
+      // dir missing (pre-evolution file) or the null sentinel: graft
+      // serves null there, matching an Iceberg null/absent value
+      case (None, null) => true
+      case (None, _) => false
+      case (Some(_), null) => false
+      case (Some(s), value) => dt match {
+        case IntegerType | LongType => scala.util.Try(s.toLong).toOption
+          .contains(value.asInstanceOf[Number].longValue())
+        case FloatType | DoubleType => scala.util.Try(s.toDouble).toOption
+          .contains(value.asInstanceOf[Number].doubleValue())
+        case BooleanType => scala.util.Try(s.toBoolean).toOption.contains(value)
+        case StringType => s == value
+        case DateType => value match {
+          case d: java.time.LocalDate => scala.util.Try(java.time.LocalDate.parse(s))
+            .toOption.contains(d)
+          case _ => false
+        }
+        case TimestampType | TimestampNTZType => value match {
+          case micros: Long =>
+            PartitionPaths.castLenient(s, dt) == micros
+          case _ => false
+        }
+        case d: DecimalType => value match {
+          case bd: BigDecimal =>
+            Option(PartitionPaths.castLenient(s, d))
+              .collect { case dec: org.apache.spark.sql.types.Decimal => dec.toBigDecimal }
+              .contains(bd)
+          case _ => false
+        }
+        case _ => false
+      }
+    }
+  }
+
+  /** A partition value as a Spark literal input (for the eq-delete
+    * partition-scope constant columns).
+    */
+  private def toSparkLiteral(v: Any, dt: DataType): Any = (v, dt) match {
+    case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
+    case (micros: Long, TimestampType) =>
+      new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L +
+        Math.floorMod(micros, 1000000L) / 1000L)
+    case (bd: BigDecimal, _: DecimalType) => bd
+    case (other, _) => other
+  }
+
+  private def absPath(p: String): String = stripScheme(p)
+
+  private def stripScheme(p: String): String = graft.sources.DeleteFiles.norm(p)
+
+  /** Write MoR delete rows as one parquet file under `_graft_deletes/`,
+    * returning the table-relative name ([[Snapshots]] delete-file layout:
+    * hidden dir, non-underscore file name).
+    */
+  private def writeMorFile(spark: SparkSession,
+      target: String, df: org.apache.spark.sql.DataFrame, kind: String): String = {
+    val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+    val tmp = Files.createTempDirectory("graft_import").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Snapshots.listDir(Paths.get(tmp))(_.toSeq)
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+    require(part.size == 1, s"expected one parquet part in $tmp")
+    Files.createDirectories(Paths.get(target, "_graft_deletes"))
+    Files.move(part.head, Paths.get(target, name))
+    Snapshots.walkDir(Paths.get(tmp))(_.toSeq).reverse
+      .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+    name
+  }
+}

@@ -454,7 +454,7 @@ object Snapshots {
     * table state each attempt (base version, manifest, delete lists) so a
     * retry commits on top of the concurrent winner.
     */
-  private def withCommitRetry[T](attempts: Int = 5)(op: => T): T = {
+  private[graft] def withCommitRetry[T](attempts: Int = 5)(op: => T): T = {
     var i = 0
     var last: CommitConflictException = null
     while (i < attempts) {
@@ -1101,8 +1101,46 @@ object Snapshots {
     * as [[read]]).
     */
   private def readFilesDecoded(spark: SparkSession, path: String, names: Seq[String]): DataFrame = {
-    // basePath keeps hive-layout partition columns visible on subset reads
-    val raw = spark.read.option("basePath", path).parquet(names.map(n => s"$path/${n}"): _*)
+    // basePath keeps hive-layout partition columns visible on subset reads.
+    // ABSOLUTE entries (Iceberg-imported tables referencing external files
+    // in place) can't resolve under the table root: they read directly,
+    // with any dir-served partition columns re-attached as typed literals
+    // per distinct partition-value group (PartitionPaths is the one seat
+    // of dir parsing, so serving matches the scan exactly).
+    val (absNames, relNames) = names.partition(_.startsWith("/"))
+    val parts = GeoTable.readPartitionCols(path)
+    val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      if (absNames.isEmpty || parts.isEmpty) Map.empty
+      else GeoTable.ensureSchema(spark, path).fields.map(f => f.name -> f.dataType).toMap
+    def castParts(df: DataFrame): DataFrame = parts.foldLeft(df) { (d, p) =>
+      schemaTypes.get(p).filter(_ => d.columns.contains(p))
+        .map(dt => d.withColumn(p, org.apache.spark.sql.functions.col(p).cast(dt)))
+        .getOrElse(d)
+    }
+    val relDf = if (relNames.isEmpty) None
+      else Some(castParts(
+        spark.read.option("basePath", path).parquet(relNames.map(n => s"$path/${n}"): _*)))
+    val absDf = if (absNames.isEmpty) None
+      else {
+        val groups = absNames.groupBy(n =>
+          parts.map(p => p -> PartitionPaths.value(PartitionPaths.dirValues(n), p)))
+        Some(groups.map { case (vals, ns) =>
+          vals.foldLeft(spark.read.parquet(ns: _*)) { case (df, (p, v)) =>
+            if (df.columns.contains(p)) df // stored in-file: already served
+            else {
+              val dt = schemaTypes.getOrElse(p, org.apache.spark.sql.types.StringType)
+              // string literal + catalyst cast = the same session-zone
+              // lenient semantics the scan serves these dir values through
+              df.withColumn(p,
+                org.apache.spark.sql.functions.lit(v.orNull).cast(dt))
+            }
+          }
+        }.reduce(_ unionByName _))
+      }
+    val raw = (relDf, absDf) match {
+      case (Some(r), Some(a)) => r.unionByName(a, allowMissingColumns = true)
+      case (r, a) => r.orElse(a).get
+    }
     val decoded = GeometryFields.get(path).foldLeft(raw) { case (df, (c, e)) =>
       if (raw.columns.contains(c)) df.withColumn(c, GeometryEncoding.decode(org.apache.spark.sql.functions.col(c), e)) else df
     }
@@ -1897,8 +1935,12 @@ object Snapshots {
         // with many post-delete appends would otherwise inline thousands
         // of path literals into the plan as an `isin`
         import spark.implicits._
+        // manifest entries may carry ABSOLUTE paths (Iceberg-imported
+        // tables reference external data files in place) — prefixing the
+        // table root onto those would build a path that matches nothing
+        // and silently un-exempt post-delete appends
         val exempt = files.filterNot(e.appliesTo)
-          .map(f => s"$path/${f.path}".replaceFirst("^[a-zA-Z0-9]+:/+", "/"))
+          .map(f => resolveDataPath(path, f.path))
         val exemptDf = broadcast(
           exempt.toDF("__eq_file").withColumn("__eq_exempt", lit(1)))
         val hit = dels.withColumn("__eq_hit", lit(1))
@@ -1920,6 +1962,14 @@ object Snapshots {
     */
   private[graft] def normFile(c: Column): Column =
     regexp_replace(c, "^[a-zA-Z0-9]+:/+", "/")
+
+  /** Unqualified absolute path of a manifest entry: table-relative
+    * entries resolve against the root; absolute entries (Iceberg-imported
+    * tables referencing external files in place) stand as-is.
+    */
+  private[graft] def resolveDataPath(root: String, entry: String): String =
+    (if (entry.startsWith("/")) entry else s"$root/$entry")
+      .replaceFirst("^[a-zA-Z0-9]+:/+", "/")
 
   private[spatial] def applyPosDeletes(spark: SparkSession, path: String,
       df: DataFrame, posFiles: Seq[String]): DataFrame =
@@ -3751,9 +3801,15 @@ object Snapshots {
     if (pos.size <= 1) head
     else {
       val live = readManifest(path, Some(head)).map(_.path)
+      // absolute entries (Iceberg-imported): exact match on the
+      // normalized path — an endsWith against "/" + "/abs/…" would drop
+      // every live entry and resurface its deleted rows after compaction
       val keep =
         if (live.isEmpty) lit(false)
-        else live.map(l => col("file_path").endsWith("/" + l)).reduce(_ || _)
+        else live.map { l =>
+          if (l.startsWith("/")) normFile(col("file_path")) === l
+          else col("file_path").endsWith("/" + l)
+        }.reduce(_ || _)
       val rows = spark.read.parquet(pos.map(f => s"$path/$f"): _*)
         .filter(keep).dropDuplicates()
       val (name, _) = writeDeleteFile(rows, path, "posdel")

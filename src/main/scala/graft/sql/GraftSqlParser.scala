@@ -869,6 +869,16 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         // mapping) over the existing parquet ([[spatial.IcebergExport]]).
         val metaFile = graft.spatial.IcebergExport.export(spark, table)
         Seq(Row(Snapshots.readManifest(table).size.toLong, metaFile))
+      case "register_iceberg_table" =>
+        // CALL graft.system.register_iceberg_table('<iceberg table dir,
+        //   metadata dir, or *.metadata.json>', target => '<graft path>')
+        // — the read direction of the Iceberg interop: adopt an external
+        // Iceberg v1/v2 table as a graft table, metadata-only
+        // ([[spatial.IcebergImport]]; the reference's RegisterTable/
+        // migrate procedures).
+        val tgt = str(arg(1, "target"))
+        val v = graft.spatial.IcebergImport.importTable(spark, table, tgt)
+        Seq(Row(v.toLong, s"target=$tgt"))
       case "build_vector_index" =>
         // CALL graft.system.build_vector_index('<corpus parquet path>',
         //   location => '<index dir>'[, column => 'embedding',

@@ -1,0 +1,362 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spatial.{GeoTable, GeometryFields, IcebergExport, IcebergImport, Snapshots, TableSchema}
+
+/** Read-direction Iceberg interop ([[IcebergImport]]): export→import
+  * round-trips over graft's own exporter, plus imports of FIXTURE
+  * layouts hand-built by this spec (metadata.json + Avro manifests the
+  * exporter never wrote) — name mapping, sequence-scoped equality
+  * deletes, position deletes, partition serving, and the stated loud
+  * refusals.
+  */
+class IcebergImportSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"CAST(`$c` AS STRING)"): _*)
+      .collect().map(_.mkString("|")).toSet
+  }
+
+  // ---- fixture plumbing: Avro + metadata.json written BY THIS SPEC ------
+
+  private def writeAvro(target: String, schemaJson: String,
+      meta: Map[String, String], rows: Seq[GenericData.Record]): Unit = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericData.Record](schema))
+    try {
+      meta.foreach { case (k, v) => w.setMeta(k, v) }
+      w.create(schema, new java.io.File(target))
+      rows.foreach(w.append)
+    } finally w.close()
+  }
+
+  /** Manifest entry schema, deliberately NOT the exporter's: explicit
+    * nullable entry sequence numbers, an equality_ids seat, and a
+    * partition record shaped per test.
+    */
+  private def entrySchemaJson(partFields: String): String =
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+       |{"name":"content","type":"int","field-id":134},
+       |{"name":"file_path","type":"string","field-id":100},
+       |{"name":"file_format","type":"string","field-id":101},
+       |{"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
+       |{"name":"record_count","type":"long","field-id":103},
+       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+       |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+       |]},"field-id":2}]}""".stripMargin
+
+  private val listSchemaJson =
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"sequence_number","type":"long","field-id":515},
+      |{"name":"min_sequence_number","type":"long","field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin
+
+  private case class FixtureEntry(path: String, rows: Long, seq: Long,
+      content: Int, partVals: Map[String, Any] = Map.empty,
+      eqIds: Seq[Int] = Nil)
+
+  /** Write one data manifest (+ optional delete manifest), a manifest
+    * list, and v1.metadata.json under `dir`/metadata.
+    */
+  private def writeFixture(dir: String, schemaJson: String, specJson: String,
+      props: Map[String, String], partFieldsAvro: String,
+      entries: Seq[FixtureEntry]): String = {
+    val metaDir = Paths.get(dir, "metadata")
+    Files.createDirectories(metaDir)
+    val es = new Schema.Parser().parse(entrySchemaJson(partFieldsAvro))
+    val dfS = es.getField("data_file").schema()
+    val pS = dfS.getField("partition").schema()
+    def mkEntries(fs: Seq[FixtureEntry]) = fs.map { fe =>
+      val part = new GenericData.Record(pS)
+      fe.partVals.foreach { case (k, v) => part.put(k, v) }
+      val df = new GenericData.Record(dfS)
+      df.put("content", fe.content)
+      df.put("file_path", fe.path)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", fe.rows)
+      df.put("file_size_in_bytes", Files.size(Paths.get(fe.path)))
+      if (fe.eqIds.nonEmpty) {
+        val ids = new java.util.ArrayList[Integer]()
+        fe.eqIds.foreach(i => ids.add(Integer.valueOf(i)))
+        df.put("equality_ids", ids)
+      }
+      val e = new GenericData.Record(es)
+      e.put("status", 1)
+      e.put("sequence_number", fe.seq)
+      e.put("data_file", df)
+      e
+    }
+    val (dataE, delE) = entries.partition(_.content == 0)
+    val dataM = metaDir.resolve("fix-m0.avro").toString
+    writeAvro(dataM, entrySchemaJson(partFieldsAvro), Map("content" -> "data"),
+      mkEntries(dataE))
+    val listRows = Seq.newBuilder[GenericData.Record]
+    val ls = new Schema.Parser().parse(listSchemaJson)
+    def listRow(p: String, content: Int, seq: Long) = {
+      val r = new GenericData.Record(ls)
+      r.put("manifest_path", p)
+      r.put("manifest_length", Files.size(Paths.get(p)))
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 99L)
+      r
+    }
+    listRows += listRow(dataM, 0, dataE.map(_.seq).foldLeft(1L)(math.max))
+    if (delE.nonEmpty) {
+      val delM = metaDir.resolve("fix-m1.avro").toString
+      writeAvro(delM, entrySchemaJson(partFieldsAvro), Map("content" -> "deletes"),
+        mkEntries(delE))
+      listRows += listRow(delM, 1, delE.map(_.seq).foldLeft(1L)(math.max))
+    }
+    val listPath = metaDir.resolve("snap-99-fix.avro").toString
+    writeAvro(listPath, listSchemaJson, Map.empty, listRows.result())
+    val propsJson = props.map { case (k, v) =>
+      s""""${k.replace("\"", "\\\"")}":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString(",")
+    val metadata =
+      s"""{"format-version":2,"table-uuid":"fixture-uuid","location":"$dir",
+         |"last-sequence-number":9,"last-updated-ms":1,
+         |"last-column-id":99,
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"default-spec-id":0,
+         |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
+         |"last-partition-id":1001,
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"properties":{$propsJson},
+         |"current-snapshot-id":99,
+         |"refs":{"main":{"snapshot-id":99,"type":"branch"}},
+         |"snapshots":[{"snapshot-id":99,"sequence-number":9,"timestamp-ms":1,
+         |"manifest-list":"$listPath","summary":{"operation":"append"},"schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin.replace("\n", "")
+    val mf = metaDir.resolve("v1.metadata.json")
+    Files.write(mf, metadata.getBytes("UTF-8"))
+    Files.write(metaDir.resolve("version-hint.text"), "1".getBytes("UTF-8"))
+    mf.toString
+  }
+
+  /** Write `df` as exactly ONE parquet file; returns its absolute path. */
+  private def oneParquet(dir: String, df: org.apache.spark.sql.DataFrame): String = {
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).head
+  }
+
+  // ---- round trips over the exporter ------------------------------------
+
+  test("round-trip: export → register_iceberg_table reads back identical " +
+      "rows, schema-evolved names honored via the name mapping") {
+    val base = Files.createTempDirectory("graft_imp_rt").toString
+    val tbl = s"$base/src"
+    spark.range(40).selectExpr("id", "CAST(id AS DOUBLE) AS x",
+      "concat('v', id) AS s").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    Snapshots.append(spark.range(40, 55).selectExpr("id",
+      "CAST(id AS DOUBLE) AS x", "concat('v', id) AS s"), tbl)
+    TableSchema.renameColumn(spark, tbl, "x", "renamed_x")
+    TableSchema.dropColumn(spark, tbl, "s")
+    IcebergExport.export(spark, tbl)
+
+    val target = s"$base/imported"
+    val v = IcebergImport.importTable(spark, tbl, target)
+    assert(v >= 1)
+    val got = GeoTable.read(spark, target)
+    assert(got.columns.toSet == Set("id", "renamed_x"),
+      s"the name mapping must apply: ${got.columns.toSeq}")
+    assert(rowsOf(got) == rowsOf(GeoTable.read(spark, tbl)))
+    // metadata-only adoption: the import wrote no data files of its own
+    assert(Snapshots.readManifest(target).forall(_.path.startsWith("/")),
+      "entries must reference the external files in place")
+  }
+
+  test("round-trip partitioned: hive-dir identity columns register as graft " +
+      "partition columns, values serve, partition filters prune and match") {
+    val base = Files.createTempDirectory("graft_imp_part").toString
+    val tbl = s"$base/src"
+    spark.range(60).selectExpr("id", "CAST(id % 3 AS INT) AS p",
+      "concat('v', id) AS s", "pmod(hash(id), 4) AS id_bucket")
+      .write.partitionBy("p", "id_bucket").parquet(tbl)
+    GeoTable.writeManifest(spark, tbl, partitionCols = Seq("p", "bucket(4,id)"))
+    IcebergExport.export(spark, tbl)
+
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, tbl, target)
+    assert(GeoTable.readPartitionCols(target).toSet == Set("p", "id_bucket"),
+      "hive-dir-served identity fields must register as partition columns")
+    val src = GeoTable.read(spark, tbl)
+    val got = GeoTable.read(spark, target)
+    assert(rowsOf(got) == rowsOf(src))
+    assert(rowsOf(got.filter("p = 1")) == rowsOf(src.filter("p = 1")))
+  }
+
+  test("round-trip geometry: declared encodings carry over as table " +
+      "properties and decode identically") {
+    val base = Files.createTempDirectory("graft_imp_geo").toString
+    val tbl = s"$base/src"
+    spark.range(10).selectExpr("id",
+      "concat('POINT (', id, ' ', id + 1, ')') AS geom").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    GeometryFields.setGeometryField(spark, tbl, "geom", "wkt")
+    IcebergExport.export(spark, tbl)
+
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, tbl, target)
+    assert(GeometryFields.get(target) == Map("geom" -> "wkt"))
+    assert(rowsOf(GeoTable.read(spark, target)) == rowsOf(GeoTable.read(spark, tbl)))
+  }
+
+  // ---- hand-built fixtures (never written by IcebergExport) -------------
+
+  test("fixture import: name mapping renames a physical column, in-file " +
+      "identity partition values serve from the files (no dir registration)") {
+    val base = Files.createTempDirectory("graft_imp_fix").toString
+    import spark.implicits._
+    val f1 = oneParquet(s"$base/d1",
+      Seq((1L, "a", 10), (2L, "b", 10)).toDF("id", "val_orig", "p"))
+    val f2 = oneParquet(s"$base/d2",
+      Seq((3L, "c", 20)).toDF("id", "val_orig", "p"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"val_renamed","required":false,"type":"string"},
+        |{"id":3,"name":"p","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    val mapping =
+      """[{"field-id":1,"names":["id"]},{"field-id":2,"names":["val_orig"]},""" +
+        """{"field-id":3,"names":["p"]}]"""
+    val spec = """{"name":"p","transform":"identity","source-id":3,"field-id":1000}"""
+    val partAvro =
+      """{"name":"p","type":["null","int"],"default":null,"field-id":1000}"""
+    writeFixture(base, schema, spec,
+      Map("schema.name-mapping.default" -> mapping), partAvro, Seq(
+        FixtureEntry(f1, 2L, 1L, 0, Map("p" -> 10)),
+        FixtureEntry(f2, 1L, 2L, 0, Map("p" -> 20))))
+
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    val got = GeoTable.read(spark, target)
+    assert(got.columns.toSet == Set("id", "val_renamed", "p"))
+    // p lives IN the files → imported as an ordinary column, not a dir col
+    assert(GeoTable.readPartitionCols(target).isEmpty)
+    assert(rowsOf(got) == Set("1|10|a", "2|10|b", "3|20|c"))
+    assert(got.filter("p = 20").count() == 1L)
+  }
+
+  test("fixture deletes: v2 position deletes apply; equality deletes apply " +
+      "with Iceberg sequence scoping (strictly-older data files only)") {
+    val base = Files.createTempDirectory("graft_imp_del").toString
+    import spark.implicits._
+    // data: A at seq 1 (k=1,2,3), B at seq 3 (k=3,4)
+    val fA = oneParquet(s"$base/dA", Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "k"))
+    val fB = oneParquet(s"$base/dB", Seq((4L, 3), (5L, 4)).toDF("id", "k"))
+    // position delete: row 0 of A (id=1)
+    val fPos = oneParquet(s"$base/dp", Seq((fA, 0L)).toDF("file_path", "pos"))
+    // equality delete at seq 2 on k=3: hits A's (3,3), NOT B's (4,3)
+    val fEq = oneParquet(s"$base/de", Seq(Tuple1(3)).toDF("k"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    writeFixture(base, schema, "", Map.empty, "", Seq(
+      FixtureEntry(fA, 3L, 1L, 0),
+      FixtureEntry(fB, 2L, 3L, 0),
+      FixtureEntry(fPos, 1L, 4L, 1),
+      FixtureEntry(fEq, 1L, 2L, 2, eqIds = Seq(2))))
+
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    // Snapshots.read is the MoR-complete read surface (pos + eq + predicate)
+    val got = Snapshots.read(spark, target)
+    assert(rowsOf(got) == Set("2|2", "4|3", "5|4"),
+      "pos delete drops (1,1); seq-2 eq delete drops A's (3,3) but keeps " +
+        s"B's seq-3 (4,3): ${rowsOf(got)}")
+  }
+
+  test("fixture refusals are loud: record-count mismatch, non-parquet " +
+      "format, unknown equality field id") {
+    import spark.implicits._
+    // record-count mismatch
+    val b1 = Files.createTempDirectory("graft_imp_rc").toString
+    val f1 = oneParquet(s"$b1/d", Seq((1L, 1)).toDF("id", "k"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    writeFixture(b1, schema, "", Map.empty, "",
+      Seq(FixtureEntry(f1, 7L, 1L, 0)))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, b1, s"$b1/t")
+    }
+    assert(e1.getMessage.contains("partial-file"), e1.getMessage)
+
+    // non-parquet data file
+    val b2 = Files.createTempDirectory("graft_imp_fmt").toString
+    val f2 = oneParquet(s"$b2/d", Seq((1L, 1)).toDF("id", "k"))
+    val metaDir2 = writeFixture(b2, schema, "", Map.empty, "",
+      Seq(FixtureEntry(f2, 1L, 1L, 0)))
+    // rewrite the manifest with an ORC format marker
+    val es = new Schema.Parser().parse(entrySchemaJson(""))
+    val dfS = es.getField("data_file").schema()
+    val dfr = new GenericData.Record(dfS)
+    dfr.put("content", 0)
+    dfr.put("file_path", f2)
+    dfr.put("file_format", "ORC")
+    dfr.put("partition", new GenericData.Record(dfS.getField("partition").schema()))
+    dfr.put("record_count", 1L)
+    dfr.put("file_size_in_bytes", 1L)
+    val er = new GenericData.Record(es)
+    er.put("status", 1); er.put("sequence_number", 1L); er.put("data_file", dfr)
+    writeAvro(Paths.get(b2, "metadata", "fix-m0.avro").toString,
+      entrySchemaJson(""), Map("content" -> "data"), Seq(er))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, metaDir2, s"$b2/t")
+    }
+    assert(e2.getMessage.contains("ORC"), e2.getMessage)
+
+    // equality delete naming an unknown field id
+    val b3 = Files.createTempDirectory("graft_imp_eqid").toString
+    val f3 = oneParquet(s"$b3/d", Seq((1L, 1)).toDF("id", "k"))
+    val fe3 = oneParquet(s"$b3/de", Seq(Tuple1(3)).toDF("k"))
+    writeFixture(b3, schema, "", Map.empty, "", Seq(
+      FixtureEntry(f3, 1L, 1L, 0),
+      FixtureEntry(fe3, 1L, 2L, 2, eqIds = Seq(42))))
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, b3, s"$b3/t")
+    }
+    assert(e3.getMessage.contains("field id 42"), e3.getMessage)
+  }
+
+  test("the SQL procedure surface: CALL register_iceberg_table imports and " +
+      "the imported table answers SQL") {
+    val base = Files.createTempDirectory("graft_imp_sql").toString
+    val tbl = s"$base/src"
+    spark.range(25).selectExpr("id", "id * 2 AS y").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    IcebergExport.export(spark, tbl)
+    val target = s"$base/imported"
+    val out = spark.sql(s"CALL graft.system.register_iceberg_table('$tbl', " +
+      s"target => '$target')").collect().head
+    assert(out.getString(1) == s"target=$target")
+    assert(GeoTable.read(spark, target).count() == 25L)
+  }
+}
