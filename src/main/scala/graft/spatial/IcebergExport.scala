@@ -2,6 +2,8 @@ package graft.spatial
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter}
@@ -38,14 +40,26 @@ import org.apache.spark.sql.types._
   * Iceberg readers would mis-prune); the identity re-typing loses
   * nothing a reader can observe.
   *
+  * Merge-on-read deletes: positional delete files export as Iceberg v2
+  * position-delete files (`content=1`; file_path/pos with the reserved
+  * field ids, rows sorted) and equality delete files as v2
+  * equality-delete files (`content=2` + `equality_ids`), both rewritten
+  * under `metadata/` and published in a delete manifest under a
+  * dedicated UNPARTITIONED spec — per the v2 spec, equality deletes
+  * stored with an unpartitioned spec apply as GLOBAL deletes, exactly
+  * graft's sequence-scoped semantics. graft addedV / eq-seq stamps
+  * rank-map onto contiguous Iceberg sequence numbers (both engines scope
+  * an equality delete to strictly-older data files).
+  *
   * Boundaries (stated, not silent):
-  *  - pending merge-on-read deletes refuse the export — materialize
-  *    them first (`rewrite_data_files`); an Iceberg reader cannot apply
-  *    graft's predicate deletes;
+  *  - pending merge-on-read PREDICATE deletes refuse the export —
+  *    materialize them first (`rewrite_data_files`); an Iceberg reader
+  *    cannot evaluate graft's predicate SQL;
   *  - a partition-dir column whose type has no hive-dir-value mapping
-  *    here (timestamp, decimal, …) refuses the export with the column
-  *    named — its values exist ONLY in dir paths, so dropping it would
-  *    publish a schema column that reads as all-null;
+  *    here (binary, …) refuses the export with the column named — its
+  *    values exist ONLY in dir paths, so dropping it would publish a
+  *    schema column that reads as all-null (timestamps and decimals
+  *    parse through the session-zone lenient cast, like the scan);
   *  - declared geometry storage encodings export as the PHYSICAL
   *    column (Iceberg v2 has no geometry type); each declared encoding
   *    is recorded as a `graft.geometry-encoding.<col>` table property
@@ -60,11 +74,14 @@ object IcebergExport {
     val abs = Paths.get(path).toAbsolutePath.toString
     val v = Snapshots.mainVersion(path)
     require(v > 0, s"no snapshots to export at $path")
-    require(Snapshots.readDeletes(path, Some(v)).isEmpty &&
-      Snapshots.readPosDeletes(path, Some(v)).isEmpty &&
-      Snapshots.readEqDeletes(path, Some(v)).isEmpty,
-      s"cannot export $path: pending merge-on-read deletes — run " +
+    // PREDICATE deletes have no Iceberg form (an Iceberg reader cannot
+    // evaluate them) — those still require materialization first.
+    // Positional and equality delete FILES export as v2 delete files.
+    require(Snapshots.readDeletes(path, Some(v)).isEmpty,
+      s"cannot export $path: pending merge-on-read PREDICATE deletes — run " +
         "rewrite_data_files to materialize them, then export")
+    val posFiles = Snapshots.readPosDeletes(path, Some(v))
+    val eqFiles = Snapshots.readEqDeletes(path, Some(v))
     val files = Snapshots.readManifest(path, Some(v))
     val ids = new Ids
     val top = topStruct(spark, path, ids)
@@ -74,7 +91,7 @@ object IcebergExport {
           throw new IllegalArgumentException(
             s"partition dir column $dirCol is not a top-level schema column"))
         PartField(1000 + i, f.name, dirCol, f.id, f.t match {
-          case IPrim(s) if DirTypes.contains(s) => s
+          case IPrim(s) if dirType(s).isDefined => s
           case other => throw new IllegalArgumentException(
             s"cannot export $path: partition dir column $dirCol has type " +
               s"$other, whose values exist only in dir paths and have no " +
@@ -106,7 +123,21 @@ object IcebergExport {
         """"table-uuid"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
       } else None).getOrElse(nonce)
 
-    // ---- manifest file (one, all entries ADDED at sequence 1) ----------
+    // ---- sequence numbers ------------------------------------------------
+    // Delete-free exports publish everything at sequence 1 (relative
+    // order is unobservable without deletes). With pending pos/eq delete
+    // files, graft's addedV / eq-seq stamps RANK-MAP onto contiguous
+    // Iceberg sequence numbers — both engines scope an equality delete to
+    // STRICTLY-older data files, so any order-preserving map is exact.
+    val hasDeletes = posFiles.nonEmpty || eqFiles.nonEmpty
+    val ranks: Map[Int, Long] =
+      if (!hasDeletes) Map.empty
+      else (files.map(_.addedV) ++ eqFiles.map(_.seq)).distinct.sorted
+        .zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
+    def dataSeq(f: FileStats): Long = if (hasDeletes) ranks(f.addedV) else 1L
+    val maxSeq = if (hasDeletes) ranks.values.max else 1L
+
+    // ---- manifest file (one, all entries ADDED) --------------------------
     val manifestPath = metaDir.resolve(s"$nonce-m0.avro")
     val entrySchema = new Schema.Parser().parse(manifestEntryAvro(partFields))
     val dfSchema = entrySchema.getField("data_file").schema()
@@ -127,8 +158,8 @@ object IcebergExport {
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapId)
-      e.put("sequence_number", 1L)
-      e.put("file_sequence_number", 1L)
+      e.put("sequence_number", dataSeq(f))
+      e.put("file_sequence_number", dataSeq(f))
       e.put("data_file", df)
       e
     }
@@ -144,6 +175,87 @@ object IcebergExport {
       "format-version" -> "2",
       "content" -> "data"), entries)
 
+    // ---- delete files → Iceberg v2 delete manifest ------------------------
+    // Rewritten (not referenced in place): positional file_path values
+    // must match the manifest's unqualified-absolute form, equality files
+    // need their field ids stamped into the parquet, and both need the
+    // reserved/schema field ids. The delete manifest publishes under a
+    // dedicated UNPARTITIONED spec (spec-id 1): per the v2 spec,
+    // equality deletes stored with an unpartitioned spec apply as GLOBAL
+    // deletes (exactly graft's sequence-scoped semantics) and an
+    // unbounded delete manifest is never partition-pruned away.
+    case class DelFile(absFile: String, len: Long, rows: Long, content: Int,
+        eqIds: Seq[Int], seq: Long)
+    import org.apache.spark.sql.functions.col
+    def fieldId(id: Long): org.apache.spark.sql.types.Metadata =
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+    val posOut: Seq[DelFile] =
+      if (posFiles.isEmpty) Nil
+      else {
+        val out = metaDir.resolve(s"$nonce-pd0.parquet")
+        val df = spark.read.parquet(posFiles.map(p => s"$abs/$p"): _*)
+          .select(Snapshots.normFile(col("file_path"))
+              .as("file_path", fieldId(2147483546L)),
+            col("pos").cast("long").as("pos", fieldId(2147483545L)))
+          .orderBy("file_path", "pos") // spec: sorted by path then position
+        val rows = writeOneParquet(df, out)
+        // pos deletes apply to data files with sequence <= the delete's:
+        // the max sequence covers every exported data file, and (path,
+        // pos) identity makes over-scoping unobservable
+        Seq(DelFile(out.toString, Files.size(out), rows, 1, Nil, maxSeq))
+      }
+    val topByName = top.fields.map(f => f.name -> f).toMap
+    val eqOut: Seq[DelFile] = eqFiles.zipWithIndex.map { case (e, i) =>
+      val fs = e.cols.map(c => topByName.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"cannot export $path: equality delete ${e.path} keys on column " +
+            s"$c, which is not a current top-level schema column")))
+      val out = metaDir.resolve(s"$nonce-ed$i.parquet")
+      val df = spark.read.parquet(s"$abs/${e.path}")
+        .select(fs.map(f => col(f.name).as(f.name, fieldId(f.id.toLong))): _*)
+      val rows = writeOneParquet(df, out)
+      DelFile(out.toString, Files.size(out), rows, 2, fs.map(_.id), ranks(e.seq))
+    }
+    val delFiles = posOut ++ eqOut
+    val delManifest: Option[(java.nio.file.Path, Long)] =
+      if (delFiles.isEmpty) None
+      else {
+        val p = metaDir.resolve(s"$nonce-m1.avro")
+        val delSchema = new Schema.Parser().parse(manifestEntryAvro(Nil, withEqIds = true))
+        val delDf = delSchema.getField("data_file").schema()
+        val delPart = delDf.getField("partition").schema()
+        val delEntries = delFiles.map { d =>
+          val df = new GenericData.Record(delDf)
+          df.put("content", d.content)
+          df.put("file_path", d.absFile)
+          df.put("file_format", "PARQUET")
+          df.put("partition", new GenericData.Record(delPart))
+          df.put("record_count", d.rows)
+          df.put("file_size_in_bytes", d.len)
+          if (d.eqIds.nonEmpty) {
+            val ids = new java.util.ArrayList[Integer]()
+            d.eqIds.foreach(id => ids.add(Integer.valueOf(id)))
+            df.put("equality_ids", ids)
+          }
+          val e = new GenericData.Record(delSchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", d.seq)
+          e.put("file_sequence_number", d.seq)
+          e.put("data_file", df)
+          e
+        }
+        val len = writeAvro(p, delSchema, Map(
+          "schema" -> schemaJson,
+          "schema-id" -> "0",
+          "partition-spec" -> "[]",
+          "partition-spec-id" -> "1",
+          "format-version" -> "2",
+          "content" -> "deletes"), delEntries)
+        Some(p -> len)
+      }
+
     // ---- manifest list -------------------------------------------------
     val listPath = metaDir.resolve(s"snap-$snapId-1-$nonce.avro")
     val listSchema = new Schema.Parser().parse(ManifestListAvro)
@@ -152,7 +264,7 @@ object IcebergExport {
     listEntry.put("manifest_length", manifestLen)
     listEntry.put("partition_spec_id", 0)
     listEntry.put("content", 0)
-    listEntry.put("sequence_number", 1L)
+    listEntry.put("sequence_number", maxSeq)
     listEntry.put("min_sequence_number", 1L)
     listEntry.put("added_snapshot_id", snapId)
     listEntry.put("added_files_count", files.size)
@@ -161,31 +273,51 @@ object IcebergExport {
     listEntry.put("added_rows_count", files.map(_.rows).sum)
     listEntry.put("existing_rows_count", 0L)
     listEntry.put("deleted_rows_count", 0L)
+    val delListEntry = delManifest.map { case (p, len) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", p.toString)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 1)
+      r.put("content", 1) // DELETES
+      r.put("sequence_number", maxSeq)
+      r.put("min_sequence_number", delFiles.map(_.seq).min)
+      r.put("added_snapshot_id", snapId)
+      r.put("added_files_count", delFiles.size)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", delFiles.map(_.rows).sum)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      r
+    }
     writeAvro(listPath, listSchema, Map(
       "format-version" -> "2",
       "snapshot-id" -> snapId.toString,
-      "sequence-number" -> "1",
-      "parent-snapshot-id" -> "null"), Seq(listEntry))
+      "sequence-number" -> maxSeq.toString,
+      "parent-snapshot-id" -> "null"), Seq(listEntry) ++ delListEntry)
 
     // ---- metadata.json + version hint ----------------------------------
     val lastPartId = if (partFields.isEmpty) 999 else partFields.map(_.fieldId).max
     val geomProps = GeometryFields.get(path).toSeq.sortBy(_._1).map {
       case (c, e) => s""","graft.geometry-encoding.${esc(c)}":"${esc(e)}""""
     }.mkString
+    // the delete manifest's unpartitioned spec rides along as spec-id 1
+    val delSpecJson = if (delFiles.isEmpty) "" else """,{"spec-id":1,"fields":[]}"""
+    val specsJson = s"""{"spec-id":0,"fields":[$specFieldsJson]}$delSpecJson"""
     val metadata =
       s"""{"format-version":2,"table-uuid":"$tableUuid","location":"${esc(abs)}",
-         |"last-sequence-number":1,"last-updated-ms":$now,
+         |"last-sequence-number":$maxSeq,"last-updated-ms":$now,
          |"last-column-id":${ids.last},
          |"current-schema-id":0,"schemas":[$schemaJson],
          |"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[$specFieldsJson]}],
+         |"partition-specs":[$specsJson],
          |"last-partition-id":$lastPartId,
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"properties":{"schema.name-mapping.default":"${esc(nameMapping(top))}"$geomProps},
          |"current-snapshot-id":$snapId,
          |"refs":{"main":{"snapshot-id":$snapId,"type":"branch"}},
-         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":1,
+         |"snapshots":[{"snapshot-id":$snapId,"sequence-number":$maxSeq,
          |"timestamp-ms":$now,"manifest-list":"${esc(listPath.toString)}",
          |"summary":{"operation":"append"},"schema-id":0}],
          |"snapshot-log":[{"timestamp-ms":$now,"snapshot-id":$snapId}],
@@ -204,7 +336,8 @@ object IcebergExport {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.write(hintFile, newVersion.toString.getBytes("UTF-8"))
-    val keep = Set(manifestPath, listPath, metaFile, hintFile)
+    val keep = (Set(manifestPath, listPath, metaFile, hintFile) ++
+      delManifest.map(_._1) ++ delFiles.map(d => Paths.get(d.absFile)))
       .map(_.getFileName.toString)
     Snapshots.listDir(metaDir)(_.toSeq)
       .filter(p => Files.isRegularFile(p) && !keep(p.getFileName.toString))
@@ -379,15 +512,55 @@ object IcebergExport {
     "date" -> ("""{"type":"int","logicalType":"date"}""",
       (s: String) => java.time.LocalDate.parse(s).toEpochDay.toInt))
 
+  private val DecimalTypeRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** Dir-value mapping for one Iceberg primitive, or None when the type
+    * has no hive-dir representation. Timestamps and decimals parse
+    * through the SESSION-ZONE lenient catalyst cast — the same one seat
+    * graft's own scan serves those dir values through, so export and
+    * serving can never disagree. An unparseable dir value throws (a
+    * silent null would publish a wrong partition constant).
+    */
+  private def dirType(icebergType: String): Option[(String, String => Any)] = {
+    def lenient(dt: DataType, s: String): Any = {
+      val v = PartitionPaths.castLenient(s, dt)
+      require(v != null,
+        s"partition dir value '$s' does not parse as $icebergType")
+      v
+    }
+    icebergType match {
+      case t if DirTypes.contains(t) => Some(DirTypes(t))
+      case "timestamptz" => Some((
+        """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":true}""",
+        (s: String) => lenient(TimestampType, s)))
+      case "timestamp" => Some((
+        """{"type":"long","logicalType":"timestamp-micros","adjust-to-utc":false}""",
+        (s: String) => lenient(TimestampNTZType, s)))
+      case DecimalTypeRe(p, sc) => Some((
+        s"""{"type":"bytes","logicalType":"decimal","precision":$p,"scale":$sc}""",
+        (s: String) => {
+          val d = lenient(DecimalType(p.toInt, sc.toInt), s)
+            .asInstanceOf[org.apache.spark.sql.types.Decimal]
+          java.nio.ByteBuffer.wrap(
+            d.toJavaBigDecimal.setScale(sc.toInt).unscaledValue().toByteArray)
+        }))
+      case _ => None
+    }
+  }
+
   /** Hive dir value string → typed Avro partition value. */
   private def partitionValue(pf: PartField, raw: String): Any =
     if (raw == null || raw == PartitionPaths.NullSentinel) null
-    else DirTypes(pf.icebergType)._2(raw)
+    else dirType(pf.icebergType).get._2(raw)
 
-  private def manifestEntryAvro(partFields: Seq[PartField]): String = {
+  private def manifestEntryAvro(partFields: Seq[PartField],
+      withEqIds: Boolean = false): String = {
     val pf = partFields.map(p =>
-      s"""{"name":"${esc(p.specName)}","type":["null",${DirTypes(p.icebergType)._1}],""" +
+      s"""{"name":"${esc(p.specName)}","type":["null",${dirType(p.icebergType).get._1}],""" +
         s""""default":null,"field-id":${p.fieldId}}""").mkString(",")
+    val eqIds = if (!withEqIds) ""
+      else """,{"name":"equality_ids","type":["null",{"type":"array",""" +
+        """"items":"int","element-id":136}],"default":null,"field-id":135}"""
     s"""{"type":"record","name":"manifest_entry","fields":[
        |{"name":"status","type":"int","field-id":0},
        |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -399,7 +572,7 @@ object IcebergExport {
        |{"name":"file_format","type":"string","field-id":101},
        |{"name":"partition","type":{"type":"record","name":"r102","fields":[$pf]},"field-id":102},
        |{"name":"record_count","type":"long","field-id":103},
-       |{"name":"file_size_in_bytes","type":"long","field-id":104}
+       |{"name":"file_size_in_bytes","type":"long","field-id":104}$eqIds
        |]},"field-id":2}
        |]}""".stripMargin
   }
@@ -427,6 +600,28 @@ object IcebergExport {
       |{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
       |]},"element-id":508}],"default":null,"field-id":507}
       |]}""".stripMargin
+
+  /** Write `df` as exactly one parquet file at `target` (driver-adjacent:
+    * delete files are tiny next to the data they mask). Returns the row
+    * count.
+    */
+  private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
+      target: java.nio.file.Path): Long = {
+    val tmp = Files.createTempDirectory("graft_ice_del").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Snapshots.listDir(Paths.get(tmp))(_.toSeq)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    require(part.size == 1, s"expected one parquet part in $tmp")
+    Files.move(part.head, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Snapshots.walkDir(Paths.get(tmp))(_.toSeq).reverse
+      .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(target.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
+  }
 
   private def writeAvro(target: java.nio.file.Path, schema: Schema,
       meta: Map[String, String], rows: Seq[GenericData.Record]): Long = {

@@ -201,9 +201,11 @@ class IcebergExportSpec extends AnyFunSuite {
         s"partition value mismatch for ${df.get("file_path")}")
     }
 
-    // pending MoR deletes refuse the export with a pointer to compaction
-    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
-    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("id") < 5)
+    // pending MoR PREDICATE deletes (no Iceberg form) refuse the export
+    // with a pointer to compaction; pos/eq delete FILES export (see the
+    // dedicated delete-export test)
+    Snapshots.deleteMoR(spark, tbl, "id < 5")
+    assert(Snapshots.readDeletes(tbl).nonEmpty, "fixture must be a predicate delete")
     val err = intercept[IllegalArgumentException] {
       IcebergExport.export(spark, tbl)
     }
@@ -276,6 +278,132 @@ class IcebergExportSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(nmJson.contains("\"element\"") && nmJson.contains("[\"a\"]"),
       s"element-level mapping must target the physical nested name: $nmJson")
+  }
+
+  test("MoR pos + eq deletes export as v2 delete files: delete manifest " +
+      "(content=1) under an unpartitioned spec, reserved field ids, " +
+      "equality_ids, RANK-mapped sequence numbers; import round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = Files.createTempDirectory("graft_ice_del").toString
+    val tbl = s"$base/t"
+    spark.range(20).selectExpr("id", "id % 5 AS k").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // data files at addedV=1
+    // eq delete at seq 2 on k=2 — then a post-delete append whose k=2
+    // row must STAY visible (sequence scoping)
+    Snapshots.deleteByEquality(spark, tbl, Seq(2L).toDF("k"))
+    Snapshots.append(
+      spark.range(100, 104).selectExpr("id", "id % 5 AS k"), tbl) // addedV=3
+    // pos delete of the id=0 row
+    val pos0 = spark.read.parquet(tbl) // raw read: _metadata survives
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 0L).drop("id")
+    Snapshots.deleteByPosition(spark, tbl, pos0)
+    val expect = Snapshots.read(spark, tbl).selectExpr("CAST(id AS STRING)",
+      "CAST(k AS STRING)").collect().map(_.mkString("|")).toSet
+    assert(expect.size == 19) // 20 - 4 (k=2@seq1) - 1 (pos) + 4 appended
+
+    val metaFile = IcebergExport.export(spark, tbl)
+    val md = jsonDf(metaFile)
+    assert(md.selectExpr("`last-sequence-number`").collect().head.getLong(0) == 3L)
+    // spec 1 (unpartitioned) rides along for the delete manifest
+    assert(md.selectExpr("size(`partition-specs`)").collect().head.getInt(0) == 2)
+    val listPath = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+    val (_, listRows, _) = readAvro(listPath)
+    assert(listRows.size == 2)
+    val dataRow = listRows.find(_.get("content") == 0).get
+    val delRow = listRows.find(_.get("content") == 1).get
+    assert(delRow.get("partition_spec_id") == 1)
+    assert(delRow.get("added_files_count") == 2) // one pos + one eq file
+    assert(delRow.get("sequence_number") == 3L &&
+      delRow.get("min_sequence_number") == 2L)
+
+    // data entries carry their rank-mapped sequences: v1 files → 1,
+    // the post-delete append → 3 (the eq delete sits between, at 2)
+    val (_, dataEntries, _) = readAvro(dataRow.get("manifest_path").toString)
+    val dataSeqs = dataEntries.map(_.get("sequence_number")).toSet
+    assert(dataSeqs == Set(1L, 3L), s"data sequences: $dataSeqs")
+
+    val (delSchema, delEntries, delMeta) =
+      readAvro(delRow.get("manifest_path").toString)
+    assert(delMeta("content") == "deletes" && delMeta("partition-spec-id") == "1")
+    val byContent = delEntries.map(e =>
+      e.get("data_file").asInstanceOf[GenericRecord]).groupBy(_.get("content"))
+    val posE = byContent(1).head
+    val eqE = byContent(2).head
+    assert(posE.get("record_count") == 1L)
+    assert(eqE.get("record_count") == 1L)
+    // equality_ids names k's schema field id
+    val schemaIds = md.selectExpr("explode(schemas[0].fields) AS f")
+      .selectExpr("f.name", "f.id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eqIds = eqE.get("equality_ids").asInstanceOf[java.util.List[Integer]]
+    assert(eqIds.size() == 1 && eqIds.get(0).longValue() == schemaIds("k"))
+    // the eq delete's sequence is STRICTLY between the two data sequences
+    val eqSeq = delEntries.find(
+      _.get("data_file").asInstanceOf[GenericRecord].get("content") == 2)
+      .get.get("sequence_number")
+    assert(eqSeq == 2L)
+    // the rewritten pos-delete parquet carries the reserved field ids and
+    // manifest-form unqualified paths
+    val posParquet = posE.get("file_path").toString
+    val posDf = spark.read.parquet(posParquet)
+    assert(posDf.schema("file_path").metadata.getLong("parquet.field.id") == 2147483546L)
+    assert(posDf.schema("pos").metadata.getLong("parquet.field.id") == 2147483545L)
+    val posPath = posDf.select("file_path").collect().head.getString(0)
+    assert(posPath.startsWith("/") && !posPath.contains(":"),
+      s"pos delete path must be manifest-form unqualified absolute: $posPath")
+
+    // ROUND TRIP: importing the export reproduces the MoR-applied rows
+    val target = s"$base/imported"
+    graft.spatial.IcebergImport.importTable(spark, tbl, target)
+    val got = Snapshots.read(spark, target).selectExpr("CAST(id AS STRING)",
+      "CAST(k AS STRING)").collect().map(_.mkString("|")).toSet
+    assert(got == expect, s"round-trip with deletes: $got vs $expect")
+  }
+
+  test("timestamp + decimal identity partition dirs export with typed " +
+      "partition values (the streaming-table shape) and import round-trips") {
+    val base = Files.createTempDirectory("graft_ice_ts").toString
+    val tbl = s"$base/t"
+    val df = spark.range(30).selectExpr("id",
+      "timestamp_seconds(1700000000 + (id % 3) * 86400) AS ts",
+      "CAST((id % 2) * 1.5 AS DECIMAL(10,2)) AS d")
+    df.write.partitionBy("ts", "d").parquet(tbl)
+    // explicit schema: partition-dir string inference would degrade the
+    // decimal to double (this is the shape the batch/streaming writers
+    // produce — they persist the frame's true schema)
+    GeoTable.writeManifest(spark, tbl, partitionCols = Seq("ts", "d"),
+      schema = Some(df.schema))
+    val metaFile = IcebergExport.export(spark, tbl)
+    val md = jsonDf(metaFile)
+    val listPath = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+    val (_, listRows, _) = readAvro(listPath)
+    val (_, entries, _) = readAvro(listRows.head.get("manifest_path").toString)
+    // expected micros per file from the source's own values
+    val expected = Snapshots.read(spark, tbl)
+      .selectExpr("unix_micros(ts)", "CAST(d AS STRING)").distinct().collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getString(1)))).toSet
+    val got = entries.map { e =>
+      val part = e.get("data_file").asInstanceOf[GenericRecord]
+        .get("partition").asInstanceOf[GenericRecord]
+      val micros = part.get("ts").asInstanceOf[Long]
+      val buf = part.get("d").asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](buf.remaining()); buf.duplicate().get(bytes)
+      (micros, BigDecimal(new java.math.BigInteger(bytes), 2))
+    }.toSet
+    assert(got == expected, s"typed partition values: $got vs $expected")
+
+    val target = s"$base/imported"
+    graft.spatial.IcebergImport.importTable(spark, tbl, target)
+    assert(GeoTable.readPartitionCols(target).toSet == Set("ts", "d"))
+    def rows(p: String) = Snapshots.read(spark, p).selectExpr(
+      "CAST(id AS STRING)", "CAST(ts AS STRING)", "CAST(d AS STRING)")
+      .collect().map(_.mkString("|")).toSet
+    assert(rows(target) == rows(tbl))
   }
 
   test("the SQL procedure surface: CALL export_iceberg_metadata returns the " +
