@@ -1497,6 +1497,64 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Byte-exact twin of the banded random-hyperplane dedup: the
+    // splitmix64 plane generator is replayed in HUGEINT arithmetic
+    // (unsigned 64-bit wraparound via 32-bit-split modular multiplies —
+    // BIGINT products would overflow-error), each signed plane value is
+    // converted through an exact hi/lo double split (DuckDB's
+    // HUGEINT→DOUBLE cast TRUNCATES; two exact ≤2^32 parts + one rounded
+    // add reproduce Long.toDouble's round-to-nearest), and the dot
+    // products run through list_dot_product, whose sequential summation
+    // matches the Spark kernel bit-for-bit. Band signature, candidate
+    // self-join, and the exact cosine filter then mirror the Spark plan
+    // one-to-one — verified identical pair sets AND rounded values at
+    // sf0.001 and sf0.01.
+    "dedup_embed_cosine" -> {
+      val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+      val C1 = "CAST('11400714819323198485' AS HUGEINT)"
+      val C2 = "CAST('13787848793156543929' AS HUGEINT)"
+      val C3 = "CAST('10723151780598845931' AS HUGEINT)"
+      def mulmod(c: String): String =
+        s"""((z % 4294967296) * (($c) % 4294967296)
+           | + (((z % 4294967296) * (($c) // 4294967296)
+           |     + (z // 4294967296) * (($c) % 4294967296)) % 4294967296) * 4294967296
+           |) % $M64""".stripMargin
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |params AS (SELECT 4 AS bands,
+         |  LEAST(16, GREATEST(4, CAST(ceil(log2(count(*) / 32.0 + 1)) AS INTEGER))) AS bits
+         |  FROM e),
+         |ji AS (SELECT j.j AS j, i.i AS i FROM params,
+         |  unnest(generate_series(CAST(0 AS BIGINT), CAST(bands * bits - 1 AS BIGINT))) AS j(j),
+         |  unnest(generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT))) AS i(i)),
+         |s0 AS (SELECT j, i, (CAST(j AS HUGEINT) * 1009 + i + $C1) % $M64 AS z FROM ji),
+         |x1 AS (SELECT j, i, xor(z, z // 1073741824) AS z FROM s0),
+         |m1 AS (SELECT j, i, ${mulmod(C2)} AS z FROM x1),
+         |x2 AS (SELECT j, i, xor(z, z // 134217728) AS z FROM m1),
+         |m2 AS (SELECT j, i, ${mulmod(C3)} AS z FROM x2),
+         |fin AS (SELECT j, i, xor(z, z // 2147483648) AS z FROM m2),
+         |pv AS (SELECT j, i,
+         |  CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+         |    THEN -(CAST((($M64 - z) // 4294967296) AS DOUBLE) * 4294967296.0
+         |           + CAST((($M64 - z) % 4294967296) AS DOUBLE))
+         |    ELSE CAST((z // 4294967296) AS DOUBLE) * 4294967296.0
+         |         + CAST((z % 4294967296) AS DOUBLE) END
+         |  / 9223372036854775807.0 AS val FROM fin),
+         |planes AS (SELECT j, list(val ORDER BY i) AS plane FROM pv GROUP BY j),
+         |sigs AS (SELECT e.vec_id, CAST(p.j // params.bits AS INTEGER) AS band,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+         |      THEN (1 << CAST(p.j % params.bits AS INTEGER)) ELSE 0 END) AS INTEGER) AS sig
+         |  FROM e, planes p, params GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2 FROM sigs a JOIN sigs b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT c.d1, c.d2,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |FROM cand c JOIN e a ON a.vec_id = c.d1 JOIN e b ON b.vec_id = c.d2
+         |WHERE list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin
+    },
+
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
