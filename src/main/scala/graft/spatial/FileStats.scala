@@ -126,6 +126,28 @@ case class FileStats(
   private def cmpMin(n: String, v: Any): Option[Int] = cmp(mins(n), v)
   private def cmpMax(n: String, v: Any): Option[Int] = cmp(maxs(n), v)
 
+  private def cmp(stat: Any, lit: Any): Option[Int] = ValueOrder.compare(stat, lit)
+}
+
+/** THE value comparator of the pruning layer — one seat shared by the
+  * inclusive metrics evaluator ([[FileStats]]), the footer min/max merge
+  * ([[FooterStats]]), and partition range projection
+  * ([[GraftFileIndex]]), so an ordering rule can never drift between
+  * them. Strings order by UTF-8 BYTES (Spark's own string order; UTF-16
+  * compareTo ranks supplementary characters below [U+E000, U+FFFF] and
+  * would flip pruning decisions against recorded bounds); numbers —
+  * including Catalyst Decimals — compare exactly through BigDecimal
+  * (immune to double rounding above 2^53). None = incomparable (nulls,
+  * NaN/Infinity, mixed string/number): every caller treats it as
+  * "cannot prune".
+  */
+private[spatial] object ValueOrder {
+  private def utf8(v: Any): Option[UTF8String] = v match {
+    case u: UTF8String => Some(u)
+    case s: String => Some(UTF8String.fromString(s))
+    case _ => None
+  }
+
   private def big(v: Any): Option[BigDecimal] = v match {
     case d: java.lang.Double if d.isNaN || d.isInfinite => None
     case f: java.lang.Float if f.isNaN || f.isInfinite => None
@@ -134,17 +156,11 @@ case class FileStats(
     case _ => None
   }
 
-  private def cmp(stat: Any, lit: Any): Option[Int] = (stat, lit) match {
-    case (null, _) => None // no stat → undetermined → treat as overlapping
-    // UTF-8 binary order to match how the bounds were computed (parquet
-    // footers + FooterStats merge): UTF-16 compareTo ranks supplementary
-    // characters below [U+E000, U+FFFF], which would flip pruning
-    // decisions against the recorded min/max
-    case (s: String, l: UTF8String) => Some(UTF8String.fromString(s).compareTo(l))
-    case (s: String, l: String) =>
-      Some(UTF8String.fromString(s).compareTo(UTF8String.fromString(l)))
-    // exact numeric comparison — immune to double rounding above 2^53
-    case _ => for (a <- big(stat); b <- big(lit)) yield a.compare(b)
+  def compare(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x, y) if utf8(x).isDefined || utf8(y).isDefined =>
+      for (p <- utf8(x); q <- utf8(y)) yield p.compareTo(q)
+    case _ => for (p <- big(a); q <- big(b)) yield p.compare(q)
   }
 }
 

@@ -95,18 +95,11 @@ object FooterStats {
       if ((keepMin && c <= 0) || (!keepMin && c >= 0)) p else v
   }
 
-  private def compare(a: Any, b: Any): Int = (a, b) match {
-    // UTF-8 binary order, NOT String.compareTo: parquet footer bounds and
-    // every consumer (FileStats.cmp, StatsAggregatePushdown.fold via
-    // UTF8String) order strings by UTF-8 bytes — UTF-16 code-unit order
-    // ranks surrogate pairs (U+10000+) BELOW U+E000..U+FFFF, which would
-    // record a wrong file min/max and mis-prune
-    case (x: String, y: String) =>
-      org.apache.spark.unsafe.types.UTF8String.fromString(x)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
-    case (x: Number, y: Number) => BigDecimal(x.toString).compare(BigDecimal(y.toString))
-    case _ => 0
-  }
+  // ONE comparator with the consumers of these bounds (FileStats.cmp,
+  // range projection): UTF-8 byte order for strings, exact BigDecimal
+  // for numbers. Incomparable → 0 = "keep the previous" (convert() drops
+  // NaN bounds before merge, so this arm never decides a real ordering).
+  private def compare(a: Any, b: Any): Int = ValueOrder.compare(a, b).getOrElse(0)
 
   /** Map a footer stat value to the manifest's literal-compatible repr;
     * None = unmappable (INT96, unknown annotations, NaN bounds).

@@ -68,10 +68,13 @@ class GraftFileIndex(
     StructType(partitionSchema.fields ++ extra)
   }
 
-  // partition values parsed once from each file's directory segments
+  // partition values from each file's directory segments — reusing the
+  // per-FileStats dirVals memo: manifest entries are cached per (table,
+  // version), so the segment parse happens once per file across ALL scan
+  // builds, not once per index construction
   private val partValues: Map[String, InternalRow] =
     if (pruneSchema.isEmpty) Map.empty
-    else stats.map(f => f.path -> parsePartRow(f.path)).toMap
+    else stats.map(f => f.path -> parsePartRow(f.dirVals)).toMap
 
   /** Full manifest, for planning-time consumers (aggregate pushdown). */
   def allStats: Seq[FileStats] = stats
@@ -87,9 +90,12 @@ class GraftFileIndex(
         kept.map(f => FileStatusWithMetadata(statuses(f.path)))))
     } else {
       val bound = partitionFilters.map(bindPart)
+      // compiled ONCE per listing: conjunct flattening and transform
+      // projection used to re-run for every partition group
+      val projChecks = projectionChecks(dataFilters)
       kept.groupBy(f => partValues(f.path))
         .filter { case (row, _) =>
-          bound.forall(p => p.eval(row) == true) && projectionOk(dataFilters, row)
+          bound.forall(p => p.eval(row) == true) && projChecks.forall(_(row))
         }
         .map { case (row, fs) =>
           PartitionDirectory(served(row), fs.map(f => FileStatusWithMetadata(statuses(f.path))))
@@ -130,112 +136,91 @@ class GraftFileIndex(
         case i => Some(t -> i)
       })
 
-  private def projectionOk(dataFilters: Seq[Expression], row: InternalRow): Boolean = {
-    if (transformIdx.isEmpty) return true
+  /** Compile the projectable conjuncts of `dataFilters` into
+    * per-partition row checks — ONCE per listing: conjunct flattening,
+    * pattern matching, AND the transform projection of every literal
+    * used to re-run for each partition group. Value ordering defers to
+    * [[ValueOrder]], the pruning layer's one comparator seat.
+    */
+  private def projectionChecks(dataFilters: Seq[Expression]): Seq[InternalRow => Boolean] = {
+    if (transformIdx.isEmpty) return Nil
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
+    def derived(row: InternalRow, i: Int): Any =
+      if (row.isNullAt(i)) null else row.get(i, pruneSchema(i).dataType)
+    /** `src IN values`: the partition survives unless every projected
+      * value disagrees with its derived value. A null derived value (no
+      * dir segment: older spec generation or a genuinely-null source)
+      * proves nothing — keep. One unprojectable literal voids the check.
+      */
+    def eqChecks(src: String, values: Seq[Any]): Seq[InternalRow => Boolean] =
+      transformIdx.filter(_._1.source == src).flatMap { case (t, i) =>
+        val projected = values.map(t.project)
+        if (projected.exists(_.isEmpty)) None
+        else {
+          val ps = projected.flatten
+          Some((row: InternalRow) => {
+            val cur = derived(row, i)
+            cur == null || ps.exists(valuesEqual(_, cur))
+          })
+        }
+      }
+    /** Range bound against a monotonic transform's derived value: with
+      * `lower = true`, keep iff derived >= project(bound) (the derived
+      * value of any row satisfying the predicate can't be below the
+      * projected bound; > collapses to >= because the transform is
+      * many-to-one). Incomparable values keep the partition.
+      */
+    def boundChecks(src: String, v: Any, lower: Boolean): Seq[InternalRow => Boolean] =
+      transformIdx.filter { case (t, _) => t.source == src && t.monotonic }
+        .flatMap { case (t, i) =>
+          t.project(v).map(p => (row: InternalRow) =>
+            ValueOrder.compare(derived(row, i), p) match {
+              case Some(c) => if (lower) c >= 0 else c <= 0
+              case None => true
+            })
+        }
     import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
-    dataFilters.flatMap(conjuncts).forall {
-      case EqualTo(a: AttributeReference, Literal(v, _)) => sourceOk(a.name, Seq(v), row)
-      case EqualTo(Literal(v, _), a: AttributeReference) => sourceOk(a.name, Seq(v), row)
+    dataFilters.flatMap(conjuncts).flatMap {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => eqChecks(a.name, Seq(v))
+      case EqualTo(Literal(v, _), a: AttributeReference) => eqChecks(a.name, Seq(v))
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        sourceOk(a.name, vs.map(_.asInstanceOf[Literal].value), row)
+        eqChecks(a.name, vs.map(_.asInstanceOf[Literal].value))
       // OptimizeIn converts 10+-value IN-lists to InSet BEFORE this code
       // runs — without this arm exactly the hash-scattered large-IN
       // workloads hidden partitioning exists for lost all dir pruning
       case org.apache.spark.sql.catalyst.expressions.InSet(a: AttributeReference, vs) =>
-        sourceOk(a.name, vs.toSeq, row)
+        eqChecks(a.name, vs.toSeq)
       // range projection for MONOTONIC transforms: src >= L ⇒ derived >= t(L)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = true)
-      case GreaterThan(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = true)
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = false)
-      case LessThan(a: AttributeReference, Literal(v, _)) => boundOk(a.name, v, row, lower = false)
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = false)
-      case GreaterThan(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = false)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = true)
-      case LessThan(Literal(v, _), a: AttributeReference) => boundOk(a.name, v, row, lower = true)
-      case _ => true // other shapes: no projection, stay conservative
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => boundChecks(a.name, v, lower = true)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => boundChecks(a.name, v, lower = true)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => boundChecks(a.name, v, lower = false)
+      case LessThan(a: AttributeReference, Literal(v, _)) => boundChecks(a.name, v, lower = false)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => boundChecks(a.name, v, lower = false)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => boundChecks(a.name, v, lower = false)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => boundChecks(a.name, v, lower = true)
+      case LessThan(Literal(v, _), a: AttributeReference) => boundChecks(a.name, v, lower = true)
+      case _ => Nil // other shapes: no projection, stay conservative
     }
   }
 
-  /** Range bound against a monotonic transform's derived value: with
-    * `lower = true`, keep iff derived >= project(bound) (the derived value
-    * of any row satisfying the predicate can't be below the projected
-    * bound; > collapses to >= because the transform is many-to-one).
+  /** Equality defers to [[ValueOrder]] where an order exists; the
+    * remaining shapes (NaN/Infinity partition values — BigDecimal would
+    * throw; booleans) compare textually, both sides having come through
+    * the same cast/format path.
     */
-  private def boundOk(src: String, v: Any, row: InternalRow, lower: Boolean): Boolean =
-    transformIdx.filter { case (t, _) => t.source == src && t.monotonic }
-      .forall { case (t, i) =>
-        val cur = if (row.isNullAt(i)) null else row.get(i, pruneSchema(i).dataType)
-        t.project(v) match {
-          case Some(p) => compareValues(cur, p) match {
-            case Some(c) => if (lower) c >= 0 else c <= 0
-            case None => true
-          }
-          case None => true
-        }
-      }
-
-  // UTF-8 binary order (Spark's own string comparison), never UTF-16
-  // compareTo — they diverge for supplementary characters, and a range
-  // projection through the wrong order prunes partitions holding matches.
-  // Non-finite doubles (NaN/Infinity) decline: BigDecimal can't carry
-  // them and pruning conservatively keeps the partition.
-  private def utf8(v: Any): UTF8String = v match {
-    case u: UTF8String => u
-    case other => UTF8String.fromString(String.valueOf(other))
-  }
-  private def finite(n: Number): Boolean = n match {
-    case d: java.lang.Double => !d.isNaN && !d.isInfinite
-    case f: java.lang.Float => !f.isNaN && !f.isInfinite
-    case _ => true
-  }
-  private def compareValues(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (null, _) | (_, null) => None
-    case (x: UTF8String, y) => Some(utf8(x).compareTo(utf8(y)))
-    case (x, y: UTF8String) => Some(utf8(x).compareTo(utf8(y)))
-    case (x: String, y) => Some(utf8(x).compareTo(utf8(y)))
-    case (x: Number, y: Number) if finite(x) && finite(y) =>
-      Some(BigDecimal(x.toString).compare(BigDecimal(y.toString)))
-    case _ => None
-  }
-
-  /** This partition can satisfy `src IN values` unless every projected
-    * value disagrees with the partition's derived value.
-    */
-  private def sourceOk(src: String, values: Seq[Any], row: InternalRow): Boolean =
-    transformIdx.filter(_._1.source == src).forall { case (t, i) =>
-      val cur = if (row.isNullAt(i)) null else row.get(i, pruneSchema(i).dataType)
-      // no derived directory in this file's path: written under another
-      // spec generation (partition evolution) or a genuinely-null source —
-      // either way the transform proves nothing, keep the file
-      cur == null ||
-        values.exists { v =>
-          t.project(v) match {
-            case Some(p) => valuesEqual(p, cur)
-            case None => true // unprojectable literal: cannot prune
-          }
-        }
-    }
-
   private def valuesEqual(a: Any, b: Any): Boolean = (a, b) match {
     case (null, null) => true
     case (null, _) | (_, null) => false
-    case (x: UTF8String, y) => x.toString == String.valueOf(y)
-    case (x, y: UTF8String) => String.valueOf(x) == y.toString
-    // NaN/Infinity partition values: compare textually (both sides came
-    // through the same cast/format path) — BigDecimal would throw and
-    // abort planning
-    case (x: Number, y: Number) if finite(x) && finite(y) =>
-      BigDecimal(x.toString) == BigDecimal(y.toString)
-    case (x: Number, y: Number) => x.toString == y.toString
-    case _ => a == b
+    case _ => ValueOrder.compare(a, b) match {
+      case Some(c) => c == 0
+      case None => String.valueOf(a) == String.valueOf(b)
+    }
   }
 
-  private def parsePartRow(rel: String): InternalRow = {
-    val kv = PartitionPaths.dirValues(rel)
+  private def parsePartRow(kv: Map[String, String]): InternalRow = {
     InternalRow.fromSeq(pruneSchema.map { f =>
       kv.get(f.name) match {
         case None | Some(PartitionPaths.NullSentinel) => null
