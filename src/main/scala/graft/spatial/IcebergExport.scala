@@ -130,9 +130,13 @@ object IcebergExport {
     // Iceberg sequence numbers — both engines scope an equality delete to
     // STRICTLY-older data files, so any order-preserving map is exact.
     val hasDeletes = posFiles.nonEmpty || eqFiles.nonEmpty
+    // a legacy eq-delete seq of 0 means "applies to EVERY file" in graft
+    // (EqDelete.appliesTo) — it must rank ABOVE all data sequences, or
+    // the v2 strictly-older rule would apply it to nothing
+    def eqSeq(e: EqDelete): Int = if (e.seq == 0) Int.MaxValue else e.seq
     val ranks: Map[Int, Long] =
       if (!hasDeletes) Map.empty
-      else (files.map(_.addedV) ++ eqFiles.map(_.seq)).distinct.sorted
+      else (files.map(_.addedV) ++ eqFiles.map(eqSeq)).distinct.sorted
         .zipWithIndex.map { case (s, i) => s -> (i + 1L) }.toMap
     def dataSeq(f: FileStats): Long = if (hasDeletes) ranks(f.addedV) else 1L
     val maxSeq = if (hasDeletes) ranks.values.max else 1L
@@ -215,7 +219,7 @@ object IcebergExport {
       val df = spark.read.parquet(s"$abs/${e.path}")
         .select(fs.map(f => col(f.name).as(f.name, fieldId(f.id.toLong))): _*)
       val rows = writeOneParquet(df, out)
-      DelFile(out.toString, Files.size(out), rows, 2, fs.map(_.id), ranks(e.seq))
+      DelFile(out.toString, Files.size(out), rows, 2, fs.map(_.id), ranks(eqSeq(e)))
     }
     val delFiles = posOut ++ eqOut
     val delManifest: Option[(java.nio.file.Path, Long)] =
@@ -601,27 +605,10 @@ object IcebergExport {
       |]},"element-id":508}],"default":null,"field-id":507}
       |]}""".stripMargin
 
-  /** Write `df` as exactly one parquet file at `target` (driver-adjacent:
-    * delete files are tiny next to the data they mask). Returns the row
-    * count.
-    */
+  /** One seat with the MoR delete writers: [[Snapshots.writeSingleParquet]]. */
   private def writeOneParquet(df: org.apache.spark.sql.DataFrame,
-      target: java.nio.file.Path): Long = {
-    val tmp = Files.createTempDirectory("graft_ice_del").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Snapshots.listDir(Paths.get(tmp))(_.toSeq)
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-    require(part.size == 1, s"expected one parquet part in $tmp")
-    Files.move(part.head, target,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Snapshots.walkDir(Paths.get(tmp))(_.toSeq).reverse
-      .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
-    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(target.toString),
-      new org.apache.hadoop.conf.Configuration())
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum finally r.close()
-  }
+      target: java.nio.file.Path): Long =
+    Snapshots.writeSingleParquet(df, target)
 
   private def writeAvro(target: java.nio.file.Path, schema: Schema,
       meta: Map[String, String], rows: Seq[GenericData.Record]): Long = {

@@ -82,7 +82,7 @@ object IcebergImport {
     if (geomProps.nonEmpty) GeometryFields.putUnchecked(target, geomProps)
 
     val (dataEntries, posDels, eqDels) = meta.manifestList match {
-      case Some(ml) => readManifests(ml, meta.formatVersion)
+      case Some(ml) => readManifests(ml)
       case None => (Nil, Nil, Nil) // no current snapshot: schema-only import
     }
     dataEntries.foreach { e =>
@@ -459,8 +459,10 @@ object IcebergImport {
 
   /** Read the manifest list and every reachable manifest. Returns live
     * data entries, position-delete entries, equality-delete entries.
+    * (v1 manifests simply lack the v2 fields — Avro field-presence
+    * defaults handle both versions in one pass.)
     */
-  private def readManifests(manifestList: String, formatVersion: Int)
+  private def readManifests(manifestList: String)
       : (Seq[DataEntry], Seq[DeleteEntry], Seq[DeleteEntry]) = {
     val data = Seq.newBuilder[DataEntry]
     val pos = Seq.newBuilder[DeleteEntry]
@@ -479,11 +481,14 @@ object IcebergImport {
             .collect { case l: java.lang.Long => l.longValue() }
             .getOrElse(mSeq)
           val path = df.get("file_path").toString
+          // null values stay IN the map: a delete file scoped to the
+          // NULL partition must not masquerade as an unscoped (global)
+          // delete — the scope check below refuses it loudly
           val partVals = Option(df.get("partition"))
             .collect { case r: GenericRecord =>
               r.getSchema.getFields.asScala.map { f =>
                 f.name() -> avroValue(f.schema(), r.get(f.pos()))
-              }.filter(_._2 != null).toMap
+              }.toMap
             }.getOrElse(Map.empty[String, Any])
           (mContent, content) match {
             case (0, 0) =>
@@ -598,13 +603,18 @@ object IcebergImport {
   }
 
   /** A partition value as a Spark literal input (for the eq-delete
-    * partition-scope constant columns).
+    * partition-scope constant columns). Timestamps keep MICROSECOND
+    * precision — a millis-rounded java.sql.Timestamp would never equal
+    * any table value and silently stop the delete from applying.
     */
   private def toSparkLiteral(v: Any, dt: DataType): Any = (v, dt) match {
     case (d: java.time.LocalDate, DateType) => java.sql.Date.valueOf(d)
     case (micros: Long, TimestampType) =>
-      new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L +
-        Math.floorMod(micros, 1000000L) / 1000L)
+      java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        Math.floorMod(micros, 1000000L) * 1000L)
+    case (micros: Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
     case (bd: BigDecimal, _: DecimalType) => bd
     case (other, _) => other
   }
@@ -620,15 +630,7 @@ object IcebergImport {
   private def writeMorFile(spark: SparkSession,
       target: String, df: org.apache.spark.sql.DataFrame, kind: String): String = {
     val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
-    val tmp = Files.createTempDirectory("graft_import").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Snapshots.listDir(Paths.get(tmp))(_.toSeq)
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-    require(part.size == 1, s"expected one parquet part in $tmp")
-    Files.createDirectories(Paths.get(target, "_graft_deletes"))
-    Files.move(part.head, Paths.get(target, name))
-    Snapshots.walkDir(Paths.get(tmp))(_.toSeq).reverse
-      .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+    Snapshots.writeSingleParquet(df, Paths.get(target, name))
     name
   }
 }

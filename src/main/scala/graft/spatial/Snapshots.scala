@@ -1135,7 +1135,10 @@ object Snapshots {
                 org.apache.spark.sql.functions.lit(v.orNull).cast(dt))
             }
           }
-        }.reduce(_ unionByName _))
+          // allowMissingColumns: groups infer their own schemas, and files
+          // written before a column was added (schema evolution) must not
+          // fail the whole rewrite read
+        }.reduce(_.unionByName(_, allowMissingColumns = true)))
       }
     val raw = (relDf, absDf) match {
       case (Some(r), Some(a)) => r.unionByName(a, allowMissingColumns = true)
@@ -1882,32 +1885,42 @@ object Snapshots {
     */
   private def writeDeleteFile(df: DataFrame, path: String, kind: String): (String, Long) = {
     val name = s"_graft_deletes/$kind-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
-    val tmp = Files.createTempDirectory("graft_del").toString
     // delete files honor write.delete.parquet.compression-* (falling back
     // to the data-file family) — the reference's DELETE_PARQUET_COMPRESSION
     val delProps =
       if (currentVersion(path) > 0) readProps(path) else Map.empty[String, String]
-    compressionOpts(df.sparkSession, delProps, delete = true)
-      .foldLeft(df.coalesce(1).write.mode("overwrite"))(
-        (acc, kv) => acc.option(kv._1, kv._2))
-      .parquet(tmp)
+    val rows = writeSingleParquet(df, Paths.get(path, name),
+      compressionOpts(df.sparkSession, delProps, delete = true))
+    (name, rows)
+  }
+
+  /** Write `df` as exactly ONE parquet file at `target` — the one seat
+    * for the temp-dir stage + move + debris cleanup + footer row count
+    * dance shared by MoR delete files and the Iceberg-interop rewritten
+    * sidecars (all driver-adjacent: tiny next to the data they
+    * describe). Returns the row count from the footer, so callers can
+    * no-op on empty frames without a second scan.
+    */
+  private[graft] def writeSingleParquet(df: DataFrame, target: java.nio.file.Path,
+      options: Seq[(String, String)] = Nil): Long = {
+    val tmp = Files.createTempDirectory("graft_one").toString
+    options.foldLeft(df.coalesce(1).write.mode("overwrite"))(
+      (acc, kv) => acc.option(kv._1, kv._2)).parquet(tmp)
     val src = listDir(Paths.get(tmp))(
       _.filter(_.getFileName.toString.endsWith(".parquet")).foldLeft(
         null: java.nio.file.Path)((_, p) => p))
-    require(src != null, "no delete rows written")
-    // row count from the footer (driver-side, one file) — callers use it
-    // to no-op empty DMLs without a second scan of the matched-rows plan
+    require(src != null, s"no rows written for $target")
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(src.toUri),
       df.sparkSession.sessionState.newHadoopConf())
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     val rows = try reader.getRecordCount finally reader.close()
-    Files.createDirectories(Paths.get(path, "_graft_deletes"))
-    Files.move(src, Paths.get(path, name))
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    Files.move(src, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the temp dir still holds _SUCCESS/.crc debris — one leaked dir per
-    // MoR DML statement adds up on a long-lived driver
+    // statement adds up on a long-lived driver
     walkDir(Paths.get(tmp))(_.toSeq).reverse.foreach(Files.deleteIfExists(_))
-    (name, rows)
+    rows
   }
 
   /** Apply equality delete files: anti-join on each file's equality

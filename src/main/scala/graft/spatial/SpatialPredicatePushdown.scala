@@ -110,12 +110,14 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
           case b: AttributeReference if b.name == s"${a.name}_bbox" &&
             isShadowStruct(b.dataType) => b
         }
-        cands match {
+        // the qualifier check applies to a SINGLE candidate too: in a
+        // join where only the OTHER relation's same-named shadow survived
+        // column pruning, binding it would inject a bbox conjunct over
+        // the wrong row's envelope and silently DROP matching rows —
+        // same-relation attributes always share the geometry's qualifier
+        cands.filter(_.qualifier == a.qualifier) match {
           case Seq(one) => Some(one)
-          case several => several.filter(_.qualifier == a.qualifier) match {
-            case Seq(one) => Some(one)
-            case _ => None
-          }
+          case _ => None
         }
       }
     } yield {

@@ -406,4 +406,41 @@ class GeoSpec extends AnyFunSuite {
     assert(got == Set(0L, 3L),
       s"the OR across both sides must keep both matches: $got")
   }
+
+  // NOTE: the wrong-relation single-candidate bind is believed
+  // UNREACHABLE today — deterministic above-join predicates fold into
+  // the JOIN condition (no Filter node, the rule never fires; verified
+  // against the optimized plan) — so this is a correctness regression
+  // test for the OR-above-join shape plus defense-in-depth for the
+  // qualifier-checked single-candidate arm, not a bug pin.
+  test("cross-table OR with one side's shadow pruned keeps matching rows " +
+      "(wrong-relation shadow must never bind — single candidates are " +
+      "qualifier-checked too)") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_1cbbox").toString
+    val dirA = s"$base/a"
+    val dirB = s"$base/b"
+    GeoTable.write(spark.range(4).selectExpr("id",
+      "st_point(CAST(id * 10 AS DOUBLE), CAST(0 AS DOUBLE)) AS g"), dirA, "g")
+    GeoTable.write(spark.range(4).selectExpr("id",
+      "st_point(CAST(1000 + id AS DOUBLE), CAST(0 AS DOUBLE)) AS g"), dirB, "g")
+    val a = GeoTable.read(spark, dirA)
+    val b = GeoTable.read(spark, dirB)
+    // the OR across both sides pins the filter ABOVE the join; selecting
+    // only b's shadow lets column pruning drop a.g_bbox below it — the
+    // a-side translate then sees exactly ONE g_bbox, the WRONG relation's
+    // (x≈1000, misses the query box) — and a.id=0 matches the original
+    // predicate but neither injected bbox arm
+    val j = a.as("a").join(b.as("b"),
+        org.apache.spark.sql.functions.expr("a.id = b.id"))
+      .where("st_intersects(a.g, st_makeenvelope(CAST(-1 AS DOUBLE), " +
+        "CAST(-1 AS DOUBLE), CAST(1 AS DOUBLE), CAST(1 AS DOUBLE))) OR " +
+        "st_intersects(b.g, st_makeenvelope(CAST(500 AS DOUBLE), " +
+        "CAST(-1 AS DOUBLE), CAST(501 AS DOUBLE), CAST(1 AS DOUBLE)))")
+      .selectExpr("a.id", "b.g_bbox")
+    val got = j.collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L),
+      s"binding the other relation's bbox must decline, not drop rows: $got")
+  }
 }

@@ -291,6 +291,47 @@ class IcebergImportSpec extends AnyFunSuite {
         s"B's seq-3 (4,3): ${rowsOf(got)}")
   }
 
+  test("fixture partition-SCOPED equality delete: the scope narrows to " +
+      "constant identity partition columns — matching keys in OTHER " +
+      "partitions stay live; a NULL-partition scope refuses loudly") {
+    val base = Files.createTempDirectory("graft_imp_scope").toString
+    import spark.implicits._
+    // k=3 exists in BOTH partitions; the delete is scoped to p=10 only
+    val fA = oneParquet(s"$base/dA", Seq((1L, 3, 10), (2L, 4, 10)).toDF("id", "k", "p"))
+    val fB = oneParquet(s"$base/dB", Seq((3L, 3, 20)).toDF("id", "k", "p"))
+    val fEq = oneParquet(s"$base/de", Seq(Tuple1(3)).toDF("k"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"int"},
+        |{"id":3,"name":"p","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    val spec = """{"name":"p","transform":"identity","source-id":3,"field-id":1000}"""
+    val partAvro =
+      """{"name":"p","type":["null","int"],"default":null,"field-id":1000}"""
+    writeFixture(base, schema, spec, Map.empty, partAvro, Seq(
+      FixtureEntry(fA, 2L, 1L, 0, Map("p" -> 10)),
+      FixtureEntry(fB, 1L, 1L, 0, Map("p" -> 20)),
+      FixtureEntry(fEq, 1L, 2L, 2, Map("p" -> 10), eqIds = Seq(2))))
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    assert(rowsOf(Snapshots.read(spark, target)) == Set("2|4|10", "3|3|20"),
+      "the p=10 k=3 row deletes; the p=20 k=3 row must stay live")
+
+    // NULL-partition scope: graft's constant-column narrowing would make
+    // the delete match NOTHING (SQL null-key joins) — refuse instead
+    val b2 = Files.createTempDirectory("graft_imp_nullscope").toString
+    val f2 = oneParquet(s"$b2/d", Seq((1L, 3, 10)).toDF("id", "k", "p"))
+    val fe2 = oneParquet(s"$b2/de", Seq(Tuple1(3)).toDF("k"))
+    writeFixture(b2, schema, spec, Map.empty, partAvro, Seq(
+      FixtureEntry(f2, 1L, 1L, 0, Map("p" -> 10)),
+      FixtureEntry(fe2, 1L, 2L, 2, Map("p" -> null), eqIds = Seq(2))))
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, b2, s"$b2/t")
+    }
+    assert(e.getMessage.contains("NULL partition"), e.getMessage)
+  }
+
   test("fixture refusals are loud: record-count mismatch, non-parquet " +
       "format, unknown equality field id") {
     import spark.implicits._

@@ -563,6 +563,107 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       s"id deleted after TWO chained compactions must not surface: ${c2.toSeq}")
   }
 
+  test("REMAP over a HIVE-PARTITIONED corpus: remap entries whose file " +
+      "names contain '=' round-trip the src mapping (the NUL-separated " +
+      "codec — a lastIndexOf('=') decode split hive-dir VALUES mid-path " +
+      "and silently no-op'd the canonicalization), so a post-compaction " +
+      "MoR delete stays suppressed") {
+    import graft.spatial.{GeoTable, Snapshots}
+    val base = Files.createTempDirectory("graft_vil_hp").toString
+    val tbl = s"$base/corpus_part"
+    def vecs(a: Long, b: Long) = spark.range(a, b).selectExpr(
+      "id AS vec_id", "CAST(id % 2 AS INT) AS p",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+    vecs(0, 400).coalesce(1).write.partitionBy("p").parquet(tbl)
+    GeoTable.writeManifest(spark, tbl, partitionCols = Seq("p"))
+    Snapshots.append(vecs(1000, 1030).coalesce(1), tbl)
+    val idx = s"$base/gindex_part"
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+
+    val (_, rewritten) = Snapshots.rewriteDataFiles(spark, tbl, "binpack",
+      targetFileSize = Some(512L * 1024 * 1024))
+    assert(rewritten > 0, "fixture must compact")
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    assert(Similarity.indexStateAt(idx, tbl) == Similarity.IndexFresh,
+      "the partitioned compaction must REMAP, not rebuild")
+    val remap = Snapshots.readProps(idx).getOrElse("graft.index.src-remap", "")
+    assert(remap.contains("="),
+      s"fixture must exercise '='-bearing file names in the mapping: $remap")
+
+    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
+    val filesBefore = Snapshots.readManifest(tbl).map(_.path).toSet
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("vec_id") < 5)
+    assert(Snapshots.readManifest(tbl).map(_.path).toSet == filesBefore,
+      "fixture must be a genuine MoR delete")
+    val cand = Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100").collect()
+    assert(cand.nonEmpty && cand.forall(_.getLong(1) >= 5),
+      s"deleted rows must not surface through a hive-path remap: ${cand.toSeq}")
+    assert(Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id < 5").collect().isEmpty,
+      "deleted ids must not be query points after a hive-path remap")
+  }
+
+  test("mergeSrcRemap prunes identity entries (plan-literal growth stays " +
+      "bounded) and still chains canonicals through later merges") {
+    def resolve(m: Map[String, String], f: String) = m.getOrElse(f, f)
+    val m1 = Similarity.mergeSrcRemap(Map.empty,
+      removed = Set("p=1/b.parquet", "p=1/c.parquet"), added = Set("p=1/a.parquet"))
+    // the canonical's own identity entry must be pruned; resolution falls
+    // back to the raw name, so the group still agrees
+    assert(!m1.exists { case (k, v) => k == v }, s"identity entries must prune: $m1")
+    val all1 = Set("p=1/a.parquet", "p=1/b.parquet", "p=1/c.parquet")
+      .map(resolve(m1, _))
+    assert(all1.size == 1, s"one canonical for the whole group: $m1")
+    // second merge removing a group member: union-find must chain even
+    // though the canonical's identity entry was pruned
+    val m2 = Similarity.mergeSrcRemap(m1,
+      removed = Set("p=1/a.parquet"), added = Set("p=1/z.parquet"))
+    assert(!m2.exists { case (k, v) => k == v })
+    val all2 = Set("p=1/a.parquet", "p=1/b.parquet", "p=1/c.parquet", "p=1/z.parquet")
+      .map(resolve(m2, _))
+    assert(all2.size == 1 && all2 == all1,
+      s"the merged group must share the FIRST group's canonical: $m2")
+
+    // CROSS-GROUP merge retiring a canonical that is in NEITHER removed
+    // nor added: its pruned identity entry has nothing to rewrite, so the
+    // displaced canonical must re-enter the map explicitly — without it,
+    // rows encoded from that file stop matching post-merge deletes
+    val gA = Similarity.mergeSrcRemap(Map.empty,
+      removed = Set("a1", "a2"), added = Set("c"))
+    val gAB = Similarity.mergeSrcRemap(gA,
+      removed = Set("x1", "x2"), added = Set("z"))
+    val gAll = Similarity.mergeSrcRemap(gAB,
+      removed = Set("c", "z"), added = Set("n"))
+    assert(!gAll.exists { case (k, v) => k == v })
+    val res = Set("a1", "a2", "c", "x1", "x2", "z", "n").map(resolve(gAll, _))
+    assert(res.size == 1,
+      s"every member of both retired groups must share ONE canonical " +
+        s"(displaced canonicals included): $gAll")
+  }
+
+  test("a malformed graft.ann.query-broadcast-bytes fails with the property " +
+      "named, not a bare NumberFormatException") {
+    import graft.spatial.GeoTable
+    val base = Files.createTempDirectory("graft_vil_conf").toString
+    val tbl = s"$base/corpus"
+    spark.range(0, 300).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    val idx = s"$base/gindex"
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    spark.conf.set("graft.ann.query-broadcast-bytes", "64MB")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.queryVectorIndexAt(spark, tbl, idx,
+          queryFilter = "vec_id = 100").collect()
+      }
+      assert(e.getMessage.contains("graft.ann.query-broadcast-bytes") &&
+        e.getMessage.contains("64MB"), e.getMessage)
+    } finally spark.conf.unset("graft.ann.query-broadcast-bytes")
+  }
+
   test("query-batch broadcast is SIZE-GATED: above the byte gate the hint " +
       "drops (no forced BroadcastExchange) and answers stay identical") {
     val dir = Files.createTempDirectory("graft_vil_bc").toString
