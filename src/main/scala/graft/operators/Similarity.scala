@@ -631,7 +631,9 @@ object Similarity {
 
   // newline-separated entries: file paths cannot contain '\n', while ','
   // CAN appear in hive partition values; the stamp after the LAST '='
-  // never contains '=' itself, so keys with '=' (hive dirs) parse right
+  // never contains '=' itself, so keys with '=' (hive dirs) parse right.
+  // STAMP maps only — a remap entry's VALUE is itself a file name and
+  // needs [[encodeRemapMap]].
   private def encodeFileMap(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("\n")
 
@@ -640,6 +642,29 @@ object Similarity {
     else s.split('\n').map { kv =>
       val i = kv.lastIndexOf('=')
       kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+
+  /** Remap-map encoding: BOTH sides are file names, which may contain
+    * '=' (hive partition dirs) but never NUL — a lastIndexOf('=') decode
+    * would split a hive-dir VALUE in the middle, silently no-op the
+    * canonicalization, and resurface post-compaction deletes. Decode
+    * falls back to the legacy '=' form for indexes committed before the
+    * separator change (only values without '=' ever decoded correctly
+    * there, so the fallback loses nothing).
+    */
+  private def encodeRemapMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k\u0000$v" }.mkString("\n")
+
+  private def decodeRemapMap(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split('\n').map { kv =>
+      val i = kv.indexOf('\u0000')
+      if (i >= 0) kv.substring(0, i) -> kv.substring(i + 1)
+      else {
+        val j = kv.lastIndexOf('=')
+        require(j >= 0, s"corrupt $SrcRemapProp entry (no separator): '$kv'")
+        kv.substring(0, j) -> kv.substring(j + 1)
+      }
     }.toMap
 
   /** What the persisted index needs to catch up with its corpus.
@@ -666,8 +691,19 @@ object Similarity {
       removed: Set[String], added: Set[String]): Map[String, String] = {
     val canons = removed.map(f => m.getOrElse(f, f))
     val canon = canons.min
-    m.map { case (k, v) => k -> (if (canons(v)) canon else v) } ++
-      (removed ++ added).map(_ -> canon)
+    // identity entries prune: query-time lookup falls back to the raw
+    // name (coalesce), and a LATER merge re-derives a pruned file's
+    // canonical via getOrElse(f, f) = f before re-adding it — so the map
+    // carries only files whose canonical DIFFERS, bounding per-query
+    // plan-literal growth on long compaction histories. DISPLACED old
+    // canonicals (`canons`) must re-enter explicitly: when a cross-group
+    // merge retires a group's canonical that is in neither `removed` nor
+    // `added`, its pruned identity entry has nothing to rewrite — without
+    // the re-add, index rows encoded from that file would stop matching
+    // post-merge deletes and resurface.
+    (m.map { case (k, v) => k -> (if (canons(v)) canon else v) } ++
+      (removed ++ added ++ canons).map(_ -> canon))
+      .filter { case (k, v) => k != v }
   }
 
   /** Classify the index against the live corpus: every indexed file
@@ -695,7 +731,7 @@ object Similarity {
           java.nio.file.Paths.get(corpusPath).toAbsolutePath.toString))
       return IndexRebuild
     val stored = decodeFileMap(p(SourceFilesProp))
-    val remap0 = decodeFileMap(p.getOrElse(SrcRemapProp, ""))
+    val remap0 = decodeRemapMap(p.getOrElse(SrcRemapProp, ""))
     val (cur, curV) = captureCorpus(corpusPath)
     if (cur == stored) return IndexFresh
     if (stored.isEmpty) return IndexRebuild
@@ -810,7 +846,7 @@ object Similarity {
         graft.spatial.Snapshots.updateProperties(indexPath, Map(
           SourceFilesProp -> encodeFileMap(stamp),
           SourceVersionProp -> srcV.toString) ++
-          (if (remap.nonEmpty) Map(SrcRemapProp -> encodeFileMap(remap))
+          (if (remap.nonEmpty) Map(SrcRemapProp -> encodeRemapMap(remap))
            else Map.empty))
       case IndexRebuild => buildVectorIndexAt(s, corpusPath, indexPath, idCol, vecCol)
     }
@@ -998,7 +1034,7 @@ object Similarity {
     graft.spatial.Snapshots.append(coded, indexPath,
       props = Map(SourceFilesProp -> encodeFileMap(stampMap),
         SourceVersionProp -> sourceVersion.toString) ++
-        (if (srcRemap.nonEmpty) Map(SrcRemapProp -> encodeFileMap(srcRemap))
+        (if (srcRemap.nonEmpty) Map(SrcRemapProp -> encodeRemapMap(srcRemap))
          else Map.empty))
     newFiles.map(_.toString)
   }
@@ -1052,7 +1088,7 @@ object Similarity {
     // mapping is index metadata, a literal in the plan; identity when no
     // remap ever happened). Without it a row deleted after a compaction
     // would never match the anti-join and resurface (r13 advisor, high).
-    val srcRemap = decodeFileMap(props.getOrElse(SrcRemapProp, ""))
+    val srcRemap = decodeRemapMap(props.getOrElse(SrcRemapProp, ""))
     def canonSrc(c: Column): Column =
       if (srcRemap.isEmpty) c else coalesce(element_at(typedlit(srcRemap), c), c)
     def dropDeleted(df: DataFrame): DataFrame = delIds match {
@@ -1106,8 +1142,16 @@ object Similarity {
     // (cell=probe is an equi key, so a shuffled hash join is available).
     val qRows = q.count() // q is eagerly checkpointed — this is a cheap job
     val qBytes = qRows * (60L + 8L * cents.head.size + 8L * m * books.head.size)
-    val qGate = s.sessionState.conf.getConfString(
-      "graft.ann.query-broadcast-bytes", (64L << 20).toString).toLong
+    // parse with the property NAMED: a malformed size knob still fails
+    // (deliberately — silently falling back could broadcast a batch the
+    // user meant to cap), but diagnosably, never as a bare
+    // NumberFormatException deep in planning
+    val qGateRaw = s.sessionState.conf.getConfString(
+      "graft.ann.query-broadcast-bytes", (64L << 20).toString)
+    val qGate = try qGateRaw.trim.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft.ann.query-broadcast-bytes must be a byte count, got '$qGateRaw'")
+    }
     val adc = codes.join(if (qBytes <= qGate) broadcast(q) else q, probeMatch)
       .dropDuplicates("qid", "vec_id")
       .withColumn("adist", aggregate(
@@ -1496,6 +1540,48 @@ object Similarity {
       e.select((col("vec_id") +: projCols): _*)
   }
 
+  /** The shared DuckDB CTE prefix of the LSH oracles: embeddings, sized
+    * bits, splitmix64 planes, band signatures — byte-exact with the
+    * Spark kernels (see the `dedup_embed_cosine` comment below).
+    */
+  private val LshSigsCte: String = {
+    val M64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val C1 = "CAST('11400714819323198485' AS HUGEINT)"
+    val C2 = "CAST('13787848793156543929' AS HUGEINT)"
+    val C3 = "CAST('10723151780598845931' AS HUGEINT)"
+    def mulmod(c: String): String =
+      s"""((z % 4294967296) * (($c) % 4294967296)
+         | + (((z % 4294967296) * (($c) // 4294967296)
+         |     + (z // 4294967296) * (($c) % 4294967296)) % 4294967296) * 4294967296
+         |) % $M64""".stripMargin
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |params AS (SELECT 4 AS bands,
+       |  LEAST(16, GREATEST(4, CAST(ceil(log2(count(*) / 32.0 + 1)) AS INTEGER))) AS bits
+       |  FROM e),
+       |ji AS (SELECT j.j AS j, i.i AS i FROM params,
+       |  unnest(generate_series(CAST(0 AS BIGINT), CAST(bands * bits - 1 AS BIGINT))) AS j(j),
+       |  unnest(generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT))) AS i(i)),
+       |s0 AS (SELECT j, i, (CAST(j AS HUGEINT) * 1009 + i + $C1) % $M64 AS z FROM ji),
+       |x1 AS (SELECT j, i, xor(z, z // 1073741824) AS z FROM s0),
+       |m1 AS (SELECT j, i, ${mulmod(C2)} AS z FROM x1),
+       |x2 AS (SELECT j, i, xor(z, z // 134217728) AS z FROM m1),
+       |m2 AS (SELECT j, i, ${mulmod(C3)} AS z FROM x2),
+       |fin AS (SELECT j, i, xor(z, z // 2147483648) AS z FROM m2),
+       |pv AS (SELECT j, i,
+       |  CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
+       |    THEN -(CAST((($M64 - z) // 4294967296) AS DOUBLE) * 4294967296.0
+       |           + CAST((($M64 - z) % 4294967296) AS DOUBLE))
+       |    ELSE CAST((z // 4294967296) AS DOUBLE) * 4294967296.0
+       |         + CAST((z % 4294967296) AS DOUBLE) END
+       |  / 9223372036854775807.0 AS val FROM fin),
+       |planes AS (SELECT j, list(val ORDER BY i) AS plane FROM pv GROUP BY j),
+       |sigs AS (SELECT e.vec_id, CAST(p.j // params.bits AS INTEGER) AS band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
+       |      THEN (1 << CAST(p.j % params.bits AS INTEGER)) ELSE 0 END) AS INTEGER) AS sig
+       |  FROM e, planes p, params GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Byte-exact twin of the banded random-hyperplane dedup: the
     // splitmix64 plane generator is replayed in HUGEINT arithmetic
@@ -1509,42 +1595,8 @@ object Similarity {
     // self-join, and the exact cosine filter then mirror the Spark plan
     // one-to-one — verified identical pair sets AND rounded values at
     // sf0.001 and sf0.01.
-    "dedup_embed_cosine" -> {
-      val M64 = "CAST('18446744073709551616' AS HUGEINT)"
-      val C1 = "CAST('11400714819323198485' AS HUGEINT)"
-      val C2 = "CAST('13787848793156543929' AS HUGEINT)"
-      val C3 = "CAST('10723151780598845931' AS HUGEINT)"
-      def mulmod(c: String): String =
-        s"""((z % 4294967296) * (($c) % 4294967296)
-           | + (((z % 4294967296) * (($c) // 4294967296)
-           |     + (z // 4294967296) * (($c) % 4294967296)) % 4294967296) * 4294967296
-           |) % $M64""".stripMargin
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |params AS (SELECT 4 AS bands,
-         |  LEAST(16, GREATEST(4, CAST(ceil(log2(count(*) / 32.0 + 1)) AS INTEGER))) AS bits
-         |  FROM e),
-         |ji AS (SELECT j.j AS j, i.i AS i FROM params,
-         |  unnest(generate_series(CAST(0 AS BIGINT), CAST(bands * bits - 1 AS BIGINT))) AS j(j),
-         |  unnest(generate_series(CAST(0 AS BIGINT), CAST(63 AS BIGINT))) AS i(i)),
-         |s0 AS (SELECT j, i, (CAST(j AS HUGEINT) * 1009 + i + $C1) % $M64 AS z FROM ji),
-         |x1 AS (SELECT j, i, xor(z, z // 1073741824) AS z FROM s0),
-         |m1 AS (SELECT j, i, ${mulmod(C2)} AS z FROM x1),
-         |x2 AS (SELECT j, i, xor(z, z // 134217728) AS z FROM m1),
-         |m2 AS (SELECT j, i, ${mulmod(C3)} AS z FROM x2),
-         |fin AS (SELECT j, i, xor(z, z // 2147483648) AS z FROM m2),
-         |pv AS (SELECT j, i,
-         |  CASE WHEN z >= CAST('9223372036854775808' AS HUGEINT)
-         |    THEN -(CAST((($M64 - z) // 4294967296) AS DOUBLE) * 4294967296.0
-         |           + CAST((($M64 - z) % 4294967296) AS DOUBLE))
-         |    ELSE CAST((z // 4294967296) AS DOUBLE) * 4294967296.0
-         |         + CAST((z % 4294967296) AS DOUBLE) END
-         |  / 9223372036854775807.0 AS val FROM fin),
-         |planes AS (SELECT j, list(val ORDER BY i) AS plane FROM pv GROUP BY j),
-         |sigs AS (SELECT e.vec_id, CAST(p.j // params.bits AS INTEGER) AS band,
-         |    CAST(sum(CASE WHEN list_dot_product(e.v, p.plane) > 0
-         |      THEN (1 << CAST(p.j % params.bits AS INTEGER)) ELSE 0 END) AS INTEGER) AS sig
-         |  FROM e, planes p, params GROUP BY 1, 2),
+    "dedup_embed_cosine" ->
+      s"""$LshSigsCte,
          |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2 FROM sigs a JOIN sigs b
          |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
          |SELECT c.d1, c.d2,
@@ -1552,8 +1604,24 @@ object Similarity {
          |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
          |FROM cand c JOIN e a ON a.vec_id = c.d1 JOIN e b ON b.vec_id = c.d2
          |WHERE list_dot_product(a.v, b.v)
-         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin
-    },
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3""".stripMargin,
+
+    // same signature machinery, query shape: banded candidates for the
+    // vec_id % 100 stride, exact-cosine top-3 per query (rounded-cos
+    // DESC, vec_id tiebreak — the Spark window's exact ordering)
+    "sim_ann_lsh" ->
+      s"""$LshSigsCte,
+         |q AS (SELECT vec_id AS qid, band, sig FROM sigs WHERE vec_id % 100 = 0),
+         |cand AS (SELECT DISTINCT q.qid, s.vec_id FROM sigs s JOIN q
+         |  ON s.band = q.band AND s.sig = q.sig AND s.vec_id != q.qid)
+         |SELECT c.qid, c.vec_id,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.vec_id
+         |QUALIFY row_number() OVER (PARTITION BY c.qid
+         |  ORDER BY round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+         |    c.vec_id) <= 3""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
