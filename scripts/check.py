@@ -55,8 +55,8 @@ for name, sql in sorted(oracle.items()):
             gn, en = gv.astype(float), ev.astype(float)
             mask = ~(np.isclose(gn, en, rtol=0, atol=1e-9, equal_nan=True))
             if mask.any():
-                i = int(mask.idxmax())
-                bad = (c, i, gn[i], en[i]); break
+                i = int(np.argmax(np.asarray(mask)))
+                bad = (c, i, gn.iloc[i], en.iloc[i]); break
         else:
             neq = (gv.astype(str) != ev.astype(str))
             if neq.any():

@@ -15,11 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * WholeStageCodegen — where subexpression elimination also dedups the call
   * when several output columns read different fields of the same struct.
   *
-  * Token semantics replicate `split(lower(trim(text)), "\\s+")` exactly
-  * (Java regex split with limit -1 on a space-trimmed string): an empty
-  * trimmed string yields one empty token, and leading/trailing non-space
-  * whitespace yields empty boundary tokens — so n_tokens = (# maximal
-  * whitespace runs) + 1.
+  * Token semantics for the COUNTING kernels ([[TextKernels.tokenStats]],
+  * [[TextKernels.repStats]]) replicate `split(lower(trim(text)), "\\s+")`
+  * exactly (Java regex split with limit -1 on a space-trimmed string): an
+  * empty trimmed string yields one empty token, and leading/trailing
+  * non-space whitespace yields empty boundary tokens — so n_tokens =
+  * (# maximal whitespace runs) + 1, matching the `len(string_split_regex)`
+  * oracles. The SHINGLE/SIGNATURE kernels ([[TextKernels.shingleHashes]],
+  * [[TextKernels.shingleHashesN]], [[TextKernels.simHash64]],
+  * [[TextKernels.langHits]]) instead define a token as a NON-EMPTY maximal
+  * non-whitespace run — boundary empties are never shingle members or
+  * hash votes — and their paired DuckDB oracles filter `x <> ''` to the
+  * same contract (verified end-to-end against a boundary-whitespace
+  * fixture, not just the generator's text shape).
   */
 object TextKernels {
 
@@ -79,7 +87,7 @@ object TextKernels {
         while (k < sets.length) { if (sets(k).contains(w)) hits(k) += 1; k += 1 }
       }
     }
-    new GenericArrayData(hits.map(Int.box))
+    new GenericArrayData(hits)
   }
 
   private[functions] def toStringSet(arr: ArrayData): java.util.HashSet[String] = {
@@ -271,10 +279,16 @@ case class TextStats(left: Expression, right: Expression)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val base = super.checkInputDataTypes()
     if (!base.isSuccess) base
-    else if (right.eval(null) == null)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "text_stats: the stopword set must not be NULL (pass an empty array)")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else right.eval(null) match {
+      case null =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "text_stats: the stopword set must not be NULL (pass an empty array)")
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData
+          if (0 until arr.numElements()).exists(arr.isNullAt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "text_stats: the stopword set must not contain NULL elements")
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
   }
   @transient private lazy val stops: java.util.HashSet[String] =
     TextKernels.toStringSet(right.eval(null).asInstanceOf[ArrayData])
@@ -393,6 +407,10 @@ case class TextHits(left: Expression, right: Expression)
       case outer: ArrayData if (0 until outer.numElements()).exists(outer.isNullAt) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           "lang_hits: no profile set may be NULL (pass empty arrays)")
+      case outer: ArrayData if (0 until outer.numElements()).exists(i =>
+          (0 until outer.getArray(i).numElements()).exists(outer.getArray(i).isNullAt)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "lang_hits: profile sets must not contain NULL elements")
       case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     }
   }

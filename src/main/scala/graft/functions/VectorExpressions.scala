@@ -90,6 +90,21 @@ case class CountInSet(left: Expression, right: Expression)
   override def inputTypes = Seq[DataType](ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = IntegerType
   override protected def foldableArgs = Seq(right -> "the set argument")
+  // a NULL literal (or NULL element) must fail at ANALYSIS time — the
+  // TextStats posture — not as an opaque NPE when codegen forces `set`
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else right.eval(null) match {
+      case null =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "count_in_set: the set argument must not be NULL (pass an empty array)")
+      case arr: ArrayData if (0 until arr.numElements()).exists(arr.isNullAt) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "count_in_set: the set argument must not contain NULL elements")
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+  }
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
     val arr = right.eval(null).asInstanceOf[ArrayData]
@@ -141,6 +156,33 @@ case class VecBandSig(vec: Expression, planesE: Expression, bandsE: Expression, 
   override def nullable: Boolean = vec.nullable
   override protected def foldableArgs =
     Seq(planesE -> "planes", bandsE -> "bands", bitsE -> "bits")
+  // analysis-time validation (TextStats posture): NULL/shape errors must
+  // not surface as per-row NPE/AIOOBE mid-job, and bits >= 32 would make
+  // `1 << j` wrap — distinct sign bits silently folding onto one bit
+  // collapses LSH buckets with NO error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) return base
+    (planesE.eval(null), bandsE.eval(null), bitsE.eval(null)) match {
+      case (null, _, _) => TypeCheckFailure("vec_band_sig: planes must not be NULL")
+      case (_, null, _) | (_, _, null) =>
+        TypeCheckFailure("vec_band_sig: bands and bits must not be NULL")
+      case (p: ArrayData, b: Integer, k: Integer) =>
+        if (b <= 0 || k <= 0)
+          TypeCheckFailure(s"vec_band_sig: bands ($b) and bits ($k) must be positive")
+        else if (k >= 32)
+          TypeCheckFailure(s"vec_band_sig: bits per band ($k) must be < 32 " +
+            "(signatures are 32-bit ints)")
+        else if (p.numElements() < b * k)
+          TypeCheckFailure(s"vec_band_sig: needs bands*bits = ${b * k} planes, " +
+            s"got ${p.numElements()}")
+        else if ((0 until p.numElements()).exists(p.isNullAt))
+          TypeCheckFailure("vec_band_sig: planes must not contain NULL rows")
+        else TypeCheckSuccess
+      case _ => TypeCheckSuccess
+    }
+  }
   @transient private lazy val planes: Array[Array[Double]] = {
     val outer = planesE.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
@@ -192,6 +234,23 @@ case class VecNearest(vec: Expression, centsE: Expression, nProbeE: Expression)
   override def nullable: Boolean = vec.nullable
   override protected def foldableArgs =
     Seq(centsE -> "centroids", nProbeE -> "nProbe")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) return base
+    (centsE.eval(null), nProbeE.eval(null)) match {
+      case (null, _) => TypeCheckFailure("vec_nearest: centroids must not be NULL")
+      case (_, null) => TypeCheckFailure("vec_nearest: nProbe must not be NULL")
+      case (cs: ArrayData, np: Integer) =>
+        if (np <= 0) TypeCheckFailure(s"vec_nearest: nProbe ($np) must be positive")
+        else if (cs.numElements() == 0)
+          TypeCheckFailure("vec_nearest: centroids must not be empty")
+        else if ((0 until cs.numElements()).exists(cs.isNullAt))
+          TypeCheckFailure("vec_nearest: centroids must not contain NULL rows")
+        else TypeCheckSuccess
+      case _ => TypeCheckSuccess
+    }
+  }
   @transient private lazy val cents: Array[Array[Double]] = {
     val outer = centsE.eval(null).asInstanceOf[ArrayData]
     Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
@@ -250,7 +309,7 @@ object VectorKernels {
       }
       b += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.map(Int.box))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   /** Indices of the `nProbe` highest-dot centroids (pass NORMALIZED
@@ -277,7 +336,27 @@ object VectorKernels {
       }
       c += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(best.map(Int.box))
+    // slots never filled (every dot NaN — NaN comparisons select nothing —
+    // or -Inf overflow): fall back to DISTINCT lowest cells. Leaving the
+    // zero-initialized slots would return nProbe copies of cell 0 and
+    // silently narrow the whole probe to one cell for corrupt vectors.
+    var filled = 0
+    while (filled < m && bestS(filled) != Double.NegativeInfinity) filled += 1
+    if (filled < m) {
+      val used = new java.util.HashSet[Integer]()
+      var x = 0
+      while (x < filled) { used.add(best(x)); x += 1 }
+      var cand = 0
+      var slot = filled
+      while (slot < m) {
+        while (used.contains(cand)) cand += 1
+        best(slot) = cand
+        used.add(cand)
+        cand += 1
+        slot += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(best)
   }
 }
 

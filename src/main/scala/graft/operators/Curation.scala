@@ -501,7 +501,7 @@ object Curation {
         |FROM k GROUP BY doc_id""".stripMargin,
 
     "curate_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
@@ -513,7 +513,7 @@ object Curation {
         |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "curate_contamination_score" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i

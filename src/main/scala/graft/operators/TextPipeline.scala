@@ -925,9 +925,9 @@ object TextPipeline {
         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
 
     "dedup_span_exact" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
         |  FROM documents
-        |  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 8),
+        |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 8),
         |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-7)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS s FROM idx),
         |df AS (SELECT s, count(*) AS nd FROM sh GROUP BY 1)
@@ -1048,7 +1048,7 @@ object TextPipeline {
         |FROM f""".stripMargin,
 
     "text_ngram_novelty" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
         |  FROM documents),
         |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
@@ -1073,8 +1073,8 @@ object TextPipeline {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1085,8 +1085,8 @@ object TextPipeline {
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.4""".stripMargin,
 
     "dedup_keep_best" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1103,8 +1103,8 @@ object TextPipeline {
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "dedup_incremental" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+      """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1149,8 +1149,8 @@ object TextPipeline {
 
     // transitive closure of the near-dup graph: cluster = min reachable id
     "dedup_clusters" ->
-      """WITH RECURSIVE tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+      """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

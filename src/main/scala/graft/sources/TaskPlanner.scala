@@ -69,7 +69,12 @@ object TaskPlanner {
       openCostOpt: Option[Long] = None): Array[InputPartition] = {
     if (items.isEmpty) return Array.empty
     val openCost = openCostOpt.getOrElse(spark.sessionState.conf.filesOpenCostInBytes)
-    val maxSplit = splitSize.map(s => math.max(1L, s)).getOrElse(
+    // an explicit non-positive split size is a CONFIGURATION error — the
+    // reference's TableScanUtil rejects it too; clamping to 1 byte would
+    // expand a 1 GB file into ~10^9 planned ranges and hang the driver
+    splitSize.foreach(s => require(s > 0,
+      s"read.split.target-size / split-size must be positive, got $s"))
+    val maxSplit = splitSize.getOrElse(
       maxSplitBytes(spark, items.map(_.pf.length + openCost).sum, openCostOpt))
 
     // 1) oversized splittable files → byte ranges

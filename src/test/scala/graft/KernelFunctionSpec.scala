@@ -80,4 +80,59 @@ class KernelFunctionSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("foldable"), s"got: ${e.getMessage}")
   }
+
+  test("NULL elements and shape errors in foldable kernel args fail at " +
+      "analysis time with the argument named") {
+    val d = docs
+    import graft.functions.VectorSql._
+    // NULL element inside the set
+    val e1 = intercept[Exception] {
+      d.select(count_in_set(split(col("text"), " "),
+        expr("array('a', CAST(NULL AS STRING))")).as("c")).collect()
+    }
+    assert(e1.getMessage.contains("NULL element"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      d.select(text_stats(col("text"),
+        expr("array('a', CAST(NULL AS STRING))")).as("st")).collect()
+    }
+    assert(e2.getMessage.contains("NULL element"), s"got: ${e2.getMessage}")
+    val e3 = intercept[Exception] {
+      d.select(lang_hits(col("text"),
+        expr("array(array('a', CAST(NULL AS STRING)))")).as("h")).collect()
+    }
+    assert(e3.getMessage.contains("NULL element"), s"got: ${e3.getMessage}")
+    // too few planes for bands*bits
+    val e4 = intercept[Exception] {
+      d.select(vec_band_sig(col("v"),
+        expr("array(array(CAST(0.5 AS DOUBLE)))"), 2, 4).as("s")).collect()
+    }
+    assert(e4.getMessage.contains("planes"), s"got: ${e4.getMessage}")
+    // bits >= 32 would silently fold sign bits onto one int bit
+    val e5 = intercept[Exception] {
+      d.select(vec_band_sig(col("v"),
+        expr("transform(sequence(1, 64), i -> array(CAST(i AS DOUBLE)))"),
+        2, 32).as("s")).collect()
+    }
+    assert(e5.getMessage.contains("32"), s"got: ${e5.getMessage}")
+    // non-positive nProbe
+    val e6 = intercept[Exception] {
+      d.select(vec_nearest(col("v"),
+        expr("array(array(CAST(1 AS DOUBLE)))"), 0).as("p")).collect()
+    }
+    assert(e6.getMessage.contains("positive"), s"got: ${e6.getMessage}")
+  }
+
+  test("vec_nearest never returns duplicate probe cells: all-NaN dots fall " +
+      "back to distinct lowest cells instead of nProbe copies of cell 0") {
+    val d = docs
+    import graft.functions.VectorSql._
+    val cents = typedLit(Seq.tabulate(6)(i => Seq.fill(4)(i.toDouble + 1)))
+    val probes = d.selectExpr("transform(sequence(1, 4), i -> CAST('NaN' AS DOUBLE)) AS nv")
+      .select(vec_nearest(col("nv"), cents, 3).as("p"))
+      .collect().map(_.getSeq[Int](0))
+    probes.foreach { p =>
+      assert(p.distinct.size == p.size, s"duplicate probes: $p")
+      assert(p.toSet == Set(0, 1, 2), s"deterministic distinct fallback: $p")
+    }
+  }
 }
