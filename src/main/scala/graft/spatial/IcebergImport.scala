@@ -91,20 +91,36 @@ object IcebergImport {
           "(only parquet data files are readable here)")
     }
 
-    // ---- distributed footer harvest (stats + the in-file column set) ----
-    val names = dataEntries.map(e => absPath(e.path)).distinct
-    val footerStats = GeoTable.collectStats(spark, target, names)
-    val byName = footerStats.map(f => f.path -> f).toMap
-    dataEntries.foreach { e =>
+    // ---- per-file stats ---------------------------------------------------
+    // Files whose manifest entry carries lower/upper bounds get their
+    // pruning stats DECODED from the manifest (Iceberg's single-value
+    // serialization) — the import then touches ZERO data bytes for them,
+    // the reference's own register_table posture and the O(manifest)
+    // scale path at 100k files. Files without bounds (graft's own export
+    // writes none) fall back to one distributed footer pass.
+    val geomCols = geomProps.keySet
+    val (bounded, unbounded) = dataEntries.distinct.partition(_.lower.nonEmpty)
+    val boundedStats: Map[String, FileStats] = bounded.map { e =>
+      val abs = absPath(e.path)
+      abs -> decodeBoundStats(e, meta.schema.statNames, geomCols, abs)
+    }.toMap
+    val footerNames = unbounded.map(e => absPath(e.path)).distinct
+    val footerStats = GeoTable.collectStats(spark, target, footerNames)
+    val byName: Map[String, FileStats] =
+      boundedStats ++ footerStats.map(f => f.path -> f).toMap
+    unbounded.foreach { e =>
       val f = byName(absPath(e.path))
       require(f.rows == e.rows,
         s"cannot import $source: manifest records ${e.rows} rows for " +
           s"${e.path} but the file holds ${f.rows} — a partial-file " +
           "reference has no graft representation")
     }
-    // columns physically present in the data files (any footer chunk)
-    val inFile: Set[String] = footerStats
-      .flatMap(f => f.colSizes.keysIterator.map(_.split('.').head)).toSet
+    // columns physically present in the data files: footer chunks for the
+    // footer-read files, bound/null-count keys for the manifest-served ones
+    val inFile: Set[String] =
+      footerStats.flatMap(f => f.colSizes.keysIterator.map(_.split('.').head)).toSet ++
+        bounded.flatMap(e => (e.lower.keysIterator ++ e.nullCounts.keysIterator)
+          .flatMap(meta.schema.statNames.get).map(_._1.split('.').head))
 
     // ---- partition fields: dir-served vs in-file vs refuse ---------------
     val dirServed = meta.specFields.filter { sf =>
@@ -252,11 +268,27 @@ object IcebergImport {
 
   private case class SpecField(name: String, transform: String, sourceId: Int)
   private case class SField(id: Int, logical: String, physical: String,
-      required: Boolean, dataType: DataType)
-  /** Flattened current schema: top-level fields plus the pre-order rename
-    * list (logical path → new name) the name mapping implies.
+      required: Boolean, dataType: DataType,
+      /** struct leaves one level down: (field id, physical name, type). */
+      leafIds: Seq[(Int, String, DataType)] = Nil)
+  /** Flattened current schema: top-level fields, the pre-order rename
+    * list (logical path → new name) the name mapping implies, and the
+    * bound-stat key map — field id → (graft stat key, type) for top-level
+    * primitives and one-level struct leaves (the manifest stats shape).
     */
-  private case class ISchema(fields: Seq[SField], renames: Seq[(Seq[String], String)])
+  private case class ISchema(fields: Seq[SField], renames: Seq[(Seq[String], String)]) {
+    lazy val statNames: Map[Int, (String, DataType)] = fields.flatMap { f =>
+      f.dataType match {
+        case _: StructType =>
+          // one struct level, keyed "col.field" like FooterStats
+          f.leafIds.map { case (id, childPhys, dt) =>
+            id -> (s"${f.physical}.$childPhys", dt)
+          }
+        case _: ArrayType | _: MapType => Nil
+        case prim => Seq(f.id -> (f.physical, prim))
+      }
+    }.toMap
+  }
   private case class Meta(formatVersion: Int, location: String, tableUuid: String,
       schema: ISchema, specFields: Seq[SpecField], props: Map[String, String],
       manifestList: Option[String])
@@ -424,7 +456,28 @@ object IcebergImport {
       val phys = physicalName(me, name)
       if (phys != name) renames += ((Seq(phys)) -> name)
       val childMs = me.map(e => mappingEntries(e \ "fields")).getOrElse(Nil)
-      SField(id, name, phys, required, convert(f \ "type", childMs, Seq(name)))
+      // one-level struct leaves → bound-stat keys ("col.field", the
+      // manifest metrics shape)
+      val leafIds: Seq[(Int, String, DataType)] = (f \ "type") match {
+        case obj: JObject if (obj \ "type") == JString("struct") =>
+          (obj \ "fields") match {
+            case JArray(cfs) => cfs.flatMap { cf =>
+              val JString(cn) = cf \ "name"
+              val cid = (cf \ "id") match {
+                case JInt(i) => i.toInt; case JLong(l) => l.toInt; case _ => -1
+              }
+              val cphys = physicalName(entryFor(childMs, cid), cn)
+              (cf \ "type") match {
+                case JString(ps) =>
+                  scala.util.Try(primitive(ps)).toOption.map(pt => (cid, cphys, pt))
+                case _ => None
+              }
+            }
+            case _ => Nil
+          }
+        case _ => Nil
+      }
+      SField(id, name, phys, required, convert(f \ "type", childMs, Seq(name)), leafIds)
     }
     ISchema(top, renames.toSeq)
   }
@@ -453,7 +506,11 @@ object IcebergImport {
   // ---- Avro manifests -----------------------------------------------------
 
   private case class DataEntry(path: String, format: String, seq: Long,
-      rows: Long, partVals: Map[String, Any])
+      rows: Long, size: Long, partVals: Map[String, Any],
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty,
+      nanCounts: Map[Int, Long] = Map.empty)
   private case class DeleteEntry(path: String, seq: Long, content: Int,
       eqIds: Seq[Int], partVals: Map[String, Any])
 
@@ -493,7 +550,12 @@ object IcebergImport {
           (mContent, content) match {
             case (0, 0) =>
               data += DataEntry(path, df.get("file_format").toString, seq,
-                df.get("record_count").asInstanceOf[java.lang.Long], partVals)
+                df.get("record_count").asInstanceOf[java.lang.Long],
+                longField(df, "file_size_in_bytes", 0L), partVals,
+                lower = bytesMap(df, "lower_bounds"),
+                upper = bytesMap(df, "upper_bounds"),
+                nullCounts = longMap(df, "null_value_counts"),
+                nanCounts = longMap(df, "nan_value_counts"))
             case (_, 1) => pos += DeleteEntry(path, seq, 1, Nil, partVals)
             case (_, 2) =>
               val ids = Option(df.get("equality_ids")).toSeq.flatMap {
@@ -532,6 +594,95 @@ object IcebergImport {
       case l: java.lang.Long => l.longValue()
       case i: java.lang.Integer => i.longValue()
     }.getOrElse(dflt)
+
+  /** Iceberg manifest logical MAPs arrive either as a true Avro map or as
+    * the spec's array-of-(key,value)-records form — read both.
+    */
+  private def kvPairs(r: GenericRecord, name: String): Seq[(Int, AnyRef)] =
+    if (r.getSchema.getField(name) == null) Nil
+    else r.get(name) match {
+      case null => Nil
+      case m: java.util.Map[_, _] => m.asScala.toSeq.collect {
+        case (k: java.lang.Integer, v: AnyRef) => k.intValue() -> v
+        case (k: org.apache.avro.util.Utf8, v: AnyRef) => k.toString.toInt -> v
+      }
+      case l: java.util.List[_] => l.asScala.toSeq.collect {
+        case kv: GenericRecord =>
+          kv.get("key").asInstanceOf[java.lang.Integer].intValue() ->
+            kv.get("value").asInstanceOf[AnyRef]
+      }
+      case _ => Nil
+    }
+
+  private def bytesMap(r: GenericRecord, name: String): Map[Int, Array[Byte]] =
+    kvPairs(r, name).collect {
+      case (k, b: java.nio.ByteBuffer) =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); k -> arr
+      case (k, f: org.apache.avro.generic.GenericFixed) => k -> f.bytes()
+    }.toMap
+
+  private def longMap(r: GenericRecord, name: String): Map[Int, Long] =
+    kvPairs(r, name).collect {
+      case (k, l: java.lang.Long) => k -> l.longValue()
+      case (k, i: java.lang.Integer) => k -> i.longValue()
+    }.toMap
+
+  /** Pruning stats decoded from one manifest entry's bounds (Iceberg
+    * single-value serialization, spec Appendix D) — value representations
+    * match [[FooterStats]] exactly (raw Long micros for timestamps, Int
+    * days for dates, BigDecimal for decimals, UTF-8 Strings). Soundness
+    * guards: float/double bounds are used only with an EXPLICIT zero
+    * nan count (Iceberg bounds exclude NaN, but Spark ranks NaN above
+    * every double — using such bounds would prune files whose NaN rows
+    * match); string bounds may be TRUNCATED prefixes, so their columns
+    * are marked truncated and MIN/MAX aggregate pushdown declines them;
+    * geometry columns carry no value stats, like the write path.
+    */
+  private def decodeBoundStats(e: DataEntry, statNames: Map[Int, (String, DataType)],
+      geomCols: Set[String], abs: String): FileStats = {
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    val trunc = scala.collection.mutable.ArrayBuffer.empty[String]
+    statNames.foreach { case (id, (name, dt)) =>
+      if (!geomCols.contains(name.split('.').head)) {
+        val floaty = dt == FloatType || dt == DoubleType
+        val nanOk = !floaty || e.nanCounts.get(id).contains(0L)
+        (e.lower.get(id), e.upper.get(id)) match {
+          case (Some(lo), Some(hi)) if nanOk =>
+            (decodeBound(dt, lo), decodeBound(dt, hi)) match {
+              case (Some(l), Some(h)) =>
+                mins(name) = l
+                maxs(name) = h
+                if (dt == StringType) trunc += name
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    }
+    val nulls = e.nullCounts.flatMap { case (id, n) =>
+      statNames.get(id).map(_._1 -> n)
+    }
+    FileStats(abs, e.rows, e.size, mins.toMap, maxs.toMap,
+      nulls = nulls, truncated = trunc.toSeq)
+  }
+
+  private def decodeBound(dt: DataType, b: Array[Byte]): Option[Any] = {
+    def le = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case BooleanType if b.length >= 1 => Some(b(0) != 0)
+      case IntegerType | ShortType | ByteType if b.length == 4 => Some(le.getInt)
+      case LongType if b.length == 8 => Some(le.getLong)
+      case FloatType if b.length == 4 => Some(le.getFloat)
+      case DoubleType if b.length == 8 => Some(le.getDouble)
+      case DateType if b.length == 4 => Some(le.getInt)
+      case TimestampType | TimestampNTZType if b.length == 8 => Some(le.getLong)
+      case StringType => Some(new String(b, StandardCharsets.UTF_8))
+      case d: DecimalType =>
+        Some(BigDecimal(new java.math.BigInteger(b), d.scale))
+      case _ => None // binary, nested, unknown: no pruning value
+    }
+  }
 
   /** Avro partition value → plain JVM value (logical types decoded). */
   private def avroValue(sch: AvroSchema, v: AnyRef): Any = {

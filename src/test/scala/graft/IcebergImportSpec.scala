@@ -53,7 +53,23 @@ class IcebergImportSpec extends AnyFunSuite {
        |{"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]},"field-id":102},
        |{"name":"record_count","type":"long","field-id":103},
        |{"name":"file_size_in_bytes","type":"long","field-id":104},
-       |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+       |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135},
+       |{"name":"lower_bounds","type":["null",{"type":"array","items":
+       |{"type":"record","name":"k126_v127","fields":[
+       |{"name":"key","type":"int","field-id":126},
+       |{"name":"value","type":"bytes","field-id":127}]}}],"default":null,"field-id":125},
+       |{"name":"upper_bounds","type":["null",{"type":"array","items":
+       |{"type":"record","name":"k129_v130","fields":[
+       |{"name":"key","type":"int","field-id":129},
+       |{"name":"value","type":"bytes","field-id":130}]}}],"default":null,"field-id":128},
+       |{"name":"null_value_counts","type":["null",{"type":"array","items":
+       |{"type":"record","name":"k121_v122","fields":[
+       |{"name":"key","type":"int","field-id":121},
+       |{"name":"value","type":"long","field-id":122}]}}],"default":null,"field-id":110},
+       |{"name":"nan_value_counts","type":["null",{"type":"array","items":
+       |{"type":"record","name":"k138_v139","fields":[
+       |{"name":"key","type":"int","field-id":138},
+       |{"name":"value","type":"long","field-id":139}]}}],"default":null,"field-id":137}
        |]},"field-id":2}]}""".stripMargin
 
   private val listSchemaJson =
@@ -69,7 +85,11 @@ class IcebergImportSpec extends AnyFunSuite {
 
   private case class FixtureEntry(path: String, rows: Long, seq: Long,
       content: Int, partVals: Map[String, Any] = Map.empty,
-      eqIds: Seq[Int] = Nil)
+      eqIds: Seq[Int] = Nil,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty,
+      nanCounts: Map[Int, Long] = Map.empty)
 
   /** Write one data manifest (+ optional delete manifest), a manifest
     * list, and v1.metadata.json under `dir`/metadata.
@@ -97,6 +117,28 @@ class IcebergImportSpec extends AnyFunSuite {
         fe.eqIds.foreach(i => ids.add(Integer.valueOf(i)))
         df.put("equality_ids", ids)
       }
+      def kvBytes(field: String, m: Map[Int, Array[Byte]]): Unit = if (m.nonEmpty) {
+        val kvS = dfS.getField(field).schema().getTypes.get(1).getElementType
+        val l = new java.util.ArrayList[GenericData.Record]()
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(kvS)
+          r.put("key", k); r.put("value", java.nio.ByteBuffer.wrap(v)); l.add(r)
+        }
+        df.put(field, l)
+      }
+      def kvLongs(field: String, m: Map[Int, Long]): Unit = if (m.nonEmpty) {
+        val kvS = dfS.getField(field).schema().getTypes.get(1).getElementType
+        val l = new java.util.ArrayList[GenericData.Record]()
+        m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val r = new GenericData.Record(kvS)
+          r.put("key", k); r.put("value", java.lang.Long.valueOf(v)); l.add(r)
+        }
+        df.put(field, l)
+      }
+      kvBytes("lower_bounds", fe.lower)
+      kvBytes("upper_bounds", fe.upper)
+      kvLongs("null_value_counts", fe.nullCounts)
+      kvLongs("nan_value_counts", fe.nanCounts)
       val e = new GenericData.Record(es)
       e.put("status", 1)
       e.put("sequence_number", fe.seq)
@@ -330,6 +372,56 @@ class IcebergImportSpec extends AnyFunSuite {
       IcebergImport.importTable(spark, b2, s"$b2/t")
     }
     assert(e.getMessage.contains("NULL partition"), e.getMessage)
+  }
+
+  test("fixture manifest BOUNDS serve the pruning stats without touching " +
+      "data bytes (register_table at O(manifest)); NaN-unsafe double " +
+      "bounds drop, string bounds mark truncated, null counts carry") {
+    val base = Files.createTempDirectory("graft_imp_bounds").toString
+    import spark.implicits._
+    val f1 = oneParquet(s"$base/d",
+      Seq((1L, 1.5, 2.5, "bb"), (2L, 2.5, 3.5, "cc")).toDF("id", "x", "y", "s"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"x","required":false,"type":"double"},
+        |{"id":3,"name":"y","required":false,"type":"double"},
+        |{"id":4,"name":"s","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    def le8(v: Long) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    def le8d(v: Double) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+    // DELIBERATELY wider than the data: if the importer read footers the
+    // stats would be tighter — manifest provenance is thus provable
+    writeFixture(base, schema, "", Map.empty, "", Seq(
+      FixtureEntry(f1, 2L, 1L, 0,
+        lower = Map(1 -> le8(0L), 2 -> le8d(1.0), 3 -> le8d(2.0),
+          4 -> "aa".getBytes("UTF-8")),
+        upper = Map(1 -> le8(100L), 2 -> le8d(9.0), 3 -> le8d(9.0),
+          4 -> "zz".getBytes("UTF-8")),
+        nullCounts = Map(1 -> 0L, 4 -> 0L),
+        nanCounts = Map(2 -> 0L)))) // y (id 3) has NO nan count → no bounds
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    val fs = Snapshots.readManifest(target)
+    assert(fs.size == 1)
+    val st = fs.head
+    assert(st.rows == 2L)
+    assert(st.mins("id") == 0L && st.maxs("id") == 100L,
+      s"manifest bounds (not footer values) must serve: ${st.mins} / ${st.maxs}")
+    assert(st.mins("x") == 1.0 && st.maxs("x") == 9.0)
+    assert(!st.mins.contains("y"),
+      "double bounds without an explicit zero NaN count must drop " +
+        "(Spark ranks NaN above every double — such bounds would misprune)")
+    assert(st.mins("s") == "aa" && st.maxs("s") == "zz")
+    assert(st.truncated.contains("s"),
+      "string bounds may be truncated prefixes — MIN/MAX pushdown must decline")
+    assert(st.nulls.get("id").contains(0L))
+    // rows still read correctly and the wide bounds prune soundly
+    val got = Snapshots.read(spark, target)
+    assert(got.count() == 2L)
+    assert(got.filter("id > 100").count() == 0L)
   }
 
   test("fixture refusals are loud: record-count mismatch, non-parquet " +
