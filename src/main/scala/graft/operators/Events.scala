@@ -58,14 +58,19 @@ object Events {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("is_p").desc, col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // id and value travel as ONE struct: two independent ignoreNulls
+      // last() calls would pair the latest purchase's id with an EARLIER
+      // purchase's value whenever the latest purchase has a NULL value
+      // (ASOF semantics return that NULL) — the struct is non-null for
+      // every purchase row, so ignoreNulls only skips non-purchases
       tagged
-        .withColumn("last_purchase_id",
-          last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("last_purchase_value",
-          round(last(when(col("is_p") === 1, col("value")), ignoreNulls = true).over(w), 4))
+        .withColumn("__lp", last(
+          when(col("is_p") === 1, struct(col("event_id"), col("value"))),
+          ignoreNulls = true).over(w))
         .filter(col("is_p") === 0)
         .select(col("event_id"), col("user_id"),
-          col("last_purchase_id"), col("last_purchase_value"))
+          col("__lp.event_id").as("last_purchase_id"),
+          round(col("__lp.value"), 4).as("last_purchase_value"))
     }),
 
     // Cohort retention: users grouped by their first-seen week; for each

@@ -30,12 +30,8 @@ object Puffin {
   val Magic: Array[Byte] = Array('P'.toByte, 'F'.toByte, 'A'.toByte, '1'.toByte)
   val HllBlobType = "apache-datasketches-hll-v1"
 
-  private def esc(s: String): String = s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  }
+  // ONE JSON-escaper seat for the spatial sidecars
+  private def esc(s: String): String = GeoTable.escJson(s)
 
   private def propsJson(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1)

@@ -1,7 +1,7 @@
 package graft.spatial
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -32,32 +32,35 @@ object Views {
   private def write(path: String, views: Map[String, String]): Unit = {
     // control chars must escape too: view SQL is typically MULTI-LINE,
     // and a raw newline inside a JSON string makes Jackson reject the
-    // whole sidecar on the next read (same bug class as TableSchema.esc)
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // whole sidecar on the next read — ONE escaper seat (GeoTable.escJson)
     val body = views.toSeq.sorted
-      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .map { case (k, v) =>
+        "\"" + GeoTable.escJson(k) + "\":\"" + GeoTable.escJson(v) + "\""
+      }
       .mkString("{", ",", "}")
-    Files.write(Paths.get(path, ViewsName), body.getBytes(StandardCharsets.UTF_8))
+    // tmp + ATOMIC_MOVE like every other sidecar writer: a reader (or a
+    // crash) must never observe a truncated half-written JSON
+    val target = Paths.get(path, ViewsName)
+    val tmp = Paths.get(path, s".$ViewsName.${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Create or replace a stored view. Fails fast if the SQL doesn't
-    * analyze against the current table schema.
+    * analyze against the current table schema. The in-JVM lock makes the
+    * read-modify-write safe against concurrent view DDL on one driver
+    * (cross-process last-writer-wins, like the other sidecars).
     */
   def createOrReplace(spark: SparkSession, path: String, name: String, sql: String): Unit = {
-    require(name.matches("\\w+"), s"bad view name: $name")
+    // Spark's parser rejects digit-leading identifiers — validating only
+    // \w+ here would store a view that installAll can never register
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad view name: $name")
     resolveSql(spark, path, sql).queryExecution.analyzed // validate
-    write(path, list(path) + (name -> sql))
+    Views.synchronized { write(path, list(path) + (name -> sql)) }
   }
 
-  def drop(path: String, name: String): Unit = {
+  def drop(path: String, name: String): Unit = Views.synchronized {
     val vs = list(path)
     require(vs.contains(name), s"no such view: $name")
     write(path, vs - name)
@@ -72,18 +75,36 @@ object Views {
     resolveSql(spark, path, sql)
   }
 
+  /** Bind the `graft_table` token to THIS call's snapshot under a unique
+    * per-call temp-view name: a session-global "graft_table" registration
+    * would race concurrent resolutions of DIFFERENT tables onto one name
+    * (silently answering from the wrong table) and clobber any user temp
+    * view of that name. The token is rewritten at word boundaries — a
+    * string literal containing `graft_table` inside view SQL is not
+    * supported (stated, not silent: the convention token is reserved).
+    */
   private def resolveSql(spark: SparkSession, path: String, sql: String): DataFrame = {
-    Snapshots.read(spark, path).createOrReplaceTempView("graft_table")
-    spark.sql(sql)
+    val unique = s"graft_table_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Snapshots.read(spark, path).createOrReplaceTempView(unique)
+    try spark.sql(sql.replaceAll("\\bgraft_table\\b", unique))
+    finally spark.catalog.dropTempView(unique)
   }
 
   /** Register every stored view as a temp view (`ResolveViews` for a
     * session): afterwards plain `spark.sql("SELECT ... FROM <name>")`
-    * works.
+    * works. One sidecar read and one snapshot resolution for ALL views,
+    * not one per view.
     */
   def installAll(spark: SparkSession, path: String): Seq[String] = {
-    val names = list(path).keys.toSeq.sorted
-    names.foreach(n => read(spark, path, n).createOrReplaceTempView(n))
+    val vs = list(path)
+    val names = vs.keys.toSeq.sorted
+    if (names.isEmpty) return names
+    val unique = s"graft_table_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    Snapshots.read(spark, path).createOrReplaceTempView(unique)
+    try names.foreach { n =>
+      spark.sql(vs(n).replaceAll("\\bgraft_table\\b", unique))
+        .createOrReplaceTempView(n)
+    } finally spark.catalog.dropTempView(unique)
     names
   }
 }
