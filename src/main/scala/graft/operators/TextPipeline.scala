@@ -832,7 +832,116 @@ object TextPipeline {
     })
   )
 
+  /** DuckDB twins of the 64-bit hash kernels, built from the same
+    * HUGEINT wraparound arithmetic as the Similarity LSH oracles: the
+    * per-character FNV token fold (`list_reduce` over code points — the
+    * kernels hash UTF-16 units, equal to code points for BMP text),
+    * avalanche/mix steps via 32-bit-split modular multiplies, and
+    * unsigned→signed conversion where Spark compares as signed Long.
+    * This converts dedup_minhash and dedup_simhash from rows-only checks
+    * to full rows+schema+hash oracles — verified identical result sets
+    * at sf0.001 and sf0.01.
+    */
+  private val DuckM64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val DuckH63 = "CAST('9223372036854775808' AS HUGEINT)"
+
+  private def duckMulmod(z: String, c: String): String =
+    s"""((($z) % 4294967296) * (($c) % 4294967296)
+       | + (((($z) % 4294967296) * (($c) // 4294967296)
+       |     + (($z) // 4294967296) * (($c) % 4294967296)) % 4294967296) * 4294967296
+       |) % $DuckM64""".stripMargin
+
+  /** CTE prefix: `tok` (non-empty tokens, the kernel contract), `pos`
+    * (token positions), `th` (per-token FNV-1a-style 64-bit hash —
+    * byte-exact with the Scala kernels' fold).
+    */
+  private val DuckTokenHashCte: String = {
+    val fnvInit = "CAST('11400714819323198485' AS HUGEINT)"
+    val fnvC = "CAST(1099511628211 AS HUGEINT)"
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+       |  FROM tok WHERE len(t) >= 1),
+       |th AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
+       |    list_reduce(list_prepend($fnvInit,
+       |      list_transform(string_split(t[CAST(i AS INTEGER)], ''),
+       |        c -> CAST(unicode(c) AS HUGEINT))),
+       |      (acc, c) -> ${duckMulmod("xor(acc, c)", fnvC)}) AS h
+       |  FROM pos)""".stripMargin
+  }
+
+  private val MinhashOracle: String = {
+    val M = BigInt(1) << 64
+    val perms = (0 until 16).map { i =>
+      val a = (BigInt("9E3779B97F4A7C15", 16) * (2 * i + 1)) mod M
+      val b = (BigInt("C2B2AE3D27D4EB4F", 16) * (i + 1)) mod M
+      s"($i, CAST('$a' AS HUGEINT), CAST('$b' AS HUGEINT))"
+    }.mkString(",")
+    val c1 = "CAST('18397679294719823053' AS HUGEINT)" // 0xFF51AFD7ED558CCD
+    val c2 = "CAST('14181476777654086739' AS HUGEINT)" // 0xC4CEB9FE1A85EC53
+    val c3 = "CAST('11400714819323198485' AS HUGEINT)" // 0x9E3779B97F4A7C15
+    s"""$DuckTokenHashCte,
+       |tri AS (SELECT a.doc_id, a.h AS t0, b.h AS t1, c.h AS t2
+       |  FROM th a JOIN th b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |            JOIN th c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+       |s1 AS (SELECT doc_id, t1, t2, ${duckMulmod("t0", c1)} AS z FROM tri),
+       |s2 AS (SELECT doc_id, t2, ${duckMulmod("xor(z, t1)", c2)} AS z FROM s1),
+       |s3 AS (SELECT doc_id, ${duckMulmod("xor(z, t2)", c3)} AS z FROM s2),
+       |sh AS (SELECT DISTINCT doc_id, xor(z, z // 8589934592) AS sh FROM s3),
+       |perms(i, a, b) AS (VALUES $perms),
+       |mh AS (SELECT doc_id, i,
+       |    min(CASE WHEN zz >= $DuckH63 THEN zz - $DuckM64 ELSE zz END) AS m
+       |  FROM (SELECT s.doc_id, p.i, (${duckMulmod("s.sh", "p.a")} + p.b) % $DuckM64 AS zz
+       |        FROM sh s CROSS JOIN perms p) q(doc_id, i, zz)
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY 1),
+       |bands AS (SELECT doc_id, sig, b.b AS band,
+       |    sig[CAST(b.b*4+1 AS INTEGER) : CAST(b.b*4+4 AS INTEGER)] AS sl
+       |  FROM sig, unnest(generate_series(CAST(0 AS BIGINT), CAST(3 AS BIGINT))) b(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.sig AS sig1, y.sig AS sig2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.sl = y.sl AND x.doc_id < y.doc_id)
+       |SELECT d1, d2,
+       |  round(list_sum(list_transform(range(1, 17),
+       |    i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) / 16.0, 4) AS est_jac
+       |FROM cand
+       |WHERE list_sum(list_transform(range(1, 17),
+       |    i -> CASE WHEN sig1[i] = sig2[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5""".stripMargin
+  }
+
+  private val SimhashOracle: String = {
+    val p2 = (0 until 64).map(k => s"($k, CAST('${BigInt(1) << k}' AS HUGEINT))").mkString(",")
+    val cAv = "CAST('13787848793156543929' AS HUGEINT)" // 0xBF58476D1CE4E5B9
+    s"""$DuckTokenHashCte,
+       |a1 AS (SELECT doc_id, xor(h, h // 536870912) AS z FROM th),
+       |a2 AS (SELECT doc_id, ${duckMulmod("z", cAv)} AS z FROM a1),
+       |av AS (SELECT doc_id, xor(z, z // 4294967296) AS z FROM a2),
+       |p2(k, v) AS (VALUES $p2),
+       |votes AS (SELECT av.doc_id, p2.k,
+       |    sum(CASE WHEN (av.z // p2.v) % 2 = 1 THEN 1 ELSE -1 END) AS vt
+       |  FROM av CROSS JOIN p2 GROUP BY 1, 2),
+       |shz AS (SELECT doc_id,
+       |    sum(CASE WHEN vt > 0 THEN v ELSE CAST(0 AS HUGEINT) END) AS z
+       |  FROM votes JOIN p2 USING (k) GROUP BY 1),
+       |sh AS (SELECT d.doc_id,
+       |    CAST(CASE WHEN s.z IS NULL THEN 0
+       |      WHEN s.z >= $DuckH63 THEN s.z - $DuckM64 ELSE s.z END AS BIGINT) AS sh
+       |  FROM documents d LEFT JOIN shz s USING (doc_id)),
+       |ch AS (SELECT doc_id, sh, k.k AS k,
+       |    CAST((CASE WHEN sh < 0 THEN CAST(sh AS HUGEINT) + $DuckM64
+       |        ELSE CAST(sh AS HUGEINT) END
+       |      // (CASE k.k WHEN 0 THEN 1 WHEN 1 THEN 65536 WHEN 2 THEN 4294967296
+       |          ELSE CAST('281474976710656' AS HUGEINT) END)) % 65536 AS BIGINT) AS cv
+       |  FROM sh, unnest(generate_series(CAST(0 AS BIGINT), CAST(3 AS BIGINT))) k(k))
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM ch a JOIN ch b ON a.k = b.k AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_minhash" -> MinhashOracle,
+    "dedup_simhash" -> SimhashOracle,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
