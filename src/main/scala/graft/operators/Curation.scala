@@ -28,7 +28,10 @@ object Curation {
 
   private def docs(s: SparkSession, dir: String): DataFrame = {
     VectorSql.install(s)
-    Tables.load(s, dir, "documents")
+    // NULL-text documents are NOT text: excluded on BOTH engines (the
+    // paired oracles drop them too) — a NULL row would otherwise diverge
+    // per query (kernels emit null rows, SQL unnest drops them)
+    Tables.load(s, dir, "documents").filter(col("text").isNotNull)
   }
 
   /** Tokens per doc, from the one-pass codegen'd kernel. */
@@ -474,7 +477,7 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "curate_chunk_overlap" ->
       """WITH t AS (SELECT doc_id,
-        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
         |c AS (SELECT doc_id, tk, n,
         |  unnest(generate_series(0, CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS cid
@@ -486,7 +489,7 @@ object Curation {
 
     "text_boilerplate_scrub" ->
       """WITH t AS (SELECT doc_id,
-        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |n AS (SELECT doc_id, tk, len(tk) AS n FROM t),
         |l0 AS (SELECT doc_id, tk,
         |  unnest(generate_series(0, greatest(CAST(ceil(n / 8.0) AS INT) - 1, 0))) AS ln
@@ -502,19 +505,19 @@ object Curation {
 
     "curate_decontaminate" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
         |            FROM tok WHERE len(t) >= 5)),
         |bs AS (SELECT DISTINCT s FROM g WHERE doc_id % 97 = 0),
         |bad AS (SELECT DISTINCT doc_id FROM g
         |        WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM bs))
-        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |SELECT d.doc_id, d.lang, d.source FROM (SELECT * FROM documents WHERE text IS NOT NULL) d
         |WHERE d.doc_id % 97 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "curate_contamination_score" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
         |            FROM tok WHERE len(t) >= 5)),
@@ -529,7 +532,7 @@ object Curation {
     "curate_dsir_weights" ->
       """WITH tk0 AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
         |v AS (SELECT tok,
         |   sum(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END) AS ct,
@@ -545,7 +548,7 @@ object Curation {
         |GROUP BY doc_id""".stripMargin,
 
     "curate_temperature_resample" ->
-      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+      """WITH c AS (SELECT source, count(*) AS cnt FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents GROUP BY source),
         |t AS (SELECT sum(cnt) AS tot FROM c),
         |r AS (SELECT source, cnt, 1.0 / sqrt(cnt * 1.0 / tot) AS raw_rate
         |      FROM c CROSS JOIN t),
@@ -554,7 +557,7 @@ object Curation {
         |d AS (SELECT doc_id, source,
         |  ((ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
         |    + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 1000) / 1000.0 AS u
-        |  FROM documents)
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
         |SELECT d.source, n.rate,
         | CAST(count(*) AS INTEGER) AS n_docs,
         | CAST(sum(CASE WHEN d.u < n.rate THEN 1 ELSE 0 END) AS INTEGER) AS n_kept
@@ -566,12 +569,12 @@ object Curation {
         |  SELECT doc_id, lang,
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
-        |  FROM documents) WHERE rk <= 50""".stripMargin,
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents) WHERE rk <= 50""".stripMargin,
 
     "curate_pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |c AS (SELECT shard, doc_id, n,
         |  CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum FROM t)
         |SELECT shard, CAST(floor((cum - n) / 512.0) AS BIGINT) AS bin,
@@ -582,7 +585,7 @@ object Curation {
       """WITH t AS (SELECT doc_id, source,
         |  CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4 AS grp,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |c AS (SELECT *,
         |  CAST(sum(n_tokens) OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
@@ -594,7 +597,7 @@ object Curation {
 
     "curate_mix_epochs" ->
       """WITH t AS (SELECT doc_id, lang,
-        |  len(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM documents),
+        |  len(string_split_regex(lower(trim(text)), '\s+')) AS toks FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |m AS (SELECT lang, sum(toks) AS mass FROM t GROUP BY 1),
         |mm AS (SELECT avg(mass) AS mean FROM m),
         |mix AS (SELECT lang,
@@ -610,7 +613,7 @@ object Curation {
         |  || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
         |  || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=1' ELSE '?ref=1' END
         |  || '#frag' AS raw
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |nf AS (SELECT doc_id, regexp_replace(raw, '#.*$', '') AS u FROM r),
         |parts AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(
@@ -628,7 +631,7 @@ object Curation {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS BIGINT) AS pos
-        |FROM documents""".stripMargin,
+        |FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents""".stripMargin,
 
     // the salted two-phase construction is exactly the single-window
     // top-K, so the oracle states it the direct way
@@ -636,12 +639,12 @@ object Curation {
       """WITH r AS (SELECT doc_id, source, n_chars,
         |  CAST(row_number() OVER (PARTITION BY source
         |    ORDER BY n_chars DESC, doc_id) AS INT) AS rank
-        |  FROM documents)
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
         |SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 10""".stripMargin,
 
     "tokenizer_pair_counts" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) >= 2
         |  GROUP BY word),
         |p AS (SELECT substring(word, i, 2) AS pair, freq FROM f,

@@ -38,18 +38,27 @@ object GeoQueries {
       | (c_custkey * 104729 % 18000) / 100.0 - 90.0 AS y
       |FROM customer""".stripMargin
 
-  /** Scratch table dir with a FIXED name per input dir, wiped before
-    * reuse: these fixtures grow a version chain per invocation, so a
-    * stale dir would double-append — but a UUID name would leak one
-    * orphan dir per correctness/bench run (round-7 advisor finding).
-    */
   /** The per-(tag, input) scratch location — ONE naming scheme for every
-    * fixture-writing query.
+    * fixture-writing query, keyed on a COLLISION-RESISTANT digest of the
+    * input path (32-bit hashCode collisions would silently share scratch
+    * tables — and CatalogManager caches catalog instances per NAME, so a
+    * colliding catalog name would keep serving the first dir's warehouse).
+    * Fixed names per input, not UUIDs: a UUID name would leak one orphan
+    * dir per correctness/bench run (round-7 advisor finding).
     */
   private[operators] def scratchPath(tag: String, dir: String): String =
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      s"graft_${tag}_${pathDigest(dir)}").getAbsolutePath
 
+  private[operators] def pathDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** Scratch dir WIPED before reuse: fixtures that grow a version chain
+    * per invocation would double-append on a stale dir (the
+    * [[scratchPath]] callers that only `GeoTable.write` are safe without
+    * wiping — overwrite mode clears the dir).
+    */
   private def freshScratch(tag: String, dir: String): String = {
     val f = new java.io.File(scratchPath(tag, dir))
     if (f.exists()) {
@@ -352,7 +361,7 @@ object GeoQueries {
       val tbl = new java.io.File(wh, "db/pts").getAbsolutePath
       GeoTable.write(pts(s, dir).select(col("c_custkey"), col("x"), col("y"), col("geom")),
         tbl, "geom", res = 10, numFiles = 4)
-      val cat = s"graft_${Integer.toHexString(dir.hashCode)}"
+      val cat = s"graft_${pathDigest(dir)}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(s"""SELECT c_custkey, x, y FROM $cat.db.pts
@@ -365,7 +374,7 @@ object GeoQueries {
     // land in, untouched partitions serve their original files
     "geo_dynamic_overwrite" -> ((s, dir) => {
       val wh = freshScratch("dynowh", dir)
-      val cat = s"gdyn_${Integer.toHexString(dir.hashCode)}"
+      val cat = s"gdyn_${pathDigest(dir)}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")

@@ -49,7 +49,8 @@ object Multimodal {
 
     // per-partition batched "decode + featurize" over binary payloads: a
     // codec-free byte-level featurizer — the payload splits into 8 equal
-    // blocks, each block stride-sampled (≤16 probes) and reduced to its
+    // blocks, each block stride-sampled (integer stride (hi-lo)/16, so up
+    // to 31 probes on sub-32-byte blocks) and reduced to its
     // first two moments (sum, sum-of-squares of byte values). All-integer
     // arithmetic, so the oracle replicates it exactly (no float-format
     // drift). A real pipeline would swap the per-byte loop for a codec /
@@ -57,7 +58,10 @@ object Multimodal {
     // payloads never on the driver) is the part that survives that swap.
     "mm_features" -> ((s, dir) => {
       import s.implicits._
+      // NULL payloads are not media: excluded on BOTH engines (the kernel
+      // would NPE on a null byte array; the oracles filter identically)
       val payloads = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
@@ -104,6 +108,7 @@ object Multimodal {
     "mm_phash_dedup" -> ((s, dir) => {
       import s.implicits._
       val payloads = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL payloads are not media
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
       val hashed = payloads.mapPartitions { it =>
@@ -176,6 +181,7 @@ object Multimodal {
     "mm_resize" -> ((s, dir) => {
       import s.implicits._
       val payloads = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull) // NULL payloads are not media
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
@@ -222,7 +228,7 @@ object Multimodal {
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), blkbounds AS (
         |  SELECT b.doc_id, b.n, b.h, i.i AS blk,
         |         i.i * b.n // 64 AS lo, (i.i + 1) * b.n // 64 AS hi
@@ -280,7 +286,7 @@ object Multimodal {
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), dims AS (
         |  SELECT doc_id, h, n // 16 AS hh FROM b
         |), cells AS (
@@ -316,7 +322,7 @@ object Multimodal {
       """WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS h,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), samples AS (
         |  SELECT b.doc_id, blk.i AS blk,
         |         CASE WHEN s.p < (blk.i + 1) * b.n // 8 THEN

@@ -38,7 +38,10 @@ object TextPipeline {
 
   private def docs(s: SparkSession, dir: String): DataFrame = {
     VectorSql.install(s)
-    Tables.load(s, dir, "documents")
+    // NULL-text documents are NOT text: excluded on BOTH engines (the
+    // paired oracles drop them too) — a NULL row would otherwise diverge
+    // per query (kernels emit null rows, SQL unnest drops them)
+    Tables.load(s, dir, "documents").filter(col("text").isNotNull)
   }
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
@@ -860,7 +863,7 @@ object TextPipeline {
     val fnvC = "CAST(1099511628211 AS HUGEINT)"
     s"""WITH tok AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS t
-       |  FROM documents),
+       |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
        |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
        |  FROM tok WHERE len(t) >= 1),
        |th AS (SELECT doc_id, CAST(i AS INTEGER) AS i,
@@ -926,7 +929,7 @@ object TextPipeline {
        |sh AS (SELECT d.doc_id,
        |    CAST(CASE WHEN s.z IS NULL THEN 0
        |      WHEN s.z >= $DuckH63 THEN s.z - $DuckM64 ELSE s.z END AS BIGINT) AS sh
-       |  FROM documents d LEFT JOIN shz s USING (doc_id)),
+       |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) d LEFT JOIN shz s USING (doc_id)),
        |ch AS (SELECT doc_id, sh, k.k AS k,
        |    CAST((CASE WHEN sh < 0 THEN CAST(sh AS HUGEINT) + $DuckM64
        |        ELSE CAST(sh AS HUGEINT) END
@@ -945,12 +948,12 @@ object TextPipeline {
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
-        |FROM documents""".stripMargin,
+        |FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents""".stripMargin,
 
     "text_ccnet_buckets" ->
       """WITH tk0 AS (
         |  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |tk AS (SELECT doc_id, lang, tok FROM tk0 WHERE tok <> ''),
         |v AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
         |tot AS (SELECT sum(cnt) AS tot FROM v),
@@ -972,7 +975,7 @@ object TextPipeline {
     "text_domain_drift" ->
       """WITH tk0 AS (
         |  SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |tk AS (SELECT source, tok FROM tk0 WHERE tok <> ''),
         |st AS (SELECT source, tok, count(*) AS cs FROM tk GROUP BY source, tok),
         |v AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
@@ -988,7 +991,7 @@ object TextPipeline {
     "text_vocab_coverage" ->
       """WITH tk0 AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |tk AS (SELECT doc_id, tok FROM tk0 WHERE tok <> ''),
         |v AS (SELECT tok FROM (
         |  SELECT tok, count(*) AS cnt FROM tk GROUP BY tok
@@ -1006,7 +1009,7 @@ object TextPipeline {
     "text_lm_perplexity" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |t2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
         |v AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
         |tot AS (SELECT sum(cnt) AS tot FROM v)
@@ -1018,7 +1021,7 @@ object TextPipeline {
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
-        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents)
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
         |SELECT doc_id,
         | CAST(len(tk) AS INTEGER) AS n_tokens,
         | CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS punct_n,
@@ -1027,7 +1030,7 @@ object TextPipeline {
         |FROM t""".stripMargin,
 
     "text_bpe_pairs" ->
-      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |b AS (SELECT t[i] || ' ' || t[i+1] AS pair
         |      FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i FROM tok))
         |SELECT pair, count(*) AS n FROM b GROUP BY 1
@@ -1035,7 +1038,7 @@ object TextPipeline {
 
     "dedup_span_exact" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
-        |  FROM documents
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
         |  WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 8),
         |idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-7)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS s FROM idx),
@@ -1047,7 +1050,7 @@ object TextPipeline {
 
     "text_quality_classifier" ->
       """WITH tok AS (SELECT doc_id,
-        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM documents),
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |s AS (SELECT doc_id,
         |  round(1.0 / (1.0 + exp(-avg(
         |    ((ascii(substr(md5(t), 1, 1)) * 256 + ascii(substr(md5(t), 2, 1)))
@@ -1057,7 +1060,7 @@ object TextPipeline {
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id,
-        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |h AS (SELECT doc_id,
         |  CAST(len(list_filter(tk, w -> w IN ('the','a','of','and'))) AS INTEGER) AS en_hits,
         |  CAST(len(list_filter(tk, w -> w IN ('el','la','de','y'))) AS INTEGER) AS es_hits,
@@ -1075,7 +1078,7 @@ object TextPipeline {
 
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |tf AS (SELECT doc_id, w, count(*) AS n
         |       FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
         |agg AS (SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_tokens,
@@ -1097,7 +1100,7 @@ object TextPipeline {
     "text_pii_scrub" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' contact user' || doc_id || '@mail.example.com or call 555-123-4567 from 10.0.' || (doc_id % 256) || '.17' AS t
-        |  FROM documents)
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS email_n,
         | CAST(len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS INTEGER) AS phone_n,
@@ -1113,7 +1116,7 @@ object TextPipeline {
         |  '<html><head><title>d</title><style>p{c:1}</style></head><body><script>var x="no";</script><h1>Doc '
         |  || doc_id || '</h1><p>' || text
         |  || '</p><div class="nav">&lt;menu&gt; &amp; links&nbsp;here</div></body></html>' AS html
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |a AS (SELECT doc_id,
         |  regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g') AS t
         |  FROM h),
@@ -1131,11 +1134,11 @@ object TextPipeline {
         | CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INTEGER) AS n_bpe,
         | CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS INTEGER) AS n_ws,
         | CAST(strlen(text) AS INTEGER) AS n_bytes
-        |FROM documents""".stripMargin,
+        |FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents""".stripMargin,
 
     "text_gopher_filter" ->
       """WITH t AS (SELECT doc_id, text,
-        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |tf AS (SELECT doc_id, w, count(*) AS n
         |       FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
         |agg AS (SELECT doc_id, CAST(sum(n) AS INTEGER) AS n_tokens,
@@ -1158,7 +1161,7 @@ object TextPipeline {
 
     "text_ngram_novelty" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |g AS (SELECT doc_id, t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4] AS s
         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-4)) AS i
         |            FROM tok WHERE len(t) >= 5)),
@@ -1174,16 +1177,16 @@ object TextPipeline {
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-        |FROM documents""".stripMargin,
+        |FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         | CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_dups
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents GROUP BY 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1195,7 +1198,7 @@ object TextPipeline {
 
     "dedup_keep_best" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1208,12 +1211,12 @@ object TextPipeline {
         |    CASE WHEN c1.n_chars < c2.n_chars THEN d1 ELSE d2 END AS doc_id
         |  FROM jp JOIN documents c1 ON d1 = c1.doc_id
         |          JOIN documents c2 ON d2 = c2.doc_id)
-        |SELECT doc_id, source, n_chars FROM documents
+        |SELECT doc_id, source, n_chars FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     "dedup_incremental" ->
       """WITH tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1226,7 +1229,7 @@ object TextPipeline {
 
     "pipeline_curate" ->
       """WITH RECURSIVE tokc AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3),
         |idxc AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tokc),
         |shc AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idxc),
         |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY 1),
@@ -1237,13 +1240,13 @@ object TextPipeline {
         |        WHERE common * 1.0 / (x.n + y.n - common) >= 0.4),
         |edgesc AS (SELECT d1 AS a, d2 AS b FROM jpc UNION ALL SELECT d2, d1 FROM jpc),
         |reachc AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  SELECT doc_id AS id, doc_id AS r FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
         |  UNION
         |  SELECT e.a AS id, r.r FROM edgesc e JOIN reachc r ON r.id = e.b
         |),
         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reachc GROUP BY id),
         |sig AS (SELECT doc_id,
-        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
         |gates AS (SELECT doc_id,
         |  CAST(len(tk) AS INTEGER) AS n_tokens,
         |  len(list_filter(tk, w -> w IN ('the','a','of','and'))) AS en,
@@ -1259,7 +1262,7 @@ object TextPipeline {
     // transitive closure of the near-dup graph: cluster = min reachable id
     "dedup_clusters" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
+        |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents WHERE len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) >= 3),
         |idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM tok),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -1270,7 +1273,7 @@ object TextPipeline {
         |       WHERE common * 1.0 / (x.n + y.n - common) >= 0.4),
         |edges AS (SELECT d1 AS a, d2 AS b FROM jp UNION ALL SELECT d2, d1 FROM jp),
         |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  SELECT doc_id AS id, doc_id AS r FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents
         |  UNION
         |  SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b
         |)

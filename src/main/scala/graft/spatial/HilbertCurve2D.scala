@@ -50,8 +50,12 @@ object HilbertCurve2D {
     if (cx.isNaN || cy.isNaN || cx < minX || cx > maxX || cy < minY || cy > maxY) None
     else {
       val cells = (1L << res) - 1
-      val gx = math.round((cx - minX) / (maxX - minX) * cells)
-      val gy = math.round((cy - minY) / (maxY - minY) * cells)
+      // COLLAPSED bounds (minX == maxX / minY == maxY, e.g. data on one
+      // meridian): the division is 0/0 = NaN and math.round(NaN) = 0 —
+      // which HAPPENS to be the right cell, but only by accident of the
+      // rounding; make the well-defined 1-D ordering explicit instead
+      val gx = if (maxX > minX) math.round((cx - minX) / (maxX - minX) * cells) else 0L
+      val gy = if (maxY > minY) math.round((cy - minY) / (maxY - minY) * cells) else 0L
       Some(xy2d(res, gx, gy))
     }
   }

@@ -46,6 +46,11 @@ object SpatialJoin {
     */
   def intersects(left: DataFrame, lCol: String, right: DataFrame, rCol: String,
       cellDeg: Double = 1.0): DataFrame = {
+    // a non-positive/NaN pitch is a configuration error: floor(x / 0) =
+    // ±Infinity clamps to ±Long.MaxValue and sequence() fails deep inside
+    // codegen with an opaque too-long-sequence error
+    require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
+      s"cellDeg must be a positive finite grid pitch, got $cellDeg")
     val spark = left.sparkSession
     GeoSql.install(spark)
 
