@@ -203,50 +203,9 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
           // Spark's output resolution off, the declared write schema must
           // resolve here — by name when every name exists, positionally
           // otherwise (merge-schema is not supported on dynamic overwrite)
-          val declared = info.schema()
-          val tbl = schema
-          val resolvedSchema =
-            if (declared.fields.forall(f => tbl.exists(_.name == f.name))) {
-              declared.fields.foreach { f =>
-                val tf = tbl.find(_.name == f.name).get
-                require(tf.dataType.catalogString == f.dataType.catalogString,
-                  s"write column ${f.name}: ${f.dataType.simpleString} is not the " +
-                    s"table's ${tf.dataType.simpleString}")
-              }
-              declared
-            } else {
-              // positional only at FULL width (SQL INSERT with unnamed
-              // select-list expressions); a PARTIAL write with an
-              // unmatched name is ambiguous — resolving it positionally
-              // could land data in the wrong same-typed column silently
-              require(declared.length == tbl.length,
-                s"write columns ${declared.fieldNames.filterNot(n => tbl.exists(_.name == n))
-                  .mkString("[", ", ", "]")} not in the table: partial writes " +
-                  "resolve by name; write all columns positionally or match names")
-              // full-width frames whose names match table columns at
-              // DIFFERENT positions are as ambiguous as partial ones —
-              // positional resolution would silently cross their data over
-              // (same-position matches are no-op renames, fine)
-              val crossed = declared.fieldNames.zipWithIndex.collect {
-                case (n, i) if tbl.fieldNames.indexOf(n) >= 0 &&
-                  tbl.fieldNames.indexOf(n) != i => n
-              }
-              require(crossed.isEmpty,
-                s"ambiguous write: columns ${crossed.mkString("[", ", ", "]")} match " +
-                  "table columns at different positions while " +
-                  s"${declared.fieldNames.filterNot(n => tbl.exists(_.name == n))
-                    .mkString("[", ", ", "]")} match none — match every column " +
-                  "name, or write a fully unnamed select-list to resolve positionally")
-              org.apache.spark.sql.types.StructType(
-                declared.fields.zip(tbl.fields).map { case (df, tf) =>
-                  require(tf.dataType.catalogString == df.dataType.catalogString,
-                    s"write column ${tf.name}: ${df.dataType.simpleString} is not the " +
-                      s"table's ${tf.dataType.simpleString}")
-                  df.copy(name = tf.name)
-                })
-            }
-          new GraftDynamicOverwrite(path, resolvedSchema, writeOpts,
-            snapshotProps, validateOpt)
+          new GraftDynamicOverwrite(path,
+            GraftTable.resolveWriteSchema(spark, info.schema(), schema),
+            writeOpts, snapshotProps, validateOpt)
         } else new V1Write
             // partitioned writes — batch INSERT/append and EVERY streaming
             // epoch through toStreaming below — cluster rows to their
@@ -275,51 +234,16 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
               .exists(_.equalsIgnoreCase("true"))
             val data2 = if (mergeOpt) data else {
               val tbl = schema
+              require(data.schema.length <= tbl.length,
+                s"write has ${data.schema.length} columns, table has ${tbl.length} " +
+                  "(write with merge-schema=true to add columns)")
               // by-name when every written name exists; otherwise by
               // POSITION (SQL INSERT arrives positionally — Spark's own
               // resolver would have done this, but ACCEPT_ANY_SCHEMA
-              // turns it off), renaming to the table's column names
-              val resolved =
-                if (data.schema.fields.forall(f => tbl.exists(_.name == f.name))) data
-                else {
-                  require(data.schema.length <= tbl.length,
-                    s"write has ${data.schema.length} columns, table has ${tbl.length} " +
-                      "(write with merge-schema=true to add columns)")
-                  // positional only at FULL width (SQL INSERT with unnamed
-                  // select-list expressions); a PARTIAL write with an
-                  // unmatched name is ambiguous — positional resolution
-                  // could land data in the wrong same-typed column
-                  require(data.schema.length == tbl.length,
-                    s"write columns ${data.schema.fieldNames
-                      .filterNot(n => tbl.exists(_.name == n))
-                      .mkString("[", ", ", "]")} not in the table: partial writes " +
-                      "resolve by name; write all columns positionally, match names, " +
-                      "or add columns with merge-schema=true")
-                  // a full-width frame where a name matches a table column
-                  // at a DIFFERENT position is equally ambiguous: positional
-                  // resolution would rename it and silently land its data in
-                  // another column (table (a,b,c) written as (b,x,a) puts
-                  // b-data in a). A name matching its own positional slot is
-                  // harmless — the rename is a no-op there.
-                  val crossed = data.schema.fieldNames.zipWithIndex.collect {
-                    case (n, i) if tbl.fieldNames.indexOf(n) >= 0 &&
-                      tbl.fieldNames.indexOf(n) != i => n
-                  }
-                  require(crossed.isEmpty,
-                    s"ambiguous write: columns ${crossed.mkString("[", ", ", "]")} match " +
-                      "table columns at different positions while " +
-                      s"${data.schema.fieldNames.filterNot(n => tbl.exists(_.name == n))
-                        .mkString("[", ", ", "]")} match none — match every column " +
-                      "name, or write a fully unnamed select-list to resolve positionally")
-                  data.toDF(tbl.fields.map(_.name).toIndexedSeq: _*)
-                }
-              resolved.schema.fields.foreach { f =>
-                val tf = tbl.find(_.name == f.name).get
-                require(tf.dataType.catalogString == f.dataType.catalogString,
-                  s"write column ${f.name}: ${f.dataType.simpleString} is not the " +
-                    s"table's ${tf.dataType.simpleString}")
-              }
-              resolved
+              // turns it off), renaming to the table's canonical names
+              val resolved = GraftTable.resolveWriteSchema(spark, data.schema, tbl,
+                mergeHint = ", or add columns with merge-schema=true")
+              data.toDF(resolved.fieldNames.toIndexedSeq: _*)
             }
             branch match {
               case Some(b) =>
@@ -352,11 +276,15 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
           // ACCEPT_ANY_SCHEMA applies to micro-batch sinks too — enforce
           // the by-name contract here (no merge-schema on streaming, like
-          // the reference); with the capability off this is a no-op re-check
+          // the reference); with the capability off this is a no-op
+          // re-check. Name matching honors the session's case sensitivity
+          // like [[GraftTable.resolveWriteSchema]].
           val tbl = schema
+          val ci = !spark.sessionState.conf.caseSensitiveAnalysis
           info.schema().fields.foreach { f =>
-            val tf = tbl.find(_.name == f.name).getOrElse(
-              throw new IllegalArgumentException(
+            val tf = tbl.find(t =>
+                if (ci) t.name.equalsIgnoreCase(f.name) else t.name == f.name)
+              .getOrElse(throw new IllegalArgumentException(
                 s"streaming write column ${f.name} is not in the table schema"))
             require(tf.dataType.catalogString == f.dataType.catalogString,
               s"streaming write column ${f.name}: ${f.dataType.simpleString} is not " +
@@ -371,6 +299,65 @@ class GraftTable(val path: String, val snapshotVersion: Option[Int],
 }
 
 object GraftTable {
+
+  /** Resolve a declared write schema against the table — ONE seat for
+    * the ACCEPT_ANY_SCHEMA write faces (dynamic overwrite, the V1
+    * insertable relation; Spark's own output resolution is OFF there, so
+    * this replaces it and must match its posture): names compare under
+    * the session's case sensitivity; by NAME when every written name
+    * matches a table column, POSITIONALLY at full width otherwise. A
+    * partial write with an unmatched name, a full-width frame whose
+    * names cross positions, and any type mismatch reject — positional
+    * resolution would otherwise land data in the wrong same-typed column
+    * silently. Returns the fields in the WRITTEN order under the table's
+    * canonical names.
+    */
+  private[sources] def resolveWriteSchema(spark: SparkSession,
+      declared: org.apache.spark.sql.types.StructType,
+      tbl: org.apache.spark.sql.types.StructType,
+      mergeHint: String = ""): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val ci = !spark.sessionState.conf.caseSensitiveAnalysis
+    def nameEq(a: String, b: String) = if (ci) a.equalsIgnoreCase(b) else a == b
+    def tblIdx(n: String) = tbl.fieldNames.indexWhere(nameEq(_, n))
+    def unmatched = declared.fieldNames.filterNot(n => tblIdx(n) >= 0)
+    def typeCheck(name: String, written: org.apache.spark.sql.types.DataType,
+        table: org.apache.spark.sql.types.DataType): Unit =
+      require(table.catalogString == written.catalogString,
+        s"write column $name: ${written.simpleString} is not the " +
+          s"table's ${table.simpleString}")
+    if (declared.fields.forall(f => tblIdx(f.name) >= 0)) {
+      StructType(declared.fields.map { f =>
+        val tf = tbl(tblIdx(f.name))
+        typeCheck(f.name, f.dataType, tf.dataType)
+        f.copy(name = tf.name)
+      })
+    } else {
+      // positional only at FULL width (SQL INSERT with unnamed
+      // select-list expressions); a PARTIAL write with an unmatched name
+      // is ambiguous
+      require(declared.length == tbl.length,
+        s"write columns ${unmatched.mkString("[", ", ", "]")} not in the " +
+          "table: partial writes resolve by name; write all columns " +
+          s"positionally or match names$mergeHint")
+      // full-width frames whose names match table columns at DIFFERENT
+      // positions are as ambiguous as partial ones (same-position
+      // matches are no-op renames, fine)
+      val crossed = declared.fieldNames.zipWithIndex.collect {
+        case (n, i) if tblIdx(n) >= 0 && tblIdx(n) != i => n
+      }
+      require(crossed.isEmpty,
+        s"ambiguous write: columns ${crossed.mkString("[", ", ", "]")} match " +
+          "table columns at different positions while " +
+          s"${unmatched.mkString("[", ", ", "]")} match none — match every " +
+          "column name, or write a fully unnamed select-list to resolve " +
+          "positionally")
+      StructType(declared.fields.zip(tbl.fields).map { case (df, tf) =>
+        typeCheck(tf.name, df.dataType, tf.dataType)
+        df.copy(name = tf.name)
+      })
+    }
+  }
   /** V1 source filter → Column predicate (top-level columns only); None =
     * not expressible, declining the native DELETE path for this filter.
     */
@@ -841,11 +828,22 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => a.name
       }
     } catch { case _: Exception => Nil }
-    (morConds.flatMap(refs) ++ eqDeletes.flatMap(_.cols))
+    (morConds.flatMap(refs) ++ eqDeletes.flatMap(_.cols).flatMap(resolveEqCol))
       .filter(c => logicalFull.fieldNames.contains(c) && !have(c))
       .foreach(needed += _)
     needed.toSeq
   }
+
+  /** An equality-delete key column under the CURRENT logical schema:
+    * delete files record the name at delete time (the physical one), so
+    * a later rename must remap through the evolution log. None =
+    * unresolvable either way — [[bindEqSpec]] fails loudly on it.
+    */
+  private def resolveEqCol(c: String): Option[String] =
+    if (logicalFull.fieldNames.contains(c)) Some(c)
+    else graft.spatial.TableSchema.read(path)
+      .find(en => !en.dropped && en.physical == c).map(_.logical)
+      .filter(logicalFull.fieldNames.contains)
 
   /** Logical fields actually read: required ++ delete-referenced extras,
     * data fields first, partition fields last (the DSv2 file-scan layout).
@@ -1212,16 +1210,29 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     */
   private[graft] def bindEqSpec(e: graft.spatial.EqDelete): Option[EqDeleteSpec] = {
     val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
-    if (!e.cols.forall(logicalCombined.fieldNames.contains)) None
-    else {
-      val ordinals = e.cols.map(logicalCombined.fieldIndex).toArray
-      val types = ordinals.map(logicalCombined(_).dataType)
-      val keySchema = StructType(e.cols.zip(types).map { case (c, t) =>
-        org.apache.spark.sql.types.StructField(c, t) })
-      val ref = DeleteFiles.refs(spark, path, Seq(e.path)).head
-      Some(EqDeleteSpec(ref, ordinals, types, e.seq,
-        DeleteFiles.readerFactory(spark, keySchema)))
+    // a delete key column missing from the logical layout is usually a
+    // later RENAME (delete cols record the name at delete time, i.e. the
+    // physical one) — remap physical → current logical via
+    // [[resolveEqCol]] (extraCols used the same resolver, so the remapped
+    // column is guaranteed IN the read layout); a column resolvable
+    // NEITHER way must fail LOUD (silently dropping the spec resurrects
+    // deleted rows; the V1 read path fails on the missing column too)
+    val resolved = e.cols.map { c =>
+      resolveEqCol(c).filter(logicalCombined.fieldNames.contains)
+        .getOrElse(throw new IllegalStateException(
+          s"equality delete ${e.path} keys on column '$c', which resolves " +
+            "to no current table column — the delete cannot be applied"))
     }
+    val ordinals = resolved.map(logicalCombined.fieldIndex).toArray
+    val types = ordinals.map(logicalCombined(_).dataType)
+    // the delete PARQUET is read under its own at-delete-time column
+    // names (e.cols); values compare by position against the resolved
+    // scan ordinals
+    val keySchema = StructType(e.cols.zip(types).map { case (c, t) =>
+      org.apache.spark.sql.types.StructField(c, t) })
+    val ref = DeleteFiles.refs(spark, path, Seq(e.path)).head
+    Some(EqDeleteSpec(ref, ordinals, types, e.seq,
+      DeleteFiles.readerFactory(spark, keySchema)))
   }
 
   private lazy val eqSpecs: Seq[EqDeleteSpec] = eqDeletes.flatMap(bindEqSpec)
@@ -1249,7 +1260,10 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
         val addedV = fstat.map(_.addedV).getOrElse(Int.MaxValue)
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
           posCovBySuffix.getOrElse(rel, Nil))
-        val eqs = eqSpecs.filter(s => addedV < s.seq)
+        // seq == 0 is the LEGACY stamp: "applies to every file"
+        // (EqDelete.appliesTo) — a strict < alone silently skipped every
+        // legacy equality delete on this path while the V1 read applied it
+        val eqs = eqSpecs.filter(s => s.seq == 0 || addedV < s.seq)
         val partKey = fstat.map(keyRowOf).getOrElse(keyRowOf(rel)).orNull
         TaskPlanner.Item(
           PartitionedFile(dir.values,

@@ -97,8 +97,17 @@ object GeoTable {
     transforms.collectFirst { case b: Transforms.Bucket => b }
       .foreach(b => stampBucketIds(df.sparkSession, path, b, dataFileNames(df.sparkSession, path)))
     // record the encoding BEFORE stats collection so declared geometry
-    // columns are excluded from value stats (bbox carries the pruning info)
-    storageEncoding.foreach(e => GeometryFields.putUnchecked(path, Map(geomCol -> e)))
+    // columns are excluded from value stats (bbox carries the pruning
+    // info). An OVERWRITE with a different (or no) declared encoding must
+    // also CLEAR the previous one — the props sidecar survives the data
+    // overwrite, and a stale `wkt` entry over fresh WKB files would
+    // decode every read through the wrong codec.
+    storageEncoding match {
+      case Some(e) => GeometryFields.putUnchecked(path, Map(geomCol -> e))
+      case None if GeometryFields.get(path).contains(geomCol) =>
+        GeometryFields.setGeometryField(df.sparkSession, path, geomCol, "none")
+      case None => ()
+    }
     writeManifest(df.sparkSession, path, transforms.map(_.spec),
       schema = Some(withDerived.schema))
   }
@@ -120,7 +129,11 @@ object GeoTable {
           val k = seg.stripPrefix(bucketPrefix).toInt
           val stamped = name.replaceFirst("""\.""", f"_$k%05d.")
           val newRel = if (dir.isEmpty) stamped else s"$dir/$stamped"
-          fs.rename(new Path(new Path(path), rel), new Path(new Path(path), newRel))
+          // rename reports failure as FALSE, not an exception — committing
+          // the post-stamp name anyway would publish a manifest entry for
+          // a file that does not exist
+          require(fs.rename(new Path(new Path(path), rel), new Path(new Path(path), newRel)),
+            s"bucket-id stamp rename failed: $rel -> $newRel")
           newRel
         case _ => rel
       }
@@ -453,24 +466,62 @@ object GeoTable {
   def readDeletes(path: String): Seq[String] =
     parseDeletes(new String(Files.readAllBytes(Paths.get(path, ManifestName)), StandardCharsets.UTF_8))
 
-  /** Partition transform specs of the table (empty = unpartitioned). */
-  def readPartitionSpecs(path: String): Seq[Transforms.Transform] = {
-    val p = Paths.get(path, ManifestName)
-    if (!Files.exists(p)) Nil
-    else parsePartitionCols(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-      .map(Transforms.parse)
+  /** Parsed table-level metadata of the MIRROR manifest, memoized by
+    * (path, size, mtime): one DSv2 planning pass consults the partition
+    * specs / history / schema ~8-10 times (directly and through
+    * readPruningSpecs, the SPJ key rows, filter attribute sets), and
+    * each un-memoized call re-read AND re-JSON-parsed the whole manifest
+    * — a multi-MB document for a 100k-file table — to extract a few
+    * small fields. Version files are write-once (atomic replace), so the
+    * stat key is the same identity contract Snapshots' caches use.
+    */
+  private final case class MirrorMeta(parts: Seq[String], history: Seq[String],
+      schema: Option[StructType]) {
+    // Transform parse is deterministic per spec string — share it too
+    lazy val specs: Seq[Transforms.Transform] = parts.map(Transforms.parse)
+    lazy val historySpecs: Seq[Transforms.Transform] = history.map(Transforms.parse)
   }
+
+  private object MirrorMetaCache {
+    private val MaxEntries = 512
+    private val map = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long, Long), MirrorMeta](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long, Long), MirrorMeta]): Boolean =
+          size() > MaxEntries
+      })
+    def get(k: (String, Long, Long)): MirrorMeta = map.get(k)
+    def put(k: (String, Long, Long), v: MirrorMeta): Unit = map.put(k, v)
+  }
+
+  private def mirrorMeta(path: String): Option[MirrorMeta] = {
+    val p = Paths.get(path, ManifestName)
+    if (!Files.exists(p)) None
+    else {
+      val key = (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis)
+      val cached = MirrorMetaCache.get(key)
+      if (cached != null) Some(cached)
+      else {
+        val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        val m = MirrorMeta(parsePartitionCols(txt), parsePartitionHistory(txt),
+          parseSchema(txt))
+        MirrorMetaCache.put(key, m)
+        Some(m)
+      }
+    }
+  }
+
+  /** Partition transform specs of the table (empty = unpartitioned). */
+  def readPartitionSpecs(path: String): Seq[Transforms.Transform] =
+    mirrorMeta(path).map(_.specs).getOrElse(Nil)
 
   /** Partition DIRECTORY column names (derived names for transforms). */
   def readPartitionCols(path: String): Seq[String] =
     readPartitionSpecs(path).map(_.derivedName)
 
   /** Retired partition spec strings (partition-spec evolution history). */
-  def readPartitionHistory(path: String): Seq[String] = {
-    val p = Paths.get(path, ManifestName)
-    if (!Files.exists(p)) Nil
-    else parsePartitionHistory(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-  }
+  def readPartitionHistory(path: String): Seq[String] =
+    mirrorMeta(path).map(_.history).getOrElse(Nil)
 
   private[graft] def parsePartitionHistory(txt: String): Seq[String] = {
     import org.json4s._
@@ -488,12 +539,11 @@ object GeoTable {
     * dir) — so the union is safe across spec generations, the same
     * old-files-keep-their-spec semantics as Iceberg spec evolution.
     */
-  def readPruningSpecs(path: String): Seq[Transforms.Transform] = {
-    val current = readPartitionSpecs(path)
-    val names = current.map(_.derivedName).toSet
-    current ++ readPartitionHistory(path).map(Transforms.parse)
-      .filterNot(t => names(t.derivedName))
-  }
+  def readPruningSpecs(path: String): Seq[Transforms.Transform] =
+    mirrorMeta(path).map { m =>
+      val names = m.specs.map(_.derivedName).toSet
+      m.specs ++ m.historySpecs.filterNot(t => names(t.derivedName))
+    }.getOrElse(Nil)
 
   /** Free-form table/snapshot properties (e.g. committed stream batch). */
   private[spatial] def parseProps(txt: String): Map[String, String] = {
@@ -544,11 +594,8 @@ object GeoTable {
   }
 
   /** Schema of the CURRENT manifest (main head). */
-  def readSchema(path: String): Option[StructType] = {
-    val p = Paths.get(path, ManifestName)
-    if (!Files.exists(p)) None
-    else parseSchema(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-  }
+  def readSchema(path: String): Option[StructType] =
+    mirrorMeta(path).flatMap(_.schema)
 
   /** Authoritative full schema with legacy backfill: manifests written
     * before schemas were persisted get ONE inference, whose result is

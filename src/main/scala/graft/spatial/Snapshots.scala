@@ -1937,11 +1937,24 @@ object Snapshots {
   private[spatial] def applyEqDeletes(spark: SparkSession, path: String,
       df: DataFrame, eqs: Seq[EqDelete], files: Seq[FileStats]): DataFrame =
     eqs.foldLeft(df) { case (d, e) =>
+      // delete cols record the name AT DELETE TIME — after a later rename
+      // that is the PHYSICAL name; remap to the current logical name via
+      // the evolution log (the DSv2 path does the same — resolveEqCol),
+      // and fail LOUD when a column resolves neither way
+      val cols = e.cols.map { c =>
+        if (d.columns.contains(c)) c
+        else TableSchema.read(path)
+          .find(en => !en.dropped && en.physical == c).map(_.logical)
+          .filter(d.columns.contains)
+          .getOrElse(throw new IllegalStateException(
+            s"equality delete ${e.path} keys on column '$c', which resolves " +
+              "to no current table column — the delete cannot be applied"))
+      }
       val dels = spark.read.parquet(s"$path/${e.path}")
-        .select(e.cols.map(col): _*).dropDuplicates()
+        .select(e.cols.map(col): _*).toDF(cols: _*).dropDuplicates()
       val applicable = files.filter(e.appliesTo)
       if (applicable.isEmpty) d
-      else if (applicable.size == files.size) d.join(dels, e.cols, "left_anti")
+      else if (applicable.size == files.size) d.join(dels, cols, "left_anti")
       else {
         // exempt paths (files newer than the delete, by addedV sequence):
         // gate via a BROADCAST join on the file path — a long-lived table
@@ -1958,7 +1971,7 @@ object Snapshots {
           exempt.toDF("__eq_file").withColumn("__eq_exempt", lit(1)))
         val hit = dels.withColumn("__eq_hit", lit(1))
         d.withColumn("__eq_file", normFile(expr("_metadata.file_path")))
-          .join(hit, e.cols, "left")
+          .join(hit, cols, "left")
           .join(exemptDf, Seq("__eq_file"), "left")
           .filter(col("__eq_hit").isNull || col("__eq_exempt").isNotNull)
           .drop("__eq_hit", "__eq_file", "__eq_exempt")

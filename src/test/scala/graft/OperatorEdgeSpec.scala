@@ -65,4 +65,67 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bad view name"))
     spark.catalog.dropTempView("v")
   }
+
+  test("equality deletes survive a later column RENAME on BOTH read paths " +
+      "(delete cols record the at-delete-time physical name; silently " +
+      "dropping the spec would resurrect deleted rows)") {
+    import spark.implicits._
+    import graft.spatial.{Snapshots, TableSchema}
+    val dir = Files.createTempDirectory("graft_eq_rn").toString + "/t"
+    spark.range(20).selectExpr("id", "id % 5 AS k").write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    Snapshots.deleteByEquality(spark, dir, Seq(2L).toDF("k"))
+    assert(Snapshots.read(spark, dir).count() == 16)
+    TableSchema.renameColumn(spark, dir, "k", "kind")
+    // V1 path: remaps k -> kind through the evolution log
+    val v1 = Snapshots.read(spark, dir)
+    assert(v1.columns.contains("kind"))
+    assert(v1.count() == 16,
+      "the equality delete must keep applying after the rename (V1)")
+    // DSv2 path: same remap through resolveEqCol/bindEqSpec
+    val v2 = spark.read.format("graft").load(dir)
+    assert(v2.count() == 16,
+      "the equality delete must keep applying after the rename (DSv2)")
+    assert(v2.filter("kind = 2").count() == 0)
+  }
+
+  test("LEGACY seq=0 equality deletes (manifests without a seq stamp) " +
+      "apply on the DSv2 path like the V1 path: seq 0 means every file") {
+    import spark.implicits._
+    import graft.spatial.Snapshots
+    val dir = Files.createTempDirectory("graft_eq_legacy").toString + "/t"
+    spark.range(20).selectExpr("id", "id % 5 AS k").write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    Snapshots.deleteByEquality(spark, dir, Seq(3L).toDF("k"))
+    // surgically strip the seq stamp from the committed manifest — the
+    // legacy-manifest shape parseEqDeletes defaults to seq = 0
+    val v = Snapshots.mainVersion(dir)
+    val mp = java.nio.file.Paths.get(dir, s"_graft_manifest_v$v.json")
+    val txt = new String(Files.readAllBytes(mp), "UTF-8")
+    val stripped = txt.replaceAll("""("cols":\[[^\]]*\]),"seq":\d+""", "$1")
+    assert(stripped != txt, "fixture must strip a seq stamp")
+    Files.write(mp, stripped.getBytes("UTF-8"))
+    val mirror = java.nio.file.Paths.get(dir, graft.spatial.GeoTable.ManifestName)
+    Files.write(mirror, stripped.getBytes("UTF-8"))
+    assert(Snapshots.readEqDeletes(dir).exists(_.seq == 0), "fixture is legacy")
+    assert(Snapshots.read(spark, dir).count() == 16, "V1 applies seq=0")
+    assert(spark.read.format("graft").load(dir).count() == 16,
+      "DSv2 must apply a legacy seq=0 equality delete (applies to every file)")
+  }
+
+  test("GeoTable.write OVERWRITE clears a previously declared geometry " +
+      "encoding: the props sidecar survives the data overwrite and a stale " +
+      "entry would decode fresh WKB through the wrong codec") {
+    import graft.spatial.GeometryFields
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_enc_clear").toString + "/t"
+    val df = spark.range(5).selectExpr("id",
+      "st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)) AS g")
+    GeoTable.write(df, dir, "g", storageEncoding = Some("wkt"))
+    assert(GeometryFields.get(dir) == Map("g" -> "wkt"))
+    GeoTable.write(df, dir, "g") // overwrite, no declared encoding
+    assert(GeometryFields.get(dir).isEmpty,
+      "the stale wkt declaration must clear on an encoding-less overwrite")
+    assert(GeoTable.read(spark, dir).count() == 5)
+  }
 }
