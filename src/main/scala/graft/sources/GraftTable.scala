@@ -834,16 +834,15 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     needed.toSeq
   }
 
-  /** An equality-delete key column under the CURRENT logical schema:
-    * delete files record the name at delete time (the physical one), so
-    * a later rename must remap through the evolution log. None =
+  /** An equality-delete key column under the CURRENT logical schema —
+    * ONE resolver seat with the V1 read path
+    * ([[graft.spatial.TableSchema.resolveDeleteCol]]: physical match
+    * first, current-name fallback for legacy entries). None =
     * unresolvable either way — [[bindEqSpec]] fails loudly on it.
     */
   private def resolveEqCol(c: String): Option[String] =
-    if (logicalFull.fieldNames.contains(c)) Some(c)
-    else graft.spatial.TableSchema.read(path)
-      .find(en => !en.dropped && en.physical == c).map(_.logical)
-      .filter(logicalFull.fieldNames.contains)
+    graft.spatial.TableSchema.resolveDeleteCol(schemaEntries, c,
+      logicalFull.fieldNames.toSet)
 
   /** Logical fields actually read: required ++ delete-referenced extras,
     * data fields first, partition fields last (the DSv2 file-scan layout).

@@ -209,17 +209,20 @@ object IcebergExport {
         // pos) identity makes over-scoping unobservable
         Seq(DelFile(out.toString, Files.size(out), rows, 1, Nil, maxSeq))
       }
-    val topByName = top.fields.map(f => f.name -> f).toMap
     val eqOut: Seq[DelFile] = eqFiles.zipWithIndex.map { case (e, i) =>
-      val fs = e.cols.map(c => topByName.getOrElse(c,
-        throw new IllegalArgumentException(
-          s"cannot export $path: equality delete ${e.path} keys on column " +
-            s"$c, which is not a current top-level schema column")))
+      // delete cols record PHYSICAL names (legacy entries: at-delete-time
+      // logical names) — match either side of the schema's name mapping
+      val fs = e.cols.map(c => c -> top.fields
+        .find(f => f.dataName == c || f.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot export $path: equality delete ${e.path} keys on column " +
+              s"$c, which is not a current top-level schema column")))
       val out = metaDir.resolve(s"$nonce-ed$i.parquet")
       val df = spark.read.parquet(s"$abs/${e.path}")
-        .select(fs.map(f => col(f.name).as(f.name, fieldId(f.id.toLong))): _*)
+        .select(fs.map { case (c, f) =>
+          col(c).as(f.name, fieldId(f.id.toLong)) }: _*)
       val rows = writeOneParquet(df, out)
-      DelFile(out.toString, Files.size(out), rows, 2, fs.map(_.id), ranks(eqSeq(e)))
+      DelFile(out.toString, Files.size(out), rows, 2, fs.map(_._2.id), ranks(eqSeq(e)))
     }
     val delFiles = posOut ++ eqOut
     val delManifest: Option[(java.nio.file.Path, Long)] =

@@ -192,10 +192,12 @@ object IcebergImport {
           throw new IllegalArgumentException(
             s"cannot import $source: equality delete ${d.path} is missing " +
               s"column ${f.logical} (field id $id)"))
-        (src, f.logical, f.dataType)
+        // register under the PHYSICAL name: graft's delete-column
+        // resolver is physical-first (deterministic across later renames)
+        (src, f.physical, f.dataType)
       }
-      var df = raw.select(cols.map { case (src, logical, dt) =>
-        col(src).cast(dt).as(logical) }: _*)
+      var df = raw.select(cols.map { case (src, phys, dt) =>
+        col(src).cast(dt).as(phys) }: _*)
       val partScope: Seq[(String, Any)] =
         if (d.partVals.isEmpty) Nil
         else d.partVals.toSeq.map { case (name, v) =>
@@ -214,13 +216,15 @@ object IcebergImport {
               "narrowing cannot express")
           name -> v
         }
-      partScope.foreach { case (name, v) =>
-        val dt = meta.schema.fields.find(_.logical == name).map(_.dataType)
-          .getOrElse(StringType)
-        df = df.withColumn(name, lit(toSparkLiteral(v, dt)).cast(dt))
+      val partScopePhys = partScope.map { case (name, v) =>
+        val f = meta.schema.fields.find(_.logical == name)
+        (f.map(_.physical).getOrElse(name), v, f.map(_.dataType).getOrElse(StringType))
+      }
+      partScopePhys.foreach { case (phys, v, dt) =>
+        df = df.withColumn(phys, lit(toSparkLiteral(v, dt)).cast(dt))
       }
       val name = writeMorFile(spark, target, df, "eqdel")
-      EqDelete(name, cols.map(_._2) ++ partScope.map(_._1), rank(d.seq))
+      EqDelete(name, cols.map(_._2) ++ partScopePhys.map(_._1), rank(d.seq))
     }
 
     // ---- publish one graft snapshot --------------------------------------

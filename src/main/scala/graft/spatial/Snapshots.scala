@@ -1865,7 +1865,13 @@ object Snapshots {
     val tableCols = read(spark, path).columns.toSet
     require(rows.columns.nonEmpty && rows.columns.forall(tableCols),
       s"equality columns ${rows.columns.mkString(",")} must exist in the table")
-    val (name, _) = writeDeleteFile(rows, path, "eqdel")
+    // record the delete under PHYSICAL column names: physicals are never
+    // reused by the evolution log, so later renames (even rename chains)
+    // resolve deterministically at apply time — logical names would go
+    // stale on the first rename after the delete
+    val entries = TableSchema.read(path)
+    val phys = rows.columns.map(c => TableSchema.physicalOf(entries, c))
+    val (name, _) = writeDeleteFile(rows.toDF(phys.toIndexedSeq: _*), path, "eqdel")
     withCommitRetry() {
       // seq = 0 here; publish stamps it with the committed version, scoping
       // the delete to data files that already existed (sequence-number
@@ -1874,7 +1880,7 @@ object Snapshots {
       val head = rs.mainHead(path)
       publish(path, rs, readManifest(path, Some(head)), carried(path, head),
         carriedPos(path, head),
-        eqDeletes = carriedEq(path, head) :+ EqDelete(name, rows.columns.toSeq))
+        eqDeletes = carriedEq(path, head) :+ EqDelete(name, phys.toSeq))
     }
   }
 
@@ -1935,26 +1941,28 @@ object Snapshots {
     * (via `_metadata.file_path`) gates the delete.
     */
   private[spatial] def applyEqDeletes(spark: SparkSession, path: String,
-      df: DataFrame, eqs: Seq[EqDelete], files: Seq[FileStats]): DataFrame =
+      df: DataFrame, eqs: Seq[EqDelete], files: Seq[FileStats]): DataFrame = {
+    // one evolution-log read per apply, and only when some delete is live
+    lazy val schemaEntries = TableSchema.read(path)
     eqs.foldLeft(df) { case (d, e) =>
-      // delete cols record the name AT DELETE TIME — after a later rename
-      // that is the PHYSICAL name; remap to the current logical name via
-      // the evolution log (the DSv2 path does the same — resolveEqCol),
-      // and fail LOUD when a column resolves neither way
-      val cols = e.cols.map { c =>
-        if (d.columns.contains(c)) c
-        else TableSchema.read(path)
-          .find(en => !en.dropped && en.physical == c).map(_.logical)
-          .filter(d.columns.contains)
-          .getOrElse(throw new IllegalStateException(
-            s"equality delete ${e.path} keys on column '$c', which resolves " +
-              "to no current table column — the delete cannot be applied"))
-      }
-      val dels = spark.read.parquet(s"$path/${e.path}")
-        .select(e.cols.map(col): _*).toDF(cols: _*).dropDuplicates()
       val applicable = files.filter(e.appliesTo)
+      // applicability FIRST: a delete all of whose target files were
+      // rewritten away is a no-op, and must stay one even when its key
+      // column has since been DROPPED — resolving eagerly would turn the
+      // stale entry into a table-wide read failure with no way to compact
+      // it out (compaction reads through this very path)
       if (applicable.isEmpty) d
-      else if (applicable.size == files.size) d.join(dels, cols, "left_anti")
+      else {
+        // delete cols record PHYSICAL names (legacy entries: at-delete-
+        // time logical names); ONE resolver seat with the DSv2 path
+        val cols = e.cols.map(c =>
+          TableSchema.resolveDeleteCol(schemaEntries, c, d.columns.toSet)
+            .getOrElse(throw new IllegalStateException(
+              s"equality delete ${e.path} keys on column '$c', which resolves " +
+                "to no current table column — the delete cannot be applied")))
+        val dels = spark.read.parquet(s"$path/${e.path}")
+          .select(e.cols.map(col): _*).toDF(cols: _*).dropDuplicates()
+        if (applicable.size == files.size) d.join(dels, cols, "left_anti")
       else {
         // exempt paths (files newer than the delete, by addedV sequence):
         // gate via a BROADCAST join on the file path — a long-lived table
@@ -1975,8 +1983,10 @@ object Snapshots {
           .join(exemptDf, Seq("__eq_file"), "left")
           .filter(col("__eq_hit").isNull || col("__eq_exempt").isNotNull)
           .drop("__eq_hit", "__eq_file", "__eq_exempt")
+        }
       }
     }
+  }
 
   /** Apply positional delete files: anti-join on the scan's
     * `(_metadata.file_path, _metadata.row_index)`. The join is the

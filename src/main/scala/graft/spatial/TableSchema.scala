@@ -50,6 +50,31 @@ object TableSchema {
 
   def exists(path: String): Boolean = Files.exists(Paths.get(path, SchemaName))
 
+  /** Resolve an equality-delete key column to its CURRENT logical name —
+    * the ONE seat shared by the V1 apply, the DSv2 bind, and the scan's
+    * extra-column retention (diverging copies would make the two read
+    * paths return different rows for one table). PHYSICAL match first:
+    * deletes record physical names (never reused — [[addColumn]] skips
+    * taken physicals), so a renamed-away name later RE-ADDED as a new
+    * column must not shadow the remap onto an all-NULL column. The
+    * current-name fallback serves legacy deletes recorded under
+    * at-delete-time logical names and tables without an evolution log.
+    * None = unresolvable either way (callers fail loud — silently
+    * dropping a delete resurrects its rows).
+    */
+  def resolveDeleteCol(entries: Seq[Entry], c: String,
+      current: Set[String]): Option[String] =
+    entries.find(en => !en.dropped && en.physical == c).map(_.logical)
+      .filter(current)
+      .orElse(Some(c).filter(current))
+
+  /** Top-level PHYSICAL name of a current logical column (identity when
+    * no evolution log exists or the column predates it).
+    */
+  def physicalOf(entries: Seq[Entry], logical: String): String =
+    entries.find(en => !en.dropped && en.logical == logical)
+      .map(_.physical).getOrElse(logical)
+
   def read(path: String): Seq[Entry] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods

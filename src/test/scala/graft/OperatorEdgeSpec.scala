@@ -128,4 +128,27 @@ class OperatorEdgeSpec extends AnyFunSuite {
       "the stale wkt declaration must clear on an encoding-less overwrite")
     assert(GeoTable.read(spark, dir).count() == 5)
   }
+
+  test("a RE-ADDED column under a renamed-away name must not shadow an " +
+      "equality delete: physical-first resolution targets the renamed " +
+      "column, not the new all-NULL one") {
+    import spark.implicits._
+    import graft.spatial.{Snapshots, TableSchema}
+    val dir = Files.createTempDirectory("graft_eq_shadow").toString + "/t"
+    spark.range(20).selectExpr("id", "id % 5 AS k").write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    Snapshots.deleteByEquality(spark, dir, Seq(2L).toDF("k"))
+    TableSchema.renameColumn(spark, dir, "k", "kind")
+    // a brand-new column re-using the OLD logical name (fresh physical)
+    TableSchema.addColumn(spark, dir, "k",
+      org.apache.spark.sql.types.LongType)
+    val v1 = Snapshots.read(spark, dir)
+    assert(v1.count() == 16,
+      "the delete must keep targeting 'kind' (the renamed original), " +
+        "not the new all-NULL 'k' — NULL keys never match an anti-join")
+    assert(v1.filter("kind = 2").count() == 0)
+    val v2 = spark.read.format("graft").load(dir)
+    assert(v2.count() == 16 && v2.filter("kind = 2").count() == 0,
+      "same physical-first resolution on the DSv2 path")
+  }
 }
