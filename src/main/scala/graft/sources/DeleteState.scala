@@ -96,6 +96,22 @@ object DeleteFiles {
     * keep `hdfs://nn:8020/…`'s authority as a path prefix and silently
     * match nothing (coverage resolving empty ⇒ deleted rows resurface).
     */
+  /** Every boolean `ParquetToSparkSchemaConverter` reads from the
+    * TASK-side Configuration — ONE list for the three reader-factory
+    * construction sites (this one, the batch scan, the path-based
+    * stream); a key missing from any copy breaks only that read path
+    * with a context-free executor error.
+    */
+  def primeTaskSideParquetConfs(conf: org.apache.hadoop.conf.Configuration,
+      sqlConf: org.apache.spark.sql.internal.SQLConf): Unit = {
+    val sc = org.apache.spark.sql.internal.SQLConf
+    Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
+      sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+      sc.LEGACY_PARQUET_NANOS_AS_LONG, sc.PARQUET_FIELD_ID_READ_ENABLED,
+      sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
+      .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
+  }
+
   def norm(p: String): String =
     try new Path(p).toUri.getPath
     catch { case _: IllegalArgumentException => p.replaceFirst("^[a-zA-Z0-9]+:/+", "/") }
@@ -113,12 +129,7 @@ object DeleteFiles {
     conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, schema.json)
     conf.set("spark.sql.session.timeZone", sqlConf.sessionLocalTimeZone)
     ParquetWriteSupport.setSchema(schema, conf)
-    val sc = org.apache.spark.sql.internal.SQLConf
-    Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
-      sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
-      sc.LEGACY_PARQUET_NANOS_AS_LONG, sc.PARQUET_FIELD_ID_READ_ENABLED,
-      sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
-      .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
+    primeTaskSideParquetConfs(conf, sqlConf)
     val broadcastConf = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
     ParquetPartitionReaderFactory(sqlConf, broadcastConf, schema, schema,
       new StructType(), Array.empty, None,

@@ -1304,10 +1304,19 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     * readers and silently resurface rows deleted later). Same posture as
     * the path-based [[graft.streaming.GraftStreamReaderFactory]].
     */
-  private[graft] def streamReaderFactory(): PartitionReaderFactory =
-    buildReaderFactory(forceRowDeletes = true)
+  /** Reader factory for the catalog micro-batch stream. Predicate
+    * deletes EVOLVE across batches while this scan instance lives for
+    * the whole query — the caller passes the conds of the batch's OWN
+    * head (branch-aware), because the scan's `morConds` val is a
+    * construction-time snapshot and would miss every predicate delete
+    * committed after stream start.
+    */
+  private[graft] def streamReaderFactory(
+      freshMorConds: Seq[String]): PartitionReaderFactory =
+    buildReaderFactory(forceRowDeletes = true, condsOverride = Some(freshMorConds))
 
-  private def buildReaderFactory(forceRowDeletes: Boolean): PartitionReaderFactory = {
+  private def buildReaderFactory(forceRowDeletes: Boolean,
+      condsOverride: Option[Seq[String]] = None): PartitionReaderFactory = {
     val sqlConf = spark.sessionState.conf
     val conf = spark.sessionState.newHadoopConf()
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
@@ -1330,12 +1339,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, parquetData.json)
     conf.set("spark.sql.session.timeZone", sqlConf.sessionLocalTimeZone)
     ParquetWriteSupport.setSchema(parquetData, conf)
-    val sc = org.apache.spark.sql.internal.SQLConf
-    Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
-      sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
-      sc.LEGACY_PARQUET_NANOS_AS_LONG, sc.PARQUET_FIELD_ID_READ_ENABLED,
-      sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
-      .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
+    DeleteFiles.primeTaskSideParquetConfs(conf, sqlConf)
     val broadcastConf = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
     // physical-name pushed filters reach parquet for row-group pruning —
     // DATA columns only: a partition-column filter would be evaluated by
@@ -1368,7 +1372,8 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
             .get("read.parquet.vectorization.enabled").map(_.toBoolean))
         .toOption.flatten)
       .getOrElse(true)
-    GraftBatchReaderFactory(parquet, posFactory, morPredicate(),
+    GraftBatchReaderFactory(parquet, posFactory,
+      morPredicate(condsOverride.getOrElse(morConds)),
       forceRowDeletes || posRefs.nonEmpty || eqSpecs.nonEmpty,
       combinedPhysical, projectionExprs, keepIdx, rowIdxOrdinal, metaCols,
       vectorize)
@@ -1425,13 +1430,13 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
     * (decode runs first). Predicate strings are manifest metadata — tiny,
     * resolved on the driver by design.
     */
-  private def morPredicate(): Option[Expression] = {
-    if (morConds.isEmpty) return None
+  private def morPredicate(conds: Seq[String]): Option[Expression] = {
+    if (conds.isEmpty) return None
     val logicalCombined = StructType(readLogicalData ++ readLogicalPart)
     graft.functions.GeoSql.install(spark)
     val attrs = logicalCombined.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
     val parsed = spark.sessionState.sqlParser.parseExpression(
-      morConds.map(c => s"($c)").mkString(" OR "))
+      conds.map(c => s"($c)").mkString(" OR "))
     val analyzed = spark.sessionState.analyzer.execute(
       LFilter(parsed, LocalRelation(attrs)))
     analyzed.collectFirst { case LFilter(c, _) =>

@@ -120,7 +120,11 @@ object GeoTable {
   private[graft] def stampBucketIds(spark: SparkSession, path: String,
       b: Transforms.Bucket, rels: Seq[String]): Seq[String] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    rels.map { rel =>
+    // on a MID-WAY failure, rename the already-stamped files BACK: the
+    // caller's abort path knows only the pre-stamp names, so partial
+    // renames would otherwise strand permanent orphan debris
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    try rels.map { rel =>
       val dir = rel.split('/').dropRight(1).mkString("/")
       val name = rel.split('/').last
       val bucketPrefix = s"${b.derivedName}="
@@ -129,14 +133,24 @@ object GeoTable {
           val k = seg.stripPrefix(bucketPrefix).toInt
           val stamped = name.replaceFirst("""\.""", f"_$k%05d.")
           val newRel = if (dir.isEmpty) stamped else s"$dir/$stamped"
+          val src = new Path(new Path(path), rel)
+          val dst = new Path(new Path(path), newRel)
           // rename reports failure as FALSE, not an exception — committing
           // the post-stamp name anyway would publish a manifest entry for
           // a file that does not exist
-          require(fs.rename(new Path(new Path(path), rel), new Path(new Path(path), newRel)),
+          require(fs.rename(src, dst),
             s"bucket-id stamp rename failed: $rel -> $newRel")
+          done += (src -> dst)
           newRel
         case _ => rel
       }
+    } catch {
+      case e: Throwable =>
+        done.reverseIterator.foreach { case (src, dst) =>
+          try { fs.rename(dst, src); () }
+          catch { case scala.util.control.NonFatal(c) => e.addSuppressed(c) }
+        }
+        throw e
     }
   }
 

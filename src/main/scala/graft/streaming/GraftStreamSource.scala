@@ -164,7 +164,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
   /** Streamed head: main's, or the scoped branch's (`option("branch", b)`
     * — the reference's SparkReadOptions.BRANCH applies to streams too).
     */
-  private def streamHead(): Int =
+  protected def streamHead(): Int =
     if (Snapshots.currentVersion(path) == 0) 0
     else branch match {
       case Some(b) => Snapshots.resolveRef(path, b)
@@ -315,7 +315,14 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val logicalToPhysical: Map[String, String] =
       graft.spatial.TableSchema.read(path).filterNot(_.dropped)
         .map(e => e.logical -> e.physical).toMap
-    val phys = eq.cols.map(c => logicalToPhysical.getOrElse(c, c))
+    // PHYSICAL-first like TableSchema.resolveDeleteCol: delete cols record
+    // physical names (legacy entries: at-delete-time logical), and this
+    // row layout IS physical — a logical-first lookup would let a column
+    // re-added under a renamed-away name shadow the delete onto the
+    // wrong (all-NULL) field
+    val phys = eq.cols.map(c =>
+      if (rowSchema.fieldNames.contains(c)) c
+      else logicalToPhysical.getOrElse(c, c))
     if (!phys.forall(rowSchema.fieldNames.contains)) None
     else {
       val ordinals = phys.map(rowSchema.fieldIndex).toArray
@@ -401,12 +408,7 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     ParquetWriteSupport.setSchema(dataSchema, conf)
     // every boolean the parquet schema converter reads from the TASK-side
     // Configuration (ParquetToSparkSchemaConverter's Configuration ctor)
-    val sc = org.apache.spark.sql.internal.SQLConf
-    Seq(sc.NESTED_SCHEMA_PRUNING_ENABLED, sc.CASE_SENSITIVE, sc.PARQUET_BINARY_AS_STRING,
-      sc.PARQUET_INT96_AS_TIMESTAMP, sc.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
-      sc.LEGACY_PARQUET_NANOS_AS_LONG, sc.PARQUET_FIELD_ID_READ_ENABLED,
-      sc.PARQUET_IGNORE_VARIANT_ANNOTATION, sc.PARQUET_READER_RESPECT_UNKNOWN_TYPE_ANNOTATION)
-      .foreach(e => conf.setBoolean(e.key, sqlConf.getConf(e).asInstanceOf[Boolean]))
+    DeleteFiles.primeTaskSideParquetConfs(conf, sqlConf)
     val broadcastConf: Broadcast[SerializableConfiguration] =
       sess.sparkContext.broadcast(new SerializableConfiguration(conf))
     val parquet = ParquetPartitionReaderFactory(sqlConf, broadcastConf, dataSchema, dataSchema,
@@ -447,7 +449,15 @@ class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
     extends GraftMicroBatchStream(path, maxFiles, maxRecords, maxBytes,
       streamFromTimestamp, branch, skipDeleteSnapshots,
       skipOverwriteSnapshots) {
-  override def createReaderFactory(): PartitionReaderFactory = scan.streamReaderFactory()
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // predicate deletes are per-BATCH fresh like pos/eq state: read the
+    // conds at this batch's own (branch-aware) head — the scan's
+    // construction-time snapshot would miss deletes committed mid-stream
+    val head = streamHead()
+    val conds = if (head == 0) Nil
+      else graft.spatial.Snapshots.readDeletes(path, Some(head))
+    scan.streamReaderFactory(conds)
+  }
 
   /** Rows serve through the SCAN's reader factory, whose layout is the
     * scan's pruned/projected logical row — equality-delete ordinals must
@@ -490,17 +500,6 @@ object GraftStreamFilters {
         .map(e => e.logical -> e.physical).toMap
       val parsed0 = spark.sessionState.sqlParser.parseExpression(
         conds.map(c => s"($c)").mkString(" OR "))
-      // a predicate referencing a DECLARED-ENCODING column must never
-      // bind against the raw physical row: the implicit string→binary
-      // cast can ANALYZE cleanly and then evaluate garbage (a wkt string
-      // is not wkb bytes) — route it to the fallback/failure path
-      val encodedCols = graft.spatial.GeometryFields.get(path).keySet
-      if (encodedCols.nonEmpty && parsed0.collectFirst {
-            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                if ua.nameParts.nonEmpty && encodedCols.contains(ua.nameParts.head) => ()
-          }.isDefined)
-        throw new IllegalStateException(
-          "predicate references a declared-encoding column")
       val parsed =
         if (renames.isEmpty) parsed0
         else parsed0.transformUp {
@@ -509,6 +508,20 @@ object GraftStreamFilters {
             org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
               renames(ua.nameParts.head) +: ua.nameParts.tail)
         }
+      // a predicate referencing a DECLARED-ENCODING column must never
+      // bind against the raw physical row: the implicit string→binary
+      // cast can ANALYZE cleanly and then evaluate garbage (a wkt string
+      // is not wkb bytes). Check the POST-translation names — encodings
+      // key on the declared (physical) name, so a predicate written
+      // against a RENAMED geometry column would slip a pre-translation
+      // check and silently no-op every predicate delete
+      val encodedCols = graft.spatial.GeometryFields.get(path).keySet
+      if (encodedCols.nonEmpty && parsed.collectFirst {
+            case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if ua.nameParts.nonEmpty && encodedCols.contains(ua.nameParts.head) => ()
+          }.isDefined)
+        throw new IllegalStateException(
+          "predicate references a declared-encoding column")
       val analyzed = spark.sessionState.analyzer.execute(
         Filter(parsed, LocalRelation(attrs)))
       analyzed.collectFirst { case Filter(c, _) =>

@@ -353,17 +353,35 @@ class GraftStreamDataWriter(dir: String, baseName: String, conf: Configuration,
       })
       .getOrElse(CompressionCodecName.SNAPPY)
 
+  // cap on SIMULTANEOUSLY open parquet writers: each buffers up to a row
+  // group in memory, so a task whose rows span many partitions (a
+  // backlog epoch over days(ts)) would otherwise hold dirs × ~128MB and
+  // OOM the executor. Evicting closes the oldest-opened writer (rows
+  // usually arrive roughly partition-ordered); its partition re-opens as
+  // a roll file on the next row — more files, bounded memory, the
+  // FileFormatWriter concurrent-writers posture.
+  private val MaxOpenWriters = 16
+
   override def write(row: InternalRow): Unit = {
     val d = if (transforms.isEmpty) "" else dirFor(row)
-    val o = writers.getOrElseUpdate(d, {
+    val o = writers.getOrElse(d, {
+      if (writers.size >= MaxOpenWriters) {
+        val (oldDir, old) = writers.head
+        old.w.close()
+        rolled += old.rel
+        writers.remove(oldDir)
+        rollIdx += 1
+      }
       // rolled files need distinct names: roll k re-opens as `…-rk.parquet`
       val fname = if (rollIdx == 0) baseName
         else s"${baseName.stripSuffix(".parquet")}-r$rollIdx.parquet"
       val rel = if (d.isEmpty) fname else s"$d/$fname"
-      new Open(new Builder(new Path(new Path(dir), rel))
+      val fresh = new Open(new Builder(new Path(new Path(dir), rel))
         .withConf(conf)
         .withCompressionCodec(codec)
         .build(), rel)
+      writers.put(d, fresh)
+      fresh
     })
     o.w.write(if (proj.isEmpty) row else physicalRow(row))
     targetFileSize.foreach { t =>

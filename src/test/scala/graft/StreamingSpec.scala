@@ -1007,4 +1007,109 @@ class StreamingSpec extends AnyFunSuite {
     assert(chain(werr).exists(_.contains("byte count")),
       s"unexpected failure chain: ${chain(werr)}")
   }
+
+  test("catalog stream applies PREDICATE deletes committed mid-stream: the " +
+      "scan's construction-time conds snapshot must not serve stale state") {
+    import graft.spatial.Snapshots
+    graft.spatial.Geo.install(spark)
+    val wh = Files.createTempDirectory("graft_spd_wh").toString
+    spark.conf.set("spark.sql.catalog.spdcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spdcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spdcat.st")
+    spark.sql("CREATE TABLE spdcat.st.pd (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO spdcat.st.pd SELECT id, CAST(id AS DOUBLE) FROM range(50)")
+    val tbl = s"$wh/st/pd"
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val scan = new graft.sources.GraftScanBuilder(spark, tbl, None,
+      Snapshots.read(spark, tbl).schema).build().asInstanceOf[graft.sources.GraftScan]
+    val stream = scan.toMicroBatchStream("unused_ckpt")
+      .asInstanceOf[graft.streaming.GraftMicroBatchStream]
+    def readBatch(from: org.apache.spark.sql.connector.read.streaming.Offset,
+        to: org.apache.spark.sql.connector.read.streaming.Offset): Seq[Long] = {
+      val factory = stream.createReaderFactory()
+      stream.planInputPartitions(from, to).toSeq.flatMap { pt =>
+        val r = factory.createReader(pt)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        while (r.next()) buf += r.get().getLong(0)
+        r.close()
+        buf
+      }
+    }
+    val o0 = stream.initialOffset()
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable())
+    assert(readBatch(o0, o1).length == 50)
+    // PREDICATE delete committed while the scan lives, then an append
+    // whose rows match it — the new file's matching rows must not stream
+    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
+    Snapshots.deleteMoR(spark, tbl, "id % 10 = 1")
+    spark.sql("INSERT INTO spdcat.st.pd SELECT id + 100, CAST(id AS DOUBLE) FROM range(20)")
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable())
+    val batch2 = readBatch(o1, o2).sorted
+    assert(batch2.length == 18,
+      s"the mid-stream predicate delete must filter the appended file: " +
+        s"got ${batch2.length}, want 18 (101 and 111 deleted)")
+    assert(!batch2.contains(101L) && !batch2.contains(111L))
+  }
+
+  test("a predicate delete on a RENAMED declared-encoding column must FAIL " +
+      "the direct stream surface, never bind as garbage against the raw row") {
+    import graft.spatial.{GeoTable, GeometryFields, Snapshots, TableSchema}
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_encren").toString + "/tbl"
+    spark.range(10).selectExpr("id",
+      "concat('POINT (', id, ' 0)') AS geom").coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    GeometryFields.setGeometryField(spark, dir, "geom", "wkt")
+    TableSchema.renameColumn(spark, dir, "geom", "shape")
+    Snapshots.updateProperties(dir, Map("write.delete.mode" -> "merge-on-read"))
+    Snapshots.deleteMoR(spark, dir,
+      "ST_Intersects(ST_GeomFromWKB(shape), ST_MakeEnvelope(" +
+        "CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), CAST(3.5 AS DOUBLE), CAST(1 AS DOUBLE)))")
+    // the guard must trip on the POST-translation name: the predicate
+    // says 'shape' but the encoding declaration keys on 'geom'
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-stream").load(dir)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("enc_rename_stream").start().processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null &&
+        (c.getMessage.contains("declared-encoding") ||
+         c.getMessage.contains("cannot bind"))),
+      s"must fail loudly, not silently no-op the delete: $e")
+  }
+
+  test("partitioned streaming write with MORE partitions than the open-" +
+      "writer cap stays bounded and loses no rows (evicted writers roll)") {
+    import graft.spatial.Snapshots
+    val wh = Files.createTempDirectory("graft_manyp_wh").toString
+    spark.conf.set("spark.sql.catalog.mpcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mpcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mpcat.st")
+    spark.sql("CREATE TABLE mpcat.st.manyp (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    val ckpt = Files.createTempDirectory("graft_manyp_ckpt").toString
+    // 40 partitions > the 16-open-writer cap; coalesce(1) forces ONE task
+    // to span all of them, exercising eviction + roll
+    val src = spark.readStream.format("rate").option("rowsPerSecond", "1000").load()
+      .select(col("value").as("id"), (col("value") % 40).as("p"))
+      .coalesce(1)
+    val q = src.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      .toTable("mpcat.st.manyp")
+    try {
+      var waited = 0
+      while (waited < 60 && spark.sql("SELECT count(*) FROM mpcat.st.manyp")
+          .collect().head.getLong(0) < 200) {
+        Thread.sleep(1000); waited += 1
+      }
+    } finally q.stop()
+    val got = spark.sql("SELECT id, p FROM mpcat.st.manyp").collect()
+    assert(got.length >= 200, s"rows must land across 40 partitions: ${got.length}")
+    assert(got.forall(r => r.getLong(1) == r.getLong(0) % 40),
+      "every row must land in ITS partition after writer eviction/rolling")
+    assert(spark.sql("SELECT count(DISTINCT p) FROM mpcat.st.manyp")
+      .collect().head.getLong(0) >= 20)
+  }
 }
