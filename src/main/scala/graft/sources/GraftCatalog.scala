@@ -307,6 +307,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // the converse of createView's guard: a table committed into an
+    // existing VIEW's directory would make the ident resolve as both,
+    // and DROP TABLE on the filesystem backend would destroy the view
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     val p = createLocation(ident, properties)
     val specs = partitions.map(t => Transforms.parse(toSpec(t, schema))).toSeq
     val props = {
@@ -443,6 +447,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
   private def mkStaged(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String],
       replace: Boolean, orCreate: Boolean): StagedTable = {
+    // same both-kinds guard as createTable: CTAS/REPLACE TABLE over an
+    // existing view must not shadow (or later destroy) it
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     val specs = partitions.map(t => Transforms.parse(toSpec(t, schema))).toSeq
     val props = {
       import scala.jdk.CollectionConverters._
@@ -456,9 +463,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(12)}")
     java.nio.file.Files.createDirectories(tmp)
     // the staged dir IS a graft table: the insert uses the standard append
-    // path (transform layout, write order, encodings, footer stats)
+    // path (transform layout, write order, encodings, footer stats).
+    // WAP props are WITHHELD from the staging manifest: with spark.wap.id
+    // active, `write.wap.enabled` here would route the CTAS insert onto a
+    // WAP branch of the STAGING dir — commit would then read the empty
+    // staging main and publish an empty table while abort deletes the only
+    // copy of the rows. The staging dir is already the isolation boundary;
+    // the withheld props re-attach at commit (commitStagedChanges).
     Snapshots.commitCreate(tmp.toString,
-      _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec), props = props,
+      _ => GeoTable.manifestJson(Nil, Nil, specs.map(_.spec),
+        props = props - "write.wap.enabled",
         schema = Some(schema)))
     // declared on the staging dir so the CTAS insert itself validates +
     // canonicalizes; the sidecar travels with the dir move on commit
@@ -696,7 +710,9 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
     val spark = SparkSession.active
     val entries = Snapshots.readManifest(tmpPath)
     val schema = GeoTable.readSchema(tmpPath).getOrElse(declaredSchema)
-    val finalProps = Snapshots.readProps(tmpPath)
+    // re-attach the WAP props withheld from the staging manifest (mkStaged)
+    val finalProps = Snapshots.readProps(tmpPath) ++
+      props.view.filterKeys(_ == "write.wap.enabled").toMap
     val exists = java.nio.file.Files.exists(
       java.nio.file.Paths.get(finalPath, GeoTable.ManifestName))
     if (exists && !replace) throw new TableAlreadyExistsException(ident)
@@ -762,6 +778,11 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
       catch {
         case _: java.nio.file.DirectoryNotEmptyException => ()
         case _: java.nio.file.NoSuchFileException => ()
+        // Files.walk's LAZY iteration wraps a mid-walk vanished file in
+        // UncheckedIOException — the very race this retry loop exists
+        // for; letting it escape would fail a CTAS whose table already
+        // committed
+        case _: java.io.UncheckedIOException => ()
       }
       attempt += 1
     }

@@ -629,7 +629,11 @@ object Snapshots {
   // amortized over every CBO plan until the table changes enough to
   // matter.
 
-  val NdvVersionProp = "stats.ndv.version"
+  // the stamp key must NOT share the per-column prefix: a table column
+  // literally named "version" would collide — its NDV entry clobbered by
+  // the stamp and never served to the CBO. Legacy stamps under the old
+  // "stats.ndv.version" key read as stale → one recompute, no wrong stats.
+  val NdvVersionProp = "stats.ndv-version"
   def ndvProp(col: String): String = s"stats.ndv.$col"
 
   /** Persisted NDV sketch sidecar (the Puffin-statistics-file analogue:
@@ -729,7 +733,10 @@ object Snapshots {
     import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, hll_union, lit}
     val head = mainVersion(path)
     val manifest = readManifest(path, Some(head))
-    val full = read(spark, path)
+    // read PINNED at `head`: the lazily-planned scan would otherwise
+    // resolve a concurrently committed version and persist ITS counts
+    // stamped as this head's sketch
+    val full = read(spark, path, Some(head))
     val geo = GeometryFields.get(path).keySet
     val targets0 = if (columns.nonEmpty) columns else full.schema.fields.toSeq
       .filterNot(f => f.dataType == org.apache.spark.sql.types.BinaryType ||
@@ -1473,6 +1480,18 @@ object Snapshots {
   /** Overwrites have no branch-write form: refuse to clobber main while a
     * WAP session is staging (the alternative is silent unaudited data loss).
     */
+  /** Does a pos-delete row's recorded `file_path` point at manifest
+    * entry `rel`? Relative entries match by SUFFIX (delete rows record
+    * scheme-qualified absolutes); ABSOLUTE entries (Iceberg-imported
+    * tables) match exactly after normalization — a suffix test against
+    * "/" + "/abs/…" can never match and would silently detach the
+    * delete from conflict validation, the changelog, and partition
+    * stats. ONE seat with the rewrite-compaction keep filter.
+    */
+  private def posTargetHits(target: String, rel: String): Boolean =
+    if (rel.startsWith("/")) graft.sources.DeleteFiles.norm(target) == rel
+    else target == rel || target.endsWith("/" + rel)
+
   private def rejectUnderWap(path: String, op: String): Unit =
     require(wapBranchFor(path).isEmpty,
       s"$op is not supported while a WAP session (spark.wap.id / spark.wap.branch) " +
@@ -1688,7 +1707,7 @@ object Snapshots {
       if (posNew.nonEmpty) {
         val targets = spark.read.parquet(posNew.map(f => s"$path/$f"): _*)
           .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
-        val posHit = vm.filter(f => targets.exists(_.endsWith("/" + f.path))).filter(inScope)
+        val posHit = vm.filter(f => targets.exists(posTargetHits(_, f.path))).filter(inScope)
         if (posHit.nonEmpty) throw new IllegalStateException(
           s"Found new conflicting position-delete files in snapshot $v that can apply " +
             s"to records matching the overwrite scope: ${posHit.map(_.path).mkString(", ")}")
@@ -1826,6 +1845,7 @@ object Snapshots {
     * current column values at read time.
     */
   def deleteMoR(spark: SparkSession, path: String, condSql: String): Int = {
+    rejectUnderWap(path, "a merge-on-read predicate delete")
     // fail fast on unparseable/unresolvable predicates
     read(spark, path).filter(!coalesce(expr(condSql), lit(false))).queryExecution.analyzed
     withCommitRetry() {
@@ -1844,6 +1864,7 @@ object Snapshots {
     * (`_metadata.row_index`); a compaction materializes and clears them.
     */
   def deleteByPosition(spark: SparkSession, path: String, positions: DataFrame): Int = {
+    rejectUnderWap(path, "a merge-on-read positional delete")
     require(positions.columns.toSet == Set("file_path", "pos"),
       s"positions must have columns (file_path, pos), got ${positions.columns.mkString(",")}")
     val (name, _) = writeDeleteFile(positions, path, "posdel")
@@ -1862,6 +1883,10 @@ object Snapshots {
     * compaction materializes and clears.
     */
   def deleteByEquality(spark: SparkSession, path: String, rows: DataFrame): Int = {
+    // like every other main-ref mutation: deletes committed MID-AUDIT
+    // would vanish unaudited rows from main while the WAP session
+    // believes its writes are staged
+    rejectUnderWap(path, "a merge-on-read equality delete")
     val tableCols = read(spark, path).columns.toSet
     require(rows.columns.nonEmpty && rows.columns.forall(tableCols),
       s"equality columns ${rows.columns.mkString(",")} must exist in the table")
@@ -2787,8 +2812,12 @@ object Snapshots {
     * predicates.
     */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
-    // an unpinned read under an active WAP conf follows the audit branch
-    val v = version.orElse(wapReadVersion(path))
+    // an unpinned read under an active WAP conf follows the audit branch.
+    // PIN the head ONCE: resolving it per sub-read (manifest, pos/eq/
+    // predicate deletes) would tear the view under a concurrent commit —
+    // serving one version's files with ANOTHER version's (possibly
+    // cleared) delete state resurrects deleted rows
+    val v = Some(version.orElse(wapReadVersion(path)).getOrElse(mainVersion(path)))
     val m = readManifest(path, v)
     GeoTable.applyDeletes(
       applyEqDeletes(spark, path,
@@ -2845,7 +2874,7 @@ object Snapshots {
       else {
         val targets = spark.read.parquet(changedPos.map(f => s"$path/$f"): _*)
           .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
-        common.filter(f => targets.exists(t => t.endsWith("/" + f.path)))
+        common.filter(f => targets.exists(posTargetHits(_, f.path)))
       }
     // ... or via equality delete files (their rows may hit any file —
     // conservative: all common files when the eq-delete set changed)
@@ -3046,7 +3075,7 @@ object Snapshots {
         // the same rule DeleteState applies when planning reads
         val rel = files.map(_.path)
         def toRel(fp: String): Option[String] =
-          rel.find(p => fp == p || fp.endsWith("/" + p))
+          rel.find(p => posTargetHits(fp, p))
         spark.read.parquet(pos.map(f => s"$path/$f"): _*)
           .groupBy(org.apache.spark.sql.functions.col("file_path")).count()
           .collect()
@@ -3108,8 +3137,14 @@ object Snapshots {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val v = version.getOrElse(currentVersion(path))
-    val parent = if (v > 1 && Files.exists(manifestPath(path, v - 1)))
-      readManifest(path, Some(v - 1)).map(_.path).toSet else Set.empty[String]
+    // diff against the STAMPED parent like snapshotsTable: version numbers
+    // interleave across refs, so the numeric predecessor can be ANOTHER
+    // ref's manifest — mislabeling its files "existing" and this ref's
+    // pre-existing files "added"
+    val parentV = readProps(path, Some(v))
+      .get("graft.parentVersion").map(_.toInt).getOrElse(v - 1)
+    val parent = if (parentV >= 1 && Files.exists(manifestPath(path, parentV)))
+      readManifest(path, Some(parentV)).map(_.path).toSet else Set.empty[String]
     val stats = readManifest(path, Some(v))
     val rm = GeoTable.readableMetrics(path, stats)
     val rows = stats.map { f =>
@@ -3202,8 +3237,13 @@ object Snapshots {
     // ONE directory listing: retainedVersions is a Files.list, and per-
     // version re-listing would make this O(versions²) directory scans
     val retained = retainedVersions(path)
+    val retainedSet = retained.toSet
     val rows = retained.flatMap { v =>
-      val parent = retained.filter(_ < v).lastOption
+      // stamped-parent diff (snapshotsTable posture): the largest retained
+      // LOWER version can be another ref's manifest when refs interleave
+      val parentV = readProps(path, Some(v))
+        .get("graft.parentVersion").map(_.toInt).getOrElse(v - 1)
+      val parent = Some(parentV).filter(p => p >= 1 && retainedSet(p))
         .map(pv => readManifest(path, Some(pv)).map(_.path).toSet)
         .getOrElse(Set.empty[String])
       readManifest(path, Some(v)).map { f =>
@@ -3715,9 +3755,12 @@ object Snapshots {
     (expiredDel -- keptPos).foreach { rel =>
       Files.deleteIfExists(Paths.get(path, rel))
     }
-    // superseded refs generations (all but the newest)
+    // superseded refs generations — keep the same reader window casRefs
+    // preserves: a reader that LISTED generation K before our own commits
+    // bumped past it still reads K; deleting everything but the newest
+    // would crash that reader on a vanished refs file
     val gen = refsState(path).gen
-    (1 until gen).foreach(k => Files.deleteIfExists(refsVPath(path, k)))
+    (1 until gen - 8).foreach(k => Files.deleteIfExists(refsVPath(path, k)))
     // statistics sidecars (NDV sketches, partition stats): a file stamped
     // at version N serves every kept version K >= N with no newer file in
     // between — keep exactly the files some kept version still reads

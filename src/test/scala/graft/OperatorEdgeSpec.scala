@@ -151,4 +151,46 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(v2.count() == 16 && v2.filter("kind = 2").count() == 0,
       "same physical-first resolution on the DSv2 path")
   }
+
+  test("CREATE TABLE over an existing catalog VIEW refuses (a committed " +
+      "table would make the ident resolve as both, and DROP TABLE on the " +
+      "filesystem backend would destroy the view)") {
+    val wh = Files.createTempDirectory("graft_tv_wh").toString
+    spark.conf.set("spark.sql.catalog.tvcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tvcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tvcat.db")
+    spark.sql("CREATE VIEW tvcat.db.vx AS SELECT 1 AS one")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE tvcat.db.vx (id BIGINT)")
+    }
+    assert(e.getMessage.toLowerCase.contains("already exists"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE tvcat.db.vx AS SELECT id FROM range(3)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
+    assert(spark.sql("SELECT * FROM tvcat.db.vx").head.getInt(0) == 1,
+      "the view must survive both refused creates")
+  }
+
+  test("expire_snapshots keeps the refs-generation reader window (a " +
+      "mid-listing reader must not crash on a vanished refs file) and a " +
+      "column literally named 'version' gets CBO stats (no stamp collision)") {
+    import graft.spatial.Snapshots
+    val dir = Files.createTempDirectory("graft_refs_win").toString + "/t"
+    spark.range(10).selectExpr("id", "id % 3 AS version").write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    (1 to 12).foreach(i =>
+      Snapshots.updateProperties(dir, Map(s"k$i" -> "v")))
+    Snapshots.expireSnapshots(spark, dir, keep = 1,
+      olderThanMillis = Some(System.currentTimeMillis() + 1000000))
+    val refsFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString.split('/').last)
+      .count(n => n.startsWith("_graft_refs_v"))
+    assert(refsFiles >= 8,
+      s"expire must keep the casRefs reader window, kept $refsFiles")
+    val (_, ndv) = Snapshots.computeTableStats(spark, dir)
+    assert(ndv.get("version").exists(_ >= 2),
+      s"a column named 'version' must get an NDV entry: $ndv")
+    assert(Snapshots.ndvStats(dir, None).get("version").exists(_ >= 2))
+  }
 }

@@ -174,4 +174,46 @@ class WapSpec extends AnyFunSuite {
       assert(Snapshots.readRefs(s"$warehouse/db/plain")._1.keySet == Set("main"))
     } finally spark.conf.unset("spark.wap.id")
   }
+
+  test("CTAS under an active WAP session lands ALL rows: staging appends " +
+      "must not route onto a WAP branch of the staging dir (commit would " +
+      "publish the empty staging main and abort would delete the rows)") {
+    assert(warehouse.nonEmpty)
+    spark.conf.set("spark.wap.id", "ctasjob")
+    try {
+      spark.sql("CREATE TABLE wpubcat.db.ctaswap " +
+        "TBLPROPERTIES ('write.wap.enabled'='true') " +
+        "AS SELECT id FROM range(25)")
+      assert(spark.sql("SELECT count(*) FROM wpubcat.db.ctaswap").head.getLong(0) == 25,
+        "every CTAS row must survive the staged commit under WAP")
+    } finally spark.conf.unset("spark.wap.id")
+    assert(spark.sql("SELECT count(*) FROM wpubcat.db.ctaswap").head.getLong(0) == 25)
+    // the WAP property still attached to the published table
+    val tbl = s"$warehouse/db/ctaswap"
+    assert(Snapshots.readProps(tbl).get("write.wap.enabled").contains("true"))
+  }
+
+  test("the DIRECT MoR delete APIs reject under an active WAP session like " +
+      "every other main-ref mutation (committing mid-audit would vanish " +
+      "unaudited rows from main)") {
+    assert(warehouse.nonEmpty)
+    import spark.implicits._
+    spark.sql("CREATE TABLE wpubcat.db.wdel (id BIGINT, k BIGINT) " +
+      "TBLPROPERTIES ('write.wap.enabled'='true')")
+    spark.sql("INSERT INTO wpubcat.db.wdel SELECT id, id % 5 FROM range(20)")
+    val tbl = s"$warehouse/db/wdel"
+    spark.conf.set("spark.wap.id", "deljob")
+    try {
+      // the branch must EXIST for wapBranchFor to engage
+      spark.sql("INSERT INTO wpubcat.db.wdel VALUES (100, 0)")
+      val e1 = intercept[IllegalArgumentException] {
+        Snapshots.deleteMoR(spark, tbl, "id < 5") }
+      assert(e1.getMessage.contains("WAP"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        Snapshots.deleteByEquality(spark, tbl, Seq(2L).toDF("k")) }
+      assert(e2.getMessage.contains("WAP"), e2.getMessage)
+    } finally spark.conf.unset("spark.wap.id")
+    // outside the session the APIs work
+    assert(Snapshots.deleteMoR(spark, tbl, "id = 19") > 0)
+  }
 }
