@@ -154,7 +154,11 @@ object IcebergExport {
       }
       val df = new GenericData.Record(dfSchema)
       df.put("content", 0)
-      df.put("file_path", s"$abs/${f.path}")
+      // tables adopted via IcebergImport carry ABSOLUTE manifest entries
+      // (metadata-only adoption references the external files in place) —
+      // naive concatenation would publish corrupt `/target//ext/...`
+      // paths, so resolve exactly like every other manifest consumer
+      df.put("file_path", Snapshots.resolveDataPath(abs, f.path))
       df.put("file_format", "PARQUET")
       df.put("partition", part)
       df.put("record_count", f.rows)
@@ -198,7 +202,8 @@ object IcebergExport {
       if (posFiles.isEmpty) Nil
       else {
         val out = metaDir.resolve(s"$nonce-pd0.parquet")
-        val df = spark.read.parquet(posFiles.map(p => s"$abs/$p"): _*)
+        val df = spark.read.parquet(
+            posFiles.map(p => Snapshots.resolveDataPath(abs, p)): _*)
           .select(Snapshots.normFile(col("file_path"))
               .as("file_path", fieldId(2147483546L)),
             col("pos").cast("long").as("pos", fieldId(2147483545L)))
@@ -218,7 +223,7 @@ object IcebergExport {
             s"cannot export $path: equality delete ${e.path} keys on column " +
               s"$c, which is not a current top-level schema column")))
       val out = metaDir.resolve(s"$nonce-ed$i.parquet")
-      val df = spark.read.parquet(s"$abs/${e.path}")
+      val df = spark.read.parquet(Snapshots.resolveDataPath(abs, e.path))
         .select(fs.map { case (c, f) =>
           col(c).as(f.name, fieldId(f.id.toLong)) }: _*)
       val rows = writeOneParquet(df, out)

@@ -90,6 +90,16 @@ object IcebergImport {
         s"cannot import $source: data file ${e.path} has format ${e.format} " +
           "(only parquet data files are readable here)")
     }
+    // ONE entry per data file: byte-identical duplicates (the same file
+    // reachable through two manifests) collapse; same-path entries that
+    // DISAGREE are ambiguous — publishing both would serve the file's rows
+    // twice, so refuse loudly
+    val dedupEntries = dataEntries.distinct
+    val conflicting = dedupEntries.groupBy(_.path)
+      .collect { case (p, es) if es.size > 1 => p }
+    require(conflicting.isEmpty,
+      s"cannot import $source: data file(s) ${conflicting.mkString(", ")} " +
+        "appear in multiple manifest entries with conflicting metadata")
 
     // ---- per-file stats ---------------------------------------------------
     // Files whose manifest entry carries lower/upper bounds get their
@@ -99,7 +109,7 @@ object IcebergImport {
     // scale path at 100k files. Files without bounds (graft's own export
     // writes none) fall back to one distributed footer pass.
     val geomCols = geomProps.keySet
-    val (bounded, unbounded) = dataEntries.distinct.partition(_.lower.nonEmpty)
+    val (bounded, unbounded) = dedupEntries.partition(_.lower.nonEmpty)
     val boundedStats: Map[String, FileStats] = bounded.map { e =>
       val abs = absPath(e.path)
       abs -> decodeBoundStats(e, meta.schema.statNames, geomCols, abs)
@@ -121,16 +131,28 @@ object IcebergImport {
       footerStats.flatMap(f => f.colSizes.keysIterator.map(_.split('.').head)).toSet ++
         bounded.flatMap(e => (e.lower.keysIterator ++ e.nullCounts.keysIterator)
           .flatMap(meta.schema.statNames.get).map(_._1.split('.').head))
+    // bound/null-count keys UNDER-approximate presence: a column whose
+    // metrics are suppressed (write.metadata.metrics mode none /
+    // column-count defaults) has no keys at all — before classifying a
+    // candidate partition-source column as dir-served (or refusing the
+    // import), confirm absence with ONE footer pass over the bounded
+    // files. Lazy: the common fully-metered table never pays it.
+    lazy val boundedFooterCols: Set[String] =
+      GeoTable.collectStats(spark, target,
+        bounded.map(e => absPath(e.path)).distinct)
+        .flatMap(f => f.colSizes.keysIterator.map(_.split('.').head)).toSet
+    def presentInFiles(phys: String): Boolean =
+      inFile(phys) || (bounded.nonEmpty && boundedFooterCols(phys))
 
     // ---- partition fields: dir-served vs in-file vs refuse ---------------
     val dirServed = meta.specFields.filter { sf =>
       sf.transform == "identity" && {
         val srcField = meta.schema.fields.find(_.id == sf.sourceId)
-        val present = srcField.exists(f => inFile(f.physical))
+        val present = srcField.exists(f => presentInFiles(f.physical))
         if (present) false // values come from the files; footer stats prune
         else {
           val verified = srcField.exists(f =>
-            dataEntries.forall(e => dirValueMatches(
+            dedupEntries.forall(e => dirValueMatches(
               absPath(e.path), sf.name, e.partVals.get(sf.name).orNull, f.dataType)))
           require(verified,
             s"cannot import $source: identity partition field ${sf.name} is " +
@@ -147,7 +169,7 @@ object IcebergImport {
     meta.specFields.filterNot(_.transform == "identity").foreach { sf =>
       val src = meta.schema.fields.find(_.id == sf.sourceId)
       val phys = src.map(_.physical).getOrElse(sf.name)
-      require(src.nonEmpty && inFile(phys),
+      require(src.nonEmpty && presentInFiles(phys),
         s"cannot import $source: partition field ${sf.name} " +
           s"(${sf.transform}) derives from a column absent from the data " +
           "files; its source values are unrecoverable")
@@ -158,28 +180,34 @@ object IcebergImport {
     // numbers are sparse longs. Rank-map the union — both engines compare
     // STRICTLY (eq delete at seq S hits data seq < S), so any
     // order-preserving map keeps scoping exact.
-    val allSeqs = (dataEntries.map(_.seq) ++ eqDels.map(_.seq)).distinct.sorted
+    val allSeqs = (dedupEntries.map(_.seq) ++ eqDels.map(_.seq)).distinct.sorted
     val rank: Map[Long, Int] = allSeqs.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val maxRank = if (allSeqs.isEmpty) 0 else allSeqs.size
 
-    val entries = dataEntries.map { e =>
+    val entries = dedupEntries.map { e =>
       byName(absPath(e.path)).copy(addedV = rank(e.seq))
     }
 
     // ---- delete files: rewrite into graft's native shapes ----------------
     // position deletes: (file_path, pos) rows, file paths normalized to
     // the unqualified absolute form the scan's `_metadata.file_path`
-    // normalizes to. One rewritten file per source file (tiny parquet).
-    val posNames = posDels.map { d =>
-      val rows = spark.read.parquet(absPath(d.path))
-        .select(Snapshots.normFile(col("file_path")).as("file_path"),
-          col("pos").cast(LongType).as("pos"))
-      writeMorFile(spark, target, rows, "posdel")
-    }
+    // normalizes to. ALL source files union into ONE job / ONE rewritten
+    // file — (file, pos) identity is sequence-agnostic, so merging loses
+    // nothing, and a production MoR table carrying thousands of delete
+    // files imports in O(1) jobs instead of one sequential job each.
+    val posNames =
+      if (posDels.isEmpty) Nil
+      else {
+        val rows = spark.read
+          .parquet(posDels.map(d => absPath(d.path)).distinct.sorted: _*)
+          .select(Snapshots.normFile(col("file_path")).as("file_path"),
+            col("pos").cast(LongType).as("pos"))
+        Seq(writeMorFile(spark, target, rows, "posdel"))
+      }
     // equality deletes: columns resolved from equality_ids; a
     // partition-scoped delete (non-null partition under a partitioned
     // spec) is narrowed with constant identity partition columns
-    val eqSpecs = eqDels.map { d =>
+    val eqResolved = eqDels.map { d =>
       require(d.eqIds.nonEmpty,
         s"cannot import $source: equality delete ${d.path} carries no equality_ids")
       val raw = spark.read.parquet(absPath(d.path))
@@ -196,9 +224,7 @@ object IcebergImport {
         // resolver is physical-first (deterministic across later renames)
         (src, f.physical, f.dataType)
       }
-      var df = raw.select(cols.map { case (src, phys, dt) =>
-        col(src).cast(dt).as(phys) }: _*)
-      val partScope: Seq[(String, Any)] =
+      val partScopePhys: Seq[(String, Any, DataType)] =
         if (d.partVals.isEmpty) Nil
         else d.partVals.toSeq.map { case (name, v) =>
           val sf = meta.specFields.find(_.name == name)
@@ -214,18 +240,37 @@ object IcebergImport {
             s"cannot import $source: equality delete ${d.path} is scoped to " +
               s"the NULL partition of $name, which graft equality-column " +
               "narrowing cannot express")
-          name -> v
+          // the spec FIELD name is independent of the source column (custom
+          // names are legal and do NOT track source renames) — resolve the
+          // scope column through source-id like the dir-served classifier,
+          // and refuse loudly when it is gone (a name-based fallback would
+          // register a delete keyed on a nonexistent column and brick
+          // every subsequent read of the table)
+          val f = meta.schema.fields.find(_.id == sf.get.sourceId).getOrElse(
+            throw new IllegalArgumentException(
+              s"cannot import $source: equality delete ${d.path} is scoped " +
+                s"to partition field $name whose source column (field id " +
+                s"${sf.get.sourceId}) is not in the current schema"))
+          (f.physical, v, f.dataType)
         }
-      val partScopePhys = partScope.map { case (name, v) =>
-        val f = meta.schema.fields.find(_.logical == name)
-        (f.map(_.physical).getOrElse(name), v, f.map(_.dataType).getOrElse(StringType))
-      }
+      var df = raw.select(cols.map { case (src, phys, dt) =>
+        col(src).cast(dt).as(phys) }: _*)
       partScopePhys.foreach { case (phys, v, dt) =>
         df = df.withColumn(phys, lit(toSparkLiteral(v, dt)).cast(dt))
       }
-      val name = writeMorFile(spark, target, df, "eqdel")
-      EqDelete(name, cols.map(_._2) ++ partScopePhys.map(_._1), rank(d.seq))
+      (d.path, df, cols.map(_._2) ++ partScopePhys.map(_._1), rank(d.seq))
     }
+    // rewrite in O(groups) jobs, not one job per source file: deletes
+    // sharing (key columns, sequence rank) union into one graft delete
+    // file — identical semantics (a graft eq delete is its key rows at
+    // its seq), thousands fewer sequential Spark jobs on a production
+    // MoR table. Group/union order is path-sorted for determinism.
+    val eqSpecs = eqResolved.groupBy { case (_, _, keyCols, seq) => (keyCols, seq) }
+      .toSeq.sortBy { case ((keyCols, seq), _) => (seq, keyCols.mkString(",")) }
+      .map { case ((keyCols, seq), group) =>
+        val frame = group.sortBy(_._1).map(_._2).reduce(_.unionByName(_))
+        EqDelete(writeMorFile(spark, target, frame, "eqdel"), keyCols, seq)
+      }
 
     // ---- publish one graft snapshot --------------------------------------
     // manifest schema = every current Iceberg column under its PHYSICAL

@@ -479,6 +479,153 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("field id 42"), e3.getMessage)
   }
 
+  test("export of an IMPORTED table resolves its absolute manifest entries " +
+      "(no corrupt concatenated paths): import → export → re-import round-trips") {
+    val base = Files.createTempDirectory("graft_imp_absexp").toString
+    import spark.implicits._
+    // external data OUTSIDE the imported table dir → absolute entries
+    val f1 = oneParquet(s"$base/ext", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"s","required":false,"type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    writeFixture(s"$base/ice", schema, "", Map.empty, "",
+      Seq(FixtureEntry(f1, 2L, 1L, 0)))
+    val t1 = s"$base/imported"
+    IcebergImport.importTable(spark, s"$base/ice", t1)
+    assert(Snapshots.readManifest(t1).forall(_.path.startsWith("/")),
+      "precondition: the imported table carries absolute entries")
+    IcebergExport.export(spark, t1)
+    val t2 = s"$base/again"
+    IcebergImport.importTable(spark, t1, t2)
+    assert(rowsOf(GeoTable.read(spark, t2)) == Set("1|a", "2|b"),
+      "the exported manifest must reference the external files resolvable")
+  }
+
+  test("eq-delete partition scope resolves through the spec field's " +
+      "source-id: a custom spec-field name (≠ source column) must not " +
+      "register a delete on a nonexistent column") {
+    val base = Files.createTempDirectory("graft_imp_specname").toString
+    import spark.implicits._
+    // p lives IN the files; the spec field is named p_part (custom name)
+    val fA = oneParquet(s"$base/dA", Seq((1L, 3, 10), (2L, 4, 10)).toDF("id", "k", "p"))
+    val fB = oneParquet(s"$base/dB", Seq((3L, 3, 20)).toDF("id", "k", "p"))
+    val fEq = oneParquet(s"$base/de", Seq(Tuple1(3)).toDF("k"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"int"},
+        |{"id":3,"name":"p","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    val spec = """{"name":"p_part","transform":"identity","source-id":3,"field-id":1000}"""
+    val partAvro =
+      """{"name":"p_part","type":["null","int"],"default":null,"field-id":1000}"""
+    writeFixture(base, schema, spec, Map.empty, partAvro, Seq(
+      FixtureEntry(fA, 2L, 1L, 0, Map("p_part" -> 10)),
+      FixtureEntry(fB, 1L, 1L, 0, Map("p_part" -> 20)),
+      FixtureEntry(fEq, 1L, 2L, 2, Map("p_part" -> 10), eqIds = Seq(2))))
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    // the scope narrowed on the SOURCE column p: k=3 deletes in p=10 only,
+    // and the table reads (a delete keyed on 'p_part' would throw here)
+    assert(rowsOf(Snapshots.read(spark, target)) == Set("2|4|10", "3|3|20"))
+  }
+
+  test("duplicate manifest entries: byte-identical dupes collapse to one " +
+      "served copy; same-path entries that disagree refuse loudly") {
+    val base = Files.createTempDirectory("graft_imp_dup").toString
+    import spark.implicits._
+    val f1 = oneParquet(s"$base/d", Seq((1L, 1), (2L, 2)).toDF("id", "k"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    writeFixture(base, schema, "", Map.empty, "", Seq(
+      FixtureEntry(f1, 2L, 1L, 0),
+      FixtureEntry(f1, 2L, 1L, 0))) // identical duplicate
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    assert(GeoTable.read(spark, target).count() == 2L,
+      "an identical duplicate entry must not serve the file's rows twice")
+
+    val b2 = Files.createTempDirectory("graft_imp_dup2").toString
+    val f2 = oneParquet(s"$b2/d", Seq((1L, 1), (2L, 2)).toDF("id", "k"))
+    writeFixture(b2, schema, "", Map.empty, "", Seq(
+      FixtureEntry(f2, 2L, 1L, 0),
+      FixtureEntry(f2, 2L, 3L, 0))) // same path, conflicting sequence
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, b2, s"$b2/t")
+    }
+    assert(e.getMessage.contains("multiple manifest entries"), e.getMessage)
+  }
+
+  test("metrics-suppressed partition-source column: absent from bounds/null " +
+      "keys but physically in the files — one footer pass classifies it " +
+      "in-file instead of spuriously refusing") {
+    val base = Files.createTempDirectory("graft_imp_nometrics").toString
+    import spark.implicits._
+    // p IS in the file, but the manifest bounds cover only id (metrics
+    // mode none for p); files are NOT hive-laid-out, so dir verification
+    // cannot rescue the old classification
+    val f1 = oneParquet(s"$base/d", Seq((1L, 10), (2L, 20)).toDF("id", "p"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"p","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    val spec = """{"name":"p","transform":"identity","source-id":2,"field-id":1000}"""
+    val partAvro =
+      """{"name":"p","type":["null","int"],"default":null,"field-id":1000}"""
+    def le8(v: Long) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    writeFixture(base, schema, spec, Map.empty, partAvro, Seq(
+      FixtureEntry(f1, 2L, 1L, 0, Map("p" -> 10),
+        lower = Map(1 -> le8(1L)), upper = Map(1 -> le8(2L)),
+        nullCounts = Map(1 -> 0L))))
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    // in-file classification: ordinary column, values from the files
+    assert(GeoTable.readPartitionCols(target).isEmpty)
+    assert(rowsOf(GeoTable.read(spark, target)) == Set("1|10", "2|20"))
+  }
+
+  test("delete-file rewrite batches: many source delete files import as " +
+      "one pos file and one eq file per (columns, sequence) group") {
+    val base = Files.createTempDirectory("graft_imp_batch").toString
+    import spark.implicits._
+    val fA = oneParquet(s"$base/dA",
+      Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4), (5L, 5)).toDF("id", "k"))
+    val fP1 = oneParquet(s"$base/p1", Seq((fA, 0L)).toDF("file_path", "pos"))
+    val fP2 = oneParquet(s"$base/p2", Seq((fA, 2L)).toDF("file_path", "pos"))
+    val fE1 = oneParquet(s"$base/e1", Seq(Tuple1(4)).toDF("k"))
+    val fE2 = oneParquet(s"$base/e2", Seq(Tuple1(99)).toDF("k"))
+    val fE3 = oneParquet(s"$base/e3", Seq(Tuple1(5)).toDF("k"))
+    val schema =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"k","required":false,"type":"int"}]}"""
+        .stripMargin.replace("\n", "")
+    writeFixture(base, schema, "", Map.empty, "", Seq(
+      FixtureEntry(fA, 5L, 1L, 0),
+      FixtureEntry(fP1, 1L, 4L, 1),
+      FixtureEntry(fP2, 1L, 4L, 1),
+      FixtureEntry(fE1, 1L, 2L, 2, eqIds = Seq(2)),
+      FixtureEntry(fE2, 1L, 2L, 2, eqIds = Seq(2)), // same (cols, seq) → merges
+      FixtureEntry(fE3, 1L, 1L, 2, eqIds = Seq(2)))) // seq 1 ≯ 1: inert, own file
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, base, target)
+    assert(Snapshots.readPosDeletes(target).size == 1,
+      "all position-delete sources must union into ONE rewritten file")
+    assert(Snapshots.readEqDeletes(target).size == 2,
+      "equality deletes sharing (columns, sequence) must merge")
+    assert(rowsOf(Snapshots.read(spark, target)) == Set("2|2", "5|5"),
+      "pos deletes drop positions 0,2 (ids 1,3); merged eq seq-2 drops k=4; " +
+        "the seq-1 eq delete must NOT apply to the seq-1 data file " +
+        "(strictly-older scoping), so (5,5) survives")
+  }
+
   test("the SQL procedure surface: CALL register_iceberg_table imports and " +
       "the imported table answers SQL") {
     val base = Files.createTempDirectory("graft_imp_sql").toString
