@@ -118,8 +118,9 @@ object Similarity {
       val n = Tables.metaRowCount(s, dir, "embeddings") // footer-only, no scan
       val k = math.max(4, math.min(256, (n / 64).toInt))
       val sample = strideSample(e0, n, 4096)
-      val cents = coarseCentroids(sample, k)
-      val cn = typedlit(cents.map(normalize).toSeq)
+      val cents = coarseCentroids(sample, k).map(normalize).toSeq
+      capturedOracle("sim_ann_ivf") = ivfOracleSql(cents, nprobe = 2, k = 3)
+      val cn = typedlit(cents)
       val assigned = e0.withColumn("cell",
         VectorSql.vec_nearest(col("v"), cn, 1).getItem(0))
       val q = e0.filter(col("vec_id") % 100 === 0)
@@ -162,6 +163,7 @@ object Similarity {
       val m = 4; val ksub = 16; val dsub = 16
       val sample = strideSample(e0, n, 2048)
       val books = pqCodebooks(sample, m, ksub, dsub) // broadcast literals
+      capturedOracle("sim_pq_topk") = pqOracleSql(books, adcTop = 16, k = 3)
       val coded = e0.select(col("vec_id"), col("v"),
         array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"))
       val q = e0.filter(col("vec_id") % 100 === 0)
@@ -201,12 +203,15 @@ object Similarity {
       val coarseK = math.max(4, math.min(256, (n / 64).toInt))
       val m = 4; val ksub = 16; val dsub = 16
       val sample = strideSample(e0, n, 4096)
-      val cn = typedlit(coarseCentroids(sample, coarseK).map(normalize).toSeq)
+      val cents = coarseCentroids(sample, coarseK).map(normalize).toSeq
+      val cn = typedlit(cents)
       // the PQ training sample derives from the coarse sample already on
       // the driver (every other stride element ≈ the 2048-cap stride) —
       // a second full scan + collect would be pure waste on the build path
       val books = pqCodebooks(
         sample.zipWithIndex.collect { case (v, i) if i % 2 == 0 => v }, m, ksub, dsub)
+      capturedOracle("sim_ivf_pq") =
+        ivfPqOracleSql(cents, books, nprobe = 3, adcTop = 32, k = 3)
       val coded = e0.select(col("vec_id"), col("v"),
         VectorSql.vec_nearest(col("v"), cn, 1).getItem(0).as("cell"),
         array((0 until m).map(sub => pqCodeCol(books, sub, dsub)): _*).as("codes"))
@@ -257,6 +262,8 @@ object Similarity {
       val n = Tables.metaRowCount(s, dir, "embeddings")
       val d = 64
       val (mins, scales) = sq8Bounds(strideSample(e0, n, 2048), d)
+      capturedOracle("sim_sq8_topk") =
+        sq8OracleSql(mins.toSeq, scales.toSeq, adcTop = 16, k = 3)
       val minsL = typedlit(mins.toSeq)
       val scalesL = typedlit(scales.toSeq)
       // code_i = clamp(round((v_i - min_i)/scale_i), 0, 255)  (map-only)
@@ -364,8 +371,12 @@ object Similarity {
     // Spark MLlib); eigenvector sign is canonicalized (largest-|coord|
     // positive). The projection itself is MAP-ONLY: k codegen'd vec_dot
     // columns against broadcast-literal component vectors.
-    "sim_pca_project" -> ((s, dir) =>
-      pcaProject(emb(s, dir).select(col("vec_id"), col("v")), 64, 8)),
+    "sim_pca_project" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      val model = pcaModel(e, 64, 8)
+      capturedOracle("sim_pca_project") = pcaOracleSql(model)
+      projectWith(e, model)
+    }),
 
     // PERSISTED IVF-PQ index — build once, query many (the missing piece
     // of the retrain-per-query family above): the index is a graft TABLE
@@ -376,11 +387,23 @@ object Similarity {
     // metadata). At 100 TB: one training pass + one map-only encode,
     // amortized over every subsequent query batch against codes 64×
     // smaller than the raw vectors. Rebuilds only when absent/invalid.
-    "sim_index_topk" -> ((s, dir) =>
+    "sim_index_topk" -> ((s, dir) => {
       // rebuild when absent / stale, incremental-append when the corpus
       // only grew, no-op when fresh (the scratch index outlives test-data
       // regeneration; validity fingerprints the source CONTENT per file)
-      queryVectorIndex(s, dir, ensureVectorIndex(s, dir))),
+      val idx = ensureVectorIndex(s, dir)
+      // oracle from the index's PERSISTED trainer state (which may predate
+      // this run — catch-up keeps the original centroids/codebooks): the
+      // index's stored cells/codes are a deterministic function of the
+      // corpus vectors and exactly this state, so DuckDB re-derives them
+      // from the embeddings table and replays the query path
+      val props = graft.spatial.Snapshots.readProps(idx)
+      capturedOracle("sim_index_topk") = ivfPqOracleSql(
+        parseMatrix(props("graft.index.centroids")),
+        props("graft.index.codebooks").split('|').toSeq.map(parseMatrix),
+        nprobe = 3, adcTop = 32, k = 3)
+      queryVectorIndex(s, dir, idx)
+    }),
 
     "dedup_embed_cosine" -> ((s, dir) => {
       val e0 = emb(s, dir)
@@ -1457,7 +1480,24 @@ object Similarity {
   /** PCA projection body, factored so the bench can warm the Gram pass +
     * eigSym init on a tiny frame. `e` must be (vec_id, v: array<double>).
     */
-  def pcaProject(e: DataFrame, d: Int, k: Int): DataFrame = {
+  def pcaProject(e: DataFrame, d: Int, k: Int): DataFrame =
+    projectWith(e, pcaModel(e, d, k))
+
+  /** The map-only projection against a trained PCA model: one codegen'd
+    * vec_dot per component, centered by the precomputed mean offset.
+    */
+  private def projectWith(e: DataFrame, model: Seq[(Seq[Double], Double)]): DataFrame = {
+    val projCols = model.zipWithIndex.map { case ((w, offset), c) =>
+      round(dot(col("v"), typedlit(w)) - lit(offset), 4).as(s"p$c")
+    }
+    e.select((col("vec_id") +: projCols): _*)
+  }
+
+  /** Train the PCA model: (component vector, mean-centering offset) per
+    * component, descending variance. See [[pcaProject]] for the
+    * distributed Gram-pass shape and the determinism contract.
+    */
+  private[graft] def pcaModel(e: DataFrame, d: Int, k: Int): Seq[(Seq[Double], Double)] = {
       val partialsRdd = e.select(col("v")).rdd
         .mapPartitionsWithIndex { (pid, it) =>
           val sum = new Array[Double](d)
@@ -1533,11 +1573,191 @@ object Similarity {
         val flip = if (w(w.zipWithIndex.maxBy(x => math.abs(x._1))._2) < 0) -1.0 else 1.0
         w.map(_ * flip)
       }
-      val projCols = comps.zipWithIndex.map { case (w, c) =>
+      comps.map { w =>
         val offset = w.zip(mean).map { case (wi, mi) => wi * mi }.sum
-        round(dot(col("v"), typedlit(w)) - lit(offset), 4).as(s"p$c")
+        (w, offset)
       }
-      e.select((col("vec_id") +: projCols): _*)
+  }
+
+  // ---- trained-state oracles (captured at query time) ---------------------
+
+  /** DuckDB oracles for the TRAINED family (IVF / PQ / SQ8 / IVF-PQ /
+    * persisted index / PCA) are built at QUERY time: the trainers are
+    * deterministic over bounded driver samples, so the trained state the
+    * Spark plan actually used — normalized coarse centroids, PQ
+    * codebooks, SQ8 bounds, PCA components — materializes into the oracle
+    * SQL as literal lists (`Double.toString` round-trips bit-exactly and
+    * DuckDB's literal parser is correctly-rounded, the same bijection the
+    * index's property persistence relies on), and DuckDB independently
+    * replays assignment → probe → ADC → exact-cosine re-rank in pure SQL
+    * arithmetic. Every floating-point reduction is expressed through
+    * `list_dot_product`, whose sequential accumulation matches the Spark
+    * kernels and `aggregate`/`zip_with` folds bit-for-bit (the
+    * LshSigsCte parity contract). [[graft.Verify]] runs every query
+    * BEFORE dumping oracle_sql.json, so the capture is populated there;
+    * an unrun query's entry stays absent (the driver's rows-only
+    * fallback) rather than stale.
+    */
+  private val capturedOracle =
+    new scala.collection.concurrent.TrieMap[String, String]()
+
+  private def listLit(v: Seq[Double]): String =
+    v.map(_.toString).mkString("[", ", ", "]")
+
+  private val EmbCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def centsCte(cents: Seq[Seq[Double]]): String =
+    "cents AS (SELECT * FROM (VALUES " +
+      cents.zipWithIndex.map { case (c, i) => s"($i, ${listLit(c)})" }
+        .mkString(", ") + ") t(cid, cv))"
+
+  private def booksCte(books: Seq[Seq[Seq[Double]]]): String =
+    "books AS (SELECT * FROM (VALUES " +
+      books.zipWithIndex.flatMap { case (b, s) =>
+        b.zipWithIndex.map { case (c, j) => s"($s, $j, ${listLit(c)})" }
+      }.mkString(", ") + ") t(sub, code, cv))"
+
+  /** Nearest-centroid CTEs: `asg` (every vector's argmax-dot cell, ties
+    * to the lowest cid — VecNearest's strict-greater insertion) and
+    * `probes` (the query stride's top-`nprobe` cells, same ordering).
+    */
+  private def ivfCtes(nprobe: Int): String =
+    s"""asg AS (SELECT e.vec_id, c.cid AS cell FROM e CROSS JOIN cents c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) = 1),
+       |probes AS (SELECT e.vec_id AS qid, c.cid AS probe FROM e CROSS JOIN cents c
+       |  WHERE e.vec_id % 100 = 0
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) <= $nprobe)""".stripMargin
+
+  /** PQ encode CTEs: per (vector, subspace, codebook row) L2 distance —
+    * `list_dot_product(diff, diff)` is the same (x−y)² sequential fold as
+    * the Spark `pqCodeCol` aggregate — and the argmin code (first index
+    * attaining the min, like `array_position(dists, array_min(dists))`).
+    * `d2s` doubles as the per-query ADC lookup table (`pqLutCol` is the
+    * same arithmetic over the query vector).
+    */
+  private def pqCtes(dsub: Int): String =
+    s"""vsub AS (SELECT vec_id, sub, code, cv,
+       |    list_slice(v, sub * $dsub + 1, sub * $dsub + $dsub) AS sv
+       |  FROM e CROSS JOIN books),
+       |d2s AS (SELECT vec_id, sub, code,
+       |  list_dot_product(
+       |    list_transform(generate_series(1, $dsub), i -> sv[i] - cv[i]),
+       |    list_transform(generate_series(1, $dsub), i -> sv[i] - cv[i])) AS d2
+       |  FROM vsub),
+       |codes AS (SELECT vec_id, sub, code FROM d2s
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY d2, code) = 1)""".stripMargin
+
+  /** ADC ranking over candidate pairs `cpair(qid, vec_id)`: adist = the
+    * candidate's m code distances looked up in the query's LUT, summed in
+    * subspace order (list_dot_product against ones = the Spark
+    * `aggregate` fold's exact addition order), top-`adcTop` per query by
+    * (adist, vec_id).
+    */
+  private def adcCtes(m: Int, adcTop: Int): String =
+    s"""pairs AS (SELECT cp.qid, cp.vec_id, c.sub, qd.d2
+       |  FROM cpair cp JOIN codes c ON c.vec_id = cp.vec_id
+       |  JOIN d2s qd ON qd.vec_id = cp.qid AND qd.sub = c.sub AND qd.code = c.code),
+       |adc AS (SELECT qid, vec_id,
+       |    list_dot_product(list(d2 ORDER BY sub), ${listLit(Seq.fill(m)(1.0))}) AS adist
+       |  FROM pairs GROUP BY qid, vec_id),
+       |cand AS (SELECT qid, vec_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= $adcTop)""".stripMargin
+
+  /** Exact-cosine top-k re-rank over `cand(qid, vec_id)` — the shared
+    * tail of every ANN oracle (the sim_ann_lsh shape).
+    */
+  private def exactTopTail(k: Int): String =
+    s"""SELECT c.qid, c.vec_id,
+       |  round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e b ON b.vec_id = c.vec_id
+       |QUALIFY row_number() OVER (PARTITION BY c.qid
+       |  ORDER BY round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+       |    c.vec_id) <= $k""".stripMargin
+
+  private def ivfOracleSql(cents: Seq[Seq[Double]], nprobe: Int, k: Int): String =
+    s"""WITH $EmbCte,
+       |${centsCte(cents)},
+       |${ivfCtes(nprobe)},
+       |cand AS (SELECT DISTINCT p.qid, a.vec_id FROM asg a
+       |  JOIN probes p ON a.cell = p.probe AND a.vec_id != p.qid)
+       |${exactTopTail(k)}""".stripMargin
+
+  private def pqOracleSql(books: Seq[Seq[Seq[Double]]], adcTop: Int, k: Int): String =
+    s"""WITH $EmbCte,
+       |${booksCte(books)},
+       |${pqCtes(books.head.head.size)},
+       |cpair AS (SELECT q.vec_id AS qid, e.vec_id FROM e
+       |  JOIN (SELECT vec_id FROM e WHERE vec_id % 100 = 0) q
+       |  ON e.vec_id != q.vec_id),
+       |${adcCtes(books.size, adcTop)}
+       |${exactTopTail(k)}""".stripMargin
+
+  private def ivfPqOracleSql(cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      nprobe: Int, adcTop: Int, k: Int): String =
+    s"""WITH $EmbCte,
+       |${centsCte(cents)},
+       |${booksCte(books)},
+       |${ivfCtes(nprobe)},
+       |${pqCtes(books.head.head.size)},
+       |cpair AS (SELECT DISTINCT p.qid, a.vec_id FROM asg a
+       |  JOIN probes p ON a.cell = p.probe AND a.vec_id != p.qid),
+       |${adcCtes(books.size, adcTop)}
+       |${exactTopTail(k)}""".stripMargin
+
+  /** SQ8: codes = clamp(round((vᵢ−minᵢ)/scaleᵢ)) per dimension; the
+    * approximate cosine replays the Spark fused form — (Σ qᵢ·minᵢ +
+    * Σ codeᵢ·(qᵢ·scaleᵢ)) / (‖q‖·‖reconstructed‖) — term for term.
+    */
+  private def sq8OracleSql(mins: Seq[Double], scales: Seq[Double],
+      adcTop: Int, k: Int): String = {
+    val d = mins.size
+    s"""WITH $EmbCte,
+       |prm AS (SELECT ${listLit(mins)} AS mins, ${listLit(scales)} AS scales),
+       |enc AS (SELECT vec_id, v,
+       |    list_transform(generate_series(1, $d), i ->
+       |      LEAST(255, GREATEST(0,
+       |        CAST(round((v[i] - mins[i]) / scales[i], 0) AS INTEGER)))) AS codes
+       |  FROM e CROSS JOIN prm),
+       |rec AS (SELECT vec_id, v, codes,
+       |    sqrt(list_dot_product(
+       |      list_transform(generate_series(1, $d), i ->
+       |        CAST(codes[i] AS DOUBLE) * scales[i] + mins[i]),
+       |      list_transform(generate_series(1, $d), i ->
+       |        CAST(codes[i] AS DOUBLE) * scales[i] + mins[i]))) AS anorm
+       |  FROM enc CROSS JOIN prm),
+       |q AS (SELECT vec_id AS qid,
+       |    list_dot_product(v, mins) AS qoff,
+       |    list_transform(generate_series(1, $d), i -> v[i] * scales[i]) AS qw,
+       |    sqrt(list_dot_product(v, v)) AS qnorm
+       |  FROM e CROSS JOIN prm WHERE vec_id % 100 = 0),
+       |adc AS (SELECT q.qid, r.vec_id,
+       |    (q.qoff + list_dot_product(
+       |      list_transform(r.codes, c -> CAST(c AS DOUBLE)), q.qw))
+       |      / (q.qnorm * r.anorm) AS acos
+       |  FROM q JOIN rec r ON r.vec_id != q.qid),
+       |cand AS (SELECT qid, vec_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY acos DESC, vec_id) <= $adcTop)
+       |${exactTopTail(k)}""".stripMargin
+  }
+
+  /** PCA: map-only projection against the captured (component, offset)
+    * model — `list_dot_product` = the VecDot kernel's sequential fold.
+    */
+  private def pcaOracleSql(model: Seq[(Seq[Double], Double)]): String = {
+    val cols = model.zipWithIndex.map { case ((w, off), c) =>
+      s"round(list_dot_product(v, ${listLit(w)}) - (${off.toString}), 4) AS p$c"
+    }.mkString(",\n  ")
+    s"""WITH $EmbCte
+       |SELECT vec_id,
+       |  $cols
+       |FROM e""".stripMargin
   }
 
   /** The shared DuckDB CTE prefix of the LSH oracles: embeddings, sized
@@ -1582,7 +1802,12 @@ object Similarity {
        |  FROM e, planes p, params GROUP BY 1, 2)""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
+  /** Static oracles plus the trained-family captures (populated by the
+    * query run that precedes the oracle dump — see [[capturedOracle]]).
+    */
+  def oracleSql: Map[String, String] = staticOracleSql ++ capturedOracle
+
+  private val staticOracleSql: Map[String, String] = Map(
     // Byte-exact twin of the banded random-hyperplane dedup: the
     // splitmix64 plane generator is replayed in HUGEINT arithmetic
     // (unsigned 64-bit wraparound via 32-bit-split modular multiplies —

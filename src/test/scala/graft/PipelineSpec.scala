@@ -97,6 +97,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-family oracle capture: running each query materializes its " +
+      "trained state into a DuckDB oracle entry (literal lists, no Spark refs)") {
+    val names = Seq("sim_ann_ivf", "sim_pq_topk", "sim_sq8_topk", "sim_ivf_pq",
+      "sim_index_topk", "sim_pca_project")
+    names.foreach(n => SparkEntry.queries(n)(spark, sf).collect())
+    val oracles = SparkEntry.oracleSql
+    names.foreach { n =>
+      val sql = oracles.getOrElse(n,
+        fail(s"$n must have an oracle entry after its query ran"))
+      assert(sql.contains("["), s"$n oracle must embed literal trained state")
+      assert(sql.toLowerCase.contains("from embeddings"),
+        s"$n oracle must replay from the source table, not the Spark result")
+    }
+    // the capture reflects the trained state of the LAST run: re-running
+    // the same query over the same corpus is deterministic, so the entry
+    // is byte-stable (the driver re-executes queries before hashing)
+    val before = oracles("sim_ann_ivf")
+    SparkEntry.queries("sim_ann_ivf")(spark, sf).collect()
+    assert(SparkEntry.oracleSql("sim_ann_ivf") == before,
+      "deterministic trainer ⇒ byte-stable captured oracle")
+  }
+
   test("ANN-LSH results are a subset of true neighbors' ranking universe") {
     val ann = SparkEntry.queries("sim_ann_lsh")(spark, sf).collect()
     assert(ann.nonEmpty)
