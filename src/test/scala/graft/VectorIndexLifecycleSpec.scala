@@ -604,6 +604,59 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       "deleted ids must not be query points after a hive-path remap")
   }
 
+  test("src-remap above the literal cap rides a BROADCAST frame: byte-" +
+      "identical answers, deleted rows still suppressed, and the plan " +
+      "carries no map literal") {
+    import graft.spatial.{GeoTable, Snapshots}
+    val base = Files.createTempDirectory("graft_vil_remaplit").toString
+    val tbl = s"$base/corpus_tbl"
+    spark.range(0, 300).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1).write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    Snapshots.append(spark.range(1000, 1030).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), i -> cast(sin(id * 0.7 + i) AS FLOAT)) AS embedding")
+      .coalesce(1), tbl)
+    val idx = s"$base/gindex"
+    Similarity.ensureVectorIndexAt(spark, tbl, idx)
+    val (_, rewritten) = Snapshots.rewriteDataFiles(spark, tbl, "binpack",
+      targetFileSize = Some(512L * 1024 * 1024))
+    assert(rewritten > 0, "fixture must compact")
+    Similarity.ensureVectorIndexAt(spark, tbl, idx) // REMAP commit
+    val remapRaw = Snapshots.readProps(idx).getOrElse("graft.index.src-remap", "")
+    assert(remapRaw.nonEmpty, "fixture must carry a src mapping")
+    val aFile = remapRaw.takeWhile(c => c != ' ' && c != '\n')
+    Snapshots.updateProperties(tbl, Map("write.delete.mode" -> "merge-on-read"))
+    Snapshots.delete(spark, tbl, org.apache.spark.sql.functions.col("vec_id") < 5)
+    assert(Snapshots.readPosDeletes(tbl).nonEmpty, "fixture must be MoR")
+
+    // below the cap (default): the map folds into the plan as a literal
+    val litDf = Similarity.queryVectorIndexAt(spark, tbl, idx,
+      queryFilter = "vec_id = 100")
+    val lit = litDf.collect().map(_.toString).sorted.toSeq
+    assert(litDf.queryExecution.analyzed.toString.contains(aFile),
+      "precondition: the literal path embeds the map in the plan")
+    spark.conf.set("graft.ann.src-remap-literal-max", "0")
+    try {
+      val frDf = Similarity.queryVectorIndexAt(spark, tbl, idx,
+        queryFilter = "vec_id = 100")
+      assert(frDf.collect().map(_.toString).sorted.toSeq == lit,
+        "both carriers must produce byte-identical answers")
+      assert(!frDf.queryExecution.analyzed.toString.contains(aFile),
+        "above the cap the plan must NOT embed the map as a literal")
+      assert(Similarity.queryVectorIndexAt(spark, tbl, idx,
+        queryFilter = "vec_id < 5").collect().isEmpty,
+        "post-remap deleted rows must stay suppressed through the frame path")
+      // a malformed cap fails with the property named
+      spark.conf.set("graft.ann.src-remap-literal-max", "many")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.queryVectorIndexAt(spark, tbl, idx,
+          queryFilter = "vec_id = 100").collect()
+      }
+      assert(e.getMessage.contains("graft.ann.src-remap-literal-max"))
+    } finally spark.conf.unset("graft.ann.src-remap-literal-max")
+  }
+
   test("mergeSrcRemap prunes identity entries (plan-literal growth stays " +
       "bounded) and still chains canonicals through later merges") {
     def resolve(m: Map[String, String], f: String) = m.getOrElse(f, f)
