@@ -407,6 +407,93 @@ class GeoSpec extends AnyFunSuite {
       s"the OR across both sides must keep both matches: $got")
   }
 
+  test("spatial predicate in a JOIN condition: shadow-vs-shadow bbox " +
+      "conjuncts join the condition (per-pair prefilter) and a window-" +
+      "bounded side propagates FILE pruning to the OTHER side") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_joinbbox").toString
+    // two tables, one data file per quadrant each (the tableDir layout)
+    def quadrantTable(dir: String): Unit = {
+      (0 until 4).foreach { q =>
+        val (sx, sy) = q match {
+          case 0 => (1, 1); case 1 => (-1, 1); case 2 => (-1, -1); case _ => (1, -1)
+        }
+        GeoTable.withBbox(spark.range(10).selectExpr(
+          s"id + ${q * 10} AS id",
+          s"st_point(CAST(${sx} * (id + 1) AS DOUBLE), CAST(${sy} * (id + 1) AS DOUBLE)) AS g"),
+          "g").coalesce(1).write.mode("append").parquet(dir)
+      }
+      GeoTable.writeManifest(spark, dir)
+    }
+    quadrantTable(s"$base/ta")
+    quadrantTable(s"$base/tb")
+    val a = GeoTable.read(spark, s"$base/ta")
+    val b = GeoTable.read(spark, s"$base/tb")
+    // a bounded inside the (+,+) quadrant window joins b on intersects:
+    // point-point intersects iff equal, so matches are b's quadrant-0 rows
+    val j = a.as("a")
+      .where("st_covers(st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+        "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)), a.g)")
+      .join(b.as("b"), org.apache.spark.sql.functions.expr("st_intersects(a.g, b.g)"))
+      .selectExpr("a.id AS aid", "b.id AS bid")
+    val rows = j.collect()
+    assert(rows.length == 10 && rows.forall(r => r.getLong(0) == r.getLong(1)),
+      s"quadrant-0 twins must match: ${rows.toSeq}")
+    val plan = j.queryExecution.executedPlan match {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    // AQE wraps exchanges in QueryStageExec LEAVES — descend into them
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val all = deep(plan)
+    val files = all.collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+    assert(files.sorted == Seq(1L, 1L),
+      s"the window must prune BOTH sides' files (a directly, b via the " +
+        s"propagated join bound): scanned $files of 4+4")
+    // the join condition carries the shadow-vs-shadow prefilter
+    val joinConds = all.collect {
+      case e: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        e.condition.map(_.toString).getOrElse("")
+    }.mkString(" ")
+    assert(joinConds.contains("xmax") && joinConds.contains("ymin"),
+      s"the pairwise bbox conjunct must ride the join condition: $joinConds")
+  }
+
+  test("spatial JOIN bbox derivation declines where unsound: FULL OUTER " +
+      "keeps both sides unfiltered and unmatched rows survive") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_joinfull").toString
+    def mk(dir: String, off: Int): Unit = {
+      GeoTable.withBbox(spark.range(4).selectExpr("id",
+        s"st_point(CAST(id + $off AS DOUBLE), CAST(0 AS DOUBLE)) AS g"), "g")
+        .coalesce(1).write.mode("append").parquet(dir)
+      GeoTable.writeManifest(spark, dir)
+    }
+    mk(s"$base/ta", 0) // points x = 0..3
+    mk(s"$base/tb", 2) // points x = 2..5 → overlap at 2, 3
+    val a = GeoTable.read(spark, s"$base/ta")
+    val b = GeoTable.read(spark, s"$base/tb")
+    val j = a.as("a")
+      .where("st_covers(st_makeenvelope(CAST(-1 AS DOUBLE), CAST(-1 AS DOUBLE), " +
+        "CAST(10 AS DOUBLE), CAST(1 AS DOUBLE)), a.g)")
+      .join(b.as("b"), org.apache.spark.sql.functions.expr("st_intersects(a.g, b.g)"),
+        "full_outer")
+      .selectExpr("a.id AS aid", "b.id AS bid")
+    val got = j.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // matches (2,0), (3,1); unmatched a: 0,1; unmatched b: 2,3 (x=4,5)
+    assert(got == Set((2L, 0L), (3L, 1L), (0L, -1L), (1L, -1L), (-1L, 2L), (-1L, 3L)),
+      s"full outer must keep unmatched rows on both sides: $got")
+  }
+
   // NOTE: the wrong-relation single-candidate bind is believed
   // UNREACHABLE today — deterministic above-join predicates fold into
   // the JOIN condition (no Filter node, the rule never fires; verified
