@@ -65,9 +65,18 @@ object IcebergImport {
   /** Import the Iceberg table at `source` (a table dir with
     * `metadata/version-hint.text`, a metadata dir, or a direct
     * `*.metadata.json` path) as a fresh graft table at `target`.
-    * Returns the committed graft version.
+    * Returns the committed graft HEAD version.
+    *
+    * SNAPSHOT HISTORY + REFS cross the boundary (r15): the source's main
+    * ancestry (current snapshot's parent chain) imports as one graft
+    * version per snapshot — time travel works on the imported table —
+    * and source branches/tags whose target lies within that chain adopt
+    * as graft refs. A ref targeting a snapshot OUTSIDE the importable
+    * chain (diverged branch, expired ancestor) refuses LOUDLY unless
+    * `ignoreRefs` (SQL: `ignore_refs => true`) drops it with a warning.
     */
-  def importTable(spark: SparkSession, source: String, target: String): Int = {
+  def importTable(spark: SparkSession, source: String, target: String,
+      ignoreRefs: Boolean = false): Int = {
     val metaFile = resolveMetadataFile(source)
     val meta = parseMetadata(metaFile)
     require(Snapshots.currentVersion(target) == 0, s"target exists: $target")
@@ -81,10 +90,30 @@ object IcebergImport {
     }
     if (geomProps.nonEmpty) GeometryFields.putUnchecked(target, geomProps)
 
-    val (dataEntries, posDels, eqDels) = meta.manifestList match {
-      case Some(ml) => readManifests(ml)
-      case None => (Nil, Nil, Nil) // no current snapshot: schema-only import
-    }
+    // ---- importable chain + refs ------------------------------------------
+    // refs beyond main must resolve within the chain BEFORE any work
+    val chainIds = meta.chain.map(_.id).toSet
+    val adoptRefs: Seq[(String, Long, String)] =
+      meta.refs.toSeq.sortBy(_._1).collect {
+        case (name, (sid, typ)) if name != "main" =>
+          if (chainIds(sid)) Some((name, sid, typ))
+          else if (ignoreRefs) {
+            System.err.println(s"[graft] import of $source: $typ '$name' " +
+              s"targets snapshot $sid outside the importable main ancestry " +
+              "— dropped (ignore_refs)")
+            None
+          } else throw new IllegalArgumentException(
+            s"cannot import $source: $typ '$name' targets snapshot $sid " +
+              "outside the importable main ancestry (diverged branch or " +
+              "expired history); pass ignore_refs => true to drop it")
+      }.flatten
+    // per-snapshot manifest state, oldest → newest; the union drives
+    // stats, classification, and conflict checks
+    val perSnap: Seq[(Long, (Seq[DataEntry], Seq[DeleteEntry], Seq[DeleteEntry]))] =
+      meta.chain.map(s => s.id -> readManifests(s.manifestList))
+    val dataEntries = perSnap.flatMap(_._2._1)
+    val posDels = perSnap.flatMap(_._2._2).distinct
+    val eqDels = perSnap.flatMap(_._2._3).distinct
     dataEntries.foreach { e =>
       require(e.format.equalsIgnoreCase("PARQUET"),
         s"cannot import $source: data file ${e.path} has format ${e.format} " +
@@ -191,23 +220,28 @@ object IcebergImport {
     // ---- delete files: rewrite into graft's native shapes ----------------
     // position deletes: (file_path, pos) rows, file paths normalized to
     // the unqualified absolute form the scan's `_metadata.file_path`
-    // normalizes to. ALL source files union into ONE job / ONE rewritten
-    // file — (file, pos) identity is sequence-agnostic, so merging loses
-    // nothing, and a production MoR table carrying thousands of delete
-    // files imports in O(1) jobs instead of one sequential job each.
-    val posNames =
-      if (posDels.isEmpty) Nil
+    // normalizes to. A snapshot's source files union into ONE job / ONE
+    // rewritten file — (file, pos) identity is sequence-agnostic, so
+    // merging loses nothing, and a production MoR table carrying
+    // thousands of delete files imports in O(snapshots) jobs instead of
+    // one sequential job each. HISTORY-SHARED: an identical pending set
+    // across consecutive snapshots rewrites once (the cache).
+    val posCache = scala.collection.mutable.Map.empty[Seq[String], String]
+    def rewritePos(dels: Seq[DeleteEntry]): Seq[String] =
+      if (dels.isEmpty) Nil
       else {
-        val rows = spark.read
-          .parquet(posDels.map(d => absPath(d.path)).distinct.sorted: _*)
-          .select(Snapshots.normFile(col("file_path")).as("file_path"),
-            col("pos").cast(LongType).as("pos"))
-        Seq(writeMorFile(spark, target, rows, "posdel"))
+        val key = dels.map(d => absPath(d.path)).distinct.sorted
+        Seq(posCache.getOrElseUpdate(key, {
+          val rows = spark.read.parquet(key: _*)
+            .select(Snapshots.normFile(col("file_path")).as("file_path"),
+              col("pos").cast(LongType).as("pos"))
+          writeMorFile(spark, target, rows, "posdel")
+        }))
       }
     // equality deletes: columns resolved from equality_ids; a
     // partition-scoped delete (non-null partition under a partitioned
     // spec) is narrowed with constant identity partition columns
-    val eqResolved = eqDels.map { d =>
+    def resolveEq(d: DeleteEntry) = {
       require(d.eqIds.nonEmpty,
         s"cannot import $source: equality delete ${d.path} carries no equality_ids")
       val raw = spark.read.parquet(absPath(d.path))
@@ -264,29 +298,56 @@ object IcebergImport {
     // sharing (key columns, sequence rank) union into one graft delete
     // file — identical semantics (a graft eq delete is its key rows at
     // its seq), thousands fewer sequential Spark jobs on a production
-    // MoR table. Group/union order is path-sorted for determinism.
-    val eqSpecs = eqResolved.groupBy { case (_, _, keyCols, seq) => (keyCols, seq) }
-      .toSeq.sortBy { case ((keyCols, seq), _) => (seq, keyCols.mkString(",")) }
-      .map { case ((keyCols, seq), group) =>
-        val frame = group.sortBy(_._1).map(_._2).reduce(_.unionByName(_))
-        EqDelete(writeMorFile(spark, target, frame, "eqdel"), keyCols, seq)
-      }
+    // MoR table. Group/union order is path-sorted for determinism;
+    // groups recurring across snapshots rewrite once (the cache).
+    val eqGroupCache =
+      scala.collection.mutable.Map.empty[(Seq[String], Int, Seq[String]), String]
+    def rewriteEq(dels: Seq[DeleteEntry]): Seq[EqDelete] =
+      dels.map(resolveEq).groupBy { case (_, _, keyCols, seq) => (keyCols, seq) }
+        .toSeq.sortBy { case ((keyCols, seq), _) => (seq, keyCols.mkString(",")) }
+        .map { case ((keyCols, seq), group) =>
+          val name = eqGroupCache.getOrElseUpdate(
+            (keyCols, seq, group.map(_._1).sorted), {
+              val frame = group.sortBy(_._1).map(_._2).reduce(_.unionByName(_))
+              writeMorFile(spark, target, frame, "eqdel")
+            })
+          EqDelete(name, keyCols, seq)
+        }
 
-    // ---- publish one graft snapshot --------------------------------------
+    // ---- publish the chain: one graft version per source snapshot --------
     // manifest schema = every current Iceberg column under its PHYSICAL
     // name (incl. dir-served partition cols — graft's "data + partition
     // columns" convention); renames land as evolution-log entries below.
     val physicalSchema = StructType(meta.schema.fields.map(f =>
       StructField(f.physical, f.dataType, nullable = !f.required)))
-    val v = Snapshots.withCommitRetry() {
-      Snapshots.publish(target, Snapshots.refsState(target), entries,
-        posDeletes = posNames, eqDeletes = eqSpecs,
-        props = Map(
-          "graft.imported-from" -> metaFile.toString,
-          "iceberg.table-uuid" -> meta.tableUuid),
-        schema = Some(physicalSchema),
-        partsOverride = dirServed.map(_.name),
-        minVersion = maxRank + 1)
+    // schema-only source (no current snapshot): one empty publish
+    val states = if (perSnap.isEmpty) Seq(0L -> ((Nil, Nil, Nil))) else perSnap
+    var vMap = Map.empty[Long, Int]
+    var v = 0
+    states.zipWithIndex.foreach { case ((sid, (dEnts, pos, eqs)), i) =>
+      val entries = dEnts.distinct.map { e =>
+        byName(absPath(e.path)).copy(addedV = rank(e.seq))
+      }
+      val posNames = rewritePos(pos)
+      val eqSpecs = rewriteEq(eqs)
+      v = Snapshots.withCommitRetry() {
+        Snapshots.publish(target, Snapshots.refsState(target), entries,
+          posDeletes = posNames, eqDeletes = eqSpecs,
+          props = Map(
+            "graft.imported-from" -> metaFile.toString,
+            "iceberg.table-uuid" -> meta.tableUuid,
+            "iceberg.snapshot-id" -> sid.toString),
+          schema = Some(physicalSchema),
+          partsOverride = dirServed.map(_.name),
+          // the FIRST graft version pins past every carried stamp
+          minVersion = if (i == 0) maxRank + 1 else 0)
+      }
+      vMap += sid -> v
+    }
+    // refs land after the chain exists, each on its snapshot's version
+    adoptRefs.foreach { case (name, sid, typ) =>
+      if (typ == "tag") Snapshots.createTag(target, name, Some(vMap(sid)))
+      else Snapshots.createBranch(target, name, Some(vMap(sid)))
     }
 
     // ---- name-mapped renames → graft schema evolution --------------------
@@ -338,9 +399,14 @@ object IcebergImport {
       }
     }.toMap
   }
+  /** One importable snapshot of the source's main ancestry. */
+  private case class SnapMeta(id: Long, manifestList: String)
   private case class Meta(formatVersion: Int, location: String, tableUuid: String,
       schema: ISchema, specFields: Seq[SpecField], props: Map[String, String],
-      manifestList: Option[String])
+      /** main ancestry, OLDEST → NEWEST (empty: no current snapshot). */
+      chain: Seq[SnapMeta],
+      /** ref name → (snapshot id, "branch" | "tag"). */
+      refs: Map[String, (Long, String)])
 
   private def parseMetadata(file: java.nio.file.Path): Meta = {
     import org.json4s._
@@ -390,30 +456,72 @@ object IcebergImport {
       }
       case _ => Nil
     }
-    // current snapshot → manifest list (none when the table is empty)
+    // current snapshot → the importable MAIN ancestry (parent-id walk)
     val curSnap = (j \ "current-snapshot-id") match {
       case JInt(i) if i.toLong >= 0 => Some(i.toLong)
       case JLong(l) if l >= 0 => Some(l)
       case _ => None
     }
-    val manifestList = curSnap.flatMap { id =>
-      (j \ "snapshots") match {
-        case JArray(ss) => ss.find(s => (s \ "snapshot-id") match {
-          case JInt(i) => i.toLong == id
-          case JLong(l) => l == id
-          case _ => false
-        }).map { s =>
-          (s \ "manifest-list") match {
-            case JString(ml) => ml
-            case _ => throw new IllegalArgumentException(
-              "snapshot without manifest-list (v1 embedded `manifests` " +
-                "lists are not supported — rewrite the table metadata)")
-          }
-        }
-        case _ => None
-      }
+    def jlong(v: JValue): Option[Long] = v match {
+      case JInt(i) => Some(i.toLong)
+      case JLong(l) => Some(l)
+      case _ => None
     }
-    Meta(fv, location, uuid, schema, specFields, props, manifestList)
+    case class RawSnap(id: Long, parent: Option[Long], manifestList: Option[String])
+    val snaps: Map[Long, RawSnap] = ((j \ "snapshots") match {
+      case JArray(ss) => ss.flatMap { s =>
+        jlong(s \ "snapshot-id").map { id =>
+          RawSnap(id, jlong(s \ "parent-snapshot-id"),
+            (s \ "manifest-list") match {
+              case JString(ml) => Some(ml)
+              case _ => None
+            })
+        }
+      }
+      case _ => Nil
+    }).map(s => s.id -> s).toMap
+    val chain: Seq[SnapMeta] = curSnap.toSeq.flatMap { head =>
+      val acc = scala.collection.mutable.ListBuffer.empty[SnapMeta]
+      val seen = scala.collection.mutable.Set.empty[Long]
+      var cur: Option[Long] = Some(head)
+      var truncated: Option[Long] = None
+      while (cur.nonEmpty && truncated.isEmpty) {
+        val id = cur.get
+        snaps.get(id) match {
+          case Some(s) if !seen(id) =>
+            seen += id
+            s.manifestList match {
+              case Some(ml) =>
+                acc.prepend(SnapMeta(id, ml))
+                cur = s.parent
+              case None if id == head =>
+                // the CURRENT snapshot must be readable
+                throw new IllegalArgumentException(
+                  "snapshot without manifest-list (v1 embedded `manifests` " +
+                    "lists are not supported — rewrite the table metadata)")
+              case None => truncated = Some(id) // ancestor: history ends here
+            }
+          case _ => cur = None // expired / absent parent: chain ends
+        }
+      }
+      truncated.foreach(id => System.err.println(
+        s"[graft] import: ancestor snapshot $id carries no manifest-list — " +
+          s"history truncated to ${acc.size} snapshots"))
+      acc.toList
+    }
+    val refs: Map[String, (Long, String)] = (j \ "refs") match {
+      case JObject(kv) => kv.flatMap { case (name, r) =>
+        jlong(r \ "snapshot-id").map { sid =>
+          val typ = (r \ "type") match {
+            case JString(t) => t.toLowerCase
+            case _ => "branch"
+          }
+          name -> (sid, typ)
+        }
+      }.toMap
+      case _ => Map.empty
+    }
+    Meta(fv, location, uuid, schema, specFields, props, chain, refs)
   }
 
   /** Iceberg JSON schema + name mapping → flattened fields and renames. */

@@ -877,7 +877,10 @@ case class CallProcedureCommand(proc: String, pos: Seq[Any], named: Map[String, 
         // ([[spatial.IcebergImport]]; the reference's RegisterTable/
         // migrate procedures).
         val tgt = str(arg(1, "target"))
-        val v = graft.spatial.IcebergImport.importTable(spark, table, tgt)
+        val ignoreRefs = named.get("ignore_refs").map(str)
+          .exists(_.equalsIgnoreCase("true"))
+        val v = graft.spatial.IcebergImport.importTable(spark, table, tgt,
+          ignoreRefs)
         Seq(Row(v.toLong, s"target=$tgt"))
       case "build_vector_index" =>
         // CALL graft.system.build_vector_index('<corpus parquet path>',

@@ -38,6 +38,15 @@ class IcebergExportSpec extends AnyFunSuite {
     spark.read.json(Seq(new String(Files.readAllBytes(Paths.get(file)), "UTF-8")).toDS)
   }
 
+  /** The HEAD snapshot's manifest-list path (exports carry the full
+    * ancestry since r15, so `snapshots` holds one entry per version).
+    */
+  private def headListPath(md: org.apache.spark.sql.DataFrame): String = {
+    val cur = md.selectExpr("`current-snapshot-id`").collect().head.getLong(0)
+    md.selectExpr("explode(snapshots) AS s").where(s"s.`snapshot-id` = $cur")
+      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+  }
+
   test("export: metadata.json + manifest list + manifest conform to the v2 " +
       "spec and describe exactly the graft snapshot's files") {
     val base = Files.createTempDirectory("graft_ice").toString
@@ -58,17 +67,28 @@ class IcebergExportSpec extends AnyFunSuite {
       "`current-snapshot-id`", "`current-schema-id`", "`default-spec-id`",
       "location").collect().head
     assert(row.getLong(0) == 2L)
-    assert(row.getLong(1) == 1L)
+    // two exported snapshots (writeManifest + append) rank to sequences 1, 2
+    assert(row.getLong(1) == 2L)
     assert(row.getLong(4) == 0L)
     assert(row.getString(5) == Paths.get(tbl).toAbsolutePath.toString)
     val snapId = row.getLong(2)
 
-    // snapshots[] points at a readable manifest LIST whose single entry
-    // points at a readable manifest
+    // the FULL ancestry exports: two parent-linked snapshots + snapshot-log
+    val snaps = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`snapshot-id`", "s.`parent-snapshot-id`").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(snaps.size == 2, s"history must export: $snaps")
+    assert(snaps(snapId) == 1L && snaps(1L) == -1L,
+      s"parent links must chain the ancestry: $snaps")
+    assert(md.selectExpr("size(`snapshot-log`)").collect().head.getInt(0) == 2)
+
+    // snapshots[] points at a readable manifest LIST whose entries point
+    // at readable manifests
     val listPath = md.selectExpr("explode(snapshots) AS s")
+      .where(s"s.`snapshot-id` = $snapId")
       .selectExpr("s.`manifest-list`", "s.`snapshot-id`", "s.`sequence-number`")
       .collect().head
-    assert(listPath.getLong(1) == snapId && listPath.getLong(2) == 1L)
+    assert(listPath.getLong(1) == snapId && listPath.getLong(2) == 2L)
     val (listSchema, listRows, listMeta) = readAvro(listPath.getString(0))
     assert(listMeta("format-version") == "2")
     assert(listMeta("snapshot-id") == snapId.toString)
@@ -142,10 +162,9 @@ class IcebergExportSpec extends AnyFunSuite {
       .getString(0) == uuid1, "re-export must keep the table-uuid stable")
     assert(!Files.exists(Paths.get(meta1)),
       "the previous export sweeps (its manifests go with it)")
-    // the new export is complete: manifest list + manifest readable, row
-    // counts cover both appends
-    val lp = jsonDf(meta2).selectExpr("explode(snapshots) AS s")
-      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+    // the new export is complete: the HEAD's manifest list + manifest
+    // readable, row counts cover both appends
+    val lp = headListPath(jsonDf(meta2))
     val (_, listRows, _) = readAvro(lp)
     assert(listRows.map(_.get("added_rows_count").asInstanceOf[Long]).sum == 60L)
   }
@@ -239,11 +258,11 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(nm(fields("renamed_x")) == "x",
       "mapping must target the PHYSICAL column name in the data files")
     // re-export swept the first export's nonce-named avro: exactly one
-    // manifest list + one manifest remain
+    // manifest list + one data manifest remain (single-version history)
     val metaFiles = Files.list(Paths.get(tbl, "metadata")).toArray
       .map(_.toString.split('/').last)
     assert(metaFiles.count(_.startsWith("snap-")) == 1, metaFiles.toSeq.toString)
-    assert(metaFiles.count(_.endsWith("-m0.avro")) == 1, metaFiles.toSeq.toString)
+    assert(metaFiles.count(_.contains("-m0-")) == 1, metaFiles.toSeq.toString)
   }
 
   test("evolved PARTITIONED table exports (dir columns appended from the " +
@@ -309,8 +328,7 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(md.selectExpr("`last-sequence-number`").collect().head.getLong(0) == 3L)
     // spec 1 (unpartitioned) rides along for the delete manifest
     assert(md.selectExpr("size(`partition-specs`)").collect().head.getInt(0) == 2)
-    val listPath = md.selectExpr("explode(snapshots) AS s")
-      .selectExpr("s.`manifest-list`").collect().head.getString(0)
+    val listPath = headListPath(md)
     val (_, listRows, _) = readAvro(listPath)
     assert(listRows.size == 2)
     val dataRow = listRows.find(_.get("content") == 0).get

@@ -626,6 +626,70 @@ class IcebergImportSpec extends AnyFunSuite {
         "(strictly-older scoping), so (5,5) survives")
   }
 
+  test("snapshot history + refs cross the boundary: 3-deep history, a " +
+      "branch and a tag survive export → import; time travel works on the " +
+      "imported table") {
+    val base = Files.createTempDirectory("graft_imp_hist").toString
+    val tbl = s"$base/src"
+    spark.range(10).selectExpr("id", "id * 2 AS y").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1
+    Snapshots.append(spark.range(10, 20).selectExpr("id", "id * 2 AS y"), tbl) // v2
+    Snapshots.createTag(tbl, "t_old", Some(1))
+    Snapshots.createBranch(tbl, "b_mid", Some(2))
+    Snapshots.append(spark.range(20, 30).selectExpr("id", "id * 2 AS y"), tbl) // v3
+    IcebergExport.export(spark, tbl)
+
+    // the exported metadata carries the chain + refs
+    val hint = new String(Files.readAllBytes(
+      Paths.get(tbl, "metadata", "version-hint.text")), "UTF-8").trim
+    val metaTxt = new String(Files.readAllBytes(
+      Paths.get(tbl, "metadata", s"v$hint.metadata.json")), "UTF-8")
+    assert("\"snapshot-id\":".r.findAllIn(metaTxt).size >= 3, metaTxt.take(400))
+    assert(metaTxt.contains("\"t_old\"") && metaTxt.contains("\"b_mid\""))
+
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, tbl, target)
+    // 3 graft versions chain along main
+    val anc = Snapshots.ancestry(target, Snapshots.mainVersion(target))
+    assert(anc.size == 3, s"3-deep history must import: $anc")
+    assert(GeoTable.read(spark, target).count() == 30L)
+    assert(Snapshots.read(spark, target, Some(anc.head)).count() == 10L,
+      "time travel to the oldest imported snapshot")
+    assert(Snapshots.read(spark, target, Some(anc(1))).count() == 20L)
+    // refs adopted onto their snapshots' graft versions
+    val (brs, tgs) = Snapshots.readRefs(target)
+    assert(tgs.get("t_old").contains(anc.head), s"tag must adopt: $tgs")
+    assert(brs.get("b_mid").contains(anc(1)), s"branch must adopt: $brs")
+    assert(Snapshots.read(spark, target, Some(tgs("t_old"))).count() == 10L)
+  }
+
+  test("a ref outside the importable ancestry refuses LOUDLY; " +
+      "ignore_refs => true drops it with a warning (SQL surface)") {
+    val base = Files.createTempDirectory("graft_imp_ghostref").toString
+    val tbl = s"$base/src"
+    spark.range(5).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    IcebergExport.export(spark, tbl)
+    // graft a ghost ref pointing outside the exported ancestry
+    val hint = new String(Files.readAllBytes(
+      Paths.get(tbl, "metadata", "version-hint.text")), "UTF-8").trim
+    val mf = Paths.get(tbl, "metadata", s"v$hint.metadata.json")
+    val txt = new String(Files.readAllBytes(mf), "UTF-8")
+    Files.write(mf, txt.replaceFirst("\"refs\":\\{",
+      """"refs":{"ghost":{"snapshot-id":999,"type":"tag"},""").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, tbl, s"$base/t1")
+    }
+    assert(e.getMessage.contains("ghost") && e.getMessage.contains("ignore_refs"),
+      e.getMessage)
+    val t2 = s"$base/t2"
+    spark.sql(s"CALL graft.system.register_iceberg_table('$tbl', " +
+      s"target => '$t2', ignore_refs => true)").collect()
+    assert(GeoTable.read(spark, t2).count() == 5L)
+    val (brs, tgs) = Snapshots.readRefs(t2)
+    assert(!brs.contains("ghost") && !tgs.contains("ghost"))
+  }
+
   test("the SQL procedure surface: CALL register_iceberg_table imports and " +
       "the imported table answers SQL") {
     val base = Files.createTempDirectory("graft_imp_sql").toString
