@@ -108,9 +108,13 @@ object IcebergImport {
               "expired history); pass ignore_refs => true to drop it")
       }.flatten
     // per-snapshot manifest state, oldest → newest; the union drives
-    // stats, classification, and conflict checks
+    // stats, classification, and conflict checks. Avro reads memoize —
+    // Iceberg REUSES unchanged manifests across snapshots, so the chain
+    // walk would otherwise re-parse each shared manifest once per snapshot
+    val avroMemo = scala.collection.mutable.Map.empty[String, Seq[GenericRecord]]
     val perSnap: Seq[(Long, (Seq[DataEntry], Seq[DeleteEntry], Seq[DeleteEntry]))] =
-      meta.chain.map(s => s.id -> readManifests(s.manifestList))
+      meta.chain.map(s => s.id ->
+        readManifests(s.manifestList, p => avroMemo.getOrElseUpdate(p, readAvro(p))))
     val dataEntries = perSnap.flatMap(_._2._1)
     val posDels = perSnap.flatMap(_._2._2).distinct
     val eqDels = perSnap.flatMap(_._2._3).distinct
@@ -509,6 +513,12 @@ object IcebergImport {
           s"history truncated to ${acc.size} snapshots"))
       acc.toList
     }
+    // a claimed current snapshot MISSING from snapshots[] is corrupt
+    // metadata — importing it as an empty table would silently lose
+    // every row
+    require(curSnap.isEmpty || chain.nonEmpty,
+      s"current-snapshot-id ${curSnap.get} is not in the snapshots list — " +
+        "corrupt table metadata")
     val refs: Map[String, (Long, String)] = (j \ "refs") match {
       case JObject(kv) => kv.flatMap { case (name, r) =>
         jlong(r \ "snapshot-id").map { sid =>
@@ -676,16 +686,17 @@ object IcebergImport {
     * (v1 manifests simply lack the v2 fields — Avro field-presence
     * defaults handle both versions in one pass.)
     */
-  private def readManifests(manifestList: String)
+  private def readManifests(manifestList: String,
+      read: String => Seq[GenericRecord] = readAvro)
       : (Seq[DataEntry], Seq[DeleteEntry], Seq[DeleteEntry]) = {
     val data = Seq.newBuilder[DataEntry]
     val pos = Seq.newBuilder[DeleteEntry]
     val eq = Seq.newBuilder[DeleteEntry]
-    readAvro(manifestList).foreach { m =>
+    read(manifestList).foreach { m =>
       val mPath = m.get("manifest_path").toString
       val mContent = intField(m, "content", 0)
       val mSeq = longField(m, "sequence_number", 0L)
-      readAvro(mPath).foreach { e =>
+      read(mPath).foreach { e =>
         val status = intField(e, "status", 0)
         if (status != 2) { // 2 = DELETED: not part of the snapshot
           val df = e.get("data_file").asInstanceOf[GenericRecord]

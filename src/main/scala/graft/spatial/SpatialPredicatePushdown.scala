@@ -226,11 +226,15 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
 
   /** Binding scope: the visible attributes plus the LEAF plans beneath
     * them — provenance proof for shadow binding (see [[bindShadow]]).
+    * Leaves collect LAZILY: the rule visits every Filter/Join in every
+    * query, and only plans with bindable spatial predicates should pay
+    * the tree walk.
     */
-  private final case class Scope(out: Seq[Attribute], leaves: Seq[LogicalPlan])
+  private final case class Scope(out: Seq[Attribute], plans: Seq[LogicalPlan]) {
+    lazy val leaves: Seq[LogicalPlan] = plans.flatMap(_.collectLeaves())
+  }
   private object Scope {
-    def of(plans: LogicalPlan*): Scope =
-      Scope(plans.flatMap(_.output), plans.flatMap(_.collectLeaves()))
+    def of(plans: LogicalPlan*): Scope = Scope(plans.flatMap(_.output), plans)
   }
 
   /** Derive a bbox predicate implied by `cond`, if any. AND: any conjunct

@@ -690,6 +690,25 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(!brs.contains("ghost") && !tgs.contains("ghost"))
   }
 
+  test("a current-snapshot-id missing from snapshots[] refuses (corrupt " +
+      "metadata must not import as an empty table)") {
+    val base = Files.createTempDirectory("graft_imp_corrupt").toString
+    val tbl = s"$base/src"
+    spark.range(5).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl)
+    IcebergExport.export(spark, tbl)
+    val hint = new String(Files.readAllBytes(
+      Paths.get(tbl, "metadata", "version-hint.text")), "UTF-8").trim
+    val mf = Paths.get(tbl, "metadata", s"v$hint.metadata.json")
+    val txt = new String(Files.readAllBytes(mf), "UTF-8")
+    Files.write(mf, txt.replace("\"current-snapshot-id\":1",
+      "\"current-snapshot-id\":424242").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergImport.importTable(spark, tbl, s"$base/t")
+    }
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+  }
+
   test("the SQL procedure surface: CALL register_iceberg_table imports and " +
       "the imported table answers SQL") {
     val base = Files.createTempDirectory("graft_imp_sql").toString
