@@ -38,6 +38,18 @@ object Curation {
   private def nTokens = VectorSql.text_stats(col("text"), typedlit(Seq.empty[String]))
     .getField("n_tokens")
 
+  /** A count-valued session knob, parsed with the property NAMED — a
+    * malformed value must fail diagnosably, never as a bare
+    * NumberFormatException deep in planning (the graft.ann knob posture).
+    */
+  private def longConf(s: SparkSession, key: String, dflt: Long): Long =
+    s.conf.getOption(key).map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a count, got '$v'")
+      }
+    }.getOrElse(dflt)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: drop every corpus document sharing ANY
     // distinct word-5-gram with the benchmark subset (doc_id % 97 == 0
@@ -100,13 +112,26 @@ object Curation {
       val tk = d.select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
         .filter(col("tok") =!= "")
+      // the fitted model feeds THREE consumers (totals, the scoring join,
+      // the size gate) — one eager checkpoint = one corpus scan
       val vocab = tk.groupBy("tok").agg(
         sum(when(col("doc_id") % 97 === 0, 1L).otherwise(0L)).as("ct"),
         sum(when(col("doc_id") % 97 =!= 0, 1L).otherwise(0L)).as("cr"))
+        .localCheckpoint(true)
       val tot = vocab.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
         count(lit(1)).as("nv"))
+      // SIZE-GATED broadcast (the text_boilerplate_scrub pattern): the
+      // model is the RAW-CORPUS unigram vocabulary — unbounded at 100 TB
+      // (web tokens: typos, URLs, numbers run to billions of distinct
+      // strings), and a forced broadcast there is a driver OOM, not a
+      // plan. Below the gate the hint pins the reference-model shape;
+      // above it the join shuffles on `tok` (AQE may still pick broadcast
+      // from runtime stats — that's the point).
+      val maxVocab = longConf(s,
+        "spark.sql.graft.curation.dsir.broadcast-max-vocab", 1000000L)
+      val model = if (vocab.count() <= maxVocab) broadcast(vocab) else vocab
       tk.filter(!isBench)
-        .join(broadcast(vocab), "tok")
+        .join(model, "tok")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(round(avg(log(((col("ct") + lit(1.0)) / (col("tt") + col("nv"))) /
@@ -204,9 +229,8 @@ object Curation {
         .filter(col("df") >= K)
         .select(col("line"))
         .localCheckpoint(true)
-      val maxBroadcastLines = s.conf.getOption(
-        "spark.sql.graft.curation.boilerplate.broadcast-max-lines")
-        .map(_.toLong).getOrElse(1000000L)
+      val maxBroadcastLines = longConf(s,
+        "spark.sql.graft.curation.boilerplate.broadcast-max-lines", 1000000L)
       val scrubbed =
         if (boiler.count() <= maxBroadcastLines)
           lines.join(broadcast(boiler), Seq("line"), "left_anti")

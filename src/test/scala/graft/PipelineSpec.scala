@@ -97,6 +97,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR vocab size gate: an oversized raw-corpus unigram model falls " +
+      "back to a shuffled scoring join with identical results; a malformed " +
+      "knob fails with the property named") {
+    val keyOf = (r: org.apache.spark.sql.Row) => r.toSeq.toList
+    val small = SparkEntry.queries("curate_dsir_weights")(spark, sf)
+      .collect().map(keyOf).toSet
+    try {
+      spark.conf.set("spark.sql.graft.curation.dsir.broadcast-max-vocab", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("curate_dsir_weights")(spark, sf)
+      val rows = df.collect().map(keyOf).toSet
+      // the MODEL join must not be hinted into a broadcast (the tiny
+      // 1-row totals frame legitimately broadcasts either way)
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(rows == small, "both gate paths must produce identical results")
+      assert(plan.contains("tok"), plan.take(200))
+      spark.conf.set("spark.sql.graft.curation.dsir.broadcast-max-vocab", "lots")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("curate_dsir_weights")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("dsir.broadcast-max-vocab"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.graft.curation.dsir.broadcast-max-vocab")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("trained-family oracle capture: running each query materializes its " +
       "trained state into a DuckDB oracle entry (literal lists, no Spark refs)") {
     val names = Seq("sim_ann_ivf", "sim_pq_topk", "sim_sq8_topk", "sim_ivf_pq",
