@@ -1191,7 +1191,14 @@ object Similarity {
     // above it the hint drops and AQE picks the join from runtime stats
     // (cell=probe is an equi key, so a shuffled hash join is available).
     val qRows = q.count() // q is eagerly checkpointed — this is a cheap job
-    val qBytes = qRows * (60L + 8L * cents.head.size + 8L * m * books.head.size)
+    // the row-size model is tied to the EXACT query-frame layout — a
+    // schema change must fail here loudly, not silently skew the gate
+    require(q.columns.toSeq == Seq("qid", "qv", "probe", "luts"),
+      s"queryVectorIndexAt: query-frame layout changed (${q.columns.toSeq}) — " +
+        "update the broadcast size model with it")
+    val qBytes = qRows * (8L + 4L + // qid + probe
+      (16L + 8L * cents.head.size) + // qv array header + doubles
+      (16L + books.map(b => 16L + 8L * b.size).sum)) // luts: m nested arrays
     // parse with the property NAMED: a malformed size knob still fails
     // (deliberately — silently falling back could broadcast a batch the
     // user meant to cap), but diagnosably, never as a bare
