@@ -24,11 +24,14 @@ object TextPipeline {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Per-(tag, sfDir) scratch table dir, wiped per invocation so bench /
-    * verify re-runs are deterministic (same pattern as GeoQueries).
+    * verify re-runs are deterministic. Keyed on GeoQueries' md5 path
+    * digest, NOT String.hashCode — colliding 32-bit input dirs would
+    * share one scratch table and concurrent invocations could interleave
+    * (the r14 GeoQueries finding; this seat was missed).
     */
   private def scratch(tag: String, dir: String): String = {
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${tag}_${Integer.toHexString(dir.hashCode)}")
+      s"graft_${tag}_${GeoQueries.pathDigest(dir)}")
     if (f.exists()) {
       graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -42,6 +45,26 @@ object TextPipeline {
     // paired oracles drop them too) — a NULL row would otherwise diverge
     // per query (kernels emit null rows, SQL unnest drops them)
     Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+  }
+
+  /** SIZE-GATE a corpus-derived model frame that must already be
+    * checkpointed: broadcast below the row cap (the reference-model
+    * shape — at 100 TB these models train ONCE on a bounded reference
+    * corpus), shuffled join above it (a corpus-TRAINED vocabulary is
+    * unbounded at web scale — billions of distinct tokens — and a forced
+    * broadcast there is a driver OOM, not a plan; AQE may still pick
+    * broadcast from runtime stats). The curate_dsir_weights /
+    * boilerplate-scrub posture, one seat for the three LM-model queries.
+    */
+  private def sizeGatedModel(s: SparkSession, ck: DataFrame): DataFrame = {
+    val key = "spark.sql.graft.text.broadcast-max-model-rows"
+    val mx = s.conf.getOption(key).map { v =>
+      try v.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$key must be a count, got '$v'")
+      }
+    }.getOrElse(1000000L)
+    if (ck.count() <= mx) broadcast(ck) else ck
   }
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
@@ -517,9 +540,12 @@ object TextPipeline {
       val d = docs(s, dir)
       val tk = d.select(col("doc_id"), explode(toks).as("tok"))
         .filter(col("tok") =!= "")
+      // the model feeds totals + the scoring join + the size gate — one
+      // eager checkpoint = one corpus scan
       val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
-      tk.join(broadcast(vocab), "tok")
+      tk.join(sizeGatedModel(s, vocab), "tok")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"),
@@ -540,8 +566,9 @@ object TextPipeline {
       val tk = d.select(col("doc_id"), col("lang"), explode(toks).as("tok"))
         .filter(col("tok") =!= "")
       val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
-      val scored = tk.join(broadcast(vocab), "tok")
+      val scored = tk.join(sizeGatedModel(s, vocab), "tok")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"))
@@ -596,10 +623,10 @@ object TextPipeline {
       val tk = d.select(col("source"), explode(toks).as("tok"))
         .filter(col("tok") =!= "")
       val st = tk.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-      val v = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+      val v = tk.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint(true)
       val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ts"))
       val tot = tk.agg(count(lit(1)).as("t"))
-      st.join(broadcast(v), "tok")
+      st.join(sizeGatedModel(s, v), "tok")
         .join(broadcast(srcTot), "source")
         .crossJoin(broadcast(tot))
         .groupBy("source")

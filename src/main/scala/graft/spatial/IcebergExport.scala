@@ -368,9 +368,20 @@ object IcebergExport {
       // head gets the export wall clock; ancestors keep their commit time
       val ts = if (st.v == v) now else Snapshots.commitTimeMillis(path, st.v)
       val parentJson = parent.map(p => s""","parent-snapshot-id":$p""").getOrElse("")
+      // summary operation: the graft replace stamp when present, else the
+      // file diff vs the exported parent (removed files = overwrite) —
+      // the snapshotsTable heuristic, so Iceberg UIs label history right
+      val op = Snapshots.readProps(path, Some(st.v)).get(Snapshots.OperationProp)
+        .getOrElse {
+          val prev = parent.map(p =>
+            perV.find(_.v == p).map(_.files.map(_.path).toSet).getOrElse(
+              Snapshots.readManifest(path, Some(p)).map(_.path).toSet))
+            .getOrElse(Set.empty[String])
+          if ((prev -- st.files.map(_.path).toSet).nonEmpty) "overwrite" else "append"
+        }
       val snapJson = s"""{"snapshot-id":$snapId$parentJson,"sequence-number":$sSeq,""" +
         s""""timestamp-ms":$ts,"manifest-list":"${esc(listPath.toString)}",""" +
-        s""""summary":{"operation":"append"},"schema-id":0}"""
+        s""""summary":{"operation":"${esc(op)}"},"schema-id":0}"""
       val logJson = s"""{"timestamp-ms":$ts,"snapshot-id":$snapId}"""
       (snapJson, logJson,
         Seq(manifestPath, listPath) ++ delManifest.map(_._1) ++

@@ -663,6 +663,40 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, target, Some(tgs("t_old"))).count() == 10L)
   }
 
+  test("history round-trip WITH MoR deletes: per-version rows survive the " +
+      "boundary — sequence scoping stays intact on the imported chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = Files.createTempDirectory("graft_imp_histdel").toString
+    val tbl = s"$base/src"
+    spark.range(20).selectExpr("id", "id % 5 AS k").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1: 20 rows
+    Snapshots.deleteByEquality(spark, tbl, Seq(2L).toDF("k")) // v2: -4 (k=2)
+    Snapshots.append(
+      spark.range(100, 104).selectExpr("id", "id % 5 AS k"), tbl) // v3: +4, k=2 exempt
+    val pos0 = spark.read.parquet(tbl)
+      .select(expr("_metadata.file_path").as("file_path"),
+        expr("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 0L).drop("id")
+    Snapshots.deleteByPosition(spark, tbl, pos0) // v4: -1
+    IcebergExport.export(spark, tbl)
+
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, tbl, target)
+    val srcAnc = Snapshots.ancestry(tbl, Snapshots.mainVersion(tbl))
+    val anc = Snapshots.ancestry(target, Snapshots.mainVersion(target))
+    assert(anc.size == srcAnc.size, s"full chain must import: $anc vs $srcAnc")
+    // every source version's MoR-complete row set survives at the
+    // corresponding imported version (delete state scoped per snapshot)
+    srcAnc.zip(anc).foreach { case (sv, tv) =>
+      assert(rowsOf(Snapshots.read(spark, target, Some(tv))) ==
+        rowsOf(Snapshots.read(spark, tbl, Some(sv))),
+        s"source v$sv and imported v$tv must serve identical rows")
+    }
+    assert(Snapshots.read(spark, target, Some(anc.head)).count() == 20L)
+    assert(Snapshots.read(spark, target, Some(anc.last)).count() == 19L)
+  }
+
   test("a ref outside the importable ancestry refuses LOUDLY; " +
       "ignore_refs => true drops it with a warning (SQL surface)") {
     val base = Files.createTempDirectory("graft_imp_ghostref").toString

@@ -126,6 +126,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LM-model size gate (lm_perplexity / ccnet_buckets / domain_drift " +
+      "share one seat): oversized corpus-trained vocab falls back to a " +
+      "shuffled scoring join with identical results; malformed knob named") {
+    val keyOf = (r: org.apache.spark.sql.Row) => r.toSeq.toList
+    val names = Seq("text_lm_perplexity", "text_ccnet_buckets", "text_domain_drift")
+    val small = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(keyOf).toSet).toMap
+    try {
+      spark.conf.set("spark.sql.graft.text.broadcast-max-model-rows", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      names.foreach { n =>
+        val rows = SparkEntry.queries(n)(spark, sf).collect().map(keyOf).toSet
+        assert(rows == small(n), s"$n: both gate paths must produce identical results")
+      }
+      spark.conf.set("spark.sql.graft.text.broadcast-max-model-rows", "lots")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("text_lm_perplexity")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("broadcast-max-model-rows"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.graft.text.broadcast-max-model-rows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("trained-family oracle capture: running each query materializes its " +
       "trained state into a DuckDB oracle entry (literal lists, no Spark refs)") {
     val names = Seq("sim_ann_ivf", "sim_pq_topk", "sim_sq8_topk", "sim_ivf_pq",
