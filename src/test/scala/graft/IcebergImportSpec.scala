@@ -697,6 +697,30 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, target, Some(anc.last)).count() == 19L)
   }
 
+  test("history with a ROLLBACK round-trips: the rolled-back snapshot's " +
+      "rows serve at its imported version (addedV stamps are not " +
+      "monotonic along such an ancestry — rank mapping must still hold)") {
+    val base = Files.createTempDirectory("graft_imp_rb").toString
+    val tbl = s"$base/src"
+    spark.range(10).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1: 10 rows
+    Snapshots.append(spark.range(10, 25).selectExpr("id"), tbl) // v2: 25 rows
+    Snapshots.rollback(spark, tbl, 1) // v3: back to 10 rows
+    Snapshots.append(spark.range(100, 105).selectExpr("id"), tbl) // v4: 15 rows
+    IcebergExport.export(spark, tbl)
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, tbl, target)
+    val srcAnc = Snapshots.ancestry(tbl, Snapshots.mainVersion(tbl))
+    val anc = Snapshots.ancestry(target, Snapshots.mainVersion(target))
+    assert(anc.size == srcAnc.size, s"$anc vs $srcAnc")
+    srcAnc.zip(anc).foreach { case (sv, tv) =>
+      assert(rowsOf(Snapshots.read(spark, target, Some(tv))) ==
+        rowsOf(Snapshots.read(spark, tbl, Some(sv))),
+        s"source v$sv and imported v$tv must serve identical rows")
+    }
+    assert(GeoTable.read(spark, target).count() == 15L)
+  }
+
   test("a ref outside the importable ancestry refuses LOUDLY; " +
       "ignore_refs => true drops it with a warning (SQL surface)") {
     val base = Files.createTempDirectory("graft_imp_ghostref").toString
