@@ -197,13 +197,23 @@ object IcebergExport {
     // exported snapshots rewrites ONCE (the cache); positional bundles
     // are per-snapshot (the pending set accumulates along history).
     case class DelFile(absFile: String, len: Long, rows: Long, content: Int,
-        eqIds: Seq[Int], seq: Long)
+        eqIds: Seq[Int], seq: Long,
+        /** first exported snapshot carrying this delete (EXISTING later). */
+        firstV: Int)
     import org.apache.spark.sql.functions.col
     def fieldId(id: Long): org.apache.spark.sql.types.Metadata =
       new org.apache.spark.sql.types.MetadataBuilder()
         .putLong("parquet.field.id", id).build()
     val eqCache = scala.collection.mutable.Map.empty[String, DelFile]
     var anyDelFiles = false
+    // first exported snapshot carrying each data/delete file — entries in
+    // LATER snapshots mark EXISTING (status 0) with the ORIGINAL adding
+    // snapshot id, or an Iceberg incremental/changelog consumer of the
+    // exported history would re-count every carried file as added per
+    // snapshot (double-counted rows)
+    val firstSeen: Map[String, Int] =
+      perV.flatMap(s => (s.files.map(_.path) ++ s.eqFiles.map(_.path))
+        .map(_ -> s.v)).groupBy(_._1).map { case (p, vs) => p -> vs.map(_._2).min }
 
     /** Write one exported snapshot (data manifest, delete files + delete
       * manifest, manifest list); returns (snapshot JSON, snapshot-log
@@ -232,13 +242,15 @@ object IcebergExport {
         df.put("record_count", f.rows)
         df.put("file_size_in_bytes", f.sizeBytes)
         val e = new GenericData.Record(entrySchema)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapId)
+        val addedHere = firstSeen(f.path) == st.v
+        e.put("status", if (addedHere) 1 else 0) // ADDED / EXISTING
+        e.put("snapshot_id", firstSeen(f.path).toLong)
         e.put("sequence_number", dataSeq(f))
         e.put("file_sequence_number", dataSeq(f))
         e.put("data_file", df)
         e
       }
+      val (addedE, existE) = st.files.partition(f => firstSeen(f.path) == st.v)
       val manifestLen = writeAvro(manifestPath, entrySchema, Map(
         "schema" -> schemaJson,
         "schema-id" -> "0",
@@ -265,8 +277,9 @@ object IcebergExport {
           val rows = writeOneParquet(df, out)
           // pos deletes apply to data files with sequence <= the delete's:
           // the snapshot's max sequence covers every data file it serves,
-          // and (path, pos) identity makes over-scoping unobservable
-          Seq(DelFile(out.toString, Files.size(out), rows, 1, Nil, sSeq))
+          // and (path, pos) identity makes over-scoping unobservable.
+          // Each snapshot's bundle is a fresh file → always ADDED here.
+          Seq(DelFile(out.toString, Files.size(out), rows, 1, Nil, sSeq, st.v))
         }
       val eqOut: Seq[DelFile] = st.eqFiles.map { e =>
         eqCache.getOrElseUpdate(e.path, {
@@ -283,7 +296,7 @@ object IcebergExport {
               col(c).as(f.name, fieldId(f.id.toLong)) }: _*)
           val rows = writeOneParquet(df, out)
           DelFile(out.toString, Files.size(out), rows, 2, fs.map(_._2.id),
-            ranks(eqSeq(e)))
+            ranks(eqSeq(e)), firstSeen(e.path))
         })
       }
       val delFiles = posOut ++ eqOut
@@ -309,8 +322,8 @@ object IcebergExport {
               df.put("equality_ids", ids)
             }
             val e = new GenericData.Record(delSchema)
-            e.put("status", 1)
-            e.put("snapshot_id", snapId)
+            e.put("status", if (d.firstV == st.v) 1 else 0)
+            e.put("snapshot_id", d.firstV.toLong)
             e.put("sequence_number", d.seq)
             e.put("file_sequence_number", d.seq)
             e.put("data_file", df)
@@ -335,11 +348,11 @@ object IcebergExport {
       listEntry.put("sequence_number", sSeq)
       listEntry.put("min_sequence_number", 1L)
       listEntry.put("added_snapshot_id", snapId)
-      listEntry.put("added_files_count", st.files.size)
-      listEntry.put("existing_files_count", 0)
+      listEntry.put("added_files_count", addedE.size)
+      listEntry.put("existing_files_count", existE.size)
       listEntry.put("deleted_files_count", 0)
-      listEntry.put("added_rows_count", st.files.map(_.rows).sum)
-      listEntry.put("existing_rows_count", 0L)
+      listEntry.put("added_rows_count", addedE.map(_.rows).sum)
+      listEntry.put("existing_rows_count", existE.map(_.rows).sum)
       listEntry.put("deleted_rows_count", 0L)
       val delListEntry = delManifest.map { case (p, len) =>
         val r = new GenericData.Record(listSchema)
@@ -350,11 +363,12 @@ object IcebergExport {
         r.put("sequence_number", sSeq)
         r.put("min_sequence_number", delFiles.map(_.seq).min)
         r.put("added_snapshot_id", snapId)
-        r.put("added_files_count", delFiles.size)
-        r.put("existing_files_count", 0)
+        val (addedD, existD) = delFiles.partition(_.firstV == st.v)
+        r.put("added_files_count", addedD.size)
+        r.put("existing_files_count", existD.size)
         r.put("deleted_files_count", 0)
-        r.put("added_rows_count", delFiles.map(_.rows).sum)
-        r.put("existing_rows_count", 0L)
+        r.put("added_rows_count", addedD.map(_.rows).sum)
+        r.put("existing_rows_count", existD.map(_.rows).sum)
         r.put("deleted_rows_count", 0L)
         r
       }

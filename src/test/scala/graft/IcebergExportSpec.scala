@@ -100,8 +100,11 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(lr.get("content") == 0 && lr.get("partition_spec_id") == 0)
 
     val graftFiles = Snapshots.readManifest(tbl)
-    assert(lr.get("added_files_count") == graftFiles.size)
-    assert(lr.get("added_rows_count") == graftFiles.map(_.rows).sum)
+    // head manifest = added-at-head + carried-EXISTING = the whole table
+    assert(lr.get("added_files_count").asInstanceOf[Int] +
+      lr.get("existing_files_count").asInstanceOf[Int] == graftFiles.size)
+    assert(lr.get("added_rows_count").asInstanceOf[Long] +
+      lr.get("existing_rows_count").asInstanceOf[Long] == graftFiles.map(_.rows).sum)
 
     val (entrySchema, entryRows, entryMeta) =
       readAvro(lr.get("manifest_path").toString)
@@ -111,22 +114,35 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(lr.get("manifest_length") ==
       Files.size(Paths.get(lr.get("manifest_path").toString)))
 
-    // every graft file present, absolute, existing on disk, counts equal
+    // every graft file present, absolute, existing on disk, counts equal;
+    // files carried from the parent snapshot are EXISTING (status 0) with
+    // their ORIGINAL adding snapshot — an Iceberg incremental/changelog
+    // consumer must never double-count carried rows
     val byPath = entryRows.map { e =>
       val df = e.get("data_file").asInstanceOf[GenericRecord]
       df.get("file_path").toString ->
         (df.get("record_count").asInstanceOf[Long],
           df.get("file_size_in_bytes").asInstanceOf[Long],
-          e.get("status"), df.get("file_format").toString)
+          e.get("status"), e.get("snapshot_id"), df.get("file_format").toString)
     }.toMap
     assert(byPath.size == graftFiles.size)
     val absTbl = Paths.get(tbl).toAbsolutePath.toString
     graftFiles.foreach { f =>
-      val (rows, size, status, fmt) = byPath(s"$absTbl/${f.path}")
+      val (rows, size, status, addSnap, fmt) = byPath(s"$absTbl/${f.path}")
       assert(rows == f.rows && size == f.sizeBytes)
-      assert(status == 1 && fmt == "PARQUET")
-      assert(Files.exists(Paths.get(s"$absTbl/${f.path}")))
+      assert(fmt == "PARQUET")
+      assert(addSnap == f.addedV.toLong,
+        s"snapshot_id must be the ORIGINAL adding snapshot: $addSnap vs ${f.addedV}")
+      assert(status == (if (f.addedV.toLong == snapId) 1 else 0),
+        s"carried files must be EXISTING in later snapshots: ${f.path} $status")
     }
+    // per-snapshot added_rows_count sums to the table total (changelog
+    // semantics — no row counted as added twice along the history)
+    val addedPerSnap = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`").collect().map(_.getString(0))
+      .map(lp => readAvro(lp)._2.map(_.get("added_rows_count").asInstanceOf[Long]).sum)
+    assert(addedPerSnap.sum == graftFiles.map(_.rows).sum,
+      s"added rows across history must sum to the table total: ${addedPerSnap.toSeq}")
 
     // the name mapping covers every column with the schema's field ids
     val props = jsonDf(metaFile)
@@ -166,7 +182,8 @@ class IcebergExportSpec extends AnyFunSuite {
     // readable, row counts cover both appends
     val lp = headListPath(jsonDf(meta2))
     val (_, listRows, _) = readAvro(lp)
-    assert(listRows.map(_.get("added_rows_count").asInstanceOf[Long]).sum == 60L)
+    assert(listRows.map(r => r.get("added_rows_count").asInstanceOf[Long] +
+      r.get("existing_rows_count").asInstanceOf[Long]).sum == 60L)
   }
 
   test("partitioned export: EVERY dir column (identity source or derived) " +
@@ -334,7 +351,9 @@ class IcebergExportSpec extends AnyFunSuite {
     val dataRow = listRows.find(_.get("content") == 0).get
     val delRow = listRows.find(_.get("content") == 1).get
     assert(delRow.get("partition_spec_id") == 1)
-    assert(delRow.get("added_files_count") == 2) // one pos + one eq file
+    // one pos (fresh bundle, ADDED at head) + one eq (carried, EXISTING)
+    assert(delRow.get("added_files_count") == 1 &&
+      delRow.get("existing_files_count") == 1)
     assert(delRow.get("sequence_number") == 3L &&
       delRow.get("min_sequence_number") == 2L)
 
