@@ -405,6 +405,37 @@ object Similarity {
       queryVectorIndex(s, dir, idx)
     }),
 
+    // k-NN GRAPH construction (every vector is a query — the building
+    // block of graph-based ANN indexes and SemDeDup-style cluster
+    // refinement): banded-LSH candidates meet on (band, sig), exact
+    // cosine ranks each vector's top-5 OUT-neighbors (directed edges,
+    // rank carried). At 100 TB the bucket self-join is the standard
+    // linear-time kNN-graph bootstrap — candidates stay O(N · bucket
+    // size) with size-scaled signatures, never an all-pairs product.
+    "sim_knn_graph" -> ((s, dir) => {
+      val e0 = emb(s, dir)
+      val (bands, bits) = (4, sizedBits(Tables.metaRowCount(s, dir, "embeddings")))
+      val ps = planes(bands * bits, 64)
+      val sigs = e0
+        .withColumn("sigs", VectorSql.vec_band_sig(col("v"), typedlit(ps), bands, bits))
+        .select(col("vec_id"), posexplode(col("sigs")).as(Seq("band", "sig")))
+        .localCheckpoint(true)
+      val cand = sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .dropDuplicates("src", "dst")
+      val w = Window.partitionBy(col("src"))
+        .orderBy(round(col("cos"), 6).desc, col("dst"))
+      cand
+        .join(e0.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+        .join(e0.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+        .withColumn("cos", cosine(col("sv"), col("dv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"), col("rank"))
+    }),
+
     "dedup_embed_cosine" -> ((s, dir) => {
       val e0 = emb(s, dir)
       val (bands, bits) = (4, sizedBits(Tables.metaRowCount(s, dir, "embeddings")))
@@ -1881,6 +1912,22 @@ object Similarity {
          |  ORDER BY round(list_dot_product(a.v, b.v)
          |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
          |    c.vec_id) <= 3""".stripMargin,
+
+    // kNN graph: same signature machinery, every vector a query, rank
+    // carried (row_number cast to INTEGER to match Spark's int)
+    "sim_knn_graph" ->
+      s"""$LshSigsCte,
+         |cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM sigs a JOIN sigs b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.vec_id != b.vec_id)
+         |SELECT c.src, c.dst,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos,
+         |  CAST(row_number() OVER (PARTITION BY c.src
+         |    ORDER BY round(list_dot_product(a.v, b.v)
+         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+         |      c.dst) AS INTEGER) AS rank
+         |FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+         |QUALIFY rank <= 5""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
