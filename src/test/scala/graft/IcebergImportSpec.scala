@@ -661,6 +661,8 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(tgs.get("t_old").contains(anc.head), s"tag must adopt: $tgs")
     assert(brs.get("b_mid").contains(anc(1)), s"branch must adopt: $brs")
     assert(Snapshots.read(spark, target, Some(tgs("t_old"))).count() == 10L)
+    // exported snapshot summaries label history honestly (append chain)
+    assert("\"operation\":\"append\"".r.findAllIn(metaTxt).size == 3, metaTxt.take(400))
   }
 
   test("history round-trip WITH MoR deletes: per-version rows survive the " +
@@ -695,6 +697,13 @@ class IcebergImportSpec extends AnyFunSuite {
     }
     assert(Snapshots.read(spark, target, Some(anc.head)).count() == 20L)
     assert(Snapshots.read(spark, target, Some(anc.last)).count() == 19L)
+    // delete rewrites are HISTORY-SHARED: the one eq delete rides three
+    // snapshots but rewrites ONCE; pos bundles are per-snapshot
+    val delDir = Paths.get(target, "_graft_deletes")
+    val eqFiles = Files.list(delDir).toArray.map(_.toString)
+      .filter(_.contains("eqdel"))
+    assert(eqFiles.length == 1,
+      s"the carried eq delete must rewrite once across the chain: ${eqFiles.toSeq}")
   }
 
   test("history with a ROLLBACK round-trips: the rolled-back snapshot's " +
