@@ -794,6 +794,22 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       exactFilters, limit, streamOptions, incrementalFiles, metaCols)
   }
 
+  /** Same scan additionally READING logical column `name` — the seam the
+    * late spatial-join rule uses to re-expose a shadow struct V2 column
+    * pruning removed (pruning bakes the read schema into the scan, so a
+    * Project extension can't recover it the way the V1 path's can).
+    * None when the column doesn't exist, is a partition column (layout
+    * position would differ), or is already read. The caller must extend
+    * the relation OUTPUT at the matching readSchema position.
+    */
+  def withExtraReadColumn(name: String): Option[GraftScan] =
+    if (required.fieldNames.contains(name) || partCols.contains(name)) None
+    else logicalFull.fields.find(_.name == name).map { f =>
+      new GraftScan(spark, path, version, StructType(required.fields :+ f),
+        pushed, pruneFilters, exactFilters, limit, streamOptions,
+        incrementalFiles, metaCols)
+    }
+
   private val partCols = GeoTable.readPartitionCols(path)
   private val schemaEntries: Seq[TableSchema.Entry] = TableSchema.read(path)
   private val logicalToPhysical: Map[String, String] =

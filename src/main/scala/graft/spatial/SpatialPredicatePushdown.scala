@@ -42,13 +42,22 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      derive(cond, Scope.of(child)) match {
-        case Some(extra) =>
-          val existing = splitAnd(cond)
-          val fresh = splitAnd(extra).filterNot(e => existing.exists(_.semanticEquals(e)))
-          if (fresh.isEmpty) f
-          else Filter(And(fresh.reduce(And), cond), child)
-        case None => f
+      // derivation binds geometry ATTRIBUTES only — no attrs, no work
+      val geoms = spatialGeomAttrs(cond)
+      if (geoms.isEmpty) f
+      else {
+        // V2 column pruning may have baked the shadow out of a graft scan
+        // below (the V1 relation always carries it) — re-expose before
+        // binding, or DSv2 catalog reads silently lose every bbox prune
+        val child2 = exposeShadows(child, geoms)
+        derive(cond, Scope.of(child2)) match {
+          case Some(extra) =>
+            val existing = splitAnd(cond)
+            val fresh = splitAnd(extra).filterNot(e => existing.exists(_.semanticEquals(e)))
+            if (fresh.isEmpty) f
+            else Filter(And(fresh.reduce(And), cond), child2)
+          case None => f
+        }
       }
     // spatial predicates INSIDE JOIN CONDITIONS (beyond the reference —
     // its rule also matches only Filter): deterministic above-join
@@ -148,8 +157,10 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
   /** Re-expose shadow structs of `geoms` that column pruning removed:
     * extend pass-through Projects between the join and the relations (the
     * shadows weren't referenced before this rule ran, so pruning dropped
-    * them). Widening a child only ADDS attributes — parents reference
-    * what they reference.
+    * them), and REBUILD pruned DSv2 graft scans to read the shadow again
+    * (V2 pruning bakes the read schema into the scan, so no Project can
+    * recover it). Widening a child only ADDS attributes — parents
+    * reference what they reference.
     */
   private def exposeShadows(plan: LogicalPlan, geoms: Seq[AttributeReference]): LogicalPlan =
     plan match {
@@ -167,8 +178,47 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
       case f @ Filter(c, child) =>
         val child2 = exposeShadows(child, geoms)
         if (child2 eq child) f else Filter(c, child2)
+      case rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        exposeOnScan(rel, geoms)
       case other => other
     }
+
+  /** DSv2 re-exposure: a fresh [[graft.sources.GraftScan]] reading the
+    * shadow column again, with the relation OUTPUT extended at exactly
+    * the readSchema position. Rewrites ONLY under positional PROOF — the
+    * new readSchema must be the old output plus the shadow at one index —
+    * anything else declines (a misaligned output/readSchema pair would
+    * serve columns into the wrong attributes).
+    */
+  private def exposeOnScan(
+      rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation,
+      geoms: Seq[AttributeReference])
+      : org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation = {
+    val wanted = geoms
+      .filter(g => rel.outputSet.exists(_.exprId == g.exprId))
+      .map(g => s"${g.name}_bbox")
+      .filterNot(n => rel.output.exists(_.name == n)).distinct
+    if (wanted.isEmpty) return rel
+    wanted.foldLeft(rel) { (cur, n) =>
+      cur.scan match {
+        case gs: graft.sources.GraftScan =>
+          gs.withExtraReadColumn(n) match {
+            case Some(ns) =>
+              val rs = ns.readSchema()
+              val idx = rs.fieldNames.indexOf(n)
+              val aligned = idx >= 0 && rs.length == cur.output.length + 1 &&
+                rs.fieldNames.toSeq.patch(idx, Nil, 1) == cur.output.map(_.name) &&
+                isShadowStruct(rs(idx).dataType)
+              if (!aligned) cur
+              else cur.copy(scan = ns, output = cur.output.patch(idx,
+                Seq(AttributeReference(n, rs(idx).dataType,
+                  nullable = rs(idx).nullable)()), 0))
+            case None => cur
+          }
+        case _ => cur
+      }
+    }
+  }
 
   /** Which child may take a derived filter, by join type — the standard
     * predicate-pushdown matrix (a necessary-condition filter removes only

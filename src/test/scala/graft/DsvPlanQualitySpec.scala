@@ -1104,6 +1104,68 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     assert(back.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
   }
 
+  test("spatial predicates on DSv2 catalog tables PRUNE FILES: the pruned " +
+      "shadow re-exposes on the scan for the filter form AND the spatial-" +
+      "join window propagation; rows stay correct") {
+    assert(warehouse.nonEmpty)
+    def mkGeoTable(t: String): Unit = {
+      spark.sql(s"CREATE TABLE pq.geo.$t (id BIGINT, g BINARY, g_bbox STRUCT<" +
+        "xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>) USING graft")
+      (0 until 4).foreach { q =>
+        val (sx, sy) = q match {
+          case 0 => (1, 1); case 1 => (-1, 1); case 2 => (-1, -1); case _ => (1, -1)
+        }
+        spark.sql(s"INSERT INTO pq.geo.$t SELECT /*+ REPARTITION(1) */ " +
+          s"id + ${q * 10}, st_point(CAST($sx * (id + 1) AS DOUBLE), " +
+          s"CAST($sy * (id + 1) AS DOUBLE)), " +
+          s"named_struct('xmin', CAST($sx * (id + 1) AS DOUBLE), " +
+          s"'ymin', CAST($sy * (id + 1) AS DOUBLE), " +
+          s"'xmax', CAST($sx * (id + 1) AS DOUBLE), " +
+          s"'ymax', CAST($sy * (id + 1) AS DOUBLE)) FROM range(10)")
+      }
+    }
+    mkGeoTable("ja")
+    mkGeoTable("jb")
+    // FILTER form: st_intersects against a literal window — the shadow was
+    // pruned out of the scan (only g and id are referenced), so without
+    // re-exposure no bbox conjunct could ever bind on the DSv2 path
+    val q1 = spark.sql("SELECT id FROM pq.geo.ja WHERE st_intersects(g, " +
+      "st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+      "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)))")
+    assert(q1.collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    val m1 = graftScanOf(q1).reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+    assert(m1("resultDataFiles") == 1L && m1("skippedDataFiles") == 3L,
+      s"the re-exposed shadow must prune to the (+,+) quadrant file: $m1")
+
+    // JOIN form: the window bound on a propagates FILE pruning to b
+    val j = spark.sql("SELECT a.id AS aid, b.id AS bid FROM pq.geo.ja a " +
+      "JOIN pq.geo.jb b ON st_intersects(a.g, b.g) " +
+      "WHERE st_covers(st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+      "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)), a.g)")
+    val rows = j.collect()
+    assert(rows.length == 10 && rows.forall(r => r.getLong(0) == r.getLong(1)),
+      s"quadrant-0 twins must match: ${rows.toSeq}")
+    // AQE wraps exchanges in QueryStageExec LEAVES — descend into them
+    def deepScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[GraftScan] =
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deepScans(q.plan)
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] =>
+          Seq(b.scan.asInstanceOf[GraftScan])
+      }.flatten
+    val ep = j.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = deepScans(ep)
+    assert(scans.size == 2, s"both sides must stay DSv2 scans: ${scans.size}")
+    scans.foreach { s =>
+      val m = s.reportDriverMetrics().map(t => t.name() -> t.value()).toMap
+      assert(m("resultDataFiles") == 1L && m("skippedDataFiles") == 3L,
+        s"the window must prune BOTH catalog sides to one file: $m")
+    }
+  }
+
   test("scan reports pruning metrics to the driver (resultDataFiles / skippedDataFiles)") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.tp.metrics (id BIGINT, v DOUBLE) USING graft")
