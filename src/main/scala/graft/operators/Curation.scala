@@ -157,11 +157,28 @@ object Curation {
     // use. A doc's bin is the number of whole windows before its start
     // offset in the shard's running concatenation. Output: per-(shard,
     // bin) doc/token totals — the loader's unit of work.
+    //
+    // TWO-PHASE running sum (the curate_shuffle_index construction): a
+    // plain `sum over (partition by shard order by doc_id)` sorts each
+    // ENTIRE shard in one task — corpus/32 rows per task at 100 TB. Docs
+    // sub-split into deterministic doc_id BLOCKS; the per-(shard, block)
+    // token totals get a per-shard running sum over BLOCK COUNT rows
+    // (thousands, not billions), and each doc's cum = its within-block
+    // running sum + its block's offset — integer arithmetic, so the
+    // result is bit-identical to the single-window answer.
     "curate_pack_sequences" -> ((s, dir) => {
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      docs(s, dir)
-        .select(col("doc_id"), (col("doc_id") % 32).as("shard"), nTokens.as("n"))
-        .withColumn("cum", sum(col("n")).over(w))
+      val block = (col("doc_id") / 4096).cast("long")
+      val base = docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+          block.as("blk"), nTokens.as("n"))
+      val wBlocks = Window.partitionBy(col("shard")).orderBy(col("blk"))
+      val offsets = base.groupBy(col("shard"), col("blk"))
+        .agg(sum(col("n")).as("bsum"))
+        .withColumn("off", sum(col("bsum")).over(wBlocks) - col("bsum"))
+        .select(col("shard"), col("blk"), col("off"))
+      val wInBlock = Window.partitionBy(col("shard"), col("blk")).orderBy(col("doc_id"))
+      base.join(offsets, Seq("shard", "blk"))
+        .withColumn("cum", sum(col("n")).over(wInBlock) + col("off"))
         .withColumn("bin", floor((col("cum") - col("n")) / lit(512.0)))
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
