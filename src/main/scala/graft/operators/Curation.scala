@@ -141,12 +141,21 @@ object Curation {
 
     // Stratified sampling: at most 50 documents per language, chosen by a
     // deterministic pseudo-random order (md5 of the doc id) so reruns and
-    // the oracle agree. Window partitions by lang — parallel across
-    // strata, never a global sort.
+    // the oracle agree. SALTED two-phase top-K (the curate_domain_cap
+    // construction): a plain per-lang window sorts corpus/#langs rows in
+    // ONE task at 100 TB — instead, per-(lang, salt) top-50 bounds every
+    // sort and the ≤ 8·50 survivors per lang re-rank in a bounded second
+    // window; the per-salt union provably contains the global top-50, so
+    // the answer is EXACTLY the single-window one.
     "curate_sample_stratified" -> ((s, dir) => {
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val ord: Seq[org.apache.spark.sql.Column] =
+        Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+      val salted = Window.partitionBy(col("lang"), (col("doc_id") % 8).as("salt"))
+        .orderBy(ord: _*)
+      val w = Window.partitionBy(col("lang")).orderBy(ord: _*)
       docs(s, dir)
+        .withColumn("lrk", row_number().over(salted))
+        .filter(col("lrk") <= 50).drop("lrk")
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 50)
         .select(col("doc_id"), col("lang"), col("rk"))
@@ -266,17 +275,33 @@ object Curation {
     // docs are admitted per source in a deterministic pseudo-random order
     // until the running token sum fills the budget. Differs from
     // stratified sampling (doc COUNTS) — mixtures are specified in tokens.
-    // Window partitions by source: parallel across domains, no global sort.
+    //
+    // TWO-PHASE running sum (the curate_pack_sequences construction, with
+    // md5-PREFIX blocks since the admission order is the md5 permutation):
+    // a per-source running-sum window admits corpus/#sources rows in ONE
+    // task at 100 TB — instead, per-(source, md5-prefix-block) token
+    // totals take a per-source running sum over ≤256 block rows, and each
+    // doc's cum = its within-block running sum + the block offset. Blocks
+    // are contiguous prefixes of the md5 order, so the arithmetic is
+    // bit-identical to the single-window answer.
     "curate_domain_mix" -> ((s, dir) => {
       val grp = regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4
       val budget = when(col("grp") === 0, 3000L).when(col("grp") === 1, 2000L)
         .when(col("grp") === 2, 1000L).otherwise(500L)
-      val w = Window.partitionBy(col("source"))
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"), grp.as("grp"), nTokens.as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("blk", substring(col("h"), 1, 2))
+      val wBlocks = Window.partitionBy(col("source")).orderBy(col("blk"))
+      val offsets = base.groupBy(col("source"), col("blk"))
+        .agg(sum(col("n_tokens")).as("bsum"))
+        .withColumn("off", sum(col("bsum")).over(wBlocks) - col("bsum"))
+        .select(col("source"), col("blk"), col("off"))
+      val wIn = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir)
-        .select(col("doc_id"), col("source"), grp.as("grp"), nTokens.as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      base.join(offsets, Seq("source", "blk"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wIn) + col("off"))
         .filter(col("cum_tokens") <= budget)
         .select(col("doc_id"), col("source"), col("grp"),
           col("n_tokens"), col("cum_tokens"))
