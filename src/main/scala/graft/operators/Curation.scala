@@ -479,18 +479,31 @@ object Curation {
     // construction side-effect-free). Equivalent to a global ORDER BY md5
     // row_number, without a single-partition window over the data.
     "curate_shuffle_index" -> ((s, dir) => {
+      // sub-BLOCK each shard by the next two hex chars (65536-way rank
+      // parallelism — a per-shard rank window alone still sorted
+      // corpus/256 rows in one task at 100 TB); block order is a prefix
+      // of the md5 order, so shard offset + block offset + within-block
+      // rank is exactly the global permutation position
       val d = docs(s, dir)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .withColumn("shard", substring(col("h"), 1, 2))
+        .withColumn("blk", substring(col("h"), 3, 2))
       val wOff = Window.orderBy(col("shard"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val offDf = d.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+      val wBlk = Window.partitionBy(col("shard")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val counts = d.groupBy(col("shard"), col("blk")).agg(count(lit(1)).as("c"))
+      val blkOff = counts
+        .withColumn("boff", coalesce(sum(col("c")).over(wBlk), lit(0L)))
+        .select(col("shard"), col("blk"), col("boff"))
+      val offDf = counts.groupBy(col("shard")).agg(sum(col("c")).as("c"))
         .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
         .select(col("shard"), col("off"))
-      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      val w = Window.partitionBy(col("shard"), col("blk")).orderBy(col("h"), col("doc_id"))
       d.withColumn("rk", row_number().over(w))
+        .join(broadcast(blkOff), Seq("shard", "blk"))
         .join(broadcast(offDf), Seq("shard"))
-        .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+        .select(col("doc_id"), (col("off") + col("boff") + col("rk") - 1).as("pos"))
     })
   )
 
