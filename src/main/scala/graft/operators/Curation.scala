@@ -42,13 +42,27 @@ object Curation {
     * malformed value must fail diagnosably, never as a bare
     * NumberFormatException deep in planning (the graft.ann knob posture).
     */
-  private def longConf(s: SparkSession, key: String, dflt: Long): Long =
+  private[operators] def longConf(s: SparkSession, key: String, dflt: Long): Long =
     s.conf.getOption(key).map { v =>
       try v.trim.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"$key must be a count, got '$v'")
       }
     }.getOrElse(dflt)
+
+  /** Single-task-window gate: the ranked/cumulative operators below have
+    * TWO provably-identical plans — a plain per-stratum window (no extra
+    * shuffles; one task sorts a whole stratum) and a TWO-PHASE block
+    * decomposition (block offsets + within-block windows; every task
+    * bounded). The plain window wins while a stratum fits one task and
+    * loses catastrophically when it doesn't (corpus/#strata rows in one
+    * sort at 100 TB), so the choice comes from the footer row count —
+    * driver metadata, zero jobs — against a per-stratum row bound.
+    */
+  private[operators] def singleWindowFits(s: SparkSession, dir: String,
+      strata: Long): Boolean =
+    Tables.metaRowCount(s, dir, "documents") / math.max(1L, strata) <=
+      longConf(s, "spark.sql.graft.curation.single-window-max-rows", 4000000L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: drop every corpus document sharing ANY
@@ -150,12 +164,20 @@ object Curation {
     "curate_sample_stratified" -> ((s, dir) => {
       val ord: Seq[org.apache.spark.sql.Column] =
         Seq(md5(col("doc_id").cast("string")), col("doc_id"))
-      val salted = Window.partitionBy(col("lang"), (col("doc_id") % 8).as("salt"))
-        .orderBy(ord: _*)
       val w = Window.partitionBy(col("lang")).orderBy(ord: _*)
-      docs(s, dir)
-        .withColumn("lrk", row_number().over(salted))
-        .filter(col("lrk") <= 50).drop("lrk")
+      val d = docs(s, dir)
+      // big strata: salted pre-top-K first, so no task sorts a whole
+      // language; the per-salt union provably contains the global top-50
+      val cand =
+        if (singleWindowFits(s, dir, strata = 4)) d
+        else {
+          val salted = Window
+            .partitionBy(col("lang"), (col("doc_id") % 8).as("salt"))
+            .orderBy(ord: _*)
+          d.withColumn("lrk", row_number().over(salted))
+            .filter(col("lrk") <= 50).drop("lrk")
+        }
+      cand
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 50)
         .select(col("doc_id"), col("lang"), col("rk"))
@@ -176,18 +198,26 @@ object Curation {
     // running sum + its block's offset — integer arithmetic, so the
     // result is bit-identical to the single-window answer.
     "curate_pack_sequences" -> ((s, dir) => {
-      val block = (col("doc_id") / 4096).cast("long")
-      val base = docs(s, dir)
-        .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
-          block.as("blk"), nTokens.as("n"))
-      val wBlocks = Window.partitionBy(col("shard")).orderBy(col("blk"))
-      val offsets = base.groupBy(col("shard"), col("blk"))
-        .agg(sum(col("n")).as("bsum"))
-        .withColumn("off", sum(col("bsum")).over(wBlocks) - col("bsum"))
-        .select(col("shard"), col("blk"), col("off"))
-      val wInBlock = Window.partitionBy(col("shard"), col("blk")).orderBy(col("doc_id"))
-      base.join(offsets, Seq("shard", "blk"))
-        .withColumn("cum", sum(col("n")).over(wInBlock) + col("off"))
+      val cum =
+        if (singleWindowFits(s, dir, strata = 32)) {
+          val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          docs(s, dir)
+            .select(col("doc_id"), (col("doc_id") % 32).as("shard"), nTokens.as("n"))
+            .withColumn("cum", sum(col("n")).over(w))
+        } else {
+          val base = docs(s, dir)
+            .select(col("doc_id"), (col("doc_id") % 32).as("shard"),
+              (col("doc_id") / 4096).cast("long").as("blk"), nTokens.as("n"))
+          val wBlocks = Window.partitionBy(col("shard")).orderBy(col("blk"))
+          val offsets = base.groupBy(col("shard"), col("blk"))
+            .agg(sum(col("n")).as("bsum"))
+            .withColumn("off", sum(col("bsum")).over(wBlocks) - col("bsum"))
+            .select(col("shard"), col("blk"), col("off"))
+          val wInBlock = Window.partitionBy(col("shard"), col("blk")).orderBy(col("doc_id"))
+          base.join(offsets, Seq("shard", "blk"))
+            .withColumn("cum", sum(col("n")).over(wInBlock) + col("off"))
+        }
+      cum
         .withColumn("bin", floor((col("cum") - col("n")) / lit(512.0)))
         .groupBy(col("shard"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
@@ -288,20 +318,31 @@ object Curation {
       val grp = regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4
       val budget = when(col("grp") === 0, 3000L).when(col("grp") === 1, 2000L)
         .when(col("grp") === 2, 1000L).otherwise(500L)
-      val base = docs(s, dir)
-        .select(col("doc_id"), col("source"), grp.as("grp"), nTokens.as("n_tokens"),
-          md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("blk", substring(col("h"), 1, 2))
-      val wBlocks = Window.partitionBy(col("source")).orderBy(col("blk"))
-      val offsets = base.groupBy(col("source"), col("blk"))
-        .agg(sum(col("n_tokens")).as("bsum"))
-        .withColumn("off", sum(col("bsum")).over(wBlocks) - col("bsum"))
-        .select(col("source"), col("blk"), col("off"))
-      val wIn = Window.partitionBy(col("source"), col("blk"))
-        .orderBy(col("h"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      base.join(offsets, Seq("source", "blk"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(wIn) + col("off"))
+      val admitted =
+        if (singleWindowFits(s, dir, strata = 20)) {
+          val w = Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          docs(s, dir)
+            .select(col("doc_id"), col("source"), grp.as("grp"), nTokens.as("n_tokens"))
+            .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        } else {
+          val base = docs(s, dir)
+            .select(col("doc_id"), col("source"), grp.as("grp"), nTokens.as("n_tokens"),
+              md5(col("doc_id").cast("string")).as("h"))
+            .withColumn("blk", substring(col("h"), 1, 2))
+          val wBlocks = Window.partitionBy(col("source")).orderBy(col("blk"))
+          val offsets = base.groupBy(col("source"), col("blk"))
+            .agg(sum(col("n_tokens")).as("bsum"))
+            .withColumn("off", sum(col("bsum")).over(wBlocks) - col("bsum"))
+            .select(col("source"), col("blk"), col("off"))
+          val wIn = Window.partitionBy(col("source"), col("blk"))
+            .orderBy(col("h"), col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          base.join(offsets, Seq("source", "blk"))
+            .withColumn("cum_tokens", sum(col("n_tokens")).over(wIn) + col("off"))
+        }
+      admitted
         .filter(col("cum_tokens") <= budget)
         .select(col("doc_id"), col("source"), col("grp"),
           col("n_tokens"), col("cum_tokens"))
@@ -479,31 +520,41 @@ object Curation {
     // construction side-effect-free). Equivalent to a global ORDER BY md5
     // row_number, without a single-partition window over the data.
     "curate_shuffle_index" -> ((s, dir) => {
-      // sub-BLOCK each shard by the next two hex chars (65536-way rank
-      // parallelism — a per-shard rank window alone still sorted
-      // corpus/256 rows in one task at 100 TB); block order is a prefix
-      // of the md5 order, so shard offset + block offset + within-block
-      // rank is exactly the global permutation position
       val d = docs(s, dir)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
         .withColumn("shard", substring(col("h"), 1, 2))
-        .withColumn("blk", substring(col("h"), 3, 2))
       val wOff = Window.orderBy(col("shard"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wBlk = Window.partitionBy(col("shard")).orderBy(col("blk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val counts = d.groupBy(col("shard"), col("blk")).agg(count(lit(1)).as("c"))
-      val blkOff = counts
-        .withColumn("boff", coalesce(sum(col("c")).over(wBlk), lit(0L)))
-        .select(col("shard"), col("blk"), col("boff"))
-      val offDf = counts.groupBy(col("shard")).agg(sum(col("c")).as("c"))
-        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-        .select(col("shard"), col("off"))
-      val w = Window.partitionBy(col("shard"), col("blk")).orderBy(col("h"), col("doc_id"))
-      d.withColumn("rk", row_number().over(w))
-        .join(broadcast(blkOff), Seq("shard", "blk"))
-        .join(broadcast(offDf), Seq("shard"))
-        .select(col("doc_id"), (col("off") + col("boff") + col("rk") - 1).as("pos"))
+      if (singleWindowFits(s, dir, strata = 256)) {
+        val offDf = d.groupBy(col("shard")).agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+          .select(col("shard"), col("off"))
+        val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        d.withColumn("rk", row_number().over(w))
+          .join(broadcast(offDf), Seq("shard"))
+          .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+      } else {
+        // big shards sub-BLOCK by the next two hex chars (65536-way rank
+        // parallelism); block order is a prefix of the md5 order, so
+        // shard offset + block offset + within-block rank is exactly the
+        // global permutation position
+        val db = d.withColumn("blk", substring(col("h"), 3, 2))
+        val wBlk = Window.partitionBy(col("shard")).orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val counts = db.groupBy(col("shard"), col("blk")).agg(count(lit(1)).as("c"))
+        val blkOff = counts
+          .withColumn("boff", coalesce(sum(col("c")).over(wBlk), lit(0L)))
+          .select(col("shard"), col("blk"), col("boff"))
+        val offDf = counts.groupBy(col("shard")).agg(sum(col("c")).as("c"))
+          .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+          .select(col("shard"), col("off"))
+        val w = Window.partitionBy(col("shard"), col("blk"))
+          .orderBy(col("h"), col("doc_id"))
+        db.withColumn("rk", row_number().over(w))
+          .join(broadcast(blkOff), Seq("shard", "blk"))
+          .join(broadcast(offDf), Seq("shard"))
+          .select(col("doc_id"), (col("off") + col("boff") + col("rk") - 1).as("pos"))
+      }
     })
   )
 

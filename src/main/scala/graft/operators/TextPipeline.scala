@@ -572,30 +572,40 @@ object TextPipeline {
         .crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"))
-      // TWO-PHASE per-language rank (the shuffle-index construction with
-      // SCORE blocks): a plain per-lang rank window sorts corpus/#langs
-      // rows in one task at 100 TB. Blocks = floor(16·logppl) — contiguous
-      // ranges of the (logppl, doc_id) order, deterministic from the
-      // rounded score — so rank = earlier-block count + within-block rank,
-      // bit-identical to the single-window answer. (A degenerate corpus
-      // whose scores all collapse into one block degrades to the old
-      // shape, never below it.)
-      val base = scored.withColumn("sblk", floor(col("logppl") * 16).cast("long"))
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang").orderBy(col("sblk"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      val counts = base.groupBy(col("lang"), col("sblk")).agg(count(lit(1)).as("c"))
-      val offs = counts
-        .withColumn("boff", coalesce(sum(col("c")).over(wB), lit(0L)))
-        .select(col("lang"), col("sblk"), col("boff"))
-      val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
-      val wIn = org.apache.spark.sql.expressions.Window
-        .partitionBy("lang", "sblk").orderBy(col("logppl"), col("doc_id"))
-      base
-        .withColumn("r0", row_number().over(wIn))
-        .join(broadcast(offs), Seq("lang", "sblk"))
-        .join(broadcast(totals), Seq("lang"))
-        .withColumn("rk", col("boff") + col("r0"))
+      // per-language rank: the plain window while a language fits one
+      // task; above the gate, the TWO-PHASE shuffle-index construction
+      // with SCORE blocks — floor(16·logppl) ranges are contiguous in the
+      // (logppl, doc_id) order and deterministic from the rounded score,
+      // so rank = earlier-block count + within-block rank, bit-identical
+      // to the single-window answer. (A degenerate corpus whose scores
+      // collapse into one block degrades to the old shape, never below.)
+      val ranked =
+        if (Curation.singleWindowFits(s, dir, strata = 4)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(col("logppl"), col("doc_id"))
+          val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          scored
+            .withColumn("rk", row_number().over(w))
+            .withColumn("n", count(lit(1)).over(wn))
+        } else {
+          val base = scored.withColumn("sblk", floor(col("logppl") * 16).cast("long"))
+          val wB = org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(col("sblk"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+          val counts = base.groupBy(col("lang"), col("sblk")).agg(count(lit(1)).as("c"))
+          val offs = counts
+            .withColumn("boff", coalesce(sum(col("c")).over(wB), lit(0L)))
+            .select(col("lang"), col("sblk"), col("boff"))
+          val totals = counts.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+          val wIn = org.apache.spark.sql.expressions.Window
+            .partitionBy("lang", "sblk").orderBy(col("logppl"), col("doc_id"))
+          base
+            .withColumn("r0", row_number().over(wIn))
+            .join(broadcast(offs), Seq("lang", "sblk"))
+            .join(broadcast(totals), Seq("lang"))
+            .withColumn("rk", col("boff") + col("r0"))
+        }
+      ranked
         .withColumn("bucket",
           when(col("rk") * 3 <= col("n"), "head")
             .when(col("rk") * 3 <= col("n") * 2, "middle")

@@ -153,6 +153,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("single-task-window gate: the two-phase (block-decomposed) plans " +
+      "produce results IDENTICAL to the plain windows for all five " +
+      "ranked/cumulative operators") {
+    val names = Seq("curate_pack_sequences", "curate_sample_stratified",
+      "curate_domain_mix", "curate_shuffle_index", "text_ccnet_buckets")
+    val keyOf = (r: org.apache.spark.sql.Row) => r.toSeq.toList
+    val plain = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf).collect().map(keyOf).toSet).toMap
+    try {
+      // force every stratum "too big": all five take the two-phase path
+      spark.conf.set("spark.sql.graft.curation.single-window-max-rows", "0")
+      names.foreach { n =>
+        val rows = SparkEntry.queries(n)(spark, sf).collect().map(keyOf).toSet
+        assert(rows == plain(n), s"$n: two-phase must equal the plain window")
+      }
+      spark.conf.set("spark.sql.graft.curation.single-window-max-rows", "huge")
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("curate_pack_sequences")(spark, sf).collect()
+      }
+      assert(e.getMessage.contains("single-window-max-rows"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.graft.curation.single-window-max-rows")
+  }
+
   test("trained-family oracle capture: running each query materializes its " +
       "trained state into a DuckDB oracle entry (literal lists, no Spark refs)") {
     val names = Seq("sim_ann_ivf", "sim_pq_topk", "sim_sq8_topk", "sim_ivf_pq",
