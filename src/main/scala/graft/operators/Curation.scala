@@ -60,8 +60,8 @@ object Curation {
     * driver metadata, zero jobs — against a per-stratum row bound.
     */
   private[operators] def singleWindowFits(s: SparkSession, dir: String,
-      strata: Long): Boolean =
-    Tables.metaRowCount(s, dir, "documents") / math.max(1L, strata) <=
+      strata: Long, table: String = "documents"): Boolean =
+    Tables.metaRowCount(s, dir, table) / math.max(1L, strata) <=
       longConf(s, "spark.sql.graft.curation.single-window-max-rows", 4000000L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

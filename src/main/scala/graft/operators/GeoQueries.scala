@@ -120,9 +120,23 @@ object GeoQueries {
       // exchange then shuffles (key, id, dist) instead of two WKB columns
       // per candidate row — at N x Q candidate scale the geometry bytes
       // dominate the shuffle otherwise
-      p.crossJoin(broadcast(q))
+      val cand0 = p.crossJoin(broadcast(q))
         .select(col("n_nationkey"), col("c_custkey"),
           round(st_distance(col("geom"), col("qgeom")), 6).as("dist"))
+      // each query key's candidate list is the WHOLE corpus — the cross
+      // join parallelizes but a plain per-key rank window sorts it in ONE
+      // task. Above the gate, salted pre-top-5 first (the domain-cap
+      // construction: the per-salt union provably contains the top-5)
+      val cand =
+        if (Curation.singleWindowFits(s, dir, strata = 1, table = "customer")) cand0
+        else {
+          val salted = Window
+            .partitionBy(col("n_nationkey"), pmod(col("c_custkey"), lit(32)).as("salt"))
+            .orderBy(col("dist"), col("c_custkey"))
+          cand0.withColumn("lrk", row_number().over(salted))
+            .filter(col("lrk") <= 5).drop("lrk")
+        }
+      cand
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("n_nationkey"), col("rk"), col("c_custkey"), col("dist"))

@@ -153,11 +153,12 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
-  test("single-task-window gate: the two-phase (block-decomposed) plans " +
-      "produce results IDENTICAL to the plain windows for all five " +
+  test("single-task-window gate: the two-phase (block-decomposed / salted) " +
+      "plans produce results IDENTICAL to the plain windows for all six " +
       "ranked/cumulative operators") {
     val names = Seq("curate_pack_sequences", "curate_sample_stratified",
-      "curate_domain_mix", "curate_shuffle_index", "text_ccnet_buckets")
+      "curate_domain_mix", "curate_shuffle_index", "text_ccnet_buckets",
+      "geo_knn_join")
     val keyOf = (r: org.apache.spark.sql.Row) => r.toSeq.toList
     val plain = names.map(n =>
       n -> SparkEntry.queries(n)(spark, sf).collect().map(keyOf).toSet).toMap
