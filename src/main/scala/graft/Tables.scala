@@ -65,4 +65,44 @@ object Tables {
       try reader.getRecordCount finally reader.close()
     }.sum
   }
+
+  /** Footer-only UPPER BOUND on the distinct whitespace-token count of a
+    * string column: (total uncompressed column bytes)/2 + rows — driver
+    * metadata, zero jobs. Sound because tokens are disjoint nonempty
+    * substrings separated by at least one character (a value of n bytes
+    * holds at most n/2 + 1 tokens), and dictionary pages count toward the
+    * uncompressed size, so repeated values cannot shrink the bound below
+    * the distinct text actually stored. The broadcast-OOM pre-gate input:
+    * a corpus whose bound fits the model-row cap can skip the exact
+    * count-the-model job entirely.
+    */
+  def metaTokenBound(spark: SparkSession, sfDir: String, name: String,
+      column: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s =>
+          if (s.isDirectory) files(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+          else Nil)
+    }
+    files(root).map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val footer = reader.getFooter
+        val bytes = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == column)
+          .map(_.getTotalUncompressedSize).sum
+        bytes / 2 + reader.getRecordCount
+      } finally reader.close()
+    }.sum
+  }
 }

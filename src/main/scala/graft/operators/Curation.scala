@@ -55,14 +55,43 @@ object Curation {
     * shuffles; one task sorts a whole stratum) and a TWO-PHASE block
     * decomposition (block offsets + within-block windows; every task
     * bounded). The plain window wins while a stratum fits one task and
-    * loses catastrophically when it doesn't (corpus/#strata rows in one
-    * sort at 100 TB), so the choice comes from the footer row count —
-    * driver metadata, zero jobs — against a per-stratum row bound.
+    * loses catastrophically when it doesn't, so the gate bounds the MAX
+    * stratum, not the mean — real web corpora are domain-skewed, and one
+    * mega-domain holding half the rows must not slip through a
+    * `total/strata` average. Decision ladder, cheapest proof first:
+    *  - `total <= gate`: even a 100%-skewed stratum fits one task —
+    *    single window, zero jobs (footer row count is driver metadata);
+    *  - `total/strata > gate`: the max is at least the mean — two-phase,
+    *    zero jobs;
+    *  - ambiguous band (skew could push one stratum over the gate):
+    *    data-valued strata (lang, source domain) pass `maxStratum`, ONE
+    *    map-side-combined count-per-stratum aggregate — trivial next to
+    *    the corpus-wide sort it guards, and never run at small scale
+    *    (the `total <= gate` tier already decided); hash/modulo strata
+    *    (md5 prefixes, `doc_id % k`) are uniform by construction, so a
+    *    conservative imbalance factor bounds the max without a job.
     */
-  private[operators] def singleWindowFits(s: SparkSession, dir: String,
-      strata: Long, table: String = "documents"): Boolean =
-    Tables.metaRowCount(s, dir, table) / math.max(1L, strata) <=
-      longConf(s, "spark.sql.graft.curation.single-window-max-rows", 4000000L)
+  private[graft] def singleWindowFits(s: SparkSession, dir: String,
+      strata: Long, table: String = "documents",
+      maxStratum: Option[() => Long] = None): Boolean = {
+    val gate = longConf(s, "spark.sql.graft.curation.single-window-max-rows", 4000000L)
+    val total = Tables.metaRowCount(s, dir, table)
+    if (total <= gate) true
+    else if (total / math.max(1L, strata) > gate) false
+    else maxStratum match {
+      case Some(mx) => mx() <= gate
+      case None =>
+        (total / math.max(1L, strata)) *
+          longConf(s, "spark.sql.graft.curation.hash-strata-skew-factor", 8L) <= gate
+    }
+  }
+
+  /** `maxStratum` thunk for a data-valued stratum column: the largest
+    * per-stratum row count, one aggregate job.
+    */
+  private[graft] def maxStratumOf(df: => DataFrame, cols: String*): () => Long =
+    () => df.groupBy(cols.map(col): _*).count()
+      .agg(max(col("count"))).first().getLong(0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: drop every corpus document sharing ANY
@@ -143,7 +172,11 @@ object Curation {
       // from runtime stats — that's the point).
       val maxVocab = longConf(s,
         "spark.sql.graft.curation.dsir.broadcast-max-vocab", 1000000L)
-      val model = if (vocab.count() <= maxVocab) broadcast(vocab) else vocab
+      // metadata PRE-gate (the sizeGatedModel pattern): footer bound on
+      // the vocab — a small corpus skips the exact count job outright
+      val model =
+        if (Tables.metaTokenBound(s, dir, "documents", "text") <= maxVocab ||
+          vocab.count() <= maxVocab) broadcast(vocab) else vocab
       tk.filter(!isBench)
         .join(model, "tok")
         .crossJoin(broadcast(tot))
@@ -169,7 +202,8 @@ object Curation {
       // big strata: salted pre-top-K first, so no task sorts a whole
       // language; the per-salt union provably contains the global top-50
       val cand =
-        if (singleWindowFits(s, dir, strata = 4)) d
+        if (singleWindowFits(s, dir, strata = 4,
+            maxStratum = Some(maxStratumOf(d, "lang")))) d
         else {
           val salted = Window
             .partitionBy(col("lang"), (col("doc_id") % 8).as("salt"))
@@ -319,7 +353,8 @@ object Curation {
       val budget = when(col("grp") === 0, 3000L).when(col("grp") === 1, 2000L)
         .when(col("grp") === 2, 1000L).otherwise(500L)
       val admitted =
-        if (singleWindowFits(s, dir, strata = 20)) {
+        if (singleWindowFits(s, dir, strata = 20,
+            maxStratum = Some(maxStratumOf(docs(s, dir), "source")))) {
           val w = Window.partitionBy(col("source"))
             .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -604,7 +639,48 @@ object Curation {
     out.toSeq
   }
 
+  /** Independent DuckDB replay of [[bpeTrain]] — no captured state: the
+    * word-frequency dictionary derives in pure SQL and the greedy loop is
+    * deterministic (freq desc, lexicographic tie-break), so the 24 merges
+    * unroll as a CTE chain (the merge count is a fixed constant; CTEs are
+    * MATERIALIZED or each step would inline its predecessor twice —
+    * exponential). Each word's symbol sequence encodes as a delimited
+    * string, one `' '||sym||'\n'` cell per symbol: whitespace cannot occur
+    * inside a symbol (words come from a `\s+` split), the leading space
+    * anchors matches to symbol STARTS (no false suffix matches), and a
+    * merge consumes both cells whole, so SQL `replace`'s left-to-right
+    * non-overlapping scan is exactly the algorithm's greedy rewrite —
+    * including the `l==r` run case (" a\n a\n a\n" -> " aa\n a\n").
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+      |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
+      |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY word),
+      |dict AS MATERIALIZED (SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 65536),
+      |st0 AS MATERIALIZED (SELECT list_aggregate(list_transform(generate_series(1, length(word)),
+      |    i -> ' '||word[i]||chr(10)), 'string_agg', '') AS enc, freq FROM dict)""".stripMargin
+    (1 to k).foreach { i =>
+      sb ++= s""",
+        |p$i AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS f
+        |  FROM (SELECT list_transform(list_filter(string_split(enc, chr(10)), x -> x <> ''),
+        |          x -> x[2:]) AS syms, freq FROM st${i - 1}) s,
+        |       unnest(generate_series(1, len(syms)-1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1),
+        |st$i AS MATERIALIZED (SELECT replace(enc, ' '||b.l||chr(10)||' '||b.r||chr(10), ' '||b.l||b.r||chr(10)) AS enc, freq
+        |  FROM st${i - 1}, b$i b)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to k).map(i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", """ +
+        s"l||r AS merged, CAST(f AS BIGINT) AS pair_freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    sb.result()
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "tokenizer_bpe_train" -> bpeTrainOracle(24),
     "curate_chunk_overlap" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),

@@ -56,7 +56,7 @@ object TextPipeline {
     * broadcast from runtime stats). The curate_dsir_weights /
     * boilerplate-scrub posture, one seat for the three LM-model queries.
     */
-  private def sizeGatedModel(s: SparkSession, ck: DataFrame): DataFrame = {
+  private def sizeGatedModel(s: SparkSession, dir: String, ck: DataFrame): DataFrame = {
     val key = "spark.sql.graft.text.broadcast-max-model-rows"
     val mx = s.conf.getOption(key).map { v =>
       try v.trim.toLong catch {
@@ -64,7 +64,13 @@ object TextPipeline {
           s"$key must be a count, got '$v'")
       }
     }.getOrElse(1000000L)
-    if (ck.count() <= mx) broadcast(ck) else ck
+    // metadata PRE-gate: the corpus footers bound the vocab (distinct
+    // tokens <= text bytes / 2 + rows, zero jobs) — a small corpus skips
+    // the exact count job entirely; only a corpus whose BOUND exceeds the
+    // cap pays the count to decide precisely (trivial next to the scoring
+    // join it guards, and the checkpoint the count scans is materialized)
+    if (Tables.metaTokenBound(s, dir, "documents", "text") <= mx ||
+      ck.count() <= mx) broadcast(ck) else ck
   }
 
   private def toks: Column = split(lower(trim(col("text"))), "\\s+")
@@ -545,7 +551,7 @@ object TextPipeline {
       val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
-      tk.join(sizeGatedModel(s, vocab), "tok")
+      tk.join(sizeGatedModel(s, dir, vocab), "tok")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"),
@@ -568,7 +574,7 @@ object TextPipeline {
       val vocab = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
       val tot = vocab.agg(sum(col("cnt")).as("tot"))
-      val scored = tk.join(sizeGatedModel(s, vocab), "tok")
+      val scored = tk.join(sizeGatedModel(s, dir, vocab), "tok")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id", "lang")
         .agg(round(avg(-log(col("cnt") / col("tot"))), 6).as("logppl"))
@@ -580,7 +586,8 @@ object TextPipeline {
       // to the single-window answer. (A degenerate corpus whose scores
       // collapse into one block degrades to the old shape, never below.)
       val ranked =
-        if (Curation.singleWindowFits(s, dir, strata = 4)) {
+        if (Curation.singleWindowFits(s, dir, strata = 4,
+            maxStratum = Some(Curation.maxStratumOf(docs(s, dir), "lang")))) {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("lang").orderBy(col("logppl"), col("doc_id"))
           val wn = org.apache.spark.sql.expressions.Window.partitionBy("lang")
@@ -654,7 +661,7 @@ object TextPipeline {
       val v = tk.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint(true)
       val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ts"))
       val tot = tk.agg(count(lit(1)).as("t"))
-      st.join(sizeGatedModel(s, v), "tok")
+      st.join(sizeGatedModel(s, dir, v), "tok")
         .join(broadcast(srcTot), "source")
         .crossJoin(broadcast(tot))
         .groupBy("source")

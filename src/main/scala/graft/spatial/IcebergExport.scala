@@ -177,7 +177,18 @@ object IcebergExport {
     def snapSeq(s: SnapState): Long =
       if (!ranked) 1L
       else (s.files.map(dataSeq) ++ s.eqFiles.map(e => ranks(eqSeq(e))) ++ Seq(1L)).max
-    val maxSeq = snapSeq(perV.last)
+    // Snapshot sequence numbers must be MONOTONIC along the parent chain:
+    // after rollback_to_snapshot the head serves only files with OLDER
+    // addedV ranks, so its own max rank can sit BELOW an ancestor's, and
+    // Iceberg's TableMetadata validation rejects any snapshot whose
+    // sequence-number exceeds last-sequence-number. Publish each snapshot
+    // at the RUNNING max of its ancestry (entry-level sequence numbers
+    // stay as ranks — they remain <= their snapshot's running max).
+    val snapSeqEff: Map[Int, Long] = {
+      var run = 0L
+      perV.map { s => run = math.max(run, snapSeq(s)); s.v -> run }.toMap
+    }
+    val maxSeq = snapSeqEff(perV.last.v)
 
     // ---- manifest file (one, all entries ADDED) --------------------------
     val entrySchema = new Schema.Parser().parse(manifestEntryAvro(partFields))
@@ -222,7 +233,7 @@ object IcebergExport {
     def writeSnapshot(st: SnapState, parent: Option[Int])
         : (String, String, Seq[java.nio.file.Path]) = {
       val snapId = st.v.toLong
-      val sSeq = snapSeq(st)
+      val sSeq = snapSeqEff(st.v)
       val manifestPath = metaDir.resolve(s"$nonce-m0-${st.v}.avro")
       val entries = st.files.map { f =>
         val part = new GenericData.Record(partSchema)

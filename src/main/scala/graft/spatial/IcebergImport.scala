@@ -123,16 +123,24 @@ object IcebergImport {
         s"cannot import $source: data file ${e.path} has format ${e.format} " +
           "(only parquet data files are readable here)")
     }
-    // ONE entry per data file: byte-identical duplicates (the same file
-    // reachable through two manifests) collapse; same-path entries that
-    // DISAGREE are ambiguous — publishing both would serve the file's rows
-    // twice, so refuse loudly
+    // ONE entry per data file PER SNAPSHOT: byte-identical duplicates (the
+    // same file reachable through two manifests) collapse; same-path
+    // entries that DISAGREE within one snapshot are ambiguous — publishing
+    // both would serve the file's rows twice, so refuse loudly. The check
+    // is scoped per snapshot, NOT over the union of the chain: a path may
+    // legitimately re-appear in a LATER snapshot with a different data
+    // sequence number (removed by an overwrite, then re-registered via
+    // add_files / replace) — each graft version publishes from its own
+    // snapshot's entry, so addedV is free to differ across versions.
     val dedupEntries = dataEntries.distinct
-    val conflicting = dedupEntries.groupBy(_.path)
-      .collect { case (p, es) if es.size > 1 => p }
-    require(conflicting.isEmpty,
-      s"cannot import $source: data file(s) ${conflicting.mkString(", ")} " +
-        "appear in multiple manifest entries with conflicting metadata")
+    perSnap.foreach { case (sid, (dEnts, _, _)) =>
+      val conflicting = dEnts.distinct.groupBy(_.path)
+        .collect { case (p, es) if es.size > 1 => p }
+      require(conflicting.isEmpty,
+        s"cannot import $source: snapshot $sid references data file(s) " +
+          s"${conflicting.mkString(", ")} in multiple manifest entries " +
+          "with conflicting metadata")
+    }
 
     // ---- per-file stats ---------------------------------------------------
     // Files whose manifest entry carries lower/upper bounds get their
@@ -216,10 +224,6 @@ object IcebergImport {
     val allSeqs = (dedupEntries.map(_.seq) ++ eqDels.map(_.seq)).distinct.sorted
     val rank: Map[Long, Int] = allSeqs.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
     val maxRank = if (allSeqs.isEmpty) 0 else allSeqs.size
-
-    val entries = dedupEntries.map { e =>
-      byName(absPath(e.path)).copy(addedV = rank(e.seq))
-    }
 
     // ---- delete files: rewrite into graft's native shapes ----------------
     // position deletes: (file_path, pos) rows, file paths normalized to

@@ -55,7 +55,7 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
             val existing = splitAnd(cond)
             val fresh = splitAnd(extra).filterNot(e => existing.exists(_.semanticEquals(e)))
             if (fresh.isEmpty) f
-            else Filter(And(fresh.reduce(And), cond), child2)
+            else restoreOutput(f.output, Filter(And(fresh.reduce(And), cond), child2))
           case None => f
         }
       }
@@ -122,8 +122,24 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
     val newCond = if (fresh.isEmpty) cond else And(fresh.reduce(And), cond)
     if (fresh.isEmpty && (newLeft eq left2) && (newRight eq right2) &&
         (left2 eq j.left) && (right2 eq j.right)) j
-    else j.copy(left = newLeft, right = newRight, condition = Some(newCond))
+    else restoreOutput(j.output,
+      j.copy(left = newLeft, right = newRight, condition = Some(newCond)))
   }
+
+  /** Shadow re-exposure widens children, and the widened node's OUTPUT
+    * grows with them — benign under a Project (parents reference what they
+    * reference) but WRONG at the plan root: a `df.filter(st_…).collect()`
+    * on a catalog table would serve an optimized-plan schema carrying a
+    * trailing `<g>_bbox` column the analyzed schema lacks (visible to
+    * toRdd consumers, flagged by plan-change validation). Restore the
+    * original attribute list with a Project whenever the output grew —
+    * the retained predicate below it still references the shadow, so the
+    * already-final scan keeps reading it (V2 pruning does not re-run in
+    * `extraOptimizations`).
+    */
+  private def restoreOutput(orig: Seq[Attribute], rewritten: LogicalPlan): LogicalPlan =
+    if (rewritten.output.map(_.exprId) == orig.map(_.exprId)) rewritten
+    else Project(orig, rewritten)
 
   /** Geometry attributes referenced by spatial predicates in `cond`. */
   private def spatialGeomAttrs(cond: Expression): Seq[AttributeReference] = {
@@ -234,17 +250,22 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
   /** A literal envelope provably bounding `g` below the join: an
     * `ST_Covers(lit, g)` filter conjunct on g's provenance path (Filter/
     * Project chains, and the g-bearing side of nested joins — joins only
-    * keep or drop rows, never alter g). First bound wins; any is sound.
+    * keep or drop rows, never alter g). Every bound along the path holds
+    * simultaneously, so multiple conjuncts INTERSECT — the tightest sound
+    * envelope (a disjoint intersection is still sound: no row can
+    * satisfy both covers, so any derived conjunct only drops
+    * never-matching rows).
     */
   private def boundEnvOf(plan: LogicalPlan, g: AttributeReference): Option[Envelope] =
     plan match {
       case Filter(c, child) =>
-        splitAnd(c).collectFirst {
+        val here = splitAnd(c).collect {
           case StCovers(q, a: AttributeReference)
               if a.exprId == g.exprId && q.foldable && q.dataType == BinaryType &&
                 q.eval(null) != null =>
             GeoCodec.readWkb(q.eval(null).asInstanceOf[Array[Byte]]).getEnvelopeInternal
-        }.orElse(boundEnvOf(child, g))
+        }
+        (here ++ boundEnvOf(child, g)).reduceOption((a, b) => a.intersection(b))
       case Project(_, child) => boundEnvOf(child, g)
       case jn: Join =>
         if (jn.left.outputSet.contains(g)) boundEnvOf(jn.left, g)

@@ -1166,6 +1166,44 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("shadow re-exposure cannot GROW the root schema: when V2 pruning " +
+      "collapsed the Project into the scan (projection == scan output) the " +
+      "rewritten Filter sits at the plan ROOT — a restoring Project keeps " +
+      "the analyzed output, and the bbox prune is retained") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.geo.rootf (id BIGINT, g BINARY, g_bbox STRUCT<" +
+      "xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>) USING graft")
+    (0 until 4).foreach { q =>
+      val (sx, sy) = q match {
+        case 0 => (1, 1); case 1 => (-1, 1); case 2 => (-1, -1); case _ => (1, -1)
+      }
+      spark.sql(s"INSERT INTO pq.geo.rootf SELECT /*+ REPARTITION(1) */ " +
+        s"id + ${q * 10}, st_point(CAST($sx * (id + 1) AS DOUBLE), " +
+        s"CAST($sy * (id + 1) AS DOUBLE)), " +
+        s"named_struct('xmin', CAST($sx * (id + 1) AS DOUBLE), " +
+        s"'ymin', CAST($sy * (id + 1) AS DOUBLE), " +
+        s"'xmax', CAST($sx * (id + 1) AS DOUBLE), " +
+        s"'ymax', CAST($sy * (id + 1) AS DOUBLE)) FROM range(10)")
+    }
+    // SELECT id, g: the filter references exactly the projected set, so V2
+    // pruning pushes the projection into the scan and REMOVES the Project
+    // node — the rewritten Filter is the optimized plan's root, and shadow
+    // re-exposure would otherwise serve a trailing g_bbox the analyzed
+    // schema lacks (visible to toRdd, flagged by plan-change validation)
+    val q1 = spark.sql("SELECT id, g FROM pq.geo.rootf WHERE st_intersects(g, " +
+      "st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+      "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)))")
+    assert(q1.queryExecution.optimizedPlan.output.map(_.name) ==
+      q1.queryExecution.analyzed.output.map(_.name),
+      s"optimized output must match analyzed: " +
+        s"${q1.queryExecution.optimizedPlan.output.map(_.name)}")
+    assert(q1.collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    val m = graftScanOf(q1).reportDriverMetrics()
+      .map(t => t.name() -> t.value()).toMap
+    assert(m("resultDataFiles") == 1L && m("skippedDataFiles") == 3L,
+      s"the restoring Project must not cost the prune: $m")
+  }
+
   test("scan reports pruning metrics to the driver (resultDataFiles / skippedDataFiles)") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.tp.metrics (id BIGINT, v DOUBLE) USING graft")

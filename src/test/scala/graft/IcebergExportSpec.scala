@@ -455,4 +455,52 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(out.getString(1).endsWith("v1.metadata.json"))
     assert(Files.exists(Paths.get(out.getString(1))))
   }
+
+  test("a ROLLBACK at the exported HEAD keeps sequence numbers parent-" +
+      "monotonic: the head serves only old-rank files, so without the " +
+      "running max an ANCESTOR would exceed last-sequence-number and real " +
+      "Iceberg readers reject the metadata at parse") {
+    val base = Files.createTempDirectory("graft_ice_seqmono").toString
+    val tbl = s"$base/t"
+    spark.range(10).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1
+    Snapshots.append(spark.range(10, 25).selectExpr("id"), tbl) // v2
+    Snapshots.rollback(spark, tbl, 1) // v3 = HEAD: v1's files, old addedV
+    val metaFile = IcebergExport.export(spark, tbl)
+    val md = jsonDf(metaFile)
+    val lastSeq = md.selectExpr("`last-sequence-number`").collect().head.getLong(0)
+    val snaps = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`snapshot-id`", "s.`sequence-number`",
+        "s.`parent-snapshot-id`")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(snaps.size == 3)
+    // TableMetadata.indexAndValidateSnapshots: every snapshot sequence
+    // number must be <= last-sequence-number
+    snaps.foreach { case (id, (seq, _)) =>
+      assert(seq <= lastSeq, s"snapshot $id sequence $seq > last $lastSeq")
+    }
+    // and non-decreasing along the parent chain (the v2 commit semantics)
+    snaps.foreach { case (id, (seq, parent)) =>
+      parent.foreach { p =>
+        assert(snaps(p)._1 <= seq,
+          s"snapshot $id seq $seq below its parent $p seq ${snaps(p)._1}")
+      }
+    }
+    // the pre-rollback append really does carry a HIGHER rank than the
+    // head's own files — the case the running max exists for
+    assert(snaps(2L)._1 == snaps(3L)._1,
+      "the head must publish at the running max of its ancestry")
+    // round-trip: per-version rows survive
+    val target = s"$base/imported"
+    graft.spatial.IcebergImport.importTable(spark, tbl, target)
+    val srcAnc = Snapshots.ancestry(tbl, Snapshots.mainVersion(tbl))
+    val anc = Snapshots.ancestry(target, Snapshots.mainVersion(target))
+    assert(anc.size == srcAnc.size)
+    srcAnc.zip(anc).foreach { case (sv, tv) =>
+      val a = Snapshots.read(spark, tbl, Some(sv)).collect().map(_.getLong(0)).toSet
+      val b = Snapshots.read(spark, target, Some(tv)).collect().map(_.getLong(0)).toSet
+      assert(a == b, s"source v$sv vs imported v$tv")
+    }
+  }
 }

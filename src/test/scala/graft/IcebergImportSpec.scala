@@ -789,4 +789,30 @@ class IcebergImportSpec extends AnyFunSuite {
     assert(out.getString(1) == s"target=$target")
     assert(GeoTable.read(spark, target).count() == 25L)
   }
+
+  test("a data file re-registered in a LATER snapshot at a different " +
+      "sequence number imports: the conflicting-entry check is scoped per " +
+      "snapshot, not over the union of the chain (removed by an overwrite, " +
+      "then re-added via add_files — each snapshot is self-consistent)") {
+    val base = Files.createTempDirectory("graft_imp_rereg").toString
+    val tbl = s"$base/src"
+    spark.range(10).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1: files A
+    // v2: full overwrite — A's files drop from the head but stay on disk
+    Snapshots.overwrite(spark.range(100, 105).selectExpr("id"), tbl)
+    val (_, nAdded) = Snapshots.addFiles(spark, tbl) // v3: A re-registered
+    assert(nAdded > 0, "fixture must re-register the overwritten files")
+    IcebergExport.export(spark, tbl)
+    val target = s"$base/imported"
+    IcebergImport.importTable(spark, tbl, target)
+    val srcAnc = Snapshots.ancestry(tbl, Snapshots.mainVersion(tbl))
+    val anc = Snapshots.ancestry(target, Snapshots.mainVersion(target))
+    assert(anc.size == srcAnc.size, s"$anc vs $srcAnc")
+    srcAnc.zip(anc).foreach { case (sv, tv) =>
+      assert(rowsOf(Snapshots.read(spark, tbl, Some(sv))) ==
+        rowsOf(Snapshots.read(spark, target, Some(tv))),
+        s"source v$sv and imported v$tv must serve identical rows")
+    }
+    assert(GeoTable.read(spark, target).count() == 15L)
+  }
 }

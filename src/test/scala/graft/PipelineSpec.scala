@@ -177,6 +177,62 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.graft.curation.single-window-max-rows")
   }
 
+  test("skew-proof single-task-window gate: a mega-stratum whose AVERAGE " +
+      "passes the gate forces the two-phase path; the cheap tiers decide " +
+      "without running the max-stratum aggregate") {
+    import graft.operators.Curation
+    val gateKey = "spark.sql.graft.curation.single-window-max-rows"
+    val total = Tables.metaRowCount(spark, sf, "documents")
+    val boom: Option[() => Long] =
+      Some(() => fail("max-stratum aggregate must not run in a cheap tier"))
+    try {
+      // tier 1: total <= gate — even a 100%-skewed stratum fits, zero jobs
+      spark.conf.set(gateKey, total.toString)
+      assert(Curation.singleWindowFits(spark, sf, 4, maxStratum = boom))
+      // tier 2: mean > gate — the max is at least the mean, zero jobs
+      spark.conf.set(gateKey, (total / 8).toString)
+      assert(!Curation.singleWindowFits(spark, sf, 4, maxStratum = boom))
+      // ambiguous band (total > gate, mean <= gate): the EXACT max decides
+      // — this is the mega-stratum case the old average-based gate missed
+      spark.conf.set(gateKey, (total - 1).toString)
+      assert(!Curation.singleWindowFits(spark, sf, 4,
+        maxStratum = Some(() => total)),
+        "a mega-stratum above the gate must force the two-phase path " +
+          "even though the AVERAGE stratum passes")
+      assert(Curation.singleWindowFits(spark, sf, 4,
+        maxStratum = Some(() => total - 1)))
+      // hash/modulo strata carry no callback: conservative 8x imbalance
+      assert(!Curation.singleWindowFits(spark, sf, 4))
+      assert(Curation.singleWindowFits(spark, sf, 64))
+      // the real callback measures the actual lang distribution
+      val mx = Curation.maxStratumOf(
+        Tables.load(spark, sf, "documents").filter("text IS NOT NULL"), "lang")()
+      assert(mx > 0 && mx < total)
+      // end-to-end: in the ambiguous band the REAL gate (lang max-stratum)
+      // picks a path whose answer equals the default plan's
+      spark.conf.unset(gateKey)
+      val dflt = SparkEntry.queries("curate_sample_stratified")(spark, sf)
+        .collect().map(_.toSeq.toList).toSet
+      spark.conf.set(gateKey, (total - 1).toString)
+      val amb = SparkEntry.queries("curate_sample_stratified")(spark, sf)
+        .collect().map(_.toSeq.toList).toSet
+      assert(amb == dflt)
+    } finally spark.conf.unset(gateKey)
+  }
+
+  test("LM-model broadcast pre-gate: the footer token bound is a TRUE upper " +
+      "bound on the distinct-token count and fits the default cap at this " +
+      "scale — the exact count job is provably skipped") {
+    val bound = Tables.metaTokenBound(spark, sf, "documents", "text")
+    val actual = Tables.load(spark, sf, "documents")
+      .filter("text IS NOT NULL")
+      .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS tok")
+      .filter("tok <> ''").distinct().count()
+    assert(bound >= actual, s"footer bound $bound below actual vocab $actual")
+    assert(bound <= 1000000L,
+      s"pre-gate must fire at test scale (bound $bound vs default cap 1M)")
+  }
+
   test("trained-family oracle capture: running each query materializes its " +
       "trained state into a DuckDB oracle entry (literal lists, no Spark refs)") {
     val names = Seq("sim_ann_ivf", "sim_pq_topk", "sim_sq8_topk", "sim_ivf_pq",
