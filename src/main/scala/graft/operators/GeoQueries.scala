@@ -235,6 +235,45 @@ object GeoQueries {
         .agg(count(lit(1)).as("n_points"))
     }),
 
+    // grid-MATERIALIZED storage-partitioned spatial join: both sides are
+    // written as co-gridded catalog tables (one stored row per covered
+    // grid cell, identity-partitioned by cell_x/cell_y), and the spatial
+    // join becomes an equi-join on the stored cells that the DSv2 scans'
+    // KeyGroupedPartitioning report plans WITHOUT an exchange — the
+    // repeated-join production shape where the PBSM explode moves into
+    // storage. Beyond the reference (its SPJ assist is equi-key only and
+    // its spatial joins shuffle through Sedona's RangeJoin). Same answer
+    // as geo_spatial_join, same oracle.
+    "geo_grid_spj_join" -> ((s, dir) => {
+      Geo.install(s)
+      import graft.spatial.SpatialJoin
+      val wh = freshScratch("gridspjwh", dir)
+      val cat = s"gspj_${pathDigest(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // co-partitioned DSv2 scans storage-partition the join under this
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
+          "geom", cellDeg = 15.0)
+        .writeTo(s"$cat.db.gpts")
+        .partitionedBy(col("cell_x"), col("cell_y")).createOrReplace()
+      val regions = Tables.load(s, dir, "nation")
+        .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
+        .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)
+        .withColumn("rgeom", st_makeenvelope(col("rxmin"), col("rymin"),
+          col("rxmin") + 30.0, col("rymin") + 30.0))
+        .select(col("n_nationkey").as("region_id"), col("rgeom"))
+      SpatialJoin.gridded(regions, "rgeom", cellDeg = 15.0)
+        .writeTo(s"$cat.db.gregions")
+        .partitionedBy(col("cell_x"), col("cell_y")).createOrReplace()
+      SpatialJoin.intersectsGridded(
+          s.table(s"$cat.db.gpts"), "geom",
+          s.table(s"$cat.db.gregions"), "rgeom", cellDeg = 15.0)
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
+
     // partitioned geo table: identity partition (quadrant) + hilbert
     // clustering; read back with a combined partition + spatial predicate —
     // the reference's partitioned pruning matrix as an end-to-end query
@@ -566,6 +605,17 @@ object GeoQueries {
         |SELECT CAST(2 AS INTEGER),
         | CAST(count(*) + (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0) AS BIGINT)
         |FROM customer""".stripMargin,
+
+    "geo_grid_spj_join" ->
+      s"""WITH r AS (SELECT n_nationkey AS region_id,
+         |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 180.0 AS rxmin,
+         |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 90.0 AS rymin
+         | FROM nation)
+         |SELECT region_id, count(*) AS n_points
+         |FROM ($ptsSql) p JOIN r
+         |  ON p.x >= r.rxmin AND p.x <= r.rxmin + 30.0
+         | AND p.y >= r.rymin AND p.y <= r.rymin + 30.0
+         |GROUP BY region_id""".stripMargin,
 
     "geo_spatial_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,

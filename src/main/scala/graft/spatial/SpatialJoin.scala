@@ -73,4 +73,71 @@ object SpatialJoin {
       .filter(GeoSql.st_intersects(col(lCol), col(rCol)))
     joined.drop("__l_bbox", "__l_cell", "__r_bbox", "__r_cell")
   }
+
+  // ---- grid-MATERIALIZED face: the storage-partitioned spatial join ------
+  //
+  // intersects() above shuffles BOTH sides on the cell id every join. When
+  // the same tables join spatially again and again (the production shape:
+  // a fact geometry table vs a slowly-changing region table), the explode
+  // can move into STORAGE: each row is written once per covered grid cell,
+  // identity-partitioned by (cell_x, cell_y). Two such CO-GRIDDED graft
+  // catalog tables then meet in a plain equi-join on the stored cell
+  // columns, which the scan's KeyGroupedPartitioning report turns into a
+  // storage-partitioned join — ZERO exchanges, the shuffle that dominates
+  // a 100 TB spatial fact-fact join gone. Beyond the reference: its SPJ
+  // assist is equi-key only (`SparkPartitioningAwareScan.java` in
+  // /root/reference), and its spatial joins delegate to Sedona's shuffled
+  // RangeJoin. Same exactness proof as intersects(): two intersecting
+  // geometries' bboxes share the intersection reference corner, whose cell
+  // BOTH sides stored — pair found, exactly once after the ref-cell dedup.
+
+  /** Explode `df` for grid-materialized storage: one output row per grid
+    * cell covered by the geometry's bbox, with the cell as identity
+    * columns `cell_x`, `cell_y` (BIGINT). Write the result to a graft
+    * table `PARTITIONED BY (cell_x, cell_y)`; both join sides must use
+    * the SAME `cellDeg`.
+    */
+  def gridded(df: DataFrame, geomCol: String, cellDeg: Double): DataFrame = {
+    require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
+      s"cellDeg must be a positive finite grid pitch, got $cellDeg")
+    GeoSql.install(df.sparkSession)
+    df.withColumn("__bb", GeoSql.st_bbox(col(geomCol)))
+      .withColumn("__cell", explode(cells(
+        col("__bb.xmin"), col("__bb.ymin"),
+        col("__bb.xmax"), col("__bb.ymax"), cellDeg)))
+      .withColumn("cell_x", col("__cell.cx"))
+      .withColumn("cell_y", col("__cell.cy"))
+      .drop("__bb", "__cell")
+  }
+
+  /** Inner `ST_Intersects` join of two GRID-MATERIALIZED frames (both
+    * carrying `cell_x`/`cell_y` from [[gridded]] at the same `cellDeg`,
+    * e.g. reads of two co-gridded catalog tables). The equi-join keys are
+    * exactly the stored identity partition columns, so co-partitioned
+    * DSv2 scans plan it storage-partitioned (no exchange). Output: all of
+    * left's then right's columns, grid columns dropped; pairs are exact
+    * and deduplicated like [[intersects]].
+    */
+  def intersectsGridded(left: DataFrame, lCol: String,
+      right: DataFrame, rCol: String, cellDeg: Double): DataFrame = {
+    require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
+      s"cellDeg must be a positive finite grid pitch, got $cellDeg")
+    Seq(left -> "left", right -> "right").foreach { case (df, side) =>
+      require(Seq("cell_x", "cell_y").forall(df.columns.contains),
+        s"$side side is not grid-materialized: expected cell_x/cell_y " +
+          "(write it with SpatialJoin.gridded)")
+    }
+    GeoSql.install(left.sparkSession)
+    val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
+    val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
+    l.join(r, Seq("cell_x", "cell_y"))
+      // de-dup: keep the single cell holding the bbox-intersection corner
+      .filter(col("cell_x") === floor(greatest(
+          col("__l_bbox.xmin"), col("__r_bbox.xmin")) / cellDeg).cast("long") &&
+        col("cell_y") === floor(greatest(
+          col("__l_bbox.ymin"), col("__r_bbox.ymin")) / cellDeg).cast("long"))
+      // exact refinement
+      .filter(GeoSql.st_intersects(col(lCol), col(rCol)))
+      .drop("__l_bbox", "__r_bbox", "cell_x", "cell_y")
+  }
 }

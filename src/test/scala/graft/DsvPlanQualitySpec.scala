@@ -291,6 +291,55 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("co-GRIDDED catalog tables spatial-join storage-partitioned: zero " +
+      "shuffles on the cell equi-join, pairs exact vs the shuffled PBSM join") {
+    assert(warehouse.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import graft.spatial.SpatialJoin
+    graft.spatial.Geo.install(spark)
+    // left: 12x12-unit boxes (span up to 2x2 cells at pitch 10 — the
+    // multi-cell dedup path matters); right: 25x25 region envelopes
+    val boxes = spark.range(100).toDF("id")
+      .withColumn("bx", (col("id") % 20).cast("double") * 2 - 20)
+      .withColumn("by", (col("id") / 20).cast("double") * 4 - 10)
+      .withColumn("g", expr("st_makeenvelope(bx, by, bx + 12.0, by + 12.0)"))
+      .select(col("id"), col("g"))
+    val regions = spark.range(6).toDF("rid")
+      .withColumn("rx", (col("rid") % 3).cast("double") * 15 - 25)
+      .withColumn("ry", (col("rid") / 3).cast("double") * 15 - 10)
+      .withColumn("g2", expr("st_makeenvelope(rx, ry, rx + 25.0, ry + 25.0)"))
+      .select(col("rid"), col("g2"))
+    SpatialJoin.gridded(boxes, "g", cellDeg = 10.0)
+      .writeTo("pq.spj.grida")
+      .partitionedBy(col("cell_x"), col("cell_y")).createOrReplace()
+    SpatialJoin.gridded(regions, "g2", cellDeg = 10.0)
+      .writeTo("pq.spj.gridb")
+      .partitionedBy(col("cell_x"), col("cell_y")).createOrReplace()
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val j = SpatialJoin.intersectsGridded(
+        spark.table("pq.spj.grida"), "g",
+        spark.table("pq.spj.gridb"), "g2", cellDeg = 10.0)
+      val got = j.select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val shuffles = j.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.isEmpty,
+        s"co-gridded spatial join must plan without an Exchange:\n" +
+          s"${j.queryExecution.executedPlan}")
+      // exactly once per pair (the ref-cell dedup), and exactly the
+      // shuffled PBSM join's answer on the base (un-gridded) frames
+      assert(got.length == got.toSet.size, "multi-cell pairs must dedup")
+      val want = SpatialJoin.intersects(boxes, "g", regions, "g2", cellDeg = 10.0)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty && got.toSet == want,
+        s"grid-materialized join must equal the shuffled join " +
+          s"(${got.length} vs ${want.size})")
+    }
+  }
+
   test("V2 transform functions are SQL-callable for layout debugging") {
     assert(warehouse.nonEmpty)
     // the reference exposes its transforms as catalog functions
