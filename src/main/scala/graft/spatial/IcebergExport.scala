@@ -505,22 +505,35 @@ object IcebergExport {
   private def topStruct(spark: SparkSession, path: String, ids: Ids): IStruct = {
     val entries = TableSchema.read(path)
     val base = GeoTable.ensureSchema(spark, path)
-    if (entries.isEmpty) toIStruct(base, ids)
-    else {
-      val evolved = entries.filterNot(_.dropped).map(fromEntry(_, ids))
-      // partition dir columns live in directory names, not in the
-      // evolution log (TableSchema.ensure excludes them) — append them
-      // from the baseline schema or a schema-evolved PARTITIONED table
-      // could never export
-      val dirCols = GeoTable.readPartitionCols(path)
-        .filterNot(c => evolved.exists(_.dataName == c))
-        .flatMap(c => base.fields.find(_.name == c))
-        .map { f =>
-          val id = ids.next()
-          IField(id, f.name, required = false, toIType(f.dataType, ids), f.name)
-        }
-      IStruct(evolved ++ dirCols)
-    }
+    val known: Seq[IField] =
+      if (entries.isEmpty) toIStruct(base, ids).fields
+      else entries.filterNot(_.dropped).map(fromEntry(_, ids))
+    // partition dir columns live in directory names, not in the evolution
+    // log or (for a HIDDEN derived dir added by mid-history ADD PARTITION
+    // FIELD over a formerly flat layout) the inferable base schema —
+    // append the missing ones, typing a hidden derived dir from its
+    // TRANSFORM's value type (bucket/date parts produce ints, truncate
+    // its source's type), or the table could never export
+    val dirCols = GeoTable.readPartitionCols(path)
+      .filterNot(c => known.exists(_.dataName == c))
+      .map { c =>
+        val dt = base.fields.find(_.name == c).map(_.dataType)
+          .orElse(GeoTable.readPartitionSpecs(path).find(_.derivedName == c)
+            .flatMap {
+              case graft.spatial.Transforms.Bucket(_, _, _) =>
+                Some(org.apache.spark.sql.types.IntegerType)
+              case graft.spatial.Transforms.DatePart(_, _) =>
+                Some(org.apache.spark.sql.types.IntegerType)
+              case graft.spatial.Transforms.Truncate(_, src, _) =>
+                base.fields.find(_.name == src).map(_.dataType)
+              case graft.spatial.Transforms.Identity(src) =>
+                base.fields.find(_.name == src).map(_.dataType)
+            })
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition dir column $c is not a top-level schema column"))
+        IField(ids.next(), c, required = false, toIType(dt, ids), c)
+      }
+    IStruct(known ++ dirCols)
   }
 
   private def fromEntry(e: TableSchema.Entry, ids: Ids): IField = {

@@ -3444,8 +3444,13 @@ object Snapshots {
           carriedEq(path, head), small),
         carried(path, head))
       val (added, _) = writeBack(rows.repartition(numFiles), path)
-      publish(path, rs, big ++ statsFor(spark, path, added), carried(path, head),
-        carriedPos(path, head), eqDeletes = carriedEq(path, head),
+      // all files rewritten → deletes fully materialized; carrying the
+      // vacuous state would block Iceberg export (see rewriteDataFiles)
+      val full = big.isEmpty
+      publish(path, rs, big ++ statsFor(spark, path, added),
+        if (full) Nil else carried(path, head),
+        if (full) Nil else carriedPos(path, head),
+        eqDeletes = if (full) Nil else carriedEq(path, head),
         operation = "replace")
     }
   }
@@ -3525,8 +3530,13 @@ object Snapshots {
         val hi = target * 9 / 5
         val (over, under) = candidates.filter(f => f.sizeBytes < lo || f.sizeBytes > hi)
           .partition(_.sizeBytes > hi)
-        // a lone small file with no sibling to merge into is already optimal
-        over ++ (if (under.size >= 2) under else Nil)
+        // a lone small file with no sibling to merge into is already
+        // optimal — UNLESS MoR delete state is pending: materializing it
+        // is this procedure's other contract (and the Iceberg export's
+        // documented unblock), so the rewrite must still happen
+        val pendingMor = carried(path, head).nonEmpty ||
+          carriedPos(path, head).nonEmpty || carriedEq(path, head).nonEmpty
+        over ++ (if (under.size >= 2 || (under.nonEmpty && pendingMor)) under else Nil)
     }
     if (picked.isEmpty) (head, 0)
     else {
@@ -3559,8 +3569,16 @@ object Snapshots {
         else if (partKeys.nonEmpty) rows.repartition(n, partKeys: _*)
         else rows.repartition(n)
       val (added, _) = writeBack(shaped, path)
+      // a FULL rewrite materializes every pending delete: the rewritten
+      // rows already exclude them, and carrying the (now-vacuous) delete
+      // state forward would block Iceberg export forever — the export's
+      // "run rewrite_data_files, then export" recipe depends on this.
+      // With untouched files the state must carry (it still scopes them).
+      val full = untouched.isEmpty
       val v = publish(path, rs, untouched ++ liveStatsFor(spark, path, added),
-        carried(path, head), carriedPos(path, head), eqDeletes = carriedEq(path, head),
+        if (full) Nil else carried(path, head),
+        if (full) Nil else carriedPos(path, head),
+        eqDeletes = if (full) Nil else carriedEq(path, head),
         operation = "replace")
       (v, picked.size)
     }

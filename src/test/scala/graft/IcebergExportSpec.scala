@@ -456,6 +456,75 @@ class IcebergExportSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(out.getString(1))))
   }
 
+  test("mid-ancestry partition-spec EVOLUTION round-trips: pre-evolution " +
+      "snapshots' files carry NULL partition values under the current " +
+      "spec, and the import serves them as the null partition") {
+    val base = Files.createTempDirectory("graft_ice_specevo").toString
+    val tbl = s"$base/t"
+    spark.range(10).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1: unpartitioned layout
+    spark.sql(s"ALTER TABLE '$tbl' ADD PARTITION FIELD bucket(4, id) AS shard")
+    Snapshots.append(spark.range(10, 20).selectExpr("id"), tbl) // shard dirs
+    val metaFile = IcebergExport.export(spark, tbl)
+    // the current spec's shard field rides every exported snapshot; the
+    // pre-evolution files' partition records hold NULL for it
+    val md = jsonDf(metaFile)
+    val listPaths = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`manifest-list`").collect().map(_.getString(0))
+    val entries = listPaths.flatMap { lp =>
+      readAvro(lp)._2.flatMap(r => readAvro(r.get("manifest_path").toString)._2)
+    }
+    val partVals = entries.map { e =>
+      val df = e.get("data_file").asInstanceOf[GenericRecord]
+      df.get("file_path").toString ->
+        df.get("partition").asInstanceOf[GenericRecord].get("shard")
+    }.toMap
+    assert(partVals.values.exists(_ == null),
+      "pre-evolution files must carry a NULL shard partition value")
+    assert(partVals.values.exists(_ != null),
+      "post-evolution files must carry their shard dir value")
+    val target = s"$base/imported"
+    graft.spatial.IcebergImport.importTable(spark, tbl, target)
+    val srcAnc = Snapshots.ancestry(tbl, Snapshots.mainVersion(tbl))
+    val anc = Snapshots.ancestry(target, Snapshots.mainVersion(target))
+    assert(anc.size == srcAnc.size, s"$anc vs $srcAnc")
+    srcAnc.zip(anc).foreach { case (sv, tv) =>
+      val a = Snapshots.read(spark, tbl, Some(sv))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val b = Snapshots.read(spark, target, Some(tv))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(a == b, s"source v$sv vs imported v$tv")
+    }
+    assert(GeoTable.read(spark, target).count() == 20L)
+  }
+
+  test("refs targeting the TRUNCATED history prefix (below a pending-" +
+      "predicate-delete ancestor) skip loudly; the export carries the " +
+      "clean suffix and main") {
+    val base = Files.createTempDirectory("graft_ice_trunc").toString
+    val tbl = s"$base/t"
+    spark.range(10).selectExpr("id").write.parquet(tbl)
+    GeoTable.writeManifest(spark, tbl) // v1
+    Snapshots.createTag(tbl, "genesis", Some(1))
+    Snapshots.deleteMoR(spark, tbl, "id < 3") // v2: pending PREDICATE delete
+    Snapshots.rewriteDataFiles(spark, tbl) // v3: materialized, head clean
+    val metaFile = IcebergExport.export(spark, tbl)
+    val md = jsonDf(metaFile)
+    // history truncates below v2 (no Iceberg form): only the head exports
+    val snapIds = md.selectExpr("explode(snapshots) AS s")
+      .selectExpr("s.`snapshot-id`").collect().map(_.getLong(0)).toSet
+    assert(!snapIds.contains(1L) && !snapIds.contains(2L),
+      s"predicate-delete prefix must truncate: $snapIds")
+    // the tag on the truncated prefix is skipped (no dangling snapshot-id
+    // — Iceberg validates every ref target exists in snapshots[])
+    val refs = md.select("refs.*").columns.toSet
+    assert(refs == Set("main"), s"truncated-prefix refs must drop: $refs")
+    assert(GeoTable.read(spark, s"$base/t").count() == 7L)
+    val target = s"$base/imported"
+    graft.spatial.IcebergImport.importTable(spark, tbl, target)
+    assert(GeoTable.read(spark, target).count() == 7L)
+  }
+
   test("a ROLLBACK at the exported HEAD keeps sequence numbers parent-" +
       "monotonic: the head serves only old-rank files, so without the " +
       "running max an ANCESTOR would exceed last-sequence-number and real " +
