@@ -442,6 +442,48 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("runtime filtering composes with a shadow-REBUILT scan: a spatial " +
+      "filter rebuilds the fact scan (re-exposed shadow) and the dim-side " +
+      "runtime predicate still lands on the rebuilt instance") {
+    assert(warehouse.nonEmpty)
+    spark.sql("CREATE TABLE pq.rt.gdim (part INT, flag STRING) USING graft")
+    spark.sql("INSERT INTO pq.rt.gdim VALUES (0,'x'),(1,'y'),(2,'y'),(3,'y')")
+    spark.sql("CREATE TABLE pq.rt.gfact (id BIGINT, g BINARY, g_bbox STRUCT<" +
+      "xmin: DOUBLE, ymin: DOUBLE, xmax: DOUBLE, ymax: DOUBLE>, part INT) " +
+      "USING graft PARTITIONED BY (part)")
+    (0 until 4).foreach { p =>
+      spark.sql(s"INSERT INTO pq.rt.gfact SELECT id, " +
+        "st_point(CAST(id AS DOUBLE), CAST(id AS DOUBLE)), " +
+        "named_struct('xmin', CAST(id AS DOUBLE), 'ymin', CAST(id AS DOUBLE), " +
+        s"'xmax', CAST(id AS DOUBLE), 'ymax', CAST(id AS DOUBLE)), $p FROM range(100)")
+    }
+    withConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true") {
+      // projection == referenced set → V2 pruning drops the shadow and the
+      // spatial filter REBUILDS the scan; the equi-join then attaches a
+      // dim-side runtime filter to that rebuilt instance
+      val q = spark.sql("SELECT f.id, f.g FROM pq.rt.gfact f JOIN pq.rt.gdim d " +
+        "ON f.part = d.part WHERE d.flag = 'x' AND st_intersects(f.g, " +
+        "st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+        "CAST(49 AS DOUBLE), CAST(49 AS DOUBLE)))")
+      val rows = q.collect()
+      assert(rows.length == 50, s"expected part-0 ids 0..49, got ${rows.length}")
+      val factScans = q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec if b.scan.isInstanceOf[GraftScan] => b
+      }.filter(_.output.exists(_.name == "id"))
+      assert(factScans.nonEmpty, "fact-side BatchScan not found")
+      val scan = factScans.head.scan.asInstanceOf[GraftScan]
+      // the rebuild really happened (the shadow is back in the read schema
+      // even though the projection never referenced it)...
+      assert(scan.readSchema().fieldNames.contains("g_bbox"),
+        s"spatial filter must rebuild the pruned scan: ${scan.readSchema()}")
+      // ...and the runtime predicate landed on the REBUILT scan
+      assert(factScans.head.runtimeFilters.nonEmpty,
+        s"no runtime filter on the rebuilt scan:\n${q.queryExecution.executedPlan}")
+    }
+  }
+
   test("runtime filtering prunes fact files on a NON-partition key via min/max stats") {
     assert(warehouse.nonEmpty)
     spark.sql("CREATE TABLE pq.rt.dim2 (k BIGINT, flag STRING) USING graft")

@@ -465,6 +465,104 @@ class GeoSpec extends AnyFunSuite {
       s"the pairwise bbox conjunct must ride the join condition: $joinConds")
   }
 
+  test("SELF-join through two aliases with a spatial join condition: shadow " +
+      "binding stays per-side and the window bound still propagates FILE " +
+      "pruning across the alias boundary") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_selfjoin").toString
+    val dir = s"$base/t"
+    (0 until 4).foreach { q =>
+      val (sx, sy) = q match {
+        case 0 => (1, 1); case 1 => (-1, 1); case 2 => (-1, -1); case _ => (1, -1)
+      }
+      GeoTable.withBbox(spark.range(10).selectExpr(
+        s"id + ${q * 10} AS id",
+        s"st_point(CAST(${sx} * (id + 1) AS DOUBLE), CAST(${sy} * (id + 1) AS DOUBLE)) AS g"),
+        "g").coalesce(1).write.mode("append").parquet(dir)
+    }
+    GeoTable.writeManifest(spark, dir)
+    val t = GeoTable.read(spark, dir)
+    // SAME relation on both sides: Spark deduplicates the right side's
+    // exprIds, so two same-named shadows are in scope — binding must stay
+    // per-side (a wrong-side bind would compare the wrong row's envelope)
+    val j = t.as("a")
+      .where("st_covers(st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+        "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)), g)")
+      .join(t.as("b"), org.apache.spark.sql.functions.expr("st_intersects(a.g, b.g)"))
+      .selectExpr("a.id AS aid", "b.id AS bid")
+    val rows = j.collect()
+    assert(rows.length == 10 && rows.forall(r => r.getLong(0) == r.getLong(1)),
+      s"self-join quadrant-0 twins must match exactly: ${rows.toSeq}")
+    val plan = j.queryExecution.executedPlan match {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val files = deep(plan).collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value }
+    assert(files.sorted == Seq(1L, 1L),
+      s"the bound must prune the bounded alias AND propagate to the other " +
+        s"alias of the SAME table: scanned $files of 4+4")
+  }
+
+  test("boundEnvOf INTERSECTS multiple covering envelopes: with the loose " +
+      "bound first, the propagated conjunct still prunes the other side " +
+      "to the tight intersection") {
+    import graft.spatial.GeoTable
+    graft.spatial.Geo.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft_multibound").toString
+    def quadrantTable(dir: String): Unit = {
+      (0 until 4).foreach { q =>
+        val (sx, sy) = q match {
+          case 0 => (1, 1); case 1 => (-1, 1); case 2 => (-1, -1); case _ => (1, -1)
+        }
+        GeoTable.withBbox(spark.range(10).selectExpr(
+          s"id + ${q * 10} AS id",
+          s"st_point(CAST(${sx} * (id + 1) AS DOUBLE), CAST(${sy} * (id + 1) AS DOUBLE)) AS g"),
+          "g").coalesce(1).write.mode("append").parquet(dir)
+      }
+      GeoTable.writeManifest(spark, dir)
+    }
+    quadrantTable(s"$base/ta")
+    quadrantTable(s"$base/tb")
+    val a = GeoTable.read(spark, s"$base/ta")
+    val b = GeoTable.read(spark, s"$base/tb")
+    // LOOSE bound first (covers all four quadrants), tight quadrant-0
+    // bound second: first-bound-wins would propagate the loose envelope
+    // and prune NOTHING on b — the intersection prunes b to one file
+    val j = a.as("a")
+      .where("st_covers(st_makeenvelope(CAST(-20 AS DOUBLE), CAST(-20 AS DOUBLE), " +
+        "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)), a.g) AND " +
+        "st_covers(st_makeenvelope(CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), " +
+        "CAST(20 AS DOUBLE), CAST(20 AS DOUBLE)), a.g)")
+      .join(b.as("b"), org.apache.spark.sql.functions.expr("st_intersects(a.g, b.g)"))
+      .selectExpr("a.id AS aid", "b.id AS bid")
+    val rows = j.collect()
+    assert(rows.length == 10 && rows.forall(r => r.getLong(0) == r.getLong(1)),
+      s"quadrant-0 twins must match: ${rows.toSeq}")
+    val plan = j.queryExecution.executedPlan match {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(q.plan)
+        case n => Seq(n)
+      }.flatten
+    val files = deep(plan).collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value }
+    assert(files.sorted == Seq(1L, 1L),
+      s"the INTERSECTION of both bounds must propagate (loose-first must " +
+        s"not win): scanned $files of 4+4")
+  }
+
   test("spatial JOIN bbox derivation declines where unsound: FULL OUTER " +
       "keeps both sides unfiltered and unmatched rows survive") {
     import graft.spatial.GeoTable
