@@ -338,6 +338,24 @@ class DsvPlanQualitySpec extends AnyFunSuite {
         s"grid-materialized join must equal the shuffled join " +
           s"(${got.length} vs ${want.size})")
     }
+    // and under AQE (the production default)
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val j = SpatialJoin.intersectsGridded(
+        spark.table("pq.spj.grida"), "g",
+        spark.table("pq.spj.gridb"), "g2", cellDeg = 10.0)
+      val got = j.select("id", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"co-gridded spatial SPJ must hold under AQE:\n$plan")
+      val want = SpatialJoin.intersects(boxes, "g", regions, "g2", cellDeg = 10.0)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    }
   }
 
   test("V2 transform functions are SQL-callable for layout debugging") {
