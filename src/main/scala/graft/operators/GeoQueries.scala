@@ -235,6 +235,28 @@ object GeoQueries {
         .agg(count(lit(1)).as("n_points"))
     }),
 
+    // DISTANCE join (ST_DWithin) through the PBSM grid: customers within
+    // euclidean distance 5.005 of each nation's anchor point, counted per
+    // nation. The distance is chosen OFF the coordinate lattice (squares
+    // of 0.01-grid differences sit >= 2.5e-5 from 5.005^2) so the JTS
+    // refine and the oracle's squared-distance comparison can never
+    // disagree on a boundary ulp. The left side's bboxes expand by the
+    // distance before cell assignment — candidates stay cell-local, no
+    // cross product at any scale.
+    "geo_dwithin_join" -> ((s, dir) => {
+      Geo.install(s)
+      val anchors = Tables.load(s, dir, "nation")
+        .withColumn("ax", (col("n_nationkey") * 7919 % 330).cast("double") - 165.0)
+        .withColumn("ay", (col("n_nationkey") * 104729 % 150).cast("double") - 75.0)
+        .withColumn("ageom", st_point(col("ax"), col("ay")))
+        .select(col("n_nationkey").as("region_id"), col("ageom"))
+      graft.spatial.SpatialJoin.dwithin(
+          pts(s, dir).select(col("c_custkey"), col("geom")), "geom",
+          anchors, "ageom", dist = 5.005, cellDeg = 15.0)
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
+
     // grid-MATERIALIZED storage-partitioned spatial join: both sides are
     // written as co-gridded catalog tables (one stored row per covered
     // grid cell, identity-partitioned by cell_x/cell_y), and the spatial
@@ -635,6 +657,17 @@ object GeoQueries {
         |SELECT CAST(2 AS INTEGER),
         | CAST(count(*) + (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0) AS BIGINT)
         |FROM customer""".stripMargin,
+
+    "geo_dwithin_join" ->
+      s"""WITH r AS (SELECT n_nationkey AS region_id,
+         |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 165.0 AS ax,
+         |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 75.0 AS ay
+         | FROM nation)
+         |SELECT region_id, count(*) AS n_points
+         |FROM ($ptsSql) p JOIN r
+         |  ON (p.x - r.ax)*(p.x - r.ax) + (p.y - r.ay)*(p.y - r.ay)
+         |     <= 5.005*5.005
+         |GROUP BY region_id""".stripMargin,
 
     "geo_grid_spj_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,

@@ -74,6 +74,41 @@ object SpatialJoin {
     joined.drop("__l_bbox", "__l_cell", "__r_bbox", "__r_cell")
   }
 
+  /** Inner DISTANCE join: pairs with `ST_DWithin(lCol, rCol, dist)` —
+    * the Sedona distance-join capability the reference delegates
+    * alongside RangeJoin. Same PBSM construction as [[intersects]] with
+    * the LEFT side's bboxes expanded by `dist` before cell assignment: a
+    * pair within euclidean distance d has per-axis displacement at most
+    * d, so the right bbox intersects the left's d-expanded bbox and the
+    * pair meets in the expanded-intersection's reference-corner cell —
+    * found exactly once, refined by the exact JTS kernel. Expansion on
+    * ONE side only (duplicating both sides would double the candidate
+    * surface for nothing).
+    */
+  def dwithin(left: DataFrame, lCol: String, right: DataFrame, rCol: String,
+      dist: Double, cellDeg: Double = 1.0): DataFrame = {
+    require(dist >= 0 && !dist.isNaN && !dist.isInfinite,
+      s"dist must be a nonnegative finite distance, got $dist")
+    require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
+      s"cellDeg must be a positive finite grid pitch, got $cellDeg")
+    val spark = left.sparkSession
+    GeoSql.install(spark)
+    val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
+      .withColumn("__l_cell", explode(cells(
+        col("__l_bbox.xmin") - dist, col("__l_bbox.ymin") - dist,
+        col("__l_bbox.xmax") + dist, col("__l_bbox.ymax") + dist, cellDeg)))
+    val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
+      .withColumn("__r_cell", explode(cells(
+        col("__r_bbox.xmin"), col("__r_bbox.ymin"),
+        col("__r_bbox.xmax"), col("__r_bbox.ymax"), cellDeg)))
+    l.join(r, col("__l_cell") === col("__r_cell"))
+      .filter(col("__l_cell") === refCell(
+        col("__l_bbox.xmin") - dist, col("__l_bbox.ymin") - dist,
+        col("__r_bbox.xmin"), col("__r_bbox.ymin"), cellDeg))
+      .filter(GeoSql.st_dwithin(col(lCol), col(rCol), lit(dist)))
+      .drop("__l_bbox", "__l_cell", "__r_bbox", "__r_cell")
+  }
+
   // ---- grid-MATERIALIZED face: the storage-partitioned spatial join ------
   //
   // intersects() above shuffles BOTH sides on the cell id every join. When

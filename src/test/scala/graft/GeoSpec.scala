@@ -465,6 +465,28 @@ class GeoSpec extends AnyFunSuite {
       s"the pairwise bbox conjunct must ride the join condition: $joinConds")
   }
 
+  test("SpatialJoin.dwithin equals the brute-force distance filter: every " +
+      "pair exactly once, including pairs whose expanded bboxes span " +
+      "multiple cells") {
+    graft.spatial.Geo.install(spark)
+    import org.apache.spark.sql.functions._
+    val l = spark.range(60).toDF("lid")
+      .withColumn("lg", expr("st_point(CAST(lid * 0.7 AS DOUBLE), CAST(lid * 0.3 AS DOUBLE))"))
+    val r = spark.range(40).toDF("rid")
+      .withColumn("rg", expr("st_point(CAST(rid * 1.1 + 0.05 AS DOUBLE), CAST(rid * 0.4 AS DOUBLE))"))
+    // dist > cellDeg: candidate expansion must cross several cell borders
+    val got = graft.spatial.SpatialJoin.dwithin(l, "lg", r, "rg",
+        dist = 2.5, cellDeg = 1.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val want = l.crossJoin(r)
+      .filter(expr("st_dwithin(lg, rg, CAST(2.5 AS DOUBLE))"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce matches")
+    assert(got.length == got.toSet.size, "pairs must emit exactly once")
+    assert(got.toSet == want,
+      s"grid distance join must equal brute force (${got.length} vs ${want.size})")
+  }
+
   test("SELF-join through two aliases with a spatial join condition: shadow " +
       "binding stays per-side and the window bound still propagates FILE " +
       "pruning across the alias boundary") {
