@@ -136,13 +136,29 @@ object SpatialJoin {
     require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
       s"cellDeg must be a positive finite grid pitch, got $cellDeg")
     GeoSql.install(df.sparkSession)
+    // the pitch rides the cell column's METADATA (persisted through
+    // parquet/catalog schemas): a join of two grids materialized at
+    // DIFFERENT pitches would silently miss pairs, so intersectsGridded
+    // validates the stamp when the read path preserved it
+    val stamp = new org.apache.spark.sql.types.MetadataBuilder()
+      .putDouble(PitchKey, cellDeg).build()
     df.withColumn("__bb", GeoSql.st_bbox(col(geomCol)))
       .withColumn("__cell", explode(cells(
         col("__bb.xmin"), col("__bb.ymin"),
         col("__bb.xmax"), col("__bb.ymax"), cellDeg)))
-      .withColumn("cell_x", col("__cell.cx"))
+      .withColumn("cell_x", col("__cell.cx").as("cell_x", stamp))
       .withColumn("cell_y", col("__cell.cy"))
       .drop("__bb", "__cell")
+  }
+
+  private val PitchKey = "graft.grid.cell-deg"
+
+  /** Declared pitch of a grid-materialized frame, when the read path
+    * preserved the [[gridded]] metadata stamp.
+    */
+  private def declaredPitch(df: DataFrame): Option[Double] = {
+    val m = df.schema("cell_x").metadata
+    if (m.contains(PitchKey)) Some(m.getDouble(PitchKey)) else None
   }
 
   /** Inner `ST_Intersects` join of two GRID-MATERIALIZED frames (both
@@ -161,6 +177,9 @@ object SpatialJoin {
       require(Seq("cell_x", "cell_y").forall(df.columns.contains),
         s"$side side is not grid-materialized: expected cell_x/cell_y " +
           "(write it with SpatialJoin.gridded)")
+      declaredPitch(df).foreach(p => require(p == cellDeg,
+        s"$side side was grid-materialized at pitch $p but the join asked " +
+          s"for $cellDeg — misaligned grids silently miss pairs"))
     }
     GeoSql.install(left.sparkSession)
     val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))

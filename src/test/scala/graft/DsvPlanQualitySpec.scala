@@ -338,6 +338,16 @@ class DsvPlanQualitySpec extends AnyFunSuite {
         s"grid-materialized join must equal the shuffled join " +
           s"(${got.length} vs ${want.size})")
     }
+    // a misaligned pitch refuses when the catalog read preserved the stamp
+    val stamp = spark.table("pq.spj.grida").schema("cell_x").metadata
+    if (stamp.contains("graft.grid.cell-deg")) {
+      val e = intercept[IllegalArgumentException] {
+        SpatialJoin.intersectsGridded(
+          spark.table("pq.spj.grida"), "g",
+          spark.table("pq.spj.gridb"), "g2", cellDeg = 5.0)
+      }
+      assert(e.getMessage.contains("pitch"), e.getMessage)
+    }
     // and under AQE (the production default)
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
