@@ -1096,6 +1096,56 @@ object Snapshots {
     * or stop applying to the re-stamped files (equality seq scoping).
     * Pending MoR predicate deletes stay carried — they are path-independent.
     */
+  /** The subset of `files` the head's pending MoR delete state can
+    * affect — all driver-side metadata, no data pages: predicate deletes
+    * scope through the same inclusive stats check DML uses
+    * ([[FileStats.mightMatch]], resolved against the table schema;
+    * unresolvable predicates conservatively scope everything), positional
+    * deletes through the target paths recorded inside the delete parquets
+    * themselves (one tiny read, O(delete entries) — the
+    * [[validateOverwriteConflicts]] precedent), equality deletes through
+    * their sequence stamps ([[EqDelete.appliesTo]]).
+    */
+  private def morScopedFiles(spark: SparkSession, path: String, head: Int,
+      files: Seq[FileStats]): Seq[FileStats] = {
+    if (files.isEmpty) return Nil
+    val preds = carried(path, head)
+    val predExprs: Seq[Option[org.apache.spark.sql.catalyst.expressions.Expression]] =
+      if (preds.isEmpty) Nil
+      else {
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          GeoTable.ensureSchema(spark, path))
+        preds.map(sql => scala.util.Try(
+          empty.filter(org.apache.spark.sql.functions.expr(sql))
+            .queryExecution.analyzed
+            .collectFirst { case Filter(c, _) => c }
+            // analysis wraps literals in type-coercion casts
+            // (`id >= cast(2500 as bigint)`) that the stats matcher
+            // treats as opaque; fold them here — the optimizer would do
+            // it, but it also erases a Filter over an empty relation
+            .map(_.transformUp {
+              case e if e.foldable &&
+                  !e.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+                org.apache.spark.sql.catalyst.expressions.Literal
+                  .create(e.eval(null), e.dataType)
+            })).toOption.flatten)
+      }
+    val posRel = carriedPos(path, head)
+    val posTargets =
+      if (posRel.isEmpty) Set.empty[String]
+      else spark.read.parquet(posRel.map(f => s"$path/$f"): _*)
+        .select(col("file_path")).distinct().collect().map(_.getString(0)).toSet
+    val eqs = carriedEq(path, head)
+    files.filter { f =>
+      // a predicate that failed to resolve is None: forall says "might
+      // match" — conservative keep, never a resurrected row
+      predExprs.exists(_.forall(f.mightMatch)) ||
+        posTargets.exists(posTargetHits(_, f.path)) ||
+        eqs.exists(_.appliesTo(f))
+    }
+  }
+
   private def readFilesForRewrite(spark: SparkSession, path: String,
       affected: Seq[FileStats], head: Int): DataFrame =
     applyEqDeletes(spark, path,
@@ -3536,7 +3586,16 @@ object Snapshots {
         // documented unblock), so the rewrite must still happen
         val pendingMor = carried(path, head).nonEmpty ||
           carriedPos(path, head).nonEmpty || carriedEq(path, head).nonEmpty
-        over ++ (if (under.size >= 2 || (under.nonEmpty && pendingMor)) under else Nil)
+        val sized =
+          over ++ (if (under.size >= 2 || (under.nonEmpty && pendingMor)) under else Nil)
+        // a fully in-band candidate set (every file inside [0.75x, 1.8x])
+        // can still carry pending MoR state; size selection alone would
+        // return (head, 0) and the delete state would never materialize.
+        // Rewrite exactly the files the state scopes — not all candidates:
+        // on a well-compacted 100 TB table with one partition's deletes,
+        // only that partition's files move
+        if (sized.nonEmpty || !pendingMor) sized
+        else morScopedFiles(spark, path, head, candidates)
     }
     if (picked.isEmpty) (head, 0)
     else {
@@ -3573,8 +3632,15 @@ object Snapshots {
       // rows already exclude them, and carrying the (now-vacuous) delete
       // state forward would block Iceberg export forever — the export's
       // "run rewrite_data_files, then export" recipe depends on this.
-      // With untouched files the state must carry (it still scopes them).
-      val full = untouched.isEmpty
+      // The same holds for a PARTIAL rewrite whose untouched files are
+      // outside everything the state scopes (the MoR-scoped pick above
+      // produces exactly that shape): predicate deletes can't match the
+      // survivors' stats, positional targets are gone from the manifest,
+      // and equality sequences don't reach the survivors — carrying the
+      // state would be vacuous for reads yet still block export. With any
+      // untouched file still in scope the state must carry.
+      val full = untouched.isEmpty ||
+        morScopedFiles(spark, path, head, untouched).isEmpty
       val v = publish(path, rs, untouched ++ liveStatsFor(spark, path, added),
         if (full) Nil else carried(path, head),
         if (full) Nil else carriedPos(path, head),

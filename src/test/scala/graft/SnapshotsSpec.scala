@@ -666,6 +666,37 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, dir).count() == 2040)
   }
 
+  test("rewrite_data_files binpack on an all-in-band table still materializes pending MoR state, scoped") {
+    graft.spatial.Geo.install(spark)
+    val dir = Files.createTempDirectory("graft_rdf_mor").toString
+    GeoTable.write(mkDf(0 until 500, 0).drop("geom_bbox"), dir, "geom", res = 8, numFiles = 1)
+    Snapshots.append(mkDf(2000 until 3000, 2), dir) // 2 task files of 500 rows
+    val before = Snapshots.readManifest(dir)
+    assert(before.size == 3)
+    // target = the biggest file's size → ALL files sit inside [0.75t, 1.8t]
+    val target = before.map(_.sizeBytes).max
+    assert(before.forall(f => f.sizeBytes >= target * 3 / 4 && f.sizeBytes <= target * 9 / 5),
+      s"precondition: every file in band, got ${before.map(_.sizeBytes)} for target $target")
+    // size selection alone would pick nothing; the pending predicate delete
+    // must still force a rewrite — of exactly the file its stats scope
+    Snapshots.deleteMoR(spark, dir, "id >= 2500")
+    val unscoped = before.filter(_.maxs("id").toString.toLong < 2500).map(_.path)
+    assert(unscoped.size == 2)
+    val (_, r) = Snapshots.rewriteDataFiles(spark, dir, targetFileSize = Some(target))
+    assert(r == 1, s"expected exactly the scoped file rewritten, got $r")
+    val after = Snapshots.readManifest(dir)
+    assert(unscoped.forall(after.map(_.path).contains),
+      "files the delete predicate cannot match must stay byte-identical")
+    // the state is vacuous for the survivors → dropped (the Iceberg-export
+    // unblock recipe depends on this), and the data is unchanged
+    assert(Snapshots.readDeletes(dir).isEmpty, "materialized delete state must drop")
+    assert(Snapshots.read(spark, dir).count() == 1000)
+    // nothing pending and everything in band → genuine no-op, no commit
+    val cur = Snapshots.currentVersion(dir)
+    val (v2, r2) = Snapshots.rewriteDataFiles(spark, dir, targetFileSize = Some(target))
+    assert(r2 == 0 && v2 == cur)
+  }
+
   test("rewrite_data_files sort strategy clusters files on the declared order") {
     graft.spatial.Geo.install(spark)
     val dir = Files.createTempDirectory("graft_rdf_sort").toString
