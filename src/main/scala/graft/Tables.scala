@@ -98,9 +98,18 @@ object Tables {
       try {
         import scala.jdk.CollectionConverters._
         val footer = reader.getFooter
-        val bytes = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        val chunks = footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
           .filter(_.getPath.toDotString == column)
-          .map(_.getTotalUncompressedSize).sum
+        // the n/2+1-tokens-per-n-bytes argument needs every value's FULL
+        // bytes on disk; DELTA_BYTE_ARRAY (v2 pages, common from
+        // non-Spark writers) stores shared prefixes once, so uncompressed
+        // size can undercount the text and the "bound" would no longer
+        // bound — refuse (Long.MaxValue = "doesn't provably fit"), the
+        // caller falls back to the exact count job
+        val prefixCompressed = chunks.exists(_.getEncodings.asScala.exists(e =>
+          e == org.apache.parquet.column.Encoding.DELTA_BYTE_ARRAY))
+        if (prefixCompressed) return Long.MaxValue
+        val bytes = chunks.map(_.getTotalUncompressedSize).sum
         bytes / 2 + reader.getRecordCount
       } finally reader.close()
     }.sum

@@ -231,6 +231,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(bound >= actual, s"footer bound $bound below actual vocab $actual")
     assert(bound <= 1000000L,
       s"pre-gate must fire at test scale (bound $bound vs default cap 1M)")
+
+    // DELTA_BYTE_ARRAY (parquet v2 pages) stores shared prefixes once, so
+    // uncompressed size no longer bounds the stored text — the bound must
+    // REFUSE (Long.MaxValue ⇒ the caller runs the exact count) rather than
+    // under-bound and force-broadcast an over-cap model
+    val v2dir = java.nio.file.Files.createTempDirectory("graft_v2pages").toString
+    Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.writer.version", "PARQUET_2_0")
+      .parquet(s"$v2dir/documents.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new java.io.File(s"$v2dir/documents.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf))
+    val encs = try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == "text").flatMap(_.getEncodings.asScala).toSet
+    } finally reader.close()
+    assert(encs.contains(org.apache.parquet.column.Encoding.DELTA_BYTE_ARRAY),
+      s"precondition: v2 writer must emit DELTA_BYTE_ARRAY for text, got $encs")
+    assert(Tables.metaTokenBound(spark, v2dir, "documents", "text") == Long.MaxValue,
+      "a prefix-compressed column must refuse the footer bound")
   }
 
   test("trained-family oracle capture: running each query materializes its " +
