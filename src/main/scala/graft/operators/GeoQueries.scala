@@ -274,22 +274,15 @@ object GeoQueries {
       // re-gridding per invocation would time the write, not the join,
       // and a fine pitch would spray one tiny dir per cell; 45° keeps
       // the world at 8x4 cells, plenty of key-grouped parallelism.
-      // The scratch key includes a SOURCE fingerprint (file lengths +
-      // mtimes): regenerated input tables must rebuild the grid, or the
-      // cached materialization would serve stale rows
-      val fp = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        Seq("customer", "nation").foreach { t =>
-          val root = new java.io.File(dir, s"$t.parquet")
-          val fs = if (root.isFile) Seq(root)
-            else Option(root.listFiles()).map(_.toSeq).getOrElse(Nil)
-              .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-          fs.foreach(f => md.update(
-            s"${f.getName}:${f.length}:${f.lastModified}".getBytes("UTF-8")))
-        }
-        md.digest().take(6).map("%02x".format(_)).mkString
-      }
-      val wh = scratchPath(s"gridspjwh1_$fp", dir)
+      // The scratch key includes a SOURCE fingerprint through the shared
+      // CONTENT-stamp seat (graft.Stamps: size + tail-CRC32, recursive
+      // listing): regenerated input tables must rebuild the grid even
+      // when regeneration preserves lengths and mtimes — the staleness
+      // class the vector index already refused (r12) — and partitioned
+      // layouts with nested data files fingerprint their real contents
+      val fp = graft.Stamps.tableFingerprint(
+        Seq("customer", "nation").map(t => s"$dir/$t.parquet"))
+      val wh = scratchPath(s"gridspjwh2_$fp", dir)
       val cat = s"gspj_${pathDigest(dir)}"
       s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)

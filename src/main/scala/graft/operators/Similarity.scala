@@ -503,30 +503,12 @@ object Similarity {
     */
   private val FormatV = "3"
 
-  /** Per-file CONTENT stamp: size + CRC32 of the file TAIL (last 64 KB —
-    * the parquet footer with its row counts and per-column min/max stats
-    * lives there). Size+mtime alone validated a stale index when a corpus
-    * was regenerated with identical sizes inside the mtime granularity
-    * window (r11 advisor); different vectors change the footer stats, so
-    * the tail CRC sees any regeneration. Driver-side, O(64 KB) per file.
+  /** Per-file CONTENT stamp — [[graft.Stamps.fileStamp]], the shared seat
+    * (size + tail-64KB CRC32; size+mtime alone validated a stale index
+    * when a corpus was regenerated with identical sizes inside the mtime
+    * granularity window — r11 advisor).
     */
-  private def fileStamp(f: java.nio.file.Path): String = {
-    val size = java.nio.file.Files.size(f)
-    val tail = math.min(size, 65536L).toInt
-    val ch = java.nio.channels.FileChannel.open(f)
-    try {
-      val buf = java.nio.ByteBuffer.allocate(tail)
-      var read = 0
-      while (read < tail) {
-        val k = ch.read(buf, size - tail + read)
-        if (k < 0) throw new java.io.EOFException(f.toString)
-        read += k
-      }
-      val crc = new java.util.zip.CRC32()
-      crc.update(buf.array(), 0, tail)
-      s"$size:${java.lang.Long.toHexString(crc.getValue)}"
-    } finally ch.close()
-  }
+  private def fileStamp(f: java.nio.file.Path): String = graft.Stamps.fileStamp(f)
 
   /** The bench/driver corpus convention: `<sfDir>/embeddings.parquet`.
     * The `…At` API variants below take an explicit corpus parquet
@@ -535,30 +517,12 @@ object Similarity {
   private def corpusPathOf(dir: String): String =
     java.nio.file.Paths.get(dir, "embeddings.parquet").toString
 
-  /** The corpus's data files as (relative path, file) pairs, name-sorted.
-    * RECURSIVE: a hive-partitioned corpus nests its files under `k=v/`
-    * dirs — a top-level-only listing would fingerprint such a corpus as
-    * empty and validate a stale index forever. Any path segment starting
-    * with `_`/`.` (markers, hidden) is excluded, matching what
-    * `spark.read.parquet` ignores.
+  /** The corpus's data files as (relative path, file) pairs, name-sorted
+    * — [[graft.Stamps.dataFiles]], the shared seat (recursive,
+    * hidden/marker segments excluded like `spark.read.parquet`).
     */
-  private def corpusFiles(corpusPath: String): Seq[(String, java.nio.file.Path)] = {
-    val p = java.nio.file.Paths.get(corpusPath)
-    if (java.nio.file.Files.isDirectory(p))
-      graft.spatial.Snapshots.walkDir(p)(_.toSeq)
-        .filter { f =>
-          java.nio.file.Files.isRegularFile(f) && {
-            val rel = p.relativize(f)
-            (0 until rel.getNameCount).forall { i =>
-              val seg = rel.getName(i).toString
-              !seg.startsWith("_") && !seg.startsWith(".")
-            }
-          }
-        }
-        .map(f => p.relativize(f).toString -> f)
-        .sortBy(_._1)
-    else Seq(p.getFileName.toString -> p)
-  }
+  private def corpusFiles(corpusPath: String): Seq[(String, java.nio.file.Path)] =
+    graft.Stamps.dataFiles(corpusPath)
 
   /** A corpus that is itself a graft TABLE (manifest present) gets the
     * metadata-native treatment: freshness from the manifest instead of
