@@ -89,6 +89,10 @@ object GeoCodec {
     }
     def ring(v: JValue) = factory.createLinearRing(cs(v))
     def poly(v: JValue): Polygon = v match {
+      // RFC 7946 represents empty geometries as empty coordinate arrays —
+      // the writer emits exactly that for POLYGON EMPTY, so the reader
+      // must round-trip it (LineString/Multi* already do through cs())
+      case JArray(Nil) => factory.createPolygon()
       case JArray(shell :: holes) =>
         factory.createPolygon(ring(shell), holes.map(ring).toArray)
       case other => throw new IllegalArgumentException(s"bad polygon: $other")
@@ -97,7 +101,10 @@ object GeoCodec {
       val JString(typ) = j \ "type"
       val coords = j \ "coordinates"
       typ match {
-        case "Point" => factory.createPoint(c(coords))
+        case "Point" => coords match {
+          case JArray(Nil) => factory.createPoint(null: Coordinate) // POINT EMPTY
+          case _ => factory.createPoint(c(coords))
+        }
         case "LineString" => factory.createLineString(cs(coords))
         case "Polygon" => poly(coords)
         case "MultiPoint" => factory.createMultiPoint(cs(coords).map(factory.createPoint))
