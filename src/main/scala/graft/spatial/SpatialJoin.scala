@@ -136,10 +136,10 @@ object SpatialJoin {
     require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
       s"cellDeg must be a positive finite grid pitch, got $cellDeg")
     GeoSql.install(df.sparkSession)
-    // the pitch rides the cell column's METADATA (persisted through
-    // parquet/catalog schemas): a join of two grids materialized at
-    // DIFFERENT pitches would silently miss pairs, so intersectsGridded
-    // validates the stamp when the read path preserved it
+    // the pitch rides BOTH cell columns' METADATA (persisted through the
+    // graft manifest's schema JSON and parquet footer schemas): a join of
+    // two grids materialized at DIFFERENT pitches would silently miss
+    // pairs, so intersectsGridded validates the stamp UNCONDITIONALLY
     val stamp = new org.apache.spark.sql.types.MetadataBuilder()
       .putDouble(PitchKey, cellDeg).build()
     df.withColumn("__bb", GeoSql.st_bbox(col(geomCol)))
@@ -147,18 +147,35 @@ object SpatialJoin {
         col("__bb.xmin"), col("__bb.ymin"),
         col("__bb.xmax"), col("__bb.ymax"), cellDeg)))
       .withColumn("cell_x", col("__cell.cx").as("cell_x", stamp))
-      .withColumn("cell_y", col("__cell.cy"))
+      .withColumn("cell_y", col("__cell.cy").as("cell_y", stamp))
       .drop("__bb", "__cell")
   }
 
   private val PitchKey = "graft.grid.cell-deg"
 
-  /** Declared pitch of a grid-materialized frame, when the read path
-    * preserved the [[gridded]] metadata stamp.
+  /** Declared pitch of a grid-materialized frame. Resolution order:
+    * the cell columns' metadata stamp (survives column-preserving
+    * transformations), then the SOURCE table's persisted schema, found by
+    * walking the plan to its DSv2 relations — a projection that re-derived
+    * `cell_x` through an expression drops attribute metadata, but the
+    * catalog table the frame reads from still declares the pitch in the
+    * manifest-persisted schema JSON. None only when neither channel knows.
     */
   private def declaredPitch(df: DataFrame): Option[Double] = {
-    val m = df.schema("cell_x").metadata
-    if (m.contains(PitchKey)) Some(m.getDouble(PitchKey)) else None
+    def ofField(f: org.apache.spark.sql.types.StructField): Option[Double] = {
+      val m = f.metadata
+      if (m.contains(PitchKey)) Some(m.getDouble(PitchKey)) else None
+    }
+    val fromCols = Seq("cell_x", "cell_y")
+      .filter(df.columns.contains).flatMap(c => ofField(df.schema(c)))
+    fromCols.headOption.orElse {
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          Seq("cell_x", "cell_y").flatMap(c => r.output.find(_.name == c)
+            .collect { case a if a.metadata.contains(PitchKey) =>
+              a.metadata.getDouble(PitchKey) })
+      }.flatten.headOption
+    }
   }
 
   /** Inner `ST_Intersects` join of two GRID-MATERIALIZED frames (both
@@ -177,9 +194,16 @@ object SpatialJoin {
       require(Seq("cell_x", "cell_y").forall(df.columns.contains),
         s"$side side is not grid-materialized: expected cell_x/cell_y " +
           "(write it with SpatialJoin.gridded)")
-      declaredPitch(df).foreach(p => require(p == cellDeg,
+      // UNCONDITIONAL: a frame whose pitch cannot be established refuses —
+      // a silent same-`cellDeg` contract is exactly the failure this
+      // stamp exists to catch (misaligned grids miss pairs, no error)
+      val p = declaredPitch(df).getOrElse(throw new IllegalArgumentException(
+        s"$side side carries no grid-pitch stamp on cell_x/cell_y and none " +
+          "is recoverable from its source tables — re-grid it with " +
+          "SpatialJoin.gridded, or read the co-gridded catalog table directly"))
+      require(p == cellDeg,
         s"$side side was grid-materialized at pitch $p but the join asked " +
-          s"for $cellDeg — misaligned grids silently miss pairs"))
+          s"for $cellDeg — misaligned grids silently miss pairs")
     }
     GeoSql.install(left.sparkSession)
     val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))

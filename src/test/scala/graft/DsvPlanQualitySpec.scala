@@ -338,16 +338,39 @@ class DsvPlanQualitySpec extends AnyFunSuite {
         s"grid-materialized join must equal the shuffled join " +
           s"(${got.length} vs ${want.size})")
     }
-    // a misaligned pitch refuses when the catalog read preserved the stamp
+    // a misaligned pitch refuses UNCONDITIONALLY — the stamp must survive
+    // the catalog round-trip (manifest-persisted schema JSON)
     val stamp = spark.table("pq.spj.grida").schema("cell_x").metadata
-    if (stamp.contains("graft.grid.cell-deg")) {
-      val e = intercept[IllegalArgumentException] {
-        SpatialJoin.intersectsGridded(
-          spark.table("pq.spj.grida"), "g",
-          spark.table("pq.spj.gridb"), "g2", cellDeg = 5.0)
-      }
-      assert(e.getMessage.contains("pitch"), e.getMessage)
+    assert(stamp.contains("graft.grid.cell-deg"),
+      "the pitch stamp must survive the catalog write/read round-trip")
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.intersectsGridded(
+        spark.table("pq.spj.grida"), "g",
+        spark.table("pq.spj.gridb"), "g2", cellDeg = 5.0)
     }
+    assert(e.getMessage.contains("pitch"), e.getMessage)
+    // a projection that re-derives cell_x through an EXPRESSION drops the
+    // attribute metadata; the pitch must still resolve from the source
+    // relation's persisted schema, so the misaligned join still refuses
+    val washed = spark.table("pq.spj.grida")
+      .withColumn("cell_x", expr("cell_x + 0L"))
+    assert(!washed.schema("cell_x").metadata.contains("graft.grid.cell-deg"),
+      "precondition: the projection must have dropped the column stamp")
+    val e2 = intercept[IllegalArgumentException] {
+      SpatialJoin.intersectsGridded(washed, "g",
+        spark.table("pq.spj.gridb"), "g2", cellDeg = 5.0)
+    }
+    assert(e2.getMessage.contains("pitch"), e2.getMessage)
+    // a frame with NO recoverable pitch refuses loudly rather than
+    // silently trusting the caller's cellDeg
+    val bare = spark.range(3).toDF("id")
+      .withColumn("cell_x", col("id")).withColumn("cell_y", col("id"))
+      .withColumn("g", expr("st_point(0.5D, 0.5D)"))
+    val e3 = intercept[IllegalArgumentException] {
+      SpatialJoin.intersectsGridded(bare, "g",
+        spark.table("pq.spj.gridb"), "g2", cellDeg = 10.0)
+    }
+    assert(e3.getMessage.contains("no grid-pitch stamp"), e3.getMessage)
     // and under AQE (the production default)
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
