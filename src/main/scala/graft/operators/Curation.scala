@@ -86,15 +86,58 @@ object Curation {
     }
   }
 
-  /** `maxStratum` thunk for a data-valued stratum column: the largest
-    * per-stratum row count, one aggregate job.
+  /** `maxStratum` thunk for a data-valued stratum column: the manifest
+    * when it can answer (zero jobs), else the largest per-stratum row
+    * count as one aggregate job.
     */
   private[graft] def maxStratumOf(df: => DataFrame, cols: String*): () => Long =
-    // coalesce: the footer row count gating entry here counts ALL rows,
-    // but df may filter (null-text docs) — an empty frame means max 0,
-    // not an NPE on the null aggregate
-    () => df.groupBy(cols.map(col): _*).count()
-      .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+    () => {
+      val frame = df
+      manifestMaxStratum(frame, cols).getOrElse {
+        // coalesce: the footer row count gating entry here counts ALL
+        // rows, but df may filter (null-text docs) — an empty frame means
+        // max 0, not an NPE on the null aggregate
+        frame.groupBy(cols.map(col): _*).count()
+          .agg(coalesce(max(col("count")), lit(0L))).first().getLong(0)
+      }
+    }
+
+  /** Zero-job max stratum: when `df` reads exactly ONE graft table whose
+    * partition spec identity-partitions on every stratum column, the
+    * manifest's per-file row counts grouped by partition dir bound each
+    * stratum from driver metadata alone — an UPPER bound under filters
+    * above the scan and pending MoR deletes (both only shrink strata), so
+    * the gate stays conservative; exact on the clean unfiltered table.
+    * None = not manifest-servable (plain parquet source, non-identity
+    * spec, files predating the spec, branch/tag reads).
+    */
+  private def manifestMaxStratum(df: DataFrame, cols: Seq[String]): Option[Long] = {
+    val tables = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.GraftTable] =>
+        r.table.asInstanceOf[graft.sources.GraftTable]
+    }
+    tables match {
+      case Seq(t) if t.branch.isEmpty && t.tag.isEmpty =>
+        val identityCols = graft.spatial.GeoTable.readPartitionSpecs(t.path)
+          .collect { case graft.spatial.Transforms.Identity(src) => src }.toSet
+        if (!cols.forall(identityCols)) None
+        else {
+          // an empty/just-created table has no readable manifest — fall
+          // back to the (trivial) aggregate rather than throw
+          val files = scala.util.Try(
+            graft.spatial.Snapshots.readManifest(t.path, t.snapshotVersion))
+            .getOrElse(return None)
+          // a file missing any stratum dir value predates the spec: its
+          // rows are unattributable, the metadata answer would undercount
+          if (!files.forall(f => cols.forall(f.dirVals.contains))) None
+          else Some(files.groupBy(f => cols.map(f.dirVals))
+            .values.map(_.map(_.rows).sum)
+            .foldLeft(0L)(math.max))
+        }
+      case _ => None
+    }
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Benchmark decontamination: drop every corpus document sharing ANY

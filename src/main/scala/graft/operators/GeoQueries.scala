@@ -54,6 +54,53 @@ object GeoQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
+  /** The write-once grid warehouse shared by the grid-materialized
+    * spatial-join queries (the PBSM explode moved into storage, amortized
+    * over every later join — re-gridding per invocation would time the
+    * write, not the join). 45° keeps the world at 8x4 cells, plenty of
+    * key-grouped parallelism without spraying one tiny dir per cell.
+    * The scratch key includes a SOURCE fingerprint through the shared
+    * CONTENT-stamp seat (graft.Stamps: size + tail-CRC32, recursive
+    * listing): regenerated input tables must rebuild the grids even when
+    * regeneration preserves lengths and mtimes — the staleness class the
+    * vector index already refused (r12) — and partitioned layouts with
+    * nested data files fingerprint their real contents.
+    */
+  private val GridPitch = 45.0
+
+  private def gridCatalog(s: SparkSession, dir: String): (String, String) = {
+    val fp = graft.Stamps.tableFingerprint(
+      Seq("customer", "nation").map(t => s"$dir/$t.parquet"))
+    val wh = scratchPath(s"gridwh3_$fp", dir)
+    val cat = s"gspj_${pathDigest(dir)}"
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // co-partitioned DSv2 scans storage-partition the joins under this
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    (cat, wh)
+  }
+
+  /** Create the co-gridded table once; later invocations (and the OTHER
+    * grid queries sharing a side, e.g. the points grid serving both the
+    * intersects and the distance face) reuse the stored grid. A dir
+    * without a committed manifest is a crashed partial build — cleared
+    * and rebuilt, never trusted.
+    */
+  private def ensureGridTable(s: SparkSession, cat: String, wh: String,
+      name: String)(mk: => DataFrame): Unit = {
+    val tdir = new java.io.File(wh, s"db/$name")
+    val manifest = new java.io.File(tdir, graft.spatial.GeoTable.ManifestName)
+    if (tdir.exists() && !manifest.exists()) {
+      graft.spatial.Snapshots.walkDir(tdir.toPath)(_.toSeq).reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    if (!manifest.exists()) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      mk.writeTo(s"$cat.db.$name")
+        .partitionedBy(col("cell_x"), col("cell_y")).create()
+    }
+  }
+
   /** Scratch dir WIPED before reuse: fixtures that grow a version chain
     * per invocation would double-append on a stale dir (the
     * [[scratchPath]] callers that only `GeoTable.write` are safe without
@@ -269,52 +316,51 @@ object GeoQueries {
     "geo_grid_spj_join" -> ((s, dir) => {
       Geo.install(s)
       import graft.spatial.SpatialJoin
-      // the grid materialization is WRITE-ONCE by design (the PBSM
-      // explode moved into storage, amortized over every later join) —
-      // re-gridding per invocation would time the write, not the join,
-      // and a fine pitch would spray one tiny dir per cell; 45° keeps
-      // the world at 8x4 cells, plenty of key-grouped parallelism.
-      // The scratch key includes a SOURCE fingerprint through the shared
-      // CONTENT-stamp seat (graft.Stamps: size + tail-CRC32, recursive
-      // listing): regenerated input tables must rebuild the grid even
-      // when regeneration preserves lengths and mtimes — the staleness
-      // class the vector index already refused (r12) — and partitioned
-      // layouts with nested data files fingerprint their real contents
-      val fp = graft.Stamps.tableFingerprint(
-        Seq("customer", "nation").map(t => s"$dir/$t.parquet"))
-      val wh = scratchPath(s"gridspjwh2_$fp", dir)
-      val cat = s"gspj_${pathDigest(dir)}"
-      s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-      // co-partitioned DSv2 scans storage-partition the join under this
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      val pitch = 45.0
-      val built = Seq("gpts", "gregions")
-        .forall(t => new java.io.File(wh, s"db/$t").exists())
-      if (!built) {
-        val f = new java.io.File(wh)
-        if (f.exists()) {
-          graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        }
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+      val (cat, wh) = gridCatalog(s, dir)
+      ensureGridTable(s, cat, wh, "gpts")(
         SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
-            "geom", cellDeg = pitch)
-          .writeTo(s"$cat.db.gpts")
-          .partitionedBy(col("cell_x"), col("cell_y")).create()
+          "geom", cellDeg = GridPitch))
+      ensureGridTable(s, cat, wh, "gregions") {
         val regions = Tables.load(s, dir, "nation")
           .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
           .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)
           .withColumn("rgeom", st_makeenvelope(col("rxmin"), col("rymin"),
             col("rxmin") + 30.0, col("rymin") + 30.0))
           .select(col("n_nationkey").as("region_id"), col("rgeom"))
-        SpatialJoin.gridded(regions, "rgeom", cellDeg = pitch)
-          .writeTo(s"$cat.db.gregions")
-          .partitionedBy(col("cell_x"), col("cell_y")).create()
+        SpatialJoin.gridded(regions, "rgeom", cellDeg = GridPitch)
       }
       SpatialJoin.intersectsGridded(
           s.table(s"$cat.db.gpts"), "geom",
-          s.table(s"$cat.db.gregions"), "rgeom", cellDeg = pitch)
+          s.table(s"$cat.db.gregions"), "rgeom", cellDeg = GridPitch)
+        .groupBy(col("region_id"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
+
+    // grid-materialized DISTANCE join: same answer as geo_dwithin_join,
+    // served storage-partitioned — the anchors grid is materialized with
+    // a DECLARED d-expansion (expand >= dist), the points grid is the
+    // SAME un-expanded table the intersects SPJ reads (one materialization
+    // serves both faces), and dwithinGridded equi-joins the stored cells
+    // with zero exchanges. The expansion rides the small side: at 100 TB
+    // the fact table's grid stays exactly the intersects one.
+    "geo_grid_dwithin_join" -> ((s, dir) => {
+      Geo.install(s)
+      import graft.spatial.SpatialJoin
+      val (cat, wh) = gridCatalog(s, dir)
+      ensureGridTable(s, cat, wh, "gpts")(
+        SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
+          "geom", cellDeg = GridPitch))
+      ensureGridTable(s, cat, wh, "ganchors") {
+        val anchors = Tables.load(s, dir, "nation")
+          .withColumn("ax", (col("n_nationkey") * 7919 % 330).cast("double") - 165.0)
+          .withColumn("ay", (col("n_nationkey") * 104729 % 150).cast("double") - 75.0)
+          .withColumn("ageom", st_point(col("ax"), col("ay")))
+          .select(col("n_nationkey").as("region_id"), col("ageom"))
+        SpatialJoin.gridded(anchors, "ageom", cellDeg = GridPitch, expand = 5.005)
+      }
+      SpatialJoin.dwithinGridded(
+          s.table(s"$cat.db.gpts"), "geom",
+          s.table(s"$cat.db.ganchors"), "ageom", dist = 5.005, cellDeg = GridPitch)
         .groupBy(col("region_id"))
         .agg(count(lit(1)).as("n_points"))
     }),
@@ -652,6 +698,17 @@ object GeoQueries {
         |FROM customer""".stripMargin,
 
     "geo_dwithin_join" ->
+      s"""WITH r AS (SELECT n_nationkey AS region_id,
+         |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 165.0 AS ax,
+         |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 75.0 AS ay
+         | FROM nation)
+         |SELECT region_id, count(*) AS n_points
+         |FROM ($ptsSql) p JOIN r
+         |  ON (p.x - r.ax)*(p.x - r.ax) + (p.y - r.ay)*(p.y - r.ay)
+         |     <= 5.005*5.005
+         |GROUP BY region_id""".stripMargin,
+
+    "geo_grid_dwithin_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,
          |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 165.0 AS ax,
          |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 75.0 AS ay

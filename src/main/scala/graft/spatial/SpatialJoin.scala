@@ -131,51 +131,84 @@ object SpatialJoin {
     * columns `cell_x`, `cell_y` (BIGINT). Write the result to a graft
     * table `PARTITIONED BY (cell_x, cell_y)`; both join sides must use
     * the SAME `cellDeg`.
+    *
+    * `expand` materializes the cell cover of the bbox EXPANDED by that
+    * many coordinate units on every side — the storage face of the
+    * distance join: [[dwithinGridded]] can then serve any `dist` with
+    * `expandL + expandR >= dist` without re-shuffling either side.
     */
-  def gridded(df: DataFrame, geomCol: String, cellDeg: Double): DataFrame = {
+  def gridded(df: DataFrame, geomCol: String, cellDeg: Double,
+      expand: Double = 0.0): DataFrame = {
     require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
       s"cellDeg must be a positive finite grid pitch, got $cellDeg")
+    require(expand >= 0 && !expand.isNaN && !expand.isInfinite,
+      s"expand must be a nonnegative finite distance, got $expand")
     GeoSql.install(df.sparkSession)
-    // the pitch rides BOTH cell columns' METADATA (persisted through the
-    // graft manifest's schema JSON and parquet footer schemas): a join of
-    // two grids materialized at DIFFERENT pitches would silently miss
-    // pairs, so intersectsGridded validates the stamp UNCONDITIONALLY
+    // the pitch AND the declared expansion ride BOTH cell columns'
+    // METADATA (persisted through the graft manifest's schema JSON and
+    // parquet footer schemas): a join of two grids materialized at
+    // DIFFERENT pitches would silently miss pairs, and a distance join
+    // beyond the declared expansion would too, so the gridded joins
+    // validate the stamps UNCONDITIONALLY
     val stamp = new org.apache.spark.sql.types.MetadataBuilder()
-      .putDouble(PitchKey, cellDeg).build()
+      .putDouble(PitchKey, cellDeg).putDouble(ExpandKey, expand).build()
     df.withColumn("__bb", GeoSql.st_bbox(col(geomCol)))
       .withColumn("__cell", explode(cells(
-        col("__bb.xmin"), col("__bb.ymin"),
-        col("__bb.xmax"), col("__bb.ymax"), cellDeg)))
+        col("__bb.xmin") - expand, col("__bb.ymin") - expand,
+        col("__bb.xmax") + expand, col("__bb.ymax") + expand, cellDeg)))
       .withColumn("cell_x", col("__cell.cx").as("cell_x", stamp))
       .withColumn("cell_y", col("__cell.cy").as("cell_y", stamp))
       .drop("__bb", "__cell")
   }
 
   private val PitchKey = "graft.grid.cell-deg"
+  private val ExpandKey = "graft.grid.expand"
 
-  /** Declared pitch of a grid-materialized frame. Resolution order:
-    * the cell columns' metadata stamp (survives column-preserving
-    * transformations), then the SOURCE table's persisted schema, found by
-    * walking the plan to its DSv2 relations — a projection that re-derived
-    * `cell_x` through an expression drops attribute metadata, but the
-    * catalog table the frame reads from still declares the pitch in the
-    * manifest-persisted schema JSON. None only when neither channel knows.
+  /** Declared grid stamp (pitch / expansion) of a grid-materialized
+    * frame. Resolution order: the cell columns' metadata stamp (survives
+    * column-preserving transformations), then the SOURCE table's
+    * persisted schema, found by walking the plan to its DSv2 relations —
+    * a projection that re-derived `cell_x` through an expression drops
+    * attribute metadata, but the catalog table the frame reads from still
+    * declares the stamp in the manifest-persisted schema JSON. None only
+    * when neither channel knows.
     */
-  private def declaredPitch(df: DataFrame): Option[Double] = {
-    def ofField(f: org.apache.spark.sql.types.StructField): Option[Double] = {
-      val m = f.metadata
-      if (m.contains(PitchKey)) Some(m.getDouble(PitchKey)) else None
-    }
+  private def declaredStamp(df: DataFrame, key: String): Option[Double] = {
+    def ofMeta(m: org.apache.spark.sql.types.Metadata): Option[Double] =
+      if (m.contains(key)) Some(m.getDouble(key)) else None
     val fromCols = Seq("cell_x", "cell_y")
-      .filter(df.columns.contains).flatMap(c => ofField(df.schema(c)))
+      .filter(df.columns.contains).flatMap(c => ofMeta(df.schema(c).metadata))
     fromCols.headOption.orElse {
       df.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
           Seq("cell_x", "cell_y").flatMap(c => r.output.find(_.name == c)
-            .collect { case a if a.metadata.contains(PitchKey) =>
-              a.metadata.getDouble(PitchKey) })
+            .flatMap(a => ofMeta(a.metadata)))
       }.flatten.headOption
     }
+  }
+
+  private def declaredPitch(df: DataFrame): Option[Double] =
+    declaredStamp(df, PitchKey)
+
+  /** Validate a gridded side's shape + pitch; returns its declared
+    * expansion (pre-expansion r16 grids carry no expand stamp = 0.0).
+    */
+  private def validateGridded(df: DataFrame, side: String,
+      cellDeg: Double): Double = {
+    require(Seq("cell_x", "cell_y").forall(df.columns.contains),
+      s"$side side is not grid-materialized: expected cell_x/cell_y " +
+        "(write it with SpatialJoin.gridded)")
+    // UNCONDITIONAL: a frame whose pitch cannot be established refuses —
+    // a silent same-`cellDeg` contract is exactly the failure this
+    // stamp exists to catch (misaligned grids miss pairs, no error)
+    val p = declaredPitch(df).getOrElse(throw new IllegalArgumentException(
+      s"$side side carries no grid-pitch stamp on cell_x/cell_y and none " +
+        "is recoverable from its source tables — re-grid it with " +
+        "SpatialJoin.gridded, or read the co-gridded catalog table directly"))
+    require(p == cellDeg,
+      s"$side side was grid-materialized at pitch $p but the join asked " +
+        s"for $cellDeg — misaligned grids silently miss pairs")
+    declaredStamp(df, ExpandKey).getOrElse(0.0)
   }
 
   /** Inner `ST_Intersects` join of two GRID-MATERIALIZED frames (both
@@ -190,21 +223,11 @@ object SpatialJoin {
       right: DataFrame, rCol: String, cellDeg: Double): DataFrame = {
     require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
       s"cellDeg must be a positive finite grid pitch, got $cellDeg")
-    Seq(left -> "left", right -> "right").foreach { case (df, side) =>
-      require(Seq("cell_x", "cell_y").forall(df.columns.contains),
-        s"$side side is not grid-materialized: expected cell_x/cell_y " +
-          "(write it with SpatialJoin.gridded)")
-      // UNCONDITIONAL: a frame whose pitch cannot be established refuses —
-      // a silent same-`cellDeg` contract is exactly the failure this
-      // stamp exists to catch (misaligned grids miss pairs, no error)
-      val p = declaredPitch(df).getOrElse(throw new IllegalArgumentException(
-        s"$side side carries no grid-pitch stamp on cell_x/cell_y and none " +
-          "is recoverable from its source tables — re-grid it with " +
-          "SpatialJoin.gridded, or read the co-gridded catalog table directly"))
-      require(p == cellDeg,
-        s"$side side was grid-materialized at pitch $p but the join asked " +
-          s"for $cellDeg — misaligned grids silently miss pairs")
-    }
+    validateGridded(left, "left", cellDeg)
+    validateGridded(right, "right", cellDeg)
+    // expanded grids (materialized once for the distance join) are still
+    // exact here: the unexpanded bbox-intersection corner cell is covered
+    // by the expanded cover too, so the pair is found, exactly once
     GeoSql.install(left.sparkSession)
     val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
     val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
@@ -216,6 +239,50 @@ object SpatialJoin {
           col("__l_bbox.ymin"), col("__r_bbox.ymin")) / cellDeg).cast("long"))
       // exact refinement
       .filter(GeoSql.st_intersects(col(lCol), col(rCol)))
+      .drop("__l_bbox", "__r_bbox", "cell_x", "cell_y")
+  }
+
+  /** Inner `ST_DWithin` join of two GRID-MATERIALIZED frames — the
+    * storage-partitioned face of [[dwithin]]: the PBSM explode (with the
+    * d-expansion) moved into storage at [[gridded]] time, so the join is
+    * a plain equi-join on the stored identity partition columns that
+    * co-partitioned DSv2 scans plan WITHOUT an exchange.
+    *
+    * Exactness: a pair within euclidean `dist` has per-axis displacement
+    * at most `dist`, so with declared expansions `eL + eR >= dist` the
+    * two expanded bboxes intersect; both sides stored every cell of
+    * their expanded cover, hence both stored the expanded-intersection's
+    * reference-corner cell — the pair meets there, exactly once after
+    * the corner dedup, and the exact JTS kernel refines. A `dist` above
+    * the declared expansion budget refuses loudly (the pitch-stamp
+    * posture): serving it would silently miss pairs.
+    */
+  def dwithinGridded(left: DataFrame, lCol: String,
+      right: DataFrame, rCol: String, dist: Double, cellDeg: Double): DataFrame = {
+    require(dist >= 0 && !dist.isNaN && !dist.isInfinite,
+      s"dist must be a nonnegative finite distance, got $dist")
+    require(cellDeg > 0 && !cellDeg.isNaN && !cellDeg.isInfinite,
+      s"cellDeg must be a positive finite grid pitch, got $cellDeg")
+    val eL = validateGridded(left, "left", cellDeg)
+    val eR = validateGridded(right, "right", cellDeg)
+    require(eL + eR >= dist,
+      s"the declared grid expansions ($eL left + $eR right) do not cover " +
+        s"dist=$dist — pairs farther than the materialized expansion never " +
+        "meet in a stored cell; re-grid a side with " +
+        s"SpatialJoin.gridded(..., expand >= ${dist - math.min(eL, eR)})")
+    GeoSql.install(left.sparkSession)
+    val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
+    val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
+    l.join(r, Seq("cell_x", "cell_y"))
+      // de-dup: the single cell holding the EXPANDED-intersection corner
+      .filter(col("cell_x") === floor(greatest(
+          col("__l_bbox.xmin") - eL, col("__r_bbox.xmin") - eR) / cellDeg)
+          .cast("long") &&
+        col("cell_y") === floor(greatest(
+          col("__l_bbox.ymin") - eL, col("__r_bbox.ymin") - eR) / cellDeg)
+          .cast("long"))
+      // exact refinement
+      .filter(GeoSql.st_dwithin(col(lCol), col(rCol), lit(dist)))
       .drop("__l_bbox", "__r_bbox", "cell_x", "cell_y")
   }
 }

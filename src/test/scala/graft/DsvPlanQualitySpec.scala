@@ -391,6 +391,72 @@ class DsvPlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("co-GRIDDED distance join storage-partitioned: zero shuffles, pairs " +
+      "exact vs the shuffled d-expanded PBSM join, over-budget dist refuses") {
+    assert(warehouse.nonEmpty)
+    import org.apache.spark.sql.functions._
+    import graft.spatial.SpatialJoin
+    graft.spatial.Geo.install(spark)
+    val pts = spark.range(120).toDF("id")
+      .withColumn("px", (col("id") % 12).cast("double") * 4 - 24)
+      .withColumn("py", (col("id") / 12).cast("double") * 4 - 20)
+      .withColumn("g", expr("st_point(px, py)"))
+      .select(col("id"), col("g"))
+    val anchors = spark.range(7).toDF("aid")
+      .withColumn("ax", (col("aid") % 4).cast("double") * 11 - 22)
+      .withColumn("ay", (col("aid") / 4).cast("double") * 13 - 13)
+      .withColumn("ga", expr("st_point(ax, ay)"))
+      .select(col("aid"), col("ga"))
+    val d = 6.5
+    // the SMALL side carries the whole expansion budget; the fact side's
+    // grid is the plain (expand=0) one — the same materialization the
+    // intersects SPJ face reads
+    SpatialJoin.gridded(pts, "g", cellDeg = 10.0)
+      .writeTo("pq.spj.dwa").partitionedBy(col("cell_x"), col("cell_y"))
+      .createOrReplace()
+    SpatialJoin.gridded(anchors, "ga", cellDeg = 10.0, expand = 7.0)
+      .writeTo("pq.spj.dwb").partitionedBy(col("cell_x"), col("cell_y"))
+      .createOrReplace()
+    val want = SpatialJoin.dwithin(pts, "g", anchors, "ga", dist = d,
+        cellDeg = 10.0)
+      .select("id", "aid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty, "fixture must produce pairs")
+    for (aqe <- Seq("false", "true")) withConf(
+      "spark.sql.adaptive.enabled" -> aqe,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val j = SpatialJoin.dwithinGridded(
+        spark.table("pq.spj.dwa"), "g",
+        spark.table("pq.spj.dwb"), "ga", dist = d, cellDeg = 10.0)
+      val got = j.select("id", "aid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, "multi-cell pairs must dedup")
+      assert(got.toSet == want,
+        s"gridded distance join must equal the shuffled one (aqe=$aqe, " +
+          s"${got.length} vs ${want.size})")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"),
+        s"co-gridded distance join must plan without an Exchange (aqe=$aqe):\n$plan")
+    }
+    // a dist above the declared expansion budget refuses loudly — serving
+    // it would silently miss pairs beyond the materialized cover
+    val e = intercept[IllegalArgumentException] {
+      SpatialJoin.dwithinGridded(
+        spark.table("pq.spj.dwa"), "g",
+        spark.table("pq.spj.dwb"), "ga", dist = 7.5, cellDeg = 10.0)
+    }
+    assert(e.getMessage.contains("expansion"), e.getMessage)
+    // the expanded grid still serves the INTERSECTS face exactly
+    val viaExpanded = SpatialJoin.intersectsGridded(
+        spark.table("pq.spj.dwa"), "g",
+        spark.table("pq.spj.dwb"), "ga", cellDeg = 10.0)
+      .select("id", "aid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantIx = SpatialJoin.intersects(pts, "g", anchors, "ga", cellDeg = 10.0)
+      .select("id", "aid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExpanded == wantIx,
+      "an expanded grid must stay exact for the intersects face")
+  }
+
   test("V2 transform functions are SQL-callable for layout debugging") {
     assert(warehouse.nonEmpty)
     // the reference exposes its transforms as catalog functions

@@ -220,6 +220,46 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset(gateKey)
   }
 
+  test("manifest-served max stratum: an identity-partitioned graft table " +
+      "answers the window gate's ambiguous band with ZERO jobs") {
+    import graft.operators.Curation
+    graft.spatial.Geo.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stratum").toString
+    val cat = "mstrat"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", dir)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    import org.apache.spark.sql.functions._
+    spark.range(300).toDF("id")
+      .withColumn("lang", concat(lit("l"), (col("id") % 3 === 0).cast("int")
+        + (col("id") % 7 === 0).cast("int")))
+      .writeTo(s"$cat.db.strata").partitionedBy(col("lang")).create()
+    val t = spark.table(s"$cat.db.strata")
+    val want = t.groupBy("lang").count()
+      .agg(max("count")).first().getLong(0)
+    // make the DATA unreadable: any fallback aggregate job now throws, so
+    // a correct answer PROVES the manifest served it without a job (the
+    // throwing-callback posture of the gate-tier spec)
+    val tblDir = java.nio.file.Paths.get(dir, "db", "strata")
+    graft.spatial.Snapshots.walkDir(tblDir)(_.toSeq)
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .foreach(p => java.nio.file.Files.write(p, Array[Byte](0, 1, 2, 3)))
+    val mx = Curation.maxStratumOf(spark.table(s"$cat.db.strata"), "lang")()
+    assert(mx == want, s"manifest max stratum $mx must equal the true max $want")
+    // a filter above the scan keeps the metadata path (upper bound stays
+    // sound for the gate: filters only shrink strata)
+    val mxF = Curation.maxStratumOf(
+      spark.table(s"$cat.db.strata").filter(col("id") >= 0), "lang")()
+    assert(mxF == want)
+    // a NON-partition stratum column cannot be manifest-served: the
+    // fallback aggregate runs and hits the corrupted data — loud, never a
+    // silent wrong answer
+    intercept[Exception] {
+      Curation.maxStratumOf(spark.table(s"$cat.db.strata"), "id")()
+    }
+  }
+
   test("LM-model broadcast pre-gate: the footer token bound is a TRUE upper " +
       "bound on the distinct-token count and fits the default cap at this " +
       "scale — the exact count job is provably skipped") {
