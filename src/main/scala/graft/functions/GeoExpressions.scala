@@ -234,6 +234,43 @@ case class StBuffer(child: Expression, dist: Expression) extends GeoExpression w
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
+/** `st_transform(geom, fromSrid, toSrid)` — CRS reprojection for the
+  * supported pair EPSG:4326 <-> EPSG:3857 (closed-form spherical
+  * Mercator; [[GeoKernels.transformSrid]]). SRIDs are configuration, not
+  * data: they must be foldable, and an unsupported pair fails at ANALYSIS
+  * time naming the EPSG codes rather than per-row at execution.
+  */
+case class StTransform(child: Expression, fromSrid: Expression, toSrid: Expression)
+    extends GeoExpression with FoldableArgCheck {
+  override def children: Seq[Expression] = Seq(child, fromSrid, toSrid)
+  override def inputTypes =
+    Seq[org.apache.spark.sql.types.DataType](BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override protected def kernel: String = "transformSrid"
+  override protected def foldableArgs =
+    Seq(fromSrid -> "the source SRID", toSrid -> "the target SRID")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) return base
+    (fromSrid.eval(null), toSrid.eval(null)) match {
+      case (f: Int, t: Int) if f == t || Set(f, t) == Set(4326, 3857) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (f: Int, t: Int) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"st_transform: unsupported CRS pair EPSG:$f -> EPSG:$t " +
+            "(supported: EPSG:4326 <-> EPSG:3857)")
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "st_transform: the SRIDs must not be NULL")
+    }
+  }
+  override protected def notNull(vs: Seq[Any]): Any =
+    GeoKernels.transformSrid(bytes(vs(0)),
+      vs(1).asInstanceOf[Int], vs(2).asInstanceOf[Int])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
 case class StX(child: Expression) extends GeoUnary {
   override def dataType: DataType = DoubleType
   override protected def kernel: String = "x"

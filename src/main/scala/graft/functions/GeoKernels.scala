@@ -117,6 +117,45 @@ object GeoKernels {
     GeoCodec.writeWkb(
       org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(g(b), tol))
 
+  // ---- st_transform -------------------------------------------------------
+
+  /** WGS 84 semi-major axis — the sphere radius of the web-Mercator
+    * EPSG:3857 definition (spherical, not ellipsoidal: 3857 is DEFINED on
+    * the sphere of radius a, which is why the closed forms below are the
+    * exact published projection, not an approximation).
+    */
+  private val WebMercatorR = 6378137.0
+
+  /** CRS reprojection between the supported pair EPSG:4326 (lon/lat
+    * degrees) and EPSG:3857 (web-Mercator meters) — closed-form spherical
+    * Mercator, applied to every coordinate of the geometry. Any other
+    * pair refuses naming the EPSG codes (the pitch-stamp posture:
+    * silently passing coordinates through would misplace every geometry).
+    * Same-code pairs are the identity.
+    */
+  def transformSrid(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    if (from == to) return geomFromWkb(b)
+    val f: org.locationtech.jts.geom.Coordinate => Unit = (from, to) match {
+      case (4326, 3857) => c => {
+        c.x = WebMercatorR * math.toRadians(c.x)
+        c.y = WebMercatorR * math.log(math.tan(math.Pi / 4 + math.toRadians(c.y) / 2))
+      }
+      case (3857, 4326) => c => {
+        c.x = math.toDegrees(c.x / WebMercatorR)
+        c.y = math.toDegrees(2 * math.atan(math.exp(c.y / WebMercatorR)) - math.Pi / 2)
+      }
+      case _ => throw new IllegalArgumentException(
+        s"st_transform: unsupported CRS pair EPSG:$from -> EPSG:$to " +
+          "(supported: EPSG:4326 <-> EPSG:3857)")
+    }
+    val geo = g(b)
+    geo.apply(new org.locationtech.jts.geom.CoordinateFilter {
+      override def filter(c: org.locationtech.jts.geom.Coordinate): Unit = f(c)
+    })
+    geo.geometryChanged()
+    GeoCodec.writeWkb(geo)
+  }
+
   // ---- hilbert ------------------------------------------------------------
 
   /** Hilbert index of the envelope center; null for empty / out-of-bounds

@@ -49,6 +49,7 @@ object GeoSql {
     "st_numgeometries" -> (e => StNumGeometries(e.head)),
     "st_numpoints" -> (e => StNumPoints(e.head)),
     "st_extent" -> (e => StExtent(e.head).toAggregateExpression()),
+    "st_transform" -> (e => StTransform(e(0), e(1), e(2))),
     "hilbert" -> (e => HilbertIndex(e(0), e(1), e(2), e(3), e(4), e(5))),
     "zorder_key" -> (e => ZOrderKey(e))
   )
@@ -94,6 +95,10 @@ object GeoSql {
   def st_x(g: Column): Column = call_function("st_x", g)
   def st_y(g: Column): Column = call_function("st_y", g)
   def st_bbox(g: Column): Column = call_function("st_bbox", g)
+  def st_transform(g: Column, fromSrid: Int, toSrid: Int): Column =
+    call_function("st_transform", g,
+      org.apache.spark.sql.functions.lit(fromSrid),
+      org.apache.spark.sql.functions.lit(toSrid))
   def hilbert(g: Column, res: Column, minX: Column, minY: Column, maxX: Column, maxY: Column): Column =
     call_function("hilbert", g, res, minX, minY, maxX, maxY)
   def zorder_key(cols: Column*): Column = call_function("zorder_key", cols: _*)

@@ -265,6 +265,23 @@ object GeoQueries {
         .select(col("c_custkey"), col("_pos"), col("_deleted"))
     }),
 
+    // CRS reprojection: customer lon/lat points (EPSG:4326) to
+    // web-Mercator meters (EPSG:3857) through the closed-form spherical
+    // Mercator kernel — the ST_Transform capability Sedona ships for the
+    // reference. Filtered to the projection's validity band (|lat| <
+    // 85.06, where 3857 is defined); outputs rounded to 0.1 mm so the
+    // JVM's and DuckDB's last-ulp tan/ln differences can't flip a hash.
+    "geo_transform" -> ((s, dir) => {
+      Geo.install(s)
+      import graft.functions.GeoSql
+      pts(s, dir)
+        .filter(abs(col("y")) < 85.06)
+        .withColumn("m", GeoSql.st_transform(col("geom"), 4326, 3857))
+        .select(col("c_custkey"),
+          round(GeoSql.st_x(col("m")), 4).as("mx"),
+          round(GeoSql.st_y(col("m")), 4).as("my"))
+    }),
+
     // distributed grid-bucketed spatial join (no cross product):
     // customer points × nation-derived envelope regions
     "geo_spatial_join" -> ((s, dir) => {
@@ -707,6 +724,13 @@ object GeoQueries {
          |  ON (p.x - r.ax)*(p.x - r.ax) + (p.y - r.ay)*(p.y - r.ay)
          |     <= 5.005*5.005
          |GROUP BY region_id""".stripMargin,
+
+    "geo_transform" ->
+      s"""SELECT c_custkey,
+         | round(6378137.0 * radians(x), 4) AS mx,
+         | round(6378137.0 * ln(tan(pi()/4 + radians(y)/2)), 4) AS my
+         |FROM ($ptsSql)
+         |WHERE abs(y) < 85.06""".stripMargin,
 
     "geo_grid_dwithin_join" ->
       s"""WITH r AS (SELECT n_nationkey AS region_id,

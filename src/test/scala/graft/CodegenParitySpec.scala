@@ -132,6 +132,7 @@ class CodegenParitySpec extends AnyFunSuite {
     "StNumGeometries" -> "st_numgeometries(g)",
     "StNumPoints" -> "st_numpoints(g)",
     "StExtent" -> "st_extent(g)", // aggregate: evaluated without the id key
+    "StTransform" -> "st_transform(g, 4326, 3857)",
     "HilbertIndex" -> "hilbert(g, 8, -10D, -10D, 10D, 10D)",
     "ZOrderKey" -> "zorder_key(id, x)",
     "VecDot" -> "vec_dot(v, w)",

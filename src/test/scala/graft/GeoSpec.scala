@@ -487,6 +487,57 @@ class GeoSpec extends AnyFunSuite {
       s"grid distance join must equal brute force (${got.length} vs ${want.size})")
   }
 
+  test("st_transform: 4326<->3857 round-trips, matches the published " +
+      "spherical-Mercator closed form, and off-menu CRS pairs refuse at " +
+      "analysis naming the EPSG codes") {
+    graft.spatial.Geo.install(spark)
+    import org.apache.spark.sql.functions._
+    val df = spark.range(50).toDF("id")
+      .withColumn("lon", (col("id") % 10).cast("double") * 36 - 180 + 0.25)
+      .withColumn("lat", (col("id") / 10).cast("double") * 33 - 82.5 + 0.125)
+      .withColumn("g", expr("st_point(lon, lat)"))
+    val proj = df.selectExpr("id", "lon", "lat",
+      "st_x(st_transform(g, 4326, 3857)) AS mx",
+      "st_y(st_transform(g, 4326, 3857)) AS my")
+    proj.collect().foreach { r =>
+      val (lon, lat) = (r.getDouble(1), r.getDouble(2))
+      val R = 6378137.0
+      assert(math.abs(r.getDouble(3) - R * math.toRadians(lon)) < 1e-6)
+      assert(math.abs(r.getDouble(4) -
+        R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))) < 1e-6)
+    }
+    // a known anchor: (180, 0) -> (20037508.342789244, 0)
+    val a = spark.sql(
+      "SELECT st_x(st_transform(st_point(180D, 0D), 4326, 3857)) AS x").first()
+    assert(math.abs(a.getDouble(0) - 20037508.342789244) < 1e-6)
+    // round-trip back to degrees
+    val rt = proj.selectExpr("id", "lon", "lat",
+      "st_x(st_transform(st_point(mx, my), 3857, 4326)) AS rlon",
+      "st_y(st_transform(st_point(mx, my), 3857, 4326)) AS rlat")
+    rt.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9, "lon round-trip")
+      assert(math.abs(r.getDouble(2) - r.getDouble(4)) < 1e-9, "lat round-trip")
+    }
+    // same-code identity, any code
+    val idp = spark.sql(
+      "SELECT st_astext(st_transform(st_point(3D, 4D), 32633, 32633)) AS t").first()
+    assert(idp.getString(0).contains("POINT (3 4)"))
+    // NULL geometry stays NULL
+    assert(spark.sql(
+      "SELECT st_transform(CAST(NULL AS BINARY), 4326, 3857) AS t").first().isNullAt(0))
+    // unsupported pair: analysis-time refusal naming both EPSG codes
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_transform(st_point(1D, 2D), 4326, 32633)").collect()
+    }
+    assert(e.getMessage.contains("EPSG:4326") && e.getMessage.contains("EPSG:32633"),
+      e.getMessage)
+    // non-foldable SRID: refused (SRIDs are configuration, not data)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("st_transform(g, CAST(id AS INT), 3857)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("foldable"), e2.getMessage)
+  }
+
   test("SELF-join through two aliases with a spatial join condition: shadow " +
       "binding stays per-side and the window bound still propagates FILE " +
       "pruning across the alias boundary") {
