@@ -42,12 +42,13 @@ object Tables {
     * percentiles): the number is exact, available before any job runs,
     * and at 100 TB costs one metadata round-trip per file.
     */
-  def metaRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
-    val fs = root.getFileSystem(conf)
-    // recursive: partitioned layouts nest data files under partition dirs —
-    // an undercount here would silently pick the wrong adaptive plan
+  /** Recursive parquet data-file lister shared by the footer-metadata
+    * gates below: partitioned layouts nest data files under partition
+    * dirs — an undercount would silently pick the wrong adaptive plan —
+    * and hidden/marker entries are excluded like `spark.read.parquet`.
+    */
+  private def parquetDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
       val st = fs.getFileStatus(p)
       if (st.isFile) Seq(p)
@@ -59,7 +60,14 @@ object Tables {
           else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
           else Nil)
     }
-    files(root).map { f =>
+    files(root)
+  }
+
+  def metaRowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    parquetDataFiles(fs, root).map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
       try reader.getRecordCount finally reader.close()
@@ -81,18 +89,7 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
     val fs = root.getFileSystem(conf)
-    def files(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      val st = fs.getFileStatus(p)
-      if (st.isFile) Seq(p)
-      else fs.listStatus(p).toSeq
-        .filterNot(s => s.getPath.getName.startsWith("_") ||
-          s.getPath.getName.startsWith("."))
-        .flatMap(s =>
-          if (s.isDirectory) files(s.getPath)
-          else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
-          else Nil)
-    }
-    files(root).map { f =>
+    parquetDataFiles(fs, root).map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
       try {

@@ -112,7 +112,21 @@ object Curation {
     * spec, files predating the spec, branch/tag reads).
     */
   private def manifestMaxStratum(df: DataFrame, cols: Seq[String]): Option[Long] = {
-    val tables = df.queryExecution.analyzed.collect {
+    // STRUCTURAL precondition, not just "exactly one graft relation": a
+    // join against a non-graft side or an explode would be invisible to a
+    // relation collect and the manifest count could UNDERCOUNT the real
+    // stratum (r17 review) — so the metadata path only serves plans whose
+    // every node is row-preserving-or-reducing over the single scan
+    val plan = df.queryExecution.analyzed
+    val shapeOk = plan.collect { case n => n }.forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Project => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => true
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _ => false
+    }
+    if (!shapeOk) return None
+    val tables = plan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
           if r.table.isInstanceOf[graft.sources.GraftTable] =>
         r.table.asInstanceOf[graft.sources.GraftTable]

@@ -72,11 +72,34 @@ object GeoQueries {
     val fp = graft.Stamps.tableFingerprint(
       Seq("customer", "nation").map(t => s"$dir/$t.parquet"))
     val wh = scratchPath(s"gridwh3_$fp", dir)
-    val cat = s"gspj_${pathDigest(dir)}"
+    // the fingerprint must be part of the catalog NAME, not only the
+    // warehouse conf: CatalogManager caches catalog INSTANCES per name
+    // with their creation-time options, so under a fixed name a later
+    // warehouse conf.set is ignored and a regenerated input would keep
+    // resolving tables in the stale warehouse (r17 review)
+    val cat = s"gspj_${pathDigest(dir)}_$fp"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     // co-partitioned DSv2 scans storage-partition the joins under this
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // regeneration retires the previous fingerprint's warehouse (and any
+    // dir from the retired gridspjwh* naming schemes): sweep siblings of
+    // THIS input dir's digest so tmp can't accumulate one full grid
+    // materialization per regeneration (the round-7 orphan-dir class)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dg = pathDigest(dir)
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val n = f.getName
+      val retired =
+        (n.startsWith("graft_gridwh3_") && n.endsWith(s"_$dg") &&
+          n != new java.io.File(wh).getName) ||
+        ((n.startsWith("graft_gridspjwh1_") || n.startsWith("graft_gridspjwh2_")) &&
+          n.endsWith(s"_$dg"))
+      if (retired && f.isDirectory) {
+        graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     (cat, wh)
   }
 

@@ -258,6 +258,13 @@ class PipelineSpec extends AnyFunSuite {
     intercept[Exception] {
       Curation.maxStratumOf(spark.table(s"$cat.db.strata"), "id")()
     }
+    // a row-EXPANDING plan shape (join/generate) declines the metadata
+    // path even though exactly one graft relation is present — the base
+    // table's manifest would UNDERCOUNT the frame's real strata
+    intercept[Exception] {
+      Curation.maxStratumOf(
+        spark.table(s"$cat.db.strata").crossJoin(spark.range(2)), "lang")()
+    }
   }
 
   test("LM-model broadcast pre-gate: the footer token bound is a TRUE upper " +

@@ -48,6 +48,43 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("degenerate rows drop cleanly from every join face: NULL and EMPTY " +
+      "geometries produce no pairs, no errors, and never perturb others") {
+    graft.spatial.Geo.install(spark)
+    import org.apache.spark.sql.functions._
+    // 3 normal points + 1 NULL + 1 POINT EMPTY on the left
+    val l = spark.sql("""
+      SELECT * FROM VALUES
+        (1L, st_point(1D, 1D)), (2L, st_point(5D, 5D)), (3L, st_point(2D, 8D)),
+        (4L, CAST(NULL AS BINARY)), (5L, st_geomfromtext('POINT EMPTY'))
+      AS t(lid, lg)""")
+    val r = spark.sql("""
+      SELECT * FROM VALUES
+        (10L, st_makeenvelope(0D, 0D, 6D, 6D)),
+        (11L, st_geomfromtext('POLYGON EMPTY')),
+        (12L, CAST(NULL AS BINARY))
+      AS t(rid, rg)""")
+    // nothing intersects (or is within any distance of) NULL/EMPTY — the
+    // PBSM explode drops them map-side (st_bbox = NULL ⇒ no cells), which
+    // IS the ST semantics, and normal pairs are unaffected
+    val ix = SpatialJoin.intersects(l, "lg", r, "rg", cellDeg = 10.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(ix == Set((1L, 10L), (2L, 10L)), s"got $ix")
+    val dw = SpatialJoin.dwithin(l, "lg", r, "rg", dist = 3.5, cellDeg = 10.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(dw == Set((1L, 10L), (2L, 10L), (3L, 10L)), s"got $dw")
+    // the gridded storage face: degenerate rows simply produce no stored
+    // cells (they can never match), normal rows grid as usual
+    val gl = SpatialJoin.gridded(l, "lg", cellDeg = 10.0)
+    assert(gl.select("lid").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    val gr = SpatialJoin.gridded(r, "rg", cellDeg = 10.0, expand = 3.5)
+    val gdw = SpatialJoin.dwithinGridded(gl, "lg", gr, "rg",
+        dist = 3.5, cellDeg = 10.0)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(gdw == dw, s"gridded face must agree: $gdw vs $dw")
+  }
+
   test("no cross product in the grid join plan") {
     val plan = SpatialJoin.intersects(pointDf(50, "p"), "p_geom", polyDf(10), "poly_geom")
       .queryExecution.executedPlan.toString

@@ -338,6 +338,9 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     Files.write(f, corrupted, StandardOpenOption.TRUNCATE_EXISTING)
     Files.setLastModifiedTime(f, mtime)
     assert(Files.size(f) == original.length)
+    // a real cross-run regeneration is observed by a FRESH process whose
+    // stat-keyed stamp memo is cold — simulate that (graft.Stamps memo)
+    graft.Stamps.stampMemo.clear()
     assert(Similarity.indexState(idx, dir) == Similarity.IndexRebuild,
       "content change with identical size+mtime must invalidate")
 
