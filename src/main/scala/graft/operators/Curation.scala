@@ -606,6 +606,45 @@ object Curation {
         .toDF("rank", "left", "right", "merged", "pair_freq")
     }),
 
+    // BPE ENCODING — the apply side of tokenizer_bpe_train, what a 100 TB
+    // tokenization pipeline actually runs over every document: train the
+    // merge table on the capped dictionary (driver-bounded, same as the
+    // trainer), then encode each doc in ONE map-only codegen'd projection.
+    // The doc's normalized text explodes into the trainer's delimiter
+    // cells (' c\n' per character) with one regexp_replace, and the k
+    // merges apply as k chained replace() calls — replace()'s
+    // left-to-right non-overlapping scan IS the greedy per-rank rewrite
+    // (the tokenizer_bpe_train oracle's own argument). Space characters
+    // become '  \n' cells no trained merge can touch (dictionary
+    // words contain no whitespace), so words stay isolated without
+    // splitting the doc: zero explodes, zero shuffles, merges ride the
+    // plan as literals. Token count = symbol cells minus space cells.
+    "tokenizer_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val freq = d
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val dict = freq.orderBy(col("freq").desc, col("word")).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val merges = bpeTrain(dict, 24)
+      val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+      val enc0 = regexp_replace(col("__norm"), "(.)", " $1\n")
+      val encoded = merges.foldLeft(enc0) { case (e, (l, r, _)) =>
+        org.apache.spark.sql.functions.replace(e,
+          lit(s" $l\n $r\n"), lit(s" $l$r\n"))
+      }
+      def nl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        length(c) - length(org.apache.spark.sql.functions.replace(c, lit("\n")))
+      d.withColumn("__norm", norm)
+        .withColumn("__enc", encoded)
+        .select(col("doc_id"),
+          (nl(col("__enc")) - (length(col("__norm")) -
+            length(org.apache.spark.sql.functions.replace(col("__norm"), lit(" ")))))
+            .cast("int").as("n_bpe_tokens"),
+          length(col("__norm")).cast("int").as("n_chars"))
+    }),
+
     // Deterministic global shuffle index: position of every doc in the
     // md5-of-id permutation, built scalably — shard by the first TWO hex
     // chars of the hash (256 shards; shard order == global order prefix),
@@ -712,9 +751,12 @@ object Curation {
     * non-overlapping scan is exactly the algorithm's greedy rewrite —
     * including the `l==r` run case (" a\n a\n a\n" -> " aa\n a\n").
     */
-  private def bpeTrainOracle(k: Int): String = {
+  /** The shared training-CTE chain (w/f/dict/st0 + p_i/b_i/st_i per
+    * rank): the `WITH` body both BPE oracles build on.
+    */
+  private def bpeTrainCtes(k: Int): String = {
     val sb = new StringBuilder
-    sb ++= """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+    sb ++= """w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
       |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),
       |f AS (SELECT word, count(*) AS freq FROM w WHERE length(word) >= 2 GROUP BY word),
       |dict AS MATERIALIZED (SELECT word, freq FROM f ORDER BY freq DESC, word LIMIT 65536),
@@ -731,16 +773,51 @@ object Curation {
         |st$i AS MATERIALIZED (SELECT replace(enc, ' '||b.l||chr(10)||' '||b.r||chr(10), ' '||b.l||b.r||chr(10)) AS enc, freq
         |  FROM st${i - 1}, b$i b)""".stripMargin
     }
-    sb ++= "\n"
-    sb ++= (1 to k).map(i =>
-      s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", """ +
-        s"l||r AS merged, CAST(f AS BIGINT) AS pair_freq FROM b$i")
-      .mkString("\nUNION ALL ")
+    sb.result()
+  }
+
+  private def bpeTrainOracle(k: Int): String =
+    "WITH " + bpeTrainCtes(k) + "\n" +
+      (1 to k).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", """ +
+          s"l||r AS merged, CAST(f AS BIGINT) AS pair_freq FROM b$i")
+        .mkString("\nUNION ALL ")
+
+  /** Independent DuckDB replay of the ENCODER: the merge table derives in
+    * pure SQL (the trainer's own CTE chain), then every document encodes
+    * through the same delimiter-cell construction — one regexp_replace to
+    * cells, k materialized replace() steps joined to their b_i merge row.
+    * Space characters become '  \n' cells no trained merge matches, so
+    * the whole doc encodes as ONE string with word isolation intact —
+    * byte-for-byte the Spark projection's computation.
+    */
+  private def bpeEncodeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + bpeTrainCtes(k)
+    sb ++= """,
+      |d0 AS MATERIALIZED (SELECT doc_id,
+      |  regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+      |  regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+      |    '(.)', ' \1'||chr(10), 'g') AS enc
+      |  FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents)""".stripMargin
+    (1 to k).foreach { i =>
+      sb ++= s""",
+        |d$i AS MATERIALIZED (SELECT doc_id, norm,
+        |  replace(enc, ' '||b.l||chr(10)||' '||b.r||chr(10), ' '||b.l||b.r||chr(10)) AS enc
+        |  FROM d${i - 1}, b$i b)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT doc_id,
+      | CAST((length(enc) - length(replace(enc, chr(10), '')))
+      |   - (length(norm) - length(replace(norm, ' ', ''))) AS INTEGER) AS n_bpe_tokens,
+      | CAST(length(norm) AS INTEGER) AS n_chars
+      |FROM d$k""".stripMargin
     sb.result()
   }
 
   val oracleSql: Map[String, String] = Map(
     "tokenizer_bpe_train" -> bpeTrainOracle(24),
+    "tokenizer_bpe_encode" -> bpeEncodeOracle(24),
     "curate_chunk_overlap" ->
       """WITH t AS (SELECT doc_id,
         |  string_split_regex(lower(trim(text)), '\s+') AS tk FROM (SELECT * FROM documents WHERE text IS NOT NULL) documents),

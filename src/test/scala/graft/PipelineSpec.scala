@@ -220,6 +220,49 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset(gateKey)
   }
 
+  test("BPE encoder equals an independent per-word array rewrite: the " +
+      "whole-doc replace-chain encoding (spaces as merge barriers) and a " +
+      "word-by-word greedy apply agree on every document") {
+    import graft.operators.Curation
+    val got = SparkEntry.queries("tokenizer_bpe_encode")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // independent reimplementation: train the same merge table, then
+    // apply merges per WORD over symbol ARRAYS (no strings, no replace)
+    val d = Tables.load(spark, sf, "documents").filter("text IS NOT NULL")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val dictRows = d.flatMap(_._2.toLowerCase.trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toArray
+    val dict = dictRows.sortBy { case (w, f) => (-f, w) }.take(65536)
+    val merges = Curation.bpeTrain(dict, 24)
+    def encodeWord(w: String): Int = {
+      var syms = w.map(_.toString).toArray
+      merges.foreach { case (l, r, _) =>
+        if (syms.length >= 2) {
+          val b = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          syms = b.toArray
+        }
+      }
+      syms.length
+    }
+    assert(got.size == d.length)
+    d.foreach { case (id, text) =>
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val words = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+      val want = words.map(encodeWord).sum
+      val (tokens, chars) = got(id)
+      assert(chars == norm.codePointCount(0, norm.length), s"doc $id chars")
+      assert(tokens == want,
+        s"doc $id: replace-chain encoding $tokens != per-word apply $want")
+    }
+  }
+
   test("manifest-served max stratum: an identity-partitioned graft table " +
       "answers the window gate's ambiguous band with ZERO jobs") {
     import graft.operators.Curation
