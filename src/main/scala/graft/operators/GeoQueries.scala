@@ -32,6 +32,17 @@ object GeoQueries {
       .withColumn("geom", st_point(col("x"), col("y")))
   }
 
+  /** [[pts]] over an explicit customer data-file subset — the incremental
+    * grid maintenance path grids ONLY the newly arrived files.
+    */
+  private def ptsFromFiles(s: SparkSession, files: Seq[String]): DataFrame = {
+    Geo.install(s)
+    s.read.parquet(files: _*)
+      .withColumn("x", synthX(col("c_custkey")))
+      .withColumn("y", synthY(col("c_custkey")))
+      .withColumn("geom", st_point(col("x"), col("y")))
+  }
+
   private val ptsSql =
     """SELECT c_custkey, c_nationkey,
       | (c_custkey * 7919 % 36000) / 100.0 - 180.0 AS x,
@@ -54,47 +65,38 @@ object GeoQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  /** The write-once grid warehouse shared by the grid-materialized
-    * spatial-join queries (the PBSM explode moved into storage, amortized
-    * over every later join — re-gridding per invocation would time the
-    * write, not the join). 45° keeps the world at 8x4 cells, plenty of
-    * key-grouped parallelism without spraying one tiny dir per cell.
-    * The scratch key includes a SOURCE fingerprint through the shared
-    * CONTENT-stamp seat (graft.Stamps: size + tail-CRC32, recursive
-    * listing): regenerated input tables must rebuild the grids even when
-    * regeneration preserves lengths and mtimes — the staleness class the
-    * vector index already refused (r12) — and partitioned layouts with
-    * nested data files fingerprint their real contents.
+  /** The grid warehouse shared by the grid-materialized spatial-join
+    * queries (the PBSM explode moved into storage, amortized over every
+    * later join — re-gridding per invocation would time the write, not
+    * the join). 45° keeps the world at 8x4 cells, plenty of key-grouped
+    * parallelism without spraying one tiny dir per cell. Freshness is a
+    * per-SOURCE-FILE capture through the shared CONTENT-stamp seat
+    * (graft.Stamps: size + tail-CRC32, recursive listing) recorded as a
+    * table property: new source files APPEND their grid rows, rewritten
+    * or removed files force a rebuild — even when regeneration preserves
+    * lengths and mtimes, the staleness class the vector index already
+    * refused (r12).
     */
   private val GridPitch = 45.0
 
   private def gridCatalog(s: SparkSession, dir: String): (String, String) = {
-    val fp = graft.Stamps.tableFingerprint(
-      Seq("customer", "nation").map(t => s"$dir/$t.parquet"))
-    val wh = scratchPath(s"gridwh3_$fp", dir)
-    // the fingerprint must be part of the catalog NAME, not only the
-    // warehouse conf: CatalogManager caches catalog INSTANCES per name
-    // with their creation-time options, so under a fixed name a later
-    // warehouse conf.set is ignored and a regenerated input would keep
-    // resolving tables in the stale warehouse (r17 review)
-    val cat = s"gspj_${pathDigest(dir)}_$fp"
+    // the warehouse is STABLE per input dir (freshness lives in each grid
+    // table's per-file source capture, not in the path), so
+    // CatalogManager's per-name instance caching is harmless
+    val wh = scratchPath("gridwh4", dir)
+    val cat = s"gspj_${pathDigest(dir)}"
     s.conf.set(s"spark.sql.catalog.$cat", classOf[graft.sources.GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     // co-partitioned DSv2 scans storage-partition the joins under this
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    // regeneration retires the previous fingerprint's warehouse (and any
-    // dir from the retired gridspjwh* naming schemes): sweep siblings of
-    // THIS input dir's digest so tmp can't accumulate one full grid
-    // materialization per regeneration (the round-7 orphan-dir class)
+    // sweep warehouses from the retired fingerprint-keyed naming schemes
+    // for THIS input dir's digest (the round-7 orphan-dir class)
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val dg = pathDigest(dir)
     Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
       val n = f.getName
-      val retired =
-        (n.startsWith("graft_gridwh3_") && n.endsWith(s"_$dg") &&
-          n != new java.io.File(wh).getName) ||
-        ((n.startsWith("graft_gridspjwh1_") || n.startsWith("graft_gridspjwh2_")) &&
-          n.endsWith(s"_$dg"))
+      val retired = Seq("graft_gridwh3_", "graft_gridspjwh1_", "graft_gridspjwh2_")
+        .exists(n.startsWith) && n.endsWith(s"_$dg")
       if (retired && f.isDirectory) {
         graft.spatial.Snapshots.walkDir(f.toPath)(_.toSeq).reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
@@ -103,24 +105,82 @@ object GeoQueries {
     (cat, wh)
   }
 
-  /** Create the co-gridded table once; later invocations (and the OTHER
-    * grid queries sharing a side, e.g. the points grid serving both the
-    * intersects and the distance face) reuse the stored grid. A dir
-    * without a committed manifest is a crashed partial build — cleared
+  /** Table property recording the grid's source files: one
+    * `absolute-path SOH content-stamp` line per data file, captured
+    * BEFORE the build reads anything (the vector index's
+    * fingerprint/encode race posture: a file arriving during the build
+    * is never recorded as gridded). The SOH separator cannot occur in
+    * paths or stamps; the manifest serializer escapes control characters.
+    */
+  private[graft] val GridSrcProp = "graft.grid.src-files"
+
+  private def captureSrc(roots: Seq[String]): Map[String, String] =
+    roots.flatMap(root => graft.Stamps.dataFiles(root).map { case (_, f) =>
+      f.toAbsolutePath.toString -> graft.Stamps.fileStamp(f)
+    }).toMap
+
+  private def encodeCapture(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => k + "\u0001" + v }.mkString("\n")
+
+  private def decodeCapture(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split("\n").iterator.map { line =>
+      val i = line.indexOf("\u0001")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+
+  /** Ensure the co-gridded catalog table matches its SOURCE files: the
+    * lifecycle a growing 100 TB fact table needs, not a build-once
+    * scratch dir.
+    *
+    *  - fresh (capture == recorded): serve, zero work;
+    *  - pure APPEND (every recorded file unchanged, new files arrived):
+    *    grid ONLY the new files and append; the capture update rides the
+    *    SAME snapshot commit, so a crash cannot split rows from record
+    *    (gridded() is row-local, so append == rebuild byte-for-byte);
+    *  - anything else (rewritten/removed files): drop and rebuild.
+    *
+    * The OTHER grid queries sharing a side (the points grid serves both
+    * the intersects and the distance face) reuse the stored grid. A dir
+    * without a committed manifest is a crashed partial build: cleared
     * and rebuilt, never trusted.
     */
-  private def ensureGridTable(s: SparkSession, cat: String, wh: String,
-      name: String)(mk: => DataFrame): Unit = {
+  private[graft] def ensureGridTable(s: SparkSession, cat: String,
+      wh: String, name: String, srcRoots: Seq[String])
+      (mk: Seq[String] => DataFrame): Unit = {
     val tdir = new java.io.File(wh, s"db/$name")
     val manifest = new java.io.File(tdir, graft.spatial.GeoTable.ManifestName)
     if (tdir.exists() && !manifest.exists()) {
       graft.spatial.Snapshots.walkDir(tdir.toPath)(_.toSeq).reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    if (!manifest.exists()) {
+    val capture = captureSrc(srcRoots) // BEFORE any read (race posture)
+    def createFresh(): Unit = {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-      mk.writeTo(s"$cat.db.$name")
+      mk(capture.keySet.toSeq.sorted)
+        .writeTo(s"$cat.db.$name")
+        .tableProperty(GridSrcProp, encodeCapture(capture))
         .partitionedBy(col("cell_x"), col("cell_y")).create()
+    }
+    if (!manifest.exists()) createFresh()
+    else {
+      val recorded = decodeCapture(
+        graft.spatial.Snapshots.readProps(tdir.toString)
+          .getOrElse(GridSrcProp, ""))
+      if (recorded == capture) () // fresh
+      else if (recorded.nonEmpty &&
+          recorded.forall { case (k, v) => capture.get(k).contains(v) }) {
+        val newFiles = (capture.keySet -- recorded.keySet).toSeq.sorted
+        graft.spatial.Snapshots.append(mk(newFiles), tdir.toString,
+          props = Map(GridSrcProp -> encodeCapture(capture)))
+      } else {
+        // evict any cached table instance BEFORE the dir disappears
+        // (REFRESH cannot resolve a wiped table), then rebuild
+        scala.util.Try(s.sql(s"REFRESH TABLE $cat.db.$name"))
+        graft.spatial.Snapshots.walkDir(tdir.toPath)(_.toSeq).reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        createFresh()
+      }
     }
   }
 
@@ -357,11 +417,11 @@ object GeoQueries {
       Geo.install(s)
       import graft.spatial.SpatialJoin
       val (cat, wh) = gridCatalog(s, dir)
-      ensureGridTable(s, cat, wh, "gpts")(
-        SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
+      ensureGridTable(s, cat, wh, "gpts", Seq(s"$dir/customer.parquet"))(files =>
+        SpatialJoin.gridded(ptsFromFiles(s, files).select(col("c_custkey"), col("geom")),
           "geom", cellDeg = GridPitch))
-      ensureGridTable(s, cat, wh, "gregions") {
-        val regions = Tables.load(s, dir, "nation")
+      ensureGridTable(s, cat, wh, "gregions", Seq(s"$dir/nation.parquet")) { files =>
+        val regions = s.read.parquet(files: _*)
           .withColumn("rxmin", (col("n_nationkey") * 7919 % 330).cast("double") - 180.0)
           .withColumn("rymin", (col("n_nationkey") * 104729 % 150).cast("double") - 90.0)
           .withColumn("rgeom", st_makeenvelope(col("rxmin"), col("rymin"),
@@ -387,11 +447,11 @@ object GeoQueries {
       Geo.install(s)
       import graft.spatial.SpatialJoin
       val (cat, wh) = gridCatalog(s, dir)
-      ensureGridTable(s, cat, wh, "gpts")(
-        SpatialJoin.gridded(pts(s, dir).select(col("c_custkey"), col("geom")),
+      ensureGridTable(s, cat, wh, "gpts", Seq(s"$dir/customer.parquet"))(files =>
+        SpatialJoin.gridded(ptsFromFiles(s, files).select(col("c_custkey"), col("geom")),
           "geom", cellDeg = GridPitch))
-      ensureGridTable(s, cat, wh, "ganchors") {
-        val anchors = Tables.load(s, dir, "nation")
+      ensureGridTable(s, cat, wh, "ganchors", Seq(s"$dir/nation.parquet")) { files =>
+        val anchors = s.read.parquet(files: _*)
           .withColumn("ax", (col("n_nationkey") * 7919 % 330).cast("double") - 165.0)
           .withColumn("ay", (col("n_nationkey") * 104729 % 150).cast("double") - 75.0)
           .withColumn("ageom", st_point(col("ax"), col("ay")))
