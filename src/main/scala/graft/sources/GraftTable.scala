@@ -879,7 +879,7 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
         .getOrElse(f.dataType))
     org.apache.spark.sql.types.StructField(phys, dt, nullable = true)
   })
-  private val readPartSchema: StructType = StructType(readLogicalPart)
+  private[graft] val readPartSchema: StructType = StructType(readLogicalPart)
 
   override def readSchema(): StructType =
     StructType(readLogicalData.filterNot(f => extraCols.contains(f.name)) ++

@@ -101,9 +101,6 @@ object GraftStatements {
     """(?is)^\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s*$""".r
   private val MergeFullIdentRe =
     """(?is)^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+\((.+?)\)(?:\s+(?:AS\s+)?(\w+))?\s+ON\s+(.+?)\s+(WHEN\s+.+?)\s*$""".r
-  private val WhenRe =
-    """(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?(?:\s+AND\s+(.+?))?\s+THEN\s+(UPDATE\s+SET\s+.+?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\(.*?\))\s*(?=WHEN\s|$)""".r
-
   /** Warehouse path of `cat.ns….table` iff `cat` is a registered
     * [[graft.sources.GraftCatalog]] — resolved from the session conf
     * (`spark.sql.catalog.<cat>` + `.warehouse`), so no catalog
@@ -156,7 +153,12 @@ object GraftStatements {
             if (!isTable(full) && last.startsWith("branch_") && parts.length > 2 &&
                 isTable(full.getParent))
               Some((full.getParent.toString, last.stripPrefix("branch_")))
-            else Some((full.toString, "main"))
+            // a TABLE must actually live at the layout path: resolving a
+            // typo'd identifier to its would-be location lets DDL/DML
+            // materialize a phantom table there instead of failing with
+            // "not found" (every caller operates on existing tables)
+            else if (isTable(full)) Some((full.toString, "main"))
+            else None
           }
         } else None
       }
@@ -178,7 +180,10 @@ object GraftStatements {
     def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') inQ = !inQ
+      // a backslash-escaped char inside a literal (Spark's default
+      // non-ANSI escaping) must not toggle the quote state
+      if (inQ && c == '\\') i += 1
+      else if (c == '\'') inQ = !inQ
       else if (!inQ && c == '(') depth += 1
       else if (!inQ && c == ')') depth -= 1
       else if (!inQ && depth == 0 && s.regionMatches(true, i, kw, 0, kw.length) &&
@@ -188,6 +193,29 @@ object GraftStatements {
       i += 1
     }
     -1
+  }
+
+  /** Start indexes of every `WHEN` at quote/paren depth zero — the MERGE
+    * clause boundaries. A regex lookahead is not quote-aware: a string
+    * value containing " WHEN " would truncate its clause mid-literal.
+    */
+  private def whenStarts(s: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var i = 0; var inQ = false; var depth = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ && c == '\\') i += 1
+      else if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && s.regionMatches(true, i, "WHEN", 0, 4) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + 4 < s.length && !isWordChar(s.charAt(i + 4))))
+        out += i
+      i += 1
+    }
+    out.result()
   }
 
   private def splitUpdateBody(tbl: String, body: String,
@@ -225,14 +253,28 @@ object GraftStatements {
   }
 
   /** Ordered WHEN clauses of a full MERGE. */
+  private val WhenHeadRe =
+    """(?is)^\s*(NOT\s+)?MATCHED(?:\s+BY\s+(SOURCE|TARGET))?(?:\s+AND\s+(.+))?\s*$""".r
+
   private def parseWhens(text: String): Seq[Snapshots.MergeClause] = {
-    val clauses = WhenRe.findAllMatchIn(text).map { m =>
-      val matched = m.group(1) == null
-      val by = Option(m.group(2)).map(_.toUpperCase)
+    // clause boundaries come from a quote/paren-aware scan, and the
+    // head/action split from keywordIndex — a regex lookahead would stop
+    // at a WHEN (or THEN) inside a string literal
+    val starts = whenStarts(text)
+    val clauses = starts.zipWithIndex.map { case (st, k) =>
+      val end = if (k + 1 < starts.length) starts(k + 1) else text.length
+      val clause = text.substring(st + 4, end)
+      val ti = keywordIndex(clause, "THEN")
+      require(ti >= 0, s"bad MERGE WHEN clause (no THEN): WHEN$clause")
+      val (matched, by, cond) = clause.take(ti) match {
+        case WhenHeadRe(not, byG, condG) =>
+          (not == null, Option(byG).map(_.toUpperCase), Option(condG).map(_.trim))
+        case bad => throw new IllegalArgumentException(
+          s"bad MERGE WHEN clause: WHEN$bad")
+      }
       require(by.isEmpty || !matched, "BY SOURCE/TARGET is only valid after NOT MATCHED")
       val bySource = by.contains("SOURCE") // NOT MATCHED [BY TARGET] = source-side
-      val cond = Option(m.group(3)).map(_.trim)
-      val act = m.group(4).trim
+      val act = clause.substring(ti + 4).trim
       val lower = act.toLowerCase
       if (lower.startsWith("update")) {
         val sets = splitTopLevel(act.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")).map { a =>
@@ -276,7 +318,9 @@ object GraftStatements {
         case bad => throw new IllegalArgumentException(
           s"SET GEOMETRY FIELDS expects `col AS 'encoding'`, got: $bad")
       }
-      Some(SetGeometryFieldsCommand(stripQuotes(tbl), fields))
+      // resolveTable like every sibling DDL: a catalog identifier must
+      // not be treated as a literal filesystem path
+      Some(SetGeometryFieldsCommand(resolveTable(tbl), fields))
     case WriteDistRe(tbl, order) =>
       Some(WriteDistributionCommand(resolveTable(tbl), Option(order).map(_.trim)))
     case WriteOrderRe(tbl, locally, order) =>
@@ -373,14 +417,28 @@ object GraftStatements {
   }
 
   /** Split on top-level commas (quotes respected). */
+  /** Split on commas at quote AND paren depth zero — a comma inside a
+    * function call (`SET a = coalesce(b, 0)`) or an escaped quote inside
+    * a literal must not split the clause.
+    */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
-    s.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case ',' if !inQuote => out += cur.toString; cur.clear()
-      case c => cur += c
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote && c == '\\' && i + 1 < s.length) {
+        cur += c; cur += s.charAt(i + 1); i += 1
+      } else {
+        if (c == '\'') inQuote = !inQuote
+        else if (!inQuote && c == '(') depth += 1
+        else if (!inQuote && c == ')') depth -= 1
+        if (c == ',' && !inQuote && depth == 0) { out += cur.toString; cur.clear() }
+        else cur += c
+      }
+      i += 1
     }
     if (cur.nonEmpty || s.trim.nonEmpty) out += cur.toString
     out.result().map(_.trim).filter(_.nonEmpty)

@@ -311,6 +311,13 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     * its rows serve through the owning scan's reader factory, whose
     * layout is the scan's pruned/projected logical row.
     */
+  /** The partition schema the READERS of this stream expect
+    * `PartitionedFile.partitionValues` in — the full table layout for the
+    * path stream; the catalog stream overrides with its scan's
+    * pruned/projected layout.
+    */
+  protected def partSchemaForReaders(full: StructType): StructType = full
+
   protected def bindEqDelete(eq: EqDelete, rowSchema: StructType): Option[EqDeleteSpec] = {
     val logicalToPhysical: Map[String, String] =
       graft.spatial.TableSchema.read(path).filterNot(_.dropped)
@@ -323,7 +330,13 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     val phys = eq.cols.map(c =>
       if (rowSchema.fieldNames.contains(c)) c
       else logicalToPhysical.getOrElse(c, c))
-    if (!phys.forall(rowSchema.fieldNames.contains)) None
+    // FAIL LOUD on an unresolvable key column (the batch bindEqSpec
+    // posture): silently dropping the spec resurrects deleted rows
+    if (!phys.forall(rowSchema.fieldNames.contains))
+      throw new IllegalStateException(
+        s"equality delete ${eq.path} keys on column(s) " +
+          s"${eq.cols.mkString(", ")} that cannot resolve in the stream " +
+          s"row schema ${rowSchema.fieldNames.mkString(", ")}")
     else {
       val ordinals = phys.map(rowSchema.fieldIndex).toArray
       val types = ordinals.map(rowSchema(_).dataType)
@@ -362,6 +375,22 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
     // the same code path the batch relation uses
     val index = new GraftFileIndex(spark, new Path(path), slice, dataSchema, partitionSchema,
       GeoTable.readPruningSpecs(path))
+    // the readers interpret PartitionedFile.partitionValues POSITIONALLY
+    // against THEIR partition schema: the path stream's factory uses the
+    // full table partition schema (identity), but the catalog stream's
+    // factory was built with the SCAN's pruned/reordered layout — project
+    // the parsed dir values onto it, or a pruned leading column shifts
+    // every ordinal (a region string served as the day)
+    val servedPart = partSchemaForReaders(partitionSchema)
+    val partProj: org.apache.spark.sql.catalyst.InternalRow =>
+        org.apache.spark.sql.catalyst.InternalRow =
+      if (servedPart == partitionSchema) identity
+      else {
+        val ix = servedPart.fields.map(f =>
+          partitionSchema.fieldIndex(f.name) -> f.dataType)
+        row => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          ix.map { case (i, dt) => row.get(i, dt) }.toArray[Any])
+      }
     val byAbs = slice.map(f => new Path(new Path(path), f.path).toUri.getPath -> f).toMap
     // suffix index over covered paths, built once per planning pass — the
     // SHARED construction the batch scan uses ([[DeleteFiles.suffixIndex]])
@@ -374,9 +403,12 @@ class GraftMicroBatchStream(path: String, maxFiles: Int,
         val addedV = fstat.map(_.addedV).getOrElse(Int.MaxValue)
         val pos = posCov.getOrElse(DeleteFiles.norm(abs),
           posCovBySuffix.getOrElse(rel, Nil))
-        val eqs = eqSpecs.filter(sp => addedV < sp.seq)
+        // seq == 0 = legacy pre-stamping delete, applies to EVERY file
+        // (EqDelete.appliesTo and the batch planner agree; a strict <
+        // silently skipped every legacy equality delete)
+        val eqs = eqSpecs.filter(sp => sp.seq == 0 || addedV < sp.seq)
         graft.sources.TaskPlanner.Item(
-          PartitionedFile(dir.values,
+          PartitionedFile(partProj(dir.values),
             org.apache.spark.paths.SparkPath.fromPath(st.getPath), 0, st.getLen),
           graft.sources.GraftFileSlice(rel, pos.toArray, eqs),
           key = null, splittable = pos.isEmpty)
@@ -467,6 +499,12 @@ class GraftCatalogMicroBatchStream(scan: graft.sources.GraftScan, path: String,
     */
   override protected def bindEqDelete(eq: graft.spatial.EqDelete,
       rowSchema: StructType): Option[EqDeleteSpec] = scan.bindEqSpec(eq)
+
+  /** The scan's reader factory appends partition values in ITS
+    * pruned/projected layout — partitionValues must be projected to it.
+    */
+  override protected def partSchemaForReaders(full: StructType): StructType =
+    scan.readPartSchema
 }
 
 /** MoR predicate-delete binding: the OR of pending predicate deletes,

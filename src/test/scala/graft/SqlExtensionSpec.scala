@@ -231,6 +231,54 @@ class SqlExtensionSpec extends AnyFunSuite {
     // UPDATE without WHERE hits every row (standard SQL)
     spark.sql(s"UPDATE '$dir' SET v = 'all'")
     assert(Snapshots.read(spark, dir).where("v = 'all'").count() == 5)
+    // backslash-escaped quote inside the literal (Spark's default
+    // non-ANSI escaping) must not toggle the quote scan off
+    spark.sql(s"UPDATE '$dir' SET v = 'a\\' WHERE b' WHERE id = 2")
+    assert(Snapshots.read(spark, dir).where("id = 2").collect()
+      .head.getString(1) == "a' WHERE b")
+  }
+
+  test("DML clause splitting is paren- and quote-aware: function-call " +
+      "commas, WHEN inside literals, phantom tables refused") {
+    val dir = Files.createTempDirectory("graft_psplit").toString + "/tbl"
+    spark.range(5).selectExpr("id", "id AS a", "'raw' AS v")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    // a comma INSIDE a function call must not split the SET list
+    spark.sql(s"UPDATE '$dir' SET a = coalesce(NULL, 100), v = 'x' WHERE id = 1")
+    val t1 = Snapshots.read(spark, dir)
+    assert(t1.where("id = 1 AND a = 100 AND v = 'x'").count() == 1)
+    // MERGE: function calls in UPDATE SET, a multi-arg INSERT VALUES,
+    // and a string literal containing ' WHEN ' in an action
+    spark.range(7).selectExpr("id AS sid", "id * 2 AS sa")
+      .createOrReplaceTempView("psplit_src")
+    spark.sql(
+      s"""MERGE INTO '$dir' t USING (SELECT * FROM psplit_src) s ON t.id = s.sid
+         |WHEN MATCHED AND s.sid = 3 THEN UPDATE SET a = greatest(t.a, s.sa),
+         |  v = 'got WHEN here'
+         |WHEN NOT MATCHED THEN INSERT (id, a, v) VALUES (s.sid,
+         |  coalesce(s.sa, 0), 'new')""".stripMargin)
+    val t2 = Snapshots.read(spark, dir)
+    assert(t2.where("id = 3 AND a = 6 AND v = 'got WHEN here'").count() == 1,
+      t2.collect().mkString(","))
+    assert(t2.where("id IN (5, 6) AND a = id * 2 AND v = 'new'").count() == 2)
+    // a typo'd catalog identifier must NOT resolve to its would-be layout
+    // path (DDL would materialize a phantom table there)
+    val wh = Files.createTempDirectory("graft_phantom_wh").toString
+    spark.conf.set("spark.sql.catalog.phcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.phcat.warehouse", wh)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE phcat.db.nosuch WRITE ORDERED BY id")
+    }
+    assert(!new java.io.File(wh, "db/nosuch").exists(),
+      "a typo'd ALTER must not materialize a phantom table")
+    // SET GEOMETRY FIELDS resolves catalog identifiers like every other
+    // table DDL (it used to treat them as literal filesystem paths)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS phcat.db")
+    spark.sql("CREATE TABLE phcat.db.g (id BIGINT, geom BINARY)")
+    spark.sql("ALTER TABLE phcat.db.g SET GEOMETRY FIELDS geom AS 'wkb'")
+    assert(graft.spatial.GeometryFields.get(s"$wh/db/g").contains("geom"),
+      "the declaration must land on the catalog table's warehouse path")
   }
 
   test("DROP VIEW removes only the view definition, never nested tables") {

@@ -133,6 +133,69 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LEGACY equality deletes (no sequence stamp, seq=0) apply in the " +
+      "stream: seq==0 means applies-to-every-file, exactly like the batch " +
+      "planner") {
+    import spark.implicits._
+    import graft.spatial.{GeoTable, Snapshots}
+    val dir = Files.createTempDirectory("graft_eqlegacy").toString + "/tbl"
+    spark.range(20).selectExpr("id", "concat('v', id) AS v")
+      .coalesce(1).write.parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    Snapshots.deleteByEquality(spark, dir, Seq(3L, 7L).toDF("id"))
+    // strip the sequence stamps from the manifest — the pre-stamping
+    // legacy form parseEqDeletes reads back as seq=0
+    val mf = java.nio.file.Paths.get(dir, GeoTable.ManifestName)
+    val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+      .replaceAll(""","seq":\d+}""", "}")
+    java.nio.file.Files.write(mf, txt.getBytes("UTF-8"))
+    val head = Snapshots.mainVersion(dir)
+    val vf = java.nio.file.Paths.get(dir, s"_graft_manifest_v$head.json")
+    if (java.nio.file.Files.exists(vf)) {
+      val vtxt = new String(java.nio.file.Files.readAllBytes(vf), "UTF-8")
+        .replaceAll(""","seq":\d+}""", "}")
+      java.nio.file.Files.write(vf, vtxt.getBytes("UTF-8"))
+    }
+    // batch read filters the legacy delete
+    assert(Snapshots.read(spark, dir).where("id IN (3, 7)").count() == 0)
+    // the stream must agree — a strict addedV < seq drops seq==0 entirely
+    val q = graft.streaming.GeoStreams.readTableStream(spark, dir, maxFilesPerTrigger = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("eq_legacy_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("eq_legacy_stream")
+      assert(got.count() == 18,
+        s"stream must apply the LEGACY (seq=0) equality delete, got ${got.count()}")
+      assert(got.where("id IN (3, 7)").count() == 0)
+    } finally q.stop()
+  }
+
+  test("catalog streaming with PARTITION-column pruning serves correct " +
+      "partition values: dir values are projected onto the scan's pruned " +
+      "layout, not read positionally from the full one") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_pprune_wh").toString
+    spark.conf.set("spark.sql.catalog.ppcat", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ppcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ppcat.db")
+    spark.sql("CREATE TABLE ppcat.db.t (a BIGINT, p STRING, d BIGINT) " +
+      "PARTITIONED BY (p, d)")
+    spark.sql("INSERT INTO ppcat.db.t SELECT id, concat('r', id % 2), " +
+      "id % 3 FROM range(12)")
+    // prune the LEADING partition column p: a positional read of the full
+    // (p, d) dir row would serve the region string as d
+    val q = spark.readStream.table("ppcat.db.t").select("a", "d")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pp_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pp_stream").as[(Long, Long)].collect().toSet
+      val want = (0 until 12).map(i => (i.toLong, (i % 3).toLong)).toSet
+      assert(got == want, s"pruned partition values must be correct: $got")
+    } finally q.stop()
+  }
+
   test("predicate deletes on RENAMED columns committed after stream " +
       "CONSTRUCTION still bind per batch (in-source logical→physical translation)") {
     import graft.spatial.{GeoTable, Snapshots, TableSchema}
