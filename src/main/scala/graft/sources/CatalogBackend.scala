@@ -76,6 +76,13 @@ trait CatalogBackend {
     * The filesystem backend's layout IS its identity, so `false` there.
     */
   def locationDecoupled: Boolean = false
+
+  /** Identifier parts of the table REGISTERED at `path`, when this
+    * backend can answer (location-uniqueness guard for explicit LOCATION
+    * clauses — two idents sharing a directory destroy each other on DROP
+    * PURGE). None = unknown/unsupported; the caller stays permissive.
+    */
+  def locationOwner(path: String): Option[Seq[String]] = None
 }
 
 /** Convention-over-layout backend: `<warehouse>/<ns…>/<table>`. */
@@ -180,6 +187,15 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
   override def forgetTable(ident: Identifier): Unit =
     update(warehouse)(_ - key(ident))
 
+  override def locationOwner(path: String): Option[Seq[String]] = {
+    val want = Paths.get(path).toAbsolutePath.normalize
+    read(warehouse).collectFirst {
+      case (k, v) if k.startsWith("table.") &&
+          Paths.get(v).toAbsolutePath.normalize == want =>
+        unescSplit(k.stripPrefix("table."))
+    }
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Path = {
     // metadata-only: the data directory stays where it is. BOTH identity
     // checks re-run INSIDE the CAS update — the catalog's pre-checks are
@@ -219,7 +235,11 @@ class RegistryBackend(warehouse: String) extends CatalogBackend {
   }
 
   override def namespaceExists(ns: Array[String]): Boolean =
-    listNamespaces(_ => false).exists(_.sameElements(ns))
+    // the ROOT namespace always exists (it cannot be declared or implied
+    // by table keys, yet `SHOW TABLES` against the catalog's default
+    // namespace [] must not throw NoSuchNamespace — the filesystem
+    // backend's warehouse-dir check says true for the same reason)
+    ns.isEmpty || listNamespaces(_ => false).exists(_.sameElements(ns))
 
   override def createNamespace(ns: Array[String]): Unit = {
     // record the namespace AND materialize its default-layout dir, so

@@ -216,7 +216,12 @@ object DeleteFiles {
       var i = k.indexOf('/')
       while (i >= 0) {
         val suf = k.substring(i + 1)
-        if (suf.nonEmpty && !m.contains(suf)) m(suf) = v
+        // MERGE on suffix collision: the same data file recorded under two
+        // roots (old and new delete files) must attach BOTH coverage sets —
+        // keeping the first would drop the other's positions
+        // nondeterministically (map iteration order)
+        if (suf.nonEmpty)
+          m(suf) = (m.getOrElse(suf, Nil) ++ v).distinct
         i = k.indexOf('/', i + 1)
       }
     }
@@ -319,6 +324,18 @@ object DeleteFileCache {
         .getOrElse(Array.emptyLongArray))
   }
 
+  /** Catalyst values compare by `equals`, but BinaryType extracts as
+    * Array[Byte], whose equals is REFERENCE identity — a binary-keyed
+    * equality delete would never match any row (set membership always
+    * false, every deleted row resurrected). Canonicalize to a
+    * value-comparing immutable wrapper; BOTH the cached key set and the
+    * per-row probes must build keys through this one seat.
+    */
+  def canonKeyVal(v: Any): Any = v match {
+    case a: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    case x => x
+  }
+
   /** The key set of an equality-delete file, as CATALYST values (so they
     * compare equal to reader-row extractions). Rows are copied out of the
     * reader's reused buffer before extraction.
@@ -329,7 +346,8 @@ object DeleteFileCache {
       var n = 0L
       readAll(spec.factory, spec.file) { r =>
         val copied = r.copy()
-        acc += spec.types.indices.map(i => copied.get(i, spec.types(i)): Any).toList
+        acc += spec.types.indices
+          .map(i => canonKeyVal(copied.get(i, spec.types(i)))).toList
         n += 1
       }
       (acc.result(), n * (16L * spec.types.length + 48L))

@@ -289,9 +289,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
       properties: util.Map[String, String]): java.nio.file.Path =
     Option(properties.get("location"))
       .filter(_ => backend.locationDecoupled)
-      // Spark qualifies LOCATION into a URI (file:/…) — back to a path
-      .map(loc => java.nio.file.Paths.get(
-        if (loc.contains(":")) new java.net.URI(loc).getPath else loc))
+      // Spark qualifies LOCATION into a URI (file:/…) — back to a path.
+      // Refuse what a bare getPath would SILENTLY corrupt: an
+      // authority-bearing URI (s3a://bucket/t would lose its bucket) or
+      // an opaque one (getPath null → NPE)
+      .map { loc =>
+        val p =
+          if (loc.contains(":")) {
+            val u = new java.net.URI(loc)
+            require(u.getScheme == null || u.getScheme == "file",
+              s"LOCATION '$loc': this catalog backend stores local paths; " +
+                "an authority-bearing URI would silently drop its authority")
+            require(u.getPath != null && u.getPath.nonEmpty,
+              s"LOCATION '$loc' has no path component")
+            java.nio.file.Paths.get(u.getPath)
+          } else java.nio.file.Paths.get(loc)
+        // another registered table already owning this location would be
+        // silently replaced (and a later DROP PURGE of either ident would
+        // destroy the other's data)
+        backend.locationOwner(p.toString)
+          .filterNot(_ == ident.namespace.toSeq :+ ident.name)
+          .foreach(owner => throw new IllegalArgumentException(
+            s"LOCATION '$loc' is already the location of table " +
+              s"${owner.mkString(".")}"))
+        p
+      }
       .getOrElse {
         val base = tablePath(ident)
         // metastore backends: a non-purging DROP leaves the old data in
@@ -545,6 +567,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     java.nio.file.Files.exists(viewPath(ident))
 
   override def listViews(namespace: String*): Array[Identifier] = {
+    // same strictness as listTables/listNamespaces: a typo'd namespace is
+    // an ERROR, not an empty listing
+    if (!namespaceExists(namespace.toArray))
+      throw new NoSuchNamespaceException(namespace.toArray)
     val ns = java.nio.file.Paths.get(warehouse, namespace: _*)
     if (!java.nio.file.Files.isDirectory(ns)) return Array.empty
     val listed = Snapshots.listDir(ns)(_.toSeq)
@@ -669,6 +695,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with StagingTabl
     if (cascade && namespaceExists(namespace))
       try listTables(namespace).foreach(invalidateTable)
       catch { case _: NoSuchNamespaceException => () }
+    // metastore backends count only REGISTERED tables as contents — a
+    // namespace still holding catalog VIEWS must refuse a non-cascade
+    // drop (the filesystem backend refuses on the non-empty directory;
+    // dropping would orphan views in a namespace that no longer exists)
+    if (!cascade && namespaceExists(namespace) &&
+        scala.util.Try(listViews(namespace.toIndexedSeq: _*).nonEmpty).getOrElse(false))
+      throw new IllegalStateException(
+        s"namespace not empty (views): ${namespace.mkString(".")}")
     backend.dropNamespace(namespace, cascade, ident => { dropTable(ident); () })
   }
 }
@@ -724,21 +758,42 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
       java.nio.file.Files.createDirectories(dst.getParent)
       java.nio.file.Files.move(src, dst)
     }
-    // extended-type declarations made on the staging dir travel with it
-    val xt = java.nio.file.Paths.get(tmpPath, graft.spatial.ExtendedTypes.FileName)
-    if (java.nio.file.Files.exists(xt))
-      java.nio.file.Files.copy(xt,
-        java.nio.file.Paths.get(finalPath, graft.spatial.ExtendedTypes.FileName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // REPLACE is a NEW DEFINITION: after the commit lands, the replaced
+    // table's table-level sidecars (they describe the OLD definition)
+    // reset to the staged dir's — a stale evolution log would remap the
+    // new physical columns onto old names (every read of a
+    // renamed-then-replaced column comes back NULL), and stale
+    // geometry/xtype declarations would decode columns the new definition
+    // never declared. Ordered AFTER the commit: resetting first would
+    // corrupt the OLD table if the commit then failed.
+    def resetSidecars(): Unit = Seq(graft.spatial.TableSchema.SchemaName,
+        graft.spatial.GeometryFields.PropsName,
+        graft.spatial.ExtendedTypes.FileName).foreach { n =>
+      val staged = java.nio.file.Paths.get(tmpPath, n)
+      val fin = java.nio.file.Paths.get(finalPath, n)
+      if (java.nio.file.Files.exists(staged))
+        java.nio.file.Files.copy(staged, fin,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else java.nio.file.Files.deleteIfExists(fin)
+    }
     // RE-STAMP addedV to the published version: the staging dir's own
     // commit stamped these entries with STAGING version numbers (the empty
     // staged create is v1, the CTAS insert v2), and keeping them would
     // desync equality-delete sequence scoping — the first delete on the
     // new table (seq=2) would exempt files stamped addedV=2
-    if (exists)
-      Snapshots.commitReplace(spark, finalPath, entries.map(_.copy(addedV = 0)),
+    if (exists) {
+      // a failed replace commit must not strand the already-moved staged
+      // files as phantom rows in the live dir (the CTAS-conflict branch's
+      // own posture; UUID names — only ours)
+      try Snapshots.commitReplace(spark, finalPath, entries.map(_.copy(addedV = 0)),
         schema, parts, finalProps)
-    else
+      catch { case e: Throwable =>
+        entries.foreach(en => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(finalPath, en.path)))
+        throw e
+      }
+      resetSidecars()
+    } else {
       try Snapshots.commitCreate(finalPath,
         v => GeoTable.manifestJson(entries.map(_.copy(addedV = v)), Nil, parts,
           props = finalProps, schema = Some(schema)), failIfExists = true)
@@ -757,6 +812,11 @@ class StagedGraftTable(ident: Identifier, finalPath: String, tmpPath: String,
           throw new TableAlreadyExistsException(ident)
         }
       }
+      // the fresh dir has no stale sidecars; this just carries the staged
+      // xtype/geometry declarations over (the replace-degrade path above
+      // needs the full reset)
+      resetSidecars()
+    }
     onCommit() // registry backends record the (ident -> location) mapping
     abortStagedChanges() // staged dir is spent either way
   }
@@ -826,8 +886,12 @@ object GraftView {
       ("columnAliases" -> Option(aliases).map(_.toList).getOrElse(Nil)) ~
       ("columnComments" -> Option(comments).map(_.toList.map(Option(_).getOrElse(""))).getOrElse(Nil)) ~
       ("properties" -> props)
-    java.nio.file.Files.write(p,
-      JsonMethods.compact(JsonMethods.render(json)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ATOMIC like every other metadata write (temp + move): a crash
+    // midway through a plain write leaves a truncated JSON that bricks
+    // every later loadView of an otherwise healthy view
+    graft.spatial.Snapshots.atomicReplace(p,
+      JsonMethods.compact(JsonMethods.render(json))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 

@@ -1899,7 +1899,8 @@ case class GraftBatchReaderFactory(
               val logical = proj.map(_(physical)).getOrElse(physical)
               val deleted = posDeleted ||
                 eqs.exists { case (e, keys) => keys.contains(e.ordinals.indices.map(i =>
-                  logical.get(e.ordinals(i), e.types(i)): Any).toList) } ||
+                  DeleteFileCache.canonKeyVal(
+                    logical.get(e.ordinals(i), e.types(i)))).toList) } ||
                   pred.exists(_.eval(logical))
               if (!deleted || markDeleted) {
                 val out = trim.map(_(logical)).getOrElse(logical)

@@ -310,7 +310,7 @@ object Snapshots {
       casRefs(path, rs.gen, bs, ts)
     }
 
-  private def atomicReplace(target: java.nio.file.Path, body: Array[Byte]): Unit = {
+  private[graft] def atomicReplace(target: java.nio.file.Path, body: Array[Byte]): Unit = {
     val tmp = Files.createTempFile(target.getParent, ".tmp_", target.getFileName.toString)
     Files.write(tmp, body)
     Files.move(tmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE,

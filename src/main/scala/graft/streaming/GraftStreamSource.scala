@@ -622,7 +622,8 @@ class GraftStreamReaderFactory(
               (posDel.nonEmpty && java.util.Arrays.binarySearch(posDel, pos) >= 0) ||
                 eqs.exists { case (e, keys) =>
                   keys.contains(e.ordinals.indices.map(i =>
-                    row.get(e.ordinals(i), e.types(i)): Any).toList) } ||
+                    graft.sources.DeleteFileCache.canonKeyVal(
+                      row.get(e.ordinals(i), e.types(i)))).toList) } ||
                 pred.exists(_.eval(row))
             if (!deleted) { current = row; return true }
           }
