@@ -46,7 +46,10 @@ object Events {
       // ONE purchase row per (user_id, ts): DuckDB's ASOF pick among
       // equal-ts matches is unspecified, so determinism must come from
       // the data — keep the max event_id (map-side-combinable aggregate,
-      // mirrored by arg_max in the oracle SQL)
+      // mirrored by `first(value ORDER BY event_id DESC)` in the oracle:
+      // NOT arg_max, which SKIPS rows whose value is NULL while max_by
+      // honestly returns the chosen row's NULL — the ASOF semantics the
+      // struct-last construction below preserves)
       val purchases = e.filter(col("event_type") === "purchase")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("event_id"),
@@ -160,7 +163,7 @@ object Events {
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (
         |  SELECT user_id, ts, max(event_id) AS event_id,
-        |         arg_max(value, event_id) AS value
+        |         first(value ORDER BY event_id DESC) AS value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
 

@@ -142,6 +142,11 @@ object Multimodal {
           (id, hiBits, loBits)
         }
       }.toDF("doc_id", "phash_hi", "phash_lo")
+        // THREE plan branches consume the hashes (reps aggregate, canon
+        // join, final join) — one eager localCheckpoint = one per-byte
+        // hashing pass over the corpus, not three (the Curation/
+        // TextPipeline shared-subtree posture)
+        .localCheckpoint(true)
       val reps = hashed.groupBy("phash_hi", "phash_lo").agg(min("doc_id").as("rep_id"))
       val bands = reps.select(col("rep_id"), col("phash_hi"), col("phash_lo"),
         explode(array((0 until 8).map { b =>

@@ -100,18 +100,21 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
       case AggregateExpression(Min(c), Complete, false, None, _) =>
         statKey(c).flatMap { case (k, dt) =>
           if (stats.exists(_.truncated.contains(k))) None
-          else fold(stats.map(_.mins.get(k)), dt, math.Ordering.Double.TotalOrdering.lt) }
+          else fold(stats.map(_.mins.get(k)), dt, isMin = true) }
       case AggregateExpression(Max(c), Complete, false, None, _) =>
         statKey(c).flatMap { case (k, dt) =>
           if (stats.exists(_.truncated.contains(k))) None
-          else fold(stats.map(_.maxs.get(k)), dt, math.Ordering.Double.TotalOrdering.gt) }
+          else fold(stats.map(_.maxs.get(k)), dt, isMin = false) }
       case _ => None
     }
   }
 
-  /** Shared with the DSv2 pushdown ([[graft.sources.GraftScanBuilder]]). */
+  /** Shared with the DSv2 pushdown ([[graft.sources.GraftScanBuilder]]).
+    * `isMin` = fold to the minimum (else maximum); comparisons are exact
+    * (BigDecimal / UTF8String binary order), never double arithmetic.
+    */
   private[graft] def fold(vs: Seq[Option[Any]], dt: DataType,
-      better: (Double, Double) => Boolean): Option[Any] = {
+      isMin: Boolean): Option[Any] = {
     // every file must have a stat; null stats (all-null column) stay None
     if (vs.isEmpty || vs.exists(v => v.isEmpty || v.get == null)) return None
     val raw = vs.map(_.get)
@@ -121,7 +124,6 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
         // code-unit order — they diverge for [U+E000,U+FFFF] chars mixed
         // with supplementary characters, and these values are final results
         val ss = raw.map(v => UTF8String.fromString(v.toString))
-        val isMin = better(0, 1)
         Some(ss.reduce((a, b) => if ((a.compareTo(b) < 0) == isMin) a else b))
       case _ =>
         // non-finite bounds (manifests written before the convert-side
@@ -134,7 +136,6 @@ object StatsAggregatePushdown extends Rule[LogicalPlan] {
         }
         if (nonFinite) return None
         // exact comparison (doubles would collapse longs above 2^53)
-        val isMin = better(0, 1)
         val ds = raw.map(v => BigDecimal(v.asInstanceOf[Number].toString))
         val bestIdx = ds.zipWithIndex.reduce((p, q) =>
           if (p._1 == q._1 || (p._1 < q._1) == isMin) p else q)._2

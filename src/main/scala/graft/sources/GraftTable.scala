@@ -638,12 +638,12 @@ class GraftScanBuilder(spark: SparkSession, path: String, version: Option[Int],
         case m: Min => key(m.column).flatMap { case (k, dt) =>
           if (gstats.exists(_.truncated.contains(k))) None
           else graft.plans.StatsAggregatePushdown.fold(gstats.map(_.mins.get(k)), dt,
-            math.Ordering.Double.TotalOrdering.lt).map(v => (StructField(s"min($k)", dt), v))
+            isMin = true).map(v => (StructField(s"min($k)", dt), v))
         }
         case m: Max => key(m.column).flatMap { case (k, dt) =>
           if (gstats.exists(_.truncated.contains(k))) None
           else graft.plans.StatsAggregatePushdown.fold(gstats.map(_.maxs.get(k)), dt,
-            math.Ordering.Double.TotalOrdering.gt).map(v => (StructField(s"max($k)", dt), v))
+            isMin = false).map(v => (StructField(s"max($k)", dt), v))
         }
         // COUNT(col) = Σ (rows − null_count(col)) — answerable whenever
         // every file carries a null count for the column (the reference's
@@ -942,9 +942,9 @@ class GraftScan(spark: SparkSession, path: String, version: Option[Int],
       if (!encodings.contains(f.name)) {
         val phys = logicalToPhysical.getOrElse(f.name, f.name)
         val mn = graft.plans.StatsAggregatePushdown.fold(
-          files.map(_.mins.get(phys)), f.dataType, math.Ordering.Double.TotalOrdering.lt)
+          files.map(_.mins.get(phys)), f.dataType, isMin = true)
         val mx = graft.plans.StatsAggregatePushdown.fold(
-          files.map(_.maxs.get(phys)), f.dataType, math.Ordering.Double.TotalOrdering.gt)
+          files.map(_.maxs.get(phys)), f.dataType, isMin = false)
         val nc: Option[Long] =
           if (files.nonEmpty && files.forall(_.nulls.contains(phys)))
             Some(files.map(_.nulls(phys)).sum)
