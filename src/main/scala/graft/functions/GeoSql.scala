@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.call_function
   * FunctionRegistry so both SQL and `call_function` resolve them).
   */
 object GeoSql {
-  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_geomfromtext" -> (e => StGeomFromText(e.head)),
     "st_geomfromwkb" -> (e => StGeomFromWkb(e.head)),
     "st_geomfromgeojson" -> (e => StGeomFromGeoJson(e.head)),

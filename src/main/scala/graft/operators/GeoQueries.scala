@@ -404,6 +404,57 @@ object GeoQueries {
         .agg(count(lit(1)).as("n_points"))
     }),
 
+    // the SQL SPELLING of the spatial join — `… JOIN … ON
+    // ST_Intersects(p.geom, r.rgeom)`, the shape a SQL user writes and the
+    // reference serves through Sedona's RangeJoin strategy — planned
+    // through the PBSM cell-explode equi-join by SpatialJoinRewrite
+    // instead of a BroadcastNestedLoopJoin cartesian. Same answer and
+    // oracle as geo_spatial_join (which reaches the construction through
+    // the Scala API). fallbackBytes=0 pins the rewrite path at tiny
+    // correctness scale: the default gate hands a sub-broadcast-threshold
+    // side to the nested loop (the right production fallback), which
+    // would leave this query exercising the fallback, not the rewrite.
+    // The conf stays set for the session — it only governs which PLAN the
+    // spatial-join rewrite picks, never an answer.
+    "geo_sql_spatial_join" -> ((s, dir) => {
+      Geo.install(s)
+      s.conf.set(graft.spatial.SpatialJoinRewrite.FallbackBytesKey, "0")
+      s.conf.set(graft.spatial.SpatialJoinRewrite.CellDegKey, "15.0")
+      pts(s, dir).select(col("c_custkey"), col("geom"))
+        .createOrReplaceTempView("sqlspj_pts")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("sqlspj_nation")
+      s.sql("""SELECT region_id, count(1) AS n_points
+              |FROM sqlspj_pts p JOIN (
+              |  SELECT n_nationkey AS region_id,
+              |         st_makeenvelope(rxmin, rymin, rxmin + 30.0, rymin + 30.0) AS rgeom
+              |  FROM (SELECT n_nationkey,
+              |        CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 180.0 AS rxmin,
+              |        CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 90.0 AS rymin
+              |        FROM sqlspj_nation)) r
+              |ON ST_Intersects(p.geom, r.rgeom)
+              |GROUP BY region_id""".stripMargin)
+    }),
+
+    // the SQL spelling of the DISTANCE join (`ON ST_DWithin(…, d)`),
+    // rewritten into the d-expanded PBSM equi-join. Same answer and
+    // oracle as geo_dwithin_join.
+    "geo_sql_dwithin_join" -> ((s, dir) => {
+      Geo.install(s)
+      s.conf.set(graft.spatial.SpatialJoinRewrite.FallbackBytesKey, "0")
+      s.conf.set(graft.spatial.SpatialJoinRewrite.CellDegKey, "15.0")
+      pts(s, dir).select(col("c_custkey"), col("geom"))
+        .createOrReplaceTempView("sqldw_pts")
+      Tables.load(s, dir, "nation").createOrReplaceTempView("sqldw_nation")
+      s.sql("""SELECT region_id, count(1) AS n_points
+              |FROM sqldw_pts p JOIN (
+              |  SELECT n_nationkey AS region_id,
+              |         st_point(CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 165.0,
+              |                  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 75.0) AS ageom
+              |  FROM sqldw_nation) r
+              |ON ST_DWithin(p.geom, r.ageom, 5.005D)
+              |GROUP BY region_id""".stripMargin)
+    }),
+
     // grid-MATERIALIZED storage-partitioned spatial join: both sides are
     // written as co-gridded catalog tables (one stored row per covered
     // grid cell, identity-partitioned by cell_x/cell_y), and the spatial
@@ -835,6 +886,28 @@ object GeoQueries {
          |FROM ($ptsSql) p JOIN r
          |  ON p.x >= r.rxmin AND p.x <= r.rxmin + 30.0
          | AND p.y >= r.rymin AND p.y <= r.rymin + 30.0
+         |GROUP BY region_id""".stripMargin,
+
+    "geo_sql_spatial_join" ->
+      s"""WITH r AS (SELECT n_nationkey AS region_id,
+         |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 180.0 AS rxmin,
+         |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 90.0 AS rymin
+         | FROM nation)
+         |SELECT region_id, count(*) AS n_points
+         |FROM ($ptsSql) p JOIN r
+         |  ON p.x >= r.rxmin AND p.x <= r.rxmin + 30.0
+         | AND p.y >= r.rymin AND p.y <= r.rymin + 30.0
+         |GROUP BY region_id""".stripMargin,
+
+    "geo_sql_dwithin_join" ->
+      s"""WITH r AS (SELECT n_nationkey AS region_id,
+         |  CAST(n_nationkey * 7919 % 330 AS DOUBLE) - 165.0 AS ax,
+         |  CAST(n_nationkey * 104729 % 150 AS DOUBLE) - 75.0 AS ay
+         | FROM nation)
+         |SELECT region_id, count(*) AS n_points
+         |FROM ($ptsSql) p JOIN r
+         |  ON (p.x - r.ax)*(p.x - r.ax) + (p.y - r.ay)*(p.y - r.ay)
+         |     <= 5.005*5.005
          |GROUP BY region_id""".stripMargin,
 
     "geo_spatial_join" ->

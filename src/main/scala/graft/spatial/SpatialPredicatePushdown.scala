@@ -472,8 +472,11 @@ object SpatialPredicatePushdown extends Rule[LogicalPlan] {
   */
 object Geo {
   def installRule(spark: SparkSession): Unit = {
-    val rules = Seq(SpatialPredicatePushdown, graft.plans.StatsAggregatePushdown,
-      graft.sources.GraftScanFilterPushdown)
+    // SpatialJoinRewrite AFTER SpatialPredicatePushdown in the list: within
+    // one fixpoint iteration the window-bound propagation (file pruning)
+    // runs before the join shape is rewritten away
+    val rules = Seq(SpatialPredicatePushdown, SpatialJoinRewrite,
+      graft.plans.StatsAggregatePushdown, graft.sources.GraftScanFilterPushdown)
     val cur = spark.experimental.extraOptimizations
     val missing = rules.filterNot(cur.contains)
     if (missing.nonEmpty) {
