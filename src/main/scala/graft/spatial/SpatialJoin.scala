@@ -23,6 +23,15 @@ import graft.functions.GeoSql
   */
 object SpatialJoin {
 
+  // internal columns carry the __graft_spj_ marker prefix SHARED with
+  // SpatialJoinRewrite's generated attributes: when a later optimizer
+  // batch folds the refine Filter back into the equi-join condition, the
+  // rewrite rule's reference guard must recognize this construction as
+  // its own machinery and decline to re-explode it (a -1 broadcast
+  // threshold disables the tiny-side gate, so the guard is the only thing
+  // standing between an API-built join and a double explode — caught by
+  // the SpatialJoinSpec AQE-skew fixture)
+
   /** Cells covered by a bbox, as an array of (cx, cy) structs — structs
     * rather than a packed long so arbitrary coordinate ranges can't collide.
     */
@@ -56,22 +65,22 @@ object SpatialJoin {
 
     def prepared(df: DataFrame, g: String, side: String): DataFrame = {
       val bb = GeoSql.st_bbox(col(g))
-      df.withColumn(s"__${side}_bbox", bb)
-        .withColumn(s"__${side}_cell", explode(cells(
-          col(s"__${side}_bbox.xmin"), col(s"__${side}_bbox.ymin"),
-          col(s"__${side}_bbox.xmax"), col(s"__${side}_bbox.ymax"), cellDeg)))
+      df.withColumn(s"__graft_spj_${side}bbox", bb)
+        .withColumn(s"__graft_spj_${side}cell", explode(cells(
+          col(s"__graft_spj_${side}bbox.xmin"), col(s"__graft_spj_${side}bbox.ymin"),
+          col(s"__graft_spj_${side}bbox.xmax"), col(s"__graft_spj_${side}bbox.ymax"), cellDeg)))
     }
 
     val l = prepared(left, lCol, "l")
     val r = prepared(right, rCol, "r")
-    val joined = l.join(r, col("__l_cell") === col("__r_cell"))
+    val joined = l.join(r, col("__graft_spj_lcell") === col("__graft_spj_rcell"))
       // de-dup: keep the single cell holding the bbox-intersection corner
-      .filter(col("__l_cell") === refCell(
-        col("__l_bbox.xmin"), col("__l_bbox.ymin"),
-        col("__r_bbox.xmin"), col("__r_bbox.ymin"), cellDeg))
+      .filter(col("__graft_spj_lcell") === refCell(
+        col("__graft_spj_lbbox.xmin"), col("__graft_spj_lbbox.ymin"),
+        col("__graft_spj_rbbox.xmin"), col("__graft_spj_rbbox.ymin"), cellDeg))
       // exact refinement
       .filter(GeoSql.st_intersects(col(lCol), col(rCol)))
-    joined.drop("__l_bbox", "__l_cell", "__r_bbox", "__r_cell")
+    joined.drop("__graft_spj_lbbox", "__graft_spj_lcell", "__graft_spj_rbbox", "__graft_spj_rcell")
   }
 
   /** Inner DISTANCE join: pairs with `ST_DWithin(lCol, rCol, dist)` —
@@ -93,20 +102,20 @@ object SpatialJoin {
       s"cellDeg must be a positive finite grid pitch, got $cellDeg")
     val spark = left.sparkSession
     GeoSql.install(spark)
-    val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
-      .withColumn("__l_cell", explode(cells(
-        col("__l_bbox.xmin") - dist, col("__l_bbox.ymin") - dist,
-        col("__l_bbox.xmax") + dist, col("__l_bbox.ymax") + dist, cellDeg)))
-    val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
-      .withColumn("__r_cell", explode(cells(
-        col("__r_bbox.xmin"), col("__r_bbox.ymin"),
-        col("__r_bbox.xmax"), col("__r_bbox.ymax"), cellDeg)))
-    l.join(r, col("__l_cell") === col("__r_cell"))
-      .filter(col("__l_cell") === refCell(
-        col("__l_bbox.xmin") - dist, col("__l_bbox.ymin") - dist,
-        col("__r_bbox.xmin"), col("__r_bbox.ymin"), cellDeg))
+    val l = left.withColumn("__graft_spj_lbbox", GeoSql.st_bbox(col(lCol)))
+      .withColumn("__graft_spj_lcell", explode(cells(
+        col("__graft_spj_lbbox.xmin") - dist, col("__graft_spj_lbbox.ymin") - dist,
+        col("__graft_spj_lbbox.xmax") + dist, col("__graft_spj_lbbox.ymax") + dist, cellDeg)))
+    val r = right.withColumn("__graft_spj_rbbox", GeoSql.st_bbox(col(rCol)))
+      .withColumn("__graft_spj_rcell", explode(cells(
+        col("__graft_spj_rbbox.xmin"), col("__graft_spj_rbbox.ymin"),
+        col("__graft_spj_rbbox.xmax"), col("__graft_spj_rbbox.ymax"), cellDeg)))
+    l.join(r, col("__graft_spj_lcell") === col("__graft_spj_rcell"))
+      .filter(col("__graft_spj_lcell") === refCell(
+        col("__graft_spj_lbbox.xmin") - dist, col("__graft_spj_lbbox.ymin") - dist,
+        col("__graft_spj_rbbox.xmin"), col("__graft_spj_rbbox.ymin"), cellDeg))
       .filter(GeoSql.st_dwithin(col(lCol), col(rCol), lit(dist)))
-      .drop("__l_bbox", "__l_cell", "__r_bbox", "__r_cell")
+      .drop("__graft_spj_lbbox", "__graft_spj_lcell", "__graft_spj_rbbox", "__graft_spj_rcell")
   }
 
   // ---- grid-MATERIALIZED face: the storage-partitioned spatial join ------
@@ -229,17 +238,17 @@ object SpatialJoin {
     // exact here: the unexpanded bbox-intersection corner cell is covered
     // by the expanded cover too, so the pair is found, exactly once
     GeoSql.install(left.sparkSession)
-    val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
-    val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
+    val l = left.withColumn("__graft_spj_lbbox", GeoSql.st_bbox(col(lCol)))
+    val r = right.withColumn("__graft_spj_rbbox", GeoSql.st_bbox(col(rCol)))
     l.join(r, Seq("cell_x", "cell_y"))
       // de-dup: keep the single cell holding the bbox-intersection corner
       .filter(col("cell_x") === floor(greatest(
-          col("__l_bbox.xmin"), col("__r_bbox.xmin")) / cellDeg).cast("long") &&
+          col("__graft_spj_lbbox.xmin"), col("__graft_spj_rbbox.xmin")) / cellDeg).cast("long") &&
         col("cell_y") === floor(greatest(
-          col("__l_bbox.ymin"), col("__r_bbox.ymin")) / cellDeg).cast("long"))
+          col("__graft_spj_lbbox.ymin"), col("__graft_spj_rbbox.ymin")) / cellDeg).cast("long"))
       // exact refinement
       .filter(GeoSql.st_intersects(col(lCol), col(rCol)))
-      .drop("__l_bbox", "__r_bbox", "cell_x", "cell_y")
+      .drop("__graft_spj_lbbox", "__graft_spj_rbbox", "cell_x", "cell_y")
   }
 
   /** Inner `ST_DWithin` join of two GRID-MATERIALIZED frames — the
@@ -271,18 +280,18 @@ object SpatialJoin {
         "meet in a stored cell; re-grid a side with " +
         s"SpatialJoin.gridded(..., expand >= ${dist - math.min(eL, eR)})")
     GeoSql.install(left.sparkSession)
-    val l = left.withColumn("__l_bbox", GeoSql.st_bbox(col(lCol)))
-    val r = right.withColumn("__r_bbox", GeoSql.st_bbox(col(rCol)))
+    val l = left.withColumn("__graft_spj_lbbox", GeoSql.st_bbox(col(lCol)))
+    val r = right.withColumn("__graft_spj_rbbox", GeoSql.st_bbox(col(rCol)))
     l.join(r, Seq("cell_x", "cell_y"))
       // de-dup: the single cell holding the EXPANDED-intersection corner
       .filter(col("cell_x") === floor(greatest(
-          col("__l_bbox.xmin") - eL, col("__r_bbox.xmin") - eR) / cellDeg)
+          col("__graft_spj_lbbox.xmin") - eL, col("__graft_spj_rbbox.xmin") - eR) / cellDeg)
           .cast("long") &&
         col("cell_y") === floor(greatest(
-          col("__l_bbox.ymin") - eL, col("__r_bbox.ymin") - eR) / cellDeg)
+          col("__graft_spj_lbbox.ymin") - eL, col("__graft_spj_rbbox.ymin") - eR) / cellDeg)
           .cast("long"))
       // exact refinement
       .filter(GeoSql.st_dwithin(col(lCol), col(rCol), lit(dist)))
-      .drop("__l_bbox", "__r_bbox", "cell_x", "cell_y")
+      .drop("__graft_spj_lbbox", "__graft_spj_rbbox", "cell_x", "cell_y")
   }
 }

@@ -51,9 +51,12 @@ import graft.functions.{StBboxStruct, StDWithin, StDistance, StIntersects}
   *    default = autoBroadcastJoinThreshold): a handful of broadcast rows
   *    beats exploding a side whose huge geometries could cover thousands
   *    of cells each — BNLJ over a tiny broadcast is the cheaper plan;
-  *  - the condition already references `__graft_spj_`-prefixed attributes
-  *    (a rewritten join whose refine Filter some later batch folded back
-  *    into the condition must not re-explode — idempotence under any seat).
+  *  - the condition already holds a cross-side equi-conjunct: such a join
+  *    never plans as a nested loop (the equi keys hash/sort, the spatial
+  *    predicate rides as a residual), and the gate doubles as the
+  *    idempotence proof — every rewritten or API-built PBSM join carries
+  *    its cell equality there, however later batches rename attributes
+  *    (a `__graft_spj_` reference check backs it up).
   *
   * Pitch: `spark.graft.spatial.join.cellDeg` (default 1.0 coordinate
   * units), the [[SpatialJoin]] contract — data-independent shuffle-key
@@ -71,11 +74,34 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] {
     plan.transform {
       case j @ Join(_, _, Inner | Cross, Some(cond), hint)
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty &&
-            !cond.references.exists(_.name.startsWith(P)) =>
+            !cond.references.exists(_.name.startsWith(P)) &&
+            !hasCrossSideEquiKey(j, cond) =>
         driverOf(j, cond) match {
           case Some(d) if !anySideTiny(j) => rewrite(j, cond, d)
           case _ => j
         }
+    }
+  }
+
+  /** The structural idempotence + necessity gate: a join whose condition
+    * already holds a cross-side equi-conjunct never plans as a nested-loop
+    * cartesian — ExtractEquiJoinKeys hashes/sorts on those keys and keeps
+    * the spatial predicate as a residual — so there is nothing to rescue,
+    * and rewriting would only add an explode. This also recognizes every
+    * already-rewritten or API-built PBSM join by SHAPE (their cell
+    * equality conjuncts) — name-based guards alone miss them once
+    * NestedColumnAliasing rewrites `bbox.xmin` references into fresh
+    * `_extract_*` attributes (caught by the co-gridded SPJ plan spec).
+    */
+  private def hasCrossSideEquiKey(j: Join, cond: Expression): Boolean = {
+    def crossRef(a: Expression, b: Expression): Boolean =
+      a.references.nonEmpty && b.references.nonEmpty &&
+        ((a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
+          (a.references.subsetOf(j.right.outputSet) && b.references.subsetOf(j.left.outputSet)))
+    splitAnd(cond).exists {
+      case EqualTo(a, b) => crossRef(a, b)
+      case EqualNullSafe(a, b) => crossRef(a, b)
+      case _ => false
     }
   }
 

@@ -85,6 +85,65 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(gdw == dw, s"gridded face must agree: $gdw vs $dw")
   }
 
+  test("AQE actually splits the skewed mega-cell partition in the shuffled join " +
+      "(the 100 TB urban-skew claim, pinned on the post-AQE plan)") {
+    graft.spatial.Geo.install(spark)
+    // urban-skew shape: ~99% of the left points land in ONE grid cell
+    // (cell (0,0) at cellDeg=1), a thin spread fills other cells so the
+    // skewed partition towers over the median
+    val rows = (0 until 40000).map { i =>
+      val (x, y) =
+        if (i % 100 == 0) ((((i / 100) * 7) % 50) + 10.5, 0.5)
+        else (0.2 + (i % 997) * 5e-4, 0.3 + (i % 991) * 4e-4)
+      Row(i.toLong, GeoCodec.writeWkb(GeoCodec.point(x, y)))
+    }
+    val pts = spark.createDataFrame(spark.sparkContext.parallelize(rows, 8),
+      StructType(Seq(StructField("p_id", LongType), StructField("p_geom", BinaryType))))
+    val polys = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Row(1L, GeoCodec.writeWkb(GeoCodec.envelope(0.05, 0.05, 0.95, 0.95))),
+        Row(2L, GeoCodec.writeWkb(GeoCodec.envelope(10.0, 0.0, 20.0, 1.0))),
+        Row(3L, GeoCodec.writeWkb(GeoCodec.envelope(30.0, 0.0, 45.0, 1.0)))), 2),
+      StructType(Seq(StructField("poly_id", LongType), StructField("poly_geom", BinaryType))))
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scale the production thresholds down to the fixture: skewed =
+      // size > max(64 KB, 2x median), split chunks of ~32 KB
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32768")
+      // no broadcast: the claim under test is the SHUFFLED join's skew path
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = SpatialJoin.intersects(pts, "p_geom", polys, "poly_geom", cellDeg = 1.0)
+        .select(col("p_id"), col("poly_id"))
+      // execute THIS DataFrame so ITS adaptive plan finalizes (a .count()
+      // would execute a different QueryExecution)
+      val n = joined.collect().length.toLong
+      val brute = pts.crossJoin(polys)
+        .filter(st_intersects(col("p_geom"), col("poly_geom"))).count()
+      assert(n == brute && n > 39000L, s"skew split changed the answer: $n vs $brute")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE plan did not finalize:\n$plan")
+      // regression: with broadcast disabled the tiny-side gate is off, and
+      // SpatialJoinRewrite must still recognize the API construction as
+      // its own machinery (marker prefix) — not re-explode it
+      assert(!plan.contains("__graft_spj_lcx"),
+        s"the rewrite rule re-exploded an API-built spatial join:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"the post-AQE plan must split the skewed partition (no skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no cross product in the grid join plan") {
     val plan = SpatialJoin.intersects(pointDf(50, "p"), "p_geom", polyDf(10), "poly_geom")
       .queryExecution.executedPlan.toString
