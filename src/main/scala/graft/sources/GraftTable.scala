@@ -1818,12 +1818,75 @@ case class GraftBatchReaderFactory(
       physicalCombined.size != keepIdx.length ||
       rowIdxOrdinal >= 0 || metaCols.nonEmpty
 
+  /** Clean files whose ONLY row-mode reason is a declared geometry storage
+    * encoding keep the COLUMNAR path: the encoded column decodes
+    * batch-at-a-time into a fresh binary vector, every other column serves
+    * zero-copy from the parquet batch, and the scan keeps feeding
+    * whole-stage codegen through ColumnarToRow. This is the "do better
+    * with a WKB-vector reader" half of SURVEY §4: the reference drops a
+    * whole file to row-oriented reads whenever the projected schema
+    * contains a geometry; here only the geometry column pays per-value
+    * decode. Delete state, MoR predicates, row-index and metadata columns
+    * still force the row path (their per-file scoping logic lives there).
+    */
+  private def decodeOnlyMode: Boolean =
+    projection.isDefined && morPredicate.isEmpty && !anyDeletes &&
+      physicalCombined.size == keepIdx.length &&
+      rowIdxOrdinal < 0 && metaCols.isEmpty
+
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    vectorizationEnabled && !uniformRowMode &&
+    vectorizationEnabled && (!uniformRowMode || decodeOnlyMode) &&
       parquet.supportColumnarReads(partition.asInstanceOf[GraftInputPartition].fp)
 
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
-    parquet.createColumnarReader(partition.asInstanceOf[GraftInputPartition].fp)
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val inner = parquet.createColumnarReader(partition.asInstanceOf[GraftInputPartition].fp)
+    if (!uniformRowMode) inner
+    else new PartitionReader[ColumnarBatch] {
+      private val exprs = projection.get.toArray
+      private val decodeIdx =
+        exprs.indices.filterNot(i => exprs(i).isInstanceOf[BoundReference]).toArray
+      private var decoded: Array[org.apache.spark.sql.execution.vectorized.OnHeapColumnVector] = _
+      private var out: ColumnarBatch = _
+
+      override def next(): Boolean = {
+        if (!inner.next()) return false
+        val batch = inner.get()
+        val n = batch.numRows()
+        if (decoded != null) decoded.foreach(_.close())
+        decoded = decodeIdx.map(_ =>
+          new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(
+            math.max(n, 1), org.apache.spark.sql.types.BinaryType))
+        var k = 0
+        while (k < decodeIdx.length) {
+          val vec = decoded(k)
+          val ex = exprs(decodeIdx(k))
+          var r = 0
+          while (r < n) {
+            // ColumnarBatchRow is a reused cursor — eval consumes it before
+            // the next row advance
+            val v = ex.eval(batch.getRow(r))
+            if (v == null) vec.putNull(r)
+            else vec.putByteArray(r, v.asInstanceOf[Array[Byte]])
+            r += 1
+          }
+          k += 1
+        }
+        val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](exprs.length) { i =>
+          val k2 = java.util.Arrays.binarySearch(decodeIdx, i)
+          if (k2 >= 0) decoded(k2) else batch.column(i)
+        }
+        out = new ColumnarBatch(cols, n)
+        true
+      }
+
+      override def get(): ColumnarBatch = out
+
+      override def close(): Unit = {
+        if (decoded != null) decoded.foreach(_.close())
+        inner.close()
+      }
+    }
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
