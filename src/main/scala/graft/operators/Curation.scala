@@ -594,7 +594,7 @@ object Curation {
     // EXACTLY the oracle-checked tokenizer_pair_counts top-1 — the spec
     // pins that equivalence.
     "tokenizer_bpe_train" -> ((s, dir) => {
-      val merges = bpeMerges(dir, 24)(() => trainBpeFromCorpus(s, dir, 24))
+      val merges = bpeMerges(dir, 24)(cap => trainBpeFromCorpus(s, dir, 24, cap))
       s.createDataFrame(merges.zipWithIndex.map { case ((l, r, f), i) =>
         (i + 1, l, r, l + r, f) })
         .toDF("rank", "left", "right", "merged", "pair_freq")
@@ -618,7 +618,7 @@ object Curation {
       val d = docs(s, dir)
       // warm invocations serve the merge table from the content-stamped
       // cache: zero training jobs, the encode below is the only scan
-      val merges = bpeMerges(dir, 24)(() => trainBpeFromCorpus(s, dir, 24))
+      val merges = bpeMerges(dir, 24)(cap => trainBpeFromCorpus(s, dir, 24, cap))
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
       val enc0 = regexp_replace(col("__norm"), "(.)", " $1\n")
       val encoded = merges.foldLeft(enc0) { case (e, (l, r, _)) =>
@@ -701,8 +701,13 @@ object Curation {
   private[graft] val bpeMergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), Seq[(String, String, Long)]]()
 
+  /** The train thunk RECEIVES the dictionary cap the artifact is keyed
+    * under — a caller training with its own cap would otherwise cache
+    * under a key that silently disagrees with the artifact (r18 review
+    * finding).
+    */
   private[graft] def bpeMerges(dir: String, k: Int, dictCap: Int = 65536)
-      (train: () => Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
+      (train: Int => Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val fp = graft.Stamps.tableFingerprint(Seq(s"$dir/documents.parquet"))
     val hit = bpeMergeMemo.get((fp, dictCap, k))
@@ -721,7 +726,7 @@ object Curation {
           }
       }.toOption // a torn/foreign file retrains and overwrites, never throws
     val merges = fromDisk.getOrElse {
-      val m = train()
+      val m = train(dictCap)
       cacheDir.mkdirs()
       val enc = java.util.Base64.getEncoder
       val body = m.map { case (l, r, f) =>
@@ -733,9 +738,16 @@ object Curation {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       // stale FINGERPRINTS sweep (regenerated corpus); other (k, cap)
-      // artifacts of the current fingerprint stay
+      // artifacts of the current fingerprint stay. Crashed-writer .tmp
+      // debris sweeps too, age-gated so a CONCURRENT writer's live temp
+      // file is never yanked out from under its atomic rename
+      val tmpCutoff = System.currentTimeMillis() - 10 * 60 * 1000L
       Option(cacheDir.listFiles()).getOrElse(Array.empty)
-        .filter(f2 => f2.getName.endsWith(".tsv") && !f2.getName.endsWith(s"_$fp.tsv"))
+        .filter { f2 =>
+          val n = f2.getName
+          (n.endsWith(".tsv") && !n.endsWith(s"_$fp.tsv")) ||
+            (n.endsWith(".tmp") && f2.lastModified() < tmpCutoff)
+        }
         .foreach(_.delete())
       m
     }

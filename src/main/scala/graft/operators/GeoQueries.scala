@@ -422,9 +422,13 @@ object GeoQueries {
     // correctness scale: the default gate hands a sub-broadcast-threshold
     // side to the nested loop (the right production fallback), which
     // would leave this query exercising the fallback, not the rewrite.
-    // The conf stays set for the session — it only governs which PLAN the
-    // spatial-join rewrite picks, never an answer.
-    "geo_sql_spatial_join" -> ((s, dir) => {
+    // The confs live on a CHILD session (isolated SQL conf, shared
+    // catalog/state): optimization runs lazily at action time, so a
+    // set-then-restore around the sql() call would un-pin the plan, and
+    // setting them on the caller's session would reconfigure every later
+    // spatial join it plans (r18 review finding).
+    "geo_sql_spatial_join" -> ((s0, dir) => {
+      val s = s0.newSession()
       Geo.install(s)
       s.conf.set(graft.spatial.SpatialJoinRewrite.FallbackBytesKey, "0")
       s.conf.set(graft.spatial.SpatialJoinRewrite.CellDegKey, "15.0")
@@ -445,8 +449,9 @@ object GeoQueries {
 
     // the SQL spelling of the DISTANCE join (`ON ST_DWithin(…, d)`),
     // rewritten into the d-expanded PBSM equi-join. Same answer and
-    // oracle as geo_dwithin_join.
-    "geo_sql_dwithin_join" -> ((s, dir) => {
+    // oracle as geo_dwithin_join; same child-session conf isolation.
+    "geo_sql_dwithin_join" -> ((s0, dir) => {
+      val s = s0.newSession()
       Geo.install(s)
       s.conf.set(graft.spatial.SpatialJoinRewrite.FallbackBytesKey, "0")
       s.conf.set(graft.spatial.SpatialJoinRewrite.CellDegKey, "15.0")

@@ -35,21 +35,21 @@ class BpeCacheSpec extends AnyFunSuite {
     val dir = freshCorpus()
     // cold: trains exactly once
     var trained = 0
-    val first = Curation.bpeMerges(dir, 24) { () => trained += 1; sentinel }
+    val first = Curation.bpeMerges(dir, 24) { _ => trained += 1; sentinel }
     assert(first == sentinel && trained == 1)
 
     // warm (JVM memo): the throwing thunk proves zero training work
-    assert(Curation.bpeMerges(dir, 24)(() => boom()) == sentinel)
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel)
 
     // warm ACROSS PROCESSES: clear the JVM layers (memo + stamp memo —
     // what a fresh process starts without); the disk artifact must serve,
     // round-tripping the adversarial fragments byte-for-byte
     Curation.bpeMergeMemo.clear()
     Stamps.stampMemo.clear()
-    assert(Curation.bpeMerges(dir, 24)(() => boom()) == sentinel)
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel)
 
     // a DIFFERENT (k, cap) is a different artifact: must train
-    assert(Curation.bpeMerges(dir, 12)(() => sentinel2) == sentinel2)
+    assert(Curation.bpeMerges(dir, 12)(_ => sentinel2) == sentinel2)
 
     // regeneration: different content (same row count) must retrain even
     // through a fresh-process view, and the stale fingerprint sweeps
@@ -58,7 +58,7 @@ class BpeCacheSpec extends AnyFunSuite {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     Curation.bpeMergeMemo.clear()
     Stamps.stampMemo.clear()
-    assert(Curation.bpeMerges(dir, 24)(() => sentinel2) == sentinel2)
+    assert(Curation.bpeMerges(dir, 24)(_ => sentinel2) == sentinel2)
     val cacheDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_bpemerges_${java.security.MessageDigest.getInstance("MD5")
@@ -71,7 +71,7 @@ class BpeCacheSpec extends AnyFunSuite {
 
   test("a torn disk artifact retrains instead of throwing") {
     val dir = freshCorpus()
-    assert(Curation.bpeMerges(dir, 24)(() => sentinel) == sentinel)
+    assert(Curation.bpeMerges(dir, 24)(_ => sentinel) == sentinel)
     val cacheDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_bpemerges_${java.security.MessageDigest.getInstance("MD5")
@@ -80,11 +80,11 @@ class BpeCacheSpec extends AnyFunSuite {
     Files.write(tsv.toPath, "not\tbase64!!!\tnotalong".getBytes("UTF-8"))
     Curation.bpeMergeMemo.clear()
     Stamps.stampMemo.clear()
-    assert(Curation.bpeMerges(dir, 24)(() => sentinel2) == sentinel2)
+    assert(Curation.bpeMerges(dir, 24)(_ => sentinel2) == sentinel2)
     // and the repaired artifact serves again
     Curation.bpeMergeMemo.clear()
     Stamps.stampMemo.clear()
-    assert(Curation.bpeMerges(dir, 24)(() => boom()) == sentinel2)
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel2)
   }
 
   test("the real trainer rides the cache: train and encode share one artifact") {
@@ -92,9 +92,9 @@ class BpeCacheSpec extends AnyFunSuite {
     // whatever state earlier suites left: force ONE real train, then both
     // queries must be answerable with the throwing thunk
     Curation.bpeMergeMemo.clear()
-    val real = Curation.bpeMerges(sf, 24)(() =>
-      Curation.trainBpeFromCorpus(spark, sf, 24))
+    val real = Curation.bpeMerges(sf, 24)(cap =>
+      Curation.trainBpeFromCorpus(spark, sf, 24, cap))
     assert(real.nonEmpty && real.size <= 24)
-    assert(Curation.bpeMerges(sf, 24)(() => boom()) == real)
+    assert(Curation.bpeMerges(sf, 24)(_ => boom()) == real)
   }
 }
