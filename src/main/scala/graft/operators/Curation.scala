@@ -712,8 +712,12 @@ object Curation {
     val fp = graft.Stamps.tableFingerprint(Seq(s"$dir/documents.parquet"))
     val hit = bpeMergeMemo.get((fp, dictCap, k))
     if (hit != null) return hit
+    // v2: the artifact name carries a TRAINER-FORMAT version — when the
+    // training algorithm changes (v2 = code-point symbols), artifacts
+    // from older code must miss, not silently serve (the fingerprint only
+    // keys the CORPUS)
     val cacheDir = new java.io.File(GeoQueries.scratchPath("bpemerges", dir))
-    val file = new java.io.File(cacheDir, s"k${k}_c${dictCap}_$fp.tsv")
+    val file = new java.io.File(cacheDir, s"v2_k${k}_c${dictCap}_$fp.tsv")
     val fromDisk: Option[Seq[(String, String, Long)]] =
       if (!file.isFile) None
       else scala.util.Try {
@@ -745,7 +749,7 @@ object Curation {
       Option(cacheDir.listFiles()).getOrElse(Array.empty)
         .filter { f2 =>
           val n = f2.getName
-          (n.endsWith(".tsv") && !n.endsWith(s"_$fp.tsv")) ||
+          (n.endsWith(".tsv") && (!n.endsWith(s"_$fp.tsv") || !n.startsWith("v2_"))) ||
             (n.endsWith(".tmp") && f2.lastModified() < tmpCutoff)
         }
         .foreach(_.delete())
@@ -779,8 +783,15 @@ object Curation {
     */
   private[graft] def bpeTrain(dict: Array[(String, Long)],
       k: Int): Seq[(String, String, Long)] = {
+    // initial symbols are CODE POINTS, not UTF-16 chars: the encoder's
+    // `(.)` cell split and the DuckDB oracle's substr both treat a
+    // supplementary-plane character as ONE symbol — a char-based split
+    // would train surrogate-half merges the encode replace chain can
+    // never apply (r18 review finding)
     var words: Array[(Array[String], Long)] =
-      dict.map { case (w, f) => (w.map(_.toString).toArray, f) }
+      dict.map { case (w, f) =>
+        (w.codePoints().toArray.map(cp => new String(Character.toChars(cp))), f)
+      }
     val out = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var continue = true
     while (continue && out.length < k) {

@@ -153,10 +153,28 @@ object GeoQueries {
     * without a committed manifest is a crashed partial build: cleared
     * and rebuilt, never trusted.
     */
+  /** Serializes same-JVM ensures of one grid table (two parallel queries
+    * sharing a side — the intersects and distance faces both ensure
+    * `gpts` — must not race createFresh/append; r18 review). Cross-process
+    * racers still rely on the crash-atomic manifest commit: the loser of
+    * a create race fails loudly rather than corrupting.
+    */
+  private val ensureLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def ensureGridTable(s: SparkSession, cat: String,
       wh: String, name: String, srcRoots: Seq[String])
       (mk: Seq[String] => DataFrame): Unit = {
     val tdir = new java.io.File(wh, s"db/$name")
+    val lock = ensureLocks.computeIfAbsent(tdir.getAbsolutePath, _ => new Object)
+    lock.synchronized {
+      ensureGridTableLocked(s, cat, wh, name, srcRoots, tdir)(mk)
+    }
+  }
+
+  private def ensureGridTableLocked(s: SparkSession, cat: String,
+      wh: String, name: String, srcRoots: Seq[String], tdir: java.io.File)
+      (mk: Seq[String] => DataFrame): Unit = {
     val manifest = new java.io.File(tdir, graft.spatial.GeoTable.ManifestName)
     if (tdir.exists() && !manifest.exists()) {
       graft.spatial.Snapshots.walkDir(tdir.toPath)(_.toSeq).reverse

@@ -594,6 +594,18 @@ object Snapshots {
   private def carried(path: String, head: Int): Seq[String] =
     if (head > 0) readDeletes(path, Some(head)) else Nil
 
+  /** Pending MoR predicate-delete SQL across EVERY ref head (branches,
+    * tags, and main) — the schema-evolution guard's input: a pending
+    * predicate on any still-readable head dangles after a rename/drop of
+    * a column it references, exactly like main's.
+    */
+  private[spatial] def pendingPredicateDeleteSql(path: String): Seq[String] = {
+    val rs = refsState(path)
+    (rs.branches.values.toSeq ++ rs.tags.values.toSeq :+ rs.mainHead(path))
+      .filter(_ > 0).distinct
+      .flatMap(h => readDeletes(path, Some(h))).distinct
+  }
+
   /** Pending positional delete files of snapshot `head`. Stale entries
     * naming files no longer in the manifest are harmless (those files are
     * never read), so CoW ops carry the list as-is.

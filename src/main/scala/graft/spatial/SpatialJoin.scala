@@ -185,14 +185,26 @@ object SpatialJoin {
   private def declaredStamp(df: DataFrame, key: String): Option[Double] = {
     def ofMeta(m: org.apache.spark.sql.types.Metadata): Option[Double] =
       if (m.contains(key)) Some(m.getDouble(key)) else None
+    // cell_x and cell_y must AGREE: a frame assembled from two different
+    // grid materializations (cell_x selected off one, cell_y off another,
+    // or a union of differently-expanded grids) carries cells that satisfy
+    // neither grid's cover/dedup argument — serving headOption would
+    // silently miss pairs (r18 review)
+    def uniq(vs: Seq[Double], src: String): Option[Double] = {
+      require(vs.distinct.size <= 1,
+        s"grid stamps disagree on $key across cell columns ($src): " +
+          s"${vs.distinct.mkString(" vs ")} — this frame mixes columns from " +
+          "different grid materializations; re-grid it with SpatialJoin.gridded")
+      vs.headOption
+    }
     val fromCols = Seq("cell_x", "cell_y")
       .filter(df.columns.contains).flatMap(c => ofMeta(df.schema(c).metadata))
-    fromCols.headOption.orElse {
-      df.queryExecution.analyzed.collect {
+    uniq(fromCols, "column metadata").orElse {
+      uniq(df.queryExecution.analyzed.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
           Seq("cell_x", "cell_y").flatMap(c => r.output.find(_.name == c)
             .flatMap(a => ofMeta(a.metadata)))
-      }.flatten.headOption
+      }.flatten, "source table schemas")
     }
   }
 

@@ -264,6 +264,10 @@ object TableSchema {
     addColumn(spark, path, name.split('.').toSeq, dt)
 
   def addColumn(spark: SparkSession, path: String, parts: Seq[String], dt: DataType): Unit = {
+    // re-ADDING a name a pending predicate references would capture the
+    // NEW column's values into the old delete (the rename-then-replace
+    // hazard's second half) — same refusal
+    requireNoCarriedPredicateOn(spark, path, parts, "add")
     val entries = ensure(spark, path)
     write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
       requireStructParent(parent, parts)
@@ -283,10 +287,50 @@ object TableSchema {
     })
   }
 
+  /** A carried merge-on-read PREDICATE delete stores SQL referencing the
+    * LOGICAL names current when it was recorded. Renaming/dropping such a
+    * column leaves the stored SQL dangling: the DSv2 read path dies with
+    * an internal cannot-evaluate error on the unresolved attribute, and
+    * the V1 path only works by ACCIDENT (ResolveMissingReferences reaches
+    * through the rename projection to the stable physical column) — an
+    * accident that turns silently WRONG the moment a new column reuses
+    * the name (rename-then-replace: the predicate would capture the NEW
+    * column's values). Refuse the schema change while such predicates are
+    * pending — materialize them first (`Snapshots.rewriteDataFiles`) —
+    * the loud-refusal posture every stamp in this repo follows.
+    * Unparseable stored SQL refuses conservatively; attribute matching is
+    * case-insensitive, prefix-tolerant both ways (renaming `pt` breaks a
+    * predicate on `pt.a` and vice versa) and qualifier-tolerant (a
+    * `t.x`-style reference still names `x`).
+    */
+  private def requireNoCarriedPredicateOn(spark: SparkSession, path: String,
+      parts: Seq[String], op: String): Unit = {
+    val conds = Snapshots.pendingPredicateDeleteSql(path)
+    if (conds.isEmpty) return
+    val target = parts.map(_.toLowerCase(java.util.Locale.ROOT))
+    conds.foreach { sql =>
+      val refs: Seq[Seq[String]] = scala.util.Try(
+        spark.sessionState.sqlParser.parseExpression(sql).collect {
+          case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            ua.nameParts.map(_.toLowerCase(java.util.Locale.ROOT))
+        }).getOrElse(Seq(target)) // unparseable: conservative refuse
+      val hit = refs.exists { np =>
+        np.take(target.length) == target ||
+          target.take(np.length) == np ||
+          np.takeRight(target.length) == target
+      }
+      require(!hit, s"cannot $op column ${parts.mkString(".")}: a pending " +
+        s"merge-on-read predicate delete references it ($sql) — materialize " +
+        "pending deletes first (Snapshots.rewriteDataFiles / CALL " +
+        "system.rewrite_data_files) before evolving the schema")
+    }
+  }
+
   def renameColumn(spark: SparkSession, path: String, from: String, to: String): Unit =
     renameColumn(spark, path, from.split('.').toSeq, to)
 
   def renameColumn(spark: SparkSession, path: String, parts: Seq[String], to: String): Unit = {
+    requireNoCarriedPredicateOn(spark, path, parts, "rename")
     val entries = ensure(spark, path)
     write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
       requireStructParent(parent, parts)
@@ -388,6 +432,7 @@ object TableSchema {
     dropColumn(spark, path, name.split('.').toSeq)
 
   def dropColumn(spark: SparkSession, path: String, parts: Seq[String]): Unit = {
+    requireNoCarriedPredicateOn(spark, path, parts, "drop")
     val entries = ensure(spark, path)
     write(path, editChildren(entries, parts.init, None) { (kids, parent) =>
       requireStructParent(parent, parts)

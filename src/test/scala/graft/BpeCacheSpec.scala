@@ -65,7 +65,7 @@ class BpeCacheSpec extends AnyFunSuite {
         .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString}")
     val tsvs = Option(cacheDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".tsv")).map(_.getName).toSeq
-    assert(tsvs.size == 1 && tsvs.head.startsWith("k24_"),
+    assert(tsvs.size == 1 && tsvs.head.startsWith("v2_k24_"),
       s"stale fingerprint artifacts must sweep: $tsvs")
   }
 

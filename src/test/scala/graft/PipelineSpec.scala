@@ -236,7 +236,7 @@ class PipelineSpec extends AnyFunSuite {
     val dict = dictRows.sortBy { case (w, f) => (-f, w) }.take(65536)
     val merges = Curation.bpeTrain(dict, 24)
     def encodeWord(w: String): Int = {
-      var syms = w.map(_.toString).toArray
+      var syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
       merges.foreach { case (l, r, _) =>
         if (syms.length >= 2) {
           val b = scala.collection.mutable.ArrayBuffer[String]()
@@ -260,6 +260,65 @@ class PipelineSpec extends AnyFunSuite {
       assert(chars == norm.codePointCount(0, norm.length), s"doc $id chars")
       assert(tokens == want,
         s"doc $id: replace-chain encoding $tokens != per-word apply $want")
+    }
+  }
+
+  test("BPE encoder survives an adversarial corpus: supplementary-plane code " +
+      "points train and APPLY as single symbols, delimiter-class characters " +
+      "normalize, and the replace-chain equals the per-word apply") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpeadv").toString
+    // U+1D54F (surrogate pair in UTF-16) repeated enough to win a merge;
+    // tabs/newlines/CR collapse to single spaces; a char-based trainer
+    // would emit surrogate-half merges the encoder can never apply
+    val texts = Seq(
+      1L -> "\uD835\uDD4F\uD835\uDD4F \uD835\uDD4F\uD835\uDD4F \uD835\uDD4F\uD835\uDD4F\uD835\uDD4F",
+      2L -> "aa\tbb\naa  bb\raa",
+      3L -> "\uD835\uDD4Fa \uD835\uDD4Fa a\uD835\uDD4F",
+      4L -> "mixed \uD835\uDD4F\uD835\uDD4F words mixed words",
+      5L -> "x",
+      6L -> "")
+    import spark.implicits._
+    texts.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("tokenizer_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // independent per-word apply over CODE-POINT symbol arrays
+    val dict = texts.flatMap(_._2.toLowerCase.trim.split("\\s+"))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toArray
+      .sortBy { case (w, f) => (-f, w) }
+    val merges = Curation.bpeTrain(dict, 24)
+    // the corpus must actually exercise a supplementary merge, or this
+    // test pins nothing
+    assert(merges.exists { case (l, r, _) =>
+      (l + r).codePoints().toArray.exists(_ > 0xFFFF) }, s"merges: $merges")
+    def encodeWord(w: String): Int = {
+      var syms = w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      merges.foreach { case (l, r, _) =>
+        if (syms.length >= 2) {
+          val b = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          syms = b.toArray
+        }
+      }
+      syms.length
+    }
+    assert(got.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val norm = text.toLowerCase.trim.replaceAll("\\s+", " ")
+      val words = if (norm.isEmpty) Array.empty[String] else norm.split(" ")
+      val want = words.map(encodeWord).sum
+      val (tokens, chars) = got(id)
+      assert(chars == norm.codePointCount(0, norm.length), s"doc $id chars")
+      assert(tokens == want,
+        s"doc $id: replace-chain $tokens != per-word apply $want (merges $merges)")
     }
   }
 

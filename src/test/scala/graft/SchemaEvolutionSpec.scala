@@ -585,4 +585,36 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "concat('C', id) AS q2").writeTo("mixcat.db.m").append()
     assert(spark.table("mixcat.db.m").where("a = 'A1' AND b = 'B1' AND c = 'C1'").count() == 1)
   }
+
+  test("schema evolution REFUSES while a carried MoR predicate delete references " +
+      "the column (DSv2 would die unresolved; rename-then-replace would capture " +
+      "the new column) — and works again once deletes materialize") {
+    import graft.spatial.{GeoTable, Snapshots, TableSchema}
+    val dir = java.nio.file.Files.createTempDirectory("graft_evoguard").toString
+    spark.range(100).selectExpr("id", "CAST(id % 10 AS DOUBLE) AS x",
+      "CAST(id AS DOUBLE) AS keepme").write.mode("overwrite").parquet(dir)
+    GeoTable.writeManifest(spark, dir)
+    Snapshots.updateProperties(dir, Map("write.delete.mode" -> "merge-on-read"))
+    Snapshots.deleteMoR(spark, dir, "x < 3")
+    assert(Snapshots.read(spark, dir).count() == 70)
+    // rename, drop, and re-add of the referenced column all refuse loudly
+    Seq(
+      () => TableSchema.renameColumn(spark, dir, "x", "lon"),
+      () => TableSchema.dropColumn(spark, dir, "x"),
+      () => TableSchema.addColumn(spark, dir, "x",
+        org.apache.spark.sql.types.DoubleType)
+    ).foreach { op =>
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("merge-on-read predicate delete"), e.getMessage)
+    }
+    // an UNRELATED column still evolves freely
+    TableSchema.renameColumn(spark, dir, "keepme", "kept")
+    assert(Snapshots.read(spark, dir).columns.contains("kept"))
+    // materializing the pending deletes unblocks the evolution
+    Snapshots.rewriteDataFiles(spark, dir)
+    TableSchema.renameColumn(spark, dir, "x", "lon")
+    val out = Snapshots.read(spark, dir)
+    assert(out.columns.contains("lon") && out.count() == 70)
+    assert(spark.read.format("graft").load(dir).count() == 70)
+  }
 }
