@@ -31,6 +31,16 @@ object Bench {
       .config("spark.ui.retainedTasks", "500")
       .config("spark.sql.ui.retainedExecutions", "5")
       .config("spark.appStatusStore.asyncTracking.enable", "false")
+      // The generated-class cache (static conf) defaults to 100 entries;
+      // this workload executes ~116 distinct queries x 4 passes, each
+      // with dozens of codegen units, so at the default every pass
+      // EVICTS every other query's classes and Janino recompiles the
+      // whole workload per pass — measured 2x inflation on the
+      // checkpoint-heavy dedup family vs a focused run whose units fit
+      // the cache (r18 A/B). Size it to the workload, the same posture
+      // any long-running multi-query application takes; this is compiled
+      // CODE reuse across passes, never data or results.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warmup: scan + shuffle + codegen path

@@ -326,7 +326,14 @@ object Similarity {
       val k = 8
       val e = emb(s, dir)
       val cell = -fixedCentroidBest(e, k).getField("neg")
-      e.select(cell.as("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      // cell BEFORE the explode: a single select would put the k-cosine
+      // nearest-centroid chain in the Project ABOVE the posexplode
+      // Generate, re-evaluating all k veccosines for every one of the d
+      // exploded rows (d x redundant work on the hot expression — r18
+      // plan audit; guide §1.2 "don't compute things you throw away").
+      // Split so the Generate consumes an already-computed cell column.
+      e.select(col("v"), cell.as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
     }),
