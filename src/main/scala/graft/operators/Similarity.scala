@@ -128,9 +128,15 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(round(col("cos"), 6).desc, col("vec_id"))
+      // no pair dedup needed (unlike the LSH face): vec_nearest returns
+      // DISTINCT probe cells (nearestCells inserts distinct indices and
+      // its fallback explicitly dedups) and a corpus vector has exactly
+      // ONE cell, so a (qid, vec_id) pair matches at most one probe row —
+      // the dropDuplicates this carried was a structural no-op costing a
+      // Sort + two SortAggregates + Exchange over the array-bearing
+      // candidate frame (r18 plan audit)
       assigned.join(broadcast(q),
           col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-        .dropDuplicates("qid", "vec_id")
         .withColumn("cos", cosine(col("qv"), col("v")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -221,9 +227,10 @@ object Similarity {
         .withColumn("probe", explode(VectorSql.vec_nearest(col("v"), cn, 3)))
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("probe"),
           array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
+      // no pair dedup: distinct probe cells x one cell per corpus vector
+      // means a (qid, vec_id) pair matches at most once (see sim_ann_ivf)
       val adc = coded.join(broadcast(q),
           col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-        .dropDuplicates("qid", "vec_id")
         .withColumn("adist", aggregate(
           zip_with(col("codes"), col("luts"),
             (c, lut) => element_at(lut, c + 1)),
