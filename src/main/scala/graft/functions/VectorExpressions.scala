@@ -221,6 +221,67 @@ case class VecBandSig(vec: Expression, planesE: Expression, bandsE: Expression, 
     copy(c(0), c(1), c(2), c(3))
 }
 
+/** vec_sub_l2(v, cents, start) → array<double> of squared L2 distances
+  * between the subvector v[start, start+len(cent)) and each centroid row
+  * — the PQ subspace distance table (encode argmin + query LUT), as ONE
+  * tight codegen'd loop instead of `transform(cents, c =>
+  * aggregate(zip_with(slice(v), c, …)))`, whose lambdas evaluate
+  * interpreted with per-element boxing plus an intermediate array per
+  * centroid per row — the map-only PQ encode is a full-corpus pass at
+  * 100 TB (r18 optimization round). Accumulation per centroid is the
+  * same left-to-right fold from 0.0 as the HOF spelling, so distances
+  * are bit-identical. Mirrors zip_with's length posture implicitly by
+  * contract: callers pass 64-d vectors and dsub-long centroids wholly in
+  * range; out-of-range positions contribute nothing (defensive clamp).
+  */
+case class VecSubL2(vec: Expression, centsE: Expression, startE: Expression)
+    extends TernaryExpression with ExpectsInputTypes with FoldableArgCheck {
+  override def first: Expression = vec
+  override def second: Expression = centsE
+  override def third: Expression = startE
+  override def inputTypes = Seq[DataType](ArrayType(DoubleType),
+    ArrayType(ArrayType(DoubleType)), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = vec.nullable
+  override protected def foldableArgs =
+    Seq(centsE -> "centroids", startE -> "start")
+  @transient private lazy val cents: Array[Array[Double]] = {
+    val outer = centsE.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements())(i => outer.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val start: Int = startE.eval(null).asInstanceOf[Int]
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) null
+    else VectorKernels.subL2Dists(v.asInstanceOf[ArrayData], cents, start)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val v = vec.genCode(ctx)
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    val resultCode =
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.subL2Dists(
+         |  ${v.value}, $ref, $start);
+       """.stripMargin
+    if (nullable) {
+      ev.copy(code = code"""
+        ${v.code}
+        boolean ${ev.isNull} = ${v.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) { $resultCode }""")
+    } else {
+      ev.copy(code = code"""
+        ${v.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        $resultCode""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+}
+
 /** vec_nearest(v, centroids, nProbe) → array<int> of the nProbe nearest
   * centroid indices by dot product (cosine when centroids are normalized)
   * — the IVF coarse-quantizer routing step, one pass over the k×d matrix.
@@ -315,6 +376,31 @@ object VectorKernels {
   /** Indices of the `nProbe` highest-dot centroids (pass NORMALIZED
     * centroids and the ranking is cosine — |v| is constant across cells).
     */
+  /** Squared L2 from v[start, start+len(cent)) to each centroid; the
+    * per-centroid accumulation is the left-to-right fold from 0.0 the
+    * HOF spelling used, so results are bit-identical. Positions past
+    * the vector's end contribute nothing (callers pass in-range data).
+    */
+  def subL2Dists(v: ArrayData, cents: Array[Array[Double]], start: Int): ArrayData = {
+    val out = new Array[Double](cents.length)
+    val vn = v.numElements()
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val n = math.min(cent.length, math.max(0, vn - start))
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getDouble(start + i) - cent(i)
+        s += d * d
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def nearestCells(v: ArrayData, cents: Array[Array[Double]], nProbe: Int): ArrayData = {
     val k = cents.length
     val m = math.min(nProbe, k)
@@ -404,6 +490,7 @@ object VectorSql {
       reg.createOrReplaceTempFunction("simhash64", e => SimHash64(e(0)), "built-in")
       reg.createOrReplaceTempFunction("rep_stats", e => RepStats(e(0)), "built-in")
       reg.createOrReplaceTempFunction("vec_nearest", e => VecNearest(e(0), e(1), e(2)), "built-in")
+      reg.createOrReplaceTempFunction("vec_sub_l2", e => VecSubL2(e(0), e(1), e(2)), "built-in")
       installedRegistries.add(reg)
     }
   }
@@ -422,6 +509,8 @@ object VectorSql {
   def rep_stats(t: Column): Column = call_function("rep_stats", t)
   def vec_nearest(v: Column, cents: Column, nProbe: Int): Column =
     call_function("vec_nearest", v, cents, org.apache.spark.sql.functions.lit(nProbe))
+  def vec_sub_l2(v: Column, cents: Column, start: Int): Column =
+    call_function("vec_sub_l2", v, cents, org.apache.spark.sql.functions.lit(start))
   def hash_mix(h: Column, a: Long, b: Long): Column =
     call_function("hash_mix", h,
       org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))

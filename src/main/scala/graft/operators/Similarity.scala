@@ -26,6 +26,20 @@ object Similarity {
   private def dot(a: Column, b: Column): Column = VectorSql.vec_dot(a, b)
   private def cosine(a: Column, b: Column): Column = VectorSql.vec_cosine(a, b)
 
+  /** ADC distance = sum of the m per-subspace LUT lookups, spelled as m
+    * explicit codegen'd element_at terms instead of
+    * `aggregate(zip_with(codes, luts, …))`: higher-order functions
+    * evaluate their lambdas INTERPRETED with per-element boxing and an
+    * intermediate array per row — on the candidate-pair hot path that was
+    * the dominant per-pair cost (r18 profile; guide rule: keep the hot
+    * path codegen-able). Fold order matches aggregate's left fold from
+    * 0.0 exactly, so sums are bit-identical.
+    */
+  private def adcDist(m: Int): Column =
+    (0 until m).map(i =>
+        element_at(col("luts").getItem(i), col("codes").getItem(i) + 1))
+      .foldLeft(lit(0.0d))(_ + _)
+
   private def emb(s: SparkSession, dir: String): DataFrame = {
     VectorSql.install(s)
     Tables.load(s, dir, "embeddings")
@@ -177,10 +191,7 @@ object Similarity {
           array((0 until m).map(sub => pqLutCol(books, sub, dsub)): _*).as("luts"))
       // ADC scan: approx dist = sum of m LUT lookups; top-16 per query
       val adc = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("adist", aggregate(
-          zip_with(col("codes"), col("luts"),
-            (c, lut) => element_at(lut, c + 1)),
-          lit(0.0d), (a, x) => a + x))
+        .withColumn("adist", adcDist(m))
       val wAdc = Window.partitionBy(col("qid"))
         .orderBy(col("adist"), col("vec_id"))
       val w = Window.partitionBy(col("qid"))
@@ -231,10 +242,7 @@ object Similarity {
       // means a (qid, vec_id) pair matches at most once (see sim_ann_ivf)
       val adc = coded.join(broadcast(q),
           col("cell") === col("probe") && col("vec_id") =!= col("qid"))
-        .withColumn("adist", aggregate(
-          zip_with(col("codes"), col("luts"),
-            (c, lut) => element_at(lut, c + 1)),
-          lit(0.0d), (a, x) => a + x))
+        .withColumn("adist", adcDist(m))
       val wAdc = Window.partitionBy(col("qid"))
         .orderBy(col("adist"), col("vec_id"))
       val w = Window.partitionBy(col("qid"))
@@ -293,11 +301,14 @@ object Similarity {
           zip_with(col("v"), scalesL, (x, sc) => x * sc).as("qw"),
           sqrt(aggregate(transform(col("v"), x => x * x),
             lit(0.0d), (a, x) => a + x)).as("qnorm"))
+      // per-pair dot over the byte codes through the codegen'd vec_dot
+      // kernel instead of interpreted aggregate(zip_with(…)) — identical
+      // left-to-right summation from 0.0, so scores are bit-identical
+      // (r18: the lambda path boxed every element on the hot path)
       val adc = coded.join(broadcast(q), col("vec_id") =!= col("qid"))
         .withColumn("acos",
-          (col("qoff") + aggregate(
-            zip_with(col("codes"), col("qw"), (c, w) => c.cast("double") * w),
-            lit(0.0d), (a, x) => a + x)) / (col("qnorm") * col("anorm")))
+          (col("qoff") + dot(col("codes").cast("array<double>"), col("qw"))) /
+            (col("qnorm") * col("anorm")))
       val wAdc = Window.partitionBy(col("qid"))
         .orderBy(col("acos").desc, col("vec_id"))
       val w = Window.partitionBy(col("qid"))
@@ -1220,9 +1231,7 @@ object Similarity {
     }
     val adc = codes.join(if (qBytes <= qGate) broadcast(q) else q, probeMatch)
       .dropDuplicates("qid", "vec_id")
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), col("luts"), (c, lut) => element_at(lut, c + 1)),
-        lit(0.0d), (a, x) => a + x))
+      .withColumn("adist", adcDist(m))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos"), 6).desc, col("vec_id"))
@@ -1501,24 +1510,23 @@ object Similarity {
     (mins, scales)
   }
 
-  /** Map-only PQ encode: per subspace, argmin L2 over the k centroids. */
+  /** Map-only PQ encode: per subspace, argmin L2 over the k centroids.
+    * The subspace distance table comes from the codegen'd vec_sub_l2
+    * kernel (one tight loop) instead of
+    * `transform(cb, c => aggregate(zip_with(slice(v), c, …)))` — the HOF
+    * lambdas evaluate interpreted with per-element boxing, and the
+    * encode is a full-corpus map pass (r18; distances bit-identical,
+    * same fold order). argmin keeps the first-lowest-index tie rule via
+    * array_position(array_min).
+    */
   private def pqCodeCol(books: Seq[Seq[Seq[Double]]], sub: Int, dsub: Int): Column = {
-    val cb = typedlit(books(sub))
-    val sv = slice(col("v"), sub * dsub + 1, dsub)
-    val dists = transform(cb, c => aggregate(
-      zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (a, x) => a + x))
+    val dists = VectorSql.vec_sub_l2(col("v"), typedlit(books(sub)), sub * dsub)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Per-query ADC lookup table for one subspace (k distances). */
-  private def pqLutCol(books: Seq[Seq[Seq[Double]]], sub: Int, dsub: Int): Column = {
-    val cb = typedlit(books(sub))
-    val sv = slice(col("v"), sub * dsub + 1, dsub)
-    transform(cb, c => aggregate(
-      zip_with(sv, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (a, x) => a + x))
-  }
+  private def pqLutCol(books: Seq[Seq[Seq[Double]]], sub: Int, dsub: Int): Column =
+    VectorSql.vec_sub_l2(col("v"), typedlit(books(sub)), sub * dsub)
 
   /** PCA projection body, factored so the bench can warm the Gram pass +
     * eigSym init on a tiny frame. `e` must be (vec_id, v: array<double>).

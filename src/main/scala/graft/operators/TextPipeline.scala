@@ -776,17 +776,23 @@ object TextPipeline {
     "pipeline_curate" -> ((s, dir) => {
       val d = docs(s, dir)
       val labels = clusterLabels(d, defaultMaxDf(s, dir))
-      d.withColumn("st", VectorSql.text_stats(col("text"), typedlit(stopwords)))
-        .withColumn("h", VectorSql.lang_hits(col("text"), typedlit(Seq(
+      // the language gate binds the lang_hits array ONCE through a
+      // higher-order-function lambda: spelled as conjuncts over a
+      // withColumn alias, filter pushdown inlines the alias into each
+      // conjunct and the kernel re-scans the text FOUR times per row
+      // (FilterExec's short-circuit codegen does no cross-conjunct CSE)
+      // — measured 2x on the gate stage (r18 ProfileGate A/B, identical
+      // rows). Same trick is NOT needed for projections (text_langid):
+      // ProjectExec codegen CSEs repeated references.
+      val isEn = exists(array(VectorSql.lang_hits(col("text"), typedlit(Seq(
           Seq("the", "a", "of", "and"), Seq("el", "la", "de", "y"),
-          Seq("le", "les", "et", "une"), Seq("der", "die", "und", "das")))))
-        .withColumn("n_tokens", col("st.n_tokens"))
-        .withColumn("is_en",
-          col("h").getItem(0) >= col("h").getItem(1) &&
-            col("h").getItem(0) >= col("h").getItem(2) &&
-            col("h").getItem(0) >= col("h").getItem(3) && col("h").getItem(0) > 0)
+          Seq("le", "les", "et", "une"), Seq("der", "die", "und", "das"))))),
+        h => h.getItem(0) >= h.getItem(1) && h.getItem(0) >= h.getItem(2) &&
+          h.getItem(0) >= h.getItem(3) && h.getItem(0) > 0)
+      d.withColumn("n_tokens",
+          VectorSql.text_stats(col("text"), typedlit(stopwords)).getField("n_tokens"))
         .join(labels, "doc_id")
-        .filter(col("is_en") && col("n_tokens") >= 20 && col("doc_id") === col("cluster"))
+        .filter(isEn && col("n_tokens") >= 20 && col("doc_id") === col("cluster"))
         .select(col("doc_id"), col("n_tokens"))
     }),
 

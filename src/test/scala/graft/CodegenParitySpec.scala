@@ -141,6 +141,11 @@ class CodegenParitySpec extends AnyFunSuite {
       "array(-0.3D, 0.2D, 0.1D, -0.1D)), 2, 1)"),
     "VecNearest" -> ("vec_nearest(v, array(array(0D, 0D, 0D, 0D), " +
       "array(1D, 1D, 1D, 1D)), 1)"),
+    // start=1 exercises the subvector offset; the 3-element second
+    // centroid overruns the 4-d fixture vector from start=1 by one, so
+    // the clamp path is covered too
+    "VecSubL2" -> ("vec_sub_l2(v, array(array(0D, 0D), " +
+      "array(1D, 1D, 1D)), 1)"),
     "CountInSet" -> "count_in_set(sarr, array('alpha', 'beta'))",
     "HashMix" -> "hash_mix(id, 31L, 7L)",
     "TextStats" -> "text_stats(t, array('the', 'a'))",
