@@ -272,13 +272,24 @@ object GeoQueries {
         .select(col("n_nationkey"), st_point(col("qx"), col("qy")).as("qgeom"))
       val w = Window.partitionBy(col("n_nationkey"))
         .orderBy(col("dist"), col("c_custkey"))
-      // project the geometry blobs away BEFORE the window: the rank
-      // exchange then shuffles (key, id, dist) instead of two WKB columns
-      // per candidate row — at N x Q candidate scale the geometry bytes
-      // dominate the shuffle otherwise
-      val cand0 = p.crossJoin(broadcast(q))
+      // decode each geometry ONCE per row (st_x/st_y before the cross
+      // join), not once per candidate PAIR: st_distance(geom, qgeom)
+      // inside the N x Q expansion re-parsed two WKB blobs per candidate
+      // — Q x redundant decodes of the same points (r18; guide "project
+      // early"). The per-pair arithmetic mirrors the point-distance
+      // kernel exactly (dx*dx + dy*dy under one sqrt, same op order), so
+      // distances are bit-identical; the geometry blobs also stop
+      // flowing into the join. Same lesson as the pre-window projection
+      // this query already carried.
+      val dx = col("px") - col("qx"); val dy = col("py") - col("qy")
+      val cand0 = p
+        .select(col("c_custkey"),
+          st_x(col("geom")).as("px"), st_y(col("geom")).as("py"))
+        .crossJoin(broadcast(q
+          .select(col("n_nationkey"),
+            st_x(col("qgeom")).as("qx"), st_y(col("qgeom")).as("qy"))))
         .select(col("n_nationkey"), col("c_custkey"),
-          round(st_distance(col("geom"), col("qgeom")), 6).as("dist"))
+          round(sqrt(dx * dx + dy * dy), 6).as("dist"))
       // each query key's candidate list is the WHOLE corpus — the cross
       // join parallelizes but a plain per-key rank window sorts it in ONE
       // task. Above the gate, salted pre-top-5 first (the domain-cap

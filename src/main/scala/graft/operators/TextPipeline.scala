@@ -383,17 +383,31 @@ object TextPipeline {
     // span counts + fraction of spans shared with another document.
     "dedup_span_exact" -> ((s, dir) => {
       val d = docs(s, dir)
-      // one scan feeds both the df aggregate and the join-back
-      val sp = Par.widen(d)
-        .select(col("doc_id"), explode(VectorSql.shingle_hashes_n(col("text"), 8)).as("s"))
-        .localCheckpoint(true)
+      // NO span-keyed join back (r18): a doc's dup-span count is its span
+      // count minus its UNIQUE-span count, and a df=1 span already knows
+      // its only document — min(doc_id) rides the df aggregate (the
+      // ngramNovelty construction). The old shape joined the full span
+      // frame against its df aggregate on the span hash — the widest
+      // join in the query, on the key class the df-cap discipline exists
+      // for (hot boilerplate spans). Now the span frame only ever
+      // AGGREGATES (map-side combined, hot keys collapse before the
+      // wire) and the one join is doc_id-keyed, one row per doc per
+      // side. No checkpoint either — both consumers aggregate, so
+      // recomputing the map-only explode per branch beats materializing
+      // it (the measured ngramNovelty trade).
       // sp is distinct per (doc, span) by kernel construction, so the
       // span's row count IS its document frequency
-      val df = sp.groupBy(col("s")).agg(count(lit(1)).as("nd"))
-      sp.join(df, Seq("s"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"),
-          sum((col("nd") >= 2).cast("long")).as("n_dup_spans"))
+      val sp = d.select(col("doc_id"),
+        explode(VectorSql.shingle_hashes_n(col("text"), 8)).as("s"))
+      val perDoc = sp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
+      val uniqPerDoc = sp.groupBy(col("s"))
+        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("only_doc"))
+        .filter(col("nd") === 1)
+        .groupBy(col("only_doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_uniq"))
+      perDoc.join(uniqPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          (col("n_spans") - coalesce(col("n_uniq"), lit(0L))).as("n_dup_spans"))
         .withColumn("dup_ratio", round(col("n_dup_spans") / col("n_spans"), 4))
     }),
 
