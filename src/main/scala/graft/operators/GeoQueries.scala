@@ -324,15 +324,23 @@ object GeoQueries {
     // per-group bbox aggregate over buffered geometries (envelope accessors)
     "geo_bbox_agg" -> ((s, dir) => {
       val nation = Tables.load(s, dir, "nation")
+      // ONE envelope decode per row (st_bbox struct) instead of four
+      // st_xmin/ymin/xmax/ymax calls each re-parsing the 33-vertex
+      // buffer polygon inside the partial aggregate (4x redundant WKB
+      // decodes, r18 plan audit). A Par.widen was A/B'd here and
+      // removed again: the exchange's ~0.3 s constant exceeded the
+      // 32-way speedup of the buffer pass at bench scale (the Par
+      // scaladoc's "measured loser" case).
       pts(s, dir)
-        .withColumn("buf", st_buffer(col("geom"), lit(0.5)))
+        .withColumn("bb", graft.functions.GeoSql.st_bbox(
+          st_buffer(col("geom"), lit(0.5))))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(min(call_function("st_xmin", col("buf"))), 6).as("bb_xmin"),
-          round(min(call_function("st_ymin", col("buf"))), 6).as("bb_ymin"),
-          round(max(call_function("st_xmax", col("buf"))), 6).as("bb_xmax"),
-          round(max(call_function("st_ymax", col("buf"))), 6).as("bb_ymax"),
+          round(min(col("bb.xmin")), 6).as("bb_xmin"),
+          round(min(col("bb.ymin")), 6).as("bb_ymin"),
+          round(max(col("bb.xmax")), 6).as("bb_xmax"),
+          round(max(col("bb.ymax")), 6).as("bb_ymax"),
           count(lit(1)).as("n_points"))
     }),
 
