@@ -41,6 +41,29 @@ object ProfileBpe {
         operators.Curation.queries("tokenizer_bpe_encode")(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       }
+      // in-session A/B: chained replace() vs the bpe_apply kernel over
+      // the same merges (both downstream of identical cells)
+      locally {
+        graft.functions.VectorSql.install(spark)
+        val merges = operators.Curation.bpeMerges(sfDir, 24)(cap =>
+          operators.Curation.trainBpeFromCorpus(spark, sfDir, 24, cap))
+        val cells = regexp_replace(norm, "(.)", " $1\n")
+        val chained = merges.foldLeft(cells) { case (e, (l, r, _)) =>
+          org.apache.spark.sql.functions.replace(e,
+            lit(s" $l\n $r\n"), lit(s" $l$r\n"))
+        }
+        val kernel = graft.functions.VectorSql.bpe_apply(cells,
+          typedlit(merges.map { case (l, r, _) => s" $l\n $r\n" }),
+          typedlit(merges.map { case (l, r, _) => s" $l$r\n" }))
+        time("chain replace x24") {
+          d.select(length(chained).as("l"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        time("bpe_apply kernel") {
+          d.select(length(kernel).as("l"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
     }
     spark.stop()
   }

@@ -282,6 +282,92 @@ case class VecSubL2(vec: Expression, centsE: Expression, startE: Expression)
       f: Expression, s: Expression, t: Expression) = copy(f, s, t)
 }
 
+/** bpe_apply(cells, searches, replacements) → string: the chained
+  * `replace(replace(…), sᵢ, rᵢ)` merge application of the BPE encoder as
+  * ONE kernel call — byte-identical to the k nested StringReplace calls
+  * (each pass is UTF8String.replace's leftmost non-overlapping byte
+  * scan, passes applied in array order), but with TWO reused ping-pong
+  * buffers per row instead of k fresh UTF8String allocations. Sound
+  * because every BPE replacement is strictly SHORTER than its search
+  * (" l\n r\n" → " lr\n"), so output never outgrows input; a longer
+  * replacement is refused at analysis. The encode is a full-corpus map
+  * pass at 100 TB — this is the tokenizer pipeline's hot loop (r18).
+  */
+case class BpeApply(cells: Expression, searchesE: Expression, replsE: Expression)
+    extends TernaryExpression with ExpectsInputTypes with FoldableArgCheck {
+  override def first: Expression = cells
+  override def second: Expression = searchesE
+  override def third: Expression = replsE
+  override def inputTypes = Seq[DataType](StringType,
+    ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = cells.nullable
+  override protected def foldableArgs =
+    Seq(searchesE -> "searches", replsE -> "replacements")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) return base
+    (searchesE.eval(null), replsE.eval(null)) match {
+      case (null, _) | (_, null) =>
+        TypeCheckFailure("bpe_apply: searches/replacements must not be NULL")
+      case (s: ArrayData, r: ArrayData) =>
+        if (s.numElements() != r.numElements())
+          TypeCheckFailure("bpe_apply: searches and replacements must pair up")
+        else if ((0 until s.numElements()).exists(i => s.isNullAt(i) || r.isNullAt(i)))
+          TypeCheckFailure("bpe_apply: NULL merge entries are not allowed")
+        else if ((0 until s.numElements()).exists(i =>
+          s.getUTF8String(i).numBytes == 0))
+          TypeCheckFailure("bpe_apply: empty search strings are not allowed")
+        else if ((0 until s.numElements()).exists(i =>
+          r.getUTF8String(i).numBytes > s.getUTF8String(i).numBytes))
+          TypeCheckFailure("bpe_apply: a replacement longer than its search " +
+            "breaks the in-place buffer bound — this kernel is for BPE merges")
+        else TypeCheckSuccess
+      case _ => TypeCheckSuccess
+    }
+  }
+  @transient private lazy val searches: Array[Array[Byte]] = {
+    val a = searchesE.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getUTF8String(i).getBytes)
+  }
+  @transient private lazy val repls: Array[Array[Byte]] = {
+    val a = replsE.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getUTF8String(i).getBytes)
+  }
+  override def eval(input: InternalRow): Any = {
+    val c = cells.eval(input)
+    if (c == null) null
+    else VectorKernels.bpeApply(c.asInstanceOf[UTF8String], searches, repls)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = cells.genCode(ctx)
+    val sRef = ctx.addReferenceObj("searches", searches, "byte[][]")
+    val rRef = ctx.addReferenceObj("repls", repls, "byte[][]")
+    val resultCode =
+      s"""
+         |${ev.value} = graft.functions.VectorKernels.bpeApply(
+         |  ${c.value}, $sRef, $rRef);
+       """.stripMargin
+    if (nullable) {
+      ev.copy(code = code"""
+        ${c.code}
+        boolean ${ev.isNull} = ${c.isNull};
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+        if (!${ev.isNull}) { $resultCode }""")
+    } else {
+      ev.copy(code = code"""
+        ${c.code}
+        org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+        $resultCode""",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) = copy(f, s, t)
+}
+
 /** vec_nearest(v, centroids, nProbe) → array<int> of the nProbe nearest
   * centroid indices by dot product (cosine when centroids are normalized)
   * — the IVF coarse-quantizer routing step, one pass over the k×d matrix.
@@ -376,6 +462,65 @@ object VectorKernels {
   /** Indices of the `nProbe` highest-dot centroids (pass NORMALIZED
     * centroids and the ranking is cosine — |v| is constant across cells).
     */
+  /** The k-merge BPE rewrite: pass i replaces every leftmost
+    * non-overlapping occurrence of searches(i) with repls(i), passes in
+    * order — byte-identical to k chained UTF8String.replace calls. Two
+    * ping-pong buffers, both sized to the input (every replacement is
+    * <= its search by the expression's analysis check, so lengths only
+    * shrink). Empty searches are rejected at analysis; a pass whose
+    * pattern exceeds the current length just copies through.
+    */
+  def bpeApply(cells: UTF8String, searches: Array[Array[Byte]],
+      repls: Array[Array[Byte]]): UTF8String = {
+    val n0 = cells.numBytes()
+    if (n0 == 0 || searches.length == 0) return cells
+    var a = cells.getBytes // materialized copy (may share; never written)
+    var b = new Array[Byte](n0)
+    var len = n0
+    var first = true // `a` aliases the input until the first real rewrite
+    var k = 0
+    while (k < searches.length) {
+      val s = searches(k)
+      val r = repls(k)
+      val sl = s.length
+      val s0 = s(0)
+      var i = 0
+      var o = 0
+      var wrote = false
+      while (i < len) {
+        // find the next leftmost match at or after i, then move whole
+        // segments with arraycopy (the UTF8String.replace shape — a
+        // byte-at-a-time copy loop measured 30% SLOWER than the chained
+        // replace calls it was meant to beat)
+        var m = -1
+        var p = i
+        val limit = len - sl
+        while (m < 0 && p <= limit) {
+          if (a(p) == s0) {
+            var j = 1
+            while (j < sl && a(p + j) == s(j)) j += 1
+            if (j == sl) m = p else p += 1
+          } else p += 1
+        }
+        if (m < 0) {
+          System.arraycopy(a, i, b, o, len - i); o += len - i; i = len
+        } else {
+          System.arraycopy(a, i, b, o, m - i); o += m - i
+          System.arraycopy(r, 0, b, o, r.length); o += r.length
+          i = m + sl
+          wrote = true
+        }
+      }
+      if (wrote) {
+        val t = a; a = b; b = if (first) new Array[Byte](n0) else t
+        first = false
+        len = o
+      } // no match: keep `a` as-is, skip the swap (b holds a stale copy)
+      k += 1
+    }
+    UTF8String.fromBytes(a, 0, len)
+  }
+
   /** Squared L2 from v[start, start+len(cent)) to each centroid; the
     * per-centroid accumulation is the left-to-right fold from 0.0 the
     * HOF spelling used, so results are bit-identical. Positions past
@@ -491,6 +636,7 @@ object VectorSql {
       reg.createOrReplaceTempFunction("rep_stats", e => RepStats(e(0)), "built-in")
       reg.createOrReplaceTempFunction("vec_nearest", e => VecNearest(e(0), e(1), e(2)), "built-in")
       reg.createOrReplaceTempFunction("vec_sub_l2", e => VecSubL2(e(0), e(1), e(2)), "built-in")
+      reg.createOrReplaceTempFunction("bpe_apply", e => BpeApply(e(0), e(1), e(2)), "built-in")
       installedRegistries.add(reg)
     }
   }
@@ -511,6 +657,8 @@ object VectorSql {
     call_function("vec_nearest", v, cents, org.apache.spark.sql.functions.lit(nProbe))
   def vec_sub_l2(v: Column, cents: Column, start: Int): Column =
     call_function("vec_sub_l2", v, cents, org.apache.spark.sql.functions.lit(start))
+  def bpe_apply(cells: Column, searches: Column, repls: Column): Column =
+    call_function("bpe_apply", cells, searches, repls)
   def hash_mix(h: Column, a: Long, b: Long): Column =
     call_function("hash_mix", h,
       org.apache.spark.sql.functions.lit(a), org.apache.spark.sql.functions.lit(b))

@@ -621,10 +621,15 @@ object Curation {
       val merges = bpeMerges(dir, 24)(cap => trainBpeFromCorpus(s, dir, 24, cap))
       val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
       val enc0 = regexp_replace(col("__norm"), "(.)", " $1\n")
-      val encoded = merges.foldLeft(enc0) { case (e, (l, r, _)) =>
-        org.apache.spark.sql.functions.replace(e,
-          lit(s" $l\n $r\n"), lit(s" $l$r\n"))
-      }
+      // the k chained replace() calls as ONE bpe_apply kernel call:
+      // byte-identical passes (each pass is UTF8String.replace's
+      // leftmost non-overlapping scan, applied in rank order — the
+      // OptimizationR18Spec differential net pins it against the
+      // replace chain), but two reused buffers per row instead of k
+      // fresh strings — the corpus-scale map pass of the tokenizer (r18)
+      val encoded = graft.functions.VectorSql.bpe_apply(enc0,
+        typedlit(merges.map { case (l, r, _) => s" $l\n $r\n" }),
+        typedlit(merges.map { case (l, r, _) => s" $l$r\n" }))
       def nl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         length(c) - length(org.apache.spark.sql.functions.replace(c, lit("\n")))
       d.withColumn("__norm", norm)

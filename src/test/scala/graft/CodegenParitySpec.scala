@@ -146,6 +146,10 @@ class CodegenParitySpec extends AnyFunSuite {
     // the clamp path is covered too
     "VecSubL2" -> ("vec_sub_l2(v, array(array(0D, 0D), " +
       "array(1D, 1D, 1D)), 1)"),
+    // two sequential merges, the second matching output of the first —
+    // the chained-pass semantics the BPE encoder leans on
+    "BpeApply" -> ("bpe_apply(t, array(' a\\n l\\n', ' al\\n p\\n'), " +
+      "array(' al\\n', ' alp\\n'))"),
     "CountInSet" -> "count_in_set(sarr, array('alpha', 'beta'))",
     "HashMix" -> "hash_mix(id, 31L, 7L)",
     "TextStats" -> "text_stats(t, array('the', 'a'))",

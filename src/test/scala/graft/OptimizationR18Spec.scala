@@ -66,6 +66,36 @@ class OptimizationR18Spec extends AnyFunSuite {
         s"(Generate input line: '$genInput')")
   }
 
+  test("bpe_apply equals the chained replace() construction byte-for-byte") {
+    VectorSql.install(spark)
+    // real merge shapes plus adversarial ones: the l==r run case, a merge
+    // whose output feeds the next merge, and patterns absent entirely
+    val merges = Seq(("a", "a"), ("aa", "b"), ("t", "h"), ("th", "e"),
+      ("x", "y"), ("e", " "))
+    val searches = merges.map { case (l, r) => s" $l\n $r\n" }
+    val repls = merges.map { case (l, r) => s" $l$r\n" }
+    val cellsOf = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "\\s+", " "), "(.)", " $1\n")
+    val base = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"), cellsOf.as("cells"))
+      // append crafted rows: aaaa runs, overlapping-adjacent, empty,
+      // supplementary-plane code points
+      .unionByName(spark.createDataFrame(Seq(
+        (900001L, " a\n a\n a\n a\n"), (900002L, ""),
+        (900003L, " t\n h\n t\n h\n e\n"),
+        (900004L, " 😀\n a\n a\n"))).toDF("doc_id", "cells"))
+    val chained = merges.foldLeft(col("cells")) { case (e, (l, r)) =>
+      org.apache.spark.sql.functions.replace(e,
+        lit(s" $l\n $r\n"), lit(s" $l$r\n"))
+    }
+    val diff = base.select(col("doc_id"),
+        VectorSql.bpe_apply(col("cells"), typedlit(searches), typedlit(repls)).as("k"),
+        chained.as("c"))
+      .filter(col("k") =!= col("c") || col("k").isNull =!= col("c").isNull)
+      .count()
+    assert(diff == 0, "bpe_apply diverged from the chained replace() construction")
+  }
+
   test("codegen'd ADC / subspace-distance forms equal the HOF spellings bit-for-bit") {
     VectorSql.install(spark)
     val books: Seq[Seq[Seq[Double]]] = Seq.tabulate(4)(sub =>
