@@ -456,13 +456,23 @@ object Curation {
     // shuffles.
     "curate_temperature_resample" -> ((s, dir) => {
       val d = docs(s, dir)
+      // rate derivation as two stacked single-partition WINDOWS over the
+      // per-source aggregate instead of agg-then-crossJoin-broadcast: the
+      // old spelling re-planned the srcCnt subtree under every derived
+      // broadcast (tot, then maxRate re-deriving rates re-deriving tot) —
+      // FIVE full documents scans in the final plan for one 20-row frame
+      // (r18 plan audit). The windows compute the same sum/max over the
+      // same 20 rows (bigint sum and double max are order-insensitive, so
+      // rate is bit-identical) through ONE scan + one single-partition
+      // exchange of 20 rows. At 100 TB the old shape's extra scans are
+      // four full corpus passes; the window runs over |sources| rows.
+      val wAll = Window.partitionBy()
       val srcCnt = d.groupBy("source").agg(count(lit(1)).as("cnt"))
-      val tot = srcCnt.agg(sum(col("cnt")).as("tot"))
-      val rates = srcCnt.crossJoin(broadcast(tot))
-        .withColumn("raw_rate", lit(1.0) / sqrt(col("cnt") / col("tot")))
-      val maxRate = rates.agg(max(col("raw_rate")).as("mx"))
-      val normed = rates.crossJoin(broadcast(maxRate))
-        .withColumn("rate", round(col("raw_rate") / col("mx"), 6))
+      val normed = srcCnt
+        .withColumn("raw_rate",
+          lit(1.0) / sqrt(col("cnt") / sum(col("cnt")).over(wAll)))
+        .withColumn("rate",
+          round(col("raw_rate") / max(col("raw_rate")).over(wAll), 6))
         .select(col("source"), col("rate"))
       val h = md5(col("doc_id").cast("string"))
       val u = ((ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 1000)

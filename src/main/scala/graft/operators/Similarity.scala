@@ -370,8 +370,16 @@ object Similarity {
       val k = 8
       val e = emb(s, dir)
       val best = fixedCentroidBest(e, k)
+      // the assigned frame feeds THREE consumers (both sides of the
+      // within-cell self-join and the keep anti-join); un-materialized,
+      // each re-scanned the embeddings table and re-ran the k-cosine
+      // nearest-centroid chain per row (3 scans in the r18 plan audit).
+      // One eager checkpoint = one scan + one assignment pass; at 100 TB
+      // the same shape persists the assignment once instead of paying
+      // the k x d flops three times over the corpus.
       val assigned = e.filter(col("vec_id") >= k)
         .select(col("vec_id"), col("v"), (-best.getField("neg")).as("cell"))
+        .localCheckpoint(true)
       val slim = assigned.select(col("cell"), col("vec_id"), col("v"))
       val dropped = slim.as("x").join(slim.as("y"),
           col("x.cell") === col("y.cell") && col("x.vec_id") > col("y.vec_id"))

@@ -671,10 +671,20 @@ object TextPipeline {
       val d = docs(s, dir)
       val tk = d.select(col("source"), explode(toks).as("tok"))
         .filter(col("tok") =!= "")
+      // every other frame is a SUM over the (source, tok) counts — the
+      // old spelling aggregated the exploded token frame four separate
+      // times (three full tokenize+explode corpus scans in the final
+      // plan, r18 audit; only v was checkpointed). Checkpoint st — the
+      // vocab-bounded dictionary frame, |sources|x|vocab| rows — and
+      // derive v / srcTot / tot as exact bigint sums over it: ONE corpus
+      // scan, and the three derived shuffles move dictionary rows
+      // instead of corpus tokens. count-per-group == sum of sub-group
+      // counts, so every downstream value is bit-identical.
       val st = tk.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-      val v = tk.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint(true)
-      val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ts"))
-      val tot = tk.agg(count(lit(1)).as("t"))
+        .localCheckpoint(true)
+      val v = st.groupBy("tok").agg(sum(col("cs")).as("c"))
+      val srcTot = st.groupBy("source").agg(sum(col("cs")).as("ts"))
+      val tot = st.agg(sum(col("cs")).as("t"))
       st.join(sizeGatedModel(s, dir, v), "tok")
         .join(broadcast(srcTot), "source")
         .crossJoin(broadcast(tot))

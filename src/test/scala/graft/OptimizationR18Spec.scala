@@ -131,4 +131,56 @@ class OptimizationR18Spec extends AnyFunSuite {
       .filter(col("e") =!= col("h")).count()
     assert(adcDiff == 0, "explicit ADC chain diverged from the HOF spelling")
   }
+
+  test("temperature_resample's window-derived rates equal the " +
+    "agg-then-crossJoin construction") {
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+    // the pre-r18 construction, verbatim: tot and mx as separate
+    // aggregates broadcast back over the per-source counts
+    val srcCnt = d.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val tot = srcCnt.agg(sum(col("cnt")).as("tot"))
+    val rates = srcCnt.crossJoin(broadcast(tot))
+      .withColumn("raw_rate", lit(1.0) / sqrt(col("cnt") / col("tot")))
+    val maxRate = rates.agg(max(col("raw_rate")).as("mx"))
+    val normedOld = rates.crossJoin(broadcast(maxRate))
+      .withColumn("rate", round(col("raw_rate") / col("mx"), 6))
+      .select(col("source"), col("rate"))
+    val h = md5(col("doc_id").cast("string"))
+    val u = ((ascii(substring(h, 1, 1)) * 256 + ascii(substring(h, 2, 1))) % 1000)
+      .cast("double") / lit(1000.0d)
+    val old = d.join(broadcast(normedOld), "source")
+      .withColumn("keep", (u < col("rate")).cast("int"))
+      .groupBy("source", "rate")
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("keep")).cast("int").as("n_kept"))
+      .select(col("source"), col("rate"), col("n_docs"), col("n_kept"))
+    val neu = operators.Curation.queries("curate_temperature_resample")(spark, sf)
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+      "window-derived resample rates diverged from the crossJoin construction")
+  }
+
+  test("domain_drift's dictionary-derived totals equal the per-branch " +
+    "token-frame aggregates") {
+    VectorSql.install(spark)
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+    val tk = d.select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+    // the pre-r18 construction: each total aggregates the exploded token
+    // frame directly
+    val st = tk.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+    val v = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+    val srcTot = tk.groupBy("source").agg(count(lit(1)).as("ts"))
+    val tot = tk.agg(count(lit(1)).as("t"))
+    val old = st.join(v, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(round(sum((col("cs") / col("ts")) *
+          log((col("cs") / col("ts")) / (col("c") / col("t")))), 6).as("kl_div"),
+        max(col("ts")).cast("int").as("n_toks"))
+    val neu = operators.TextPipeline.queries("text_domain_drift")(spark, sf)
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+      "dictionary-derived drift totals diverged from the token-frame aggregates")
+  }
 }
