@@ -546,8 +546,15 @@ object Curation {
       val tok = docs(s, dir).select(col("doc_id"), col("lang"),
         size(split(lower(trim(col("text"))), "\\s+")).as("toks"))
       val mass = tok.groupBy(col("lang")).agg(sum(col("toks")).as("mass"))
-      val mean = mass.agg(avg(col("mass")).as("mean"))
-      val mix = mass.crossJoin(broadcast(mean))
+      // mean as a single-partition WINDOW over the #languages-row mass
+      // frame, not a separate aggregate crossJoin'd back: the old
+      // spelling re-planned the mass subtree under the mean broadcast —
+      // one extra full corpus scan in the final plan (r18 audit; the
+      // temperature_resample disease). Same avg over the same rows
+      // (token masses stay below 2^53, every partial sum is exact), one
+      // #languages-row exchange instead of a corpus pass.
+      val mix = mass
+        .withColumn("mean", avg(col("mass")).over(Window.partitionBy()))
         .select(col("lang"), least(lit(4L), greatest(lit(1L),
           ceil(col("mean") / col("mass")).cast("long"))).as("epochs"))
       tok.join(broadcast(mix), Seq("lang"))

@@ -159,6 +159,24 @@ class OptimizationR18Spec extends AnyFunSuite {
       "window-derived resample rates diverged from the crossJoin construction")
   }
 
+  test("mix_epochs' window-derived mean equals the agg-then-crossJoin construction") {
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+    val tok = d.select(col("doc_id"), col("lang"),
+      size(split(lower(trim(col("text"))), "\\s+")).as("toks"))
+    // the pre-r18 construction, verbatim
+    val mass = tok.groupBy(col("lang")).agg(sum(col("toks")).as("mass"))
+    val mean = mass.agg(avg(col("mass")).as("mean"))
+    val mixOld = mass.crossJoin(broadcast(mean))
+      .select(col("lang"), least(lit(4L), greatest(lit(1L),
+        ceil(col("mean") / col("mass")).cast("long"))).as("epochs"))
+    val old = tok.join(broadcast(mixOld), Seq("lang"))
+      .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+      .select(col("doc_id"), col("lang"), col("epoch"), col("epochs"))
+    val neu = operators.Curation.queries("curate_mix_epochs")(spark, sf)
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+      "window-derived epoch mix diverged from the crossJoin construction")
+  }
+
   test("domain_drift's dictionary-derived totals equal the per-branch " +
     "token-frame aggregates") {
     VectorSql.install(spark)
