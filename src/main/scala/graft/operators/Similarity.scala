@@ -377,6 +377,12 @@ object Similarity {
       // One eager checkpoint = one scan + one assignment pass; at 100 TB
       // the same shape persists the assignment once instead of paying
       // the k x d flops three times over the corpus.
+      // A Par.widen ahead of the checkpoint was A/B'd here and REMOVED
+      // (min 1.17 s widened vs 0.83–0.94 unwidened, 7-pass focused runs):
+      // the exchange + 32-task scheduling constant exceeds the parallel
+      // pair-cosine speedup at bench scale — the Par scaladoc's loser
+      // case. At real scale the scan is already wide and widen is a
+      // no-op, so nothing is lost by omitting it.
       val assigned = e.filter(col("vec_id") >= k)
         .select(col("vec_id"), col("v"), (-best.getField("neg")).as("cell"))
         .localCheckpoint(true)
