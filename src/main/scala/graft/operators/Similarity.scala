@@ -383,6 +383,14 @@ object Similarity {
       // pair-cosine speedup at bench scale — the Par scaladoc's loser
       // case. At real scale the scan is already wide and widen is a
       // no-op, so nothing is lost by omitting it.
+      // Fault-tolerance trade (r18 advisor): localCheckpoint persists the
+      // vector-carrying frame UNREPLICATED on executor storage and
+      // truncates lineage — an executor loss mid-query fails the query
+      // (it re-runs; results unaffected) rather than recomputing blocks.
+      // That is this engine's standard localCheckpoint posture (every
+      // dedup shingle frame makes the same trade for 3x fewer corpus
+      // scans); a deployment that prefers recompute-on-loss swaps in
+      // persist(MEMORY_AND_DISK) at the cost of keeping the full lineage.
       val assigned = e.filter(col("vec_id") >= k)
         .select(col("vec_id"), col("v"), (-best.getField("neg")).as("cell"))
         .localCheckpoint(true)

@@ -87,6 +87,30 @@ class BpeCacheSpec extends AnyFunSuite {
     assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel2)
   }
 
+  test("useDisk=false (the tokenizer_bpe_train scope) never reads the disk " +
+    "artifact: a fresh-process view RETRAINS even when the artifact exists") {
+    val dir = freshCorpus()
+    // seed the disk artifact through the default (encode) path
+    assert(Curation.bpeMerges(dir, 24)(_ => sentinel) == sentinel)
+    // same process: the memo serves the train scope too (zero training)
+    assert(Curation.bpeMerges(dir, 24, useDisk = false)(_ => boom()) == sentinel)
+    // fresh-process view (memo + stamp memo cleared): the disk artifact is
+    // PRESENT but the train scope must not read it — the thunk runs
+    Curation.bpeMergeMemo.clear()
+    Stamps.stampMemo.clear()
+    var trained = 0
+    assert(Curation.bpeMerges(dir, 24, useDisk = false) { _ =>
+      trained += 1; sentinel2
+    } == sentinel2)
+    assert(trained == 1, "the train scope served a cross-process artifact")
+    // ... and it must not WRITE either: the artifact on disk still holds
+    // the encode-path sentinel, which the default scope serves unchanged
+    Curation.bpeMergeMemo.clear()
+    Stamps.stampMemo.clear()
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel,
+      "the train scope must not overwrite the encode artifact")
+  }
+
   test("the real trainer rides the cache: train and encode share one artifact") {
     val sf = "/root/testdata/sf0.001"
     // whatever state earlier suites left: force ONE real train, then both

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorSql
+import graft.operators.TextPipeline
+
+/** Focused nets for the round-19 optimization rewrites — same discipline
+  * as OptimizationR18Spec: each test pins the EQUIVALENCE argument an
+  * optimization leaned on, so a later edit that breaks the argument fails
+  * here by name instead of surfacing as an oracle diff.
+  */
+class OptimizationR19Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---- shingle max-df pre-gate (jaccardPairs dfBound) ----
+
+  test("shingleDfBound dominates the true max shingle df on a multi-file corpus") {
+    VectorSql.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r19_dfbound").toFile
+    try {
+      // multi-file layout: the bound sums PER-FILE maxima, so this is the
+      // case where bound > true max is possible and dominance is the claim
+      val d = spark.range(120).selectExpr("id AS doc_id",
+        """concat_ws(' ', 'alpha', 'beta', concat('w', cast(id % 7 AS STRING)),
+          |  'gamma', concat('u', cast(id AS STRING)), 'delta') AS text""".stripMargin,
+        "'en' AS lang", "'s0' AS source", "cast(32 AS INT) AS n_chars")
+      d.repartition(3).write.parquet(s"$tmp/documents.parquet")
+      val bound = TextPipeline.shingleDfBound(spark, tmp.getAbsolutePath)
+      val trueMax = d
+        .select(col("doc_id"), explode(VectorSql.shingle_hashes(col("text"))).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .agg(max(col("df"))).first().getLong(0)
+      assert(bound >= trueMax,
+        s"per-file max-df sketch ($bound) must bound the true max df ($trueMax)")
+    } finally {
+      graft.spatial.Snapshots.walkDir(tmp.toPath)(_.toSeq).reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("jaccardPairs with a proving dfBound equals the exact-df-pass result " +
+    "(clean corpus: the skip path)") {
+    VectorSql.install(spark)
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+    val maxDf = math.max(64L, Tables.metaRowCount(spark, sf, "documents") / 8)
+    val bound = TextPipeline.shingleDfBound(spark, sf)
+    assume(bound <= maxDf, "fixture corpus must be boilerplate-free for this net")
+    val gated = TextPipeline.jaccardPairs(d, maxDf, Some(bound))
+    val exact = TextPipeline.jaccardPairs(d, maxDf, None)
+    assert(gated.exceptAll(exact).isEmpty && exact.exceptAll(gated).isEmpty,
+      "the dfBound skip path diverged from the exact df pass")
+  }
+
+  test("jaccardPairs with a NON-proving dfBound falls back to the exact df " +
+    "pass (hot corpus: results identical to the ungated spelling)") {
+    VectorSql.install(spark)
+    import spark.implicits._
+    // hot fixture: 'alpha beta gamma' occurs in EVERY doc (df = 12 > maxDf
+    // = 3); each pair also shares a rarer shingle so pairs survive the cap
+    val docs = (0L until 12L).map { i =>
+      val grp = i / 2
+      (i, s"alpha beta gamma shared$grp token$grp filler$grp alpha beta gamma")
+    }.toDF("doc_id", "text")
+    val gated = TextPipeline.jaccardPairs(docs, maxDf = 3, dfBound = Some(12L))
+    val exact = TextPipeline.jaccardPairs(docs, maxDf = 3, dfBound = None)
+    assert(gated.exceptAll(exact).isEmpty && exact.exceptAll(gated).isEmpty,
+      "the dfBound fallback path diverged from the ungated spelling")
+    assert(gated.count() > 0, "hot fixture must produce surviving pairs")
+  }
+
+  // ---- q25_percentiles: the broadcast-pre-agg alternative (examined,
+  // measured as a focused A-B-A loser, NOT adopted — this net records
+  // that the rejected spelling was result-identical, so the verdict was
+  // purely a performance call) ----
+
+  test("q25's count-window n equals the broadcast-pre-agg construction " +
+    "(the examined-and-rejected r19 alternative)") {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    // the examined alternative: n attached by a broadcast pre-aggregate
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("v")
+    val nAgg = src.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val ranked = src
+      .withColumn("rn", row_number().over(wOrd).cast("long") - 1)
+      .join(broadcast(nAgg), Seq("l_returnflag"))
+    def lo(p: Double) = floor((col("n") - 1) * lit(p))
+    def hi(p: Double) = ceil((col("n") - 1) * lit(p))
+    def pick(p: Double, tag: String) = Seq(
+      max(when(col("rn") === lo(p), col("v"))).as(s"lo$tag"),
+      max(when(col("rn") === hi(p), col("v"))).as(s"hi$tag"))
+    val agg = ranked.groupBy(col("l_returnflag")).agg(
+      first(col("n")).as("n"),
+      (pick(0.5, "50") ++ pick(0.9, "90") ++ pick(0.99, "99")): _*)
+    def interp(p: Double, tag: String) = {
+      val r = (col("n") - 1) * lit(p)
+      round(col(s"lo$tag") + (r - floor(r)) * (col(s"hi$tag") - col(s"lo$tag")), 4)
+    }
+    val alt = agg.select(col("l_returnflag"),
+      interp(0.5, "50").as("p50"),
+      interp(0.9, "90").as("p90"),
+      interp(0.99, "99").as("p99"))
+    val cur = operators.Relational.queries("q25_percentiles")(spark, sf)
+    assert(cur.exceptAll(alt).isEmpty && alt.exceptAll(cur).isEmpty,
+      "count-window percentiles diverged from the broadcast-pre-agg construction")
+  }
+
+  test("a warm dfBound memo removes the per-query df-aggregate jobs " +
+    "(gated construction runs strictly fewer jobs than the exact pass)") {
+    VectorSql.install(spark)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // listener delivery is async: poll the counter to a fixed point
+    def settle(): Int = {
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      jobs.get()
+    }
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+    val maxDf = math.max(64L, Tables.metaRowCount(spark, sf, "documents") / 8)
+    val bound = TextPipeline.shingleDfBound(spark, sf) // warm the memo
+    assume(bound <= maxDf)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TextPipeline.jaccardPairs(d, maxDf, Some(bound)) // construction only
+      val gatedJobs = settle()
+      jobs.set(0)
+      TextPipeline.jaccardPairs(d, maxDf, None) // construction only
+      val exactJobs = settle()
+      // the gated construction runs only the shingle checkpoint; the
+      // exact pass adds the hot-set checkpoint aggregate + isEmpty probe
+      // (absolute counts vary with AQE's per-stage jobs — compare shapes)
+      assert(gatedJobs < exactJobs,
+        s"warm-gated construction ran $gatedJobs jobs vs exact $exactJobs — " +
+          "the df pass is back on the gated path")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
