@@ -378,15 +378,35 @@ object Curation {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= K)
         .select(col("line"))
-        .localCheckpoint(true)
       val maxBroadcastLines = longConf(s,
         "spark.sql.graft.curation.boilerplate.broadcast-max-lines", 1000000L)
+      // metadata PRE-gate (r19; the sizeGatedModel pattern): distinct
+      // 8-token lines <= total lines <= total tokens / 8 + rows, and the
+      // footers bound total tokens (metaTokenBound's n/2-per-byte
+      // argument) — all driver metadata, zero jobs. A corpus whose BOUND
+      // fits the cap broadcasts outright, so the heavy-hitter aggregate
+      // runs ONCE inside the anti-join's broadcast build instead of
+      // being checkpointed and counted first (two fewer jobs per
+      // invocation). Only a corpus whose bound exceeds the cap pays the
+      // exact count to decide precisely — the web-scale path, where the
+      // count is trivial next to the scrub it guards.
+      val tb = Tables.metaTokenBound(s, dir, "documents", "text")
+      val lineBound =
+        if (tb == Long.MaxValue) Long.MaxValue
+        else tb / 8 + Tables.metaRowCount(s, dir, "documents")
       val scrubbed =
-        if (boiler.count() <= maxBroadcastLines)
+        if (lineBound <= maxBroadcastLines)
           lines.join(broadcast(boiler), Seq("line"), "left_anti")
-        else // no hint: the anti-join shuffles on `line` (AQE may still
-          // pick broadcast if the runtime size allows — that's the point)
-          lines.join(boiler, Seq("line"), "left_anti")
+        else {
+          // exact decision: checkpoint so the count and the join share
+          // one aggregate execution
+          val ck = boiler.localCheckpoint(true)
+          if (ck.count() <= maxBroadcastLines)
+            lines.join(broadcast(ck), Seq("line"), "left_anti")
+          else // no hint: the anti-join shuffles on `line` (AQE may still
+            // pick broadcast if the runtime size allows — that's the point)
+            lines.join(ck, Seq("line"), "left_anti")
+        }
       scrubbed
         .groupBy(col("doc_id"))
         .agg(concat_ws(" ", array_sort(collect_list(struct(col("line_no"), col("line"))))

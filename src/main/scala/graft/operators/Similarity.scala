@@ -51,12 +51,12 @@ object Similarity {
     * 100 TB it comes from the manifest). 4..16 bits → 16..65536 buckets
     * per band.
     */
-  private def sizedBits(n: Long): Int =
+  private[graft] def sizedBits(n: Long): Int =
     math.min(16, math.max(4,
       math.ceil(math.log(n / 32.0 + 1) / math.log(2)).toInt))
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1]). */
-  private def planes(n: Int, d: Int): Seq[Seq[Double]] = {
+  private[graft] def planes(n: Int, d: Int): Seq[Seq[Double]] = {
     def splitmix(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

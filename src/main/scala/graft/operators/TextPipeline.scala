@@ -902,11 +902,18 @@ object TextPipeline {
       Snapshots.append(d.filter(col("doc_id") % 2 === 1), path)
       val corpus = Snapshots.read(s, path, Some(v1))
       val batch = s.read.format("graft").option("start-version", v1).load(path)
+      // NO checkpoints (r19): unlike jaccardPairs' SELF-join — where an
+      // un-materialized shingle frame recomputes under the broadcast for
+      // every branch — this bipartite join consumes each shingle frame
+      // exactly ONCE, so a checkpoint only adds a block write + re-read
+      // per side (two extra jobs per invocation; A-B-A below-noise-to-
+      // positive locally, strictly fewer passes structurally). The widen
+      // stays: the join probe is the work-multiplying stage and the
+      // freshly written scratch files plan as one partition.
       def sh(frame: DataFrame, idAs: String, nAs: String): DataFrame =
         Par.widen(frame).withColumn("h", VectorSql.shingle_hashes(col("text")))
           .select(col("doc_id").as(idAs), size(col("h")).as(nAs),
             explode(col("h")).as("s"))
-          .localCheckpoint(true)
       sh(batch, "doc_id", "nb").join(sh(corpus, "dup_of", "nc"), "s")
         .groupBy(col("doc_id"), col("dup_of"), col("nb"), col("nc"))
         .agg(count(lit(1)).as("common"))

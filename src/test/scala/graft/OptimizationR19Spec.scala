@@ -108,6 +108,27 @@ class OptimizationR19Spec extends AnyFunSuite {
       "count-window percentiles diverged from the broadcast-pre-agg construction")
   }
 
+  // ---- text_boilerplate_scrub: metadata pre-gate for the broadcast call ----
+
+  test("boilerplate line bound: metaTokenBound/8 + rows is a TRUE upper bound " +
+    "on the corpus's distinct 8-token line count") {
+    VectorSql.install(spark)
+    val tb = Tables.metaTokenBound(spark, sf, "documents", "text")
+    val bound =
+      if (tb == Long.MaxValue) Long.MaxValue
+      else tb / 8 + Tables.metaRowCount(spark, sf, "documents")
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+      .withColumn("tk", split(lower(trim(col("text"))), "\\s+"))
+    val distinctLines = d.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), greatest(ceil(size(col("tk")) / lit(8.0))
+            .cast("int") - 1, lit(0))),
+          i => concat_ws(" ", slice(col("tk"), i * 8 + 1, lit(8))))).as("line"))
+      .select(col("line")).distinct().count()
+    assert(bound >= distinctLines,
+      s"line bound $bound must dominate the true distinct line count $distinctLines")
+  }
+
   test("a warm dfBound memo removes the per-query df-aggregate jobs " +
     "(gated construction runs strictly fewer jobs than the exact pass)") {
     VectorSql.install(spark)
