@@ -286,8 +286,12 @@ object Bench {
     // byte-for-byte for the judge.
     val sidecar = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_queries.json"))
-    java.nio.file.Files.write(sidecar,
+    // best-effort: a read-only cwd must not fail the bench run itself
+    try java.nio.file.Files.write(sidecar,
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] sidecar write skipped: $e")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"min_total":$minTotal,"cold_total":$coldTotal,"warm_passes":$passes,"queries_sidecar":"${sidecar.toString}","sf":"$sfDir"}""")
     spark.stop()
   }
