@@ -274,8 +274,17 @@ object TextPipeline {
   private def defaultMaxDf(s: SparkSession, dir: String): Long =
     math.max(64L, graft.Tables.metaRowCount(s, dir, "documents") / 8)
 
-  private[graft] def clusterLabels(d: DataFrame, maxDf: Long,
-      dfBound: Option[Long] = None): DataFrame = {
+  /** Min-label connected components over the EDGE-CONNECTED vertices
+    * only, as ((doc_id, cluster) frame, broadcastable): the local
+    * union-find under the edge budget (broadcastable by the same bound
+    * that admitted the collect), the iterative pointer-doubling
+    * propagation above it (unbounded — no hint; AQE decides from runtime
+    * size). Shared core of [[clusterLabels]] (which rejoins isolated
+    * docs as their own cluster) and the r19 keep-policy complement
+    * [[dupLosers]].
+    */
+  private def connectedLabels(d: DataFrame, maxDf: Long,
+      dfBound: Option[Long]): (DataFrame, Boolean) = {
     val pairs = jaccardPairs(d, maxDf, dfBound).select(col("d1"), col("d2"))
       .localCheckpoint(true)
     // The near-dup pair graph is SMALL relative to the corpus by
@@ -327,11 +336,7 @@ object TextPipeline {
       val spark = d.sparkSession
       import spark.implicits._
       val connected = resolved.toDF("doc_id", "cluster")
-      // isolated docs: cluster = self (single anti-join)
-      return d.select(col("doc_id"))
-        .join(broadcast(connected.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster"))
-        .unionByName(connected)
+      return (connected, true)
     }
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
@@ -384,11 +389,35 @@ object TextPipeline {
       if (changed && iter >= 64) throw new IllegalStateException(
         s"connected-components propagation did not converge after $iter rounds")
     }
+    (labels, false)
+  }
+
+  private[graft] def clusterLabels(d: DataFrame, maxDf: Long,
+      dfBound: Option[Long] = None): DataFrame = {
+    val (core, small) = connectedLabels(d, maxDf, dfBound)
+    val coreIds = core.select(col("doc_id"))
     // isolated docs: cluster = self (one anti-join, not O(rounds) of them)
     d.select(col("doc_id"))
-      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(if (small) broadcast(coreIds) else coreIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster"))
-      .unionByName(labels)
+      .unionByName(core)
+  }
+
+  /** doc_ids that LOSE the near-dup keep policy — edge-connected docs
+    * whose component minimum is a DIFFERENT doc (r19). The tiny
+    * complement of clusterLabels' keep set: a keep-policy consumer that
+    * only needs "is this doc its cluster's canonical?" anti-joins this
+    * frame instead of inner-joining the CORPUS-sized labels frame — at
+    * scale that swaps a corpus⋈corpus doc_id join for corpus⋈(dup
+    * count), and drops the isolated-docs anti-join + union entirely
+    * (isolated docs are never losers by definition). Returns
+    * (frame, broadcastable) with the same hint discipline as the labels
+    * path.
+    */
+  private[graft] def dupLosers(d: DataFrame, maxDf: Long,
+      dfBound: Option[Long] = None): (DataFrame, Boolean) = {
+    val (core, small) = connectedLabels(d, maxDf, dfBound)
+    (core.filter(col("cluster") =!= col("doc_id")).select(col("doc_id")), small)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -858,7 +887,17 @@ object TextPipeline {
     // Catalyst fuses the map-only gates into the scan.
     "pipeline_curate" -> ((s, dir) => {
       val d = docs(s, dir)
-      val labels = clusterLabels(d, defaultMaxDf(s, dir), Some(shingleDfBound(s, dir)))
+      // keep-policy via the LOSERS complement (r19): `doc_id === cluster`
+      // over the labels frame inner-joined the FULL corpus against a
+      // corpus-sized (doc_id, cluster) frame — a corpus⋈corpus doc_id
+      // join whose only purpose was testing self-canonicality. A doc
+      // fails that test iff it is an edge-connected non-minimum, so one
+      // anti-join against the dup-bounded losers set is row-identical
+      // (every doc has exactly one label; isolated docs are never
+      // losers — the OptimizationR19Spec net pins it) and the
+      // isolated-docs anti-join + union drop out of the plan with it.
+      val (losers, small) = dupLosers(d, defaultMaxDf(s, dir),
+        Some(shingleDfBound(s, dir)))
       // the language gate binds the lang_hits array ONCE through a
       // higher-order-function lambda: spelled as conjuncts over a
       // withColumn alias, filter pushdown inlines the alias into each
@@ -874,8 +913,8 @@ object TextPipeline {
           h.getItem(0) >= h.getItem(3) && h.getItem(0) > 0)
       d.withColumn("n_tokens",
           VectorSql.text_stats(col("text"), typedlit(stopwords)).getField("n_tokens"))
-        .join(labels, "doc_id")
-        .filter(isEn && col("n_tokens") >= 20 && col("doc_id") === col("cluster"))
+        .join(if (small) broadcast(losers) else losers, Seq("doc_id"), "left_anti")
+        .filter(isEn && col("n_tokens") >= 20)
         .select(col("doc_id"), col("n_tokens"))
     }),
 

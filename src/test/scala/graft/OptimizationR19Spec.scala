@@ -108,6 +108,39 @@ class OptimizationR19Spec extends AnyFunSuite {
       "count-window percentiles diverged from the broadcast-pre-agg construction")
   }
 
+  // ---- pipeline_curate: keep-policy via the losers complement ----
+
+  test("pipeline_curate's losers anti-join equals the labels inner-join + " +
+    "doc_id === cluster construction") {
+    VectorSql.install(spark)
+    val d = Tables.load(spark, sf, "documents").filter(col("text").isNotNull)
+    val maxDf = math.max(64L, Tables.metaRowCount(spark, sf, "documents") / 8)
+    // the pre-r19 construction, verbatim: full labels frame inner-joined,
+    // canonicality tested per row
+    val labels = TextPipeline.clusterLabels(d, maxDf)
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+    val isEn = exists(array(VectorSql.lang_hits(col("text"), typedlit(Seq(
+        Seq("the", "a", "of", "and"), Seq("el", "la", "de", "y"),
+        Seq("le", "les", "et", "une"), Seq("der", "die", "und", "das"))))),
+      h => h.getItem(0) >= h.getItem(1) && h.getItem(0) >= h.getItem(2) &&
+        h.getItem(0) >= h.getItem(3) && h.getItem(0) > 0)
+    val old = d.withColumn("n_tokens",
+        VectorSql.text_stats(col("text"), typedlit(stopwords)).getField("n_tokens"))
+      .join(labels, "doc_id")
+      .filter(isEn && col("n_tokens") >= 20 && col("doc_id") === col("cluster"))
+      .select(col("doc_id"), col("n_tokens"))
+    val neu = TextPipeline.queries("pipeline_curate")(spark, sf)
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+      "losers-anti-join curate diverged from the labels-join construction")
+    // and the complement really is the complement: losers ∪ keepers
+    // partition the corpus
+    val (losers, _) = TextPipeline.dupLosers(d, maxDf)
+    val keepers = TextPipeline.clusterLabels(d, maxDf)
+      .filter(col("doc_id") === col("cluster")).select(col("doc_id"))
+    assert(losers.intersect(keepers).isEmpty)
+    assert(losers.count() + keepers.count() == d.count())
+  }
+
   // ---- text_boilerplate_scrub: metadata pre-gate for the broadcast call ----
 
   test("boilerplate line bound: metaTokenBound/8 + rows is a TRUE upper bound " +
