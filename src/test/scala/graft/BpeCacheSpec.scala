@@ -90,13 +90,16 @@ class BpeCacheSpec extends AnyFunSuite {
   test("useDisk=false (the tokenizer_bpe_train scope) never reads the disk " +
     "artifact: a fresh-process view RETRAINS even when the artifact exists") {
     val dir = freshCorpus()
-    // seed the disk artifact through the default (encode) path
+    // seed the disk artifact through the default (encode) path — this
+    // TRAINS in-process, so the memo entry is train-scope-servable
     assert(Curation.bpeMerges(dir, 24)(_ => sentinel) == sentinel)
     // same process: the memo serves the train scope too (zero training)
     assert(Curation.bpeMerges(dir, 24, useDisk = false)(_ => boom()) == sentinel)
-    // fresh-process view (memo + stamp memo cleared): the disk artifact is
-    // PRESENT but the train scope must not read it — the thunk runs
+    // fresh-process view (memo + provenance + stamp memo cleared): the
+    // disk artifact is PRESENT but the train scope must not read it —
+    // the thunk runs
     Curation.bpeMergeMemo.clear()
+    Curation.bpeTrainedInProc.clear()
     Stamps.stampMemo.clear()
     var trained = 0
     assert(Curation.bpeMerges(dir, 24, useDisk = false) { _ =>
@@ -106,9 +109,52 @@ class BpeCacheSpec extends AnyFunSuite {
     // ... and it must not WRITE either: the artifact on disk still holds
     // the encode-path sentinel, which the default scope serves unchanged
     Curation.bpeMergeMemo.clear()
+    Curation.bpeTrainedInProc.clear()
     Stamps.stampMemo.clear()
     assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel,
       "the train scope must not overwrite the encode artifact")
+  }
+
+  test("useDisk=false does not serve a memo entry that was READ FROM DISK " +
+    "by the encode path (the bench's encode-before-train order)") {
+    val dir = freshCorpus()
+    assert(Curation.bpeMerges(dir, 24)(_ => sentinel) == sentinel) // seed disk
+    // fresh-process view, then the ENCODE path warms the memo from disk
+    Curation.bpeMergeMemo.clear()
+    Curation.bpeTrainedInProc.clear()
+    Stamps.stampMemo.clear()
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel)
+    // the train scope runs next (alphabetical bench order): the memo HIT
+    // is disk-laundered, so it must RETRAIN from the corpus
+    var trained = 0
+    assert(Curation.bpeMerges(dir, 24, useDisk = false) { _ =>
+      trained += 1; sentinel
+    } == sentinel)
+    assert(trained == 1, "the train scope served a disk-laundered memo entry")
+    // after the in-process train, warm train invocations serve memo-only
+    assert(Curation.bpeMerges(dir, 24, useDisk = false)(_ => boom()) == sentinel)
+  }
+
+  test("a train-first ordering still publishes the encode artifact " +
+    "(the encode path writes the memo-hit value to disk when absent)") {
+    val dir = freshCorpus()
+    val cacheDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_bpemerges_${java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString}")
+    def tsvs() = Option(cacheDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".tsv")).map(_.getName).toSeq
+    // train-scope first: memo only, nothing on disk
+    assert(Curation.bpeMerges(dir, 24, useDisk = false)(_ => sentinel) == sentinel)
+    assert(tsvs().isEmpty, s"the train scope must not write the artifact: ${tsvs()}")
+    // encode path next: memo hit, but it must still publish the artifact
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel)
+    assert(tsvs().nonEmpty, "the encode path must publish the artifact on memo hit")
+    // and a fresh-process encode serves from the published artifact
+    Curation.bpeMergeMemo.clear()
+    Curation.bpeTrainedInProc.clear()
+    Stamps.stampMemo.clear()
+    assert(Curation.bpeMerges(dir, 24)(_ => boom()) == sentinel)
   }
 
   test("the real trainer rides the cache: train and encode share one artifact") {

@@ -165,11 +165,17 @@ class OptimizationR19Spec extends AnyFunSuite {
   test("a warm dfBound memo removes the per-query df-aggregate jobs " +
     "(gated construction runs strictly fewer jobs than the exact pass)") {
     VectorSql.install(spark)
+    // count ONLY this test's jobs: suites run concurrently on the shared
+    // session, so an unfiltered listener would count their jobs too —
+    // job groups are thread-local, so the group id isolates this thread
+    val group = "r19-dfgate-jobcount"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (Option(j.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
     }
     // listener delivery is async: poll the counter to a fixed point
     def settle(): Int = {
@@ -187,6 +193,7 @@ class OptimizationR19Spec extends AnyFunSuite {
     val bound = TextPipeline.shingleDfBound(spark, sf) // warm the memo
     assume(bound <= maxDf)
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "r19 df-gate job-count net")
     try {
       TextPipeline.jaccardPairs(d, maxDf, Some(bound)) // construction only
       val gatedJobs = settle()
@@ -199,6 +206,9 @@ class OptimizationR19Spec extends AnyFunSuite {
       assert(gatedJobs < exactJobs,
         s"warm-gated construction ran $gatedJobs jobs vs exact $exactJobs — " +
           "the df pass is back on the gated path")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 }
