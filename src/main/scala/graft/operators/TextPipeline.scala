@@ -861,7 +861,19 @@ object TextPipeline {
       val d = docs(s, dir)
       val pairs = jaccardPairs(d,
         defaultMaxDf(s, dir), Some(shingleDfBound(s, dir)))
-      val q = d.select(col("doc_id"), col("n_chars"))
+      // n_chars lookup from the RAW table, not docs() (r19): docs()'s
+      // text-IS-NOT-NULL universe filter forced BOTH lookup scans to
+      // read the text column — 93% of the corpus bytes — solely to
+      // evaluate the filter (plan audit: ReadSchema carried text,
+      // projected away immediately). The filter is provably redundant
+      // here: pair doc_ids come from shingles OF text, so every joined
+      // key already has non-null text, and doc_id is unique — inner
+      // joins against the unfiltered projection return identical rows
+      // (OptimizationR19Spec pins it, null-text doc included). At 100 TB
+      // this drops two full corpus text reads per invocation; the scans
+      // now read only (doc_id, n_chars).
+      val q = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
       val losers = pairs
         .join(q.select(col("doc_id").as("d1"), col("n_chars").as("c1")), Seq("d1"))
         .join(q.select(col("doc_id").as("d2"), col("n_chars").as("c2")), Seq("d2"))

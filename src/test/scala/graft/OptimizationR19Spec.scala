@@ -162,6 +162,49 @@ class OptimizationR19Spec extends AnyFunSuite {
       s"line bound $bound must dominate the true distinct line count $distinctLines")
   }
 
+  // ---- dedup_keep_best: unfiltered n_chars lookup ----
+
+  test("dedup_keep_best's raw-table n_chars lookup equals the docs()-filtered " +
+    "lookup, null-text doc included") {
+    VectorSql.install(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_r19_keepbest").toFile
+    try {
+      // corpus WITH a null-text doc (id 99): the optimization's claim is
+      // that the lookup side may drop the text-IS-NOT-NULL filter because
+      // pair doc_ids only ever come from shingled (non-null) text — a
+      // null-text doc must change NOTHING even though the raw lookup now
+      // carries its row
+      val d0 = spark.range(12).selectExpr("id AS doc_id",
+        """concat_ws(' ', 'alpha beta gamma delta', concat('tok', cast(id % 3 AS STRING)),
+          |  'epsilon zeta eta theta iota kappa') AS text""".stripMargin,
+        "'en' AS lang", "'s0' AS source", "(100 - id) AS n_chars")
+      val nullRow = spark.sql(
+        "SELECT 99L AS doc_id, CAST(NULL AS STRING) AS text, " +
+          "'en' AS lang, 's0' AS source, 7L AS n_chars")
+      d0.unionByName(nullRow).write.parquet(s"$tmp/documents.parquet")
+      val dir = tmp.getAbsolutePath
+      val d = Tables.load(spark, dir, "documents").filter(col("text").isNotNull)
+      val pairs = TextPipeline.jaccardPairs(d, maxDf = 64).localCheckpoint(true)
+      assert(pairs.count() > 0, "fixture must produce near-dup pairs")
+      def losersWith(q: org.apache.spark.sql.DataFrame) = pairs
+        .join(q.select(col("doc_id").as("d1"), col("n_chars").as("c1")), Seq("d1"))
+        .join(q.select(col("doc_id").as("d2"), col("n_chars").as("c2")), Seq("d2"))
+        .select(when(col("c1") < col("c2"), col("d1")).otherwise(col("d2"))
+          .as("doc_id"))
+        .distinct()
+      val filtered = losersWith(d.select(col("doc_id"), col("n_chars")))
+      val raw = losersWith(Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("n_chars")))
+      assert(raw.exceptAll(filtered).isEmpty && filtered.exceptAll(raw).isEmpty,
+        "raw-table n_chars lookup diverged from the docs()-filtered lookup")
+      // and the null-text doc never reaches the pair graph at all
+      assert(pairs.filter(col("d1") === 99L || col("d2") === 99L).isEmpty)
+    } finally {
+      graft.spatial.Snapshots.walkDir(tmp.toPath)(_.toSeq).reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("a warm dfBound memo removes the per-query df-aggregate jobs " +
     "(gated construction runs strictly fewer jobs than the exact pass)") {
     VectorSql.install(spark)
