@@ -81,8 +81,19 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(s, dir, "lineitem")
-      li.join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // join the date-FILTERED orders FIRST (r19, guide §3/§2.3): inner
+      // joins commute, and the ~29%-selective o_orderdate filter then
+      // prunes lineitem before the supplier and customer joins — at
+      // 100 TB (SMJ territory; no CBO join reorder without stats) the
+      // old li⋈sup-first order shuffled the FULL lineitem twice
+      // (suppkey, then orderkey) before the filter ever applied; this
+      // order shuffles it full once and at ~29% thereafter (~31% of the
+      // query's shuffle bytes). At bench scale every join is a BHJ, so
+      // the local plan only reorders probes (A-B-A wash, as expected);
+      // results are identical by inner-join commutativity (oracle +
+      // OptimizationR19Spec net).
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))

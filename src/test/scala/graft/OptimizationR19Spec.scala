@@ -162,6 +162,33 @@ class OptimizationR19Spec extends AnyFunSuite {
       s"line bound $bound must dominate the true distinct line count $distinctLines")
   }
 
+  // ---- q04_nation_revenue: orders-first join order ----
+
+  test("q04's orders-first join order equals the supplier-first spelling") {
+    val region = Tables.load(spark, sf, "region")
+    val nation = Tables.load(spark, sf, "nation")
+    val cust = Tables.load(spark, sf, "customer")
+    val sup = Tables.load(spark, sf, "supplier")
+    val ord = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.load(spark, sf, "lineitem")
+    // the pre-r19 spelling, verbatim
+    val old = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+    val neu = operators.Relational.queries("q04_nation_revenue")(spark, sf)
+    assert(neu.exceptAll(old).isEmpty && old.exceptAll(neu).isEmpty,
+      "orders-first q04 diverged from the supplier-first spelling")
+  }
+
   // ---- dedup_keep_best: unfiltered n_chars lookup ----
 
   test("dedup_keep_best's raw-table n_chars lookup equals the docs()-filtered " +
