@@ -81,19 +81,20 @@ object Relational {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val li = t(s, dir, "lineitem")
-      // join the date-FILTERED orders FIRST (r19, guide §3/§2.3): inner
-      // joins commute, and the ~29%-selective o_orderdate filter then
-      // prunes lineitem before the supplier and customer joins — at
-      // 100 TB (SMJ territory; no CBO join reorder without stats) the
-      // old li⋈sup-first order shuffled the FULL lineitem twice
-      // (suppkey, then orderkey) before the filter ever applied; this
-      // order shuffles it full once and at ~29% thereafter (~31% of the
-      // query's shuffle bytes). At bench scale every join is a BHJ, so
-      // the local plan only reorders probes (A-B-A wash, as expected);
-      // results are identical by inner-join commutativity (oracle +
-      // OptimizationR19Spec net).
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
+      // Join order KEPT supplier-first after an r19 interleaved A-B-A
+      // REJECTED the orders-first spelling: pulling the ~29%-selective
+      // o_orderdate filter ahead of the supplier join is the textbook
+      // §3 reorder for the 100 TB SMJ plan (one fewer full-lineitem
+      // shuffle), but at bench scale every join is a BHJ and the
+      // measured effect of probing the larger filtered-orders hash map
+      // first was a consistent LOSS (adjacent legs: old mins
+      // 0.678/0.680/0.782 vs new 0.827/0.803; old won or tied 7 of 7
+      // comparisons). Results are identical either way (inner-join
+      // commutativity — OptimizationR19Spec pins the rejected spelling
+      // result-equal); a stats-fed CBO deployment reorders this join
+      // itself, which is the right seat for the at-scale version.
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey") &&
           col("s_nationkey") === col("c_nationkey"))
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
