@@ -48,6 +48,14 @@ class StampsSpec extends AnyFunSuite {
     // walk would hash nothing for partitioned layouts (r16 advisor)
     val fp1 = Stamps.tableFingerprint(Seq(root.toString))
     Files.write(nested.resolve("part-0.parquet"), Array[Byte](1, 2, 4))
+    // fresh-process simulation, same as the test above: the rewrite keeps
+    // the length and — on coarse-mtime filesystems under concurrent-suite
+    // load — can keep the mtime, in which case the stat-keyed memo
+    // legitimately serves the old stamp in-process (the accepted
+    // residual). The claim under test is the recursive WALK, not the
+    // memo, so observe the change as a cold process would. (r19: this
+    // assert flaked once in a loaded full-suite run exactly this way.)
+    Stamps.stampMemo.clear()
     assert(Stamps.tableFingerprint(Seq(root.toString)) != fp1)
   }
 }
